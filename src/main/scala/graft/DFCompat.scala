@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftaccess.Internals
+import graft.functions.DateBin
+
+/** DataFusion-40 function-name compatibility layer (SURVEY §2.9 ⚠/≈ rows).
+  *
+  * Every shim is registered as a native Catalyst `Expression` builder — not
+  * a Scala UDF — so the optimizer can fold/push them and whole-stage
+  * codegen stays unbroken (the reference's functions are all vectorized
+  * library code; a black-box UDF would be a scale regression, not parity).
+  *
+  * `current_schema`/`current_database` mirror the only two first-party UDFs
+  * in the reference (env-backed, immutable volatility —
+  * iceberg-datafusion-arrow-flight/src/lib.rs:106-128): they fold to
+  * literals at plan time exactly like DataFusion's `Volatility::Immutable`.
+  */
+object DFCompat {
+  private val marker = "graft_compat_installed"
+
+  def install(spark: SparkSession): Unit = synchronized {
+    if (Internals.functionExists(spark, marker)) return
+
+    def reg(name: String)(b: Seq[Expression] => Expression): Unit =
+      Internals.registerFunction(spark, name, b)
+
+    // --- reference first-party UDFs (lib.rs:106-128) ---
+    reg("current_schema")(_ =>
+      Literal(sys.env.getOrElse("CURRENT_SCHEMA", "public")))
+    reg("current_database")(_ =>
+      Literal(sys.env.getOrElse("CURRENT_DATABASE", "datafusion")))
+
+    // --- date/time ---
+    // date_bin(stride, ts[, origin]) — 2-arg form anchors at epoch, like DF.
+    reg("date_bin") {
+      case Seq(s, t, o) => DateBin(s, t, o)
+      case Seq(s, t)    => DateBin(s, t, Literal(0L, TimestampType))
+      case args => throw new IllegalArgumentException(
+        s"date_bin expects 2 or 3 args, got ${args.length}")
+    }
+    reg("to_timestamp_seconds") { case Seq(e) => SecondsToTimestamp(e) }
+    reg("to_timestamp_millis") { case Seq(e) => MillisToTimestamp(e) }
+    reg("to_timestamp_micros") { case Seq(e) => MicrosToTimestamp(e) }
+
+    // --- string ---
+    // DataFusion spells these with underscores; Spark's builtins are
+    // `startswith`/`endswith`.
+    reg("starts_with") { case Seq(s, p) => StartsWith(s, p) }
+    reg("ends_with") { case Seq(s, p) => EndsWith(s, p) }
+    // DF strpos(string, substring) == Spark instr(str, substr), 1-based.
+    reg("strpos") { case Seq(str, sub) => StringInstr(str, sub) }
+    reg("substr_index") { case Seq(s, d, c) => SubstringIndex(s, d, c) }
+
+    // --- math ---
+    reg("iszero") { case Seq(e) =>
+      EqualTo(Cast(e, DoubleType), Literal(0.0d))
+    }
+
+    // --- array (DF datafusion-functions-array names Spark lacks) ---
+    // array_has_all(a, b): every element of b present in a.
+    reg("array_has_all") { case Seq(a, b) =>
+      EqualTo(Size(ArrayExcept(b, a)), Literal(0))
+    }
+    reg("array_has_any") { case Seq(a, b) => ArraysOverlap(a, b) }
+    reg("array_has") { case Seq(a, e) => ArrayContains(a, e) }
+    reg("array_element") { case Seq(a, i) => ElementAt(a, i) }
+    reg("list_element") { case Seq(a, i) => ElementAt(a, i) }
+    reg("array_indexof") { case Seq(a, e) => ArrayPosition(a, e) }
+    reg("array_to_string") { case Seq(a, d) => ArrayJoin(a, d, None) }
+    reg("array_length") { case Seq(a) => Size(a) }
+    reg("empty") { case Seq(a) => EqualTo(Size(a), Literal(0)) }
+    reg("array_empty") { case Seq(a) => EqualTo(Size(a), Literal(0)) }
+
+    reg(marker)(_ => Literal(true))
+  }
+}

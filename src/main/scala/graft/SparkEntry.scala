@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 surfaces here as a named
+  * probe: `queries` runs it on Spark, `oracleSql` is the equivalent DuckDB
+  * SQL the driver hash-compares against (FIXTURES.md conventions: total
+  * ORDER BY, identical column aliases on both sides).
+  */
 object SparkEntry {
+
+  def probesAll: Seq[Probe] =
+    probes.Aggregates.probes ++
+    probes.Joins.probes ++
+    probes.Windows.probes ++
+    probes.SetOpsSorts.probes ++
+    probes.Constructs.probes ++
+    probes.ScalarFunctions.probes
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    probesAll.find(_.name == "q1_agg").get.run(spark, dir)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    probesAll.map(p => p.name -> p.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    probesAll.flatMap(p => p.oracle.map(p.name -> _)).toMap
+
+  /** Headline subset for Bench (join-heavy, window, agg, pipeline ops). */
+  def benchNames: Seq[String] = Seq(
+    "q1_agg", "q_join_star", "q_win_rank", "q_agg_distinct",
+    "q_grouping_sets", "q_corr_scalar_subquery", "q_topk", "q_date_bin")
 }

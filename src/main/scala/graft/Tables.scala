@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registers the driver-generated parquet tables (TESTDATA.md) as session
+  * temp views and installs the DataFusion-compat function shims.
+  *
+  * Views are metadata-only: the parquet scan underneath keeps full predicate
+  * pushdown / column pruning, so probes written as SQL over these views plan
+  * identically to direct `spark.read.parquet` DataFrames. Registration is
+  * cached per (session, dir) so each of the many probe queries pays the
+  * parquet-footer schema read only once.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4's reader
+      // rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
+      // floor-divide to µs — the same ns→µs truncation DataFusion/Iceberg
+      // apply (SURVEY §1.2). `div` keeps it integral and codegen'd.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Idempotent: register all test tables from `dir` in `spark`'s session.
+    * Marks (session, dir) done only after every view registered, so a
+    * transient failure doesn't poison later queries. */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val key = (spark, dir)
+    if (!registered.contains(key)) synchronized {
+      if (!registered.contains(key)) {
+        DFCompat.install(spark)
+        names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+        registered.add(key)
+      }
+    }
+  }
+}

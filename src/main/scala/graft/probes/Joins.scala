@@ -1,0 +1,109 @@
+package graft.probes
+
+import graft.Probe
+
+/** SURVEY §2.4 — all DataFusion 40 join types (HashJoin/SortMergeJoin/
+  * NestedLoopJoin/CrossJoin, Cargo.lock:1290), declared declaratively so
+  * Catalyst+AQE pick the physical strategy. At scale: dimension tables
+  * (region/nation/supplier/part/customer) sit under
+  * `spark.sql.autoBroadcastJoinThreshold`, so every dim join planned here
+  * becomes a BroadcastHashJoin with zero shuffle of the fact table; only
+  * fact-fact joins (lineitem⋈orders) shuffle, on their join key.
+  */
+object Joins {
+  val probes: Seq[Probe] = Seq(
+
+    Probe.sql("q_join_inner",
+      """SELECT n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_name""".stripMargin),
+
+    // 4-way star join — TPC-H Q5 shape (fact shuffles once; dims broadcast)
+    Probe.sql("q_join_star",
+      """SELECT n_name, r_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  count(*) AS cnt
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name
+        |ORDER BY n_name, r_name""".stripMargin),
+
+    Probe.sql("q_join_left",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin),
+
+    Probe.sql("q_join_right",
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+
+    Probe.sql("q_join_full",
+      """WITH s AS (SELECT s_nationkey AS k, count(*) AS n_supp
+        |           FROM supplier GROUP BY s_nationkey),
+        |     c AS (SELECT c_nationkey AS k, count(*) AS n_cust
+        |           FROM customer GROUP BY c_nationkey)
+        |SELECT coalesce(s.k, c.k) AS k, n_supp, n_cust
+        |FROM s FULL JOIN c ON s.k = c.k
+        |ORDER BY k""".stripMargin),
+
+    // semi join via EXISTS (Catalyst RewritePredicateSubquery → LeftSemi)
+    Probe.sql("q_join_semi",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // anti join via NOT EXISTS (→ LeftAnti)
+    Probe.sql("q_join_anti",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // mixed equi + range condition (equi part drives the hash join;
+    // range is a post-join filter)
+    Probe.sql("q_join_nonequi",
+      """SELECT p1.p_brand AS brand, count(*) AS pairs
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+        |GROUP BY p1.p_brand
+        |ORDER BY brand""".stripMargin),
+
+    Probe.sql("q_join_cross",
+      """SELECT r1.r_name AS a, r2.r_name AS b
+        |FROM region r1 CROSS JOIN region r2
+        |ORDER BY a, b""".stripMargin),
+
+    // pure theta join (no equi key → BroadcastNestedLoopJoin; kept tiny
+    // on purpose — NLJ cardinality is the user's responsibility)
+    Probe.sql("q_join_theta",
+      """SELECT n_name, count(*) AS bigger_regions
+        |FROM nation JOIN region ON n_regionkey < r_regionkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin),
+
+    Probe.sql("q_join_self",
+      """SELECT a.n_name AS n1, b.n_name AS n2
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |ORDER BY n1, n2""".stripMargin),
+
+    // USING-clause join
+    Probe.sql2("q_join_using",
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin)
+  )
+}

@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graftaccess
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+
+/** Narrow bridge to session-internal registries.
+  *
+  * Spark's public runtime API (`spark.udf.register`) only accepts
+  * black-box Scala functions, which break whole-stage codegen and hide
+  * expressions from Catalyst. To register native `Expression` builders
+  * (foldable, codegen'd, optimizer-visible) on an already-running session
+  * we need `sessionState.functionRegistry`, which is `private[sql]` —
+  * hence this accessor living under `org.apache.spark.sql`.
+  */
+object Internals {
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
+  def functionExists(spark: SparkSession, name: String): Boolean =
+    spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+}
