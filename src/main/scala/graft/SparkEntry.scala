@@ -17,7 +17,8 @@ object SparkEntry {
     probes.Windows.probes ++
     probes.SetOpsSorts.probes ++
     probes.Constructs.probes ++
-    probes.ScalarFunctions.probes
+    probes.ScalarFunctions.probes ++
+    probes.Pipeline.probes
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -37,5 +38,6 @@ object SparkEntry {
   /** Headline subset for Bench (join-heavy, window, agg, pipeline ops). */
   def benchNames: Seq[String] = Seq(
     "q1_agg", "q_join_star", "q_win_rank", "q_agg_distinct",
-    "q_grouping_sets", "q_corr_scalar_subquery", "q_topk", "q_date_bin")
+    "q_grouping_sets", "q_corr_scalar_subquery", "q_topk", "q_date_bin",
+    "q_dedup_minhash", "q_ann_topk", "q_text_stats")
 }

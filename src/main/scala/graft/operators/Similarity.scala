@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the builder prompt:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Queries are broadcast (they're the small side by construction), so
+  *    the corpus streams through one codegen stage with zero shuffle of
+  *    the embedding data; the only shuffle is the per-query top-k window.
+  *  - [[lshBuckets]]: random-hyperplane (sign) LSH — the 100 TB path.
+  *    Bucketing is a pure projection; candidate generation becomes a
+  *    bucket equi-join instead of a cross join, cutting the candidate set
+  *    by ~2^planes.
+  *
+  * All math is double-precision `zip_with`/`aggregate` expressions —
+  * codegen'd, sequential summation (deterministic, matches the DuckDB
+  * oracle's list_dot_product exactly).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors by cosine for each query vector. Ties broken by
+    * neighbor id for determinism. Self-pairs excluded. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), shared with the
+    * SQL-oracle generator so both engines bucket identically. */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id (0 .. 2^nPlanes-1) for each vector. */
+  def lshBuckets(
+      df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      when(dot(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol).as("vec_id"), bucket.as("bucket"))
+  }
+
+  /** DuckDB equivalent of [[lshBuckets]] (for the correctness oracle):
+    * identical plane literals, list_dot_product, same bit weights. */
+  def lshBucketsOracleSql(nPlanes: Int, dim: Int, table: String): String = {
+    val ps = planes(nPlanes, dim)
+    val terms = ps.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM $table ORDER BY vec_id"
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * All pure column expressions (codegen'd, scan-stage pipelined); every
+  * formula is SQL-expressible so the DuckDB oracle replicates it exactly.
+  */
+object TextAnalysis {
+
+  import Dedup.words
+
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** Stopword hit ratio against a fixed list. */
+  def stopwordRatio(text: Column, stops: Seq[String]): Column = {
+    val ws = words(text)
+    size(filter(ws, w => w.isInCollection(stops))).cast("double") /
+      greatest(size(ws), lit(1))
+  }
+
+  /** Punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Distinct-word ratio (1.0 = no repetition). */
+  def distinctRatio(text: Column): Column = {
+    val ws = words(text)
+    size(array_distinct(ws)).cast("double") / greatest(size(ws), lit(1))
+  }
+
+  def avgWordLen(text: Column): Column = {
+    val ws = words(text)
+    aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(size(ws), lit(1))
+  }
+
+  val EnglishStops: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Composite quality score in [0,1]: rewards moderate length, lexical
+    * diversity and low punctuation noise. A heuristic, but a deterministic
+    * one — the oracle recomputes it bit-for-bit. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val divScore = distinctRatio(text)
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    least(greatest((lenScore + divScore) / 2.0 - punctPenalty, lit(0.0)),
+      lit(1.0))
+  }
+
+  /** Per-language stopword lists for the n-gram language-ID heuristic. */
+  val LangStops: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  /** Language-ID: argmax stopword-hit score with a fixed preference order
+    * on ties (first in [[LangStops]] wins), 'und' (undetermined) when no
+    * list scores > 0. */
+  def langId(text: Column): Column = {
+    val scores = LangStops.map { case (lang, stops) =>
+      lang -> stopwordRatio(text, stops)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Content fingerprint: MD5 over the sorted distinct word set — robust
+    * to word order and duplication, exact-matchable cross-engine. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(sort_array(array_distinct(words(text))), " "))
+
+  /** One-stop stats projection used by the probe suite. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      tokenCount(t).as("n_tokens"),
+      avgWordLen(t).as("avg_word_len"),
+      distinctRatio(t).as("distinct_ratio"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t, EnglishStops).as("stop_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_guess"),
+      fingerprint(t).as("fp"))
+  }
+}

@@ -1,0 +1,150 @@
+package graft.probes
+
+import graft.{Probe, Tables}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline probes (builder-prompt extension surface):
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+  * search (brute-force cosine top-k / sign-LSH), text analysis. Each
+  * oracle recomputes the same deterministic formula in DuckDB SQL; the
+  * MinHash-LSH probe is checked against the *exact* blocked-Jaccard
+  * answer (at the corpus's planted similarity levels the LSH miss
+  * probability is ~4e-8, i.e. the outputs must coincide).
+  */
+object Pipeline {
+
+  private val duckWords =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  // 3-word shingles in DuckDB (list comprehension mirrors Dedup.shingles)
+  private def duckShingleCte(src: String): String =
+    s"""WITH w AS (SELECT doc_id, lang, $duckWords AS ws FROM $src),
+       |s AS (SELECT doc_id, lang,
+       |  list_distinct([array_to_string(ws[i:i+2], ' ')
+       |                 for i in range(1, greatest(len(ws)-2, 1)+1)]) AS sh
+       |  FROM w)""".stripMargin
+
+  val probes: Seq[Probe] = Seq(
+
+    Probe.df("q_dedup_exact",
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, md5(lower(text)) AS fp
+        |      FROM (SELECT * FROM documents
+        |            UNION ALL SELECT * FROM documents)) t
+        |GROUP BY fp
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Dedup.exactDedup(d.unionAll(d), "doc_id", "text")
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    Probe.df("q_dedup_ngram",
+      duckShingleCte("documents") +
+        """
+          |SELECT * FROM (
+          |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+          |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          |) WHERE jaccard >= 0.5
+          |ORDER BY ida, idb""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang", 3, 0.5)
+        .orderBy("ida", "idb")
+    },
+
+    // LSH pairs vs the exact all-pairs answer (no blocking on either side)
+    Probe.df("q_dedup_minhash",
+      duckShingleCte("documents") +
+        """
+          |SELECT * FROM (
+          |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+          |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |) WHERE jaccard >= 0.5
+          |ORDER BY ida, idb""".stripMargin) { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, numPerms = 128, bands = 32,
+          threshold = 0.5)
+        .orderBy("ida", "idb")
+    },
+
+    Probe.noOracle("q_dedup_simhash") { (s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy("ida", "idb")
+    },
+
+    Probe.df("q_text_stats",
+      s"""WITH w AS (
+         |  SELECT doc_id, text, $duckWords AS ws FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    len(ws) AS n_tokens,
+         |    list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+         |      / greatest(len(ws), 1) AS avg_word_len,
+         |    len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1) AS distinct_ratio,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE
+         |      / greatest(len(ws), 1) AS stop_ratio,
+         |    len(list_filter(ws, x -> list_contains(['der','die','und','das','ist'], x)))::DOUBLE
+         |      / greatest(len(ws), 1) AS s_de,
+         |    len(list_filter(ws, x -> list_contains(['the','a','of','and','is'], x)))::DOUBLE
+         |      / greatest(len(ws), 1) AS s_en,
+         |    len(list_filter(ws, x -> list_contains(['el','la','los','que','es'], x)))::DOUBLE
+         |      / greatest(len(ws), 1) AS s_es,
+         |    len(list_filter(ws, x -> list_contains(['le','les','et','est','une'], x)))::DOUBLE
+         |      / greatest(len(ws), 1) AS s_fr,
+         |    md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fp
+         |  FROM w)
+         |SELECT doc_id, n_tokens, avg_word_len, distinct_ratio, punct_ratio,
+         |  stop_ratio,
+         |  least(greatest((least(n_tokens / 100.0, 1.0) + distinct_ratio) / 2.0
+         |    - least(punct_ratio * 5.0, 1.0), 0.0), 1.0) AS quality,
+         |  CASE
+         |    WHEN s_de > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         |    WHEN s_en > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |    WHEN s_es > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |    WHEN s_fr > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+         |    ELSE 'und' END AS lang_guess,
+         |  fp
+         |FROM c
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.stats(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    Probe.df("q_ann_topk",
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        |  FROM scored)
+        |SELECT qid, nid, cos, rnk FROM ranked
+        |WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    Probe.df("q_ann_lsh",
+      Similarity.lshBucketsOracleSql(8, 64, "embeddings")) { (s, dir) =>
+      Similarity.lshBuckets(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", nPlanes = 8, dim = 64)
+        .orderBy("vec_id")
+    }
+  )
+}
