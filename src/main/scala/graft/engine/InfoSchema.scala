@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** `information_schema.{tables,columns,views,df_settings}` parity — the
+  * reference enables DataFusion's information_schema so clients introspect
+  * via SQL (lib.rs:92; its catalog-metadata RPCs are unimplemented,
+  * lib.rs:382-482, which makes SQL introspection the *only* metadata
+  * path). Spark has no information_schema database, so the engine
+  * refreshes snapshot temp views on demand and rewrites the qualified
+  * names — metadata-only, driver-side, a few hundred rows at most.
+  */
+object InfoSchema {
+  private val Marker = "(?i)information_schema\\.".r
+
+  def mentionsInfoSchema(sql: String): Boolean =
+    Marker.findFirstIn(sql).isDefined
+
+  def rewrite(sql: String): String = Marker.replaceAllIn(sql, "__infoschema_")
+
+  def refresh(spark: SparkSession): Unit = {
+    import spark.implicits._
+
+    val tables = spark.catalog.listTables().collect().toSeq.map { t =>
+      (Option(t.catalog).getOrElse("spark_catalog"),
+        Option(t.database).getOrElse(""),
+        t.name, t.tableType, t.isTemporary)
+    }
+    tables
+      .toDF("table_catalog", "table_schema", "table_name", "table_type",
+        "is_temporary")
+      .createOrReplaceTempView("__infoschema_tables")
+
+    tables.filter(_._4 == "VIEW")
+      .map { case (c, s, n, _, tmp) => (c, s, n, tmp) }
+      .toDF("table_catalog", "table_schema", "table_name", "is_temporary")
+      .createOrReplaceTempView("__infoschema_views")
+
+    val cols = tables.flatMap { case (_, db, name, _, _) =>
+      val ident = if (db.isEmpty) name else s"$db.$name"
+      scala.util.Try(spark.catalog.listColumns(ident).collect()).toOption
+        .getOrElse(Array.empty).zipWithIndex.map { case (c, i) =>
+          (db, name, c.name, i + 1, c.dataType, c.nullable)
+        }
+    }
+    cols
+      .toDF("table_schema", "table_name", "column_name", "ordinal_position",
+        "data_type", "is_nullable")
+      .createOrReplaceTempView("__infoschema_columns")
+
+    spark.conf.getAll.toSeq
+      .toDF("name", "value")
+      .createOrReplaceTempView("__infoschema_df_settings")
+  }
+}

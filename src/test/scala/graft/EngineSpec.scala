@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+
+/** Lifecycle parity with the reference service (SURVEY §2.13, §5.5):
+  * auth, per-token session isolation, prepare/bind/execute/fetch/close,
+  * the "rollback" special case, DDL rowcount -1, information_schema.
+  */
+class EngineSpec extends AnyFunSuite {
+  private lazy val engine = new Engine(TestSpark.spark)
+  private lazy val token = engine.handshake("admin", "password").toOption.get
+
+  test("handshake rejects bad credentials like lib.rs:237-240") {
+    assert(engine.handshake("admin", "wrong").isLeft)
+    assert(engine.handshake("nobody", "password").isLeft)
+  }
+
+  test("prepare returns the result schema without executing") {
+    val (h, schema) = engine.prepare(token, "SELECT 1 AS one, 'x' AS s")
+    assert(schema.fieldNames.toSeq == Seq("one", "s"))
+    engine.closeStatement(h)
+  }
+
+  test("prepare → execute → fetch round-trip") {
+    val (h, _) = engine.prepare(token,
+      "SELECT id, id * 2 AS twice FROM range(5) ORDER BY id")
+    assert(engine.execute(h) == 5)
+    val (schema, rows) = engine.fetch(h)
+    assert(schema.fieldNames.toSeq == Seq("id", "twice"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    engine.closeStatement(h)
+  }
+
+  test("string parameter binding (Utf8-only, lib.rs:613-622)") {
+    val (h, _) = engine.prepare(token, "SELECT ? AS a, ? AS b")
+    engine.bind(h, Seq("hello", "world"))
+    engine.execute(h)
+    val (_, rows) = engine.fetch(h)
+    assert(rows.head.getString(0) == "hello" && rows.head.getString(1) == "world")
+    engine.closeStatement(h)
+  }
+
+  test("literal 'rollback' short-circuits to a one-row plan (lib.rs:677)") {
+    val (_, rows) = engine.executeQuery(token, "  ROLLBACK  ")
+    assert(rows.length == 1 && rows.head.getString(0) == "ROLLBACK")
+  }
+
+  test("DDL goes through executeUpdate and reports -1 (lib.rs:653)") {
+    assert(engine.executeUpdate(token,
+      "CREATE OR REPLACE TEMPORARY VIEW ddl_probe AS SELECT 42 AS v") == -1L)
+    val (_, rows) = engine.executeQuery(token, "SELECT v FROM ddl_probe")
+    assert(rows.head.getInt(0) == 42)
+  }
+
+  test("sessions are isolated per token (temp views don't leak)") {
+    val token2 = engine.handshake("admin", "password").toOption.get
+    engine.executeUpdate(token,
+      "CREATE OR REPLACE TEMPORARY VIEW leak_probe AS SELECT 1 AS v")
+    val failed = scala.util.Try(
+      engine.executeQuery(token2, "SELECT * FROM leak_probe")).isFailure
+    assert(failed)
+    engine.closeSession(token2)
+  }
+
+  test("information_schema.tables is queryable via SQL (lib.rs:92)") {
+    engine.executeUpdate(token,
+      "CREATE OR REPLACE TEMPORARY VIEW info_probe AS SELECT 1 AS v")
+    val (_, rows) = engine.executeQuery(token,
+      "SELECT table_name FROM information_schema.tables " +
+        "WHERE table_name = 'info_probe'")
+    assert(rows.length == 1)
+  }
+
+  test("information_schema.columns and df_settings") {
+    val (_, cols) = engine.executeQuery(token,
+      "SELECT column_name, data_type FROM information_schema.columns " +
+        "WHERE table_name = 'info_probe' ORDER BY ordinal_position")
+    assert(cols.head.getString(0) == "v" && cols.head.getString(1) == "int")
+    val (_, conf) = engine.executeQuery(token,
+      "SELECT value FROM information_schema.df_settings " +
+        "WHERE name = 'spark.sql.session.timeZone'")
+    assert(conf.head.getString(0) == "UTC")
+  }
+
+  test("unknown statement handle raises") {
+    assert(scala.util.Try(engine.execute("nope")).isFailure)
+  }
+}

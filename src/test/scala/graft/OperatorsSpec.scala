@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),   // near-dup of 1
+    (3L, "completely different content about spark engines", "en"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en"),   // exact dup of 1
+    (5L, "der schnelle braune fuchs und die katze", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactDedup groups identical texts and keeps the min id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)   // 1&4 merge
+    val merged = out.find(_.getAs[Long]("keep_id") == 1L).get
+    assert(merged.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngramJaccardPairs finds the near-dup and the exact dup only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+      .orderBy("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhashLshPairs agrees with the exact answer on this corpus") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("simhashPairs finds exact dup at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 2L))  // identical first
+  }
+
+  test("lshBuckets puts identical vectors in the same bucket") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(0.5f)),
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", 8, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L))
+  }
+
+  test("text stats formulas") {
+    val out = TextAnalysis.stats(docs.filter($"doc_id" === 1), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Int]("n_tokens") == 9)
+    assert(out.getAs[String]("lang_guess") == "en")
+    assert(out.getAs[Double]("distinct_ratio") === 8.0 / 9)
+  }
+
+  test("fingerprint is order- and duplication-insensitive") {
+    val fps = Seq((1L, "b a c"), (2L, "c b a a"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
