@@ -18,7 +18,8 @@ object SparkEntry {
     probes.SetOpsSorts.probes ++
     probes.Constructs.probes ++
     probes.ScalarFunctions.probes ++
-    probes.Pipeline.probes
+    probes.Pipeline.probes ++
+    probes.StreamingWindows.probes
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata (builder-prompt extension surface).
+  *
+  * The Spark-side shape is real and tested — schema, partition-parallel
+  * `mapPartitions` decode, frame sampling as a generator — while the
+  * codec step itself is a clearly-marked deterministic STUB (the
+  * container ships no image/audio libraries; in production the body of
+  * [[MultimodalOps.decodeStub]] is replaced by an actual decoder, and the
+  * surrounding plumbing — batching per partition, no driver collection,
+  * fixed-width feature vectors — is exactly what would run at 100 TB).
+  */
+object Multimodal {
+
+  final case class MediaItem(
+      media_id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int, duration_ms: Long)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      feature: Array[Float])
+
+  val Kinds = Seq("image", "audio", "video")
+
+  /** Build a deterministic media table from `documents` (text bytes stand
+    * in for the binary payload; metadata derived from doc stats). */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(typedLit(Kinds), (col("doc_id") % 3 + 1).cast("int"))
+          .as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        (col("n_chars") % 1920 + 1).cast("int").as("width"),
+        (col("n_chars") % 1080 + 1).cast("int").as("height"),
+        (col("n_chars") * 40).as("duration_ms"))
+      .as[MediaItem]
+  }
+
+  /** STUB decode: deterministic 8-dim "feature vector" from the payload
+    * bytes. Replace with a real codec in production — the signature and
+    * the partition-parallel execution are the contract. */
+  private def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % 8) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Partition-parallel feature extraction. Runs on executors; nothing is
+    * collected to the driver. */
+  def extractFeatures(media: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      MediaFeatures(m.media_id, m.kind, m.content.length,
+        decodeStub(m.content))
+    })
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * offset (every `everyMs` milliseconds of duration). */
+  def sampleFrames(media: Dataset[MediaItem], everyMs: Long): DataFrame =
+    media.toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)),
+          lit(everyMs))).as("frame_offset_ms"))
+}

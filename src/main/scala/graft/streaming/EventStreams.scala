@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table — the extension surface
+  * reserved in SURVEY §2.11/§7-M6 (the reference is strictly batch; its
+  * SymmetricHashJoinExec is unreachable without unbounded sources).
+  *
+  * Every transform here is written against a plain `DataFrame`, so the
+  * SAME code path serves batch (`spark.read`) and Structured Streaming
+  * (`spark.readStream` + watermark): Spark's `window`/`session_window`
+  * operators are batch/stream agnostic. The streaming wrapper only adds
+  * the watermark — which is exactly how a 100 TB backfill + live tail
+  * share one implementation.
+  */
+object EventStreams {
+
+  /** Tumbling event-time windows: count + sum per (window, event_type). */
+  def tumblingAgg(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_v"))
+
+  /** Sliding windows (width > slide ⇒ each event lands in width/slide
+    * windows). */
+  def slidingAgg(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start").as("win_start"), col("n"), col("sum_v"))
+
+  /** Session windows per user: a session extends while consecutive events
+    * are < gap apart (Spark semantics: intervals [ts, ts+gap) merge on
+    * overlap). */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("user_id"), col("w.start").as("win_start"),
+        col("n"), col("sum_v"))
+
+  /** Streaming variant of [[tumblingAgg]]: watermarked event-time
+    * aggregation, append-mode compatible (finalized windows only). */
+  def tumblingAggStream(events: DataFrame, width: String,
+      watermark: String): DataFrame =
+    tumblingAggInner(events.withWatermark("ts", watermark), width)
+
+  private def tumblingAggInner(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_v"))
+}

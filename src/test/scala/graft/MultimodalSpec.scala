@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val media = Multimodal.mediaFromDocuments(
+    Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+
+  test("media table covers all kinds with opaque binary payloads") {
+    val kinds = media.toDF().groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    assert(kinds.values.sum == 500)
+  }
+
+  test("feature extraction is partition-parallel and deterministic") {
+    val a = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    val b = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(a == b)
+    assert(a.values.forall(_.length == 8))
+  }
+
+  test("n_bytes matches payload length") {
+    val f = Multimodal.extractFeatures(media).filter(_.media_id == 3L)
+      .collect().head
+    val m = media.filter(_.media_id == 3L).collect().head
+    assert(f.n_bytes == m.content.length)
+  }
+
+  test("frame sampling yields ceil(duration/step) frames for videos") {
+    val frames = Multimodal.sampleFrames(media, 5000)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val durations = media.filter(_.kind == "video").collect()
+      .map(m => m.media_id -> m.duration_ms).toMap
+    assert(frames.keySet == durations.keySet)
+    durations.foreach { case (id, d) =>
+      assert(frames(id) == (d - 1) / 5000 + 1, s"media $id duration $d")
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Structured-Streaming behavior of the shared window transforms:
+  * watermarked tumbling aggregation over a file stream must finalize
+  * exactly the windows the batch path computes on the same data. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling agg (append + watermark) matches batch") {
+    val dir = Files.createTempDirectory("graft_stream").toFile
+    val out = s"graft_stream_out_${System.nanoTime()}"
+
+    val batch1 = Seq(
+      (ts("2024-01-01 00:05:00"), "click", 1.0),
+      (ts("2024-01-01 00:07:00"), "click", 2.0),
+      (ts("2024-01-01 00:12:00"), "view", 3.0),
+      (ts("2024-01-01 00:25:00"), "view", 4.0)
+    ).toDF("ts", "event_type", "value")
+    batch1.coalesce(1).write.parquet(s"$dir/b1")
+
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val query = EventStreams
+      .tumblingAggStream(stream, "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    query.processAllAvailable()
+
+    // second batch advances the watermark past the first batch's windows
+    Seq((ts("2024-01-01 02:00:00"), "click", 9.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b2")
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table(out)
+      .select("win_start", "event_type", "n", "sum_v")
+      .collect().map(_.toSeq).toSet
+    val expected = EventStreams.tumblingAgg(batch1, "10 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+  }
+
+  test("session windows merge overlapping gap intervals (batch semantics)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:04:00"), 1.0),   // < 5m gap: same session
+      (1L, ts("2024-01-01 00:08:30"), 1.0),   // still chained (4.5m < gap)
+      (1L, ts("2024-01-01 01:00:00"), 1.0),   // new session
+      (2L, ts("2024-01-01 00:00:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventStreams.sessionAgg(events, "5 minutes")
+      .orderBy("user_id", "win_start").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (1L, 1L), (2L, 1L)))
+  }
+}
