@@ -21,6 +21,38 @@ import graft.functions.DateBin
 object DFCompat {
   private val marker = "graft_compat_installed"
 
+  /** chrono/strftime % codes → java.time pattern letters (the subset a
+    * DataFusion `to_char` user actually hits). */
+  private[graft] def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'f' => sb.append("SSSSSS")
+          case 'j' => sb.append("DDD")
+          case 'e' => sb.append("d")
+          case 'a' => sb.append("EEE")
+          case 'A' => sb.append("EEEE")
+          case 'b' => sb.append("MMM")
+          case 'B' => sb.append("MMMM")
+          case '%' => sb.append('%')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def install(spark: SparkSession): Unit = synchronized {
     if (Internals.functionExists(spark, marker)) return
 
@@ -58,6 +90,12 @@ object DFCompat {
     reg("iszero") { case Seq(e) =>
       EqualTo(Cast(e, DoubleType), Literal(0.0d))
     }
+    reg("gcd") { case Seq(a, b) =>
+      graft.functions.Gcd(Cast(a, LongType), Cast(b, LongType))
+    }
+    reg("lcm") { case Seq(a, b) =>
+      graft.functions.Lcm(Cast(a, LongType), Cast(b, LongType))
+    }
 
     // --- array (DF datafusion-functions-array names Spark lacks) ---
     // array_has_all(a, b): every element of b present in a.
@@ -73,6 +111,44 @@ object DFCompat {
     reg("array_length") { case Seq(a) => Size(a) }
     reg("empty") { case Seq(a) => EqualTo(Size(a), Literal(0)) }
     reg("array_empty") { case Seq(a) => EqualTo(Size(a), Literal(0)) }
+
+    // regexp_match: DataFusion returns the first match as a list (the
+    // whole match when the pattern has no capture group). NULL when no
+    // match — never an empty list.
+    reg("regexp_match") { case Seq(s, p) =>
+      If(RLike(s, p),
+        CreateArray(Seq(RegExpExtract(s, p, Literal(0)))),
+        Literal.create(null, ArrayType(StringType)))
+    }
+
+    // to_char(ts, fmt): DataFusion/chrono strftime %-codes → Spark's
+    // java.time letters (literal formats only — the common case; a
+    // non-literal format falls back to the pattern unchanged).
+    reg("to_char") { case Seq(ts, fmt) =>
+      val translated = fmt match {
+        case Literal(v, StringType) if v != null =>
+          Literal(strftimeToJava(v.toString))
+        case other => other
+      }
+      DateFormatClass(ts, translated)
+    }
+    reg("to_unixtime") { case Seq(e) =>
+      Multiply(Cast(UnixMicros(Cast(e, TimestampType)), DoubleType), Literal(1e-6))
+    }
+
+    // array shims DataFusion has and Spark lacks
+    reg("array_prepend") { case Seq(e, a) => Concat(Seq(CreateArray(Seq(e)), a)) }
+    reg("array_push_front") { case Seq(a, e) => Concat(Seq(CreateArray(Seq(e)), a)) }
+    reg("array_push_back") { case Seq(a, e) => Concat(Seq(a, CreateArray(Seq(e)))) }
+    reg("array_concat") { case args => Concat(args) }
+    reg("array_ndims")(_ => Literal(1))
+    reg("array_dims") { case Seq(a) => CreateArray(Seq(Size(a))) }
+    reg("array_pop_back") { case Seq(a) =>
+      Slice(a, Literal(1), Greatest(Seq(Subtract(Size(a), Literal(1)), Literal(0))))
+    }
+    reg("array_pop_front") { case Seq(a) =>
+      Slice(a, Literal(2), Greatest(Seq(Subtract(Size(a), Literal(1)), Literal(0))))
+    }
 
     reg(marker)(_ => Literal(true))
   }

@@ -18,6 +18,7 @@ object SparkEntry {
     probes.SetOpsSorts.probes ++
     probes.Constructs.probes ++
     probes.ScalarFunctions.probes ++
+    probes.ScalarFunctions2.probes ++
     probes.Pipeline.probes ++
     probes.StreamingWindows.probes
 
