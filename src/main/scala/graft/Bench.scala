@@ -33,7 +33,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.benchNames.filter(qs.contains)
+    // SPARK_GRAFT_BENCH_QUERIES=a,b,c narrows the set (diagnosis runs);
+    // SPARK_GRAFT_BENCH_EXPLAIN=1 prints the formatted plan per query.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq.filter(qs.contains))
+      .getOrElse(SparkEntry.benchNames.filter(qs.contains))
+    if (sys.env.contains("SPARK_GRAFT_BENCH_EXPLAIN"))
+      names.foreach { n =>
+        System.err.println(s"===== $n ====="); qs(n)(spark, sfDir).explain("formatted")
+      }
     names.foreach { n => try runOnce(n) catch { case _: Throwable => } } // warmup
     val results = names.map { n =>
       n -> (try runOnce(n) catch { case _: Throwable => -1.0 })

@@ -38,26 +38,28 @@ object Dedup {
     * silent wraparound would instead throw ARITHMETIC_OVERFLOW). */
   val HashPrime = 2147483647L
 
-  private def perms(numPerms: Int): (Seq[Long], Seq[Long]) = {
-    val rnd = new scala.util.Random(42)
-    val as = Seq.fill(numPerms)(1L + rnd.nextInt(Int.MaxValue - 2).toLong)
-    val bs = Seq.fill(numPerms)(rnd.nextInt(Int.MaxValue - 1).toLong)
-    (as, bs)
-  }
+  /** xxhash64 per shingle, reduced below the overflow-safe prime. Keep
+    * this in its OWN projection (separated from [[minhashSigFromHashes]]
+    * by an exchange) — inlined into the per-permutation lambda it would
+    * re-hash every shingle string numPerms× per document. */
+  def hashShingles(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(HashPrime)))
 
-  /** MinHash signature: for each of `numPerms` affine permutations
-    * (a*h + b) mod P over xxhash64 shingle hashes, the minimum value. */
-  def minhashSig(sh: Column, numPerms: Int): Column = {
-    val (as, bs) = perms(numPerms)
-    val aCol = typedLit(as)
-    val bCol = typedLit(bs)
-    transform(sequence(lit(0), lit(numPerms - 1)), p =>
-      array_min(transform(sh, s =>
-        pmod(
-          element_at(aCol, p + lit(1)) * pmod(xxhash64(s), lit(HashPrime)) +
-            element_at(bCol, p + lit(1)),
-          lit(HashPrime)))))
-  }
+  /** MinHash signature from pre-hashed shingles: for each of `numPerms`
+    * affine permutations (a*h + b) mod P, the minimum value — computed by
+    * the codegen'd [[graft.functions.MinHashSignature]] kernel (one tight
+    * loop per row; the equivalent higher-order-function formulation runs
+    * interpreted and measured ~100× slower at sf0.1). */
+  def minhashSigFromHashes(hs: Column, numPerms: Int): Column =
+    org.apache.spark.sql.graftaccess.Internals.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.graftaccess.Internals.expression(hs),
+        numPerms, HashPrime))
+
+  /** Convenience composition (single-projection; fine for small inputs,
+    * prefer the hash/sig split with a barrier for large corpora). */
+  def minhashSig(sh: Column, numPerms: Int): Column =
+    minhashSigFromHashes(hashShingles(sh), numPerms)
 
   /** Exact dedup: group identical (lower-cased) texts by MD5 fingerprint;
     * representative = min id. Shuffles only (fp, id) pairs. */
@@ -92,9 +94,19 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
+    // The repartition between shingle-hashing and signature computation is
+    // load-bearing twice over: (1) it spreads the O(perms × shingles)
+    // signature work across all cores even when the corpus arrives as a
+    // handful of parquet files, and (2) it is an optimizer barrier that
+    // stops CollapseProject from inlining the `hs` projection into the
+    // per-permutation lambda (which would re-hash every shingle string
+    // numPerms× per document — a silent 100× slowdown at scale).
     val base = df.select(col(idCol).as("id"),
         shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSig(col("sh"), numPerms))
+      .withColumn("hs", hashShingles(col("sh")))
+      .repartition(col("id"))
+      .withColumn("sig", minhashSigFromHashes(col("hs"), numPerms))
+      .drop("hs")
 
     val banded = base.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -122,14 +134,18 @@ object Dedup {
 
   private val pow2_16: Seq[Long] = (0 until 16).map(1L << _)
 
-  /** Per-document 64-dim SimHash sign vector: sum over words of ±1 per bit
-    * of xxhash64(word). Positive component ⇒ bit set. */
+  /** Per-document 64-dim SimHash sign vector from pre-hashed words: sum of
+    * ±1 per bit of each word hash. Positive component ⇒ bit set. The word
+    * hashes must arrive as a separate column (same inlining hazard as
+    * [[hashShingles]]: a raw `xxhash64(w)` here would be re-evaluated for
+    * each of the 64 bits). */
+  def simhashVectorFromHashes(hashes: Column): Column =
+    org.apache.spark.sql.graftaccess.Internals.column(
+      graft.functions.SimHashVector(
+        org.apache.spark.sql.graftaccess.Internals.expression(hashes)))
+
   def simhashVector(text: Column): Column =
-    aggregate(words(text), typedLit(Seq.fill(64)(0L)), (acc, w) =>
-      zip_with(acc,
-        transform(sequence(lit(0), lit(63)), i =>
-          call_function("getbit", xxhash64(w), i).cast("long") * 2 - 1),
-        (a, b) => a + b))
+    simhashVectorFromHashes(transform(words(text), w => xxhash64(w)))
 
   /** SimHash near-dup pairs: 4×16-bit band keys (two docs within Hamming
     * distance 3 must agree on ≥1 band) → bucket join → exact Hamming
@@ -139,7 +155,9 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val p2 = typedLit(pow2_16)
     val base = df.select(col(idCol).as("id"),
-      simhashVector(col(textCol)).as("sv"))
+        transform(words(col(textCol)), w => xxhash64(w)).as("hw"))
+      .repartition(col("id"))  // barrier + parallelism, as in minhash
+      .select(col("id"), simhashVectorFromHashes(col("hw")).as("sv"))
     val withBands = base.withColumn("bands",
       transform(sequence(lit(0), lit(3)), b =>
         aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>

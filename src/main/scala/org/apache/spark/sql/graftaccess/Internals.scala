@@ -26,4 +26,12 @@ object Internals {
   def functionExists(spark: SparkSession, name: String): Boolean =
     spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
       .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+
+  /** Wrap a raw Catalyst Expression as a user-facing Column (Spark 4 has
+    * no public constructor for this). */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
