@@ -9,15 +9,22 @@ import graft.Tables
   * src/main.rs:41-100): handshake → prepare → execute → fetch, printing
   * rows. Usage:
   *
-  *   EngineMain <sfDir> "<sql>" [param ...]
+  *   EngineMain <sfDir> "<sql>" ["<sql>" ...]
   *
-  * Auth comes from FLIGHT_USER/FLIGHT_PASSWORD (default admin/password),
-  * exactly like the reference's env-driven config (README.md:5-19).
+  * Each argument is one statement run in the same session (DDL/DML
+  * flows); the LAST statement's result is printed. GRAFT_PARAMS=a,b binds
+  * positional string parameters to the last statement. Auth comes from
+  * FLIGHT_USER/FLIGHT_PASSWORD (default admin/password), exactly like the
+  * reference's env-driven config (README.md:5-19).
   */
 object EngineMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: EngineMain <sfDir> <sql> [param ...]")
-    val (sfDir, sql, params) = (args(0), args(1), args.drop(2).toSeq)
+    require(args.length >= 2, "usage: EngineMain <sfDir> <sql> [<sql> ...]")
+    val sfDir = args(0)
+    val stmts = args.drop(1).toSeq
+    val sql = stmts.last
+    val params = sys.env.get("GRAFT_PARAMS")
+      .map(_.split(",").toSeq).getOrElse(Nil)
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -37,6 +44,8 @@ object EngineMain {
     }
 
     Tables.register(engine.session(token), sfDir)
+
+    stmts.init.foreach { s => engine.executeUpdate(token, s) }
 
     val (handle, schema) = engine.prepare(token, sql)
     if (params.nonEmpty) engine.bind(handle, params)
