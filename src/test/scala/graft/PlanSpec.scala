@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale (pushdown, pruning, broadcast dims, top-k fusion,
+  * two-phase aggregation, codegen'd custom expressions) must survive
+  * future edits — a probe can stay correct while silently losing its
+  * plan shape, and at 100 TB the plan IS the behavior.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    Tables.register(s, "/root/testdata/sf0.001")
+    s
+  }
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("star join broadcasts every dimension (no fact shuffle before agg)") {
+    val p = planOf("q_join_star")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast at this size")
+    assert(p.contains("PushedFilters"))
+  }
+
+  test("filters reach the parquet scan") {
+    val p = spark.sql(
+      "SELECT l_orderkey FROM lineitem WHERE l_quantity > 30 AND l_shipdate > TIMESTAMP '1995-01-01'"
+    ).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity,30.0)"),
+      p.take(1200))
+  }
+
+  test("projection prunes the parquet read schema") {
+    val p = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem")
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan must not read unprojected columns: $readSchema")
+  }
+
+  test("ORDER BY + LIMIT fuses into TakeOrderedAndProject") {
+    assert(planOf("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation runs partial then final (map-side combine)") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "expected partial aggregation before the shuffle")
+  }
+
+  test("date_bin stays inside whole-stage codegen") {
+    // AQE wraps the plan pre-execution; disable it so codegen stages show
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q_date_bin")
+      assert(p.contains("date_bin"))
+      // codegen'd stages print as "*(n) Operator" in plan toString
+      assert(p.contains("*("), p.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("EXISTS rewrites to a semi join, NOT EXISTS to anti") {
+    assert(planOf("q_join_semi").contains("LeftSemi"))
+    assert(planOf("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("minhash pipeline shuffles band keys, not documents, for candidates") {
+    val p = planOf("q_dedup_minhash")
+    assert(p.contains("minhash_signature"), "kernel expression must be in the plan")
+  }
+}
