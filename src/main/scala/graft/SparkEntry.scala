@@ -20,7 +20,8 @@ object SparkEntry {
     probes.ScalarFunctions.probes ++
     probes.ScalarFunctions2.probes ++
     probes.Pipeline.probes ++
-    probes.StreamingWindows.probes
+    probes.StreamingWindows.probes ++
+    probes.SourcesSinks.probes
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

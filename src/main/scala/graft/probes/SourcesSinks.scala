@@ -1,0 +1,151 @@
+package graft.probes
+
+import java.nio.file.Files
+
+import graft.{Probe, Tables}
+import graft.engine.InfoSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.2 (sources/sinks beyond parquet) + §2.10 leftovers:
+  * CSV/JSON external-table round-trips, COPY TO (df.write), in-memory
+  * tables (createDataFrame = DataFusion MemTable), PIVOT, DISTINCT ON,
+  * UNION BY NAME, EXPLAIN, SET, information_schema.
+  *
+  * Round-trip probes write under java.io.tmpdir and read back through the
+  * other format's reader — the aggregate over the round-tripped data must
+  * equal the oracle computed straight from the parquet source.
+  */
+object SourcesSinks {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val probes: Seq[Probe] = Seq(
+
+    // CSV sink + CSV scan (integer/string columns only: CSV is not a
+    // lossless double format)
+    Probe.df("q_csv_roundtrip",
+      """SELECT l_returnflag, count(*) AS n, CAST(sum(l_linenumber) AS BIGINT) AS s
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_csv")
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema(StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_linenumber", IntegerType),
+          StructField("l_returnflag", StringType))))
+        .csv(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_linenumber").as("s"))
+        .orderBy("l_returnflag")
+    },
+
+    // JSON lines sink + scan
+    Probe.df("q_json_roundtrip",
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_json")
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").json(out)
+      s.read.schema(StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_mktsegment", StringType))))
+        .json(out)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // COPY TO semantics: export query → parquet files → scan back
+    Probe.df("q_copy_to",
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > 150000") { (s, dir) =>
+      val out = tmp("graft_copy")
+      Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).agg(count(lit(1)).as("n"))
+    },
+
+    // in-memory table (DataFusion MemTable / VALUES equivalence)
+    Probe.df("q_memtable",
+      """SELECT k, v FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) t(k, v)
+        |ORDER BY k""".stripMargin) { (s, _) =>
+      import s.implicits._
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma")).toDF("k", "v").orderBy("k")
+    },
+
+    // PIVOT (Spark native syntax; oracle via portable CASE aggregation)
+    Probe.sql2("q_pivot",
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+        |) PIVOT (
+        |  sum(l_quantity) FOR l_linestatus IN ('F' AS f_qty, 'O' AS o_qty)
+        |)
+        |ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_qty,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // DISTINCT ON — Spark spells it as the row_number()=1 idiom
+    Probe.sql2("q_distinct_on",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+
+    // UNION by column name (schema-aligned union)
+    Probe.df("q_union_byname",
+      """SELECT k, count(*) AS cnt FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS k FROM supplier
+        |) GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      val a = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").as("k"), lit(1).as("tag"))
+      val b = Tables.load(s, dir, "supplier")
+        .select(lit(2).as("tag"), col("s_nationkey").as("k"))  // reversed order
+      a.unionByName(b).groupBy("k").agg(count(lit(1)).as("cnt")).orderBy("k")
+        .select("k", "cnt")
+    },
+
+    // EXPLAIN is queryable (plan text engine-specific → rows-only check)
+    Probe.noOracle("q_explain") { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("EXPLAIN SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1")
+    },
+
+    // SET statement round-trip (lib.rs:651-653 acknowledges SET)
+    Probe.noOracle("q_set_conf") { (s, dir) =>
+      s.sql("SET spark.graft.probe.flag=on")
+      s.sql("SET spark.graft.probe.flag")
+    },
+
+    // information_schema introspection (lib.rs:92) — rows-only: catalog
+    // contents are engine-specific
+    Probe.noOracle("q_information_schema") { (s, dir) =>
+      Tables.register(s, dir)
+      InfoSchema.refresh(s)
+      s.sql(InfoSchema.rewrite(
+        """SELECT table_name FROM information_schema.tables
+          |WHERE table_name IN ('region','nation','customer','supplier',
+          |  'part','orders','lineitem','events','documents','embeddings')
+          |ORDER BY table_name""".stripMargin))
+    }
+  )
+}
