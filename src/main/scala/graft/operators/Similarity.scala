@@ -46,6 +46,20 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine >= threshold. Quadratic baseline — at scale, pre-filter
+    * candidates with [[lshBuckets]] equality (appropriate for thresholds
+    * near 1.0, where sign-LSH recall is high) before the exact check. */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    t.alias("a").join(t.alias("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), shared with the
     * SQL-oracle generator so both engines bucket identically. */
   def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {

@@ -140,6 +140,21 @@ object Pipeline {
         .orderBy("qid", "rnk")
     },
 
+    Probe.df("q_dedup_cosine",
+      """WITH scored AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT ida, idb, cos FROM scored
+        |WHERE cos >= 0.5
+        |ORDER BY ida, idb""".stripMargin) { (s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", 0.5)
+        .orderBy("ida", "idb")
+    },
+
     Probe.df("q_ann_lsh",
       Similarity.lshBucketsOracleSql(8, 64, "embeddings")) { (s, dir) =>
       Similarity.lshBuckets(Tables.load(s, dir, "embeddings"),

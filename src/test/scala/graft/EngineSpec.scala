@@ -87,4 +87,17 @@ class EngineSpec extends AnyFunSuite {
   test("unknown statement handle raises") {
     assert(scala.util.Try(engine.execute("nope")).isFailure)
   }
+
+  test("per-session scalar UDF registration (§2.12 surface)") {
+    engine.session(token).udf.register("plus_one", (x: Int) => x + 1)
+    val (_, rows) = engine.executeQuery(token, "SELECT plus_one(41) AS v")
+    assert(rows.head.getInt(0) == 42)
+  }
+
+  test("env-backed current_schema/current_database shims (lib.rs:106-128)") {
+    val (_, rows) = engine.executeQuery(token,
+      "SELECT current_schema() AS cs, current_database() AS cd")
+    assert(rows.head.getString(0) == sys.env.getOrElse("CURRENT_SCHEMA", "public"))
+    assert(rows.head.getString(1) == sys.env.getOrElse("CURRENT_DATABASE", "datafusion"))
+  }
 }
