@@ -19,6 +19,7 @@ object SparkEntry {
     probes.Constructs.probes ++
     probes.ScalarFunctions.probes ++
     probes.ScalarFunctions2.probes ++
+    probes.ScalarFunctions3.probes ++
     probes.Pipeline.probes ++
     probes.StreamingWindows.probes ++
     probes.SourcesSinks.probes

@@ -54,4 +54,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("sum_v"))
+
+  /** Custom-state streaming: running per-user (count, sum) maintained in
+    * `GroupState` across micro-batches — the `mapGroupsWithState` pattern
+    * for state the built-in windowed aggregations can't express. Emits the
+    * updated totals for every user seen in the batch (use with
+    * OutputMode.Update). */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          (uid, n, s)
+      }
+      .toDF("user_id", "n", "sum_v")
+  }
 }

@@ -53,6 +53,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    val dir = Files.createTempDirectory("graft_state").toFile
+    val out = s"graft_state_out_${System.nanoTime()}"
+
+    val schema = Seq((1L, 1.0)).toDF("user_id", "value").schema
+    Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)).toDF("user_id", "value")
+      .coalesce(1).write.parquet(s"$dir/b1")
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val query = graft.streaming.EventStreams.statefulUserTotals(stream)
+      .writeStream.format("memory").queryName(out)
+      .outputMode("update").start()
+    query.processAllAvailable()
+
+    Seq((1L, 4.0)).toDF("user_id", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b2")
+    query.processAllAvailable()
+    query.stop()
+
+    // last update per user must reflect totals across both batches
+    val latest = spark.table(out).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+    assert(latest(1L) == ((3L, 7.0)))
+    assert(latest(2L) == ((1L, 5.0)))
+  }
+
   test("session windows merge overlapping gap intervals (batch semantics)") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0),
