@@ -77,17 +77,40 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(sort_array(array_distinct(words(text))), " "))
 
-  /** One-stop stats projection used by the probe suite. */
+  /** One-stop stats projection used by the probe suite.
+    *
+    * Tokenization happens ONCE into a `ws` column and every metric reads
+    * it: `ws` is referenced many times by non-cheap consumers, so
+    * CollapseProject keeps the producer projection separate — one split
+    * per document instead of one per metric. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.select(col(idCol),
-      tokenCount(t).as("n_tokens"),
-      avgWordLen(t).as("avg_word_len"),
-      distinctRatio(t).as("distinct_ratio"),
-      punctRatio(t).as("punct_ratio"),
-      stopwordRatio(t, EnglishStops).as("stop_ratio"),
-      qualityScore(t).as("quality"),
-      langId(t).as("lang_guess"),
-      fingerprint(t).as("fp"))
+    val ws = col("__ws")
+    def ratio(n: Column): Column =
+      n.cast("double") / greatest(size(ws), lit(1))
+    def stopRatio(stops: Seq[String]): Column =
+      ratio(size(filter(ws, w => w.isInCollection(stops))))
+    val lenScore = least(size(ws).cast("double") / 100.0, lit(1.0))
+    val divScore = ratio(size(array_distinct(ws)))
+    val t2 = col("__t")
+    val punct = length(regexp_replace(t2, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(t2), lit(1))
+    val scores = LangStops.map { case (lang, stops) => lang -> stopRatio(stops) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = scores.foldRight(lit("und"): Column) { case ((l, sc), els) =>
+      when(sc > 0 && sc === best, lit(l)).otherwise(els)
+    }
+    df.select(col(idCol), t.as("__t"), words(t).as("__ws"))
+      .select(col(idCol),
+        size(ws).as("n_tokens"),
+        ratio(aggregate(ws, lit(0L), (acc, w) => acc + length(w)))
+          .as("avg_word_len"),
+        divScore.as("distinct_ratio"),
+        punct.as("punct_ratio"),
+        stopRatio(EnglishStops).as("stop_ratio"),
+        least(greatest((lenScore + divScore) / 2.0 -
+          least(punct * 5.0, lit(1.0)), lit(0.0)), lit(1.0)).as("quality"),
+        lang.as("lang_guess"),
+        md5(array_join(sort_array(array_distinct(ws)), " ")).as("fp"))
   }
 }
