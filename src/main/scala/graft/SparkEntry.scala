@@ -22,7 +22,8 @@ object SparkEntry {
     probes.ScalarFunctions3.probes ++
     probes.Pipeline.probes ++
     probes.StreamingWindows.probes ++
-    probes.SourcesSinks.probes
+    probes.SourcesSinks.probes ++
+    probes.Headline.probes
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -43,5 +44,6 @@ object SparkEntry {
   def benchNames: Seq[String] = Seq(
     "q1_agg", "q_join_star", "q_win_rank", "q_agg_distinct",
     "q_grouping_sets", "q_corr_scalar_subquery", "q_topk", "q_date_bin",
-    "q_dedup_minhash", "q_ann_topk", "q_text_stats")
+    "q_dedup_minhash", "q_ann_topk", "q_text_stats",
+    "q_tpch_q3", "q_tpch_q18")
 }

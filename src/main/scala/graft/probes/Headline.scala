@@ -1,0 +1,59 @@
+package graft.probes
+
+import graft.{Probe, Tables}
+import graft.operators.Stats
+
+/** TPC-H-shaped multi-join headline queries (bench anchors) + the
+  * weighted-percentile operator probe. */
+object Headline {
+  val probes: Seq[Probe] = Seq(
+
+    // Q3 shape: selective dim filter + 3-way join + agg (date literals
+    // adapted to the synthetic data's ranges)
+    Probe.sql("q_tpch_q3",
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1996-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY l_orderkey""".stripMargin),
+
+    // Q18 shape: semi-join against a HAVING aggregate, then re-aggregate
+    Probe.sql("q_tpch_q18",
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // exact weighted percentile (covers approx_percentile_cont_with_weight
+    // with exact semantics — SURVEY §2.9 ⚠)
+    Probe.df("q_weighted_percentile",
+      """WITH w AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem)
+        |SELECT l_returnflag, min(l_extendedprice) AS wp
+        |FROM w WHERE cw >= 0.5 * tw
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Stats.exactWeightedPercentile(
+          Tables.load(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity", 0.5,
+          tieBreak = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

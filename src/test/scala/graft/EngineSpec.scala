@@ -88,6 +88,16 @@ class EngineSpec extends AnyFunSuite {
     assert(scala.util.Try(engine.execute("nope")).isFailure)
   }
 
+  test("empty results still carry their schema (lib.rs:282-286)") {
+    val (_, rows) = engine.executeQuery(token,
+      "SELECT id AS a, 'x' AS b FROM range(10) WHERE id < 0")
+    assert(rows.isEmpty)
+    val (h, schema) = engine.prepare(token,
+      "SELECT id AS a, 'x' AS b FROM range(10) WHERE id < 0")
+    assert(schema.fieldNames.toSeq == Seq("a", "b"))
+    engine.closeStatement(h)
+  }
+
   test("per-session scalar UDF registration (§2.12 surface)") {
     engine.session(token).udf.register("plus_one", (x: Int) => x + 1)
     val (_, rows) = engine.executeQuery(token, "SELECT plus_one(41) AS v")

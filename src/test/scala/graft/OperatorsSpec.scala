@@ -77,6 +77,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("distinct_ratio") === 8.0 / 9)
   }
 
+  test("salted skew join equals the plain equi-join") {
+    import graft.operators.SkewJoin
+    val large = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val small = Tables.load(spark, "/root/testdata/sf0.001", "supplier")
+      .select($"s_suppkey".as("l_suppkey"), $"s_name")
+    val plain = large.join(small, "l_suppkey")
+      .agg(count(lit(1)), sum($"l_quantity")).collect().head
+    val salted = SkewJoin.saltedInnerJoin(large, small, "l_suppkey", 8)
+      .agg(count(lit(1)), sum($"l_quantity")).collect().head
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+  }
+
+  test("exact weighted percentile picks the cumulative-weight boundary") {
+    import graft.operators.Stats
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 8.0))
+      .toDF("grp", "v", "w")
+    val out = Stats.exactWeightedPercentile(df, "grp", "v", "w", 0.5,
+      tieBreak = Nil).collect().head
+    assert(out.getDouble(1) == 3.0)   // 50% of weight 10 lands in v=3
+  }
+
   test("fingerprint is order- and duplication-insensitive") {
     val fps = Seq((1L, "b a c"), (2L, "c b a a"), (3L, "a b d"))
       .toDF("doc_id", "text")
