@@ -101,12 +101,19 @@ object Dedup {
     // stops CollapseProject from inlining the `hs` projection into the
     // per-permutation lambda (which would re-hash every shingle string
     // numPerms× per document — a silent 100× slowdown at scale).
+    // Persisted because three downstream branches read it (band explode +
+    // both sides of the verification join) — without it, shingling and
+    // signatures recompute per branch. At cluster scale this is the
+    // "materialize the signature table" step of any production MinHash
+    // pipeline; MEMORY_AND_DISK keeps it safe when the corpus outgrows
+    // executor memory.
     val base = df.select(col(idCol).as("id"),
         shingles(col(textCol), n).as("sh"))
       .withColumn("hs", hashShingles(col("sh")))
       .repartition(col("id"))
       .withColumn("sig", minhashSigFromHashes(col("hs"), numPerms))
       .drop("hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = base.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -158,6 +165,7 @@ object Dedup {
         transform(words(col(textCol)), w => xxhash64(w)).as("hw"))
       .repartition(col("id"))  // barrier + parallelism, as in minhash
       .select(col("id"), simhashVectorFromHashes(col("hw")).as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = base.withColumn("bands",
       transform(sequence(lit(0), lit(3)), b =>
         aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
