@@ -53,11 +53,14 @@ object DFCompat {
     sb.toString
   }
 
-  def install(spark: SparkSession): Unit = synchronized {
-    if (Internals.functionExists(spark, marker)) return
-
+  /** All shims as (name, builder) — consumed by [[install]] (runtime
+    * registration on a live session) and by [[graft.GraftExtensions]]
+    * (config-time injection via SparkSessionExtensions). */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Expression] => Expression)]
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =
-      Internals.registerFunction(spark, name, b)
+      acc += ((name, b))
 
     // --- reference first-party UDFs (lib.rs:106-128) ---
     reg("current_schema")(_ =>
@@ -151,5 +154,11 @@ object DFCompat {
     }
 
     reg(marker)(_ => Literal(true))
+    acc.toSeq
+  }
+
+  def install(spark: SparkSession): Unit = synchronized {
+    if (Internals.functionExists(spark, marker)) return
+    builders.foreach { case (n, b) => Internals.registerFunction(spark, n, b) }
   }
 }

@@ -34,4 +34,14 @@ object Internals {
 
   def expression(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to a scratch
+    * registry and list them (test support — `registerFunctions` is
+    * private[sql]). */
+  def injectedFunctionNames(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
 }

@@ -88,6 +88,15 @@ class EngineSpec extends AnyFunSuite {
     assert(scala.util.Try(engine.execute("nope")).isFailure)
   }
 
+  test("GraftExtensions injects the full DFCompat surface at config time") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val names = org.apache.spark.sql.graftaccess.Internals
+      .injectedFunctionNames(ext)
+    assert(names.contains("date_bin") && names.contains("strpos") &&
+      names.contains("regexp_match") && names.size >= 30)
+  }
+
   test("empty results still carry their schema (lib.rs:282-286)") {
     val (_, rows) = engine.executeQuery(token,
       "SELECT id AS a, 'x' AS b FROM range(10) WHERE id < 0")
