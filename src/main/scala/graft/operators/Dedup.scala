@@ -94,25 +94,21 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    // The repartition between shingle-hashing and signature computation is
-    // load-bearing twice over: (1) it spreads the O(perms × shingles)
-    // signature work across all cores even when the corpus arrives as a
-    // handful of parquet files, and (2) it is an optimizer barrier that
-    // stops CollapseProject from inlining the `hs` projection into the
-    // per-permutation lambda (which would re-hash every shingle string
-    // numPerms× per document — a silent 100× slowdown at scale).
+    // Repartition FIRST (on the raw rows — cheap shuffle of ids+text):
+    // shingling, hashing and signatures then all run post-shuffle across
+    // every core even when the corpus arrives as one parquet file. The
+    // hash step can safely sit inside the kernel's child expression —
+    // unlike the old higher-order-function formulation, the kernel
+    // evaluates its child ONCE per row and loops internally, so no
+    // optimizer barrier is needed between hashing and signatures.
     // Persisted because three downstream branches read it (band explode +
-    // both sides of the verification join) — without it, shingling and
-    // signatures recompute per branch. At cluster scale this is the
-    // "materialize the signature table" step of any production MinHash
-    // pipeline; MEMORY_AND_DISK keeps it safe when the corpus outgrows
-    // executor memory.
-    val base = df.select(col(idCol).as("id"),
-        shingles(col(textCol), n).as("sh"))
-      .withColumn("hs", hashShingles(col("sh")))
+    // both sides of the verification join); at cluster scale this is the
+    // "materialize the signature table" step of a production MinHash
+    // pipeline, MEMORY_AND_DISK for corpora that outgrow memory.
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))
-      .withColumn("sig", minhashSigFromHashes(col("hs"), numPerms))
-      .drop("hs")
+      .select(col("id"), shingles(col("__text"), n).as("sh"))
+      .withColumn("sig", minhashSigFromHashes(hashShingles(col("sh")), numPerms))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = base.select(col("id"),
@@ -161,10 +157,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val p2 = typedLit(pow2_16)
-    val base = df.select(col(idCol).as("id"),
-        transform(words(col(textCol)), w => xxhash64(w)).as("hw"))
-      .repartition(col("id"))  // barrier + parallelism, as in minhash
-      .select(col("id"), simhashVectorFromHashes(col("hw")).as("sv"))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))  // parallelism first, as in minhash
+      .select(col("id"), simhashVectorFromHashes(
+        transform(words(col("__text")), w => xxhash64(w))).as("sv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = base.withColumn("bands",
       transform(sequence(lit(0), lit(3)), b =>
