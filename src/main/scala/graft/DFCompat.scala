@@ -153,6 +153,88 @@ object DFCompat {
       Slice(a, Literal(2), Greatest(Seq(Subtract(Size(a), Literal(1)), Literal(0))))
     }
 
+    // digest(x, algo) — dispatch to the concrete hash (literal algo only,
+    // matching DataFusion's usage)
+    reg("digest") { case Seq(e, Literal(algo, StringType)) =>
+      algo.toString.toLowerCase match {
+        case "md5" => Md5(Cast(e, BinaryType))
+        case "sha224" => Sha2(Cast(e, BinaryType), Literal(224))
+        case "sha256" => Sha2(Cast(e, BinaryType), Literal(256))
+        case "sha384" => Sha2(Cast(e, BinaryType), Literal(384))
+        case "sha512" => Sha2(Cast(e, BinaryType), Literal(512))
+        case "sha1" => Sha1(Cast(e, BinaryType))
+        case other => throw new IllegalArgumentException(
+          s"digest: unsupported algorithm '$other'")
+      }
+    }
+
+    // generate_series(start, stop[, step]) — inclusive list, like DF
+    reg("generate_series") {
+      case Seq(a, b) => new Sequence(a, b)
+      case Seq(a, b, s) => new Sequence(a, b, s)
+    }
+
+    // --- array mutation shims, built as raw lambda HOF trees (the
+    // Column/functions API can't be used inside registry builders: its
+    // ColumnNodeExpression wrappers never resolve there)
+    {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      def LV(parts: Seq[String]): UnresolvedNamedLambdaVariable =
+        UnresolvedNamedLambdaVariable(parts)
+      def lam(body: Expression, vs: UnresolvedNamedLambdaVariable*): LambdaFunction =
+        LambdaFunction(body, vs)
+      def field(e: Expression, name: String): Expression =
+        UnresolvedExtractValue(e, Literal(name))
+      def mkStruct(n: Expression, out: Expression): Expression =
+        CreateNamedStruct(Seq(Literal("n"), n, Literal("out"), out))
+
+      reg("array_replace_all") { case Seq(a, from, to) =>
+        val x = LV(Seq("__g_x"))
+        ArrayTransform(a, lam(If(EqualTo(x, from), to, x), x))
+      }
+      def replaceN(a: Expression, from: Expression, to: Expression,
+          n: Expression): Expression = {
+        val acc = LV(Seq("__g_acc"))
+        val x = LV(Seq("__g_x"))
+        val acc2 = LV(Seq("__g_acc2"))
+        val zero = mkStruct(Cast(n, IntegerType), Slice(a, Literal(1), Literal(0)))
+        val merge = lam(
+          If(And(EqualTo(x, from), GreaterThan(field(acc, "n"), Literal(0))),
+            mkStruct(Subtract(field(acc, "n"), Literal(1)),
+              Concat(Seq(field(acc, "out"), CreateArray(Seq(to))))),
+            mkStruct(field(acc, "n"),
+              Concat(Seq(field(acc, "out"), CreateArray(Seq(x)))))),
+          acc, x)
+        val finish = lam(field(acc2, "out"), acc2)
+        ArrayAggregate(a, zero, merge, finish)
+      }
+      reg("array_replace") { case Seq(a, from, to) =>
+        replaceN(a, from, to, Literal(1))
+      }
+      reg("array_replace_n") { case Seq(a, from, to, n) =>
+        replaceN(a, from, to, n)
+      }
+      reg("array_positions") { case Seq(a, e) =>
+        val i = LV(Seq("__g_i"))
+        val y = LV(Seq("__g_y"))
+        val positions = ArrayFilter(
+          ArrayTransform(
+            new Sequence(Literal(1), Size(a)),
+            lam(If(EqualTo(ElementAt(a, i), e), i,
+              Literal.create(null, IntegerType)), i)),
+          lam(IsNotNull(y), y))
+        // sequence(1, 0) would count DOWN; guard the empty-array case
+        If(EqualTo(Size(a), Literal(0)),
+          Literal.create(Array.empty[Int], ArrayType(IntegerType)), positions)
+      }
+      reg("array_resize") { case Seq(a, n, fill) =>
+        val cn = Cast(n, IntegerType)
+        If(LessThan(Size(a), cn),
+          Concat(Seq(a, ArrayRepeat(fill, Subtract(cn, Size(a))))),
+          Slice(a, Literal(1), cn))
+      }
+    }
+
     reg(marker)(_ => Literal(true))
     acc.toSeq
   }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the shims that have no DuckDB-oracle probe (hash
+  * algorithms DuckDB lacks, DataFusion-specific array mutations). */
+class DFCompatSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark; DFCompat.install(s); s }
+
+  private def one(sql: String): Any = spark.sql(sql).collect().head.get(0)
+
+  test("digest dispatches to the named algorithm") {
+    assert(one("SELECT digest('abc', 'md5')") ==
+      "900150983cd24fb0d6963f7d28e17f72")
+    assert(one("SELECT digest('abc', 'sha256')") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(one("SELECT digest('abc', 'sha512')").toString.length == 128)
+    assert(one("SELECT digest('abc', 'sha224')").toString.length == 56)
+    assert(scala.util.Try(one("SELECT digest('abc', 'blake3')")).isFailure)
+  }
+
+  test("sha2 family via sha2() covers 224/384/512") {
+    assert(one("SELECT sha2('abc', 384)").toString.length == 96)
+  }
+
+  test("generate_series is inclusive like DataFusion") {
+    assert(one("SELECT array_join(generate_series(1, 5), ',')") == "1,2,3,4,5")
+    assert(one("SELECT array_join(generate_series(0, 10, 5), ',')") == "0,5,10")
+  }
+
+  test("array_replace family: first / all / first-n") {
+    assert(one("SELECT array_join(array_replace(array(1,2,1,1), 1, 9), ',')") ==
+      "9,2,1,1")
+    assert(one("SELECT array_join(array_replace_all(array(1,2,1,1), 1, 9), ',')") ==
+      "9,2,9,9")
+    assert(one("SELECT array_join(array_replace_n(array(1,2,1,1), 1, 9, 2), ',')") ==
+      "9,2,9,1")
+  }
+
+  test("array_positions lists every match index") {
+    assert(one("SELECT array_join(array_positions(array('a','b','a'), 'a'), ',')") ==
+      "1,3")
+    assert(one("SELECT size(array_positions(array('a','b'), 'z'))") == 0)
+  }
+
+  test("array_resize truncates or pads with the fill value") {
+    assert(one("SELECT array_join(array_resize(array(1,2,3), 2, 0), ',')") == "1,2")
+    assert(one("SELECT array_join(array_resize(array(1,2), 4, 7), ',')") == "1,2,7,7")
+  }
+
+  test("array_pop/push/prepend/dims shims") {
+    assert(one("SELECT array_join(array_pop_back(array(1,2,3)), ',')") == "1,2")
+    assert(one("SELECT array_join(array_pop_front(array(1,2,3)), ',')") == "2,3")
+    assert(one("SELECT array_join(array_push_back(array(1,2), 3), ',')") == "1,2,3")
+    assert(one("SELECT array_join(array_prepend(0, array(1,2)), ',')") == "0,1,2")
+    assert(one("SELECT element_at(array_dims(array(1,2,3)), 1)") == 3)
+    assert(one("SELECT array_ndims(array(1,2))") == 1)
+  }
+
+  test("to_unixtime returns fractional epoch seconds") {
+    assert(one("SELECT to_unixtime(TIMESTAMP '1970-01-01 00:01:00')") == 60.0)
+  }
+}
