@@ -42,6 +42,25 @@ object Multimodal {
       .as[MediaItem]
   }
 
+  /** Ingest a directory of real binary files as media rows via Spark's
+    * `binaryFile` source (the production entry point for image/audio
+    * payloads; kind inferred from the file extension). */
+  def readBinaryDir(spark: SparkSession, path: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    val ext = element_at(split(col("path"), "\\."), -1)
+    spark.read.format("binaryFile").load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        when(ext.isin("png", "jpg", "jpeg", "gif"), "image")
+          .when(ext.isin("wav", "mp3", "flac"), "audio")
+          .when(ext.isin("mp4", "mkv", "webm"), "video")
+          .otherwise("image").as("kind"),
+        col("content"),
+        lit(0).as("width"), lit(0).as("height"),
+        (length(col("content")) * 8).cast("long").as("duration_ms"))
+      .as[MediaItem]
+  }
+
   /** STUB decode: deterministic 8-dim "feature vector" from the payload
     * bytes. Replace with a real codec in production — the signature and
     * the partition-parallel execution are the contract. */

@@ -55,6 +55,21 @@ object EventStreams {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("sum_v"))
 
+  /** Stream-stream inner join: correlate two event streams on `key`
+    * where the right event lands within `within` after the left one.
+    * Watermarks on both sides bound the join state — without them a
+    * stream-stream join buffers forever (the 100 TB streaming failure
+    * mode). */
+  def correlateStreams(left: DataFrame, right: DataFrame, key: String,
+      within: String): DataFrame = {
+    val l = left.withWatermark("ts", within).alias("l")
+    val r = right.withWatermark("ts", within).alias("r")
+    l.join(r, expr(
+        s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $within"))
+      .select(col(s"l.$key").as(key), col("l.ts").as("l_ts"),
+        col("r.ts").as("r_ts"))
+  }
+
   /** Custom-state streaming: running per-user (count, sum) maintained in
     * `GroupState` across micro-batches — the `mapGroupsWithState` pattern
     * for state the built-in windowed aggregations can't express. Emits the

@@ -33,6 +33,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_bytes == m.content.length)
   }
 
+  test("binaryFile source ingests real files with kind inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    java.nio.file.Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.wav"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("c.mp4"), Array[Byte](6))
+    val media = Multimodal.readBinaryDir(spark, dir.toString)
+    val kinds = media.collect().map(m => m.kind -> m.content.length).toMap
+    assert(kinds == Map("image" -> 3, "audio" -> 2, "video" -> 1))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 3 && feats.forall(_.feature.length == 8))
+  }
+
   test("frame sampling yields ceil(duration/step) frames for videos") {
     val frames = Multimodal.sampleFrames(media, 5000)
       .groupBy("media_id").count().collect()

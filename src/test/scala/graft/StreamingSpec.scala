@@ -81,6 +81,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest(2L) == ((1L, 5.0)))
   }
 
+  test("stream-stream join correlates within the watermark window") {
+    val dir = Files.createTempDirectory("graft_ss").toFile
+    val out = s"graft_ss_out_${System.nanoTime()}"
+
+    val clicks = Seq((1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:30:00"))).toDF("user_id", "ts")
+    val views = Seq(
+      (1L, ts("2024-01-01 00:03:00")),   // within 10m of click 1 → joins
+      (1L, ts("2024-01-01 00:20:00")),   // too late → no join
+      (2L, ts("2024-01-01 00:31:00"))    // joins click 2
+    ).toDF("user_id", "ts")
+    clicks.coalesce(1).write.parquet(s"$dir/clicks/b1")
+    views.coalesce(1).write.parquet(s"$dir/views/b1")
+
+    val cs = spark.readStream.schema(clicks.schema).parquet(s"$dir/clicks/*")
+    val vs = spark.readStream.schema(views.schema).parquet(s"$dir/views/*")
+    val q = graft.streaming.EventStreams
+      .correlateStreams(cs, vs, "user_id", "10 minutes")
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    // advance both watermarks far enough to emit the joined rows
+    Seq((9L, ts("2024-01-01 03:00:00"))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/clicks/b2")
+    Seq((9L, ts("2024-01-01 03:00:00"))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/views/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table(out)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
+    assert(rows.contains((1L, "2024-01-01 00:03:00.0")))
+    assert(rows.contains((2L, "2024-01-01 00:31:00.0")))
+    assert(!rows.exists(_._2 == "2024-01-01 00:20:00.0"))
+  }
+
+  test("foreachBatch streams micro-batches into a MetaCatalog table") {
+    val wh = Files.createTempDirectory("graft_wh_stream").toString
+    spark.conf.set("spark.sql.catalog.graftsink", "graft.catalog.MetaCatalog")
+    spark.conf.set("spark.sql.catalog.graftsink.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftsink.s")
+    spark.sql("CREATE TABLE graftsink.s.events (user_id BIGINT, value DOUBLE)")
+
+    val dir = Files.createTempDirectory("graft_fb").toFile
+    Seq((1L, 1.5), (2L, 2.5)).toDF("user_id", "value")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream
+      .schema(Seq((1L, 1.0)).toDF("user_id", "value").schema)
+      .parquet(s"$dir/*")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.writeTo("graftsink.s.events").append()
+      }
+      .start()
+    q.processAllAvailable()
+    Seq((3L, 3.5)).toDF("user_id", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.sql("SELECT count(*) FROM graftsink.s.events")
+      .collect().head.getLong(0) == 3)
+    assert(spark.sql("SELECT sum(value) FROM graftsink.s.events")
+      .collect().head.getDouble(0) == 7.5)
+  }
+
   test("session windows merge overlapping gap intervals (batch semantics)") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0),
