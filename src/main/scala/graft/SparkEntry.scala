@@ -23,7 +23,8 @@ object SparkEntry {
     probes.Pipeline.probes ++
     probes.StreamingWindows.probes ++
     probes.SourcesSinks.probes ++
-    probes.Headline.probes
+    probes.Headline.probes ++
+    probes.Extras.probes
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

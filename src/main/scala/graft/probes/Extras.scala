@@ -1,0 +1,65 @@
+package graft.probes
+
+import graft.Probe
+
+/** Late-round coverage: argmin/argmax aggregates, subquery in HAVING,
+  * inverse-trig/hyperbolic math, bit_count. */
+object Extras {
+  val probes: Seq[Probe] = Seq(
+
+    Probe.sql2("q_agg_minby",
+      """SELECT l_returnflag,
+        |  min_by(l_orderkey, l_extendedprice) AS cheapest_order,
+        |  max_by(l_orderkey, l_extendedprice) AS priciest_order,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+        |  arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    Probe.sql("q_having_subquery",
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) > (SELECT avg(o_totalprice) / 30000 FROM orders)
+        |ORDER BY o_custkey""".stripMargin),
+
+    Probe.sql2("q_fn_math3",
+      """SELECT p_partkey,
+        |  asin(p_size / 100.0) AS v_asin,
+        |  acos(p_size / 100.0) AS v_acos,
+        |  atan2(p_size, 7) AS v_atan2,
+        |  sinh(p_size / 25.0) AS v_sinh,
+        |  cosh(p_size / 25.0) AS v_cosh,
+        |  tanh(p_size / 25.0) AS v_tanh,
+        |  asinh(p_size / 10.0) AS v_asinh,
+        |  acosh(1 + p_size / 10.0) AS v_acosh,
+        |  atanh(p_size / 100.0) AS v_atanh,
+        |  cot(1 + p_size / 10.0) AS v_cot,
+        |  bit_count(p_size) AS v_bits
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+      """SELECT p_partkey,
+        |  asin(p_size / 100.0) AS v_asin,
+        |  acos(p_size / 100.0) AS v_acos,
+        |  atan2(p_size, 7) AS v_atan2,
+        |  (exp(p_size / 25.0) - exp(-(p_size / 25.0))) / 2 AS v_sinh,
+        |  (exp(p_size / 25.0) + exp(-(p_size / 25.0))) / 2 AS v_cosh,
+        |  (exp(2 * p_size / 25.0) - 1) / (exp(2 * p_size / 25.0) + 1) AS v_tanh,
+        |  ln(p_size / 10.0 + sqrt(p_size * p_size / 100.0 + 1)) AS v_asinh,
+        |  ln(1 + p_size / 10.0 + sqrt((1 + p_size / 10.0) * (1 + p_size / 10.0) - 1)) AS v_acosh,
+        |  0.5 * ln((1 + p_size / 100.0) / (1 - p_size / 100.0)) AS v_atanh,
+        |  cot(1 + p_size / 10.0) AS v_cot,
+        |  CAST(bit_count(p_size) AS INT) AS v_bits
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin)
+  )
+}

@@ -88,6 +88,25 @@ class EngineSpec extends AnyFunSuite {
     assert(scala.util.Try(engine.execute("nope")).isFailure)
   }
 
+  test("concurrent sessions execute independently without cross-talk") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 6).map { i =>
+      Future {
+        val t = engine.handshake("admin", "password").toOption.get
+        engine.executeUpdate(t,
+          s"CREATE OR REPLACE TEMPORARY VIEW conc_$i AS SELECT $i AS v")
+        val (_, rows) = engine.executeQuery(t,
+          s"SELECT v * 10 FROM conc_$i")
+        engine.closeSession(t)
+        rows.head.getInt(0)
+      }
+    }
+    assert(Await.result(Future.sequence(futures), 120.seconds) ==
+      (1 to 6).map(_ * 10))
+  }
+
   test("GraftExtensions injects the full DFCompat surface at config time") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
