@@ -12,43 +12,46 @@ import graft.Probe
 object ScalarFunctions {
   val probes: Seq[Probe] = Seq(
 
+    // Transcendental outputs are quantized to 6 decimals on BOTH sides:
+    // the driver hash-compares values exactly, and JVM Math vs DuckDB libm
+    // differ by ULPs on ln/exp/cbrt/trig (round-1 q_fn_math hash mismatch).
     Probe.sql2("q_fn_math",
       """SELECT p_partkey,
         |  abs(p_retailprice - 1000) AS v_abs,
         |  ceil(p_retailprice / 100) AS v_ceil,
         |  floor(p_retailprice / 100) AS v_floor,
         |  round(p_retailprice / 7, 2) AS v_round,
-        |  sqrt(p_retailprice) AS v_sqrt,
-        |  power(p_size, 2) AS v_pow,
-        |  ln(p_retailprice) AS v_ln,
-        |  log10(p_retailprice) AS v_log10,
-        |  log2(greatest(p_size, 1)) AS v_log2,
-        |  exp(p_size / 100.0) AS v_exp,
+        |  round(sqrt(p_retailprice), 6) AS v_sqrt,
+        |  round(power(p_size, 2), 6) AS v_pow,
+        |  round(ln(p_retailprice), 6) AS v_ln,
+        |  round(log10(p_retailprice), 6) AS v_log10,
+        |  round(log2(greatest(p_size, 1)), 6) AS v_log2,
+        |  round(exp(p_size / 100.0), 6) AS v_exp,
         |  sign(p_retailprice - 1200) AS v_sign,
         |  mod(p_size, 7) AS v_mod,
-        |  degrees(p_size / 50.0) AS v_deg,
-        |  radians(p_size) AS v_rad,
-        |  cbrt(p_retailprice) AS v_cbrt,
-        |  sin(p_size) + cos(p_size) + atan(p_size) AS v_trig
+        |  round(degrees(p_size / 50.0), 6) AS v_deg,
+        |  round(radians(p_size), 6) AS v_rad,
+        |  round(cbrt(p_retailprice), 6) AS v_cbrt,
+        |  round(sin(p_size) + cos(p_size) + atan(p_size), 6) AS v_trig
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
       """SELECT p_partkey,
         |  abs(p_retailprice - 1000) AS v_abs,
-        |  ceil(p_retailprice / 100) AS v_ceil,
-        |  floor(p_retailprice / 100) AS v_floor,
+        |  CAST(ceil(p_retailprice / 100) AS BIGINT) AS v_ceil,
+        |  CAST(floor(p_retailprice / 100) AS BIGINT) AS v_floor,
         |  round(p_retailprice / 7, 2) AS v_round,
-        |  sqrt(p_retailprice) AS v_sqrt,
-        |  power(p_size, 2) AS v_pow,
-        |  ln(p_retailprice) AS v_ln,
-        |  log10(p_retailprice) AS v_log10,
-        |  log2(greatest(p_size, 1)) AS v_log2,
-        |  exp(p_size / 100.0) AS v_exp,
-        |  sign(p_retailprice - 1200) AS v_sign,
+        |  round(sqrt(p_retailprice), 6) AS v_sqrt,
+        |  round(power(p_size, 2), 6) AS v_pow,
+        |  round(ln(p_retailprice), 6) AS v_ln,
+        |  round(log10(p_retailprice), 6) AS v_log10,
+        |  round(log2(greatest(p_size, 1)), 6) AS v_log2,
+        |  round(exp(p_size / 100.0), 6) AS v_exp,
+        |  CAST(sign(p_retailprice - 1200) AS DOUBLE) AS v_sign,
         |  mod(p_size, 7) AS v_mod,
-        |  degrees(p_size / 50.0) AS v_deg,
-        |  radians(p_size) AS v_rad,
-        |  cbrt(p_retailprice) AS v_cbrt,
-        |  sin(p_size) + cos(p_size) + atan(p_size) AS v_trig
+        |  round(degrees(p_size / 50.0), 6) AS v_deg,
+        |  round(radians(p_size), 6) AS v_rad,
+        |  round(cbrt(p_retailprice), 6) AS v_cbrt,
+        |  round(sin(p_size) + cos(p_size) + atan(p_size), 6) AS v_trig
         |FROM part
         |ORDER BY p_partkey""".stripMargin),
 

@@ -66,6 +66,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_fail += 1
             continue
+        # Numeric-KIND mismatches (int64 vs float64, bool vs int) stringify
+        # differently ("13" vs "13.0") and break the driver's value hash even
+        # when cells_equal's tolerant compare passes — flag them hard.
+        def kind(s):  # signed/unsigned ints stringify identically
+            return "i" if s.dtype.kind == "u" else s.dtype.kind
+        kind_bad = [
+            (c, str(spark_df[c].dtype), str(duck_df[c].dtype)) for c in sc
+            if kind(spark_df[c]) != kind(duck_df[c])
+            # allow object-vs-anything (dates/strings surface as object
+            # inconsistently) but never int vs float vs bool
+            and {kind(spark_df[c]), kind(duck_df[c])} <= set("ifb")
+        ]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch {kind_bad}")
+            n_fail += 1
+            continue
         s_rows = spark_df[sc].values.tolist()
         d_rows = duck_df[dc].values.tolist()
         if len(s_rows) != len(d_rows):
