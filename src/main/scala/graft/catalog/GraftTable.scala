@@ -1,0 +1,195 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.{InsertableRelation, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Snapshot-aware catalog table: the Spark-side rebuild of the reference's
+  * Iceberg TableProvider surface (`datafusion_iceberg`, Cargo.lock:1341-1343,
+  * registered at iceberg-datafusion-arrow-flight/src/lib.rs:94-98).
+  *
+  * Reads delegate to Spark's native DSv2 `ParquetTable` over the PINNED
+  * snapshot's file list, so scans keep the whole Parquet stack (column
+  * pruning, predicate pushdown, row-group pruning, vectorized reader) and
+  * time travel costs one metadata read. Writes go through the V1
+  * `InsertableRelation` fallback — still a fully distributed `df.write`,
+  * but with commit control: files land under `data/` (hive-layout dirs for
+  * identity-partitioned tables), then one snapshot append makes them
+  * visible. DELETE is copy-on-write: survivors are rewritten and the new
+  * snapshot references only them, old files stay for time travel — the
+  * same contract Iceberg's copy-on-write DELETE gives a 1000-executor
+  * cluster (at 100 TB the refinement is file-level pruning via column
+  * stats so only files containing matches rewrite; semantics identical).
+  */
+class GraftTable(
+    fullName: String,
+    tableDir: Path,
+    declaredSchema: StructType,
+    partitionCols: Seq[String],
+    props: Map[String, String],
+    pinned: Option[Snapshots.Snap]) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+  private def dataDir: Path = tableDir.resolve("data")
+
+  /** Visible data files (absolute paths) for this table handle. */
+  private def visibleFiles: Seq[String] = {
+    val snap = pinned.orElse(Snapshots.latest(tableDir))
+    snap match {
+      case Some(s) => s.files.map(f => tableDir.resolve(f).toString)
+      case None => // pre-snapshot (v1-era) table: whole data dir
+        if (!Files.isDirectory(dataDir)) Seq.empty
+        else Files.walk(dataDir).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq
+    }
+  }
+
+  private def readDelegate: ParquetTable = {
+    val files = visibleFiles
+    // Empty snapshot (fresh table, TRUNCATE, or time travel to v1): scan a
+    // dedicated empty dir — scanning data/ would leak files committed by
+    // LATER snapshots into the pinned view.
+    val paths = if (files.nonEmpty) files else {
+      val empty = dataDir.resolve("_graft_empty") // under basePath; underscore
+      Files.createDirectories(empty)              // dirs are invisible to scans
+      Seq(empty.toString)
+    }
+    // basePath keeps hive-style partition-dir inference rooted at data/
+    // even though we hand the index leaf files, not the directory.
+    val opts = new CaseInsensitiveStringMap(
+      Map("basePath" -> dataDir.toString).asJava)
+    ParquetTable(fullName, spark, opts, paths,
+      Some(declaredSchema), classOf[ParquetFileFormat])
+  }
+
+  override def name(): String = fullName
+  override def schema(): StructType = declaredSchema
+  override def columns(): Array[Column] = declaredSchema.fields.map(f =>
+    Column.create(f.name, f.dataType, f.nullable))
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c => Expressions.identity(c)).toArray
+  override def properties(): java.util.Map[String, String] = {
+    val snapInfo = pinned.orElse(Snapshots.latest(tableDir))
+      .map(s => Map("graft.current-snapshot-id" -> s.version.toString))
+      .getOrElse(Map.empty)
+    (props ++ snapInfo + ("provider" -> "parquet")).asJava
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  // --- read -------------------------------------------------------------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    readDelegate.newScanBuilder(options)
+
+  // --- write (V1 fallback: full commit control, still distributed) ------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinned.isDefined)
+      throw new UnsupportedOperationException(
+        s"Cannot write to time-travel snapshot of $fullName")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+              commitWrite(data, overwrite || overwriteFlag)
+          }
+      }
+    }
+  }
+
+  /** Distributed write into a scratch dir, then move data files under
+    * `data/` (preserving partition-dir structure) and append one snapshot.
+    * Spark part-file names embed a per-job UUID, so moves never collide. */
+  private def commitWrite(data: DataFrame, overwrite: Boolean): Unit = {
+    val tmp = Files.createTempDirectory(s"graft_commit_${UUID.randomUUID().toString.take(8)}")
+    try {
+      val aligned = data.toDF(declaredSchema.fieldNames.toSeq: _*)
+      val w = aligned.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
+      val moved = Files.walk(tmp).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val rel = tmp.relativize(p)
+          val dest = dataDir.resolve(rel)
+          Files.createDirectories(dest.getParent)
+          Files.move(p, dest)
+          tableDir.relativize(dest).toString
+        }.toSeq
+      val prev = if (overwrite) Seq.empty
+        else pinned.orElse(Snapshots.latest(tableDir)).map(_.files).getOrElse(Seq.empty)
+      Snapshots.commit(tableDir, prev ++ moved)
+    } finally {
+      if (Files.exists(tmp)) {
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  // --- DELETE (copy-on-write) ------------------------------------------
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(FilterToColumn.translate(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.{lit, not}
+    val cond = filters.flatMap(FilterToColumn.translate)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val current = spark.read
+      .option("basePath", dataDir.toString)
+      .schema(declaredSchema)
+      .parquet(visibleFiles: _*)
+    val survivors = current.filter(not(cond))
+    commitWrite(survivors, overwrite = true)
+  }
+}
+
+/** DSv2 `sources.Filter` → `Column` translation for copy-on-write DELETE. */
+private[catalog] object FilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.sources._
+
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case Or(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}

@@ -6,33 +6,33 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{IdentityTransform, Transform}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Catalog-managed Parquet tables behind a Spark DSv2 `TableCatalog with
+/** Catalog-managed snapshot tables behind a Spark DSv2 `TableCatalog with
   * SupportsNamespaces` — the rebuild's stand-in for the reference's
   * Iceberg SQL catalog (`iceberg-sql-catalog`, Cargo.lock:2204, wired at
   * iceberg-datafusion-arrow-flight-sql/src/main.rs:73): multi-level
-  * namespaces, schema'd tables, append-only writes, all addressable as
-  * `graft.ns.table` from SQL (SURVEY §1.1, §7-M2).
+  * namespaces, schema'd tables, snapshot commits, time travel, all
+  * addressable as `graft.ns.table` from SQL (SURVEY §1.1, §7-M2).
   *
   * Layout under the warehouse root:
   * {{{
-  *   <warehouse>/<ns>/<table>/_graft_schema.json   table schema (Spark DDL json)
-  *   <warehouse>/<ns>/<table>/data/part-N.parquet       data files (append-only)
+  *   <warehouse>/<ns>/<table>/_graft_schema.json        table schema (Spark DDL json)
+  *   <warehouse>/<ns>/<table>/_graft_props.properties   table properties + partition spec
+  *   <warehouse>/<ns>/<table>/_graft_snapshots/v*.snap  commit log (Snapshots)
+  *   <warehouse>/<ns>/<table>/data/...                  parquet data files
   * }}}
   *
-  * Reads and writes delegate to Spark's native DSv2 `ParquetTable`, so
-  * scans get the full Parquet stack (column pruning, predicate pushdown,
-  * row-group pruning, vectorized reader) and `INSERT INTO` appends new
-  * files without touching existing ones — the Iceberg-shaped semantics the
-  * reference relies on, minus manifests (this class is the swap-in point
-  * for the real Iceberg Spark connector when its jar is available —
-  * SURVEY §7 "known hard spots").
+  * v2 (this round) adds the Iceberg-shaped table semantics the reference
+  * gets from `datafusion_iceberg`: snapshot-isolated commits (INSERT INTO /
+  * INSERT OVERWRITE append one immutable snapshot each), `VERSION AS OF` /
+  * `TIMESTAMP AS OF` time travel, copy-on-write `DELETE FROM`, ALTER TABLE
+  * schema evolution (add/drop column — old files resolve by name, added
+  * columns read as NULL), and identity-partitioned tables with hive-layout
+  * data dirs (partition pruning comes free from the Parquet file index).
   */
 class MetaCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -93,13 +93,49 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
-  // --- tables -----------------------------------------------------------
+  // --- table metadata I/O ----------------------------------------------
 
   private def tablePath(ident: Identifier): Path =
     nsPath(ident.namespace()).resolve(ident.name())
 
   private def schemaFile(ident: Identifier): Path =
     tablePath(ident).resolve("_graft_schema.json")
+
+  private def propsFile(ident: Identifier): Path =
+    tablePath(ident).resolve("_graft_props.properties")
+
+  private val PartitionKey = "graft.partition.columns"
+
+  private def readSchema(ident: Identifier): StructType =
+    DataType.fromJson(Files.readString(schemaFile(ident))).asInstanceOf[StructType]
+
+  private def readProps(ident: Identifier): Map[String, String] = {
+    val f = propsFile(ident)
+    if (!Files.exists(f)) return Map.empty
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    p.asScala.toMap
+  }
+
+  private def writeProps(ident: Identifier, props: Map[String, String]): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = Files.newOutputStream(propsFile(ident))
+    try p.store(out, null) finally out.close()
+  }
+
+  private def fullName(ident: Identifier): String =
+    s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
+
+  private def buildTable(ident: Identifier, pinned: Option[Snapshots.Snap]): GraftTable = {
+    val props = readProps(ident)
+    val parts = props.get(PartitionKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+    new GraftTable(fullName(ident), tablePath(ident), readSchema(ident),
+      parts, props - PartitionKey, pinned)
+  }
+
+  // --- tables -----------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = nsPath(namespace)
@@ -116,32 +152,137 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-    val schema = DataType.fromJson(Files.readString(schemaFile(ident)))
-      .asInstanceOf[StructType]
-    val dataDir = tablePath(ident).resolve("data")
-    ParquetTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      spark,
-      new CaseInsensitiveStringMap(Map("path" -> dataDir.toString).asJava),
-      Seq(dataDir.toString),
-      Some(schema),
-      classOf[ParquetFileFormat])
+    buildTable(ident, pinned = None)
+  }
+
+  /** `SELECT ... FROM t VERSION AS OF <n>` */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft snapshot versions are integers; got '$version'")
+    }
+    val snap = Snapshots.byVersion(tablePath(ident), v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot v$v for ${fullName(ident)}; have versions " +
+          Snapshots.list(tablePath(ident)).map(_.version).mkString("[", ",", "]")))
+    buildTable(ident, Some(snap))
+  }
+
+  /** `SELECT ... FROM t TIMESTAMP AS OF <ts>` (Spark hands micros). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    val tsMillis = timestampMicros / 1000L
+    val snap = Snapshots.byTimestamp(tablePath(ident), tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of ${fullName(ident)} at or before epoch-millis $tsMillis"))
+    buildTable(ident, Some(snap))
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" => t.references().head.fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only; got $t")
+    }
     val schema = new StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    partCols.find(c => !schema.fieldNames.contains(c)).foreach { c =>
+      throw new IllegalArgumentException(s"partition column $c not in schema")
+    }
     Files.createDirectories(tablePath(ident).resolve("data"))
     Files.writeString(schemaFile(ident), schema.json)
-    loadTable(ident)
+    val baseProps = properties.asScala.toMap ++
+      (if (partCols.nonEmpty) Map(PartitionKey -> partCols.mkString(",")) else Map.empty)
+    if (baseProps.nonEmpty) writeProps(ident, baseProps)
+    Snapshots.commit(tablePath(ident), Seq.empty) // v1: empty table
+    buildTable(ident, pinned = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported by the graft MetaCatalog (v1)")
+  /** Schema evolution, Iceberg-style name mapping: ADD COLUMN reads as NULL
+    * from pre-evolution files, DROP COLUMN hides the column without data
+    * rewrite. RENAME / type change are rejected — with name-mapped Parquet
+    * they would corrupt old files' reads (Iceberg needs field IDs for
+    * that), and a loud error beats silent nulls. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    changes.foreach {
+      case _: TableChange.RenameColumn => throw new UnsupportedOperationException(
+        "RENAME COLUMN is not supported: graft tables map Parquet columns by name; " +
+          "recreate the table (CTAS) to rename")
+      case _: TableChange.UpdateColumnType => throw new UnsupportedOperationException(
+        "ALTER COLUMN TYPE is not supported: existing Parquet files keep the old " +
+          "physical type; recreate the table (CTAS) to change types")
+      case _ => ()
+    }
+    val schemaChanges = changes.filter {
+      case _: TableChange.ColumnChange => true
+      case _ => false
+    }
+    val propChanges = changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (schemaChanges.nonEmpty) {
+      val parts = readProps(ident).get(PartitionKey).toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty)
+      schemaChanges.foreach {
+        case d: TableChange.DeleteColumn if parts.contains(d.fieldNames().mkString(".")) =>
+          throw new IllegalArgumentException(
+            s"cannot drop partition column ${d.fieldNames().mkString(".")}")
+        case _ => ()
+      }
+      val evolved = schemaChanges.foldLeft(readSchema(ident))(applySchemaChange)
+      Files.writeString(schemaFile(ident), evolved.json)
+    }
+    if (propChanges.nonEmpty) {
+      val next = propChanges.foldLeft(readProps(ident)) {
+        case (m, s: TableChange.SetProperty) => m + (s.property() -> s.value())
+        case (m, r: TableChange.RemoveProperty) => m - r.property()
+        case (m, _) => m
+      }
+      writeProps(ident, next)
+    }
+    buildTable(ident, pinned = None)
+  }
+
+  /** Top-level add/drop/nullability/comment evolution (nested fields are
+    * rejected — partition-scale tables evolve flat columns). */
+  private def applySchemaChange(schema: StructType, change: TableChange): StructType = {
+    import org.apache.spark.sql.types.StructField
+    def topLevel(fieldNames: Array[String]): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"nested-field evolution not supported: ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
+    change match {
+      case a: TableChange.AddColumn =>
+        val n = topLevel(a.fieldNames())
+        if (schema.fieldNames.contains(n))
+          throw new IllegalArgumentException(s"column $n already exists")
+        schema.add(StructField(n, a.dataType(), a.isNullable))
+      case d: TableChange.DeleteColumn =>
+        val n = topLevel(d.fieldNames())
+        if (!schema.fieldNames.contains(n) && !d.ifExists())
+          throw new IllegalArgumentException(s"no such column $n")
+        new StructType(schema.fields.filterNot(_.name == n))
+      case u: TableChange.UpdateColumnNullability =>
+        val n = topLevel(u.fieldNames())
+        new StructType(schema.fields.map(f =>
+          if (f.name == n) f.copy(nullable = u.nullable()) else f))
+      case c: TableChange.UpdateColumnComment =>
+        val n = topLevel(c.fieldNames())
+        new StructType(schema.fields.map(f =>
+          if (f.name == n) f.withComment(c.newComment()) else f))
+      case other => throw new UnsupportedOperationException(s"unsupported change: $other")
+    }
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

@@ -1,0 +1,67 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+/** Append-only snapshot log for a MetaCatalog table — the rebuild of the
+  * Iceberg table-metadata/manifest chain the reference relies on
+  * (`datafusion_iceberg` TableProvider, Cargo.lock:1341; snapshot reads are
+  * Iceberg's core semantics). Each commit writes an immutable
+  * `_graft_snapshots/v%08d.snap` whose body is the complete list of data
+  * files visible at that version:
+  *
+  * {{{
+  *   line 1:  commit timestamp (epoch millis)
+  *   line 2+: data-file paths relative to the table dir
+  * }}}
+  *
+  * Readers resolve a version (or a timestamp) to its file list and scan
+  * exactly those files; files dropped by DELETE/OVERWRITE stay on disk so
+  * older snapshots remain readable (time travel). At 100 TB the file list
+  * per snapshot is the same O(num-files) metadata Iceberg keeps in
+  * manifests; the log itself is tiny and the planning cost is one metadata
+  * read, never a data scan.
+  */
+object Snapshots {
+  final case class Snap(version: Long, tsMillis: Long, files: Seq[String])
+
+  private def dir(tableDir: Path): Path = tableDir.resolve("_graft_snapshots")
+
+  private def parse(p: Path): Snap = {
+    val lines = Files.readAllLines(p).asScala.toSeq
+    val v = p.getFileName.toString.stripPrefix("v").stripSuffix(".snap").toLong
+    Snap(v, lines.head.toLong, lines.tail.filter(_.nonEmpty))
+  }
+
+  def list(tableDir: Path): Seq[Snap] = {
+    val d = dir(tableDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".snap"))
+      .map(parse).toSeq.sortBy(_.version)
+  }
+
+  def latest(tableDir: Path): Option[Snap] = list(tableDir).lastOption
+
+  def byVersion(tableDir: Path, version: Long): Option[Snap] =
+    list(tableDir).find(_.version == version)
+
+  /** Latest snapshot whose commit time is <= tsMillis. */
+  def byTimestamp(tableDir: Path, tsMillis: Long): Option[Snap] =
+    list(tableDir).takeWhile(_.tsMillis <= tsMillis).lastOption
+
+  /** Append the next snapshot; `files` is the COMPLETE visible file list. */
+  def commit(tableDir: Path, files: Seq[String]): Snap = synchronized {
+    val d = dir(tableDir)
+    Files.createDirectories(d)
+    val next = latest(tableDir).map(_.version + 1).getOrElse(1L)
+    val snap = Snap(next, System.currentTimeMillis(), files)
+    val body = (snap.tsMillis.toString +: files).mkString("\n")
+    val tmp = d.resolve(f".v$next%08d.snap.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, d.resolve(f"v$next%08d.snap"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    snap
+  }
+}

@@ -70,6 +70,55 @@ object EventStreams {
         col("r.ts").as("r_ts"))
   }
 
+  /** Expiring-session tracker: `flatMapGroupsWithState` with an EVENT-TIME
+    * TIMEOUT. Per-user state accumulates (n, sum, start, end) while events
+    * arrive; when the watermark passes `end + gap` the state times out and
+    * the CLOSED session is emitted exactly once (append mode). This is the
+    * pattern for state the built-in `session_window` can't express —
+    * arbitrary per-session accumulators with a guaranteed single final
+    * emission — and the timeout bounds state size on an unbounded stream
+    * (the 100 TB streaming requirement: state is O(active users), never
+    * O(history)). */
+  def expiringSessions(events: DataFrame, gap: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMillis = gap.trim.split("\\s+") match {
+      case Array(n, u) =>
+        val unit = u.toLowerCase.stripSuffix("s")
+        val mult = Map("millisecond" -> 1L, "second" -> 1000L, "minute" -> 60000L,
+          "hour" -> 3600000L, "day" -> 86400000L)(unit)
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"bad gap: '$gap'")
+    }
+    events
+      .withWatermark("ts", gap)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[(Long, Double, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, s, start, end) = state.get
+            state.remove()
+            Iterator((uid, new java.sql.Timestamp(start),
+              new java.sql.Timestamp(end), n, s))
+          } else {
+            var (n, s, start, end) = state.getOption.getOrElse(
+              (0L, 0.0, Long.MaxValue, Long.MinValue))
+            rows.foreach { case (_, t, v) =>
+              n += 1; s += v
+              start = math.min(start, t.getTime); end = math.max(end, t.getTime)
+            }
+            state.update((n, s, start, end))
+            state.setTimeoutTimestamp(end + gapMillis)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n", "sum_v")
+  }
+
   /** Custom-state streaming: running per-user (count, sum) maintained in
     * `GroupState` across micro-batches — the `mapGroupsWithState` pattern
     * for state the built-in windowed aggregations can't express. Emits the

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MetaCatalog v2 — the Iceberg-shaped table semantics the reference gets
+  * from `datafusion_iceberg` (Cargo.lock:1341): snapshot commits, VERSION /
+  * TIMESTAMP AS OF time travel, INSERT OVERWRITE isolation, copy-on-write
+  * DELETE, ALTER TABLE schema evolution, identity-partitioned layouts. */
+class CatalogV2Spec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    val wh = Files.createTempDirectory("graft_wh2").toString
+    s.conf.set("spark.sql.catalog.g2", "graft.catalog.MetaCatalog")
+    s.conf.set("spark.sql.catalog.g2.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS g2.db")
+    s
+  }
+
+  test("each INSERT commits one snapshot; VERSION AS OF reads history") {
+    spark.sql("CREATE TABLE g2.db.snap (a INT, s STRING)") // v1: empty
+    spark.sql("INSERT INTO g2.db.snap VALUES (1, 'x')")    // v2
+    spark.sql("INSERT INTO g2.db.snap VALUES (2, 'y')")    // v3
+    assert(spark.sql("SELECT count(*) FROM g2.db.snap").collect().head.getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM g2.db.snap VERSION AS OF 1")
+      .collect().head.getLong(0) == 0)
+    assert(spark.sql("SELECT a FROM g2.db.snap VERSION AS OF 2").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    assert(spark.sql("SELECT a FROM g2.db.snap VERSION AS OF 3 ORDER BY a").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test("TIMESTAMP AS OF resolves the latest snapshot at or before the time") {
+    val now = System.currentTimeMillis()
+    // all snapshots committed in the past relative to now+1h
+    val futureTs = java.time.Instant.ofEpochMilli(now + 3600 * 1000L).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM g2.db.snap TIMESTAMP AS OF '$futureTs'")
+      .collect().head.getLong(0) == 2)
+    intercept[Exception] { // before table creation → no snapshot
+      spark.sql("SELECT * FROM g2.db.snap TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+  }
+
+  test("INSERT OVERWRITE replaces contents in a new snapshot; old reads intact") {
+    spark.sql("CREATE TABLE g2.db.ow (a INT)")
+    spark.sql("INSERT INTO g2.db.ow VALUES (1), (2)")      // v2
+    spark.sql("INSERT OVERWRITE g2.db.ow VALUES (10)")     // v3
+    assert(spark.sql("SELECT a FROM g2.db.ow").collect().map(_.getInt(0)).toSeq == Seq(10))
+    assert(spark.sql("SELECT a FROM g2.db.ow VERSION AS OF 2 ORDER BY a").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test("DELETE FROM is copy-on-write: survivors visible, history preserved") {
+    spark.sql("CREATE TABLE g2.db.del (a INT, grp STRING)")
+    spark.sql("INSERT INTO g2.db.del VALUES (1,'keep'), (2,'drop'), (3,'keep'), (4,'drop')")
+    spark.sql("DELETE FROM g2.db.del WHERE grp = 'drop'")
+    assert(spark.sql("SELECT a FROM g2.db.del ORDER BY a").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // pre-delete snapshot still has all four rows
+    assert(spark.sql("SELECT count(*) FROM g2.db.del VERSION AS OF 2")
+      .collect().head.getLong(0) == 4)
+    // compound predicate
+    spark.sql("DELETE FROM g2.db.del WHERE a > 1 AND grp = 'keep'")
+    assert(spark.sql("SELECT a FROM g2.db.del").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("ALTER TABLE ADD COLUMN: old files read NULL, new writes carry it") {
+    spark.sql("CREATE TABLE g2.db.evo (a INT)")
+    spark.sql("INSERT INTO g2.db.evo VALUES (1)")
+    spark.sql("ALTER TABLE g2.db.evo ADD COLUMN note STRING")
+    spark.sql("INSERT INTO g2.db.evo VALUES (2, 'new')")
+    val rows = spark.sql("SELECT a, note FROM g2.db.evo ORDER BY a").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    assert(rows == Seq((1, None), (2, Some("new"))))
+  }
+
+  test("ALTER TABLE DROP COLUMN hides the column without rewriting data") {
+    spark.sql("CREATE TABLE g2.db.evo2 (a INT, junk STRING)")
+    spark.sql("INSERT INTO g2.db.evo2 VALUES (7, 'gone')")
+    spark.sql("ALTER TABLE g2.db.evo2 DROP COLUMN junk")
+    assert(spark.sql("SELECT * FROM g2.db.evo2").schema.fieldNames.toSeq == Seq("a"))
+    assert(spark.sql("SELECT a FROM g2.db.evo2").collect().head.getInt(0) == 7)
+  }
+
+  test("RENAME COLUMN and ALTER TYPE are rejected loudly (name-mapped parquet)") {
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.evo2 RENAME COLUMN a TO b")
+    }
+    assert(e1.getMessage.contains("RENAME COLUMN is not supported"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.evo2 ALTER COLUMN a TYPE BIGINT")
+    }
+    assert(e2.getMessage.contains("ALTER COLUMN TYPE is not supported"))
+  }
+
+  test("identity-partitioned table: hive layout on disk, partition pruning on read") {
+    spark.sql("CREATE TABLE g2.db.part (id INT, region STRING) PARTITIONED BY (region)")
+    spark.sql("INSERT INTO g2.db.part VALUES (1,'eu'), (2,'us'), (3,'eu'), (4,'ap')")
+    assert(spark.sql("SELECT id FROM g2.db.part WHERE region = 'eu' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // hive-style dirs actually exist under data/
+    val warehouse = spark.conf.get("spark.sql.catalog.g2.warehouse")
+    val dataDir = java.nio.file.Paths.get(warehouse, "db", "part", "data")
+    val dirs = java.nio.file.Files.list(dataDir).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (dirs.hasNext) names += dirs.next().getFileName.toString
+    assert(names.toSet == Set("region=eu", "region=us", "region=ap"), names.toString)
+    // the region predicate lands in PartitionFilters (dir-level pruning),
+    // NOT in data filters — the scan never opens non-eu files
+    val plan = spark.sql("SELECT id FROM g2.db.part WHERE region = 'eu'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.matches(
+      "(?s).*PartitionFilters: \\[[^\\]]*region[^\\]]*eu[^\\]]*\\].*"),
+      s"expected region=eu in PartitionFilters:\n$plan")
+  }
+
+  test("TRUNCATE TABLE commits an empty snapshot") {
+    spark.sql("CREATE TABLE g2.db.tr (a INT)")
+    spark.sql("INSERT INTO g2.db.tr VALUES (1), (2)")
+    spark.sql("TRUNCATE TABLE g2.db.tr")
+    assert(spark.sql("SELECT count(*) FROM g2.db.tr").collect().head.getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM g2.db.tr VERSION AS OF 2")
+      .collect().head.getLong(0) == 2)
+  }
+
+  test("table properties round-trip through SET/UNSET TBLPROPERTIES") {
+    spark.sql("ALTER TABLE g2.db.tr SET TBLPROPERTIES ('graft.owner' = 'graft')")
+    val show = spark.sql("SHOW TBLPROPERTIES g2.db.tr").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(show.get("graft.owner").contains("graft"))
+    spark.sql("ALTER TABLE g2.db.tr UNSET TBLPROPERTIES ('graft.owner')")
+    val show2 = spark.sql("SHOW TBLPROPERTIES g2.db.tr").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(!show2.contains("graft.owner"))
+  }
+}

@@ -148,6 +148,46 @@ class StreamingSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == 7.5)
   }
 
+  test("flatMapGroupsWithState event-time timeout closes sessions exactly once") {
+    val dir = Files.createTempDirectory("graft_fmg").toFile
+    val out = s"graft_fmg_out_${System.nanoTime()}"
+
+    // user 1: two events 2m apart (one session); user 2: one event
+    Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:02:00"), 2.0),
+        (2L, ts("2024-01-01 00:01:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/b1")
+
+    val schema = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.expiringSessions(stream, "5 minutes")
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // nothing closed yet: watermark hasn't passed any session's end + gap
+    assert(spark.table(out).count() == 0)
+
+    // far-future event advances the watermark; both sessions time out
+    Seq((9L, ts("2024-01-01 06:00:00"), 0.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSet
+    assert(sessions.contains(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:02:00.0", 2L, 3.0)))
+    assert(sessions.contains(
+      (2L, "2024-01-01 00:01:00.0", "2024-01-01 00:01:00.0", 1L, 5.0)))
+    // user 9's session is still open (emitted 0 or stays buffered) — only
+    // CLOSED sessions appear, each exactly once
+    assert(spark.table(out).count() == 2)
+  }
+
   test("session windows merge overlapping gap intervals (batch semantics)") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0),
