@@ -20,12 +20,28 @@ object InfoSchema {
 
   def refresh(spark: SparkSession): Unit = {
     import spark.implicits._
+    import scala.util.Try
 
-    val tables = spark.catalog.listTables().collect().toSeq.map { t =>
+    val sessionTables = spark.catalog.listTables().collect().toSeq.map { t =>
       (Option(t.catalog).getOrElse("spark_catalog"),
         Option(t.database).getOrElse(""),
         t.name, t.tableType, t.isTemporary)
     }
+
+    // Configured DSv2 catalogs (spark.sql.catalog.<name> = impl class):
+    // enumerate through public SQL so MetaCatalog tables introspect too.
+    val v2CatalogNames = spark.conf.getAll.keys.toSeq.collect {
+      case k if k.matches("""spark\.sql\.catalog\.[^.]+""") =>
+        k.stripPrefix("spark.sql.catalog.")
+    }.distinct
+    val v2Tables = for {
+      cat <- v2CatalogNames
+      ns <- Try(spark.sql(s"SHOW NAMESPACES IN `$cat`").collect().toSeq)
+        .getOrElse(Seq.empty).map(_.getString(0))
+      t <- Try(spark.sql(s"SHOW TABLES IN `$cat`.$ns").collect().toSeq)
+        .getOrElse(Seq.empty)
+    } yield (cat, ns, t.getString(1), "MANAGED", false)
+    val tables = sessionTables ++ v2Tables
     tables
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
         "is_temporary")
@@ -36,13 +52,24 @@ object InfoSchema {
       .toDF("table_catalog", "table_schema", "table_name", "is_temporary")
       .createOrReplaceTempView("__infoschema_views")
 
-    val cols = tables.flatMap { case (_, db, name, _, _) =>
+    val sessionCols = sessionTables.flatMap { case (_, db, name, _, _) =>
       val ident = if (db.isEmpty) name else s"$db.$name"
       scala.util.Try(spark.catalog.listColumns(ident).collect()).toOption
         .getOrElse(Array.empty).zipWithIndex.map { case (c, i) =>
           (db, name, c.name, i + 1, c.dataType, c.nullable)
         }
     }
+    // v2 catalog tables: DESCRIBE is the public column surface (rows after
+    // the first blank/# marker are partition/metadata sections).
+    val v2Cols = v2Tables.flatMap { case (cat, ns, name, _, _) =>
+      Try(spark.sql(s"DESCRIBE TABLE `$cat`.$ns.`$name`").collect().toSeq)
+        .getOrElse(Seq.empty)
+        .takeWhile(r => r.getString(0).nonEmpty && !r.getString(0).startsWith("#"))
+        .zipWithIndex.map { case (r, i) =>
+          (s"$cat.$ns", name, r.getString(0), i + 1, r.getString(1), true)
+        }
+    }
+    val cols = sessionCols ++ v2Cols
     cols
       .toDF("table_schema", "table_name", "column_name", "ordinal_position",
         "data_type", "is_nullable")

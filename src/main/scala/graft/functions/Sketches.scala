@@ -55,6 +55,25 @@ object SketchKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Sequential-order dot product (same accumulation order as [[cosine]]'s
+    * dot term — bit-identical when divided by precomputed norms). */
+  def dot(a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** sqrt of the sequential self-dot — the norm term of [[cosine]]. */
+  def norm(a: ArrayData, aDouble: Boolean): Double =
+    math.sqrt(dot(a, aDouble, a, aDouble))
+
   /** 64 signed bit-sum components over word hashes. */
   def simhash(hashes: ArrayData): ArrayData = {
     val acc = new Array[Long](64)
@@ -141,6 +160,61 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** Sequential dot product between two numeric arrays (pairs with
+  * [[VecNorm]] so quadratic cosine probes compute each row's norm once,
+  * not once per pair — bit-identical to [[CosineSim]] by construction). */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<float|double>, got (${left.dataType}, ${right.dataType})")
+  }
+
+  private def isD(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.dot(a.asInstanceOf[ArrayData], isD(left),
+      b.asInstanceOf[ArrayData], isD(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchKernels.dot($a, ${isD(left)}, $b, ${isD(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** Euclidean norm of a numeric array (sequential accumulation). */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm expects array<float|double>, got $other")
+  }
+
+  private def isD: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.norm(input.asInstanceOf[ArrayData], isD)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.SketchKernels.norm($in, $isD)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "vec_norm"
 }
 
 /** SimHash 64-component sign-sum vector over pre-hashed words. */

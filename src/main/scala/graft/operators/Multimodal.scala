@@ -85,6 +85,52 @@ object Multimodal {
     })
   }
 
+  /** STUB resize: deterministic re-sample of the payload to a byte budget
+    * proportional to the target dimensions. Real plumbing: rows are
+    * processed in fixed-size batches per partition — the shape a GPU/SIMD
+    * codec needs (hand a batch to the library, get a batch back) — and
+    * metadata (width/height) updates with the payload. Replace the loop
+    * body with the real resampler in production. */
+  def resize(media: Dataset[MediaItem], targetW: Int, targetH: Int,
+      batchSize: Int = 64): Dataset[MediaItem] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => // batched codec-call shape
+        batch.map { m =>
+          val budget = math.max(1, targetW * targetH / 64)
+          val out = new Array[Byte](math.min(budget, math.max(1, m.content.length)))
+          var i = 0
+          while (i < out.length) { // deterministic stride re-sample
+            out(i) = m.content((i.toLong * m.content.length / out.length).toInt)
+            i += 1
+          }
+          m.copy(content = out, width = targetW, height = targetH)
+        }
+      }
+    }
+  }
+
+  /** STUB augmentation: each input row fans out to `variants` output rows
+    * (original + deterministic transforms — here byte-reverse and cyclic
+    * shift stand in for flip/rotate). The contract that matters at scale:
+    * fan-out happens on executors (flatMap), never via a driver loop, and
+    * the variant id is part of the row so downstream dedup/shuffle keys
+    * stay unique. */
+  def augment(media: Dataset[MediaItem], variants: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      (0 until variants).map {
+        case 0 => (m.media_id, 0, m.content)
+        case 1 => (m.media_id, 1, m.content.reverse)
+        case v =>
+          val shift = v % math.max(1, m.content.length)
+          (m.media_id, v, m.content.drop(shift) ++ m.content.take(shift))
+      }
+    }.toDF("media_id", "variant", "content")
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * offset (every `everyMs` milliseconds of duration). */
   def sampleFrames(media: Dataset[MediaItem], everyMs: Long): DataFrame =

@@ -38,16 +38,39 @@ object Similarity {
       Internals.expression(a), Internals.expression(b)))
   }
 
+  /** Kernel dot product (sequential accumulation, same order as
+    * [[cosine]]'s dot term). */
+  def dotKernel(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftaccess.Internals
+    Internals.column(graft.functions.DotProduct(
+      Internals.expression(a), Internals.expression(b)))
+  }
+
+  /** Kernel Euclidean norm — precompute ONCE per row before a pairwise
+    * join; `dotKernel(a,b) / (norm_a * norm_b)` is then bit-identical to
+    * [[cosine]] computed per pair, at a third of the per-pair FLOPs. */
+  def normKernel(a: Column): Column = {
+    import org.apache.spark.sql.graftaccess.Internals
+    Internals.column(graft.functions.VecNorm(Internals.expression(a)))
+  }
+
   /** Exact top-k neighbors by cosine for each query vector. Ties broken by
     * neighbor id for determinism. Self-pairs excluded. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normKernel(col(vecCol)).as("qn"))
+    // a small corpus often arrives as ONE parquet file = one task; spread
+    // the quadratic scoring across cores before the join (same lesson as
+    // the minhash shingle stage: repartition BEFORE the expensive work).
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      normKernel(col(vecCol)).as("nn")).repartition(par)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("qid"), col("nid"),
+        (dotKernel(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -61,10 +84,18 @@ object Similarity {
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    t.alias("a").join(t.alias("b"), col("a.id") < col("b.id"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Norms once per ROW (n sqrt+dots), not once per PAIR (n²); the pair
+    // stage is then one dot + one divide. repartition spreads the streamed
+    // side of the nested-loop join across all cores (single-file input
+    // would otherwise run the whole n² loop in one task).
+    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normKernel(col(vecCol)).as("nrm"))
+    t.repartition(par).alias("a")
+      .join(broadcast(t).alias("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        (dotKernel(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -126,6 +126,22 @@ class CatalogV2Spec extends AnyFunSuite {
       .collect().head.getLong(0) == 2)
   }
 
+  test("information_schema.columns lists catalog-table columns") {
+    spark.sql("CREATE TABLE g2.db.info (id BIGINT, name STRING)")
+    graft.engine.InfoSchema.refresh(spark)
+    val cols = spark.sql(
+      """SELECT column_name, data_type FROM __infoschema_columns
+        |WHERE table_schema = 'g2.db' AND table_name = 'info'
+        |ORDER BY ordinal_position""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols == Seq(("id", "bigint"), ("name", "string")))
+    val tabs = spark.sql(
+      """SELECT table_name FROM __infoschema_tables
+        |WHERE table_catalog = 'g2' AND table_schema = 'db'""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(tabs.contains("info"))
+  }
+
   test("table properties round-trip through SET/UNSET TBLPROPERTIES") {
     spark.sql("ALTER TABLE g2.db.tr SET TBLPROPERTIES ('graft.owner' = 'graft')")
     val show = spark.sql("SHOW TBLPROPERTIES g2.db.tr").collect()

@@ -45,6 +45,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length == 3 && feats.forall(_.feature.length == 8))
   }
 
+  test("resize sets target dims and bounds payload to the byte budget") {
+    val resized = Multimodal.resize(media, 64, 64).collect()
+    assert(resized.forall(m => m.width == 64 && m.height == 64))
+    assert(resized.forall(_.content.length <= 64 * 64 / 64))
+    // deterministic: same input → identical payloads
+    val again = Multimodal.resize(media, 64, 64).collect()
+      .map(m => m.media_id -> m.content.toSeq).toMap
+    assert(resized.forall(m => again(m.media_id) == m.content.toSeq))
+  }
+
+  test("augment fans out variants on executors with stable variant ids") {
+    val out = Multimodal.augment(media, variants = 3)
+    assert(out.count() == media.count() * 3)
+    val byVariant = out.groupBy("variant").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byVariant == Map(0 -> 500L, 1 -> 500L, 2 -> 500L))
+    // variant 1 is the byte-reverse of variant 0
+    val row = out.filter("media_id = 3").collect()
+      .map(r => r.getInt(1) -> r.getAs[Array[Byte]](2).toSeq).toMap
+    assert(row(1) == row(0).reverse)
+  }
+
   test("frame sampling yields ceil(duration/step) frames for videos") {
     val frames = Multimodal.sampleFrames(media, 5000)
       .groupBy("media_id").count().collect()
