@@ -1,0 +1,53 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance surface for MetaCatalog tables — the rebuild of
+  * Iceberg's `expire_snapshots` / orphan-file cleanup (the operational
+  * half of snapshot-based tables: without expiry, copy-on-write DELETE and
+  * OVERWRITE grow storage forever; at 100 TB this runs as a scheduled
+  * metadata-only job, never a data scan). */
+object Maintenance {
+
+  /** Resolve `cat.ns....table` to its directory under the catalog's
+    * configured warehouse. */
+  private def tableDir(spark: SparkSession, ident: String): Path = {
+    val parts = ident.split("\\.")
+    require(parts.length >= 3, s"need cat.ns.table, got $ident")
+    val wh = spark.conf.get(s"spark.sql.catalog.${parts.head}.warehouse")
+    parts.tail.foldLeft(Paths.get(wh))((p, n) => p.resolve(n))
+  }
+
+  /** Drop all but the newest `keepLast` snapshots and delete data files no
+    * surviving snapshot references. Returns (snapshots dropped, files
+    * deleted). Time travel to expired versions stops working — that is the
+    * point. */
+  def expireSnapshots(spark: SparkSession, ident: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val dir = tableDir(spark, ident)
+    val all = Snapshots.list(dir)
+    if (all.length <= keepLast) return (0, 0)
+    val (drop, keep) = all.splitAt(all.length - keepLast)
+    val live = keep.flatMap(_.files).toSet
+    val dead = drop.flatMap(_.files).toSet -- live
+    dead.foreach { f => Files.deleteIfExists(dir.resolve(f)) }
+    drop.foreach { s =>
+      Files.deleteIfExists(dir.resolve("_graft_snapshots").resolve(f"v${s.version}%08d.snap"))
+    }
+    // prune now-empty partition dirs under data/
+    val dataDir = dir.resolve("data")
+    if (Files.isDirectory(dataDir)) {
+      Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .filter(p => p != dataDir && Files.isDirectory(p))
+        .foreach { p =>
+          if (!Files.list(p).iterator().hasNext) Files.delete(p)
+        }
+    }
+    (drop.length, dead.size)
+  }
+}

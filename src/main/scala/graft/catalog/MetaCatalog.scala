@@ -150,8 +150,16 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces {
     Files.exists(schemaFile(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident))
+    if (!tableExists(ident)) {
+      // Iceberg-style metadata table: `cat.ns.t.snapshots` arrives as
+      // namespace [ns, t] + name "snapshots" — serve the commit log.
+      if (ident.name() == "snapshots" && ident.namespace().nonEmpty) {
+        val base = Identifier.of(ident.namespace().init, ident.namespace().last)
+        if (tableExists(base))
+          return new SnapshotsTable(s"${fullName(base)}.snapshots", tablePath(base))
+      }
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    }
     buildTable(ident, pinned = None)
   }
 

@@ -126,6 +126,40 @@ class CatalogV2Spec extends AnyFunSuite {
       .collect().head.getLong(0) == 2)
   }
 
+  test(".snapshots metadata table lists the commit log") {
+    spark.sql("CREATE TABLE g2.db.log (a INT)")          // v1
+    spark.sql("INSERT INTO g2.db.log VALUES (1)")        // v2
+    spark.sql("INSERT INTO g2.db.log VALUES (2), (3)")   // v3
+    val snaps = spark.sql(
+      "SELECT version, n_files FROM g2.db.log.snapshots ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(snaps.map(_._1) == Seq(1L, 2L, 3L))
+    assert(snaps.head._2 == 0)                            // v1 empty
+    assert(snaps(1)._2 > 0 && snaps(2)._2 > snaps(1)._2)  // files accumulate
+    // committed_at is monotone
+    val ts = spark.sql("SELECT committed_at FROM g2.db.log.snapshots ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(ts.sorted.toSeq == ts.toSeq)
+  }
+
+  test("expireSnapshots drops history and deletes orphaned files") {
+    spark.sql("CREATE TABLE g2.db.exp (a INT)")
+    spark.sql("INSERT INTO g2.db.exp VALUES (1)")
+    spark.sql("INSERT OVERWRITE g2.db.exp VALUES (2)")   // v2's file now orphanable
+    spark.sql("INSERT INTO g2.db.exp VALUES (3)")        // v4: files of v3+v4
+    val (droppedSnaps, deletedFiles) =
+      graft.catalog.Maintenance.expireSnapshots(spark, "g2.db.exp", keepLast = 2)
+    assert(droppedSnaps == 2)     // v1 (empty) + v2
+    assert(deletedFiles >= 1)     // v2's overwritten file physically gone
+    // current reads unaffected; expired version now unreadable
+    assert(spark.sql("SELECT sum(a) FROM g2.db.exp").collect().head.getLong(0) == 5)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g2.db.exp VERSION AS OF 2").collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM g2.db.exp.snapshots")
+      .collect().head.getLong(0) == 2)
+  }
+
   test("information_schema.columns lists catalog-table columns") {
     spark.sql("CREATE TABLE g2.db.info (id BIGINT, name STRING)")
     graft.engine.InfoSchema.refresh(spark)

@@ -75,4 +75,34 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q_dedup_minhash")
     assert(p.contains("minhash_signature"), "kernel expression must be in the plan")
   }
+
+  test("bucketed tables join with zero exchanges (co-located shuffle-free join)") {
+    // The 100 TB pattern: pre-bucket both sides of a recurring join key so
+    // every future join is a local zip of sorted buckets — no exchange of
+    // fact data ever again. Broadcast is disabled to prove the co-location
+    // (at real scale neither side broadcasts).
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${p.take(1200)}")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
