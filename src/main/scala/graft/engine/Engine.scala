@@ -33,10 +33,18 @@ final class Engine(root: SparkSession) {
       session: SparkSession,
       sql: String,
       var params: Seq[String] = Nil,
-      var result: Option[(StructType, Array[Row])] = None)
+      var result: Option[(StructType, Array[Row])] = None,
+      var touchedMs: Long = System.currentTimeMillis())
 
   private val sessions = new ConcurrentHashMap[String, SparkSession]()
   private val statements = new ConcurrentHashMap[String, Statement]()
+
+  /** Cached results live in driver memory (collect-then-cache, like the
+    * reference's server-side cache at lib.rs:333-344) — a long-lived
+    * service must bound them. Prepare evicts the oldest-idle statement
+    * beyond this cap; [[gc]] sweeps idle/orphaned ones. */
+  private val maxStatements: Int =
+    sys.env.getOrElse("GRAFT_MAX_STATEMENTS", "1024").toInt
 
   /** Basic auth (env-driven like lib.rs:223-226); returns bearer token. */
   def handshake(user: String, password: String): Either[String, String] = {
@@ -76,8 +84,28 @@ final class Engine(root: SparkSession) {
     val st = Statement(session(token), sql)
     val handle = UUID.randomUUID().toString
     val schema = scala.util.Try(plan(st).schema).getOrElse(StructType(Nil))
+    while (statements.size() >= maxStatements) evictOldest()
     statements.put(handle, st)
     (handle, schema)
+  }
+
+  private def evictOldest(): Unit = {
+    import scala.jdk.CollectionConverters._
+    statements.entrySet().asScala.minByOption(_.getValue.touchedMs)
+      .foreach(e => statements.remove(e.getKey))
+  }
+
+  /** Drop statements idle longer than `ttlMillis` and statements whose
+    * session has been closed. Returns how many were collected. */
+  def gc(ttlMillis: Long): Int = {
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - ttlMillis
+    val live = sessions.values().asScala.toSet
+    val dead = statements.entrySet().asScala.filter { e =>
+      e.getValue.touchedMs < cutoff || !live.contains(e.getValue.session)
+    }.map(_.getKey).toSeq
+    dead.foreach(statements.remove)
+    dead.length
   }
 
   /** Bind positional string parameters (Utf8-only, like lib.rs:613-622). */
@@ -117,11 +145,21 @@ final class Engine(root: SparkSession) {
 
   def closeStatement(handle: String): Unit = statements.remove(handle)
 
-  def closeSession(token: String): Unit = sessions.remove(token)
+  /** Closing a session also drops its statements — their cached results
+    * are unreachable once the token is gone. */
+  def closeSession(token: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = sessions.remove(token)
+    if (s != null) {
+      statements.entrySet().asScala.filter(_.getValue.session eq s)
+        .map(_.getKey).toSeq.foreach(statements.remove)
+    }
+  }
 
   private def statement(handle: String): Statement = {
     val st = statements.get(handle)
     if (st == null) throw new IllegalArgumentException("unknown statement handle")
+    st.touchedMs = System.currentTimeMillis()
     st
   }
 }

@@ -138,4 +138,22 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.head.getString(0) == sys.env.getOrElse("CURRENT_SCHEMA", "public"))
     assert(rows.head.getString(1) == sys.env.getOrElse("CURRENT_DATABASE", "datafusion"))
   }
+
+  test("statement GC sweeps idle statements; fresh ones survive") {
+    val (stale, _) = engine.prepare(token, "SELECT 1 AS a")
+    Thread.sleep(30)
+    val (fresh, _) = engine.prepare(token, "SELECT 2 AS b")
+    assert(engine.gc(ttlMillis = 20) >= 1)
+    intercept[IllegalArgumentException] { engine.execute(stale) }
+    engine.execute(fresh) // still alive
+    engine.closeStatement(fresh)
+  }
+
+  test("closing a session drops its statements and cached results") {
+    val Right(t2) = engine.handshake("admin", "password")
+    val (h, _) = engine.prepare(t2, "SELECT 42 AS v")
+    engine.execute(h)
+    engine.closeSession(t2)
+    intercept[IllegalArgumentException] { engine.fetch(h) }
+  }
 }
