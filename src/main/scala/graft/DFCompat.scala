@@ -76,6 +76,11 @@ object DFCompat {
       case args => throw new IllegalArgumentException(
         s"date_bin expects 2 or 3 args, got ${args.length}")
     }
+    // current_time: Spark has no TIME type (SURVEY §1.2) — DataFusion's
+    // current_time becomes the query-constant wall-clock formatted as a
+    // string (CurrentTimestamp is fixed per query, so every row agrees).
+    reg("current_time")(_ =>
+      DateFormatClass(CurrentTimestamp(), Literal("HH:mm:ss")))
     reg("to_timestamp_seconds") { case Seq(e) => SecondsToTimestamp(e) }
     reg("to_timestamp_millis") { case Seq(e) => MillisToTimestamp(e) }
     reg("to_timestamp_micros") { case Seq(e) => MicrosToTimestamp(e) }

@@ -19,6 +19,16 @@ class DFCompatSpec extends AnyFunSuite {
     assert(scala.util.Try(one("SELECT digest('abc', 'blake3')")).isFailure)
   }
 
+  test("current_time returns a query-constant HH:mm:ss string (no TIME type)") {
+    val t = one("SELECT current_time()").toString
+    assert(t.matches("\\d{2}:\\d{2}:\\d{2}"), t)
+    // query-constant: every row of a multi-row scan sees the same value
+    val distinct = spark.sql(
+      "SELECT count(DISTINCT current_time()) FROM range(1000)")
+      .collect().head.getLong(0)
+    assert(distinct == 1L)
+  }
+
   test("sha2 family via sha2() covers 224/384/512") {
     assert(one("SELECT sha2('abc', 384)").toString.length == 96)
   }

@@ -139,6 +139,14 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.head.getString(1) == sys.env.getOrElse("CURRENT_DATABASE", "datafusion"))
   }
 
+  test("TIME type rejects with a clean diagnostic (SURVEY §1.2: no TIME in Spark)") {
+    val e = intercept[Exception] {
+      engine.executeQuery(token, "SELECT TIME'12:34:56' AS t")
+    }
+    assert(e.getMessage.contains("UNSUPPORTED_TIME_TYPE"),
+      s"expected the documented rejection, got: ${e.getMessage.take(200)}")
+  }
+
   test("statement GC sweeps idle statements; fresh ones survive") {
     val (stale, _) = engine.prepare(token, "SELECT 1 AS a")
     Thread.sleep(30)
