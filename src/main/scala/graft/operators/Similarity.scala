@@ -117,6 +117,73 @@ object Similarity {
     df.select(col(idCol).as("vec_id"), bucket.as("bucket"))
   }
 
+  /** IVF-style coarse quantization, the second 100 TB ANN path beside
+    * sign-LSH: assign every vector to its nearest centroid (max inner
+    * product), then search only `nprobe` inverted lists instead of the
+    * whole corpus. Centroids here are DETERMINISTIC — the first k corpus
+    * vectors — so the oracle can recompute assignments from the same
+    * literals (a trained k-means would drop in without changing the
+    * plan shape: it only swaps the centroid constants). */
+  def ivfCentroidsFrom(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[Seq[Double]] =
+    df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+
+  /** Cell id = argmax inner product over the centroid literals (first
+    * index wins ties — mirrored in the oracle's CASE order). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val dots = centroids.map(c => dotKernel(col(vecCol), typedLit(c)))
+    val best = dots.reduce((a, b) => greatest(a, b))
+    val cell = dots.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((d, i), els) => when(d === best, lit(i)).otherwise(els)
+    }
+    df.select(col(idCol).as("vec_id"), cell.as("cell"))
+  }
+
+  /** DuckDB equivalent of [[ivfAssign]] for the correctness oracle. */
+  def ivfAssignOracleSql(centroids: Seq[Seq[Double]], table: String): String = {
+    val dots = centroids.map { c =>
+      val arr = c.map(_.toString).mkString("[", ", ", "]")
+      s"list_dot_product(embedding::DOUBLE[], $arr)"
+    }
+    val best = s"greatest(${dots.mkString(", ")})"
+    val cases = dots.zipWithIndex
+      .map { case (d, i) => s"WHEN $d = $best THEN $i" }.mkString(" ")
+    s"SELECT vec_id, CAST(CASE $cases ELSE -1 END AS INT) AS cell " +
+      s"FROM $table ORDER BY vec_id"
+  }
+
+  /** IVF search: score only vectors whose cell is among the query's
+    * `nprobe` best centroids, then exact top-k rerank within candidates.
+    * At 100 TB the corpus side is pre-partitioned by cell, so a probe
+    * touches nprobe/k of the data. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], nprobe: Int,
+      k: Int): DataFrame = {
+    val assigned = corpus.join(
+      ivfAssign(corpus, idCol, vecCol, centroids)
+        .withColumnRenamed("vec_id", "__cell_id"),
+      col(idCol) === col("__cell_id"))
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        normKernel(col(vecCol)).as("nn"), col("cell"))
+    val qDots = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotKernel(col("qv"), typedLit(c)).as("d"), lit(i).as("i"))
+    }
+    val probes = slice(reverse(array_sort(array(qDots: _*))), 1, nprobe)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        normKernel(col(vecCol)).as("qn"))
+      .withColumn("probe_cells", transform(probes, p => p.getField("i")))
+    val scored = assigned.join(broadcast(q),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotKernel(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** DuckDB equivalent of [[lshBuckets]] (for the correctness oracle):
     * identical plane literals, list_dot_product, same bit weights. */
   def lshBucketsOracleSql(nPlanes: Int, dim: Int, table: String): String = {

@@ -160,6 +160,29 @@ object Pipeline {
       Similarity.lshBuckets(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", nPlanes = 8, dim = 64)
         .orderBy("vec_id")
+    },
+
+    // IVF coarse quantization (the second ANN scale path beside sign-LSH):
+    // centroids are the first 16 corpus vectors on BOTH sides, so the
+    // oracle recomputes identical assignments with no shared literals.
+    Probe.df("q_ann_ivf",
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |         embedding::DOUBLE[] AS c
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |best AS (
+        |  SELECT e.vec_id, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c) DESC,
+        |               c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c)
+        |SELECT vec_id, CAST(cell AS INT) AS cell FROM best
+        |WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsFrom(e, "vec_id", "embedding", 16)
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .orderBy("vec_id")
     }
   )
 }

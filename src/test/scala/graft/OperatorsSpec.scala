@@ -69,6 +69,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b(1L) == b(2L))
   }
 
+  test("IVF assignment + probed search recovers brute-force neighbors") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.ivfCentroidsFrom(emb, "vec_id", "embedding", 8)
+    assert(cents.length == 8 && cents.head.length == 64)
+    // every vector lands in exactly one cell, all cells in [0, 8)
+    val cells = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val dist = cells.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dist.keySet.forall(c => c >= 0 && c < 8))
+    assert(dist.values.sum == emb.count())
+    // with nprobe = all cells, IVF == brute force exactly
+    val queries = emb.filter($"vec_id" < 3)
+    val ivfAll = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        cents, nprobe = 8, k = 5)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfAll == bf)
+    // with nprobe = 2 the probe touches a fraction of the corpus but still
+    // finds most true neighbors (recall sanity, not exactness)
+    val ivf2 = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        cents, nprobe = 2, k = 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfPairs = bf.map(t => (t._1, t._2))
+    assert(ivf2.intersect(bfPairs).size >= bfPairs.size / 2,
+      s"recall too low: ${ivf2.intersect(bfPairs).size}/${bfPairs.size}")
+  }
+
   test("text stats formulas") {
     val out = TextAnalysis.stats(docs.filter($"doc_id" === 1), "doc_id", "text")
       .collect().head
