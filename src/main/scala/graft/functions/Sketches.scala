@@ -74,6 +74,50 @@ object SketchKernels {
   def norm(a: ArrayData, aDouble: Boolean): Double =
     math.sqrt(dot(a, aDouble, a, aDouble))
 
+  /** LSH band keys from a minhash signature: one 64-bit key per band,
+    * mixing the band's r signature values with an avalanche hash. Keys
+    * only need to collide iff the r-value slices are equal — they bucket
+    * candidates, they're not compared cross-engine — so hashing the raw
+    * longs replaces the interpreted slice→stringify→concat→xxhash chain. */
+  def bandKeys(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    var i = 0
+    while (b < bands) {
+      var h = -7046029254386353131L // xxhash64 prime seed
+      var j = 0
+      while (j < r) {
+        h = java.lang.Long.rotateLeft(h ^ (sig.getLong(i) * -4417276706812531889L), 27)
+        h = h * -7046029254386353131L + 0x165667b19e3779f9L
+        i += 1; j += 1
+      }
+      h ^= h >>> 33; h *= -4417276706812531889L; h ^= h >>> 29
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash 16-bit band keys: 4 keys, bit j set iff component > 0 —
+    * value-identical to the declarative Σ 2^j formulation it replaces. */
+  def simhashBands(sv: ArrayData): ArrayData = {
+    val out = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var key = 0L
+      var j = 0
+      while (j < 16) {
+        if (sv.getLong(b * 16 + j) > 0) key |= (1L << j)
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64 signed bit-sum components over word hashes. */
   def simhash(hashes: ArrayData): ArrayData = {
     val acc = new Array[Long](64)
@@ -215,6 +259,34 @@ case class VecNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "vec_norm"
+}
+
+/** LSH band keys from a minhash signature (position = band index). */
+case class BandKeys(child: Expression, bands: Int) extends LongArrayKernel {
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.bandKeys(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.SketchKernels.bandKeys($in, $bands)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "band_keys"
+}
+
+/** SimHash 4×16-bit band keys from the 64-component sign vector. */
+case class SimHashBands(child: Expression) extends LongArrayKernel {
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.simhashBands(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.SketchKernels.simhashBands($in)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "simhash_bands"
 }
 
 /** SimHash 64-component sign-sum vector over pre-hashed words. */

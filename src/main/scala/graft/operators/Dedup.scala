@@ -93,7 +93,6 @@ object Dedup {
       n: Int = 3, numPerms: Int = 128, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
-    val r = numPerms / bands
     // Repartition FIRST (on the raw rows — cheap shuffle of ids+text):
     // shingling, hashing and signatures then all run post-shuffle across
     // every core even when the corpus arrives as one parquet file. The
@@ -111,13 +110,15 @@ object Dedup {
       .withColumn("sig", minhashSigFromHashes(hashShingles(col("sh")), numPerms))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Band keys from the kernel (position = band): the declarative
+    // slice→stringify→concat→xxhash chain ran as interpreted lambdas,
+    // bands× per document. Keys only bucket candidates (never compared
+    // cross-engine), so hashing the raw signature longs is equivalent.
     val banded = base.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(concat_ws("_",
-            transform(slice(col("sig"), b * lit(r) + lit(1), lit(r)),
-              v => v.cast("string")))).as("key")))).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        posexplode(org.apache.spark.sql.graftaccess.Internals.column(
+          graft.functions.BandKeys(
+            org.apache.spark.sql.graftaccess.Internals.expression(col("sig")),
+            bands))).as(Seq("band", "key")))
 
     val cand = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -134,8 +135,6 @@ object Dedup {
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
-
-  private val pow2_16: Seq[Long] = (0 until 16).map(1L << _)
 
   /** Per-document 64-dim SimHash sign vector from pre-hashed words: sum of
     * ±1 per bit of each word hash. Positive component ⇒ bit set. The word
@@ -156,20 +155,19 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val p2 = typedLit(pow2_16)
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))  // parallelism first, as in minhash
       .select(col("id"), simhashVectorFromHashes(
         transform(words(col("__text")), w => xxhash64(w))).as("sv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withBands = base.withColumn("bands",
-      transform(sequence(lit(0), lit(3)), b =>
-        aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
-          acc + when(element_at(col("sv"), b * lit(16) + j + lit(1)) > 0,
-            element_at(p2, j + lit(1))).otherwise(lit(0L)))))
-
-    val banded = withBands.select(col("id"), col("sv"),
-      posexplode(col("bands")).as(Seq("band", "key")))
+    // 4×16-bit band keys via kernel — value-identical to the declarative
+    // Σ 2^j aggregate it replaces (which ran 64 interpreted lambda evals
+    // per document).
+    val banded = base.select(col("id"), col("sv"),
+      posexplode(org.apache.spark.sql.graftaccess.Internals.column(
+        graft.functions.SimHashBands(
+          org.apache.spark.sql.graftaccess.Internals.expression(col("sv")))))
+        .as(Seq("band", "key")))
     val cand = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
