@@ -84,6 +84,11 @@ object DFCompat {
     reg("to_timestamp_seconds") { case Seq(e) => SecondsToTimestamp(e) }
     reg("to_timestamp_millis") { case Seq(e) => MillisToTimestamp(e) }
     reg("to_timestamp_micros") { case Seq(e) => MicrosToTimestamp(e) }
+    // DF to_timestamp_nanos: Spark timestamps are µs — truncate (SURVEY §2.9 ⚠)
+    reg("to_timestamp_nanos") { case Seq(e) =>
+      MicrosToTimestamp(IntegralDivide(e, Literal(1000L), EvalMode.LEGACY))
+    }
+    reg("today")(_ => CurrentDate())
 
     // --- string ---
     // DataFusion spells these with underscores; Spark's builtins are
@@ -97,6 +102,26 @@ object DFCompat {
     // --- math ---
     reg("iszero") { case Seq(e) =>
       EqualTo(Cast(e, DoubleType), Literal(0.0d))
+    }
+    // DF trunc(x[, prec]) truncates a NUMBER toward zero; Spark's trunc is
+    // date-oriented. Dispatch: a string second argument keeps Spark's
+    // TruncDate, anything else takes the numeric path
+    // signum(x) * floor(|x| * 10^p) / 10^p.
+    def numericTrunc(x: Expression, p: Expression): Expression = {
+      val p10 = Pow(Literal(10.0d), Cast(p, DoubleType))
+      val xd = Cast(x, DoubleType)
+      Multiply(
+        Cast(Signum(xd), DoubleType),
+        Divide(
+          Cast(Floor(Multiply(Abs(xd, failOnError = false), p10)), DoubleType),
+          p10))
+    }
+    reg("trunc") {
+      case Seq(x) => numericTrunc(x, Literal(0))
+      case Seq(d, f @ Literal(_, StringType)) => TruncDate(d, f)
+      case Seq(x, p) => numericTrunc(x, p)
+      case args => throw new IllegalArgumentException(
+        s"trunc expects 1 or 2 args, got ${args.length}")
     }
     reg("gcd") { case Seq(a, b) =>
       graft.functions.Gcd(Cast(a, LongType), Cast(b, LongType))
@@ -149,6 +174,15 @@ object DFCompat {
     reg("array_push_front") { case Seq(a, e) => Concat(Seq(CreateArray(Seq(e)), a)) }
     reg("array_push_back") { case Seq(a, e) => Concat(Seq(a, CreateArray(Seq(e)))) }
     reg("array_concat") { case args => Concat(args) }
+    reg("make_array") { case args => CreateArray(args) }
+    // DF string_to_array splits on a LITERAL delimiter (not a regex).
+    reg("string_to_array") {
+      case Seq(s, Literal(d, StringType)) if d != null =>
+        StringSplit(s, Literal(java.util.regex.Pattern.quote(d.toString)), Literal(-1))
+      case _ => throw new IllegalArgumentException(
+        "string_to_array requires a literal string delimiter")
+    }
+    reg("arrow_typeof") { case Seq(e) => TypeOf(e) }
     reg("array_ndims")(_ => Literal(1))
     reg("array_dims") { case Seq(a) => CreateArray(Seq(Size(a))) }
     reg("array_pop_back") { case Seq(a) =>

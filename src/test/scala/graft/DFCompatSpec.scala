@@ -19,6 +19,22 @@ class DFCompatSpec extends AnyFunSuite {
     assert(scala.util.Try(one("SELECT digest('abc', 'blake3')")).isFailure)
   }
 
+  test("numeric trunc truncates toward zero; string form stays date trunc") {
+    assert(one("SELECT trunc(3.789, 2)") == 3.78)
+    assert(one("SELECT trunc(-3.789, 2)") == -3.78)
+    assert(one("SELECT trunc(3.789)") == 3.0)
+    assert(one("SELECT trunc(DATE'2024-05-17', 'MM')").toString == "2024-05-01")
+  }
+
+  test("make_array / string_to_array / arrow_typeof / today / to_timestamp_nanos") {
+    assert(one("SELECT array_join(make_array(1, 2, 3), ',')") == "1,2,3")
+    assert(one("SELECT array_join(string_to_array('a.b.c', '.'), '|')") == "a|b|c")
+    assert(one("SELECT arrow_typeof(1)") == "int")
+    assert(one("SELECT today() = current_date()") == true)
+    assert(one("SELECT to_timestamp_nanos(1500000000000000000)").toString
+      == "2017-07-14 02:40:00.0")
+  }
+
   test("current_time returns a query-constant HH:mm:ss string (no TIME type)") {
     val t = one("SELECT current_time()").toString
     assert(t.matches("\\d{2}:\\d{2}:\\d{2}"), t)
