@@ -1,0 +1,46 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Structured-Streaming bridge over MetaCatalog tables: tail an
+  * APPEND-ONLY table as a stream — every INSERT's data files arrive as a
+  * micro-batch, so one table serves both the batch backfill
+  * (`spark.read.table`) and the live tail (`readTable` here), the
+  * two-audience pattern a 100 TB training-data pipeline needs. Built on
+  * the file-stream source (new-file discovery under `data/`), which
+  * matches snapshot semantics exactly as long as commits only ADD files:
+  * OVERWRITE / DELETE rewrite history, so they are rejected here rather
+  * than silently re-delivering rewritten rows. */
+object CatalogStreams {
+
+  /** `spark.readStream` over `cat.ns.table`. Unpartitioned, append-only
+    * tables only. */
+  def readTable(spark: SparkSession, ident: String): DataFrame = {
+    val dir = Maintenance.tableDir(spark, ident)
+    require(Files.exists(dir.resolve("_graft_schema.json")), s"no such table $ident")
+    val schema = DataType.fromJson(
+      Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
+    val props = dir.resolve("_graft_props.properties")
+    if (Files.exists(props)) {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(props)
+      try p.load(in) finally in.close()
+      require(p.getProperty("graft.partition.columns", "").isEmpty,
+        s"streaming reads of partitioned table $ident are not supported")
+    }
+    // Snapshot-files monotonicity check: any snapshot that DROPS a file
+    // (overwrite/delete/truncate) breaks append-only delivery.
+    val snaps = Snapshots.list(dir)
+    snaps.sliding(2).foreach {
+      case Seq(a, b) =>
+        require(b.files.toSet.intersect(a.files.toSet) == a.files.toSet,
+          s"table $ident has non-append history (snapshot v${b.version} " +
+            "drops files); streaming reads require append-only commits")
+      case _ => ()
+    }
+    spark.readStream.schema(schema).parquet(s"${dir.resolve("data")}/*.parquet")
+  }
+}

@@ -15,7 +15,7 @@ object Maintenance {
 
   /** Resolve `cat.ns....table` to its directory under the catalog's
     * configured warehouse. */
-  private def tableDir(spark: SparkSession, ident: String): Path = {
+  private[catalog] def tableDir(spark: SparkSession, ident: String): Path = {
     val parts = ident.split("\\.")
     require(parts.length >= 3, s"need cat.ns.table, got $ident")
     val wh = spark.conf.get(s"spark.sql.catalog.${parts.head}.warehouse")

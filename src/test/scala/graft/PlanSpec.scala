@@ -76,6 +76,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("minhash_signature"), "kernel expression must be in the plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The no-salting skew path: AQE detects the oversized partition after
+    // the shuffle writes and splits it into parallel sub-joins. Thresholds
+    // are lowered so local[32] test data trips the same logic a 100 TB
+    // skewed key would.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // a downstream agg would otherwise veto the split (extra-shuffle rule)
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.shuffle.partitions" -> "4")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 100k rows of key 0 + uniform tail vs a small dimension; the random
+      // payload must survive into the shuffle (a constant would compress
+      // below the skew threshold)
+      val left = spark.range(100000).select(
+        when($"id" < 95000, lit(0L)).otherwise($"id" % 100).as("k"),
+        sha2(concat(lit("payload_"), $"id".cast("string")), 256).as("pay"))
+      val right = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length($"pay")).as("paylen"))
+      assert(joined.collect().head.getLong(0) == 100000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew split in final plan:\n${finalPlan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero exchanges (co-located shuffle-free join)") {
     // The 100 TB pattern: pre-bucket both sides of a recurring join key so
     // every future join is a local zip of sorted buckets — no exchange of

@@ -188,6 +188,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table(out).count() == 2)
   }
 
+  test("streaming read tails an append-only MetaCatalog table") {
+    val wh = Files.createTempDirectory("graft_wh_tail").toString
+    spark.conf.set("spark.sql.catalog.gtail", "graft.catalog.MetaCatalog")
+    spark.conf.set("spark.sql.catalog.gtail.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gtail.s")
+    spark.sql("CREATE TABLE gtail.s.feed (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gtail.s.feed VALUES (1, 1.5), (2, 2.5)")
+
+    val out = s"graft_tail_out_${System.nanoTime()}"
+    val q = graft.catalog.CatalogStreams.readTable(spark, "gtail.s.feed")
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table(out).count() == 2)
+
+    spark.sql("INSERT INTO gtail.s.feed VALUES (3, 3.5)") // next micro-batch
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(out).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    // overwrite breaks append-only history → subsequent readTable refuses
+    spark.sql("INSERT OVERWRITE gtail.s.feed VALUES (9, 9.9)")
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.CatalogStreams.readTable(spark, "gtail.s.feed")
+    }
+    assert(e.getMessage.contains("non-append history"))
+  }
+
   test("session windows merge overlapping gap intervals (batch semantics)") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0),
