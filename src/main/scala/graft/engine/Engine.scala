@@ -128,6 +128,16 @@ final class Engine(root: SparkSession) {
     statement(handle).result.getOrElse(
       throw new IllegalStateException("statement not executed"))
 
+  /** Result as ONE Arrow IPC stream — the reference's actual wire format
+    * (`do_get_fallback` re-encodes cached batches, lib.rs:288-295). The
+    * statement re-executes its plan for encoding; the reference instead
+    * re-encodes its cache, but both hand the client identical bytes for
+    * identical results. */
+  def fetchArrow(handle: String): Array[Byte] = {
+    val st = statement(handle)
+    org.apache.spark.sql.graftaccess.Internals.toArrowIpc(plan(st))
+  }
+
   /** One-shot convenience: prepare + execute + fetch. */
   def executeQuery(token: String, sql: String): (StructType, Array[Row]) = {
     val (h, _) = prepare(token, sql)

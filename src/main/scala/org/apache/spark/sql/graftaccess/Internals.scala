@@ -35,6 +35,32 @@ object Internals {
   def expression(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Encode a DataFrame's result as ONE Arrow IPC stream (schema message +
+    * record batch + EOS) — the wire format of the reference's Flight
+    * `do_get` (lib.rs:288-295 encodes cached batches the same way). The
+    * distributed plan still executes on executors; only the final result
+    * is driver-encoded, mirroring the reference's server-side cache. */
+  def toArrowIpc(df: org.apache.spark.sql.DataFrame): Array[Byte] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    val rows = ds.queryExecution.executedPlan.executeCollect()
+    val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val arrowSchema = org.apache.spark.sql.util.ArrowUtils.toArrowSchema(
+      ds.schema, tz, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+    val allocator = org.apache.spark.sql.util.ArrowUtils.rootAllocator
+      .newChildAllocator("graft-ipc", 0, Long.MaxValue)
+    val root = org.apache.arrow.vector.VectorSchemaRoot.create(arrowSchema, allocator)
+    try {
+      val writer = org.apache.spark.sql.execution.arrow.ArrowWriter.create(root)
+      rows.foreach(writer.write)
+      writer.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val sw = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
+        java.nio.channels.Channels.newChannel(out))
+      sw.start(); sw.writeBatch(); sw.end(); sw.close()
+      out.toByteArray
+    } finally { root.close(); allocator.close() }
+  }
+
   /** Apply a SparkSessionExtensions' injected functions to a scratch
     * registry and list them (test support — `registerFunctions` is
     * private[sql]). */

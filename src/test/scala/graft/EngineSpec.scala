@@ -147,6 +147,28 @@ class EngineSpec extends AnyFunSuite {
       s"expected the documented rejection, got: ${e.getMessage.take(200)}")
   }
 
+  test("fetchArrow returns a readable Arrow IPC stream (lib.rs:288-295)") {
+    val (h, _) = engine.prepare(token,
+      "SELECT id, concat('n', CAST(id AS STRING)) AS name FROM range(5)")
+    engine.execute(h)
+    val bytes = engine.fetchArrow(h)
+    engine.closeStatement(h)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      assert(reader.loadNextBatch())
+      val root = reader.getVectorSchemaRoot
+      assert(root.getRowCount == 5)
+      assert(root.getSchema.getFields.size() == 2)
+      val ids = root.getVector("id").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+      assert((0 until 5).map(ids.get) == Seq(0L, 1L, 2L, 3L, 4L))
+      val names = root.getVector("name").asInstanceOf[org.apache.arrow.vector.VarCharVector]
+      assert(new String(names.get(3)) == "n3")
+      assert(!reader.loadNextBatch()) // EOS after the single batch
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("statement GC sweeps idle statements; fresh ones survive") {
     val (stale, _) = engine.prepare(token, "SELECT 1 AS a")
     Thread.sleep(30)
