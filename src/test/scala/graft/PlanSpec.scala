@@ -76,6 +76,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("minhash_signature"), "kernel expression must be in the plan")
   }
 
+  test("CACHE TABLE serves repeat scans from the columnar cache") {
+    spark.sql("CACHE TABLE cached_nation AS SELECT * FROM nation")
+    try {
+      val p = spark.sql(
+        "SELECT n_name FROM cached_nation WHERE n_regionkey = 1")
+        .queryExecution.executedPlan.toString
+      // Spark 4 spells the cached scan "Scan In-memory table"; the
+      // InMemoryRelation lineage below it still PRINTS the FileScan it was
+      // built from, but execution reads the columnar cache.
+      assert(p.contains("Scan In-memory table"), p.take(800))
+    } finally spark.sql("UNCACHE TABLE cached_nation")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // The no-salting skew path: AQE detects the oversized partition after
     // the shuffle writes and splits it into parallel sub-joins. Thresholds
