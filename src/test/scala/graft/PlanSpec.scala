@@ -76,6 +76,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("minhash_signature"), "kernel expression must be in the plan")
   }
 
+  test("AQE converts a sort-merge join to broadcast at runtime") {
+    // Static planning can't see filter selectivity; AQE measures the
+    // actual shuffle output and swaps in a broadcast join — the runtime
+    // re-plan that saves the fact-side shuffle at scale.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // static: never
+    try {
+      val big = spark.range(200000).select($"id".as("k"), ($"id" * 3).as("v"))
+      val small = spark.range(100000).select($"id".as("k"))
+        .filter($"k" % 1000 === 0) // tiny AFTER the filter; static est is big
+      val j = big.join(small, "k").agg(count(lit(1)))
+      assert(j.collect().head.getLong(0) == 100L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"expected runtime broadcast conversion:\n${p.take(1200)}")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("CACHE TABLE serves repeat scans from the columnar cache") {
     spark.sql("CACHE TABLE cached_nation AS SELECT * FROM nation")
     try {
