@@ -149,6 +149,26 @@ object Dedup {
   def simhashVector(text: Column): Column =
     simhashVectorFromHashes(transform(words(text), w => xxhash64(w)))
 
+  /** SimHash band keys over DuckDB-REPLICABLE word hashes: the 60-bit
+    * prefix of md5(word) (both engines render the same lowercase hex, and
+    * 15 hex chars fit a BIGINT under ANSI). This is the cross-engine
+    * oracle for the SimHash mechanism itself — [[simhashPairs]] keeps
+    * xxhash64 (faster, Spark-only) for the production path; the sketch
+    * math is the identical kernel in both. */
+  def simhashMd5Bands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftaccess.Internals
+    val hs = transform(words(col(textCol)), w =>
+      conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    df.select(col(idCol).as("doc_id"),
+        Internals.column(graft.functions.SimHashBands(
+          Internals.expression(simhashVectorFromHashes(hs)))).as("__bands"))
+      .select(col("doc_id"),
+        element_at(col("__bands"), 1).as("k0"),
+        element_at(col("__bands"), 2).as("k1"),
+        element_at(col("__bands"), 3).as("k2"),
+        element_at(col("__bands"), 4).as("k3"))
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band keys (two docs within Hamming
     * distance 3 must agree on ≥1 band) → bucket join → exact Hamming
     * verification. Same shuffle shape as MinHash-LSH. */

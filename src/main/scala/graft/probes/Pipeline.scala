@@ -78,6 +78,36 @@ object Pipeline {
         .orderBy("ida", "idb")
     },
 
+    // SimHash mechanism with a full cross-engine oracle: word hashes are
+    // the 60-bit md5 prefix (identical lowercase hex in both engines), so
+    // DuckDB recomputes the kernel's bit votes and band keys exactly.
+    Probe.df("q_simhash_md5",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |h AS (SELECT doc_id, list_transform(ws, s ->
+         |    CAST(list_sum(list_transform(range(15), i ->
+         |      CAST(instr('0123456789abcdef', substr(md5(s), CAST(i AS INT)+1, 1)) - 1
+         |        AS BIGINT) << CAST(4*(14-i) AS BIGINT))) AS BIGINT)) AS hs
+         |  FROM w),
+         |b AS (SELECT doc_id, list_transform(range(64), bb ->
+         |    CASE WHEN list_sum(list_transform(hs, hh ->
+         |        CASE WHEN ((hh >> CAST(bb AS BIGINT)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN 1 ELSE 0 END) AS bv
+         |  FROM h)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(16), j ->
+         |    CAST(bv[CAST(j AS INT)+1] AS BIGINT) << CAST(j AS BIGINT))) AS BIGINT) AS k0,
+         |  CAST(list_sum(list_transform(range(16), j ->
+         |    CAST(bv[CAST(j AS INT)+17] AS BIGINT) << CAST(j AS BIGINT))) AS BIGINT) AS k1,
+         |  CAST(list_sum(list_transform(range(16), j ->
+         |    CAST(bv[CAST(j AS INT)+33] AS BIGINT) << CAST(j AS BIGINT))) AS BIGINT) AS k2,
+         |  CAST(list_sum(list_transform(range(16), j ->
+         |    CAST(bv[CAST(j AS INT)+49] AS BIGINT) << CAST(j AS BIGINT))) AS BIGINT) AS k3
+         |FROM b
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.simhashMd5Bands(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     Probe.df("q_text_stats",
       s"""WITH w AS (
          |  SELECT doc_id, text, $duckWords AS ws FROM documents
