@@ -50,6 +50,26 @@ object Windows {
         |WHERE l_orderkey < 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // GROUPS frames aren't in Spark (SURVEY §2.6 gap) — the documented
+    // rewrite: dense_rank converts peer groups to consecutive integers,
+    // then a RANGE frame over the rank IS the GROUPS frame (a peer group
+    // == one dense_rank value, so rank±1 == one group either side).
+    // DuckDB 1.0 doesn't implement GROUPS either, so the oracle runs the
+    // same rewrite — the cross-engine check covers the emulation.
+    Probe.sql("q_win_frame_groups",
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_orderdate AS DATE)) AS dr
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT o_orderkey, o_orderpriority,
+        |  sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY dr
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_sum,
+        |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY dr
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_n
+        |FROM t
+        |ORDER BY o_orderkey""".stripMargin),
+
     Probe.sql("q_win_ntile",
       """SELECT o_orderkey,
         |  ntile(4) OVER w AS quartile,
