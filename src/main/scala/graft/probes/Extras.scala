@@ -1,11 +1,30 @@
 package graft.probes
 
-import graft.Probe
+import graft.{Probe, Tables}
 
 /** Late-round coverage: argmin/argmax aggregates, subquery in HAVING,
-  * inverse-trig/hyperbolic math, bit_count. */
+  * inverse-trig/hyperbolic math, bit_count, the TopKPerKey custom
+  * physical operator. */
 object Extras {
   val probes: Seq[Probe] = Seq(
+
+    // Custom whole-operator path (LogicalPlan + Strategy + SparkPlan with
+    // bounded heaps — graft.plans.TopKPerKey); oracle = the row_number
+    // window idiom it replaces.
+    Probe.df("q_topk_perkey",
+      """SELECT o_custkey, o_orderkey, rank FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin) { (s, dir) =>
+      graft.plans.TopK.perKey(Tables.load(s, dir, "orders"),
+          Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)),
+          k = 3)
+        .select("o_custkey", "o_orderkey", "rank")
+        .orderBy("o_custkey", "rank")
+    },
 
     Probe.sql2("q_agg_minby",
       """SELECT l_returnflag,

@@ -35,6 +35,20 @@ object Internals {
   def expression(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** A DataFrame's analyzed logical plan (custom-LogicalPlan composition
+    * point — `queryExecution` is public but classic-typed). */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.analyzed
+
+  /** Wrap a (possibly custom) logical plan as a DataFrame —
+    * `Dataset.ofRows` is private[sql]. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[ClassicSession], plan)
+
   /** Encode a DataFrame's result as ONE Arrow IPC stream (schema message +
     * record batch + EOS) — the wire format of the reference's Flight
     * `do_get` (lib.rs:288-295 encodes cached batches the same way). The
