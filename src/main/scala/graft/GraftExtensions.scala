@@ -18,11 +18,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `DFCompat.install(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     DFCompat.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[DFCompat.type].getName, name),
         exprs => builder(exprs)))
     }
+    // Whole-operator extension: plans graft.plans.TopKPerKeyNode (the
+    // bounded-heap per-group top-k) on every session built with these
+    // extensions; TopK.perKey also self-registers at runtime.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
