@@ -1,0 +1,28 @@
+#!/bin/bash
+# One-shot pre-flight of every gate the driver runs: compile, tests,
+# oracle verify at two scale factors, bench. Prints a summary line per
+# gate; exits non-zero on the first red gate.
+set -u
+cd "$(dirname "$0")/.."
+
+echo "== compile =="
+sbt -batch compile 2>&1 | grep -E "^\[error\]|\[success\]" | tail -3
+sbt -batch compile 2>&1 | grep -q "\[success\]" || { echo "COMPILE FAILED"; exit 1; }
+
+echo "== sbt test =="
+out=$(sbt -batch test 2>&1 | grep -E "Tests:|\*\*\*" | tail -2)
+echo "$out"
+echo "$out" | grep -q "failed 0" || { echo "TESTS FAILED"; exit 1; }
+
+for sf in sf0.01 sf0.001; do
+  echo "== verify $sf =="
+  ./tools/run.sh graft.Verify "/root/testdata/$sf" "/tmp/preflight_$sf" \
+    >/dev/null 2>"/tmp/preflight_$sf.log"
+  res=$(python3 tools/check_oracle.py "/root/testdata/$sf" "/tmp/preflight_$sf" 2>&1 | tail -1)
+  echo "$res"
+  echo "$res" | grep -q " 0 fail" || { echo "VERIFY $sf FAILED"; exit 1; }
+done
+
+echo "== bench sf0.1 =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 ./tools/run.sh graft.Bench 2>/tmp/preflight_bench.log
+echo "ALL GATES GREEN"
