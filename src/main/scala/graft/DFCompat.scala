@@ -118,8 +118,13 @@ object DFCompat {
     }
     reg("trunc") {
       case Seq(x) => numericTrunc(x, Literal(0))
-      case Seq(d, f @ Literal(_, StringType)) => TruncDate(d, f)
-      case Seq(x, p) => numericTrunc(x, p)
+      // numeric path ONLY for an unambiguous literal numeric precision —
+      // every other 2-arg form (string literal OR any non-literal fmt)
+      // keeps Spark's builtin date-trunc semantics, so existing
+      // trunc(date, fmtCol) queries don't silently change behavior.
+      case Seq(x, p @ Literal(_, ByteType | ShortType | IntegerType | LongType)) =>
+        numericTrunc(x, p)
+      case Seq(d, f) => TruncDate(d, f)
       case args => throw new IllegalArgumentException(
         s"trunc expects 1 or 2 args, got ${args.length}")
     }

@@ -52,8 +52,10 @@ class GraftTable(
       case Some(s) => s.files.map(f => tableDir.resolve(f).toString)
       case None => // pre-snapshot (v1-era) table: whole data dir
         if (!Files.isDirectory(dataDir)) Seq.empty
-        else Files.walk(dataDir).iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq
+        else scala.util.Using.resource(Files.walk(dataDir)) { st =>
+          st.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq
+        }
     }
   }
 
@@ -128,22 +130,31 @@ class GraftTable(
       val w = aligned.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
-      val moved = Files.walk(tmp).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .map { p =>
-          val rel = tmp.relativize(p)
-          val dest = dataDir.resolve(rel)
-          Files.createDirectories(dest.getParent)
-          Files.move(p, dest)
-          tableDir.relativize(dest).toString
-        }.toSeq
-      val prev = if (overwrite) Seq.empty
-        else pinned.orElse(Snapshots.latest(tableDir)).map(_.files).getOrElse(Seq.empty)
-      Snapshots.commit(tableDir, prev ++ moved)
+      // Read latest + move + publish under ONE lock — two concurrent
+      // INSERTs reading `latest` outside it would lose the first
+      // writer's files (lost update).
+      Snapshots.commitWith(tableDir) { latest =>
+        val moved = scala.util.Using.resource(Files.walk(tmp)) { st =>
+          st.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            .map { p =>
+              val rel = tmp.relativize(p)
+              val dest = dataDir.resolve(rel)
+              Files.createDirectories(dest.getParent)
+              Files.move(p, dest)
+              tableDir.relativize(dest).toString
+            }.toSeq
+        }
+        val prev = if (overwrite) Seq.empty
+          else latest.map(_.files).getOrElse(Seq.empty)
+        prev ++ moved
+      }
     } finally {
       if (Files.exists(tmp)) {
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        scala.util.Using.resource(Files.walk(tmp)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
       }
     }
   }
@@ -154,14 +165,17 @@ class GraftTable(
     filters.forall(FilterToColumn.translate(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    import org.apache.spark.sql.functions.{lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val cond = filters.flatMap(FilterToColumn.translate)
       .reduceOption(_ && _).getOrElse(lit(true))
     val current = spark.read
       .option("basePath", dataDir.toString)
       .schema(declaredSchema)
       .parquet(visibleFiles: _*)
-    val survivors = current.filter(not(cond))
+    // DSv2 DELETE removes rows where the predicate is TRUE; a NULL
+    // predicate (e.g. `a > 5` with a NULL) must KEEP the row — a bare
+    // not(cond) is NULL there and filter() would silently drop it.
+    val survivors = current.filter(not(coalesce(cond, lit(false))))
     commitWrite(survivors, overwrite = true)
   }
 }

@@ -41,12 +41,15 @@ object Maintenance {
     // prune now-empty partition dirs under data/
     val dataDir = dir.resolve("data")
     if (Files.isDirectory(dataDir)) {
-      Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala
-        .filter(p => p != dataDir && Files.isDirectory(p))
-        .foreach { p =>
-          if (!Files.list(p).iterator().hasNext) Files.delete(p)
-        }
+      scala.util.Using.resource(Files.walk(dataDir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .filter(p => p != dataDir && Files.isDirectory(p))
+          .foreach { p =>
+            val empty = scala.util.Using.resource(Files.list(p))(!_.iterator().hasNext)
+            if (empty) Files.delete(p)
+          }
+      }
     }
     (drop.length, dead.size)
   }

@@ -54,18 +54,20 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces {
   private def nsPath(ns: Array[String]): Path =
     ns.foldLeft(warehouse)((p, n) => p.resolve(n))
 
+  private def listDir[A](p: Path)(f: Iterator[Path] => A): A =
+    scala.util.Using.resource(Files.list(p))(st => f(st.iterator().asScala))
+
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(warehouse).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(p => Array(p.getFileName.toString)).toArray
+    listDir(warehouse)(_.filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val p = nsPath(namespace)
     if (!Files.isDirectory(p))
       throw new NoSuchNamespaceException(catalogName +: namespace)
-    Files.list(p).iterator().asScala
-      .filter(d => Files.isDirectory(d) && !Files.exists(d.resolve("_graft_schema.json")))
-      .map(d => namespace :+ d.getFileName.toString).toArray
+    listDir(p)(_.filter(d =>
+        Files.isDirectory(d) && !Files.exists(d.resolve("_graft_schema.json")))
+      .map(d => namespace :+ d.getFileName.toString).toArray)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
@@ -87,7 +89,7 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
     if (!Files.isDirectory(p)) return false
-    if (!cascade && Files.list(p).iterator().asScala.nonEmpty)
+    if (!cascade && listDir(p)(_.nonEmpty))
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     deleteRecursively(p)
     true
@@ -141,9 +143,8 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces {
     val p = nsPath(namespace)
     if (!Files.isDirectory(p))
       throw new NoSuchNamespaceException(catalogName +: namespace)
-    Files.list(p).iterator().asScala
-      .filter(d => Files.exists(d.resolve("_graft_schema.json")))
-      .map(d => Identifier.of(namespace, d.getFileName.toString)).toArray
+    listDir(p)(_.filter(d => Files.exists(d.resolve("_graft_schema.json")))
+      .map(d => Identifier.of(namespace, d.getFileName.toString)).toArray)
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -313,8 +314,9 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces {
       tablePath(Identifier.of(targetNs, newIdent.name())))
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(Files.delete)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    scala.util.Using.resource(Files.walk(p)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
 }

@@ -37,9 +37,11 @@ object Snapshots {
   def list(tableDir: Path): Seq[Snap] = {
     val d = dir(tableDir)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".snap"))
-      .map(parse).toSeq.sortBy(_.version)
+    else scala.util.Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".snap"))
+        .map(parse).toSeq.sortBy(_.version)
+    }
   }
 
   def latest(tableDir: Path): Option[Snap] = list(tableDir).lastOption
@@ -47,21 +49,36 @@ object Snapshots {
   def byVersion(tableDir: Path, version: Long): Option[Snap] =
     list(tableDir).find(_.version == version)
 
-  /** Latest snapshot whose commit time is <= tsMillis. */
+  /** Latest snapshot whose commit time is <= tsMillis. filter, not
+    * takeWhile: wall clocks step backwards (NTP), so timestamps aren't
+    * guaranteed monotone in version order. */
   def byTimestamp(tableDir: Path, tsMillis: Long): Option[Snap] =
-    list(tableDir).takeWhile(_.tsMillis <= tsMillis).lastOption
+    list(tableDir).filter(_.tsMillis <= tsMillis).lastOption
 
   /** Append the next snapshot; `files` is the COMPLETE visible file list. */
-  def commit(tableDir: Path, files: Seq[String]): Snap = synchronized {
-    val d = dir(tableDir)
-    Files.createDirectories(d)
-    val next = latest(tableDir).map(_.version + 1).getOrElse(1L)
-    val snap = Snap(next, System.currentTimeMillis(), files)
-    val body = (snap.tsMillis.toString +: files).mkString("\n")
-    val tmp = d.resolve(f".v$next%08d.snap.tmp")
-    Files.writeString(tmp, body)
-    Files.move(tmp, d.resolve(f"v$next%08d.snap"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    snap
-  }
+  def commit(tableDir: Path, files: Seq[String]): Snap =
+    commitWith(tableDir)(_ => files)
+
+  /** Read-compute-commit under ONE lock: `compute` receives the latest
+    * snapshot and returns the next complete file list. Two concurrent
+    * INSERTs that each read `latest` outside the lock would otherwise
+    * both base v(N+1)/v(N+2) on vN and the first writer's files would
+    * vanish from the current view (lost update). Single-JVM lock —
+    * matches local[n]; a shared warehouse needs the CAS-on-rename this
+    * layout already supports (ATOMIC_MOVE fails if the version exists). */
+  def commitWith(tableDir: Path)(compute: Option[Snap] => Seq[String]): Snap =
+    synchronized {
+      val d = dir(tableDir)
+      Files.createDirectories(d)
+      val prev = latest(tableDir)
+      val files = compute(prev)
+      val next = prev.map(_.version + 1).getOrElse(1L)
+      val snap = Snap(next, System.currentTimeMillis(), files)
+      val body = (snap.tsMillis.toString +: files).mkString("\n")
+      val tmp = d.resolve(f".v$next%08d.snap.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, d.resolve(f"v$next%08d.snap"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      snap
+    }
 }

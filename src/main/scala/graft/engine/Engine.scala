@@ -44,7 +44,7 @@ final class Engine(root: SparkSession) {
     * service must bound them. Prepare evicts the oldest-idle statement
     * beyond this cap; [[gc]] sweeps idle/orphaned ones. */
   private val maxStatements: Int =
-    sys.env.getOrElse("GRAFT_MAX_STATEMENTS", "1024").toInt
+    math.max(1, sys.env.getOrElse("GRAFT_MAX_STATEMENTS", "1024").toInt)
 
   /** Basic auth (env-driven like lib.rs:223-226); returns bearer token. */
   def handshake(user: String, password: String): Either[String, String] = {

@@ -52,11 +52,14 @@ object InfoSchema {
       .toDF("table_catalog", "table_schema", "table_name", "is_temporary")
       .createOrReplaceTempView("__infoschema_views")
 
-    val sessionCols = sessionTables.flatMap { case (_, db, name, _, _) =>
+    // (table_catalog, table_schema) spellings MUST match the tables view
+    // row for row — the standard introspection join is
+    // tables JOIN columns USING (table_catalog, table_schema, table_name).
+    val sessionCols = sessionTables.flatMap { case (cat, db, name, _, _) =>
       val ident = if (db.isEmpty) name else s"$db.$name"
       scala.util.Try(spark.catalog.listColumns(ident).collect()).toOption
         .getOrElse(Array.empty).zipWithIndex.map { case (c, i) =>
-          (db, name, c.name, i + 1, c.dataType, c.nullable)
+          (cat, db, name, c.name, i + 1, c.dataType, c.nullable)
         }
     }
     // v2 catalog tables: DESCRIBE is the public column surface (rows after
@@ -66,13 +69,13 @@ object InfoSchema {
         .getOrElse(Seq.empty)
         .takeWhile(r => r.getString(0).nonEmpty && !r.getString(0).startsWith("#"))
         .zipWithIndex.map { case (r, i) =>
-          (s"$cat.$ns", name, r.getString(0), i + 1, r.getString(1), true)
+          (cat, ns, name, r.getString(0), i + 1, r.getString(1), true)
         }
     }
     val cols = sessionCols ++ v2Cols
     cols
-      .toDF("table_schema", "table_name", "column_name", "ordinal_position",
-        "data_type", "is_nullable")
+      .toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "data_type", "is_nullable")
       .createOrReplaceTempView("__infoschema_columns")
 
     spark.conf.getAll.toSeq

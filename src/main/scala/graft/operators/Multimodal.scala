@@ -98,14 +98,17 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch => // batched codec-call shape
         batch.map { m =>
-          val budget = math.max(1, targetW * targetH / 64)
-          val out = new Array[Byte](math.min(budget, math.max(1, m.content.length)))
-          var i = 0
-          while (i < out.length) { // deterministic stride re-sample
-            out(i) = m.content((i.toLong * m.content.length / out.length).toInt)
-            i += 1
+          if (m.content.isEmpty) m.copy(width = targetW, height = targetH)
+          else {
+            val budget = math.max(1, targetW * targetH / 64)
+            val out = new Array[Byte](math.min(budget, m.content.length))
+            var i = 0
+            while (i < out.length) { // deterministic stride re-sample
+              out(i) = m.content((i.toLong * m.content.length / out.length).toInt)
+              i += 1
+            }
+            m.copy(content = out, width = targetW, height = targetH)
           }
-          m.copy(content = out, width = targetW, height = targetH)
         }
       }
     }

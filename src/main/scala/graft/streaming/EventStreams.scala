@@ -83,12 +83,17 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val units = Map(
+      "ms" -> 1L, "milli" -> 1L, "millisecond" -> 1L,
+      "sec" -> 1000L, "second" -> 1000L,
+      "min" -> 60000L, "minute" -> 60000L,
+      "hour" -> 3600000L, "day" -> 86400000L)
     val gapMillis = gap.trim.split("\\s+") match {
-      case Array(n, u) =>
-        val unit = u.toLowerCase.stripSuffix("s")
-        val mult = Map("millisecond" -> 1L, "second" -> 1000L, "minute" -> 60000L,
-          "hour" -> 3600000L, "day" -> 86400000L)(unit)
-        n.toLong * mult
+      case Array(n, u) if n.forall(_.isDigit) =>
+        val raw = u.toLowerCase
+        units.get(raw).orElse(units.get(raw.stripSuffix("s")))
+          .map(n.toLong * _)
+          .getOrElse(throw new IllegalArgumentException(s"bad gap unit: '$gap'"))
       case _ => throw new IllegalArgumentException(s"bad gap: '$gap'")
     }
     events

@@ -67,6 +67,29 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT a FROM g2.db.del").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("DELETE keeps rows where the predicate is NULL (three-valued logic)") {
+    spark.sql("CREATE TABLE g2.db.delnull (a INT, note STRING)")
+    spark.sql("INSERT INTO g2.db.delnull VALUES (1,'x'), (10,'y'), (NULL,'z')")
+    spark.sql("DELETE FROM g2.db.delnull WHERE a > 5")
+    // a=NULL does NOT match a>5 → must survive
+    val notes = spark.sql("SELECT note FROM g2.db.delnull ORDER BY note")
+      .collect().map(_.getString(0)).toSeq
+    assert(notes == Seq("x", "z"), notes.toString)
+  }
+
+  test("concurrent INSERTs never lose a commit (read-move-publish is atomic)") {
+    spark.sql("CREATE TABLE g2.db.conc (a INT)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val writes = (1 to 8).map { i =>
+      Future { spark.sql(s"INSERT INTO g2.db.conc VALUES ($i)") }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    assert(spark.sql("SELECT count(*) FROM g2.db.conc").collect().head.getLong(0) == 8)
+    assert(spark.sql("SELECT sum(a) FROM g2.db.conc").collect().head.getLong(0) == 36)
+  }
+
   test("ALTER TABLE ADD COLUMN: old files read NULL, new writes carry it") {
     spark.sql("CREATE TABLE g2.db.evo (a INT)")
     spark.sql("INSERT INTO g2.db.evo VALUES (1)")
@@ -165,15 +188,20 @@ class CatalogV2Spec extends AnyFunSuite {
     graft.engine.InfoSchema.refresh(spark)
     val cols = spark.sql(
       """SELECT column_name, data_type FROM __infoschema_columns
-        |WHERE table_schema = 'g2.db' AND table_name = 'info'
+        |WHERE table_catalog = 'g2' AND table_schema = 'db'
+        |  AND table_name = 'info'
         |ORDER BY ordinal_position""".stripMargin).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(cols == Seq(("id", "bigint"), ("name", "string")))
-    val tabs = spark.sql(
-      """SELECT table_name FROM __infoschema_tables
-        |WHERE table_catalog = 'g2' AND table_schema = 'db'""".stripMargin)
+    // the standard introspection join must line up row for row
+    val joined = spark.sql(
+      """SELECT c.column_name
+        |FROM __infoschema_tables t
+        |JOIN __infoschema_columns c
+        |  USING (table_catalog, table_schema, table_name)
+        |WHERE t.table_catalog = 'g2' AND t.table_name = 'info'""".stripMargin)
       .collect().map(_.getString(0)).toSet
-    assert(tabs.contains("info"))
+    assert(joined == Set("id", "name"))
   }
 
   test("table properties round-trip through SET/UNSET TBLPROPERTIES") {

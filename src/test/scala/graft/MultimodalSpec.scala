@@ -45,6 +45,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length == 3 && feats.forall(_.feature.length == 8))
   }
 
+  test("resize survives empty payloads") {
+    val s = spark
+    import s.implicits._
+    val one = Seq(Multimodal.MediaItem(1L, "image", Array.empty[Byte], 0, 0, 0L)).toDS()
+    val out = Multimodal.resize(one, 64, 64).collect().head
+    assert(out.width == 64 && out.height == 64 && out.content.isEmpty)
+  }
+
   test("resize sets target dims and bounds payload to the byte budget") {
     val resized = Multimodal.resize(media, 64, 64).collect()
     assert(resized.forall(m => m.width == 64 && m.height == 64))

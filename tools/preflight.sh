@@ -6,8 +6,9 @@ set -u
 cd "$(dirname "$0")/.."
 
 echo "== compile =="
-sbt -batch compile 2>&1 | grep -E "^\[error\]|\[success\]" | tail -3
-sbt -batch compile 2>&1 | grep -q "\[success\]" || { echo "COMPILE FAILED"; exit 1; }
+cout=$(sbt -batch compile 2>&1 | grep -E "^\[error\]|\[success\]" | tail -3)
+echo "$cout"
+echo "$cout" | grep -q "\[success\]" || { echo "COMPILE FAILED"; exit 1; }
 
 echo "== sbt test =="
 out=$(sbt -batch test 2>&1 | grep -E "Tests:|\*\*\*" | tail -2)
@@ -24,5 +25,8 @@ for sf in sf0.01 sf0.001; do
 done
 
 echo "== bench sf0.1 =="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 ./tools/run.sh graft.Bench 2>/tmp/preflight_bench.log
+bjson=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 ./tools/run.sh graft.Bench 2>/tmp/preflight_bench.log) \
+  || { echo "BENCH FAILED (see /tmp/preflight_bench.log)"; exit 1; }
+echo "$bjson"
+echo "$bjson" | grep -q '"metric":"total"' || { echo "BENCH OUTPUT MALFORMED"; exit 1; }
 echo "ALL GATES GREEN"
