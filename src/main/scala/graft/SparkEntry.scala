@@ -46,6 +46,6 @@ object SparkEntry {
     "q1_agg", "q_join_star", "q_win_rank", "q_agg_distinct",
     "q_grouping_sets", "q_corr_scalar_subquery", "q_topk", "q_date_bin",
     "q_dedup_minhash", "q_ann_topk", "q_text_stats",
-    "q_tpch_q3", "q_tpch_q18", "q_window_session", "q_dedup_cosine",
-    "q_ann_ivf")
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18",
+    "q_window_session", "q_dedup_cosine", "q_ann_ivf")
 }

@@ -22,6 +22,73 @@ object Headline {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY l_orderkey""".stripMargin),
 
+    // Q5 shape: 6-way snowflake join with a region filter + date range
+    Probe.sql2("q_tpch_q5",
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin),
+
+    // Q6 shape: pure scan-filter-aggregate (the pushdown stress case)
+    Probe.sql("q_tpch_q6",
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin),
+
+    // Q10 shape: returned-items revenue per customer, top 20
+    Probe.sql2("q_tpch_q10",
+      """SELECT c_custkey, c_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+      """SELECT c_custkey, c_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin),
+
     // Q18 shape: semi-join against a HAVING aggregate, then re-aggregate
     Probe.sql("q_tpch_q18",
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
