@@ -149,6 +149,48 @@ object Dedup {
   def simhashVector(text: Column): Column =
     simhashVectorFromHashes(transform(words(text), w => xxhash64(w)))
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * iterative min-label propagation — the step a real dedup pipeline
+    * needs after pair generation (pairs (a,b),(b,c) are ONE duplicate
+    * group; keep min-id, drop the rest). Each iteration is one
+    * groupBy-min over the edge list; iterations = component diameter,
+    * which for near-dup clusters is tiny. At 100 TB the same join
+    * primitive runs as the large-star/small-star CC algorithm (alternate
+    * the two propagation directions to keep components shallow); the
+    * fixpoint test is a metadata-cheap `isEmpty` on the changed set.
+    *
+    * Input: (ida, idb) pairs. Output: (id, cluster) for every id that
+    * appears in a pair, cluster = min id of its component. */
+  def clusterPairs(pairs: DataFrame, idaCol: String = "ida",
+      idbCol: String = "idb"): DataFrame = {
+    val edges = pairs.select(col(idaCol).as("src"), col(idbCol).as("dst"))
+      .union(pairs.select(col(idbCol).as("src"), col(idaCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      // each node offers its label to every neighbour; take the min seen
+      val offers = labels.join(edges, col("id") === col("src"))
+        .groupBy(col("dst").as("id2")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(offers, col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash band keys over DuckDB-REPLICABLE word hashes: the 60-bit
     * prefix of md5(word) (both engines render the same lowercase hex, and
     * 15 hex chars fit a BIGINT under ANSI). This is the cross-engine

@@ -55,6 +55,37 @@ object Pipeline {
         .orderBy("ida", "idb")
     },
 
+    // Duplicate clusters: connected components over the near-dup pairs
+    // (min-id representative per component). Oracle: recursive-CTE
+    // transitive closure over the same exact pairs.
+    Probe.df("q_dedup_clusters",
+      (duckShingleCte("documents") +
+        """
+          |, pairs AS (
+          |  SELECT * FROM (
+          |    SELECT a.doc_id AS ida, b.doc_id AS idb,
+          |      len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          |    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          |  ) WHERE jaccard >= 0.5),
+          |edges AS (
+          |  SELECT ida AS src, idb AS dst FROM pairs
+          |  UNION SELECT idb, ida FROM pairs),
+          |reach AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |  WHERE r.src <> e.dst)
+          |SELECT src AS id, least(src, min(dst)) AS cluster
+          |FROM reach
+          |GROUP BY src
+          |ORDER BY id""".stripMargin)
+        .replace("WITH w AS", "WITH RECURSIVE w AS")) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang", 3, 0.5)
+      Dedup.clusterPairs(pairs).orderBy("id")
+    },
+
     // LSH pairs vs the exact all-pairs answer (no blocking on either side)
     Probe.df("q_dedup_minhash",
       duckShingleCte("documents") +

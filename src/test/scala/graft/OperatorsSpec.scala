@@ -69,6 +69,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b(1L) == b(2L))
   }
 
+  test("clusterPairs merges transitive pairs into min-id components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (3L, 5L))
+      .toDF("ida", "idb")
+    val clusters = graft.operators.Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
   test("IVF assignment + probed search recovers brute-force neighbors") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = Similarity.ivfCentroidsFrom(emb, "vec_id", "embedding", 8)
