@@ -65,12 +65,19 @@ object Internals {
     val root = org.apache.arrow.vector.VectorSchemaRoot.create(arrowSchema, allocator)
     try {
       val writer = org.apache.spark.sql.execution.arrow.ArrowWriter.create(root)
-      rows.foreach(writer.write)
-      writer.finish()
       val out = new java.io.ByteArrayOutputStream()
       val sw = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
         java.nio.channels.Channels.newChannel(out))
-      sw.start(); sw.writeBatch(); sw.end(); sw.close()
+      val maxRecords = math.max(1,
+        ds.sparkSession.sessionState.conf.arrowMaxRecordsPerBatch)
+      sw.start()
+      rows.grouped(maxRecords).foreach { chunk =>
+        chunk.foreach(writer.write)
+        writer.finish()
+        sw.writeBatch()
+        writer.reset()
+      }
+      sw.end(); sw.close()
       out.toByteArray
     } finally { root.close(); allocator.close() }
   }

@@ -139,6 +139,24 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.head.getString(1) == sys.env.getOrElse("CURRENT_DATABASE", "datafusion"))
   }
 
+  test("object-store env contract maps onto s3a conf (main.rs:46-71)") {
+    import graft.engine.ObjectStoreConf
+    val env = Map(
+      "BUCKET" -> "lake", "AWS_ACCESS_KEY_ID" -> "ak",
+      "AWS_SECRET_ACCESS_KEY" -> "sk", "AWS_ENDPOINT" -> "http://minio:9000",
+      "AWS_ALLOW_HTTP" -> "TRUE")
+    val applied = ObjectStoreConf.applyEnv(engine.session(token), env).toMap
+    assert(applied("fs.s3a.access.key") == "ak")
+    assert(applied("fs.s3a.endpoint") == "http://minio:9000")
+    assert(applied("fs.s3a.connection.ssl.enabled") == "false")
+    val hc = engine.session(token).sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.secret.key") == "sk")
+    assert(ObjectStoreConf.warehouseRoot(env) == "s3a://lake/warehouse")
+    // missing creds → local fallback, nothing applied (reference: InMemory)
+    assert(ObjectStoreConf.applyEnv(engine.session(token), Map("BUCKET" -> "x")).isEmpty)
+    assert(!ObjectStoreConf.warehouseRoot(Map.empty).startsWith("s3a://"))
+  }
+
   test("TIME type rejects with a clean diagnostic (SURVEY §1.2: no TIME in Spark)") {
     val e = intercept[Exception] {
       engine.executeQuery(token, "SELECT TIME'12:34:56' AS t")
@@ -167,6 +185,31 @@ class EngineSpec extends AnyFunSuite {
       assert(new String(names.get(3)) == "n3")
       assert(!reader.loadNextBatch()) // EOS after the single batch
     } finally { reader.close(); alloc.close() }
+  }
+
+  test("fetchArrow chunks large results into multiple record batches") {
+    engine.session(token).conf
+      .set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try {
+      val (h, _) = engine.prepare(token, "SELECT id FROM range(250)")
+      engine.execute(h)
+      val bytes = engine.fetchArrow(h)
+      engine.closeStatement(h)
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc)
+      try {
+        var batches = 0
+        var total = 0L
+        while (reader.loadNextBatch()) {
+          batches += 1
+          total += reader.getVectorSchemaRoot.getRowCount
+        }
+        assert(batches == 3, s"expected 100+100+50 batches, got $batches")
+        assert(total == 250L)
+      } finally { reader.close(); alloc.close() }
+    } finally engine.session(token).conf
+      .unset("spark.sql.execution.arrow.maxRecordsPerBatch")
   }
 
   test("statement GC sweeps idle statements; fresh ones survive") {
