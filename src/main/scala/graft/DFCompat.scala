@@ -188,6 +188,26 @@ object DFCompat {
         "string_to_array requires a literal string delimiter")
     }
     reg("arrow_typeof") { case Seq(e) => TypeOf(e) }
+    // DF encode/decode(expr, 'base64'|'hex') are codec dispatchers; any
+    // other second argument keeps Spark's builtin charset semantics.
+    reg("encode") {
+      case Seq(e, Literal(c, StringType)) if c != null &&
+          c.toString.equalsIgnoreCase("base64") => Base64(Cast(e, BinaryType))
+      case Seq(e, Literal(c, StringType)) if c != null &&
+          c.toString.equalsIgnoreCase("hex") => Lower(Hex(Cast(e, BinaryType)))
+      case Seq(e, charset) => Encode(e, charset)
+      case args => throw new IllegalArgumentException(
+        s"encode expects 2 args, got ${args.length}")
+    }
+    reg("decode") {
+      case Seq(e, Literal(c, StringType)) if c != null &&
+          c.toString.equalsIgnoreCase("base64") => UnBase64(e)
+      case Seq(e, Literal(c, StringType)) if c != null &&
+          c.toString.equalsIgnoreCase("hex") => Unhex(e)
+      case Seq(e, charset) => StringDecode(e, charset)
+      case args => throw new IllegalArgumentException(
+        s"decode expects 2 args, got ${args.length}")
+    }
     reg("array_ndims")(_ => Literal(1))
     reg("array_dims") { case Seq(a) => CreateArray(Seq(Size(a))) }
     reg("array_pop_back") { case Seq(a) =>

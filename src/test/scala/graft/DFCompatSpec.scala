@@ -35,6 +35,15 @@ class DFCompatSpec extends AnyFunSuite {
       == "2017-07-14 02:40:00.0")
   }
 
+  test("encode/decode dispatch: base64/hex codecs vs charset fallback") {
+    assert(one("SELECT encode('abc', 'base64')") == "YWJj")
+    assert(one("SELECT encode('abc', 'hex')") == "616263")
+    assert(one("SELECT CAST(decode(encode('abc', 'base64'), 'base64') AS STRING)") == "abc")
+    assert(one("SELECT CAST(decode('616263', 'hex') AS STRING)") == "abc")
+    // non-codec second arg → Spark's charset semantics survive
+    assert(one("SELECT CAST(decode(encode('abc', 'utf-8'), 'utf-8') AS STRING)") == "abc")
+  }
+
   test("current_time returns a query-constant HH:mm:ss string (no TIME type)") {
     val t = one("SELECT current_time()").toString
     assert(t.matches("\\d{2}:\\d{2}:\\d{2}"), t)

@@ -71,6 +71,13 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
 
+  test("TPC-H Q5 snowflake: every dimension broadcasts, fact never shuffles pre-agg") {
+    val p = planOf("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "all five dims must broadcast at this size; the only exchange is the agg's")
+  }
+
   test("minhash pipeline shuffles band keys, not documents, for candidates") {
     val p = planOf("q_dedup_minhash")
     assert(p.contains("minhash_signature"), "kernel expression must be in the plan")
