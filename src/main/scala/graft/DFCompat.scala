@@ -122,7 +122,8 @@ object DFCompat {
       // every other 2-arg form (string literal OR any non-literal fmt)
       // keeps Spark's builtin date-trunc semantics, so existing
       // trunc(date, fmtCol) queries don't silently change behavior.
-      case Seq(x, p @ Literal(_, ByteType | ShortType | IntegerType | LongType)) =>
+      case Seq(x, p @ Literal(_, ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | _: DecimalType)) =>
         numericTrunc(x, p)
       case Seq(d, f) => TruncDate(d, f)
       case args => throw new IllegalArgumentException(
@@ -205,8 +206,9 @@ object DFCompat {
       case Seq(e, Literal(c, StringType)) if c != null &&
           c.toString.equalsIgnoreCase("hex") => Unhex(e)
       case Seq(e, charset) => StringDecode(e, charset)
-      case args => throw new IllegalArgumentException(
-        s"decode expects 2 args, got ${args.length}")
+      // 3+ args: Spark's Oracle-style decode(expr, search1, res1, ...,
+      // default) must keep working — pass through to the builtin.
+      case args => new Decode(args)
     }
     reg("array_ndims")(_ => Literal(1))
     reg("array_dims") { case Seq(a) => CreateArray(Seq(Size(a))) }

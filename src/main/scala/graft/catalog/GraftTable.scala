@@ -123,7 +123,14 @@ class GraftTable(
   /** Distributed write into a scratch dir, then move data files under
     * `data/` (preserving partition-dir structure) and append one snapshot.
     * Spark part-file names embed a per-job UUID, so moves never collide. */
-  private def commitWrite(data: DataFrame, overwrite: Boolean): Unit = {
+  /** `replacedBase`: the snapshot file list a rewrite (DELETE) was
+    * computed FROM — the commit replaces exactly those files and keeps
+    * anything committed since, so a concurrent INSERT between the
+    * rewrite's read and its commit survives. `overwrite` without a base
+    * (INSERT OVERWRITE / TRUNCATE) replaces the whole visible set by
+    * request. */
+  private def commitWrite(data: DataFrame, overwrite: Boolean,
+      replacedBase: Option[Seq[String]] = None): Unit = {
     val tmp = Files.createTempDirectory(s"graft_commit_${UUID.randomUUID().toString.take(8)}")
     try {
       val aligned = data.toDF(declaredSchema.fieldNames.toSeq: _*)
@@ -145,8 +152,12 @@ class GraftTable(
               tableDir.relativize(dest).toString
             }.toSeq
         }
-        val prev = if (overwrite) Seq.empty
-          else latest.map(_.files).getOrElse(Seq.empty)
+        val prev = (overwrite, replacedBase) match {
+          case (true, Some(base)) => // surgical rewrite: drop base only
+            latest.map(_.files).getOrElse(Seq.empty).diff(base)
+          case (true, None) => Seq.empty
+          case _ => latest.map(_.files).getOrElse(Seq.empty)
+        }
         prev ++ moved
       }
     } finally {
@@ -168,15 +179,27 @@ class GraftTable(
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val cond = filters.flatMap(FilterToColumn.translate)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val current = spark.read
-      .option("basePath", dataDir.toString)
-      .schema(declaredSchema)
-      .parquet(visibleFiles: _*)
-    // DSv2 DELETE removes rows where the predicate is TRUE; a NULL
-    // predicate (e.g. `a > 5` with a NULL) must KEEP the row — a bare
-    // not(cond) is NULL there and filter() would silently drop it.
-    val survivors = current.filter(not(coalesce(cond, lit(false))))
-    commitWrite(survivors, overwrite = true)
+    // One consistent base snapshot for BOTH the scan and the commit's
+    // replaced-file set (reading them separately could straddle a
+    // concurrent commit).
+    val baseSnap = Snapshots.latest(tableDir)
+    val baseFiles = baseSnap.map(_.files).getOrElse(Seq.empty)
+    val absFiles = baseSnap match {
+      case Some(s) => s.files.map(f => tableDir.resolve(f).toString)
+      case None => visibleFiles // pre-snapshot table: whole data dir
+    }
+    val survivors =
+      if (absFiles.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredSchema)
+      else spark.read
+        .option("basePath", dataDir.toString)
+        .schema(declaredSchema)
+        .parquet(absFiles: _*)
+        // DSv2 DELETE removes rows where the predicate is TRUE; a NULL
+        // predicate (e.g. `a > 5` with a NULL) must KEEP the row — a bare
+        // not(cond) is NULL there and filter() would silently drop it.
+        .filter(not(coalesce(cond, lit(false))))
+    commitWrite(survivors, overwrite = true, replacedBase = Some(baseFiles))
   }
 }
 

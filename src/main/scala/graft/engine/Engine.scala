@@ -54,6 +54,10 @@ final class Engine(root: SparkSession) {
       val token = UUID.randomUUID().toString
       val s = root.newSession()
       DFCompat.install(s)
+      // env-driven object store, exactly like the reference's server
+      // bootstrap (main.rs:46-71): S3 when the credential triple is
+      // present, local-FS fallback otherwise.
+      ObjectStoreConf.applyEnv(s)
       sessions.put(token, s)
       Right(token)
     } else Left("Invalid credentials!")  // lib.rs:237-240 wording

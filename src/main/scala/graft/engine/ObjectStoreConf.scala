@@ -38,10 +38,13 @@ object ObjectStoreConf {
   }
 
   /** Warehouse root under the configured bucket, or a local dir when the
-    * store is the local-FS fallback. */
+    * store is the local-FS fallback. Uses the SAME credential triple as
+    * [[applyEnv]] — an s3a:// root must never be returned when applyEnv
+    * configured nothing. */
   def warehouseRoot(env: Map[String, String] = sys.env): String =
-    env.get("BUCKET") match {
-      case Some(b) if env.contains("AWS_ACCESS_KEY_ID") => s"s3a://$b/warehouse"
+    (env.get("BUCKET"), env.get("AWS_ACCESS_KEY_ID"),
+        env.get("AWS_SECRET_ACCESS_KEY")) match {
+      case (Some(b), Some(_), Some(_)) => s"s3a://$b/warehouse"
       case _ => sys.props("java.io.tmpdir") + "/graft_warehouse"
     }
 }

@@ -180,6 +180,7 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // fully materialize the cache BEFORE dropping the parent
       converged = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.cluster") =!= col("o.cluster"))
@@ -188,7 +189,7 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    labels
+    labels // still persisted — callers that iterate further should unpersist
   }
 
   /** SimHash band keys over DuckDB-REPLICABLE word hashes: the 60-bit

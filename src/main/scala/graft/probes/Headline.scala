@@ -23,20 +23,7 @@ object Headline {
         |ORDER BY l_orderkey""".stripMargin),
 
     // Q5 shape: 6-way snowflake join with a region filter + date range
-    Probe.sql2("q_tpch_q5",
-      """SELECT n_name,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
-        |FROM customer
-        |JOIN orders   ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation   ON s_nationkey = n_nationkey
-        |JOIN region   ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin,
+    Probe.sql("q_tpch_q5",
       """SELECT n_name,
         |  sum(l_extendedprice * (1 - l_discount)) AS revenue
         |FROM customer
@@ -61,20 +48,7 @@ object Headline {
         |  AND l_quantity < 24""".stripMargin),
 
     // Q10 shape: returned-items revenue per customer, top 20
-    Probe.sql2("q_tpch_q10",
-      """SELECT c_custkey, c_name,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
-        |  c_acctbal, n_name
-        |FROM customer
-        |JOIN orders   ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
-        |  AND l_returnflag = 'R'
-        |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin,
+    Probe.sql("q_tpch_q10",
       """SELECT c_custkey, c_name,
         |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
         |  c_acctbal, n_name

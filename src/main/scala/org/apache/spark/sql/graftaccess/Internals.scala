@@ -68,10 +68,13 @@ object Internals {
       val out = new java.io.ByteArrayOutputStream()
       val sw = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
         java.nio.channels.Channels.newChannel(out))
-      val maxRecords = math.max(1,
-        ds.sparkSession.sessionState.conf.arrowMaxRecordsPerBatch)
+      // Spark contract: maxRecordsPerBatch <= 0 means unlimited.
+      val confMax = ds.sparkSession.sessionState.conf.arrowMaxRecordsPerBatch
+      val maxRecords = if (confMax <= 0) Int.MaxValue else confMax
       sw.start()
-      rows.grouped(maxRecords).foreach { chunk =>
+      if (rows.isEmpty) { // always at least one (empty) batch before EOS
+        writer.finish(); sw.writeBatch(); writer.reset()
+      } else rows.grouped(maxRecords).foreach { chunk =>
         chunk.foreach(writer.write)
         writer.finish()
         sw.writeBatch()
