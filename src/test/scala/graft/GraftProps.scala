@@ -94,3 +94,90 @@ object PartitionLawProps extends Properties("PartitionLaws") {
       kept == texts.map(_.toLowerCase).distinct.size
     }
 }
+
+/** Kernel expressions must be BIT-IDENTICAL to an independent plain-Scala
+  * model of the declarative formulations they replaced — the property the
+  * whole oracle-hash strategy rests on. */
+object KernelProps extends Properties("Kernels") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.SketchKernels
+
+  // EQUAL lengths: the kernels' contract is fixed-dimension embeddings
+  // (cosine min-truncates all three accumulators on ragged input, while
+  // norm sums its whole array — only equal dims make them interchangeable;
+  // a forAll over independent lengths falsifies in seconds).
+  private val pairGen: Gen[(List[Float], List[Float])] = for {
+    n <- Gen.choose(1, 64)
+    a <- Gen.listOfN(n, Gen.choose(-10.0f, 10.0f))
+    b <- Gen.listOfN(n, Gen.choose(-10.0f, 10.0f))
+  } yield (a, b)
+
+  property("cosine == dot / (norm * norm) bit-for-bit (equal dims)") =
+    Prop.forAll(pairGen) { case (a, b) =>
+      val aa = new GenericArrayData(a.map(x => x: Any).toArray)
+      val bb = new GenericArrayData(b.map(x => x: Any).toArray)
+      val cos = SketchKernels.cosine(aa, false, bb, false)
+      val viaNorms = SketchKernels.dot(aa, false, bb, false) /
+        (SketchKernels.norm(aa, false) * SketchKernels.norm(bb, false))
+      java.lang.Double.doubleToLongBits(cos) ==
+        java.lang.Double.doubleToLongBits(viaNorms) ||
+        (cos.isNaN && viaNorms.isNaN)
+    }
+
+  property("dot matches sequential fold over float->double casts") =
+    Prop.forAll(pairGen) { case (a, b) =>
+      val aa = new GenericArrayData(a.map(x => x: Any).toArray)
+      val bb = new GenericArrayData(b.map(x => x: Any).toArray)
+      val model = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      SketchKernels.dot(aa, false, bb, false) == model
+    }
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)), Gen.const(" "), Gen.const("\t"),
+    Gen.const("."), Gen.const("!"), Gen.const("the"), Gen.const("DER")
+  )).map(_.mkString)
+
+  property("TextStatsKernel matches a plain-Scala model of the declarative form") =
+    Prop.forAll(textGen) { text =>
+      val stops = List(List("the", "a", "of"), List("der", "die"))
+      val sets = stops.map { ls =>
+        val s = new java.util.HashSet[UTF8String]()
+        ls.foreach(w => s.add(UTF8String.fromString(w)))
+        s
+      }.toArray
+      val row = graft.functions.TextStatsKernel.eval(
+        UTF8String.fromString(text), sets)
+      // independent model: Java regex semantics, like the old lambdas
+      val words = text.toLowerCase.split("\\s+", -1).filter(_.nonEmpty).toList
+      val expectTokens = words.length
+      val expectSum = words.map(_.length.toLong).sum
+      val expectDistinct = words.distinct.size
+      val expectHits = stops.map(ls => words.count(ls.contains))
+      val expectJoined = words.distinct.sorted.mkString(" ")
+      val expectPunct = text.count(".,;:!?".contains(_))
+      row.getInt(0) == expectTokens &&
+        row.getLong(1) == expectSum &&
+        row.getInt(2) == expectDistinct &&
+        row.getArray(3).toIntArray.toSeq == expectHits.toSeq &&
+        row.getUTF8String(4).toString == expectJoined &&
+        row.getInt(5) == expectPunct
+    }
+
+  property("bandKeys collide iff the r-slices are equal") =
+    Prop.forAll(Gen.listOfN(8, Gen.choose(0L, 1000L)),
+        Gen.listOfN(8, Gen.choose(0L, 1000L))) { (s1, s2) =>
+      def keys(s: List[Long]): Seq[Long] =
+        SketchKernels.bandKeys(new GenericArrayData(s.map(x => x: Any).toArray), 4)
+          .toLongArray.toSeq
+      val (k1, k2) = (keys(s1), keys(s2))
+      (0 until 4).forall { b =>
+        val slice1 = s1.slice(b * 2, b * 2 + 2)
+        val slice2 = s2.slice(b * 2, b * 2 + 2)
+        if (slice1 == slice2) k1(b) == k2(b)
+        else k1(b) != k2(b) // 64-bit mix: collision ~ never at this scale
+      }
+    }
+}
