@@ -223,6 +223,33 @@ object Pipeline {
         .orderBy("vec_id")
     },
 
+    // IVF SEARCH end-to-end at nprobe = all cells, where probing is
+    // provably exhaustive — the oracle is the exact brute-force top-k.
+    // (Partial-nprobe recall is covered in OperatorsSpec; it has no exact
+    // oracle by design.)
+    Probe.df("q_ann_ivf_search",
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        |  FROM scored)
+        |SELECT qid, nid, cos, rnk FROM ranked
+        |WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsFrom(e, "vec_id", "embedding", 16)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", cents, nprobe = 16, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // IVF coarse quantization (the second ANN scale path beside sign-LSH):
     // centroids are the first 16 corpus vectors on BOTH sides, so the
     // oracle recomputes identical assignments with no shared literals.

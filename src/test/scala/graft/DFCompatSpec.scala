@@ -23,7 +23,10 @@ class DFCompatSpec extends AnyFunSuite {
     assert(one("SELECT trunc(3.789, 2)") == 3.78)
     assert(one("SELECT trunc(-3.789, 2)") == -3.78)
     assert(one("SELECT trunc(3.789)") == 3.0)
+    assert(one("SELECT trunc(3.999, 2.0)") == 3.99) // fractional literal precision
     assert(one("SELECT trunc(DATE'2024-05-17', 'MM')").toString == "2024-05-01")
+    // Oracle-style multi-arg decode passes through to the Spark builtin
+    assert(one("SELECT decode(2, 1, 'one', 2, 'two', 'other')") == "two")
   }
 
   test("make_array / string_to_array / arrow_typeof / today / to_timestamp_nanos") {
