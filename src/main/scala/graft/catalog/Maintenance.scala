@@ -22,6 +22,29 @@ object Maintenance {
     parts.tail.foldLeft(Paths.get(wh))((p, n) => p.resolve(n))
   }
 
+  /** Compact + sort-cluster a table's current snapshot — the rebuild of
+    * Iceberg's `rewrite_data_files` with a sort strategy: many small
+    * commit-sized files become `targetFiles` range-partitioned,
+    * internally sorted files, so Parquet row-group min/max stats actually
+    * prune on `sortCols` predicates (the data-skipping layout that turns
+    * a 100 TB scan into a range read). Runs as one distributed
+    * read→shuffle→write; commits ONE new snapshot (old files stay for
+    * time travel until [[expireSnapshots]]). Returns (files before,
+    * files after). */
+  def compact(spark: SparkSession, ident: String, sortCols: Seq[String],
+      targetFiles: Int): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(targetFiles >= 1 && sortCols.nonEmpty)
+    val dir = tableDir(spark, ident)
+    val before = Snapshots.latest(dir).map(_.files.length).getOrElse(0)
+    val sorted = spark.table(ident)
+      .repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    sorted.writeTo(ident).overwrite(lit(true))
+    val after = Snapshots.latest(dir).map(_.files.length).getOrElse(0)
+    (before, after)
+  }
+
   /** Drop all but the newest `keepLast` snapshots and delete data files no
     * surviving snapshot references. Returns (snapshots dropped, files
     * deleted). Time travel to expired versions stops working — that is the

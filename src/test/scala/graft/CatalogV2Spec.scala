@@ -184,6 +184,39 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(ts.sorted.toSeq == ts.toSeq)
   }
 
+  test("compact rewrites many small commits into sorted target files") {
+    spark.sql("CREATE TABLE g2.db.cmp (k INT, v STRING)")
+    (1 to 6).foreach { i => // 6 commits -> >= 6 files
+      spark.sql(s"INSERT INTO g2.db.cmp VALUES ($i, 'a$i'), (${i + 100}, 'b$i')")
+    }
+    val (before, after) =
+      graft.catalog.Maintenance.compact(spark, "g2.db.cmp", Seq("k"), targetFiles = 2)
+    assert(before >= 6, s"expected one+ file per commit, got $before")
+    assert(after <= 2, s"expected <= 2 compacted files, got $after")
+    // contents identical, history intact
+    assert(spark.sql("SELECT count(*), sum(k) FROM g2.db.cmp").collect().head
+      .toSeq == Seq(12L, (1 to 6).map(i => i + i + 100).sum.toLong))
+    assert(spark.sql("SELECT count(*) FROM g2.db.cmp VERSION AS OF 4")
+      .collect().head.getLong(0) == 6) // pre-compaction snapshot readable
+    // range clustering: each file's k-range is disjoint (sorted layout)
+    val files = graft.catalog.Snapshots
+      .latest(java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "cmp"))
+      .get.files
+    val ranges = files.map { f =>
+      val p = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "cmp").resolve(f)
+      val df = spark.read.parquet(p.toString)
+      val r = df.agg(org.apache.spark.sql.functions.min("k"),
+        org.apache.spark.sql.functions.max("k")).collect().head
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"overlapping ranges $a $b")
+      case _ => ()
+    }
+  }
+
   test("expireSnapshots drops history and deletes orphaned files") {
     spark.sql("CREATE TABLE g2.db.exp (a INT)")
     spark.sql("INSERT INTO g2.db.exp VALUES (1)")
