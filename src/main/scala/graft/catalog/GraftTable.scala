@@ -184,22 +184,31 @@ class GraftTable(
     // concurrent commit).
     val baseSnap = Snapshots.latest(tableDir)
     val baseFiles = baseSnap.map(_.files).getOrElse(Seq.empty)
-    val absFiles = baseSnap match {
-      case Some(s) => s.files.map(f => tableDir.resolve(f).toString)
+    // FILE-LEVEL PRUNING: only files whose footer stats say the predicate
+    // MIGHT match get rewritten; provably-unaffected files stay in place
+    // (after compact() sorts on the predicate column, a key-range DELETE
+    // over 100 TB rewrites O(1) files). Conservative: stats missing →
+    // rewrite.
+    val (touched, _) = baseFiles.partition(f =>
+      ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq))
+    val absTouched = baseSnap match {
+      case Some(_) => touched.map(f => tableDir.resolve(f).toString)
       case None => visibleFiles // pre-snapshot table: whole data dir
     }
+    if (baseSnap.isDefined && touched.isEmpty) return // provably a no-op
     val survivors =
-      if (absFiles.isEmpty) spark.createDataFrame(
+      if (absTouched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredSchema)
       else spark.read
         .option("basePath", dataDir.toString)
         .schema(declaredSchema)
-        .parquet(absFiles: _*)
+        .parquet(absTouched: _*)
         // DSv2 DELETE removes rows where the predicate is TRUE; a NULL
         // predicate (e.g. `a > 5` with a NULL) must KEEP the row — a bare
         // not(cond) is NULL there and filter() would silently drop it.
         .filter(not(coalesce(cond, lit(false))))
-    commitWrite(survivors, overwrite = true, replacedBase = Some(baseFiles))
+    commitWrite(survivors, overwrite = true,
+      replacedBase = Some(if (baseSnap.isDefined) touched else baseFiles))
   }
 }
 

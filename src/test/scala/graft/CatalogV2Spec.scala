@@ -217,6 +217,28 @@ class CatalogV2Spec extends AnyFunSuite {
     }
   }
 
+  test("DELETE prunes by footer stats: non-overlapping files keep their identity") {
+    spark.sql("CREATE TABLE g2.db.delprune (k INT, v STRING)")
+    spark.sql("INSERT INTO g2.db.delprune SELECT id, concat('v', id) FROM range(100)")
+    graft.catalog.Maintenance.compact(spark, "g2.db.delprune", Seq("k"), targetFiles = 4)
+    val wh = spark.conf.get("spark.sql.catalog.g2.warehouse")
+    val dir = java.nio.file.Paths.get(wh, "db", "delprune")
+    val beforeFiles = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    assert(beforeFiles.size == 4)
+    // delete a key that lives in exactly one range-partitioned file
+    spark.sql("DELETE FROM g2.db.delprune WHERE k = 7")
+    val afterFiles = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    val kept = beforeFiles.intersect(afterFiles)
+    assert(kept.size == 3, // three files provably unaffected, untouched
+      s"expected 3 surviving original files, got ${kept.size}")
+    assert(spark.sql("SELECT count(*) FROM g2.db.delprune").collect()
+      .head.getLong(0) == 99)
+    // a provable no-op DELETE commits nothing
+    val vBefore = graft.catalog.Snapshots.latest(dir).get.version
+    spark.sql("DELETE FROM g2.db.delprune WHERE k = 100000")
+    assert(graft.catalog.Snapshots.latest(dir).get.version == vBefore)
+  }
+
   test("expireSnapshots drops history and deletes orphaned files") {
     spark.sql("CREATE TABLE g2.db.exp (a INT)")
     spark.sql("INSERT INTO g2.db.exp VALUES (1)")
