@@ -141,6 +141,19 @@ class GraftTable(
       // INSERTs reading `latest` outside it would lose the first
       // writer's files (lost update).
       Snapshots.commitWith(tableDir) { latest =>
+        // Conflict validation BEFORE any file moves: a surgical rewrite
+        // whose base files are no longer all current means a concurrent
+        // rewrite won — committing anyway would duplicate survivors and
+        // resurrect deleted rows. Fail loudly (Iceberg aborts the same
+        // way); the caller retries against the new snapshot.
+        replacedBase.foreach { base =>
+          val current = latest.map(_.files.toSet).getOrElse(Set.empty)
+          val gone = base.filterNot(current.contains)
+          if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"$fullName: rewrite base is stale (files ${gone.take(3).mkString(", ")}" +
+              s"${if (gone.length > 3) ", …" else ""} replaced by a concurrent " +
+              "commit); retry the operation")
+        }
         val moved = scala.util.Using.resource(Files.walk(tmp)) { st =>
           st.iterator().asScala
             .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
@@ -170,6 +183,12 @@ class GraftTable(
     }
   }
 
+  /** Rewrite the given base snapshot's files with `data` — surgical
+    * (files committed since `baseFiles` survive; stale base aborts).
+    * Maintenance.compact's entry point. */
+  private[catalog] def replaceFiles(data: DataFrame, baseFiles: Seq[String]): Unit =
+    commitWrite(data, overwrite = true, replacedBase = Some(baseFiles))
+
   // --- DELETE (copy-on-write) ------------------------------------------
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -190,7 +209,8 @@ class GraftTable(
     // over 100 TB rewrites O(1) files). Conservative: stats missing →
     // rewrite.
     val (touched, _) = baseFiles.partition(f =>
-      ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq))
+      ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,
+        spark.sparkContext.hadoopConfiguration))
     val absTouched = baseSnap match {
       case Some(_) => touched.map(f => tableDir.resolve(f).toString)
       case None => visibleFiles // pre-snapshot table: whole data dir

@@ -33,16 +33,58 @@ object Maintenance {
     * files after). */
   def compact(spark: SparkSession, ident: String, sortCols: Seq[String],
       targetFiles: Int): (Int, Int) = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DataType, StructType}
     require(targetFiles >= 1 && sortCols.nonEmpty)
     val dir = tableDir(spark, ident)
-    val before = Snapshots.latest(dir).map(_.files.length).getOrElse(0)
-    val sorted = spark.table(ident)
+    // Pin ONE snapshot for both the read and the surgical commit — a
+    // writeTo().overwrite() would blanket-replace and lose any INSERT
+    // that commits while the rewrite job runs; replaceFiles keeps it and
+    // aborts if a concurrent rewrite replaced the base.
+    val base = Snapshots.latest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots for $ident"))
+    if (base.files.isEmpty) return (0, 0)
+    val schema = DataType.fromJson(
+      Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
+    val props = {
+      val f = dir.resolve("_graft_props.properties")
+      if (!Files.exists(f)) Map.empty[String, String]
+      else {
+        val p = new java.util.Properties()
+        val in = Files.newInputStream(f)
+        try p.load(in) finally in.close()
+        p.asScala.toMap
+      }
+    }
+    val parts = props.get("graft.partition.columns").toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+    val pinned = spark.read
+      .option("basePath", dir.resolve("data").toString)
+      .schema(schema)
+      .parquet(base.files.map(f => dir.resolve(f).toString): _*)
+    val sorted = pinned
       .repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    sorted.writeTo(ident).overwrite(lit(true))
+    val table = new GraftTable(ident, dir, schema, parts,
+      props - "graft.partition.columns", pinned = None)
+    table.replaceFiles(sorted, base.files)
     val after = Snapshots.latest(dir).map(_.files.length).getOrElse(0)
-    (before, after)
+    (base.files.length, after)
+  }
+
+  /** Test hook: drive a surgical rewrite from an explicitly stale base to
+    * assert the conflict-abort path (impossible to time reliably with
+    * real concurrent statements). */
+  private[graft] object CompactTestHook {
+    def replaceWithStaleBase(spark: SparkSession, ident: String,
+        staleBase: Seq[String]): Unit = {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val dir = tableDir(spark, ident)
+      val schema = DataType.fromJson(
+        Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
+      val table = new GraftTable(ident, dir, schema, Seq.empty, Map.empty, None)
+      table.replaceFiles(spark.table(ident), staleBase)
+    }
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files no

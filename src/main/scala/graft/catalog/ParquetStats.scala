@@ -21,11 +21,14 @@ import org.apache.spark.sql.sources._
   */
 object ParquetStats {
 
-  /** Could any row of `file` satisfy the conjunction of `filters`? */
-  def mayMatchAll(file: String, filters: Seq[Filter]): Boolean = {
+  /** Could any row of `file` satisfy the conjunction of `filters`?
+    * `conf` should be the session's `sparkContext.hadoopConfiguration`
+    * so object-store credentials apply. */
+  def mayMatchAll(file: String, filters: Seq[Filter],
+      conf: Configuration = new Configuration()): Boolean = {
     if (filters.isEmpty) return true
     val footer = try {
-      val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+      val in = HadoopInputFile.fromPath(new Path(file), conf)
       val r = ParquetFileReader.open(in)
       try r.getFooter finally r.close()
     } catch { case _: Exception => return true }
@@ -94,19 +97,58 @@ object ParquetStats {
     }
 
   /** Compare a stats value with a filter value; None = incomparable
-    * (conservative). Numeric types widen to double for the comparison —
-    * fine at these magnitudes for pruning (never for correctness). */
+    * (conservative — pruning on a wrong comparison SILENTLY SKIPS matching
+    * rows, so every arm must be EXACT for its types):
+    *  - integrals compare as Long, never widened to double (2^53+1 and
+    *    2^53 are distinct longs but equal doubles);
+    *  - floating point normalizes -0.0 to 0.0 (Spark: -0.0 = 0.0) and
+    *    refuses NaN stats; no int-vs-double mixing;
+    *  - strings compare by UNSIGNED UTF-8 BYTES — parquet's stats order
+    *    and Spark's UTF8String order — never UTF-16 String.compareTo;
+    *  - decimals (unscaled int/binary stats vs BigDecimal values), dates,
+    *    timestamps: incomparable here → conservative full rewrite. */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: Number, y: Number) =>
-      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case (x: java.lang.Integer, y) => cmpLong(x.longValue(), y)
+    case (x: java.lang.Long, y) => cmpLong(x.longValue(), y)
+    case (x: java.lang.Float, y) => cmpDouble(x.doubleValue(), y)
+    case (x: java.lang.Double, y) => cmpDouble(x.doubleValue(), y)
     case (x: Binary, y: String) =>
-      Some(x.toStringUsingUTF8.compareTo(y))
+      Some(unsignedBytesCompare(x.getBytes,
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case (x: String, y: Binary) =>
-      Some(x.compareTo(y.toStringUsingUTF8))
-    case (x: Binary, y: Binary) =>
-      Some(x.toStringUsingUTF8.compareTo(y.toStringUsingUTF8))
-    case (x: String, y: String) => Some(x.compareTo(y))
+      Some(unsignedBytesCompare(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8), y.getBytes))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
     case _ => None
+  }
+
+  private def cmpLong(x: Long, b: Any): Option[Int] = b match {
+    case y: java.lang.Byte => Some(java.lang.Long.compare(x, y.longValue()))
+    case y: java.lang.Short => Some(java.lang.Long.compare(x, y.longValue()))
+    case y: java.lang.Integer => Some(java.lang.Long.compare(x, y.longValue()))
+    case y: java.lang.Long => Some(java.lang.Long.compare(x, y.longValue()))
+    case _ => None // int-column stats vs non-integral value: bail out
+  }
+
+  private def cmpDouble(x: Double, b: Any): Option[Int] = {
+    val y = b match {
+      case v: java.lang.Float => v.doubleValue()
+      case v: java.lang.Double => v.doubleValue()
+      case _ => return None
+    }
+    if (x.isNaN || y.isNaN) return None // NaN-poisoned stats: no pruning
+    def norm(d: Double) = if (d == 0.0d) 0.0d else d // -0.0 == 0.0 in Spark
+    Some(java.lang.Double.compare(norm(x), norm(y)))
+  }
+
+  private def unsignedBytesCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 }

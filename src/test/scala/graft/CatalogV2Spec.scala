@@ -239,6 +239,38 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(graft.catalog.Snapshots.latest(dir).get.version == vBefore)
   }
 
+  test("DELETE on decimal/date columns stays conservative (no silent skips)") {
+    // decimal stats are unscaled ints in parquet — a naive numeric compare
+    // would prune the file and silently keep the row
+    spark.sql("CREATE TABLE g2.db.deldec (price DECIMAL(9,2), d DATE)")
+    spark.sql("INSERT INTO g2.db.deldec VALUES (5.00, DATE'2024-01-01'), " +
+      "(7.50, DATE'2024-06-01')")
+    spark.sql("DELETE FROM g2.db.deldec WHERE price = 5.00")
+    assert(spark.sql("SELECT price FROM g2.db.deldec").collect()
+      .map(_.getDecimal(0).toPlainString).toSeq == Seq("7.50"))
+    spark.sql("DELETE FROM g2.db.deldec WHERE d < DATE'2024-03-01'")
+    assert(spark.sql("SELECT count(*) FROM g2.db.deldec").collect()
+      .head.getLong(0) == 1)
+  }
+
+  test("stale-base rewrite aborts loudly instead of duplicating rows") {
+    spark.sql("CREATE TABLE g2.db.conflict (a INT)")
+    spark.sql("INSERT INTO g2.db.conflict VALUES (1), (2)")
+    val wh = spark.conf.get("spark.sql.catalog.g2.warehouse")
+    val dir = java.nio.file.Paths.get(wh, "db", "conflict")
+    val base = graft.catalog.Snapshots.latest(dir).get
+    // a competing compaction replaces the base files first
+    graft.catalog.Maintenance.compact(spark, "g2.db.conflict", Seq("a"), 1)
+    // now a rewrite still holding the OLD base must abort, not commit
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.catalog.Maintenance.CompactTestHook
+        .replaceWithStaleBase(spark, "g2.db.conflict", base.files)
+    }
+    assert(e.getMessage.contains("stale"))
+    assert(spark.sql("SELECT count(*) FROM g2.db.conflict").collect()
+      .head.getLong(0) == 2) // table unchanged
+  }
+
   test("expireSnapshots drops history and deletes orphaned files") {
     spark.sql("CREATE TABLE g2.db.exp (a INT)")
     spark.sql("INSERT INTO g2.db.exp VALUES (1)")
