@@ -65,28 +65,60 @@ object ParquetStats {
 
   /** [lo, hi] of the filter value overlaps the chunk's [min, max]. */
   private def rangeOverlaps(c: Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData],
-      lo: Any, hi: Any): Boolean =
+      lo0: Any, hi0: Any): Boolean =
     stats(c) match {
       case Some((min, max)) =>
+        val lo = normalize(lo0, c.get)
+        val hi = normalize(hi0, c.get)
         cmp(hi, min).forall(_ >= 0) && cmp(lo, max).forall(_ <= 0)
       case None => true
     }
 
   private def maxAbove(c: Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData],
-      v: Any, strict: Boolean): Boolean =
+      v0: Any, strict: Boolean): Boolean =
     stats(c) match {
       case Some((_, max)) =>
-        cmp(max, v).forall(d => if (strict) d > 0 else d >= 0)
+        cmp(max, normalize(v0, c.get)).forall(d => if (strict) d > 0 else d >= 0)
       case None => true
     }
 
   private def minBelow(c: Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData],
-      v: Any, strict: Boolean): Boolean =
+      v0: Any, strict: Boolean): Boolean =
     stats(c) match {
       case Some((min, _)) =>
-        cmp(min, v).forall(d => if (strict) d < 0 else d <= 0)
+        cmp(min, normalize(v0, c.get)).forall(d => if (strict) d < 0 else d <= 0)
       case None => true
     }
+
+  /** Convert date/timestamp filter values into the stat's physical domain
+    * — ONLY when the column's logical-type annotation proves the
+    * encoding (DATE = epoch days in INT32; TIMESTAMP(MICROS) = micros in
+    * INT64). Everything else passes through (and lands in cmp's
+    * conservative None if incomparable). All conversions are exact. */
+  private def normalize(v: Any,
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Any = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+    def isMicros = ann match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit == TimeUnit.MICROS
+      case _ => false
+    }
+    def isDate = ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+    v match {
+      case d: java.sql.Date if isDate =>
+        java.lang.Long.valueOf(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate if isDate =>
+        java.lang.Long.valueOf(d.toEpochDay)
+      case t: java.sql.Timestamp if isMicros =>
+        val secs = Math.floorDiv(t.getTime, 1000L)
+        java.lang.Long.valueOf(secs * 1000000L + t.getNanos / 1000L)
+      case i: java.time.Instant if isMicros =>
+        java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case other => other
+    }
+  }
 
   private def stats(c: Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
       : Option[(Any, Any)] =

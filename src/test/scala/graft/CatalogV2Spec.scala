@@ -239,6 +239,24 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(graft.catalog.Snapshots.latest(dir).get.version == vBefore)
   }
 
+  test("date-range DELETE prunes via logical-type-aware stats") {
+    spark.sql("CREATE TABLE g2.db.deldate (d DATE, v INT)")
+    spark.sql("""INSERT INTO g2.db.deldate
+      |SELECT date_add(DATE'2024-01-01', CAST(id AS INT)), CAST(id AS INT)
+      |FROM range(100)""".stripMargin)
+    graft.catalog.Maintenance.compact(spark, "g2.db.deldate", Seq("d"), 4)
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "deldate")
+    val before = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    // delete one early date: only the first range file may match
+    spark.sql("DELETE FROM g2.db.deldate WHERE d < DATE'2024-01-05'")
+    val after = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    assert(before.intersect(after).size == 3,
+      s"expected 3 untouched files, got ${before.intersect(after).size}")
+    assert(spark.sql("SELECT count(*) FROM g2.db.deldate").collect()
+      .head.getLong(0) == 96)
+  }
+
   test("DELETE on decimal/date columns stays conservative (no silent skips)") {
     // decimal stats are unscaled ints in parquet — a naive numeric compare
     // would prune the file and silently keep the row
