@@ -257,6 +257,31 @@ class CatalogV2Spec extends AnyFunSuite {
       .head.getLong(0) == 96)
   }
 
+  test("timestamp-range DELETE prunes via TIMESTAMP(MICROS) annotation") {
+    // Spark's default parquet timestamp encoding is legacy INT96, whose
+    // Binary stats are (correctly) not pruned; MICROS is the modern
+    // encoding the annotation-aware path reasons about.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+    spark.sql("CREATE TABLE g2.db.delts (ts TIMESTAMP, v INT)")
+    spark.sql("""INSERT INTO g2.db.delts
+      |SELECT timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2024-01-01 00:00:00'),
+      |  CAST(id AS INT)
+      |FROM range(96)""".stripMargin)
+    graft.catalog.Maintenance.compact(spark, "g2.db.delts", Seq("ts"), 4)
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "delts")
+    val before = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    spark.sql(
+      "DELETE FROM g2.db.delts WHERE ts >= TIMESTAMP'2024-01-04 22:00:00'")
+    val after = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    assert(before.intersect(after).size == 3,
+      s"expected 3 untouched files, got ${before.intersect(after).size}")
+    assert(spark.sql("SELECT count(*) FROM g2.db.delts").collect()
+      .head.getLong(0) == 94)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+  }
+
   test("DELETE on decimal/date columns stays conservative (no silent skips)") {
     // decimal stats are unscaled ints in parquet — a naive numeric compare
     // would prune the file and silently keep the row
