@@ -106,6 +106,10 @@ object ParquetStats {
       case _ => false
     }
     def isDate = ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+    def decimalScale: Option[Int] = ann match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
     v match {
       case d: java.sql.Date if isDate =>
         java.lang.Long.valueOf(d.toLocalDate.toEpochDay)
@@ -116,6 +120,17 @@ object ParquetStats {
         java.lang.Long.valueOf(secs * 1000000L + t.getNanos / 1000L)
       case i: java.time.Instant if isMicros =>
         java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case bd: java.math.BigDecimal if decimalScale.isDefined =>
+        // decimal stats are UNSCALED ints (precision <= 18 → INT32/INT64);
+        // rescale exactly or bail to conservative (setScale throws on any
+        // rounding, longValueExact on overflow — both caught below)
+        try java.lang.Long.valueOf(
+          bd.setScale(decimalScale.get).unscaledValue().longValueExact())
+        catch { case _: ArithmeticException => bd }
+      case bd: BigDecimal if decimalScale.isDefined =>
+        try java.lang.Long.valueOf(
+          bd.bigDecimal.setScale(decimalScale.get).unscaledValue().longValueExact())
+        catch { case _: ArithmeticException => bd }
       case other => other
     }
   }

@@ -282,6 +282,23 @@ class CatalogV2Spec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
   }
 
+  test("decimal-range DELETE prunes via unscaled-int stats") {
+    spark.sql("CREATE TABLE g2.db.delmoney (price DECIMAL(9,2), v INT)")
+    spark.sql("""INSERT INTO g2.db.delmoney
+      |SELECT CAST(id AS DECIMAL(9,2)) / 4, CAST(id AS INT) FROM range(100)
+      |""".stripMargin)
+    graft.catalog.Maintenance.compact(spark, "g2.db.delmoney", Seq("price"), 4)
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "delmoney")
+    val before = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    spark.sql("DELETE FROM g2.db.delmoney WHERE price < 1.00")
+    val after = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    assert(before.intersect(after).size == 3,
+      s"expected 3 untouched files, got ${before.intersect(after).size}")
+    assert(spark.sql("SELECT count(*) FROM g2.db.delmoney").collect()
+      .head.getLong(0) == 96)
+  }
+
   test("DELETE on decimal/date columns stays conservative (no silent skips)") {
     // decimal stats are unscaled ints in parquet — a naive numeric compare
     // would prune the file and silently keep the row
