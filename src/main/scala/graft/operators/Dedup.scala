@@ -15,10 +15,37 @@ import org.apache.spark.sql.functions._
   *   - exact dedup shuffles 16-byte fingerprints, not documents;
   *   - MinHash-LSH shuffles (id, band-key) pairs — candidate verification
   *     re-joins the shingle sets only for the (rare) colliding pairs;
-  *   - banding bounds the self-join blowup; heavily skewed buckets (all-
-  *     identical corpora) should additionally cap bucket size upstream.
+  *   - banding bounds the self-join blowup; skewed buckets (all-identical
+  *     corpora) are capped by [[bandedCandidates]]: oversized buckets emit
+  *     a min-id star instead of going quadratic.
   */
 object Dedup {
+
+  /** Candidate pairs from an exploded (id, band, key) table, with a skew
+    * guard: a bucket of m members normally yields m(m-1)/2 candidates, so
+    * an adversarial corpus (everything identical) turns one bucket into a
+    * quadratic self-join. Buckets larger than `maxBucket` instead emit a
+    * min-id STAR — each member paired with the bucket's min id: O(m)
+    * candidates, connectivity preserved for [[clusterPairs]], and every
+    * emitted pair still passes the exact verification downstream. Below
+    * the cap, semantics are unchanged (all in-bucket pairs). */
+  def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    val sized = banded.select(col("id"), col("band"), col("key"))
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("id")).over(w))
+    val small = sized.filter(col("bsz") <= maxBucket)
+      .select(col("id"), col("band"), col("key"))
+    val candSmall = small.alias("x").join(small.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"))
+    val candBig = sized
+      .filter(col("bsz") > maxBucket && col("id") =!= col("bmin"))
+      .select(col("bmin").as("ida"), col("id").as("idb"))
+    candSmall.union(candBig).distinct()
+  }
 
   /** Lower-cased whitespace tokens, empties dropped. */
   def words(text: Column): Column =
@@ -91,7 +118,7 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 128, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     // Repartition FIRST (on the raw rows — cheap shuffle of ids+text):
     // shingling, hashing and signatures then all run post-shuffle across
@@ -120,11 +147,7 @@ object Dedup {
             org.apache.spark.sql.graftaccess.Internals.expression(col("sig")),
             bands))).as(Seq("band", "key")))
 
-    val cand = banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("ida"), col("y.id").as("idb"))
-      .distinct()
+    val cand = bandedCandidates(banded, maxBucket)
 
     val sets = base.select(col("id"), col("sh"))
     cand
@@ -217,7 +240,7 @@ object Dedup {
     * verification. Same shuffle shape as MinHash-LSH. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))  // parallelism first, as in minhash
       .select(col("id"), simhashVectorFromHashes(
@@ -231,11 +254,7 @@ object Dedup {
         graft.functions.SimHashBands(
           org.apache.spark.sql.graftaccess.Internals.expression(col("sv")))))
         .as(Seq("band", "key")))
-    val cand = banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("ida"), col("y.id").as("idb"))
-      .distinct()
+    val cand = bandedCandidates(banded, maxBucket)
 
     val sets = base
     cand

@@ -78,10 +78,28 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
-    * cosine >= threshold. Quadratic baseline — at scale, pre-filter
-    * candidates with [[lshBuckets]] equality (appropriate for thresholds
-    * near 1.0, where sign-LSH recall is high) before the exact check. */
+    * cosine >= threshold. Dispatches on corpus size: small inputs take the
+    * exact quadratic broadcast ([[cosineNearDupPairsExact]]); anything
+    * larger takes the banded sign-LSH candidate path
+    * ([[cosineNearDupPairsLsh]]), whose cost is governed by bucket
+    * collisions instead of n². The size check reads at most
+    * `smallLimit + 1` rows (no full count). */
   def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      smallLimit: Int = 100000, bands: Int = 8, planesPerBand: Int = 8)
+      : DataFrame = {
+    val small = df.limit(smallLimit + 1).count() <= smallLimit
+    if (small) cosineNearDupPairsExact(df, idCol, vecCol, threshold)
+    else {
+      val dim = df.select(size(col(vecCol))).head().getInt(0)
+      cosineNearDupPairsLsh(df, idCol, vecCol, threshold,
+        bands, planesPerBand, dim)
+    }
+  }
+
+  /** Quadratic exact form: fine while one side fits the broadcast limit;
+    * the corpus streams through a codegen nested-loop stage. */
+  def cosineNearDupPairsExact(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
@@ -97,6 +115,80 @@ object Similarity {
         (dotKernel(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Banded sign-LSH groups: `bands` independent tables of `planesPerBand`
+    * hyperplanes each (same seeded generator as [[planes]], consumed in
+    * band-major order). */
+  def bandedPlanes(bands: Int, planesPerBand: Int,
+      dim: Int): Seq[Seq[Seq[Double]]] =
+    planes(bands * planesPerBand, dim).grouped(planesPerBand).toSeq
+
+  /** The 100 TB near-dup path — same shuffle shape as
+    * [[Dedup.minhashLshPairs]]: per-band sign-bucket keys (pure
+    * projection), candidate pairs from a (band, key) equi-join, exact
+    * cosine verification of the colliding pairs only. Nothing quadratic
+    * ever materializes: the join shuffles (id, band, key) triples and the
+    * verify join re-reads vectors for candidates only. A pair at cosine c
+    * survives with probability 1-(1-p^r)^b for p = 1 - arccos(c)/π — at
+    * the near-dup thresholds this is ~1 (c=0.95, r=8, b=8 → 0.998). */
+  def cosineNearDupPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+    val ps = bandedPlanes(bands, planesPerBand, dim)
+    val keyCols = ps.map { grp =>
+      grp.zipWithIndex.map { case (p, i) =>
+        when(dotKernel(col("v"), typedLit(p)) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        normKernel(col(vecCol)).as("nrm"))
+      .repartition(col("id"))  // parallelism before the per-row plane dots
+      .withColumn("keys", array(keyCols: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"))
+      .distinct()
+    val vecs = base.select(col("id"), col("v"), col("nrm"))
+    cand
+      .join(vecs.select(col("id").as("ida"), col("v").as("va"),
+        col("nrm").as("na")), "ida")
+      .join(vecs.select(col("id").as("idb"), col("v").as("vb"),
+        col("nrm").as("nb")), "idb")
+      .select(col("ida"), col("idb"),
+        (dotKernel(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** DuckDB equivalent of [[cosineNearDupPairsLsh]] for the correctness
+    * oracle: identical plane literals → per-band keys, pairs agreeing on
+    * ANY band, exact cosine filter. (The oracle side may go quadratic —
+    * it only ever runs at oracle scale.) */
+  def cosineLshOracleSql(bands: Int, planesPerBand: Int, dim: Int,
+      threshold: Double, table: String): String = {
+    val ps = bandedPlanes(bands, planesPerBand, dim)
+    val keyCols = ps.zipWithIndex.map { case (grp, b) =>
+      val sum = grp.zipWithIndex.map { case (p, i) =>
+        val arr = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($sum) AS k$b"
+    }.mkString(", ")
+    val anyBand = (0 until bands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+    s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+       |  $keyCols FROM $table)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM t a JOIN t b ON a.vec_id < b.vec_id AND ($anyBand))
+       |WHERE cos >= $threshold
+       |ORDER BY ida, idb""".stripMargin
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded), shared with the
@@ -130,16 +222,20 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
 
   /** Cell id = argmax inner product over the centroid literals (first
-    * index wins ties — mirrored in the oracle's CASE order). */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]]): DataFrame = {
-    val dots = centroids.map(c => dotKernel(col(vecCol), typedLit(c)))
+    * index wins ties — mirrored in the oracle's CASE order). A pure
+    * per-row expression: attach it with one `select`, never a join. */
+  def ivfCellExpr(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dots = centroids.map(c => dotKernel(vec, typedLit(c)))
     val best = dots.reduce((a, b) => greatest(a, b))
-    val cell = dots.zipWithIndex.foldRight(lit(-1): Column) {
+    dots.zipWithIndex.foldRight(lit(-1): Column) {
       case ((d, i), els) => when(d === best, lit(i)).otherwise(els)
     }
-    df.select(col(idCol).as("vec_id"), cell.as("cell"))
   }
+
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      ivfCellExpr(col(vecCol), centroids).as("cell"))
 
   /** DuckDB equivalent of [[ivfAssign]] for the correctness oracle. */
   def ivfAssignOracleSql(centroids: Seq[Seq[Double]], table: String): String = {
@@ -161,12 +257,11 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], nprobe: Int,
       k: Int): DataFrame = {
-    val assigned = corpus.join(
-      ivfAssign(corpus, idCol, vecCol, centroids)
-        .withColumnRenamed("vec_id", "__cell_id"),
-      col(idCol) === col("__cell_id"))
-      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
-        normKernel(col(vecCol)).as("nn"), col("cell"))
+    // cell assignment is a projection on the corpus scan — one pass,
+    // zero joins (the old id self-join scanned the corpus twice).
+    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      normKernel(col(vecCol)).as("nn"),
+      ivfCellExpr(col(vecCol), centroids).as("cell"))
     val qDots = centroids.zipWithIndex.map { case (c, i) =>
       struct(dotKernel(col("qv"), typedLit(c)).as("d"), lit(i).as("i"))
     }

@@ -216,6 +216,25 @@ object Pipeline {
         .orderBy("ida", "idb")
     },
 
+    // The scale path for cosine near-dup: banded sign-LSH candidates →
+    // exact cosine verify (no quadratic stage). The oracle mirrors the
+    // SAME semantics from the identical plane literals — pairs agreeing on
+    // any band, exact cosine >= 0.9 — so the match is deterministic. The
+    // corpus plants 20 exact duplicates (ids +10000) because the raw
+    // table's max off-diagonal cosine is ~0.51: without them a 0.9
+    // threshold would only ever return 0 rows.
+    Probe.df("q_dedup_cosine_lsh",
+      Similarity.cosineLshOracleSql(8, 8, 64, 0.9,
+        "(SELECT vec_id, embedding FROM embeddings UNION ALL " +
+          "SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20) u")) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val dup = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairsLsh(e.select("vec_id", "embedding").unionByName(dup),
+          "vec_id", "embedding", 0.9, bands = 8, planesPerBand = 8, dim = 64)
+        .orderBy("ida", "idb")
+    },
+
     Probe.df("q_ann_lsh",
       Similarity.lshBucketsOracleSql(8, 64, "embeddings")) { (s, dir) =>
       Similarity.lshBuckets(Tables.load(s, dir, "embeddings"),

@@ -109,6 +109,42 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall too low: ${ivf2.intersect(bfPairs).size}/${bfPairs.size}")
   }
 
+  test("oversized LSH buckets emit a bounded star, not a quadratic blowup") {
+    // 300 identical documents: every band bucket holds the whole corpus,
+    // so uncapped candidates would be 300*299/2 per band. With the cap,
+    // each oversized bucket emits a min-id star -> exactly n-1 pairs.
+    val n = 300
+    val same = spark.range(1, n + 1)
+      .select($"id".as("doc_id"),
+        lit("identical text repeated across the whole corpus").as("text"))
+    val pairs = Dedup.minhashLshPairs(same, "doc_id", "text",
+        threshold = 0.5, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == n - 1, s"expected star of ${n - 1}, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 1L), "star must anchor at the bucket min id")
+    // connectivity preserved: clustering still yields ONE component
+    val clusters = Dedup.clusterPairs(pairs.toSeq.toDF("ida", "idb"))
+      .collect().map(_.getLong(1)).toSet
+    assert(clusters == Set(1L))
+  }
+
+  test("banded cosine LSH pairs equal the exact quadratic answer on planted dups") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dup = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(dup)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairSet(Similarity.cosineNearDupPairsLsh(
+      corpus, "vec_id", "embedding", 0.9, bands = 8, planesPerBand = 8, dim = 64))
+    val exact = pairSet(Similarity.cosineNearDupPairsExact(
+      corpus, "vec_id", "embedding", 0.9))
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+    assert(exact.size == 10)
+  }
+
   test("text stats formulas") {
     val out = TextAnalysis.stats(docs.filter($"doc_id" === 1), "doc_id", "text")
       .collect().head

@@ -83,6 +83,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("minhash_signature"), "kernel expression must be in the plan")
   }
 
+  test("IVF search plans exactly one join (broadcast queries, no corpus self-join)") {
+    // Cell assignment is a projection on the corpus scan; the only join in
+    // the whole plan is the broadcast of the (tiny) query side. A second
+    // join would mean the corpus is being scanned/joined twice.
+    val p = planOf("q_ann_ivf_search")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins == 1, s"expected exactly one join, found $joins:\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+
   test("AQE converts a sort-merge join to broadcast at runtime") {
     // Static planning can't see filter selectivity; AQE measures the
     // actual shuffle output and swaps in a broadcast join — the runtime
