@@ -81,15 +81,41 @@ final class Engine(root: SparkSession) {
     else st.session.sql(sql)
   }
 
+  /** Serializes prepare's evict+put tail: check-then-act over the
+    * ConcurrentHashMap would let two concurrent prepares race past the
+    * size check, and eviction could drop a handle a peer just created
+    * (surfacing as a spurious "unknown statement handle"). */
+  private val prepareLock = new Object
+
+  /** `?` placeholders outside single-quoted literals. */
+  private def countPlaceholders(sql: String): Int = {
+    var n = 0; var inStr = false; var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (c == '?' && !inStr) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** SQL → handle + result schema (plan analyzed eagerly, not executed).
-    * For parameterized SQL the schema isn't known until bind (Spark has no
-    * typed placeholders, unlike DataFusion's $1) — empty schema then. */
+    * Parameterized text still reports its result schema, like the
+    * reference (lib.rs:702-708, where $n placeholders are typed Utf8 at
+    * prepare): the text is planned once with Utf8 dummy bindings, which
+    * matches the engine's Utf8-only bind surface. */
   def prepare(token: String, sql: String): (String, StructType) = {
     val st = Statement(session(token), sql)
     val handle = UUID.randomUUID().toString
-    val schema = scala.util.Try(plan(st).schema).getOrElse(StructType(Nil))
-    while (statements.size() >= maxStatements) evictOldest()
-    statements.put(handle, st)
+    val schema = scala.util.Try(plan(st).schema).orElse(scala.util.Try {
+      val n = countPlaceholders(sql)
+      require(n > 0)   // not a placeholder problem -> keep empty schema
+      plan(Statement(st.session, sql, Seq.fill(n)(""))).schema
+    }).getOrElse(StructType(Nil))
+    prepareLock.synchronized {
+      while (statements.size() >= maxStatements) evictOldest()
+      statements.put(handle, st)
+    }
     (handle, schema)
   }
 

@@ -2,16 +2,24 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-/** Env-driven object-store wiring, mirroring the reference's S3 setup
-  * (iceberg-datafusion-arrow-flight-sql/src/main.rs:46-71): BUCKET +
-  * AWS_ACCESS_KEY_ID + AWS_SECRET_ACCESS_KEY select S3, AWS_ENDPOINT
-  * overrides the endpoint (MinIO/localstack), AWS_ALLOW_HTTP=TRUE
-  * permits plain HTTP; with any of the three required vars missing the
-  * reference falls back to an in-memory store — here, the local
-  * filesystem. Settings land on `sparkContext.hadoopConfiguration`
-  * (runtime `spark.conf.set("spark.hadoop.*")` does NOT propagate to
-  * already-created Hadoop conf), so `s3a://` URIs work for every
-  * subsequent read/write on the session. */
+/** Env-driven object-store wiring, mirroring the reference's setup
+  * (iceberg-datafusion-arrow-flight-sql/src/main.rs:46-71, with
+  * `object_store` features aws AND gcp enabled, Cargo.toml:11):
+  *
+  *  - S3: BUCKET + AWS_ACCESS_KEY_ID + AWS_SECRET_ACCESS_KEY select S3,
+  *    AWS_ENDPOINT overrides the endpoint (MinIO/localstack),
+  *    AWS_ALLOW_HTTP=TRUE permits plain HTTP.
+  *  - GCS: BUCKET + GOOGLE_SERVICE_ACCOUNT (path to a service-account
+  *    JSON key, `object_store`'s env contract) select GCS; S3 wins when
+  *    both credential sets are present (checked first, like the
+  *    reference's aws-before-gcp builder order).
+  *  - Neither: the reference falls back to an in-memory store — here,
+  *    the local filesystem.
+  *
+  * Settings land on `sparkContext.hadoopConfiguration` (runtime
+  * `spark.conf.set("spark.hadoop.*")` does NOT propagate to the
+  * already-created Hadoop conf), so `s3a://` / `gs://` URIs work for
+  * every subsequent read/write on the session. */
 object ObjectStoreConf {
 
   /** Apply the env contract; returns the applied (key, value) pairs
@@ -30,7 +38,17 @@ object ObjectStoreConf {
           (if (env.get("AWS_ALLOW_HTTP").contains("TRUE"))
             Seq("fs.s3a.connection.ssl.enabled" -> "false")
           else Seq.empty)
-      case _ => Seq.empty // reference: in-memory store; here: local FS
+      case _ => (env.get("BUCKET"), env.get("GOOGLE_SERVICE_ACCOUNT")) match {
+        case (Some(_), Some(keyfile)) =>
+          Seq(
+            "fs.gs.impl" ->
+              "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem",
+            "fs.AbstractFileSystem.gs.impl" ->
+              "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS",
+            "fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE",
+            "fs.gs.auth.service.account.json.keyfile" -> keyfile)
+        case _ => Seq.empty // reference: in-memory store; here: local FS
+      }
     }
     val hc = spark.sparkContext.hadoopConfiguration
     settings.foreach { case (k, v) => hc.set(k, v) }
@@ -38,13 +56,16 @@ object ObjectStoreConf {
   }
 
   /** Warehouse root under the configured bucket, or a local dir when the
-    * store is the local-FS fallback. Uses the SAME credential triple as
-    * [[applyEnv]] — an s3a:// root must never be returned when applyEnv
+    * store is the local-FS fallback. Uses the SAME credential contract as
+    * [[applyEnv]] — a remote root must never be returned when applyEnv
     * configured nothing. */
   def warehouseRoot(env: Map[String, String] = sys.env): String =
     (env.get("BUCKET"), env.get("AWS_ACCESS_KEY_ID"),
         env.get("AWS_SECRET_ACCESS_KEY")) match {
       case (Some(b), Some(_), Some(_)) => s"s3a://$b/warehouse"
-      case _ => sys.props("java.io.tmpdir") + "/graft_warehouse"
+      case _ => (env.get("BUCKET"), env.get("GOOGLE_SERVICE_ACCOUNT")) match {
+        case (Some(b), Some(_)) => s"gs://$b/warehouse"
+        case _ => sys.props("java.io.tmpdir") + "/graft_warehouse"
+      }
     }
 }

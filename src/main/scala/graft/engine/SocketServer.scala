@@ -1,0 +1,177 @@
+package graft.engine
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** TCP transport for [[Engine]] — the network face of the reference's
+  * Flight SQL service on 0.0.0.0:31337
+  * (iceberg-datafusion-arrow-flight-sql/src/main.rs:43, handshake
+  * lib.rs:198-259, DoGet lib.rs:261-296). gRPC itself is out of scope
+  * (SURVEY §0: Spark replaces the transport; `/opt/spark/jars` ships
+  * arrow-vector/memory but no arrow-flight), so the wire protocol is
+  * length-prefixed JSON frames carrying the SAME verb set and statement
+  * lifecycle as the reference — handshake → prepare → bind → execute →
+  * fetch_arrow → close — with Arrow IPC streams as the result payload:
+  * byte-for-byte the batches a Flight `DoGet` would carry (lib.rs:288-295).
+  *
+  * Framing: 4-byte big-endian length + UTF-8 JSON body, both directions.
+  * A `fetch_arrow` response is its JSON header frame (carrying the payload
+  * size) followed by ONE raw frame of Arrow IPC bytes.
+  *
+  * Verbs (all responses carry `ok: Boolean`, failures add `error`):
+  *  - handshake {user, password}        → {token}        (lib.rs:223-240)
+  *  - prepare   {token, sql}            → {handle, schema (DDL)}
+  *  - bind      {handle, params: [str]} → {}             (lib.rs:613-622)
+  *  - execute   {handle}                → {rows}
+  *  - execute_update {token, sql}       → {rows: -1}     (lib.rs:645-654)
+  *  - fetch_arrow {handle}              → {bytes} + raw Arrow IPC frame
+  *  - close_statement {handle} / close_session {token}   → {}
+  *
+  * Connections are handled on daemon threads (one per client, like tonic's
+  * per-connection tasks); all statement/session state lives in [[Engine]],
+  * so concurrent clients share nothing but the SparkContext.
+  */
+final class SocketServer(engine: Engine, requestedPort: Int = 31337) {
+
+  private val mapper = new ObjectMapper()
+  @volatile private var serverSocket: ServerSocket = _
+  @volatile private var running = false
+
+  /** Bound port (differs from requested when 0 = ephemeral, for tests). */
+  def port: Int = serverSocket.getLocalPort
+
+  def start(): Unit = {
+    serverSocket =
+      new ServerSocket(requestedPort, 50, InetAddress.getByName("0.0.0.0"))
+    running = true
+    val t = new Thread(() => acceptLoop(), "graft-server-accept")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  def stop(): Unit = {
+    running = false
+    if (serverSocket != null) serverSocket.close()
+  }
+
+  private def acceptLoop(): Unit =
+    while (running) {
+      try {
+        val sock = serverSocket.accept()
+        val t = new Thread(() => handle(sock), "graft-server-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException if !running => () // closed by stop()
+        case _: Throwable if running => ()        // keep accepting
+      }
+    }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      var open = true
+      while (open) {
+        val len =
+          try in.readInt()
+          catch { case _: EOFException | _: SocketException => open = false; -1 }
+        if (open) {
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          respond(mapper.readTree(new String(buf, UTF_8)), out)
+        }
+      }
+    } finally sock.close()
+  }
+
+  private def writeFrame(out: DataOutputStream, bytes: Array[Byte]): Unit = {
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    out.flush()
+  }
+
+  private def respond(req: JsonNode, out: DataOutputStream): Unit = {
+    val res = mapper.createObjectNode()
+    var arrow: Array[Byte] = null
+    def text(field: String): String = {
+      val n = req.get(field)
+      require(n != null, s"missing field: $field")
+      n.asText()
+    }
+    try {
+      text("cmd") match {
+        case "handshake" =>
+          engine.handshake(text("user"), text("password")) match {
+            case Right(t) => res.put("ok", true).put("token", t)
+            case Left(e)  => res.put("ok", false).put("error", e)
+          }
+        case "prepare" =>
+          val (h, schema) = engine.prepare(text("token"), text("sql"))
+          res.put("ok", true).put("handle", h).put("schema", schema.toDDL)
+        case "bind" =>
+          val arr = req.get("params")
+          val params = (0 until arr.size()).map(i => arr.get(i).asText())
+          engine.bind(text("handle"), params)
+          res.put("ok", true)
+        case "execute" =>
+          res.put("ok", true).put("rows", engine.execute(text("handle")))
+        case "execute_update" =>
+          res.put("ok", true)
+            .put("rows", engine.executeUpdate(text("token"), text("sql")))
+        case "fetch_arrow" =>
+          arrow = engine.fetchArrow(text("handle"))
+          res.put("ok", true).put("bytes", arrow.length)
+        case "close_statement" =>
+          engine.closeStatement(text("handle"))
+          res.put("ok", true)
+        case "close_session" =>
+          engine.closeSession(text("token"))
+          res.put("ok", true)
+        case other =>
+          res.put("ok", false).put("error", s"unknown command: $other")
+      }
+    } catch {
+      case e: Throwable =>
+        res.removeAll()
+        res.put("ok", false)
+          .put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+        arrow = null
+    }
+    writeFrame(out, res.toString.getBytes(UTF_8))
+    if (arrow != null) writeFrame(out, arrow)
+  }
+}
+
+/** Server binary — the analogue of the reference's `main.rs:41-100`:
+  * boot Spark, wire the env-driven object store (inside
+  * [[Engine.handshake]]), listen on GRAFT_PORT (default 31337 — the
+  * reference's port, main.rs:43) until killed. Optional argv(0) = a
+  * testdata dir registered as GLOBAL temp views (global_temp.<table>) so
+  * every client session sees the tables. */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.headOption.foreach { sfDir =>
+      graft.Tables.register(spark, sfDir)
+      graft.Tables.names.foreach { t =>
+        spark.table(t).createOrReplaceGlobalTempView(t)
+      }
+    }
+    val port = sys.env.getOrElse("GRAFT_PORT", "31337").toInt
+    val server = new SocketServer(new Engine(spark), port)
+    server.start()
+    System.err.println(s"graft server listening on 0.0.0.0:${server.port}")
+    Thread.currentThread().join() // serve until killed, like main.rs:94
+  }
+}

@@ -157,6 +157,43 @@ class EngineSpec extends AnyFunSuite {
     assert(!ObjectStoreConf.warehouseRoot(Map.empty).startsWith("s3a://"))
   }
 
+  test("prepare reports the result schema for parameterized text (lib.rs:702-708)") {
+    // Reference returns the plan's schema at prepare even with $n
+    // placeholders (typed Utf8); here the text plans with Utf8 dummies.
+    val (h, schema) = engine.prepare(token,
+      "SELECT ? AS a, upper(?) AS b, length(?) AS c")
+    assert(schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(schema("a").dataType.typeName == "string")
+    engine.closeStatement(h)
+    // placeholders inside string literals don't count
+    val (h2, s2) = engine.prepare(token, "SELECT '?' AS lit, ? AS p")
+    assert(s2.fieldNames.toSeq == Seq("lit", "p"))
+    engine.closeStatement(h2)
+    // genuinely unplannable text still degrades to an empty schema
+    val (h3, s3) = engine.prepare(token, "SELECT * FROM no_such_table_xyz")
+    assert(s3.isEmpty)
+    engine.closeStatement(h3)
+  }
+
+  test("GCS env contract maps onto gs conf; S3 wins when both present (Cargo.toml:11)") {
+    import graft.engine.ObjectStoreConf
+    val gcsEnv = Map("BUCKET" -> "lake",
+      "GOOGLE_SERVICE_ACCOUNT" -> "/secrets/sa.json")
+    val applied = ObjectStoreConf.applyEnv(engine.session(token), gcsEnv).toMap
+    assert(applied("fs.gs.auth.service.account.json.keyfile") == "/secrets/sa.json")
+    assert(applied.contains("fs.gs.impl"))
+    assert(ObjectStoreConf.warehouseRoot(gcsEnv) == "gs://lake/warehouse")
+    // aws-before-gcp builder order: the S3 triple takes precedence
+    val both = gcsEnv ++ Map("AWS_ACCESS_KEY_ID" -> "ak",
+      "AWS_SECRET_ACCESS_KEY" -> "sk")
+    assert(ObjectStoreConf.warehouseRoot(both) == "s3a://lake/warehouse")
+    assert(!ObjectStoreConf.applyEnv(engine.session(token), both).toMap
+      .contains("fs.gs.impl"))
+    // a service account without a bucket is NOT enough
+    assert(ObjectStoreConf.applyEnv(engine.session(token),
+      Map("GOOGLE_SERVICE_ACCOUNT" -> "/x.json")).isEmpty)
+  }
+
   test("TIME type rejects with a clean diagnostic (SURVEY §1.2: no TIME in Spark)") {
     val e = intercept[Exception] {
       engine.executeQuery(token, "SELECT TIME'12:34:56' AS t")

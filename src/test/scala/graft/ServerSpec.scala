@@ -1,0 +1,176 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Engine, SocketServer}
+
+/** End-to-end transport parity: a real client on a real localhost TCP
+  * socket drives handshake → prepare → bind → execute → fetch_arrow →
+  * close against [[SocketServer]], decoding the Arrow IPC payload exactly
+  * as a Flight DoGet consumer would (reference lifecycle:
+  * lib.rs:198-296). */
+class ServerSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+  private lazy val spark = TestSpark.spark
+
+  private class Client(port: Int) {
+    private val sock = new Socket("127.0.0.1", port)
+    private val out = new DataOutputStream(sock.getOutputStream)
+    private val in = new DataInputStream(sock.getInputStream)
+    def call(fields: (String, Any)*): JsonNode = {
+      val node = mapper.createObjectNode()
+      fields.foreach {
+        case (k, v: String) => node.put(k, v)
+        case (k, vs: Seq[_]) =>
+          val arr = node.putArray(k)
+          vs.foreach(x => arr.add(x.toString))
+        case (k, v) => node.put(k, String.valueOf(v))
+      }
+      val b = node.toString.getBytes(UTF_8)
+      out.writeInt(b.length); out.write(b); out.flush()
+      mapper.readTree(new String(readFrame(), UTF_8))
+    }
+    def readFrame(): Array[Byte] = {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    }
+    def close(): Unit = sock.close()
+  }
+
+  private def withServer(f: (SocketServer, Client) => Unit): Unit = {
+    val server = new SocketServer(new Engine(spark), 0) // ephemeral port
+    server.start()
+    val c = new Client(server.port)
+    try f(server, c)
+    finally { c.close(); server.stop() }
+  }
+
+  private def auth(c: Client): String = {
+    val r = c.call("cmd" -> "handshake", "user" -> "admin",
+      "password" -> "password")
+    assert(r.get("ok").asBoolean, r.toString)
+    r.get("token").asText
+  }
+
+  test("full q1_agg lifecycle over localhost TCP with Arrow IPC payload") {
+    withServer { (_, c) =>
+      // bad credentials rejected with the reference's wording
+      val bad = c.call("cmd" -> "handshake", "user" -> "admin",
+        "password" -> "nope")
+      assert(!bad.get("ok").asBoolean)
+      assert(bad.get("error").asText.contains("Invalid credentials"))
+
+      val token = auth(c)
+      val up = c.call("cmd" -> "execute_update", "token" -> token,
+        "sql" -> ("CREATE OR REPLACE TEMPORARY VIEW lineitem USING parquet " +
+          "OPTIONS (path '/root/testdata/sf0.001/lineitem.parquet')"))
+      assert(up.get("ok").asBoolean && up.get("rows").asLong == -1L)
+
+      val prep = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> ("SELECT l_returnflag, sum(l_quantity) AS sum_qty " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+      assert(prep.get("ok").asBoolean, prep.toString)
+      val handle = prep.get("handle").asText
+      assert(prep.get("schema").asText.contains("l_returnflag"))
+
+      val nRows = c.call("cmd" -> "execute", "handle" -> handle)
+        .get("rows").asLong
+      assert(nRows > 0)
+
+      val fa = c.call("cmd" -> "fetch_arrow", "handle" -> handle)
+      assert(fa.get("ok").asBoolean)
+      val arrowBytes = c.readFrame()
+      assert(arrowBytes.length == fa.get("bytes").asInt)
+
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(arrowBytes), alloc)
+      try {
+        var total = 0L
+        while (reader.loadNextBatch())
+          total += reader.getVectorSchemaRoot.getRowCount
+        assert(total == nRows)
+        val fields = reader.getVectorSchemaRoot.getSchema.getFields
+        assert(fields.get(0).getName == "l_returnflag")
+        assert(fields.get(1).getName == "sum_qty")
+      } finally { reader.close(); alloc.close() }
+
+      assert(c.call("cmd" -> "close_statement", "handle" -> handle)
+        .get("ok").asBoolean)
+      assert(c.call("cmd" -> "close_session", "token" -> token)
+        .get("ok").asBoolean)
+      // the session is really gone: further work on the token fails
+      val gone = c.call("cmd" -> "execute_update", "token" -> token,
+        "sql" -> "SELECT 1")
+      assert(!gone.get("ok").asBoolean)
+    }
+  }
+
+  test("bind over the wire; protocol errors surface as ok=false frames") {
+    withServer { (_, c) =>
+      val token = auth(c)
+      val prep = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT ? AS a, upper(?) AS b")
+      // parameterized text still reports its schema (Utf8 placeholders)
+      assert(prep.get("schema").asText.contains("a"))
+      val handle = prep.get("handle").asText
+      assert(c.call("cmd" -> "bind", "handle" -> handle,
+        "params" -> Seq("hello", "world")).get("ok").asBoolean)
+      assert(c.call("cmd" -> "execute", "handle" -> handle)
+        .get("rows").asLong == 1L)
+      val fa = c.call("cmd" -> "fetch_arrow", "handle" -> handle)
+      assert(fa.get("ok").asBoolean)
+      val bytes = c.readFrame()
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc)
+      try {
+        assert(reader.loadNextBatch())
+        val root = reader.getVectorSchemaRoot
+        val a = root.getVector("a")
+          .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        val b = root.getVector("b")
+          .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        assert(new String(a.get(0), UTF_8) == "hello")
+        assert(new String(b.get(0), UTF_8) == "WORLD")
+      } finally { reader.close(); alloc.close() }
+
+      // malformed / failing requests answer in-band, connection stays up
+      assert(!c.call("cmd" -> "execute", "handle" -> "nope")
+        .get("ok").asBoolean)
+      assert(!c.call("cmd" -> "warp", "x" -> "y").get("ok").asBoolean)
+      assert(c.call("cmd" -> "close_statement", "handle" -> handle)
+        .get("ok").asBoolean)
+    }
+  }
+
+  test("two concurrent clients get isolated sessions") {
+    withServer { (server, c1) =>
+      val c2 = new Client(server.port)
+      try {
+        val t1 = auth(c1)
+        val t2 = auth(c2)
+        assert(t1 != t2)
+        c1.call("cmd" -> "execute_update", "token" -> t1,
+          "sql" -> "CREATE OR REPLACE TEMPORARY VIEW wire_probe AS SELECT 7 AS v")
+        // c2's session must not see c1's temp view
+        val p2 = c2.call("cmd" -> "prepare", "token" -> t2,
+          "sql" -> "SELECT v FROM wire_probe")
+        val h2 = p2.get("handle").asText
+        assert(!c2.call("cmd" -> "execute", "handle" -> h2).get("ok").asBoolean)
+        // while c1 executes it fine
+        val h1 = c1.call("cmd" -> "prepare", "token" -> t1,
+          "sql" -> "SELECT v FROM wire_probe").get("handle").asText
+        assert(c1.call("cmd" -> "execute", "handle" -> h1)
+          .get("rows").asLong == 1L)
+      } finally c2.close()
+    }
+  }
+}
