@@ -63,6 +63,28 @@ object SourcesSinks {
         .orderBy("c_mktsegment")
     },
 
+    // Avro external table round-trip via graft.sources.AvroSource (the
+    // spark-avro connector jar is absent from /opt/spark/jars — see
+    // STATUS.md — so the container format is implemented directly on the
+    // shipped Avro core library; distributed write + per-file-partition
+    // read)
+    Probe.df("q_avro_roundtrip",
+      """SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS s,
+        |  CAST(sum(c_acctbal) AS DOUBLE) AS bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_avro")
+      graft.sources.AvroSource.write(
+        Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), out)
+      graft.sources.AvroSource.read(s, out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("s"),
+          sum("c_acctbal").as("bal"))
+        .orderBy("c_mktsegment")
+    },
+
     // COPY TO semantics: export query → parquet files → scan back
     Probe.df("q_copy_to",
       "SELECT count(*) AS n FROM orders WHERE o_totalprice > 150000") { (s, dir) =>
