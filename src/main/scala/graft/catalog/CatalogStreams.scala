@@ -9,11 +9,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * APPEND-ONLY table as a stream — every INSERT's data files arrive as a
   * micro-batch, so one table serves both the batch backfill
   * (`spark.read.table`) and the live tail (`readTable` here), the
-  * two-audience pattern a 100 TB training-data pipeline needs. Built on
-  * the file-stream source (new-file discovery under `data/`), which
-  * matches snapshot semantics exactly as long as commits only ADD files:
-  * OVERWRITE / DELETE rewrite history, so they are rejected here rather
-  * than silently re-delivering rewritten rows. */
+  * two-audience pattern a 100 TB training-data pipeline needs.
+  *
+  * Micro-batches are driven by the SNAPSHOT LOG ([[SnapshotStreamSource]]),
+  * not a file glob: only files referenced by committed snapshots are ever
+  * delivered (a crash between a data-file move and its snapshot commit
+  * leaks nothing into the stream), and a DELETE / OVERWRITE / compaction
+  * committed after stream start fails the stream at its next batch
+  * instead of silently re-delivering rewritten survivor files. */
 object CatalogStreams {
 
   /** `spark.readStream` over `cat.ns.table`. Unpartitioned, append-only
@@ -31,8 +34,8 @@ object CatalogStreams {
       require(p.getProperty("graft.partition.columns", "").isEmpty,
         s"streaming reads of partitioned table $ident are not supported")
     }
-    // Snapshot-files monotonicity check: any snapshot that DROPS a file
-    // (overwrite/delete/truncate) breaks append-only delivery.
+    // Fail fast when history is ALREADY non-append (the source re-checks
+    // every micro-batch, so a mid-stream rewrite also fails the stream).
     val snaps = Snapshots.list(dir)
     snaps.sliding(2).foreach {
       case Seq(a, b) =>
@@ -41,6 +44,10 @@ object CatalogStreams {
             "drops files); streaming reads require append-only commits")
       case _ => ()
     }
-    spark.readStream.schema(schema).parquet(s"${dir.resolve("data")}/*.parquet")
+    spark.readStream
+      .format(classOf[SnapshotStreamProvider].getName)
+      .schema(schema)
+      .option("tableDir", dir.toString)
+      .load()
   }
 }

@@ -63,22 +63,39 @@ object Snapshots {
     * snapshot and returns the next complete file list. Two concurrent
     * INSERTs that each read `latest` outside the lock would otherwise
     * both base v(N+1)/v(N+2) on vN and the first writer's files would
-    * vanish from the current view (lost update). Single-JVM lock —
-    * matches local[n]; a shared warehouse needs the CAS-on-rename this
-    * layout already supports (ATOMIC_MOVE fails if the version exists). */
+    * vanish from the current view (lost update). The lock serializes
+    * writers in THIS JVM; cross-process safety comes from the commit CAS:
+    * `Files.createLink` FAILS with FileAlreadyExistsException when the
+    * version file exists (unlike POSIX ATOMIC_MOVE, which silently
+    * replaces an existing target), so a driver that lost the race
+    * re-reads the log and retries on the next version. */
   def commitWith(tableDir: Path)(compute: Option[Snap] => Seq[String]): Snap =
     synchronized {
       val d = dir(tableDir)
       Files.createDirectories(d)
-      val prev = latest(tableDir)
-      val files = compute(prev)
-      val next = prev.map(_.version + 1).getOrElse(1L)
-      val snap = Snap(next, System.currentTimeMillis(), files)
-      val body = (snap.tsMillis.toString +: files).mkString("\n")
-      val tmp = d.resolve(f".v$next%08d.snap.tmp")
-      Files.writeString(tmp, body)
-      Files.move(tmp, d.resolve(f"v$next%08d.snap"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      snap
+      var attempts = 0
+      while (attempts < 10) {
+        val prev = latest(tableDir)
+        val files = compute(prev)
+        val next = prev.map(_.version + 1).getOrElse(1L)
+        val snap = Snap(next, System.currentTimeMillis(), files)
+        val body = (snap.tsMillis.toString +: files).mkString("\n")
+        val tmp = d.resolve(
+          f".v$next%08d.snap.${java.util.UUID.randomUUID()}.tmp")
+        Files.writeString(tmp, body)
+        try {
+          Files.createLink(d.resolve(f"v$next%08d.snap"), tmp)
+          Files.delete(tmp)
+          return snap
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // another process committed this version first: recompute on
+            // top of the winner's snapshot and try the next version
+            Files.delete(tmp)
+            attempts += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"snapshot commit on $tableDir lost the CAS race 10 times; giving up")
     }
 }

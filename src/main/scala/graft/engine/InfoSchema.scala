@@ -29,18 +29,36 @@ object InfoSchema {
     }
 
     // Configured DSv2 catalogs (spark.sql.catalog.<name> = impl class):
-    // enumerate through public SQL so MetaCatalog tables introspect too.
+    // walked through the connector catalog API, not SHOW/DESCRIBE SQL —
+    // SHOW NAMESPACES is not recursive (nested namespaces would vanish)
+    // and string interpolation would need identifier quoting. The API
+    // yields namespaces as string arrays and real table schemas.
     val v2CatalogNames = spark.conf.getAll.keys.toSeq.collect {
       case k if k.matches("""spark\.sql\.catalog\.[^.]+""") =>
         k.stripPrefix("spark.sql.catalog.")
     }.distinct
-    val v2Tables = for {
-      cat <- v2CatalogNames
-      ns <- Try(spark.sql(s"SHOW NAMESPACES IN `$cat`").collect().toSeq)
-        .getOrElse(Seq.empty).map(_.getString(0))
-      t <- Try(spark.sql(s"SHOW TABLES IN `$cat`.$ns").collect().toSeq)
-        .getOrElse(Seq.empty)
-    } yield (cat, ns, t.getString(1), "MANAGED", false)
+    import org.apache.spark.sql.connector.catalog.{SupportsNamespaces, TableCatalog, Table}
+    val v2Loaded: Seq[(String, String, String, Table)] = v2CatalogNames.flatMap { cat =>
+      Try {
+        org.apache.spark.sql.graftaccess.Internals
+          .catalogPlugin(spark, cat) match {
+          case tc: TableCatalog with SupportsNamespaces =>
+            def descend(ns: Array[String]): Seq[Array[String]] =
+              ns +: tc.listNamespaces(ns).toSeq.flatMap(descend)
+            val all = tc.listNamespaces().toSeq.flatMap(descend)
+            all.flatMap { ns =>
+              Try(tc.listTables(ns).toSeq).getOrElse(Seq.empty).flatMap { id =>
+                Try((cat, ns.mkString("."), id.name,
+                  tc.loadTable(id))).toOption
+              }
+            }
+          case _ => Seq.empty
+        }
+      }.getOrElse(Seq.empty)
+    }
+    val v2Tables = v2Loaded.map { case (cat, ns, name, _) =>
+      (cat, ns, name, "MANAGED", false)
+    }
     val tables = sessionTables ++ v2Tables
     tables
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
@@ -62,15 +80,12 @@ object InfoSchema {
           (cat, db, name, c.name, i + 1, c.dataType, c.nullable)
         }
     }
-    // v2 catalog tables: DESCRIBE is the public column surface (rows after
-    // the first blank/# marker are partition/metadata sections).
-    val v2Cols = v2Tables.flatMap { case (cat, ns, name, _, _) =>
-      Try(spark.sql(s"DESCRIBE TABLE `$cat`.$ns.`$name`").collect().toSeq)
-        .getOrElse(Seq.empty)
-        .takeWhile(r => r.getString(0).nonEmpty && !r.getString(0).startsWith("#"))
-        .zipWithIndex.map { case (r, i) =>
-          (cat, ns, name, r.getString(0), i + 1, r.getString(1), true)
-        }
+    // v2 catalog tables: columns + nullability straight from the loaded
+    // table's schema (DESCRIBE strings would hardcode nullability).
+    val v2Cols = v2Loaded.flatMap { case (cat, ns, name, table) =>
+      table.schema().fields.zipWithIndex.map { case (f, i) =>
+        (cat, ns, name, f.name, i + 1, f.dataType.simpleString, f.nullable)
+      }
     }
     val cols = sessionCols ++ v2Cols
     cols

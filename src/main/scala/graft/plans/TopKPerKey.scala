@@ -128,8 +128,13 @@ object TopK {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val child = Internals.analyzedPlan(df)
-    def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(s"no column $n in ${child.output.map(_.name)}"))
+    // resolve names with the session's resolver (case-insensitive under
+    // the default spark.sql.caseSensitive=false), matching how the same
+    // name resolves everywhere else in SQL/DataFrame code
+    val resolver = Internals.resolver(spark)
+    def attr(n: String): Attribute = child.output.find(a => resolver(a.name, n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $n in ${child.output.map(_.name)}"))
     val sortOrders = orderBy.map { case (c, asc) =>
       SortOrder(attr(c), if (asc) Ascending else Descending)
     }

@@ -85,6 +85,37 @@ object Internals {
     } finally { root.close(); allocator.close() }
   }
 
+  /** The session's name resolver (case-insensitive under the default
+    * spark.sql.caseSensitive=false) — private[sql] via sessionState. */
+  def resolver(spark: SparkSession): (String, String) => Boolean =
+    spark.asInstanceOf[ClassicSession].sessionState.conf.resolver
+
+  /** A configured DSv2 catalog plugin by name (CatalogManager is
+    * private[sql]); loads the catalog on first access like any query
+    * referencing it would. */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[ClassicSession].sessionState.catalogManager
+      .catalog(name)
+
+  /** A batch parquet relation over exactly `paths`, wrapped as an
+    * isStreaming LogicalRelation — the construction FileStreamSource
+    * uses for its own micro-batches; required because
+    * MicroBatchExecution asserts that V1 `Source.getBatch` DataFrames
+    * carry isStreaming=true. */
+  def streamingParquetDf(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    val relation = org.apache.spark.sql.execution.datasources.DataSource(
+      cs, className = "parquet", paths = paths,
+      userSpecifiedSchema = Some(schema)).resolveRelation(checkFilesExist = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        relation, isStreaming = true))
+  }
+
   /** Apply a SparkSessionExtensions' injected functions to a scratch
     * registry and list them (test support — `registerFunctions` is
     * private[sql]). */

@@ -370,6 +370,43 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(joined == Set("id", "name"))
   }
 
+  test("snapshot commit CAS: a foreign commit forces a retry on the next version") {
+    val dir = Files.createTempDirectory("graft_snap_cas")
+    graft.catalog.Snapshots.commit(dir, Seq("f1.parquet")) // v1
+    // simulate another driver winning v2 between our read and publish:
+    // the version file already exists, so createLink must fail and the
+    // commit must land on v3 computed on top of the winner's v2
+    Files.writeString(dir.resolve("_graft_snapshots").resolve("v00000002.snap"),
+      System.currentTimeMillis().toString + "\nf1.parquet\nforeign.parquet")
+    val snap = graft.catalog.Snapshots.commitWith(dir) { prev =>
+      prev.get.files :+ "mine.parquet"
+    }
+    assert(snap.version == 3L)
+    assert(snap.files.toSet ==
+      Set("f1.parquet", "foreign.parquet", "mine.parquet"),
+      "retry must recompute on top of the foreign winner's file list")
+    assert(graft.catalog.Snapshots.latest(dir).get.version == 3L)
+  }
+
+  test("information_schema sees nested namespaces and real nullability") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g2.outer")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g2.outer.inner")
+    spark.sql("CREATE TABLE g2.outer.inner.deep (id BIGINT NOT NULL, v DOUBLE)")
+    graft.engine.InfoSchema.refresh(spark)
+    val t = spark.sql(
+      """SELECT table_schema FROM __infoschema_tables
+        |WHERE table_catalog = 'g2' AND table_name = 'deep'""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(t == Seq("outer.inner"), s"nested-namespace table missing: $t")
+    val cols = spark.sql(
+      """SELECT column_name, is_nullable FROM __infoschema_columns
+        |WHERE table_catalog = 'g2' AND table_name = 'deep'
+        |ORDER BY ordinal_position""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(cols == Seq(("id", false), ("v", true)),
+      s"nullability must come from the table schema: $cols")
+  }
+
   test("table properties round-trip through SET/UNSET TBLPROPERTIES") {
     spark.sql("ALTER TABLE g2.db.tr SET TBLPROPERTIES ('graft.owner' = 'graft')")
     val show = spark.sql("SHOW TBLPROPERTIES g2.db.tr").collect()

@@ -216,6 +216,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-append history"))
   }
 
+  test("catalog tail delivers only committed files; mid-stream rewrite fails the stream") {
+    val wh = Files.createTempDirectory("graft_wh_tail2").toString
+    spark.conf.set("spark.sql.catalog.gtail2", "graft.catalog.MetaCatalog")
+    spark.conf.set("spark.sql.catalog.gtail2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gtail2.s")
+    spark.sql("CREATE TABLE gtail2.s.feed (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gtail2.s.feed VALUES (1, 1.5)")
+
+    // crash-window simulation: a data file that was moved into data/ but
+    // whose snapshot never committed must NOT be streamed
+    val dir = java.nio.file.Paths.get(wh, "s", "feed")
+    Seq((99L, 99.9)).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$wh/_stray")
+    val stray = new java.io.File(s"$wh/_stray").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    Files.copy(stray, dir.resolve("data").resolve("uncommitted-stray.parquet"))
+
+    val out = s"graft_tail2_out_${System.nanoTime()}"
+    val q = graft.catalog.CatalogStreams.readTable(spark, "gtail2.s.feed")
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table(out).collect().map(_.getLong(0)).toSet == Set(1L),
+      "stray uncommitted file must not be delivered")
+
+    // a rewriting commit (COW DELETE) mid-stream fails the NEXT batch
+    // loudly instead of re-delivering the rewritten survivor file
+    spark.sql("INSERT INTO gtail2.s.feed VALUES (2, 2.5), (3, 3.5)")
+    q.processAllAvailable()
+    assert(spark.table(out).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    spark.sql("DELETE FROM gtail2.s.feed WHERE id = 2")
+    spark.sql("INSERT INTO gtail2.s.feed VALUES (4, 4.5)")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    assert(err.getMessage.contains("non-append"), err.getMessage.take(300))
+    // and nothing was duplicated into the sink
+    assert(spark.table(out).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+  }
+
   test("session windows merge overlapping gap intervals (batch semantics)") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0),

@@ -54,6 +54,15 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(rows.sortBy(_.getInt(1)).map(_.getLong(0)).toSeq == expect)
   }
 
+  test("column names resolve case-insensitively like the rest of Spark") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val upper = TopK.perKey(orders, Seq("O_CUSTKEY"),
+      Seq(("O_TOTALPRICE", false), ("O_ORDERKEY", true)), k = 1)
+    val lower = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), k = 1)
+    assert(upper.count() == lower.count())
+  }
+
   test("ranks are deterministic under a total order (ties broken)") {
     val s = spark
     import s.implicits._
