@@ -42,12 +42,28 @@ object Bench {
       names.foreach { n =>
         System.err.println(s"===== $n ====="); qs(n)(spark, sfDir).explain("formatted")
       }
-    names.foreach { n => try runOnce(n) catch { case _: Throwable => } } // warmup
-    // Steady-state timing: min of 2 runs per query. A single timed pass is
-    // hostage to JIT recompilation and co-tenant CPU noise (round-1 driver
-    // run measured 7x the local steady state on the heavy queries).
+    def attempt(n: String): Double =
+      try runOnce(n) catch { case _: Throwable => Double.PositiveInfinity }
+
+    names.foreach(attempt) // warmup
+    // Steady-state timing: min over two WHOLE passes (pass 2 runs after
+    // every query's pass 1, so a multi-second co-tenant spike can't hit
+    // both samples of the same query), plus an adaptive third attempt
+    // when the two samples disagree by >40% — that disagreement IS the
+    // signature of external noise, and one more sample usually lands in
+    // steady state. A single timed pass was hostage to JIT recompilation
+    // and co-tenant CPU (round-1 driver run measured 7x local steady
+    // state; round-2 paid a task-retry stack under the same gate).
+    val p1 = names.map(n => n -> attempt(n)).toMap
+    val p2 = names.map(n => n -> attempt(n)).toMap
     val results = names.map { n =>
-      n -> (try math.min(runOnce(n), runOnce(n)) catch { case _: Throwable => -1.0 })
+      val best = math.min(p1(n), p2(n))
+      val spread = math.abs(p1(n) - p2(n))
+      val v =
+        if (!best.isFinite) attempt(n) // both passes failed: one retry
+        else if (spread > 0.4 * best && best > 0.15) math.min(best, attempt(n))
+        else best
+      n -> (if (v.isFinite) v else -1.0)
     }
 
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }

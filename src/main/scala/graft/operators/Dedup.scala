@@ -24,27 +24,32 @@ object Dedup {
   /** Candidate pairs from an exploded (id, band, key) table, with a skew
     * guard: a bucket of m members normally yields m(m-1)/2 candidates, so
     * an adversarial corpus (everything identical) turns one bucket into a
-    * quadratic self-join. Buckets larger than `maxBucket` instead emit a
+    * quadratic blowup. Buckets larger than `maxBucket` instead emit a
     * min-id STAR — each member paired with the bucket's min id: O(m)
     * candidates, connectivity preserved for [[clusterPairs]], and every
     * emitted pair still passes the exact verification downstream. Below
-    * the cap, semantics are unchanged (all in-bucket pairs). */
+    * the cap, semantics are unchanged (all in-bucket pairs).
+    *
+    * Shape: ONE shuffle (groupBy band-key, collecting ids per bucket —
+    * the same (id, band, key) volume the old self-join shuffled twice),
+    * then pair generation inside the row. No window sort, no join. The
+    * pair-gen lambdas run interpreted, but their work is exactly the
+    * candidate count, which the cap bounds per bucket. */
   def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key"))
-    val sized = banded.select(col("id"), col("band"), col("key"))
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("bmin", min(col("id")).over(w))
-    val small = sized.filter(col("bsz") <= maxBucket)
-      .select(col("id"), col("band"), col("key"))
-    val candSmall = small.alias("x").join(small.alias("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("ida"), col("y.id").as("idb"))
-    val candBig = sized
-      .filter(col("bsz") > maxBucket && col("id") =!= col("bmin"))
-      .select(col("bmin").as("ida"), col("id").as("idb"))
-    candSmall.union(candBig).distinct()
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+    val ids = col("ids")
+    val m = size(ids)
+    val allPairs = flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), m), b =>
+        struct(a.as("ida"), b.as("idb")))))
+    val starPairs = transform(slice(ids, lit(2), m), b =>
+      struct(element_at(ids, 1).as("ida"), b.as("idb")))
+    buckets
+      .select(explode(
+        when(m <= maxBucket, allPairs).otherwise(starPairs)).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .distinct()
   }
 
   /** Lower-cased whitespace tokens, empties dropped. */

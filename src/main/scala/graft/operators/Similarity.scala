@@ -78,17 +78,18 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
-    * cosine >= threshold. Dispatches on corpus size: small inputs take the
-    * exact quadratic broadcast ([[cosineNearDupPairsExact]]); anything
-    * larger takes the banded sign-LSH candidate path
-    * ([[cosineNearDupPairsLsh]]), whose cost is governed by bucket
-    * collisions instead of n². The size check reads at most
-    * `smallLimit + 1` rows (no full count). */
+    * cosine >= threshold. Dispatches on corpus size: inputs whose
+    * optimizer size estimate (metadata-only — file sizes, no job) fits a
+    * broadcast take the exact quadratic path
+    * ([[cosineNearDupPairsExact]]); anything larger takes the banded
+    * sign-LSH candidate path ([[cosineNearDupPairsLsh]]), whose cost is
+    * governed by bucket collisions instead of n². */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      smallLimit: Int = 100000, bands: Int = 8, planesPerBand: Int = 8)
+      smallBytes: Long = 64L << 20, bands: Int = 8, planesPerBand: Int = 8)
       : DataFrame = {
-    val small = df.limit(smallLimit + 1).count() <= smallLimit
+    val small = org.apache.spark.sql.graftaccess.Internals
+      .planSizeInBytes(df) <= smallBytes
     if (small) cosineNearDupPairsExact(df, idCol, vecCol, threshold)
     else {
       val dim = df.select(size(col(vecCol))).head().getInt(0)
