@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Both operators are hash-deterministic rather than RNG-seeded: the SAME
+  * row lands in the same split/sample on any cluster size, after any
+  * repartition, in any engine that can compute md5 — which is what makes
+  * them reproducible across reruns of a 100 TB pipeline AND cross-checkable
+  * against the DuckDB oracle (both engines print identical lowercase md5
+  * hex, the same trick [[Dedup.simhashMd5Bands]] uses).
+  *
+  *  - [[hashSplit]] is a pure projection: zero shuffle, zero state.
+  *  - [[stratifiedSampleN]] runs on the bounded-heap
+  *    [[graft.plans.TopK]] operator: one exchange on the stratum key and
+  *    O(n) heap memory per stratum — never a full per-stratum sort.
+  */
+object Sampling {
+
+  /** 4-hex-digit cumulative upper bounds for the leading fractions (the
+    * last split takes the remainder, so no bound is emitted for it). */
+  def hexBounds(fractions: Seq[Double]): Seq[String] = {
+    val cum = fractions.scanLeft(0.0)(_ + _).tail
+    cum.init.map(f => f"${math.min((f * 65536).round, 65535L)}%04x")
+  }
+
+  /** Deterministic train/val/test split: label each row by comparing the
+    * first 4 hex chars of md5(id) against the cumulative fraction
+    * boundaries. Granularity is 1/65536 — at training-corpus sizes the
+    * realized fractions converge to the requested ones. */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.size >= 2, "need at least two splits")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val bounds = hexBounds(fractions.map(_._2))
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val label = fractions.init.zip(bounds)
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((name, _), b), els) => when(h < lit(b), lit(name)).otherwise(els)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** DuckDB CASE expression computing the identical split label. */
+  def hashSplitOracleCase(idExpr: String,
+      fractions: Seq[(String, Double)]): String = {
+    val bounds = hexBounds(fractions.map(_._2))
+    val h = s"substr(md5(CAST($idExpr AS VARCHAR)), 1, 4)"
+    val whens = fractions.init.zip(bounds)
+      .map { case ((n, _), b) => s"WHEN $h < '$b' THEN '$n'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${fractions.last._1}' END"
+  }
+
+  /** Exactly min(n, |stratum|) rows per stratum, selected by
+    * deterministic hash order (md5 of the id, id tiebreak). Output keeps
+    * the input columns plus `rn` (1-based rank within the stratum). */
+  def stratifiedSampleN(df: DataFrame, strataCol: String, idCol: String,
+      n: Int): DataFrame =
+    graft.plans.TopK.perKey(
+        df.withColumn("__hv", md5(col(idCol).cast("string"))),
+        Seq(strataCol), Seq(("__hv", true), (idCol, true)), n,
+        rankName = "rn")
+      .drop("__hv")
+}

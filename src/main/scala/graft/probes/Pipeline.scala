@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline probes (builder-prompt extension surface):
@@ -177,6 +177,60 @@ object Pipeline {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.stats(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Corpus-level vocabulary: token frequencies across all documents —
+    // explode inside the scan stage, one shuffle on the token (map-side
+    // combine first), deterministic top-100. The corpus-wide companion of
+    // q_text_stats' per-document token counting.
+    Probe.df("q_vocab",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |t AS (SELECT unnest(ws) AS token FROM w),
+         |c AS (SELECT token, count(*) AS n, CAST(count(*) AS DOUBLE) /
+         |        (SELECT count(*) FROM t) AS frac
+         |      FROM t GROUP BY token)
+         |SELECT token, n, frac FROM c
+         |ORDER BY n DESC, token
+         |LIMIT 100""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(Dedup.words(col("text"))).as("token"))
+      val total = toks.count()
+      toks.groupBy("token")
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)).cast("double") / total).as("frac"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    },
+
+    // Deterministic train/val/test split: pure projection, hash-stable
+    // across cluster sizes; both engines compute identical md5 hex.
+    Probe.df("q_sample_split",
+      s"""SELECT doc_id,
+         |  ${Sampling.hashSplitOracleCase("doc_id",
+                Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))} AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.hashSplit(
+          Tables.load(s, dir, "documents").select("doc_id"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .orderBy("doc_id")
+    },
+
+    // Exactly-n-per-stratum sampling on the bounded-heap TopKPerKey
+    // operator; oracle recomputes the same md5-ordered row_number.
+    Probe.df("q_sample_stratified",
+      """SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+      Sampling.stratifiedSampleN(
+          Tables.load(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", 20)
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
     },
 
     Probe.df("q_ann_topk",

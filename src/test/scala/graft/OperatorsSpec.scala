@@ -176,6 +176,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.getDouble(1) == 3.0)   // 50% of weight 10 lands in v=3
   }
 
+  test("hash split is deterministic and fraction-faithful") {
+    import graft.operators.Sampling
+    val ids = spark.range(20000).select($"id".as("doc_id"))
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val counts = Sampling.hashSplit(ids, "doc_id", fr)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02, counts.toString)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.02, counts.toString)
+    // partitioning-invariant: same assignment regardless of layout
+    val a = Sampling.hashSplit(ids.repartition(17), "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(ids.coalesce(1), "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("stratified sample takes exactly n per stratum, hash-deterministic") {
+    import graft.operators.Sampling
+    val out = Sampling.stratifiedSampleN(docs, "lang", "doc_id", 2)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    assert(out.count(_._1 == "en") == 2)   // 4 en docs -> capped at 2
+    assert(out.count(_._1 == "de") == 1)   // 1 de doc -> all of it
+    val again = Sampling.stratifiedSampleN(docs.repartition(7), "lang",
+      "doc_id", 2).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    assert(out.toSet == again.toSet)
+  }
+
   test("fingerprint is order- and duplication-insensitive") {
     val fps = Seq((1L, "b a c"), (2L, "c b a a"), (3L, "a b d"))
       .toDF("doc_id", "text")

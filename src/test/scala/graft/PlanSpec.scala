@@ -94,6 +94,16 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("cosine-LSH candidate generation never materializes a quadratic stage") {
+    // The candidate join must equi-join on (band, key) — never a cross or
+    // pure-theta join of the corpus against itself — and the vectors ride
+    // along only into the verify joins (hash joins on ida/idb).
+    val p = planOf("q_dedup_cosine_lsh")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in the LSH path:\n${p.take(1200)}")
+  }
+
   test("AQE converts a sort-merge join to broadcast at runtime") {
     // Static planning can't see filter selectivity; AQE measures the
     // actual shuffle output and swaps in a broadcast join — the runtime
