@@ -229,6 +229,8 @@ object DFCompat {
         case "sha384" => Sha2(Cast(e, BinaryType), Literal(384))
         case "sha512" => Sha2(Cast(e, BinaryType), Literal(512))
         case "sha1" => Sha1(Cast(e, BinaryType))
+        case "blake2b" => graft.functions.Blake2(Cast(e, BinaryType), wide = true)
+        case "blake2s" => graft.functions.Blake2(Cast(e, BinaryType), wide = false)
         case other => throw new IllegalArgumentException(
           s"digest: unsupported algorithm '$other'")
       }

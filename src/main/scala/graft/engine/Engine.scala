@@ -69,9 +69,23 @@ final class Engine(root: SparkSession) {
     s
   }
 
+  private val ExplainAnalyze = "(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.*)$".r
+
   private def plan(st: Statement): DataFrame = {
     if (st.sql.trim.equalsIgnoreCase("rollback"))
       return st.session.sql("SELECT 'ROLLBACK' AS `rollback`")  // lib.rs:683-696
+    st.sql match {
+      // DataFusion's EXPLAIN ANALYZE (served through ctx.sql in the
+      // reference): execute fully, report the plan tree with runtime
+      // metric values, one row per node.
+      case ExplainAnalyze(body) =>
+        val lines = org.apache.spark.sql.graftaccess.Internals
+          .explainAnalyze(plan(st.copy(sql = body)))
+        val s = st.session
+        import s.implicits._
+        return lines.toDF("plan_with_metrics")
+      case _ => ()
+    }
     val sql =
       if (InfoSchema.mentionsInfoSchema(st.sql)) {
         InfoSchema.refresh(st.session)

@@ -152,6 +152,17 @@ object SourcesSinks {
       s.sql("EXPLAIN SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1")
     },
 
+    // EXPLAIN ANALYZE: execute fully, report plan + runtime metric values
+    // (rows-only: metric numbers are engine-specific). The SQL-statement
+    // form goes through Engine.plan; this probe drives the same renderer.
+    Probe.noOracle("q_explain_analyze") { (s, dir) =>
+      Tables.register(s, dir)
+      import s.implicits._
+      org.apache.spark.sql.graftaccess.Internals.explainAnalyze(
+          s.sql("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1"))
+        .toDF("plan_with_metrics")
+    },
+
     // SET statement round-trip (lib.rs:651-653 acknowledges SET)
     Probe.noOracle("q_set_conf") { (s, dir) =>
       s.sql("SET spark.graft.probe.flag=on")

@@ -123,6 +123,33 @@ object Internals {
         relation, isStreaming = true))
   }
 
+  /** Execute a DataFrame's physical plan fully and render the tree with
+    * its RUNTIME metric values — the analogue of DataFusion's
+    * `EXPLAIN ANALYZE` (which the reference serves through `ctx.sql`).
+    * Executes THIS QueryExecution instance so the SQLMetrics read back
+    * non-zero; AQE wrappers are unwrapped to the final adapted plan. */
+  def explainAnalyze(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    val root = ds.queryExecution.executedPlan
+    root.executeCollect() // force execution; metrics accumulate
+    val out = Seq.newBuilder[String]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+      val ms = p.metrics.toSeq.sortBy(_._1)
+        .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+      out += ("  " * depth) + p.nodeName + (if (ms.isEmpty) "" else s" [$ms]")
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      kids.foreach(walk(_, depth + 1))
+    }
+    walk(root, 0)
+    out.result()
+  }
+
   /** Apply a SparkSessionExtensions' injected functions to a scratch
     * registry and list them (test support — `registerFunctions` is
     * private[sql]). */

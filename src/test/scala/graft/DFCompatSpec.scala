@@ -19,6 +19,26 @@ class DFCompatSpec extends AnyFunSuite {
     assert(scala.util.Try(one("SELECT digest('abc', 'blake3')")).isFailure)
   }
 
+  test("blake2b / blake2s match the RFC 7693 appendix test vectors") {
+    // RFC 7693 appendix A: BLAKE2b-512("abc")
+    assert(one("SELECT digest('abc', 'blake2b')") ==
+      "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d1" +
+        "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923")
+    // RFC 7693 appendix B: BLAKE2s-256("abc")
+    assert(one("SELECT digest('abc', 'blake2s')") ==
+      "508c5e8c327c14e2e1a72ba34eeb452f37458b209ed63a294d999b4c86675982")
+    // empty-message digests (RFC reference implementation self-test values)
+    assert(one("SELECT digest('', 'blake2b')") ==
+      "786a02f742015903c6c6fd852552d272912f4740e15847618a86e217f71f5419" +
+        "d25e1031afee585313896444934eb04b903a685b1448b755d56f701afe9be2ce")
+    assert(one("SELECT digest('', 'blake2s')") ==
+      "69217a3079908094e11121d042354a7c1f55b6482ca1a51e1b250dfd1ed0eef9")
+    // multi-block input (> 128 bytes) exercises the streaming compress loop
+    assert(one("SELECT digest(repeat('a', 300), 'blake2b')")
+      .toString.length == 128)
+    assert(one("SELECT length(digest(repeat('x', 200), 'blake2s'))") == 64)
+  }
+
   test("numeric trunc truncates toward zero; string form stays date trunc") {
     assert(one("SELECT trunc(3.789, 2)") == 3.78)
     assert(one("SELECT trunc(-3.789, 2)") == -3.78)

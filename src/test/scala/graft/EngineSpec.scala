@@ -157,6 +157,16 @@ class EngineSpec extends AnyFunSuite {
     assert(!ObjectStoreConf.warehouseRoot(Map.empty).startsWith("s3a://"))
   }
 
+  test("EXPLAIN ANALYZE executes and reports runtime metrics per node") {
+    val (_, rows) = engine.executeQuery(token,
+      "EXPLAIN ANALYZE SELECT id FROM range(100) WHERE id > 50")
+    val text = rows.map(_.getString(0)).mkString("\n")
+    assert(text.contains("numOutputRows="), text.take(400))
+    assert(text.contains("Range"), text.take(400))
+    // the metric VALUES are real (the filter's input range produced 100)
+    assert(text.contains("numOutputRows=100"), text.take(400))
+  }
+
   test("prepare reports the result schema for parameterized text (lib.rs:702-708)") {
     // Reference returns the plan's schema at prepare even with $n
     // placeholders (typed Utf8); here the text plans with Utf8 dummies.
