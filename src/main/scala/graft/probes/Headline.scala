@@ -76,6 +76,46 @@ object Headline {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_orderkey""".stripMargin),
 
+    // TPC-H Q4 shape (EXISTS + date window; adapted: the synthetic
+    // lineitem has no commitdate/receiptdate, so "late" = shipped after
+    // the order date)
+    Probe.sql("q_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // TPC-H Q12 shape (priority-class counts over a join + date window;
+    // l_returnflag stands in for the missing l_shipmode)
+    Probe.sql("q_tpch_q12",
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // TPC-H Q14 shape (promo revenue share; p_type = 'PROMO' in this
+    // synthetic part table)
+    Probe.sql("q_tpch_q14",
+      """SELECT CAST(100.00 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |           THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin),
+
     // exact weighted percentile (covers approx_percentile_cont_with_weight
     // with exact semantics — SURVEY §2.9 ⚠)
     Probe.df("q_weighted_percentile",

@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline probes (builder-prompt extension surface):
@@ -176,6 +176,26 @@ object Pipeline {
          |FROM c
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.stats(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing (training-batch construction): bin = cumulative
+    // token count / budget over deterministic doc order. One window; the
+    // oracle recomputes the identical running sum. floor() on BOTH sides
+    // (DuckDB CAST(double AS BIGINT) rounds where Spark truncates).
+    Probe.df("q_pack_cumsum",
+      s"""WITH w AS (SELECT doc_id, len($duckWords) AS tokens FROM documents)
+         |SELECT doc_id, tokens,
+         |  CAST(sum(tokens) OVER (ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |  CAST(floor((sum(tokens) OVER (ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - tokens) / 512.0) AS BIGINT) AS bin
+         |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Packing.packByCumsum(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              size(Dedup.words(col("text"))).cast("bigint").as("tokens")),
+          "doc_id", "tokens", 512)
         .orderBy("doc_id")
     },
 

@@ -205,6 +205,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSet == again.toSet)
   }
 
+  test("greedy packing: every doc once, no bin overflows, order respected") {
+    import graft.operators.Packing
+    val docs = spark.range(1, 501).select($"id".as("doc_id"),
+      (($"id" * 37) % 190 + 10).as("tokens")) // 10..199 tokens each
+    val out = Packing.packGreedyPerPartition(docs, "doc_id", "tokens",
+      budget = 512, numPartitions = 4).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == (1L to 500L),
+      "every doc packed exactly once")
+    // no (part, bin) exceeds the budget (no doc here exceeds it alone)
+    val binTotals = out.groupBy(r => (r.getInt(2), r.getLong(3)))
+      .view.mapValues(_.map(_.getLong(1)).sum)
+    assert(binTotals.values.forall(_ <= 512), binTotals.filter(_._2 > 512).toMap.toString)
+    // bins are reasonably full (greedy first-fit wastes < 40% on average)
+    val fills = binTotals.values.toSeq
+    assert(fills.sum.toDouble / (fills.size * 512) > 0.6,
+      s"avg fill too low: ${fills.sum.toDouble / (fills.size * 512)}")
+    // an oversized doc gets a bin of its own instead of being dropped
+    val big = spark.range(1, 4).select($"id".as("doc_id"),
+      (when($"id" === 2, 9999L).otherwise(100L)).as("tokens"))
+    val packedBig = Packing.packGreedyPerPartition(big, "doc_id", "tokens",
+      budget = 512, numPartitions = 1).collect()
+    assert(packedBig.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("fingerprint is order- and duplication-insensitive") {
     val fps = Seq((1L, "b a c"), (2L, "c b a a"), (3L, "a b d"))
       .toDF("doc_id", "text")
