@@ -179,6 +179,50 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // END-TO-END training-data pipeline: exact dedup -> quality filter ->
+    // deterministic train split -> sequence packing, composed from the
+    // library's own operators. The oracle recomputes every stage in one
+    // DuckDB query (fingerprint dedup, the q_text_stats quality formula,
+    // the md5 split boundary, the running-sum pack) — if any stage
+    // drifts, the hash breaks.
+    Probe.df("q_pipeline_e2e",
+      s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents),
+         |c AS (SELECT doc_id,
+         |        len(ws) AS n_tokens,
+         |        len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1) AS dr,
+         |        length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |          / greatest(length(text), 1) AS pr,
+         |        md5(lower(text)) AS fp
+         |      FROM w),
+         |keep AS (SELECT min(doc_id) AS kid FROM c GROUP BY fp),
+         |q AS (SELECT doc_id, n_tokens,
+         |        least(greatest((least(n_tokens / 100.0, 1.0) + dr) / 2.0
+         |          - least(pr * 5.0, 1.0), 0.0), 1.0) AS quality
+         |      FROM c JOIN keep ON doc_id = kid),
+         |t AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS tokens
+         |      FROM q
+         |      WHERE quality >= 0.3
+         |        AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666')
+         |SELECT doc_id, tokens,
+         |  CAST(sum(tokens) OVER (ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |  CAST(floor((sum(tokens) OVER (ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - tokens) / 512.0) AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val keep = Dedup.exactDedup(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val stats = TextAnalysis.stats(d.join(keep, "doc_id"), "doc_id", "text")
+      val good = stats.filter(col("quality") >= 0.3)
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("tokens"))
+      val train = Sampling.hashSplit(good, "doc_id",
+          Seq(("train", 0.9), ("val", 0.1)))
+        .filter(col("split") === "train")
+        .select("doc_id", "tokens")
+      Packing.packByCumsum(train, "doc_id", "tokens", 512)
+        .orderBy("doc_id")
+    },
+
     // Sequence packing (training-batch construction): bin = cumulative
     // token count / budget over deterministic doc order. One window; the
     // oracle recomputes the identical running sum. floor() on BOTH sides
