@@ -74,6 +74,33 @@ object SketchKernels {
   def norm(a: ArrayData, aDouble: Boolean): Double =
     math.sqrt(dot(a, aDouble, a, aDouble))
 
+  /** Index of the max-inner-product centroid (first index wins ties —
+    * strict `>` keeps the earliest max, matching the CASE-order tie rule
+    * of the declarative form it replaces). One pass over the vector per
+    * centroid; each per-element product is the same x*c double op as
+    * [[dot]], so the chosen cell is identical to comparing greatest()
+    * over individual dot_product columns. */
+  def argMaxDot(v: ArrayData, vDouble: Boolean,
+      cents: Array[Array[Double]]): Int = {
+    var best = Double.NegativeInfinity
+    var bestI = -1
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (vDouble) v.getDouble(i) else v.getFloat(i).toDouble
+        s += x * cent(i)
+        i += 1
+      }
+      if (s > best) { best = s; bestI = c }
+      c += 1
+    }
+    bestI
+  }
+
   /** LSH band keys from a minhash signature: one 64-bit key per band,
     * mixing the band's r signature values with an avalanche hash. Keys
     * only need to collide iff the r-value slices are equal — they bucket
@@ -300,4 +327,36 @@ case class SimHashVector(child: Expression) extends LongArrayKernel {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "simhash_vector"
+}
+
+/** argmax-inner-product cell assignment over constant centroids — the
+  * IVF coarse quantizer as ONE kernel call (the declarative greatest +
+  * CASE form evaluated every centroid dot twice: once inside greatest,
+  * once per WHEN comparison). */
+case class ArgMaxDot(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"arg_max_dot expects array<float|double>, got $other")
+  }
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  private def isD: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.argMaxDot(input.asInstanceOf[ArrayData], isD, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "double[][]")
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.SketchKernels.argMaxDot($in, $isD, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "arg_max_dot"
 }

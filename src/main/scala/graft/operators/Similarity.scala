@@ -224,13 +224,14 @@ object Similarity {
 
   /** Cell id = argmax inner product over the centroid literals (first
     * index wins ties — mirrored in the oracle's CASE order). A pure
-    * per-row expression: attach it with one `select`, never a join. */
+    * per-row expression: attach it with one `select`, never a join.
+    * Runs as the [[graft.functions.ArgMaxDot]] kernel — the declarative
+    * greatest+CASE form evaluated every centroid dot twice (once inside
+    * greatest, once per WHEN), 2k passes over the vector for k cells. */
   def ivfCellExpr(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dots = centroids.map(c => dotKernel(vec, typedLit(c)))
-    val best = dots.reduce((a, b) => greatest(a, b))
-    dots.zipWithIndex.foldRight(lit(-1): Column) {
-      case ((d, i), els) => when(d === best, lit(i)).otherwise(els)
-    }
+    import org.apache.spark.sql.graftaccess.Internals
+    Internals.column(graft.functions.ArgMaxDot(
+      Internals.expression(vec), centroids))
   }
 
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,

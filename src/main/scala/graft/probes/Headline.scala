@@ -64,7 +64,23 @@ object Headline {
         |LIMIT 20""".stripMargin),
 
     // Q18 shape: semi-join against a HAVING aggregate, then re-aggregate
-    Probe.sql("q_tpch_q18",
+    // Spark text joins the aggregated subquery once (grouped keys are
+    // unique, so the join equals the IN): Catalyst pushes an IN-subquery
+    // semi-filter to BOTH join branches and the nullability-differing
+    // copies don't hit ReusedExchange — the lineitem HAVING agg ran
+    // twice. DuckDB keeps the reference's IN form.
+    Probe.sql2("q_tpch_q18",
+      """WITH big AS (
+        |  SELECT l_orderkey AS big_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN big      ON o_orderkey = big_orderkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  sum(l_quantity) AS total_qty
         |FROM customer
