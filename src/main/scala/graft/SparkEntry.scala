@@ -41,11 +41,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     probesAll.flatMap(p => p.oracle.map(p.name -> _)).toMap
 
-  /** Headline subset for Bench (join-heavy, window, agg, pipeline ops). */
+  /** Headline subset for Bench (join-heavy, window, agg, pipeline ops).
+    * Round-3 additions at the tail: the end-to-end pipeline composition,
+    * the banded cosine-LSH scale path, and the corpus vocabulary. */
   def benchNames: Seq[String] = Seq(
     "q1_agg", "q_join_star", "q_win_rank", "q_agg_distinct",
     "q_grouping_sets", "q_corr_scalar_subquery", "q_topk", "q_date_bin",
     "q_dedup_minhash", "q_ann_topk", "q_text_stats",
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18",
-    "q_window_session", "q_dedup_cosine", "q_ann_ivf")
+    "q_window_session", "q_dedup_cosine", "q_ann_ivf",
+    "q_pipeline_e2e", "q_dedup_cosine_lsh", "q_vocab")
 }

@@ -94,6 +94,17 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("IVF cell assignment runs as one kernel inside whole-stage codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q_ann_ivf")
+      assert(p.contains("arg_max_dot"), p.take(800))
+      assert(p.contains("*("), "kernel must stay inside a codegen stage")
+      assert(!p.contains("dot_product"),
+        "per-centroid dot columns must be gone (single-pass kernel)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("cosine-LSH candidate generation never materializes a quadratic stage") {
     // The candidate join must equi-join on (band, key) — never a cross or
     // pure-theta join of the corpus against itself — and the vectors ride
