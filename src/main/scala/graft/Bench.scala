@@ -34,13 +34,22 @@ object Bench {
     }
 
     // SPARK_GRAFT_BENCH_QUERIES=a,b,c narrows the set (diagnosis runs);
-    // SPARK_GRAFT_BENCH_EXPLAIN=1 prints the formatted plan per query.
+    // SPARK_GRAFT_BENCH_EXPLAIN=1 prints the formatted plan per query;
+    // SPARK_GRAFT_BENCH_ANALYZE=1 executes once per query and prints the
+    // plan tree with runtime SQLMetric values (EXPLAIN ANALYZE) to stderr.
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.filter(qs.contains))
       .getOrElse(SparkEntry.benchNames.filter(qs.contains))
     if (sys.env.contains("SPARK_GRAFT_BENCH_EXPLAIN"))
       names.foreach { n =>
         System.err.println(s"===== $n ====="); qs(n)(spark, sfDir).explain("formatted")
+      }
+    if (sys.env.contains("SPARK_GRAFT_BENCH_ANALYZE"))
+      names.foreach { n =>
+        System.err.println(s"===== $n (analyzed) =====")
+        org.apache.spark.sql.graftaccess.Internals
+          .explainAnalyze(qs(n)(spark, sfDir))
+          .foreach(System.err.println)
       }
     def attempt(n: String): Double =
       try runOnce(n) catch { case _: Throwable => Double.PositiveInfinity }
