@@ -186,14 +186,6 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0) {
         .sortBy(_.getFileName.toString)
     }
 
-  /** All namespaces under (and excluding) `base`, as relative segments. */
-  private def namespacesUnder(base: Path, prefix: Seq[String])
-      : Seq[Seq[String]] =
-    childDirs(base).filterNot(isTable).flatMap { d =>
-      val ns = prefix :+ d.getFileName.toString
-      ns +: namespacesUnder(d, ns)
-    }
-
   private def nsOf(encoded: String): Seq[String] =
     java.net.URLDecoder.decode(encoded, "UTF-8").split('\u001f').toSeq
 
@@ -233,12 +225,14 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0) {
           ns.foldLeft(p)(_.resolve(_)))
         if (parent.isDefined && !Files.isDirectory(base)) (404, "{}")
         else {
-          // spec: immediate children only when parent= given, all top-level
-          // namespaces otherwise
+          // spec semantics = IMMEDIATE children only, both with and
+          // without parent= (clients recurse themselves; returning the
+          // whole tree here would make a recursive client double-count)
           val out = parent match {
             case Some(ns) => childDirs(base).filterNot(isTable)
               .map(d => ns :+ d.getFileName.toString)
-            case None => namespacesUnder(warehouse, Nil)
+            case None => childDirs(warehouse).filterNot(isTable)
+              .map(d => Seq(d.getFileName.toString))
           }
           (200, "{\"namespaces\":" +
             json(out.map(_.toArray).toArray) + "}")

@@ -48,13 +48,26 @@ final class SnapshotStreamSource(
     Snapshots.latest(tableDir).map(s => LongOffset(s.version))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val startFiles = start.map(o => filesAt(version(o))).getOrElse(Set.empty)
-    val endFiles = filesAt(version(end))
-    val dropped = startFiles -- endFiles
-    require(dropped.isEmpty,
-      s"table at $tableDir had a non-append commit while streaming " +
-        s"(snapshot v${version(end)} drops ${dropped.size} file(s)); " +
-        "streaming reads require append-only commits")
+    val startV = start.map(version).getOrElse(0L)
+    val endV = version(end)
+    val startFiles = if (startV <= 0L) Set.empty[String] else filesAt(startV)
+    // validate EVERY snapshot in the batch range, not just its endpoints:
+    // an add+rewrite committed between two triggers would otherwise slip
+    // through (the dropped file cancels out of the endpoint diff) even
+    // though the table violated its append-only streaming contract
+    var prev = startFiles
+    Snapshots.list(tableDir)
+      .filter(s => s.version > startV && s.version <= endV)
+      .foreach { s =>
+        val cur = s.files.toSet
+        val dropped = prev -- cur
+        require(dropped.isEmpty,
+          s"table at $tableDir had a non-append commit while streaming " +
+            s"(snapshot v${s.version} drops ${dropped.size} file(s)); " +
+            "streaming reads require append-only commits")
+        prev = cur
+      }
+    val endFiles = filesAt(endV)
     val fresh = (endFiles -- startFiles).toSeq.sorted
       .map(f => tableDir.resolve(f).toUri.toString)
     org.apache.spark.sql.graftaccess.Internals

@@ -101,31 +101,67 @@ final class Engine(root: SparkSession) {
     * (surfacing as a spurious "unknown statement handle"). */
   private val prepareLock = new Object
 
-  /** `?` placeholders outside single-quoted literals. */
+  /** `?` placeholders outside single-quoted literals (doubled AND
+    * backslash-escaped quotes handled) and outside line or block
+    * comments. */
   private def countPlaceholders(sql: String): Int = {
-    var n = 0; var inStr = false; var i = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (c == '\'') inStr = !inStr
-      else if (c == '?' && !inStr) n += 1
-      i += 1
+    var n = 0; var i = 0
+    val len = sql.length
+    while (i < len) {
+      sql.charAt(i) match {
+        case '\'' => // string literal: skip to its end
+          i += 1
+          var closed = false
+          while (i < len && !closed) {
+            sql.charAt(i) match {
+              case '\\' => i += 2 // Spark-dialect escaped char
+              case '\'' => closed = true; i += 1
+              case _ => i += 1
+            }
+          }
+        case '-' if i + 1 < len && sql.charAt(i + 1) == '-' => // line comment
+          while (i < len && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < len && sql.charAt(i + 1) == '*' => // block comment
+          i += 2
+          while (i + 1 < len &&
+            !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i += 2
+        case '?' => n += 1; i += 1
+        case _ => i += 1
+      }
     }
     n
   }
 
+  /** Statements safe to PLAN with dummy bindings at prepare: queries
+    * only. Spark executes commands (INSERT/CREATE/SET/...) eagerly at
+    * `sql()`, so dummy-binding a parameterized DML would WRITE dummy
+    * rows at prepare time. */
+  private def isQueryText(sql: String): Boolean = {
+    val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
+    head == "SELECT" || head == "WITH" || head == "VALUES" || head == "TABLE"
+  }
+
   /** SQL → handle + result schema (plan analyzed eagerly, not executed).
-    * Parameterized text still reports its result schema, like the
+    * Parameterized QUERY text still reports its result schema, like the
     * reference (lib.rs:702-708, where $n placeholders are typed Utf8 at
     * prepare): the text is planned once with Utf8 dummy bindings, which
-    * matches the engine's Utf8-only bind surface. */
+    * matches the engine's Utf8-only bind surface. Parameterized DML is
+    * NOT dummy-planned (commands execute eagerly) — empty schema, like
+    * before. EXPLAIN ANALYZE short-circuits to its constant schema
+    * instead of executing the analyzed query at prepare time. */
   def prepare(token: String, sql: String): (String, StructType) = {
     val st = Statement(session(token), sql)
     val handle = UUID.randomUUID().toString
-    val schema = scala.util.Try(plan(st).schema).orElse(scala.util.Try {
-      val n = countPlaceholders(sql)
-      require(n > 0)   // not a placeholder problem -> keep empty schema
-      plan(Statement(st.session, sql, Seq.fill(n)(""))).schema
-    }).getOrElse(StructType(Nil))
+    val schema =
+      if (ExplainAnalyze.matches(sql))
+        StructType(Seq(org.apache.spark.sql.types.StructField(
+          "plan_with_metrics", org.apache.spark.sql.types.StringType)))
+      else scala.util.Try(plan(st).schema).orElse(scala.util.Try {
+        val n = countPlaceholders(sql)
+        require(n > 0 && isQueryText(sql)) // else keep the empty schema
+        plan(Statement(st.session, sql, Seq.fill(n)(""))).schema
+      }).getOrElse(StructType(Nil))
     prepareLock.synchronized {
       while (statements.size() >= maxStatements) evictOldest()
       statements.put(handle, st)

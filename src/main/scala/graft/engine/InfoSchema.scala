@@ -43,8 +43,11 @@ object InfoSchema {
         org.apache.spark.sql.graftaccess.Internals
           .catalogPlugin(spark, cat) match {
           case tc: TableCatalog with SupportsNamespaces =>
+            // per-node Try: one unlistable namespace degrades to itself,
+            // not to dropping the whole catalog from information_schema
             def descend(ns: Array[String]): Seq[Array[String]] =
-              ns +: tc.listNamespaces(ns).toSeq.flatMap(descend)
+              ns +: Try(tc.listNamespaces(ns).toSeq).getOrElse(Seq.empty)
+                .flatMap(descend)
             val all = tc.listNamespaces().toSeq.flatMap(descend)
             all.flatMap { ns =>
               Try(tc.listTables(ns).toSeq).getOrElse(Seq.empty).flatMap { id =>

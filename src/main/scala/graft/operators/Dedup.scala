@@ -30,26 +30,36 @@ object Dedup {
     * emitted pair still passes the exact verification downstream. Below
     * the cap, semantics are unchanged (all in-bucket pairs).
     *
-    * Shape: ONE shuffle (groupBy band-key, collecting ids per bucket —
-    * the same (id, band, key) volume the old self-join shuffled twice),
-    * then pair generation inside the row. No window sort, no join. The
-    * pair-gen lambdas run interpreted, but their work is exactly the
-    * candidate count, which the cap bounds per bucket. */
+    * Shape: ONE shuffle through the [[graft.functions.BoundedCollect]]
+    * aggregate — per bucket it keeps the total count plus only the
+    * `maxBucket + 1` smallest ids (O(cap) buffer memory, where a
+    * collect_list would materialize a whole adversarial bucket as ONE
+    * array row and OOM the very case the cap exists for). Complete
+    * buckets generate their pairs in-row from the bounded array; the
+    * rare oversized buckets join back on (band, key) for the star —
+    * that side's key set is tiny by construction, so AQE broadcasts it
+    * and the common case pays nothing. */
   def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val buckets = banded.groupBy(col("band"), col("key"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
+    import org.apache.spark.sql.graftaccess.Internals
+    val b = banded.select(col("id"), col("band"), col("key"))
+    val bc = Internals.column(graft.functions.BoundedCollect(
+      Internals.expression(col("id")), maxBucket + 1).toAggregateExpression())
+    val buckets = b.groupBy(col("band"), col("key")).agg(bc.as("bc"))
+      .select(col("band"), col("key"),
+        col("bc.cnt").as("cnt"), col("bc.ids").as("ids"))
     val ids = col("ids")
     val m = size(ids)
-    val allPairs = flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + lit(2), m), b =>
-        struct(a.as("ida"), b.as("idb")))))
-    val starPairs = transform(slice(ids, lit(2), m), b =>
-      struct(element_at(ids, 1).as("ida"), b.as("idb")))
-    buckets
-      .select(explode(
-        when(m <= maxBucket, allPairs).otherwise(starPairs)).as("p"))
+    val smallPairs = buckets.filter(col("cnt") <= maxBucket)
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + lit(2), m), bx =>
+          struct(a.as("ida"), bx.as("idb")))))).as("p"))
       .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
-      .distinct()
+    val bigKeys = buckets.filter(col("cnt") > maxBucket)
+      .select(col("band"), col("key"), element_at(ids, 1).as("bmin"))
+    val candBig = b.join(bigKeys, Seq("band", "key"))
+      .filter(col("id") =!= col("bmin"))
+      .select(col("bmin").as("ida"), col("id").as("idb"))
+    smallPairs.union(candBig).distinct()
   }
 
   /** Lower-cased whitespace tokens, empties dropped. */

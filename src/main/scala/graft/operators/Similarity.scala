@@ -91,10 +91,13 @@ object Similarity {
     val small = org.apache.spark.sql.graftaccess.Internals
       .planSizeInBytes(df) <= smallBytes
     if (small) cosineNearDupPairsExact(df, idCol, vecCol, threshold)
-    else {
-      val dim = df.select(size(col(vecCol))).head().getInt(0)
-      cosineNearDupPairsLsh(df, idCol, vecCol, threshold,
-        bands, planesPerBand, dim)
+    else df.select(size(col(vecCol))).take(1) match {
+      // size estimates can be large while the actual row count is zero
+      // (selective filters without column stats) — fall back to the
+      // exact path rather than crash probing the dimension
+      case Array() => cosineNearDupPairsExact(df, idCol, vecCol, threshold)
+      case Array(row) => cosineNearDupPairsLsh(df, idCol, vecCol, threshold,
+        bands, planesPerBand, row.getInt(0))
     }
   }
 

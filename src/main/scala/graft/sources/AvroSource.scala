@@ -92,6 +92,22 @@ object AvroSource {
     })
   }
 
+  /** The session's Hadoop conf flattened to a plain serializable map so
+    * executors rebuild it — `new Configuration()` on an executor would
+    * drop the env-driven s3a/gs credentials [[graft.engine.ObjectStoreConf]]
+    * installed on the driver. */
+  private def confMap(df: DataFrame): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.sparkContext.hadoopConfiguration.asScala
+      .map(e => e.getKey -> e.getValue).toMap
+  }
+
+  private def rebuild(entries: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Write `df` as Avro container files under `path`, one file per
     * partition, each written on its executor. */
   def write(df: DataFrame, path: String): Unit = {
@@ -99,12 +115,13 @@ object AvroSource {
     val schemaJson = avroSchema(st).toString // Schema isn't serializable
     val width = st.length
     val dir = new Path(path)
-    dir.getFileSystem(new Configuration()).mkdirs(dir)
+    val entries = confMap(df)
+    dir.getFileSystem(rebuild(entries)).mkdirs(dir)
     df.rdd.foreachPartition { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
       val idx = TaskContext.getPartitionId()
       val p = new Path(path, f"part-$idx%05d.avro")
-      val out = p.getFileSystem(new Configuration()).create(p, true)
+      val out = p.getFileSystem(rebuild(entries)).create(p, true)
       val writer =
         new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       writer.create(schema, out)
@@ -126,7 +143,10 @@ object AvroSource {
   /** Read the Avro container files under `path` as a DataFrame; one scan
     * partition per file. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val conf = new Configuration()
+    import scala.jdk.CollectionConverters._
+    val entries = spark.sparkContext.hadoopConfiguration.asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val conf = rebuild(entries)
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val files = fs.listStatus(dir).map(_.getPath)
@@ -141,7 +161,7 @@ object AvroSource {
       .parallelize(files, files.length)
       .flatMap { f =>
         val reader = new DataFileReader(
-          new FsInput(new Path(f), new Configuration()),
+          new FsInput(new Path(f), rebuild(entries)),
           new GenericDatumReader[GenericRecord]())
         val it = reader.iterator.asScala.map { rec =>
           Row.fromSeq((0 until width).map { i =>

@@ -131,7 +131,13 @@ object Internals {
   def explainAnalyze(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
     val root = ds.queryExecution.executedPlan
-    root.executeCollect() // force execution; metrics accumulate
+    // force full execution WITHOUT collecting rows to the driver (an
+    // executeCollect here would OOM on large results just to read
+    // metrics); each partition's iterator is drained on its executor —
+    // physical operators compute lazily, so the pull is what runs them
+    root.execute().foreachPartition(
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        while (it.hasNext) it.next())
     val out = Seq.newBuilder[String]
     def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
       val ms = p.metrics.toSeq.sortBy(_._1)

@@ -185,6 +185,26 @@ class EngineSpec extends AnyFunSuite {
     engine.closeStatement(h3)
   }
 
+  test("prepare of parameterized DML must not execute (no dummy-bind writes)") {
+    engine.executeUpdate(token,
+      "CREATE OR REPLACE TEMPORARY VIEW dml_probe_src AS SELECT 1 AS v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml_probe")
+    engine.executeUpdate(token,
+      s"CREATE TABLE dml_probe (v INT) USING parquet LOCATION '$dir'")
+    try {
+      // prepare alone must leave the table untouched (commands execute
+      // eagerly at sql(), so dummy-binding INSERT text would write rows)
+      val (h, schema) = engine.prepare(token,
+        "INSERT INTO dml_probe SELECT length(?) AS v")
+      assert(schema.isEmpty) // DML: schema stays empty, like before
+      val (_, rows0) = engine.executeQuery(token,
+        "SELECT count(*) AS n FROM dml_probe")
+      assert(rows0.head.getLong(0) == 0L,
+        "prepare must not have inserted anything")
+      engine.closeStatement(h)
+    } finally engine.executeUpdate(token, "DROP TABLE IF EXISTS dml_probe")
+  }
+
   test("GCS env contract maps onto gs conf; S3 wins when both present (Cargo.toml:11)") {
     import graft.engine.ObjectStoreConf
     val gcsEnv = Map("BUCKET" -> "lake",

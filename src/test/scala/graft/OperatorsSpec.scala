@@ -109,6 +109,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall too low: ${ivf2.intersect(bfPairs).size}/${bfPairs.size}")
   }
 
+  test("bounded_collect keeps the count and the k smallest ids only") {
+    import org.apache.spark.sql.graftaccess.Internals
+    val df = spark.range(1, 1001).select(
+      ($"id" % 2).as("g"), (lit(1001) - $"id").as("v")) // values 1..1000 reversed
+    val bc = Internals.column(graft.functions.BoundedCollect(
+      Internals.expression(col("v")), 5).toAggregateExpression())
+    val out = df.groupBy("g").agg(bc.as("bc"))
+      .select($"g", $"bc.cnt", $"bc.ids").orderBy("g").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 500L) // full count survives the bound
+      val ids = r.getSeq[Long](2)
+      assert(ids.length == 5 && ids == ids.sorted)
+      // g=0 holds even values 2..1000 (v=1001-id for even id), g=1 odd
+      val expect = if (r.getLong(0) == 0L) Seq(1L, 3L, 5L, 7L, 9L)
+        else Seq(2L, 4L, 6L, 8L, 10L)
+      assert(ids == expect, s"g=${r.getLong(0)}: $ids")
+    }
+  }
+
   test("oversized LSH buckets emit a bounded star, not a quadratic blowup") {
     // 300 identical documents: every band bucket holds the whole corpus,
     // so uncapped candidates would be 300*299/2 per band. With the cap,

@@ -40,6 +40,9 @@ class RestCatalogSpec extends AnyFunSuite {
         val ns = spark.sql("SHOW NAMESPACES IN rcat").collect()
           .map(_.getString(0)).toSet
         assert(ns.contains("db"))
+        // top-level listing only — a recursive response would make
+        // recursive clients (information_schema) double-count children
+        assert(!ns.contains("db.deep"), ns.toString)
         val tables = spark.sql("SHOW TABLES IN rcat.db").collect()
           .map(_.getString(1)).toSet
         assert(tables == Set("t"))

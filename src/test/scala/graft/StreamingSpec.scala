@@ -259,6 +259,31 @@ class StreamingSpec extends AnyFunSuite {
       Set(1L, 2L, 3L))
   }
 
+  test("a rewrite hidden INSIDE one batch range still fails the stream") {
+    // add + COW-delete committed between two triggers: the dropped file
+    // cancels out of the endpoint diff, so only per-snapshot validation
+    // catches the append-only violation
+    val wh = Files.createTempDirectory("graft_wh_tail4").toString
+    spark.conf.set("spark.sql.catalog.gtail4", "graft.catalog.MetaCatalog")
+    spark.conf.set("spark.sql.catalog.gtail4.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gtail4.s")
+    spark.sql("CREATE TABLE gtail4.s.feed (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gtail4.s.feed VALUES (1, 1.0)")
+    val out = s"graft_tail4_out_${System.nanoTime()}"
+    val q = graft.catalog.CatalogStreams.readTable(spark, "gtail4.s.feed")
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // both commits land before the next trigger
+    spark.sql("INSERT INTO gtail4.s.feed VALUES (2, 2.0), (3, 3.0)")
+    spark.sql("DELETE FROM gtail4.s.feed WHERE id = 2")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    assert(err.getMessage.contains("non-append"), err.getMessage.take(300))
+  }
+
   test("catalog tail resumes from a checkpoint without re-delivery") {
     // restart path: offsets come back from the checkpoint log as
     // SerializedOffset JSON, and the new batch must start AFTER the last
