@@ -30,7 +30,17 @@ object Bench {
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Cache hygiene OUTSIDE the timer: several operators persist()
+      // intermediates and hand back a lazy DataFrame, so each timed pass
+      // creates fresh cached blocks that nothing ever unpersists. Over
+      // 20+ queries x 3-4 passes the leaked MEMORY_AND_DISK blocks fill
+      // the old gen and the spill dir — on a loaded box that turned one
+      // cache-heavy query into 30s of GC churn + a task death (round-3
+      // driver bench). Each pass still builds its own cache inside the
+      // timed region, so timings stay comparable.
+      spark.catalog.clearCache()
+      t
     }
 
     // SPARK_GRAFT_BENCH_QUERIES=a,b,c narrows the set (diagnosis runs);

@@ -30,36 +30,38 @@ object Dedup {
     * emitted pair still passes the exact verification downstream. Below
     * the cap, semantics are unchanged (all in-bucket pairs).
     *
-    * Shape: ONE shuffle through the [[graft.functions.BoundedCollect]]
-    * aggregate — per bucket it keeps the total count plus only the
-    * `maxBucket + 1` smallest ids (O(cap) buffer memory, where a
-    * collect_list would materialize a whole adversarial bucket as ONE
-    * array row and OOM the very case the cap exists for). Complete
-    * buckets generate their pairs in-row from the bounded array; the
-    * rare oversized buckets join back on (band, key) for the star —
-    * that side's key set is tiny by construction, so AQE broadcasts it
-    * and the common case pays nothing. */
+    * Shape: everything stays inside whole-stage codegen, and the guard
+    * is priced for the COMMON case (no whale buckets). One count/min
+    * HashAggregate builds the whale-bucket directory `big` — normally
+    * EMPTY — and all three joins consume that same tiny subtree: a
+    * left-anti join fences whale members out of the quadratic self-join,
+    * and an inner join reads the star pairs straight off the directory's
+    * min id. With AQE, an empty `big` propagates: the anti join
+    * collapses to a passthrough and the star branch to an empty
+    * relation, so the plan degenerates to exactly the plain bucket
+    * self-join plus one aggregate pass. An earlier formulation collected
+    * bucket ids through a TypedImperativeAggregate and generated pairs
+    * in-row — with real-corpus key cardinality (buckets are
+    * overwhelmingly singletons) every task blew past the
+    * ObjectHashAggregate fallback threshold and paid sort-based
+    * aggregation plus per-row buffer serialization, measured ~3x slower
+    * at sf0.1 and pathological under memory pressure. Count/min never
+    * materializes ids at all, so the guard is memory-bounded by
+    * construction. */
   def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.graftaccess.Internals
     val b = banded.select(col("id"), col("band"), col("key"))
-    val bc = Internals.column(graft.functions.BoundedCollect(
-      Internals.expression(col("id")), maxBucket + 1).toAggregateExpression())
-    val buckets = b.groupBy(col("band"), col("key")).agg(bc.as("bc"))
-      .select(col("band"), col("key"),
-        col("bc.cnt").as("cnt"), col("bc.ids").as("ids"))
-    val ids = col("ids")
-    val m = size(ids)
-    val smallPairs = buckets.filter(col("cnt") <= maxBucket)
-      .select(explode(flatten(transform(ids, (a, i) =>
-        transform(slice(ids, i + lit(2), m), bx =>
-          struct(a.as("ida"), bx.as("idb")))))).as("p"))
-      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
-    val bigKeys = buckets.filter(col("cnt") > maxBucket)
-      .select(col("band"), col("key"), element_at(ids, 1).as("bmin"))
-    val candBig = b.join(bigKeys, Seq("band", "key"))
+    val big = b.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("bmin"))
+      .filter(col("cnt") > maxBucket)
+    val smallSide = b.join(big, Seq("band", "key"), "left_anti")
+    val smallPairs = smallSide.alias("a").join(smallSide.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+    val bigPairs = b.join(big, Seq("band", "key"))
       .filter(col("id") =!= col("bmin"))
       .select(col("bmin").as("ida"), col("id").as("idb"))
-    smallPairs.union(candBig).distinct()
+    smallPairs.union(bigPairs).distinct()
   }
 
   /** Lower-cased whitespace tokens, empties dropped. */
