@@ -24,6 +24,7 @@ object SparkEntry {
     probes.StreamingWindows.probes ++
     probes.SourcesSinks.probes ++
     probes.Headline.probes ++
+    probes.TpchFull.probes ++
     probes.Extras.probes
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -42,13 +43,16 @@ object SparkEntry {
     probesAll.flatMap(p => p.oracle.map(p.name -> _)).toMap
 
   /** Headline subset for Bench (join-heavy, window, agg, pipeline ops).
-    * Round-3 additions at the tail: the end-to-end pipeline composition,
-    * the banded cosine-LSH scale path, and the corpus vocabulary. */
+    * Round-3 additions: the end-to-end pipeline composition, the banded
+    * cosine-LSH scale path, and the corpus vocabulary. Round 4 adds the
+    * widest TPC-H shapes: full Q1 (9-aggregate scan), Q8 (8-table
+    * snowflake), Q21 (double-correlated EXISTS/NOT EXISTS). */
   def benchNames: Seq[String] = Seq(
     "q1_agg", "q_join_star", "q_win_rank", "q_agg_distinct",
     "q_grouping_sets", "q_corr_scalar_subquery", "q_topk", "q_date_bin",
     "q_dedup_minhash", "q_ann_topk", "q_text_stats",
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18",
     "q_window_session", "q_dedup_cosine", "q_ann_ivf",
-    "q_pipeline_e2e", "q_dedup_cosine_lsh", "q_vocab")
+    "q_pipeline_e2e", "q_dedup_cosine_lsh", "q_vocab",
+    "q_tpch_q1", "q_tpch_q8", "q_tpch_q21")
 }
