@@ -21,6 +21,7 @@ object SparkEntry {
     probes.ScalarFunctions2.probes ++
     probes.ScalarFunctions3.probes ++
     probes.Pipeline.probes ++
+    probes.Curation.probes ++
     probes.StreamingWindows.probes ++
     probes.SourcesSinks.probes ++
     probes.Headline.probes ++

@@ -1,0 +1,118 @@
+package graft.probes
+
+import graft.{Probe, Tables}
+import graft.operators.{Contamination, Pii, Repetition}
+import org.apache.spark.sql.functions._
+
+/** Data-curation probes (builder-prompt extension surface): repetition
+  * metrics, PII redaction, benchmark-contamination detection. Every
+  * oracle recomputes the full formula in DuckDB; the PII probe INJECTS
+  * deterministic PII (the synthetic corpus has none — an un-planted
+  * redaction probe would be vacuously green). */
+object Curation {
+
+  private val duckWords =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  /** DuckDB n-gram list comprehension over a words list `ws` (empty for
+    * docs shorter than n words — mirrors Repetition.ngrams). */
+  private def duckGrams(n: Int): String =
+    if (n == 1) "ws"
+    else s"[array_to_string(ws[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, greatest(len(ws)-${n - 1}, 0)+1)]"
+
+  private def duckDupFrac(glist: String): String =
+    s"CASE WHEN len($glist) > 0 THEN " +
+      s"1.0 - len(list_distinct($glist))::DOUBLE / len($glist) " +
+      "ELSE 0.0 END"
+
+  val probes: Seq[Probe] = Seq(
+
+    // Repetition profile: projection-only dup fractions + the relational
+    // top-bigram share (explode -> per-(doc,gram) count -> per-doc max)
+    Probe.df("q_repetition",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |l AS (SELECT doc_id, ws, ${duckGrams(2)} AS g2, ${duckGrams(3)} AS g3
+         |      FROM w),
+         |d AS (SELECT doc_id,
+         |        ${duckDupFrac("ws")} AS dup_word_frac,
+         |        ${duckDupFrac("g2")} AS dup_2gram_frac,
+         |        ${duckDupFrac("g3")} AS dup_3gram_frac
+         |      FROM l),
+         |t AS (SELECT doc_id, unnest(g2) AS gram FROM l),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM t
+         |      GROUP BY doc_id, gram),
+         |tops AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |           max(cnt) AS top_cnt
+         |         FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+         |  n_grams, top_cnt, top_cnt::DOUBLE / n_grams AS top_frac
+         |FROM d JOIN tops ON d.doc_id = tops.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Repetition.dupStats(d, "doc_id", "text")
+        .join(Repetition.topNgramShare(d, "doc_id", "text", 2)
+          .withColumnRenamed("id", "doc_id"), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // PII scrub over deterministically planted PII: per-category counts
+    // (email/ssn/phone/ipv4) + the redacted text itself. Patterns are
+    // Java-regex/RE2-portable; DuckDB regexp_replace needs 'g'.
+    Probe.df("q_pii_redact",
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact doc' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com or 555-'
+        |       || lpad(CAST(doc_id AS VARCHAR), 3, '0')
+        |       || '-1234 ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.7' AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\d{3}-\d{2}-\d{4}')) AS INT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\d{3}-\d{3}-\d{4}')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INT) AS n_ipv4,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val injected = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          col("text"), lit(" contact doc"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(col("doc_id").cast("string"), 3, "0"),
+          lit("-1234 ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("text"))
+      Pii.scrub(injected, "doc_id", "text").orderBy("doc_id")
+    },
+
+    // Benchmark contamination: docs 0-49 play the eval suite; flag any
+    // other document sharing a verbatim 8-gram, with the shared-gram
+    // count. Spark joins on xxhash64(gram) (8-byte shuffle keys); the
+    // oracle joins on the gram strings — identical output unless a
+    // 2^-64 collision fires, which the probe would catch.
+    Probe.df("q_contamination",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(${duckGrams(8)})) AS gram
+         |      FROM w),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
+         |SELECT g.doc_id, count(*) AS n_shared
+         |FROM g JOIN bench USING (gram)
+         |WHERE g.doc_id >= 50
+         |GROUP BY g.doc_id
+         |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Contamination.overlap(
+          d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+          "doc_id", "text", 8)
+        .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy("doc_id")
+    }
+  )
+}

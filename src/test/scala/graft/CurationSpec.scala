@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Contamination, Pii, Repetition}
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dupStats measures repeated n-grams, zero on distinct text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),           // pure repetition
+      (2L, "all four words differ"),         // none
+      (3L, "ab")                             // shorter than 3 words
+    ).toDF("doc_id", "text")
+    val out = Repetition.dupStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("dup_word_frac") == 0.75)
+    assert(out(0).getAs[Double]("dup_2gram_frac") > 0.6)   // "spam spam" x3
+    assert(out(1).getAs[Double]("dup_word_frac") == 0.0)
+    assert(out(1).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(out(2).getAs[Double]("dup_3gram_frac") == 0.0)  // no 3-grams
+  }
+
+  test("topNgramShare finds the dominant bigram and drops gramless docs") {
+    val docs = Seq(
+      (1L, "a b a b a b"),    // "a b" occurs 3 of 5 bigrams
+      (2L, "solo")            // no bigrams -> absent from output
+    ).toDF("doc_id", "text")
+    val out = Repetition.topNgramShare(docs, "doc_id", "text", 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_grams") == 5L)
+    assert(out(0).getAs[Long]("top_cnt") == 3L)
+  }
+
+  test("Pii.scrub counts and redacts every category, leaves clean text") {
+    val docs = Seq(
+      (1L, "mail bob.1@corp.io call 555-123-4567 ssn 123-45-6789 host 10.0.0.1"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = Pii.scrub(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_email") == 1)
+    assert(out(0).getAs[Int]("n_phone") == 1)
+    assert(out(0).getAs[Int]("n_ssn") == 1)
+    assert(out(0).getAs[Int]("n_ipv4") == 1)
+    assert(out(0).getAs[String]("redacted") ==
+      "mail <EMAIL> call <PHONE> ssn <SSN> host <IP>")
+    assert(out(1).getAs[String]("redacted") == "nothing sensitive here")
+    // redaction is a fixpoint: a second pass detects nothing
+    val again = Pii.scrub(
+      out.toSeq.map(r => (r.getLong(0), r.getString(5))).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(again.forall(r => (1 to 4).forall(i => r.getInt(i) == 0)))
+  }
+
+  test("Contamination.overlap flags only docs sharing a verbatim n-gram") {
+    val bench = Seq((100L, "the capital of france is paris obviously"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we know the capital of france is paris obviously today"),  // copies 6-grams
+      (2L, "the capital of spain is madrid obviously not"),            // no shared 6-gram
+      (3L, "completely unrelated words in this document here")
+    ).toDF("doc_id", "text")
+    val out = Contamination.overlap(corpus, bench, "doc_id", "text", 6)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out(0).getAs[Long]("n_shared") == 2L)  // two distinct shared 6-grams
+  }
+}
