@@ -242,6 +242,85 @@ object Similarity {
     df.select(col(idCol).as("vec_id"),
       ivfCellExpr(col(vecCol), centroids).as("cell"))
 
+  /** Lloyd's k-means over the corpus, the IVF centroid trainer
+    * ([[ivfCellExpr]] consumes its output unchanged — training only
+    * swaps the centroid constants). Classic distributed shape: each
+    * round is one assign PROJECTION (the ArgMaxDot kernel inside the
+    * scan stage) plus one per-(cell, position) aggregate — map-side
+    * combined, shuffling at most k·dim·partitions rows — and the only
+    * driver traffic is the k×dim aggregated result per round, which is
+    * how Lloyd's iterations are supposed to look on a cluster.
+    *
+    * Determinism: component sums are accumulated as QUANTIZED int64
+    * (round(val·2^quantBits)) — integer addition is associative, so the
+    * trained centroids are bit-identical regardless of partitioning,
+    * run order, or engine, which (a) makes training artifacts
+    * reproducible at 100 TB where float reduction order never is, and
+    * (b) lets the DuckDB oracle replay training exactly
+    * ([[kmeansOracleSql]]). At 2^20 the grid error (~1e-6 per
+    * component) is far below embedding noise. Empty cells keep their
+    * previous centroid. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, quantBits: Int = 20): Seq[Seq[Double]] = {
+    val scale = (1L << quantBits).toDouble
+    var cents = ivfCentroidsFrom(df, idCol, vecCol, k)
+    for (_ <- 1 to iters) {
+      val sums = df
+        .select(ivfCellExpr(col(vecCol), cents).as("cell"),
+          col(vecCol).cast("array<double>").as("dv"))
+        .select(col("cell"), posexplode(col("dv")).as(Seq("pos", "val")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(round(col("val") * scale).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos"))
+            .map(r => r.getAs[Long]("sq").toDouble / scale /
+              r.getAs[Long]("n")).toSeq
+          case None => cents(c)
+        }
+      }
+    }
+    cents
+  }
+
+  /** DuckDB replay of [[kmeansFit]] + final [[ivfAssign]]: first-k init,
+    * `iters` unrolled assign/quantized-mean rounds, then the final
+    * assignment — bit-identical to Spark because every reduction is over
+    * int64 (see kmeansFit's determinism note). Assumes no cell goes
+    * empty (true for the probe's parameters; kmeansFit itself handles
+    * empty cells, the SQL replay would need a COALESCE branch). */
+  def kmeansOracleSql(k: Int, iters: Int, table: String,
+      quantBits: Int = 20): String = {
+    val scale = s"${1L << quantBits}.0"
+    def assign(cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, cell FROM (
+         |  SELECT t.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY t.vec_id
+         |      ORDER BY list_dot_product(t.v, c.v) DESC, c.cell) AS rn
+         |  FROM t CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def refit(asg: String, outS: String, outC: String) =
+      s"""$outS AS (SELECT cell, g.pos,
+         |    CAST(sum(CAST(round(t.v[g.pos] * $scale) AS BIGINT)) AS BIGINT) AS sq,
+         |    count(*) AS n
+         |  FROM $asg JOIN t USING (vec_id),
+         |       LATERAL (SELECT unnest(generate_series(1, len(t.v))) AS pos) g
+         |  GROUP BY cell, g.pos),
+         |$outC AS (SELECT cell, list(sq / $scale / n ORDER BY pos) AS v
+         |  FROM $outS GROUP BY cell)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      assign(s"c${i - 1}", s"a$i") + ",\n" + refit(s"a$i", s"s$i", s"c$i")
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+       |       FROM t ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |${assign(s"c$iters", "fin")}
+       |SELECT vec_id, cell FROM fin ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB equivalent of [[ivfAssign]] for the correctness oracle. */
   def ivfAssignOracleSql(centroids: Seq[Seq[Double]], table: String): String = {
     val dots = centroids.map { c =>

@@ -408,6 +408,19 @@ object Pipeline {
       val cents = Similarity.ivfCentroidsFrom(e, "vec_id", "embedding", 16)
       Similarity.ivfAssign(e, "vec_id", "embedding", cents)
         .orderBy("vec_id")
+    },
+
+    // Trained IVF: two Lloyd rounds of deterministic k-means (quantized
+    // int64 accumulation — bit-reproducible regardless of partitioning),
+    // then the final cell assignment. The oracle REPLAYS the whole
+    // training loop in SQL; any drift in init, tie-break, quantization,
+    // or the mean breaks the hash.
+    Probe.df("q_ann_kmeans",
+      Similarity.kmeansOracleSql(8, 2, "embeddings")) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.kmeansFit(e, "vec_id", "embedding", 8, 2)
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .orderBy("vec_id")
     }
   )
 }

@@ -256,4 +256,19 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
+
+  test("kmeansFit centroids are bit-identical under any partitioning") {
+    // quantized int64 accumulation makes the float-mean reduction
+    // associative — the whole point of the design; verify the claim by
+    // training the same corpus as 1 partition and as 13.
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq)).toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeansFit(vecs.repartition(1), "vec_id", "embedding", 4, 3)
+    val c13 = Similarity.kmeansFit(vecs.repartition(13), "vec_id", "embedding", 4, 3)
+    assert(c1 == c13) // exact Double equality, not approx
+    // and training moved the centroids off their first-k init
+    val init = Similarity.ivfCentroidsFrom(vecs, "vec_id", "embedding", 4)
+    assert(c1 != init)
+  }
 }
