@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Contamination, Pii, Repetition}
+import graft.operators.{Contamination, Mixing, Pii, Repetition}
 import org.apache.spark.sql.functions._
 
 /** Data-curation probes (builder-prompt extension surface): repetition
@@ -112,6 +112,18 @@ object Curation {
           d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
           "doc_id", "text", 8)
         .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy("doc_id")
+    },
+
+    // Temperature-scaled source mixing (α=0.5, 200-doc budget): the
+    // oracle replays counts → quantized sqrt weights → floor-divided
+    // takes → md5-ranked selection. Exact cross-engine because weights
+    // quantize to int64 and sqrt is correctly rounded (see Mixing).
+    Probe.df("q_mix_temperature",
+      Mixing.exactMixOracleSql("documents", "doc_id", "source", 200)) {
+      (s, dir) =>
+      Mixing.exactMix(Tables.load(s, dir, "documents"),
+          "doc_id", "source", 0.5, 200)
         .orderBy("doc_id")
     }
   )

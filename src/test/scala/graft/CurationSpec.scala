@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Contamination, Pii, Repetition}
+import graft.operators.{Contamination, Mixing, Pii, Repetition}
 
 class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -67,5 +67,29 @@ class CurationSpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
     assert(out(0).getAs[Long]("n_shared") == 2L)  // two distinct shared 6-grams
+  }
+
+  test("temperature mixing upsamples tail sources, exact take counts") {
+    // 900 docs from 'big', 100 from 'small': α=0.5 weights 30:10, so a
+    // 200-doc budget takes 150/50 instead of the proportional 180/20.
+    val docs = spark.range(1000).selectExpr("id AS doc_id",
+      "CASE WHEN id < 900 THEN 'big' ELSE 'small' END AS source")
+    assert(Mixing.temperatureTakes(
+      Seq(("big", 900L), ("small", 100L)), 0.5, 200) ==
+      Seq(("big", 150L), ("small", 50L)))
+    val mixed = Mixing.exactMix(docs, "doc_id", "source", 0.5, 200)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("big" -> 150L, "small" -> 50L))
+    // determinism: same selection under different partitioning
+    val again = Mixing.exactMix(docs.repartition(7), "doc_id", "source", 0.5, 200)
+    assert(mixed.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+    // hashMix (zero-shuffle path) lands within ~3 sigma of the targets
+    val hm = Mixing.hashMix(docs, "doc_id", "source", 0.5, 200)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(hm("big") - 150L) < 40 && math.abs(hm("small") - 50L) < 25,
+      s"hashMix off target: $hm")
   }
 }
