@@ -153,11 +153,11 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
       posexplode(col("keys")).as(Seq("band", "key")))
-    val cand = banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("ida"), col("y.id").as("idb"))
-      .distinct()
+    // same skew guard as the MinHash path: an adversarial corpus (many
+    // identical embeddings) would otherwise turn one sign-bucket into a
+    // quadratic self-join; oversized buckets emit the min-id star and
+    // every emitted pair still passes the exact cosine verify below.
+    val cand = Dedup.bandedCandidates(banded, maxBucket = 4096)
     val vecs = base.select(col("id"), col("v"), col("nrm"))
     cand
       .join(vecs.select(col("id").as("ida"), col("v").as("va"),

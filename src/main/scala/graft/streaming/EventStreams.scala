@@ -147,4 +147,20 @@ object EventStreams {
       }
       .toDF("user_id", "n", "sum_v")
   }
+
+  /** Streaming exact dedup: emit each text's FIRST arrival, drop
+    * duplicates that land within the watermark horizon — the on-arrival
+    * counterpart of [[graft.operators.Dedup.exactDedup]], keyed on the
+    * same md5(lower(text)) fingerprint so a batch backfill and the live
+    * tail dedupe identically. `dropDuplicatesWithinWatermark` (not plain
+    * `dropDuplicates`) is the only scale-safe form: state holds one
+    * 16-byte fingerprint per document seen within the horizon and the
+    * watermark EXPIRES it, where the unwatermarked variant's state is
+    * O(all history) — the unbounded-state streaming failure mode. */
+  def dedupDocStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs.withColumn("__fp", md5(lower(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }

@@ -219,4 +219,29 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("TPC-H Q8 8-table snowflake: all seven dims broadcast, fact unshuffled pre-agg") {
+    val p = planOf("q_tpch_q8")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "every dimension must broadcast; lineitem shuffles only at the aggregate")
+  }
+
+  test("hashMix is a zero-shuffle projection over the corpus scan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val p = graft.operators.Mixing
+      .hashMix(docs, "doc_id", "source", 0.5, 100)
+      .queryExecution.executedPlan.toString
+    // the take-count aggregate ran as its own (driver-collected) job;
+    // the RESULT plan must be scan -> filter -> project with no exchange
+    assert(!p.contains("Exchange"), s"hashMix must not shuffle:\n${p.take(1200)}")
+  }
+
+  test("contamination join carries hashed grams and broadcasts the bench side") {
+    val p = planOf("q_contamination")
+    assert(p.contains("xxhash64"), "grams must be hashed before the join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench gram set must broadcast at this size:\n${p.take(1200)}")
+  }
 }

@@ -53,6 +53,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("streaming dedup drops cross-batch duplicates, state bounded by watermark") {
+    val dir = Files.createTempDirectory("graft_sdedup").toFile
+    val out = s"graft_sdedup_out_${System.nanoTime()}"
+    val b1 = Seq(
+      (ts("2024-01-01 00:00:01"), 1L, "the quick brown fox"),
+      (ts("2024-01-01 00:00:02"), 2L, "an original document")
+    ).toDF("ts", "doc_id", "text")
+    b1.coalesce(1).write.parquet(s"$dir/b1")
+
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.dedupDocStream(stream, "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    // batch 2 re-sends doc 1's text (different id, different case) plus a
+    // fresh doc — the duplicate must be dropped, the fresh one kept
+    Seq((ts("2024-01-01 00:01:00"), 3L, "THE QUICK BROWN FOX"),
+        (ts("2024-01-01 00:01:01"), 4L, "another original"))
+      .toDF("ts", "doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L), s"expected first arrivals only, got $got")
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     val dir = Files.createTempDirectory("graft_state").toFile
     val out = s"graft_state_out_${System.nanoTime()}"
