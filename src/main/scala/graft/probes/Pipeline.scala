@@ -421,6 +421,37 @@ object Pipeline {
       val cents = Similarity.kmeansFit(e, "vec_id", "embedding", 8, 2)
       Similarity.ivfAssign(e, "vec_id", "embedding", cents)
         .orderBy("vec_id")
+    },
+
+    // Product quantization, encode: 8 subspaces x 16 codes over the
+    // 64-dim embeddings (first-k codebooks so the oracle recomputes them
+    // from the table). The argmin-L2 pick runs as the ArgMaxDot kernel
+    // via the (x,1)·(c,-|c|²/2) augmentation; the oracle replays slice,
+    // augmented score, and first-index tie-break per subspace.
+    Probe.df("q_ann_pq",
+      graft.operators.Pq.pqEncodeOracleSql("embeddings", 64, 8, 16)) {
+      (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cbs = graft.operators.Pq.pqCodebooksFrom(
+        e, "vec_id", "embedding", 64, 8, 16)
+      graft.operators.Pq.pqEncode(e, "vec_id", "embedding", cbs)
+        .orderBy("vec_id")
+    },
+
+    // PQ-ADC search: 3 queries score the WHOLE corpus from codes only —
+    // M lookups + M-1 adds per candidate, LUTs computed once per query
+    // on the broadcast side. The oracle rebuilds codes AND LUT sums in
+    // the same operation order, so scores hash-match exactly.
+    Probe.df("q_ann_pq_search",
+      graft.operators.Pq.pqAdcOracleSql("embeddings", 64, 8, 16, 3, 5)) {
+      (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cbs = graft.operators.Pq.pqCodebooksFrom(
+        e, "vec_id", "embedding", 64, 8, 16)
+      val enc = graft.operators.Pq.pqEncode(e, "vec_id", "embedding", cbs)
+      graft.operators.Pq.pqAdcTopK(
+          e.filter(col("vec_id") < 3), enc, "vec_id", "embedding", cbs, 5)
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -257,6 +257,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("trained PQ-ADC search stays within the query's cluster") {
+    // 4 well-separated clusters in 16 dims; after training codebooks on
+    // the corpus, every ADC top-3 neighbor of a query must come from the
+    // query's own cluster — codes preserve coarse geometry.
+    val rnd = new scala.util.Random(5)
+    val centers = Seq.tabulate(4)(c =>
+      Array.tabulate(16)(j => if (j % 4 == c) 10.0f else 0.0f))
+    val pts = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.1f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cbs = graft.operators.Pq.pqTrain(pts, "vec_id", "embedding", 16, 4, 8, 2)
+    val enc = graft.operators.Pq.pqEncode(pts, "vec_id", "embedding", cbs)
+    val hits = graft.operators.Pq.pqAdcTopK(
+        pts.filter($"vec_id" < 4), enc, "vec_id", "embedding", cbs, 3)
+      .collect()
+    assert(hits.length == 12)
+    assert(hits.forall(r => r.getLong(1) % 4 == r.getLong(0) % 4),
+      s"ADC neighbor outside the query cluster: ${hits.mkString(", ")}")
+  }
+
   test("kmeansFit centroids are bit-identical under any partitioning") {
     // quantized int64 accumulation makes the float-mean reduction
     // associative — the whole point of the design; verify the claim by
