@@ -64,6 +64,31 @@ object Dedup {
     smallPairs.union(bigPairs).distinct()
   }
 
+  /** Verify-join sizing, dispatched on the CORPUS's optimizer size
+    * estimate (metadata-only): broadcast-small corpora feed their
+    * payload table (shingle sets / sign vectors / embeddings) straight
+    * into the verify joins — fewest stages, AQE broadcasts a side; large
+    * corpora first SEMI-REDUCE the payload table to candidate ids, so
+    * the verify exchange carries heavy payload columns only for
+    * colliding documents — at 100 TB candidates ≪ corpus and shuffling
+    * every document's payload would dominate the whole job. On that path
+    * the candidate pairs get persisted (the id-set union reads them
+    * twice, the verify join once; small by construction, post-cap). */
+  private[operators] def semiReduceForVerify(corpus: DataFrame,
+      semiReduceBytes: Long, candPairs: DataFrame,
+      payload: DataFrame): (DataFrame, DataFrame) = {
+    val small = org.apache.spark.sql.graftaccess.Internals
+      .planSizeInBytes(corpus) <= semiReduceBytes
+    if (small) (candPairs, payload)
+    else {
+      val c = candPairs.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candIds = c.select(col("ida").as("id"))
+        .union(c.select(col("idb").as("id"))).distinct()
+      (c, payload.join(candIds, Seq("id"), "left_semi"))
+    }
+  }
+
   /** Lower-cased whitespace tokens, empties dropped. */
   def words(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => w =!= "")
@@ -135,7 +160,8 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 128, bands: Int = 32,
-      threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 4096,
+      semiReduceBytes: Long = 256L << 20): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     // Repartition FIRST (on the raw rows — cheap shuffle of ids+text):
     // shingling, hashing and signatures then all run post-shuffle across
@@ -164,9 +190,10 @@ object Dedup {
             org.apache.spark.sql.graftaccess.Internals.expression(col("sig")),
             bands))).as(Seq("band", "key")))
 
-    val cand = bandedCandidates(banded, maxBucket)
+    val candPairs = bandedCandidates(banded, maxBucket)
 
-    val sets = base.select(col("id"), col("sh"))
+    val (cand, sets) = semiReduceForVerify(df, semiReduceBytes,
+      candPairs, base.select(col("id"), col("sh")))
     cand
       .join(sets.select(col("id").as("ida"), col("sh").as("sha")), "ida")
       .join(sets.select(col("id").as("idb"), col("sh").as("shb")), "idb")
@@ -257,7 +284,8 @@ object Dedup {
     * verification. Same shuffle shape as MinHash-LSH. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096,
+      semiReduceBytes: Long = 256L << 20): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))  // parallelism first, as in minhash
       .select(col("id"), simhashVectorFromHashes(
@@ -271,9 +299,8 @@ object Dedup {
         graft.functions.SimHashBands(
           org.apache.spark.sql.graftaccess.Internals.expression(col("sv")))))
         .as(Seq("band", "key")))
-    val cand = bandedCandidates(banded, maxBucket)
-
-    val sets = base
+    val (cand, sets) = semiReduceForVerify(df, semiReduceBytes,
+      bandedCandidates(banded, maxBucket), base.select(col("id"), col("sv")))
     cand
       .join(sets.select(col("id").as("ida"), col("sv").as("sva")), "ida")
       .join(sets.select(col("id").as("idb"), col("sv").as("svb")), "idb")

@@ -138,7 +138,8 @@ object Similarity {
     * the near-dup thresholds this is ~1 (c=0.95, r=8, b=8 → 0.998). */
   def cosineNearDupPairsLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+      bands: Int, planesPerBand: Int, dim: Int,
+      semiReduceBytes: Long = 256L << 20): DataFrame = {
     val ps = bandedPlanes(bands, planesPerBand, dim)
     val keyCols = ps.map { grp =>
       grp.zipWithIndex.map { case (p, i) =>
@@ -157,8 +158,11 @@ object Similarity {
     // identical embeddings) would otherwise turn one sign-bucket into a
     // quadratic self-join; oversized buckets emit the min-id star and
     // every emitted pair still passes the exact cosine verify below.
-    val cand = Dedup.bandedCandidates(banded, maxBucket = 4096)
-    val vecs = base.select(col("id"), col("v"), col("nrm"))
+    // Large corpora also semi-reduce the vector table to candidate ids
+    // before the verify joins (Dedup.semiReduceForVerify contract).
+    val (cand, vecs) = Dedup.semiReduceForVerify(df, semiReduceBytes,
+      Dedup.bandedCandidates(banded, maxBucket = 4096),
+      base.select(col("id"), col("v"), col("nrm")))
     cand
       .join(vecs.select(col("id").as("ida"), col("v").as("va"),
         col("nrm").as("na")), "ida")

@@ -257,6 +257,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("minhash semi-reduced verify path returns the same pairs") {
+    // semiReduceBytes = 0 forces the large-corpus shape (candidate-id
+    // semi reduction before the verify joins); results must be identical
+    // to the direct-join small path.
+    val direct = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val reduced = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.5, semiReduceBytes = 0L)
+      .orderBy("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(direct.toSeq == reduced.toSeq && direct.nonEmpty)
+  }
+
   test("trained PQ-ADC search stays within the query's cluster") {
     // 4 well-separated clusters in 16 dims; after training codebooks on
     // the corpus, every ADC top-3 neighbor of a query must come from the
