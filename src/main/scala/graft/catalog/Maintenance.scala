@@ -34,13 +34,51 @@ object Maintenance {
   def compact(spark: SparkSession, ident: String, sortCols: Seq[String],
       targetFiles: Int): (Int, Int) = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.{DataType, StructType}
     require(targetFiles >= 1 && sortCols.nonEmpty)
+    rewriteClustered(spark, ident) { pinned =>
+      pinned
+        .repartitionByRange(targetFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    }
+  }
+
+  /** [[compact]] with a Z-ORDER layout instead of a linear sort: rows
+    * cluster along the Morton curve over `zCols`
+    * ([[graft.operators.ZOrder]]), so every output file covers a small
+    * hyper-rectangle and footer min/max stats prune on ANY of the
+    * z-columns — the multi-predicate data-skipping layout
+    * (Iceberg's rewrite_data_files zorder strategy). A linear sort
+    * clusters only its leading column; its files span the full range of
+    * every other dimension and never prune on them. Per-dimension
+    * [lo, hi] comes from one metadata-cheap min/max aggregate over the
+    * pinned snapshot. */
+  def compactZOrder(spark: SparkSession, ident: String, zCols: Seq[String],
+      targetFiles: Int, bits: Int = 16): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(targetFiles >= 1 && zCols.nonEmpty)
+    rewriteClustered(spark, ident) { pinned =>
+      val aggs = zCols.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val mm = pinned.agg(aggs.head, aggs.tail: _*).head()
+      val ranges = zCols.indices.map(i => (mm.getDouble(2 * i), mm.getDouble(2 * i + 1)))
+      val zk = graft.operators.ZOrder.zkeyFor(zCols.map(col), ranges, bits)
+      pinned.withColumn("__z", zk)
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
+  }
+
+  /** Shared rewrite plumbing: pin ONE snapshot for both the read and the
+    * surgical commit — a writeTo().overwrite() would blanket-replace and
+    * lose any INSERT that commits while the rewrite job runs;
+    * replaceFiles keeps it and aborts if a concurrent rewrite replaced
+    * the base. Returns (files before, files after). */
+  private def rewriteClustered(spark: SparkSession, ident: String)(
+      layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Int, Int) = {
+    import org.apache.spark.sql.types.{DataType, StructType}
     val dir = tableDir(spark, ident)
-    // Pin ONE snapshot for both the read and the surgical commit — a
-    // writeTo().overwrite() would blanket-replace and lose any INSERT
-    // that commits while the rewrite job runs; replaceFiles keeps it and
-    // aborts if a concurrent rewrite replaced the base.
     val base = Snapshots.latest(dir).getOrElse(
       throw new IllegalArgumentException(s"no snapshots for $ident"))
     if (base.files.isEmpty) return (0, 0)
@@ -62,12 +100,9 @@ object Maintenance {
       .option("basePath", dir.resolve("data").toString)
       .schema(schema)
       .parquet(base.files.map(f => dir.resolve(f).toString): _*)
-    val sorted = pinned
-      .repartitionByRange(targetFiles, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
     val table = new GraftTable(ident, dir, schema, parts,
       props - "graft.partition.columns", pinned = None)
-    table.replaceFiles(sorted, base.files)
+    table.replaceFiles(layout(pinned), base.files)
     val after = Snapshots.latest(dir).map(_.files.length).getOrElse(0)
     (base.files.length, after)
   }

@@ -79,6 +79,42 @@ object Extras {
         |  cot(1 + p_size / 10.0) AS v_cot,
         |  CAST(bit_count(p_size) AS INT) AS v_bits
         |FROM part
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // Z-order (Morton) key: range-quantize two measures to 8 bits each
+    // against data-derived min/max (exact cross-engine — min/max are
+    // order-insensitive), then bit-interleave. The layout key behind
+    // Maintenance.compactZOrder's multi-dimensional file clustering;
+    // CatalogV2Spec proves the pruning, this probe proves the key math.
+    Probe.df("q_zorder_key", {
+      import graft.operators.ZOrder
+      s"""WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo1,
+         |              max(CAST(l_extendedprice AS DOUBLE)) AS hi1,
+         |              min(CAST(l_quantity AS DOUBLE)) AS lo2,
+         |              max(CAST(l_quantity AS DOUBLE)) AS hi2
+         |            FROM lineitem),
+         |q AS (SELECT l_orderkey, l_linenumber,
+         |  ${ZOrder.quantizeOracleExpr("l_extendedprice", "lo1", "hi1", 8)} AS q1,
+         |  ${ZOrder.quantizeOracleExpr("l_quantity", "lo2", "hi2", 8)} AS q2
+         |  FROM lineitem, mm)
+         |SELECT l_orderkey, l_linenumber,
+         |  ${ZOrder.interleaveOracleExpr(Seq("q1", "q2"), 8)} AS zkey
+         |FROM q
+         |ORDER BY l_orderkey, l_linenumber, zkey""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val li = Tables.load(s, dir, "lineitem")
+      val mm = li.agg(
+        min(col("l_extendedprice").cast("double")),
+        max(col("l_extendedprice").cast("double")),
+        min(col("l_quantity").cast("double")),
+        max(col("l_quantity").cast("double"))).head()
+      val zk = graft.operators.ZOrder.zkeyFor(
+        Seq(col("l_extendedprice"), col("l_quantity")),
+        Seq((mm.getDouble(0), mm.getDouble(1)),
+          (mm.getDouble(2), mm.getDouble(3))), 8)
+      li.select(col("l_orderkey"), col("l_linenumber"), zk.as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber", "zkey")
+    }
   )
 }

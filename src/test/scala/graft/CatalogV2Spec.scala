@@ -417,4 +417,57 @@ class CatalogV2Spec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(!show2.contains("graft.owner"))
   }
+
+  test("z-order compaction prunes on BOTH dimensions; linear sort only on one") {
+    import org.apache.spark.sql.sources.EqualTo
+    // 32x32 uniform grid, committed as one table, compacted two ways
+    def mkTable(name: String): Unit = {
+      spark.sql(s"CREATE TABLE g2.db.$name (x INT, y INT)")
+      val values = (0 until 32).flatMap(x => (0 until 32).map(y => s"($x, $y)"))
+      spark.sql(s"INSERT INTO g2.db.$name VALUES ${values.mkString(", ")}")
+    }
+    def filesOf(name: String): Seq[String] = {
+      val dir = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", name)
+      graft.catalog.Snapshots.latest(dir).get.files
+        .map(f => dir.resolve(f).toString)
+    }
+    // how many files COULD contain the point (x0, y0), per footer stats?
+    def filesMatching(name: String, x0: Int, y0: Int): Int =
+      filesOf(name).count(f => graft.catalog.ParquetStats.mayMatchAll(
+        f, Seq(EqualTo("x", x0), EqualTo("y", y0)),
+        spark.sparkContext.hadoopConfiguration))
+
+    mkTable("zlin")
+    graft.catalog.Maintenance.compact(spark, "g2.db.zlin", Seq("x"), 16)
+    mkTable("zmor")
+    graft.catalog.Maintenance.compactZOrder(spark, "g2.db.zmor",
+      Seq("x", "y"), 16, bits = 8)
+
+    // identical contents after either rewrite
+    assert(spark.sql("SELECT count(*), sum(x), sum(y) FROM g2.db.zmor")
+      .collect().head.toSeq ==
+      spark.sql("SELECT count(*), sum(x), sum(y) FROM g2.db.zlin")
+        .collect().head.toSeq)
+
+    val probes = Seq((3, 27), (16, 16), (30, 2), (9, 9))
+    val lin = probes.map { case (x, y) => filesMatching("zlin", x, y) }
+    val mor = probes.map { case (x, y) => filesMatching("zmor", x, y) }
+    // x-sorted files each span ALL of y: a point query prunes only via x
+    // (1 of 16 files). Z-ordered files cover small (x, y) rectangles: the
+    // same point query must also prune to very few files — and, unlike
+    // the linear layout, a y-ONLY predicate must prune too.
+    assert(mor.forall(_ <= 2), s"z-order should isolate points, got $mor")
+    val yOnlyLin = filesOf("zlin").count(f =>
+      graft.catalog.ParquetStats.mayMatchAll(f, Seq(EqualTo("y", 5)),
+        spark.sparkContext.hadoopConfiguration))
+    val yOnlyMor = filesOf("zmor").count(f =>
+      graft.catalog.ParquetStats.mayMatchAll(f, Seq(EqualTo("y", 5)),
+        spark.sparkContext.hadoopConfiguration))
+    assert(yOnlyLin == filesOf("zlin").size,
+      "linear-on-x files must all span y (no pruning expected)")
+    assert(yOnlyMor < filesOf("zmor").size / 2,
+      s"z-order must prune on y alone: $yOnlyMor of ${filesOf("zmor").size}")
+    assert(lin.sum >= mor.sum, "z-order should never prune worse here")
+  }
 }
