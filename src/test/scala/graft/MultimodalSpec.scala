@@ -33,6 +33,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_bytes == m.content.length)
   }
 
+  test("near-duplicate media surfaces via feature-vector cosine dedup") {
+    // the multimodal->similarity composition: extractFeatures feeds the
+    // same near-dup operator the embeddings pipeline uses. A lightly
+    // corrupted copy of a payload must pair with its original; an
+    // unrelated payload must not.
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    // the 8-bucket stub averages away IN-bucket structure, so distinct
+    // media must differ in their mod-8 byte profile (as real feature
+    // vectors differ in direction, not length)
+    val base = Array.tabulate(4096)(i => ((i % 8) * 30).toByte)
+    val nearDup = base.clone(); nearDup(7) = 0; nearDup(99) = 1
+    val other = Array.tabulate(4096)(i => ((7 - i % 8) * 30).toByte)
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", base, 8, 8, 0L),
+      Multimodal.MediaItem(2L, "image", nearDup, 8, 8, 0L),
+      Multimodal.MediaItem(3L, "image", other, 8, 8, 0L)).toDS()
+    val feats = Multimodal.extractFeatures(items).toDF()
+      .select(col("media_id"), col("feature"))
+    val pairs = graft.operators.Similarity
+      .cosineNearDupPairsExact(feats, "media_id", "feature", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)), s"expected only the planted dup, got $pairs")
+  }
+
   test("binaryFile source ingests real files with kind inference") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin")
     java.nio.file.Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3))
