@@ -30,38 +30,44 @@ object Dedup {
     * emitted pair still passes the exact verification downstream. Below
     * the cap, semantics are unchanged (all in-bucket pairs).
     *
-    * Shape: everything stays inside whole-stage codegen, and the guard
-    * is priced for the COMMON case (no whale buckets). One count/min
-    * HashAggregate builds the whale-bucket directory `big` — normally
-    * EMPTY — and all three joins consume that same tiny subtree: a
-    * left-anti join fences whale members out of the quadratic self-join,
-    * and an inner join reads the star pairs straight off the directory's
-    * min id. With AQE, an empty `big` propagates: the anti join
-    * collapses to a passthrough and the star branch to an empty
-    * relation, so the plan degenerates to exactly the plain bucket
-    * self-join plus one aggregate pass. An earlier formulation collected
-    * bucket ids through a TypedImperativeAggregate and generated pairs
-    * in-row — with real-corpus key cardinality (buckets are
-    * overwhelmingly singletons) every task blew past the
-    * ObjectHashAggregate fallback threshold and paid sort-based
-    * aggregation plus per-row buffer serialization, measured ~3x slower
-    * at sf0.1 and pathological under memory pressure. Count/min never
-    * materializes ids at all, so the guard is memory-bounded by
-    * construction. */
+    * Shape: ONE join, with the guard fused into its left side. Bucket
+    * count and min id are WINDOW functions over (band, key) — computed
+    * on the same hash-partitioning the bucket join needs — and the
+    * left side keeps small-bucket rows plus ONLY the hub (min-id) row
+    * of each whale bucket, so oversized buckets enter the join with a
+    * single build row and can never go quadratic. The right side is
+    * the RAW banded table: no window, no filter — when the left side
+    * fits a broadcast (AQE decides) the right side streams with zero
+    * exchanges, so the whole candidate step costs one shuffle of bare
+    * (id, band, key) triples. The pair predicate dispatches per row:
+    * small buckets emit `a.id < b.id` (all in-bucket pairs, each
+    * once), whale hubs emit `a.id != b.id` (the min-id star, each
+    * member once, and `hub < member` holds by construction). Earlier
+    * formulations paid more: a count/min HashAggregate directory +
+    * left-anti fence + star inner join priced an always-on ~1.2s even
+    * with zero whales (VERDICT r4: 4.9× the unguarded baseline), and
+    * a three-branch window form before this one evaluated the banded
+    * exchange 3× because AQE would not reuse the identical stages. A
+    * still-earlier TypedImperativeAggregate that collected bucket ids
+    * in-row fell back to sort-based aggregation on real-corpus key
+    * cardinality (buckets are overwhelmingly singletons), ~3× slower
+    * and pathological under memory pressure. The window buffers one
+    * bucket per partition (spilling, rows are bare triples) and
+    * streams count/min in one pass. */
   def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val b = banded.select(col("id"), col("band"), col("key"))
-    val big = b.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("cnt"), min(col("id")).as("bmin"))
-      .filter(col("cnt") > maxBucket)
-    val smallSide = b.join(big, Seq("band", "key"), "left_anti")
-    val smallPairs = smallSide.alias("a").join(smallSide.alias("b"),
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    val raw = banded.select(col("id"), col("band"), col("key"))
+    val lhs = raw
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("id")).over(w))
+      .filter(col("cnt") <= maxBucket || col("id") === col("bmin"))
+    lhs.alias("a").join(raw.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+          (when(col("a.cnt") <= maxBucket, col("a.id") < col("b.id"))
+            .otherwise(col("a.id") =!= col("b.id"))))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
-    val bigPairs = b.join(big, Seq("band", "key"))
-      .filter(col("id") =!= col("bmin"))
-      .select(col("bmin").as("ida"), col("id").as("idb"))
-    smallPairs.union(bigPairs).distinct()
+      .distinct()
   }
 
   /** Verify-join sizing, dispatched on the CORPUS's optimizer size
@@ -73,7 +79,17 @@ object Dedup {
     * colliding documents — at 100 TB candidates ≪ corpus and shuffling
     * every document's payload would dominate the whole job. On that path
     * the candidate pairs get persisted (the id-set union reads them
-    * twice, the verify join once; small by construction, post-cap). */
+    * twice, the verify join once; small by construction, post-cap).
+    *
+    * CALLER CONTRACT: on the large-corpus path the persisted candidate
+    * block has no automatic unpersist — the returned DataFrame is lazy,
+    * so the operator cannot know when the caller's last action over it
+    * ran. Long-lived sessions calling [[minhashLshPairs]] /
+    * [[simhashPairs]] / [[Similarity.cosineNearDupPairsLsh]] repeatedly
+    * on large corpora must `spark.catalog.clearCache()` (or unpersist
+    * via `spark.sharedState.cacheManager`) between calls, as Bench and
+    * Verify do; otherwise MEMORY_AND_DISK blocks accumulate for the
+    * session's lifetime. */
   private[operators] def semiReduceForVerify(corpus: DataFrame,
       semiReduceBytes: Long, candPairs: DataFrame,
       payload: DataFrame): (DataFrame, DataFrame) = {

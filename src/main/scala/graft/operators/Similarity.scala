@@ -86,8 +86,8 @@ object Similarity {
     * governed by bucket collisions instead of n². */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      smallBytes: Long = 64L << 20, bands: Int = 8, planesPerBand: Int = 8)
-      : DataFrame = {
+      smallBytes: Long = 64L << 20, bands: Int = 8, planesPerBand: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
     val small = org.apache.spark.sql.graftaccess.Internals
       .planSizeInBytes(df) <= smallBytes
     if (small) cosineNearDupPairsExact(df, idCol, vecCol, threshold)
@@ -97,7 +97,7 @@ object Similarity {
       // exact path rather than crash probing the dimension
       case Array() => cosineNearDupPairsExact(df, idCol, vecCol, threshold)
       case Array(row) => cosineNearDupPairsLsh(df, idCol, vecCol, threshold,
-        bands, planesPerBand, row.getInt(0))
+        bands, planesPerBand, row.getInt(0), maxBucket = maxBucket)
     }
   }
 
@@ -135,11 +135,22 @@ object Similarity {
     * ever materializes: the join shuffles (id, band, key) triples and the
     * verify join re-reads vectors for candidates only. A pair at cosine c
     * survives with probability 1-(1-p^r)^b for p = 1 - arccos(c)/π — at
-    * the near-dup thresholds this is ~1 (c=0.95, r=8, b=8 → 0.998). */
+    * the near-dup thresholds this is ~1 (c=0.95, r=8, b=8 → 0.998).
+    *
+    * Recall contract under the skew guard: buckets larger than
+    * `maxBucket` emit a min-id STAR (each member paired with the
+    * bucket's min id) instead of all in-bucket pairs — O(m) candidates,
+    * connectivity preserved for [[Dedup.clusterPairs]], but non-star
+    * in-bucket pairs from a whale bucket are NOT emitted as direct
+    * pairs (they remain reachable through the star's hub). Raise
+    * `maxBucket` if direct pair enumeration inside giant buckets
+    * matters more than skew safety. Persist note: on the large-corpus
+    * path (`semiReduceBytes` exceeded) see
+    * [[Dedup.semiReduceForVerify]]'s caller contract. */
   def cosineNearDupPairsLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bands: Int, planesPerBand: Int, dim: Int,
-      semiReduceBytes: Long = 256L << 20): DataFrame = {
+      semiReduceBytes: Long = 256L << 20, maxBucket: Int = 4096): DataFrame = {
     val ps = bandedPlanes(bands, planesPerBand, dim)
     val keyCols = ps.map { grp =>
       grp.zipWithIndex.map { case (p, i) =>
@@ -161,7 +172,7 @@ object Similarity {
     // Large corpora also semi-reduce the vector table to candidate ids
     // before the verify joins (Dedup.semiReduceForVerify contract).
     val (cand, vecs) = Dedup.semiReduceForVerify(df, semiReduceBytes,
-      Dedup.bandedCandidates(banded, maxBucket = 4096),
+      Dedup.bandedCandidates(banded, maxBucket),
       base.select(col("id"), col("v"), col("nrm")))
     cand
       .join(vecs.select(col("id").as("ida"), col("v").as("va"),
