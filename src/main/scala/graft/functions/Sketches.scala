@@ -101,6 +101,41 @@ object SketchKernels {
     bestI
   }
 
+  /** Per-band sign-LSH keys over constant hyperplanes: bit i of band b's
+    * key is set iff dot(v, planes[b*per+i]) > 0. Each plane dot uses the
+    * same sequential ascending-index double accumulation as [[dot]], so
+    * keys are bit-identical to summing `CASE WHEN dot_product(v, p) > 0`
+    * columns (the declarative form this replaces evaluated bands×per
+    * separate kernel calls — 64 expression nodes and 64 vector
+    * traversals per row for the 8×8 default). */
+  def signBands(v: ArrayData, vDouble: Boolean, planes: Array[Array[Double]],
+      bands: Int): ArrayData = {
+    val per = planes.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    var p = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < per) {
+        val plane = planes(p)
+        val n = math.min(v.numElements(), plane.length)
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          val x = if (vDouble) v.getDouble(j) else v.getFloat(j).toDouble
+          s += x * plane(j)
+          j += 1
+        }
+        if (s > 0) key |= (1L << i)
+        i += 1; p += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** LSH band keys from a minhash signature: one 64-bit key per band,
     * mixing the band's r signature values with an avalanche hash. Keys
     * only need to collide iff the r-value slices are equal — they bucket
@@ -327,6 +362,36 @@ case class SimHashVector(child: Expression) extends LongArrayKernel {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "simhash_vector"
+}
+
+/** Sign-LSH band keys over constant hyperplanes (position = band index;
+  * flat plane list consumed band-major, `planes.size / bands` per key). */
+case class SignBands(child: Expression, planes: Seq[Seq[Double]], bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_bands expects array<float|double>, got $other")
+  }
+
+  @transient private lazy val ps: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  private def isD: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.signBands(input.asInstanceOf[ArrayData], isD, ps, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", ps, "double[][]")
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.SketchKernels.signBands($in, $isD, $ref, $bands)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "sign_bands"
 }
 
 /** argmax-inner-product cell assignment over constant centroids — the

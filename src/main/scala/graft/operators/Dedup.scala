@@ -62,7 +62,13 @@ object Dedup {
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("bmin", min(col("id")).over(w))
       .filter(col("cnt") <= maxBucket || col("id") === col("bmin"))
-    lhs.alias("a").join(raw.alias("b"),
+    // shuffle_hash pins the raw side as a per-partition hash build: the
+    // windowed left side is ALREADY hash-partitioned by (band, key), so
+    // the join adds exactly one 3-column exchange of the raw side and no
+    // sorts — AQE's alternative (broadcasting the raw side) collects the
+    // whole banded table on the driver, which is both slower here and
+    // exactly what a 1000-executor plan must not do.
+    lhs.alias("a").join(raw.alias("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           (when(col("a.cnt") <= maxBucket, col("a.id") < col("b.id"))
             .otherwise(col("a.id") =!= col("b.id"))))

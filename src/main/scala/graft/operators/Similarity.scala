@@ -151,17 +151,17 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bands: Int, planesPerBand: Int, dim: Int,
       semiReduceBytes: Long = 256L << 20, maxBucket: Int = 4096): DataFrame = {
-    val ps = bandedPlanes(bands, planesPerBand, dim)
-    val keyCols = ps.map { grp =>
-      grp.zipWithIndex.map { case (p, i) =>
-        when(dotKernel(col("v"), typedLit(p)) > 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    // all band keys in ONE kernel call (bit-identical to summing
+    // CASE WHEN dot_product(v, plane) > 0 columns — the declarative form
+    // built 64 expression nodes and traversed the vector 64 times)
+    val ps = planes(bands * planesPerBand, dim)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         normKernel(col(vecCol)).as("nrm"))
       .repartition(col("id"))  // parallelism before the per-row plane dots
-      .withColumn("keys", array(keyCols: _*))
+      .withColumn("keys", org.apache.spark.sql.graftaccess.Internals.column(
+        graft.functions.SignBands(
+          org.apache.spark.sql.graftaccess.Internals.expression(col("v")),
+          ps, bands)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
       posexplode(col("keys")).as(Seq("band", "key")))
@@ -222,10 +222,12 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, dim: Int): DataFrame = {
     val ps = planes(nPlanes, dim)
-    val bucket = ps.zipWithIndex.map { case (p, i) =>
-      when(dot(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.select(col(idCol).as("vec_id"), bucket.as("bucket"))
+    // single-band SignBands kernel — same sequential dots, one traversal
+    val keys = org.apache.spark.sql.graftaccess.Internals.column(
+      graft.functions.SignBands(
+        org.apache.spark.sql.graftaccess.Internals.expression(col(vecCol)),
+        ps, bands = 1))
+    df.select(col(idCol).as("vec_id"), element_at(keys, 1).as("bucket"))
   }
 
   /** IVF-style coarse quantization, the second 100 TB ANN path beside
