@@ -57,13 +57,18 @@ case class TextStatsKernel(child: Expression, stopLists: Seq[Seq[String]])
     }.toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    TextStatsKernel.eval(input.asInstanceOf[UTF8String], stopSets)
+    TextStatsKernel.compute(input.asInstanceOf[UTF8String], stopSets)
 
+  // The helper must NOT be named `eval`: the case class inherits
+  // Expression.eval(InternalRow), which suppresses the companion's static
+  // forwarder, so Janino resolves `TextStatsKernel.eval(...)` against the
+  // instance methods and the whole stage silently falls back to
+  // interpreted mode (the CompileException stack in BENCH_r04's tail).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setsRef = ctx.addReferenceObj("stopSets", stopSets,
       "java.util.HashSet[]")
     defineCodeGen(ctx, ev, in =>
-      s"graft.functions.TextStatsKernel.eval($in, $setsRef)")
+      s"graft.functions.TextStatsKernel.compute($in, $setsRef)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -78,7 +83,7 @@ object TextStatsKernel {
   private def isPunct(b: Byte): Boolean =
     b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?'
 
-  def eval(text: UTF8String, stopSets: Array[java.util.HashSet[UTF8String]]): InternalRow = {
+  def compute(text: UTF8String, stopSets: Array[java.util.HashSet[UTF8String]]): InternalRow = {
     val lowered = text.toLowerCase
     val bytes = lowered.getBytes // copy only when offheap/offset != 0
     var punct = 0

@@ -148,7 +148,7 @@ object KernelProps extends Properties("Kernels") {
         ls.foreach(w => s.add(UTF8String.fromString(w)))
         s
       }.toArray
-      val row = graft.functions.TextStatsKernel.eval(
+      val row = graft.functions.TextStatsKernel.compute(
         UTF8String.fromString(text), sets)
       // independent model: Java regex semantics, like the old lambdas
       val words = text.toLowerCase.split("\\s+", -1).filter(_.nonEmpty).toList
