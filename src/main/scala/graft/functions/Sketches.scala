@@ -180,6 +180,22 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** Hamming distance between two sign vectors: count of positions where
+    * the component signs differ — value-identical to the
+    * `size(filter(zip_with(a, b, (x,y) => (x>0) =!= (y>0)), identity))`
+    * HOF form it replaces (which ran as interpreted lambdas in the
+    * simhash verify stage). */
+  def hammingSigns(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0
+    var i = 0
+    while (i < n) {
+      if ((a.getLong(i) > 0) != (b.getLong(i) > 0)) d += 1
+      i += 1
+    }
+    d
+  }
+
   /** 64 signed bit-sum components over word hashes. */
   def simhash(hashes: ArrayData): ArrayData = {
     val acc = new Array[Long](64)
@@ -362,6 +378,35 @@ case class SimHashVector(child: Expression) extends LongArrayKernel {
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "simhash_vector"
+}
+
+/** Sign-vector Hamming distance — the simhash verify metric as one
+  * kernel call, consistent with the other sketch kernels (the HOF form
+  * never reaches codegen). */
+case class HammingSigns(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_signs expects array<bigint>, got (${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.hammingSigns(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchKernels.hammingSigns($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_signs"
 }
 
 /** Sign-LSH band keys over constant hyperplanes (position = band index;

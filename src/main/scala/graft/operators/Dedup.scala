@@ -323,12 +323,18 @@ object Dedup {
         .as(Seq("band", "key")))
     val (cand, sets) = semiReduceForVerify(df, semiReduceBytes,
       bandedCandidates(banded, maxBucket), base.select(col("id"), col("sv")))
+    // Hamming via the codegen kernel — the zip_with+filter HOF form ran
+    // interpreted; only candidate pairs reach this stage, but the kernel
+    // keeps the verify join inside whole-stage codegen like the others.
     cand
       .join(sets.select(col("id").as("ida"), col("sv").as("sva")), "ida")
       .join(sets.select(col("id").as("idb"), col("sv").as("svb")), "idb")
       .select(col("ida"), col("idb"),
-        size(filter(zip_with(col("sva"), col("svb"),
-          (a, b) => (a > 0) =!= (b > 0)), x => x)).as("hamming"))
+        org.apache.spark.sql.graftaccess.Internals.column(
+          graft.functions.HammingSigns(
+            org.apache.spark.sql.graftaccess.Internals.expression(col("sva")),
+            org.apache.spark.sql.graftaccess.Internals.expression(col("svb"))))
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

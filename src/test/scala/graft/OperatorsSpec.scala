@@ -45,6 +45,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("HammingSigns kernel equals the zip_with HOF form; verify stage has no lambda") {
+    import org.apache.spark.sql.graftaccess.Internals
+    val sv = Seq(
+      (1L, Array(3L, -1L, 0L, 7L)),   // signs: + - - +  (0 is not > 0)
+      (2L, Array(-2L, -1L, 5L, 7L)),  // signs: - - + +
+      (3L, Array(3L, -1L, 0L, 7L))
+    ).toDF("id", "sv")
+    val both = sv.alias("a").crossJoin(sv.alias("b"))
+      .select(
+        Internals.column(graft.functions.HammingSigns(
+          Internals.expression(col("a.sv")),
+          Internals.expression(col("b.sv")))).as("kernel"),
+        size(filter(zip_with(col("a.sv"), col("b.sv"),
+          (a, b) => (a > 0) =!= (b > 0)), x => x)).as("hof"))
+      .collect()
+    assert(both.nonEmpty && both.forall(r => r.getInt(0) == r.getInt(1)))
+    // the production verify stage must carry the kernel, not a lambda
+    val plan = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hamming_signs"))
+    assert(!plan.contains("zip_with"))
+  }
+
   test("bruteForceTopK ranks by cosine with id tiebreak") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)),
