@@ -54,15 +54,27 @@ object Maintenance {
     * pinned snapshot. */
   def compactZOrder(spark: SparkSession, ident: String, zCols: Seq[String],
       targetFiles: Int, bits: Int = 16): (Int, Int) = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
     require(targetFiles >= 1 && zCols.nonEmpty)
     rewriteClustered(spark, ident) { pinned =>
       val aggs = zCols.flatMap(c =>
         Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
       val mm = pinned.agg(aggs.head, aggs.tail: _*).head()
+      // an all-NULL z-column has no [lo, hi] — fail with the column name
+      // rather than an opaque NULL-primitive getDouble error
+      zCols.zipWithIndex.foreach { case (c, i) =>
+        if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1))
+          throw new IllegalArgumentException(
+            s"z-order column '$c' is entirely NULL in $ident; " +
+              "pick a populated column or compact() on another key")
+      }
       val ranges = zCols.indices.map(i => (mm.getDouble(2 * i), mm.getDouble(2 * i + 1)))
       val zk = graft.operators.ZOrder.zkeyFor(zCols.map(col), ranges, bits)
-      pinned.withColumn("__z", zk)
+      // rows with a NULL in any z-column get a NULL key; pin them to a
+      // sentinel below every real key (keys are non-negative) so they
+      // form one deterministic leading range instead of relying on the
+      // range partitioner's NULL placement
+      pinned.withColumn("__z", coalesce(zk, lit(-1L)))
         .repartitionByRange(targetFiles, col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop("__z")

@@ -21,8 +21,11 @@ object Pii {
     * later numeric patterns would otherwise chew on); SSN before phone
     * (both are dashed digit groups, the shapes are disjoint but the
     * order makes the intent explicit); bare IPv4 last. */
+  // Explicit [a-zA-Z] classes, not (?i): inline flags are unevenly
+  // supported across RE2 configs, while widened classes behave the same
+  // in Java regex and RE2 — 'John.Doe@Gmail.COM' must redact too.
   val Patterns: Seq[(String, String, String)] = Seq(
-    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
     ("ssn", "\\d{3}-\\d{2}-\\d{4}", "<SSN>"),
     ("phone", "\\d{3}-\\d{3}-\\d{4}", "<PHONE>"),
     ("ipv4", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"))

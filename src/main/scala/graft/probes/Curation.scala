@@ -58,18 +58,21 @@ object Curation {
 
     // PII scrub over deterministically planted PII: per-category counts
     // (email/ssn/phone/ipv4) + the redacted text itself. Patterns are
-    // Java-regex/RE2-portable; DuckDB regexp_replace needs 'g'.
+    // Java-regex/RE2-portable; DuckDB regexp_replace needs 'g'. The
+    // planted email is MIXED CASE ('Doc…@Example.COM') to pin the
+    // case-insensitive classes — a lowercase-only pattern silently
+    // misses it (ADVICE r4).
     Probe.df("q_pii_redact",
       """WITH t AS (SELECT doc_id,
-        |  text || ' contact doc' || CAST(doc_id AS VARCHAR)
-        |       || '@example.com or 555-'
+        |  text || ' contact Doc' || CAST(doc_id AS VARCHAR)
+        |       || '@Example.COM or 555-'
         |       || lpad(CAST(doc_id AS VARCHAR), 3, '0')
         |       || '-1234 ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
         |       || '.7' AS txt
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(txt,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_email,
         |  CAST(len(regexp_extract_all(txt,
         |    '\d{3}-\d{2}-\d{4}')) AS INT) AS n_ssn,
         |  CAST(len(regexp_extract_all(txt,
@@ -77,15 +80,15 @@ object Curation {
         |  CAST(len(regexp_extract_all(txt,
         |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INT) AS n_ipv4,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
         |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
         |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val injected = Tables.load(s, dir, "documents")
         .select(col("doc_id"), concat(
-          col("text"), lit(" contact doc"), col("doc_id").cast("string"),
-          lit("@example.com or 555-"),
+          col("text"), lit(" contact Doc"), col("doc_id").cast("string"),
+          lit("@Example.COM or 555-"),
           lpad(col("doc_id").cast("string"), 3, "0"),
           lit("-1234 ip 10.0."), (col("doc_id") % 256).cast("string"),
           lit(".7")).as("text"))

@@ -179,8 +179,12 @@ object TpchFull {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin),
 
-    // Q15 top supplier by 3-month revenue (CTE-as-view + scalar-subquery
-    // max; ties resolved by the total ORDER BY)
+    // Q15 top supplier by 3-month revenue. Selected by RANK, not by
+    // `total_revenue = (SELECT max(...))`: float reduction order differs
+    // between engines, so a near-tie under exact-double equality could
+    // flip the row set nondeterministically at larger scale factors
+    // (ADVICE r4) — row_number over (revenue DESC, suppkey) tie-breaks
+    // on an integer key identically in both engines.
     Probe.sql("q_tpch_q15",
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
@@ -188,10 +192,15 @@ object TpchFull {
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01'
-        |  GROUP BY l_suppkey)
+        |  GROUP BY l_suppkey),
+        |ranked AS (
+        |  SELECT supplier_no, total_revenue,
+        |         row_number() OVER (ORDER BY total_revenue DESC, supplier_no)
+        |           AS rn
+        |  FROM revenue)
         |SELECT s_suppkey, s_name, total_revenue
-        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |FROM supplier JOIN ranked ON s_suppkey = supplier_no
+        |WHERE rn = 1
         |ORDER BY s_suppkey""".stripMargin),
 
     // Q17 small-quantity-order revenue (correlated scalar subquery
