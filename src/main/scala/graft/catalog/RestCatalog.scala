@@ -9,38 +9,54 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Read-path REST catalog — the analogue of the reference's SECOND binary,
-  * which wires an Iceberg REST catalog client into the same engine
+/** REST catalog — the analogue of the reference's SECOND binary, which
+  * wires an Iceberg REST catalog client into the same engine
   * (`iceberg-datafusion-arrow-flight-rest/src/main.rs:42-117`: REST
-  * `CatalogClient` → `IcebergCatalogProvider` → SessionContext).
+  * `CatalogClient` → `IcebergCatalogProvider` → SessionContext). The
+  * reference serves the FULL catalog through `ctx.sql` (main.rs:90-117),
+  * so CREATE TABLE / INSERT work against it — this client does the same:
+  * DDL goes through the catalog endpoints, and `loadTable` returns the
+  * write-capable [[GraftTable]], whose snapshot-commit protocol gives
+  * REST-loaded tables the same isolation as [[MetaCatalog]] ones.
   *
   * The endpoint shape follows the public Iceberg REST spec:
   *
-  *   GET /v1/config
-  *   GET /v1/namespaces                    → {"namespaces": [["db"], ...]}
-  *   GET /v1/namespaces/{ns}               → 200 / 404
-  *   GET /v1/namespaces/{ns}/tables        → {"identifiers": [{"namespace": [...], "name": t}]}
-  *   GET /v1/namespaces/{ns}/tables/{t}    → {"metadata": {"location", "schema-json",
-  *                                            "partition-cols", "properties"}}
+  *   GET    /v1/config
+  *   GET    /v1/namespaces                  → {"namespaces": [["db"], ...]}
+  *   POST   /v1/namespaces                  ← {"namespace": ["db"]}
+  *   GET    /v1/namespaces/{ns}             → 200 / 404
+  *   DELETE /v1/namespaces/{ns}
+  *   GET    /v1/namespaces/{ns}/tables      → {"identifiers": [...]}
+  *   POST   /v1/namespaces/{ns}/tables      ← {"name", "schema-json", ...}
+  *   GET    /v1/namespaces/{ns}/tables/{t}  → {"metadata": {"location",
+  *                                             "schema-json", "partition-cols",
+  *                                             "properties"}}
+  *   DELETE /v1/namespaces/{ns}/tables/{t}
   *
   * with multi-level namespaces joined by the spec's 0x1F unit separator.
   * Like Iceberg REST, the catalog serves POINTERS: `loadTable` fetches
-  * metadata (location + schema) and the engine then scans the data files
-  * directly — the catalog server never sits on the data path, which is
-  * what lets one tiny REST service front a 100 TB warehouse. Scans reuse
-  * [[GraftTable]], so pushdown/pruning behave exactly as for
-  * [[MetaCatalog]] tables. Writes are rejected: the reference's REST
-  * binary exposes the catalog read path the same way.
+  * metadata (location + schema) and the engine then scans/commits the data
+  * files directly — the catalog server never sits on the data path, which
+  * is what lets one tiny REST service front a 100 TB warehouse. Scans
+  * reuse [[GraftTable]], so pushdown/pruning behave exactly as for
+  * [[MetaCatalog]] tables.
+  *
+  * Auth mirrors the reference's env contract (`rest main.rs:48-53`):
+  * `ICEBERG_CATALOG_BEARER_TOKEN`, then `ICEBERG_CATALOG_OAUTH_TOKEN`,
+  * then `ICEBERG_CATALOG_USERNAME`/`ICEBERG_CATALOG_PASSWORD` (basic);
+  * catalog options `token` / `username`+`password` take precedence over
+  * the environment so one JVM can talk to differently-secured catalogs.
   */
 class RestCatalog extends TableCatalog with SupportsNamespaces {
 
   private val mapper = new ObjectMapper()
   private var name0: String = _
   private var uri: String = _
+  private var authHeader: Option[String] = None
   private val http = HttpClient.newHttpClient()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -49,6 +65,10 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.uri is required for the REST catalog"))
       .stripSuffix("/")
+    authHeader = RestAuth.header(
+      Option(options.get("token")),
+      Option(options.get("username")), Option(options.get("password")),
+      sys.env)
   }
 
   override def name(): String = name0
@@ -56,14 +76,38 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
   private def nsPart(namespace: Array[String]): String =
     java.net.URLEncoder.encode(namespace.mkString("\u001f"), "UTF-8")
 
+  private def send(method: String, path: String,
+      body: Option[String]): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(URI.create(s"$uri$path"))
+    authHeader.foreach(h => b = b.header("Authorization", h))
+    b = body match {
+      case Some(j) => b.header("Content-Type", "application/json")
+        .method(method, HttpRequest.BodyPublishers.ofString(j))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }
+    val res = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (res.statusCode() == 401 || res.statusCode() == 403)
+      throw new IllegalStateException(
+        s"REST catalog $name0: $method $path → HTTP ${res.statusCode()} " +
+          "(unauthorized; configure token or username/password — options " +
+          "or ICEBERG_CATALOG_* environment)")
+    res
+  }
+
   private def get(path: String): Option[JsonNode] = {
-    val res = http.send(
-      HttpRequest.newBuilder(URI.create(s"$uri$path")).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
+    val res = send("GET", path, None)
     if (res.statusCode() == 200) Some(mapper.readTree(res.body()))
     else if (res.statusCode() == 404) None
     else throw new IllegalStateException(
       s"REST catalog $name0: GET $path → HTTP ${res.statusCode()}")
+  }
+
+  private def expect(method: String, path: String, body: Option[String],
+      codes: Set[Int]): HttpResponse[String] = {
+    val res = send(method, path, body)
+    if (!codes.contains(res.statusCode())) throw new IllegalStateException(
+      s"REST catalog $name0: $method $path → HTTP ${res.statusCode()}: ${res.body()}")
+    res
   }
 
   // --- namespaces -------------------------------------------------------
@@ -92,6 +136,28 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
       case None => throw new NoSuchNamespaceException(name0 +: namespace)
     }
 
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    expect("POST", "/v1/namespaces", Some(mapper.writeValueAsString(
+      Map("namespace" -> namespace).asJava)), Set(200))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = ()
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean)
+      : Boolean = {
+    val res = send("DELETE",
+      s"/v1/namespaces/${nsPart(namespace)}?cascade=$cascade", None)
+    res.statusCode() match {
+      case 200 => true
+      case 404 => false
+      case 409 => throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} not empty")
+      case c => throw new IllegalStateException(
+        s"REST catalog $name0: DELETE namespace → HTTP $c")
+    }
+  }
+
   // --- tables -----------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -106,11 +172,7 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
     get(s"/v1/namespaces/${nsPart(ident.namespace())}/tables/${ident.name()}")
       .isDefined
 
-  override def loadTable(ident: Identifier): Table = {
-    val j = get(
-      s"/v1/namespaces/${nsPart(ident.namespace())}/tables/${ident.name()}")
-      .getOrElse(throw new NoSuchTableException(
-        (ident.namespace() :+ ident.name()).toSeq))
+  private def tableFromMeta(ident: Identifier, j: JsonNode): GraftTable = {
     val meta = j.get("metadata")
     val schema = DataType.fromJson(meta.get("schema-json").asText())
       .asInstanceOf[StructType]
@@ -119,57 +181,89 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
     val props = Option(meta.get("properties")).map { p =>
       p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    new RestReadOnlyTable(new GraftTable(
+    new GraftTable(
       s"$name0.${ident.namespace().mkString(".")}.${ident.name()}",
-      Paths.get(meta.get("location").asText()), schema, parts, props, None))
+      Paths.get(meta.get("location").asText()), schema, parts, props, None)
   }
 
-  private def readOnly: Nothing = throw new UnsupportedOperationException(
-    s"REST catalog $name0 is read-only (reference wires the catalog READ " +
-      "path, iceberg-datafusion-arrow-flight-rest/src/main.rs:42-117)")
+  override def loadTable(ident: Identifier): Table = {
+    val j = get(
+      s"/v1/namespaces/${nsPart(ident.namespace())}/tables/${ident.name()}")
+      .getOrElse(throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq))
+    tableFromMeta(ident, j)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): Table = readOnly
+      properties: java.util.Map[String, String]): Table = {
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" => t.references().head.fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only; got $t")
+    }
+    partCols.find(c => !schema.fieldNames.contains(c)).foreach { c =>
+      throw new IllegalArgumentException(s"partition column $c not in schema")
+    }
+    val body = mapper.writeValueAsString(Map(
+      "name" -> ident.name(),
+      "schema-json" -> schema.json,
+      "partition-cols" -> partCols.toArray,
+      "properties" -> properties).asJava)
+    val res = expect("POST",
+      s"/v1/namespaces/${nsPart(ident.namespace())}/tables", Some(body),
+      Set(200, 409))
+    if (res.statusCode() == 409) throw new TableAlreadyExistsException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    tableFromMeta(ident, mapper.readTree(res.body()))
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    send("DELETE",
+      s"/v1/namespaces/${nsPart(ident.namespace())}/tables/${ident.name()}",
+      None).statusCode() == 200
+
+  /** Schema evolution over REST is out of scope: the reference's REST
+    * binary routes DDL through the engine's own catalog provider, whose
+    * iceberg ALTER path the underlying crate does not expose either. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
+    throw new UnsupportedOperationException(
+      s"ALTER TABLE over the REST catalog is not supported; " +
+        "alter via the owning warehouse catalog")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly
-  override def createNamespace(namespace: Array[String],
-      metadata: java.util.Map[String, String]): Unit = readOnly
-  override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit = readOnly
-  override def dropNamespace(namespace: Array[String], cascade: Boolean)
-      : Boolean = readOnly
+    throw new UnsupportedOperationException(
+      "RENAME TABLE over the REST catalog is not supported")
 }
 
-/** Read-only projection of a [[GraftTable]]: exposes the scan surface
-  * (pushdown/pruning intact) but no write capabilities, so INSERT/DELETE
-  * against the REST catalog fail at analysis instead of silently writing
-  * to a warehouse the catalog does not own. */
-private[catalog] final class RestReadOnlyTable(underlying: GraftTable)
-    extends Table with SupportsRead {
-  override def name(): String = underlying.name()
-  override def schema(): StructType = underlying.schema()
-  override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    underlying.partitioning()
-  override def properties(): java.util.Map[String, String] =
-    underlying.properties()
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : org.apache.spark.sql.connector.read.ScanBuilder =
-    underlying.newScanBuilder(options)
+/** Shared auth-header derivation: explicit options beat the environment;
+  * bearer beats OAuth beats basic (the reference's precedence,
+  * `rest main.rs:48-53`). */
+object RestAuth {
+  def header(token: Option[String], user: Option[String],
+      pass: Option[String], env: Map[String, String]): Option[String] = {
+    val bearer = token
+      .orElse(env.get("ICEBERG_CATALOG_BEARER_TOKEN"))
+      .orElse(env.get("ICEBERG_CATALOG_OAUTH_TOKEN"))
+    val basic = (user.orElse(env.get("ICEBERG_CATALOG_USERNAME")),
+      pass.orElse(env.get("ICEBERG_CATALOG_PASSWORD"))) match {
+      case (Some(u), Some(p)) => Some("Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes(UTF_8)))
+      case _ => None
+    }
+    bearer.map("Bearer " + _).orElse(basic)
+  }
 }
 
 /** In-process REST catalog server over a MetaCatalog warehouse directory —
   * the test/offline stand-in for an Iceberg REST service. Serves the
-  * endpoint surface [[RestCatalog]] consumes; table metadata is the
-  * warehouse's own `_graft_schema.json` / `_graft_props.properties`, and
-  * the reported `location` lets the engine scan data files directly. */
-final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0) {
+  * endpoint surface [[RestCatalog]] consumes, read AND write; table
+  * metadata is the warehouse's own `_graft_schema.json` /
+  * `_graft_props.properties`, and the reported `location` lets the engine
+  * scan and commit data files directly (the server never sits on the data
+  * path). When `requiredAuth` is set, every request must carry that exact
+  * Authorization header or it is rejected with 401 before routing. */
+final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0,
+    requiredAuth: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: com.sun.net.httpserver.HttpServer = _
@@ -202,9 +296,18 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0) {
   def stop(): Unit = if (server != null) server.stop(0)
 
   private def handler(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+    val authorized = requiredAuth.forall(expected =>
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .exists(got => java.security.MessageDigest.isEqual(
+          got.getBytes(UTF_8), expected.getBytes(UTF_8))))
     val (code, body) =
-      try route(ex.getRequestURI.getPath, Option(ex.getRequestURI.getQuery))
-      catch { case e: Throwable => (500, s"""{"error":"${e.getMessage}"}""") }
+      if (!authorized) (401, """{"error":"unauthorized"}""")
+      else {
+        val reqBody = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        try route(ex.getRequestMethod, ex.getRequestURI.getPath,
+          Option(ex.getRequestURI.getQuery), reqBody)
+        catch { case e: Throwable => (500, s"""{"error":"${e.getMessage}"}""") }
+      }
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
@@ -212,13 +315,50 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0) {
     try os.write(bytes) finally os.close()
   }
 
-  private def route(path: String, query: Option[String]): (Int, String) = {
+  private def tableMetaResponse(dir: Path): String = {
+    val schemaJson = Files.readString(dir.resolve("_graft_schema.json"))
+    val propsFile = dir.resolve("_graft_props.properties")
+    val props = new java.util.Properties()
+    if (Files.exists(propsFile)) {
+      val in = Files.newInputStream(propsFile)
+      try props.load(in) finally in.close()
+    }
+    val partCols = Option(props.getProperty("graft.partition.columns"))
+      .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+    props.remove("graft.partition.columns")
+    val propMap = props.stringPropertyNames().asScala
+      .map(k => k -> props.getProperty(k)).toMap
+    val meta = Map(
+      "location" -> dir.toString,
+      "schema-json" -> schemaJson,
+      "partition-cols" -> partCols.toArray,
+      "properties" -> propMap.asJava)
+    s"""{"metadata-location":${json(dir.toString)},""" +
+      s""""metadata":${json(meta.asJava)}}"""
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import java.nio.file.FileVisitResult
+    import java.nio.file.attribute.BasicFileAttributes
+    Files.walkFileTree(p, new java.nio.file.SimpleFileVisitor[Path] {
+      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+        Files.delete(f); FileVisitResult.CONTINUE
+      }
+      override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+        Files.delete(d); FileVisitResult.CONTINUE
+      }
+    })
+  }
+
+  private def route(method: String, path: String, query: Option[String],
+      body: String): (Int, String) = {
     val segs = path.stripPrefix("/v1").stripPrefix("/").split('/').toSeq
       .filter(_.nonEmpty)
-    segs match {
-      case Seq("config") =>
+    (method, segs) match {
+      case ("GET", Seq("config")) =>
         (200, """{"defaults":{},"overrides":{}}""")
-      case Seq("namespaces") =>
+
+      case ("GET", Seq("namespaces")) =>
         val parent = query.flatMap(_.split('&').find(_.startsWith("parent=")))
           .map(q => nsOf(q.stripPrefix("parent=")))
         val base = parent.foldLeft(warehouse)((p, ns) =>
@@ -237,12 +377,30 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0) {
           (200, "{\"namespaces\":" +
             json(out.map(_.toArray).toArray) + "}")
         }
-      case Seq("namespaces", ns) =>
+
+      case ("POST", Seq("namespaces")) =>
+        val ns = mapper.readTree(body).get("namespace")
+          .elements().asScala.map(_.asText()).toSeq
+        require(ns.nonEmpty && ns.forall(s => s.nonEmpty && !s.contains("/")
+          && !s.contains("..")), s"bad namespace $ns")
+        Files.createDirectories(ns.foldLeft(warehouse)(_.resolve(_)))
+        (200, s"""{"namespace":${json(ns.toArray)},"properties":{}}""")
+
+      case ("GET", Seq("namespaces", ns)) =>
         val dir = nsOf(ns).foldLeft(warehouse)(_.resolve(_))
         if (Files.isDirectory(dir) && !isTable(dir))
           (200, s"""{"namespace":${json(nsOf(ns).toArray)},"properties":{}}""")
         else (404, "{}")
-      case Seq("namespaces", ns, "tables") =>
+
+      case ("DELETE", Seq("namespaces", ns)) =>
+        val cascade = query.exists(_.contains("cascade=true"))
+        val dir = nsOf(ns).foldLeft(warehouse)(_.resolve(_))
+        if (!Files.isDirectory(dir) || isTable(dir)) (404, "{}")
+        else if (!cascade && childDirs(dir).nonEmpty)
+          (409, """{"error":"namespace not empty"}""")
+        else { deleteRecursively(dir); (200, "{}") }
+
+      case ("GET", Seq("namespaces", ns, "tables")) =>
         val parts = nsOf(ns)
         val dir = parts.foldLeft(warehouse)(_.resolve(_))
         if (!Files.isDirectory(dir)) (404, "{}")
@@ -252,30 +410,51 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0) {
           }
           (200, s"""{"identifiers":[${ids.mkString(",")}]}""")
         }
-      case Seq("namespaces", ns, "tables", t) =>
+
+      case ("POST", Seq("namespaces", ns, "tables")) =>
+        val nsDir = nsOf(ns).foldLeft(warehouse)(_.resolve(_))
+        if (!Files.isDirectory(nsDir)) (404, "{}")
+        else {
+          val req = mapper.readTree(body)
+          val t = req.get("name").asText()
+          require(t.nonEmpty && !t.contains("/") && !t.contains(".."),
+            s"bad table name $t")
+          val dir = nsDir.resolve(t)
+          if (isTable(dir)) (409, """{"error":"table exists"}""")
+          else {
+            // same on-disk layout MetaCatalog.createTable writes: schema
+            // json + props (+ partition spec) + v1 empty snapshot
+            DataType.fromJson(req.get("schema-json").asText()) // validate
+            Files.createDirectories(dir.resolve("data"))
+            Files.writeString(dir.resolve("_graft_schema.json"),
+              req.get("schema-json").asText())
+            val props = new java.util.Properties()
+            Option(req.get("properties")).foreach(_.properties().asScala
+              .foreach(e => props.setProperty(e.getKey, e.getValue.asText())))
+            val partCols = Option(req.get("partition-cols")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText())).filter(_.nonEmpty)
+            if (partCols.nonEmpty)
+              props.setProperty("graft.partition.columns", partCols.mkString(","))
+            if (!props.isEmpty) {
+              val out = Files.newOutputStream(
+                dir.resolve("_graft_props.properties"))
+              try props.store(out, null) finally out.close()
+            }
+            Snapshots.commit(dir, Seq.empty)
+            (200, tableMetaResponse(dir))
+          }
+        }
+
+      case ("GET", Seq("namespaces", ns, "tables", t)) =>
         val dir = nsOf(ns).foldLeft(warehouse)(_.resolve(_)).resolve(t)
         if (!isTable(dir)) (404, "{}")
-        else {
-          val schemaJson = Files.readString(dir.resolve("_graft_schema.json"))
-          val propsFile = dir.resolve("_graft_props.properties")
-          val props = new java.util.Properties()
-          if (Files.exists(propsFile)) {
-            val in = Files.newInputStream(propsFile)
-            try props.load(in) finally in.close()
-          }
-          val partCols = Option(props.getProperty("graft.partition.columns"))
-            .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
-          props.remove("graft.partition.columns")
-          val propMap = props.stringPropertyNames().asScala
-            .map(k => k -> props.getProperty(k)).toMap
-          val meta = Map(
-            "location" -> dir.toString,
-            "schema-json" -> schemaJson,
-            "partition-cols" -> partCols.toArray,
-            "properties" -> propMap.asJava)
-          (200, s"""{"metadata-location":${json(dir.toString)},""" +
-            s""""metadata":${json(meta.asJava)}}""")
-        }
+        else (200, tableMetaResponse(dir))
+
+      case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
+        val dir = nsOf(ns).foldLeft(warehouse)(_.resolve(_)).resolve(t)
+        if (!isTable(dir)) (404, "{}")
+        else { deleteRecursively(dir); (200, "{}") }
+
       case _ => (404, "{}")
     }
   }
@@ -283,14 +462,19 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0) {
 
 /** Second server binary, mirroring the reference's two-binary shape:
   * serve a warehouse directory as a REST catalog on GRAFT_REST_PORT
-  * (default 8181, the Iceberg REST convention). */
+  * (default 8181, the Iceberg REST convention). Honors the same
+  * ICEBERG_CATALOG_* auth environment as the client: when configured,
+  * requests must present the matching bearer/basic Authorization
+  * header (reference `rest main.rs:48-53`). */
 object RestCatalogServerMain {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: RestCatalogServerMain <warehouseDir>")
+    val auth = RestAuth.header(None, None, None, sys.env)
     val srv = new RestCatalogServer(Paths.get(args(0)),
-      sys.env.getOrElse("GRAFT_REST_PORT", "8181").toInt)
+      sys.env.getOrElse("GRAFT_REST_PORT", "8181").toInt, auth)
     srv.start()
-    System.err.println(s"graft REST catalog serving ${args(0)} on :${srv.port}")
+    System.err.println(s"graft REST catalog serving ${args(0)} on :${srv.port}" +
+      (if (auth.isDefined) " (auth required)" else ""))
     Thread.currentThread().join()
   }
 }

@@ -34,7 +34,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * per-connection tasks); all statement/session state lives in [[Engine]],
   * so concurrent clients share nothing but the SparkContext.
   */
-final class SocketServer(engine: Engine, requestedPort: Int = 31337) {
+final class SocketServer(engine: Engine, requestedPort: Int = 31337,
+    tlsDomain: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   @volatile private var serverSocket: ServerSocket = _
@@ -44,8 +45,14 @@ final class SocketServer(engine: Engine, requestedPort: Int = 31337) {
   def port: Int = serverSocket.getLocalPort
 
   def start(): Unit = {
-    serverSocket =
-      new ServerSocket(requestedPort, 50, InetAddress.getByName("0.0.0.0"))
+    // same optional self-signed TLS as the reference's TLS_DOMAIN path
+    // (sql main.rs:83-94): the framing/verbs are identical either way,
+    // only the socket factory changes.
+    serverSocket = tlsDomain match {
+      case Some(domain) => Tls.serverSocket(domain, requestedPort)
+      case None =>
+        new ServerSocket(requestedPort, 50, InetAddress.getByName("0.0.0.0"))
+    }
     running = true
     val t = new Thread(() => acceptLoop(), "graft-server-accept")
     t.setDaemon(true)
@@ -169,9 +176,11 @@ object ServerMain {
       }
     }
     val port = sys.env.getOrElse("GRAFT_PORT", "31337").toInt
-    val server = new SocketServer(new Engine(spark), port)
+    val tls = sys.env.get("TLS_DOMAIN").filter(_.nonEmpty)
+    val server = new SocketServer(new Engine(spark), port, tls)
     server.start()
-    System.err.println(s"graft server listening on 0.0.0.0:${server.port}")
+    System.err.println(s"graft server listening on 0.0.0.0:${server.port}" +
+      tls.map(d => s" (TLS, self-signed for $d)").getOrElse(""))
     Thread.currentThread().join() // serve until killed, like main.rs:94
   }
 }

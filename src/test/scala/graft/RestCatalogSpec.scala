@@ -6,10 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.RestCatalogServer
 
-/** REST catalog read path (the reference's second binary wires an Iceberg
-  * REST catalog client into the same engine — rest/src/main.rs:42-117):
+/** REST catalog (the reference's second binary wires an Iceberg REST
+  * catalog client into the same engine — rest/src/main.rs:42-117, serving
+  * the full catalog incl. CREATE/INSERT through ctx.sql, main.rs:90-117):
   * a MetaCatalog warehouse is served over HTTP by [[RestCatalogServer]]
-  * and consumed read-only through `graft.catalog.RestCatalog`. */
+  * and consumed read-write through `graft.catalog.RestCatalog`, with
+  * bearer/basic auth per the reference's ICEBERG_CATALOG_* contract. */
 class RestCatalogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -65,18 +67,30 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("REST catalog is read-only; missing tables 404 into NoSuchTable") {
+  test("write path: create + append + read back through REST, snapshots preserved") {
     withServer { port =>
       spark.conf.set("spark.sql.catalog.rcat2", "graft.catalog.RestCatalog")
       spark.conf.set("spark.sql.catalog.rcat2.uri", s"http://127.0.0.1:$port")
       try {
-        val w = intercept[Exception] {
-          spark.sql("INSERT INTO rcat2.db.t VALUES (9, 'z')")
-        }
-        assert(w.getMessage.toLowerCase.contains("read-only") ||
-          w.getMessage.contains("TABLE_OPERATION"), w.getMessage.take(300))
+        spark.sql("CREATE NAMESPACE rcat2.wdb")
+        spark.sql("CREATE TABLE rcat2.wdb.w (id BIGINT, v STRING)")
+        spark.sql("INSERT INTO rcat2.wdb.w VALUES (1, 'x'), (2, 'y')")
+        spark.sql("INSERT INTO rcat2.wdb.w VALUES (3, 'z')")
+        // appends, not overwrites — both commits visible
+        val rows = spark.sql("SELECT id, v FROM rcat2.wdb.w ORDER BY id")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(rows == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+        // snapshot isolation preserved: the direct-commit protocol left
+        // the full history (v1 empty + one per INSERT) in the warehouse
+        val dir = Paths.get(wh).resolve("wdb").resolve("w")
+        val snaps = graft.catalog.Snapshots.list(dir)
+        assert(snaps.length == 3, snaps.map(_.version).toString)
+        assert(snaps.last.files.length > snaps(1).files.length)
+        // DDL round-trip: drop removes it from the served listing
+        spark.sql("DROP TABLE rcat2.wdb.w")
+        assert(spark.sql("SHOW TABLES IN rcat2.wdb").collect().isEmpty)
         val m = intercept[Exception] {
-          spark.sql("SELECT * FROM rcat2.db.nope").collect()
+          spark.sql("SELECT * FROM rcat2.wdb.nope").collect()
         }
         assert(m.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
           m.getMessage.toLowerCase.contains("not found"), m.getMessage.take(300))
@@ -84,6 +98,66 @@ class RestCatalogSpec extends AnyFunSuite {
         spark.conf.unset("spark.sql.catalog.rcat2")
         spark.conf.unset("spark.sql.catalog.rcat2.uri")
       }
+    }
+  }
+
+  test("auth: configured server rejects missing/wrong credentials, accepts bearer and basic") {
+    val tok = "sekrit-token-123"
+    val srv = new RestCatalogServer(Paths.get(wh), 0, Some(s"Bearer $tok"))
+    srv.start()
+    try {
+      val port = srv.port
+      // no credentials → 401 surfaces as a clear error
+      spark.conf.set("spark.sql.catalog.rnoauth", "graft.catalog.RestCatalog")
+      spark.conf.set("spark.sql.catalog.rnoauth.uri", s"http://127.0.0.1:$port")
+      val e = intercept[Exception] {
+        spark.sql("SHOW NAMESPACES IN rnoauth").collect()
+      }
+      assert(e.getMessage.contains("401") ||
+        e.getMessage.toLowerCase.contains("unauthorized"), e.getMessage.take(300))
+      // wrong token → still rejected
+      spark.conf.set("spark.sql.catalog.rbad", "graft.catalog.RestCatalog")
+      spark.conf.set("spark.sql.catalog.rbad.uri", s"http://127.0.0.1:$port")
+      spark.conf.set("spark.sql.catalog.rbad.token", "wrong")
+      val e2 = intercept[Exception] {
+        spark.sql("SHOW NAMESPACES IN rbad").collect()
+      }
+      assert(e2.getMessage.contains("401") ||
+        e2.getMessage.toLowerCase.contains("unauthorized"), e2.getMessage.take(300))
+      // right token → full surface works
+      spark.conf.set("spark.sql.catalog.rauth", "graft.catalog.RestCatalog")
+      spark.conf.set("spark.sql.catalog.rauth.uri", s"http://127.0.0.1:$port")
+      spark.conf.set("spark.sql.catalog.rauth.token", tok)
+      assert(spark.sql("SELECT count(*) FROM rauth.db.t").collect()
+        .head.getLong(0) == 3L)
+      spark.conf.unset("spark.sql.catalog.rnoauth")
+      spark.conf.unset("spark.sql.catalog.rnoauth.uri")
+      spark.conf.unset("spark.sql.catalog.rbad")
+      spark.conf.unset("spark.sql.catalog.rbad.uri")
+      spark.conf.unset("spark.sql.catalog.rbad.token")
+      spark.conf.unset("spark.sql.catalog.rauth")
+      spark.conf.unset("spark.sql.catalog.rauth.uri")
+      spark.conf.unset("spark.sql.catalog.rauth.token")
+    } finally srv.stop()
+
+    // basic auth: username/password options produce the matching header
+    val basic = graft.catalog.RestAuth
+      .header(None, Some("alice"), Some("pw"), Map.empty).get
+    val srv2 = new RestCatalogServer(Paths.get(wh), 0, Some(basic))
+    srv2.start()
+    try {
+      spark.conf.set("spark.sql.catalog.rbasic", "graft.catalog.RestCatalog")
+      spark.conf.set("spark.sql.catalog.rbasic.uri", s"http://127.0.0.1:${srv2.port}")
+      spark.conf.set("spark.sql.catalog.rbasic.username", "alice")
+      spark.conf.set("spark.sql.catalog.rbasic.password", "pw")
+      assert(spark.sql("SELECT count(*) FROM rbasic.db.t").collect()
+        .head.getLong(0) == 3L)
+    } finally {
+      srv2.stop()
+      spark.conf.unset("spark.sql.catalog.rbasic")
+      spark.conf.unset("spark.sql.catalog.rbasic.uri")
+      spark.conf.unset("spark.sql.catalog.rbasic.username")
+      spark.conf.unset("spark.sql.catalog.rbasic.password")
     }
   }
 }

@@ -18,8 +18,8 @@ class ServerSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
   private lazy val spark = TestSpark.spark
 
-  private class Client(port: Int) {
-    private val sock = new Socket("127.0.0.1", port)
+  private class Client(sock: Socket) {
+    def this(port: Int) = this(new Socket("127.0.0.1", port))
     private val out = new DataOutputStream(sock.getOutputStream)
     private val in = new DataInputStream(sock.getInputStream)
     def call(fields: (String, Any)*): JsonNode = {
@@ -111,6 +111,61 @@ class ServerSpec extends AnyFunSuite {
         "sql" -> "SELECT 1")
       assert(!gone.get("ok").asBoolean)
     }
+  }
+
+  test("full lifecycle over TLS: self-signed TLS_DOMAIN cert, same protocol") {
+    val domain = "graft.test"
+    val server = new SocketServer(new Engine(spark), 0, Some(domain))
+    server.start()
+    val sock = graft.engine.Tls.trustAllSocket("127.0.0.1", server.port)
+    val c = new Client(sock)
+    try {
+      val token = auth(c)
+      // the negotiated session serves the self-signed cert FOR THE DOMAIN
+      val cert = sock.getSession.getPeerCertificates.head
+        .asInstanceOf[java.security.cert.X509Certificate]
+      assert(cert.getSubjectX500Principal.getName.contains(s"CN=$domain"))
+      assert(cert.getIssuerX500Principal == cert.getSubjectX500Principal)
+      // full statement lifecycle over the encrypted transport
+      val prep = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT 40 + 2 AS answer")
+      assert(prep.get("ok").asBoolean, prep.toString)
+      val handle = prep.get("handle").asText
+      assert(c.call("cmd" -> "execute", "handle" -> handle)
+        .get("rows").asLong == 1L)
+      val fa = c.call("cmd" -> "fetch_arrow", "handle" -> handle)
+      assert(fa.get("ok").asBoolean)
+      val bytes = c.readFrame()
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc)
+      try {
+        assert(reader.loadNextBatch())
+        assert(reader.getVectorSchemaRoot.getVector("answer")
+          .asInstanceOf[org.apache.arrow.vector.IntVector].get(0) == 42)
+      } finally { reader.close(); alloc.close() }
+      assert(c.call("cmd" -> "close_statement", "handle" -> handle)
+        .get("ok").asBoolean)
+      assert(c.call("cmd" -> "close_session", "token" -> token)
+        .get("ok").asBoolean)
+      // a PLAINTEXT client against the TLS port fails the handshake
+      // instead of silently talking through it
+      val plain = new Socket("127.0.0.1", server.port)
+      try {
+        val pout = new DataOutputStream(plain.getOutputStream)
+        val pin = new DataInputStream(plain.getInputStream)
+        val msg = """{"cmd":"handshake","user":"admin","password":"password"}"""
+          .getBytes(UTF_8)
+        pout.writeInt(msg.length); pout.write(msg); pout.flush()
+        intercept[java.io.IOException] {
+          val n = pin.readInt()
+          val buf = new Array[Byte](n)
+          pin.readFully(buf)
+          // a JSON frame implies the server answered plaintext — wrong
+          assert(!new String(buf, UTF_8).contains("ok"))
+        }
+      } finally plain.close()
+    } finally { c.close(); server.stop() }
   }
 
   test("bind over the wire; protocol errors surface as ok=false frames") {
