@@ -4,9 +4,37 @@ import graft.{Probe, Tables}
 
 /** Late-round coverage: argmin/argmax aggregates, subquery in HAVING,
   * inverse-trig/hyperbolic math, bit_count, the TopKPerKey custom
-  * physical operator. */
+  * physical operator, one-pass data profiling. */
 object Extras {
+
+  /** DuckDB SUMMARIZE-equivalent for [[graft.operators.Stats.profile]]:
+    * one per-column SELECT (min/max rendered as VARCHAR, null and exact
+    * distinct counts, table rowcount), UNION ALL'd. The oracle side may
+    * scan once per column — it only ever runs at oracle scale; the Spark
+    * side is pinned to ONE aggregate pass. */
+  private def profileOracle(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value,
+         |  CAST(count(*) - count($c) AS BIGINT) AS null_count,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(count(*) AS BIGINT) AS n_rows FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
   val probes: Seq[Probe] = Seq(
+
+    // One-pass per-column profile (min/max/nulls/distinct/rowcount) —
+    // exactDistinct so the counts are engine-independent (HLL sketches
+    // are not). Spark plans a single scan + global aggregate.
+    Probe.df("q_profile",
+      profileOracle("orders", Seq("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority"))) { (s, dir) =>
+      graft.operators.Stats.profile(
+          Tables.load(s, dir, "orders"), exactDistinct = true)
+        .orderBy("column_name")
+    },
 
     // Custom whole-operator path (LogicalPlan + Strategy + SparkPlan with
     // bounded heaps — graft.plans.TopKPerKey); oracle = the row_number

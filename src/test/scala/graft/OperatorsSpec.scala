@@ -45,6 +45,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("Stats.profile: one-pass per-column min/max/nulls/distinct") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(5L), None),
+      (None, Some("a")), (Some(5L), Some("b"))
+    ).toDF("n", "s")
+    val p = graft.operators.Stats.profile(df, exactDistinct = true)
+      .orderBy("column_name").collect()
+    assert(p.map(_.getString(0)).toSeq == Seq("n", "s"))
+    val n = p(0); val s = p(1)
+    assert(n.getString(1) == "1" && n.getString(2) == "5")
+    assert(n.getLong(3) == 1L && n.getLong(4) == 2L && n.getLong(5) == 4L)
+    assert(s.getString(1) == "a" && s.getString(2) == "b")
+    assert(s.getLong(3) == 1L && s.getLong(4) == 2L)
+    // approx path (the 100 TB default) agrees on these tiny cardinalities
+    val ap = graft.operators.Stats.profile(df)
+      .orderBy("column_name").collect()
+    assert(ap.map(r => (r.getString(0), r.getLong(4))).toSeq ==
+      Seq(("n", 2L), ("s", 2L)))
+    // one aggregate pass: exactly one scan of the input in the plan
+    val plan = graft.operators.Stats.profile(df)
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("HammingSigns kernel equals the zip_with HOF form; verify stage has no lambda") {
     import org.apache.spark.sql.graftaccess.Internals
     val sv = Seq(
