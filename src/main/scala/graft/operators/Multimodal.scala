@@ -134,6 +134,57 @@ object Multimodal {
     }.toDF("media_id", "variant", "content")
   }
 
+  /** pHash-style 64-component perceptual signature: the decoded payload
+    * is binned into 64 energies (STUB: cyclic byte-histogram bins; in
+    * production the 8×8 low-frequency DCT block of the decoded image —
+    * same shape, same downstream math), and each bin is sign'd against
+    * the item's mean energy — the classic pHash "coefficient > median"
+    * construction. Emitted as a ±1 sign VECTOR (array<bigint>) so media
+    * near-dup rides the SAME banded machinery as text SimHash:
+    * [[graft.functions.SimHashBands]] keys, [[Dedup.bandedCandidates]]
+    * skew guard, [[graft.functions.HammingSigns]] verify — all
+    * cross-engine-oracled via q_simhash_md5. */
+  def phashSigns(media: Dataset[MediaItem]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bins = new Array[Double](64)
+      var i = 0
+      while (i < m.content.length) {
+        bins(i % 64) += (m.content(i) & 0xff) / 255.0
+        i += 1
+      }
+      val mean = bins.sum / 64
+      (m.media_id, bins.map(b => if (b > mean) 1L else -1L))
+    }).toDF("media_id", "sv")
+  }
+
+  /** Media near-duplicate pairs by pHash Hamming distance — the named
+    * media analogue of [[Dedup.simhashPairs]]: 4×16-bit band keys over
+    * the sign vector, skew-guarded bucket join for candidates, kernel
+    * Hamming verify of candidates only. Two items within Hamming
+    * `maxHamming` ≤ 3 must agree on ≥1 band, so recall at the near-dup
+    * thresholds matches text SimHash. Nothing quadratic materializes;
+    * the shuffle carries (id, band, key) triples. */
+  def mediaNearDupPairs(media: Dataset[MediaItem], maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.graftaccess.Internals
+    val base = phashSigns(media)
+      .repartition(col("media_id")) // parallelism before the banding work
+    val banded = base.select(col("media_id").as("id"),
+      posexplode(Internals.column(graft.functions.SimHashBands(
+        Internals.expression(col("sv"))))).as(Seq("band", "key")))
+    val cand = Dedup.bandedCandidates(banded, maxBucket)
+    cand
+      .join(base.select(col("media_id").as("ida"), col("sv").as("sva")), "ida")
+      .join(base.select(col("media_id").as("idb"), col("sv").as("svb")), "idb")
+      .select(col("ida"), col("idb"),
+        Internals.column(graft.functions.HammingSigns(
+          Internals.expression(col("sva")),
+          Internals.expression(col("svb")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * offset (every `everyMs` milliseconds of duration). */
   def sampleFrames(media: Dataset[MediaItem], everyMs: Long): DataFrame =

@@ -98,6 +98,92 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ composed end-to-end — the production ANN layout (Jégou et
+    * al. §IV): coarse-quantize the corpus into IVF cells AND encode it
+    * to PQ codes in ONE projection, route each query to its `nprobe`
+    * best cells, and ADC-score only the routed candidates from codes.
+    * The plan has exactly one join: corpus (nid, cell, c0..c{M-1}) ⨝
+    * broadcast queries (probe cells + M×k LUTs, both computed once in
+    * the query projection). At 100 TB the scored side carries M bytes
+    * of codes per row, touches nprobe/nCells of the corpus, and never
+    * reads the original vectors. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], nprobe: Int, k: Int): DataFrame = {
+    val sub = codebooks.head.head.size
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      codeExpr(col(vecCol), cb, s, sub).as(s"c$s")
+    }
+    val enc = corpus.select(Seq(col(idCol).as("nid"),
+      Similarity.ivfCellExpr(col(vecCol), centroids).as("cell")) ++ codes: _*)
+    val qDots = centroids.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.dotKernel(col("qv"), typedLit(c)).as("d"),
+        lit(i).as("i"))
+    }
+    val probes = slice(reverse(array_sort(array(qDots: _*))), 1, nprobe)
+    val luts = codebooks.zipWithIndex.map { case (cb, s) =>
+      array(cb.map(c => Similarity.dotKernel(
+        slice(col("qv"), s * sub + 1, sub), typedLit(c))): _*).as(s"lut$s")
+    }
+    val q = queries
+      .select(Seq(col(idCol).as("qid"), col(vecCol).as("qv")) ++ luts: _*)
+      .withColumn("probe_cells", transform(probes, p => p.getField("i")))
+    val score = codebooks.indices
+      .map(s => element_at(col(s"lut$s"), col(s"c$s") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    enc.join(broadcast(q),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB replay of [[ivfPqTopK]]: first-`nCells` IVF centroids and
+    * first-`k` PQ codebooks recomputed from the table, identical cell
+    * assignment (dot DESC, first index wins), identical probe routing
+    * (dot DESC, LAST index wins ties — Spark's reversed struct sort),
+    * identical LUT-sum scores. */
+  def ivfPqOracleSql(table: String, dim: Int, m: Int, k: Int, nCells: Int,
+      nprobe: Int, nQueries: Int, topK: Int): String = {
+    val sub = dim / m
+    val cols = (0 until m).map(s => s"c$s").mkString(", ")
+    val encJoins = (1 until m).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
+    val lutTerms = (0 until m).map { s =>
+      s"list_dot_product(q.v[${s * sub + 1}:${(s + 1) * sub}], cb$s.c)"
+    }
+    val lutJoins = (0 until m).map(s => s"JOIN cb$s ON cb$s.code = e.c$s")
+      .mkString(" ")
+    s"""WITH ${encodeCtes(table, dim, m, k)},
+       |enc AS (SELECT vec_id, $cols FROM e0 $encJoins),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+       |         FROM (SELECT * FROM t ORDER BY vec_id LIMIT $nCells)),
+       |cells AS (SELECT vec_id, cell FROM (
+       |  SELECT t.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY t.vec_id
+       |      ORDER BY list_dot_product(t.v, c.v) DESC, c.cell) AS rn
+       |  FROM t CROSS JOIN cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v FROM t WHERE vec_id < $nQueries),
+       |probes AS (SELECT qid, cell FROM (
+       |  SELECT q.qid, c.cell,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_dot_product(q.v, c.v) DESC, c.cell DESC) AS rn
+       |  FROM q CROSS JOIN cent c) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id AS nid,
+       |    ${lutTerms.mkString(" + ")} AS score
+       |  FROM q JOIN probes p ON p.qid = q.qid
+       |  JOIN cells ON cells.cell = p.cell
+       |  JOIN enc e ON e.vec_id = cells.vec_id AND e.vec_id <> q.qid
+       |  $lutJoins)
+       |SELECT qid, nid, score, rank FROM (
+       |  SELECT qid, nid, score, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, nid) AS INT) AS rank FROM scored)
+       |WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB replay of [[pqEncode]] over [[pqCodebooksFrom]] codebooks:
     * first-k slices, the same augmented-dot score (identical operation
     * order: an 8-term sequential dot then one subtraction matches the

@@ -438,6 +438,22 @@ object Pipeline {
         .orderBy("vec_id")
     },
 
+    // IVF-PQ composed end-to-end: IVF routing (8 cells, nprobe=3) and
+    // PQ-ADC scoring (8 subspaces × 16 codes) in ONE plan — one corpus
+    // projection (cell + codes), one broadcast join. The oracle replays
+    // routing (incl. both tie-break conventions) and the LUT-sum scores.
+    Probe.df("q_ann_ivfpq",
+      graft.operators.Pq.ivfPqOracleSql("embeddings", 64, 8, 16,
+        nCells = 8, nprobe = 3, nQueries = 3, topK = 5)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsFrom(e, "vec_id", "embedding", 8)
+      val cbs = graft.operators.Pq.pqCodebooksFrom(
+        e, "vec_id", "embedding", 64, 8, 16)
+      graft.operators.Pq.ivfPqTopK(e.filter(col("vec_id") < 3), e,
+          "vec_id", "embedding", cents, cbs, nprobe = 3, k = 5)
+        .orderBy("qid", "rank")
+    },
+
     // PQ-ADC search: 3 queries score the WHOLE corpus from codes only —
     // M lookups + M-1 adds per candidate, LUTs computed once per query
     // on the broadcast side. The oracle rebuilds codes AND LUT sums in

@@ -76,6 +76,22 @@ object StreamingWindows {
         .orderBy("kind")
     },
 
+    // pHash media near-dup: 25 planted exact copies (ids +10000) must
+    // pair with their originals at Hamming 0 through the banded path.
+    // Rows-only by design (the 64-bin stub is not expressible in DuckDB
+    // SQL); the banding/Hamming mechanism itself is fully oracled by
+    // q_simhash_md5, and MultimodalSpec pins pairing + corruption
+    // tolerance.
+    Probe.noOracle("q_media_neardup") { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(
+        Tables.load(s, dir, "documents"))
+      val dups = media.filter(org.apache.spark.sql.functions.col("media_id") < 25)
+        .map(m => m.copy(media_id = m.media_id + 10000))
+      Multimodal.mediaNearDupPairs(media.unionByName(dups), maxHamming = 3)
+        .orderBy("ida", "idb")
+    },
+
     Probe.df("q_multimodal_frames",
       """SELECT doc_id AS media_id,
         |  CAST((n_chars * 40 - 1) // 5000 + 1 AS BIGINT) AS n_frames

@@ -59,6 +59,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)), s"expected only the planted dup, got $pairs")
   }
 
+  test("pHash near-dup: exact copies pair at 0, light corruption within 3, unrelated not") {
+    import spark.implicits._
+    val m = media.filter(_.media_id < 40).collect()
+    val exact = m.find(_.media_id == 7L).get.copy(media_id = 1007L)
+    val corrupted = {
+      val src = m.find(_.media_id == 8L).get
+      val bytes = src.content.clone()
+      var i = 0
+      while (i < bytes.length) { bytes(i) = (bytes(i) ^ 0x1).toByte; i += 64 }
+      src.copy(media_id = 1008L, content = bytes)
+    }
+    val corpus = spark.createDataset(m :+ exact :+ corrupted)
+    val pairs = Multimodal.mediaNearDupPairs(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 7L && p._2 == 1007L && p._3 == 0))
+    assert(pairs.exists(p => p._1 == 8L && p._2 == 1008L))
+    // unrelated media don't flood in: planted pairs dominate the output
+    assert(!pairs.exists(p => p._1 == 7L && p._2 == 8L))
+    // the verify stage runs the kernel, not an interpreted lambda
+    val plan = Multimodal.mediaNearDupPairs(corpus, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hamming_signs") && !plan.contains("zip_with"))
+  }
+
   test("binaryFile source ingests real files with kind inference") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin")
     java.nio.file.Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3))
