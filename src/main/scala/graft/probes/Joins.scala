@@ -97,6 +97,72 @@ object Joins {
         |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
         |ORDER BY n1, n2""".stripMargin),
 
+    // as-of join (operators/AsOf): per purchase, the latest prior view of
+    // the same user. Oracle = DuckDB's native ASOF JOIN; the right side is
+    // pre-aggregated per (user_id, ts) so the nearest match is unique in
+    // both engines (AsOf's documented contract).
+    Probe.df("q_join_asof",
+      """WITH v AS (SELECT user_id, ts, max(value) AS value FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id, ts),
+        |     p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       v.ts AS view_ts, v.value AS view_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      val ev = s.table("events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      graft.operators.AsOf.asofJoin(p, v, Seq("user_id"), "ts", "ts",
+          rightPrefix = "view_")
+        .orderBy("event_id")
+    },
+
+    // as-of LEFT: purchases with no prior view keep NULL view columns
+    Probe.df("q_join_asof_left",
+      """WITH v AS (SELECT user_id, ts, max(value) AS value FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id, ts),
+        |     p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       v.ts AS view_ts, v.value AS view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      val ev = s.table("events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      graft.operators.AsOf.asofJoin(p, v, Seq("user_id"), "ts", "ts",
+          joinType = "left", rightPrefix = "view_")
+        .orderBy("event_id")
+    },
+
+    // forward as-of: the EARLIEST view at-or-after each purchase
+    Probe.df("q_join_asof_fwd",
+      """WITH v AS (SELECT user_id, ts, max(value) AS value FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id, ts),
+        |     p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       v.ts AS view_ts, v.value AS view_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      val ev = s.table("events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      graft.operators.AsOf.asofJoin(p, v, Seq("user_id"), "ts", "ts",
+          direction = "forward", rightPrefix = "view_")
+        .orderBy("event_id")
+    },
+
     // USING-clause join
     Probe.sql2("q_join_using",
       """SELECT n_nationkey, n_name, r_name
