@@ -66,23 +66,3 @@ object Stats {
       .agg(min(col(valueCol)).as(s"wp"))
   }
 }
-
-/** Skew mitigation: salted broadcast-style join for hot keys. The large
-  * side gets a uniform salt; the small side is exploded across all salt
-  * values, so one hot key fans out over `salt` reducers instead of one.
-  * Result is identical to the unsalted equi-join (inner). */
-object SkewJoin {
-  def saltedInnerJoin(
-      large: DataFrame, small: DataFrame, key: String,
-      salt: Int): DataFrame = {
-    require(salt > 0)
-    val salted = large.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
-    val exploded = small.withColumn("__salt",
-      explode(sequence(lit(0L), lit(salt.toLong - 1))))
-    salted.join(exploded,
-        salted("__salt") === exploded("__salt") &&
-          salted(key) === exploded(key))
-      .drop("__salt")
-  }
-}

@@ -163,6 +163,41 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // salted skew join (operators/SkewJoin): same result as the plain
+    // equi-join — the salt only respreads whale keys across reducers
+    Probe.df("q_join_salted",
+      """SELECT s_nationkey, count(*) AS items, sum(l_quantity) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      graft.operators.SkewJoin.saltedJoin(
+          s.table("lineitem"), s.table("supplier"),
+          Seq("l_suppkey" -> "s_suppkey"), salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("items"), sum("l_quantity").as("qty"))
+        .orderBy("s_nationkey")
+    },
+
+    // bloom-pruned join (operators/BloomJoin): fact rows are pre-filtered
+    // by a bloom filter of the post-predicate dim keys before the join
+    // exchange; the exact join makes the result identical to a plain join
+    Probe.df("q_join_bloom",
+      """SELECT s_nationkey, count(*) AS items, sum(l_quantity) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 5000
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      val dim = s.table("supplier").filter(col("s_acctbal") > 5000)
+      graft.operators.BloomJoin.bloomPrunedJoin(
+          s.table("lineitem"), dim, "l_suppkey", "s_suppkey",
+          expectedItems = 1L << 16)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("items"), sum("l_quantity").as("qty"))
+        .orderBy("s_nationkey")
+    },
+
     // USING-clause join
     Probe.sql2("q_join_using",
       """SELECT n_nationkey, n_name, r_name

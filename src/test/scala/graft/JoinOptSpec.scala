@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BloomJoin, SkewJoin}
+
+/** SkewJoin.saltedJoin and BloomJoin.bloomPrunedJoin: result equivalence
+  * with the plain join, the skew/pruning mechanics, and the plan shape. */
+class JoinOptSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // one whale key (0) with 500 rows, a tail of singletons
+  private lazy val fact = ((1 to 500).map(i => (0L, i.toDouble)) ++
+    (1 to 100).map(i => (i.toLong, i.toDouble)))
+    .toDF("k", "v")
+  private lazy val dim = (0 to 50).map(i => (i.toLong, s"d$i"))
+    .toDF("dk", "name")
+
+  test("saltedJoin inner == plain inner join") {
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val salted = SkewJoin.saltedJoin(fact, dim, Seq("k" -> "dk"), salts = 4)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(salted.orderBy("k").collect().toSeq ==
+      plain.orderBy("k").collect().toSeq)
+  }
+
+  test("saltedJoin left keeps unmatched big rows exactly once") {
+    val out = SkewJoin.saltedJoin(fact, dim, Seq("k" -> "dk"),
+      salts = 4, joinType = "left")
+    assert(out.count() == fact.count())   // whale matches 1 dim row each
+    assert(out.filter(col("dk").isNull).count() ==
+      fact.filter(col("k") > 50).count())
+  }
+
+  test("the whale key's rows actually spread across salts") {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(4L)))
+    val spread = salted.filter(col("k") === 0L)
+      .groupBy("__salt").count().collect()
+    assert(spread.length == 4, spread.mkString(","))
+  }
+
+  test("saltedJoin refuses right/full and salts < 2") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, Seq("k" -> "dk"), 4, joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(fact, dim, Seq("k" -> "dk"), 1)
+    }
+  }
+
+  test("bloomPrunedJoin == plain join after a dim predicate") {
+    val d = dim.filter(col("dk") % 7 === 0)
+    val plain = fact.alias("f").join(d.alias("d"), col("f.k") === col("d.dk"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val bloomed = BloomJoin.bloomPrunedJoin(fact, d, "k", "dk",
+        expectedItems = 1024)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(bloomed.orderBy("k").collect().toSeq ==
+      plain.orderBy("k").collect().toSeq)
+  }
+
+  test("bloom pre-filter drops non-matching fact rows before the join") {
+    val d = dim.filter(col("dk") === 0L)   // keys: {0}
+    val pruned = fact.where(BloomJoin.bloomProbe(col("k"), d, "dk", 1024))
+    val n = pruned.count()
+    // 500 whale rows must survive; the 100-key tail is ~all pruned
+    // (false positives allowed, so bound rather than pin)
+    assert(n >= 500 && n <= 520, s"pruned count $n")
+  }
+
+  test("bloomPrunedJoin plan probes the bloom filter in the fact scan stage") {
+    val out = BloomJoin.bloomPrunedJoin(fact, dim, "k", "dk", 1024)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+}

@@ -228,7 +228,8 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"s_suppkey".as("l_suppkey"), $"s_name")
     val plain = large.join(small, "l_suppkey")
       .agg(count(lit(1)), sum($"l_quantity")).collect().head
-    val salted = SkewJoin.saltedInnerJoin(large, small, "l_suppkey", 8)
+    val salted = SkewJoin.saltedJoin(large, small,
+      Seq("l_suppkey" -> "l_suppkey"), 8)
       .agg(count(lit(1)), sum($"l_quantity")).collect().head
     assert(plain.getLong(0) == salted.getLong(0))
     assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
