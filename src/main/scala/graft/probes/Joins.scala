@@ -198,6 +198,26 @@ object Joins {
         .orderBy("s_nationkey")
     },
 
+    // bucketed co-located join: both sides written CLUSTERED BY the join
+    // key into the same bucket count, so the join plans with ZERO
+    // exchanges (BucketedJoinSpec pins that); this probe pins the
+    // RESULT equal to the plain join. At 100 TB pre-bucketing the fact
+    // tables is how repeated key-joins stop paying the shuffle.
+    Probe.df("q_join_bucketed",
+      """SELECT o_orderpriority, count(*) AS items, sum(l_quantity) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      val (li, ord) = graft.operators.Bucketing.ensureBucketed(s,
+        s.table("lineitem"), s.table("orders"),
+        "l_orderkey", "o_orderkey", buckets = 8)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("items"), sum("l_quantity").as("qty"))
+        .orderBy("o_orderpriority")
+    },
+
     // USING-clause join
     Probe.sql2("q_join_using",
       """SELECT n_nationkey, n_name, r_name
