@@ -231,6 +231,7 @@ object DFCompat {
         case "sha1" => Sha1(Cast(e, BinaryType))
         case "blake2b" => graft.functions.Blake2(Cast(e, BinaryType), wide = true)
         case "blake2s" => graft.functions.Blake2(Cast(e, BinaryType), wide = false)
+        case "blake3" => graft.functions.Blake3(Cast(e, BinaryType))
         case other => throw new IllegalArgumentException(
           s"digest: unsupported algorithm '$other'")
       }

@@ -48,6 +48,71 @@ object Stats {
         "(column_name, min_value, max_value, null_count, n_distinct, n_rows)")
   }
 
+  /** Equi-width histogram over a numeric column: `bins` equal-width
+    * buckets between the column's min and max, degenerate single-bucket
+    * when min == max. TWO scans (the min/max aggregate, then the bin
+    * count), no driver collection — the 2-value min/max row rides back
+    * in as a broadcast cross join, so the whole thing is one plan and
+    * the second scan's projection is codegen'd arithmetic. Bucket math
+    * uses only same-operand IEEE ops (one subtraction, one division,
+    * one multiply per bound), which reproduce bit-identically across
+    * engines (FIXTURES.md recipes). */
+  def histogramWidth(df: DataFrame, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("__mn"), max(v).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    val bin = when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(floor((v - col("__mn")) / width), lit(bins - 1L)))
+    df.join(broadcast(mm))
+      .select(bin.as("bin"), col("__mn"), col("__mx"))
+      .groupBy("bin", "__mn", "__mx").agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("__mn") + col("bin") * ((col("__mx") - col("__mn")) /
+          lit(bins.toDouble))).as("bin_lo"),
+        (col("__mn") + (col("bin") + 1) * ((col("__mx") - col("__mn")) /
+          lit(bins.toDouble))).as("bin_hi"),
+        col("n"))
+  }
+
+  /** Equi-depth histogram: `bins` buckets of (near-)equal row count via
+    * ntile over the value order. `tieBreak` must make the order total or
+    * boundary rows land nondeterministically. One shuffle + sort. */
+  def histogramDepth(df: DataFrame, valueCol: String, bins: Int,
+      tieBreak: Seq[String]): DataFrame = {
+    val ord = (col(valueCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.orderBy(ord: _*)
+    df.select(col(valueCol).cast("double").as("__v"),
+        ntile(bins).over(w).as("bin"))
+      .groupBy("bin")
+      .agg(min(col("__v")).as("bin_lo"), max(col("__v")).as("bin_hi"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Scale-path equi-depth histogram: bucket boundaries from ONE
+    * approx_percentile pass (no global sort — exact ntile semantics
+    * need one, which caps [[histogramDepth]] at single-node sortable
+    * sizes), then a projection pass bins rows against the broadcast
+    * boundary array. Bucket populations are approximately equal (sketch
+    * accuracy); boundaries are actual data values. The per-row boundary
+    * scan is a `filter`+`size` HOF over `bins` elements — interpreted,
+    * but O(bins) per row with no join. */
+  def histogramDepthApprox(df: DataFrame, valueCol: String, bins: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val v = col(valueCol).cast("double")
+    val ps = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
+    val bounds = df.agg(
+      percentile_approx(v, ps, lit(accuracy)).as("__bounds"))
+    df.join(broadcast(bounds))
+      .select(v.as("__v"),
+        size(filter(col("__bounds"), b => b < v)).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(min(col("__v")).as("bin_lo"), max(col("__v")).as("bin_hi"),
+        count(lit(1)).as("n"))
+  }
+
   /** Per-group exact weighted percentile. `tieBreak` columns make the
     * cumulative order (and hence the result) deterministic when values
     * repeat. */

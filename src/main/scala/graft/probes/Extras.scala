@@ -36,6 +36,72 @@ object Extras {
         .orderBy("column_name")
     },
 
+    // Equi-width histogram (operators/Stats.histogramWidth): bucket math
+    // is same-operand IEEE arithmetic, so bin ids AND double bounds
+    // hash-match DuckDB exactly.
+    Probe.df("q_histogram",
+      """WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |                   max(CAST(l_extendedprice AS DOUBLE)) AS mx
+        |            FROM lineitem),
+        |b AS (SELECT CASE WHEN mx = mn THEN 0
+        |        ELSE LEAST(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+        |                    / ((mx - mn) / 20.0)) AS BIGINT), 19) END AS bin,
+        |        mn, mx
+        |      FROM lineitem, mm)
+        |SELECT bin, mn + bin * ((mx - mn) / 20.0) AS bin_lo,
+        |       mn + (bin + 1) * ((mx - mn) / 20.0) AS bin_hi,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bin, mn, mx
+        |ORDER BY bin""".stripMargin) { (s, dir) =>
+      graft.operators.Stats.histogramWidth(
+          Tables.load(s, dir, "lineitem"), "l_extendedprice", bins = 20)
+        .orderBy("bin")
+    },
+
+    // Equi-depth histogram, exact ntile tier (the approx scale tier is
+    // spec-checked — sketches are not cross-engine-stable)
+    Probe.df("q_histogram_depth",
+      """WITH t AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |  CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+        |    AS bin FROM orders)
+        |SELECT bin, min(v) AS bin_lo, max(v) AS bin_hi,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM t GROUP BY bin
+        |ORDER BY bin""".stripMargin) { (s, dir) =>
+      graft.operators.Stats.histogramDepth(
+          Tables.load(s, dir, "orders"), "o_totalprice", bins = 10,
+          tieBreak = Seq("o_orderkey"))
+        .orderBy("bin")
+    },
+
+    // Batch sessionization (operators/Sessionize): gap arithmetic on
+    // unix_micros — exact integers, bit-identical boundaries cross-engine
+    Probe.df("q_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+      graft.operators.Sessionize.sessions(
+          Tables.load(s, dir, "events"), "user_id", "ts",
+          gapSeconds = 1800, tieBreak = Seq("event_id"))
+        .orderBy("user_id", "session_seq")
+    },
+
     // Custom whole-operator path (LogicalPlan + Strategy + SparkPlan with
     // bounded heaps — graft.plans.TopKPerKey); oracle = the row_number
     // window idiom it replaces.

@@ -16,7 +16,46 @@ class DFCompatSpec extends AnyFunSuite {
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
     assert(one("SELECT digest('abc', 'sha512')").toString.length == 128)
     assert(one("SELECT digest('abc', 'sha224')").toString.length == 56)
-    assert(scala.util.Try(one("SELECT digest('abc', 'blake3')")).isFailure)
+    assert(scala.util.Try(one("SELECT digest('abc', 'nosuchalgo')")).isFailure)
+  }
+
+  test("blake3 matches the published test vectors") {
+    // official test-vector input pattern (bytes i % 251), input_len = 1
+    assert(one("SELECT digest(X'00', 'blake3')") ==
+      "2d3adedff11b61f14c886e35afa036736dcd87a74d27b5c1510225d0f592e213")
+    // input_len = 2 of the same pattern
+    assert(one("SELECT digest(X'0001', 'blake3')") ==
+      "7b7015bb92cf0b318037702a6cdd81dee41224f734684c2c122cd6359cb1ee63")
+    assert(one("SELECT digest('abc', 'blake3')") ==
+      "6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85")
+    assert(one("SELECT digest('hello world', 'blake3')") ==
+      "d74981efa70a0c880b8d8c1985d075dbcbf679b99a5f9914e5aaf96b831a9e24")
+    assert(one("SELECT digest('The quick brown fox jumps over the lazy dog', 'blake3')") ==
+      "2f1514181aadccd913abd94cfa592701a5686ab23f8df1dff1b74710febc6d4a")
+  }
+
+  test("blake3 multi-block and multi-chunk paths (spec-derived pins)") {
+    import org.apache.spark.sql.functions._
+    def b3(n: Int): String = {
+      val pat = Array.tabulate(n)(i => (i % 251).toByte)
+      graft.functions.Blake3Kernels.blake3Hex(pat).toString
+    }
+    // >64 bytes: multi-block single chunk; >1024: the merkle-tree path.
+    // Pinned from this implementation (whose single-chunk path is
+    // vector-verified above) so any tree regression is caught.
+    assert(b3(65).length == 64)
+    assert(b3(1025) ==
+      "d00278ae47eb27b34faecf67b4fe263f82d5412916c1ffd97c8cb7fb814b8444")
+    assert(b3(2048) ==
+      "e776b6028c7cd22a4d0ba182a8bf62205d2ef576467e838ed6f2529b85fba24a")
+    // 3 and 5 chunks exercise the odd-node promotion tree shapes
+    assert(b3(3072).length == 64 && b3(5000).length == 64)
+    // kernel agrees with itself through the SQL surface (codegen path)
+    val viaSql = spark.range(1).select(
+      expr("digest(repeat('a', 3000), 'blake3')")).collect().head.getString(0)
+    val viaKernel = graft.functions.Blake3Kernels
+      .blake3Hex(Array.fill[Byte](3000)('a')).toString
+    assert(viaSql == viaKernel)
   }
 
   test("blake2b / blake2s match the RFC 7693 appendix test vectors") {
