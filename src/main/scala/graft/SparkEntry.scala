@@ -55,5 +55,10 @@ object SparkEntry {
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18",
     "q_window_session", "q_dedup_cosine", "q_ann_ivf",
     "q_pipeline_e2e", "q_dedup_cosine_lsh", "q_vocab",
-    "q_tpch_q1", "q_tpch_q8", "q_tpch_q21")
+    "q_tpch_q1", "q_tpch_q8", "q_tpch_q21",
+    // round 5: the new operator classes' bench shapes — as-of
+    // (union+window, one shuffle), sessionization (two windows + rollup
+    // on one exchange), one-pass HLL profile over lineitem (the scale
+    // tier; q_profile's exact-distinct Expand is the oracle tier)
+    "q_join_asof", "q_sessionize", "q_profile_approx")
 }

@@ -26,7 +26,15 @@ object Stats {
     * approx_count_distinct; `true` uses exact multi-DISTINCT (Spark
     * plans one Expand — still a single scan, n× the aggregate input),
     * which cross-engine probes need because HLL sketches differ between
-    * engines. */
+    * engines.
+    *
+    * Plan note: the string columns' min/max give the aggregate a
+    * variable-width buffer, so Spark plans a SortAggregate — but with
+    * ZERO grouping keys that is a streaming one-pass aggregate with no
+    * actual sort; the price is interpreted (non-codegen) update calls.
+    * Splitting strings into a second HashAggregate pass would codegen
+    * both, at the cost of scanning twice — the wrong trade at 100 TB,
+    * where the scan dominates a profile job. */
   def profile(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
     val fields = df.schema.fields.toSeq
     val aggs = fields.flatMap { f =>

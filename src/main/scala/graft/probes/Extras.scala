@@ -36,6 +36,15 @@ object Extras {
         .orderBy("column_name")
     },
 
+    // The profile's SCALE tier (HLL distinct counts — sketches are not
+    // cross-engine-stable, so rows-only; the exact tier above is the
+    // hash-checked oracle). This is the variant the bench times.
+    Probe.noOracle("q_profile_approx") { (s, dir) =>
+      graft.operators.Stats.profile(
+          Tables.load(s, dir, "lineitem"), exactDistinct = false)
+        .orderBy("column_name")
+    },
+
     // Equi-width histogram (operators/Stats.histogramWidth): bucket math
     // is same-operand IEEE arithmetic, so bin ids AND double bounds
     // hash-match DuckDB exactly.
