@@ -36,6 +36,25 @@ object Extras {
         .orderBy("column_name")
     },
 
+    // Symmetric per-vector int8 quantization (operators/Quantize):
+    // same-operand IEEE steps, so the DuckDB oracle replays scale AND
+    // every code exactly.
+    Probe.df("q_quantize_int8",
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  list_transform(embedding, x -> CAST(
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END
+        |    AS TINYINT)) AS q
+        |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.Quantize.int8(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    },
+
     // The profile's SCALE tier (HLL distinct counts — sketches are not
     // cross-engine-stable, so rows-only; the exact tier above is the
     // hash-checked oracle). This is the variant the bench times.

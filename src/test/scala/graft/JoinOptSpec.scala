@@ -77,4 +77,35 @@ class JoinOptSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan)
   }
+
+  test("AQE splits a skewed sort-merge partition at runtime (the built-in " +
+      "complement of saltedJoin)") {
+    // one whale key carrying ~2MB of payload vs a tiny tail
+    val whale = (1 to 20000).map(i => (0L, "x" * 100 + i))
+    val tail = (1 to 50).map(i => (i.toLong, s"t$i"))
+    val big = (whale ++ tail).toDF("k", "payload").repartition(4)
+    val small = (0 to 50).map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      val joined = big.join(small, col("k") === col("dk"))
+      // execute THIS QueryExecution so its AdaptiveSparkPlan finalizes
+      // (count() would plan a separate one)
+      assert(joined.collect().length == 20050)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

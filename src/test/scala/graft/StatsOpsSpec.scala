@@ -62,6 +62,32 @@ class StatsOpsSpec extends AnyFunSuite {
       h.map(_.getAs[Long]("n")).min <= 1)   // ntile balance
   }
 
+  test("int8 quantize: codes bounded, dequant error within scale/2 per dim") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),        // zero vector
+      (3L, Array(100.0f, -100.0f, 3.0f, -0.01f))
+    ).toDF("vec_id", "embedding")
+    val q = graft.operators.Quantize.int8(vecs, "vec_id", "embedding")
+    val deq = graft.operators.Quantize.dequantize(q, "q", "scale", "vhat")
+      .orderBy("vec_id").collect()
+    val orig = vecs.orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    deq.zip(orig).foreach { case (row, ov) =>
+      val scale = row.getAs[Double]("scale")
+      val codes = row.getAs[scala.collection.Seq[Byte]]("q")
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      val vhat = row.getAs[scala.collection.Seq[Double]]("vhat")
+      ov.zip(vhat).foreach { case (o, h) =>
+        assert(math.abs(o - h) <= scale / 2 + 1e-12,
+          s"dim err ${math.abs(o - h)} vs scale $scale") }
+    }
+    // zero vector: scale 0, all-zero codes
+    val z = deq(1)
+    assert(z.getAs[Double]("scale") == 0.0 &&
+      z.getAs[scala.collection.Seq[Byte]]("q").forall(_ == 0))
+  }
+
   test("histogramDepthApprox: all rows binned, roughly equal depth, no sort") {
     val df = (1 to 10000).map(i => ((i % 997).toDouble + i / 1000.0))
       .toDF("v")
