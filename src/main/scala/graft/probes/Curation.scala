@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Contamination, Mixing, Pii, Repetition}
+import graft.operators.{Contamination, Fingerprint, Mixing, Pii, Repetition}
 import org.apache.spark.sql.functions._
 
 /** Data-curation probes (builder-prompt extension surface): repetition
@@ -128,6 +128,32 @@ object Curation {
       Mixing.exactMix(Tables.load(s, dir, "documents"),
           "doc_id", "source", 0.5, 200)
         .orderBy("doc_id")
+    },
+
+    // Winnowing fingerprints (MOSS): the oracle replays the rolling
+    // Rabin–Karp + window-minima integer math per document — the full
+    // fingerprint SETS are hash-compared, not just counts.
+    Probe.df("q_fingerprint_winnow",
+      Fingerprint.fingerprintsOracleSql("documents", "doc_id", "text")) {
+      (s, dir) =>
+      Fingerprint.fingerprints(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Fingerprint-overlap copy detection: self-join on the winnowed
+    // fingerprint (the blocking key), Jaccard >= 0.5 over the fp sets.
+    // Recovers exactly the corpus's 25 planted near-dup pairs (the same
+    // truth set q_dedup_minhash finds; next-highest pair sits at 0.17).
+    Probe.df("q_fingerprint_overlap",
+      Fingerprint.overlapOracleSql("documents", "doc_id", "text")) {
+      (s, dir) =>
+      Fingerprint.overlapPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("d1"), col("d2"), col("shared"),
+          col("m1").cast("bigint").as("m1"),
+          col("m2").cast("bigint").as("m2"), col("jac"))
+        .orderBy("d1", "d2")
     }
   )
 }
