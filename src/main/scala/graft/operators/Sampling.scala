@@ -55,6 +55,43 @@ object Sampling {
     s"CASE $whens ELSE '${fractions.last._1}' END"
   }
 
+  /** Weight-proportional sampling without replacement via priority
+    * sampling (Duffield/Lund/Thorup, "Priority sampling for estimation
+    * of arbitrary subset sums", JACM 54(6), 2007): each row gets
+    * priority q = w/u with u uniform in (0,1], and the k highest
+    * priorities are kept — heavy rows are near-certain picks, light rows
+    * enter with probability ∝ w.
+    *
+    * Deterministic and cross-engine exact: u comes from the 52-bit md5
+    * prefix of the id, u = (h+1)/2^52 (a power-of-two divide of a
+    * ≤52-bit integer — exact in IEEE), and w/u is one correctly-rounded
+    * division — so Spark and the DuckDB oracle select bit-identical
+    * priorities. No ln/pow anywhere (those are NOT correctly rounded and
+    * would drift across engines).
+    *
+    * Scale shape: priority is a pure projection; the top-k plans as
+    * TakeOrderedAndProject — an O(k) heap per partition + O(k) merge on
+    * the driver, never a full sort. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("bigint")
+    val u = (h + lit(1)).cast("double") / lit(4503599627370496.0) // 2^52
+    df.withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB expression replaying [[prioritySample]]'s priority for
+    * `idExpr`/`weightExpr` (hex-prefix parse via shift-sum, the same
+    * list-comprehension trick the simhash oracle uses). */
+  def priorityOracleExpr(idExpr: String, weightExpr: String): String = {
+    val h = "list_sum([ (CAST(strpos('0123456789abcdef', " +
+      s"substr(md5(CAST($idExpr AS VARCHAR)), CAST(i AS INT), 1)) AS BIGINT) - 1) " +
+      "<< CAST(4*(13 - i) AS BIGINT) for i in range(1, 14) ])"
+    s"CAST($weightExpr AS DOUBLE) / (($h + 1) / 4503599627370496.0)"
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, selected by
     * deterministic hash order (md5 of the id, id tiebreak). Output keeps
     * the input columns plus `rn` (1-based rank within the stratum). */

@@ -14,6 +14,21 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(words(text))
 
+  /** GPT-2-style pre-tokenizer regex, lookahead-free so it behaves
+    * identically under Java regex (Spark) and RE2 (DuckDB): contraction
+    * suffixes, space-prefixed letter runs, digit runs, symbol runs, then
+    * residual whitespace. This is the "BPE-ish" token counter from the
+    * pipeline brief — the pre-tokenization stage every BPE tokenizer
+    * (GPT-2 encoder.py, tiktoken) applies before merges; counting these
+    * units upper-bounds the post-merge token count and is the standard
+    * cheap corpus-size estimate. regexp_extract_all is a native codegen
+    * expression — no UDF in the scan. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Stopword hit ratio against a fixed list. */
   def stopwordRatio(text: Column, stops: Seq[String]): Column = {
     val ws = words(text)

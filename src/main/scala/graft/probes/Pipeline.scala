@@ -297,6 +297,45 @@ object Pipeline {
         .orderBy("lang", "rn")
     },
 
+    // Weight-proportional priority sampling (w = n_chars): projection +
+    // TakeOrderedAndProject; oracle replays the md5-prefix priority via
+    // the shift-sum hex parse. Both engines' priorities are bit-identical
+    // (power-of-two divide + one IEEE division — no ln/pow).
+    Probe.df("q_sample_priority",
+      s"""SELECT doc_id, n_chars,
+         |  ${Sampling.priorityOracleExpr("doc_id", "n_chars")} AS priority
+         |FROM documents
+         |ORDER BY priority DESC, doc_id
+         |LIMIT 100""".stripMargin) { (s, dir) =>
+      Sampling.prioritySample(
+          Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", 100)
+        .orderBy(col("priority").desc, col("doc_id"))
+    },
+
+    // BPE-ish token counting: the GPT-2 pre-tokenizer regex, evaluated
+    // natively by Java regex (Spark) and RE2 (DuckDB); the md5 over the
+    // \x01-joined token sequence pins the exact token STREAM, not just
+    // counts.
+    Probe.df("q_tokenize_bpe",
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_extract_all(text, '${TextAnalysis.BpePattern
+              .replace("'", "''")}') AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tok,
+         |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         |  md5(array_to_string(toks, chr(1))) AS tok_md5
+         |FROM t
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tok"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          md5(concat_ws("\u0001", col("toks"))).as("tok_md5"))
+        .orderBy("doc_id")
+    },
+
     Probe.df("q_ann_topk",
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS nid,

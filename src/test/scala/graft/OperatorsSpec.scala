@@ -352,4 +352,32 @@ class OperatorsSpec extends AnyFunSuite {
     val init = Similarity.ivfCentroidsFrom(vecs, "vec_id", "embedding", 4)
     assert(c1 != init)
   }
+
+  test("prioritySample is weight-proportional and plans a bounded top-k") {
+    import graft.operators.Sampling
+    // one whale (weight 10^6) among 200 unit-weight rows: the whale's
+    // priority w/u >= 10^6 beats any unit row's 1/u except u < 1e-6 —
+    // it must be selected; and the plan must be TakeOrderedAndProject
+    // (O(k) heaps), never a global Sort.
+    val rows = (1L to 200L).map(i => (i, if (i == 77L) 1000000L else 1L))
+      .toDF("id", "w")
+    val picked = Sampling.prioritySample(rows, "id", "w", 10)
+    assert(picked.select("id").as[Long].collect().contains(77L))
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "))
+    // determinism: same selection under different partitioning
+    val again = Sampling.prioritySample(rows.repartition(7), "id", "w", 10)
+    assert(picked.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
+
+  test("bpeTokens applies the GPT-2-style pre-tokenizer splits") {
+    val toks = Seq(("it's 2026, graft-time!"))
+      .toDF("text").select(TextAnalysis.bpeTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(toks == Seq("it", "'s", " 2026", ",", " graft", "-", "time", "!"))
+    // reassembling the tokens reproduces the input exactly (the regex
+    // partitions the string — nothing dropped, nothing duplicated)
+    assert(toks.mkString == "it's 2026, graft-time!")
+  }
 }
