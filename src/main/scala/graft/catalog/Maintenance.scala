@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table-maintenance surface for MetaCatalog tables — the rebuild of
   * Iceberg's `expire_snapshots` / orphan-file cleanup (the operational
@@ -86,6 +86,96 @@ object Maintenance {
     * lose any INSERT that commits while the rewrite job runs;
     * replaceFiles keeps it and aborts if a concurrent rewrite replaced
     * the base. Returns (files before, files after). */
+  /** MERGE INTO (upsert) as a copy-on-write rewrite — the classic
+    * `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`
+    * shape (Iceberg's copy-on-write MERGE; the reference engine stops at
+    * INSERT/DELETE, this goes beyond parity): every target row whose key
+    * appears in `source` is replaced by the source row, unmatched source
+    * rows append, all in ONE snapshot commit with the same stale-base
+    * abort the DELETE path has.
+    *
+    * Scale shape: only files whose footer key-range overlaps the
+    * source's [min, max] key envelope are rewritten ([[ParquetStats]]
+    * pruning — after [[compact]] clusters on the key, an upsert of a
+    * narrow key range rewrites O(1) files out of a 100 TB table); the
+    * matched-row drop is one left-anti join of the touched files against
+    * the source keys (broadcast when the source is small). Returns
+    * (filesRewritten, filesInBaseSnapshot).
+    *
+    * `source` must carry the table schema's columns (any order) and at
+    * most one row per key; null keys are rejected — both checks are one
+    * cheap aggregate over the source. */
+  def upsert(spark: SparkSession, ident: String, source: DataFrame,
+      keyCols: Seq[String]): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.types.{DataType, StructType}
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val dir = tableDir(spark, ident)
+    val base = Snapshots.latest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots for $ident"))
+    val schema = DataType.fromJson(
+      Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
+    require(keyCols.forall(schema.fieldNames.contains),
+      s"key columns ${keyCols.mkString(",")} must exist in ${ident}")
+    val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+
+    // One aggregate answers: row count, per-key min/max (the pruning
+    // envelope) and null-key counts; a distinct count then rules out
+    // duplicate keys (groups < rows ⇒ some key repeats).
+    val aggCols = count(lit(1)).as("__rows") +: keyCols.flatMap(k => Seq(
+      min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k"),
+      sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nulls_$k")))
+    val stats = src.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val rows = stats.getAs[Long]("__rows")
+    if (rows == 0L) return (0, base.files.length) // empty source: no-op
+    keyCols.foreach(k => require(stats.getAs[Long](s"__nulls_$k") == 0L,
+      s"upsert source has null key values in $k"))
+    val groups = src.select(keyCols.map(col).toSeq: _*).distinct().count()
+    require(groups == rows,
+      s"upsert source has duplicate keys on (${keyCols.mkString(",")})")
+
+    // Footer-stat pruning: a file can hold a source key only if its
+    // per-column range overlaps the source envelope on EVERY key column
+    // (fileMin <= srcMax AND fileMax >= srcMin).
+    val envelope: Seq[Filter] = keyCols.flatMap { k =>
+      Seq(LessThanOrEqual(k, stats.getAs[Any](s"__max_$k")),
+        GreaterThanOrEqual(k, stats.getAs[Any](s"__min_$k")))
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val touched = base.files.filter(f =>
+      ParquetStats.mayMatchAll(dir.resolve(f).toString, envelope, conf))
+
+    val survivors =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read
+        .option("basePath", dir.resolve("data").toString)
+        .schema(schema)
+        .parquet(touched.map(f => dir.resolve(f).toString): _*)
+        .join(src.select(keyCols.map(col).toSeq: _*), keyCols, "left_anti")
+
+    val props = readProps(dir)
+    val parts = props.get("graft.partition.columns").toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+    val table = new GraftTable(ident, dir, schema, parts,
+      props - "graft.partition.columns", pinned = None)
+    table.replaceFiles(survivors.unionByName(src), touched)
+    (touched.length, base.files.length)
+  }
+
+  private def readProps(dir: Path): Map[String, String] = {
+    val f = dir.resolve("_graft_props.properties")
+    if (!Files.exists(f)) Map.empty[String, String]
+    else {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      p.asScala.toMap
+    }
+  }
+
   private def rewriteClustered(spark: SparkSession, ident: String)(
       layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : (Int, Int) = {

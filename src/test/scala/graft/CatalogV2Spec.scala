@@ -470,4 +470,45 @@ class CatalogV2Spec extends AnyFunSuite {
       s"z-order must prune on y alone: $yOnlyMor of ${filesOf("zmor").size}")
     assert(lin.sum >= mor.sum, "z-order should never prune worse here")
   }
+
+  test("upsert is a pruned copy-on-write MERGE: update + insert, one snapshot") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.ups (k INT, v STRING)")           // v1
+    spark.sql("INSERT INTO g2.db.ups VALUES (1,'a'), (2,'b'), (3,'c')") // v2
+    // cluster on k into 3 files so the footer envelope can prune
+    graft.catalog.Maintenance.compact(spark, "g2.db.ups", Seq("k"), 3) // v3
+    // narrow update (key 2 only): exactly one of the three files rewritten
+    val (rw, total) = graft.catalog.Maintenance.upsert(spark, "g2.db.ups",
+      Seq((2, "B")).toDF("k", "v"), Seq("k"))                       // v4
+    assert(total == 3 && rw == 1, s"expected 1-of-3 rewrite, got $rw of $total")
+    assert(spark.sql("SELECT k, v FROM g2.db.ups ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "B"), (3, "c")))
+    // pre-merge snapshot still reads the old value (time travel intact)
+    assert(spark.sql("SELECT v FROM g2.db.ups VERSION AS OF 3 WHERE k = 2")
+      .collect().head.getString(0) == "b")
+    // mixed update + insert in one commit
+    graft.catalog.Maintenance.upsert(spark, "g2.db.ups",
+      Seq((3, "C"), (9, "i")).toDF("k", "v"), Seq("k"))             // v5
+    assert(spark.sql("SELECT k, v FROM g2.db.ups ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "B"), (3, "C"), (9, "i")))
+    // contract checks: empty source is a snapshot-free no-op; duplicate
+    // or null source keys are rejected before any write
+    val snapsBefore = spark.sql("SELECT count(*) FROM g2.db.ups.snapshots")
+      .collect().head.getLong(0)
+    val (rw0, _) = graft.catalog.Maintenance.upsert(spark, "g2.db.ups",
+      Seq.empty[(Int, String)].toDF("k", "v"), Seq("k"))
+    assert(rw0 == 0)
+    assert(spark.sql("SELECT count(*) FROM g2.db.ups.snapshots")
+      .collect().head.getLong(0) == snapsBefore)
+    intercept[IllegalArgumentException] {
+      graft.catalog.Maintenance.upsert(spark, "g2.db.ups",
+        Seq((5, "x"), (5, "y")).toDF("k", "v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.catalog.Maintenance.upsert(spark, "g2.db.ups",
+        spark.sql("SELECT CAST(NULL AS INT) AS k, 'x' AS v"), Seq("k"))
+    }
+  }
 }
