@@ -29,6 +29,34 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
+  /** Per-document top-k characteristic terms by tf-idf. Selection order
+    * is INTEGER-exact — (tf DESC, doc_freq ASC, term ASC) — so the
+    * chosen rows and ranks are identical across engines even though the
+    * reported `tfidf = tf · ln(N/doc_freq)` value may differ in the last
+    * ulp (ln is not correctly rounded; the driver hash tolerates ulp
+    * drift on VALUES but rank flips would flip whole rows).
+    *
+    * Scale shape: one explode in the scan stage, two hash aggregates
+    * with map-side combine (tf on (doc, term); doc_freq on term), one
+    * shuffle join on the term, and the per-document top-k rides the
+    * bounded-heap [[graft.plans.TopK]] operator — never a full sort of
+    * the (doc, term) relation. N comes from `df.count()` — one O(1)
+    * scalar, not a per-row subquery. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val n = df.count()
+    val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+    val scored = tf.join(dfreq, "term")
+    graft.plans.TopK.perKey(scored, Seq(idCol),
+        Seq(("tf", false), ("doc_freq", true), ("term", true)), k,
+        rankName = "rn")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("doc_freq")))
+  }
+
   /** Stopword hit ratio against a fixed list. */
   def stopwordRatio(text: Column, stops: Seq[String]): Column = {
     val ws = words(text)

@@ -1,6 +1,6 @@
 package graft.probes
 
-import graft.Probe
+import graft.{Probe, Tables}
 
 /** SURVEY §2.4 — all DataFusion 40 join types (HashJoin/SortMergeJoin/
   * NestedLoopJoin/CrossJoin, Cargo.lock:1290), declared declaratively so
@@ -225,6 +225,36 @@ object Joins {
         |ORDER BY n_nationkey""".stripMargin,
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY n_nationkey""".stripMargin)
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // Interval-overlap join, binned: error-event intervals vs view-event
+    // intervals ([ts, ts + min(floor(value),30) minutes], epoch-micros
+    // integer math). Spark runs the bucket-exploded equi-join
+    // (IntervalJoin.overlapPairs — the scale path); the oracle runs the
+    // plain theta join. Identical pairs, integer-exact bounds.
+    Probe.df("q_join_interval",
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(least(floor(value), 30) AS BIGINT) * 60000000 AS e
+        |  FROM events)
+        |SELECT a.event_id AS ida, b.event_id AS idb,
+        |  a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+        |FROM e a JOIN e b
+        |  ON a.event_type = 'error' AND b.event_type = 'view'
+        |  AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY ida, idb""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            least(floor(col("value")), lit(30L)).cast("bigint")
+              * lit(60000000L)).as("e"))
+      graft.operators.IntervalJoin.overlapPairs(
+          ev.where(col("event_type") === "error"), "event_id", "s", "e",
+          ev.where(col("event_type") === "view"), "event_id", "s", "e",
+          bin = 1800000000L) // 30-minute buckets ~ the max interval length
+        .orderBy("ida", "idb")
+    }
   )
 }

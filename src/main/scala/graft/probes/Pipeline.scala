@@ -297,6 +297,29 @@ object Pipeline {
         .orderBy("lang", "rn")
     },
 
+    // Per-document top-5 tf-idf terms. Selection rides the bounded-heap
+    // TopKPerKey on an INTEGER-exact order (tf DESC, doc_freq ASC, term);
+    // the ln in the reported score is ulp-tolerated, never order-setting.
+    Probe.df("q_tfidf",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+         |        FROM t GROUP BY 1),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+         |        row_number() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY tf.tf DESC, dfq.doc_freq, tf.term) AS rn
+         |      FROM tf JOIN dfq USING (term))
+         |SELECT doc_id, term, tf, doc_freq, CAST(rn AS INT) AS rn,
+         |  tf * ln((SELECT count(*) FROM documents)::DOUBLE / doc_freq) AS tfidf
+         |FROM r WHERE rn <= 5
+         |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.load(s, dir, "documents"),
+          "doc_id", "text", 5)
+        .select("doc_id", "term", "tf", "doc_freq", "rn", "tfidf")
+        .orderBy("doc_id", "rn")
+    },
+
     // Weight-proportional priority sampling (w = n_chars): projection +
     // TakeOrderedAndProject; oracle replays the md5-prefix priority via
     // the shift-sum hex parse. Both engines' priorities are bit-identical

@@ -371,6 +371,25 @@ class OperatorsSpec extends AnyFunSuite {
       again.select("id").as[Long].collect().toSet)
   }
 
+  test("tfidfTopTerms ranks by integer-exact (tf, doc_freq, term) order") {
+    val corpus = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "beta gamma gamma"),
+      (3L, "alpha gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", 2)
+      .orderBy("doc_id", "rn").collect()
+    // doc 1: alpha tf=2 beats beta tf=1; doc 2: gamma tf=2 beats beta;
+    // doc 3: tf tie (1,1) broken by doc_freq=2 for both alpha/gamma,
+    // then term order → alpha first
+    val picked = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rn"),
+      r.getAs[String]("term")))
+    assert(picked.toSeq == Seq((1L, 1, "alpha"), (1L, 2, "beta"),
+      (2L, 1, "gamma"), (2L, 2, "beta"), (3L, 1, "alpha"), (3L, 2, "gamma")))
+    val a1 = out.find(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[String]("term") == "alpha").get
+    assert(math.abs(a1.getAs[Double]("tfidf") - 2.0 * math.log(3.0 / 2.0)) < 1e-12)
+  }
+
   test("bpeTokens applies the GPT-2-style pre-tokenizer splits") {
     val toks = Seq(("it's 2026, graft-time!"))
       .toDF("text").select(TextAnalysis.bpeTokens(col("text")).as("t"))
