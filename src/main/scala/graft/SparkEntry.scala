@@ -60,5 +60,13 @@ object SparkEntry {
     // (union+window, one shuffle), sessionization (two windows + rollup
     // on one exchange), one-pass HLL profile over lineitem (the scale
     // tier; q_profile's exact-distinct Expand is the oracle tier)
-    "q_join_asof", "q_sessionize", "q_profile_approx")
+    "q_join_asof", "q_sessionize", "q_profile_approx",
+    // round-5 late additions: binned interval-overlap join (equi-join
+    // replacing the nested-loop theta join), per-doc tf-idf top-k on the
+    // bounded-heap operator, BPE pre-tokenizer counting (native regex).
+    // q_fingerprint_overlap is deliberately NOT here: on this
+    // tiny-vocabulary synthetic corpus single-fingerprint blocking is
+    // non-selective (see BASELINE.md round-5 notes); it remains a
+    // correctness-tier probe, with minhash-LSH as the benched scale path.
+    "q_join_interval", "q_tfidf", "q_tokenize_bpe")
 }

@@ -21,6 +21,15 @@ import graft.functions.WinnowFingerprints
   * appear in more than `maxDocFreq` docs (at corpus scale: license
   * headers, navigation chrome) before they can quadratically blow up a
   * bucket.
+  *
+  * Selectivity caveat (measured, BASELINE.md round-5 notes): blocking on
+  * a SINGLE fingerprint assumes k-grams are high-entropy. On a
+  * tiny-vocabulary corpus (the synthetic testdata: ~40 distinct words)
+  * fingerprints go ubiquitous and the self-join degenerates toward
+  * all-pairs — there `maxDocFreq` bounds the work but also the recall,
+  * because true near-dups share exactly those ubiquitous fingerprints.
+  * Corpus-level near-dup at scale belongs to [[Dedup.minhashLshPairs]];
+  * this operator is the passage-level copy-detection tier.
   */
 object Fingerprint {
 
