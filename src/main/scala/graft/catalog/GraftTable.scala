@@ -40,7 +40,8 @@ class GraftTable(
     partitionCols: Seq[String],
     props: Map[String, String],
     pinned: Option[Snapshots.Snap]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
   private def dataDir: Path = tableDir.resolve("data")
@@ -59,8 +60,9 @@ class GraftTable(
     }
   }
 
-  private def readDelegate: ParquetTable = {
-    val files = visibleFiles
+  private def readDelegate: ParquetTable = delegateFor(visibleFiles)
+
+  private def delegateFor(files: Seq[String]): ParquetTable = {
     // Empty snapshot (fresh table, TRUNCATE, or time travel to v1): scan a
     // dedicated empty dir — scanning data/ would leak files committed by
     // LATER snapshots into the pinned view.
@@ -137,42 +139,7 @@ class GraftTable(
       val w = aligned.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
-      // Read latest + move + publish under ONE lock — two concurrent
-      // INSERTs reading `latest` outside it would lose the first
-      // writer's files (lost update).
-      Snapshots.commitWith(tableDir) { latest =>
-        // Conflict validation BEFORE any file moves: a surgical rewrite
-        // whose base files are no longer all current means a concurrent
-        // rewrite won — committing anyway would duplicate survivors and
-        // resurrect deleted rows. Fail loudly (Iceberg aborts the same
-        // way); the caller retries against the new snapshot.
-        replacedBase.foreach { base =>
-          val current = latest.map(_.files.toSet).getOrElse(Set.empty)
-          val gone = base.filterNot(current.contains)
-          if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
-            s"$fullName: rewrite base is stale (files ${gone.take(3).mkString(", ")}" +
-              s"${if (gone.length > 3) ", …" else ""} replaced by a concurrent " +
-              "commit); retry the operation")
-        }
-        val moved = scala.util.Using.resource(Files.walk(tmp)) { st =>
-          st.iterator().asScala
-            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-            .map { p =>
-              val rel = tmp.relativize(p)
-              val dest = dataDir.resolve(rel)
-              Files.createDirectories(dest.getParent)
-              Files.move(p, dest)
-              tableDir.relativize(dest).toString
-            }.toSeq
-        }
-        val prev = (overwrite, replacedBase) match {
-          case (true, Some(base)) => // surgical rewrite: drop base only
-            latest.map(_.files).getOrElse(Seq.empty).diff(base)
-          case (true, None) => Seq.empty
-          case _ => latest.map(_.files).getOrElse(Seq.empty)
-        }
-        prev ++ moved
-      }
+      publishAndCommit(tmp, overwrite, replacedBase)
     } finally {
       if (Files.exists(tmp)) {
         scala.util.Using.resource(Files.walk(tmp)) { st =>
@@ -183,11 +150,129 @@ class GraftTable(
     }
   }
 
+  /** Move every parquet file under `tmp` into `data/` (preserving
+    * partition-dir structure) and append ONE snapshot — read-latest +
+    * conflict-validate + move + publish all under the commit lock (two
+    * concurrent INSERTs reading `latest` outside it would lose the first
+    * writer's files). `replacedBase` is the snapshot file list a rewrite
+    * was computed FROM: the commit replaces exactly those files and keeps
+    * anything committed since; a stale base (concurrent rewrite won)
+    * aborts loudly, Iceberg-style, before any file moves. */
+  private def publishAndCommit(tmp: Path, overwrite: Boolean,
+      replacedBase: Option[Seq[String]]): Unit = {
+    Snapshots.commitWith(tableDir) { latest =>
+      replacedBase.foreach { base =>
+        val current = latest.map(_.files.toSet).getOrElse(Set.empty)
+        val gone = base.filterNot(current.contains)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"$fullName: rewrite base is stale (files ${gone.take(3).mkString(", ")}" +
+            s"${if (gone.length > 3) ", …" else ""} replaced by a concurrent " +
+            "commit); retry the operation")
+      }
+      val moved = scala.util.Using.resource(Files.walk(tmp)) { st =>
+        st.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map { p =>
+            val rel = tmp.relativize(p)
+            val dest = dataDir.resolve(rel)
+            Files.createDirectories(dest.getParent)
+            Files.move(p, dest)
+            tableDir.relativize(dest).toString
+          }.toSeq
+      }
+      val prev = (overwrite, replacedBase) match {
+        case (true, Some(base)) => // surgical rewrite: drop base only
+          latest.map(_.files).getOrElse(Seq.empty).diff(base)
+        case (true, None) => Seq.empty
+        case _ => latest.map(_.files).getOrElse(Seq.empty)
+      }
+      prev ++ moved
+    }
+  }
+
   /** Rewrite the given base snapshot's files with `data` — surgical
     * (files committed since `baseFiles` survive; stale base aborts).
     * Maintenance.compact's entry point. */
   private[catalog] def replaceFiles(data: DataFrame, baseFiles: Seq[String]): Unit =
     commitWrite(data, overwrite = true, replacedBase = Some(baseFiles))
+
+  // --- SQL row-level commands (MERGE INTO / UPDATE / subquery DELETE) ---
+
+  /** Group-based (copy-on-write) row-level operation support: Spark's
+    * `RewriteMergeIntoTable` / `RewriteUpdateTable` / subquery-DELETE
+    * rewrites plan a `ReplaceData` over this operation's scan and write
+    * the post-command table back through `Write.toBatch`
+    * ([[org.apache.spark.sql.graftaccess.BatchWrites]] — ReplaceData has
+    * no V1 fallback).
+    *
+    * The scan is pinned to the base snapshot captured when the operation
+    * is created, and deliberately OPAQUE — it hides the parquet
+    * delegate's pushdown/runtime-filtering interfaces, because in the
+    * group-based protocol the write must replace exactly the groups the
+    * scan produced: any file Spark pruned behind our back would have its
+    * rows silently dropped by the commit. Full-table COW, always correct;
+    * [[Maintenance.upsert]] is the footer-stat-pruned fast path for the
+    * classic upsert shape, and translatable-predicate DELETEs still take
+    * the metadata-only [[deleteWhere]] path
+    * (`OptimizeMetadataOnlyDeleteFromTable` reverts them). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (pinned.isDefined)
+      throw new UnsupportedOperationException(
+        s"Cannot modify a time-travel snapshot of $fullName")
+    if (partitionCols.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$fullName: row-level SQL commands on identity-partitioned tables " +
+          "are not supported (the V2 writer does not route partition dirs); " +
+          "use Maintenance.upsert or DELETE with a translatable predicate")
+    () => new GraftRowLevelOperation(info.command)
+  }
+
+  private class GraftRowLevelOperation(
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+      extends org.apache.spark.sql.connector.write.RowLevelOperation {
+    // Base snapshot pinned at operation creation: the scan reads exactly
+    // these files and the commit replaces exactly these files.
+    private val baseFiles: Seq[String] =
+      Snapshots.latest(tableDir).map(_.files).getOrElse(Seq.empty)
+
+    override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val delegate = delegateFor(baseFiles.map(f => tableDir.resolve(f).toString))
+        .newScanBuilder(options).build()
+      // Opaque forwarding scan: exposes Batch reading ONLY (no pushdown,
+      // no runtime group filtering) — see scaladoc above for why.
+      () => new org.apache.spark.sql.connector.read.Scan {
+        override def readSchema(): StructType = delegate.readSchema()
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          delegate.toBatch
+        override def description(): String =
+          s"graft-row-level(${delegate.description()})"
+      }
+    }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val staging = tableDir.resolve(s"_staging_${UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(staging)
+      def dropStaging(): Unit =
+        if (Files.exists(staging)) {
+          scala.util.Using.resource(Files.walk(staging)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.deleteIfExists(_))
+          }
+        }
+      new WriteBuilder {
+        override def build(): Write =
+          org.apache.spark.sql.graftaccess.BatchWrites.parquetWrite(
+            spark, info.schema(), staging.toString,
+            onCommit = _ => try publishAndCommit(staging, overwrite = true,
+              replacedBase = Some(baseFiles)) finally dropStaging(),
+            onAbort = _ => dropStaging())
+      }
+    }
+  }
 
   // --- DELETE (copy-on-write) ------------------------------------------
 

@@ -511,4 +511,42 @@ class CatalogV2Spec extends AnyFunSuite {
         spark.sql("SELECT CAST(NULL AS INT) AS k, 'x' AS v"), Seq("k"))
     }
   }
+
+  test("SQL MERGE INTO / UPDATE / subquery DELETE plan through row-level COW") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.rlo (k INT, v STRING)")               // v1
+    spark.sql("INSERT INTO g2.db.rlo VALUES (1,'a'), (2,'b'), (3,'c')") // v2
+    Seq((2, "B2"), (9, "i")).toDF("k", "v").createOrReplaceTempView("rlo_src")
+
+    spark.sql("""MERGE INTO g2.db.rlo t USING rlo_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")                                // v3
+    def rows(): Seq[(Int, String)] =
+      spark.sql("SELECT k, v FROM g2.db.rlo ORDER BY k").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows() == Seq((1, "a"), (2, "B2"), (3, "c"), (9, "i")))
+
+    spark.sql("UPDATE g2.db.rlo SET v = concat(v, '!') WHERE k >= 9")   // v4
+    assert(rows() == Seq((1, "a"), (2, "B2"), (3, "c"), (9, "i!")))
+
+    // IN-subquery predicate is not Filter-translatable, so this DELETE
+    // cannot take the metadata deleteWhere path — it must run through
+    // the same ReplaceData plan
+    spark.sql(
+      "DELETE FROM g2.db.rlo WHERE k IN (SELECT k FROM rlo_src WHERE v = 'B2')") // v5
+    assert(rows() == Seq((1, "a"), (3, "c"), (9, "i!")))
+
+    // a MERGE clause with its own condition + DELETE action
+    spark.sql("""MERGE INTO g2.db.rlo t USING rlo_src s ON t.k = s.k
+      WHEN MATCHED AND t.k = 9 THEN DELETE""")                          // v6
+    assert(rows() == Seq((1, "a"), (3, "c")))
+
+    // every row-level command committed one snapshot; history reads back
+    assert(spark.sql("SELECT k FROM g2.db.rlo VERSION AS OF 2 ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(spark.sql("SELECT v FROM g2.db.rlo VERSION AS OF 4 WHERE k = 9")
+      .collect().head.getString(0) == "i!")
+    assert(spark.sql("SELECT count(*) FROM g2.db.rlo.snapshots")
+      .collect().head.getLong(0) == 6)
+  }
 }
