@@ -31,12 +31,17 @@ object IntervalJoin {
       b: DataFrame, idB: String, sB: String, eB: String,
       bin: Long): DataFrame = {
     require(bin > 0, "bin width must be positive")
+    // Floor division: bare `div` truncates toward zero, which mis-buckets
+    // negative coordinates. a - pmod(a, bin) is the largest multiple of
+    // bin ≤ a, and `div` on that multiple is exact integer math for any
+    // sign (no double rounding past 2^53).
+    def fdiv(name: String): org.apache.spark.sql.Column =
+      expr(s"(($name - pmod($name, ${bin}L)) div ${bin}L)")
     def binned(df: DataFrame, id: String, s: String, e: String,
         oid: String, os: String, oe: String): DataFrame =
       df.select(col(id).as(oid), col(s).as(os), col(e).as(oe))
         .where(col(os) <= col(oe))
-        .withColumn("__bk",
-          explode(sequence(expr(s"$os div ${bin}L"), expr(s"$oe div ${bin}L"))))
+        .withColumn("__bk", explode(sequence(fdiv(os), fdiv(oe))))
     val ax = binned(a, idA, sA, eA, "ida", "sa", "ea")
     val bx = binned(b, idB, sB, eB, "idb", "sb", "eb")
     ax.join(bx, Seq("__bk"))

@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Contamination, Fingerprint, Mixing, Pii, Repetition}
+import graft.operators.{Contamination, Fingerprint, Mixing, Pii, Repetition, Urls}
 import org.apache.spark.sql.functions._
 
 /** Data-curation probes (builder-prompt extension surface): repetition
@@ -127,6 +127,41 @@ object Curation {
       (s, dir) =>
       Mixing.exactMix(Tables.load(s, dir, "documents"),
           "doc_id", "source", 0.5, 200)
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization (planted URLs — documents carry none):
+    // case/port/fragment/tracking-param/param-order variants collapse to
+    // one canonical form; the oracle replays every regex/sort step.
+    Probe.df("q_url_normalize",
+      s"""WITH u AS (SELECT doc_id,
+         |  concat(
+         |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example'
+         |         ELSE 'https://Sub.Example' END,
+         |    CAST(doc_id % 5 AS VARCHAR), '.COM',
+         |    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+         |    '/Path/', CAST(doc_id % 7 AS VARCHAR),
+         |    CASE WHEN doc_id % 3 = 0 THEN ''
+         |         ELSE concat('?utm_source=feed&b=',
+         |                     CAST(doc_id % 3 AS VARCHAR), '&a=1') END,
+         |    '#sec') AS url
+         |  FROM documents)
+         |SELECT doc_id, url,
+         |  ${Urls.normalizeOracleExpr("url")} AS norm
+         |FROM u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://WWW.Example"))
+          .otherwise(lit("https://Sub.Example")),
+        (col("doc_id") % 5).cast("string"), lit(".COM"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        lit("/Path/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("")).otherwise(
+          concat(lit("?utm_source=feed&b="),
+            (col("doc_id") % 3).cast("string"), lit("&a=1"))),
+        lit("#sec"))
+      d.select(col("doc_id"), url.as("url"),
+          Urls.normalizeUrl(url).as("norm"))
         .orderBy("doc_id")
     },
 

@@ -92,4 +92,26 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(hm("big") - 150L) < 40 && math.abs(hm("small") - 50L) < 25,
       s"hashMix off target: $hm")
   }
+
+  test("normalizeUrl canonicalizes case, ports, fragments, tracking params") {
+    import graft.operators.Urls
+    val cases = Seq(
+      // scheme+host lowercase, path case kept, default port dropped
+      ("HTTP://WWW.Ex.COM:80/Path/A", "http://www.ex.com/Path/A"),
+      ("https://Ex.com:443/x", "https://ex.com/x"),
+      // non-default port survives
+      ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+      // fragment stripped, params sorted, tracking dropped
+      ("http://ex.com/a?z=2&utm_source=f&a=1#frag", "http://ex.com/a?a=1&z=2"),
+      // tracking-only query collapses to no query
+      ("http://ex.com/a?utm_campaign=x&fbclid=123", "http://ex.com/a"),
+      // no scheme: string passes through the pipeline unharmed
+      ("ex.com/Path?b=2&a=1", "ex.com/Path?a=1&b=2"),
+      // whitespace trimmed
+      ("  http://ex.com/  ", "http://ex.com/"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
 }

@@ -34,6 +34,27 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("negative coordinates bucket correctly (floor, not truncate)") {
+    // intervals straddling and below zero: truncating division would put
+    // [-150,-50] and [50,150] in the same bucket 0 and still work, but
+    // [-450,-350] vs [-50,50] must NOT silently miss the [-450,-350] vs
+    // [-400,-300] overlap (trunc maps -450 and -350 both to 0 bucket -1
+    // edge cases). Verify against the naive join.
+    val a = Seq((1L, -450L, -350L), (2L, -150L, 50L), (3L, 100L, 200L))
+      .toDF("id", "s", "e")
+    val b = Seq((10L, -400L, -300L), (11L, -50L, -10L), (12L, 190L, 210L))
+      .toDF("id", "s", "e")
+    val naive = a.as("a").join(b.as("b"),
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    for (bin <- Seq(64L, 100L, 1000L)) {
+      val got = IntervalJoin.overlapPairs(a, "id", "s", "e",
+          b, "id", "s", "e", bin)
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"bin=$bin")
+    }
+  }
+
   test("closed endpoints touch-overlap; inverted intervals drop") {
     val a = Seq((1L, 100L, 200L), (2L, 500L, 400L)).toDF("id", "s", "e")
     val b = Seq((10L, 200L, 300L), (11L, 401L, 402L)).toDF("id", "s", "e")
