@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Contamination, Fingerprint, Mixing, Pii, Repetition, Urls}
+import graft.operators.{Boilerplate, Contamination, Fingerprint, Mixing, Pii, Repetition, Urls}
 import org.apache.spark.sql.functions._
 
 /** Data-curation probes (builder-prompt extension surface): repetition
@@ -127,6 +127,35 @@ object Curation {
       (s, dir) =>
       Mixing.exactMix(Tables.load(s, dir, "documents"),
           "doc_id", "source", 0.5, 200)
+        .orderBy("doc_id")
+    },
+
+    // C4-style line-level boilerplate removal (planted multi-line docs —
+    // the corpus text is single-line): corpus-frequent lines drop, each
+    // doc rebuilds from surviving lines in original order. The oracle
+    // replays explode → distinct-doc count → membership join → ordered
+    // string_agg.
+    Probe.df("q_boilerplate_lines",
+      s"""WITH d AS (SELECT doc_id,
+         |  concat(
+         |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'
+         |         ELSE concat('unique header ', CAST(doc_id AS VARCHAR)) END,
+         |    chr(10), text,
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'follow us on twitter'
+         |         ELSE '' END) AS text
+         |  FROM documents),
+         |${Boilerplate.oracleSql("d", "doc_id", 3)}
+         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |FROM k GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter today"))
+            .otherwise(concat(lit("unique header "), col("doc_id").cast("string"))),
+          lit("\n"), col("text"),
+          when(col("doc_id") % 5 === 0, lit("\nfollow us on twitter"))
+            .otherwise(lit(""))).as("text"))
+      Boilerplate.dedupLines(planted, "doc_id", "text", 3)
         .orderBy("doc_id")
     },
 

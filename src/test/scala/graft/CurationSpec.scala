@@ -93,6 +93,27 @@ class CurationSpec extends AnyFunSuite {
       s"hashMix off target: $hm")
   }
 
+  test("dedupLines drops corpus-frequent lines, keeps order, drops emptied docs") {
+    import graft.operators.Boilerplate
+    val boiler = "subscribe now"
+    val docs = Seq(
+      (1L, s"$boiler\nalpha one\nbeta two"),
+      (2L, s"gamma three\n$boiler\ndelta four"),
+      (3L, s"epsilon five\n$boiler"),
+      (4L, boiler)) // all-boilerplate doc vanishes
+      .toDF("doc_id", "text")
+    val out = Boilerplate.dedupLines(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text")))
+    assert(out.toSeq == Seq(
+      (1L, "alpha one\nbeta two"),
+      (2L, "gamma three\ndelta four"),
+      (3L, "epsilon five")))
+    // threshold respected: at minDocs=5 nothing is frequent enough
+    val loose = Boilerplate.dedupLines(docs, "doc_id", "text", 5)
+    assert(loose.count() == 4)
+  }
+
   test("normalizeUrl canonicalizes case, ports, fragments, tracking params") {
     import graft.operators.Urls
     val cases = Seq(
