@@ -320,6 +320,25 @@ object Pipeline {
         .orderBy("doc_id", "rn")
     },
 
+    // Frequency-dense dictionary encoding: deterministic vocab ids
+    // (count DESC, token ASC), documents re-encoded as int sequences in
+    // token order. Oracle replays rank + ordered list rebuild.
+    Probe.df("q_dict_encode",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+         |        unnest(ws) AS term FROM w),
+         |c AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+         |d AS (SELECT term, CAST(row_number()
+         |        OVER (ORDER BY n DESC, term) AS INT) AS id FROM c),
+         |e AS (SELECT t.doc_id, t.pos, d.id FROM t JOIN d USING (term))
+         |SELECT doc_id, list(id ORDER BY pos) AS ids
+         |FROM e GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.DictEncode.encode(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Weight-proportional priority sampling (w = n_chars): projection +
     // TakeOrderedAndProject; oracle replays the md5-prefix priority via
     // the shift-sum hex parse. Both engines' priorities are bit-identical

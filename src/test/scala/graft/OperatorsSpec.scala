@@ -390,6 +390,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(a1.getAs[Double]("tfidf") - 2.0 * math.log(3.0 / 2.0)) < 1e-12)
   }
 
+  test("dictEncode ranks ids by (freq desc, token) and keeps token order") {
+    import graft.operators.DictEncode
+    val docs = Seq((1L, "b b a"), (2L, "a c b")).toDF("doc_id", "text")
+    // counts: b=3, a=2, c=1 → ids b=1, a=2, c=3
+    val dict = DictEncode.dictionary(docs, "text").orderBy("id").collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Int]("id"))).toSeq
+    assert(dict == Seq(("b", 1), ("a", 2), ("c", 3)))
+    val enc = DictEncode.encode(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getSeq[Int](1)).toSeq
+    assert(enc == Seq(Seq(1, 1, 2), Seq(2, 3, 1)))
+  }
+
   test("bpeTokens applies the GPT-2-style pre-tokenizer splits") {
     val toks = Seq(("it's 2026, graft-time!"))
       .toDF("text").select(TextAnalysis.bpeTokens(col("text")).as("t"))
