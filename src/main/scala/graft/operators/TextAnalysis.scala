@@ -48,9 +48,14 @@ object TextAnalysis {
     val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = terms.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("doc_freq"))
-    val scored = tf.join(dfreq, "term")
+    // doc_freq derives from tf (one row per (doc, term) already) as a
+    // window count over the term — ONE scan, ONE explode, no join, and
+    // no second aggregate subtree (Catalyst does not reuse the tf
+    // exchange across a self-join, so a join-based doc_freq would scan
+    // and explode the corpus twice — measured in the round-5 notes).
+    val scored = tf.withColumn("doc_freq",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))))
     graft.plans.TopK.perKey(scored, Seq(idCol),
         Seq(("tf", false), ("doc_freq", true), ("term", true)), k,
         rankName = "rn")
