@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Boilerplate, Contamination, Fingerprint, Mixing, Pii, Repetition, Urls}
+import graft.operators.{Boilerplate, Contamination, Fingerprint, GopherRules, Mixing, Pii, Repetition, Urls}
 import org.apache.spark.sql.functions._
 
 /** Data-curation probes (builder-prompt extension surface): repetition
@@ -127,6 +127,21 @@ object Curation {
       (s, dir) =>
       Mixing.exactMix(Tables.load(s, dir, "documents"),
           "doc_id", "source", 0.5, 200)
+        .orderBy("doc_id")
+    },
+
+    // Gopher quality rules (Rae et al. 2021 A1.1) — per-doc metric
+    // battery + keep flag; minWords lowered to 20 so the synthetic
+    // corpus (10–100-word docs) splits both ways. Every ratio is one
+    // IEEE division of integer counts — bit-exact cross-engine.
+    Probe.df("q_gopher_filter",
+      s"""WITH ${GopherRules.oracleSql("documents", "doc_id", 20, 100000)}
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+         |  symbol_ratio, alpha_frac, CAST(stop_hits AS INT) AS stop_hits,
+         |  keep
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      GopherRules.qualityFlags(Tables.load(s, dir, "documents"),
+          "doc_id", "text", minWords = 20)
         .orderBy("doc_id")
     },
 

@@ -256,12 +256,15 @@ object Pipeline {
          |SELECT token, n, frac FROM c
          |ORDER BY n DESC, token
          |LIMIT 100""".stripMargin) { (s, dir) =>
+      // total token count as a window sum over the aggregated vocabulary
+      // (|vocab| rows), not a separate count() action over the corpus —
+      // one scan instead of two
       val toks = Tables.load(s, dir, "documents")
         .select(explode(Dedup.words(col("text"))).as("token"))
-      val total = toks.count()
-      toks.groupBy("token")
-        .agg(count(lit(1)).as("n"),
-          (count(lit(1)).cast("double") / total).as("frac"))
+      toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("frac", col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
         .orderBy(col("n").desc, col("token"))
         .limit(100)
     },

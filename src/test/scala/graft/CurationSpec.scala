@@ -114,6 +114,26 @@ class CurationSpec extends AnyFunSuite {
     assert(loose.count() == 4)
   }
 
+  test("gopher rules flag short, symbol-heavy, and stopword-free docs") {
+    import graft.operators.GopherRules
+    val good = (("the quick brown fox jumps over and over with that dog " * 5)
+      .trim)
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to keep"),                   // n_words < minWords
+      (3L, ("#### " * 60).trim),                   // symbol ratio + alpha
+      (4L, ("zebra lion puma " * 20).trim))        // no stopword hits
+      .toDF("doc_id", "text")
+    val out = GopherRules.qualityFlags(docs, "doc_id", "text", minWords = 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq ==
+      Seq(true, false, false, false))
+    val m3 = out(2)
+    assert(m3.getAs[Double]("symbol_ratio") > 0.1 &&
+      m3.getAs[Double]("alpha_frac") < 0.8)
+    assert(out(3).getAs[Int]("stop_hits") == 0)
+  }
+
   test("normalizeUrl canonicalizes case, ports, fragments, tracking params") {
     import graft.operators.Urls
     val cases = Seq(
