@@ -159,6 +159,12 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces {
         if (tableExists(base))
           return new SnapshotsTable(s"${fullName(base)}.snapshots", tablePath(base))
       }
+      // `cat.ns.t.files`: the current snapshot's data-file inventory.
+      if (ident.name() == "files" && ident.namespace().nonEmpty) {
+        val base = Identifier.of(ident.namespace().init, ident.namespace().last)
+        if (tableExists(base))
+          return new FilesTable(s"${fullName(base)}.files", tablePath(base))
+      }
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
     }
     buildTable(ident, pinned = None)

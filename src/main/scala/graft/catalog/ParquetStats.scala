@@ -21,6 +21,15 @@ import org.apache.spark.sql.sources._
   */
 object ParquetStats {
 
+  /** Footer row count (sum of row-group counts); 0 when unreadable. */
+  def rowCount(file: String, conf: Configuration = new Configuration()): Long =
+    try {
+      val in = HadoopInputFile.fromPath(new Path(file), conf)
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    } catch { case _: Exception => 0L }
+
   /** Could any row of `file` satisfy the conjunction of `filters`?
     * `conf` should be the session's `sparkContext.hadoopConfiguration`
     * so object-store credentials apply. */

@@ -512,6 +512,26 @@ class CatalogV2Spec extends AnyFunSuite {
     }
   }
 
+  test(".files metadata table lists the current snapshot's file inventory") {
+    spark.sql("CREATE TABLE g2.db.ft (a INT)")
+    spark.sql("INSERT INTO g2.db.ft VALUES (1), (2), (3)")
+    spark.sql("INSERT INTO g2.db.ft VALUES (4)")
+    val rows = spark.sql(
+      "SELECT file_path, size_bytes, record_count, snapshot_version " +
+        "FROM g2.db.ft.files ORDER BY file_path").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("record_count")).sum == 4,
+      "footer record counts must sum to the table row count")
+    assert(rows.forall(_.getAs[Long]("size_bytes") > 0))
+    val latest = spark.sql("SELECT max(version) FROM g2.db.ft.snapshots")
+      .collect().head.getLong(0)
+    assert(rows.forall(_.getAs[Long]("snapshot_version") == latest))
+    // DELETE rewrites: the inventory tracks the NEW current snapshot
+    spark.sql("DELETE FROM g2.db.ft WHERE a <= 2")
+    val after = spark.sql("SELECT record_count FROM g2.db.ft.files").collect()
+    assert(after.map(_.getAs[Long]("record_count")).sum == 2)
+  }
+
   test("SQL MERGE INTO / UPDATE / subquery DELETE plan through row-level COW") {
     import spark.implicits._
     spark.sql("CREATE TABLE g2.db.rlo (k INT, v STRING)")               // v1
