@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed BPE vocabulary training (Sennrich et al.
+  * 2016): `merges` rounds of count-adjacent-symbol-pairs → pick the most
+  * frequent pair (ties by pair string) → merge every occurrence — the
+  * merge TABLE is the training artifact a tokenizer ships.
+  *
+  * Distributed shape (the [[Similarity.kmeansFit]] recipe): per round,
+  * one explode + map-side-combined aggregate over the WORD-FREQUENCY
+  * table (|vocab| rows, not the corpus — the corpus is read once for
+  * word counts), then a 1-row collect of the argmax; the driver holds
+  * only the O(merges) merge list, and each round's symbol state is
+  * recomputed from literals, so results are bit-identical under any
+  * partitioning.
+  *
+  * The merge rewrite runs on a space-sentineled symbol string via
+  * `replace(s, ' a b ', ' ab ')`, applied [[MergePasses]] times: one
+  * replace pass skips an occurrence whose delimiter space the previous
+  * match consumed (`' a b a b '` → `' ab a b '`), and each extra pass
+  * halves the remainder, so runs up to 2^passes symbols merge exactly —
+  * both engines implement leftmost non-overlapping replace, and the
+  * DuckDB oracle replays the identical pass count, so the probe is exact
+  * even beyond that bound.
+  */
+object BpeTrain {
+
+  val MergePasses = 6
+
+  // ' h e l l o ' — (.) spaces every codepoint; trailing space comes
+  // from the last "$1 " so only the sentinel prefix is prepended.
+  private def spaced(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1), i =>
+        concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (rank, pair, merged, n) merge table. */
+  def train(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    // The corpus is scanned ONCE for word counts; every round aggregates
+    // the persisted |vocab|-row table (unpersisted before returning —
+    // the result is a driver-local artifact with no lineage on it).
+    val base = df
+      .select(explode(Dedup.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      trainRounds(spark, base, merges)
+    } finally base.unpersist()
+  }
+
+  private def trainRounds(spark: SparkSession, base: DataFrame,
+      merges: Int): DataFrame = {
+    var acc = Vector.empty[(Int, String, String, Long)]
+    for (r <- 1 to merges) {
+      val sCol = acc.foldLeft(spaced(col("word"))) { case (c, (_, p, m, _)) =>
+        (1 to MergePasses).foldLeft(c)((cc, _) =>
+          call_function("replace", cc, lit(s" $p "), lit(s" $m ")))
+      }
+      val best = base
+        .select(col("cnt"), explode(adjacentPairs(split(trim(sCol), " ")))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) {
+        return spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n")
+      }
+      val p = best(0).getAs[String]("pair")
+      acc = acc :+ ((r, p, p.replace(" ", ""), best(0).getAs[Long]("n")))
+    }
+    spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n")
+  }
+
+  /** DuckDB replay: the same rounds as chained CTEs, same pass count. */
+  def oracleSql(table: String, merges: Int): String = {
+    val duckWords =
+      """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+    val rounds = (1 to merges).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      val rep = (1 to MergePasses).foldLeft("s") { (acc, _) =>
+        s"replace($acc, ' ' || (SELECT pair FROM b$r) || ' ', " +
+          s"' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ')"
+      }
+      s"""p$r AS MATERIALIZED (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT cnt, unnest([sy[CAST(i AS INT)] || ' ' || sy[CAST(i AS INT)+1]
+         |                      for i in range(1, len(sy))]) AS pair
+         |  FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM $prev))
+         |  GROUP BY 1),
+         |b$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT word, cnt, $rep AS s FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to merges).map(r =>
+      s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, n FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest($duckWords) AS word FROM $table) GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT word, cnt,
+       |  ' ' || array_to_string([substr(word, CAST(i AS INT), 1)
+       |                          for i in range(1, length(word)+1)], ' ')
+       |      || ' ' AS s FROM w),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+}

@@ -323,6 +323,17 @@ object Pipeline {
         .orderBy("doc_id", "rn")
     },
 
+    // Deterministic distributed BPE vocabulary training: 8 merge rounds,
+    // argmax pair by (count DESC, pair ASC). The oracle replays the FULL
+    // training loop — per-round pair counts, argmax, and the identical
+    // replace-pass merge rewrite — as chained CTEs.
+    Probe.df("q_bpe_train",
+      graft.operators.BpeTrain.oracleSql("documents", 8)) { (s, dir) =>
+      graft.operators.BpeTrain.train(
+          Tables.load(s, dir, "documents"), "text", 8)
+        .orderBy("rank")
+    },
+
     // Frequency-dense dictionary encoding: deterministic vocab ids
     // (count DESC, token ASC), documents re-encoded as int sequences in
     // token order. Oracle replays rank + ordered list rebuild.

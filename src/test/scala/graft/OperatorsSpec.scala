@@ -390,6 +390,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(a1.getAs[Double]("tfidf") - 2.0 * math.log(3.0 / 2.0)) < 1e-12)
   }
 
+  test("bpeTrain learns the classic merges on a hand-checkable corpus") {
+    import graft.operators.BpeTrain
+    // "low low low lower lowest": pair counts round 1 —
+    // (l,o)=5, (o,w)=5, (w,e)=2, ... → tie (l o)/(o w) broken by pair
+    // string: 'l o' < 'o w' → merge 1 = (l,o); round 2: (lo,w)=5 wins.
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val m = BpeTrain.train(docs, "text", 3).orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("n")))
+    assert(m(0) == ((1, "l o", "lo", 5L)))
+    assert(m(1) == ((2, "lo w", "low", 5L)))
+    // round 3: from {low, low+er, low+est}: (e,r)=1,(e,s)=1,(s,t)=1,
+    // (low,e)=2 → 'low e' wins with n=2
+    assert(m(2) == ((3, "low e", "lowe", 2L)))
+  }
+
+  test("bpeTrain merge rewrite handles shared-delimiter runs exactly") {
+    import graft.operators.BpeTrain
+    // 'aaaa' word: (a,a) counted 3 (overlapping adjacencies); merging
+    // must produce aa|aa (leftmost non-overlap), making round 2's top
+    // pair (aa,aa) with count 1
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m = BpeTrain.train(docs, "text", 2).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
+    assert(m(0) == (("a a", 3L)))
+    assert(m(1) == (("aa aa", 1L)))
+  }
+
   test("dictEncode ranks ids by (freq desc, token) and keeps token order") {
     import graft.operators.DictEncode
     val docs = Seq((1L, "b b a"), (2L, "a c b")).toDF("doc_id", "text")
