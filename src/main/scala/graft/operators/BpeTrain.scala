@@ -78,8 +78,53 @@ object BpeTrain {
     spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n")
   }
 
-  /** DuckDB replay: the same rounds as chained CTEs, same pass count. */
-  def oracleSql(table: String, merges: Int): String = {
+  /** (idCol, syms array<string>) — every document tokenized by the
+    * merge table [[train]] learns on the same corpus: each word's
+    * symbol string gets the full merge chain applied (same fixed-pass
+    * replaces, rank order), then documents flatten their words' symbol
+    * runs in order. One extra explode + per-doc bounded collect on top
+    * of training. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame = {
+    val learned = train(df, textCol, merges).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
+    val chain = learned.foldLeft(spaced(col("word"))) { case (c, (p, m)) =>
+      (1 to MergePasses).foldLeft(c)((cc, _) =>
+        call_function("replace", cc, lit(s" $p "), lit(s" $m ")))
+    }
+    df.select(col(idCol),
+        posexplode(Dedup.words(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("syms", split(trim(chain), " "))
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        x => x.getField("syms"))).as("syms"))
+  }
+
+  /** Oracle for [[encode]]: the training CTE chain's FINAL word→symbols
+    * mapping joined back to the corpus, flattened in word order. */
+  def encodeOracleSql(table: String, idCol: String, merges: Int): String = {
+    val duckWords =
+      """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+    // NOTE: concatenated, not one stripMargin — stripMargin over the
+    // interpolated CTE text would eat the leading '|' of '||' lines.
+    oracleCtes(table, merges) + ",\n" +
+      s"""dw AS (SELECT $idCol, generate_subscripts(ws, 1) AS pos,
+         |         unnest(ws) AS word
+         |       FROM (SELECT $idCol, $duckWords AS ws FROM $table)),
+         |enc AS (SELECT dw.$idCol, dw.pos,
+         |          string_split(trim(s$merges.s), ' ') AS syms
+         |        FROM dw JOIN s$merges USING (word))
+         |SELECT $idCol, flatten(list(syms ORDER BY pos)) AS syms
+         |FROM enc GROUP BY $idCol
+         |ORDER BY $idCol""".stripMargin
+  }
+
+  /** The shared training CTE chain (w, s0, p1..b1..s1, …, s`merges`);
+    * MATERIALIZED throughout — inlined CTEs would expand the chain
+    * exponentially through the repeated argmax subqueries. */
+  private def oracleCtes(table: String, merges: Int): String = {
     val duckWords =
       """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
     val rounds = (1 to merges).map { r =>
@@ -96,17 +141,21 @@ object BpeTrain {
          |b$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
          |s$r AS MATERIALIZED (SELECT word, cnt, $rep AS s FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to merges).map(r =>
-      s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, n FROM b$r")
-      .mkString("\nUNION ALL ")
     s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |  SELECT unnest($duckWords) AS word FROM $table) GROUP BY 1),
        |s0 AS MATERIALIZED (SELECT word, cnt,
        |  ' ' || array_to_string([substr(word, CAST(i AS INT), 1)
        |                          for i in range(1, length(word)+1)], ' ')
        |      || ' ' AS s FROM w),
-       |$rounds
-       |$out
-       |ORDER BY rank""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB replay: the same rounds as chained CTEs, same pass count. */
+  def oracleSql(table: String, merges: Int): String = {
+    val out = (1 to merges).map(r =>
+      s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, n FROM b$r")
+      .mkString("\nUNION ALL ")
+    // concatenated for the same stripMargin-vs-'||' reason as above
+    oracleCtes(table, merges) + "\n" + out + "\nORDER BY rank"
   }
 }

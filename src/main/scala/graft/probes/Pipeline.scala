@@ -334,6 +334,17 @@ object Pipeline {
         .orderBy("rank")
     },
 
+    // BPE encoding through the learned merge table: per-document symbol
+    // sequences, flattened in word order. Oracle joins the training
+    // chain's final word→symbols mapping back to the corpus.
+    Probe.df("q_bpe_encode",
+      graft.operators.BpeTrain.encodeOracleSql("documents", "doc_id", 8)) {
+      (s, dir) =>
+      graft.operators.BpeTrain.encode(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")
+    },
+
     // Frequency-dense dictionary encoding: deterministic vocab ids
     // (count DESC, token ASC), documents re-encoded as int sequences in
     // token order. Oracle replays rank + ordered list rebuild.

@@ -418,6 +418,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(1) == (("aa aa", 1L)))
   }
 
+  test("bpe encode applies learned merges per word, flattened in order") {
+    import graft.operators.BpeTrain
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    // merges: (l,o)→lo then (lo,w)→low
+    val syms = BpeTrain.encode(docs, "doc_id", "text", 2)
+      .collect()(0).getSeq[String](1)
+    assert(syms == Seq("low", "low", "low",
+      "low", "e", "r", "low", "e", "s", "t"))
+  }
+
   test("dictEncode ranks ids by (freq desc, token) and keeps token order") {
     import graft.operators.DictEncode
     val docs = Seq((1L, "b b a"), (2L, "a c b")).toDF("doc_id", "text")
