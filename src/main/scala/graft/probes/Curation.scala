@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Boilerplate, Contamination, Fingerprint, GopherRules, Mixing, Pii, Repetition, Urls}
+import graft.operators.{Boilerplate, Contamination, Fingerprint, GopherRules, Mixing, Pii, Repetition, Sampling, Urls}
 import org.apache.spark.sql.functions._
 
 /** Data-curation probes (builder-prompt extension surface): repetition
@@ -128,6 +128,41 @@ object Curation {
       Mixing.exactMix(Tables.load(s, dir, "documents"),
           "doc_id", "source", 0.5, 200)
         .orderBy("doc_id")
+    },
+
+    // END-TO-END curation composition over the round-5 operators:
+    // planted multi-line docs → C4 line-level boilerplate removal →
+    // Gopher quality gate → weighted priority sample of the survivors.
+    // ONE oracle replays every stage, so drift anywhere breaks the hash
+    // (the curation-side companion of q_pipeline_e2e).
+    Probe.df("q_pipeline_curation",
+      "WITH d AS (SELECT doc_id,\n" +
+        "  concat(CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'\n" +
+        "              ELSE concat('unique header ', CAST(doc_id AS VARCHAR)) END,\n" +
+        "         chr(10), text) AS text\n" +
+        "  FROM documents),\n" +
+        Boilerplate.oracleSql("d", "doc_id", 3) + ",\n" +
+        "c AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text\n" +
+        "      FROM k GROUP BY doc_id),\n" +
+        GopherRules.oracleSql("c", "doc_id", 20, 100000) + ",\n" +
+        "sel AS (SELECT doc_id, CAST(n_words AS INT) AS n_words FROM g WHERE keep)\n" +
+        "SELECT doc_id, n_words,\n" +
+        s"  ${Sampling.priorityOracleExpr("doc_id", "n_words")} AS priority\n" +
+        "FROM sel ORDER BY priority DESC, doc_id LIMIT 100") { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter today"))
+            .otherwise(concat(lit("unique header "), col("doc_id").cast("string"))),
+          lit("\n"), col("text")).as("text"))
+      val clean = Boilerplate.dedupLines(planted, "doc_id", "text", 3)
+        .withColumnRenamed("clean_text", "text")
+      val kept = GopherRules.qualityFlags(clean, "doc_id", "text",
+          minWords = 20)
+        .where(col("keep"))
+        .select(col("doc_id"), col("n_words"))
+      Sampling.prioritySample(kept, "doc_id", "n_words", 100)
+        .select("doc_id", "n_words", "priority")
+        .orderBy(col("priority").desc, col("doc_id"))
     },
 
     // Gopher quality rules (Rae et al. 2021 A1.1) — per-doc metric
