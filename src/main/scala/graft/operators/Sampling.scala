@@ -55,6 +55,19 @@ object Sampling {
     s"CASE $whens ELSE '${fractions.last._1}' END"
   }
 
+  /** Uniform k-of-n sampling without replacement — the deterministic
+    * equivalent of reservoir sampling: rank rows by md5(id) (a uniform
+    * permutation of the ids) and keep the first k. Unlike a sequential
+    * reservoir, the same rows are selected on any cluster size and by
+    * the DuckDB oracle; the plan is TakeOrderedAndProject (O(k) heap per
+    * partition), never a global sort. Equals [[prioritySample]] with all
+    * weights equal, minus the division. */
+  def uniformSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.withColumn("__hv", md5(col(idCol).cast("string")))
+      .orderBy(col("__hv"), col(idCol))
+      .limit(k)
+      .drop("__hv")
+
   /** Weight-proportional sampling without replacement via priority
     * sampling (Duffield/Lund/Thorup, "Priority sampling for estimation
     * of arbitrary subset sums", JACM 54(6), 2007): each row gets

@@ -364,6 +364,18 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Uniform k-of-n sampling (deterministic reservoir equivalent):
+    // md5-permutation rank, first 150 — same rows under any
+    // partitioning and in the oracle.
+    Probe.df("q_sample_uniform",
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |LIMIT 150""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.uniformSample(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", 150)
+    },
+
     // Weight-proportional priority sampling (w = n_chars): projection +
     // TakeOrderedAndProject; oracle replays the md5-prefix priority via
     // the shift-sum hex parse. Both engines' priorities are bit-identical

@@ -353,6 +353,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c1 != init)
   }
 
+  test("uniformSample is partition-invariant and plans a bounded top-k") {
+    import graft.operators.Sampling
+    val rows = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "v")
+    val a = Sampling.uniformSample(rows, "id", 25)
+    val b = Sampling.uniformSample(rows.repartition(11), "id", 25)
+    assert(a.select("id").as[Long].collect().toSeq ==
+      b.select("id").as[Long].collect().toSeq)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("prioritySample is weight-proportional and plans a bounded top-k") {
     import graft.operators.Sampling
     // one whale (weight 10^6) among 200 unit-weight rows: the whale's
