@@ -206,15 +206,16 @@ class GraftTable(
     * no V1 fallback).
     *
     * The scan is pinned to the base snapshot captured when the operation
-    * is created, and deliberately OPAQUE — it hides the parquet
-    * delegate's pushdown/runtime-filtering interfaces, because in the
-    * group-based protocol the write must replace exactly the groups the
-    * scan produced: any file Spark pruned behind our back would have its
-    * rows silently dropped by the commit. Full-table COW, always correct;
-    * [[Maintenance.upsert]] is the footer-stat-pruned fast path for the
-    * classic upsert shape, and translatable-predicate DELETEs still take
-    * the metadata-only [[deleteWhere]] path
-    * (`OptimizeMetadataOnlyDeleteFromTable` reverts them). */
+    * is created. It hides STATIC pushdown (in the group-based protocol
+    * the write must replace exactly the groups the scan produced — a
+    * filter the connector can't mirror into the replaced set would
+    * silently drop rows) but implements RUNTIME group filtering at file
+    * granularity: Spark feeds the command's matching key values back and
+    * provably-unaffected files leave both the scan and the replaced set,
+    * so a narrow MERGE rewrites O(matching files). [[Maintenance.upsert]]
+    * remains the programmatic pruned-upsert path, and
+    * translatable-predicate DELETEs still take the metadata-only
+    * [[deleteWhere]] path (`OptimizeMetadataOnlyDeleteFromTable`). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -232,24 +233,63 @@ class GraftTable(
   private class GraftRowLevelOperation(
       cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
       extends org.apache.spark.sql.connector.write.RowLevelOperation {
-    // Base snapshot pinned at operation creation: the scan reads exactly
-    // these files and the commit replaces exactly these files.
+    // Base snapshot pinned at operation creation. `replaced` is the
+    // group set the commit swaps out: it starts as the whole base and
+    // NARROWS when Spark's runtime group filtering proves files can't
+    // contain matching rows (see GroupFilterScan) — the written data is
+    // exactly the filtered scan's rows, so scan set and replaced set
+    // stay in lockstep by construction.
     private val baseFiles: Seq[String] =
       Snapshots.latest(tableDir).map(_.files).getOrElse(Seq.empty)
+    @volatile private var replaced: Seq[String] = baseFiles
 
     override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-      val delegate = delegateFor(baseFiles.map(f => tableDir.resolve(f).toString))
-        .newScanBuilder(options).build()
-      // Opaque forwarding scan: exposes Batch reading ONLY (no pushdown,
-      // no runtime group filtering) — see scaladoc above for why.
-      () => new org.apache.spark.sql.connector.read.Scan {
-        override def readSchema(): StructType = delegate.readSchema()
-        override def toBatch: org.apache.spark.sql.connector.read.Batch =
-          delegate.toBatch
-        override def description(): String =
-          s"graft-row-level(${delegate.description()})"
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new GroupFilterScan(options)
+
+    /** Row-level scan with FILE-GRANULARITY runtime group filtering:
+      * Spark's RowLevelOperationRuntimeGroupFiltering collects the
+      * command's matching key values and calls [[filter]]; files whose
+      * footer stats prove no row can match drop from BOTH the scan and
+      * the replaced set — a narrow MERGE rewrites O(matching files), not
+      * the table. STATIC pushdown stays hidden (a filter the connector
+      * can't mirror into the replaced set would silently drop rows);
+      * runtime filters are safe precisely because we apply them to the
+      * group list ourselves. Untranslatable or non-stats-provable
+      * predicates prune nothing — conservative. */
+    private class GroupFilterScan(options: CaseInsensitiveStringMap)
+        extends org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+      @volatile private var files: Seq[String] = baseFiles
+      override def readSchema(): StructType = declaredSchema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        delegateFor(files.map(f => tableDir.resolve(f).toString))
+          .newScanBuilder(options).build().toBatch
+      override def description(): String =
+        s"graft-row-level($fullName, ${files.length}/${baseFiles.length} files)"
+      // ONE attribute: exposing several makes Spark build a joint
+      // named_struct(...) IN subquery runtime filter, which has no V1
+      // translation — nothing would prune. Any single target column is
+      // sound (the values come from the command's matched rows); the
+      // leading column is the usual clustered merge key, overridable via
+      // the `graft.rowlevel.filter-column` table property.
+      override def filterAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+        val chosen = props.getOrElse("graft.rowlevel.filter-column",
+          declaredSchema.fieldNames.head)
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(chosen))
+      }
+      override def filter(predicates: Array[
+          org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+        val v1 = org.apache.spark.sql.graftaccess.Internals
+          .predicatesToV1(predicates)
+        if (v1.nonEmpty) {
+          val conf = spark.sparkContext.hadoopConfiguration
+          files = files.filter(f => ParquetStats.mayMatchAll(
+            tableDir.resolve(f).toString, v1, conf))
+          replaced = files
+        }
       }
     }
 
@@ -267,8 +307,10 @@ class GraftTable(
         override def build(): Write =
           org.apache.spark.sql.graftaccess.BatchWrites.parquetWrite(
             spark, info.schema(), staging.toString,
+            // `replaced` read at COMMIT time — after any runtime group
+            // filtering has narrowed it
             onCommit = _ => try publishAndCommit(staging, overwrite = true,
-              replacedBase = Some(baseFiles)) finally dropStaging(),
+              replacedBase = Some(replaced)) finally dropStaging(),
             onAbort = _ => dropStaging())
       }
     }

@@ -41,6 +41,15 @@ object Internals {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.analyzed
 
+  /** DSv2 runtime-filter `Predicate`s → V1 `sources.Filter`s
+    * (`PredicateUtils` is private[sql]); untranslatable predicates drop
+    * out, which is the conservative direction for stats-based pruning. */
+  def predicatesToV1(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    ps.flatMap(p =>
+      org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)).toSeq
+
   /** Wrap a (possibly custom) logical plan as a DataFrame —
     * `Dataset.ofRows` is private[sql]. */
   def ofRows(spark: SparkSession,

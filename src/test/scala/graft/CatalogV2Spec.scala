@@ -569,4 +569,28 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM g2.db.rlo.snapshots")
       .collect().head.getLong(0) == 6)
   }
+
+  test("MERGE runtime group filtering rewrites only files that can match") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.rgf (k INT, v STRING)")
+    spark.sql("INSERT INTO g2.db.rgf VALUES (1,'a'), (2,'b'), (3,'c')")
+    graft.catalog.Maintenance.compact(spark, "g2.db.rgf", Seq("k"), 3)
+    def inventory(): Set[String] = spark.sql(
+      "SELECT file_path FROM g2.db.rgf.files").collect()
+      .map(_.getString(0)).toSet
+    val before = inventory()
+    assert(before.size == 3)
+    Seq((2, "B")).toDF("k", "v").createOrReplaceTempView("rgf_src")
+    spark.sql("""MERGE INTO g2.db.rgf t USING rgf_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *""")
+    val after = inventory()
+    assert(spark.sql("SELECT v FROM g2.db.rgf WHERE k = 2")
+      .collect().head.getString(0) == "B")
+    assert(spark.sql("SELECT count(*) FROM g2.db.rgf")
+      .collect().head.getLong(0) == 3)
+    // the k=1 and k=3 files must survive UNTOUCHED (same paths); only the
+    // k=2 file was rewritten — runtime group filtering at work
+    assert((before intersect after).size == 2,
+      s"expected 2 surviving files, before=$before after=$after")
+  }
 }
