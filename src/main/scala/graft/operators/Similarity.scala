@@ -259,6 +259,33 @@ object Similarity {
     df.select(col(idCol).as("vec_id"),
       ivfCellExpr(col(vecCol), centroids).as("cell"))
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embeddings, then WITHIN each cluster drop every vector whose cosine
+    * to a lower-id cluster-mate reaches `threshold` — the cluster
+    * assignment bounds the quadratic stage to within-cell pairs, which
+    * is the paper's entire scale argument (k grows with the corpus so
+    * cells stay bounded; training is the deterministic [[kmeansFit]], so
+    * the whole operator replays exactly in the oracle). Output:
+    * (vec_id, cell, keep). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val cents = kmeansFit(df, idCol, vecCol, k, iters)
+    val t = ivfAssign(df, idCol, vecCol, cents)
+      .join(df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        normKernel(col(vecCol)).as("nrm")), "vec_id")
+    val dropped = t.alias("a")
+      .join(t.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(dotKernel(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    t.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__d"), lit(false)).unary_!.as("keep"))
+  }
+
   /** Lloyd's k-means over the corpus, the IVF centroid trainer
     * ([[ivfCellExpr]] consumes its output unchanged — training only
     * swaps the centroid constants). Classic distributed shape: each

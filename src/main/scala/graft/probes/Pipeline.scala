@@ -541,6 +541,31 @@ object Pipeline {
         .orderBy("vec_id")
     },
 
+    // SemDeDup: k-means clusters bound the quadratic cosine stage to
+    // within-cell pairs (the paper's scale argument). The oracle replays
+    // kmeans training (reusing the q_ann_kmeans chain) + per-cell exact
+    // cosine drops.
+    Probe.df("q_semdedup",
+      // reuse the kmeans training CTE chain; swap its final SELECT for
+      // the within-cell cosine dedup
+      Similarity.kmeansOracleSql(8, 2, "embeddings")
+        .stripSuffix("SELECT vec_id, cell FROM fin ORDER BY vec_id")
+        .stripSuffix("\n") + ",\n" +
+        """p AS (SELECT b.vec_id AS dropped
+          |  FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          |  JOIN t ta ON ta.vec_id = a.vec_id
+          |  JOIN t tb ON tb.vec_id = b.vec_id
+          |  WHERE list_dot_product(ta.v, tb.v) /
+          |    (sqrt(list_dot_product(ta.v, ta.v)) *
+          |     sqrt(list_dot_product(tb.v, tb.v))) >= 0.5)
+          |SELECT f.vec_id, f.cell,
+          |  f.vec_id NOT IN (SELECT dropped FROM p) AS keep
+          |FROM fin f ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", 8, 2, 0.5)
+        .orderBy("vec_id")
+    },
+
     // Product quantization, encode: 8 subspaces x 16 codes over the
     // 64-dim embeddings (first-k codebooks so the oracle recomputes them
     // from the table). The argmin-L2 pick runs as the ArgMaxDot kernel

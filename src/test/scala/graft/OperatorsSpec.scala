@@ -338,6 +338,21 @@ class OperatorsSpec extends AnyFunSuite {
       s"ADC neighbor outside the query cluster: ${hits.mkString(", ")}")
   }
 
+  test("semDedup drops within-cluster near-duplicates, keeps the min id") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+    // plant an exact duplicate of vector 3 with a HIGHER id
+    val vecs = (base :+ ((99L, base(3)._2))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        k = 4, iters = 2, threshold = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    assert(out(3L) && !out(99L), "duplicate must drop, original must stay")
+    assert(out.size == 61 && out.count(!_._2) == 1)
+  }
+
   test("kmeansFit centroids are bit-identical under any partitioning") {
     // quantized int64 accumulation makes the float-mean reduction
     // associative — the whole point of the design; verify the claim by
