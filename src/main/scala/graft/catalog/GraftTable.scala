@@ -159,7 +159,8 @@ class GraftTable(
     * anything committed since; a stale base (concurrent rewrite won)
     * aborts loudly, Iceberg-style, before any file moves. */
   private def publishAndCommit(tmp: Path, overwrite: Boolean,
-      replacedBase: Option[Seq[String]]): Unit = {
+      replacedBase: Option[Seq[String]],
+      only: Option[Set[Path]] = None): Unit = {
     Snapshots.commitWith(tableDir) { latest =>
       replacedBase.foreach { base =>
         val current = latest.map(_.files.toSet).getOrElse(Set.empty)
@@ -172,6 +173,10 @@ class GraftTable(
       val moved = scala.util.Using.resource(Files.walk(tmp)) { st =>
         st.iterator().asScala
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          // `only`: publish just the task-committed files (V2 writes) —
+          // stragglers from attempts that died without abort() must not
+          // sneak into the snapshot
+          .filter(p => only.forall(_.contains(p)))
           .map { p =>
             val rel = tmp.relativize(p)
             val dest = dataDir.resolve(rel)
@@ -308,9 +313,12 @@ class GraftTable(
           org.apache.spark.sql.graftaccess.BatchWrites.parquetWrite(
             spark, info.schema(), staging.toString,
             // `replaced` read at COMMIT time — after any runtime group
-            // filtering has narrowed it
-            onCommit = _ => try publishAndCommit(staging, overwrite = true,
-              replacedBase = Some(replaced)) finally dropStaging(),
+            // filtering has narrowed it; only task-committed files
+            // publish (retry stragglers stay behind and are dropped)
+            onCommit = paths => try publishAndCommit(staging,
+              overwrite = true, replacedBase = Some(replaced),
+              only = Some(paths.map(p => java.nio.file.Paths.get(p)).toSet))
+            finally dropStaging(),
             onAbort = _ => dropStaging())
       }
     }

@@ -104,7 +104,9 @@ object Maintenance {
     *
     * `source` must carry the table schema's columns (any order) and at
     * most one row per key; null keys are rejected — both checks are one
-    * cheap aggregate over the source. */
+    * cheap aggregate over the source. The source plan is evaluated
+    * several times (stats, distinct-keys check, anti-join, final union)
+    * — persist() an expensive source before calling. */
   def upsert(spark: SparkSession, ident: String, source: DataFrame,
       keyCols: Seq[String]): (Int, Int) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}

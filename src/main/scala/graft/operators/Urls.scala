@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *  3. drop explicit default ports (`http…:80`, `https…:443`);
   *  4. split the query, drop tracking params (`utm_*`, `gclid`,
   *     `fbclid`) and empties, sort the rest (binary order — ASCII URLs
-  *     sort identically in both engines), rejoin.
+  *     sort identically in both engines), rejoin. Tracking-param
+  *     matching is case-SENSITIVE by design: query parameter names are
+  *     case-sensitive per RFC 3986 and the utm_/gclid conventions are
+  *     lowercase — lowercasing the whole query would corrupt values.
   *
   * Scale shape: one projection — regexp/split/sort built-ins over each
   * row, no shuffle, no state. The query-part filter is a HOF lambda

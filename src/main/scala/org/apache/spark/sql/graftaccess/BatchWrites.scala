@@ -100,7 +100,12 @@ object BatchWrites {
             w.write(proj(r))
         }
         override def commit(): WriterCommitMessage = { closeOnce(); Staged(path) }
-        override def abort(): Unit = closeOnce()
+        // Delete the partial file on abort: a retried task's first
+        // attempt must leave nothing a later commit could publish.
+        override def abort(): Unit = {
+          closeOnce()
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+        }
         override def close(): Unit = closeOnce()
         private def closeOnce(): Unit = if (!closed) { closed = true; w.close() }
       }
