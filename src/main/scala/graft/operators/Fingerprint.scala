@@ -66,7 +66,10 @@ object Fingerprint {
       .where(col("d1") < col("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("shared"),
-        first(col("m1")).as("m1"), first(col("m2")).as("m2"))
+        // min, not first: m1/m2 are functionally determined by d1/d2,
+        // but min is deterministic by construction (and what the oracle
+        // computes) while first depends on task arrival order
+        min(col("m1")).as("m1"), min(col("m2")).as("m2"))
       .withColumn("jac",
         col("shared").cast("double") / (col("m1") + col("m2") - col("shared")))
       .where(col("jac") >= minJaccard)
