@@ -77,6 +77,31 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for embedding training (the contrastive /
+    * retrieval-training staple — DPR, Karpukhin et al. 2020): for each
+    * query, the top-k most similar corpus vectors whose LABEL differs —
+    * the near-miss negatives that actually move a contrastive loss.
+    * Same exact-tier shape as [[bruteForceTopK]] (queries broadcast,
+    * corpus streamed once, per-query bounded rank) with the cross-label
+    * filter applied BEFORE ranking so every returned row is usable; at
+    * 100 TB swap the scorer for the IVF/PQ tiers — the label filter
+    * composes with any of them. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"), normKernel(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      col(labelCol).as("nlabel"), normKernel(col(vecCol)).as("nn"))
+      .repartition(par)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nlabel") =!= col("qlabel"))
+      .select(col("qid"), col("nid"),
+        (dotKernel(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine >= threshold. Dispatches on corpus size: inputs whose
     * optimizer size estimate (metadata-only — file sizes, no job) fits a

@@ -541,6 +541,31 @@ object Pipeline {
         .orderBy("vec_id")
     },
 
+    // Hard-negative mining: per query the top-5 nearest CROSS-label
+    // vectors (the contrastive-training negatives). Cosines ride the
+    // same exact kernel==list_dot_product recipe as q_ann_topk.
+    Probe.df("q_hard_negatives",
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND q.label <> c.label
+        |), ranked AS (
+        |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        |  FROM scored)
+        |SELECT qid, nid, cos, rnk FROM ranked
+        |WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", "label", 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // SemDeDup: k-means clusters bound the quadratic cosine stage to
     // within-cell pairs (the paper's scale argument). The oracle replays
     // kmeans training (reusing the q_ann_kmeans chain) + per-cell exact

@@ -338,6 +338,29 @@ class OperatorsSpec extends AnyFunSuite {
       s"ADC neighbor outside the query cluster: ${hits.mkString(", ")}")
   }
 
+  test("hardNegatives returns only cross-label neighbors, best first") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(6)(rnd.nextGaussian().toFloat).toSeq, (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", "label", 4)
+    val rows = out.collect()
+    assert(rows.length == 12) // 3 queries x 4 negatives
+    val labels = vecs.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    assert(rows.forall(r => labels(r.getAs[Long]("qid")) !=
+      labels(r.getAs[Long]("nid"))), "a negative shares the query's label")
+    // ranks are 1..4 descending in cosine per query
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+      assert(sorted.map(_.getAs[Double]("cos")).toSeq.reverse.sorted.reverse ==
+        sorted.map(_.getAs[Double]("cos")).toSeq)
+    }
+  }
+
   test("semDedup drops within-cluster near-duplicates, keeps the min id") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(5)
