@@ -243,6 +243,41 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Packed-batch boundary metadata: per bin, the cu_seqlens offsets
+    // ([0, l1, l1+l2, …]) a flash-attention training loader consumes to
+    // mask attention across packed documents — integer prefix sums, so
+    // the full arrays hash-match.
+    Probe.df("q_pack_cuseqlens",
+      s"""WITH w AS (SELECT doc_id, len($duckWords) AS tokens FROM documents),
+         |p AS (SELECT doc_id, tokens,
+         |  CAST(floor((sum(tokens) OVER (ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - tokens) / 512.0) AS BIGINT) AS bin
+         |  FROM w),
+         |b AS (SELECT bin, count(*) AS n_docs,
+         |        CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+         |        list(tokens ORDER BY doc_id) AS ls
+         |      FROM p GROUP BY bin)
+         |SELECT bin, n_docs, bin_tokens,
+         |  list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(list_sum(ls[1:CAST(i AS INT)]) AS BIGINT)
+         |     for i in range(1, len(ls)+1)]) AS cu_seqlens
+         |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
+      val packed = Packing.packByCumsum(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(Dedup.words(col("text"))).cast("bigint").as("tokens")),
+        "doc_id", "tokens", 512)
+      packed.groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("doc_id"),
+              col("tokens")))), x => x.getField("tokens")),
+            array(lit(0L)),
+            (acc, x) => concat(acc, array(element_at(acc, -1) + x)))
+            .as("cu_seqlens"))
+        .orderBy("bin")
+    },
+
     // Corpus-level vocabulary: token frequencies across all documents —
     // explode inside the scan stage, one shuffle on the token (map-side
     // combine first), deterministic top-100. The corpus-wide companion of
