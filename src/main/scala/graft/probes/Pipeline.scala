@@ -399,6 +399,38 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Curriculum ordering (Bengio et al. 2009 shape): quality deciles
+    // easy-first, deterministic md5 shuffle within each decile — the
+    // ordering a curriculum loader consumes. Quality is the exact
+    // q_text_stats formula (every op same-operand IEEE), so deciles and
+    // ranks are bit-stable cross-engine.
+    Probe.df("q_curriculum",
+      s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents),
+         |c AS (SELECT doc_id,
+         |  least(greatest((least(len(ws) / 100.0, 1.0) +
+         |      len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1)) / 2.0
+         |    - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |        / greatest(length(text), 1) * 5.0, 1.0), 0.0), 1.0) AS q
+         |  FROM w),
+         |d AS (SELECT doc_id, q,
+         |  CAST(ntile(10) OVER (ORDER BY q DESC, doc_id) AS INT) AS decile
+         |  FROM c)
+         |SELECT doc_id, q, decile,
+         |  CAST(row_number() OVER (PARTITION BY decile
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+         |FROM d
+         |ORDER BY decile, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("q").desc, col("doc_id"))))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("decile"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .orderBy("decile", "rnk")
+    },
+
     // Uniform k-of-n sampling (deterministic reservoir equivalent):
     // md5-permutation rank, first 150 — same rows under any
     // partitioning and in the oracle.
