@@ -399,6 +399,42 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Split-leakage QA: after the deterministic train/val/test split,
+    // find exact-duplicate content that straddles split boundaries — the
+    // train/test contamination a split pipeline must audit for. The
+    // corpus has no exact cross-id dups, so the probe PLANTS copies of
+    // every 20th doc under shifted ids (different id ⇒ independent split
+    // hash ⇒ some copies land across the boundary — same planting
+    // technique as q_pii_redact).
+    Probe.df("q_split_leakage",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 20 = 0),
+         |s AS (SELECT doc_id, md5(lower(text)) AS fp,
+         |  ${Sampling.hashSplitOracleCase("doc_id",
+              Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))} AS split
+         |  FROM corpus)
+         |SELECT a.doc_id AS ida, a.split AS split_a,
+         |       b.doc_id AS idb, b.split AS split_b
+         |FROM s a JOIN s b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.split <> b.split
+         |ORDER BY ida, idb""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val corpus = base.unionAll(
+        base.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val d = Sampling.hashSplit(
+        corpus.select(col("doc_id"), md5(lower(col("text"))).as("fp")),
+        "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      d.alias("a").join(d.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.split") =!= col("b.split"))
+        .select(col("a.doc_id").as("ida"), col("a.split").as("split_a"),
+          col("b.doc_id").as("idb"), col("b.split").as("split_b"))
+        .orderBy("ida", "idb")
+    },
+
     // Curriculum ordering (Bengio et al. 2009 shape): quality deciles
     // easy-first, deterministic md5 shuffle within each decile — the
     // ordering a curriculum loader consumes. Quality is the exact
