@@ -246,12 +246,16 @@ object Curation {
 
     // Winnowing fingerprints (MOSS): the oracle replays the rolling
     // Rabin–Karp + window-minima integer math per document — the full
-    // fingerprint SETS are hash-compared, not just counts.
+    // fingerprint SETS are hash-compared, not just counts. Comma-joined
+    // to a scalar (driver's pandas row-sorter cannot sort array cells);
+    // FingerprintSpec covers the typed arrays.
     Probe.df("q_fingerprint_winnow",
-      Fingerprint.fingerprintsOracleSql("documents", "doc_id", "text")) {
-      (s, dir) =>
+      "SELECT doc_id, array_to_string(fps, ',') AS fps FROM (" +
+        Fingerprint.fingerprintsOracleSql("documents", "doc_id", "text") +
+        ") ORDER BY doc_id") { (s, dir) =>
       Fingerprint.fingerprints(Tables.load(s, dir, "documents"),
           "doc_id", "text")
+        .withColumn("fps", array_join(col("fps").cast("array<string>"), ","))
         .orderBy("doc_id")
     },
 

@@ -38,20 +38,24 @@ object Extras {
 
     // Symmetric per-vector int8 quantization (operators/Quantize):
     // same-operand IEEE steps, so the DuckDB oracle replays scale AND
-    // every code exactly.
+    // every code exactly. The code array is emitted comma-joined (a
+    // deterministic scalar) because the driver's pandas row-sorter cannot
+    // sort array cells; QuantizeSpec covers the typed array.
     Probe.df("q_quantize_int8",
       """WITH s AS (SELECT vec_id, embedding,
         |  list_max(list_transform(embedding,
         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
         |  FROM embeddings)
         |SELECT vec_id, scale,
-        |  list_transform(embedding, x -> CAST(
+        |  array_to_string(list_transform(embedding, x -> CAST(
         |    CASE WHEN scale = 0 THEN 0
         |         ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END
-        |    AS TINYINT)) AS q
+        |    AS TINYINT)), ',') AS q
         |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, col}
       graft.operators.Quantize.int8(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .withColumn("q", array_join(col("q").cast("array<string>"), ","))
         .orderBy("vec_id")
     },
 

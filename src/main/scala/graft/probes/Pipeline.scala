@@ -246,7 +246,9 @@ object Pipeline {
     // Packed-batch boundary metadata: per bin, the cu_seqlens offsets
     // ([0, l1, l1+l2, …]) a flash-attention training loader consumes to
     // mask attention across packed documents — integer prefix sums, so
-    // the full arrays hash-match.
+    // the full arrays hash-match. Comma-joined to a scalar (driver's
+    // pandas row-sorter cannot sort array cells); PackingSpec covers the
+    // typed offsets array.
     Probe.df("q_pack_cuseqlens",
       s"""WITH w AS (SELECT doc_id, len($duckWords) AS tokens FROM documents),
          |p AS (SELECT doc_id, tokens,
@@ -258,9 +260,9 @@ object Pipeline {
          |        list(tokens ORDER BY doc_id) AS ls
          |      FROM p GROUP BY bin)
          |SELECT bin, n_docs, bin_tokens,
-         |  list_prepend(CAST(0 AS BIGINT),
+         |  array_to_string(list_prepend(CAST(0 AS BIGINT),
          |    [CAST(list_sum(ls[1:CAST(i AS INT)]) AS BIGINT)
-         |     for i in range(1, len(ls)+1)]) AS cu_seqlens
+         |     for i in range(1, len(ls)+1)]), ',') AS cu_seqlens
          |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
       val packed = Packing.packByCumsum(
         Tables.load(s, dir, "documents")
@@ -275,6 +277,8 @@ object Pipeline {
             array(lit(0L)),
             (acc, x) => concat(acc, array(element_at(acc, -1) + x)))
             .as("cu_seqlens"))
+        .withColumn("cu_seqlens",
+          array_join(col("cu_seqlens").cast("array<string>"), ","))
         .orderBy("bin")
     },
 
@@ -291,15 +295,18 @@ object Pipeline {
          |SELECT token, n, frac FROM c
          |ORDER BY n DESC, token
          |LIMIT 100""".stripMargin) { (s, dir) =>
-      // total token count as a window sum over the aggregated vocabulary
-      // (|vocab| rows), not a separate count() action over the corpus —
-      // one scan instead of two
+      // total token count aggregated over the |vocab|-row relation and
+      // broadcast back — NOT an empty-window sum, which would force the
+      // whole vocabulary (100M+ tokens at corpus scale) through one
+      // partition. Exchange reuse keeps this at ONE corpus scan: both
+      // branches share the identical partial-agg + shuffle subtree.
       val toks = Tables.load(s, dir, "documents")
         .select(explode(Dedup.words(col("text"))).as("token"))
-      toks.groupBy("token").agg(count(lit(1)).as("n"))
-        .withColumn("frac", col("n").cast("double") /
-          sum(col("n")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy()))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("tot"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("frac", col("n").cast("double") / col("tot"))
+        .drop("tot")
         .orderBy(col("n").desc, col("token"))
         .limit(100)
     },
@@ -371,12 +378,17 @@ object Pipeline {
 
     // BPE encoding through the learned merge table: per-document symbol
     // sequences, flattened in word order. Oracle joins the training
-    // chain's final word→symbols mapping back to the corpus.
+    // chain's final word→symbols mapping back to the corpus. Symbols are
+    // space-joined to a scalar (symbols never contain spaces — words are
+    // whitespace-split; the driver's pandas row-sorter cannot sort array
+    // cells); OperatorsSpec covers the typed sequence.
     Probe.df("q_bpe_encode",
-      graft.operators.BpeTrain.encodeOracleSql("documents", "doc_id", 8)) {
-      (s, dir) =>
+      "SELECT doc_id, array_to_string(syms, ' ') AS syms FROM (" +
+        graft.operators.BpeTrain.encodeOracleSql("documents", "doc_id", 8) +
+        ") ORDER BY doc_id") { (s, dir) =>
       graft.operators.BpeTrain.encode(
           Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+        .withColumn("syms", array_join(col("syms"), " "))
         .orderBy("doc_id")
     },
 
@@ -391,11 +403,12 @@ object Pipeline {
          |d AS (SELECT term, CAST(row_number()
          |        OVER (ORDER BY n DESC, term) AS INT) AS id FROM c),
          |e AS (SELECT t.doc_id, t.pos, d.id FROM t JOIN d USING (term))
-         |SELECT doc_id, list(id ORDER BY pos) AS ids
+         |SELECT doc_id, array_to_string(list(id ORDER BY pos), ',') AS ids
          |FROM e GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.DictEncode.encode(
           Tables.load(s, dir, "documents"), "doc_id", "text")
+        .withColumn("ids", array_join(col("ids").cast("array<string>"), ","))
         .orderBy("doc_id")
     },
 

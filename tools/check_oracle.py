@@ -82,6 +82,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: dtype kind mismatch {kind_bad}")
             n_fail += 1
             continue
+        # Mirror the driver's harness: it sort_values() both frames on ALL
+        # columns before hashing. Arrays (numpy.ndarray cells) are unhashable
+        # there and crash the sort — replicate that as a hard FAIL so local
+        # green ⇒ driver green (r5 lesson: 5 probes passed here, died there).
+        try:
+            spark_df = spark_df[sc].sort_values(by=sc, kind="mergesort")
+            duck_df = duck_df[dc].sort_values(by=dc, kind="mergesort")
+        except TypeError as e:
+            print(f"FAIL {name}: driver-sort error (unsortable cell?): {e}")
+            n_fail += 1
+            continue
         s_rows = spark_df[sc].values.tolist()
         d_rows = duck_df[dc].values.tolist()
         if len(s_rows) != len(d_rows):
