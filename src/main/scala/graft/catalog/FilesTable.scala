@@ -41,7 +41,9 @@ class FilesTable(fullName: String, tableDir: Path) extends Table with SupportsRe
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(f),
                 if (Files.exists(p)) Files.size(p) else 0L,
-                ParquetStats.rowCount(p.toString),
+                ParquetStats.rowCount(p.toString,
+                  org.apache.spark.sql.SparkSession.active
+                    .sparkContext.hadoopConfiguration),
                 s.version))
             }
           }.toArray

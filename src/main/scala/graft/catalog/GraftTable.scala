@@ -227,11 +227,13 @@ class GraftTable(
     if (pinned.isDefined)
       throw new UnsupportedOperationException(
         s"Cannot modify a time-travel snapshot of $fullName")
-    if (partitionCols.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$fullName: row-level SQL commands on identity-partitioned tables " +
-          "are not supported (the V2 writer does not route partition dirs); " +
-          "use Maintenance.upsert or DELETE with a translatable predicate")
+    // Identity-partitioned tables are rejected in the operation's
+    // newWriteBuilder, NOT here: Spark's RewriteDeleteFromTable matches
+    // SupportsRowLevelOperations ahead of SupportsDeleteV2, so this
+    // builder runs at ANALYSIS for every conditional DELETE — an eager
+    // throw would kill translatable partitioned DELETEs before
+    // OptimizeMetadataOnlyDeleteFromTable can convert them back to the
+    // metadata [[deleteWhere]] path (which routes partitions fine).
     () => new GraftRowLevelOperation(info.command)
   }
 
@@ -299,6 +301,15 @@ class GraftTable(
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      // Deferred from newRowLevelOperationBuilder (see there): only
+      // reached when the command actually takes the ReplaceData write
+      // path — translatable DELETEs on partitioned tables have already
+      // been converted to metadata deleteWhere by this point.
+      if (partitionCols.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"$fullName: row-level SQL commands on identity-partitioned tables " +
+            "are not supported (the V2 writer does not route partition dirs); " +
+            "use Maintenance.upsert or DELETE with a translatable predicate")
       val staging = tableDir.resolve(s"_staging_${UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(staging)
       def dropStaging(): Unit =

@@ -81,11 +81,6 @@ object Maintenance {
     }
   }
 
-  /** Shared rewrite plumbing: pin ONE snapshot for both the read and the
-    * surgical commit — a writeTo().overwrite() would blanket-replace and
-    * lose any INSERT that commits while the rewrite job runs;
-    * replaceFiles keeps it and aborts if a concurrent rewrite replaced
-    * the base. Returns (files before, files after). */
   /** MERGE INTO (upsert) as a copy-on-write rewrite — the classic
     * `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`
     * shape (Iceberg's copy-on-write MERGE; the reference engine stops at
@@ -178,6 +173,11 @@ object Maintenance {
     }
   }
 
+  /** Shared rewrite plumbing: pin ONE snapshot for both the read and the
+    * surgical commit — a writeTo().overwrite() would blanket-replace and
+    * lose any INSERT that commits while the rewrite job runs;
+    * replaceFiles keeps it and aborts if a concurrent rewrite replaced
+    * the base. Returns (files before, files after). */
   private def rewriteClustered(spark: SparkSession, ident: String)(
       layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : (Int, Int) = {

@@ -35,6 +35,10 @@ import org.apache.spark.util.SerializableConfiguration
 object BatchWrites {
 
   final case class Staged(path: String) extends WriterCommitMessage
+  /** A writer that saw no rows: its file is deleted at task commit and
+    * nothing publishes — empty shuffle partitions of a narrow MERGE must
+    * not inflate the snapshot's file inventory with zero-row parquet. */
+  case object StagedEmpty extends WriterCommitMessage
 
   def parquetWrite(spark: SparkSession, schema: StructType,
       stagingDir: String, onCommit: Seq[String] => Unit,
@@ -50,7 +54,7 @@ object BatchWrites {
           info: PhysicalWriteInfo): DataWriterFactory =
         ParquetWriterFactory(fac, conf, schema, stagingDir)
       override def commit(msgs: Array[WriterCommitMessage]): Unit =
-        onCommit(msgs.toSeq.map(_.asInstanceOf[Staged].path))
+        onCommit(msgs.toSeq.collect { case Staged(p) => p })
       override def abort(msgs: Array[WriterCommitMessage]): Unit =
         onAbort(msgs.toSeq.collect { case Staged(p) => p })
     }
@@ -71,6 +75,7 @@ object BatchWrites {
       val w = fac.newInstance(path, schema, ctx)
       new DataWriter[InternalRow] {
         private var closed = false
+        private var written = 0L
         // Group-based ReplaceData (MERGE) prepends a `__row_operation`
         // int column that ReplaceDataExec only strips when the operation
         // declares metadata attributes (DataAndMetadataWritingSparkTask);
@@ -94,12 +99,19 @@ object BatchWrites {
             } else throw new IllegalStateException(
               s"row has ${r.numFields} fields for write schema ${schema.simpleString}")
           }
-          if (opCol == -1) w.write(r)
+          if (opCol == -1) { w.write(r); written += 1 }
           else if (r.getInt(0) !=
-            org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION)
-            w.write(proj(r))
+            org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION) {
+            w.write(proj(r)); written += 1
+          }
         }
-        override def commit(): WriterCommitMessage = { closeOnce(); Staged(path) }
+        override def commit(): WriterCommitMessage = {
+          closeOnce()
+          if (written == 0L) {
+            java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+            StagedEmpty
+          } else Staged(path)
+        }
         // Delete the partial file on abort: a retried task's first
         // attempt must leave nothing a later commit could publish.
         override def abort(): Unit = {

@@ -159,6 +159,31 @@ class CatalogV2Spec extends AnyFunSuite {
       s"expected region=eu in PartitionFilters:\n$plan")
   }
 
+  test("partitioned table: translatable DELETE still takes deleteWhere " +
+      "(rejection is deferred past analysis); ReplaceData ops reject lazily") {
+    // Regression: SupportsRowLevelOperations is matched by
+    // RewriteDeleteFromTable BEFORE SupportsDeleteV2, so an eager
+    // partitioned-table throw in newRowLevelOperationBuilder fired at
+    // analysis and killed DELETEs that OptimizeMetadataOnlyDeleteFromTable
+    // would have converted back to the metadata deleteWhere path.
+    spark.sql("CREATE TABLE g2.db.pdel (id INT, region STRING) PARTITIONED BY (region)")
+    spark.sql("INSERT INTO g2.db.pdel VALUES (1,'eu'), (2,'us'), (3,'eu'), (4,'ap')")
+    spark.sql("DELETE FROM g2.db.pdel WHERE region = 'us'")
+    spark.sql("DELETE FROM g2.db.pdel WHERE id = 3")
+    assert(spark.sql("SELECT id FROM g2.db.pdel ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 4))
+    // A command that genuinely needs the ReplaceData write path still
+    // rejects partitioned tables — now at write planning, same message.
+    val e = intercept[Throwable] {
+      spark.sql("UPDATE g2.db.pdel SET id = id + 10 WHERE id > 0")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("identity-partitioned tables")),
+      s"expected partitioned-table rejection, got: $e")
+  }
+
   test("TRUNCATE TABLE commits an empty snapshot") {
     spark.sql("CREATE TABLE g2.db.tr (a INT)")
     spark.sql("INSERT INTO g2.db.tr VALUES (1), (2)")
