@@ -21,6 +21,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // The default 4 MB file-open cost caps a 10 MB local parquet at ~3
+      // splits — 3 of 32 threads busy on every scan-bound global
+      // aggregate. The local files have no open latency; 256 KB lets the
+      // split math hit totalSize/defaultParallelism. Irrelevant at
+      // cluster scale (≥128 MB files split on maxPartitionBytes alone).
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

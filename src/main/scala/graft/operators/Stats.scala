@@ -12,15 +12,10 @@ import org.apache.spark.sql.functions._
   * with the group-by shuffle. */
 object Stats {
 
-  /** One-pass data profile: per column, min / max (rendered as strings
-    * so one result schema fits every column type), null count, distinct
-    * count, and the table row count — DuckDB's SUMMARIZE for an
-    * arbitrary DataFrame. ONE global aggregate job computes all 4·n
-    * aggregates (partial → final, no shuffle of data rows — the shuffle
-    * carries a single aggregation buffer per partition), then a `stack`
-    * unpivots the 1×(4n+1) row to n rows. At 100 TB this is the shape a
-    * profiler must have: a single scan, no per-column jobs, no driver
-    * loop over columns.
+  /** Data profile: per column, min / max (rendered as strings so one
+    * result schema fits every column type), null count, distinct count,
+    * and the table row count — DuckDB's SUMMARIZE for an arbitrary
+    * DataFrame. A `stack` unpivots the 1×(4n+1) aggregate row to n rows.
     *
     * `exactDistinct = false` (the scale default) uses HLL
     * approx_count_distinct; `true` uses exact multi-DISTINCT (Spark
@@ -28,31 +23,77 @@ object Stats {
     * which cross-engine probes need because HLL sketches differ between
     * engines.
     *
-    * Plan note: the string columns' min/max give the aggregate a
-    * variable-width buffer, so Spark plans a SortAggregate — but with
-    * ZERO grouping keys that is a streaming one-pass aggregate with no
-    * actual sort; the price is interpreted (non-codegen) update calls.
-    * Splitting strings into a second HashAggregate pass would codegen
-    * both, at the cost of scanning twice — the wrong trade at 100 TB,
-    * where the scan dominates a profile job. */
+    * Plan shape: ONE mixed aggregate would carry the string columns'
+    * min/max in a variable-width buffer, forcing a SortAggregate whose
+    * per-row updates skip whole-stage codegen for EVERY column — at
+    * scale the interpreted update dominates. So the profile splits into
+    * two global aggregates joined by a 1-row × 1-row broadcast cross
+    * join:
+    *   - fixed-width columns (numeric / date / timestamp / boolean):
+    *     codegen HashAggregate;
+    *   - var-width columns: min/max via the custom
+    *     [[graft.functions.StringMinMax]] TypedImperativeAggregate, so
+    *     the branch plans as an ObjectHashAggregate (compiled
+    *     UTF8String.compareTo updates) instead of an interpreted
+    *     SortAggregate, and HLL sketches compose in the same operator.
+    * Parquet column pruning makes the two scans read DISJOINT column
+    * sets, so total I/O stays one pass over the table; each branch's
+    * shuffle carries a single aggregation buffer per partition. */
   def profile(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftaccess.Internals
+    import org.apache.spark.sql.types.{StringType, DataType => SqlType}
     val fields = df.schema.fields.toSeq
-    val aggs = fields.flatMap { f =>
-      val c = col(f.name)
-      Seq(
-        min(c).cast("string").as(s"${f.name}__min"),
-        max(c).cast("string").as(s"${f.name}__max"),
-        (count(lit(1)) - count(c)).as(s"${f.name}__nulls"),
-        (if (exactDistinct) count_distinct(c)
-         else approx_count_distinct(c)).as(s"${f.name}__distinct"))
-    } :+ count(lit(1)).as("__n")
+    def isFixedWidth(dt: SqlType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    def distinctOf(c: Column): Column =
+      if (exactDistinct) count_distinct(c) else approx_count_distinct(c)
+    val (fixed, varw) = fields.partition(f => isFixedWidth(f.dataType))
+    val branches = Seq(
+      Option.when(fixed.nonEmpty) {
+        val a = fixed.flatMap { f =>
+          val c = col(f.name)
+          Seq(min(c).cast("string").as(s"${f.name}__min"),
+            max(c).cast("string").as(s"${f.name}__max"),
+            (count(lit(1)) - count(c)).as(s"${f.name}__nulls"),
+            distinctOf(c).as(s"${f.name}__distinct"))
+        } :+ count(lit(1)).as("__n")
+        df.select(fixed.map(f => col(f.name)): _*).agg(a.head, a.tail: _*)
+      },
+      Option.when(varw.nonEmpty) {
+        val a = varw.flatMap { f =>
+          val c = col(f.name)
+          val mm = f.dataType match {
+            case StringType => Seq(Internals.column(
+              graft.functions.StringMinMax(Internals.expression(c))
+                .toAggregateExpression()).as(s"${f.name}__mm"))
+            // non-string var-width (binary, array, …): builtin min/max —
+            // rare in a profile target, accepted SortAggregate
+            case _ => Seq(min(c).cast("string").as(s"${f.name}__min"),
+              max(c).cast("string").as(s"${f.name}__max"))
+          }
+          mm ++ Seq((count(lit(1)) - count(c)).as(s"${f.name}__nulls"),
+            distinctOf(c).as(s"${f.name}__distinct"))
+        } :+ count(lit(1)).as(if (fixed.nonEmpty) "__n_vw" else "__n")
+        df.select(varw.map(f => col(f.name)): _*).agg(a.head, a.tail: _*)
+      }).flatten
+    val joined = branches.reduce((l, r) => l.crossJoin(broadcast(r)))
     val entries = fields.map { f =>
       val q = f.name.replace("`", "``")
-      s"'${f.name.replace("'", "''")}', `${q}__min`, `${q}__max`, " +
+      val (mnRef, mxRef) =
+        if (!isFixedWidth(f.dataType) && f.dataType == StringType)
+          (s"`${q}__mm`.mn", s"`${q}__mm`.mx")
+        else (s"`${q}__min`", s"`${q}__max`")
+      s"'${f.name.replace("'", "''")}', $mnRef, $mxRef, " +
         s"`${q}__nulls`, `${q}__distinct`, `__n`"
     }
-    df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${fields.size}, ${entries.mkString(", ")}) AS " +
+    joined.selectExpr(
+      s"stack(${fields.size}, ${entries.mkString(", ")}) AS " +
         "(column_name, min_value, max_value, null_count, n_distinct, n_rows)")
   }
 

@@ -63,10 +63,14 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("column_name").collect()
     assert(ap.map(r => (r.getString(0), r.getLong(4))).toSeq ==
       Seq(("n", 2L), ("s", 2L)))
-    // one aggregate pass: exactly one scan of the input in the plan
+    // width-split plan: at most one scan per width class (fixed-width /
+    // var-width — column-disjoint under parquet pruning), and the
+    // var-width branch routes through ObjectHashAggregate (StringMinMax),
+    // never an interpreted SortAggregate
     val plan = graft.operators.Stats.profile(df)
       .queryExecution.executedPlan.toString
-    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 1, plan)
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("SortAggregate"), plan)
   }
 
   test("HammingSigns kernel equals the zip_with HOF form; verify stage has no lambda") {
