@@ -86,11 +86,11 @@ final class Engine(root: SparkSession) {
         return lines.toDF("plan_with_metrics")
       case _ => ()
     }
-    val sql =
+    val sql = Engine.rewriteSimilarTo(
       if (InfoSchema.mentionsInfoSchema(st.sql)) {
         InfoSchema.refresh(st.session)
         InfoSchema.rewrite(st.sql)
-      } else st.sql
+      } else st.sql)
     if (st.params.nonEmpty) st.session.sql(sql, st.params.toArray[Any])
     else st.session.sql(sql)
   }
@@ -229,7 +229,7 @@ final class Engine(root: SparkSession) {
 
   /** DDL/DML/SET path: runs the statement, returns -1 (lib.rs:653). */
   def executeUpdate(token: String, sql: String): Long = {
-    session(token).sql(sql).collect()
+    session(token).sql(Engine.rewriteSimilarTo(sql)).collect()
     -1L
   }
 
@@ -251,5 +251,65 @@ final class Engine(root: SparkSession) {
     if (st == null) throw new IllegalArgumentException("unknown statement handle")
     st.touchedMs = System.currentTimeMillis()
     st
+  }
+}
+
+object Engine {
+
+  /** `[NOT] SIMILAR TO '<pattern>'` with a literal pattern, matched
+    * outside of any surrounding context — the shim's supported shape
+    * (no ESCAPE clause, no computed patterns). */
+  private val SimilarToRe =
+    "(?is)(NOT\\s+)?SIMILAR\\s+TO\\s+'((?:[^']|'')*)'".r
+
+  /** Rewrite SQL's `SIMILAR TO` (in the reference's grammar via
+    * sqlparser — iceberg-datafusion-arrow-flight consumes it through
+    * `ctx.sql`, lib.rs:678) into Spark's `RLIKE`. Spark has no SIMILAR
+    * TO; the operator is a full-string regex match over a pattern
+    * language that is POSIX regex EXCEPT:
+    *   - `%` / `_` are the LIKE wildcards (→ `.*` / `.`),
+    *   - `.` / `^` / `$` are literal characters (→ escaped),
+    *   - alternation/quantifiers/groups/bracket classes keep their
+    *     regex meaning, and the match is anchored at both ends.
+    * Literal-pattern occurrences only; applied in the Engine's
+    * prepare/plan path so every service entry point sees it. */
+  def rewriteSimilarTo(sql: String): String =
+    if (!sql.toLowerCase.contains("similar")) sql
+    else SimilarToRe.replaceAllIn(sql, m => {
+      val not = if (m.group(1) == null) "" else "NOT "
+      val rx = similarToRegex(m.group(2))
+      java.util.regex.Matcher.quoteReplacement(s"${not}RLIKE '$rx'")
+    })
+
+  /** SIMILAR TO pattern → anchored Java regex, escaped for a Spark SQL
+    * single-quoted literal (backslashes doubled — Spark's legacy literal
+    * parser processes `\x` escapes; doubled `''` pass through as the
+    * literal-quote encoding). */
+  private[engine] def similarToRegex(pattern: String): String = {
+    val raw = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (inClass) {
+        raw.append(c)
+        if (c == ']') inClass = false
+        i += 1
+      } else c match {
+        case '%' => raw.append(".*"); i += 1
+        case '_' => raw.append('.'); i += 1
+        case '[' => raw.append('['); inClass = true; i += 1
+        case '.' | '^' | '$' => raw.append('\\').append(c); i += 1
+        case '\\' if i + 1 < pattern.length =>
+          // SIMILAR TO escape: next char is literal
+          val n = pattern.charAt(i + 1)
+          if ("\\^$.|?*+()[]{}".indexOf(n.toInt) >= 0)
+            raw.append('\\').append(n)
+          else raw.append(n)
+          i += 2
+        case other => raw.append(other); i += 1
+      }
+    }
+    ("^(?:" + raw.toString + ")$").replace("\\", "\\\\")
   }
 }

@@ -9,6 +9,25 @@ import graft.Probe
 object Constructs {
   val probes: Seq[Probe] = Seq(
 
+    // SIMILAR TO — in the reference's grammar (sqlparser via ctx.sql,
+    // lib.rs:678); Spark has no such operator, so the Engine's
+    // prepare/plan path rewrites it to an anchored RLIKE
+    // (Engine.rewriteSimilarTo), exercised here directly. The oracle
+    // states the SQL-standard semantics (% → .*, _ → ., '.' literal,
+    // alternation/classes kept) as DuckDB's regex-flavored SIMILAR TO,
+    // validating the translation against an independent regex engine.
+    Probe.df("q_similar_to",
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name SIMILAR TO '.*(green|blue).*'
+        |   OR p_type SIMILAR TO '(STANDARD|SMALL) [A-Z].*'
+        |ORDER BY p_partkey""".stripMargin) { (s, _) =>
+      s.sql(graft.engine.Engine.rewriteSimilarTo(
+        """SELECT p_partkey, p_name, p_type FROM part
+          |WHERE p_name SIMILAR TO '%(green|blue)%'
+          |   OR p_type SIMILAR TO '(STANDARD|SMALL) [A-Z]%'
+          |ORDER BY p_partkey""".stripMargin))
+    },
+
     Probe.sql("q_cte",
       """WITH big_orders AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice

@@ -232,6 +232,35 @@ class EngineSpec extends AnyFunSuite {
       s"expected the documented rejection, got: ${e.getMessage.take(200)}")
   }
 
+  test("Decimal256 precision rejects with Spark's clean diagnostic " +
+      "(SURVEY §1.2: max precision 38 = Decimal128)") {
+    val e = intercept[Exception] {
+      engine.executeQuery(token, "SELECT CAST(1 AS DECIMAL(50, 2)) AS d")
+    }
+    assert(e.getMessage.contains("DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION"),
+      s"expected the max-precision rejection, got: ${e.getMessage.take(200)}")
+  }
+
+  test("SIMILAR TO rewrites to anchored RLIKE with SQL-standard semantics") {
+    def vals(sql: String): Seq[String] =
+      engine.executeQuery(token, sql)._2.map(_.getString(0)).toSeq
+    // % and _ are wildcards; the match is full-string
+    assert(vals("SELECT v FROM VALUES ('abc'),('a.c'),('axcy'),('ac') AS " +
+      "t(v) WHERE v SIMILAR TO 'a%c' ORDER BY v") == Seq("a.c", "abc", "ac"))
+    // '.' is a LITERAL character, unlike a bare regex
+    assert(vals("SELECT v FROM VALUES ('abc'),('a.c') AS t(v) " +
+      "WHERE v SIMILAR TO 'a.c'") == Seq("a.c"))
+    // alternation, bracket classes, _ keep their meaning; NOT negates
+    assert(vals("SELECT v FROM VALUES ('grape'),('green'),('bloke'),('glue') " +
+      "AS t(v) WHERE v SIMILAR TO '(gr|bl)[a-u]_e' ORDER BY v") ==
+      Seq("bloke", "grape"))
+    assert(vals("SELECT v FROM VALUES ('abc'),('xyz') AS t(v) " +
+      "WHERE v NOT SIMILAR TO '%b%'") == Seq("xyz"))
+    // text without the operator is untouched
+    assert(Engine.rewriteSimilarTo("SELECT 'SIMILAR' AS s") ==
+      "SELECT 'SIMILAR' AS s")
+  }
+
   test("fetchArrow returns a readable Arrow IPC stream (lib.rs:288-295)") {
     val (h, _) = engine.prepare(token,
       "SELECT id, concat('n', CAST(id AS STRING)) AS name FROM range(5)")
