@@ -67,6 +67,9 @@ object SparkEntry {
     // q_fingerprint_overlap is deliberately NOT here: on this
     // tiny-vocabulary synthetic corpus single-fingerprint blocking is
     // non-selective (see BASELINE.md round-5 notes); it remains a
-    // correctness-tier probe, with minhash-LSH as the benched scale path.
-    "q_join_interval", "q_tfidf", "q_tokenize_bpe")
+    // correctness-tier probe. The BENCHED copy-detection path is the
+    // round-6 band-of-2 variant, whose paired-fingerprint buckets stay
+    // selective on exactly this corpus.
+    "q_join_interval", "q_tfidf", "q_tokenize_bpe",
+    "q_fingerprint_overlap_banded")
 }

@@ -58,14 +58,52 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Banded blocking keys for winnowed copy detection: the document's
+  * POSITIONAL winnow sequence (window minima in text order, consecutive
+  * duplicates collapsed), taken as adjacent pairs and encoded
+  * `h1 * Mod + h2` (both < 2^30, so the product fits a long losslessly).
+  *
+  * Blocking on a pair of consecutive fingerprints instead of one
+  * SQUARES the selectivity: a bucket key now needs a shared ~k+w·2-char
+  * passage, which de-ubiquitizes low-entropy corpora where single
+  * k-grams blanket every document (the measured q_fingerprint_overlap
+  * blowup, BASELINE.md round-5). Recall provably drops only for copied
+  * passages shorter than two winnow windows — those never produce two
+  * consecutive shared minima. */
+case class WinnowPairKeys(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, "winnow needs k >= 2, w >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_pair_keys expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.computePairs(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.WinnowFingerprints.computePairs($in, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "winnow_pair_keys"
+}
+
 object WinnowFingerprints {
   final val Base = 257L
   final val Mod = 1000000007L
 
-  /** Static helper (NOT named `eval` — see TextStatsKernel's codegen
-    * note): rolling k-gram hashes + deque window minima + distinct sort. */
-  def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
-    // Code points, matching DuckDB unicode(substr(t, i, 1)) indexing.
+  private val Empty = Array.empty[Long]
+
+  /** Rolling k-gram Rabin–Karp hashes over the text's code points
+    * (matching DuckDB unicode(substr(t, i, 1)) indexing); empty when the
+    * text is shorter than k. */
+  private def rollingHashes(text: UTF8String, k: Int): Array[Long] = {
     val s = text.toString
     val n = s.codePointCount(0, s.length)
     val cps = new Array[Int](n)
@@ -77,7 +115,7 @@ object WinnowFingerprints {
       off += Character.charCount(cp)
     }
     val m = n - k + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    if (m <= 0) return Empty
 
     // pw = B^(k-1) mod P for the rolling drop term.
     var pwTop = 1L
@@ -95,32 +133,70 @@ object WinnowFingerprints {
       hashes(i) = h
       i += 1
     }
+    hashes
+  }
 
-    val selected = new java.util.HashSet[Long](m / w + 8)
+  /** The positional winnow sequence: each window's minimum hash in text
+    * order, CONSECUTIVE duplicates collapsed (the same monotonic-deque
+    * minima [[compute]] selects, before set-dedup). */
+  private def minimaSequence(hashes: Array[Long], w: Int): Array[Long] = {
+    val m = hashes.length
+    if (m == 0) return Empty
     if (m <= w) {
       var min = hashes(0)
-      i = 1
+      var i = 1
       while (i < m) { if (hashes(i) < min) min = hashes(i); i += 1 }
-      selected.add(min)
-    } else {
-      // Monotonic deque of indices with increasing hash values.
-      val deque = new Array[Int](m)
-      var head = 0
-      var tail = 0 // exclusive
-      i = 0
-      while (i < m) {
-        while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
-        deque(tail) = i; tail += 1
-        if (deque(head) <= i - w) head += 1
-        if (i >= w - 1) selected.add(hashes(deque(head)))
-        i += 1
-      }
+      return Array(min)
     }
-    val out = new Array[Long](selected.size)
-    val it = selected.iterator()
+    val seq = new Array[Long](m)
+    var sl = 0
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < m) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val v = hashes(deque(head))
+        if (sl == 0 || seq(sl - 1) != v) { seq(sl) = v; sl += 1 }
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(seq, sl)
+  }
+
+  private def toSortedDistinctArrayData(vs: Array[Long]): GenericArrayData = {
+    val set = new java.util.HashSet[Long](vs.length * 2 + 8)
+    var i = 0
+    while (i < vs.length) { set.add(vs(i)); i += 1 }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     java.util.Arrays.sort(out)
     new GenericArrayData(out.map(v => v: Any))
+  }
+
+  /** Static helper (NOT named `eval` — see TextStatsKernel's codegen
+    * note): rolling k-gram hashes + deque window minima + distinct sort. */
+  def compute(text: UTF8String, k: Int, w: Int): GenericArrayData =
+    toSortedDistinctArrayData(minimaSequence(rollingHashes(text, k), w))
+
+  /** Sorted distinct `h1 * Mod + h2` keys over ADJACENT entries of the
+    * positional winnow sequence — the band-of-2 blocking keys
+    * ([[WinnowPairKeys]]). Documents shorter than two windows yield an
+    * empty key set. */
+  def computePairs(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val seq = minimaSequence(rollingHashes(text, k), w)
+    if (seq.length < 2) return new GenericArrayData(Array.empty[Any])
+    val pairs = new Array[Long](seq.length - 1)
+    var i = 0
+    while (i < seq.length - 1) {
+      pairs(i) = seq(i) * Mod + seq(i + 1)
+      i += 1
+    }
+    toSortedDistinctArrayData(pairs)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftaccess.Internals
 
-import graft.functions.WinnowFingerprints
+import graft.functions.{WinnowFingerprints, WinnowPairKeys}
 
 /** Local document fingerprinting (winnowing) and fingerprint-overlap
   * copy detection — the MOSS pipeline as Spark relational algebra.
@@ -75,6 +75,70 @@ object Fingerprint {
       .where(col("jac") >= minJaccard)
   }
 
+  /** Band-of-2 variant of [[overlapPairs]] — the SCALE path on
+    * low-entropy corpora. Blocking key = a pair of CONSECUTIVE positional
+    * winnow fingerprints ([[graft.functions.WinnowPairKeys]]): candidate
+    * generation selectivity squares (a shared bucket needs a shared
+    * two-window passage, not one ubiquitous k-gram), then candidates are
+    * verified EXACTLY against the full fingerprint sets via one sorted
+    * array intersection per pair — same output columns and same Jaccard
+    * arithmetic as [[overlapPairs]], so verified pairs hash-match it.
+    * Recall loss is confined to copied passages shorter than two winnow
+    * windows (< k + 2w − 1 chars), which never yield two consecutive
+    * shared minima; on the sf0.01 corpus the banded candidates recover
+    * the full 25-pair planted truth set (FingerprintSpec pins subset +
+    * equality there).
+    *
+    * Two measured guards keep the candidate step subquadratic on
+    * low-entropy corpora (BASELINE.md round-6):
+    *   - `maxDocFreq` caps a pair-key bucket's document count (the same
+    *     fused-window guard [[overlapPairs]] uses — it rides the
+    *     candidate join's own bk-partitioning, zero extra exchanges):
+    *     keys in more documents than the cap are boilerplate, and
+    *     boilerplate buckets are where candidates go quadratic.
+    *   - `minKeys` requires a candidate pair to collide in at least
+    *     that many SURVIVING pair keys before the exact verify runs
+    *     (multi-collision, as in multi-band LSH).
+    * Measured on the synthetic corpus at sf0.1: cap 20 alone shrinks
+    * the candidate join 40× (92.6M → 2.2M rows); minKeys 2 cuts
+    * verified pairs a further 5.6× (819k → 146k); the jaccard ≥ 0.5
+    * truth set is fully recovered at both sf0.01 (25/25) and sf0.1
+    * (256/256) — its pairs all share ≥ 3 surviving keys, so both
+    * guards hold with margin. True near-dups always share rare pair
+    * keys too. */
+  def overlapPairsBanded(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minJaccard: Double = 0.5,
+      maxDocFreq: Int = 20, minKeys: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"),
+      winnow(col(textCol), k, w).as("fps"),
+      Internals.column(WinnowPairKeys(
+        Internals.expression(col(textCol)), k, w)).as("keys"))
+    val fps = base.select(col("id"), col("fps"), size(col("fps")).as("m"))
+    val e = base.select(col("id"), explode(col("keys")).as("bk"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("bk")))
+      .where(col("__df") <= maxDocFreq).drop("__df")
+    val cand = e.select(col("id").as("d1"), col("bk"))
+      .join(e.select(col("id").as("d2"), col("bk")), Seq("bk"))
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("__nk"))
+      .where(col("__nk") >= minKeys)
+      .select("d1", "d2")
+    cand
+      .join(fps.select(col("id").as("d1"), col("fps").as("fps1"),
+        col("m").as("m1")), Seq("d1"))
+      .join(fps.select(col("id").as("d2"), col("fps").as("fps2"),
+        col("m").as("m2")), Seq("d2"))
+      .withColumn("shared",
+        size(array_intersect(col("fps1"), col("fps2"))).cast("bigint"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("m1") + col("m2") - col("shared")))
+      .where(col("jac") >= minJaccard)
+      .select(col("d1"), col("d2"), col("shared"),
+        col("m1").cast("bigint").as("m1"), col("m2").cast("bigint").as("m2"),
+        col("jac"))
+  }
+
   /** DuckDB CTE replaying the kernel's exact integer math (validated
     * against the kernel in FingerprintSpec; FIXTURES.md conventions).
     * Yields relation f(id, fps). */
@@ -103,6 +167,47 @@ object Fingerprint {
       k: Int = 8, w: Int = 4): String =
     s"""WITH ${oracleFpsCte(table, idCol, textCol, k, w)}
        |SELECT id AS $idCol, fps FROM f ORDER BY $idCol""".stripMargin
+
+  /** Full oracle for [[overlapPairsBanded]]: replays the positional
+    * minima sequence, the consecutive-dedup, the `h1·P + h2` pair keys,
+    * the pair-key candidate join, AND the exact set-intersection verify —
+    * every stage of the banded operator, not just its final answer. */
+  def overlapBandedOracleSql(table: String, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minJaccard: Double = 0.5,
+      maxDocFreq: Int = 20, minKeys: Int = 2): String = {
+    val P = WinnowFingerprints.Mod
+    s"""WITH ${oracleFpsCte(table, idCol, textCol, k, w)},
+       |sq AS (SELECT id,
+       |  CASE WHEN len(hh) = 0 THEN []::BIGINT[]
+       |       WHEN len(hh) <= $w THEN [list_min(hh)]
+       |       ELSE [ list_min(hh[CAST(i AS INT) : CAST(i AS INT)+${w - 1}])
+       |              for i in range(1, len(hh) - $w + 2) ]
+       |  END AS s FROM h),
+       |sq2 AS (SELECT id,
+       |  [ s[CAST(i AS INT)] for i in range(1, len(s)+1)
+       |    if i = 1 OR s[CAST(i AS INT)] != s[CAST(i AS INT)-1] ] AS s
+       |  FROM sq),
+       |pk0 AS MATERIALIZED (SELECT id, unnest(list_distinct(
+       |  [ s[CAST(i AS INT)] * $P + s[CAST(i AS INT)+1]
+       |    for i in range(1, len(s)) ])) AS bk FROM sq2),
+       |fr AS (SELECT bk FROM pk0 GROUP BY bk
+       |       HAVING count(*) <= $maxDocFreq),
+       |pk AS (SELECT pk0.id, pk0.bk FROM pk0 JOIN fr USING (bk)),
+       |cand AS (SELECT a.id AS d1, b.id AS d2
+       |         FROM pk a JOIN pk b ON a.bk = b.bk AND a.id < b.id
+       |         GROUP BY 1, 2 HAVING count(*) >= $minKeys),
+       |v AS (SELECT d1, d2,
+       |        CAST(len(list_intersect(fa.fps, fb.fps)) AS BIGINT) AS shared,
+       |        CAST(len(fa.fps) AS BIGINT) AS m1,
+       |        CAST(len(fb.fps) AS BIGINT) AS m2
+       |      FROM cand JOIN f fa ON fa.id = cand.d1
+       |                JOIN f fb ON fb.id = cand.d2)
+       |SELECT d1, d2, shared, m1, m2,
+       |  CAST(shared AS DOUBLE)/(m1 + m2 - shared) AS jac
+       |FROM v
+       |WHERE CAST(shared AS DOUBLE)/(m1 + m2 - shared) >= $minJaccard
+       |ORDER BY d1, d2""".stripMargin
+  }
 
   /** Full oracle for [[overlapPairs]] (no doc-freq guard — the guard is
     * plan-shape machinery, spec-forced in FingerprintSpec). */

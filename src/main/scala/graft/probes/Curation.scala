@@ -272,6 +272,18 @@ object Curation {
           col("m1").cast("bigint").as("m1"),
           col("m2").cast("bigint").as("m2"), col("jac"))
         .orderBy("d1", "d2")
+    },
+
+    // Band-of-2 blocking variant — the scale path for low-entropy
+    // corpora where single-fingerprint buckets go ubiquitous (this IS
+    // the benched one; see BASELINE.md). Oracle replays candidate
+    // generation AND the set-intersection verify.
+    Probe.df("q_fingerprint_overlap_banded",
+      Fingerprint.overlapBandedOracleSql("documents", "doc_id", "text")) {
+      (s, dir) =>
+      Fingerprint.overlapPairsBanded(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("d1", "d2")
     }
   )
 }

@@ -70,6 +70,44 @@ class FingerprintSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("banded overlap: candidates verify to the same pairs as the full " +
+      "self-join when passages span two windows") {
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet hills far away from the noisy city tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra trailing words appended"),
+      (3L, "completely disjoint content speaking of spark catalyst " +
+        "optimizer rules and tungsten memory format internals only"),
+      (4L, "another unrelated body of text about parquet row groups " +
+        "and column chunk statistics in footers for pruning")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "shared", "m1", "m2")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val full = rows(Fingerprint.overlapPairs(docs, "doc_id", "text")
+      .select(col("d1"), col("d2"), col("shared"),
+        col("m1").cast("bigint").as("m1"), col("m2").cast("bigint").as("m2")))
+    val banded = rows(Fingerprint.overlapPairsBanded(docs, "doc_id", "text"))
+    assert(banded == full && full.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
+  test("banded overlap misses only sub-two-window passages (recall bound)") {
+    // an 11-char shared passage (= k+w-1): guaranteed ONE shared
+    // fingerprint, but never two consecutive shared minima — the banded
+    // candidate step is allowed to (and here does) skip it
+    val passage = "zqxwvutsrqp" // 11 chars, k=8 w=4
+    val docs = Seq(
+      (1L, "left context here " + passage + " and a tail"),
+      (2L, "totally other prefix " + passage + " different end")
+    ).toDF("doc_id", "text")
+    val full = Fingerprint.overlapPairs(docs, "doc_id", "text",
+      minJaccard = 0.01)
+    val banded = Fingerprint.overlapPairsBanded(docs, "doc_id", "text",
+      minJaccard = 0.01)
+    assert(full.count() == 1 && banded.count() == 0)
+  }
+
   test("maxDocFreq guard drops ubiquitous fingerprints without new exchanges") {
     // A boilerplate passage shared by ALL docs: with the guard at
     // cap < 4 its fingerprints vanish, so no pair survives jaccard 0.5.
