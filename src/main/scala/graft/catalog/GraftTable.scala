@@ -41,7 +41,7 @@ class GraftTable(
     props: Map[String, String],
     pinned: Option[Snapshots.Snap]) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
   private def dataDir: Path = tableDir.resolve("data")
@@ -100,8 +100,26 @@ class GraftTable(
 
   // --- read -------------------------------------------------------------
 
+  /** `_file` (Iceberg-parity): the absolute path of the data file each
+    * row was read from. Served by
+    * [[org.apache.spark.sql.graftaccess.FileTaggedScans]] — queries that
+    * don't reference it keep the untouched delegate plan. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String =
+        org.apache.spark.sql.graftaccess.FileTaggedScans.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the data file the row was read from"
+    })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    readDelegate.newScanBuilder(options)
+    new org.apache.spark.sql.graftaccess.FileTaggedScans.Builder(
+      readDelegate.newScanBuilder(options),
+      () => visibleFiles.map(f =>
+        f -> delegateFor(Seq(f)).newScanBuilder(options)))
 
   // --- write (V1 fallback: full commit control, still distributed) ------
 
