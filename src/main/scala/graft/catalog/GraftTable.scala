@@ -100,26 +100,35 @@ class GraftTable(
 
   // --- read -------------------------------------------------------------
 
+  /** A real data column named `_file` shadows the metadata column
+    * (Spark resolves metadata columns LAST, but this table's scan
+    * wrapper keys on the name — safest to disable the path entirely and
+    * serve the data column untouched). */
+  private def fileColShadowed: Boolean = declaredSchema.fieldNames
+    .contains(org.apache.spark.sql.graftaccess.FileTaggedScans.FileCol)
+
   /** `_file` (Iceberg-parity): the absolute path of the data file each
     * row was read from. Served by
     * [[org.apache.spark.sql.graftaccess.FileTaggedScans]] — queries that
     * don't reference it keep the untouched delegate plan. */
-  override def metadataColumns(): Array[MetadataColumn] = Array(
-    new MetadataColumn {
-      override def name(): String =
-        org.apache.spark.sql.graftaccess.FileTaggedScans.FileCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "absolute path of the data file the row was read from"
-    })
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (fileColShadowed) Array.empty
+    else Array(
+      new MetadataColumn {
+        override def name(): String =
+          org.apache.spark.sql.graftaccess.FileTaggedScans.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "absolute path of the data file the row was read from"
+      })
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new org.apache.spark.sql.graftaccess.FileTaggedScans.Builder(
-      readDelegate.newScanBuilder(options),
-      () => visibleFiles.map(f =>
-        f -> delegateFor(Seq(f)).newScanBuilder(options)))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val delegate = readDelegate.newScanBuilder(options)
+    if (fileColShadowed) delegate
+    else new org.apache.spark.sql.graftaccess.FileTaggedScans.Builder(delegate)
+  }
 
   // --- write (V1 fallback: full commit control, still distributed) ------
 

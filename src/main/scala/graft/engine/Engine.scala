@@ -256,11 +256,14 @@ final class Engine(root: SparkSession) {
 
 object Engine {
 
-  /** `[NOT] SIMILAR TO '<pattern>'` with a literal pattern, matched
-    * outside of any surrounding context — the shim's supported shape
-    * (no ESCAPE clause, no computed patterns). */
-  private val SimilarToRe =
-    "(?is)(NOT\\s+)?SIMILAR\\s+TO\\s+'((?:[^']|'')*)'".r
+  /** `[NOT] SIMILAR TO '<pattern>'` with a literal pattern — the shim's
+    * supported shape (no ESCAPE clause, no computed patterns). Anchored
+    * at the scan position via `lookingAt`. */
+  private val SimilarToRe = java.util.regex.Pattern.compile(
+    "(?is)(NOT\\s+)?SIMILAR\\s+TO\\s+'((?:[^']|'')*)'")
+
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
 
   /** Rewrite SQL's `SIMILAR TO` (in the reference's grammar via
     * sqlparser — iceberg-datafusion-arrow-flight consumes it through
@@ -272,14 +275,60 @@ object Engine {
     *   - alternation/quantifiers/groups/bracket classes keep their
     *     regex meaning, and the match is anchored at both ends.
     * Literal-pattern occurrences only; applied in the Engine's
-    * prepare/plan path so every service entry point sees it. */
-  def rewriteSimilarTo(sql: String): String =
-    if (!sql.toLowerCase.contains("similar")) sql
-    else SimilarToRe.replaceAllIn(sql, m => {
-      val not = if (m.group(1) == null) "" else "NOT "
-      val rx = similarToRegex(m.group(2))
-      java.util.regex.Matcher.quoteReplacement(s"${not}RLIKE '$rx'")
-    })
+    * prepare/plan path so every service entry point sees it.
+    *
+    * The scan is quote/comment-aware: string literals (`'…''…'`),
+    * quoted identifiers (`"…"`, backticks), `--` line comments and
+    * `/* */` block comments are copied verbatim, so `SIMILAR TO` text
+    * INSIDE them is never rewritten — only the keyword occurrence in
+    * actual SQL position is. */
+  def rewriteSimilarTo(sql: String): String = {
+    if (sql.toLowerCase(java.util.Locale.ROOT).indexOf("similar") < 0)
+      return sql
+    val n = sql.length
+    // java.lang.StringBuilder: the 3-arg subsequence append (Scala's
+    // would auto-tuple a 3-arg call into append(Any))
+    val out = new java.lang.StringBuilder(n + 16)
+    val m = SimilarToRe.matcher(sql)
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' | '"' | '`' =>
+          // literal / quoted identifier: copy verbatim (doubled-quote
+          // escapes stay inside the span)
+          var j = i + 1
+          var done = false
+          while (!done && j < n) {
+            if (sql.charAt(j) == c) {
+              if (j + 1 < n && sql.charAt(j + 1) == c) j += 2 else done = true
+            } else j += 1
+          }
+          val end = math.min(j + 1, n)
+          out.append(sql, i, end); i = end
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          var j = i + 2
+          while (j < n && sql.charAt(j) != '\n') j += 1
+          out.append(sql, i, j); i = j
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          val close = sql.indexOf("*/", i + 2)
+          val end = if (close < 0) n else close + 2
+          out.append(sql, i, end); i = end
+        case 'n' | 'N' | 's' | 'S'
+            if (i == 0 || !isWordChar(sql.charAt(i - 1))) => {
+          m.region(i, n)
+          if (m.lookingAt()) {
+            val not = if (m.group(1) == null) "" else "NOT "
+            val rx = similarToRegex(m.group(2))
+            out.append(s"${not}RLIKE '$rx'")
+            i = m.end()
+          } else { out.append(c); i += 1 }
+        }
+        case other => out.append(other); i += 1
+      }
+    }
+    out.toString
+  }
 
   /** SIMILAR TO pattern → anchored Java regex, escaped for a Spark SQL
     * single-quoted literal (backslashes doubled — Spark's legacy literal
@@ -289,16 +338,31 @@ object Engine {
     val raw = new StringBuilder
     var i = 0
     var inClass = false
+    // true right after `[` or `[^` — a `]` there is the POSIX literal-`]`
+    // form (`[]]`), which Java regex needs escaped
+    var classOpening = false
     while (i < pattern.length) {
       val c = pattern.charAt(i)
       if (inClass) {
-        raw.append(c)
-        if (c == ']') inClass = false
-        i += 1
+        if (c == '\\' && i + 1 < pattern.length) {
+          // escaped char inside the class stays escaped (an escaped `]`
+          // must NOT close the class)
+          raw.append('\\').append(pattern.charAt(i + 1))
+          classOpening = false
+          i += 2
+        } else {
+          if (c == ']') {
+            if (classOpening) raw.append("\\]")
+            else { raw.append(']'); inClass = false }
+          } else raw.append(c)
+          classOpening = classOpening && c == '^'
+          i += 1
+        }
       } else c match {
         case '%' => raw.append(".*"); i += 1
         case '_' => raw.append('.'); i += 1
-        case '[' => raw.append('['); inClass = true; i += 1
+        case '[' =>
+          raw.append('['); inClass = true; classOpening = true; i += 1
         case '.' | '^' | '$' => raw.append('\\').append(c); i += 1
         case '\\' if i + 1 < pattern.length =>
           // SIMILAR TO escape: next char is literal

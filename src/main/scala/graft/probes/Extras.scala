@@ -241,6 +241,25 @@ object Extras {
           (mm.getDouble(2), mm.getDouble(3))), 8)
       li.select(col("l_orderkey"), col("l_linenumber"), zk.as("zkey"))
         .orderBy("l_orderkey", "l_linenumber", "zkey")
+    },
+
+    // Iceberg-parity `_file` metadata column through the graft catalog
+    // (GraftTable + FileTaggedScans): rows tagged with their source data
+    // file inside ONE delegate scan — rows-only (paths are
+    // run-dependent); CatalogV2Spec pins the exact semantics.
+    Probe.noOracle("q_file_metadata") { (s, dir) =>
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.fmeta")
+      s.sql("CREATE TABLE gprobe.db.fmeta (k INT, name STRING)")
+      s.sql("INSERT INTO gprobe.db.fmeta " +
+        "SELECT CAST(r_regionkey AS INT), r_name FROM region")
+      s.sql("INSERT INTO gprobe.db.fmeta VALUES (99, 'extra')")
+      s.sql("""SELECT count(DISTINCT _file) AS n_files,
+               count(*) AS n_rows FROM gprobe.db.fmeta""")
     }
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,10 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - when `_file` is NOT referenced, `build()` returns the untouched
   *    delegate scan — identical plan, every pushdown intact (pruning,
   *    filters, aggregates all forward to the delegate builder);
-  *  - when it IS referenced, the scan re-plans as one delegate scan PER
-  *    FILE (recorded pruning/filters replayed onto each), and each
-  *    file's partitions are tagged with that file's path; readers append
-  *    the constant as a trailing string column. Row-based readers only —
+  *  - when it IS referenced, the ONE delegate scan is planned normally
+  *    and its `FilePartition`s are re-grouped so each input partition
+  *    reads a single file (a split file stays split — several
+  *    partitions, same tag); readers append that partition's file path
+  *    as a constant trailing string column. Planning stays O(one scan)
+  *    on the driver — Iceberg serves `_file` the same way, as a
+  *    per-split constant inside a single scan. Row-based readers only —
   *    an introspection scan trades the vectorized path for the tag.
   *
   * Lives under `org.apache.spark.sql` because the delegate's filter
@@ -30,40 +34,31 @@ import org.apache.spark.unsafe.types.UTF8String
 object FileTaggedScans {
   val FileCol = "_file"
 
-  /** `perFile`: lazily builds (absoluteFilePath, per-file ScanBuilder)
-    * pairs — only invoked when `_file` is actually requested. */
-  final class Builder(
-      plain: ScanBuilder,
-      perFile: () => Seq[(String, ScanBuilder)])
+  final class Builder(plain: ScanBuilder)
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with SupportsPushDownCatalystFilters
       with SupportsPushDownAggregates {
 
     private var wantFile = false
-    private var prunedData: Option[StructType] = None
-    private var filters: Seq[Expression] = Nil
 
     override def pruneColumns(requiredSchema: StructType): Unit = {
       wantFile = requiredSchema.fieldNames.contains(FileCol)
       val dataOnly = StructType(requiredSchema.filterNot(_.name == FileCol))
-      prunedData = Some(dataOnly)
       plain match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(dataOnly)
         case _ => ()
       }
     }
 
-    override def pushFilters(fs: Seq[Expression]): Seq[Expression] = {
-      filters = fs
+    override def pushFilters(fs: Seq[Expression]): Seq[Expression] =
       plain match {
         case p: SupportsPushDownCatalystFilters => p.pushFilters(fs)
         case _ => fs
       }
-    }
 
-    override def pushedFilters(): Array[Predicate] = plain match {
-      case p: SupportsPushDownCatalystFilters => p.pushedFilters()
+    override def pushedFilters: Array[Predicate] = plain match {
+      case p: SupportsPushDownCatalystFilters => p.pushedFilters
       case _ => Array.empty
     }
 
@@ -82,60 +77,65 @@ object FileTaggedScans {
         case _ => false
       }
 
-    override def build(): Scan =
-      if (!wantFile) plain.build()
-      else {
-        val scans = perFile().map { case (file, b) =>
-          (prunedData, b) match {
-            case (Some(s), p: SupportsPushDownRequiredColumns) =>
-              p.pruneColumns(s)
-            case _ => ()
-          }
-          b match {
-            case p: SupportsPushDownCatalystFilters if filters.nonEmpty =>
-              p.pushFilters(filters)
-            case _ => ()
-          }
-          (file, b.build())
-        }
-        new TaggedScan(scans, prunedData.getOrElse(new StructType()))
-      }
+    override def build(): Scan = {
+      val scan = plain.build()
+      if (wantFile) new TaggedScan(scan) else scan
+    }
   }
 
-  private final class TaggedScan(scans: Seq[(String, Scan)],
-      fallbackData: StructType) extends Scan with Batch {
-    override def readSchema(): StructType = {
-      // empty snapshot: no per-file scan to ask — the pruned data schema
-      // is what the plan expects ahead of the tag column
-      val data = scans.headOption.map(_._2.readSchema()).getOrElse(fallbackData)
-      StructType(data.fields :+ StructField(FileCol, StringType,
-        nullable = false))
-    }
+  private final class TaggedScan(delegate: Scan) extends Scan with Batch {
+    override def readSchema(): StructType =
+      StructType(delegate.readSchema().fields :+
+        StructField(FileCol, StringType, nullable = false))
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-file-tagged(${scans.length} files)"
+      s"graft-file-tagged(${delegate.description()})"
 
-    override def planInputPartitions(): Array[InputPartition] =
-      scans.zipWithIndex.flatMap { case ((file, s), i) =>
-        s.toBatch.planInputPartitions().map(p => TaggedPartition(p, file, i))
-      }.toArray
+    /** Re-group the delegate's partitions so each reads ONE file: a
+      * `FilePartition` packing several small files splits into one
+      * partition per file (order preserved). Non-file partitions (an
+      * empty-scan placeholder, say) pass through with an empty tag. */
+    override def planInputPartitions(): Array[InputPartition] = {
+      val out = Array.newBuilder[InputPartition]
+      var idx = 0
+      delegate.toBatch.planInputPartitions().foreach {
+        case fp: FilePartition =>
+          // one partition per contiguous run of same-file splits
+          var run = Vector.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]
+          def flush(): Unit = if (run.nonEmpty) {
+            val path = run.head.filePath.toPath.toString
+            out += TaggedPartition(FilePartition(idx, run.toArray), path)
+            idx += 1
+            run = Vector.empty
+          }
+          fp.files.foreach { f =>
+            if (run.nonEmpty && run.head.filePath != f.filePath) flush()
+            run :+= f
+          }
+          flush()
+        case other =>
+          out += TaggedPartition(other, ""); idx += 1
+      }
+      out.result()
+    }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new TaggedReaderFactory(
-        scans.map(_._2.toBatch.createReaderFactory()).toArray)
+      new TaggedReaderFactory(delegate.toBatch.createReaderFactory())
   }
 
   private final case class TaggedPartition(
-      inner: InputPartition, file: String, scanIdx: Int)
-      extends InputPartition
+      inner: InputPartition, file: String) extends InputPartition {
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
 
   private final class TaggedReaderFactory(
-      inner: Array[PartitionReaderFactory]) extends PartitionReaderFactory {
+      inner: PartitionReaderFactory) extends PartitionReaderFactory {
     override def supportColumnarReads(p: InputPartition): Boolean = false
     override def createReader(
         p: InputPartition): PartitionReader[InternalRow] = {
       val tp = p.asInstanceOf[TaggedPartition]
-      val r = inner(tp.scanIdx).createReader(tp.inner)
+      val r = inner.createReader(tp.inner)
       val tag = new GenericInternalRow(
         Array[Any](UTF8String.fromString(tp.file)))
       val joined = new JoinedRow

@@ -618,4 +618,40 @@ class CatalogV2Spec extends AnyFunSuite {
     assert((before intersect after).size == 2,
       s"expected 2 surviving files, before=$before after=$after")
   }
+
+  test("_file metadata column tags rows with their source file, in ONE scan") {
+    spark.sql("CREATE TABLE g2.db.ftag (a INT)")
+    spark.sql("INSERT INTO g2.db.ftag VALUES (1), (2)")
+    spark.sql("INSERT INTO g2.db.ftag VALUES (3)")
+    val df = spark.sql("SELECT a, _file FROM g2.db.ftag")
+    // ONE scan node — `_file` must not fork the plan per data file
+    val planStr = df.queryExecution.executedPlan.toString
+    assert("BatchScan".r.findAllIn(planStr).size == 1, planStr)
+    val rows = df.collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.length == 3)
+    assert(rows.forall(_._2.endsWith(".parquet")), rows.mkString(", "))
+    // a row's tag matches the .files inventory by file name
+    val inv = spark.sql("SELECT file_path FROM g2.db.ftag.files").collect()
+      .map(r => new java.io.File(r.getString(0)).getName).toSet
+    assert(rows.map(t => new java.io.File(t._2).getName).toSet.subsetOf(inv))
+    // the two INSERTs never share a file
+    val f3 = rows.find(_._1 == 3).get._2
+    val inF3 = rows.filter(_._2 == f3).map(_._1).toSet
+    assert(inF3.contains(3) && !inF3.contains(1) && !inF3.contains(2))
+    // combines with a filter; equality over the tag works
+    val filtered = spark.sql("SELECT _file FROM g2.db.ftag WHERE a = 3")
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered == Seq(f3))
+    // without `_file` the untouched delegate plan serves the scan
+    val plain = spark.sql("SELECT a FROM g2.db.ftag")
+      .queryExecution.executedPlan.toString
+    assert(!plain.contains("graft-file-tagged"), plain)
+  }
+
+  test("a real data column named _file shadows the metadata column") {
+    spark.sql("CREATE TABLE g2.db.fshadow (a INT, `_file` STRING)")
+    spark.sql("INSERT INTO g2.db.fshadow VALUES (1, 'data-val')")
+    assert(spark.sql("SELECT _file FROM g2.db.fshadow").collect()
+      .map(_.getString(0)).toSeq == Seq("data-val"))
+  }
 }

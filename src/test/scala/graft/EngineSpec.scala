@@ -261,6 +261,43 @@ class EngineSpec extends AnyFunSuite {
       "SELECT 'SIMILAR' AS s")
   }
 
+  test("SIMILAR TO rewrite is literal-, identifier- and comment-aware") {
+    // operator text INSIDE a string literal passes through unchanged
+    val lit = "SELECT 'a SIMILAR TO ''b''' AS s"
+    assert(Engine.rewriteSimilarTo(lit) == lit)
+    val lineC = "SELECT 1 AS x -- note: SIMILAR TO 'y' here\nFROM t"
+    assert(Engine.rewriteSimilarTo(lineC) == lineC)
+    val blockC = "SELECT 1 AS x /* v SIMILAR TO 'y' */ FROM t"
+    assert(Engine.rewriteSimilarTo(blockC) == blockC)
+    val quotedId = "SELECT \"v SIMILAR TO 'y'\" FROM t"
+    assert(Engine.rewriteSimilarTo(quotedId) == quotedId)
+    // a REAL operator after a literal containing the text still rewrites
+    val mixed = Engine.rewriteSimilarTo(
+      "SELECT v FROM t WHERE note = 'x SIMILAR TO y' AND v SIMILAR TO 'a%'")
+    assert(mixed.contains("note = 'x SIMILAR TO y'"), mixed)
+    assert(mixed.contains("RLIKE") && !mixed.toLowerCase.endsWith("'a%'"), mixed)
+    // word boundary: `dissimilar` is not the keyword
+    val wb = Engine.rewriteSimilarTo("SELECT dissimilar FROM t WHERE v SIMILAR TO 'a'")
+    assert(wb.startsWith("SELECT dissimilar FROM t WHERE v RLIKE"), wb)
+    // end-to-end through the engine: the literal survives execution
+    val (_, rows) = engine.executeQuery(token, "SELECT 'a SIMILAR TO b' AS s")
+    assert(rows.head.getString(0) == "a SIMILAR TO b")
+  }
+
+  test("SIMILAR TO bracket classes handle the ]-forms") {
+    def vals(sql: String): Seq[String] =
+      engine.executeQuery(token, sql)._2.map(_.getString(0)).toSeq
+    // POSIX literal-] form: `[]]` is a class containing one `]`
+    assert(vals("SELECT v FROM VALUES (']'),('x') AS t(v) " +
+      "WHERE v SIMILAR TO '[]]'") == Seq("]"))
+    // negated form `[^]]`: any single char except `]`
+    assert(vals("SELECT v FROM VALUES (']'),('x') AS t(v) " +
+      "WHERE v SIMILAR TO '[^]]'") == Seq("x"))
+    // escaped `]` inside a class does NOT close it
+    assert(vals("SELECT v FROM VALUES ('a'),(']'),('c') AS t(v) " +
+      "WHERE v SIMILAR TO '[a\\]b]' ORDER BY v") == Seq("]", "a"))
+  }
+
   test("fetchArrow returns a readable Arrow IPC stream (lib.rs:288-295)") {
     val (h, _) = engine.prepare(token,
       "SELECT id, concat('n', CAST(id AS STRING)) AS name FROM range(5)")
