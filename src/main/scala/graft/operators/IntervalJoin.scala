@@ -23,31 +23,40 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Floor division to bucket ids: bare `div` truncates toward zero,
+    * which mis-buckets negative coordinates. a - pmod(a, bin) is the
+    * largest multiple of bin ≤ a, and `div` on that multiple is exact
+    * integer math for any sign (no double rounding past 2^53). */
+  private[graft] def fdiv(name: String, bin: Long): org.apache.spark.sql.Column =
+    expr(s"(($name - pmod($name, ${bin}L)) div ${bin}L)")
+
+  private[graft] def binned(df: DataFrame, id: String, s: String, e: String,
+      oid: String, os: String, oe: String, bin: Long): DataFrame =
+    df.select(col(id).as(oid), col(s).as(os), col(e).as(oe))
+      .where(col(os) <= col(oe))
+      .withColumn("__bk", explode(sequence(fdiv(os, bin), fdiv(oe, bin))))
+
   /** Overlapping (ida, idb) pairs with both intervals' bounds.
     * `a`/`b` must expose (idA, sA, eA) / (idB, sB, eB) as long-typed
-    * columns; every id appears once per OVERLAPPING partner (dedup'd
-    * across buckets). */
+    * columns; every id appears once per OVERLAPPING partner.
+    *
+    * Cross-bucket dedup is FREE: a pair is emitted only from its
+    * canonical bucket — the bucket of the later start,
+    * `greatest(fdiv(sa), fdiv(sb))`, which two overlapping intervals
+    * always share (overlap ⇒ max(sa,sb) ≤ min(ea,eb), so that start's
+    * bucket is inside both exploded ranges). One equi-join shuffle, no
+    * post-join aggregate — at 100 TB the old groupBy dedup re-shuffled
+    * every candidate pair; this emits each exactly once. */
   def overlapPairs(a: DataFrame, idA: String, sA: String, eA: String,
       b: DataFrame, idB: String, sB: String, eB: String,
       bin: Long): DataFrame = {
     require(bin > 0, "bin width must be positive")
-    // Floor division: bare `div` truncates toward zero, which mis-buckets
-    // negative coordinates. a - pmod(a, bin) is the largest multiple of
-    // bin ≤ a, and `div` on that multiple is exact integer math for any
-    // sign (no double rounding past 2^53).
-    def fdiv(name: String): org.apache.spark.sql.Column =
-      expr(s"(($name - pmod($name, ${bin}L)) div ${bin}L)")
-    def binned(df: DataFrame, id: String, s: String, e: String,
-        oid: String, os: String, oe: String): DataFrame =
-      df.select(col(id).as(oid), col(s).as(os), col(e).as(oe))
-        .where(col(os) <= col(oe))
-        .withColumn("__bk", explode(sequence(fdiv(os), fdiv(oe))))
-    val ax = binned(a, idA, sA, eA, "ida", "sa", "ea")
-    val bx = binned(b, idB, sB, eB, "idb", "sb", "eb")
+    val ax = binned(a, idA, sA, eA, "ida", "sa", "ea", bin)
+    val bx = binned(b, idB, sB, eB, "idb", "sb", "eb", bin)
     ax.join(bx, Seq("__bk"))
-      .where(col("sa") <= col("eb") && col("sb") <= col("ea"))
-      .groupBy("ida", "idb")
-      .agg(min(col("sa")).as("sa"), min(col("ea")).as("ea"),
-        min(col("sb")).as("sb"), min(col("eb")).as("eb"))
+      .where(col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        col("__bk") === greatest(fdiv("sa", bin), fdiv("sb", bin)))
+      .select(col("ida"), col("idb"), col("sa"), col("ea"),
+        col("sb"), col("eb"))
   }
 }

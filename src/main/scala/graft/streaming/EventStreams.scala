@@ -163,4 +163,53 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming interval-overlap join — the live-tail counterpart of
+    * [[graft.operators.IntervalJoin.overlapPairs]], same bucket math
+    * ([[graft.operators.IntervalJoin.fdiv]]) so backfill and tail
+    * correlate identically.
+    *
+    * Both sides expose (id, sTs, eTs) with TIMESTAMP bounds; intervals
+    * must be shorter than `maxSpan`. The join key is the time bucket,
+    * the overlap predicate re-checks exactly, and the canonical-bucket
+    * rule (`__bk == bucket(later start)`) dedups cross-bucket hits with
+    * NO post-join aggregation — which is what makes this runnable in
+    * append mode as a single stateful operator. State is bounded two
+    * ways: watermarks on both start timestamps, and the `maxSpan` range
+    * condition between them, from which Spark derives state eviction —
+    * without it a stream-stream join buffers forever (the 100 TB
+    * streaming failure mode). (StreamingJoinHelper probes EVERY
+    * inequality in the condition and WARN-logs the long-typed overlap
+    * predicates it can't turn into state bounds — noise; the timestamp
+    * range pair is the canonical extractable shape it does use.) */
+  def overlapPairsStream(
+      a: DataFrame, idA: String, sA: String, eA: String,
+      b: DataFrame, idB: String, sB: String, eB: String,
+      bin: Long, watermark: String, maxSpan: String): DataFrame = {
+    import graft.operators.IntervalJoin.fdiv
+    require(bin > 0, "bin width must be positive")
+    // same shape as IntervalJoin.binned, plus the watermarked TIMESTAMP
+    // columns kept alongside the micro bounds (the join's state-eviction
+    // range condition needs event-time-typed operands)
+    def prep(df: DataFrame, id: String, s: String, e: String,
+        oid: String, os: String, oe: String, obk: String): DataFrame =
+      df.withWatermark(s, watermark)
+        .select(col(id).as(oid),
+          col(s).as(s"${os}_ts"), col(e).as(s"${oe}_ts"),
+          unix_micros(col(s)).as(os), unix_micros(col(e)).as(oe))
+        .where(col(os) <= col(oe))
+        .withColumn(obk, explode(sequence(fdiv(os, bin), fdiv(oe, bin))))
+    val ax = prep(a, idA, sA, eA, "ida", "sa", "ea", "__bka")
+    val bx = prep(b, idB, sB, eB, "idb", "sb", "eb", "__bkb")
+    ax.join(bx,
+        col("__bka") === col("__bkb") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        col("__bka") === greatest(fdiv("sa", bin), fdiv("sb", bin)) &&
+        // event-time range between the WATERMARKED columns: the state
+        // eviction bound (each side buffers only maxSpan of the other)
+        col("sb_ts") >= col("sa_ts") - expr(s"INTERVAL $maxSpan") &&
+        col("sb_ts") <= col("sa_ts") + expr(s"INTERVAL $maxSpan"))
+      .select(col("ida"), col("idb"), col("sa"), col("ea"),
+        col("sb"), col("eb"))
+  }
 }

@@ -148,6 +148,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.exists(_._2 == "2024-01-01 00:20:00.0"))
   }
 
+  test("streaming interval-overlap join matches the batch operator") {
+    val dir = Files.createTempDirectory("graft_sij").toFile
+    val out = s"graft_sij_out_${System.nanoTime()}"
+    val binUs = 600000000L // 10-minute buckets (micros)
+
+    val aRows = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:15:00")),
+      (11L, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:05:00")))
+    val bRows = Seq(
+      (20L, ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00")), // ∩ a10
+      (21L, ts("2024-01-01 00:16:00"), ts("2024-01-01 00:30:00")), // ∩ none
+      (22L, ts("2024-01-01 01:04:00"), ts("2024-01-01 01:06:00"))) // ∩ a11
+    val aDf = aRows.toDF("id", "s_ts", "e_ts")
+    val bDf = bRows.toDF("id", "s_ts", "e_ts")
+    aDf.coalesce(1).write.parquet(s"$dir/a/b1")
+    bDf.coalesce(1).write.parquet(s"$dir/b/b1")
+
+    val as = spark.readStream.schema(aDf.schema).parquet(s"$dir/a/*")
+    val bs = spark.readStream.schema(bDf.schema).parquet(s"$dir/b/*")
+    val q = EventStreams.overlapPairsStream(
+        as, "id", "s_ts", "e_ts", bs, "id", "s_ts", "e_ts",
+        binUs, "0 seconds", "1 hour")
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance both watermarks so every buffered match is flushed
+    Seq((98L, ts("2024-01-01 06:00:00"), ts("2024-01-01 06:00:01")))
+      .toDF("id", "s_ts", "e_ts").coalesce(1)
+      .write.mode("append").parquet(s"$dir/a/b2")
+    Seq((99L, ts("2024-01-01 06:00:00"), ts("2024-01-01 06:00:01")))
+      .toDF("id", "s_ts", "e_ts").coalesce(1)
+      .write.mode("append").parquet(s"$dir/b/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // the batch operator over the same (micros-typed) intervals,
+    // including the watermark-advance sentinels, is the truth
+    def us(rows: Seq[(Long, Timestamp, Timestamp)], extra: (Long, Timestamp, Timestamp)) =
+      (rows :+ extra).toDF("id", "s_ts", "e_ts")
+        .select(col("id"), unix_micros(col("s_ts")).as("s"),
+          unix_micros(col("e_ts")).as("e"))
+    val expected = graft.operators.IntervalJoin.overlapPairs(
+        us(aRows, (98L, ts("2024-01-01 06:00:00"), ts("2024-01-01 06:00:01"))),
+        "id", "s", "e",
+        us(bRows, (99L, ts("2024-01-01 06:00:00"), ts("2024-01-01 06:00:01"))),
+        "id", "s", "e", binUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+    assert(streamed.map(p => (p._1, p._2)) == Set((10L, 20L), (11L, 22L),
+      (98L, 99L)))
+  }
+
   test("foreachBatch streams micro-batches into a MetaCatalog table") {
     val wh = Files.createTempDirectory("graft_wh_stream").toString
     spark.conf.set("spark.sql.catalog.graftsink", "graft.catalog.MetaCatalog")
