@@ -26,8 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    partitions, same tag); readers append that partition's file path
   *    as a constant trailing string column. Planning stays O(one scan)
   *    on the driver — Iceberg serves `_file` the same way, as a
-  *    per-split constant inside a single scan. Row-based readers only —
-  *    an introspection scan trades the vectorized path for the tag.
+  *    per-split constant inside a single scan. Columnar reads stay
+  *    columnar: the tag rides along as a ConstantColumnVector per
+  *    batch, so the vectorized parquet path survives the tag column.
   *
   * Lives under `org.apache.spark.sql` because the delegate's filter
   * channel (`SupportsPushDownCatalystFilters`) is `private[sql]`. */
@@ -129,9 +130,17 @@ object FileTaggedScans {
       inner.preferredLocations()
   }
 
+  /** Row readers append the tag via a JoinedRow; columnar readers keep
+    * the delegate's VECTORIZED path and append a
+    * [[org.apache.spark.sql.execution.vectorized.ConstantColumnVector]]
+    * (the tag is per-partition constant by construction) — an
+    * introspection scan costs one extra constant vector per batch, not
+    * the vectorized reader. */
   private final class TaggedReaderFactory(
       inner: PartitionReaderFactory) extends PartitionReaderFactory {
-    override def supportColumnarReads(p: InputPartition): Boolean = false
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      inner.supportColumnarReads(p.asInstanceOf[TaggedPartition].inner)
+
     override def createReader(
         p: InputPartition): PartitionReader[InternalRow] = {
       val tp = p.asInstanceOf[TaggedPartition]
@@ -142,6 +151,26 @@ object FileTaggedScans {
       new PartitionReader[InternalRow] {
         override def next(): Boolean = r.next()
         override def get(): InternalRow = joined(r.get(), tag)
+        override def close(): Unit = r.close()
+      }
+    }
+
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+      import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+      val tp = p.asInstanceOf[TaggedPartition]
+      val r = inner.createColumnarReader(tp.inner)
+      val path = UTF8String.fromString(tp.file)
+      new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = r.next()
+        override def get(): ColumnarBatch = {
+          val b = r.get()
+          val tag = new ConstantColumnVector(b.numRows(), StringType)
+          tag.setUtf8String(path)
+          val cols = Array.tabulate[ColumnVector](b.numCols())(b.column) :+ tag
+          new ColumnarBatch(cols, b.numRows())
+        }
         override def close(): Unit = r.close()
       }
     }

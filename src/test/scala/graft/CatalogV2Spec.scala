@@ -627,6 +627,8 @@ class CatalogV2Spec extends AnyFunSuite {
     // ONE scan node — `_file` must not fork the plan per data file
     val planStr = df.queryExecution.executedPlan.toString
     assert("BatchScan".r.findAllIn(planStr).size == 1, planStr)
+    // the VECTORIZED path survives the tag (ColumnarToRow above the scan)
+    assert(planStr.contains("ColumnarToRow"), planStr)
     val rows = df.collect().map(r => (r.getInt(0), r.getString(1)))
     assert(rows.length == 3)
     assert(rows.forall(_._2.endsWith(".parquet")), rows.mkString(", "))
