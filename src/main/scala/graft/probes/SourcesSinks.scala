@@ -63,6 +63,27 @@ object SourcesSinks {
         .orderBy("c_mktsegment")
     },
 
+    // ORC external table round-trip (Spark-native columnar sink + scan,
+    // vectorized read path — format parity alongside CSV/JSON/Avro/
+    // Parquet; doubles survive ORC exactly, so the oracle sums them too)
+    Probe.df("q_orc_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS s,
+        |  CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_orc")
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"),
+          sum("o_totalprice").as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Avro external table round-trip via graft.sources.AvroSource (the
     // spark-avro connector jar is absent from /opt/spark/jars — see
     // STATUS.md — so the container format is implemented directly on the
