@@ -254,13 +254,12 @@ class GraftTable(
     if (pinned.isDefined)
       throw new UnsupportedOperationException(
         s"Cannot modify a time-travel snapshot of $fullName")
-    // Identity-partitioned tables are rejected in the operation's
-    // newWriteBuilder, NOT here: Spark's RewriteDeleteFromTable matches
+    // Note: Spark's RewriteDeleteFromTable matches
     // SupportsRowLevelOperations ahead of SupportsDeleteV2, so this
-    // builder runs at ANALYSIS for every conditional DELETE — an eager
-    // throw would kill translatable partitioned DELETEs before
-    // OptimizeMetadataOnlyDeleteFromTable can convert them back to the
-    // metadata [[deleteWhere]] path (which routes partitions fine).
+    // builder runs at ANALYSIS for every conditional DELETE;
+    // translatable DELETEs are converted back to the metadata
+    // [[deleteWhere]] path by OptimizeMetadataOnlyDeleteFromTable
+    // before any write is built.
     () => new GraftRowLevelOperation(info.command)
   }
 
@@ -328,15 +327,12 @@ class GraftTable(
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-      // Deferred from newRowLevelOperationBuilder (see there): only
-      // reached when the command actually takes the ReplaceData write
-      // path — translatable DELETEs on partitioned tables have already
-      // been converted to metadata deleteWhere by this point.
-      if (partitionCols.nonEmpty)
-        throw new UnsupportedOperationException(
-          s"$fullName: row-level SQL commands on identity-partitioned tables " +
-            "are not supported (the V2 writer does not route partition dirs); " +
-            "use Maintenance.upsert or DELETE with a translatable predicate")
+      // Only reached when the command actually takes the ReplaceData
+      // write path — translatable DELETEs on partitioned tables have
+      // already been converted to metadata deleteWhere by this point.
+      // Identity-partitioned tables route rows to hive-layout dirs in
+      // the V2 writer (BatchWrites partitionCols), same on-disk contract
+      // as the V1 partitionBy writes.
       val staging = tableDir.resolve(s"_staging_${UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(staging)
       def dropStaging(): Unit =
@@ -357,7 +353,8 @@ class GraftTable(
               overwrite = true, replacedBase = Some(replaced),
               only = Some(paths.map(p => java.nio.file.Paths.get(p)).toSet))
             finally dropStaging(),
-            onAbort = _ => dropStaging())
+            onAbort = _ => dropStaging(),
+            partitionCols = partitionCols)
       }
     }
   }

@@ -2,16 +2,23 @@ package org.apache.spark.sql.graftaccess
 
 import java.util.UUID
 
+import scala.collection.mutable
+
 import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetUtils}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 /** Distributed DSv2 parquet `BatchWrite` built on Spark's own writer
@@ -26,12 +33,21 @@ import org.apache.spark.util.SerializableConfiguration
   * catalog's usual `InsertableRelation` path can't serve them.
   *
   * Tasks stream rows straight to parquet files in `stagingDir` (each
-  * writer one file; on a real cluster the staging dir must be on the
-  * shared filesystem — it lives under the table directory, which is).
-  * The driver-side `commit` gets the staged file paths and runs the
-  * caller's snapshot-commit callback; `abort` hands back whatever was
-  * staged for cleanup.
-  */
+  * writer one file per partition-dir; on a real cluster the staging dir
+  * must be on the shared filesystem — it lives under the table
+  * directory, which is). The driver-side `commit` gets the staged file
+  * paths and runs the caller's snapshot-commit callback; `abort` hands
+  * back whatever was staged for cleanup.
+  *
+  * Identity-partitioned tables: rows route to hive-layout
+  * `col=value/` dirs (values escaped exactly like Spark's own dynamic
+  * partition write, so the read side's partition-dir inference agrees),
+  * and the partition columns are DROPPED from the data files — the same
+  * on-disk contract as the catalog's V1 `partitionBy` writes. The Write
+  * declares a clustered distribution on the partition columns, so Spark
+  * shuffles the replacement data and each task sees few partition dirs
+  * (bounding open writers / file count — the dynamic-partition-write
+  * discipline at any scale). */
 object BatchWrites {
 
   final case class Staged(path: String) extends WriterCommitMessage
@@ -39,30 +55,74 @@ object BatchWrites {
     * nothing publishes — empty shuffle partitions of a narrow MERGE must
     * not inflate the snapshot's file inventory with zero-row parquet. */
   case object StagedEmpty extends WriterCommitMessage
+  /** Several files from one task (one per partition dir touched). */
+  final case class StagedMany(paths: Seq[String]) extends WriterCommitMessage
 
   def parquetWrite(spark: SparkSession, schema: StructType,
       stagingDir: String, onCommit: Seq[String] => Unit,
-      onAbort: Seq[String] => Unit): Write = {
+      onAbort: Seq[String] => Unit,
+      partitionCols: Seq[String] = Nil): Write = {
     val cs = spark.asInstanceOf[ClassicSession]
+    val fileSchema =
+      StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+    require(fileSchema.nonEmpty, "cannot write a table that is ALL partition columns")
     val job = Job.getInstance(cs.sessionState.newHadoopConf())
-    val fac = ParquetUtils.prepareWrite(cs.sessionState.conf, job, schema,
+    val fac = ParquetUtils.prepareWrite(cs.sessionState.conf, job, fileSchema,
       new ParquetOptions(Map.empty[String, String], cs.sessionState.conf))
     val conf = new SerializableConfiguration(job.getConfiguration)
-    new Write with BatchWrite { self =>
+    new Write with BatchWrite with RequiresDistributionAndOrdering { self =>
       override def toBatch: BatchWrite = self
+      override def requiredDistribution: Distribution =
+        if (partitionCols.isEmpty) Distributions.unspecified()
+        else Distributions.clustered(
+          partitionCols.map(c => Expressions.identity(c)).toArray)
+      override def requiredOrdering: Array[SortOrder] = Array.empty
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
-        ParquetWriterFactory(fac, conf, schema, stagingDir)
+        ParquetWriterFactory(fac, conf, schema, partitionCols, stagingDir)
       override def commit(msgs: Array[WriterCommitMessage]): Unit =
-        onCommit(msgs.toSeq.collect { case Staged(p) => p })
+        onCommit(msgs.toSeq.flatMap {
+          case Staged(p) => Seq(p)
+          case StagedMany(ps) => ps
+          case _ => Nil
+        })
       override def abort(msgs: Array[WriterCommitMessage]): Unit =
-        onAbort(msgs.toSeq.collect { case Staged(p) => p })
+        onAbort(msgs.toSeq.flatMap {
+          case Staged(p) => Seq(p)
+          case StagedMany(ps) => ps
+          case _ => Nil
+        })
     }
+  }
+
+  /** Render one partition value as its hive path fragment (escaped the
+    * way Spark's dynamic partition writes do, so read-side inference
+    * round-trips). */
+  private def partFragment(name: String, dt: DataType, row: InternalRow,
+      ord: Int): String = {
+    val v =
+      if (row.isNullAt(ord)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else dt match {
+        case StringType => row.getUTF8String(ord).toString
+        case BooleanType => row.getBoolean(ord).toString
+        case ByteType => row.getByte(ord).toString
+        case ShortType => row.getShort(ord).toString
+        case IntegerType => row.getInt(ord).toString
+        case LongType => row.getLong(ord).toString
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(row.getInt(ord)).toString
+        case other => throw new UnsupportedOperationException(
+          s"partition column $name: unsupported partition type $other")
+      }
+    ExternalCatalogUtils.escapePathName(name) + "=" +
+      (if (row.isNullAt(ord)) v else ExternalCatalogUtils.escapePathName(v))
   }
 
   final case class ParquetWriterFactory(fac: OutputWriterFactory,
       conf: SerializableConfiguration, schema: StructType,
+      partitionCols: Seq[String],
       stagingDir: String) extends DataWriterFactory {
+
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] = {
       val attempt = new TaskAttemptID(
@@ -70,56 +130,90 @@ object BatchWrites {
           TaskType.MAP, partitionId),
         (taskId % Int.MaxValue).toInt)
       val ctx = new TaskAttemptContextImpl(conf.value, attempt)
-      val path =
-        f"$stagingDir/part-$partitionId%05d-${UUID.randomUUID()}.parquet"
-      val w = fac.newInstance(path, schema, ctx)
+      val fileSchema =
+        StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+      val partFields = partitionCols.map(c => schema.fields(schema.fieldIndex(c)))
+
+      final class WEntry(val w: OutputWriter, val path: String) {
+        var n = 0L
+      }
       new DataWriter[InternalRow] {
         private var closed = false
-        private var written = 0L
+        // one open writer per partition dir this task touches;
+        // "" = unpartitioned
+        private val writers = mutable.LinkedHashMap.empty[String, WEntry]
         // Group-based ReplaceData (MERGE) prepends a `__row_operation`
         // int column that ReplaceDataExec only strips when the operation
         // declares metadata attributes (DataAndMetadataWritingSparkTask);
         // with none, DataWritingSparkTask hands the raw row through. Set
-        // up once from the first row's arity: pass-through when it
-        // matches the write schema, else skip DELETE-op rows (COW
-        // replacement data must not contain them) and project the op
-        // column away.
-        private var opCol = -2 // -2 = undecided, -1 = none, 0 = present
-        private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
-        override def write(r: InternalRow): Unit = {
-          if (opCol == -2) {
-            if (r.numFields == schema.length) opCol = -1
-            else if (r.numFields == schema.length + 1) {
-              opCol = 0
-              proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-                .create(schema.fields.zipWithIndex.map { case (f, i) =>
-                  org.apache.spark.sql.catalyst.expressions.BoundReference(
-                    i + 1, f.dataType, f.nullable)
-                }.toIndexedSeq)
-            } else throw new IllegalStateException(
+        // up once from the first row's arity: offset 0 when it matches
+        // the write schema, 1 when the op column leads (DELETE-op rows
+        // are skipped — COW replacement data must not contain them).
+        private var offset = -1
+        private var dataProj: UnsafeProjection = _
+        private var partOrds: Array[Int] = _
+
+        private def setup(r: InternalRow): Unit = {
+          offset =
+            if (r.numFields == schema.length) 0
+            else if (r.numFields == schema.length + 1) 1
+            else throw new IllegalStateException(
               s"row has ${r.numFields} fields for write schema ${schema.simpleString}")
-          }
-          if (opCol == -1) { w.write(r); written += 1 }
-          else if (r.getInt(0) !=
-            org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION) {
-            w.write(proj(r)); written += 1
-          }
+          val dataIdx = schema.fields.zipWithIndex
+            .filterNot { case (f, _) => partitionCols.contains(f.name) }
+          dataProj = UnsafeProjection.create(
+            dataIdx.map { case (f, i) =>
+              BoundReference(i + offset, f.dataType, f.nullable)
+            }.toIndexedSeq)
+          partOrds = partitionCols
+            .map(c => schema.fieldIndex(c) + offset).toArray
         }
+
+        override def write(r: InternalRow): Unit = {
+          if (offset == -1) setup(r)
+          if (offset == 1 && r.getInt(0) ==
+              org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION)
+            return
+          val rel =
+            if (partitionCols.isEmpty) ""
+            else partFields.iterator.zip(partOrds.iterator)
+              .map { case (f, ord) => partFragment(f.name, f.dataType, r, ord) }
+              .mkString("/")
+          val entry = writers.getOrElseUpdate(rel, {
+            val dir = if (rel.isEmpty) stagingDir else s"$stagingDir/$rel"
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+            val path = f"$dir/part-$partitionId%05d-${UUID.randomUUID()}.parquet"
+            new WEntry(fac.newInstance(path, fileSchema, ctx), path)
+          })
+          entry.w.write(dataProj(r))
+          entry.n += 1
+        }
+
         override def commit(): WriterCommitMessage = {
           closeOnce()
-          if (written == 0L) {
-            java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
-            StagedEmpty
-          } else Staged(path)
+          val kept = writers.values.toSeq.flatMap { e =>
+            if (e.n == 0L) {
+              java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(e.path))
+              None
+            } else Some(e.path)
+          }
+          if (kept.isEmpty) StagedEmpty
+          else if (kept.lengthCompare(1) == 0) Staged(kept.head)
+          else StagedMany(kept)
         }
-        // Delete the partial file on abort: a retried task's first
+
+        // Delete the partial files on abort: a retried task's first
         // attempt must leave nothing a later commit could publish.
         override def abort(): Unit = {
           closeOnce()
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+          writers.values.foreach(e =>
+            java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(e.path)))
         }
         override def close(): Unit = closeOnce()
-        private def closeOnce(): Unit = if (!closed) { closed = true; w.close() }
+        private def closeOnce(): Unit = if (!closed) {
+          closed = true
+          writers.values.foreach(_.w.close())
+        }
       }
     }
   }

@@ -160,7 +160,7 @@ class CatalogV2Spec extends AnyFunSuite {
   }
 
   test("partitioned table: translatable DELETE still takes deleteWhere " +
-      "(rejection is deferred past analysis); ReplaceData ops reject lazily") {
+      "(metadata path, no rewrite); ReplaceData ops route partitions") {
     // Regression: SupportsRowLevelOperations is matched by
     // RewriteDeleteFromTable BEFORE SupportsDeleteV2, so an eager
     // partitioned-table throw in newRowLevelOperationBuilder fired at
@@ -172,16 +172,18 @@ class CatalogV2Spec extends AnyFunSuite {
     spark.sql("DELETE FROM g2.db.pdel WHERE id = 3")
     assert(spark.sql("SELECT id FROM g2.db.pdel ORDER BY id")
       .collect().map(_.getInt(0)).toSeq == Seq(1, 4))
-    // A command that genuinely needs the ReplaceData write path still
-    // rejects partitioned tables — now at write planning, same message.
-    val e = intercept[Throwable] {
-      spark.sql("UPDATE g2.db.pdel SET id = id + 10 WHERE id > 0")
-    }
-    def chain(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: chain(t.getCause)
-    assert(chain(e).exists(c => c.getMessage != null &&
-        c.getMessage.contains("identity-partitioned tables")),
-      s"expected partitioned-table rejection, got: $e")
+    // metadata-only path = no data file rewrite: the survivors' files
+    // are untouched originals (COW would produce new part files)
+    val files = spark.sql("SELECT file_path FROM g2.db.pdel.files")
+      .collect().map(_.getString(0)).toSeq
+    assert(files.forall(f => f.contains("region=eu") || f.contains("region=ap")),
+      files.mkString(", "))
+    // A command that genuinely needs the ReplaceData write path now
+    // routes partition dirs in the V2 writer (round 7) instead of
+    // rejecting — see "row-level SQL commands route partition dirs".
+    spark.sql("UPDATE g2.db.pdel SET id = id + 10 WHERE id > 0")
+    assert(spark.sql("SELECT id FROM g2.db.pdel ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(11, 14))
   }
 
   test("TRUNCATE TABLE commits an empty snapshot") {
@@ -617,6 +619,45 @@ class CatalogV2Spec extends AnyFunSuite {
     // k=2 file was rewritten — runtime group filtering at work
     assert((before intersect after).size == 2,
       s"expected 2 surviving files, before=$before after=$after")
+  }
+
+  test("row-level SQL commands route partition dirs (MERGE/UPDATE/DELETE on partitioned)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.prl (id INT, v STRING, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql("INSERT INTO g2.db.prl VALUES " +
+      "(1,'a','east'), (2,'b','east'), (3,'c','west'), (4,'d','north')")
+    // MERGE: update one row, insert one new row into a NEW partition
+    Seq((2, "B", "east"), (9, "z", "south")).toDF("id", "v", "region")
+      .createOrReplaceTempView("prl_src")
+    spark.sql("""MERGE INTO g2.db.prl t USING prl_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT id, v, region FROM g2.db.prl ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "a", "east"), (2, "B", "east"), (3, "c", "west"),
+        (4, "d", "north"), (9, "z", "south")))
+    // files landed in hive-layout partition dirs and partition pruning
+    // still works over the rewritten data
+    val files = spark.sql("SELECT file_path FROM g2.db.prl.files")
+      .collect().map(_.getString(0)).toSeq
+    assert(files.forall(_.contains("region=")), files.mkString(", "))
+    assert(files.exists(_.contains("region=south")))
+    val pruned = spark.sql("SELECT id FROM g2.db.prl WHERE region = 'east'")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(pruned.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // UPDATE with a non-partition predicate
+    spark.sql("UPDATE g2.db.prl SET v = upper(v) WHERE id >= 3")
+    assert(spark.sql("SELECT v FROM g2.db.prl ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "B", "C", "D", "Z"))
+    // non-translatable DELETE takes the COW ReplaceData path (regex
+    // predicates have no DSv2 filter translation → can't be metadata-only)
+    spark.sql("DELETE FROM g2.db.prl WHERE v RLIKE '^[CZ]$'")
+    assert(spark.sql("SELECT id FROM g2.db.prl ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+    // history intact: the pre-MERGE snapshot still reads all 4 originals
+    assert(spark.sql("SELECT count(*) FROM g2.db.prl VERSION AS OF 2")
+      .collect().head.getLong(0) == 4)
   }
 
   test("_file metadata column tags rows with their source file, in ONE scan") {
