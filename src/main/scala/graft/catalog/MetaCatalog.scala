@@ -34,7 +34,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * columns read as NULL), and identity-partitioned tables with hive-layout
   * data dirs (partition pruning comes free from the Parquet file index).
   */
-class MetaCatalog extends TableCatalog with SupportsNamespaces {
+class MetaCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  /** `CALL <cat>.system.<proc>(...)` — see [[Procedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    Procedures.load(catalogName, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (java.util.Arrays.equals(namespace.asInstanceOf[Array[AnyRef]],
+        Procedures.Namespace.asInstanceOf[Array[AnyRef]])) Procedures.list()
+    else Array.empty
 
   private var catalogName: String = _
   private var warehouse: Path = _

@@ -1,0 +1,113 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** `CALL <catalog>.system.<proc>(...)` surface over [[Maintenance]] —
+  * the Spark-4 DSv2 `ProcedureCatalog` rendering of Iceberg's stored
+  * procedures (`rewrite_data_files`, `expire_snapshots`): table
+  * maintenance becomes plain SQL, so an operator of the reference can
+  * run compaction from any SQL client, no Scala entry point needed.
+  *
+  * The heavy lifting stays in [[Maintenance]] (distributed
+  * read→shuffle→write rewrites committing ONE snapshot); a procedure
+  * call returns its summary counts as a one-row `LocalScan` — driver
+  * metadata only, no executor work for the result. */
+object Procedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def list(): Array[Identifier] =
+    Array("compact", "zorder", "expire_snapshots")
+      .map(n => Identifier.of(Namespace, n))
+
+  def load(catalogName: String, ident: Identifier): UnboundProcedure = {
+    if (!java.util.Arrays.equals(
+        ident.namespace.asInstanceOf[Array[AnyRef]],
+        Namespace.asInstanceOf[Array[AnyRef]]))
+      throw new IllegalArgumentException(
+        s"unknown procedure namespace ${ident.namespace.mkString(".")} " +
+          s"(procedures live under $catalogName.system)")
+    def s(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+    def cols(r: InternalRow, i: Int): Seq[String] =
+      s(r, i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def full(r: InternalRow): String = s"$catalogName.${s(r, 0)}"
+    ident.name match {
+      case "compact" => proc(
+        "compact",
+        "rewrite the current snapshot into target_files sort-clustered " +
+          "files (Iceberg rewrite_data_files, sort strategy)",
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("table as <namespace>.<name> within this catalog").build(),
+          ProcedureParameter.in("sort_cols", StringType)
+            .comment("comma-separated sort/cluster columns").build(),
+          ProcedureParameter.in("target_files", IntegerType).build()),
+        StructType(Seq(StructField("files_before", IntegerType),
+          StructField("files_after", IntegerType)))) { in =>
+        val (before, after) = Maintenance.compact(
+          SparkSession.active, full(in), cols(in, 1), in.getInt(2))
+        Array(new GenericInternalRow(Array[Any](before, after)))
+      }
+      case "zorder" => proc(
+        "zorder",
+        "rewrite the current snapshot Z-ORDER-clustered on z_cols " +
+          "(Iceberg rewrite_data_files, zorder strategy)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("z_cols", StringType)
+            .comment("comma-separated Z-order dimensions").build(),
+          ProcedureParameter.in("target_files", IntegerType).build()),
+        StructType(Seq(StructField("files_before", IntegerType),
+          StructField("files_after", IntegerType)))) { in =>
+        val (before, after) = Maintenance.compactZOrder(
+          SparkSession.active, full(in), cols(in, 1), in.getInt(2))
+        Array(new GenericInternalRow(Array[Any](before, after)))
+      }
+      case "expire_snapshots" => proc(
+        "expire_snapshots",
+        "drop all but the newest keep_last snapshots and delete " +
+          "unreferenced data files",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_last", IntegerType).build()),
+        StructType(Seq(StructField("snapshots_dropped", IntegerType),
+          StructField("files_deleted", IntegerType)))) { in =>
+        val (dropped, deleted) = Maintenance.expireSnapshots(
+          SparkSession.active, full(in), in.getInt(1))
+        Array(new GenericInternalRow(Array[Any](dropped, deleted)))
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure $catalogName.system.$other " +
+          s"(available: ${list().map(_.name).mkString(", ")})")
+    }
+  }
+
+  private def proc(procName: String, desc: String,
+      params: Array[ProcedureParameter], outSchema: StructType)(
+      body: InternalRow => Array[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params
+          // procedures mutate table state — never cache/reuse the call
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val result = body(input)
+            java.util.List.of[Scan](new LocalScan {
+              override def readSchema(): StructType = outSchema
+              override def rows(): Array[InternalRow] = result
+            }).iterator()
+          }
+        }
+    }
+}

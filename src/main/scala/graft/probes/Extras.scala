@@ -243,6 +243,25 @@ object Extras {
         .orderBy("l_orderkey", "l_linenumber", "zkey")
     },
 
+    // Stored-procedure maintenance surface (`CALL cat.system.compact`)
+    // — rows-only (file counts are commit-layout-dependent); the exact
+    // semantics are pinned in CatalogV2Spec "CALL g2.system.*".
+    Probe.noOracle("q_call_compact") { (s, dir) =>
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.pcompact")
+      s.sql("CREATE TABLE gprobe.db.pcompact (k INT, name STRING)")
+      s.sql("INSERT INTO gprobe.db.pcompact " +
+        "SELECT CAST(r_regionkey AS INT), r_name FROM region")
+      s.sql("INSERT INTO gprobe.db.pcompact " +
+        "SELECT CAST(n_nationkey AS INT) + 100, n_name FROM nation")
+      s.sql("CALL gprobe.system.compact(table => 'db.pcompact', " +
+        "sort_cols => 'k', target_files => 1)")
+    },
+
     // Iceberg-parity `_file` metadata column through the graft catalog
     // (GraftTable + FileTaggedScans): rows tagged with their source data
     // file inside ONE delegate scan — rows-only (paths are

@@ -691,6 +691,41 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(!plain.contains("graft-file-tagged"), plain)
   }
 
+  test("CALL g2.system.* stored procedures run Maintenance from SQL") {
+    spark.sql("CREATE TABLE g2.db.proc (k INT, x DOUBLE, y DOUBLE)")
+    // three commits → three files, three snapshots
+    spark.sql("INSERT INTO g2.db.proc VALUES (1, 1.0, 9.0)")
+    spark.sql("INSERT INTO g2.db.proc VALUES (2, 5.0, 5.0)")
+    spark.sql("INSERT INTO g2.db.proc VALUES (3, 9.0, 1.0)")
+    // compact: 3 files → 1 sort-clustered file
+    val c = spark.sql(
+      "CALL g2.system.compact(table => 'db.proc', sort_cols => 'k', " +
+        "target_files => 1)").collect()
+    assert(c.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((3, 1)))
+    assert(spark.sql("SELECT k FROM g2.db.proc ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // zorder: positional args, rewrites into 2 files on both dims
+    val z = spark.sql("CALL g2.system.zorder('db.proc', 'x,y', 2)").collect()
+    assert(z.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 2)))
+    // expire: keep only the newest snapshot; dropped count > 0 and old
+    // versions stop resolving
+    val e = spark.sql("CALL g2.system.expire_snapshots('db.proc', 1)")
+      .collect()
+    assert(e.head.getInt(0) > 0)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM g2.db.proc VERSION AS OF 1").collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM g2.db.proc")
+      .collect().head.getLong(0) == 3)
+    // unknown procedure fails loudly with the available list
+    val err = intercept[Exception] {
+      spark.sql("CALL g2.system.nope('db.proc')").collect()
+    }
+    assert(err.getMessage.contains("unknown procedure") ||
+      (err.getCause != null &&
+        err.getCause.getMessage.contains("unknown procedure")), err.toString)
+  }
+
   test("a real data column named _file shadows the metadata column") {
     spark.sql("CREATE TABLE g2.db.fshadow (a INT, `_file` STRING)")
     spark.sql("INSERT INTO g2.db.fshadow VALUES (1, 'data-val')")
