@@ -630,9 +630,16 @@ class CatalogV2Spec extends AnyFunSuite {
     // MERGE: update one row, insert one new row into a NEW partition
     Seq((2, "B", "east"), (9, "z", "south")).toDF("id", "v", "region")
       .createOrReplaceTempView("prl_src")
-    spark.sql("""MERGE INTO g2.db.prl t USING prl_src s ON t.id = s.id
+    val mergeSql = """MERGE INTO g2.db.prl t USING prl_src s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET *
-      WHEN NOT MATCHED THEN INSERT *""")
+      WHEN NOT MATCHED THEN INSERT *"""
+    // the Write's clustered distribution materializes: replacement data
+    // shuffles by the partition column before ReplaceData, bounding
+    // open writers (and files) per task at any scale
+    val plan = spark.sql(s"EXPLAIN FORMATTED $mergeSql")
+      .collect().head.getString(0)
+    assert(plan.contains("hashpartitioning(region"), plan)
+    spark.sql(mergeSql)
     assert(spark.sql("SELECT id, v, region FROM g2.db.prl ORDER BY id")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
       Seq((1, "a", "east"), (2, "B", "east"), (3, "c", "west"),
