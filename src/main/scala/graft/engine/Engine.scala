@@ -256,11 +256,12 @@ final class Engine(root: SparkSession) {
 
 object Engine {
 
-  /** `[NOT] SIMILAR TO '<pattern>'` with a literal pattern — the shim's
-    * supported shape (no ESCAPE clause, no computed patterns). Anchored
-    * at the scan position via `lookingAt`. */
+  /** `[NOT] SIMILAR TO '<pattern>' [ESCAPE '<c>']` with literal pattern
+    * and escape — the shim's supported shape (no computed patterns).
+    * Anchored at the scan position via `lookingAt`. */
   private val SimilarToRe = java.util.regex.Pattern.compile(
-    "(?is)(NOT\\s+)?SIMILAR\\s+TO\\s+'((?:[^']|'')*)'")
+    "(?is)(NOT\\s+)?SIMILAR\\s+TO\\s+'((?:[^']|'')*)'" +
+      "(?:\\s+ESCAPE\\s+'([^']|'')')?")
 
   private def isWordChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
@@ -273,7 +274,10 @@ object Engine {
     *   - `%` / `_` are the LIKE wildcards (→ `.*` / `.`),
     *   - `.` / `^` / `$` are literal characters (→ escaped),
     *   - alternation/quantifiers/groups/bracket classes keep their
-    *     regex meaning, and the match is anchored at both ends.
+    *     regex meaning, and the match is anchored at both ends,
+    *   - `ESCAPE '<c>'` declares the escape character (default
+    *     backslash, PostgreSQL-style); escape + any char is that
+    *     literal char.
     * Literal-pattern occurrences only; applied in the Engine's
     * prepare/plan path so every service entry point sees it.
     *
@@ -319,7 +323,12 @@ object Engine {
           m.region(i, n)
           if (m.lookingAt()) {
             val not = if (m.group(1) == null) "" else "NOT "
-            val rx = similarToRegex(m.group(2))
+            val esc = m.group(3) match {
+              case null => '\\' // PostgreSQL's default SIMILAR TO escape
+              case "''" => '\''
+              case s => s.charAt(0)
+            }
+            val rx = similarToRegex(m.group(2), esc)
             out.append(s"${not}RLIKE '$rx'")
             i = m.end()
           } else { out.append(c); i += 1 }
@@ -333,45 +342,62 @@ object Engine {
   /** SIMILAR TO pattern → anchored Java regex, escaped for a Spark SQL
     * single-quoted literal (backslashes doubled — Spark's legacy literal
     * parser processes `\x` escapes; doubled `''` pass through as the
-    * literal-quote encoding). */
-  private[engine] def similarToRegex(pattern: String): String = {
+    * literal-quote encoding). `esc` is the declared ESCAPE character
+    * (default backslash, PostgreSQL-style); with a custom escape a bare
+    * backslash is an ordinary literal character. */
+  private[engine] def similarToRegex(pattern: String,
+      esc: Char = '\\'): String = {
+    val RegexSpecial = "\\^$.|?*+()[]{}&-"
+    // the raw group still carries SQL's doubled-quote encoding — undo it
+    // here (the scan below works on LOGICAL pattern chars) and re-double
+    // any quote emitted into the output literal (see emit)
+    val p = pattern.replace("''", "'")
     val raw = new StringBuilder
     var i = 0
     var inClass = false
     // true right after `[` or `[^` — a `]` there is the POSIX literal-`]`
     // form (`[]]`), which Java regex needs escaped
     var classOpening = false
-    while (i < pattern.length) {
-      val c = pattern.charAt(i)
+    // append one char as-is, re-encoding a quote for the SQL literal
+    def emit(ch: Char): Unit =
+      if (ch == '\'') raw.append("''") else raw.append(ch)
+    // append one LITERAL character into the regex (escaping as needed)
+    def literal(ch: Char): Unit = {
+      if (RegexSpecial.indexOf(ch.toInt) >= 0) raw.append('\\')
+      emit(ch)
+    }
+    while (i < p.length) {
+      val c = p.charAt(i)
       if (inClass) {
-        if (c == '\\' && i + 1 < pattern.length) {
-          // escaped char inside the class stays escaped (an escaped `]`
+        if (c == esc && i + 1 < p.length) {
+          // escaped char inside the class is literal (an escaped `]`
           // must NOT close the class)
-          raw.append('\\').append(pattern.charAt(i + 1))
+          literal(p.charAt(i + 1))
           classOpening = false
           i += 2
         } else {
           if (c == ']') {
             if (classOpening) raw.append("\\]")
             else { raw.append(']'); inClass = false }
-          } else raw.append(c)
+          } else if (c == '\\') raw.append("\\\\") // literal under custom esc
+          else emit(c)
           classOpening = classOpening && c == '^'
           i += 1
         }
-      } else c match {
-        case '%' => raw.append(".*"); i += 1
-        case '_' => raw.append('.'); i += 1
-        case '[' =>
-          raw.append('['); inClass = true; classOpening = true; i += 1
-        case '.' | '^' | '$' => raw.append('\\').append(c); i += 1
-        case '\\' if i + 1 < pattern.length =>
+      } else {
+        if (c == esc && i + 1 < p.length) {
           // SIMILAR TO escape: next char is literal
-          val n = pattern.charAt(i + 1)
-          if ("\\^$.|?*+()[]{}".indexOf(n.toInt) >= 0)
-            raw.append('\\').append(n)
-          else raw.append(n)
+          literal(p.charAt(i + 1))
           i += 2
-        case other => raw.append(other); i += 1
+        } else c match {
+          case '%' => raw.append(".*"); i += 1
+          case '_' => raw.append('.'); i += 1
+          case '[' =>
+            raw.append('['); inClass = true; classOpening = true; i += 1
+          case '.' | '^' | '$' => raw.append('\\').append(c); i += 1
+          case '\\' => raw.append("\\\\"); i += 1 // literal under custom esc
+          case other => emit(other); i += 1
+        }
       }
     }
     ("^(?:" + raw.toString + ")$").replace("\\", "\\\\")

@@ -284,6 +284,23 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.head.getString(0) == "a SIMILAR TO b")
   }
 
+  test("SIMILAR TO ESCAPE clause declares the escape character") {
+    def vals(sql: String): Seq[String] =
+      engine.executeQuery(token, sql)._2.map(_.getString(0)).toSeq
+    // '#'-escaped % is a literal percent, not a wildcard
+    assert(vals("SELECT v FROM VALUES ('a%c'),('abc') AS t(v) " +
+      "WHERE v SIMILAR TO 'a#%c' ESCAPE '#'") == Seq("a%c"))
+    // escape + escape = the literal escape character
+    assert(vals("SELECT v FROM VALUES ('a#c'),('abc') AS t(v) " +
+      "WHERE v SIMILAR TO 'a##c' ESCAPE '#'") == Seq("a#c"))
+    // under a custom escape, a bare backslash is an ordinary character
+    assert(vals("SELECT v FROM VALUES (concat('a', chr(92), 'c')),('abc') " +
+      "AS t(v) WHERE v SIMILAR TO 'a\\c' ESCAPE '#'") == Seq("a\\c"))
+    // a quoted quote inside the pattern round-trips (doubled encoding)
+    assert(vals("SELECT v FROM VALUES ('it''s'),('its') AS t(v) " +
+      "WHERE v SIMILAR TO 'it''s'") == Seq("it's"))
+  }
+
   test("SIMILAR TO bracket classes handle the ]-forms") {
     def vals(sql: String): Seq[String] =
       engine.executeQuery(token, sql)._2.map(_.getString(0)).toSeq
