@@ -80,6 +80,7 @@ case class ProfileSketch(
         case KindDouble => buf.updateDouble(i,
           v match { case f: java.lang.Float => f.doubleValue; case d => d.asInstanceOf[Double] })
         case KindString => buf.updateString(i, v.asInstanceOf[UTF8String])
+        case KindDecimal => buf.updateDecimal(i, v.asInstanceOf[Decimal])
       }
       i += 1
     }
@@ -103,6 +104,10 @@ case class ProfileSketch(
             (UTF8String.fromString(buf.minD(i).toString),
               UTF8String.fromString(buf.maxD(i).toString))
           case KindString => (buf.minS(i), buf.maxS(i))
+          case KindDecimal =>
+            // toPlainString = Spark's cast(decimal as string) rendering
+            (UTF8String.fromString(buf.minDec(i).toJavaBigDecimal.toPlainString),
+              UTF8String.fromString(buf.maxDec(i).toJavaBigDecimal.toPlainString))
         }
       // clamp the sketch estimate at its trivial upper bound (the
       // non-null count) so a +rsd overshoot can't exceed n_rows
@@ -143,12 +148,14 @@ object ProfileSketch {
   private[functions] val KindLong = 0 // bool/byte/short/int/date/long/ts
   private[functions] val KindDouble = 1 // float/double
   private[functions] val KindString = 2
+  private[functions] val KindDecimal = 3
 
   private[graft] def kindOf(dt: DataType): Int = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | DateType |
         LongType | TimestampType | TimestampNTZType => KindLong
     case FloatType | DoubleType => KindDouble
     case StringType => KindString
+    case _: DecimalType => KindDecimal
     case _ => -1
   }
 
@@ -194,6 +201,8 @@ object ProfileSketch {
     val maxD = new Array[Double](n)
     val minS = new Array[UTF8String](n)
     val maxS = new Array[UTF8String](n)
+    val minDec = new Array[Decimal](n)
+    val maxDec = new Array[Decimal](n)
     val regs: Array[Array[Byte]] = Array.fill(n)(new Array[Byte](M))
 
     @inline private def hll(i: Int, hash: Long): Unit = {
@@ -222,6 +231,26 @@ object ProfileSketch {
       hll(i, XXH64.hashLong(java.lang.Double.doubleToLongBits(d), Seed))
     }
 
+    def updateDecimal(i: Int, d: Decimal): Unit = {
+      // row accessors hand out fresh Decimal instances — safe to retain
+      if (!hasVal(i)) { hasVal(i) = true; minDec(i) = d; maxDec(i) = d }
+      else {
+        if (d.compare(minDec(i)) < 0) minDec(i) = d
+        if (d.compare(maxDec(i)) > 0) maxDec(i) = d
+      }
+      // one column's values share a scale, so the unscaled long is a
+      // faithful distinct key up to Decimal128's long-backed range
+      val h =
+        if (d.precision <= Decimal.MAX_LONG_DIGITS)
+          XXH64.hashLong(d.toUnscaledLong, Seed)
+        else {
+          val b = d.toJavaBigDecimal.unscaledValue().toByteArray
+          XXH64.hashUnsafeBytes(b,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
+        }
+      hll(i, h)
+    }
+
     def updateString(i: Int, s: UTF8String): Unit = {
       // UTF8Strings off an UnsafeRow alias task-reused memory — clone
       // before retaining (same contract as StringMinMax)
@@ -245,6 +274,7 @@ object ProfileSketch {
             minL(i) = o.minL(i); maxL(i) = o.maxL(i)
             minD(i) = o.minD(i); maxD(i) = o.maxD(i)
             minS(i) = o.minS(i); maxS(i) = o.maxS(i)
+            minDec(i) = o.minDec(i); maxDec(i) = o.maxDec(i)
           } else {
             if (o.minL(i) < minL(i)) minL(i) = o.minL(i)
             if (o.maxL(i) > maxL(i)) maxL(i) = o.maxL(i)
@@ -256,6 +286,12 @@ object ProfileSketch {
             if (o.maxS(i) != null &&
               (maxS(i) == null || o.maxS(i).compareTo(maxS(i)) > 0))
               maxS(i) = o.maxS(i)
+            if (o.minDec(i) != null &&
+              (minDec(i) == null || o.minDec(i).compare(minDec(i)) < 0))
+              minDec(i) = o.minDec(i)
+            if (o.maxDec(i) != null &&
+              (maxDec(i) == null || o.maxDec(i).compare(maxDec(i)) > 0))
+              maxDec(i) = o.maxDec(i)
           }
         }
         val a = regs(i)
@@ -286,14 +322,25 @@ object ProfileSketch {
 
     def toBytes: Array[Byte] = {
       val n = nulls.length
-      var size = 4 + 8 + n * (1 + 8 + 8 + 8 + 8 + 8 + 8 + M + 8 + 8)
-      val sBytes = new Array[Array[Byte]](2 * n)
+      // per col: hasVal(1) + nulls(8) + minL/maxL(16) + minD/maxD(16)
+      // + four length prefixes(32) + registers(M)
+      var size = 4 + 8 + n * (1 + 8 + 16 + 16 + 32 + M)
+      val sBytes = new Array[Array[Byte]](4 * n)
+      def decBytes(d: Decimal): Array[Byte] =
+        if (d == null) null
+        else d.toJavaBigDecimal.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var i = 0
       while (i < n) {
-        sBytes(2 * i) = if (minS(i) == null) null else minS(i).getBytes
-        sBytes(2 * i + 1) = if (maxS(i) == null) null else maxS(i).getBytes
-        if (sBytes(2 * i) != null) size += sBytes(2 * i).length
-        if (sBytes(2 * i + 1) != null) size += sBytes(2 * i + 1).length
+        sBytes(4 * i) = if (minS(i) == null) null else minS(i).getBytes
+        sBytes(4 * i + 1) = if (maxS(i) == null) null else maxS(i).getBytes
+        sBytes(4 * i + 2) = decBytes(minDec(i))
+        sBytes(4 * i + 3) = decBytes(maxDec(i))
+        var j = 0
+        while (j < 4) {
+          if (sBytes(4 * i + j) != null) size += sBytes(4 * i + j).length
+          j += 1
+        }
         i += 1
       }
       val bb = ByteBuffer.allocate(size)
@@ -309,7 +356,8 @@ object ProfileSketch {
           bb.putLong(if (a == null) -1L else a.length.toLong)
           if (a != null) bb.put(a)
         }
-        putS(sBytes(2 * i)); putS(sBytes(2 * i + 1))
+        putS(sBytes(4 * i)); putS(sBytes(4 * i + 1))
+        putS(sBytes(4 * i + 2)); putS(sBytes(4 * i + 3))
         bb.put(regs(i))
         i += 1
       }
@@ -329,12 +377,18 @@ object ProfileSketch {
         buf.nulls(i) = bb.getLong
         buf.minL(i) = bb.getLong; buf.maxL(i) = bb.getLong
         buf.minD(i) = bb.getDouble; buf.maxD(i) = bb.getDouble
-        def getS(): UTF8String = {
+        def getB(): Array[Byte] = {
           val len = bb.getLong.toInt
           if (len < 0) null
-          else { val a = new Array[Byte](len); bb.get(a); UTF8String.fromBytes(a) }
+          else { val a = new Array[Byte](len); bb.get(a); a }
         }
-        buf.minS(i) = getS(); buf.maxS(i) = getS()
+        def dec(a: Array[Byte]): Decimal =
+          if (a == null) null
+          else Decimal(new java.math.BigDecimal(
+            new String(a, java.nio.charset.StandardCharsets.UTF_8)))
+        buf.minS(i) = Option(getB()).map(UTF8String.fromBytes).orNull
+        buf.maxS(i) = Option(getB()).map(UTF8String.fromBytes).orNull
+        buf.minDec(i) = dec(getB()); buf.maxDec(i) = dec(getB())
         bb.get(buf.regs(i))
         i += 1
       }

@@ -74,6 +74,27 @@ class ProfileSketchSpec extends AnyFunSuite {
     assert(b.getLong(3) == 2 && b.getLong(4) == 0 && b.getLong(5) == 2)
   }
 
+  test("decimal columns profile through the kernel, both backing widths") {
+    val df = spark.range(0, 100)
+      .selectExpr("CAST(id AS DECIMAL(10,2)) AS d10",      // long-backed
+        "CAST(id % 7 AS DECIMAL(38,10)) AS d38")           // BigDecimal
+      .repartition(5) // force partial serde + merge
+    val rows = Stats.profile(df, exactDistinct = false)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val d10 = rows("d10")
+    assert(d10.getString(1) == "0.00" && d10.getString(2) == "99.00")
+    assert(d10.getLong(3) == 0 && d10.getLong(5) == 100)
+    assert(math.abs(d10.getLong(4) - 100) <= 5, s"d10 distinct ${d10.getLong(4)}")
+    val d38 = rows("d38")
+    assert(d38.getString(1) == "0.0000000000" &&
+      d38.getString(2) == "6.0000000000")
+    assert(math.abs(d38.getLong(4) - 7) <= 1, s"d38 distinct ${d38.getLong(4)}")
+    // decimals take the kernel, not the width-split fallback
+    val plan = Stats.profile(df, exactDistinct = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("profile_sketch"), plan)
+  }
+
   test("approx tier plans ONE scan + ObjectHashAggregate, no SortAggregate") {
     val li = Tables.load(spark, dir, "lineitem")
     val plan = Stats.profile(li, exactDistinct = false)
