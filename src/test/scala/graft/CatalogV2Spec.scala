@@ -724,6 +724,11 @@ class CatalogV2Spec extends AnyFunSuite {
     }
     assert(spark.sql("SELECT count(*) FROM g2.db.proc")
       .collect().head.getLong(0) == 3)
+    // SHOW PROCEDURES lists the system namespace's procedures
+    val shown = spark.sql("SHOW PROCEDURES IN g2.system").collect()
+      .map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
+    Seq("compact", "zorder", "expire_snapshots").foreach(p =>
+      assert(shown.contains(p), s"missing $p in:\n$shown"))
     // unknown procedure fails loudly with the available list
     val err = intercept[Exception] {
       spark.sql("CALL g2.system.nope('db.proc')").collect()
