@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical n-gram language-model quality scoring — the CCNet /
+  * Gopher-pipeline "perplexity filter" shape (score every document
+  * against an n-gram LM; drop or bucket the tail). The reference's
+  * engine exposes no LM, but a training-data pipeline at 100 TB needs
+  * one, and the whole thing is expressible as two aggregations and one
+  * join — no model server, no driver-side state:
+  *
+  *  - [[bigramModel]]: token and bigram counts as DATAFRAMES (the
+  *    "model" stays distributed — at web scale the bigram table is
+  *    millions of rows; collecting it would be the classic driver OOM);
+  *  - [[score]]: per-document interpolated bigram probability
+  *    `p = 0.9·c(w1,w2)/c(w1) + 0.1·(c(w2)+1)/(N+V)` (MLE bigram
+  *    backed off to a Laplace unigram), joined against the model,
+  *    aggregated per doc.
+  *
+  * Scoring emits BOTH:
+  *  - `sum_qp` — Σ floor(p·2^30): every step (two integer-ratio
+  *    divisions, one 0.9/0.1 interpolation, a power-of-two scale,
+  *    floor) is a correctly-rounded IEEE op on identical operands, so
+  *    the value is bit-identical cross-engine and ORDER-INDEPENDENT
+  *    under the integer sum — the hash-checkable probe column
+  *    (FIXTURES.md quantized-int64 recipe);
+  *  - `avg_logp` — mean ln p, the standard log-perplexity score; `ln`
+  *    is not correctly rounded and float sums are order-dependent, so
+  *    this column is for USE, not for cross-engine hashing (spec-checked
+  *    with a tolerance instead).
+  *
+  * Plan shape: tokenize once per doc (one projection), two hash
+  * aggregates with map-side combine for the model, one shuffle join of
+  * doc-bigrams against bigram counts + two unigram joins (Spark
+  * broadcasts them when small; at 100 TB they shuffle on the word key,
+  * which is exactly right), one final per-doc aggregate. Docs shorter
+  * than two tokens have no bigrams and drop out — document-level
+  * filters handle empties upstream.
+  */
+object LmScore {
+
+  private def words(text: Column): Column = Dedup.words(text)
+
+  /** Per-document (w1, w2) bigram rows from one tokenize pass. */
+  private def docBigrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        // struct per adjacent pair; transform's index lambda is 0-based,
+        // element_at is 1-based → ws[i+2] is the successor of ws[i+1]=x
+        "transform(slice(__ws, 1, size(__ws) - 1), " +
+          "(x, i) -> struct(x AS w1, element_at(__ws, i + 2) AS w2))"))
+        .as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+  /** Train the model on a corpus: (unigrams(w, cu), bigrams(w1, w2, cb),
+    * totals(n_tokens, vocab)). All three stay DataFrames — join them,
+    * never collect them. */
+  def bigramModel(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = docBigrams(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val totals = uni.agg(sum(col("cu")).as("n_tokens"),
+      count(lit(1)).as("vocab"))
+    (uni, bi, totals)
+  }
+
+  /** Score `df` against a trained model: one row per document with ≥ 1
+    * bigram — (id, n_bigrams, sum_qp, avg_logp). */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      unigrams: DataFrame, bigrams: DataFrame,
+      totals: DataFrame): DataFrame = {
+    val bg = docBigrams(df, idCol, textCol)
+    val p = bg
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams.select(col("w").as("w1"), col("cu").as("cu1")),
+        Seq("w1"), "left")
+      .join(unigrams.select(col("w").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (lit(0.9) * (coalesce(col("cb"), lit(0L)).cast("double") /
+            // w1 unseen by the model (cross-corpus scoring): the bigram
+            // term is 0 regardless; 1 avoids the 0/0
+            greatest(coalesce(col("cu1"), lit(1L)), lit(1L)).cast("double")) +
+          lit(0.1) * ((coalesce(col("cu2"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_tokens") + col("vocab")).cast("double"))).as("p"))
+    p.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(col("p") * lit(1073741824L)).cast("long")).as("sum_qp"),
+        (sum(log(col("p"))) / count(lit(1))).as("avg_logp"))
+  }
+
+  /** Self-scoring convenience: train on the corpus, score the corpus —
+    * the usual quality-bucket shape when no held-out LM exists. */
+  def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (uni, bi, totals) = bigramModel(df, idCol, textCol)
+    score(df, idCol, textCol, uni, bi, totals)
+  }
+}

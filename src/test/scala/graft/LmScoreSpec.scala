@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LmScore
+
+/** Bigram-LM quality scoring: the probability model behaves like an LM
+  * (repetitive text scores higher than one-off text under a model
+  * trained on the corpus), cross-corpus scoring handles unseen words,
+  * and short docs drop out. */
+class LmScoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("frequent words in rare orders score below the dominant phrasing") {
+    // the LM-filter signal: doc 99 uses exactly the corpus's frequent
+    // words, but in bigrams the corpus almost never produces — its
+    // conditional probabilities collapse while the phrase docs' stay
+    // high. (A doc of globally-unique words is NOT punished by
+    // self-scoring — singleton bigrams of singleton words are MLE 1.0 —
+    // which is why real pipelines score against a reference corpus; see
+    // the cross-corpus test.)
+    val docs = ((1 to 10).map(i => (i.toLong, "the cat sat")) :+
+      (99L, "cat the sat cat")).toDF("doc_id", "text")
+    val out = LmScore.selfScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == out(5L)) // identical docs, identical score
+    assert(out(99L) < out(1L) - 1.0,
+      s"shuffled doc ${out(99L)} should score far below phrase docs ${out(1L)}")
+    assert(out.values.forall(_ < 0)) // proper log-probabilities
+  }
+
+  test("cross-corpus scoring: unseen words fall back to the Laplace floor") {
+    val train = Seq((1L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val (uni, bi, tot) = LmScore.bigramModel(train, "doc_id", "text")
+    val test = Seq((2L, "alpha beta"), (3L, "total mystery")).toDF("doc_id", "text")
+    val out = LmScore.score(test, "doc_id", "text", uni, bi, tot)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 3L))
+    // seen bigram scores far better than fully-unseen text, which still
+    // gets a finite (floored) probability rather than -inf
+    assert(out(0)._3 > out(1)._3)
+    assert(!out(1)._3.isNegInfinity && out(1)._3 < math.log(0.5))
+  }
+
+  test("docs with fewer than two tokens drop out") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "two tokens here"))
+      .toDF("doc_id", "text")
+    val ids = LmScore.selfScore(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(3L))
+  }
+
+  test("n_bigrams counts adjacent pairs exactly") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val r = LmScore.selfScore(docs, "doc_id", "text").collect().head
+    assert(r.getLong(1) == 3)
+  }
+}
