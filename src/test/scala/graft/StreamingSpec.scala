@@ -181,6 +181,18 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("id", "s_ts", "e_ts").coalesce(1)
       .write.mode("append").parquet(s"$dir/b/b2")
     q.processAllAvailable()
+    // one more empty-advance batch so the join state watermark derived
+    // from the sentinels' event time actually evicts the old intervals
+    Seq((97L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:01")))
+      .toDF("id", "s_ts", "e_ts").coalesce(1)
+      .write.mode("append").parquet(s"$dir/a/b3")
+    q.processAllAvailable()
+    // state EVICTION evidence, not just bounded-by-construction: the
+    // watermark + maxSpan range condition must have removed buffered
+    // rows from the stream-stream join state
+    val removed = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed > 0, "watermark evicted no join state rows")
     q.stop()
 
     val streamed = spark.table(out).collect()
