@@ -321,6 +321,52 @@ object Curation {
           Tables.load(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"), col("sum_qp"))
         .orderBy("doc_id")
+    },
+
+    // Cross-corpus LM scoring: model trained on the EVEN doc_ids, odd
+    // docs scored against it — the held-out-LM shape real pipelines use
+    // (unseen words exercise the Laplace floor). Same quantized-int64
+    // hash-exact recipe as q_lm_score.
+    Probe.df("q_lm_score_cross",
+      s"""WITH w0 AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |wtr AS (SELECT * FROM w0 WHERE doc_id % 2 = 0),
+         |wte AS (SELECT * FROM w0 WHERE doc_id % 2 = 1),
+         |toks AS (SELECT doc_id, unnest(ws) AS w FROM wtr),
+         |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
+         |               count(*) AS vocab FROM uni),
+         |bgt AS (SELECT doc_id, unnest(
+         |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
+         |    for i in range(1, len(ws)) ]) AS s
+         |  FROM wtr WHERE len(ws) >= 2),
+         |bi AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS cb
+         |       FROM bgt GROUP BY 1, 2),
+         |bg AS (SELECT doc_id, unnest(
+         |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
+         |    for i in range(1, len(ws)) ]) AS s
+         |  FROM wte WHERE len(ws) >= 2),
+         |bge AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+         |p AS (SELECT bge.doc_id,
+         |    CAST(0.9 AS DOUBLE) * (coalesce(bi.cb, 0)::DOUBLE
+         |      / greatest(coalesce(u1.cu, 1), 1)::DOUBLE)
+         |  + CAST(0.1 AS DOUBLE) * ((coalesce(u2.cu, 0) + 1)::DOUBLE
+         |      / (tot.n_tokens + tot.vocab)::DOUBLE) AS p
+         |  FROM bge LEFT JOIN bi USING (w1, w2)
+         |           LEFT JOIN uni u1 ON u1.w = bge.w1
+         |           LEFT JOIN uni u2 ON u2.w = bge.w2, tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT)
+         |    AS sum_qp
+         |FROM p GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val (uni, bi, tot) = graft.operators.LmScore.bigramModel(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.operators.LmScore.score(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+          uni, bi, tot)
+        .select(col("doc_id"), col("n_bigrams"), col("sum_qp"))
+        .orderBy("doc_id")
     }
   )
 }
