@@ -108,6 +108,61 @@ object LmScore {
         (sum(log(col("p"))) / count(lit(1))).as("avg_logp"))
   }
 
+  /** Per-document (w1, w2, w3) trigram rows over a tokenized relation. */
+  private def trigramsOf(ws: DataFrame, idCol: String): DataFrame =
+    ws.where(size(col("__ws")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(slice(__ws, 1, size(__ws) - 2), " +
+          "(x, i) -> struct(x AS w1, element_at(__ws, i + 2) AS w2, " +
+          "element_at(__ws, i + 3) AS w3))"))
+        .as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("w1"),
+        col("__tg.w2").as("w2"), col("__tg.w3").as("w3"))
+
+  /** Trigram self-scoring: interpolated
+    * `p = 0.7·c(w1w2w3)/c(w1w2) + 0.2·c(w2w3)/c(w2)
+    *    + 0.1·(c(w3)+1)/(N+V)`
+    * — the deeper LM tier (same distributed shape: counts as
+    * DataFrames, five key joins, one per-doc aggregate; same
+    * quantized-int64 `sum_qp` exactness recipe — every term is
+    * correctly-rounded IEEE on identical operands). Docs shorter than
+    * three tokens drop out. */
+  def selfScoreTrigram(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ws = tokenized(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = ws.select(col(idCol), explode(col("__ws")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum(col("cu")).as("n_tokens"),
+      count(lit(1)).as("vocab"))
+    val bg = bigramsOf(ws, idCol)
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val tg = trigramsOf(ws, idCol)
+    val tri = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val p = tg
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("cb").as("cbh")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("cb23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (lit(0.7) * (coalesce(col("ct"), lit(0L)).cast("double") /
+            greatest(coalesce(col("cbh"), lit(1L)), lit(1L)).cast("double")) +
+          lit(0.2) * (coalesce(col("cb23"), lit(0L)).cast("double") /
+            greatest(coalesce(col("cu2"), lit(1L)), lit(1L)).cast("double")) +
+          lit(0.1) * ((coalesce(col("cu3"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_tokens") + col("vocab")).cast("double"))).as("p"))
+    p.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(floor(col("p") * lit(1073741824L)).cast("long")).as("sum_qp"),
+        (sum(log(col("p"))) / count(lit(1))).as("avg_logp"))
+  }
+
   /** Self-scoring convenience: train on the corpus, score the corpus —
     * the usual quality-bucket shape when no held-out LM exists.
     *

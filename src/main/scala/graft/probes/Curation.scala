@@ -323,6 +323,51 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Trigram-LM self-scoring: the deeper interpolated tier
+    // (0.7·trigram + 0.2·bigram + 0.1·Laplace-unigram). Same
+    // quantized-int64 recipe; docs shorter than 3 tokens drop out.
+    Probe.df("q_lm_score_tri",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |toks AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
+         |               count(*) AS vocab FROM uni),
+         |bg AS (SELECT doc_id, unnest(
+         |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
+         |    for i in range(1, len(ws)) ]) AS s
+         |  FROM w WHERE len(ws) >= 2),
+         |bi AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS cb
+         |       FROM bg GROUP BY 1, 2),
+         |tg AS (SELECT doc_id, unnest(
+         |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1],
+         |     'w3': ws[CAST(i AS INT)+2]}
+         |    for i in range(1, len(ws) - 1) ]) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |tge AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3 FROM tg),
+         |tri AS (SELECT w1, w2, w3, count(*) AS ct FROM tge GROUP BY 1, 2, 3),
+         |p AS (SELECT tge.doc_id,
+         |    CAST(0.7 AS DOUBLE) * (coalesce(tri.ct, 0)::DOUBLE
+         |      / greatest(coalesce(bh.cb, 1), 1)::DOUBLE)
+         |  + CAST(0.2 AS DOUBLE) * (coalesce(b23.cb, 0)::DOUBLE
+         |      / greatest(coalesce(u2.cu, 1), 1)::DOUBLE)
+         |  + CAST(0.1 AS DOUBLE) * ((coalesce(u3.cu, 0) + 1)::DOUBLE
+         |      / (tot.n_tokens + tot.vocab)::DOUBLE) AS p
+         |  FROM tge LEFT JOIN tri USING (w1, w2, w3)
+         |           LEFT JOIN bi bh ON bh.w1 = tge.w1 AND bh.w2 = tge.w2
+         |           LEFT JOIN bi b23 ON b23.w1 = tge.w2 AND b23.w2 = tge.w3
+         |           LEFT JOIN uni u2 ON u2.w = tge.w2
+         |           LEFT JOIN uni u3 ON u3.w = tge.w3, tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT)
+         |    AS sum_qp
+         |FROM p GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.LmScore.selfScoreTrigram(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"), col("sum_qp"))
+        .orderBy("doc_id")
+    },
+
     // Cross-corpus LM scoring: model trained on the EVEN doc_ids, odd
     // docs scored against it — the held-out-LM shape real pipelines use
     // (unseen words exercise the Laplace floor). Same quantized-int64

@@ -58,4 +58,25 @@ class LmScoreSpec extends AnyFunSuite {
     val r = LmScore.selfScore(docs, "doc_id", "text").collect().head
     assert(r.getLong(1) == 3)
   }
+
+  test("trigram tier: deeper context separates what bigrams cannot") {
+    // corpus alternates "a b c" and "x b z": bigram-wise, (b,c) and
+    // (b,z) are equally likely, but the TRIGRAM (a,b,?) is always c —
+    // the mixed doc "a b z" only drops under the trigram model
+    val docs = ((1 to 8).map(i => (i.toLong, "a b c")) ++
+      (9 to 16).map(i => (i.toLong, "x b z")) :+
+      (99L, "a b z")).toDF("doc_id", "text")
+    val tri = LmScore.selfScoreTrigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tri(99L) < tri(1L),
+      s"cross-pattern doc ${tri(99L)} should drop below ${tri(1L)}")
+    assert(tri(1L) == tri(8L) && tri(9L) == tri(16L))
+    // docs shorter than three tokens drop out
+    val short = Seq((1L, "just two")).toDF("doc_id", "text")
+    assert(LmScore.selfScoreTrigram(short, "doc_id", "text").count() == 0)
+    // n_trigrams exact
+    val four = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(LmScore.selfScoreTrigram(four, "doc_id", "text")
+      .collect().head.getLong(1) == 2)
+  }
 }
