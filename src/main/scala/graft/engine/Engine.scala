@@ -209,13 +209,18 @@ final class Engine(root: SparkSession) {
       throw new IllegalStateException("statement not executed"))
 
   /** Result as ONE Arrow IPC stream — the reference's actual wire format
-    * (`do_get_fallback` re-encodes cached batches, lib.rs:288-295). The
-    * statement re-executes its plan for encoding; the reference instead
-    * re-encodes its cache, but both hand the client identical bytes for
-    * identical results. */
+    * (`do_get_fallback` re-encodes cached batches, lib.rs:288-295).
+    * Encodes the result [[execute]] cached — NO second execution, no
+    * Spark job: a fetch always returns exactly the rows execute()
+    * counted, even if the underlying table mutated in between
+    * (repeatable read within one statement lifecycle, like the
+    * reference's server-side cache). */
   def fetchArrow(handle: String): Array[Byte] = {
     val st = statement(handle)
-    org.apache.spark.sql.graftaccess.Internals.toArrowIpc(plan(st))
+    val (schema, rows) = st.result.getOrElse(
+      throw new IllegalStateException("statement not executed"))
+    org.apache.spark.sql.graftaccess.Internals
+      .rowsToArrowIpc(st.session, schema, rows)
   }
 
   /** One-shot convenience: prepare + execute + fetch. */
@@ -227,9 +232,12 @@ final class Engine(root: SparkSession) {
     r
   }
 
-  /** DDL/DML/SET path: runs the statement, returns -1 (lib.rs:653). */
+  /** DDL/DML/SET path: runs the statement, returns -1 (lib.rs:653).
+    * Result rows are NEVER materialized on the driver: commands execute
+    * eagerly at `sql()`, query-shaped text drains on the executors. */
   def executeUpdate(token: String, sql: String): Long = {
-    session(token).sql(Engine.rewriteSimilarTo(sql)).collect()
+    org.apache.spark.sql.graftaccess.Internals.runWithoutCollect(
+      session(token).sql(Engine.rewriteSimilarTo(sql)))
     -1L
   }
 

@@ -66,9 +66,32 @@ object Internals {
   def toArrowIpc(df: org.apache.spark.sql.DataFrame): Array[Byte] = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
     val rows = ds.queryExecution.executedPlan.executeCollect()
-    val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    encodeArrowIpc(ds.sparkSession, ds.schema, rows.iterator)
+  }
+
+  /** Encode ALREADY-COLLECTED external rows as the same one-stream Arrow
+    * IPC format — the cached-result path of the reference's `do_get`
+    * (lib.rs:288-295 re-encodes its server-side cache rather than
+    * re-running the plan). Launches NO Spark job: the rows live on the
+    * driver already; only a per-row Row→InternalRow serialize + Arrow
+    * vector write happens here. */
+  def rowsToArrowIpc(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.Row]): Array[Byte] = {
+    val toInternal = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder(schema).createSerializer()
+    encodeArrowIpc(spark, schema, rows.iterator.map(toInternal(_)))
+  }
+
+  private def encodeArrowIpc(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow]): Array[Byte] = {
+    val conf = spark.asInstanceOf[ClassicSession].sessionState.conf
     val arrowSchema = org.apache.spark.sql.util.ArrowUtils.toArrowSchema(
-      ds.schema, tz, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+      schema, conf.sessionLocalTimeZone,
+      errorOnDuplicatedFieldNames = true, largeVarTypes = false)
     val allocator = org.apache.spark.sql.util.ArrowUtils.rootAllocator
       .newChildAllocator("graft-ipc", 0, Long.MaxValue)
     val root = org.apache.arrow.vector.VectorSchemaRoot.create(arrowSchema, allocator)
@@ -78,20 +101,44 @@ object Internals {
       val sw = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
         java.nio.channels.Channels.newChannel(out))
       // Spark contract: maxRecordsPerBatch <= 0 means unlimited.
-      val confMax = ds.sparkSession.sessionState.conf.arrowMaxRecordsPerBatch
+      val confMax = conf.arrowMaxRecordsPerBatch
       val maxRecords = if (confMax <= 0) Int.MaxValue else confMax
       sw.start()
-      if (rows.isEmpty) { // always at least one (empty) batch before EOS
+      // Streaming write, NO grouped() buffering: the Row→InternalRow
+      // serializer reuses one UnsafeRow, so buffering a chunk would
+      // capture n references to the same mutated row. write() copies
+      // values into the Arrow vectors immediately, which is safe.
+      var total = 0L
+      var inBatch = 0
+      while (rows.hasNext) {
+        writer.write(rows.next())
+        total += 1; inBatch += 1
+        if (inBatch == maxRecords) {
+          writer.finish(); sw.writeBatch(); writer.reset(); inBatch = 0
+        }
+      }
+      if (inBatch > 0 || total == 0) { // at least one (empty) batch before EOS
         writer.finish(); sw.writeBatch(); writer.reset()
-      } else rows.grouped(maxRecords).foreach { chunk =>
-        chunk.foreach(writer.write)
-        writer.finish()
-        sw.writeBatch()
-        writer.reset()
       }
       sw.end(); sw.close()
       out.toByteArray
     } finally { root.close(); allocator.close() }
+  }
+
+  /** Run a statement for its side effects WITHOUT materializing result
+    * rows on the driver. Spark executes commands (INSERT/CREATE/SET/...)
+    * eagerly at `sql()` — for those nothing further is needed; replaying
+    * the local [[CommandResult]] would be a pointless job. Query-shaped
+    * text is drained partition-by-partition on the executors, same
+    * technique as [[explainAnalyze]]. */
+  def runWithoutCollect(df: org.apache.spark.sql.DataFrame): Unit = {
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution
+    qe.commandExecuted match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.CommandResult => ()
+      case _ => qe.toRdd.foreachPartition(
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+          while (it.hasNext) it.next())
+    }
   }
 
   /** Optimizer size estimate for a DataFrame (bytes) — metadata-only (no

@@ -362,6 +362,98 @@ class EngineSpec extends AnyFunSuite {
       .unset("spark.sql.execution.arrow.maxRecordsPerBatch")
   }
 
+  /** Call sites of every Spark job started while `body` runs. The
+    * listener bus is async but FIFO: a uniquely-described marker job is
+    * run after `body`, and once its start event is visible every event
+    * from `body` has been delivered too. */
+  private def jobCallSitesDuring(body: => Unit): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val spark = TestSpark.spark
+    val sc = spark.sparkContext
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        seen.add((
+          Option(js.properties.getProperty("callSite.short")).getOrElse(""),
+          Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
+    }
+    sc.addSparkListener(listener)
+    try {
+      body
+      sc.setJobDescription("graft-bus-marker")
+      try spark.range(1).count() finally sc.setJobDescription(null)
+      val deadline = System.currentTimeMillis() + 30000
+      while (!seen.asScala.exists(_._2 == "graft-bus-marker") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(10)
+      seen.asScala.toSeq.filterNot(_._2 == "graft-bus-marker").map(_._1)
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("fetchArrow serves the cached execute() result — repeatable read, " +
+      "no second execution (lib.rs:288-295)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fetch_cache")
+    engine.executeUpdate(token,
+      s"CREATE TABLE fetch_cache_t (v INT) USING parquet LOCATION '$dir'")
+    try {
+      engine.executeUpdate(token, "INSERT INTO fetch_cache_t VALUES (1), (2), (3)")
+      val (h, _) = engine.prepare(token, "SELECT v FROM fetch_cache_t ORDER BY v")
+      assert(engine.execute(h) == 3)
+      // mutate the table AFTER execute: the cached result must not move
+      engine.executeUpdate(token, "INSERT INTO fetch_cache_t VALUES (99)")
+      var bytes: Array[Byte] = null
+      val jobs = jobCallSitesDuring { bytes = engine.fetchArrow(h) }
+      assert(jobs.isEmpty, s"fetchArrow must not launch Spark jobs, saw: $jobs")
+      engine.closeStatement(h)
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc)
+      try {
+        assert(reader.loadNextBatch())
+        val root = reader.getVectorSchemaRoot
+        val vs = root.getVector("v").asInstanceOf[org.apache.arrow.vector.IntVector]
+        assert((0 until root.getRowCount).map(vs.get) == Seq(1, 2, 3),
+          "fetchArrow must encode the pre-mutation cache, not re-execute")
+      } finally { reader.close(); alloc.close() }
+      // a fresh statement DOES see the mutation (the cache is per-statement)
+      val (_, after) = engine.executeQuery(token,
+        "SELECT count(*) AS n FROM fetch_cache_t")
+      assert(after.head.getLong(0) == 4L)
+    } finally engine.executeUpdate(token, "DROP TABLE IF EXISTS fetch_cache_t")
+  }
+
+  test("fetchArrow before execute raises like fetch") {
+    val (h, _) = engine.prepare(token, "SELECT 1 AS v")
+    intercept[IllegalStateException] { engine.fetchArrow(h) }
+    engine.closeStatement(h)
+  }
+
+  test("executeUpdate never materializes result rows on the driver") {
+    // query-shaped text runs distributed and drains on the executors:
+    // a job starts, but never a driver-side `collect at` one
+    val jobs = jobCallSitesDuring {
+      assert(engine.executeUpdate(token, "SELECT id FROM range(100000)") == -1L)
+    }
+    assert(jobs.nonEmpty, "the statement must actually run")
+    assert(!jobs.exists(_.startsWith("collect")),
+      s"executeUpdate must not collect to the driver, saw: $jobs")
+    // DML goes through the same path: the INSERT's own write job runs
+    // (eagerly at sql()), with no collect job appended
+    val dir = java.nio.file.Files.createTempDirectory("graft_upd_nocollect")
+    engine.executeUpdate(token,
+      s"CREATE TABLE upd_noc_t (v INT) USING parquet LOCATION '$dir'")
+    try {
+      val dmlJobs = jobCallSitesDuring {
+        assert(engine.executeUpdate(token,
+          "INSERT INTO upd_noc_t SELECT CAST(id AS INT) FROM range(1000)") == -1L)
+      }
+      assert(!dmlJobs.exists(_.startsWith("collect")),
+        s"INSERT must not collect its command result, saw: $dmlJobs")
+      val (_, n) = engine.executeQuery(token, "SELECT count(*) AS n FROM upd_noc_t")
+      assert(n.head.getLong(0) == 1000L)
+    } finally engine.executeUpdate(token, "DROP TABLE IF EXISTS upd_noc_t")
+  }
+
   test("statement GC sweeps idle statements; fresh ones survive") {
     val (stale, _) = engine.prepare(token, "SELECT 1 AS a")
     Thread.sleep(30)
