@@ -308,11 +308,16 @@ object Engine {
       c match {
         case '\'' | '"' | '`' =>
           // literal / quoted identifier: copy verbatim (doubled-quote
-          // escapes stay inside the span)
+          // escapes stay inside the span; in ' and " string literals
+          // Spark's default parser also accepts backslash-escaped
+          // chars — 'don\'t' — so a backslash skips the next char lest
+          // the span end early; backticked identifiers double only)
           var j = i + 1
           var done = false
           while (!done && j < n) {
-            if (sql.charAt(j) == c) {
+            val cj = sql.charAt(j)
+            if (cj == '\\' && c != '`' && j + 1 < n) j += 2
+            else if (cj == c) {
               if (j + 1 < n && sql.charAt(j + 1) == c) j += 2 else done = true
             } else j += 1
           }

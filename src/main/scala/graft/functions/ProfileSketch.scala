@@ -225,8 +225,13 @@ object ProfileSketch {
     def updateDouble(i: Int, d: Double): Unit = {
       if (!hasVal(i)) { hasVal(i) = true; minD(i) = d; maxD(i) = d }
       else {
-        if (d < minD(i)) minD(i) = d
-        if (d > maxD(i)) maxD(i) = d
+        // SQLOrderingUtil, not '<'/'>': those are false for NaN, which
+        // would pin min/max to whichever NaN arrived first per
+        // partition (merge-order-dependent). Spark's ordering — NaN
+        // greatest, -0.0 == 0.0 — applied deterministically.
+        import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        if (SQLOrderingUtil.compareDoubles(d, minD(i)) < 0) minD(i) = d
+        if (SQLOrderingUtil.compareDoubles(d, maxD(i)) > 0) maxD(i) = d
       }
       hll(i, XXH64.hashLong(java.lang.Double.doubleToLongBits(d), Seed))
     }
@@ -278,8 +283,11 @@ object ProfileSketch {
           } else {
             if (o.minL(i) < minL(i)) minL(i) = o.minL(i)
             if (o.maxL(i) > maxL(i)) maxL(i) = o.maxL(i)
-            if (o.minD(i) < minD(i)) minD(i) = o.minD(i)
-            if (o.maxD(i) > maxD(i)) maxD(i) = o.maxD(i)
+            // NaN-ordered like updateDouble (Spark: NaN greatest)
+            if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+              .compareDoubles(o.minD(i), minD(i)) < 0) minD(i) = o.minD(i)
+            if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+              .compareDoubles(o.maxD(i), maxD(i)) > 0) maxD(i) = o.maxD(i)
             if (o.minS(i) != null &&
               (minS(i) == null || o.minS(i).compareTo(minS(i)) < 0))
               minS(i) = o.minS(i)

@@ -100,8 +100,8 @@ object BatchWrites {
     * round-trips). */
   private def partFragment(name: String, dt: DataType, row: InternalRow,
       ord: Int): String = {
-    val v =
-      if (row.isNullAt(ord)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    val v: String =
+      if (row.isNullAt(ord)) null
       else dt match {
         case StringType => row.getUTF8String(ord).toString
         case BooleanType => row.getBoolean(ord).toString
@@ -114,8 +114,14 @@ object BatchWrites {
         case other => throw new UnsupportedOperationException(
           s"partition column $name: unsupported partition type $other")
       }
-    ExternalCatalogUtils.escapePathName(name) + "=" +
-      (if (row.isNullAt(ord)) v else ExternalCatalogUtils.escapePathName(v))
+    // NULL *and* empty string both render as the default-partition dir,
+    // matching ExternalCatalogUtils.getPartitionPathString — a 'col='
+    // fragment would trip Spark's read-side partition inference
+    // ("Empty partition column value") and make the table unreadable.
+    val frag =
+      if (v == null || v.isEmpty) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v)
+    ExternalCatalogUtils.escapePathName(name) + "=" + frag
   }
 
   final case class ParquetWriterFactory(fac: OutputWriterFactory,

@@ -94,40 +94,50 @@ object FileTaggedScans {
 
     /** Re-group the delegate's partitions so each reads ONE file: a
       * `FilePartition` packing several small files splits into one
-      * partition per file (order preserved). Non-file partitions (an
-      * empty-scan placeholder, say) pass through with an empty tag. */
-    override def planInputPartitions(): Array[InputPartition] = {
-      val out = Array.newBuilder[InputPartition]
-      var idx = 0
-      delegate.toBatch.planInputPartitions().foreach {
-        case fp: FilePartition =>
-          // one partition per contiguous run of same-file splits
-          var run = Vector.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]
-          def flush(): Unit = if (run.nonEmpty) {
-            val path = run.head.filePath.toPath.toString
-            out += TaggedPartition(FilePartition(idx, run.toArray), path)
-            idx += 1
-            run = Vector.empty
-          }
-          fp.files.foreach { f =>
-            if (run.nonEmpty && run.head.filePath != f.filePath) flush()
-            run :+= f
-          }
-          flush()
-        case other =>
-          out += TaggedPartition(other, ""); idx += 1
-      }
-      out.result()
-    }
+      * partition per file (order preserved). */
+    override def planInputPartitions(): Array[InputPartition] =
+      regroupByFile(delegate.toBatch.planInputPartitions())
 
     override def createReaderFactory(): PartitionReaderFactory =
       new TaggedReaderFactory(delegate.toBatch.createReaderFactory())
   }
 
-  private final case class TaggedPartition(
+  private[sql] final case class TaggedPartition(
       inner: InputPartition, file: String) extends InputPartition {
     override def preferredLocations(): Array[String] =
       inner.preferredLocations()
+  }
+
+  /** One tagged partition per contiguous same-file run. Fails fast on a
+    * non-FilePartition: every delegate here is Spark's parquet scan,
+    * whose batches plan FilePartitions only — silently tagging an
+    * unexpected partition type with an empty `_file` would skew
+    * count(DISTINCT _file)-style queries instead of surfacing the bug
+    * (the column is declared non-nullable with absolute-path
+    * semantics). Exposed for direct spec coverage of the reject. */
+  private[sql] def regroupByFile(
+      parts: Array[InputPartition]): Array[InputPartition] = {
+    val out = Array.newBuilder[InputPartition]
+    var idx = 0
+    parts.foreach {
+      case fp: FilePartition =>
+        var run = Vector.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]
+        def flush(): Unit = if (run.nonEmpty) {
+          val path = run.head.filePath.toPath.toString
+          out += TaggedPartition(FilePartition(idx, run.toArray), path)
+          idx += 1
+          run = Vector.empty
+        }
+        fp.files.foreach { f =>
+          if (run.nonEmpty && run.head.filePath != f.filePath) flush()
+          run :+= f
+        }
+        flush()
+      case other => throw new IllegalStateException(
+        s"_file tagging expects FilePartitions from the parquet delegate, " +
+          s"got ${other.getClass.getName} — cannot attribute rows to a file")
+    }
+    out.result()
   }
 
   /** Row readers append the tag via a JoinedRow; columnar readers keep

@@ -667,6 +667,29 @@ class CatalogV2Spec extends AnyFunSuite {
       .collect().head.getLong(0) == 4)
   }
 
+  test("empty-string partition value writes the default-partition dir " +
+      "(table stays readable)") {
+    spark.sql("CREATE TABLE g2.db.peps (id INT, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql("INSERT INTO g2.db.peps VALUES (1,'east'), (2,'west')")
+    // rendering '' as a bare 'region=' dir would trip Spark's read-side
+    // partition inference ("Empty partition column value") — like
+    // ExternalCatalogUtils.getPartitionPathString, '' maps to the
+    // default-partition name, same as NULL
+    spark.sql("UPDATE g2.db.peps SET region = '' WHERE id = 2")
+    val files = spark.sql("SELECT file_path FROM g2.db.peps.files")
+      .collect().map(_.getString(0)).toSeq
+    assert(files.exists(_.contains("region=__HIVE_DEFAULT_PARTITION__")),
+      files.mkString(", "))
+    assert(!files.exists(_.matches(".*/region=/.*")), files.mkString(", "))
+    // the table still reads; '' round-trips as the default partition
+    // (NULL), exactly Spark's own dynamic-partition write contract
+    assert(spark.sql("SELECT region FROM g2.db.peps WHERE id = 2")
+      .collect().head.isNullAt(0))
+    assert(spark.sql("SELECT count(*) FROM g2.db.peps")
+      .collect().head.getLong(0) == 2)
+  }
+
   test("_file metadata column tags rows with their source file, in ONE scan") {
     spark.sql("CREATE TABLE g2.db.ftag (a INT)")
     spark.sql("INSERT INTO g2.db.ftag VALUES (1), (2)")

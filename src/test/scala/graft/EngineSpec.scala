@@ -275,6 +275,13 @@ class EngineSpec extends AnyFunSuite {
     val mixed = Engine.rewriteSimilarTo(
       "SELECT v FROM t WHERE note = 'x SIMILAR TO y' AND v SIMILAR TO 'a%'")
     assert(mixed.contains("note = 'x SIMILAR TO y'"), mixed)
+    // a backslash-escaped quote must not end the literal span early
+    // (Spark's default parser accepts 'don\'t'): the literal is copied
+    // verbatim, the REAL operator after it still rewrites
+    val bs = Engine.rewriteSimilarTo(
+      "SELECT v FROM t WHERE note = 'don\\'t SIMILAR TO y' AND v SIMILAR TO 'a%'")
+    assert(bs.contains("note = 'don\\'t SIMILAR TO y'"), bs)
+    assert(bs.contains("RLIKE"), bs)
     assert(mixed.contains("RLIKE") && !mixed.toLowerCase.endsWith("'a%'"), mixed)
     // word boundary: `dissimilar` is not the keyword
     val wb = Engine.rewriteSimilarTo("SELECT dissimilar FROM t WHERE v SIMILAR TO 'a'")

@@ -65,6 +65,22 @@ class ProfileSketchSpec extends AnyFunSuite {
     assert(v.getLong(3) == 1 && v.getLong(4) == 4)
   }
 
+  test("double min/max are NaN-ordered like Spark (NaN greatest, order-independent)") {
+    // NaN-first partitions would pin min/max to NaN under naive '<'/'>'
+    // comparisons; Spark orders NaN as the greatest double
+    val df = Seq(Double.NaN, 3.0, -2.0, Double.NaN, 7.5)
+      .toDF("v").repartition(5) // some partitions see ONLY NaN
+    val r = Stats.profile(df, exactDistinct = false)
+      .collect().map(r => r.getString(0) -> r).toMap.apply("v")
+    assert(r.getString(1).toDouble == -2.0, "min must not be poisoned by NaN")
+    assert(r.getString(2) == "NaN", "max is NaN, like Spark's max()")
+    // and it agrees with the exact tier (Spark's own min/max aggregates)
+    val e = Stats.profile(df, exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap.apply("v")
+    assert(e.getString(1).toDouble == r.getString(1).toDouble)
+    assert(e.getString(2) == r.getString(2))
+  }
+
   test("all-null column yields (null, null, n, 0, n)") {
     val df = Seq((1, Option.empty[String]), (2, Option.empty[String]))
       .toDF("a", "b")
