@@ -302,16 +302,20 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 4×16-bit band keys (two docs within Hamming
-    * distance 3 must agree on ≥1 band) → bucket join → exact Hamming
-    * verification. Same shuffle shape as MinHash-LSH. */
+    * distance 3 must agree on ≥1 band — pigeonhole) → bucket join →
+    * exact Hamming verification. Same shuffle shape as MinHash-LSH.
+    * `hashFn` is the per-word hash: xxhash64 for production (fast,
+    * Spark-only); the md5-60bit prefix for cross-engine oracling (both
+    * engines render identical lowercase hex — see [[simhashMd5Bands]]). */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 4096,
-      semiReduceBytes: Long = 256L << 20): DataFrame = {
+      semiReduceBytes: Long = 256L << 20,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))  // parallelism first, as in minhash
       .select(col("id"), simhashVectorFromHashes(
-        transform(words(col("__text")), w => xxhash64(w))).as("sv"))
+        transform(words(col("__text")), w => hashFn(w))).as("sv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4×16-bit band keys via kernel — value-identical to the declarative
     // Σ 2^j aggregate it replaces (which ran 64 interpreted lambda evals

@@ -103,9 +103,44 @@ object Pipeline {
         .orderBy("ida", "idb")
     },
 
-    Probe.noOracle("q_dedup_simhash") { (s, dir) =>
+    // Full oracle (VERDICT r7 #5): the probe runs the SAME banded
+    // pairs operator over md5-60bit word hashes (DuckDB-replicable, see
+    // simhashMd5Bands) so DuckDB can recompute every signature and do
+    // the exact all-pairs Hamming truth — banding + verify must equal
+    // it (≤3 diffs across 4×16-bit bands leave ≥1 band untouched).
+    Probe.df("q_dedup_simhash",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |h AS (SELECT doc_id, list_transform(ws, s ->
+         |    CAST(list_sum(list_transform(range(15), i ->
+         |      CAST(instr('0123456789abcdef', substr(md5(s), CAST(i AS INT)+1, 1)) - 1
+         |        AS BIGINT) << CAST(4*(14-i) AS BIGINT))) AS BIGINT)) AS hs
+         |  FROM w),
+         |b AS (SELECT doc_id, list_transform(range(64), bb ->
+         |    CASE WHEN list_sum(list_transform(hs, hh ->
+         |        CASE WHEN ((hh >> CAST(bb AS BIGINT)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN 1 ELSE 0 END) AS bv
+         |  FROM h),
+         |sig AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(16), j ->
+         |    CAST(bv[CAST(j AS INT)+1] AS BIGINT) << CAST(j AS BIGINT))) AS BIGINT) AS k0,
+         |  CAST(list_sum(list_transform(range(16), j ->
+         |    CAST(bv[CAST(j AS INT)+17] AS BIGINT) << CAST(j AS BIGINT))) AS BIGINT) AS k1,
+         |  CAST(list_sum(list_transform(range(16), j ->
+         |    CAST(bv[CAST(j AS INT)+33] AS BIGINT) << CAST(j AS BIGINT))) AS BIGINT) AS k2,
+         |  CAST(list_sum(list_transform(range(16), j ->
+         |    CAST(bv[CAST(j AS INT)+49] AS BIGINT) << CAST(j AS BIGINT))) AS BIGINT) AS k3
+         |  FROM b)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+         |         bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS INT)
+         |      AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |) WHERE hamming <= 3
+         |ORDER BY ida, idb""".stripMargin) { (s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", maxHamming = 3)
+          "doc_id", "text", maxHamming = 3,
+          hashFn = w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
         .orderBy("ida", "idb")
     },
 
