@@ -27,10 +27,38 @@ object Bench {
       // split math hit totalSize/defaultParallelism. Irrelevant at
       // cluster scale (≥128 MB files split on maxPartitionBytes alone).
       .config("spark.sql.files.openCostInBytes", "262144")
+      // The 64 MB advisory target is cluster sizing: at sf0.1 the big
+      // shuffles are 10-30 MB TOTAL, so AQE coalesces every post-shuffle
+      // stage to <=8 fat tasks and 24 of 32 threads idle through the
+      // heaviest aggregates (q_fingerprint_overlap_banded's (d1,d2)
+      // count ran on 8 tasks, 650 ms wall). 2 MB/256 KB sizes the same
+      // stages at ~16-32 tasks locally; a real cluster keeps defaults.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "2m"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "256k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // SPARK_GRAFT_BENCH_STAGES=1: per-stage WALL times to stderr — the
+    // plan-metric pipelineTime is cumulative task CPU, which hides
+    // serialized single-task stages and scheduling gaps.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val wall = for {
+              a <- i.submissionTime; b <- i.completionTime
+            } yield b - a
+            System.err.println(f"[stage] id=${i.stageId}%-4d " +
+              f"tasks=${i.numTasks}%-4d wall=${wall.getOrElse(-1L)}%-6d " +
+              i.name.takeWhile(_ != '\n').take(90))
+          }
+        })
 
     val qs = SparkEntry.queries
     def runOnce(name: String): Double = {

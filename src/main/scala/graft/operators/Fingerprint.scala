@@ -110,17 +110,51 @@ object Fingerprint {
       k: Int = 8, w: Int = 4, minJaccard: Double = 0.5,
       maxDocFreq: Int = 20, minKeys: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("id"),
-      winnow(col(textCol), k, w).as("fps"),
+    // Size-dispatched parallelism (same planSizeInBytes dispatch as
+    // Dedup.semiReduceForVerify). A compact corpus arrives in few scan
+    // partitions (one 600 KB file at sf0.1 = ONE task), which would
+    // serialize every kernel evaluation behind single-task stages: an
+    // explicit-count repartition (REPARTITION_BY_NUM, so AQE cannot
+    // coalesce the ~1 MB shuffle back to one task) spreads the raw
+    // text and the winnow/pair-key kernels run 32-way in each consumer
+    // branch. A LARGE corpus skips it: its scan is already wide, and a
+    // full-text repartition is exactly the 100-TB shuffle this
+    // operator must not pay.
+    val sel = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val compact = Internals.planSizeInBytes(sel) <= (1L << 30)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (compact) sel.repartition(par, col("id")) else sel
+    // Persisted: four consumer branches (kept, raw right side, and the
+    // two verify joins on fps) would otherwise each re-execute the
+    // scan + both kernels — differently-aliased subtrees defeat
+    // exchange/broadcast reuse, so the winnow kernel ran 4× in the r7
+    // shape. One MEMORY_AND_DISK block of (id, fps, keys) pays the
+    // kernels once; same CALLER CONTRACT as [[Dedup]]/[[LmScore]]
+    // persisted intermediates (batch jobs end with the session;
+    // long-lived sessions clearCache between statements).
+    val base = spread.select(col("id"),
+      winnow(col("__text"), k, w).as("fps"),
       Internals.column(WinnowPairKeys(
-        Internals.expression(col(textCol)), k, w)).as("keys"))
+        Internals.expression(col("__text")), k, w)).as("keys"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fps = base.select(col("id"), col("fps"), size(col("fps")).as("m"))
     val e = base.select(col("id"), explode(col("keys")).as("bk"))
+    // ONE window pass, and only on the LEFT join side: capping one side
+    // alone is exact, because a whale bucket keeps no left rows at all,
+    // so raw right-side rows from it never find a partner (the r7 shape
+    // windowed BOTH derived sides — two sorts of the full exploded
+    // table — and sort-merge-joined them). `kept` leaves the window
+    // already hash-partitioned by bk, so the shuffle_hash join adds one
+    // exchange of bare (id, bk) pairs and no sorts — the same fusion as
+    // [[Dedup.bandedCandidates]], and the same reason AQE must not
+    // broadcast the raw side (driver-collecting the banded table).
+    val kept = e
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("bk")))
       .where(col("__df") <= maxDocFreq).drop("__df")
-    val cand = e.select(col("id").as("d1"), col("bk"))
-      .join(e.select(col("id").as("d2"), col("bk")), Seq("bk"))
-      .where(col("d1") < col("d2"))
+    val cand = kept.select(col("id").as("d1"), col("bk")).alias("a")
+      .join(e.select(col("id").as("d2"), col("bk")).alias("b")
+        .hint("shuffle_hash"),
+        col("a.bk") === col("b.bk") && col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("__nk"))
       .where(col("__nk") >= minKeys)
       .select("d1", "d2")
@@ -129,6 +163,12 @@ object Fingerprint {
         col("m").as("m1")), Seq("d1"))
       .join(fps.select(col("id").as("d2"), col("fps").as("fps2"),
         col("m").as("m2")), Seq("d2"))
+      // size-ratio prefilter (exact, like the length filter of string
+      // similarity joins): shared ≤ min(m1,m2) and union ≥ max(m1,m2),
+      // so jac ≤ min/max — a pair failing min ≥ j·max can never reach
+      // minJaccard and the exact intersection is skipped for it
+      .where(least(col("m1"), col("m2")).cast("double") >=
+        lit(minJaccard) * greatest(col("m1"), col("m2")))
       .withColumn("shared",
         size(array_intersect(col("fps1"), col("fps2"))).cast("bigint"))
       .withColumn("jac",
