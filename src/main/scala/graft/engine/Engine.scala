@@ -241,16 +241,28 @@ final class Engine(root: SparkSession) {
     -1L
   }
 
-  def closeStatement(handle: String): Unit = statements.remove(handle)
+  /** Closing a statement also releases the operator cache blocks its
+    * session accumulated ([[graft.operators.OperatorCache]]): operators
+    * like Dedup/LmScore persist heavy intermediates behind lazy
+    * DataFrames, and the statement close is the engine-side point where
+    * "the caller's last action ran" is known — executor storage returns
+    * to baseline here (VERDICT r7 #4). Unpersist is recompute-safe, so a
+    * concurrent statement of the same session at worst recomputes. */
+  def closeStatement(handle: String): Unit = {
+    val st = statements.remove(handle)
+    if (st != null) graft.operators.OperatorCache.release(st.session)
+  }
 
   /** Closing a session also drops its statements — their cached results
-    * are unreachable once the token is gone. */
+    * are unreachable once the token is gone — and releases its tracked
+    * operator cache blocks. */
   def closeSession(token: String): Unit = {
     import scala.jdk.CollectionConverters._
     val s = sessions.remove(token)
     if (s != null) {
       statements.entrySet().asScala.filter(_.getValue.session eq s)
         .map(_.getKey).toSeq.foreach(statements.remove)
+      graft.operators.OperatorCache.release(s)
     }
   }
 

@@ -87,15 +87,13 @@ object Dedup {
     * the candidate pairs get persisted (the id-set union reads them
     * twice, the verify join once; small by construction, post-cap).
     *
-    * CALLER CONTRACT: on the large-corpus path the persisted candidate
-    * block has no automatic unpersist — the returned DataFrame is lazy,
-    * so the operator cannot know when the caller's last action over it
-    * ran. Long-lived sessions calling [[minhashLshPairs]] /
-    * [[simhashPairs]] / [[Similarity.cosineNearDupPairsLsh]] repeatedly
-    * on large corpora must `spark.catalog.clearCache()` (or unpersist
-    * via `spark.sharedState.cacheManager`) between calls, as Bench and
-    * Verify do; otherwise MEMORY_AND_DISK blocks accumulate for the
-    * session's lifetime. */
+    * CACHE LIFECYCLE: the persisted candidate block is registered in
+    * [[OperatorCache]] against the owning session — the Engine's
+    * closeStatement/closeSession release it automatically (VERDICT r7
+    * #4), and batch drivers (Bench/Verify) clearCache() between
+    * queries. Plain library callers in a long-lived session can call
+    * `OperatorCache.release(session)` (or clearCache) when done with
+    * the returned lazy DataFrame. */
   private[operators] def semiReduceForVerify(corpus: DataFrame,
       semiReduceBytes: Long, candPairs: DataFrame,
       payload: DataFrame): (DataFrame, DataFrame) = {
@@ -103,8 +101,7 @@ object Dedup {
       .planSizeInBytes(corpus) <= semiReduceBytes
     if (small) (candPairs, payload)
     else {
-      val c = candPairs.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = OperatorCache.persist(candPairs)
       val candIds = c.select(col("ida").as("id"))
         .union(c.select(col("idb").as("id"))).distinct()
       (c, payload.join(candIds, Seq("id"), "left_semi"))
@@ -200,7 +197,7 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"), shingles(col("__text"), n).as("sh"))
       .withColumn("sig", minhashSigFromHashes(hashShingles(col("sh")), numPerms))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OperatorCache.persist)
 
     // Band keys from the kernel (position = band): the declarative
     // slice→stringify→concat→xxhash chain ran as interpreted lambdas,
@@ -255,10 +252,10 @@ object Dedup {
     val edges = pairs.select(col(idaCol).as("src"), col(idbCol).as("dst"))
       .union(pairs.select(col(idbCol).as("src"), col(idaCol).as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OperatorCache.persist)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OperatorCache.persist)
     var converged = false
     while (!converged) {
       // each node offers its label to every neighbour; take the min seen
@@ -268,7 +265,7 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(OperatorCache.persist)
       next.count() // fully materialize the cache BEFORE dropping the parent
       converged = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
@@ -316,7 +313,7 @@ object Dedup {
       .repartition(col("id"))  // parallelism first, as in minhash
       .select(col("id"), simhashVectorFromHashes(
         transform(words(col("__text")), w => hashFn(w))).as("sv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OperatorCache.persist)
     // 4×16-bit band keys via kernel — value-identical to the declarative
     // Σ 2^j aggregate it replaces (which ran 64 interpreted lambda evals
     // per document).

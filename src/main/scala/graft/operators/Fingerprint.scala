@@ -129,14 +129,13 @@ object Fingerprint {
     // scan + both kernels — differently-aliased subtrees defeat
     // exchange/broadcast reuse, so the winnow kernel ran 4× in the r7
     // shape. One MEMORY_AND_DISK block of (id, fps, keys) pays the
-    // kernels once; same CALLER CONTRACT as [[Dedup]]/[[LmScore]]
-    // persisted intermediates (batch jobs end with the session;
-    // long-lived sessions clearCache between statements).
+    // kernels once; lifecycle via [[OperatorCache]] (engine statement
+    // close / clearCache releases it, same as [[Dedup]]/[[LmScore]]).
     val base = spread.select(col("id"),
       winnow(col("__text"), k, w).as("fps"),
       Internals.column(WinnowPairKeys(
         Internals.expression(col("__text")), k, w)).as("keys"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OperatorCache.persist)
     val fps = base.select(col("id"), col("fps"), size(col("fps")).as("m"))
     val e = base.select(col("id"), explode(col("keys")).as("bk"))
     // ONE window pass, and only on the LEFT join side: capping one side

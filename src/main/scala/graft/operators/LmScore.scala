@@ -130,7 +130,7 @@ object LmScore {
   def selfScoreTrigram(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val ws = tokenized(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OperatorCache.persist)
     val toks = ws.select(col(idCol), explode(col("__ws")).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
     val totals = uni.agg(sum(col("cu")).as("n_tokens"),
@@ -170,13 +170,12 @@ object LmScore {
     * the bigram counts AND the scoring rows — without it Catalyst
     * re-tokenizes the corpus three times (no subtree reuse across the
     * model/score consumers; measured 1.57 → ~1.1s at sf0.1).
-    * CALLER CONTRACT (same as Dedup's candidate block): the returned
-    * DataFrame is lazy, so there is no automatic unpersist — batch
-    * drivers should `spark.catalog.clearCache()` when done (Bench and
-    * Verify already do, between queries). */
+    * Cache lifecycle via [[OperatorCache]] (same as Dedup's candidate
+    * block): the Engine's statement close releases it; batch drivers
+    * clearCache() when done (Bench and Verify already do). */
   def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = tokenized(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OperatorCache.persist)
     val toks = ws.select(col(idCol), explode(col("__ws")).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
     val bg = bigramsOf(ws, idCol)

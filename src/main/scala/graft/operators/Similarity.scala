@@ -187,7 +187,7 @@ object Similarity {
         graft.functions.SignBands(
           org.apache.spark.sql.graftaccess.Internals.expression(col("v")),
           ps, bands)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OperatorCache.persist)
     val banded = base.select(col("id"),
       posexplode(col("keys")).as(Seq("band", "key")))
     // same skew guard as the MinHash path: an adversarial corpus (many

@@ -478,4 +478,38 @@ class EngineSpec extends AnyFunSuite {
     engine.closeSession(t2)
     intercept[IllegalArgumentException] { engine.fetch(h) }
   }
+
+  test("closeStatement auto-unpersists operator cache blocks (VERDICT r7 #4)") {
+    import graft.operators.{Dedup, OperatorCache}
+    val Right(t2) = engine.handshake("admin", "password")
+    val s = engine.session(t2)
+    import s.implicits._
+    // a q_dedup_minhash-shaped corpus on the ENGINE's session, with
+    // semiReduceBytes = 0 forcing the large-corpus path that persists
+    // the candidate-pair block on top of the signature table
+    val docs = (0L until 300L).map { i =>
+      val fam = i % 3
+      (i, s"alpha beta gamma delta epsilon zeta eta theta fam$fam " +
+        s"iota kappa lambda mu nu xi omicron pi word${i % 5}")
+    }.toDF("doc_id", "text")
+    val rddsBefore = s.sparkContext.getPersistentRDDs.size
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.5, semiReduceBytes = 0L)
+    pairs.createOrReplaceTempView("minhash_dups")
+    assert(OperatorCache.trackedCount(s) > 0,
+      "operator persists must register against the engine session")
+    val (h, _) = engine.prepare(t2, "SELECT count(*) AS c FROM minhash_dups")
+    assert(engine.execute(h) == 1L)
+    assert(s.sparkContext.getPersistentRDDs.size > rddsBefore,
+      "execute must have materialized cached blocks")
+    engine.closeStatement(h)
+    // every tracked block is dropped — executor storage back to baseline
+    assert(OperatorCache.trackedCount(s) == 0)
+    assert(s.sparkContext.getPersistentRDDs.size == rddsBefore)
+    // recompute safety: the view still answers after the release
+    val (_, rows) = engine.executeQuery(t2, "SELECT count(*) AS c FROM minhash_dups")
+    assert(rows.head.getLong(0) >= 0L)
+    assert(OperatorCache.trackedCount(s) == 0) // executeQuery closed its statement
+    engine.closeSession(t2)
+  }
 }
