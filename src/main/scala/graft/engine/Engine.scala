@@ -232,6 +232,56 @@ final class Engine(root: SparkSession) {
     r
   }
 
+  /** SQL string literal with doubled quotes (introspection filters). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Flight SQL's catalog metadata surface (CommandGetCatalogs shape).
+    * The reference leaves the catalog metadata RPCs unimplemented
+    * (lib.rs:382-482) and clients introspect through information_schema
+    * SQL instead (lib.rs:92); these verbs serve exactly that listing —
+    * same snapshot, Flight SQL's column names — so a fresh client can
+    * discover catalogs/schemas/tables without knowing the dialect. */
+  def getCatalogs(token: String): (StructType, Array[Row]) =
+    executeQuery(token,
+      "SELECT DISTINCT table_catalog AS catalog_name " +
+        "FROM information_schema.tables ORDER BY catalog_name")
+
+  /** CommandGetDbSchemas shape: `catalog` filters exactly,
+    * `schemaPattern` is a SQL LIKE pattern (`%`/`_`), both optional —
+    * Flight SQL's filter semantics. */
+  def getDbSchemas(token: String, catalog: Option[String] = None,
+      schemaPattern: Option[String] = None): (StructType, Array[Row]) = {
+    val conds = catalog.map(c => s"table_catalog = ${sqlLit(c)}").toSeq ++
+      schemaPattern.map(p => s"table_schema LIKE ${sqlLit(p)}")
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    executeQuery(token,
+      "SELECT DISTINCT table_catalog AS catalog_name, " +
+        "table_schema AS db_schema_name " +
+        s"FROM information_schema.tables$where " +
+        "ORDER BY catalog_name, db_schema_name")
+  }
+
+  /** CommandGetTables shape: exact `catalog`, LIKE patterns for schema
+    * and table name, and an optional `tableTypes` allowlist matched
+    * against the engine's table_type values (MANAGED/EXTERNAL/VIEW/
+    * TEMPORARY, as information_schema.tables reports them). */
+  def getTables(token: String, catalog: Option[String] = None,
+      schemaPattern: Option[String] = None,
+      tablePattern: Option[String] = None,
+      tableTypes: Seq[String] = Nil): (StructType, Array[Row]) = {
+    val conds = catalog.map(c => s"table_catalog = ${sqlLit(c)}").toSeq ++
+      schemaPattern.map(p => s"table_schema LIKE ${sqlLit(p)}") ++
+      tablePattern.map(p => s"table_name LIKE ${sqlLit(p)}") ++
+      (if (tableTypes.isEmpty) None
+       else Some(tableTypes.map(sqlLit).mkString("table_type IN (", ", ", ")")))
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    executeQuery(token,
+      "SELECT table_catalog AS catalog_name, " +
+        "table_schema AS db_schema_name, table_name, table_type " +
+        s"FROM information_schema.tables$where " +
+        "ORDER BY catalog_name, db_schema_name, table_name")
+  }
+
   /** DDL/DML/SET path: runs the statement, returns -1 (lib.rs:653).
     * Result rows are NEVER materialized on the driver: commands execute
     * eagerly at `sql()`, query-shaped text drains on the executors. */

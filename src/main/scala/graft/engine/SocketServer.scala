@@ -28,7 +28,21 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *  - execute   {handle}                → {rows}
   *  - execute_update {token, sql}       → {rows: -1}     (lib.rs:645-654)
   *  - fetch_arrow {handle}              → {bytes} + raw Arrow IPC frame
+  *  - get_catalogs {token}              → {rows, bytes} + Arrow IPC frame
+  *  - get_db_schemas {token, catalog?, db_schema_pattern?}
+  *                                      → {rows, bytes} + Arrow IPC frame
+  *  - get_tables {token, catalog?, db_schema_pattern?, table_pattern?,
+  *                table_types?: [str]}  → {rows, bytes} + Arrow IPC frame
   *  - close_statement {handle} / close_session {token}   → {}
+  *
+  * The three get_* verbs are Flight SQL's get_flight_info metadata
+  * commands (CommandGetCatalogs/DbSchemas/Tables) served over the
+  * engine's information_schema snapshot — the reference leaves those
+  * RPCs unimplemented and clients introspect via information_schema SQL
+  * (lib.rs:92, lib.rs:382-482); here a fresh client gets the same
+  * listing as Arrow batches without knowing the SQL dialect. Patterns
+  * are SQL LIKE patterns, `catalog` filters exactly (Flight SQL filter
+  * semantics).
   *
   * Connections are handled on daemon threads (one per client, like tonic's
   * per-connection tasks); all statement/session state lives in [[Engine]],
@@ -132,6 +146,26 @@ final class SocketServer(engine: Engine, requestedPort: Int = 31337,
         case "fetch_arrow" =>
           arrow = engine.fetchArrow(text("handle"))
           res.put("ok", true).put("bytes", arrow.length)
+        case cmd @ ("get_catalogs" | "get_db_schemas" | "get_tables") =>
+          val token = text("token")
+          def opt(f: String): Option[String] =
+            Option(req.get(f)).map(_.asText()).filter(_.nonEmpty)
+          val (schema, rows) = cmd match {
+            case "get_catalogs" => engine.getCatalogs(token)
+            case "get_db_schemas" =>
+              engine.getDbSchemas(token, opt("catalog"),
+                opt("db_schema_pattern"))
+            case _ =>
+              val types = Option(req.get("table_types"))
+                .map(a => (0 until a.size()).map(a.get(_).asText()).toSeq)
+                .getOrElse(Nil)
+              engine.getTables(token, opt("catalog"),
+                opt("db_schema_pattern"), opt("table_pattern"), types)
+          }
+          arrow = org.apache.spark.sql.graftaccess.Internals
+            .rowsToArrowIpc(engine.session(token), schema, rows)
+          res.put("ok", true).put("rows", rows.length)
+            .put("bytes", arrow.length)
         case "close_statement" =>
           engine.closeStatement(text("handle"))
           res.put("ok", true)

@@ -206,6 +206,59 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog introspection verbs list catalogs/schemas/tables (VERDICT r7 #6)") {
+    withServer { (_, c) =>
+      val token = auth(c)
+      // a fresh client registers a table, then discovers it through the
+      // get_* verbs alone — no dialect knowledge needed
+      assert(c.call("cmd" -> "execute_update", "token" -> token,
+        "sql" -> ("CREATE OR REPLACE TEMPORARY VIEW introspect_probe " +
+          "AS SELECT 1 AS v")).get("ok").asBoolean)
+
+      def arrowRows(header: JsonNode): Seq[Seq[String]] = {
+        assert(header.get("ok").asBoolean, header.toString)
+        val bytes = c.readFrame()
+        assert(bytes.length == header.get("bytes").asInt)
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+          new java.io.ByteArrayInputStream(bytes), alloc)
+        try {
+          val rows = Seq.newBuilder[Seq[String]]
+          while (reader.loadNextBatch()) {
+            val root = reader.getVectorSchemaRoot
+            for (i <- 0 until root.getRowCount)
+              rows += (0 until root.getFieldVectors.size()).map { j =>
+                String.valueOf(root.getVector(j).getObject(i))
+              }
+          }
+          val out = rows.result()
+          assert(out.length == header.get("rows").asInt)
+          out
+        } finally { reader.close(); alloc.close() }
+      }
+
+      val cats = arrowRows(c.call("cmd" -> "get_catalogs", "token" -> token))
+      assert(cats.flatten.contains("spark_catalog"))
+
+      val schemas = arrowRows(c.call("cmd" -> "get_db_schemas",
+        "token" -> token, "catalog" -> "spark_catalog"))
+      assert(schemas.nonEmpty && schemas.forall(_.head == "spark_catalog"))
+
+      // LIKE pattern narrows to exactly the probe view
+      val tabs = arrowRows(c.call("cmd" -> "get_tables", "token" -> token,
+        "table_pattern" -> "introspect_prob%",
+        "table_types" -> Seq("TEMPORARY")))
+      assert(tabs.map(_(2)) == Seq("introspect_probe"), tabs.toString)
+      assert(tabs.head(3) == "TEMPORARY")
+
+      // a pattern matching nothing returns an EMPTY Arrow stream, not
+      // an error
+      val none = arrowRows(c.call("cmd" -> "get_tables", "token" -> token,
+        "table_pattern" -> "no_such_table_%"))
+      assert(none.isEmpty)
+    }
+  }
+
   test("two concurrent clients get isolated sessions") {
     withServer { (server, c1) =>
       val c2 = new Client(server.port)
