@@ -163,6 +163,62 @@ object LmScore {
         (sum(log(col("p"))) / count(lit(1))).as("avg_logp"))
   }
 
+  /** Interpolated Kneser–Ney bigram self-scoring — the KenLM-style
+    * smoothing tier (Kneser & Ney 1995; Chen & Goodman 1998): absolute
+    * discount D on the bigram MLE, with the discounted mass
+    * redistributed through the CONTINUATION unigram (how many distinct
+    * contexts a word follows, not how often it occurs):
+    *
+    *   p_KN(w2|w1) = (c(w1,w2) − D)/c(w1·)
+    *               + (D·N1+(w1,·)/c(w1·)) · (N1+(·,w2)/N1+(··))
+    *
+    * with c(w1·) = Σ_w2 c(w1,w2) (prefix occurrences), N1+(w1,·) =
+    * distinct successors of w1, N1+(·,w2) = distinct predecessors of
+    * w2, N1+(··) = distinct bigram types. Self-scoring joins are INNER:
+    * every scored bigram was counted, so c ≥ 1 > D and the discounted
+    * term stays positive (no max(·,0) clamp needed).
+    *
+    * EXACTNESS (FIXTURES quantized-int64 recipe): D = 0.75 = 3/4 is an
+    * exact binary fraction, so c−D and D·N1+ are exact; every division
+    * is ONE correctly-rounded IEEE op on identical operands, as are the
+    * final product and sum; ×2^30 is an exponent shift. `sum_qp` is
+    * therefore bit-identical cross-engine and order-independent;
+    * `avg_logp` (ln-based) stays out of the hash as usual.
+    *
+    * Distributed shape: identical to [[selfScore]] — one persisted
+    * tokenize pass; the model tables (bigram counts, prefix totals,
+    * continuation counts) stay DataFrames keyed on words — broadcast at
+    * small SF, word-key shuffles at 100 TB; `N1+(··)` is the only
+    * scalar and rides a broadcast cross join; one per-doc aggregate. */
+  def selfScoreKneserNey(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ws = tokenized(df, idCol, textCol)
+      .transform(OperatorCache.persist)
+    val bg = bigramsOf(ws, idCol)
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // prefix totals + distinct-successor counts in ONE pass over the
+    // bigram-type table (c(w1·) = Σ cb, N1+(w1,·) = row count)
+    val pre = bi.groupBy("w1").agg(sum(col("cb")).as("c1"),
+      count(lit(1)).as("nfollow"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("nprec"))
+    val types = bi.agg(count(lit(1)).as("ntypes"))
+    val D = lit(0.75)
+    val p = bg
+      .join(bi, Seq("w1", "w2"))
+      .join(pre, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col(idCol),
+        (((col("cb").cast("double") - D) / col("c1").cast("double")) +
+          ((D * col("nfollow").cast("double")) / col("c1").cast("double")) *
+            (col("nprec").cast("double") / col("ntypes").cast("double")))
+          .as("p"))
+    p.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(col("p") * lit(1073741824L)).cast("long")).as("sum_qp"),
+        (sum(log(col("p"))) / count(lit(1))).as("avg_logp"))
+  }
+
   /** Self-scoring convenience: train on the corpus, score the corpus —
     * the usual quality-bucket shape when no held-out LM exists.
     *

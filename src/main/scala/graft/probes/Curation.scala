@@ -368,6 +368,42 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Interpolated Kneser–Ney bigram self-scoring (D = 0.75): the
+    // KenLM-style smoothing tier — discounted bigram MLE plus
+    // continuation-unigram backoff (distinct-context counts, not raw
+    // frequencies). Same quantized-int64 hash recipe: D = 3/4 is an
+    // exact binary fraction, every division/product is one
+    // correctly-rounded IEEE op on identical operands.
+    Probe.df("q_lm_score_kn",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |bg AS (SELECT doc_id, unnest(
+         |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
+         |    for i in range(1, len(ws)) ]) AS s
+         |  FROM w WHERE len(ws) >= 2),
+         |bge AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM bge GROUP BY 1, 2),
+         |pre AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1,
+         |               count(*) AS nfollow FROM bi GROUP BY w1),
+         |cont AS (SELECT w2, count(*) AS nprec FROM bi GROUP BY w2),
+         |typ AS (SELECT count(*) AS ntypes FROM bi),
+         |p AS (SELECT bge.doc_id,
+         |    ((bi.cb::DOUBLE - CAST(0.75 AS DOUBLE)) / pre.c1::DOUBLE)
+         |  + ((CAST(0.75 AS DOUBLE) * pre.nfollow::DOUBLE) / pre.c1::DOUBLE)
+         |    * (cont.nprec::DOUBLE / typ.ntypes::DOUBLE) AS p
+         |  FROM bge JOIN bi USING (w1, w2)
+         |           JOIN pre USING (w1)
+         |           JOIN cont USING (w2), typ)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT)
+         |    AS sum_qp
+         |FROM p GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.LmScore.selfScoreKneserNey(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_qp"))
+        .orderBy("doc_id")
+    },
+
     // Cross-corpus LM scoring: model trained on the EVEN doc_ids, odd
     // docs scored against it — the held-out-LM shape real pipelines use
     // (unseen words exercise the Laplace floor). Same quantized-int64

@@ -59,6 +59,44 @@ class LmScoreSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3)
   }
 
+  test("Kneser-Ney tier matches a naive reference implementation exactly") {
+    val texts = Seq(
+      (1L, "san francisco san francisco san diego"),
+      (2L, "new york new jersey san francisco"),
+      (3L, "the cat sat on the mat"),
+      (4L, "the dog sat on the rug"),
+      (5L, "francisco dreams of new beginnings"))
+    val docs = texts.toDF("doc_id", "text")
+    // naive driver-side KN over the same corpus
+    val toks = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val bgs = toks.flatMap { case (id, ws) =>
+      ws.zip(ws.drop(1)).map(p => (id, p._1, p._2))
+    }
+    val cb = bgs.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val nfollow = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val nprec = cb.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val ntypes = cb.size.toLong
+    val expected = bgs.groupBy(_._1).map { case (id, bs) =>
+      val qs = bs.map { case (_, w1, w2) =>
+        val p = (cb((w1, w2)).toDouble - 0.75) / c1(w1).toDouble +
+          ((0.75 * nfollow(w1).toDouble) / c1(w1).toDouble) *
+            (nprec(w2).toDouble / ntypes.toDouble)
+        math.floor(p * 1073741824L).toLong
+      }
+      id -> (bs.size.toLong, qs.sum)
+    }
+    val out = LmScore.selfScoreKneserNey(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == expected, s"operator $out vs reference $expected")
+    // continuation semantics: "francisco" is frequent but follows only
+    // "san"; its continuation weight must come from distinct contexts,
+    // so nprec("francisco") == 1 despite 3 occurrences as a successor
+    assert(nprec("francisco") == 1L)
+  }
+
   test("trigram tier: deeper context separates what bigrams cannot") {
     // corpus alternates "a b c" and "x b z": bigram-wise, (b,c) and
     // (b,z) are equally likely, but the TRIGRAM (a,b,?) is always c —
