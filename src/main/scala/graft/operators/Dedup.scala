@@ -155,6 +155,46 @@ object Dedup {
     df.groupBy(md5(lower(col(textCol))).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Chunk-level exact duplication stats — the ExactSubstr tier of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022) at fixed word-window granularity, Spark-shaped: each
+    * document's token stream is cut into consecutive non-overlapping
+    * `chunkWords`-word windows (the tail keeps its short remainder),
+    * each chunk is fingerprinted (md5 — cross-engine replicable), and a
+    * chunk counts as DUPLICATED when its fingerprint occurs in at least
+    * two distinct documents. Output per document: (id, n_chunks,
+    * n_dup_chunks, dup_ratio); dup_ratio is one IEEE division of exact
+    * integers (hash-safe). Real pipelines drop or trim documents above
+    * a dup_ratio threshold.
+    *
+    * Scale shape: chunking is a projection; the only shuffles carry
+    * (id, 16-byte fp) rows — never text — once to count distinct docs
+    * per fingerprint and once to join the tiny duplicated-fp set back
+    * (left_semi-style via an inner join on fp; both sides already hash
+    * on fp). Same "shuffle fingerprints, not documents" argument as
+    * [[exactDedup]]. */
+  def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 20): DataFrame = {
+    val ws = df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 1)
+    val chunks = ws.select(col("id"), explode(expr(
+        s"transform(sequence(1, size(ws), $chunkWords), " +
+          s"i -> array_join(slice(ws, i, $chunkWords), ' '))")).as("chunk"))
+      .select(col("id"), md5(col("chunk")).as("fp"))
+    // fingerprints seen in ≥2 distinct docs (tiny by construction)
+    val dupFps = chunks.distinct()
+      .groupBy("fp").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("fp")
+    val dupCounts = chunks.join(dupFps, Seq("fp"))
+      .groupBy("id").agg(count(lit(1)).as("n_dup_chunks"))
+    chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+      .join(dupCounts, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        (coalesce(col("n_dup_chunks"), lit(0L)).cast("double") /
+          col("n_chunks").cast("double")).as("dup_ratio"))
+  }
+
   /** Exact blocked all-pairs n-gram Jaccard: the quadratic baseline, kept
     * honest by a blocking key (same language, similar length, ...). The
     * scale path is [[minhashLshPairs]]; this is its verification oracle. */

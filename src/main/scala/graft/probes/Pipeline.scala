@@ -144,6 +144,69 @@ object Pipeline {
         .orderBy("ida", "idb")
     },
 
+    // Chunk-level exact duplication (Lee et al. 2022 ExactSubstr tier
+    // at fixed word-window granularity): per-doc counts of 20-word
+    // chunks whose md5 fingerprint occurs in ≥2 distinct documents.
+    // 112 duplicated chunks across 60 docs at sf0.01 — real signal.
+    // dup_ratio is one IEEE division of exact integers (hash-safe).
+    Probe.df("q_dedup_chunks",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |c AS (SELECT doc_id, unnest(
+         |  [ md5(array_to_string(ws[i:i+19], ' '))
+         |    for i in range(1, len(ws)+1, 20) ]) AS fp
+         |  FROM w WHERE len(ws) >= 1),
+         |d AS (SELECT fp FROM (
+         |    SELECT fp, count(*) AS nd
+         |    FROM (SELECT DISTINCT doc_id, fp FROM c) GROUP BY fp)
+         |  WHERE nd >= 2),
+         |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+         |       FROM c GROUP BY doc_id),
+         |nd AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |       FROM c JOIN d USING (fp) GROUP BY c.doc_id)
+         |SELECT nc.doc_id, nc.n_chunks,
+         |  CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+         |  coalesce(nd.n_dup, 0)::DOUBLE / nc.n_chunks::DOUBLE AS dup_ratio
+         |FROM nc LEFT JOIN nd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.chunkDupStats(Tables.load(s, dir, "documents"),
+          "doc_id", "text", chunkWords = 20)
+        .select(col("id").as("doc_id"), col("n_chunks"),
+          col("n_dup_chunks"), col("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // BM25 relevance against a fixed term set (Okapi, Lucene idf
+    // variant) — the lexical retrieval/RAG tier. Hash-checked column is
+    // sum_qcore (idf-free core, quantized int64 — every step single
+    // correctly-rounded IEEE ops); the ln-based bm25 itself is
+    // engine-local (Bm25Spec pins it against a naive reference).
+    Probe.df("q_bm25",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |               CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM w),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS wd FROM w),
+         |tf AS (SELECT doc_id, dl, wd, count(*) AS tf FROM t
+         |       WHERE wd IN ('table','query','spark','join','stream')
+         |       GROUP BY 1, 2, 3),
+         |p AS (SELECT tf.doc_id,
+         |    (tf.tf::DOUBLE * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |  / (tf.tf::DOUBLE + CAST(1.2 AS DOUBLE) *
+         |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+         |        (tf.dl::DOUBLE / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE))))
+         |    AS core
+         |  FROM tf, st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(CAST(floor(core * 1073741824) AS BIGINT)) AS BIGINT)
+         |    AS sum_qcore
+         |FROM p GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Bm25.score(Tables.load(s, dir, "documents"),
+          "doc_id", "text",
+          Seq("table", "query", "spark", "join", "stream"))
+        .select(col("id").as("doc_id"), col("n_terms"), col("sum_qcore"))
+        .orderBy("doc_id")
+    },
+
     // SimHash mechanism with a full cross-engine oracle: word hashes are
     // the 60-bit md5 prefix (identical lowercase hex in both engines), so
     // DuckDB recomputes the kernel's bit votes and band keys exactly.

@@ -25,6 +25,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged.getAs[Long]("n_copies") == 2L)
   }
 
+  test("chunkDupStats counts cross-doc duplicated chunks, not within-doc repeats") {
+    val d = Seq(
+      (1L, "a b c d"),     // chunks: "a b", "c d"
+      (2L, "a b x y"),     // "a b" shared with doc 1
+      (3L, "z z"),         // unique
+      (4L, "a b c"),       // tail chunk "c" stays its short remainder
+      (5L, "q r q r")      // same chunk twice WITHIN one doc: not a dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(d, "doc_id", "text", chunkWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 1L, 0.5))) // its "a b" chunk is shared too
+    assert(out(5L) == ((2L, 0L, 0.0)),
+      "a chunk repeated only within one document is not duplication")
+  }
+
+  test("Bm25.score matches a naive reference; more hits rank higher") {
+    val texts = Seq(
+      (1L, "spark engine spark cluster spark"),
+      (2L, "spark engine once only here now"),
+      (3L, "nothing relevant in this document"),
+      (4L, "query planner and query optimizer for spark"))
+    val d = texts.toDF("doc_id", "text")
+    val terms = Seq("spark", "query")
+    val k1 = 1.2; val b = 0.75
+    // naive driver-side BM25 (same tokenization, Lucene idf variant)
+    val toks = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val nDocs = toks.size.toLong
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / nDocs.toDouble
+    val dfreq = terms.map(t =>
+      t -> toks.count(_._2.contains(t)).toLong).toMap
+    val expected = toks.flatMap { case (id, ws) =>
+      val matched = terms.map(t => t -> ws.count(_ == t).toLong)
+        .filter(_._2 > 0)
+      if (matched.isEmpty) None
+      else {
+        val cores = matched.map { case (t, tf) =>
+          val core = (tf.toDouble * (k1 + 1.0)) /
+            (tf.toDouble + k1 * ((1.0 - b) + b * (ws.size.toDouble / avgdl)))
+          val idf = math.log(1.0 +
+            (nDocs.toDouble - dfreq(t).toDouble + 0.5) / (dfreq(t).toDouble + 0.5))
+          (math.floor(core * 1073741824L).toLong, idf * core)
+        }
+        Some(id -> (matched.size.toLong, cores.map(_._1).sum, cores.map(_._2).sum))
+      }
+    }.toMap
+    val out = graft.operators.Bm25.score(d, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == expected.keySet) // doc 3 matches nothing
+    out.foreach { case (id, (n, q, s)) =>
+      assert((n, q) == (expected(id)._1, expected(id)._2), s"doc $id")
+      assert(math.abs(s - expected(id)._3) < 1e-12, s"doc $id bm25")
+    }
+    // three "spark" hits outrank one, which outranks zero
+    assert(out(1L)._3 > out(2L)._3)
+    assert(!out.contains(3L))
+  }
+
   test("ngramJaccardPairs finds the near-dup and the exact dup only") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
       .orderBy("ida", "idb").collect()
