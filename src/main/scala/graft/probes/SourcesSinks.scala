@@ -106,6 +106,33 @@ object SourcesSinks {
         .orderBy("c_mktsegment")
     },
 
+    // XML external table round-trip (Spark 4's BUILT-IN XML source —
+    // SPARK-44265 folded the spark-xml connector into spark-sql; the
+    // StAX parser classes ship in /opt/spark/jars, javap-verified).
+    // rowTag schema inference is exercised on write+read; integers and
+    // strings only (XML text nodes are not a lossless double format,
+    // same caveat as CSV).
+    Probe.df("q_xml_roundtrip",
+      """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val out = tmp("graft_xml")
+      Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_regionkey", "n_name")
+        .write.mode("overwrite").option("rowTag", "nation")
+        .format("xml").save(out)
+      s.read.option("rowTag", "nation")
+        .schema(StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_regionkey", LongType),
+          StructField("n_name", StringType))))
+        .format("xml").load(out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), sum("n_nationkey").as("s"))
+        .orderBy("n_regionkey")
+    },
+
     // COPY TO semantics: export query → parquet files → scan back
     Probe.df("q_copy_to",
       "SELECT count(*) AS n FROM orders WHERE o_totalprice > 150000") { (s, dir) =>
