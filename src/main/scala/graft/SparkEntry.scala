@@ -74,5 +74,9 @@ object SparkEntry {
     "q_fingerprint_overlap_banded",
     // round 7: bigram-LM quality scoring (persisted single tokenize,
     // three key joins, per-doc aggregate)
-    "q_lm_score")
+    "q_lm_score",
+    // round 8: Kneser-Ney LM tier, chunk-level exact dedup
+    // (fingerprint-only shuffles), BM25 term scoring (pre-shuffle
+    // token filter + broadcast stats)
+    "q_lm_score_kn", "q_dedup_chunks", "q_bm25")
 }

@@ -244,4 +244,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"bench gram set must broadcast at this size:\n${p.take(1200)}")
   }
+
+  test("banded winnow-overlap: candidate join has no sorts and one window") {
+    // The doc-freq cap is ONE window pass riding the bk hash-partitioning
+    // of the candidate join's left side; the shuffle_hash join adds no
+    // sort. A SortMergeJoin or a second Window here means the r7 shape
+    // (two full sorts of the exploded pair-key table) regressed back in.
+    val p = planOf("q_fingerprint_overlap_banded")
+    assert("(?m)^\\s*[+:-]*\\s*Window ".r.findAllIn(p).size <= 1,
+      s"expected at most one Window operator:\n${p.take(1500)}")
+    assert(p.contains("ShuffledHashJoin"),
+      s"candidate join must be shuffle_hash (no sorts):\n${p.take(1200)}")
+    assert(p.contains("InMemoryTableScan"),
+      "the (fps, keys) base must serve all branches from one cache")
+  }
+
+  test("BM25 filters the token stream before its only data shuffle") {
+    val p = planOf("q_bm25")
+    // term filter is a Filter over the exploded projection (pre-shuffle);
+    // df and corpus stats come back as broadcasts, not extra exchanges
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/stats must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "corpus stats must ride a broadcast, never a cartesian")
+  }
+
+  test("chunk dedup shuffles 16-byte fingerprints, never text") {
+    val p = planOf("q_dedup_chunks")
+    // every Exchange's output must be (id, fp)-shaped — the raw text
+    // column may appear only below the chunking projection
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries raw text:\n${exchanges.mkString("\n")}")
+  }
 }
