@@ -219,6 +219,46 @@ object LmScore {
         (sum(log(col("p"))) / count(lit(1))).as("avg_logp"))
   }
 
+  /** Importance-based data selection — the DSIR shape (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * train one n-gram LM on a TARGET corpus (what you want more of) and
+    * one on a SOURCE corpus (what the raw pool looks like), score every
+    * raw document under both, and keep the `k` documents whose
+    * target-vs-source margin is largest.
+    *
+    * The DSIR weight is log p_t(d) − log p_s(d); ln is not correctly
+    * rounded cross-engine, so the SELECTION key here is the
+    * quantized-probability margin `sum_qp_target − sum_qp_source`
+    * (difference of two exact int64s from the FIXTURES recipe) with
+    * doc-id tiebreak — a deterministic, hash-exact proxy that prefers
+    * exactly the documents the target model assigns more probability
+    * mass. Both log scores are emitted alongside for USE (tolerance-
+    * checked in spec, excluded from the oracle hash, like avg_logp).
+    *
+    * Distributed shape: the raw corpus is tokenized ONCE (persisted via
+    * [[OperatorCache]]) and its bigram rows feed both scoring passes;
+    * each model is two aggregations; the two score relations join on
+    * doc id; top-k is ORDER BY + LIMIT → TakeOrderedAndProject (no
+    * global sort materialization). */
+  def importanceSelect(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, source: DataFrame, k: Int): DataFrame = {
+    val (ut, bt, tt) = bigramModel(target, idCol, textCol)
+    val (us, bs, ts) = bigramModel(source, idCol, textCol)
+    val ws = tokenized(raw, idCol, textCol)
+      .transform(OperatorCache.persist)
+    val bg = bigramsOf(ws, idCol)
+    val st = scoreBigrams(bg, idCol, ut, bt, tt)
+      .select(col(idCol), col("n_bigrams"),
+        col("sum_qp").as("sum_qp_target"), col("avg_logp").as("logp_target"))
+    val ss = scoreBigrams(bg, idCol, us, bs, ts)
+      .select(col(idCol), col("sum_qp").as("sum_qp_source"),
+        col("avg_logp").as("logp_source"))
+    st.join(ss, Seq(idCol))
+      .withColumn("margin", col("sum_qp_target") - col("sum_qp_source"))
+      .orderBy(col("margin").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Self-scoring convenience: train on the corpus, score the corpus —
     * the usual quality-bucket shape when no held-out LM exists.
     *

@@ -448,6 +448,78 @@ object Curation {
           uni, bi, tot)
         .select(col("doc_id"), col("n_bigrams"), col("sum_qp"))
         .orderBy("doc_id")
+    },
+
+    // DSIR-shaped importance selection: target LM on even docs, source
+    // LM on odd docs, every doc scored under both, top-50 kept by the
+    // quantized-probability margin (difference of two exact int64s —
+    // hash-exact; the ln-based DSIR weight is emitted for use and
+    // spec-checked, not hashed). Oracle replays BOTH models and the
+    // deterministic (margin DESC, doc_id) selection.
+    Probe.df("q_dsir_select",
+      s"""WITH w0 AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |wt AS (SELECT * FROM w0 WHERE doc_id % 2 = 0),
+         |wsrc AS (SELECT * FROM w0 WHERE doc_id % 2 = 1),
+         |tt AS (SELECT doc_id, unnest(ws) AS w FROM wt),
+         |uni_t AS (SELECT w, count(*) AS cu FROM tt GROUP BY w),
+         |tot_t AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
+         |                 count(*) AS vocab FROM uni_t),
+         |bgt AS (SELECT unnest(
+         |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
+         |    for i in range(1, len(ws)) ]) AS s
+         |  FROM wt WHERE len(ws) >= 2),
+         |bi_t AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS cb
+         |         FROM bgt GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, unnest(ws) AS w FROM wsrc),
+         |uni_s AS (SELECT w, count(*) AS cu FROM ts GROUP BY w),
+         |tot_s AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
+         |                 count(*) AS vocab FROM uni_s),
+         |bgs AS (SELECT unnest(
+         |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
+         |    for i in range(1, len(ws)) ]) AS s
+         |  FROM wsrc WHERE len(ws) >= 2),
+         |bi_s AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS cb
+         |         FROM bgs GROUP BY 1, 2),
+         |bg AS (SELECT doc_id, unnest(
+         |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
+         |    for i in range(1, len(ws)) ]) AS s
+         |  FROM w0 WHERE len(ws) >= 2),
+         |bge AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+         |p_t AS (SELECT bge.doc_id,
+         |    CAST(0.9 AS DOUBLE) * (coalesce(bi_t.cb, 0)::DOUBLE
+         |      / greatest(coalesce(u1.cu, 1), 1)::DOUBLE)
+         |  + CAST(0.1 AS DOUBLE) * ((coalesce(u2.cu, 0) + 1)::DOUBLE
+         |      / (tot_t.n_tokens + tot_t.vocab)::DOUBLE) AS p
+         |  FROM bge LEFT JOIN bi_t USING (w1, w2)
+         |           LEFT JOIN uni_t u1 ON u1.w = bge.w1
+         |           LEFT JOIN uni_t u2 ON u2.w = bge.w2, tot_t),
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT)
+         |    AS sum_qp_target
+         |  FROM p_t GROUP BY doc_id),
+         |p_s AS (SELECT bge.doc_id,
+         |    CAST(0.9 AS DOUBLE) * (coalesce(bi_s.cb, 0)::DOUBLE
+         |      / greatest(coalesce(u1.cu, 1), 1)::DOUBLE)
+         |  + CAST(0.1 AS DOUBLE) * ((coalesce(u2.cu, 0) + 1)::DOUBLE
+         |      / (tot_s.n_tokens + tot_s.vocab)::DOUBLE) AS p
+         |  FROM bge LEFT JOIN bi_s USING (w1, w2)
+         |           LEFT JOIN uni_s u1 ON u1.w = bge.w1
+         |           LEFT JOIN uni_s u2 ON u2.w = bge.w2, tot_s),
+         |ss AS (SELECT doc_id,
+         |  CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT)
+         |    AS sum_qp_source
+         |  FROM p_s GROUP BY doc_id)
+         |SELECT st.doc_id, st.n_bigrams, st.sum_qp_target, ss.sum_qp_source,
+         |  st.sum_qp_target - ss.sum_qp_source AS margin
+         |FROM st JOIN ss USING (doc_id)
+         |ORDER BY margin DESC, doc_id
+         |LIMIT 50""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.LmScore.importanceSelect(docs, "doc_id", "text",
+          target = docs.where(col("doc_id") % 2 === 0),
+          source = docs.where(col("doc_id") % 2 === 1), k = 50)
+        .select(col("doc_id"), col("n_bigrams"),
+          col("sum_qp_target"), col("sum_qp_source"), col("margin"))
     }
   )
 }

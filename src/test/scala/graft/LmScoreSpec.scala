@@ -97,6 +97,35 @@ class LmScoreSpec extends AnyFunSuite {
     assert(nprec("francisco") == 1L)
   }
 
+  test("importanceSelect prefers target-like documents (DSIR shape)") {
+    // target corpus speaks in "alpha beta" phrases, source in "x y"
+    // phrases; raw pool has docs of each style — selection must rank
+    // every target-styled doc above every source-styled one
+    val target = (1 to 6).map(i => (100L + i, "alpha beta gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val source = (1 to 6).map(i => (200L + i, "x y z x y"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"), (2L, "x y z"),
+      (3L, "alpha beta alpha beta"), (4L, "x y x y"))
+      .toDF("doc_id", "text")
+    val picked = graft.operators.LmScore
+      .importanceSelect(raw, "doc_id", "text", target, source, k = 2)
+      .collect()
+    assert(picked.map(_.getLong(0)).toSet == Set(1L, 3L),
+      picked.mkString(", "))
+    // margins of the kept docs are positive (more target- than
+    // source-probable) and the log weights agree in sign
+    picked.foreach { r =>
+      assert(r.getAs[Long]("margin") > 0L)
+      assert(r.getAs[Double]("logp_target") > r.getAs[Double]("logp_source"))
+    }
+    // k bounds the output
+    assert(graft.operators.LmScore
+      .importanceSelect(raw, "doc_id", "text", target, source, k = 1)
+      .count() == 1L)
+  }
+
   test("trigram tier: deeper context separates what bigrams cannot") {
     // corpus alternates "a b c" and "x b z": bigram-wise, (b,c) and
     // (b,z) are equally likely, but the TRIGRAM (a,b,?) is always c —
