@@ -37,6 +37,57 @@ object Packing {
         floor((col("cum_tokens") - col(tokensCol)) / budget).cast("bigint"))
   }
 
+  /** Distributed global cumulative sum over a total order — the
+    * scale-correct form of a PARTITION-BY-less window (which moves
+    * every row to ONE task; [[packByCumsum]] keeps that declarative
+    * tier for oracle parity, this is the 100-TB tier). Classic two-pass
+    * prefix sum:
+    *
+    *  1. range-partition on the order key (ranges ascend with partition
+    *     id — the repartitionByRange contract) and run the window
+    *     WITHIN each partition, all partitions in parallel;
+    *  2. aggregate per-partition TOTALS — an O(numPartitions)-row
+    *     driver collect, model-sized, not data-sized — into exclusive
+    *     prefix offsets, broadcast-joined back and added to the local
+    *     running sums.
+    *
+    * Output: input columns + `cum_tokens` (inclusive global running
+    * total of `tokensCol` in `orderCol` order). `orderCol` must be
+    * globally unique for a deterministic result. */
+  def cumsumDistributed(df: DataFrame, orderCol: String, tokensCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .transform(OperatorCache.persist)
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L, 0L)) { case ((_, acc, _), (pid, t)) =>
+      (pid, acc + t, acc)
+    }.drop(1).map { case (pid, _, excl) => (pid, excl) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__local", sum(col(tokensCol).cast("long")).over(w))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("cum_tokens", col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** Token-budget selection: keep documents, in `orderCol` order, while
+    * the inclusive running token total stays within `budget` — the
+    * "fill a 10B-token training budget in quality order" shape. Runs on
+    * [[cumsumDistributed]], so it scales; integer-exact end to end. */
+  def budgetSelect(df: DataFrame, orderCol: String, tokensCol: String,
+      budget: Long): DataFrame =
+    cumsumDistributed(df, orderCol, tokensCol)
+      .where(col("cum_tokens") <= budget)
+
   /** Greedy first-fit packing within each range partition of `orderCol`.
     * Output: (orderCol value, tokens, partition, bin-within-partition).
     * Deterministic for a fixed `numPartitions`. */

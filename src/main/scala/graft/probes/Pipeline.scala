@@ -207,6 +207,28 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Token-budget selection on the DISTRIBUTED prefix sum
+    // (Packing.cumsumDistributed — range partitions + per-partition
+    // windows + broadcast offsets; no single-task global window): fill
+    // a 12k-token budget in doc_id order. Integer-exact end to end.
+    Probe.df("q_budget_select",
+      s"""WITH w AS (SELECT doc_id, CAST(len($duckWords) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM w)
+         |SELECT doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 12000
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Packing.budgetSelect(d, "doc_id", "n_tokens",
+          budget = 12000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
     // SimHash mechanism with a full cross-engine oracle: word hashes are
     // the 60-bit md5 prefix (identical lowercase hex in both engines), so
     // DuckDB recomputes the kernel's bit votes and band keys exactly.

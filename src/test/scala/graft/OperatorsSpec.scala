@@ -341,6 +341,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSet == again.toSet)
   }
 
+  test("distributed cumsum equals the global window; no single-task window") {
+    import graft.operators.Packing
+    val docs = spark.range(1, 1001).select($"id".as("doc_id"),
+      (($"id" * 31) % 97 + 3).as("tokens"))
+    val dist = Packing.cumsumDistributed(docs, "doc_id", "tokens",
+        numPartitions = 8)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val global = Packing.packByCumsum(docs, "doc_id", "tokens", budget = 512)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == global,
+      "two-pass prefix sum must equal the single-window cumsum")
+    // the scale property: every Window in the plan is partitioned (the
+    // single-task partition-less window is exactly what this avoids)
+    val plan = Packing.cumsumDistributed(docs, "doc_id", "tokens", 8)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("__pid"), s"unpartitioned window in plan: $l")
+    }
+    // budgetSelect keeps exactly the prefix within budget (inclusive)
+    val sel = Packing.budgetSelect(docs, "doc_id", "tokens", budget = 500L)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(sel.nonEmpty && sel.forall(_._2 <= 500L))
+    val boundary = global.toSeq.sortBy(_._1)
+      .takeWhile(_._2 <= 500L).map(_._1)
+    assert(sel.map(_._1).toSeq == boundary)
+  }
+
   test("greedy packing: every doc once, no bin overflows, order respected") {
     import graft.operators.Packing
     val docs = spark.range(1, 501).select($"id".as("doc_id"),
