@@ -77,6 +77,8 @@ object SparkEntry {
     "q_lm_score",
     // round 8: Kneser-Ney LM tier, chunk-level exact dedup
     // (fingerprint-only shuffles), BM25 term scoring (pre-shuffle
-    // token filter + broadcast stats)
-    "q_lm_score_kn", "q_dedup_chunks", "q_bm25")
+    // token filter + broadcast stats), and the partsupp quartet on the
+    // derived inventory table
+    "q_lm_score_kn", "q_dedup_chunks", "q_bm25",
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")
 }
