@@ -21,14 +21,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4's reader
-      // rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
-      // floor-divide to µs — the same ns→µs truncation DataFusion/Iceberg
-      // apply (SURVEY §1.2). `div` keeps it integral and codegen'd.
+      // events.ts has shipped as two physical types across testdata
+      // generations: parquet TIMESTAMP(NANOS) — which Spark 4's reader
+      // rejects outright (PARQUET_TYPE_ILLEGAL) unless read as raw longs —
+      // and plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
+      // reads as TIMESTAMP_NTZ. Normalize both to session-tz TimestampType
+      // (sessions run UTC, so the NTZ cast is value-preserving and matches
+      // DuckDB's naive read). The nanos path floor-divides to µs — the same
+      // ns→µs truncation DataFusion/Iceberg apply (SURVEY §1.2).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val tsExpr = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+        case _ => "cast(ts as timestamp)"
+      }
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(tsExpr))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -195,6 +195,78 @@ object Dedup {
           col("n_chunks").cast("double")).as("dup_ratio"))
   }
 
+  /** Maximal duplicated-SPAN detection + removal — the full ExactSubstr
+    * semantics of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022) at word granularity, Spark-shaped. Where
+    * [[chunkDupStats]] scores fixed non-overlapping windows, this tier
+    * slides a `gramWords`-word gram over every position, marks a gram
+    * DUPLICATED when it occurs in ≥2 distinct documents, merges
+    * overlapping/adjacent duplicated gram positions into maximal spans,
+    * and REBUILDS each document with every duplicated span removed (the
+    * conservative remove-all-occurrences variant; keep-one-copy is a
+    * policy layer on top — pick a representative per fingerprint à la
+    * [[exactDedup]] — deliberately not baked in here).
+    *
+    * Output per document: (id, n_spans, dup_words, clean_text), where
+    * clean_text joins the surviving words with single spaces (docs with
+    * no duplicated spans get their whitespace-normalized text back, so
+    * the rebuild formula is uniform and cross-engine replayable).
+    *
+    * Scale shape: the gram explode is a projection off the scan; the
+    * only shuffles carry (id, pos, 16-byte md5) rows — never text —
+    * once to find cross-doc fingerprints and once to hash-partition by
+    * doc for the span-merge window; the duplicated-fp set is tiny by
+    * construction and its join back onto the gram stream broadcasts.
+    * Span merging is two window functions over (id, pos) on one
+    * partitioning; the text rebuild is a per-doc higher-order-function
+    * projection (O(len · n_spans) per row, no extra shuffle). Positions
+    * are 1-based; a gram at p covers words [p, p+k-1], so two grams
+    * merge iff the later start is ≤ the earlier end + 1, i.e.
+    * pos - prev_pos ≤ k. */
+  def dupSpanDedup(df: DataFrame, idCol: String, textCol: String,
+      gramWords: Int = 10): DataFrame = {
+    val k = gramWords
+    val w = df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+    val grams = w.where(size(col("ws")) >= k)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"i -> struct(i AS pos, md5(array_join(slice(ws, i, $k), ' ')) AS fp))"))
+        .as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
+    // fingerprints seen in ≥2 distinct docs (within-doc-only repeats are
+    // NOT duplication at this tier — the cross-doc contract of the paper)
+    val dupFps = grams.select("id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("fp")
+    val dupPos = grams.join(dupFps, Seq("fp")).select("id", "pos")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val spans = dupPos
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("ns",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("ns").over(byDoc))
+      .groupBy("id", "sid")
+      .agg(min("pos").as("s"), (max("pos") + lit(k - 1)).as("e"))
+    val perDoc = spans.groupBy("id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("dup_words"),
+      sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    w.join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        expr("""array_join(
+                  transform(
+                    filter(
+                      transform(ws, (w, i) -> struct(w AS w, i + 1 AS i)),
+                      x -> spans IS NULL OR
+                           NOT exists(spans, sp -> x.i >= sp.s AND x.i <= sp.e)),
+                    x -> x.w),
+                  ' ')""").as("clean_text"))
+  }
+
   /** Exact blocked all-pairs n-gram Jaccard: the quadratic baseline, kept
     * honest by a blocking key (same language, similar length, ...). The
     * scale path is [[minhashLshPairs]]; this is its verification oracle. */
