@@ -34,6 +34,10 @@ final class Engine(root: SparkSession) {
       sql: String,
       var params: Seq[String] = Nil,
       var result: Option[(StructType, Array[Row])] = None,
+      // Arrow IPC encoding of `result`, cached at first fetch (the
+      // reference encodes its cached batches once, lib.rs:333-344):
+      // (stream bytes, message-boundary offsets for per-batch framing).
+      var ipc: Option[(Array[Byte], Array[Int])] = None,
       var touchedMs: Long = System.currentTimeMillis())
 
   private val sessions = new ConcurrentHashMap[String, SparkSession]()
@@ -201,6 +205,7 @@ final class Engine(root: SparkSession) {
     val df = plan(st)
     val rows = df.collect()
     st.result = Some((df.schema, rows))
+    st.ipc = None // new result: any cached encoding is stale
     rows.length.toLong
   }
 
@@ -209,18 +214,31 @@ final class Engine(root: SparkSession) {
       throw new IllegalStateException("statement not executed"))
 
   /** Result as ONE Arrow IPC stream — the reference's actual wire format
-    * (`do_get_fallback` re-encodes cached batches, lib.rs:288-295).
-    * Encodes the result [[execute]] cached — NO second execution, no
-    * Spark job: a fetch always returns exactly the rows execute()
-    * counted, even if the underlying table mutated in between
-    * (repeatable read within one statement lifecycle, like the
-    * reference's server-side cache). */
-  def fetchArrow(handle: String): Array[Byte] = {
+    * (`do_get_fallback` serves cached batches, lib.rs:288-295). Encodes
+    * the result [[execute]] cached — NO second execution, no Spark job:
+    * a fetch always returns exactly the rows execute() counted, even if
+    * the underlying table mutated in between (repeatable read within one
+    * statement lifecycle, like the reference's server-side cache).
+    * The encoding itself is ALSO cached: the first fetch pays the
+    * Row→Arrow serialize once (like the reference's encode-once batch
+    * cache, lib.rs:333-344); every later fetch returns the same bytes
+    * (reference-equal) until a re-execute invalidates them. */
+  def fetchArrow(handle: String): Array[Byte] = fetchArrowFramed(handle)._1
+
+  /** [[fetchArrow]] plus the IPC message-boundary offsets: slicing the
+    * stream at the offsets gives schema-message / record-batch frames a
+    * Flight `DoGet` would carry one FlightData each — the transport can
+    * frame per-batch with zero copies. */
+  def fetchArrowFramed(handle: String): (Array[Byte], Array[Int]) = {
     val st = statement(handle)
-    val (schema, rows) = st.result.getOrElse(
-      throw new IllegalStateException("statement not executed"))
-    org.apache.spark.sql.graftaccess.Internals
-      .rowsToArrowIpc(st.session, schema, rows)
+    st.ipc.getOrElse {
+      val (schema, rows) = st.result.getOrElse(
+        throw new IllegalStateException("statement not executed"))
+      val enc = org.apache.spark.sql.graftaccess.Internals
+        .rowsToArrowIpcFramed(st.session, schema, rows)
+      st.ipc = Some(enc)
+      enc
+    }
   }
 
   /** One-shot convenience: prepare + execute + fetch. */
@@ -280,6 +298,29 @@ final class Engine(root: SparkSession) {
         "table_schema AS db_schema_name, table_name, table_type " +
         s"FROM information_schema.tables$where " +
         "ORDER BY catalog_name, db_schema_name, table_name")
+  }
+
+  /** GetColumns shape (JDBC/ADBC's column listing; Flight SQL serves it
+    * as CommandGetTables with include_schema=true — same filter
+    * semantics): exact `catalog`, LIKE patterns for schema / table /
+    * column name, over the engine's information_schema.columns snapshot.
+    * Ordinal position and nullability come from the live table schema
+    * (InfoSchema reads the loaded table, not DESCRIBE strings). */
+  def getColumns(token: String, catalog: Option[String] = None,
+      schemaPattern: Option[String] = None,
+      tablePattern: Option[String] = None,
+      columnPattern: Option[String] = None): (StructType, Array[Row]) = {
+    val conds = catalog.map(c => s"table_catalog = ${sqlLit(c)}").toSeq ++
+      schemaPattern.map(p => s"table_schema LIKE ${sqlLit(p)}") ++
+      tablePattern.map(p => s"table_name LIKE ${sqlLit(p)}") ++
+      columnPattern.map(p => s"column_name LIKE ${sqlLit(p)}")
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    executeQuery(token,
+      "SELECT table_catalog AS catalog_name, " +
+        "table_schema AS db_schema_name, table_name, column_name, " +
+        "ordinal_position, data_type, is_nullable " +
+        s"FROM information_schema.columns$where " +
+        "ORDER BY catalog_name, db_schema_name, table_name, ordinal_position")
   }
 
   /** DDL/DML/SET path: runs the statement, returns -1 (lib.rs:653).

@@ -28,11 +28,17 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *  - execute   {handle}                → {rows}
   *  - execute_update {token, sql}       → {rows: -1}     (lib.rs:645-654)
   *  - fetch_arrow {handle}              → {bytes} + raw Arrow IPC frame
+  *  - fetch_arrow_stream {handle}       → {bytes, frames} + one frame per
+  *                IPC message (schema, then each record batch; EOS rides
+  *                with the last) — concatenation = the fetch_arrow stream,
+  *                the per-batch FlightData shape of DoGet (lib.rs:288-295)
   *  - get_catalogs {token}              → {rows, bytes} + Arrow IPC frame
   *  - get_db_schemas {token, catalog?, db_schema_pattern?}
   *                                      → {rows, bytes} + Arrow IPC frame
   *  - get_tables {token, catalog?, db_schema_pattern?, table_pattern?,
   *                table_types?: [str]}  → {rows, bytes} + Arrow IPC frame
+  *  - get_columns {token, catalog?, db_schema_pattern?, table_pattern?,
+  *                column_pattern?}      → {rows, bytes} + Arrow IPC frame
   *  - close_statement {handle} / close_session {token}   → {}
   *
   * The three get_* verbs are Flight SQL's get_flight_info metadata
@@ -49,7 +55,9 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * so concurrent clients share nothing but the SparkContext.
   */
 final class SocketServer(engine: Engine, requestedPort: Int = 31337,
-    tlsDomain: Option[String] = None) {
+    tlsDomain: Option[String] = None,
+    gcTtlMillis: Long =
+      sys.env.getOrElse("GRAFT_STATEMENT_TTL_MS", "3600000").toLong) {
 
   private val mapper = new ObjectMapper()
   @volatile private var serverSocket: ServerSocket = _
@@ -71,6 +79,20 @@ final class SocketServer(engine: Engine, requestedPort: Int = 31337,
     val t = new Thread(() => acceptLoop(), "graft-server-accept")
     t.setDaemon(true)
     t.start()
+    // Periodic statement GC: a long-lived server must not rely on the
+    // 1024-statement eviction cap alone — abandoned handles (client died
+    // between prepare and close) pin their cached results in driver
+    // memory until TTL. Sweep cadence is a fraction of the TTL so a
+    // handle outlives its last touch by at most ~1.25×TTL.
+    val sweeper = new Thread(() => {
+      val interval = math.max(10L, math.min(gcTtlMillis / 4, 60000L))
+      while (running) {
+        try Thread.sleep(interval) catch { case _: InterruptedException => () }
+        if (running) try engine.gc(gcTtlMillis) catch { case _: Throwable => () }
+      }
+    }, "graft-server-gc")
+    sweeper.setDaemon(true)
+    sweeper.start()
   }
 
   def stop(): Unit = {
@@ -146,7 +168,26 @@ final class SocketServer(engine: Engine, requestedPort: Int = 31337,
         case "fetch_arrow" =>
           arrow = engine.fetchArrow(text("handle"))
           res.put("ok", true).put("bytes", arrow.length)
-        case cmd @ ("get_catalogs" | "get_db_schemas" | "get_tables") =>
+        case "fetch_arrow_stream" =>
+          // Streamed variant of fetch_arrow — one frame per IPC message
+          // (schema, then each record batch; EOS rides with the last),
+          // the shape a Flight DoGet carries as successive FlightData
+          // (lib.rs:288-295). Frames slice the CACHED encoding zero-copy;
+          // concatenating them reassembles the exact fetch_arrow stream.
+          val (bytes, offsets) = engine.fetchArrowFramed(text("handle"))
+          res.put("ok", true).put("bytes", bytes.length)
+            .put("frames", offsets.length)
+          writeFrame(out, res.toString.getBytes(UTF_8))
+          var prev = 0
+          offsets.foreach { off =>
+            out.writeInt(off - prev)
+            out.write(bytes, prev, off - prev)
+            prev = off
+          }
+          out.flush()
+          return
+        case cmd @ ("get_catalogs" | "get_db_schemas" | "get_tables" |
+            "get_columns") =>
           val token = text("token")
           def opt(f: String): Option[String] =
             Option(req.get(f)).map(_.asText()).filter(_.nonEmpty)
@@ -155,6 +196,10 @@ final class SocketServer(engine: Engine, requestedPort: Int = 31337,
             case "get_db_schemas" =>
               engine.getDbSchemas(token, opt("catalog"),
                 opt("db_schema_pattern"))
+            case "get_columns" =>
+              engine.getColumns(token, opt("catalog"),
+                opt("db_schema_pattern"), opt("table_pattern"),
+                opt("column_pattern"))
             case _ =>
               val types = Option(req.get("table_types"))
                 .map(a => (0 until a.size()).map(a.get(_).asText()).toSeq)

@@ -66,7 +66,7 @@ object Internals {
   def toArrowIpc(df: org.apache.spark.sql.DataFrame): Array[Byte] = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
     val rows = ds.queryExecution.executedPlan.executeCollect()
-    encodeArrowIpc(ds.sparkSession, ds.schema, rows.iterator)
+    encodeArrowIpc(ds.sparkSession, ds.schema, rows.iterator)._1
   }
 
   /** Encode ALREADY-COLLECTED external rows as the same one-stream Arrow
@@ -78,7 +78,21 @@ object Internals {
   def rowsToArrowIpc(
       spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      rows: Array[org.apache.spark.sql.Row]): Array[Byte] = {
+      rows: Array[org.apache.spark.sql.Row]): Array[Byte] =
+    rowsToArrowIpcFramed(spark, schema, rows)._1
+
+  /** Same one-stream encoding, plus the IPC MESSAGE boundaries: `offsets`
+    * are the byte positions after the schema message and after each
+    * record-batch message (the final entry is the total length, i.e. the
+    * EOS marker rides with the last batch). Slicing the stream at these
+    * offsets yields frames a Flight `DoGet` would carry one FlightData
+    * each (lib.rs:288-295): a server can frame per-batch with zero
+    * copies (`write(bytes, off, len)`) and a client reassembles the
+    * identical stream by concatenation. */
+  def rowsToArrowIpcFramed(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.Row]): (Array[Byte], Array[Int]) = {
     val toInternal = org.apache.spark.sql.catalyst.encoders
       .ExpressionEncoder(schema).createSerializer()
     encodeArrowIpc(spark, schema, rows.iterator.map(toInternal(_)))
@@ -87,7 +101,8 @@ object Internals {
   private def encodeArrowIpc(
       spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow]): Array[Byte] = {
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : (Array[Byte], Array[Int]) = {
     val conf = spark.asInstanceOf[ClassicSession].sessionState.conf
     val arrowSchema = org.apache.spark.sql.util.ArrowUtils.toArrowSchema(
       schema, conf.sessionLocalTimeZone,
@@ -104,6 +119,8 @@ object Internals {
       val confMax = conf.arrowMaxRecordsPerBatch
       val maxRecords = if (confMax <= 0) Int.MaxValue else confMax
       sw.start()
+      val offsets = Array.newBuilder[Int]
+      offsets += out.size() // end of the schema message
       // Streaming write, NO grouped() buffering: the Row→InternalRow
       // serializer reuses one UnsafeRow, so buffering a chunk would
       // capture n references to the same mutated row. write() copies
@@ -115,13 +132,15 @@ object Internals {
         total += 1; inBatch += 1
         if (inBatch == maxRecords) {
           writer.finish(); sw.writeBatch(); writer.reset(); inBatch = 0
+          offsets += out.size()
         }
       }
       if (inBatch > 0 || total == 0) { // at least one (empty) batch before EOS
         writer.finish(); sw.writeBatch(); writer.reset()
       }
       sw.end(); sw.close()
-      out.toByteArray
+      offsets += out.size() // last batch + EOS
+      (out.toByteArray, offsets.result().distinct)
     } finally { root.close(); allocator.close() }
   }
 

@@ -369,6 +369,45 @@ class EngineSpec extends AnyFunSuite {
       .unset("spark.sql.execution.arrow.maxRecordsPerBatch")
   }
 
+  test("fetchArrow encodes ONCE: repeat fetches return the cached bytes; " +
+      "re-execute invalidates (VERDICT r8 #3)") {
+    engine.session(token).conf
+      .set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try {
+      val (h, _) = engine.prepare(token, "SELECT id FROM range(250)")
+      engine.execute(h)
+      val first = engine.fetchArrow(h)
+      // the SAME array instance — the encode ran once, later fetches are
+      // cache hits (the reference caches encoded batches, lib.rs:333-344)
+      assert(engine.fetchArrow(h) eq first)
+      val (bytes, offsets) = engine.fetchArrowFramed(h)
+      assert(bytes eq first)
+      // frame boundaries: schema message + 3 batches (100+100+50, EOS on
+      // the last) — strictly increasing, ending at the stream length
+      assert(offsets.length == 4, offsets.mkString(","))
+      assert(offsets.last == bytes.length)
+      assert(offsets.toSeq == offsets.toSeq.sorted.distinct)
+      // each slice is a standalone IPC message; concatenation decodes as
+      // the identical stream (what a DoGet client reassembles)
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc)
+      try {
+        var total = 0L
+        var batches = 0
+        while (reader.loadNextBatch()) {
+          batches += 1; total += reader.getVectorSchemaRoot.getRowCount
+        }
+        assert(batches == 3 && total == 250L)
+      } finally { reader.close(); alloc.close() }
+      // re-execute refreshes the result → the cached encoding is dropped
+      engine.execute(h)
+      assert(!(engine.fetchArrow(h) eq first))
+      engine.closeStatement(h)
+    } finally engine.session(token).conf
+      .unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+  }
+
   /** Call sites of every Spark job started while `body` runs. The
     * listener bus is async but FIFO: a uniquely-described marker job is
     * run after `body`, and once its start event is visible every event

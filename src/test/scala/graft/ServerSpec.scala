@@ -259,6 +259,120 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch_arrow_stream frames a multi-batch result per IPC message; " +
+      "concatenation is the fetch_arrow stream (VERDICT r8 #3)") {
+    withServer { (_, c) =>
+      val token = auth(c)
+      // small Arrow batches → a 250-row result spans 3 record batches
+      assert(c.call("cmd" -> "execute_update", "token" -> token,
+        "sql" -> "SET spark.sql.execution.arrow.maxRecordsPerBatch=100")
+        .get("ok").asBoolean)
+      val handle = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT id FROM range(250)").get("handle").asText
+      assert(c.call("cmd" -> "execute", "handle" -> handle)
+        .get("rows").asLong == 250L)
+
+      val st = c.call("cmd" -> "fetch_arrow_stream", "handle" -> handle)
+      assert(st.get("ok").asBoolean, st.toString)
+      val frames = st.get("frames").asInt
+      assert(frames == 4, s"schema + 3 batches expected, got $frames")
+      val parts = (1 to frames).map(_ => c.readFrame())
+      assert(parts.map(_.length).sum == st.get("bytes").asInt)
+
+      // successive frames ARE the stream: feed them to one reader as a
+      // DoGet consumer would reassemble FlightData payloads
+      val whole = parts.reduce(_ ++ _)
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(whole), alloc)
+      try {
+        var total = 0L
+        var batches = 0
+        while (reader.loadNextBatch()) {
+          batches += 1; total += reader.getVectorSchemaRoot.getRowCount
+        }
+        assert(batches == 3 && total == 250L)
+      } finally { reader.close(); alloc.close() }
+
+      // the plain verb still serves the SAME bytes in one frame
+      val fa = c.call("cmd" -> "fetch_arrow", "handle" -> handle)
+      assert(fa.get("ok").asBoolean)
+      val single = c.readFrame()
+      assert(java.util.Arrays.equals(single, whole))
+      assert(c.call("cmd" -> "close_statement", "handle" -> handle)
+        .get("ok").asBoolean)
+    }
+  }
+
+  test("get_columns lists name/type/nullability for a table (VERDICT r8 #7)") {
+    withServer { (_, c) =>
+      val token = auth(c)
+      assert(c.call("cmd" -> "execute_update", "token" -> token,
+        "sql" -> ("CREATE OR REPLACE TEMPORARY VIEW col_probe AS " +
+          "SELECT 1 AS id, CAST('x' AS STRING) AS name, " +
+          "CAST(NULL AS DOUBLE) AS score")).get("ok").asBoolean)
+
+      val hdr = c.call("cmd" -> "get_columns", "token" -> token,
+        "table_pattern" -> "col_probe")
+      assert(hdr.get("ok").asBoolean, hdr.toString)
+      val bytes = c.readFrame()
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc)
+      val rows =
+        try {
+          val acc = Seq.newBuilder[Seq[String]]
+          while (reader.loadNextBatch()) {
+            val root = reader.getVectorSchemaRoot
+            for (i <- 0 until root.getRowCount)
+              acc += (0 until root.getFieldVectors.size()).map { j =>
+                String.valueOf(root.getVector(j).getObject(i))
+              }
+          }
+          acc.result()
+        } finally { reader.close(); alloc.close() }
+      // GetColumns shape: ordinal-ordered (name, position, type, nullable)
+      assert(rows.map(r => (r(3), r(4), r(5))) == Seq(
+        ("id", "1", "int"), ("name", "2", "string"), ("score", "3", "double")),
+        rows.toString)
+      // a narrowing column pattern filters within the table
+      val hdr2 = c.call("cmd" -> "get_columns", "token" -> token,
+        "table_pattern" -> "col_probe", "column_pattern" -> "na%")
+      assert(hdr2.get("ok").asBoolean)
+      assert(hdr2.get("rows").asInt == 1)
+      c.readFrame()
+    }
+  }
+
+  test("periodic GC sweeps an abandoned handle after TTL; a touched one " +
+      "survives (VERDICT r8 #4)") {
+    val engine = new Engine(spark)
+    val server = new SocketServer(engine, 0, None, gcTtlMillis = 400)
+    server.start()
+    val c = new Client(server.port)
+    try {
+      val token = auth(c)
+      val abandoned = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT 1 AS v").get("handle").asText
+      val active = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT 2 AS v").get("handle").asText
+      // keep `active` warm past several sweep intervals while `abandoned`
+      // idles; the daemon sweeper (TTL 400ms, sweep every 100ms) must
+      // collect only the idle one
+      val deadline = System.currentTimeMillis() + 1500
+      while (System.currentTimeMillis() < deadline) {
+        assert(c.call("cmd" -> "bind", "handle" -> active,
+          "params" -> Seq.empty[String]).get("ok").asBoolean)
+        Thread.sleep(50)
+      }
+      assert(c.call("cmd" -> "execute", "handle" -> active)
+        .get("ok").asBoolean, "touched handle must survive GC")
+      val dead = c.call("cmd" -> "execute", "handle" -> abandoned)
+      assert(!dead.get("ok").asBoolean, "abandoned handle must be swept")
+      assert(dead.get("error").asText.contains("unknown statement handle"))
+    } finally { c.close(); server.stop() }
+  }
+
   test("two concurrent clients get isolated sessions") {
     withServer { (server, c1) =>
       val c2 = new Client(server.port)
