@@ -140,7 +140,25 @@ object Bench {
         val mx = java.lang.management.ManagementFactory.getOperatingSystemMXBean
         f"${mx.getSystemLoadAverage}%.1f"
       } catch { case _: Throwable => "-1" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"load":$load,"sf":"$sfDir"}""")
+    // Standalone re-measure of the heaviest queries (VERDICT r8 #8):
+    // suite numbers interleave 40 queries, so a heavy query's sample can
+    // land on a co-tenant spike or another query's cache/GC tail and
+    // read as a regression (the r7 q_tpch_q18 "2.03×" and r8
+    // q_dedup_minhash scares were exactly this). After the suite, the
+    // top-K by best-of-passes run again BACK-TO-BACK (nothing else in
+    // flight, same JVM, warm JIT): min of two isolated passes is the
+    // steady-state number an adjudicator would otherwise have to
+    // re-measure by hand. SPARK_GRAFT_BENCH_STANDALONE overrides K
+    // (0 disables).
+    val standaloneK =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STANDALONE", "5").toInt
+    val heaviest = results.filter(_._2 >= 0).sortBy(-_._2)
+      .take(math.max(0, standaloneK)).map(_._1)
+    val stjson = heaviest.map { n =>
+      val v = math.min(attempt(n), attempt(n))
+      "\"" + n + "\":" + (if (v.isFinite) v else -1.0)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"standalone":$stjson,"load":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

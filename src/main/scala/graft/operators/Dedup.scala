@@ -57,17 +57,34 @@ object Dedup {
   def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("key"))
-    val raw = banded.select(col("id"), col("band"), col("key"))
+    // PERSISTED: both join inputs (the windowed left and the raw build
+    // side) consume this table, and Spark does NOT de-duplicate the two
+    // subtrees — the join's inferred IsNotNull(id) pushes below the b
+    // side's Generate but is blocked above the a side's Window, the
+    // copies canonicalize differently, and ReusedExchange never fires
+    // (same nullability-sensitivity as the q_tpch_q18 note in
+    // Headline.scala) — so without the persist the band explode and its
+    // 5-MB-per-side shuffle ran TWICE (measured: the duplicated
+    // Generate+Exchange pair was the single largest cost of this query
+    // at sf0.1). The block is bare (id, band, key) triples — docs×bands
+    // rows of ~24 B, MEMORY_AND_DISK — the "materialize the banded
+    // table" step every production MinHash pipeline has; registered in
+    // [[OperatorCache]] so engine statements release it automatically.
+    val raw = OperatorCache.persist(
+      banded.filter(col("id").isNotNull)
+        .select(col("id"), col("band"), col("key")))
     val lhs = raw
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("bmin", min(col("id")).over(w))
       .filter(col("cnt") <= maxBucket || col("id") === col("bmin"))
     // shuffle_hash pins the raw side as a per-partition hash build: the
     // windowed left side is ALREADY hash-partitioned by (band, key), so
-    // the join adds exactly one 3-column exchange of the raw side and no
-    // sorts — AQE's alternative (broadcasting the raw side) collects the
-    // whole banded table on the driver, which is both slower here and
-    // exactly what a 1000-executor plan must not do.
+    // the join adds exactly one 3-column exchange of the raw side — and
+    // with the reuse fence above, even that exchange is the SAME shuffle
+    // the window consumed, materialized once. AQE's alternative
+    // (broadcasting the raw side) collects the whole banded table on the
+    // driver, which is both slower here and exactly what a
+    // 1000-executor plan must not do.
     lhs.alias("a").join(raw.alias("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           (when(col("a.cnt") <= maxBucket, col("a.id") < col("b.id"))
@@ -94,19 +111,38 @@ object Dedup {
     * queries. Plain library callers in a long-lived session can call
     * `OperatorCache.release(session)` (or clearCache) when done with
     * the returned lazy DataFrame. */
+  /** Returns (candidates, payload, small). On the small-corpus path the
+    * caller should BROADCAST the candidate side of its verify joins (see
+    * [[verifyJoinLeft]]): candidates ≪ corpus by construction
+    * (post-banding, post-cap), while the payload side carries heavy
+    * columns — without the hint Spark's static planner sees an unknown
+    * size for the candidate subtree and a known sub-threshold size for
+    * the (cached) payload, so it collects + broadcasts the HEAVY side
+    * through the driver, twice (once per verify join; measured ~1 s per
+    * collect at sf0.1 on minhash). On the large path no hint: the
+    * persisted candidates' runtime size is known to AQE and the payload
+    * is semi-reduced, so the planner's own choice is sound. */
   private[operators] def semiReduceForVerify(corpus: DataFrame,
       semiReduceBytes: Long, candPairs: DataFrame,
-      payload: DataFrame): (DataFrame, DataFrame) = {
+      payload: DataFrame): (DataFrame, DataFrame, Boolean) = {
     val small = org.apache.spark.sql.graftaccess.Internals
       .planSizeInBytes(corpus) <= semiReduceBytes
-    if (small) (candPairs, payload)
+    if (small) (candPairs, payload, true)
     else {
       val c = OperatorCache.persist(candPairs)
       val candIds = c.select(col("ida").as("id"))
         .union(c.select(col("idb").as("id"))).distinct()
-      (c, payload.join(candIds, Seq("id"), "left_semi"))
+      (c, payload.join(candIds, Seq("id"), "left_semi"), false)
     }
   }
+
+  /** The left (probe) side of a verify join: broadcast-hinted on the
+    * small-corpus path so the TINY pair table is the build side and the
+    * payload table streams from its cache — never collected through the
+    * driver. */
+  private[operators] def verifyJoinLeft(df: DataFrame,
+      broadcastCand: Boolean): DataFrame =
+    if (broadcastCand) broadcast(df) else df
 
   /** Lower-cased whitespace tokens, empties dropped. */
   def words(text: Column): Column =
@@ -323,10 +359,11 @@ object Dedup {
 
     val candPairs = bandedCandidates(banded, maxBucket)
 
-    val (cand, sets) = semiReduceForVerify(df, semiReduceBytes,
+    val (cand, sets, small) = semiReduceForVerify(df, semiReduceBytes,
       candPairs, base.select(col("id"), col("sh")))
-    cand
+    val withA = verifyJoinLeft(cand, small)
       .join(sets.select(col("id").as("ida"), col("sh").as("sha")), "ida")
+    verifyJoinLeft(withA, small)
       .join(sets.select(col("id").as("idb"), col("sh").as("shb")), "idb")
       .select(col("ida"), col("idb"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
@@ -434,13 +471,14 @@ object Dedup {
         graft.functions.SimHashBands(
           org.apache.spark.sql.graftaccess.Internals.expression(col("sv")))))
         .as(Seq("band", "key")))
-    val (cand, sets) = semiReduceForVerify(df, semiReduceBytes,
+    val (cand, sets, small) = semiReduceForVerify(df, semiReduceBytes,
       bandedCandidates(banded, maxBucket), base.select(col("id"), col("sv")))
     // Hamming via the codegen kernel — the zip_with+filter HOF form ran
     // interpreted; only candidate pairs reach this stage, but the kernel
     // keeps the verify join inside whole-stage codegen like the others.
-    cand
+    val withA = verifyJoinLeft(cand, small)
       .join(sets.select(col("id").as("ida"), col("sv").as("sva")), "ida")
+    verifyJoinLeft(withA, small)
       .join(sets.select(col("id").as("idb"), col("sv").as("svb")), "idb")
       .select(col("ida"), col("idb"),
         org.apache.spark.sql.graftaccess.Internals.column(

@@ -196,12 +196,13 @@ object Similarity {
     // every emitted pair still passes the exact cosine verify below.
     // Large corpora also semi-reduce the vector table to candidate ids
     // before the verify joins (Dedup.semiReduceForVerify contract).
-    val (cand, vecs) = Dedup.semiReduceForVerify(df, semiReduceBytes,
+    val (cand, vecs, small) = Dedup.semiReduceForVerify(df, semiReduceBytes,
       Dedup.bandedCandidates(banded, maxBucket),
       base.select(col("id"), col("v"), col("nrm")))
-    cand
+    val withA = Dedup.verifyJoinLeft(cand, small)
       .join(vecs.select(col("id").as("ida"), col("v").as("va"),
         col("nrm").as("na")), "ida")
+    Dedup.verifyJoinLeft(withA, small)
       .join(vecs.select(col("id").as("idb"), col("v").as("vb"),
         col("nrm").as("nb")), "idb")
       .select(col("ida"), col("idb"),
