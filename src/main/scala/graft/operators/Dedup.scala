@@ -112,9 +112,9 @@ object Dedup {
     * `OperatorCache.release(session)` (or clearCache) when done with
     * the returned lazy DataFrame. */
   /** Returns (candidates, payload, small). On the small-corpus path the
-    * caller should BROADCAST the candidate side of its verify joins (see
-    * [[verifyJoinLeft]]): candidates ≪ corpus by construction
-    * (post-banding, post-cap), while the payload side carries heavy
+    * caller should attach payloads via [[attachPairPayloads]]: the bare
+    * pair table is broadcast (candidates ≪ corpus by construction,
+    * post-banding, post-cap) while the payload side carries heavy
     * columns — without the hint Spark's static planner sees an unknown
     * size for the candidate subtree and a known sub-threshold size for
     * the (cached) payload, so it collects + broadcasts the HEAVY side
@@ -136,13 +136,45 @@ object Dedup {
     }
   }
 
-  /** The left (probe) side of a verify join: broadcast-hinted on the
-    * small-corpus path so the TINY pair table is the build side and the
-    * payload table streams from its cache — never collected through the
-    * driver. */
-  private[operators] def verifyJoinLeft(df: DataFrame,
-      broadcastCand: Boolean): DataFrame =
-    if (broadcastCand) broadcast(df) else df
+  /** Attach both documents' payload columns (shingle sets / sign
+    * vectors / embeddings) to each candidate pair, suffixing every
+    * non-id payload column "a"/"b".
+    *
+    * Small-corpus path: TWO broadcast joins of the BARE (ida, idb)
+    * pair table — one per side — against the cached payload, stitched
+    * by a pair-keyed join of the two halves. Only bare id pairs ever
+    * go through the driver. The previous shape chained the joins and
+    * broadcast-hinted the probe side of the SECOND one, but by then
+    * that side was pairs-already-joined-with-payload: a corpus under
+    * the small-path size estimate can still legally form buckets up to
+    * `maxBucket`, yielding millions of candidate pairs × one payload
+    * array each — past the driver heap / 8 GB broadcast hard limit,
+    * turning a slow-but-working plan into a job failure. The bare pair
+    * table is persisted so both broadcast builds read one computation
+    * (and the two broadcast exchanges canonicalize identically for
+    * reuse); the stitch join's sides carry payload for candidates
+    * only, and AQE may broadcast one from MEASURED runtime size — a
+    * data-driven decision, unlike the removed static hint.
+    *
+    * Large path: chained shuffle joins, no hints — the candidates are
+    * persisted and the payload is semi-reduced to colliding ids, so
+    * AQE sees real sizes and the exchanges carry heavy columns only
+    * for candidates. */
+  private[operators] def attachPairPayloads(cand: DataFrame,
+      payload: DataFrame, small: Boolean): DataFrame = {
+    val pcols = payload.columns.filter(_ != "id")
+    def side(suffix: String, idAs: String): DataFrame =
+      payload.select(col("id").as(idAs) +:
+        pcols.map(c => col(c).as(c + suffix)): _*)
+    if (small) {
+      val bare = OperatorCache.persist(cand.select(col("ida"), col("idb")))
+      broadcast(bare).join(side("a", "ida"), "ida")
+        .join(broadcast(bare).join(side("b", "idb"), "idb"),
+          Seq("ida", "idb"))
+    } else {
+      cand.join(side("a", "ida"), "ida").join(side("b", "idb"), "idb")
+    }
+  }
 
   /** Lower-cased whitespace tokens, empties dropped. */
   def words(text: Column): Column =
@@ -361,10 +393,7 @@ object Dedup {
 
     val (cand, sets, small) = semiReduceForVerify(df, semiReduceBytes,
       candPairs, base.select(col("id"), col("sh")))
-    val withA = verifyJoinLeft(cand, small)
-      .join(sets.select(col("id").as("ida"), col("sh").as("sha")), "ida")
-    verifyJoinLeft(withA, small)
-      .join(sets.select(col("id").as("idb"), col("sh").as("shb")), "idb")
+    attachPairPayloads(cand, sets, small)
       .select(col("ida"), col("idb"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
@@ -476,10 +505,7 @@ object Dedup {
     // Hamming via the codegen kernel — the zip_with+filter HOF form ran
     // interpreted; only candidate pairs reach this stage, but the kernel
     // keeps the verify join inside whole-stage codegen like the others.
-    val withA = verifyJoinLeft(cand, small)
-      .join(sets.select(col("id").as("ida"), col("sv").as("sva")), "ida")
-    verifyJoinLeft(withA, small)
-      .join(sets.select(col("id").as("idb"), col("sv").as("svb")), "idb")
+    attachPairPayloads(cand, sets, small)
       .select(col("ida"), col("idb"),
         org.apache.spark.sql.graftaccess.Internals.column(
           graft.functions.HammingSigns(

@@ -199,14 +199,10 @@ object Similarity {
     val (cand, vecs, small) = Dedup.semiReduceForVerify(df, semiReduceBytes,
       Dedup.bandedCandidates(banded, maxBucket),
       base.select(col("id"), col("v"), col("nrm")))
-    val withA = Dedup.verifyJoinLeft(cand, small)
-      .join(vecs.select(col("id").as("ida"), col("v").as("va"),
-        col("nrm").as("na")), "ida")
-    Dedup.verifyJoinLeft(withA, small)
-      .join(vecs.select(col("id").as("idb"), col("v").as("vb"),
-        col("nrm").as("nb")), "idb")
+    Dedup.attachPairPayloads(cand, vecs, small)
       .select(col("ida"), col("idb"),
-        (dotKernel(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        (dotKernel(col("va"), col("vb")) /
+          (col("nrma") * col("nrmb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

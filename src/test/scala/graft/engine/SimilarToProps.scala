@@ -53,6 +53,11 @@ object SimilarToProps extends Properties("SimilarTo") {
 
   property("anchoring: % only at the declared end") =
     Prop.forAll(wordNE, wordNE) { (s, extra) =>
-      matches(s + "%", s + extra) && !matches(s + "%", extra + s + extra)
+      // The negative clause only holds when the probe string does not
+      // itself start with `s` (e.g. s="L", extra="L" → "LLL" DOES match
+      // 'L%' under Postgres semantics — the engine is right to say so).
+      val probe = extra + s + extra
+      matches(s + "%", s + extra) &&
+        (probe.startsWith(s) || !matches(s + "%", probe))
     }
 }
