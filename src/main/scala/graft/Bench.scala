@@ -158,7 +158,19 @@ object Bench {
       val v = math.min(attempt(n), attempt(n))
       "\"" + n + "\":" + (if (v.isFinite) v else -1.0)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"standalone":$stjson,"load":$load,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"standalone":$stjson,"load":$load,"sf":"$sfDir"}"""
+    println(line)
+    // The line has outgrown the driver's stdout tail capture (BENCH_r09
+    // lost its first six query timings) — also land the full line on
+    // disk so every round-trip carries every query (VERDICT r9 #7).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+    }
     spark.stop()
   }
 }

@@ -33,9 +33,14 @@ final class Engine(root: SparkSession) {
       session: SparkSession,
       sql: String,
       var params: Seq[String] = Nil,
-      var result: Option[(StructType, Array[Row])] = None,
-      // Arrow IPC encoding of `result`, cached at first fetch (the
-      // reference encodes its cached batches once, lib.rs:333-344):
+      // (schema, row count) once executed. The Row payload lives in
+      // `rows` only until the first Arrow encode: after that the cached
+      // IPC bytes are the single resident copy (the reference keeps
+      // only its encoded batches, lib.rs:333-344) — a row-shaped fetch
+      // on an already-encoded statement decodes from the bytes.
+      var result: Option[(StructType, Long)] = None,
+      var rows: Option[Array[Row]] = None,
+      // Arrow IPC encoding, cached at first fetch:
       // (stream bytes, message-boundary offsets for per-batch framing).
       var ipc: Option[(Array[Byte], Array[Int])] = None,
       var touchedMs: Long = System.currentTimeMillis())
@@ -204,14 +209,26 @@ final class Engine(root: SparkSession) {
     val st = statement(handle)
     val df = plan(st)
     val rows = df.collect()
-    st.result = Some((df.schema, rows))
+    st.result = Some((df.schema, rows.length.toLong))
+    st.rows = Some(rows)
     st.ipc = None // new result: any cached encoding is stale
     rows.length.toLong
   }
 
-  def fetch(handle: String): (StructType, Array[Row]) =
-    statement(handle).result.getOrElse(
+  def fetch(handle: String): (StructType, Array[Row]) = {
+    val st = statement(handle)
+    val (schema, _) = st.result.getOrElse(
       throw new IllegalStateException("statement not executed"))
+    val rows = st.rows.getOrElse {
+      // Rows were released at the first Arrow encode — rebuild them from
+      // the cached bytes. A transient decode on the (rare) row-fetch-
+      // after-arrow-fetch path, instead of BOTH copies resident for the
+      // statement's whole lifetime (VERDICT r9 #6).
+      org.apache.spark.sql.graftaccess.Internals
+        .arrowIpcToRows(schema, st.ipc.get._1)
+    }
+    (schema, rows)
+  }
 
   /** Result as ONE Arrow IPC stream — the reference's actual wire format
     * (`do_get_fallback` serves cached batches, lib.rs:288-295). Encodes
@@ -232,11 +249,14 @@ final class Engine(root: SparkSession) {
   def fetchArrowFramed(handle: String): (Array[Byte], Array[Int]) = {
     val st = statement(handle)
     st.ipc.getOrElse {
-      val (schema, rows) = st.result.getOrElse(
+      val (schema, _) = st.result.getOrElse(
         throw new IllegalStateException("statement not executed"))
       val enc = org.apache.spark.sql.graftaccess.Internals
-        .rowsToArrowIpcFramed(st.session, schema, rows)
+        .rowsToArrowIpcFramed(st.session, schema, st.rows.get)
       st.ipc = Some(enc)
+      // Single residency from here on: fetches are served from the
+      // cached bytes (row-shaped ones decode), re-execute rebuilds.
+      st.rows = None
       enc
     }
   }
@@ -356,6 +376,12 @@ final class Engine(root: SparkSession) {
       graft.operators.OperatorCache.release(s)
     }
   }
+
+  /** Test hook: whether the statement still holds its Row array — it
+    * must NOT after the first Arrow encode (single-residency contract,
+    * VERDICT r9 #6). */
+  private[graft] def rowsResident(handle: String): Boolean =
+    statement(handle).rows.isDefined
 
   private def statement(handle: String): Statement = {
     val st = statements.get(handle)

@@ -78,11 +78,42 @@ object StreamingWindows {
 
     // pHash media near-dup: 25 planted exact copies (ids +10000) must
     // pair with their originals at Hamming 0 through the banded path.
-    // Rows-only by design (the 64-bin stub is not expressible in DuckDB
-    // SQL); the banding/Hamming mechanism itself is fully oracled by
-    // q_simhash_md5, and MultimodalSpec pins pairing + corruption
-    // tolerance.
-    Probe.noOracle("q_media_neardup") { (s, dir) =>
+    // FULL oracle (VERDICT r9 #8): the stub codec is deterministic —
+    // content is the UTF-8 bytes of ASCII `text`, the 64 energy bins
+    // accumulate byte/255.0 in byte order, and the mean divide is a
+    // same-operand IEEE step — so DuckDB replays signs exactly and
+    // brute-forces pair Hamming (oracle scale only). Banding at
+    // maxHamming=3 over 4×16-bit bands is recall-COMPLETE by
+    // pigeonhole, and no bucket can exceed the whale cap at 525 rows,
+    // so the banded Spark plan equals the quadratic truth.
+    Probe.df("q_media_neardup",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS media_id, text FROM documents
+        |  WHERE doc_id < 25
+        |), s AS (
+        |  SELECT media_id,
+        |    list_transform(range(64), k ->
+        |      COALESCE(list_sum(list_transform(
+        |        list_filter(range(length(text)), i -> i % 64 = k),
+        |        i -> ascii(substr(text, CAST(i AS INT) + 1, 1)) / 255.0)),
+        |        0.0)) AS bins
+        |  FROM m
+        |), g AS (
+        |  SELECT media_id,
+        |    list_transform(bins, x ->
+        |      CASE WHEN x > list_sum(bins) / 64 THEN 1 ELSE -1 END) AS sv
+        |  FROM s
+        |)
+        |SELECT ida, idb, hamming FROM (
+        |  SELECT a.media_id AS ida, b.media_id AS idb,
+        |    CAST(len(list_filter(range(64), j ->
+        |      a.sv[CAST(j AS INT) + 1] <> b.sv[CAST(j AS INT) + 1]))
+        |      AS INT) AS hamming
+        |  FROM g a, g b WHERE a.media_id < b.media_id)
+        |WHERE hamming <= 3
+        |ORDER BY ida, idb""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(
         Tables.load(s, dir, "documents"))

@@ -144,6 +144,37 @@ object Internals {
     } finally { root.close(); allocator.close() }
   }
 
+  /** Inverse of [[rowsToArrowIpcFramed]]: decode an Arrow IPC stream
+    * back to external Rows. Lets the engine keep ONE resident copy of a
+    * cached result (the encoded bytes) and still serve the row-shaped
+    * fetch verb by transiently rebuilding the rows (VERDICT r9 #6). */
+  def arrowIpcToRows(
+      schema: org.apache.spark.sql.types.StructType,
+      bytes: Array[Byte]): Array[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    val allocator = org.apache.spark.sql.util.ArrowUtils.rootAllocator
+      .newChildAllocator("graft-ipc-read", 0, Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), allocator)
+    try {
+      val deser = org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder(schema).resolveAndBind().createDeserializer()
+      val out = Array.newBuilder[org.apache.spark.sql.Row]
+      val root = reader.getVectorSchemaRoot
+      while (reader.loadNextBatch()) {
+        val cols = root.getFieldVectors.asScala.map(v =>
+          new org.apache.spark.sql.vectorized.ArrowColumnVector(v)
+            : org.apache.spark.sql.vectorized.ColumnVector).toArray
+        val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+          cols, root.getRowCount)
+        // the deserializer materializes every value into the produced
+        // Row, so the mutable batch cursor never escapes
+        batch.rowIterator().asScala.foreach(r => out += deser(r))
+      }
+      out.result()
+    } finally { reader.close(); allocator.close() }
+  }
+
   /** Run a statement for its side effects WITHOUT materializing result
     * rows on the driver. Spark executes commands (INSERT/CREATE/SET/...)
     * eagerly at `sql()` — for those nothing further is needed; replaying

@@ -474,6 +474,41 @@ class EngineSpec extends AnyFunSuite {
     engine.closeStatement(h)
   }
 
+  test("first Arrow encode releases the Row array — single residency; " +
+      "row fetch decodes from the cached bytes (VERDICT r9 #6)") {
+    val (h, _) = engine.prepare(token,
+      "SELECT id, CAST(id AS STRING) AS s, id * 2.5 AS d, id % 2 = 0 AS b," +
+        " array(id, id + 1) AS arr FROM range(37)")
+    engine.execute(h)
+    assert(engine.rowsResident(h), "rows resident until the first encode")
+    val (schema0, before) = engine.fetch(h)
+    val first = engine.fetchArrow(h)
+    assert(!engine.rowsResident(h), "encode must release the Row array")
+    // repeat fetches still serve the identical cached bytes
+    assert(engine.fetchArrow(h) eq first)
+    assert(engine.fetchArrowFramed(h)._1 eq first)
+    // row-shaped fetch after the release: decoded from the bytes,
+    // value- and schema-identical to the pre-encode fetch
+    val (schema1, after) = engine.fetch(h)
+    assert(schema1 == schema0)
+    assert(after.length == before.length)
+    before.zip(after).foreach { case (a, b) =>
+      assert(a.toSeq.map {
+        case arr: scala.collection.Seq[_] => arr.toSeq
+        case v => v
+      } == b.toSeq.map {
+        case arr: scala.collection.Seq[_] => arr.toSeq
+        case v => v
+      })
+    }
+    assert(!engine.rowsResident(h), "a row fetch must not re-pin the rows")
+    // re-execute rebuilds rows and drops the stale encoding
+    engine.execute(h)
+    assert(engine.rowsResident(h))
+    assert(!(engine.fetchArrow(h) eq first))
+    engine.closeStatement(h)
+  }
+
   test("executeUpdate never materializes result rows on the driver") {
     // query-shaped text runs distributed and drains on the executors:
     // a job starts, but never a driver-side `collect at` one
