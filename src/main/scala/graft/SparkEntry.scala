@@ -80,5 +80,8 @@ object SparkEntry {
     // token filter + broadcast stats), and the partsupp quartet on the
     // derived inventory table
     "q_lm_score_kn", "q_dedup_chunks", "q_bm25",
-    "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+    // round 10: language ID — gram explode + broadcast model join
+    // (non-profile grams dropped pre-shuffle) + integer vote
+    "q_langid")
 }

@@ -520,6 +520,56 @@ object Curation {
           source = docs.where(col("doc_id") % 2 === 1), k = 50)
         .select(col("doc_id"), col("n_bigrams"),
           col("sum_qp_target"), col("sum_qp_source"), col("margin"))
+    },
+
+    // Language ID (operators/LangId): Cavnar–Trenkle char-trigram rank
+    // points, integer end-to-end, so the oracle replays the model
+    // VALUES and every score hash-exactly. The synthetic corpus is
+    // uniform word-salad (its `lang` column is a label, not a property
+    // of the text) — real-language discrimination is pinned by
+    // LangIdSpec on natural-language sentences; this probe pins the
+    // distributed mechanism: gram explode, model join, integer vote,
+    // deterministic argmax, script/und dispatch.
+    Probe.df("q_langid",
+      graft.operators.LangId.oracleSql("documents", "doc_id", "text")) {
+      (s, dir) =>
+        graft.operators.LangId.classify(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            graft.operators.LangId.profilesDf(s))
+          .orderBy("doc_id")
+    },
+
+    // The TRAIN path: learn top-k trigram profiles from the corpus
+    // labeled by its `lang` column (counts → per-lang rank window →
+    // integer points), then classify with the LEARNED model — the
+    // end-to-end Cavnar–Trenkle loop, fully replayed in DuckDB.
+    Probe.df("q_langid_train",
+      """WITH d AS (SELECT lang, doc_id,
+        |    ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS t
+        |  FROM documents),
+        |g AS (SELECT lang, doc_id, unnest(list_transform(
+        |    range(1, greatest(length(t) - 2, 1) + 1),
+        |    i -> substr(t, CAST(i AS INT), 3))) AS gram FROM d),
+        |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |m AS (SELECT gram, lang, CAST(21 - rk AS BIGINT) AS pts FROM (
+        |    SELECT lang, gram, row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, gram ASC) AS rk FROM c)
+        |  WHERE rk <= 20),
+        |s AS (SELECT doc_id, m.lang AS lang,
+        |    CAST(sum(pts) AS BIGINT) AS score
+        |  FROM g JOIN m USING (gram) GROUP BY 1, 2),
+        |b AS (SELECT doc_id, lang, score FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, lang ASC) = 1)
+        |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang,
+        |  COALESCE(b.score, 0) AS score
+        |FROM d LEFT JOIN b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.LangId.classify(docs, "doc_id", "text",
+          graft.operators.LangId.train(docs, "lang", "text", k = 20),
+          cjkThreshold = 2.0) // no script dispatch: pure learned vote
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LangId
+
+/** Language ID: the built-in trigram profiles discriminate real
+  * natural-language sentences, the script dispatch catches CJK, the
+  * train path learns profiles that classify their own corpus, and the
+  * dispatch fallbacks are deterministic. */
+class LangIdSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def classified(docs: Seq[(Long, String)]): Map[Long, String] =
+    LangId.classify(docs.toDF("doc_id", "text"), "doc_id", "text",
+        LangId.profilesDf(spark))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("built-in profiles identify natural-language sentences") {
+    val out = classified(Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog and then " +
+        "the cat is sitting in the house with all of the others"),
+      2L -> ("der schnelle braune fuchs springt über den faulen hund " +
+        "und die katze ist mit dem kind in der schule geblieben"),
+      3L -> ("le renard brun rapide saute par dessus le chien et les " +
+        "enfants sont dans la maison avec une question pour eux"),
+      4L -> ("el rápido zorro marrón salta sobre el perro perezoso y " +
+        "los niños están en la casa con una pregunta del día"),
+      5L -> ("la volpe marrone salta sopra il cane pigro e che i " +
+        "bambini sono nella casa per una domanda della scuola")))
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "it"))
+  }
+
+  test("CJK script dispatch overrides the trigram vote") {
+    val out = classified(Seq(
+      1L -> "今天天气很好我们一起去公园散步吧",
+      // mostly-Latin text with a stray CJK char stays with the vote
+      2L -> "the weather is good today so the others went to the 公 park"))
+    assert(out(1L) == "zh")
+    assert(out(2L) == "en")
+  }
+
+  test("no profile gram at all classifies as 'und' with score 0") {
+    val out = LangId.classify(
+        Seq((7L, "zzz qqq"), (8L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", LangId.profilesDf(spark))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set((7L, "und", 0L), (8L, "und", 0L)))
+  }
+
+  test("deterministic alphabetical tiebreak on equal scores") {
+    // one gram that is worth the same points in two languages: " th"
+    // is en-only, so craft a text hitting exactly one shared-score pair
+    // via the trained path instead — two labels, identical corpora
+    val docs = Seq((1L, "aaa bbb"), (2L, "aaa bbb")).toDF("doc_id", "text")
+    val model = LangId.train(
+      Seq(("xx", "aaa bbb"), ("yy", "aaa bbb")).toDF("lang", "text"),
+      "lang", "text", k = 5)
+    val out = LangId.classify(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.forall(_ == "xx")) // xx < yy, same score
+  }
+
+  test("train learns profiles that classify their own languages") {
+    val corpus = Seq(
+      ("en", "the cat is in the house and the dog is with the child"),
+      ("en", "all of the children are in the school with their things"),
+      ("de", "die katze ist in dem haus und der hund ist bei dem kind"),
+      ("de", "alle kinder sind in der schule mit ihren sachen und büchern"))
+      .toDF("lang", "text")
+    val model = LangId.train(corpus, "lang", "text", k = 25)
+    // the model is (gram, lang, pts) with pts descending by rank
+    val m = model.collect()
+    assert(m.forall(_.getInt(2) >= 1) && m.forall(_.getInt(2) <= 25))
+    val out = LangId.classify(Seq(
+        (1L, "the dog is in the house with the child"),
+        (2L, "der hund ist in dem haus bei dem kind"))
+      .toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de"))
+  }
+}
