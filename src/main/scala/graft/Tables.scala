@@ -27,8 +27,11 @@ object Tables {
       // and plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
       // reads as TIMESTAMP_NTZ. Normalize both to session-tz TimestampType
       // (sessions run UTC, so the NTZ cast is value-preserving and matches
-      // DuckDB's naive read). The nanos path floor-divides to µs — the same
-      // ns→µs truncation DataFusion/Iceberg apply (SURVEY §1.2).
+      // DuckDB's naive read). The nanos path truncates to µs with `div`
+      // (toward zero) — identical to the DataFusion/Iceberg ns→µs floor
+      // for the POST-EPOCH timestamps this testdata contains; a pre-epoch
+      // (negative) nanosecond value would round 1µs differently and would
+      // need integer floor math instead (SURVEY §1.2).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
       val tsExpr = raw.schema("ts").dataType match {

@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   * redaction probe would be vacuously green). */
 object Curation {
 
+  // \s caveat: Java's \s includes \x0B, RE2/DuckDB's does not — fine on
+  // this \x0B-free ASCII corpus (see the Pipeline.duckWords note).
   private val duckWords =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 

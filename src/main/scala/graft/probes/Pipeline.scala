@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  // NOTE on `\s`: Java regex \s (Spark's split) includes \x0B while
+  // RE2/DuckDB \s does not — the testdata corpus is ASCII word-salad
+  // with no vertical tabs, so both tokenizers agree; a corpus that can
+  // contain \x0B needs an explicit ASCII class on both sides.
   private val duckWords =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  /** q_dedup_spans gram width — ONE source of truth interpolated into
+    * both the Spark call and every oracle literal (span merge gap, gram
+    * end offset, min doc length) so the two sides cannot drift. */
+  private val SpanGramWords = 10
 
   // 3-word shingles in DuckDB (list comprehension mirrors Dedup.shingles)
   private def duckShingleCte(src: String): String =
@@ -184,9 +193,9 @@ object Pipeline {
     Probe.df("q_dedup_spans",
       s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
          |g0 AS (SELECT doc_id, unnest(
-         |    [ {'pos': i, 'fp': md5(array_to_string(ws[i:i+9], ' '))}
-         |      for i in range(1, len(ws) - 8) ]) AS u
-         |  FROM w WHERE len(ws) >= 10),
+         |    [ {'pos': i, 'fp': md5(array_to_string(ws[i:i+${SpanGramWords - 1}], ' '))}
+         |      for i in range(1, len(ws) - ${SpanGramWords - 2}) ]) AS u
+         |  FROM w WHERE len(ws) >= $SpanGramWords),
          |g AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM g0),
          |d AS (SELECT fp FROM (
          |    SELECT fp, count(*) AS nd
@@ -195,11 +204,13 @@ object Pipeline {
          |p AS (SELECT doc_id, pos FROM g JOIN d USING (fp)),
          |s AS (SELECT doc_id, pos,
          |    CASE WHEN lag(pos) OVER win IS NULL
-         |          OR pos - lag(pos) OVER win > 10 THEN 1 ELSE 0 END AS ns
+         |          OR pos - lag(pos) OVER win > $SpanGramWords
+         |      THEN 1 ELSE 0 END AS ns
          |  FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
          |si AS (SELECT doc_id, pos,
          |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM s),
-         |sp AS (SELECT doc_id, sid, min(pos) AS st, max(pos) + 9 AS en
+         |sp AS (SELECT doc_id, sid, min(pos) AS st,
+         |       max(pos) + ${SpanGramWords - 1} AS en
          |       FROM si GROUP BY doc_id, sid),
          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          |        CAST(sum(en - st + 1) AS BIGINT) AS dup_words
@@ -221,7 +232,7 @@ object Pipeline {
          |FROM w LEFT JOIN agg USING (doc_id) LEFT JOIN ct USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.dupSpanDedup(Tables.load(s, dir, "documents"),
-          "doc_id", "text", gramWords = 10)
+          "doc_id", "text", gramWords = SpanGramWords)
         .select(col("id").as("doc_id"), col("n_spans"), col("dup_words"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")
