@@ -115,6 +115,38 @@ class PlanSpec extends AnyFunSuite {
       s"quadratic join in the LSH path:\n${p.take(1200)}")
   }
 
+  test("dedup verify joins statically broadcast ONLY bare id pairs") {
+    // The ADVICE r9 regression guard: the small-corpus verify path must
+    // never hint a payload-carrying side into a broadcast — a capped
+    // bucket can emit millions of pairs, and collecting each pair's
+    // shingle set / sign vector / embedding through the driver turns a
+    // working plan into a broadcast-limit failure. Only the STATIC plan
+    // is checked: a runtime AQE broadcast is a measured-size decision.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def broadcastOutputs(p: SparkPlan): Seq[Seq[String]] = {
+      val buf = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      def walk(n: SparkPlan): Unit = n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BroadcastExchangeExec =>
+          buf += b.output.map(_.name); b.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(p); buf.toSeq
+    }
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_cosine_lsh")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val outs = broadcastOutputs(df.queryExecution.executedPlan)
+      assert(outs.nonEmpty, s"$q: expected the bare-pair broadcasts")
+      outs.foreach { cols =>
+        assert(cols.toSet.subsetOf(Set("ida", "idb")),
+          s"$q: broadcast must carry bare id pairs only, saw $cols")
+      }
+    }
+  }
+
   test("AQE converts a sort-merge join to broadcast at runtime") {
     // Static planning can't see filter selectivity; AQE measures the
     // actual shuffle output and swaps in a broadcast join — the runtime
