@@ -74,14 +74,24 @@ object LangId {
   }
 
   /** Whitespace-normalized, lowercased, space-padded text — the
-    * Cavnar–Trenkle boundary padding, as one codegen projection. */
+    * Cavnar–Trenkle boundary padding. Reference formulation; the hot
+    * path fuses this into [[gramsOf]] (LangIdSpec pins equality). */
   def normalize(text: Column): Column =
     concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
 
-  /** All character n-grams of a (pre-normalized) string. */
+  /** All character n-grams of a (pre-normalized) string — reference
+    * formulation (interpreted HOF lambdas; see [[gramsOf]]). */
   def charGrams(t: Column, n: Int = 3): Column =
     transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
       i => t.substr(i, lit(n)))
+
+  /** `charGrams(normalize(text), n)` as ONE codegen kernel pass
+    * ([[graft.functions.CharGrams]]) — the per-gram hot loop of the
+    * operator; value-identical to the reference chain. */
+  def gramsOf(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftaccess.Internals.column(
+      graft.functions.CharGrams(
+        org.apache.spark.sql.graftaccess.Internals.expression(text), n))
 
   /** Train a profile model from a labeled corpus: per-language gram
     * counts (one hash aggregate with map-side combine), top-`k` per
