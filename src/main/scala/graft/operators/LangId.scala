@@ -103,7 +103,7 @@ object LangId {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
     df.select(col(langCol).as("lang"),
-        explode(charGrams(normalize(col(textCol)), n)).as("gram"))
+        explode(gramsOf(col(textCol), n)).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -139,7 +139,7 @@ object LangId {
       length(col("__text")).as("__n"))
     val scored = raw
       .select(col("id"),
-        explode(charGrams(normalize(col("__text")), n)).as("gram"))
+        explode(gramsOf(col("__text"), n)).as("gram"))
       .join(broadcast(model), "gram") // drops non-profile grams pre-shuffle
       .groupBy(col("id"), col("lang"))
       .agg(sum(col("pts")).cast("long").as("score"))

@@ -64,6 +64,29 @@ class LangIdSpec extends AnyFunSuite {
     assert(out.values.forall(_ == "xx")) // xx < yy, same score
   }
 
+  test("CharGrams kernel equals the declarative normalize+charGrams chain") {
+    // the kernel is the hot path; the declarative chain is the
+    // reference the DuckDB oracle replays — they must agree byte-wise,
+    // including whitespace runs at the ends (collapsed, NOT trimmed),
+    // sub-n-char inputs, multi-byte chars, and case folding
+    val tricky = Seq(
+      "", " ", "  ", "a", "ab", "abc", "  leading", "trailing \t ",
+      "tab\tand\nnewlinevtab\fff\rcr", "many   spaces   here",
+      "MiXeD Case ÉÀÜ ß İstanbul ΣΙΣΥΦΟΣ", "今天 天气 很好",
+      "a b nbsp is not \\s", "emoji 😀😀 pair")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = tricky.toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+        LangId.gramsOf(col("text")).as("k"),
+        LangId.charGrams(LangId.normalize(col("text"))).as("d"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: kernel ${r.getSeq[String](1)} != " +
+          s"declarative ${r.getSeq[String](2)}")
+    }
+  }
+
   test("train learns profiles that classify their own languages") {
     val corpus = Seq(
       ("en", "the cat is in the house and the dog is with the child"),
