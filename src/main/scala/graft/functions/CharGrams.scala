@@ -54,6 +54,44 @@ case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "char_grams"
 }
 
+/** Order-preserving DISTINCT word n-gram shingles in ONE pass — the
+  * MinHash/n-gram-Jaccard feature extractor ([[graft.operators.Dedup]])
+  * as a codegen kernel. Value-identical to the declarative
+  * `array_distinct(transform(sequence(1, greatest(size(ws)-(n-1), 1)),
+  * i -> array_join(slice(ws, i, n), " ")))` over
+  * `ws = filter(split(lower(text), "\\s+"), _ != "")` that the DuckDB
+  * oracles replay: same tokenizer (runs of non-`\s` after
+  * `UTF8String.toLowerCase` — a leading-whitespace split's empty first
+  * element is the filtered ""), same single-space joining, same
+  * first-occurrence distinct order, and the same degenerate results
+  * (no tokens → [""], fewer than n tokens → one clipped shingle).
+  * Same motivation as [[CharGrams]]: the HOF chain ran interpreted,
+  * ~|words| lambda dispatches + slice/join allocations per document,
+  * in the benched flagship path. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be positive")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangKernels.shingleSet(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.LangKernels.shingleSet($in, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 object LangKernels {
 
   private def isAsciiSpace(b: Byte): Boolean =
@@ -97,5 +135,53 @@ object LangKernels {
       g += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** lower → tokenize (runs of non-ASCII-whitespace) → n-word shingles
+    * joined by single spaces → first-occurrence-order distinct. */
+  def shingleSet(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    // pass 1: count tokens; pass 2: record [start, end) offsets
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      if (isAsciiSpace(bytes(i))) i += 1
+      else { nTok += 1; while (i < len && !isAsciiSpace(bytes(i))) i += 1 }
+    }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    i = 0
+    while (i < len) {
+      if (isAsciiSpace(bytes(i))) i += 1
+      else {
+        starts(t) = i
+        while (i < len && !isAsciiSpace(bytes(i))) i += 1
+        ends(t) = i; t += 1
+      }
+    }
+    val count = math.max(nTok - (n - 1), 1)
+    val out = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var g = 0
+    while (g < count) {
+      val hi = math.min(g + n, nTok)
+      var blen = 0
+      t = g
+      while (t < hi) { blen += ends(t) - starts(t); t += 1 }
+      if (hi > g) blen += hi - g - 1 // single-space separators
+      val buf = new Array[Byte](math.max(blen, 0))
+      var w = 0
+      t = g
+      while (t < hi) {
+        if (t > g) { buf(w) = 0x20; w += 1 }
+        val l = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, w, l)
+        w += l; t += 1
+      }
+      out.add(UTF8String.fromBytes(buf))
+      g += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
   }
 }

@@ -182,7 +182,15 @@ object Dedup {
 
   /** Distinct n-word shingles ("n-grams of words"). Documents shorter than
     * n words yield their whole text as one shingle. */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftaccess.Internals.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graftaccess.Internals.expression(text), n))
+
+  /** Declarative reference formulation of [[shingles]] (interpreted HOF
+    * lambdas — the shape the DuckDB oracles replay; OperatorsSpec pins
+    * kernel equality against it). */
+  def shinglesRef(text: Column, n: Int): Column = {
     val ws = words(text)
     array_distinct(transform(
       sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),

@@ -244,6 +244,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("WordShingles kernel equals the declarative shingles chain") {
+    // the kernel is the minhash/ngram hot path; the declarative chain
+    // is what the DuckDB oracles replay — byte-wise agreement required,
+    // including the degenerate shapes: no tokens -> [""], fewer than n
+    // tokens -> one clipped shingle, repeated shingles -> first-
+    // occurrence distinct order, any \s separator, case folding
+    val tricky = Seq(
+      "", " \t\n ", "one", "one two", "a b c d e",
+      "dup dup dup dup dup", "A  B\tC\nD", "x y x y x y x y",
+      "Ünïcode wörds ÉÀ ß", "今天 天气 很好 我们 一起")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = tricky.toDF("doc_id", "text")
+    import graft.operators.Dedup
+    df.select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("k"),
+        Dedup.shinglesRef(col("text"), 3).as("d"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"doc ${r.getLong(0)}: kernel ${r.getSeq[String](1)} != " +
+            s"declarative ${r.getSeq[String](2)}")
+      }
+  }
+
   test("oversized LSH buckets emit a bounded star, not a quadratic blowup") {
     // 300 identical documents: every band bucket holds the whole corpus,
     // so uncapped candidates would be 300*299/2 per band. With the cap,
