@@ -31,6 +31,7 @@ final class Engine(root: SparkSession) {
 
   final case class Statement(
       session: SparkSession,
+      token: String,
       sql: String,
       var params: Seq[String] = Nil,
       // (schema, row count) once executed. The Row payload lives in
@@ -38,6 +39,13 @@ final class Engine(root: SparkSession) {
       // IPC bytes are the single resident copy (the reference keeps
       // only its encoded batches, lib.rs:333-344) — a row-shaped fetch
       // on an already-encoded statement decodes from the bytes.
+      //
+      // The (result, rows, ipc) triple is guarded by `this.synchronized`
+      // in execute/fetch/fetchArrowFramed: the encode-and-release
+      // transition (publish ipc, drop rows) is two writes, and the
+      // engine models a multi-client Flight do_get — two concurrent
+      // fetches racing that transition could both miss the ipc cache
+      // and the loser crash on rows=None (ADVICE r10).
       var result: Option[(StructType, Long)] = None,
       var rows: Option[Array[Row]] = None,
       // Arrow IPC encoding, cached at first fetch:
@@ -47,6 +55,9 @@ final class Engine(root: SparkSession) {
 
   private val sessions = new ConcurrentHashMap[String, SparkSession]()
   private val statements = new ConcurrentHashMap[String, Statement]()
+  // last activity per session token — statement touches count, so a
+  // session is "idle" only when NOTHING of it has been used (gcSessions)
+  private val sessionTouched = new ConcurrentHashMap[String, Long]()
 
   /** Cached results live in driver memory (collect-then-cache, like the
     * reference's server-side cache at lib.rs:333-344) — a long-lived
@@ -68,6 +79,7 @@ final class Engine(root: SparkSession) {
       // present, local-FS fallback otherwise.
       ObjectStoreConf.applyEnv(s)
       sessions.put(token, s)
+      sessionTouched.put(token, System.currentTimeMillis())
       Right(token)
     } else Left("Invalid credentials!")  // lib.rs:237-240 wording
   }
@@ -75,6 +87,8 @@ final class Engine(root: SparkSession) {
   def session(token: String): SparkSession = {
     val s = sessions.get(token)
     if (s == null) throw new IllegalArgumentException(s"no session for token")
+    sessionTouched.computeIfPresent(token,
+      (_, _) => System.currentTimeMillis())
     s
   }
 
@@ -160,7 +174,7 @@ final class Engine(root: SparkSession) {
     * before. EXPLAIN ANALYZE short-circuits to its constant schema
     * instead of executing the analyzed query at prepare time. */
   def prepare(token: String, sql: String): (String, StructType) = {
-    val st = Statement(session(token), sql)
+    val st = Statement(session(token), token, sql)
     val handle = UUID.randomUUID().toString
     val schema =
       if (ExplainAnalyze.matches(sql))
@@ -169,7 +183,7 @@ final class Engine(root: SparkSession) {
       else scala.util.Try(plan(st).schema).orElse(scala.util.Try {
         val n = countPlaceholders(sql)
         require(n > 0 && isQueryText(sql)) // else keep the empty schema
-        plan(Statement(st.session, sql, Seq.fill(n)(""))).schema
+        plan(Statement(st.session, token, sql, Seq.fill(n)(""))).schema
       }).getOrElse(StructType(Nil))
     prepareLock.synchronized {
       while (statements.size() >= maxStatements) evictOldest()
@@ -181,11 +195,26 @@ final class Engine(root: SparkSession) {
   private def evictOldest(): Unit = {
     import scala.jdk.CollectionConverters._
     statements.entrySet().asScala.minByOption(_.getValue.touchedMs)
-      .foreach(e => statements.remove(e.getKey))
+      .foreach(e => removeReleasing(Seq(e.getKey)))
+  }
+
+  /** Remove statement handles AND release the operator cache of each
+    * affected session — the same reclamation [[closeStatement]] performs.
+    * Sweeping a handle without the release would leak the LSH/dedup
+    * persisted blocks the statement's plan pinned: for a dead client the
+    * matching closeStatement never arrives, so the executor storage
+    * would stay pinned until closeSession — which never arrives either
+    * (a socket disconnect closes nothing). Release is recompute-safe, so
+    * a LIVE statement of the same session at worst recomputes. */
+  private def removeReleasing(handles: Seq[String]): Unit = {
+    val swept = handles.flatMap(h => Option(statements.remove(h)))
+    swept.map(_.session).distinct
+      .foreach(graft.operators.OperatorCache.release)
   }
 
   /** Drop statements idle longer than `ttlMillis` and statements whose
-    * session has been closed. Returns how many were collected. */
+    * session has been closed, releasing their sessions' operator cache
+    * blocks (see [[removeReleasing]]). Returns how many were collected. */
   def gc(ttlMillis: Long): Int = {
     import scala.jdk.CollectionConverters._
     val cutoff = System.currentTimeMillis() - ttlMillis
@@ -193,8 +222,24 @@ final class Engine(root: SparkSession) {
     val dead = statements.entrySet().asScala.filter { e =>
       e.getValue.touchedMs < cutoff || !live.contains(e.getValue.session)
     }.map(_.getKey).toSeq
-    dead.foreach(statements.remove)
+    removeReleasing(dead)
     dead.length
+  }
+
+  /** Reclaim sessions with NO activity (handshake/verb/statement touch)
+    * for `ttlMillis` — the session-level half of dead-client reclamation:
+    * a client that vanishes never sends close_session, and nothing else
+    * removes a token from `sessions`, so without this sweep an abandoned
+    * session (and any statements it re-prepares) lives forever. Each
+    * reclaimed session goes through [[closeSession]] — statements
+    * dropped, operator cache released. Returns how many were closed. */
+  def gcSessions(ttlMillis: Long): Int = {
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - ttlMillis
+    val idle = sessionTouched.entrySet().asScala
+      .filter(_.getValue < cutoff).map(_.getKey).toSeq
+    idle.foreach(closeSession)
+    idle.length
   }
 
   /** Bind positional string parameters (Utf8-only, like lib.rs:613-622). */
@@ -208,26 +253,31 @@ final class Engine(root: SparkSession) {
   def execute(handle: String): Long = {
     val st = statement(handle)
     val df = plan(st)
-    val rows = df.collect()
-    st.result = Some((df.schema, rows.length.toLong))
-    st.rows = Some(rows)
-    st.ipc = None // new result: any cached encoding is stale
+    val rows = df.collect() // outside the lock: fetches of the OLD result
+                            // stay servable while the job runs
+    st.synchronized {
+      st.result = Some((df.schema, rows.length.toLong))
+      st.rows = Some(rows)
+      st.ipc = None // new result: any cached encoding is stale
+    }
     rows.length.toLong
   }
 
   def fetch(handle: String): (StructType, Array[Row]) = {
     val st = statement(handle)
-    val (schema, _) = st.result.getOrElse(
-      throw new IllegalStateException("statement not executed"))
-    val rows = st.rows.getOrElse {
-      // Rows were released at the first Arrow encode — rebuild them from
-      // the cached bytes. A transient decode on the (rare) row-fetch-
-      // after-arrow-fetch path, instead of BOTH copies resident for the
-      // statement's whole lifetime (VERDICT r9 #6).
-      org.apache.spark.sql.graftaccess.Internals
-        .arrowIpcToRows(schema, st.ipc.get._1)
+    st.synchronized {
+      val (schema, _) = st.result.getOrElse(
+        throw new IllegalStateException("statement not executed"))
+      val rows = st.rows.getOrElse {
+        // Rows were released at the first Arrow encode — rebuild them
+        // from the cached bytes. A transient decode on the (rare) row-
+        // fetch-after-arrow-fetch path, instead of BOTH copies resident
+        // for the statement's whole lifetime (VERDICT r9 #6).
+        org.apache.spark.sql.graftaccess.Internals
+          .arrowIpcToRows(schema, st.ipc.get._1)
+      }
+      (schema, rows)
     }
-    (schema, rows)
   }
 
   /** Result as ONE Arrow IPC stream — the reference's actual wire format
@@ -248,16 +298,24 @@ final class Engine(root: SparkSession) {
     * frame per-batch with zero copies. */
   def fetchArrowFramed(handle: String): (Array[Byte], Array[Int]) = {
     val st = statement(handle)
-    st.ipc.getOrElse {
-      val (schema, _) = st.result.getOrElse(
-        throw new IllegalStateException("statement not executed"))
-      val enc = org.apache.spark.sql.graftaccess.Internals
-        .rowsToArrowIpcFramed(st.session, schema, st.rows.get)
-      st.ipc = Some(enc)
-      // Single residency from here on: fetches are served from the
-      // cached bytes (row-shaped ones decode), re-execute rebuilds.
-      st.rows = None
-      enc
+    // The whole read-or-encode is one critical section: the encode-and-
+    // release transition (ipc := Some, rows := None) must be atomic with
+    // respect to concurrent fetches, or a second fetch could miss the
+    // ipc cache and then find rows already gone (ADVICE r10). Encoding
+    // under the lock serializes concurrent first-fetches — which is also
+    // what makes the encode happen ONCE.
+    st.synchronized {
+      st.ipc.getOrElse {
+        val (schema, _) = st.result.getOrElse(
+          throw new IllegalStateException("statement not executed"))
+        val enc = org.apache.spark.sql.graftaccess.Internals
+          .rowsToArrowIpcFramed(st.session, schema, st.rows.get)
+        st.ipc = Some(enc)
+        // Single residency from here on: fetches are served from the
+        // cached bytes (row-shaped ones decode), re-execute rebuilds.
+        st.rows = None
+        enc
+      }
     }
   }
 
@@ -369,6 +427,7 @@ final class Engine(root: SparkSession) {
     * operator cache blocks. */
   def closeSession(token: String): Unit = {
     import scala.jdk.CollectionConverters._
+    sessionTouched.remove(token)
     val s = sessions.remove(token)
     if (s != null) {
       statements.entrySet().asScala.filter(_.getValue.session eq s)
@@ -387,6 +446,9 @@ final class Engine(root: SparkSession) {
     val st = statements.get(handle)
     if (st == null) throw new IllegalArgumentException("unknown statement handle")
     st.touchedMs = System.currentTimeMillis()
+    // statement activity keeps its session alive (gcSessions reclaims
+    // only sessions where NOTHING has been touched)
+    sessionTouched.computeIfPresent(st.token, (_, _) => st.touchedMs)
     st
   }
 }

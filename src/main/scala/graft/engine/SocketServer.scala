@@ -56,8 +56,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 final class SocketServer(engine: Engine, requestedPort: Int = 31337,
     tlsDomain: Option[String] = None,
-    gcTtlMillis: Long =
-      sys.env.getOrElse("GRAFT_STATEMENT_TTL_MS", "3600000").toLong) {
+    gcTtlMillis: Long = SocketServer.clampTtl(
+      sys.env.get("GRAFT_STATEMENT_TTL_MS"), 3600000L),
+    sessionTtlMillis: Long = SocketServer.clampTtl(
+      sys.env.get("GRAFT_SESSION_TTL_MS"), 86400000L)) {
 
   private val mapper = new ObjectMapper()
   @volatile private var serverSocket: ServerSocket = _
@@ -84,11 +86,18 @@ final class SocketServer(engine: Engine, requestedPort: Int = 31337,
     // between prepare and close) pin their cached results in driver
     // memory until TTL. Sweep cadence is a fraction of the TTL so a
     // handle outlives its last touch by at most ~1.25×TTL.
+    // The session sweep rides the same thread: a dead client's session
+    // is never close_session'd (a socket disconnect closes nothing), so
+    // without it the sessions map — and any operator-cache blocks its
+    // re-prepared statements pin — grows forever.
     val sweeper = new Thread(() => {
       val interval = math.max(10L, math.min(gcTtlMillis / 4, 60000L))
       while (running) {
         try Thread.sleep(interval) catch { case _: InterruptedException => () }
-        if (running) try engine.gc(gcTtlMillis) catch { case _: Throwable => () }
+        if (running) try {
+          engine.gc(gcTtlMillis)
+          engine.gcSessions(sessionTtlMillis)
+        } catch { case _: Throwable => () }
       }
     }, "graft-server-gc")
     sweeper.setDaemon(true)
@@ -230,6 +239,18 @@ final class SocketServer(engine: Engine, requestedPort: Int = 31337,
     writeFrame(out, res.toString.getBytes(UTF_8))
     if (arrow != null) writeFrame(out, arrow)
   }
+}
+
+object SocketServer {
+  /** Env-driven TTLs are clamped to >= 1s with a parse-failure fallback,
+    * like GRAFT_MAX_STATEMENTS: an unvalidated `0`/negative value would
+    * make the sweeper run every 10 ms with `cutoff >= now` — collecting
+    * statements actively between execute and fetch, i.e. an env typo
+    * renders the server unusable — and a non-numeric value would throw
+    * at construction (ADVICE r9). */
+  private[graft] def clampTtl(raw: Option[String], default: Long): Long =
+    raw.flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .map(math.max(1000L, _)).getOrElse(default)
 }
 
 /** Server binary — the analogue of the reference's `main.rs:41-100`:

@@ -132,7 +132,11 @@ object Internals {
         total += 1; inBatch += 1
         if (inBatch == maxRecords) {
           writer.finish(); sw.writeBatch(); writer.reset(); inBatch = 0
-          offsets += out.size()
+          // no boundary after the FINAL batch: when rowCount is an exact
+          // multiple of maxRecords, sw.end()'s EOS must ride with that
+          // batch's frame (the documented contract) — an in-loop offset
+          // here would carve the EOS into its own 8-byte frame
+          if (rows.hasNext) offsets += out.size()
         }
       }
       if (inBatch > 0 || total == 0) { // at least one (empty) batch before EOS

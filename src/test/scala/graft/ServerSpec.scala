@@ -395,4 +395,42 @@ class ServerSpec extends AnyFunSuite {
       } finally c2.close()
     }
   }
+
+  test("TTL env values are clamped and parse-safe — a typo must not " +
+      "turn the sweeper hostile (ADVICE r9)") {
+    // 0 / negative: clamped to the 1s floor, never `cutoff >= now`
+    assert(SocketServer.clampTtl(Some("0"), 3600000L) == 1000L)
+    assert(SocketServer.clampTtl(Some("-5"), 3600000L) == 1000L)
+    assert(SocketServer.clampTtl(Some("999"), 3600000L) == 1000L)
+    // non-numeric: fall back to the default instead of throwing at
+    // server construction
+    assert(SocketServer.clampTtl(Some("garbage"), 3600000L) == 3600000L)
+    assert(SocketServer.clampTtl(Some(""), 3600000L) == 3600000L)
+    assert(SocketServer.clampTtl(None, 3600000L) == 3600000L)
+    // sane values pass through (whitespace tolerated)
+    assert(SocketServer.clampTtl(Some(" 7200000 "), 3600000L) == 7200000L)
+  }
+
+  test("periodic sweep also reclaims idle sessions — a dead client's " +
+      "token does not live forever (VERDICT r10 #1)") {
+    val engine = new Engine(spark)
+    // sweep interval is gcTtl/4 = 500ms; session TTL 400ms
+    val server = new SocketServer(engine, 0, None,
+      gcTtlMillis = 2000, sessionTtlMillis = 400)
+    server.start()
+    val c = new Client(server.port)
+    try {
+      val token = auth(c)
+      // client "dies": the socket stays open but sends nothing (a probe
+      // would TOUCH the session and keep it alive — exactly the bug
+      // class this sweep exists for). Wait out TTL + sweep + margin,
+      // then the one probe must find the token gone.
+      Thread.sleep(1600)
+      val res = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT 1 AS v")
+      assert(!res.get("ok").asBoolean,
+        "idle session must be swept by the session TTL")
+      assert(res.get("error").asText.contains("no session"))
+    } finally { c.close(); server.stop() }
+  }
 }
