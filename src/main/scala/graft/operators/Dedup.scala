@@ -168,9 +168,14 @@ object Dedup {
         pcols.map(c => col(c).as(c + suffix)): _*)
     if (small) {
       val bare = OperatorCache.persist(cand.select(col("ida"), col("idb")))
-      broadcast(bare).join(side("a", "ida"), "ida")
+      val stitched = broadcast(bare).join(side("a", "ida"), "ida")
         .join(broadcast(bare).join(side("b", "idb"), "idb"),
           Seq("ida", "idb"))
+      // the stitch was built from the BARE pair table; any extra
+      // columns of `cand` ride back in pair-keyed, so both paths
+      // return the same shape (free today — no caller threads extras)
+      val extras = cand.columns.filterNot(c => c == "ida" || c == "idb")
+      if (extras.isEmpty) stitched else stitched.join(cand, Seq("ida", "idb"))
     } else {
       cand.join(side("a", "ida"), "ida").join(side("b", "idb"), "idb")
     }

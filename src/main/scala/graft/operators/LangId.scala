@@ -75,7 +75,13 @@ object LangId {
 
   /** Whitespace-normalized, lowercased, space-padded text — the
     * Cavnar–Trenkle boundary padding. Reference formulation; the hot
-    * path fuses this into [[gramsOf]] (LangIdSpec pins equality). */
+    * path fuses this into [[gramsOf]] (LangIdSpec pins equality).
+    *
+    * Caveat (same as duckWords in the Pipeline/Curation probes): Java's
+    * `\s` includes `\x0B` (vertical tab) while DuckDB's RE2 `\s` does
+    * not — the [[graft.functions.CharGrams]] kernel hard-codes the Java
+    * set 0x09-0x0d+space, so a corpus containing vertical tabs would
+    * diverge from [[oracleSql]] by that character class alone. */
   def normalize(text: Column): Column =
     concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
 
@@ -110,15 +116,43 @@ object LangId {
       .select(col("gram"), col("lang"), (lit(k + 1) - col("rk")).as("pts"))
   }
 
-  /** Classify each document: (idCol, lang, score). `lang` is the
-    * argmax-points language (ties broken alphabetically — deterministic
-    * cross-engine), `'zh'` when the CJK codepoint ratio clears
-    * `cjkThreshold` (script dispatch), `'und'` when no profile gram
-    * occurs at all. `score` is the exact integer point sum (0 for
-    * script/und dispatch misses). */
+  /** Per-script BMP codepoint ranges for the dispatch ladder — each is
+    * spelled identically in Java regex (classify) and RE2 `\x{..}`
+    * (oracle). Order matters: kana is checked BEFORE Han so Japanese
+    * text (kana + kanji mixed) never lands on `zh`, and Han text with
+    * no kana still does. */
+  private[operators] val ScriptRanges: Seq[(String, Char, Char)] = Seq(
+    ("kana", '\u3040', '\u30ff'), // Hiragana + Katakana
+    ("hang", '\uac00', '\ud7a3'), // Hangul syllables
+    ("han", '\u4e00', '\u9fff'),  // CJK Unified Ideographs
+    ("cyr", '\u0400', '\u04ff'),  // Cyrillic
+    ("arab", '\u0600', '\u06ff'), // Arabic
+    ("deva", '\u0900', '\u097f')) // Devanagari
+
+  /** Classify each document: (idCol, lang, score[, margin]).
+    *
+    * `lang` is the argmax-points language (ties broken alphabetically —
+    * deterministic cross-engine) with a SCRIPT DISPATCH ladder first,
+    * the way production identifiers handle scripts the trigram model
+    * cannot see: kana-rich → 'ja' (checked before Han, since Japanese
+    * mixes kana with kanji), Hangul → 'ko', Han → 'zh', Cyrillic →
+    * 'ru', Arabic → 'ar', Devanagari → 'hi'. Each fires when the
+    * script's codepoint count clears `cjkThreshold` × doc length (kana
+    * at HALF that — kana is rarely the majority of Japanese text but
+    * is near-absent in every other language); `cjkThreshold > 1`
+    * disables all dispatch. Latin-script text falls through to the
+    * trigram vote; `'und'` when no profile gram occurs at all.
+    *
+    * `score` is the exact integer point sum of the vote (0 when no
+    * gram hit). With `margin = true` the output adds the top1−top2
+    * vote-score gap — what a curation pipeline actually thresholds on
+    * (a confident 'en' beats 'es' by a wide margin; near-ties are the
+    * docs to re-check). Margin is 0 when fewer than two languages
+    * scored; script-dispatched rows keep their vote margin (the vote
+    * still ran — dispatch only overrides the label). */
   def classify(df: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, n: Int = 3, cjkThreshold: Double = 0.3)
-      : DataFrame = {
+      model: DataFrame, n: Int = 3, cjkThreshold: Double = 0.3,
+      margin: Boolean = false): DataFrame = {
     // Parallelism FIRST (one cheap shuffle of bare id+text), with an
     // EXPLICIT partition count: a by-column repartition is
     // AQE-coalescible, and on a small-bytes/heavy-CPU relation like
@@ -133,10 +167,14 @@ object LangId {
       .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
     val raw = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(nP, col("id"))
-    val base = raw.select(col("id"),
-      (length(col("__text")) - length(regexp_replace(col("__text"),
-        "[\\u4e00-\\u9fff]", ""))).as("__cjk_n"),
-      length(col("__text")).as("__n"))
+    // one projection computes every script count (each a codegen'd
+    // regexp_replace length-diff over the text; all ranges are BMP so
+    // UTF-16 `length` counts codepoints identically here and in DuckDB)
+    val base = raw.select(col("id") +: length(col("__text")).as("__n") +:
+      ScriptRanges.map { case (name, lo, hi) =>
+        (length(col("__text")) - length(regexp_replace(col("__text"),
+          s"[$lo-$hi]", ""))).as(s"__${name}_n")
+      }: _*)
     val scored = raw
       .select(col("id"),
         explode(gramsOf(col("__text"), n)).as("gram"))
@@ -144,22 +182,54 @@ object LangId {
       .groupBy(col("id"), col("lang"))
       .agg(sum(col("pts")).cast("long").as("score"))
     // argmax as ONE struct-min aggregate (score desc, lang asc): no
-    // second window, stays in the same hash-aggregate pipeline
-    val best = scored.groupBy(col("id"))
-      .agg(min(struct((-col("score")).as("ns"), col("lang").as("lang")))
-        .as("__b"))
-      .select(col("id"), col("__b.lang").as("lang"),
-        (-col("__b.ns")).as("score"))
-    base.join(best, Seq("id"), "left_outer")
-      .select(col("id").as(idCol),
-        when(col("__cjk_n") > lit(cjkThreshold) * col("__n"), lit("zh"))
-          .otherwise(coalesce(col("lang"), lit("und"))).as("lang"),
-        coalesce(col("score"), lit(0L)).as("score"))
+    // second window, stays in the same hash-aggregate pipeline. The
+    // margin variant sorts the (at most #languages) per-doc entries
+    // instead — still one bounded aggregate, no window.
+    val best =
+      if (!margin)
+        scored.groupBy(col("id"))
+          .agg(min(struct((-col("score")).as("ns"), col("lang").as("lang")))
+            .as("__b"))
+          .select(col("id"), col("__b.lang").as("lang"),
+            (-col("__b.ns")).as("score"))
+      else
+        scored.groupBy(col("id"))
+          .agg(sort_array(collect_list(
+            struct((-col("score")).as("ns"), col("lang").as("lang"))))
+            .as("__a"))
+          .select(col("id"),
+            col("__a").getItem(0).getField("lang").as("lang"),
+            (-col("__a").getItem(0).getField("ns")).as("score"),
+            ((-col("__a").getItem(0).getField("ns")) -
+              when(size(col("__a")) > 1,
+                -col("__a").getItem(1).getField("ns")).otherwise(lit(0L)))
+              .as("margin"))
+    val t = col("__n") // doc length; thresholds are script_count > f(thr)·n
+    val dispatched = ScriptRanges.foldLeft(
+      when(col(s"__kana_n") > lit(cjkThreshold / 2) * t, lit("ja"))) {
+      case (w, ("kana", _, _)) => w // seeded above (half threshold)
+      case (w, (name, _, _)) =>
+        val lang = Map("hang" -> "ko", "han" -> "zh", "cyr" -> "ru",
+          "arab" -> "ar", "deva" -> "hi")(name)
+        w.when(col(s"__${name}_n") > lit(cjkThreshold) * t, lit(lang))
+    }.otherwise(coalesce(col("lang"), lit("und")))
+    val out = base.join(best, Seq("id"), "left_outer")
+    val cols = Seq(col("id").as(idCol), dispatched.as("lang"),
+      coalesce(col("score"), lit(0L)).as("score")) ++
+      (if (margin) Seq(coalesce(col("margin"), lit(0L)).as("margin"))
+       else Nil)
+    out.select(cols: _*)
   }
 
   /** DuckDB replay of [[classify]] with the built-in model for the
     * correctness oracle (identical VALUES literals, same integer
-    * arithmetic; the quadratic-free shape matters only at Spark scale). */
+    * arithmetic; the quadratic-free shape matters only at Spark scale).
+    * Script counts use the same BMP ranges as [[ScriptRanges]] spelled
+    * `\x{..}`; thresholds are CAST AS DOUBLE so both engines compare
+    * integer counts against the SAME IEEE product (a bare `0.3` literal
+    * would be DECIMAL in DuckDB — exact arithmetic that diverges from
+    * Spark's double exactly on boundary docs). `\s` caveat: see
+    * [[normalize]] (Java \s ⊃ RE2 \s by \x0B). */
   def oracleSql(table: String, idCol: String, textCol: String,
       cjkThreshold: Double = 0.3): String = {
     val values = Profiles.flatMap { case (lang, gs) =>
@@ -167,9 +237,13 @@ object LangId {
         s"('${g.replace("'", "''")}', '$lang', ${gs.length - i})"
       }
     }.mkString(", ")
+    val counts = ScriptRanges.map { case (name, lo, hi) =>
+      val rng = f"[\\x{${lo.toInt}%x}-\\x{${hi.toInt}%x}]"
+      s"  length($textCol) - length(regexp_replace($textCol, '$rng', '', 'g')) AS ${name}_n,"
+    }.mkString("\n")
     s"""WITH model(gram, lang, pts) AS (VALUES $values),
        |d AS (SELECT $idCol, ' ' || regexp_replace(lower($textCol), '\\s+', ' ', 'g') || ' ' AS t,
-       |  length($textCol) - length(regexp_replace($textCol, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk_n,
+       |$counts
        |  length($textCol) AS n
        |  FROM $table),
        |g AS (SELECT $idCol, unnest(list_transform(
@@ -181,7 +255,12 @@ object LangId {
        |  QUALIFY row_number() OVER (PARTITION BY $idCol
        |    ORDER BY score DESC, lang ASC) = 1)
        |SELECT d.$idCol,
-       |  CASE WHEN d.cjk_n > $cjkThreshold * d.n THEN 'zh'
+       |  CASE WHEN d.kana_n > CAST(${cjkThreshold / 2} AS DOUBLE) * d.n THEN 'ja'
+       |       WHEN d.hang_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'ko'
+       |       WHEN d.han_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'zh'
+       |       WHEN d.cyr_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'ru'
+       |       WHEN d.arab_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'ar'
+       |       WHEN d.deva_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'hi'
        |       ELSE COALESCE(b.lang, 'und') END AS lang,
        |  COALESCE(b.score, 0) AS score
        |FROM d LEFT JOIN b USING ($idCol)

@@ -543,8 +543,11 @@ object Curation {
 
     // The TRAIN path: learn top-k trigram profiles from the corpus
     // labeled by its `lang` column (counts → per-lang rank window →
-    // integer points), then classify with the LEARNED model — the
-    // end-to-end Cavnar–Trenkle loop, fully replayed in DuckDB.
+    // integer points), then classify with the LEARNED model AND the
+    // confidence margin (top1−top2 vote score — what a curation
+    // pipeline actually thresholds on) — the end-to-end Cavnar–Trenkle
+    // loop, fully replayed in DuckDB. Margin via lead() over the
+    // per-doc score ranking; 0 when fewer than two languages scored.
     Probe.df("q_langid_train",
       """WITH d AS (SELECT lang, doc_id,
         |    ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS t
@@ -553,24 +556,29 @@ object Curation {
         |    range(1, greatest(length(t) - 2, 1) + 1),
         |    i -> substr(t, CAST(i AS INT), 3))) AS gram FROM d),
         |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
-        |m AS (SELECT gram, lang, CAST(21 - rk AS BIGINT) AS pts FROM (
+        |m AS (SELECT gram, lang, CAST(41 - rk AS BIGINT) AS pts FROM (
         |    SELECT lang, gram, row_number() OVER (PARTITION BY lang
         |      ORDER BY cnt DESC, gram ASC) AS rk FROM c)
-        |  WHERE rk <= 20),
+        |  WHERE rk <= 40),
         |s AS (SELECT doc_id, m.lang AS lang,
         |    CAST(sum(pts) AS BIGINT) AS score
         |  FROM g JOIN m USING (gram) GROUP BY 1, 2),
-        |b AS (SELECT doc_id, lang, score FROM s
+        |b AS (SELECT doc_id, lang, score,
+        |    score - COALESCE(lead(score) OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lang ASC), 0) AS margin
+        |  FROM s
         |  QUALIFY row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, lang ASC) = 1)
         |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang,
-        |  COALESCE(b.score, 0) AS score
+        |  COALESCE(b.score, 0) AS score,
+        |  COALESCE(b.margin, 0) AS margin
         |FROM d LEFT JOIN b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       graft.operators.LangId.classify(docs, "doc_id", "text",
-          graft.operators.LangId.train(docs, "lang", "text", k = 20),
-          cjkThreshold = 2.0) // no script dispatch: pure learned vote
+          graft.operators.LangId.train(docs, "lang", "text", k = 40),
+          cjkThreshold = 2.0, // no script dispatch: pure learned vote
+          margin = true)
         .orderBy("doc_id")
     }
   )

@@ -43,6 +43,50 @@ class LangIdSpec extends AnyFunSuite {
     assert(out(2L) == "en")
   }
 
+  test("script dispatch ladder: ja/ko/ru/ar/hi land on their script, " +
+      "not a confidently wrong Latin label (VERDICT r10 #3)") {
+    val out = classified(Seq(
+      // Japanese mixes kanji with kana — the kana check runs BEFORE
+      // Han, so this must NOT come back 'zh' (nor a Latin vote)
+      1L -> "今日はいい天気なので公園へ散歩に行きましょう",
+      2L -> "きょうは いい てんき です ね さんぽ に いきましょう",
+      3L -> "오늘은 날씨가 좋아서 공원에 산책하러 갑니다",
+      4L -> "сегодня хорошая погода и мы идем гулять в парк",
+      5L -> "الطقس جميل اليوم لنذهب إلى الحديقة للتنزه",
+      6L -> "आज मौसम अच्छा है चलो पार्क में टहलने चलते हैं",
+      // pure-Han stays zh (the ja check must not swallow it)
+      7L -> "今天天气很好我们一起去公园散步吧"))
+    assert(out == Map(1L -> "ja", 2L -> "ja", 3L -> "ko", 4L -> "ru",
+      5L -> "ar", 6L -> "hi", 7L -> "zh"))
+  }
+
+  test("margin column is the top1-minus-top2 vote gap; 0 when fewer " +
+      "than two languages scored (VERDICT r10 #7)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then " +
+        "the cat is sitting in the house with all of the others"),
+      (2L, "zzz qqq")).toDF("doc_id", "text")
+    val out = LangId.classify(docs, "doc_id", "text",
+        LangId.profilesDf(spark), margin = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (lang1, score1, margin1) = out(1L)
+    assert(lang1 == "en" && score1 > 0L)
+    assert(margin1 > 0L && margin1 <= score1,
+      s"confident en text must have a positive margin, got $margin1")
+    assert(out(2L) == (("und", 0L, 0L)))
+    // a doc hitting exactly ONE language's grams: margin == score
+    val model = LangId.train(
+      Seq(("xx", "aaa bbb ccc"), ("yy", "ddd eee fff")).toDF("lang", "text"),
+      "lang", "text", k = 10)
+    val solo = LangId.classify(Seq((9L, "aaa bbb ccc")).toDF("doc_id", "text"),
+        "doc_id", "text", model, margin = true)
+      .collect().head
+    assert(solo.getString(1) == "xx")
+    assert(solo.getLong(3) == solo.getLong(2), "single-language vote: margin == score")
+  }
+
   test("no profile gram at all classifies as 'und' with score 0") {
     val out = LangId.classify(
         Seq((7L, "zzz qqq"), (8L, "")).toDF("doc_id", "text"),
