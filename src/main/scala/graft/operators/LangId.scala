@@ -165,7 +165,14 @@ object LangId {
     // already co-partitioned by id.
     val nP = scala.util.Try(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    // null ids are dropped UP FRONT (mirrored in [[oracleSql]]): the id
+    // is the key a pipeline joins the labels back on, and the explicit
+    // filter makes both branches' exchange subtrees canonicalize
+    // identically — the left join below infers isnotnull(id) on the
+    // vote side only, which would otherwise split the shared exchange
+    // into two full scans + shuffles of the corpus
     val raw = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .filter(col("id").isNotNull)
       .repartition(nP, col("id"))
     // one projection computes every script count (each a codegen'd
     // regexp_replace length-diff over the text; all ranges are BMP so
@@ -175,9 +182,15 @@ object LangId {
         (length(col("__text")) - length(regexp_replace(col("__text"),
           s"[$lo-$hi]", ""))).as(s"__${name}_n")
       }: _*)
+    // explode_OUTER, deliberately: plain explode lets Catalyst infer a
+    // size(grams)>0 filter and push it BELOW the repartition exchange,
+    // making this branch's exchange subtree differ from `base`'s — the
+    // documents scan+shuffle then runs TWICE. With the outer variant
+    // both branches share one canonical exchange (ReusedExchange) and
+    // the inner model join drops the null-gram rows anyway.
     val scored = raw
       .select(col("id"),
-        explode(gramsOf(col("__text"), n)).as("gram"))
+        explode_outer(gramsOf(col("__text"), n)).as("gram"))
       .join(broadcast(model), "gram") // drops non-profile grams pre-shuffle
       .groupBy(col("id"), col("lang"))
       .agg(sum(col("pts")).cast("long").as("score"))
@@ -245,7 +258,7 @@ object LangId {
        |d AS (SELECT $idCol, ' ' || regexp_replace(lower($textCol), '\\s+', ' ', 'g') || ' ' AS t,
        |$counts
        |  length($textCol) AS n
-       |  FROM $table),
+       |  FROM $table WHERE $idCol IS NOT NULL),
        |g AS (SELECT $idCol, unnest(list_transform(
        |    range(1, greatest(length(t) - 2, 1) + 1),
        |    i -> substr(t, CAST(i AS INT), 3))) AS gram FROM d),

@@ -20,6 +20,30 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("langid's two branches share ONE corpus exchange at runtime " +
+      "(ReusedExchange — else the corpus scans and shuffles twice)") {
+    // The invariant is RUNTIME exchange reuse (AQE canonical-subtree
+    // matching), invisible in the static plan: the vote branch must not
+    // accumulate any pushed-below-the-exchange filter the base branch
+    // lacks (round 11 found inferred isnotnull(id) + explode's size>0
+    // doing exactly that). Execute, then walk the final adaptive plan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q_langid")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    var reused = 0
+    def walk(n: SparkPlan): Unit = n match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case r: ReusedExchangeExec => reused += 1
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(reused >= 1,
+      "the corpus repartition must be computed once and reused")
+  }
+
   test("star join broadcasts every dimension (no fact shuffle before agg)") {
     val p = planOf("q_join_star")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
