@@ -28,10 +28,15 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *  - execute   {handle}                → {rows}
   *  - execute_update {token, sql}       → {rows: -1}     (lib.rs:645-654)
   *  - fetch_arrow {handle}              → {bytes} + raw Arrow IPC frame
-  *  - fetch_arrow_stream {handle}       → {bytes, frames} + one frame per
-  *                IPC message (schema, then each record batch; EOS rides
-  *                with the last) — concatenation = the fetch_arrow stream,
-  *                the per-batch FlightData shape of DoGet (lib.rs:288-295)
+  *  - fetch_arrow_stream {handle, max_frames?, offset_frame?}
+  *                                      → {bytes, frames, total_frames,
+  *                next_frame} + one frame per IPC message (schema, then
+  *                each record batch; EOS rides with the last) —
+  *                concatenation = the fetch_arrow stream, the per-batch
+  *                FlightData shape of DoGet (lib.rs:288-295). max_frames
+  *                caps the frames per response; resume from next_frame
+  *                via offset_frame (-1 = drained) — Flight's
+  *                ticket-per-endpoint flow control (lib.rs:351-361)
   *  - get_catalogs {token}              → {rows, bytes} + Arrow IPC frame
   *  - get_db_schemas {token, catalog?, db_schema_pattern?}
   *                                      → {rows, bytes} + Arrow IPC frame
@@ -183,12 +188,34 @@ final class SocketServer(engine: Engine, requestedPort: Int = 31337,
           // the shape a Flight DoGet carries as successive FlightData
           // (lib.rs:288-295). Frames slice the CACHED encoding zero-copy;
           // concatenating them reassembles the exact fetch_arrow stream.
+          //
+          // Flow control (Flight's ticket-per-endpoint shape,
+          // lib.rs:351-361): optional `max_frames` caps the frames THIS
+          // response carries, `offset_frame` resumes at a frame index —
+          // each call is an independent ticket into the same cached
+          // encoding, so a slow client paces itself verb-by-verb
+          // instead of backpressuring a server writing everything
+          // eagerly into TCP. Header: `frames` (this response),
+          // `total_frames`, `next_frame` (resume index; -1 = drained).
+          // Concatenating every frame across calls in order rebuilds
+          // the exact fetch_arrow stream.
           val (bytes, offsets) = engine.fetchArrowFramed(text("handle"))
-          res.put("ok", true).put("bytes", bytes.length)
-            .put("frames", offsets.length)
+          val total = offsets.length
+          val start = math.min(math.max(
+            Option(req.get("offset_frame")).map(_.asInt()).getOrElse(0), 0),
+            total)
+          val maxF = Option(req.get("max_frames")).map(_.asInt())
+            .filter(_ > 0).getOrElse(total)
+          val end = math.min(start + maxF, total)
+          val lo = if (start == 0) 0 else offsets(start - 1)
+          val hi = if (end == 0) 0 else offsets(end - 1)
+          res.put("ok", true).put("bytes", hi - lo)
+            .put("frames", end - start).put("total_frames", total)
+            .put("next_frame", if (end < total) end else -1)
           writeFrame(out, res.toString.getBytes(UTF_8))
-          var prev = 0
-          offsets.foreach { off =>
+          var prev = lo
+          (start until end).foreach { i =>
+            val off = offsets(i)
             out.writeInt(off - prev)
             out.write(bytes, prev, off - prev)
             prev = off

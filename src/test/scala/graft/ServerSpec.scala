@@ -304,6 +304,51 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch_arrow_stream paces a slow client with max_frames + " +
+      "offset_frame continuation (VERDICT r10 #8)") {
+    withServer { (_, c) =>
+      val token = auth(c)
+      assert(c.call("cmd" -> "execute_update", "token" -> token,
+        "sql" -> "SET spark.sql.execution.arrow.maxRecordsPerBatch=100")
+        .get("ok").asBoolean)
+      val handle = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT id FROM range(250)").get("handle").asText
+      assert(c.call("cmd" -> "execute", "handle" -> handle)
+        .get("rows").asLong == 250L)
+
+      // ticket 1: frames [0, 3) of 4
+      val t1 = c.call("cmd" -> "fetch_arrow_stream", "handle" -> handle,
+        "max_frames" -> 3)
+      assert(t1.get("ok").asBoolean, t1.toString)
+      assert(t1.get("frames").asInt == 3)
+      assert(t1.get("total_frames").asInt == 4)
+      assert(t1.get("next_frame").asInt == 3)
+      val p1 = (1 to 3).map(_ => c.readFrame())
+      assert(p1.map(_.length).sum == t1.get("bytes").asInt)
+
+      // ticket 2: resume at next_frame, drain the rest
+      val t2 = c.call("cmd" -> "fetch_arrow_stream", "handle" -> handle,
+        "max_frames" -> 3, "offset_frame" -> 3)
+      assert(t2.get("frames").asInt == 1)
+      assert(t2.get("next_frame").asInt == -1, "stream must be drained")
+      val p2 = (1 to 1).map(_ => c.readFrame())
+
+      // the two tickets concatenate to the EXACT one-shot stream
+      val whole = (p1 ++ p2).reduce(_ ++ _)
+      assert(c.call("cmd" -> "fetch_arrow", "handle" -> handle)
+        .get("ok").asBoolean)
+      assert(java.util.Arrays.equals(c.readFrame(), whole))
+
+      // a resume past the end is an empty, drained response (no frames)
+      val t3 = c.call("cmd" -> "fetch_arrow_stream", "handle" -> handle,
+        "offset_frame" -> 99)
+      assert(t3.get("ok").asBoolean)
+      assert(t3.get("frames").asInt == 0 && t3.get("next_frame").asInt == -1)
+      assert(c.call("cmd" -> "close_statement", "handle" -> handle)
+        .get("ok").asBoolean)
+    }
+  }
+
   test("get_columns lists name/type/nullability for a table (VERDICT r8 #7)") {
     withServer { (_, c) =>
       val token = auth(c)
