@@ -580,6 +580,20 @@ object Curation {
           cjkThreshold = 2.0, // no script dispatch: pure learned vote
           margin = true)
         .orderBy("doc_id")
+    },
+
+    // Unicode canonicalization (operators/Normalize): NFC text, changed
+    // flag, U+FFFD mojibake count — the pre-dedup canonicalization pass.
+    // The synthetic corpus is ASCII (changed=false, n_repl=0 rows), so
+    // the probe pins the distributed mechanism + cross-engine hash of
+    // the full output; real composed/decomposed/ligature/width cases
+    // are pinned by NormalizeSpec against java.text.Normalizer.
+    Probe.df("q_text_nfc",
+      graft.operators.Normalize.oracleSql("documents", "doc_id", "text")) {
+      (s, dir) =>
+        graft.operators.Normalize.profile(
+            Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")
     }
   )
 }
