@@ -125,6 +125,45 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(sort_array(array_distinct(words(text))), " "))
 
+  /** Per-document character-distribution profile
+    * (n_chars, distinct_chars, char_entropy) as ONE kernel pass
+    * ([[graft.functions.CharEntropy]]): Shannon char entropy is the
+    * standard gibberish/template signal (natural language ~3.5-4.5
+    * bits/char; base64 and key-mash far above, boilerplate repetition
+    * far below). Counts are exact integers; see the kernel's scaladoc
+    * for the entropy-value cross-engine contract. */
+  def charProfile(text: Column): Column =
+    org.apache.spark.sql.graftaccess.Internals.column(
+      graft.functions.CharEntropy(
+        org.apache.spark.sql.graftaccess.Internals.expression(text)))
+
+  /** [[charProfile]] over a corpus — shuffle-free projection. */
+  def entropyProfile(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val k = charProfile(col(textCol))
+    df.select(col(idCol), k.getField("n_chars").as("n_chars"),
+      k.getField("distinct_chars").as("distinct_chars"),
+      k.getField("char_entropy").as("char_entropy"))
+  }
+
+  /** DuckDB replay of [[entropyProfile]]: per-codepoint unnest +
+    * COUNT/COUNT DISTINCT/entropy() aggregate (log2-based, like the
+    * kernel), empty docs re-attached with zeros. */
+  def entropyOracleSql(table: String, idCol: String, textCol: String)
+      : String =
+    s"""WITH c AS (SELECT $idCol, unnest(list_filter(
+       |    string_split_regex($textCol, ''), x -> x <> '')) AS ch
+       |  FROM $table),
+       |a AS (SELECT $idCol, CAST(count(*) AS BIGINT) AS n_chars,
+       |    CAST(count(DISTINCT ch) AS BIGINT) AS distinct_chars,
+       |    entropy(ch) AS char_entropy
+       |  FROM c GROUP BY $idCol)
+       |SELECT d.$idCol, COALESCE(a.n_chars, 0) AS n_chars,
+       |  COALESCE(a.distinct_chars, 0) AS distinct_chars,
+       |  COALESCE(a.char_entropy, 0.0) AS char_entropy
+       |FROM $table d LEFT JOIN a USING ($idCol)
+       |ORDER BY d.$idCol""".stripMargin
+
   /** One-stop stats projection used by the probe suite.
     *
     * Tokenization + every array traversal happens ONCE per document inside

@@ -594,6 +594,19 @@ object Curation {
         graft.operators.Normalize.profile(
             Tables.load(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id")
+    },
+
+    // Character-entropy quality signal (functions/CharEntropy kernel):
+    // exact codepoint counts + Shannon entropy, the gibberish/template
+    // detector. The entropy double rides the driver hash's 1e-9 float
+    // tolerance (summation-order ulp drift only — log2 values are
+    // REPORTED, never rank or select rows cross-engine).
+    Probe.df("q_text_entropy",
+      graft.operators.TextAnalysis
+        .entropyOracleSql("documents", "doc_id", "text")) { (s, dir) =>
+      graft.operators.TextAnalysis.entropyProfile(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }
