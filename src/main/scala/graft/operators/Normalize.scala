@@ -46,4 +46,48 @@ object Normalize {
        |  CAST(length($textCol) - length(replace($textCol, chr(65533), ''))
        |    AS BIGINT) AS n_repl
        |FROM $table ORDER BY $idCol""".stripMargin
+
+  /** HTML → text extraction (the WET-style pass a web corpus runs
+    * before every text operator), as a fixed regex/replace chain both
+    * engines replay identically. Order matters and is part of the
+    * contract: script and style blocks go FIRST (their raw-text bodies
+    * may contain bare `<` that the generic tag regex would over-eat),
+    * then comments, then tags, then entities — named entities before
+    * `&amp;` so `&amp;lt;` decodes to the literal `&lt;` (one decode
+    * pass, like the spec). Java regexes stay lookahead-free with
+    * inline (?is) flags so DuckDB RE2 runs the SAME patterns (options
+    * string 'gis' — DuckDB's `.` does NOT match newlines by default;
+    * the 's' option is load-bearing for multi-line blocks). */
+  private val HtmlBlockPatterns = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]*>")
+
+  /** Decode order is significant: `&amp;` LAST. */
+  private val HtmlEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def stripHtml(text: Column): Column = {
+    val noMarkup = HtmlBlockPatterns.foldLeft(text)(
+      (c, p) => regexp_replace(c, p, ""))
+    HtmlEntities.foldLeft(noMarkup) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+  }
+
+  /** [[stripHtml]] as DuckDB SQL over the expression `inner` — the
+    * same patterns with (?is)/(?s) carried in the options string. */
+  def stripHtmlSql(inner: String): String = {
+    val noMarkup = HtmlBlockPatterns.foldLeft(inner) { (acc, p) =>
+      val opts = if (p.startsWith("(?is)")) "gis"
+        else if (p.startsWith("(?s)")) "gs" else "g"
+      val bare = p.replace("(?is)", "").replace("(?s)", "")
+      s"regexp_replace($acc, '${bare.replace("'", "''")}', '', '$opts')"
+    }
+    HtmlEntities.foldLeft(noMarkup) { case (acc, (e, r)) =>
+      s"replace($acc, '${e.replace("'", "''")}', '${r.replace("'", "''")}')"
+    }
+  }
 }

@@ -607,6 +607,32 @@ object Curation {
       graft.operators.TextAnalysis.entropyProfile(
           Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // HTML → text extraction (operators/Normalize.stripHtml): the
+    // corpus is plain text, so each doc is WRAPPED in a deterministic
+    // HTML page first (multi-line script with a bare `<` in its body,
+    // style, multi-line comment, attributes, self-closing tag, the six
+    // entities incl. the double-escaped `&amp;lt;`) — then both
+    // engines strip it with the identical pattern chain; the planted
+    // page exercises every removal rule and the decode order.
+    {
+      val p1 = "<html><head><style type=\"text/css\">p {color: red}\n" +
+        "</style><script>\nvar x = 1; if (x < 2) { x++; }\n" +
+        "</script></head><body><!-- draft\nnote --><p class=\"main\">"
+      val p2 = "</p><br/><div id=\"d1\">A &amp; B &amp;lt; " +
+        "&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"
+      def sqlLit(s: String): String =
+        "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+      Probe.df("q_html_strip",
+        s"""SELECT doc_id, ${graft.operators.Normalize.stripHtmlSql(
+            s"(${sqlLit(p1)} || text || ${sqlLit(p2)})")} AS clean
+           |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), graft.operators.Normalize.stripHtml(
+            concat(lit(p1), col("text"), lit(p2))).as("clean"))
+          .orderBy("doc_id")
+      }
     }
   )
 }

@@ -53,6 +53,23 @@ class NormalizeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Normalize.unicode(col("t"), "NFX") }
   }
 
+  test("stripHtml removes blocks/comments/tags in order and decodes " +
+      "entities once, ampersand last") {
+    def strip(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(Normalize.stripHtml(col("t"))).collect().head.getString(0)
+    // script body with a bare `<` — must go before the generic tag rule
+    assert(strip("a<script>\nif (x < 2) { y(); }\n</script>b") == "ab")
+    assert(strip("a<STYLE media=\"x\">p {c: d}\n</style>b") == "ab")
+    assert(strip("a<!-- multi\nline -->b") == "ab")
+    assert(strip("<p class=\"m\">hi</p><br/>") == "hi")
+    // one decode pass: &amp;lt; is the LITERAL string "&lt;", not "<"
+    assert(strip("A &amp; B &amp;lt; &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;.")
+      == "A & B &lt; <i> \"q\" 's' .")
+    // plain text unchanged
+    assert(strip("no markup here 1 < 2") == "no markup here 1 < 2")
+  }
+
   test("profile emits nfc_text/changed/n_repl; U+FFFD counted on the raw text") {
     val docs = Seq(
       (1L, "plain ascii"),
