@@ -49,6 +49,46 @@ object Pipeline {
         .orderBy("keep_id")
     },
 
+    // LINE-level boilerplate removal (Dedup.lineDedup — the CCNet
+    // paragraph-dedup tier): the single-line synthetic docs get two
+    // PLANTED corpus-wide boilerplate lines (dropped from every doc)
+    // plus one per-doc unique line (kept); original text lines dedup
+    // by their own corpus frequency. clean_text itself hash-compares.
+    Probe.df("q_dedup_lines",
+      """WITH t AS (SELECT doc_id, text || chr(10) ||
+        |    'Subscribe to our newsletter today' || chr(10) ||
+        |    'Copyright 2024 Example Corp' || chr(10) ||
+        |    'Unique line for doc ' || CAST(doc_id AS VARCHAR) AS txt
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(txt, chr(10)) AS la FROM t),
+        |l0 AS (SELECT doc_id, unnest(
+        |    [{'pos': i, 'line': la[i]} for i in range(1, len(la) + 1)]) AS u
+        |  FROM ls),
+        |l AS (SELECT doc_id, u.pos AS pos, u.line AS line,
+        |    md5(u.line) AS fp FROM l0),
+        |b AS (SELECT fp FROM (
+        |    SELECT fp, count(DISTINCT doc_id) AS nd FROM l GROUP BY fp)
+        |  WHERE nd >= 2),
+        |k AS (SELECT l.* FROM l ANTI JOIN b USING (fp)),
+        |r AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept FROM k GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(la) AS BIGINT) AS n_lines FROM ls)
+        |SELECT n.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  n.n_lines, n.n_lines - COALESCE(r.n_kept, 0) AS n_dropped
+        |FROM n LEFT JOIN r USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      val wrapped = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit("\nSubscribe to our newsletter today\n" +
+            "Copyright 2024 Example Corp\nUnique line for doc "),
+          col("doc_id").cast("string")).as("text"))
+      Dedup.lineDedup(wrapped, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_lines"), col("n_dropped"))
+        .orderBy("doc_id")
+    },
+
     Probe.df("q_dedup_ngram",
       duckShingleCte("documents") +
         """

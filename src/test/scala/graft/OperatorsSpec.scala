@@ -44,6 +44,32 @@ class OperatorsSpec extends AnyFunSuite {
       "a chunk repeated only within one document is not duplication")
   }
 
+  test("lineDedup drops corpus-frequent lines, keeps order, counts " +
+      "within-doc repeats as ONE corpus occurrence") {
+    val d = Seq(
+      (1L, "alpha one\nshared footer\nbody text 1"),
+      (2L, "alpha two\nshared footer\nbody text 2"),
+      (3L, "alpha three\nrepeat me\nrepeat me\nbody text 3"),
+      (4L, "shared footer")               // doc that is ALL boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "shared footer" is in 3 distinct docs → dropped everywhere;
+    // "repeat me" twice in ONE doc is a single distinct-doc count → kept
+    assert(out(1L) == (("alpha one\nbody text 1", 3L, 1L)))
+    assert(out(2L) == (("alpha two\nbody text 2", 3L, 1L)))
+    assert(out(3L) == (("alpha three\nrepeat me\nrepeat me\nbody text 3", 4L, 0L)))
+    assert(out(4L) == (("", 1L, 1L)), "all-boilerplate doc → empty clean_text")
+    // trailing empty lines are lines (split limit -1): two docs ending
+    // in \n share the trailing "" → both lose it
+    val e = Seq((1L, "x\n"), (2L, "y\n")).toDF("doc_id", "text")
+    val eo = Dedup.lineDedup(e, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(eo(1L) == (("x", 2L, 1L)) && eo(2L) == (("y", 2L, 1L)))
+  }
+
   test("Bm25.score matches a naive reference; more hits rank higher") {
     val texts = Seq(
       (1L, "spark engine spark cluster spark"),
