@@ -243,6 +243,37 @@ object DFCompat {
       case Seq(a, b, s) => new Sequence(a, b, s)
     }
 
+    // --- curation kernels on the SQL surface (a service client gets the
+    // pipeline extension layer without the Scala API) ---
+    // unicode_normalize(text[, 'NFC'|'NFD'|'NFKC'|'NFKD'])
+    reg("unicode_normalize") {
+      case Seq(e) => graft.functions.UnicodeNormalize(e, "NFC")
+      case Seq(e, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        graft.functions.UnicodeNormalize(e,
+          f.toString.toUpperCase(java.util.Locale.ROOT))
+      case _ => throw new IllegalArgumentException(
+        "unicode_normalize expects (text[, literal form])")
+    }
+    // char_entropy(text) — the Shannon bits/char quality signal (the
+    // full (n, distinct, entropy) struct stays on the Scala surface)
+    reg("char_entropy") { case Seq(e) =>
+      GetStructField(graft.functions.CharEntropy(e), 2, Some("char_entropy"))
+    }
+    // char_grams(text[, n]) — normalized character n-grams (LangId's
+    // feature extractor)
+    reg("char_grams") {
+      case Seq(e) => graft.functions.CharGrams(e, 3)
+      case Seq(e, Literal(n, IntegerType)) =>
+        graft.functions.CharGrams(e, n.asInstanceOf[Int])
+      case _ => throw new IllegalArgumentException(
+        "char_grams expects (text[, literal n])")
+    }
+    // strip_html(text) — the WET-style extraction chain as one call
+    // (same pattern order as operators/Normalize.stripHtml)
+    reg("strip_html") { case Seq(e) =>
+      graft.operators.Normalize.stripHtmlExpr(e)
+    }
+
     // --- array mutation shims, built as raw lambda HOF trees (the
     // Column/functions API can't be used inside registry builders: its
     // ColumnNodeExpression wrappers never resolve there)

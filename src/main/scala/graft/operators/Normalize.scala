@@ -69,11 +69,19 @@ object Normalize {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
-  def stripHtml(text: Column): Column = {
-    val noMarkup = HtmlBlockPatterns.foldLeft(text)(
-      (c, p) => regexp_replace(c, p, ""))
-    HtmlEntities.foldLeft(noMarkup) { case (c, (e, r)) =>
-      replace(c, lit(e), lit(r))
+  def stripHtml(text: Column): Column =
+    org.apache.spark.sql.graftaccess.Internals.column(stripHtmlExpr(
+      org.apache.spark.sql.graftaccess.Internals.expression(text)))
+
+  /** [[stripHtml]] as a raw Catalyst expression tree — shared with the
+    * SQL-surface registration (DFCompat `strip_html`). */
+  def stripHtmlExpr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace, StringReplace}
+    val noMarkup = HtmlBlockPatterns.foldLeft(e)(
+      (acc, p) => RegExpReplace(acc, Literal(p), Literal("")))
+    HtmlEntities.foldLeft(noMarkup) { case (acc, (ent, r)) =>
+      StringReplace(acc, Literal(ent), Literal(r))
     }
   }
 

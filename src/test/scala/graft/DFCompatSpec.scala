@@ -157,4 +157,20 @@ class DFCompatSpec extends AnyFunSuite {
   test("to_unixtime returns fractional epoch seconds") {
     assert(one("SELECT to_unixtime(TIMESTAMP '1970-01-01 00:01:00')") == 60.0)
   }
+
+  test("curation kernels are reachable from SQL (service surface)") {
+    // unicode_normalize: decomposed e+combining-acute composes under NFC
+    assert(one("SELECT unicode_normalize('e\u0301cole')") == "\u00e9cole")
+    assert(one("SELECT unicode_normalize('\ufb01le', 'NFKC')") == "file")
+    assert(one("SELECT unicode_normalize('\ufb01le', 'nfkc')") == "file")
+    // char_entropy: 'aab' → log2(3) − 2/3
+    assert(math.abs(one("SELECT char_entropy('aab')")
+      .asInstanceOf[Double] - 0.9182958340544896) < 1e-12)
+    // char_grams: padded trigrams of 'ab' → [' ab', 'b ']... first gram
+    assert(one("SELECT element_at(char_grams('ab'), 1)") == " ab")
+    assert(one("SELECT size(char_grams('ab', 2))") == 3)
+    // strip_html: same chain as the operator
+    assert(one("SELECT strip_html('<p>hi</p><!-- c --> &amp; bye')") ==
+      "hi & bye")
+  }
 }
