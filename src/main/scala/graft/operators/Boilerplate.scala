@@ -22,20 +22,55 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
-  def dedupLines(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int): DataFrame = {
+  /** Exploded (idCol, pos, line, fp) lines plus the surviving subset
+    * after the corpus-frequency anti join — the shared core of
+    * [[dedupLines]] and [[dedupLinesProfile]]. Frequency counting and
+    * the membership join key on md5(line): 16-byte shuffle rows
+    * instead of line text (2^-128 collision accepted, same note as the
+    * contamination probe's hash join). */
+  private def keptLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): (DataFrame, DataFrame) = {
     require(minDocs >= 2, "minDocs < 2 would drop every line")
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val freq = lines.groupBy("line")
-      .agg(countDistinct(col(idCol)).as("line_docs"))
-    lines.join(freq, "line")
-      .where(col("line_docs") < minDocs)
-      .groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line")),
-        "\n").as("clean_text"))
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("fp", md5(col("line")))
+    val boiler = lines.groupBy("fp")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .where(col("nd") >= minDocs).select("fp")
+    (lines, lines.join(boiler, Seq("fp"), "left_anti"))
+  }
+
+  private def rebuild(kept: DataFrame, idCol: String): DataFrame =
+    kept.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("line"))))
+        .as("__a"))
+      .select(col(idCol),
+        array_join(expr("transform(__a, x -> x.line)"), "\n")
+          .as("clean_text"),
+        size(col("__a")).cast("long").as("__n_kept"))
+
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    val (_, kept) = keptLines(df, idCol, textCol, minDocs)
+    rebuild(kept, idCol).select(col(idCol), col("clean_text"))
+  }
+
+  /** [[dedupLines]] plus the curation bookkeeping a pipeline reports:
+    * every input document is RETAINED (an all-boilerplate doc comes
+    * back with empty clean_text rather than disappearing — the caller
+    * decides the drop policy) with exact (n_lines, n_dropped) counts.
+    * Same line semantics as [[dedupLines]]: `\n` split with trailing
+    * empties kept, empty lines dedup like any other. */
+  def dedupLinesProfile(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    val (_, kept) = keptLines(df, idCol, textCol, minDocs)
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuild(kept, idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
   }
 
   /** DuckDB oracle replaying [[dedupLines]] over relation `rel(id,

@@ -276,52 +276,6 @@ object Dedup {
           col("n_chunks").cast("double")).as("dup_ratio"))
   }
 
-  /** LINE-level boilerplate removal — the CCNet-style paragraph dedup
-    * (Wenzek et al. 2020 run it before perplexity filtering): a line
-    * occurring in >= `minDocs` DISTINCT documents is corpus boilerplate
-    * (navigation, cookie banners, footers) and is removed from every
-    * document; docs are REBUILT with surviving lines in original order.
-    * Granularity sits between [[exactDedup]] (whole doc) and
-    * [[chunkDupStats]]/span dedup (word windows): lines are the unit
-    * web boilerplate actually repeats at.
-    *
-    * Output: (id, clean_text, n_lines, n_dropped). Lines are `\n`
-    * splits with trailing empties KEPT (Spark split limit -1 == DuckDB
-    * string_split — the contract the oracle replays); empty lines
-    * count as lines and dedup like any other (>= minDocs docs with a
-    * blank line drops ALL blank lines — a formatting tax the caller
-    * accepts, documented CCNet behavior).
-    *
-    * Plan at 100 TB: the line count aggregates and the anti join key on
-    * md5(line) — 16-byte shuffle keys, never the line text (2^-128
-    * collision accepted like the contamination probe's xxhash64 note);
-    * countDistinct is Spark's two-phase partial distinct; the rebuild
-    * is one doc-keyed aggregate of (pos, line) structs. No driver
-    * state, no UDFs. */
-  def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 2): DataFrame = {
-    val lines = df
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
-      .select(col("id"), col("pos"), col("line"), md5(col("line")).as("fp"))
-    val boiler = lines.groupBy("fp")
-      .agg(count_distinct(col("id")).as("nd"))
-      .where(col("nd") >= minDocs).select("fp")
-    val kept = lines.join(boiler, Seq("fp"), "left_anti")
-    val rebuilt = kept.groupBy("id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("line"))))
-        .as("a"))
-      .select(col("id"),
-        array_join(expr("transform(a, x -> x.line)"), "\n").as("clean_text"),
-        size(col("a")).cast("long").as("n_kept"))
-    df.select(col(idCol).as("id"),
-        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_lines"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
-  }
-
   /** Maximal duplicated-SPAN detection + removal — the full ExactSubstr
     * semantics of "Deduplicating Training Data Makes Language Models
     * Better" (Lee et al. 2022) at word granularity, Spark-shaped. Where

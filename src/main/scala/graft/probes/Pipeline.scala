@@ -49,11 +49,14 @@ object Pipeline {
         .orderBy("keep_id")
     },
 
-    // LINE-level boilerplate removal (Dedup.lineDedup — the CCNet
-    // paragraph-dedup tier): the single-line synthetic docs get two
-    // PLANTED corpus-wide boilerplate lines (dropped from every doc)
-    // plus one per-doc unique line (kept); original text lines dedup
-    // by their own corpus frequency. clean_text itself hash-compares.
+    // LINE-level dedup with curation bookkeeping
+    // (Boilerplate.dedupLinesProfile — the stats tier of the C4
+    // dedupLines operator: every doc retained, exact n_lines/n_dropped;
+    // q_pipeline_curation covers the drop-emptied-docs base tier): the
+    // single-line synthetic docs get two PLANTED corpus-wide
+    // boilerplate lines (dropped from every doc) plus one per-doc
+    // unique line (kept); original text lines dedup by their own
+    // corpus frequency. clean_text itself hash-compares.
     Probe.df("q_dedup_lines",
       """WITH t AS (SELECT doc_id, text || chr(10) ||
         |    'Subscribe to our newsletter today' || chr(10) ||
@@ -83,8 +86,8 @@ object Pipeline {
           lit("\nSubscribe to our newsletter today\n" +
             "Copyright 2024 Example Corp\nUnique line for doc "),
           col("doc_id").cast("string")).as("text"))
-      Dedup.lineDedup(wrapped, "doc_id", "text")
-        .select(col("id").as("doc_id"), col("clean_text"),
+      graft.operators.Boilerplate.dedupLinesProfile(wrapped, "doc_id", "text")
+        .select(col("doc_id"), col("clean_text"),
           col("n_lines"), col("n_dropped"))
         .orderBy("doc_id")
     },

@@ -44,15 +44,16 @@ class OperatorsSpec extends AnyFunSuite {
       "a chunk repeated only within one document is not duplication")
   }
 
-  test("lineDedup drops corpus-frequent lines, keeps order, counts " +
-      "within-doc repeats as ONE corpus occurrence") {
+  test("dedupLinesProfile drops corpus-frequent lines, keeps order and " +
+      "all docs, counts within-doc repeats as ONE corpus occurrence") {
+    import graft.operators.Boilerplate
     val d = Seq(
       (1L, "alpha one\nshared footer\nbody text 1"),
       (2L, "alpha two\nshared footer\nbody text 2"),
       (3L, "alpha three\nrepeat me\nrepeat me\nbody text 3"),
       (4L, "shared footer")               // doc that is ALL boilerplate
     ).toDF("doc_id", "text")
-    val out = Dedup.lineDedup(d, "doc_id", "text", minDocs = 2)
+    val out = Boilerplate.dedupLinesProfile(d, "doc_id", "text", minDocs = 2)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     // "shared footer" is in 3 distinct docs → dropped everywhere;
@@ -61,10 +62,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) == (("alpha two\nbody text 2", 3L, 1L)))
     assert(out(3L) == (("alpha three\nrepeat me\nrepeat me\nbody text 3", 4L, 0L)))
     assert(out(4L) == (("", 1L, 1L)), "all-boilerplate doc → empty clean_text")
+    // the base tier keeps its C4 contract: the emptied doc DISAPPEARS
+    val base = Boilerplate.dedupLines(d, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!base.contains(4L))
+    assert(base(1L) == "alpha one\nbody text 1")
     // trailing empty lines are lines (split limit -1): two docs ending
     // in \n share the trailing "" → both lose it
     val e = Seq((1L, "x\n"), (2L, "y\n")).toDF("doc_id", "text")
-    val eo = Dedup.lineDedup(e, "doc_id", "text", minDocs = 2)
+    val eo = Boilerplate.dedupLinesProfile(e, "doc_id", "text", minDocs = 2)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(eo(1L) == (("x", 2L, 1L)) && eo(2L) == (("y", 2L, 1L)))
