@@ -146,6 +146,62 @@ object TextAnalysis {
       k.getField("char_entropy").as("char_entropy"))
   }
 
+  /** Flesch–Kincaid grade level with the standard regex-only syllable
+    * heuristic — the readability gate documented in C4/Gopher-style
+    * quality stacks. All three counts are exact integers both engines
+    * compute from the SAME patterns:
+    *   - words: the [[words]] tokenizer;
+    *   - sentences: runs of `[.!?]+`, floored at 1;
+    *   - syllables: per word, vowel-group runs `[aeiouy]+` floored at
+    *     1 (counted as total runs in the lowercased text — vowel runs
+    *     cannot cross the non-vowel word separators — plus one per
+    *     vowel-less word). No silent-e adjustment: the heuristic is
+    *     part of the cross-engine contract, chosen for exact replay.
+    * grade = 0.39·words/sentences + 11.8·syllables/words − 15.59,
+    * identical literal/operation order on both engines (single IEEE
+    * divisions and a fixed-order fma-free chain); 0.0 for wordless
+    * docs. Shuffle-free projection. */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws).cast("long")
+    val nSent = greatest(lit(1L),
+      size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")).cast("long"))
+    val runs = size(expr(
+      s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)")).cast("long")
+    val voweless = size(filter(ws, w => !w.rlike("[aeiouy]"))).cast("long")
+    val nSyll = runs + voweless
+    df.select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .withColumn("fk_grade",
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(lit(0.39) *
+              (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) *
+              (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+            lit(15.59)))
+  }
+
+  /** DuckDB replay of [[readability]] — same patterns, same floor
+    * rules, same literal order. */
+  def readabilityOracleSql(table: String, idCol: String, textCol: String)
+      : String =
+    s"""WITH w AS (SELECT $idCol,
+       |  list_filter(string_split_regex(lower($textCol), '\\s+'), x -> x <> '') AS ws,
+       |  CAST(greatest(1, len(regexp_extract_all($textCol, '[.!?]+'))) AS BIGINT) AS n_sentences,
+       |  CAST(len(regexp_extract_all(lower($textCol), '[aeiouy]+')) AS BIGINT) AS runs
+       |  FROM $table),
+       |c AS (SELECT $idCol, CAST(len(ws) AS BIGINT) AS n_words, n_sentences,
+       |  runs + CAST(len(list_filter(ws,
+       |    x -> NOT regexp_matches(x, '[aeiouy]'))) AS BIGINT) AS n_syllables
+       |  FROM w)
+       |SELECT $idCol, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(0.39 AS DOUBLE) * (n_words::DOUBLE / n_sentences::DOUBLE)
+       |          + CAST(11.8 AS DOUBLE) * (n_syllables::DOUBLE / n_words::DOUBLE)
+       |          - CAST(15.59 AS DOUBLE) END AS fk_grade
+       |FROM c ORDER BY $idCol""".stripMargin
+
   /** DuckDB replay of [[entropyProfile]]: per-codepoint unnest +
     * COUNT/COUNT DISTINCT/entropy() aggregate (log2-based, like the
     * kernel), empty docs re-attached with zeros. */

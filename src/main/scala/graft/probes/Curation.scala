@@ -609,6 +609,19 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Flesch–Kincaid readability (TextAnalysis.readability): exact
+    // word/sentence/syllable-heuristic counts, grade as a fixed-order
+    // IEEE chain — the classic quality-stack gate. The heuristic
+    // (vowel-group runs, floor 1, no silent-e rule) IS the contract;
+    // both engines run the same regexes.
+    Probe.df("q_text_readability",
+      graft.operators.TextAnalysis
+        .readabilityOracleSql("documents", "doc_id", "text")) { (s, dir) =>
+      graft.operators.TextAnalysis.readability(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // HTML → text extraction (operators/Normalize.stripHtml): the
     // corpus is plain text, so each doc is WRAPPED in a deterministic
     // HTML page first (multi-line script with a bare `<` in its body,

@@ -155,4 +155,29 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(got == cases.map(_._2), s"got $got")
   }
+
+  test("readability counts words/sentences/syllable-heuristic and the " +
+      "Flesch-Kincaid chain; floors guard degenerate docs") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // 9 words, 2 sentences ('.' and '!'), syllables: the(1) cat(1)
+      // sat(1) on(1) the(1) mat(1) it(1) was(1) happy(2 runs: a, y) = 10
+      (1L, "The cat sat on the mat. It was happy!"),
+      // no sentence punctuation → floor 1; "xyz" has the vowel-run "y",
+      // "qrst" is vowel-less (floored to 1 syllable)
+      (2L, "xyz qrst"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (w1, s1, y1, g1) = out(1L)
+    assert((w1, s1, y1) == ((9L, 2L, 10L)))
+    val expected1 = 0.39 * (9.0 / 2.0) + 11.8 * (10.0 / 9.0) - 15.59
+    assert(math.abs(g1 - expected1) < 1e-12)
+    val (w2, s2, y2, _) = out(2L)
+    assert((w2, s2, y2) == ((2L, 1L, 2L)),
+      "no punctuation floors sentences at 1; vowel-less words get 1 syllable")
+    assert(out(3L) == ((0L, 1L, 0L, 0.0)), "empty doc → zero grade")
+  }
 }
