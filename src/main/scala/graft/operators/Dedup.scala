@@ -162,20 +162,29 @@ object Dedup {
     * for candidates. */
   private[operators] def attachPairPayloads(cand: DataFrame,
       payload: DataFrame, small: Boolean): DataFrame = {
+    // CONTRACT: `cand` is a bare (ida, idb) pair table — enforced, not
+    // just documented, because the two paths could not honor extra
+    // columns equivalently: the small path's stitch is built from a
+    // persisted bare-pair projection (re-joining the original `cand`
+    // for extras would re-execute the whole un-persisted candidate
+    // pipeline, square any duplicate pairs, and hand AQE a
+    // payload-carrying side to runtime-broadcast — the ADVICE r9
+    // failure mode, invisible to the static-broadcast PlanSpec pin).
+    // A caller needing per-pair columns should join them onto the
+    // RESULT by (ida, idb) instead. (Review r11 finding: the previous
+    // silent drop/carry asymmetry is now a loud error.)
+    require(cand.columns.toSet == Set("ida", "idb"),
+      s"attachPairPayloads expects bare (ida, idb) pairs, got " +
+        cand.columns.mkString("(", ", ", ")"))
     val pcols = payload.columns.filter(_ != "id")
     def side(suffix: String, idAs: String): DataFrame =
       payload.select(col("id").as(idAs) +:
         pcols.map(c => col(c).as(c + suffix)): _*)
     if (small) {
-      val bare = OperatorCache.persist(cand.select(col("ida"), col("idb")))
-      val stitched = broadcast(bare).join(side("a", "ida"), "ida")
+      val bare = OperatorCache.persist(cand)
+      broadcast(bare).join(side("a", "ida"), "ida")
         .join(broadcast(bare).join(side("b", "idb"), "idb"),
           Seq("ida", "idb"))
-      // the stitch was built from the BARE pair table; any extra
-      // columns of `cand` ride back in pair-keyed, so both paths
-      // return the same shape (free today — no caller threads extras)
-      val extras = cand.columns.filterNot(c => c == "ida" || c == "idb")
-      if (extras.isEmpty) stitched else stitched.join(cand, Seq("ida", "idb"))
     } else {
       cand.join(side("a", "ida"), "ida").join(side("b", "idb"), "idb")
     }

@@ -139,17 +139,21 @@ object LangId {
     * 'ru', Arabic → 'ar', Devanagari → 'hi'. Each fires when the
     * script's codepoint count clears `cjkThreshold` × doc length (kana
     * at HALF that — kana is rarely the majority of Japanese text but
-    * is near-absent in every other language); `cjkThreshold > 1`
-    * disables all dispatch. Latin-script text falls through to the
+    * is near-absent in every other language). Any `cjkThreshold > 1`
+    * disables dispatch entirely — including the kana half-rule — and
+    * skips the per-script counting passes altogether (the disabled
+    * path costs zero). Latin-script text falls through to the
     * trigram vote; `'und'` when no profile gram occurs at all.
     *
     * `score` is the exact integer point sum of the vote (0 when no
     * gram hit). With `margin = true` the output adds the top1−top2
     * vote-score gap — what a curation pipeline actually thresholds on
     * (a confident 'en' beats 'es' by a wide margin; near-ties are the
-    * docs to re-check). Margin is 0 when fewer than two languages
-    * scored; script-dispatched rows keep their vote margin (the vote
-    * still ran — dispatch only overrides the label). */
+    * docs to re-check). When exactly ONE language scored the margin
+    * equals the score (an uncontested vote is maximally confident);
+    * it is 0 only when NO language scored. Script-dispatched rows
+    * keep their vote margin (the vote still ran — dispatch only
+    * overrides the label). */
   def classify(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame, n: Int = 3, cjkThreshold: Double = 0.3,
       margin: Boolean = false): DataFrame = {
@@ -174,14 +178,21 @@ object LangId {
     val raw = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .filter(col("id").isNotNull)
       .repartition(nP, col("id"))
+    // dispatch is ON iff the threshold is attainable (a ratio is <= 1);
+    // a disabled run (q_langid_train's 2.0) must not pay the six
+    // per-script regex passes NOR let the half-threshold kana rule
+    // fire at 1 < cjkThreshold < 2 (the review-caught contract bug)
+    val dispatchOn = cjkThreshold <= 1.0
     // one projection computes every script count (each a codegen'd
     // regexp_replace length-diff over the text; all ranges are BMP so
     // UTF-16 `length` counts codepoints identically here and in DuckDB)
-    val base = raw.select(col("id") +: length(col("__text")).as("__n") +:
-      ScriptRanges.map { case (name, lo, hi) =>
-        (length(col("__text")) - length(regexp_replace(col("__text"),
-          s"[$lo-$hi]", ""))).as(s"__${name}_n")
-      }: _*)
+    val base =
+      if (!dispatchOn) raw.select(col("id"))
+      else raw.select(col("id") +: length(col("__text")).as("__n") +:
+        ScriptRanges.map { case (name, lo, hi) =>
+          (length(col("__text")) - length(regexp_replace(col("__text"),
+            s"[$lo-$hi]", ""))).as(s"__${name}_n")
+        }: _*)
     // explode_OUTER, deliberately: plain explode lets Catalyst infer a
     // size(grams)>0 filter and push it BELOW the repartition exchange,
     // making this branch's exchange subtree differ from `base`'s — the
@@ -217,15 +228,18 @@ object LangId {
               when(size(col("__a")) > 1,
                 -col("__a").getItem(1).getField("ns")).otherwise(lit(0L)))
               .as("margin"))
+    val voted = coalesce(col("lang"), lit("und"))
     val t = col("__n") // doc length; thresholds are script_count > f(thr)·n
-    val dispatched = ScriptRanges.foldLeft(
-      when(col(s"__kana_n") > lit(cjkThreshold / 2) * t, lit("ja"))) {
-      case (w, ("kana", _, _)) => w // seeded above (half threshold)
-      case (w, (name, _, _)) =>
-        val lang = Map("hang" -> "ko", "han" -> "zh", "cyr" -> "ru",
-          "arab" -> "ar", "deva" -> "hi")(name)
-        w.when(col(s"__${name}_n") > lit(cjkThreshold) * t, lit(lang))
-    }.otherwise(coalesce(col("lang"), lit("und")))
+    val dispatched =
+      if (!dispatchOn) voted
+      else ScriptRanges.foldLeft(
+        when(col(s"__kana_n") > lit(cjkThreshold / 2) * t, lit("ja"))) {
+        case (w, ("kana", _, _)) => w // seeded above (half threshold)
+        case (w, (name, _, _)) =>
+          val lang = Map("hang" -> "ko", "han" -> "zh", "cyr" -> "ru",
+            "arab" -> "ar", "deva" -> "hi")(name)
+          w.when(col(s"__${name}_n") > lit(cjkThreshold) * t, lit(lang))
+      }.otherwise(voted)
     val out = base.join(best, Seq("id"), "left_outer")
     val cols = Seq(col("id").as(idCol), dispatched.as("lang"),
       coalesce(col("score"), lit(0L)).as("score")) ++
@@ -250,14 +264,26 @@ object LangId {
         s"('${g.replace("'", "''")}', '$lang', ${gs.length - i})"
       }
     }.mkString(", ")
-    val counts = ScriptRanges.map { case (name, lo, hi) =>
-      val rng = f"[\\x{${lo.toInt}%x}-\\x{${hi.toInt}%x}]"
-      s"  length($textCol) - length(regexp_replace($textCol, '$rng', '', 'g')) AS ${name}_n,"
-    }.mkString("\n")
+    val dispatchOn = cjkThreshold <= 1.0 // same switch as classify
+    val counts =
+      if (!dispatchOn) ""
+      else ScriptRanges.map { case (name, lo, hi) =>
+        val rng = f"[\\x{${lo.toInt}%x}-\\x{${hi.toInt}%x}]"
+        s"  length($textCol) - length(regexp_replace($textCol, '$rng', '', 'g')) AS ${name}_n,"
+      }.mkString("", "\n", "\n")
+    val langCase =
+      if (!dispatchOn) "COALESCE(b.lang, 'und')"
+      else
+        s"""CASE WHEN d.kana_n > CAST(${cjkThreshold / 2} AS DOUBLE) * d.n THEN 'ja'
+           |       WHEN d.hang_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'ko'
+           |       WHEN d.han_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'zh'
+           |       WHEN d.cyr_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'ru'
+           |       WHEN d.arab_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'ar'
+           |       WHEN d.deva_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'hi'
+           |       ELSE COALESCE(b.lang, 'und') END""".stripMargin
     s"""WITH model(gram, lang, pts) AS (VALUES $values),
        |d AS (SELECT $idCol, ' ' || regexp_replace(lower($textCol), '\\s+', ' ', 'g') || ' ' AS t,
-       |$counts
-       |  length($textCol) AS n
+       |$counts  length($textCol) AS n
        |  FROM $table WHERE $idCol IS NOT NULL),
        |g AS (SELECT $idCol, unnest(list_transform(
        |    range(1, greatest(length(t) - 2, 1) + 1),
@@ -268,13 +294,7 @@ object LangId {
        |  QUALIFY row_number() OVER (PARTITION BY $idCol
        |    ORDER BY score DESC, lang ASC) = 1)
        |SELECT d.$idCol,
-       |  CASE WHEN d.kana_n > CAST(${cjkThreshold / 2} AS DOUBLE) * d.n THEN 'ja'
-       |       WHEN d.hang_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'ko'
-       |       WHEN d.han_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'zh'
-       |       WHEN d.cyr_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'ru'
-       |       WHEN d.arab_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'ar'
-       |       WHEN d.deva_n > CAST($cjkThreshold AS DOUBLE) * d.n THEN 'hi'
-       |       ELSE COALESCE(b.lang, 'und') END AS lang,
+       |  $langCase AS lang,
        |  COALESCE(b.score, 0) AS score
        |FROM d LEFT JOIN b USING ($idCol)
        |ORDER BY $idCol""".stripMargin

@@ -137,10 +137,14 @@ object TextAnalysis {
       graft.functions.CharEntropy(
         org.apache.spark.sql.graftaccess.Internals.expression(text)))
 
-  /** [[charProfile]] over a corpus — shuffle-free projection. */
+  /** [[charProfile]] over a corpus — shuffle-free projection. NULL text
+    * profiles like the empty string (all zeros): the oracle's unnest
+    * yields no rows for NULL and its LEFT JOIN coalesces to zeros, so
+    * the Spark side must not propagate NULL where DuckDB reports 0
+    * (review r11 finding — latent until the corpus gains a NULL). */
   def entropyProfile(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val k = charProfile(col(textCol))
+    val k = charProfile(coalesce(col(textCol), lit("")))
     df.select(col(idCol), k.getField("n_chars").as("n_chars"),
       k.getField("distinct_chars").as("distinct_chars"),
       k.getField("char_entropy").as("char_entropy"))
