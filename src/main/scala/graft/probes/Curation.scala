@@ -609,6 +609,89 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // THE ROUND-11 WEB-CURATION COMPOSITION: raw "crawled" HTML →
+    // strip → NFC canonicalize → line-level boilerplate dedup →
+    // entropy + readability quality columns — the first four stages
+    // of a real web-corpus pipeline, chained, with ONE oracle
+    // replaying every stage so drift anywhere breaks the hash (the
+    // round-11 companion of q_pipeline_e2e / q_pipeline_curation).
+    // The planted page carries its boilerplate as body LINES (nav bar,
+    // copyright) so the line-dedup stage has real cross-doc work.
+    {
+      val p1 = "<html><head><script>\nvar x = 1;\n</script></head>" +
+        "<body>\nHome | About | Contact\n<p>"
+      val p2 = "</p>\nCopyright 2024 Example Corp &amp; Partners\n" +
+        "</body></html>"
+      def sqlLit(s: String): String =
+        "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+      Probe.df("q_curation_web",
+        s"""WITH t AS (SELECT doc_id, ${graft.operators.Normalize.stripHtmlSql(
+              s"(${sqlLit(p1)} || text || ${sqlLit(p2)})")} AS txt
+           |  FROM documents),
+           |nf AS (SELECT doc_id, nfc_normalize(txt) AS txt FROM t),
+           |ls AS (SELECT doc_id, string_split(txt, chr(10)) AS la FROM nf),
+           |l0 AS (SELECT doc_id, unnest(
+           |    [{'pos': i, 'line': la[i]} for i in range(1, len(la) + 1)]) AS u
+           |  FROM ls),
+           |l AS (SELECT doc_id, u.pos AS pos, u.line AS line,
+           |    md5(u.line) AS fp FROM l0),
+           |bo AS (SELECT fp FROM (
+           |    SELECT fp, count(DISTINCT doc_id) AS nd FROM l GROUP BY fp)
+           |  WHERE nd >= 2),
+           |kp AS (SELECT l.* FROM l ANTI JOIN bo USING (fp)),
+           |r AS (SELECT doc_id,
+           |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           |    CAST(count(*) AS BIGINT) AS n_kept FROM kp GROUP BY doc_id),
+           |c AS (SELECT ls.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           |    CAST(len(ls.la) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_dropped
+           |  FROM ls LEFT JOIN r USING (doc_id)),
+           |ch AS (SELECT doc_id, unnest(list_filter(
+           |    string_split_regex(clean_text, ''), x -> x <> '')) AS cx
+           |  FROM c),
+           |ce AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chars,
+           |    entropy(cx) AS char_entropy FROM ch GROUP BY doc_id),
+           |w AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(clean_text), '\\s+'),
+           |      x -> x <> '') AS ws,
+           |    CAST(greatest(1, len(regexp_extract_all(clean_text, '[.!?]+')))
+           |      AS BIGINT) AS n_sentences,
+           |    CAST(len(regexp_extract_all(lower(clean_text), '[aeiouy]+'))
+           |      AS BIGINT) AS runs
+           |  FROM c),
+           |rc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           |    n_sentences, runs + CAST(len(list_filter(ws,
+           |      x -> NOT regexp_matches(x, '[aeiouy]'))) AS BIGINT) AS n_syll
+           |  FROM w)
+           |SELECT c.doc_id, c.clean_text, c.n_dropped,
+           |  COALESCE(ce.n_chars, 0) AS n_chars,
+           |  COALESCE(ce.char_entropy, 0.0) AS char_entropy,
+           |  rc.n_words,
+           |  CASE WHEN rc.n_words = 0 THEN CAST(0.0 AS DOUBLE)
+           |       ELSE CAST(0.39 AS DOUBLE) * (rc.n_words::DOUBLE / rc.n_sentences::DOUBLE)
+           |          + CAST(11.8 AS DOUBLE) * (rc.n_syll::DOUBLE / rc.n_words::DOUBLE)
+           |          - CAST(15.59 AS DOUBLE) END AS fk_grade
+           |FROM c LEFT JOIN ce USING (doc_id) JOIN rc USING (doc_id)
+           |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+        import graft.operators.{Boilerplate, Normalize, TextAnalysis}
+        val stripped = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Normalize.stripHtml(
+            concat(lit(p1), col("text"), lit(p2))).as("text"))
+        val canon = stripped.select(col("doc_id"),
+          Normalize.unicode(col("text")).as("text"))
+        val deduped = Boilerplate
+          .dedupLinesProfile(canon, "doc_id", "text")
+          .select(col("doc_id"), col("clean_text"), col("n_dropped"))
+        val asText = deduped.select(col("doc_id"),
+          col("clean_text").as("text"))
+        val ent = TextAnalysis.entropyProfile(asText, "doc_id", "text")
+          .select(col("doc_id"), col("n_chars"), col("char_entropy"))
+        val read = TextAnalysis.readability(asText, "doc_id", "text")
+          .select(col("doc_id"), col("n_words"), col("fk_grade"))
+        deduped.join(ent, Seq("doc_id")).join(read, Seq("doc_id"))
+          .orderBy("doc_id")
+      }
+    },
+
     // Flesch–Kincaid readability (TextAnalysis.readability): exact
     // word/sentence/syllable-heuristic counts, grade as a fixed-order
     // IEEE chain — the classic quality-stack gate. The heuristic
