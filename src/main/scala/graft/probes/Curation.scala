@@ -609,6 +609,43 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // C4 cleaning rules (operators/C4Rules — Raffel et al. 2020 §2.2,
+    // the T5 corpus filter): line-level terminal-punctuation /
+    // min-words / javascript rules + page-level brace and lorem-ipsum
+    // flags. The word-salad corpus gets PLANTED lines exercising every
+    // rule: a kept sentence, a 2-word line (dropped), a javascript
+    // line (dropped), a closing sentence (kept); every 7th doc gets a
+    // brace, every 11th a lorem-ipsum sentence (page flags false,
+    // line rules still apply to it — C4's separation of levels).
+    Probe.df("q_c4_rules",
+      """WITH planted AS (SELECT doc_id,
+        |    'Good sentence number ' || CAST(doc_id AS VARCHAR) || '.'
+        |    || chr(10) || text
+        |    || chr(10) || 'short line'
+        |    || chr(10) || 'This line mentions javascript here.'
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'code block { starts here.' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+        |    || chr(10) || 'A proper closing sentence!' AS text
+        |  FROM documents),
+        |""".stripMargin +
+        graft.operators.C4Rules.oracleSql("planted", "doc_id", "text")
+          .stripPrefix("WITH ")) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          lit("Good sentence number "), col("doc_id").cast("string"),
+          lit(".\n"), col("text"),
+          lit("\nshort line\nThis line mentions javascript here."),
+          when(col("doc_id") % 7 === 0,
+            lit("\ncode block { starts here.")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+          lit("\nA proper closing sentence!")).as("text"))
+      graft.operators.C4Rules.clean(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // THE ROUND-11 WEB-CURATION COMPOSITION: raw "crawled" HTML →
     // strip → NFC canonicalize → line-level boilerplate dedup →
     // entropy + readability quality columns — the first four stages

@@ -156,6 +156,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("C4 rules: line keep predicate and page flags match the paper's " +
+      "semantics; levels stay separate") {
+    import graft.operators.C4Rules
+    val docs = Seq(
+      (1L, "This sentence is properly terminated.\nno punct here\n" +
+        "Too few!\nEnds with a question mark?\n" +
+        "Please enable javascript to continue.\nShe said \"stop\""),
+      (2L, "lorem ipsum dolor sit amet.\nA normal closing sentence."),
+      (3L, "var x = { a: 1 }\nReal prose stays here.")
+    ).toDF("doc_id", "text")
+    val out = C4Rules.clean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // doc 1: kept = terminated sentence, question-mark line, end-quote
+    // line; dropped = no-punct, 2-word "Too few!", javascript line
+    assert(out(1L) == (("This sentence is properly terminated.\n" +
+      "Ends with a question mark?\nShe said \"stop\"", 6L, 3L, true)))
+    // doc 2: lorem ipsum flags the PAGE but its line still passes the
+    // LINE rules (levels are separate, like the paper)
+    assert(out(2L) == (("lorem ipsum dolor sit amet.\n" +
+      "A normal closing sentence.", 2L, 2L, false)))
+    // doc 3: brace flags the page; the prose line is still kept
+    assert(out(3L) == (("Real prose stays here.", 2L, 1L, false)))
+  }
+
   test("readability counts words/sentences/syllable-heuristic and the " +
       "Flesch-Kincaid chain; floors guard degenerate docs") {
     import graft.operators.TextAnalysis
