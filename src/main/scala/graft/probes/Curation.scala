@@ -609,6 +609,33 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Stack/StarCoder code-data filters (operators/CodeRules): line
+    // length pathologies, alphanumeric fraction, auto-generated
+    // markers. Planted: every 5th doc gets a 1200-char "minified"
+    // line (max_line_len rule), every 7th an auto-generated header;
+    // fractions and means are single IEEE divisions of exact counts.
+    Probe.df("q_code_rules",
+      """WITH planted AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN chr(10) || repeat('x', 1200) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || '// AUTO-GENERATED, do not edit'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |""".stripMargin +
+        graft.operators.CodeRules.oracleSql("planted", "doc_id", "text")
+          .stripPrefix("WITH ")) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("\n"), repeat(lit("x"), 1200))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\n// AUTO-GENERATED, do not edit")).otherwise(lit("")))
+          .as("text"))
+      graft.operators.CodeRules.filterFlags(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // C4 cleaning rules (operators/C4Rules — Raffel et al. 2020 §2.2,
     // the T5 corpus filter): line-level terminal-punctuation /
     // min-words / javascript rules + page-level brace and lorem-ipsum

@@ -156,6 +156,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("CodeRules signals and the Stack-default keep flag") {
+    import graft.operators.CodeRules
+    val docs = Seq(
+      (1L, "def f(x):\n    return x + 1\n"),                // normal code
+      (2L, "short\n" + "y" * 1500),                          // minified line
+      (3L, "// AUTO-GENERATED, DO NOT EDIT\nval a = 1"),     // autogen
+      (4L, ";;; !!! ??? ### $$$ %%% ^^^ &&& *** ((()))")    // symbol soup
+    ).toDF("doc_id", "text")
+    val out = CodeRules.filterFlags(docs, "doc_id", "text")
+      .select("doc_id", "max_line_len", "alnum_frac", "autogen", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L)._4, "plain code must pass")
+    assert(out(2L)._1 == 1500L && !out(2L)._4, "minified line fails max_line_len")
+    assert(out(3L)._3 && !out(3L)._4, "auto-generated header fails")
+    assert(out(4L)._2 < 0.25 && !out(4L)._4, "symbol soup fails alnum_frac")
+  }
+
   test("C4 rules: line keep predicate and page flags match the paper's " +
       "semantics; levels stay separate") {
     import graft.operators.C4Rules
