@@ -181,3 +181,111 @@ object KernelProps extends Properties("Kernels") {
       }
     }
 }
+
+/** Unicode-normalization kernel laws vs java.text.Normalizer — the
+  * kernel's contract is "Normalizer semantics over valid UTF-8";
+  * generators build strings from codepoints (no unpaired surrogates:
+  * Spark strings are UTF8String, which cannot represent them). */
+object UnicodeNormalizeProps
+    extends org.scalacheck.Properties("UnicodeNormalize") {
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.UnicodeKernels
+
+  private val cpGen: Gen[Int] = Gen.frequency(
+    6 -> Gen.choose(0x20, 0x7e),     // ASCII
+    2 -> Gen.choose(0xc0, 0x17f),    // Latin-1/Ext-A (composition targets)
+    2 -> Gen.choose(0x300, 0x36f),   // combining marks
+    1 -> Gen.choose(0x3040, 0x30ff), // kana
+    1 -> Gen.choose(0xac00, 0xd7a3), // hangul syllables (NFD-decomposable)
+    1 -> Gen.choose(0xfb00, 0xfb06), // ligatures (K-forms fold)
+    1 -> Gen.choose(0xff01, 0xff5e), // full-width (K-forms fold)
+    1 -> Gen.choose(0x1f600, 0x1f64f)) // astral emoji
+  private val strGen: Gen[String] =
+    Gen.listOf(cpGen).map { cps =>
+      val sb = new java.lang.StringBuilder
+      cps.foreach(sb.appendCodePoint)
+      sb.toString
+    }
+  private val forms = java.text.Normalizer.Form.values()
+
+  private def kernel(s: String, ord: Int): String =
+    UnicodeKernels.normalize(UTF8String.fromString(s), ord).toString
+
+  property("kernel equals java.text.Normalizer for every form") =
+    Prop.forAll(strGen, Gen.choose(0, forms.length - 1)) { (s, f) =>
+      kernel(s, f) == java.text.Normalizer.normalize(s, forms(f))
+    }
+
+  property("normalization is idempotent per form") =
+    Prop.forAll(strGen, Gen.choose(0, forms.length - 1)) { (s, f) =>
+      val once = kernel(s, f)
+      kernel(once, f) == once
+    }
+
+  property("NFC after NFD equals direct NFC") =
+    Prop.forAll(strGen) { s =>
+      val nfd = java.text.Normalizer.Form.NFD.ordinal
+      val nfc = java.text.Normalizer.Form.NFC.ordinal
+      kernel(kernel(s, nfd), nfc) == kernel(s, nfc)
+    }
+}
+
+/** Character-entropy kernel laws vs a naive reference. */
+object CharEntropyProps
+    extends org.scalacheck.Properties("CharEntropy") {
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.CharEntropy
+
+  private val cpGen: Gen[Int] = Gen.frequency(
+    7 -> Gen.choose(0x20, 0x7e),
+    2 -> Gen.choose(0xc0, 0x2ff),
+    1 -> Gen.choose(0x4e00, 0x4e2f),
+    1 -> Gen.choose(0x1f600, 0x1f60f))
+  private val strGen: Gen[String] =
+    Gen.listOf(cpGen).map { cps =>
+      val sb = new java.lang.StringBuilder
+      cps.foreach(sb.appendCodePoint)
+      sb.toString
+    }
+
+  private def prof(s: String): (Long, Long, Double) = {
+    val r = CharEntropy.compute(UTF8String.fromString(s))
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  property("counts match naive codepoint counting") =
+    Prop.forAll(strGen) { s =>
+      val cps = s.codePoints().toArray
+      val (n, d, _) = prof(s)
+      n == cps.length && d == cps.distinct.length
+    }
+
+  property("entropy matches the naive -sum(p log2 p) within 1e-9 rel") =
+    Prop.forAll(strGen) { s =>
+      val cps = s.codePoints().toArray
+      val (_, _, h) = prof(s)
+      if (cps.isEmpty) h == 0.0
+      else {
+        val n = cps.length.toDouble
+        val ref = cps.groupBy(identity).values.map { g =>
+          val p = g.length / n
+          -p * (math.log(p) / math.log(2.0))
+        }.sum
+        math.abs(h - ref) <= 1e-9 * math.max(math.abs(ref), 1.0)
+      }
+    }
+
+  property("entropy is permutation-invariant (exactly)") =
+    Prop.forAll(strGen) { s =>
+      val rev = new java.lang.StringBuilder
+      s.codePoints().toArray.reverse.foreach(rev.appendCodePoint)
+      prof(s) == prof(rev.toString)
+    }
+
+  property("entropy bounded by log2(distinct); zero iff <= 1 distinct") =
+    Prop.forAll(strGen) { s =>
+      val (_, d, h) = prof(s)
+      if (d <= 1) h == 0.0
+      else h >= 0.0 && h <= math.log(d.toDouble) / math.log(2.0) + 1e-9
+    }
+}
