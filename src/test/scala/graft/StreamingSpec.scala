@@ -53,6 +53,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("curation projections run under Structured Streaming and match " +
+      "batch (strip -> NFC -> C4 line rules -> quality signals)") {
+    // The stateless curation layer (HTML strip, Unicode normalize, C4
+    // line rules, entropy, readability inputs) must be usable on a
+    // STREAMING ingest without change — they are pure projections, so
+    // the same Column expressions plan in append mode with no state.
+    import graft.operators.{C4Rules, Normalize, TextAnalysis}
+    val dir = Files.createTempDirectory("graft_stream_cur").toFile
+    val out = s"graft_cur_out_${System.nanoTime()}"
+    val docs = Seq(
+      (1L, "<p>A kept sentence one.</p>\n<script>var x = 1;</script>" +
+        "short\nAnother kept sentence!"),
+      (2L, "<div>e\u0301cole composed here.</div>\nno terminal punct line"),
+      (3L, "<!-- c -->Enable javascript to view this site.\nReal text stays.")
+    ).toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(s"$dir/b1")
+
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val stripped = df.select(col("doc_id"),
+        Normalize.unicode(Normalize.stripHtml(col("text"))).as("text"))
+      C4Rules.clean(stripped, "doc_id", "text")
+        .withColumn("char_entropy",
+          TextAnalysis.charProfile(col("clean_text"))
+            .getField("char_entropy"))
+    }
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/*")
+    val q = curate(stream)
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table(out).collect().map(_.toSeq).toSet
+    val batch = curate(docs).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // and the NFC actually happened on the streaming path
+    val clean2 = spark.table(out).where(col("doc_id") === 2L)
+      .select("clean_text").collect().head.getString(0)
+    assert(clean2.contains("\u00e9cole"), s"expected composed text: $clean2")
+  }
+
   test("streaming dedup drops cross-batch duplicates, state bounded by watermark") {
     val dir = Files.createTempDirectory("graft_sdedup").toFile
     val out = s"graft_sdedup_out_${System.nanoTime()}"
