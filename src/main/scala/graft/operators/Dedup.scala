@@ -422,6 +422,79 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental NOVELTY dedup — the continual-pretraining ingest shape:
+    * given an already-curated `base` corpus and a NEW `batch`, report per
+    * batch document whether a near-duplicate (MinHash-Jaccard >=
+    * `threshold`) already exists in base, with the duplicate count and
+    * the best match. Unlike [[minhashLshPairs]] (self-join), candidates
+    * come from a CROSS band join — batch bands probe base bands — so
+    * neither side ever pairs with itself: at 100 TB the base is the big
+    * side and is bucketed/partitioned by (band, key) exactly once, the
+    * batch (typically orders of magnitude smaller) streams against it.
+    *
+    * Whale guard: a base bucket larger than `maxBucket` participates
+    * through its min-id representative only — EXISTENCE survives (a
+    * colliding batch doc still meets the representative) but `n_dups`
+    * under-counts inside whale buckets and `best_match` may be the
+    * representative; the same O(m)-not-O(m²) trade as
+    * [[bandedCandidates]], documented rather than silent.
+    *
+    * Output: (idCol, novel, n_dups, best_match_id, best_jaccard) for
+    * EVERY batch document (novel rows carry 0 / -1 / 0.0). Jaccards are
+    * single IEEE divisions of exact integers — bit-identical
+    * cross-engine, so best-match selection (max jaccard, min base id)
+    * replays exactly. */
+  def minhashNovelty(base: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"), shingles(col("__text"), n).as("sh"))
+      .withColumn("sig",
+        minhashSigFromHashes(hashShingles(col("sh")), numPerms))
+      .transform(OperatorCache.persist)
+    def bandedOf(b: DataFrame): DataFrame = b.select(col("id"),
+      posexplode(org.apache.spark.sql.graftaccess.Internals.column(
+        graft.functions.BandKeys(
+          org.apache.spark.sql.graftaccess.Internals.expression(col("sig")),
+          bands))).as(Seq("band", "key")))
+    val baseP = prep(base)
+    val batchP = prep(batch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    val baseBanded = bandedOf(baseP)
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("id")).over(w))
+      .filter(col("cnt") <= maxBucket || col("id") === col("bmin"))
+      .select(col("id").as("idb"), col("band"), col("key"))
+    val cand = bandedOf(batchP)
+      .join(baseBanded.hint("shuffle_hash"), Seq("band", "key"))
+      .select(col("id").as("ida"), col("idb")).distinct()
+    val verified = cand
+      .join(batchP.select(col("id").as("ida"), col("sh").as("sha")), "ida")
+      .join(baseP.select(col("id").as("idb"), col("sh").as("shb")), "idb")
+      .select(col("ida"), col("idb"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val report = verified.groupBy(col("ida"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(struct(col("jaccard").as("j"), (-col("idb")).as("nb")))
+          .as("__b"))
+      .select(col("ida").as("id"), col("n_dups"),
+        (-col("__b.nb")).as("best_match_id"),
+        col("__b.j").as("best_jaccard"))
+    batch.select(col(idCol).as("id")).join(report, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        col("n_dups").isNull.as("novel"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+  }
+
   /** Per-document 64-dim SimHash sign vector from pre-hashed words: sum of
     * ±1 per bit of each word hash. Positive component ⇒ bit set. The word
     * hashes must arrive as a separate column (same inlining hazard as

@@ -49,6 +49,47 @@ object Pipeline {
         .orderBy("keep_id")
     },
 
+    // Incremental NOVELTY dedup (Dedup.minhashNovelty — the continual-
+    // pretraining ingest shape): even doc_ids play the curated BASE,
+    // odd ones the NEW batch; per batch doc the operator reports
+    // novel / n_dups / best match vs base. Oracle = the exact
+    // all-pairs batch×base Jaccard truth (the banded operator must
+    // recall every >= 0.5 pair, like q_dedup_minhash's oracle).
+    Probe.df("q_dedup_novelty",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                 for i in range(1, greatest(len(ws)-2, 1)+1)]) AS sh
+        |  FROM w),
+        |a AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+        |b AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+        |v AS (SELECT * FROM (
+        |    SELECT b.doc_id AS doc_id, a.doc_id AS base_id,
+        |      len(list_intersect(b.sh, a.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(b.sh, a.sh))) AS jaccard
+        |    FROM b CROSS JOIN a)
+        |  WHERE jaccard >= 0.5),
+        |best AS (SELECT doc_id, base_id, jaccard FROM v
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY jaccard DESC, base_id ASC) = 1),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups
+        |  FROM v GROUP BY doc_id)
+        |SELECT b.doc_id, r.doc_id IS NULL AS novel,
+        |  COALESCE(r.n_dups, 0) AS n_dups,
+        |  COALESCE(best.base_id, -1) AS best_match_id,
+        |  COALESCE(best.jaccard, 0.0) AS best_jaccard
+        |FROM b LEFT JOIN r USING (doc_id) LEFT JOIN best USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashNovelty(
+          base = docs.where(col("doc_id") % 2 === 0),
+          batch = docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // LINE-level dedup with curation bookkeeping
     // (Boilerplate.dedupLinesProfile — the stats tier of the C4
     // dedupLines operator: every doc retained, exact n_lines/n_dropped;

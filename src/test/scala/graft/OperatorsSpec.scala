@@ -44,6 +44,33 @@ class OperatorsSpec extends AnyFunSuite {
       "a chunk repeated only within one document is not duplication")
   }
 
+  test("minhashNovelty flags batch docs with base near-dups; novel docs " +
+      "pass; best match picks (max jaccard, min base id)") {
+    val mk = (id: Long, t: String) => (id, t)
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val base = Seq(
+      mk(2L, common + " base two"),
+      mk(4L, common + " base four"),
+      mk(6L, "completely different base content about other things entirely " +
+        "with many unrelated words in this sentence")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      mk(1L, common + " batch one"),   // near-dup of BOTH 2 and 4
+      mk(3L, "a wholly novel document about nothing seen before with " +
+        "unique vocabulary throughout the entire text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashNovelty(base, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    val (novel1, nDups1, bm1) = out(1L)
+    assert(!novel1 && nDups1 == 2L,
+      s"doc 1 must match both base twins, got $nDups1")
+    // equal jaccard vs 2 and 4 (symmetric edits) → min base id wins
+    assert(bm1 == 2L, s"tie must break to the smaller base id, got $bm1")
+    assert(out(3L) == ((true, 0L, -1L)), "novel doc reports clean zeros")
+  }
+
   test("dedupLinesProfile drops corpus-frequent lines, keeps order and " +
       "all docs, counts within-doc repeats as ONE corpus occurrence") {
     import graft.operators.Boilerplate
