@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained document-quality classifier — the fastText-shaped linear
+  * model every production curation stack runs between the rule filters
+  * (Gopher/C4) and the expensive stages: label a small seed set
+  * (wiki-vs-crawl, kept-vs-rejected), train a linear scorer over hashed
+  * word features, and threshold the whole corpus on the margin
+  * (CCNet §4.3 and the LLaMA/GPT-3 data recipes all describe exactly
+  * this gate; the reference engine has no text ops — lib.rs:678).
+  *
+  * Method: the hashing trick (Weinberger et al., "Feature Hashing for
+  * Large Scale Multitask Learning", ICML 2009) maps words to `dim`
+  * buckets, and the weights are learned by FULL-BATCH PERCEPTRON
+  * iterations (Rosenblatt's update, batched: w += Σ_misclassified y·x —
+  * i.e. gradient descent on the perceptron loss with unit step). Unlike
+  * logistic regression there is NO sigmoid/exp anywhere, so training is
+  * INTEGER end-to-end: counts are ints, every update is a sum of ints,
+  * weights and margins are exact int64 — order-independent under
+  * partial aggregation, bit-identical cross-engine, and fully
+  * replayable by the DuckDB oracle (FIXTURES quantized-int recipe,
+  * trivially — no quantization is even needed).
+  *
+  * Feature buckets use the 8-hex md5 prefix of the word mod `dim`
+  * (the [[Sampling]] md5 recipe) — identical in Spark (`conv`) and
+  * DuckDB (strpos shift-sum), so the oracle sees the same collisions.
+  *
+  * Plan shape at 100 TB: the feature table (id, y, bucket, cnt) is
+  * built ONCE — explode → one repartition by id → per-(id,bucket)
+  * counts — and persisted; because it is hash-partitioned by id, BOTH
+  * aggregates (per-(id,b) counts and per-doc margins) and the
+  * error-doc join are exchange-free on top of it. Each training
+  * iteration then costs: one BROADCAST join against the ≤dim-row
+  * weight table (no shuffle), one exchange-free per-doc margin
+  * aggregate, and ONE real shuffle — the per-bucket error-gradient
+  * aggregate, whose output is at most `dim` rows. The model (≤dim
+  * rows) is collected per iteration — model-sized driver state, the
+  * same shape as [[Similarity]] kmeansFit and [[BpeTrain]]. Nothing
+  * doc-sized ever reaches the driver.
+  */
+object QualityClassifier {
+
+  /** Hashed feature bucket of a word: first 8 md5 hex chars as an
+    * integer, mod `dim` — nonnegative, so `%` agrees cross-engine. */
+  def bucket(word: Column, dim: Int): Column =
+    pmod(conv(substring(md5(word), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+
+  /** Per-document hashed bag-of-words: (id, y, b, cnt). Tokenization is
+    * the corpus-wide [[Dedup.words]] convention (lowercase, `\s+` split,
+    * empties dropped — Java `\s` ⊃ RE2 `\s` by \x0B, absent from this
+    * corpus). Partitioned by id so everything downstream —
+    * per-doc margins AND the error join — is exchange-free. Documents
+    * with zero words produce no rows (they can never move a weight;
+    * [[score]] re-attaches them with margin 0). */
+  private def features(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Option[String], dim: Int): DataFrame = {
+    val nP = scala.util.Try(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val lab = labelCol.map(c => col(c).cast("int").as("y")).toSeq
+    df.select(col(idCol).as("id") +: lab :+ col(textCol).as("__text"): _*)
+      .filter(col("id").isNotNull)
+      .repartition(nP, col("id"))
+      .select(col("id") +: lab.map(_ => col("y")) :+
+        explode(Dedup.words(col("__text"))).as("word"): _*)
+      .groupBy(col("id") +: lab.map(_ => col("y")) :+
+        bucket(col("word"), dim).as("b"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Train the linear model: `iters` full-batch perceptron sweeps from
+    * zero weights. Returns the model as a DataFrame (b, wt) of the
+    * nonzero buckets — drop-in for [[score]], broadcast at use. Label
+    * semantics: `labelCol` ∈ {0, 1}; a doc is misclassified when
+    * (y=1 ∧ margin ≤ 0) ∨ (y=0 ∧ margin > 0) — the margin-0 tie counts
+    * against the positive class, mirrored in the oracle. Early-exits
+    * when an iteration produces no update (identical to running the
+    * remaining sweeps — every later delta would be 0 too). */
+  def train(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 256, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val feats = features(df, idCol, textCol, Some(labelCol), dim)
+    feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var weights = Map.empty[Long, Long] // ≤ dim entries: model-sized
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val wDf = weightsDf(spark, weights)
+      val margins = feats
+        .join(broadcast(wDf), Seq("b"), "left_outer")
+        .groupBy(col("id"), col("y"))
+        .agg(sum(coalesce(col("wt"), lit(0L)) * col("cnt"))
+          .cast("long").as("z"))
+      val errors = margins
+        .filter(((col("y") === 1) && (col("z") <= 0)) ||
+          ((col("y") === 0) && (col("z") > 0)))
+        .select(col("id"),
+          when(col("y") === 1, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      val delta = feats.join(errors, "id") // co-partitioned by id
+        .groupBy(col("b"))
+        .agg(sum(col("sgn") * col("cnt")).cast("long").as("d"))
+        .collect() // ≤ dim rows
+      if (delta.isEmpty) converged = true
+      else delta.foreach { r =>
+        val b = r.getLong(0)
+        weights = weights.updated(b, weights.getOrElse(b, 0L) + r.getLong(1))
+      }
+      it += 1
+    }
+    feats.unpersist()
+    weightsDf(spark, weights.filter(_._2 != 0L))
+  }
+
+  private def weightsDf(spark: SparkSession,
+      weights: Map[Long, Long]): DataFrame = {
+    import spark.implicits._
+    weights.toSeq.sortBy(_._1).toDF("b", "wt")
+  }
+
+  /** Score a corpus under a trained model: (idCol, margin, pred).
+    * `margin` is the exact int64 dot product Σ wt·cnt (0 for docs with
+    * no words or no model bucket); `pred = margin > 0`. One broadcast
+    * join + one exchange-free per-doc aggregate + a left join back to
+    * the id set (partition-local after the same repartition). */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, dim: Int = 256): DataFrame = {
+    val feats = features(df, idCol, textCol, None, dim)
+    val z = feats.join(broadcast(model), Seq("b"), "left_outer")
+      .groupBy(col("id"))
+      .agg(sum(coalesce(col("wt"), lit(0L)) * col("cnt"))
+        .cast("long").as("z"))
+    val nP = scala.util.Try(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val ids = df.select(col(idCol).as("id"))
+      .filter(col("id").isNotNull)
+      .repartition(nP, col("id"))
+    ids.join(z, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("z"), lit(0L)).as("margin"),
+        (coalesce(col("z"), lit(0L)) > 0).as("pred"))
+  }
+
+  /** DuckDB replay of [[train]]+[[score]] on the same table: the
+    * feature build, every perceptron sweep (uniformly unrolled from an
+    * EMPTY zero-weight seed — the same loop [[train]] runs), and the
+    * final margin/pred. All integer arithmetic; `labelExpr` is a SQL
+    * expression over the table's columns yielding 0/1. */
+  def oracleSql(table: String, idCol: String, textCol: String,
+      labelExpr: String, dim: Int = 256, iters: Int = 3): String = {
+    val bucketExpr = "CAST(list_sum([ (CAST(strpos('0123456789abcdef', " +
+      "substr(md5(word), CAST(i AS INT), 1)) AS BIGINT) - 1) " +
+      s"<< CAST(4*(8 - i) AS BIGINT) for i in range(1, 9) ]) % $dim AS BIGINT)"
+    val sweeps = (1 to iters).map { k =>
+      val p = s"w${k - 1}"
+      s"""z$k AS (SELECT f.id, f.y,
+         |    CAST(sum(COALESCE($p.wt, 0) * f.cnt) AS BIGINT) AS z
+         |  FROM f LEFT JOIN $p USING (b) GROUP BY f.id, f.y),
+         |e$k AS (SELECT id, CASE WHEN y = 1 THEN 1 ELSE -1 END AS sgn
+         |  FROM z$k WHERE (y = 1 AND z <= 0) OR (y = 0 AND z > 0)),
+         |d$k AS (SELECT f.b, CAST(sum(e$k.sgn * f.cnt) AS BIGINT) AS d
+         |  FROM f JOIN e$k USING (id) GROUP BY f.b),
+         |w$k AS (SELECT b,
+         |    CAST(COALESCE($p.wt, 0) + COALESCE(d$k.d, 0) AS BIGINT) AS wt
+         |  FROM $p FULL JOIN d$k USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lab AS (SELECT $idCol AS id, CAST(($labelExpr) AS INT) AS y,
+       |    $textCol AS text
+       |  FROM $table WHERE $idCol IS NOT NULL),
+       |wd AS (SELECT id, y, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+       |  FROM lab),
+       |f AS (SELECT id, y, $bucketExpr AS b,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM wd GROUP BY 1, 2, 3),
+       |w0(b, wt) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) WHERE 1 = 0),
+       |$sweeps,
+       |zf AS (SELECT f.id,
+       |    CAST(sum(COALESCE(w$iters.wt, 0) * f.cnt) AS BIGINT) AS z
+       |  FROM f LEFT JOIN w$iters USING (b) GROUP BY f.id)
+       |SELECT lab.id AS $idCol, lab.y AS y,
+       |  COALESCE(zf.z, 0) AS margin, COALESCE(zf.z, 0) > 0 AS pred
+       |FROM lab LEFT JOIN zf USING (id)
+       |ORDER BY $idCol""".stripMargin
+  }
+}

@@ -582,6 +582,38 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Trained quality classifier (operators/QualityClassifier): hashed
+    // word features + 3 FULL-BATCH perceptron sweeps from zero weights,
+    // then the whole corpus scored on the learned margin — the
+    // fastText-shaped CCNet/LLaMA quality gate, INTEGER end-to-end so
+    // the oracle replays training AND scoring hash-exactly (no
+    // sigmoid/exp anywhere). Labels are planted (y = doc_id%3=0) with a
+    // spam-token signal; every 7th negative gets one shared spam token
+    // so the later sweeps have real false positives to subtract.
+    Probe.df("q_quality_classifier",
+      """WITH planted AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |        THEN ' freeoffer winbig bonusx bonusx'
+        |        ELSE CASE WHEN doc_id % 7 = 1 THEN ' bonusx' ELSE '' END
+        |      END AS text
+        |  FROM documents),
+        |""".stripMargin +
+        graft.operators.QualityClassifier.oracleSql("planted", "doc_id",
+          "text", "doc_id % 3 = 0").stripPrefix("WITH ")) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" freeoffer winbig bonusx bonusx"))
+            .otherwise(when(col("doc_id") % 7 === 1, lit(" bonusx"))
+              .otherwise(lit("")))).as("text"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      val model = graft.operators.QualityClassifier.train(
+        planted, "doc_id", "text", "y")
+      graft.operators.QualityClassifier.score(planted, "doc_id", "text", model)
+        .join(planted.select(col("doc_id"), col("y")), "doc_id")
+        .select(col("doc_id"), col("y"), col("margin"), col("pred"))
+        .orderBy("doc_id")
+    },
+
     // Unicode canonicalization (operators/Normalize): NFC text, changed
     // flag, U+FFFD mojibake count — the pre-dedup canonicalization pass.
     // The synthetic corpus is ASCII (changed=false, n_repl=0 rows), so

@@ -334,4 +334,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text")),
       s"an exchange carries raw text:\n${exchanges.mkString("\n")}")
   }
+
+  test("quality-classifier scoring: model broadcasts, margins aggregate " +
+      "on the explicit id partitioning (exactly the two planned exchanges)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val model = Seq((1L, 5L), (2L, -3L)).toDF("b", "wt")
+    val p = graft.operators.QualityClassifier
+      .score(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // two explicit repartitions (feature branch + id branch) and
+    // NOTHING else: the (id,b) counts, the per-doc margin aggregate and
+    // the final id join all ride the same hash partitioning
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 2, s"expected exactly 2 shuffles, saw $n:\n" +
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+        .mkString("\n"))
+  }
 }
