@@ -141,25 +141,29 @@ object QualityClassifier {
         (coalesce(col("z"), lit(0L)) > 0).as("pred"))
   }
 
-  /** DuckDB replay of [[train]]+[[score]] on the same table: the
-    * feature build, every perceptron sweep (uniformly unrolled from an
-    * EMPTY zero-weight seed — the same loop [[train]] runs), and the
-    * final margin/pred. All integer arithmetic; `labelExpr` is a SQL
-    * expression over the table's columns yielding 0/1. */
+  /** DuckDB replay of [[train]]+[[score]]: the feature build, every
+    * perceptron sweep (uniformly unrolled from an EMPTY zero-weight
+    * seed — the same loop [[train]] runs), and the final margin/pred.
+    * All integer arithmetic; `labelExpr` is a SQL expression over the
+    * table's columns yielding 0/1. `trainWhere` restricts the sweeps
+    * to a labeled subset (the held-out/transfer shape: seed-set
+    * training, whole-corpus scoring) — scoring always covers the full
+    * table. */
   def oracleSql(table: String, idCol: String, textCol: String,
-      labelExpr: String, dim: Int = 256, iters: Int = 3): String = {
+      labelExpr: String, dim: Int = 256, iters: Int = 3,
+      trainWhere: String = "TRUE"): String = {
     val bucketExpr = "CAST(list_sum([ (CAST(strpos('0123456789abcdef', " +
       "substr(md5(word), CAST(i AS INT), 1)) AS BIGINT) - 1) " +
       s"<< CAST(4*(8 - i) AS BIGINT) for i in range(1, 9) ]) % $dim AS BIGINT)"
     val sweeps = (1 to iters).map { k =>
       val p = s"w${k - 1}"
-      s"""z$k AS (SELECT f.id, f.y,
-         |    CAST(sum(COALESCE($p.wt, 0) * f.cnt) AS BIGINT) AS z
-         |  FROM f LEFT JOIN $p USING (b) GROUP BY f.id, f.y),
+      s"""z$k AS (SELECT ftr.id, ftr.y,
+         |    CAST(sum(COALESCE($p.wt, 0) * ftr.cnt) AS BIGINT) AS z
+         |  FROM ftr LEFT JOIN $p USING (b) GROUP BY ftr.id, ftr.y),
          |e$k AS (SELECT id, CASE WHEN y = 1 THEN 1 ELSE -1 END AS sgn
          |  FROM z$k WHERE (y = 1 AND z <= 0) OR (y = 0 AND z > 0)),
-         |d$k AS (SELECT f.b, CAST(sum(e$k.sgn * f.cnt) AS BIGINT) AS d
-         |  FROM f JOIN e$k USING (id) GROUP BY f.b),
+         |d$k AS (SELECT ftr.b, CAST(sum(e$k.sgn * ftr.cnt) AS BIGINT) AS d
+         |  FROM ftr JOIN e$k USING (id) GROUP BY ftr.b),
          |w$k AS (SELECT b,
          |    CAST(COALESCE($p.wt, 0) + COALESCE(d$k.d, 0) AS BIGINT) AS wt
          |  FROM $p FULL JOIN d$k USING (b))""".stripMargin
@@ -173,6 +177,7 @@ object QualityClassifier {
        |f AS (SELECT id, y, $bucketExpr AS b,
        |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM wd GROUP BY 1, 2, 3),
+       |ftr AS (SELECT * FROM f WHERE $trainWhere),
        |w0(b, wt) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) WHERE 1 = 0),
        |$sweeps,
        |zf AS (SELECT f.id,

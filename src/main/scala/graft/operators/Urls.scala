@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for corpus-level URL dedup (the CommonCrawl-style
@@ -48,6 +48,39 @@ object Urls {
     val canon = array_join(array_sort(kept), "&")
     when(canon === lit(""), base).otherwise(concat(base, lit("?"), canon))
   }
+
+  /** Lowercased host of a URL — scheme and port stripped, a leading
+    * `www.` dropped (the grouping key a per-site cap actually wants:
+    * `WWW.Site.com:443` and `site.com` are one site). Scheme-less
+    * inputs ("site.com/path") resolve too. Engine-portable: one
+    * non-capturing-group extract + one anchored replace, no lookahead. */
+  def host(u: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(trim(u)),
+        "^(?:[a-z][a-z0-9+.-]*://)?([^/?#:]+)", 1),
+      "^www\\.", "")
+
+  /** DuckDB expression replaying [[host]] (regexp_extract yields NULL
+    * on no match where Spark yields '' — coalesced). */
+  def hostOracleExpr(expr: String): String =
+    "regexp_replace(coalesce(regexp_extract(lower(trim(" + expr + ")), " +
+      "'^(?:[a-z][a-z0-9+.-]*://)?([^/?#:]+)', 1), ''), '^www\\.', '')"
+
+  /** Per-domain document cap — the web-curation rule that stops one
+    * site from dominating the corpus (C4 and the CommonCrawl recipes
+    * all bound per-host contribution): keep at most `n` docs per
+    * [[host]], selected in deterministic md5-of-id order so any
+    * cluster size, any rerun, and the oracle pick the same rows.
+    * Output adds `domain` and `rn` (1-based rank within the host).
+    *
+    * A deliberate thin composition: host extraction is a projection and
+    * the cap rides [[Sampling.stratifiedSampleN]]'s bounded-heap
+    * [[graft.plans.TopK]] — one exchange on the domain key, O(n) heap
+    * per domain, never a per-domain sort. */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
+      n: Int): DataFrame =
+    Sampling.stratifiedSampleN(
+      df.withColumn("domain", host(col(urlCol))), "domain", idCol, n)
 
   /** DuckDB expression replaying [[normalizeUrl]] over `expr` (dialect
     * deltas: `\\1` capture refs, list_* names, starts_with). */

@@ -246,6 +246,41 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Per-domain cap (Urls.capPerDomain): planted URLs collapse to 7
+    // hosts via Urls.host (www/case/port/scheme variants — one site,
+    // one key), then at most 20 docs survive per host in deterministic
+    // md5 order — the C4/CommonCrawl per-site contribution bound. The
+    // oracle replays host extraction AND the ranked selection.
+    Probe.df("q_domain_cap",
+      s"""WITH u AS (SELECT doc_id,
+         |  concat(
+         |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Site'
+         |         ELSE 'https://site' END,
+         |    CAST(doc_id % 7 AS VARCHAR), '.Example.COM',
+         |    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+         |    '/page/', CAST(doc_id AS VARCHAR)) AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id, url,
+         |  ${Urls.hostOracleExpr("url")} AS domain FROM u)
+         |SELECT doc_id, url, domain, CAST(rn AS INT) AS rn FROM (
+         |  SELECT doc_id, url, domain, row_number() OVER (
+         |    PARTITION BY domain
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM h) t
+         |WHERE rn <= 20
+         |ORDER BY domain, rn""".stripMargin) { (s, dir) =>
+      val u = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://WWW.Site"))
+            .otherwise(lit("https://site")),
+          (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit("")),
+          lit("/page/"), col("doc_id").cast("string")).as("url"))
+      Urls.capPerDomain(u, "url", "doc_id", 20)
+        .select("doc_id", "url", "domain", "rn")
+        .orderBy("domain", "rn")
+    },
+
     // Winnowing fingerprints (MOSS): the oracle replays the rolling
     // Rabin–Karp + window-minima integer math per document — the full
     // fingerprint SETS are hash-compared, not just counts. Comma-joined
@@ -608,6 +643,36 @@ object Curation {
         (col("doc_id") % 3 === 0).cast("int").as("y"))
       val model = graft.operators.QualityClassifier.train(
         planted, "doc_id", "text", "y")
+      graft.operators.QualityClassifier.score(planted, "doc_id", "text", model)
+        .join(planted.select(col("doc_id"), col("y")), "doc_id")
+        .select(col("doc_id"), col("y"), col("margin"), col("pred"))
+        .orderBy("doc_id")
+    },
+
+    // The TRANSFER shape — the way the gate actually runs in
+    // production: the model trains on a labeled SEED subset (the even
+    // doc_ids) and scores the ENTIRE corpus, held-out docs included.
+    // Same planted signal; the oracle's sweeps read only the ftr
+    // (train-subset) features while the final margin covers every doc.
+    Probe.df("q_quality_transfer",
+      """WITH planted AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |        THEN ' freeoffer winbig bonusx bonusx'
+        |        ELSE CASE WHEN doc_id % 7 = 1 THEN ' bonusx' ELSE '' END
+        |      END AS text
+        |  FROM documents),
+        |""".stripMargin +
+        graft.operators.QualityClassifier.oracleSql("planted", "doc_id",
+          "text", "doc_id % 3 = 0", trainWhere = "id % 2 = 0")
+          .stripPrefix("WITH ")) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" freeoffer winbig bonusx bonusx"))
+            .otherwise(when(col("doc_id") % 7 === 1, lit(" bonusx"))
+              .otherwise(lit("")))).as("text"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      val model = graft.operators.QualityClassifier.train(
+        planted.filter(col("doc_id") % 2 === 0), "doc_id", "text", "y")
       graft.operators.QualityClassifier.score(planted, "doc_id", "text", model)
         .join(planted.select(col("doc_id"), col("y")), "doc_id")
         .select(col("doc_id"), col("y"), col("margin"), col("pred"))

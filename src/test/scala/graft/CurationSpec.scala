@@ -156,6 +156,30 @@ class CurationSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("host extraction and the per-domain cap") {
+    import graft.operators.Urls
+    val cases = Seq(
+      ("HTTP://WWW.Site.COM:80/Path", "site.com"),
+      ("https://sub.Example.com/x?y=1", "sub.example.com"),
+      ("site.com/path", "site.com"),      // scheme-less
+      ("www.site.com", "site.com"),       // bare www host
+      ("  http://Ex.com  ", "ex.com"))    // whitespace trimmed
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.host(col("u")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // 30 docs on 3 hosts (www/case variants of the same site collapse),
+    // cap 5 -> exactly 5 survivors per host, rn dense 1..5
+    val docs = (0L until 30L).map(i =>
+      (i, s"${if (i % 2 == 0) "http://WWW.Host" else "https://host"}${i % 3}.com/p$i"))
+      .toDF("doc_id", "url")
+    val out = Urls.capPerDomain(docs, "url", "doc_id", 5)
+      .select("domain", "rn").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq)
+    assert(out.keys.toSet == Set("host0.com", "host1.com", "host2.com"))
+    out.foreach { case (_, rns) => assert(rns == (1 to 5)) }
+  }
+
   test("CodeRules signals and the Stack-default keep flag") {
     import graft.operators.CodeRules
     val docs = Seq(
