@@ -429,6 +429,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Recall@k evaluation of an approximate ANN result set against the
+    * exact truth — the metric every IVF/LSH/PQ deployment is tuned by
+    * (nprobe/bands/code-size trade recall for cost; this measures what
+    * was traded). Inputs are two (qid, nid) result sets (extra columns
+    * ignored); output per query: n_truth, n_hit, recall = one IEEE
+    * division of exact counts — bit-identical cross-engine.
+    *
+    * Scale shape: both sides are top-k tables (k rows per query, never
+    * corpus-sized); one (qid, nid) equi-join and one per-query
+    * aggregate, both on the same shuffle key family. Queries with zero
+    * hits keep a row (left join) — silently dropping them would inflate
+    * the measured recall. */
+  def recallAtK(truth: DataFrame, approx: DataFrame,
+      qidCol: String = "qid", nidCol: String = "nid"): DataFrame = {
+    val t = truth.select(col(qidCol).as("qid"), col(nidCol).as("nid"))
+    val a = approx.select(col(qidCol).as("qid"), col(nidCol).as("nid"))
+      .withColumn("__hit", lit(1L))
+    t.join(a, Seq("qid", "nid"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** DuckDB equivalent of [[lshBuckets]] (for the correctness oracle):
     * identical plane literals, list_dot_product, same bit weights. */
   def lshBucketsOracleSql(nPlanes: Int, dim: Int, table: String): String = {

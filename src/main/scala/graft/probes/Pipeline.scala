@@ -888,6 +888,68 @@ object Pipeline {
         .orderBy("qid", "rnk")
     },
 
+    // Recall@k evaluation (Similarity.recallAtK) — the metric ANN
+    // deployments tune nprobe/bands by. Truth = exact brute-force
+    // top-5; approx = IVF at PARTIAL nprobe (4 of 16 cells), which is
+    // fully deterministic here (first-16-vector centroids), so the
+    // oracle replays the probe-cell ranking (dot DESC, cell DESC — the
+    // reversed-sort tie-break), the cell assignment (dot DESC, cell
+    // ASC), the within-candidate rerank, AND the per-query hit counts;
+    // recall is one IEEE division of exact counts.
+    Probe.df("q_ann_recall",
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |         embedding::DOUBLE[] AS c
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |pc AS (SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_dot_product(q.qv, c.c) DESC, c.cell DESC) AS prn
+        |    FROM q CROSS JOIN cent c) t
+        |  WHERE prn <= 4),
+        |asg AS (SELECT vec_id AS nid, cell FROM (
+        |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c) DESC,
+        |               c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN cent c) t
+        |  WHERE rn = 1),
+        |ivf AS (SELECT qid, nid FROM (
+        |    SELECT pc.qid, a.nid,
+        |      row_number() OVER (PARTITION BY pc.qid ORDER BY
+        |        list_dot_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) /
+        |          (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[]))) DESC,
+        |        a.nid) AS rnk
+        |    FROM pc JOIN asg a USING (cell)
+        |         JOIN embeddings qe ON qe.vec_id = pc.qid
+        |         JOIN embeddings ne ON ne.vec_id = a.nid
+        |    WHERE a.nid <> pc.qid) t
+        |  WHERE rnk <= 5),
+        |truth AS (SELECT qid, nid FROM (
+        |    SELECT q.qid, c.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        list_dot_product(q.qv, c.embedding::DOUBLE[]) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) *
+        |           sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+        |        c.vec_id) AS rnk
+        |    FROM q JOIN embeddings c ON c.vec_id <> q.qid) t
+        |  WHERE rnk <= 5)
+        |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(count(i.nid) AS BIGINT) AS n_hit,
+        |  count(i.nid)::DOUBLE / count(*)::DOUBLE AS recall
+        |FROM truth t LEFT JOIN ivf i ON t.qid = i.qid AND t.nid = i.nid
+        |GROUP BY t.qid
+        |ORDER BY t.qid""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val cents = Similarity.ivfCentroidsFrom(e, "vec_id", "embedding", 16)
+      val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      val approx = Similarity.ivfTopK(q, e, "vec_id", "embedding", cents,
+        nprobe = 4, k = 5)
+      Similarity.recallAtK(truth, approx).orderBy("qid")
+    },
+
     // IVF coarse quantization (the second ANN scale path beside sign-LSH):
     // centroids are the first 16 corpus vectors on BOTH sides, so the
     // oracle recomputes identical assignments with no shared literals.

@@ -283,6 +283,20 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall too low: ${ivf2.intersect(bfPairs).size}/${bfPairs.size}")
   }
 
+  test("recallAtK counts hits per query and keeps zero-hit queries") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("qid", "nid")
+    // q1 fully recovered, q2 half, q3 missed entirely (and the approx
+    // set's extra non-truth rows must not count as hits)
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (3L, 98L))
+      .toDF("qid", "nid")
+    val out = Similarity.recallAtK(truth, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(1L -> ((2L, 2L, 1.0)), 2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 0L, 0.0))))
+  }
+
   test("bounded_collect keeps the count and the k smallest ids only") {
     import org.apache.spark.sql.graftaccess.Internals
     val df = spark.range(1, 1001).select(
