@@ -141,6 +141,35 @@ object QualityClassifier {
         (coalesce(col("z"), lit(0L)) > 0).as("pred"))
   }
 
+  /** [[score]] as a ZERO-SHUFFLE projection — the 100 TB scoring path.
+    * A trained model is ≤ `dim` longs, so instead of exploding every
+    * word through the relational pipeline's two exchanges, the model
+    * rides into a [[graft.functions.HashedMargin]] codegen kernel
+    * (task-closure constant) that tokenizes, buckets and sums weights
+    * in one pass per document. Value-identical to [[score]] — same
+    * tokens, same md5 buckets, same exact int64 margin (spec-pinned on
+    * the corpus); same output contract incl. margin 0 for null/
+    * wordless docs. Rows with a null id are dropped like [[score]]
+    * drops them. */
+  def scoreProjected(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, dim: Int = 256): DataFrame = {
+    val weights = new Array[Long](dim)
+    model.collect().foreach { r => // ≤ dim rows: model-sized
+      val b = r.getLong(0)
+      require(b >= 0 && b < dim, s"model bucket $b outside dim $dim")
+      weights(b.toInt) = r.getLong(1)
+    }
+    val margin = coalesce(
+      org.apache.spark.sql.graftaccess.Internals.column(
+        graft.functions.HashedMargin(
+          org.apache.spark.sql.graftaccess.Internals
+            .expression(col(textCol)),
+          weights)),
+      lit(0L))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), margin.as("margin"), (margin > 0).as("pred"))
+  }
+
   /** DuckDB replay of [[train]]+[[score]]: the feature build, every
     * perceptron sweep (uniformly unrolled from an EMPTY zero-weight
     * seed — the same loop [[train]] runs), and the final margin/pred.

@@ -77,6 +77,49 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(m1 == m2 && m1.nonEmpty)
   }
 
+  test("scoreProjected kernel equals the relational score on the corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" freeoffer winbig bonusx bonusx")).otherwise(lit("")))
+          .as("text"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+    val model = QualityClassifier.train(docs, "doc_id", "text", "y")
+    val rel = QualityClassifier.score(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val projDf = QualityClassifier.scoreProjected(docs, "doc_id", "text", model)
+    val proj = projDf
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(rel.nonEmpty && rel == proj)
+    assert(rel.exists(_._2 != 0L), "planted signal must move some margin")
+    // over a real scan (a local relation constant-folds the projection
+    // away) the scoring is a zero-exchange whole-stage-codegen pass
+    val plan = projDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    // the kernel projection rides inside a codegen stage (the `*(n)`
+    // star prefix in the executed plan's compact notation)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("hashed_margin") && l.trim.startsWith("*")), plan)
+  }
+
+  test("scoreProjected matches score on null/empty/multibyte text") {
+    val train = Seq((1L, "spam spam", 1), (2L, "ham", 0))
+      .toDF("doc_id", "text", "y")
+    val model = QualityClassifier.train(train, "doc_id", "text", "y")
+    val odd = Seq((3L, null.asInstanceOf[String]), (4L, "   "),
+      (5L, "spamé世 spam"), (6L, "SPAM"))
+      .toDF("doc_id", "text")
+    val rel = QualityClassifier.score(odd, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val projDf = QualityClassifier.scoreProjected(odd, "doc_id", "text", model)
+    val proj = projDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(rel == proj)
+    assert(proj.contains((6L, 2L, true)), "case folding must match lower()")
+  }
+
   test("docs with no words score margin 0 / pred false and are " +
       "retained in the output") {
     val train = Seq((1L, "spam spam", 1), (2L, "ham", 0))
