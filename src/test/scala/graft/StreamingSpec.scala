@@ -96,6 +96,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(clean2.contains("\u00e9cole"), s"expected composed text: $clean2")
   }
 
+  test("quality-classifier kernel scoring runs unchanged on a " +
+      "streaming ingest (zero-state projection)") {
+    import graft.operators.QualityClassifier
+    val dir = Files.createTempDirectory("graft_stream_qc").toFile
+    val out = s"graft_qc_out_${System.nanoTime()}"
+    val train = Seq((1L, "spam spam", 1), (2L, "ham prose", 0))
+      .toDF("doc_id", "text", "y")
+    val model = QualityClassifier.train(train, "doc_id", "text", "y")
+    val docs = Seq((10L, "spam here"), (11L, "clean prose"),
+      (12L, "spam spam spam")).toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/*")
+    val q = QualityClassifier.scoreProjected(stream, "doc_id", "text", model)
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val batch = QualityClassifier.scoreProjected(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (id, m, p) => id == 12L && m > 0 && p })
+  }
+
   test("streaming dedup drops cross-batch duplicates, state bounded by watermark") {
     val dir = Files.createTempDirectory("graft_sdedup").toFile
     val out = s"graft_sdedup_out_${System.nanoTime()}"
