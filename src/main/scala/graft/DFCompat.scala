@@ -273,6 +273,35 @@ object DFCompat {
     reg("strip_html") { case Seq(e) =>
       graft.operators.Normalize.stripHtmlExpr(e)
     }
+    // hashed_margin(text, weights) — the trained-quality-classifier
+    // scorer (QualityClassifier.scoreProjected's kernel): weights[i] is
+    // the weight of md5 bucket i and the array LENGTH is the hash dim,
+    // so a service client can inline a trained model and score in SQL.
+    // The array must be a foldable integral literal (it becomes a
+    // task-closure constant, exactly like the Scala path).
+    reg("hashed_margin") {
+      case Seq(e, arr) if arr.foldable &&
+          arr.dataType.isInstanceOf[ArrayType] =>
+        val at = arr.dataType.asInstanceOf[ArrayType]
+        val data = arr.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val ws = new Array[Long](data.numElements())
+        var i = 0
+        while (i < ws.length) {
+          require(!data.isNullAt(i), "hashed_margin: null weight")
+          ws(i) = at.elementType match {
+            case LongType => data.getLong(i)
+            case IntegerType => data.getInt(i).toLong
+            case ShortType => data.getShort(i).toLong
+            case other => throw new IllegalArgumentException(
+              s"hashed_margin: integral weights expected, got $other")
+          }
+          i += 1
+        }
+        graft.functions.HashedMargin(e, ws)
+      case _ => throw new IllegalArgumentException(
+        "hashed_margin expects (text, foldable integral-array weights)")
+    }
 
     // --- array mutation shims, built as raw lambda HOF trees (the
     // Column/functions API can't be used inside registry builders: its

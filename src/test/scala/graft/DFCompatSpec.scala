@@ -172,5 +172,15 @@ class DFCompatSpec extends AnyFunSuite {
     // strip_html: same chain as the operator
     assert(one("SELECT strip_html('<p>hi</p><!-- c --> &amp; bye')") ==
       "hi & bye")
+    // hashed_margin: md5('spam') bucket is 5 at dim 8 (0xe09f6a75 % 8),
+    // so a weight of 10 there scores 'spam spam' = 20; 'SPAM' folds
+    // case; a non-foldable weights arg must be rejected
+    assert(one("SELECT hashed_margin('spam spam', array(0,0,0,0,0,10,0,0))")
+      == 20L)
+    assert(one("SELECT hashed_margin('SPAM ham', array(0,0,0,0,0,10,0,0))")
+      == 10L)
+    intercept[Exception] {
+      one("SELECT hashed_margin('x', array(cast(rand() * 0 as int)))")
+    }
   }
 }
