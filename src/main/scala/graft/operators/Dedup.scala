@@ -245,6 +245,43 @@ object Dedup {
     df.groupBy(md5(lower(col(textCol))).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** SoftDedup (Xue et al. 2024, "SoftDedup: an Efficient Data
+    * Reweighting Method for Speeding Up Language Model Pre-training"):
+    * instead of DROPPING duplicates, keep every document and DOWNWEIGHT
+    * duplicated content — here by its exact copy count, weight =
+    * 1/n_copies (one IEEE division of exact integers, bit-identical
+    * cross-engine), so each distinct text contributes unit total mass
+    * to the sampling distribution. Output: every input row + n_copies +
+    * weight, ready for [[Sampling.prioritySample]] / [[Mixing]].
+    *
+    * Scale shape: ONE exchange of (id, 16-byte fp) on the fingerprint —
+    * the window aggregate needs no second join-back pass, and the text
+    * column never shuffles. For NEAR-dup downweighting compose
+    * [[clusterPairs]] with [[softDedupWeightsFromClusters]] instead. */
+  def softDedupWeights(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    df.select(col(idCol), md5(lower(col(textCol))).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(w).cast("long"))
+      .withColumn("weight", lit(1.0) / col("n_copies").cast("double"))
+      .drop("fp")
+  }
+
+  /** Near-dup tier of SoftDedup: weight = 1/|cluster| from a
+    * [[clusterPairs]] assignment; ids in no cluster keep weight 1.
+    * One aggregate over the (id, cluster) table + one id-keyed join —
+    * nothing document-sized moves. */
+  def softDedupWeightsFromClusters(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_copies"))
+    val withN = clusters.join(sizes, "cluster")
+      .select(col("id").as(idCol), col("n_copies"))
+    df.join(withN, Seq(idCol), "left_outer")
+      .withColumn("n_copies", coalesce(col("n_copies"), lit(1L)))
+      .withColumn("weight", lit(1.0) / col("n_copies").cast("double"))
+  }
+
   /** Chunk-level exact duplication stats — the ExactSubstr tier of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
     * al. 2022) at fixed word-window granularity, Spark-shaped: each

@@ -49,6 +49,32 @@ object Pipeline {
         .orderBy("keep_id")
     },
 
+    // SoftDedup reweighting (Dedup.softDedupWeights): duplicates are
+    // KEPT and downweighted by copy count so each distinct text holds
+    // unit sampling mass. Exact duplicates are planted (every 5th doc
+    // collapses onto one of 3 shared pages — the corpus itself has
+    // none); weight is one IEEE division of exact counts.
+    Probe.df("q_dedup_soft",
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'shared boilerplate page about topic '
+        |         || CAST(doc_id % 3 AS VARCHAR)
+        |    ELSE text END AS text FROM documents),
+        |f AS (SELECT doc_id, md5(lower(text)) AS fp FROM d),
+        |c AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+        |      FROM f GROUP BY fp)
+        |SELECT doc_id, n_copies,
+        |  CAST(1 AS DOUBLE) / n_copies::DOUBLE AS weight
+        |FROM f JOIN c USING (fp)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("shared boilerplate page about topic "),
+            (col("doc_id") % 3).cast("string")))
+          .otherwise(col("text")).as("text"))
+      Dedup.softDedupWeights(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Incremental NOVELTY dedup (Dedup.minhashNovelty — the continual-
     // pretraining ingest shape): even doc_ids play the curated BASE,
     // odd ones the NEW batch; per batch doc the operator reports

@@ -283,6 +283,21 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall too low: ${ivf2.intersect(bfPairs).size}/${bfPairs.size}")
   }
 
+  test("softDedup near-dup tier weights by cluster size, singletons keep 1") {
+    import graft.operators.Dedup
+    // pairs (1,2),(2,3) form one 3-cluster; (7,9) a 2-cluster; 5 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")
+    val clusters = Dedup.clusterPairs(pairs)
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val out = Dedup.softDedupWeightsFromClusters(docs, "doc_id", clusters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    clusters.unpersist()
+    assert(out == Map(
+      1L -> ((3L, 1.0 / 3)), 2L -> ((3L, 1.0 / 3)), 3L -> ((3L, 1.0 / 3)),
+      5L -> ((1L, 1.0)), 7L -> ((2L, 0.5)), 9L -> ((2L, 0.5))))
+  }
+
   test("recallAtK counts hits per query and keeps zero-hit queries") {
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("qid", "nid")
