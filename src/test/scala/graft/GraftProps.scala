@@ -289,3 +289,60 @@ object CharEntropyProps
       else h >= 0.0 && h <= math.log(d.toDouble) / math.log(2.0) + 1e-9
     }
 }
+
+/** Hashed-margin kernel laws vs a naive reference scorer. */
+object HashedMarginProps
+    extends org.scalacheck.Properties("HashedMargin") {
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.QualityKernels
+
+  // text mixing ASCII words, every ASCII whitespace byte the kernel
+  // treats as a separator (0x09-0x0d, 0x20), uppercase (case folding),
+  // and multibyte codepoints (bucket hashing over UTF-8 bytes)
+  private val cpGen: Gen[Int] = Gen.frequency(
+    8 -> Gen.choose(0x61, 0x7a),     // a-z
+    3 -> Gen.choose(0x41, 0x5a),     // A-Z (folds)
+    3 -> Gen.oneOf(0x20, 0x09, 0x0a, 0x0b, 0x0c, 0x0d),
+    1 -> Gen.choose(0x30, 0x39),     // digits
+    1 -> Gen.choose(0xc0, 0x17f),    // Latin-1/Ext-A multibyte
+    1 -> Gen.choose(0x4e00, 0x4e80)) // CJK multibyte
+  private val strGen: Gen[String] =
+    Gen.listOf(cpGen).map { cps =>
+      val sb = new java.lang.StringBuilder
+      cps.foreach(sb.appendCodePoint)
+      sb.toString
+    }
+  private val wGen: Gen[Array[Long]] = for {
+    dim <- Gen.oneOf(1, 8, 256)
+    ws <- Gen.listOfN(dim, Gen.choose(-1000L, 1000L))
+  } yield ws.toArray
+
+  private def kernel(s: String, w: Array[Long]): Long =
+    QualityKernels.margin(UTF8String.fromString(s), w)
+
+  /** Reference: Spark-lower (UTF8String), Java \s+ split, md5 of each
+    * token's UTF-8 bytes, first 4 bytes unsigned mod dim. */
+  private def naive(s: String, w: Array[Long]): Long = {
+    val lowered = UTF8String.fromString(s).toLowerCase.toString
+    lowered.split("\\s+").filter(_.nonEmpty).map { tok =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      w((h % w.length).toInt)
+    }.sum
+  }
+
+  property("kernel equals the naive tokenizer+md5 reference") =
+    Prop.forAll(strGen, wGen) { (s, w) => kernel(s, w) == naive(s, w) }
+
+  property("margin is additive across a space join") =
+    Prop.forAll(strGen, strGen, wGen) { (a, b, w) =>
+      kernel(a + " " + b, w) == kernel(a, w) + kernel(b, w)
+    }
+
+  property("margin is invariant under whitespace-run collapsing") =
+    Prop.forAll(strGen, wGen) { (s, w) =>
+      kernel(s.replaceAll("\\s+", " "), w) == kernel(s, w)
+    }
+}
