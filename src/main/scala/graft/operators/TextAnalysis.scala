@@ -165,6 +165,40 @@ object TextAnalysis {
     * identical literal/operation order on both engines (single IEEE
     * divisions and a fixed-order fma-free chain); 0.0 for wordless
     * docs. Shuffle-free projection. */
+  /** Overlapping word-window chunking — the context-prep step RAG
+    * indexing and long-document pretraining both run (split each doc
+    * into `window`-word chunks every `stride` words so no boundary
+    * sentence is lost to a hard cut). Chunk starts are 0, stride,
+    * 2·stride, … while they fall inside the word list; the tail chunk
+    * keeps its short remainder. Wordless docs yield no chunks.
+    * Output: (idCol, chunk_id, n_words, chunk_text).
+    *
+    * Scale shape: a pure per-document projection + explode — no
+    * shuffle, no state; each output row carries at most `window`
+    * words. The start sequence is O(n/stride) per doc (never a
+    * per-word explode). */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, "window must be positive")
+    require(stride >= 1 && stride <= window,
+      "stride must be in [1, window] (gaps would drop words)")
+    val ws = words(col(textCol))
+    // (n-1)/stride via double division is exact here (n bounded far
+    // below 2^52) and truncation == floor for the non-negative operand
+    df.select(col(idCol), ws.as("__ws"), size(ws).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__ws"), col("__n"),
+        explode(sequence(lit(0),
+          ((col("__n") - 1) / lit(stride)).cast("int"))).as("__i"))
+      .select(col(idCol),
+        col("__i").cast("long").as("chunk_id"),
+        least(lit(window.toLong),
+          col("__n").cast("long") - col("__i").cast("long") * stride)
+          .as("n_words"),
+        array_join(slice(col("__ws"), col("__i") * stride + 1,
+          lit(window)), " ").as("chunk_text"))
+  }
+
   def readability(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val ws = words(col(textCol))

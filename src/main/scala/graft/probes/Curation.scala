@@ -853,6 +853,25 @@ object Curation {
       }
     },
 
+    // Overlapping word-window chunking (TextAnalysis.chunkWindows):
+    // 40-word chunks every 20 words — the RAG/long-doc context-prep
+    // split. The oracle replays start generation (integer floor
+    // division), the clamped tail slice, and the joined chunk text.
+    Probe.df("q_text_chunks",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |f AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w
+         |      WHERE len(ws) > 0),
+         |c AS (SELECT doc_id, ws, n,
+         |    unnest(range(0, (n - 1) // 20 + 1)) AS chunk_id FROM f)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(least(40, n - chunk_id * 20) AS BIGINT) AS n_words,
+         |  array_to_string(ws[CAST(chunk_id * 20 + 1 AS INT):CAST(chunk_id * 20 + 40 AS INT)], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextAnalysis.chunkWindows(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 40, 20)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Flesch–Kincaid readability (TextAnalysis.readability): exact
     // word/sentence/syllable-heuristic counts, grade as a fixed-order
     // IEEE chain — the classic quality-stack gate. The heuristic

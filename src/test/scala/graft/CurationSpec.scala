@@ -156,6 +156,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("chunkWindows: overlap, clamped tail, wordless docs, bad stride") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"), // window 4 stride 2: starts 0,2,4,6
+      (2L, "a b"),                  // single short chunk
+      (3L, "   ")                   // wordless: no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(docs, "doc_id", "text", 4, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, "w3 w4 w5 w6"),
+      (1L, 2L, 3L, "w5 w6 w7"),
+      (1L, 3L, 1L, "w7"),
+      (2L, 0L, 2L, "a b")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWindows(docs, "doc_id", "text", 4, 5)
+    }
+  }
+
   test("host extraction and the per-domain cap") {
     import graft.operators.Urls
     val cases = Seq(
