@@ -83,5 +83,9 @@ object SparkEntry {
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     // round 10: language ID — gram explode + broadcast model join
     // (non-profile grams dropped pre-shuffle) + integer vote
-    "q_langid")
+    "q_langid",
+    // round 11: trained quality classifier — 3 perceptron sweeps over
+    // the persisted id-partitioned feature table (broadcast model join
+    // per sweep, one dim-row shuffle each) + whole-corpus scoring
+    "q_quality_classifier")
 }

@@ -55,7 +55,18 @@ object Packing {
     * total of `tokensCol` in `orderCol` order). `orderCol` must be
     * globally unique for a deterministic result. */
   def cumsumDistributed(df: DataFrame, orderCol: String, tokensCol: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    cumsumDistributedCols(df, orderCol, Seq(tokensCol), numPartitions)
+      .withColumnRenamed(s"cum_$tokensCol", "cum_tokens")
+
+  /** Multi-column [[cumsumDistributed]]: running totals of every column
+    * in `cols` over ONE range shuffle, one window pass, and one
+    * O(numPartitions)-row totals collect. Output adds `cum_<col>` per
+    * input column (inclusive global running totals in `orderCol`
+    * order). */
+  def cumsumDistributedCols(df: DataFrame, orderCol: String,
+      cols: Seq[String], numPartitions: Int = 0): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to accumulate")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -63,20 +74,32 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
       .transform(OperatorCache.persist)
     val totals = ranged.groupBy("__pid")
-      .agg(sum(col(tokensCol).cast("long")).as("__t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L, 0L)) { case ((_, acc, _), (pid, t)) =>
-      (pid, acc + t, acc)
+      .agg(cols.map(c => sum(col(c).cast("long")).as(s"__t_$c")).head,
+        cols.map(c => sum(col(c).cast("long")).as(s"__t_$c")).tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), cols.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val zero = cols.map(_ => 0L)
+    val offsets = totals.scanLeft((0, zero, zero)) {
+      case ((_, acc, _), (pid, ts)) =>
+        (pid, acc.zip(ts).map { case (a, t) => a + t }, acc)
     }.drop(1).map { case (pid, _, excl) => (pid, excl) }
     import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val offDf = offsets.toSeq
+      .map { case (pid, excl) => (pid, excl.toArray) }
+      .toDF("__pid", "__off")
     val w = Window.partitionBy("__pid").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("__local", sum(col(tokensCol).cast("long")).over(w))
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn("cum_tokens", col("__local") + col("__off"))
-      .drop("__pid", "__local", "__off")
+    val withLocal = cols.zipWithIndex.foldLeft(ranged) {
+      case (d, (c, i)) =>
+        d.withColumn(s"__local_$i", sum(col(c).cast("long")).over(w))
+    }
+    cols.zipWithIndex.foldLeft(
+        withLocal.join(broadcast(offDf), Seq("__pid"))) {
+      case (d, (c, i)) =>
+        d.withColumn(s"cum_$c",
+          col(s"__local_$i") + element_at(col("__off"), i + 1))
+    }.drop("__pid" +: "__off" +: cols.indices.map(i => s"__local_$i"): _*)
   }
 
   /** Token-budget selection: keep documents, in `orderCol` order, while

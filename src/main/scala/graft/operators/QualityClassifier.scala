@@ -141,6 +141,38 @@ object QualityClassifier {
         (coalesce(col("z"), lit(0L)) > 0).as("pred"))
   }
 
+  /** Precision/recall curve over margin thresholds — choosing the cut
+    * IS the production decision a margin exists for. One row per
+    * DISTINCT margin, descending: at threshold t the rule `margin >= t`
+    * yields tp/fp from cumulative per-margin counts; `prec` = tp/(tp+fp)
+    * and `recall` = tp/total_pos are single IEEE divisions of exact
+    * counts ("prec" because PRECISION is a reserved type keyword in the
+    * oracle dialect).
+    *
+    * Scale shape: one per-margin aggregate (shuffle on the margin),
+    * then [[Packing.cumsumDistributedCols]] — a range shuffle + an
+    * O(numPartitions) totals collect — accumulates tp and fp in one
+    * pass; never a single-task global window. One 1-row collect for
+    * the positive total. */
+  def prCurve(scored: DataFrame, marginCol: String = "margin",
+      labelCol: String = "y"): DataFrame = {
+    val per = scored
+      .groupBy(col(marginCol).cast("long").as("threshold"))
+      .agg(sum(col(labelCol).cast("long")).as("pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).cast("long")
+          .as("neg"))
+      .withColumn("__ord", -col("threshold"))
+    val cum = Packing.cumsumDistributedCols(per, "__ord", Seq("pos", "neg"))
+    val totPos = scored.agg(sum(col(labelCol).cast("long")))
+      .collect()(0).getLong(0)
+    require(totPos > 0, "prCurve needs at least one positive label")
+    cum.select(col("threshold"),
+      col("cum_pos").as("tp"), col("cum_neg").as("fp"),
+      (col("cum_pos").cast("double") /
+        (col("cum_pos") + col("cum_neg")).cast("double")).as("prec"),
+      (col("cum_pos").cast("double") / lit(totPos.toDouble)).as("recall"))
+  }
+
   /** [[score]] as a ZERO-SHUFFLE projection — the 100 TB scoring path.
     * A trained model is ≤ `dim` longs, so instead of exploding every
     * word through the relational pipeline's two exchanges, the model

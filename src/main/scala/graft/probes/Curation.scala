@@ -679,6 +679,54 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Margin-threshold calibration (QualityClassifier.prCurve): the
+    // precision/recall curve a pipeline reads to pick the cut. One row
+    // per distinct margin; tp/fp accumulate via the distributed
+    // two-pass cumsum (never a single-task global window); the oracle
+    // replays the whole chain — classifier training included (nested
+    // WITH) — with a plain windowed cumsum. "prec" not "precision":
+    // PRECISION is a reserved word in DuckDB.
+    Probe.df("q_quality_pr",
+      """WITH planted AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |        THEN ' freeoffer winbig bonusx bonusx'
+        |        ELSE CASE WHEN doc_id % 7 = 1 THEN ' bonusx' ELSE '' END
+        |      END AS text
+        |  FROM documents),
+        |scored AS (
+        |""".stripMargin +
+        graft.operators.QualityClassifier.oracleSql("planted", "doc_id",
+          "text", "doc_id % 3 = 0") +
+        """
+        |),
+        |s AS (SELECT margin AS threshold, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+        |  FROM scored GROUP BY margin),
+        |t AS (SELECT CAST(sum(y) AS BIGINT) AS tot FROM scored),
+        |c AS (SELECT threshold,
+        |    CAST(sum(pos) OVER (ORDER BY threshold DESC) AS BIGINT) AS tp,
+        |    CAST(sum(neg) OVER (ORDER BY threshold DESC) AS BIGINT) AS fp
+        |  FROM s)
+        |SELECT threshold, tp, fp,
+        |  tp::DOUBLE / (tp + fp)::DOUBLE AS prec,
+        |  tp::DOUBLE / t.tot::DOUBLE AS recall
+        |FROM c, t
+        |ORDER BY threshold DESC""".stripMargin) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" freeoffer winbig bonusx bonusx"))
+            .otherwise(when(col("doc_id") % 7 === 1, lit(" bonusx"))
+              .otherwise(lit("")))).as("text"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      val model = graft.operators.QualityClassifier.train(
+        planted, "doc_id", "text", "y")
+      val scored = graft.operators.QualityClassifier
+        .score(planted, "doc_id", "text", model)
+        .join(planted.select(col("doc_id"), col("y")), "doc_id")
+      graft.operators.QualityClassifier.prCurve(scored)
+        .orderBy(col("threshold").desc)
+    },
+
     // Unicode canonicalization (operators/Normalize): NFC text, changed
     // flag, U+FFFD mojibake count — the pre-dedup canonicalization pass.
     // The synthetic corpus is ASCII (changed=false, n_repl=0 rows), so

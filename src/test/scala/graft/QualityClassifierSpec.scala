@@ -120,6 +120,31 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(proj.contains((6L, 2L, true)), "case folding must match lower()")
   }
 
+  test("prCurve: hand-computed thresholds; cumsum matches single-col path") {
+    val scored = Seq((1L, 10L, 1), (2L, 10L, 0), (3L, 5L, 1), (4L, 0L, 0))
+      .toDF("doc_id", "margin", "y")
+    val out = QualityClassifier.prCurve(scored).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out == Map(
+      10L -> ((1L, 1L, 0.5, 0.5)),
+      5L -> ((2L, 1L, 2.0 / 3, 1.0)),
+      0L -> ((2L, 2L, 0.5, 1.0))))
+    // the multi-column cumsum must agree with the original single-column
+    // operator on each accumulated column
+    val per = Seq((1L, 3L, 7L), (2L, 4L, 1L), (3L, 5L, 2L))
+      .toDF("ord", "a", "b")
+    val multi = graft.operators.Packing
+      .cumsumDistributedCols(per, "ord", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    val single = graft.operators.Packing
+      .cumsumDistributed(per, "ord", "a")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(multi == Set((1L, 3L, 7L), (2L, 7L, 8L), (3L, 12L, 10L)))
+    assert(single == Set((1L, 3L), (2L, 7L), (3L, 12L)))
+  }
+
   test("docs with no words score margin 0 / pred false and are " +
       "retained in the output") {
     val train = Seq((1L, "spam spam", 1), (2L, "ham", 0))
