@@ -23,6 +23,13 @@ object Curation {
     else s"[array_to_string(ws[i:i+${n - 1}], ' ') " +
       s"for i in range(1, greatest(len(ws)-${n - 1}, 0)+1)]"
 
+  /** DuckDB parse of an 8-hex-char string to its BIGINT value — the
+    * md5-slice recipe (instr-based digit parse, as in q_dedup_simhash). */
+  private def duckHex8(s: String): String =
+    s"CAST(list_sum(list_transform(range(8), k -> " +
+      s"CAST(instr('0123456789abcdef', substr($s, CAST(k AS INT)+1, 1)) - 1 " +
+      s"AS BIGINT) << CAST(4*(7-k) AS BIGINT))) AS BIGINT)"
+
   private def duckDupFrac(glist: String): String =
     s"CASE WHEN len($glist) > 0 THEN " +
       s"1.0 - len(list_distinct($glist))::DOUBLE / len($glist) " +
@@ -957,6 +964,43 @@ object Curation {
             concat(lit(p1), col("text"), lit(p2))).as("clean"))
           .orderBy("doc_id")
       }
+    },
+
+    // Count-Min sketch heavy hitters (functions/CountMinSketch +
+    // operators/HeavyHitters): one-pass frequency estimation with
+    // O(depth×width) state — the sub-linear-shuffle tier of q_vocab.
+    // width=32 < |vocab| FORCES collisions, so est > cnt on some rows
+    // and the min-over-rows mechanism is genuinely exercised; both
+    // engines replay the identical md5-slice bucket counters (exact
+    // integer sums — order-independent), so est is bit-exact. The
+    // CMS overestimate guarantee (est ≥ cnt always) is pinned by
+    // CountMinSpec properties; here the oracle checks the values.
+    Probe.df("q_cms_heavy",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |t AS (SELECT unnest(ws) AS term FROM w),
+         |r AS (SELECT unnest([0, 1, 2]) AS i),
+         |hits AS (SELECT i, ${duckHex8("substr(md5(term), 8*i+1, 8)")} % 32
+         |    AS bucket FROM t, r),
+         |cnt AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM hits GROUP BY i, bucket),
+         |d AS (SELECT DISTINCT term FROM t),
+         |db AS (SELECT term, i,
+         |    ${duckHex8("substr(md5(term), 8*i+1, 8)")} % 32 AS bucket
+         |  FROM d, r),
+         |est AS (SELECT term, min(c) AS est FROM db
+         |  JOIN cnt USING (i, bucket) GROUP BY term),
+         |exact AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t GROUP BY term)
+         |SELECT term, est, cnt FROM est JOIN exact USING (term)
+         |WHERE est >= 500 ORDER BY term""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val exact = d.select(explode(
+          graft.operators.Dedup.words(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      graft.operators.HeavyHitters
+        .heavyHitters(d, "text", minCount = 500L, depth = 3, width = 32)
+        .join(exact, "term")
+        .orderBy("term")
     }
   )
 }
