@@ -1107,6 +1107,25 @@ object Pipeline {
       graft.operators.Pq.pqAdcTopK(
           e.filter(col("vec_id") < 3), enc, "vec_id", "embedding", cbs, 5)
         .orderBy("qid", "rank")
+    },
+
+    // Sparse random projection (operators/RandomProjection — Achlioptas
+    // JL transform): 64 → 32 dims through a constant md5-derived
+    // {+1,−1,0} sign matrix, vectors quantized by floor(x·2^20) so the
+    // accumulation is all-integer and bit-exact. A shuffle-free
+    // projection on Spark (matrix is a codegen constant); the oracle
+    // rebuilds the matrix in SQL and replays every dot product.
+    // Flattened to (vec_id, j, pj) scalar rows for the driver hash;
+    // the JL distance-preservation property is pinned by
+    // RandomProjectionSpec.
+    Probe.df("q_embed_project",
+      graft.operators.RandomProjection.oracleSql(
+        "embeddings", "vec_id", "embedding", 32, 64)) { (s, dir) =>
+      graft.operators.RandomProjection.project(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 32, 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "pj")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("pj"))
+        .orderBy("vec_id", "j")
     }
   )
 }
