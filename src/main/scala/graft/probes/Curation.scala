@@ -1001,6 +1001,31 @@ object Curation {
         .heavyHitters(d, "text", minCount = 500L, depth = 3, width = 32)
         .join(exact, "term")
         .orderBy("term")
+    },
+
+    // PageRank (operators/PageRank): the web-graph quality prior, in
+    // all-integer micro-unit arithmetic so three damped iterations
+    // hash-match DuckDB's unrolled-CTE replay bit-exactly (a floating
+    // PageRank never could — summation order). The corpus has no link
+    // graph, so edges are PLANTED: doc_id → (doc_id² + 13k) % N for
+    // k = 1..3 — quadratic residues collide, so in-degrees (and hence
+    // ranks) genuinely vary. N rides a broadcast 1-row count on the
+    // Spark side, a CTE on the oracle side.
+    Probe.df("q_pagerank",
+      graft.operators.PageRank.oracleSql(
+        """mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM documents),
+          |e AS (SELECT doc_id AS src, (doc_id*doc_id + 13*k) % m AS dst
+          |  FROM documents, mm, (SELECT unnest([1, 2, 3]) AS k) t)""".stripMargin,
+        iters = 3)) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val cnt = d.agg(count(lit(1)).as("m"))
+      val edges = d.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * col("doc_id") + lit(13)) % col("m"),
+          (col("doc_id") * col("doc_id") + lit(26)) % col("m"),
+          (col("doc_id") * col("doc_id") + lit(39)) % col("m"))).as("dst"))
+      graft.operators.PageRank.ranks(edges, iters = 3).orderBy("id")
     }
   )
 }
