@@ -302,6 +302,32 @@ object DFCompat {
       case _ => throw new IllegalArgumentException(
         "hashed_margin expects (text, foldable integral-array weights)")
     }
+    // count_min_sketch(term, depth, width) — the one-pass frequency
+    // sketch as a SQL aggregate (the analyzer wraps the raw aggregate
+    // function, exactly like the built-in registry entries)
+    reg("count_min_sketch") {
+      case Seq(e, Literal(d, IntegerType), Literal(w, IntegerType)) =>
+        graft.functions.CountMinSketch(
+          e, d.asInstanceOf[Int], w.asInstanceOf[Int])
+      case _ => throw new IllegalArgumentException(
+        "count_min_sketch expects (term, literal depth, literal width)")
+    }
+    // project_quant(vec, out_dim, in_dim[, scale_bits]) — the sparse
+    // JL projection; the md5-derived Achlioptas sign matrix is built
+    // here (deterministic), so SQL callers name only the shape
+    reg("project_quant") {
+      case Seq(e, Literal(o, IntegerType), Literal(i, IntegerType)) =>
+        graft.functions.ProjectQuant(e, graft.operators.RandomProjection
+          .signMatrix(o.asInstanceOf[Int], i.asInstanceOf[Int]), 20)
+      case Seq(e, Literal(o, IntegerType), Literal(i, IntegerType),
+          Literal(b, IntegerType)) =>
+        graft.functions.ProjectQuant(e, graft.operators.RandomProjection
+          .signMatrix(o.asInstanceOf[Int], i.asInstanceOf[Int]),
+          b.asInstanceOf[Int])
+      case _ => throw new IllegalArgumentException(
+        "project_quant expects (vec, literal out_dim, literal in_dim" +
+          "[, literal scale_bits])")
+    }
 
     // --- array mutation shims, built as raw lambda HOF trees (the
     // Column/functions API can't be used inside registry builders: its

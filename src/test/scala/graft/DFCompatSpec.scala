@@ -183,4 +183,27 @@ class DFCompatSpec extends AnyFunSuite {
       one("SELECT hashed_margin('x', array(cast(rand() * 0 as int)))")
     }
   }
+
+  test("sketch kernels are reachable from SQL (service surface)") {
+    // count_min_sketch: an aggregate — total hits = rows × depth, and
+    // estimating the seen term via the same md5-slice recipe is exact
+    // with no collisions at width 64
+    val sums = spark.sql(
+      """SELECT aggregate(cms, 0L, (a, x) -> a + x) AS total,
+        |  least(
+        |    element_at(cms, cast(conv(substring(md5('a'), 1, 8), 16, 10) % 64 as int) + 1),
+        |    element_at(cms, cast(64 + conv(substring(md5('a'), 9, 8), 16, 10) % 64 as int) + 1)) AS est
+        |FROM (SELECT count_min_sketch(t, 2, 64) AS cms
+        |      FROM VALUES ('a'), ('a'), ('b') AS v(t))""".stripMargin)
+      .collect().head
+    assert(sums.getLong(0) == 6L && sums.getLong(1) == 2L)
+    // project_quant: out_dim 2 over a 4-dim vector matches the operator
+    val m = graft.operators.RandomProjection.signMatrix(2, 4)
+    val q = Seq(1.5, -2.0, 0.25, 3.0).map(x => math.floor(x * (1 << 20)).toLong)
+    val expect = m.map(row => row.zip(q).map { case (s, v) => s * v }.sum)
+    val got = spark.sql(
+      "SELECT project_quant(array(1.5D, -2.0D, 0.25D, 3.0D), 2, 4) AS p")
+      .collect().head.getSeq[Long](0)
+    assert(got == expect)
+  }
 }
