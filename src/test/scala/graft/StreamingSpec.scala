@@ -498,4 +498,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
       Seq((1L, 3L), (1L, 1L), (2L, 1L)))
   }
+
+  test("count-min sketch aggregates across streaming micro-batches " +
+      "(complete mode) and equals the batch sketch") {
+    // The CMS buffer serializes into the streaming aggregation state
+    // store, so a live heavy-hitter monitor is the SAME operator as the
+    // batch sketch — partials merged per micro-batch, counters exact.
+    import graft.operators.HeavyHitters
+    val dir = Files.createTempDirectory("graft_stream_cms").toFile
+    val out = s"graft_cms_out_${System.nanoTime()}"
+    val b1 = Seq((1L, "apple banana apple"), (2L, "cherry banana"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "apple date date"), (4L, "banana"))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(s"$dir/b1")
+
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = HeavyHitters.sketch(stream, "text", depth = 2, width = 32)
+      .writeStream.format("memory").queryName(out)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table(out).collect().head.getSeq[Long](0)
+    val batch = HeavyHitters.sketch(b1.union(b2), "text", 2, 32)
+      .collect().head.getSeq[Long](0)
+    assert(streamed == batch)
+    assert(streamed.sum == 9L * 2) // 9 words x depth
+  }
 }
