@@ -166,6 +166,17 @@ class GraftTable(
       val w = aligned.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
+      // The V1 writer emits a zero-row part file for an empty frame (a
+      // rewrite whose pruned files left no survivors). Committing it
+      // would inflate every later snapshot's file inventory — Iceberg
+      // skips empty files; so do we. Footer reads are bounded by the
+      // rewrite's own output size.
+      scala.util.Using.resource(Files.walk(tmp)) { st =>
+        st.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .filter(p => ParquetStats.rowCount(p.toString) == 0L)
+          .toList.foreach(Files.deleteIfExists(_))
+      }
       publishAndCommit(tmp, overwrite, replacedBase)
     } finally {
       if (Files.exists(tmp)) {

@@ -23,7 +23,7 @@ object Procedures {
   val Namespace: Array[String] = Array("system")
 
   def list(): Array[Identifier] =
-    Array("compact", "zorder", "expire_snapshots")
+    Array("compact", "zorder", "expire_snapshots", "changes")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -81,6 +81,27 @@ object Procedures {
         val (dropped, deleted) = Maintenance.expireSnapshots(
           SparkSession.active, full(in), in.getInt(1))
         Array(new GenericInternalRow(Array[Any](dropped, deleted)))
+      }
+      case "changes" => proc(
+        "changes",
+        "per-snapshot file-level change summary between versions " +
+          "(from_version, to_version] — the metadata half of the " +
+          "Changelog scan (Iceberg table_changes planning)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("from_version", IntegerType).build(),
+          ProcedureParameter.in("to_version", IntegerType).build()),
+        StructType(Seq(StructField("version", LongType),
+          StructField("ts_millis", LongType),
+          StructField("files_added", IntegerType),
+          StructField("files_removed", IntegerType)))) { in =>
+        val dir = Maintenance.tableDir(SparkSession.active, full(in))
+        Changelog.fileChanges(dir, in.getInt(1).toLong, in.getInt(2).toLong)
+          .map { case (s, added, removed) =>
+            new GenericInternalRow(Array[Any](
+              s.version, s.tsMillis, added.size, removed.size))
+              : InternalRow
+          }.toArray
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.system.$other " +

@@ -767,4 +767,42 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT _file FROM g2.db.fshadow").collect()
       .map(_.getString(0)).toSeq == Seq("data-val"))
   }
+
+  test("changelog reads only the rows that changed between versions") {
+    import graft.catalog.Changelog
+    spark.sql("CREATE TABLE g2.db.cdc (a INT, grp STRING)")       // v1
+    spark.sql("INSERT INTO g2.db.cdc VALUES (1,'k'), (2,'d')")    // v2
+    spark.sql("INSERT INTO g2.db.cdc VALUES (3,'k')")             // v3
+    spark.sql("DELETE FROM g2.db.cdc WHERE grp = 'd'")            // v4: COW
+    def rows(from: Long, to: Long) =
+      Changelog.read(spark, "g2.db.cdc", from, to)
+        .select("a", "_change_type", "_commit_version")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .toSet
+    // appends are pure inserts
+    assert(rows(1, 3) == Set((1, "insert", 2L), (2, "insert", 2L),
+      (3, "insert", 3L)))
+    // the COW DELETE is FILE-granular: footer stats prune the rewrite to
+    // the file(s) that may match, so only (2,'d')'s file rewrites — a
+    // whole-file delete with no survivors re-inserted (and no empty
+    // survivor file committed)
+    assert(rows(3, 4) == Set((2, "delete", 4L)))
+    // empty range -> empty frame with the changelog schema
+    val empty = Changelog.read(spark, "g2.db.cdc", 4, 4)
+    assert(empty.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version") && empty.isEmpty)
+    // tailing from v0 replays everything
+    assert(rows(0, 4).count(_._2 == "insert") == 3)
+  }
+
+  test("CALL changes returns the per-version file-level summary") {
+    spark.sql("CREATE TABLE g2.db.cdcsum (a INT)")                 // v1
+    spark.sql("INSERT INTO g2.db.cdcsum VALUES (1)")               // v2
+    spark.sql("INSERT INTO g2.db.cdcsum VALUES (2)")               // v3
+    spark.sql("DELETE FROM g2.db.cdcsum WHERE a = 1")              // v4
+    val got = spark.sql("CALL g2.system.changes('db.cdcsum', 1, 4)")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq((2L, 1, 0), (3L, 1, 0), (4L, 0, 1)),
+      s"unexpected summary $got")
+  }
 }
