@@ -26,7 +26,8 @@ object SparkEntry {
     probes.SourcesSinks.probes ++
     probes.Headline.probes ++
     probes.TpchFull.probes ++
-    probes.Extras.probes
+    probes.Extras.probes ++
+    probes.Selection.probes
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

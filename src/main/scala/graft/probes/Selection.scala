@@ -1,0 +1,99 @@
+package graft.probes
+
+import graft.{Probe, Tables}
+import graft.operators.{Bm25, Coreset, Retrieval, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-fusion and data-selection probes: reciprocal-rank fusion of
+  * a lexical (BM25) and a semantic (embedding-cosine) run, and greedy
+  * k-center coreset selection — both integer-exact end to end (fixed
+  * point / quantized squared-L2), so the full trajectory hash-matches
+  * the DuckDB replay.
+  */
+object Selection {
+
+  private val duckWords =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  private val RrfTerms = Seq("table", "query", "spark", "join", "stream")
+  private val RrfUnit = 1L << 40 // 1099511627776
+
+  val probes: Seq[Probe] = Seq(
+
+    // Hybrid retrieval: BM25 top-20 (ranked by the quantized idf-free
+    // core — integer-exact) fused with embedding-cosine top-20 against
+    // the vec_id=0 query vector via fixed-point RRF. Ranks are the only
+    // thing crossing the fusion boundary; the fused score is an integer
+    // sum of integer divisions, so selection AND order hash-match.
+    Probe.df("q_retrieval_rrf",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |               CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM w),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS wd FROM w),
+         |tf AS (SELECT doc_id, dl, wd, count(*) AS tf FROM t
+         |       WHERE wd IN ('table','query','spark','join','stream')
+         |       GROUP BY 1, 2, 3),
+         |p AS (SELECT tf.doc_id,
+         |    (tf.tf::DOUBLE * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |  / (tf.tf::DOUBLE + CAST(1.2 AS DOUBLE) *
+         |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+         |        (tf.dl::DOUBLE / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE))))
+         |    AS core
+         |  FROM tf, st),
+         |bs AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(core * 1073741824) AS BIGINT)) AS BIGINT)
+         |      AS s
+         |  FROM p GROUP BY doc_id),
+         |lr AS (SELECT id, rank FROM (
+         |    SELECT doc_id AS id, CAST(row_number() OVER
+         |      (ORDER BY s DESC, doc_id) AS BIGINT) AS rank FROM bs)
+         |  WHERE rank <= 20),
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id AS id,
+         |    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+         |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+         |  FROM embeddings c, qv q WHERE c.vec_id <> 0),
+         |sr AS (SELECT id, rank FROM (
+         |    SELECT id, CAST(row_number() OVER
+         |      (ORDER BY cos DESC, id) AS BIGINT) AS rank FROM sc)
+         |  WHERE rank <= 20),
+         |u AS (SELECT * FROM lr UNION ALL SELECT * FROM sr),
+         |f AS (SELECT id, CAST(count(*) AS BIGINT) AS n_runs,
+         |    CAST(min(rank) AS BIGINT) AS best_rank,
+         |    CAST(sum($RrfUnit // (60 + rank)) AS BIGINT) AS rrf_q
+         |  FROM u GROUP BY id),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |    (ORDER BY rrf_q DESC, id) AS INT) AS fused_rank FROM f)
+         |SELECT id, n_runs, best_rank, rrf_q, fused_rank FROM r
+         |WHERE fused_rank <= 10
+         |ORDER BY fused_rank""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val lex = Bm25.score(docs, "doc_id", "text", RrfTerms)
+        .select(col("id"), col("sum_qcore"))
+      val lr = graft.plans.TopK.perKey(lex, Seq.empty,
+          Seq(("sum_qcore", false), ("id", true)), k = 20)
+        .select(col("id"), col("rank"))
+      val e = Tables.load(s, dir, "embeddings")
+      val sr = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") === 0), e, "vec_id", "embedding", 20)
+        .select(col("nid").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lr, sr), Seq.empty, "id", "rank",
+          kRrf = 60, topN = 10, unit = RrfUnit)
+        .select(col("id"), col("n_runs"), col("best_rank"), col("rrf_q"),
+          col("fused_rank"))
+        .orderBy("fused_rank")
+    },
+
+    // Greedy k-center coreset (farthest-point-first) over the embedding
+    // table: quantized integer squared-L2 makes every argmax step and
+    // the final nearest-center assignment bit-exact, so the DuckDB
+    // oracle replays the entire greedy trajectory as unrolled CTEs.
+    Probe.df("q_coreset_kcenter",
+      Coreset.oracleSql("embeddings", "vec_id", "embedding",
+        k = 6, dim = 64)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val centers = Coreset.kCenterGreedy(e, "vec_id", "embedding", k = 6)
+      Coreset.assign(e, "vec_id", "embedding", centers).orderBy("id")
+    })
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Coreset, Retrieval}
+
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val U = 1L << 40
+
+  test("rrfFuse sums integer reciprocals and breaks score ties by id") {
+    val run1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "rank")
+    val run2 = Seq(("b", 1), ("a", 2), ("d", 3)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(run1, run2), Seq.empty, "id", "rank",
+        kRrf = 60, topN = 10, unit = U)
+      .orderBy("fused_rank").collect()
+    val byId = out.map(r => r.getAs[String]("id") ->
+      (r.getAs[Long]("n_runs"), r.getAs[Long]("best_rank"),
+        r.getAs[Long]("rrf_q"), r.getAs[Int]("fused_rank"))).toMap
+    // a and b have identical fused scores (u/61 + u/62) — tie falls to id
+    val ab = U / 61 + U / 62
+    assert(byId("a") == ((2L, 1L, ab, 1)))
+    assert(byId("b") == ((2L, 1L, ab, 2)))
+    assert(byId("c") == ((1L, 3L, U / 63, 3)))
+    assert(byId("d") == ((1L, 3L, U / 63, 4)))
+  }
+
+  test("rrfFuse is per-key when keyCols are given and cuts at topN") {
+    val run1 = Seq((1, "a", 1), (1, "b", 2), (2, "x", 1)).toDF("q", "id", "rank")
+    val run2 = Seq((1, "b", 1), (2, "y", 1)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(Seq(run1, run2), Seq("q"), "id", "rank",
+        kRrf = 60, topN = 1, unit = U)
+      .orderBy("q").collect()
+    assert(out.length == 2) // one winner per query
+    val q1 = out(0)
+    assert(q1.getAs[Int]("q") == 1 && q1.getAs[String]("id") == "b")
+    assert(q1.getAs[Long]("rrf_q") == U / 62 + U / 61)
+    val q2 = out(1)
+    // x and y tie at u/61 within query 2 — id breaks it
+    assert(q2.getAs[Int]("q") == 2 && q2.getAs[String]("id") == "x")
+  }
+
+  // collinear points: positions 0, 1, 2, 10, 20 (×1024 after quantizing)
+  private lazy val line = Seq(
+    (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)),
+    (3L, Seq(10f, 0f)), (4L, Seq(20f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("kCenterGreedy walks the farthest-point trajectory deterministically") {
+    val cs = Coreset.kCenterGreedy(line, "vec_id", "embedding", k = 3)
+    def sq(x: Long) = x * x
+    // seed = min id; then 20 (farthest from 0); then 10 (min-dist
+    // max over remaining: min(10,10)² beats 1, 2's)
+    assert(cs.map(_.id) == Seq(0L, 4L, 3L))
+    assert(cs.map(_.radiusQ) == Seq(-1L, sq(20 * 1024), sq(10 * 1024)))
+    // radii never increase after the seed
+    assert(cs.drop(1).map(_.radiusQ) == cs.drop(1).map(_.radiusQ).sorted.reverse)
+  }
+
+  test("assign picks the nearest center, earliest iter on exact ties") {
+    val cs = Coreset.kCenterGreedy(line, "vec_id", "embedding", k = 3)
+    val a = Coreset.assign(line, "vec_id", "embedding", cs)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(a(0L) == ((0L, 1L, 0L)))
+    assert(a(4L) == ((4L, 2L, 0L)))
+    assert(a(3L) == ((3L, 3L, 0L)))
+    assert(a(1L) == ((0L, 1L, 1024L * 1024)))
+    assert(a(2L) == ((0L, 1L, 2048L * 2048)))
+    // exact tie: a point at 15 is equidistant to centers 10 (iter 3)
+    // and 20 (iter 2) — the EARLIER center (iter 2) must win
+    val tied = Seq((9L, Seq(15f, 0f))).toDF("vec_id", "embedding")
+    val t = Coreset.assign(tied, "vec_id", "embedding", cs).collect()(0)
+    assert(t.getAs[Long]("center_id") == 4L &&
+      t.getAs[Long]("center_iter") == 2L)
+  }
+
+  test("kCenterGreedy k=1 returns only the seed; empty corpus throws") {
+    val cs = Coreset.kCenterGreedy(line, "vec_id", "embedding", k = 1)
+    assert(cs == Seq(Coreset.Center(1, 0L, Seq(0L, 0L), -1L)))
+    val empty = line.filter(col("vec_id") < 0)
+    intercept[IllegalArgumentException] {
+      Coreset.kCenterGreedy(empty, "vec_id", "embedding", k = 2)
+    }
+  }
+}
