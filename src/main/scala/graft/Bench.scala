@@ -21,6 +21,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // A JVM that executes MANY distinct plans (this suite runs 40+
+      // queries x 3 passes) churns Spark's generated-class cache, whose
+      // DEFAULT capacity is 100 entries: once it overflows, every
+      // execution Janino-recompiles evicted classes and runs them
+      // cold — the round-11 diagnosis measured late-suite stages 5-10x
+      // slower (q_fingerprint_overlap_banded standalone 26s vs 2.5s
+      // with a right-sized cache). Size it to the workload.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // The default 4 MB file-open cost caps a 10 MB local parquet at ~3
       // splits — 3 of 32 threads busy on every scan-bound global
       // aggregate. The local files have no open latency; 256 KB lets the
@@ -74,6 +82,20 @@ object Bench {
       // driver bench). Each pass still builds its own cache inside the
       // timed region, so timings stay comparable.
       spark.catalog.clearCache()
+      // Driver GC pacing, also OUTSIDE the timer: broadcast blocks and
+      // shuffle state are reclaimed by ContextCleaner only after their
+      // weak references are GC'd on the DRIVER, and Spark's own safety
+      // net (spark.cleaner.periodicGC.interval) fires every 30 MINUTES —
+      // longer than this whole bench. A query whose operator loop
+      // broadcasts per iteration (classifier training) plus ~40 other
+      // queries x 3 passes accumulates enough dead broadcast/shuffle
+      // blocks to squeeze executor memory, and late-suite stages ran
+      // 5-10x slow (round-11 diagnosis: q_fingerprint_overlap_banded
+      // standalone 26s after the full suite vs 2.7s without the
+      // classifier in the set). An explicit collection per query keeps
+      // the cleaner's queue drained; a real cluster driver does the same
+      // pacing via its idle GCs, which this single-JVM loop never gets.
+      System.gc()
       t
     }
 

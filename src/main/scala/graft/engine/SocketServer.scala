@@ -294,6 +294,10 @@ object ServerMain {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // long-lived service: many distinct statements overflow the
+      // 100-entry generated-class cache default (Bench.scala round-11
+      // note) — size for a service workload
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.headOption.foreach { sfDir =>
