@@ -199,4 +199,38 @@ object Stats {
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as(s"wp"))
   }
+
+  /** Per-group robust outlier detection: flag rows whose absolute
+    * deviation from the group MEDIAN exceeds `c` × the group's median
+    * absolute deviation (Hampel's MAD rule — the robust z-score every
+    * metrics/telemetry curation pass reaches for, immune to the very
+    * outliers a mean/stddev rule would absorb).
+    *
+    * EXACTNESS: the caller hands an INTEGER value column (quantize a
+    * double upstream: `floor(x·10^k)` is one exact-rounded multiply +
+    * floor, bit-identical cross-engine). Medians of integers
+    * interpolate to exact halves and MADs to exact quarters — all
+    * representable doubles — so `dev > c·mad` compares bit-identical
+    * values in both engines and the FLAG (which picks rows) can never
+    * drift, unlike a float median on raw doubles (ULP-safe for VALUES,
+    * unsafe for selections — the FIXTURES recipe).
+    *
+    * Scale shape: two grouped aggregates (the med pass, then the MAD
+    * pass over deviations) + two broadcast joins of group-sized stats
+    * back to the stream; the value rows shuffle on the group key twice
+    * and are never collected. Output: every input row + `med`, `mad`,
+    * `dev`, `is_outlier`. */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, c: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "robustOutliers needs grouping columns")
+    val g = groupCols.map(col)
+    val med = df.groupBy(g: _*)
+      .agg(median(col(valueCol)).as("med"))
+    val withMed = df.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col(valueCol).cast("double") - col("med")))
+    val mad = withMed.groupBy(g: _*)
+      .agg(median(col("dev")).as("mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier", col("dev") > lit(c) * col("mad"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
+import org.apache.spark.sql.functions.{col, floor}
 
 /** Late-round coverage: argmin/argmax aggregates, subquery in HAVING,
   * inverse-trig/hyperbolic math, bit_count, the TopKPerKey custom
@@ -161,6 +162,34 @@ object Extras {
           Tables.load(s, dir, "events"), "user_id", "ts",
           gapSeconds = 1800, tieBreak = Seq("event_id"))
         .orderBy("user_id", "session_seq")
+    },
+
+    // Robust per-group outliers (Hampel MAD rule) on the skewed
+    // events.value stream, quantized to integer milli-units so medians
+    // interpolate to exact halves/quarters and the outlier FLAG (which
+    // picks rows) is bit-identical cross-engine; ~11% of events flag at
+    // c=3, so the probe exercises both branches. Bare 3.0 would be
+    // DECIMAL in DuckDB — CAST keeps the multiply in doubles.
+    Probe.df("q_outlier_mad",
+      """WITH b AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |m AS (SELECT event_type, median(v) AS med FROM b
+        |      GROUP BY event_type),
+        |d AS (SELECT b.event_id, b.event_type, b.v, m.med,
+        |    abs(b.v - m.med) AS dev FROM b JOIN m USING (event_type)),
+        |m2 AS (SELECT event_type, median(dev) AS mad FROM d
+        |       GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.v, d.med, m2.mad, d.dev,
+        |  (d.dev > CAST(3.0 AS DOUBLE) * m2.mad) AS is_outlier
+        |FROM d JOIN m2 USING (event_type)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val b = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 1000).cast("long").as("v"))
+      graft.operators.Stats.robustOutliers(b, Seq("event_type"), "v")
+        .select(col("event_id"), col("event_type"), col("v"), col("med"),
+          col("mad"), col("dev"), col("is_outlier"))
+        .orderBy("event_id")
     },
 
     // Custom whole-operator path (LogicalPlan + Strategy + SparkPlan with

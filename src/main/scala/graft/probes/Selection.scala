@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Bm25, Coreset, Retrieval, Similarity}
+import graft.operators.{Bm25, Coreset, Dedup, Retrieval, RetrievalEval, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Retrieval-fusion and data-selection probes: reciprocal-rank fusion of
@@ -95,5 +95,70 @@ object Selection {
       val e = Tables.load(s, dir, "embeddings")
       val centers = Coreset.kCenterGreedy(e, "vec_id", "embedding", k = 6)
       Coreset.assign(e, "vec_id", "embedding", centers).orderBy("id")
+    },
+
+    // Ranking-metric eval: three single-term BM25 runs scored against
+    // sparse tf>=6 relevance judgments (sparser than the ranking signal,
+    // so hits, precision counts and first_rel_rank genuinely vary per
+    // query) — per-query hits@10, precision counts and fixed-point
+    // reciprocal rank, all integers (the nDCG log2 discount is
+    // deliberately absent — not correctly-rounded IEEE).
+    Probe.df("q_retrieval_eval",
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |               CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM w),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS wd FROM w),
+         |tf AS (SELECT wd AS qid, doc_id, dl, count(*) AS tf FROM t
+         |       WHERE wd IN ('table','spark','stream')
+         |       GROUP BY 1, 2, 3),
+         |p AS (SELECT qid, doc_id,
+         |    (tf.tf::DOUBLE * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |  / (tf.tf::DOUBLE + CAST(1.2 AS DOUBLE) *
+         |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+         |        (tf.dl::DOUBLE / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE))))
+         |    AS core
+         |  FROM tf, st),
+         |run AS (SELECT qid, id, rank FROM (
+         |    SELECT qid, doc_id AS id, CAST(row_number() OVER
+         |      (PARTITION BY qid ORDER BY
+         |        CAST(floor(core * 1073741824) AS BIGINT) DESC, doc_id)
+         |      AS BIGINT) AS rank FROM p)
+         |  WHERE rank <= 50),
+         |qr AS (SELECT qid, doc_id AS id, 1 AS rel FROM tf WHERE tf >= 6),
+         |f AS (SELECT coalesce(r.qid, q.qid) AS qid, r.rank, q.rel
+         |  FROM run r FULL JOIN qr q ON r.qid = q.qid AND r.id = q.id),
+         |m AS (SELECT qid,
+         |    CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_rel,
+         |    CAST(sum(CASE WHEN rank IS NOT NULL AND rank <= 10
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ret,
+         |    CAST(sum(CASE WHEN rel IS NOT NULL AND rank <= 10
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+         |    CAST(coalesce(min(CASE WHEN rel IS NOT NULL THEN rank END), 0)
+         |      AS BIGINT) AS first_rel_rank
+         |  FROM f GROUP BY qid)
+         |SELECT qid, n_rel, n_ret, n_rel_at_k, first_rel_rank,
+         |  CAST(CASE WHEN first_rel_rank > 0
+         |    THEN $RrfUnit // first_rel_rank ELSE 0 END AS BIGINT) AS rr_q
+         |FROM m ORDER BY qid""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val terms = Seq("table", "spark", "stream")
+      val all = terms.map { t =>
+        Bm25.score(docs, "doc_id", "text", Seq(t))
+          .select(lit(t).as("qid"), col("id"), col("sum_qcore"))
+      }.reduce(_ unionByName _)
+      val run = graft.plans.TopK.perKey(all, Seq("qid"),
+          Seq(("sum_qcore", false), ("id", true)), k = 50)
+        .select(col("qid"), col("id"), col("rank"))
+      val qrels = docs
+        .select(col("doc_id").as("id"),
+          explode(Dedup.words(col("text"))).as("w"))
+        .where(col("w").isin(terms: _*))
+        .groupBy(col("w").as("qid"), col("id"))
+        .agg(count(lit(1)).as("tf"))
+        .where(col("tf") >= 6)
+        .select(col("qid"), col("id"))
+      RetrievalEval.atK(run, qrels, k = 10, unit = RrfUnit)
+        .orderBy("qid")
     })
 }

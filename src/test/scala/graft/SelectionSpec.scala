@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Coreset, Retrieval}
+import graft.operators.{Coreset, Retrieval, RetrievalEval}
 
 class SelectionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -77,6 +77,26 @@ class SelectionSpec extends AnyFunSuite {
     val t = Coreset.assign(tied, "vec_id", "embedding", cs).collect()(0)
     assert(t.getAs[Long]("center_id") == 4L &&
       t.getAs[Long]("center_iter") == 2L)
+  }
+
+  test("RetrievalEval.atK scores hits, precision counts and fixed-point RR") {
+    // q1: relevant {b, z}; run has b at rank 2 (z never retrieved)
+    // q2: relevant {m};   run misses it inside k=2 but finds it at 3
+    // q3: judged relevant only — never retrieved at all
+    // q4: retrieved only — no judgments
+    val run = Seq(("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+      ("q2", "x", 1), ("q2", "y", 2), ("q2", "m", 3),
+      ("q4", "w", 1)).toDF("qid", "id", "rank")
+    val qrels = Seq(("q1", "b"), ("q1", "z"), ("q2", "m"), ("q3", "r"))
+      .toDF("qid", "id")
+    val out = RetrievalEval.atK(run, qrels, k = 2, unit = U)
+      .orderBy("qid").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("q1") == ((2L, 2L, 1L, 2L, U / 2)))
+    assert(out("q2") == ((1L, 2L, 0L, 3L, U / 3)))
+    assert(out("q3") == ((1L, 0L, 0L, 0L, 0L)))
+    assert(out("q4") == ((0L, 1L, 0L, 0L, 0L)))
   }
 
   test("kCenterGreedy k=1 returns only the seed; empty corpus throws") {

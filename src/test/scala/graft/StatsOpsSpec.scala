@@ -104,4 +104,27 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Sort [__v"), plan)
     assert(!plan.contains("ntile("), plan)
   }
+
+  test("robustOutliers: MAD rule, zero-MAD groups, strict boundary") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 0L), ("b", 0L), ("b", 0L), ("b", 4L), // mad = 0: any dev > 0
+      ("c", 1L), ("c", 3L)                        // dev == c·mad at c=1
+    ).toDF("g", "v")
+    val out = Stats.robustOutliers(df, Seq("g"), "v", c = 3.0)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v")) ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Boolean]("is_outlier"))).toMap
+    assert(out(("a", 3L)) == ((3.0, 1.0, false)))
+    assert(out(("a", 100L)) == ((3.0, 1.0, true)))
+    assert(out(("a", 1L))._3 == false)           // dev 2 <= 3
+    assert(out(("b", 4L)) == ((0.0, 0.0, true))) // dev 4 > 0
+    assert(out(("b", 0L))._3 == false)
+    // c = 1: both rows of group c sit EXACTLY at dev == c·mad (1.0);
+    // the rule is strict >, so neither flags
+    val tight = Stats.robustOutliers(df.filter($"g" === "c"), Seq("g"),
+      "v", c = 1.0).collect()
+    assert(tight.forall(!_.getAs[Boolean]("is_outlier")))
+    assert(tight.forall(_.getAs[Double]("med") == 2.0))
+  }
 }
