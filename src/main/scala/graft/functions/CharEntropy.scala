@@ -60,16 +60,23 @@ object CharEntropy {
   def compute(s: UTF8String): InternalRow = {
     val str = s.toString
     val len = str.length
-    // codepoint counts: dense array for ASCII (the hot path), map beyond
+    // codepoint counts: dense array for ASCII (the hot path), map
+    // beyond. The non-ASCII map MUST iterate in a permutation-invariant
+    // order (sorted keys): a HashMap's collision chains order by
+    // INSERTION, so two anagram strings could sum the entropy terms in
+    // different orders and differ by an ULP — caught as a rare
+    // ScalaCheck flake in the "permutation-invariant (exactly)"
+    // property (round 11). Entropy of a bag must not depend on the
+    // order the bag was written in.
     val ascii = new Array[Int](128)
-    var other: java.util.HashMap[Integer, Integer] = null
+    var other: java.util.TreeMap[Integer, Integer] = null
     var n = 0L
     var i = 0
     while (i < len) {
       val cp = str.codePointAt(i)
       if (cp < 128) ascii(cp) += 1
       else {
-        if (other == null) other = new java.util.HashMap[Integer, Integer]()
+        if (other == null) other = new java.util.TreeMap[Integer, Integer]()
         other.merge(cp, 1, (a, b) => a + b)
       }
       n += 1
