@@ -88,5 +88,9 @@ object SparkEntry {
     // round 11: trained quality classifier — 3 perceptron sweeps over
     // the persisted id-partitioned feature table (broadcast model join
     // per sweep, one dim-row shuffle each) + whole-corpus scoring
-    "q_quality_classifier")
+    "q_quality_classifier",
+    // round 11 late: hybrid retrieval composition — BM25 + brute-force
+    // cosine runs fused by fixed-point RRF, both top-N cuts on the
+    // bounded-heap operator (two heaps, candidate-stream-only shuffle)
+    "q_retrieval_rrf")
 }

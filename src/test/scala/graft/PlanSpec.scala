@@ -352,4 +352,29 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
         .mkString("\n"))
   }
+
+  test("coreset assignment is a shuffle-free projection (centers fold " +
+      "as literals — no join, no exchange)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centers = graft.operators.Coreset
+      .kCenterGreedy(e, "vec_id", "embedding", k = 3)
+    val p = graft.operators.Coreset
+      .assign(e, "vec_id", "embedding", centers)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("RRF fusion cuts per-key top-N with the bounded-heap operator, " +
+      "not a sort (only the candidate stream shuffles)") {
+    val df = SparkEntry.queries("q_retrieval_rrf")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // two bounded heaps: the lexical run's top-20 cut AND the fusion's
+    // top-N cut (the semantic run's window rank is inside
+    // bruteForceTopK and sorts only its k-bounded candidate set)
+    val heaps = p.linesIterator.count(_.contains("TopKPerKey"))
+    assert(heaps == 2, s"expected 2 bounded-heap cuts, saw $heaps:\n" +
+      p.take(1200))
+  }
 }
