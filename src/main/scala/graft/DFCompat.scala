@@ -259,6 +259,21 @@ object DFCompat {
     reg("char_entropy") { case Seq(e) =>
       GetStructField(graft.functions.CharEntropy(e), 2, Some("char_entropy"))
     }
+    // vector kernels (the Similarity codegen expressions) — similarity
+    // search from plain SQL: cosine_sim(a, b), dot_product(a, b),
+    // vec_norm(a). SQL literals arrive as array<decimal> (a bare 3.0 is
+    // DECIMAL), so coerce every argument to array<double> — exact for
+    // the float columns the kernels already accept, and the cast is a
+    // no-op on double input
+    def vec(e: Expression): Expression =
+      Cast(e, ArrayType(DoubleType, containsNull = true))
+    reg("cosine_sim") { case Seq(a, b) =>
+      graft.functions.CosineSim(vec(a), vec(b))
+    }
+    reg("dot_product") { case Seq(a, b) =>
+      graft.functions.DotProduct(vec(a), vec(b))
+    }
+    reg("vec_norm") { case Seq(a) => graft.functions.VecNorm(vec(a)) }
     // char_grams(text[, n]) — normalized character n-grams (LangId's
     // feature extractor)
     reg("char_grams") {

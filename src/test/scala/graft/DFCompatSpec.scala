@@ -182,6 +182,16 @@ class DFCompatSpec extends AnyFunSuite {
     intercept[Exception] {
       one("SELECT hashed_margin('x', array(cast(rand() * 0 as int)))")
     }
+    // vector kernels: 3-4-5 triangle — dot((3,4),(3,4)) = 25, norm 5;
+    // orthogonal unit vectors → cosine 0; parallel → 1
+    assert(one("SELECT dot_product(array(3.0, 4.0), array(3.0, 4.0))")
+      == 25.0)
+    assert(one("SELECT vec_norm(array(3.0, 4.0))") == 5.0)
+    assert(one("SELECT cosine_sim(array(1.0, 0.0), array(0.0, 2.0))")
+      == 0.0)
+    // parallel vectors: sqrt(5)*sqrt(20) is not exactly 10 in doubles
+    assert(math.abs(one("SELECT cosine_sim(array(1.0, 2.0), array(2.0, 4.0))")
+      .asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
   test("sketch kernels are reachable from SQL (service surface)") {
