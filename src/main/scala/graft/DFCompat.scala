@@ -264,16 +264,38 @@ object DFCompat {
     // vec_norm(a). SQL literals arrive as array<decimal> (a bare 3.0 is
     // DECIMAL), so coerce every argument to array<double> — exact for
     // the float columns the kernels already accept, and the cast is a
-    // no-op on double input
-    def vec(e: Expression): Expression =
-      Cast(e, ArrayType(DoubleType, containsNull = true))
-    reg("cosine_sim") { case Seq(a, b) =>
-      graft.functions.CosineSim(vec(a), vec(b))
+    // no-op on double input. The kernels assume dense same-length
+    // vectors (the Scala operator path only ever feeds them parquet
+    // float arrays); arbitrary SQL can hand them a NULL element (the
+    // kernel would read 0.0) or mismatched lengths (it would truncate
+    // to the shorter) — both silent wrong answers, so the SQL surface
+    // guards them to NULL, the standard SQL contagion for undefined
+    // input.
+    locally {
+      def vec(e: Expression): Expression =
+        Cast(e, ArrayType(DoubleType, containsNull = true))
+      def hasNullElem(a: Expression): Expression = {
+        val x = UnresolvedNamedLambdaVariable(Seq("__v_x"))
+        ArrayExists(a, LambdaFunction(IsNull(x), Seq(x)))
+      }
+      def nullDouble: Expression = Literal.create(null, DoubleType)
+      def guard2(a: Expression, b: Expression)(
+          mk: (Expression, Expression) => Expression): Expression = {
+        If(Or(Or(hasNullElem(a), hasNullElem(b)),
+            Not(EqualTo(Size(a), Size(b)))),
+          nullDouble, mk(a, b))
+      }
+      reg("cosine_sim") { case Seq(a, b) =>
+        guard2(vec(a), vec(b))(graft.functions.CosineSim(_, _))
+      }
+      reg("dot_product") { case Seq(a, b) =>
+        guard2(vec(a), vec(b))(graft.functions.DotProduct(_, _))
+      }
+      reg("vec_norm") { case Seq(a) =>
+        val v = vec(a)
+        If(hasNullElem(v), nullDouble, graft.functions.VecNorm(v))
+      }
     }
-    reg("dot_product") { case Seq(a, b) =>
-      graft.functions.DotProduct(vec(a), vec(b))
-    }
-    reg("vec_norm") { case Seq(a) => graft.functions.VecNorm(vec(a)) }
     // char_grams(text[, n]) — normalized character n-grams (LangId's
     // feature extractor)
     reg("char_grams") {

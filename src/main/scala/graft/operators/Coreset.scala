@@ -19,15 +19,20 @@ import org.apache.spark.sql.functions._
   * bit-exact under any partitioning, so every argmax (ties broken by
   * min id) is deterministic and the whole greedy trajectory replays in
   * DuckDB as an unrolled CTE chain (the [[PageRank]] recipe; floating
-  * distances could never hash-match the selection cross-engine).
+  * distances could never hash-match the selection cross-engine). Each
+  * [[Center]] carries the scale it was quantized at, so a later
+  * [[assign]] can never silently mix units.
   *
-  * Scale shape: the quantized corpus persists once; each of the k
-  * iterations is ONE shuffle-free job — a scan + "min distance to the
-  * selected set" projection (selected centers ride along as literals,
-  * O(k·dim) of them) + a top-1 TakeOrdered reduce. Total O(k·n·dim)
-  * work, O(k) driver rows collected — the canonical distributed
-  * farthest-point sweep. Final assignment is again one projection
-  * (argmin over the k literal centers), no join, no shuffle.
+  * Scale shape: the RUNNING MINIMUM distance is a persisted column —
+  * iteration t is one shuffle-free job over the persisted
+  * (id, q, mind) generation: a top-1 TakeOrdered argmax, then a
+  * projection folding in ONLY the newest center's distance
+  * (`least(mind, dist)`), persisted as generation t+1; generation t-1
+  * unpersists once t is materialized. Total O(k·n·dim) work (NOT
+  * k²·n·dim — distances to old centers are never recomputed), O(k)
+  * driver rows collected — the canonical distributed farthest-point
+  * sweep. Final assignment is one projection (argmin over the k
+  * literal centers), no join, no shuffle.
   */
 object Coreset {
 
@@ -44,13 +49,18 @@ object Coreset {
   }
 
   /** One selected center: 1-based selection order, its id, quantized
-    * vector, and `radius_q` = its squared distance to the previously
-    * selected set at selection time (the coverage radius sequence,
-    * monotonically non-increasing; -1 for the seed). */
-  final case class Center(iter: Int, id: Long, vec: Seq[Long], radiusQ: Long)
+    * vector (at `scale`), and `radius_q` = its squared distance to the
+    * previously selected set at selection time (the coverage radius
+    * sequence, monotonically non-increasing; -1 for the seed). */
+  final case class Center(iter: Int, id: Long, vec: Seq[Long],
+      radiusQ: Long, scale: Int)
 
-  /** Run the greedy sweep: seed = min id (deterministic), then k-1
-    * farthest-point steps (ties by min id). Collects O(k) rows. */
+  /** Run the greedy sweep: seed = min id (deterministic), then up to
+    * k-1 farthest-point steps (ties by min id). STOPS EARLY when the
+    * farthest remaining point is at distance 0 — every vector is
+    * already a selected center (k exceeds the distinct-vector count),
+    * so continuing would only emit duplicate centers. Collects O(k)
+    * rows. */
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String, k: Int,
       scale: Int = 1024): Seq[Center] = {
     require(k >= 1, "k-center needs k >= 1")
@@ -60,26 +70,53 @@ object Coreset {
     val seedRow = q.orderBy("id").limit(1)
       .collect().headOption.getOrElse(
         throw new IllegalArgumentException("k-center on an empty corpus"))
-    var centers = Vector(Center(1, seedRow.getLong(0),
-      seedRow.getSeq[Long](1), -1L))
-    for (t <- 2 to k) {
-      val mind = centers.map(c => sqDistToLit(col("q"), c.vec))
-        .reduce(least(_, _))
-      val next = q.select(col("id"), col("q"), mind.as("mind"))
-        .orderBy(col("mind").desc, col("id")).limit(1).collect()(0)
-      centers :+= Center(t, next.getLong(0), next.getSeq[Long](1),
-        next.getLong(2))
+    val seed = Center(1, seedRow.getLong(0), seedRow.getSeq[Long](1),
+      -1L, scale)
+    var centers = Vector(seed)
+    if (k == 1) { q.unpersist(); return centers }
+    // generation 0 of the running minimum: distance to the seed
+    var cur = q.select(col("id"), col("q"),
+        sqDistToLit(col("q"), seed.vec).as("mind"))
+      .transform(OperatorCache.persist)
+    var prev: DataFrame = null
+    var t = 2
+    var exhausted = false
+    while (t <= k && !exhausted) {
+      // the argmax action materializes `cur`, so the PREVIOUS
+      // generation's blocks are safe to drop now
+      val next = cur.orderBy(col("mind").desc, col("id")).limit(1)
+        .collect()(0)
+      if (prev != null) prev.unpersist()
+      if (next.getLong(2) == 0L) exhausted = true
+      else {
+        val c = Center(t, next.getLong(0), next.getSeq[Long](1),
+          next.getLong(2), scale)
+        centers :+= c
+        prev = cur
+        cur = cur.select(col("id"), col("q"),
+            least(col("mind"), sqDistToLit(col("q"), c.vec)).as("mind"))
+          .transform(OperatorCache.persist)
+        t += 1
+      }
     }
+    cur.unpersist()
+    if (prev != null) prev.unpersist()
+    q.unpersist()
     centers
   }
 
   /** Assign every point to its nearest selected center (ties by earliest
     * center): (id, center_id, center_iter, dist_q). Shuffle-free — the
-    * argmin folds over the k centers as literals inside one projection. */
+    * argmin folds over the k centers as literals inside one projection.
+    * The quantization scale comes FROM the centers (recorded at
+    * selection), so assignment can never compare mixed units. */
   def assign(df: DataFrame, idCol: String, vecCol: String,
-      centers: Seq[Center], scale: Int = 1024): DataFrame = {
-    require(centers.nonEmpty)
-    val q = quantize(col(vecCol), scale)
+      centers: Seq[Center]): DataFrame = {
+    require(centers.nonEmpty, "assign needs at least one center")
+    val scales = centers.map(_.scale).distinct
+    require(scales.size == 1,
+      s"centers quantized at mixed scales: $scales")
+    val q = quantize(col(vecCol), scales.head)
     val candidates = array(centers.map { c =>
       struct(sqDistToLit(q, c.vec).as("dist_q"),
         lit(c.iter).cast("long").as("center_iter"),
@@ -93,9 +130,12 @@ object Coreset {
   }
 
   /** DuckDB replay of [[kCenterGreedy]] + [[assign]]: the identical
-    * integer quantization, unrolled per-iteration argmax CTEs, and the
-    * final per-point argmin. `table` must expose (id, vec) columns named
-    * by the caller's SELECT; `dim` is the embedding width. */
+    * integer quantization, unrolled per-iteration running-min argmax
+    * CTEs, and the final per-point argmin. `table` must expose
+    * (id, vec) columns named by the caller's SELECT; `dim` is the
+    * embedding width. (The unrolled chain assumes k ≤ the
+    * distinct-vector count — at the probe's k the corpus never
+    * exhausts, and the early-stop path is spec-covered.) */
   def oracleSql(table: String, idCol: String, vecCol: String, k: Int,
       dim: Int, scale: Int = 1024): String = {
     def d(a: String, b: String) =

@@ -43,14 +43,17 @@ object Retrieval {
       rankCol: String, kRrf: Int = 60, topN: Int = 10,
       unit: Long = 1L << 40): DataFrame = {
     require(runs.nonEmpty, "RRF needs at least one run")
-    val cols = (keyCols :+ idCol).map(col) :+ col(rankCol)
+    // rebind the caller's rank column to an internal name before it is
+    // spliced into the div expression — a caller-supplied name needing
+    // quoting (spaces, dashes) must never reach the SQL parser
+    val cols = (keyCols :+ idCol).map(col) :+
+      col(rankCol).cast("long").as("__rrf_rank")
     val u = runs.map(_.select(cols: _*)).reduce(_ unionByName _)
     val fused = u
       .groupBy((keyCols :+ idCol).map(col): _*)
       .agg(count(lit(1)).as("n_runs"),
-        min(col(rankCol).cast("long")).as("best_rank"),
-        sum(expr(s"${unit}L div (${kRrf}L + CAST($rankCol AS BIGINT))"))
-          .as("rrf_q"))
+        min(col("__rrf_rank")).as("best_rank"),
+        sum(expr(s"${unit}L div (${kRrf}L + __rrf_rank)")).as("rrf_q"))
     graft.plans.TopK.perKey(fused, keyCols,
         Seq(("rrf_q", false), (idCol, true)), k = topN)
       .withColumnRenamed("rank", "fused_rank")

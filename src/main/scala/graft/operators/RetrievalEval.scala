@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * [[Similarity]] searches / [[Retrieval.rrfFuse]] produce runs;
   * [[Similarity.recallAtK]] covers ANN recall; this scores RANKINGS):
   * per-query reciprocal rank, hits@k and precision@k, the standard IR
-  * triple (Voorhees' TREC MRR; Manning et al., IR book ch. 8).
+  * triple (Voorhees' TREC MRR; Manning et al., IR book ch. 8). Beyond-ref
+  * extension like the dedup/ANN family — the reference's DataFusion
+  * surface (lib.rs:678) has no retrieval operators.
   *
   * EXACTNESS: reciprocal rank lives in fixed-point micro-units
   * (`unit div first_rel_rank` — ONE integer division, the

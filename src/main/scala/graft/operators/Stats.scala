@@ -204,7 +204,9 @@ object Stats {
     * deviation from the group MEDIAN exceeds `c` × the group's median
     * absolute deviation (Hampel's MAD rule — the robust z-score every
     * metrics/telemetry curation pass reaches for, immune to the very
-    * outliers a mean/stddev rule would absorb).
+    * outliers a mean/stddev rule would absorb; beyond-ref extension —
+    * DataFusion 40 via lib.rs:678 ships median but no robust-outlier
+    * surface).
     *
     * EXACTNESS: the caller hands an INTEGER value column (quantize a
     * double upstream: `floor(x·10^k)` is one exact-rounded multiply +
@@ -226,8 +228,12 @@ object Stats {
     val g = groupCols.map(col)
     val med = df.groupBy(g: _*)
       .agg(median(col(valueCol)).as("med"))
+    // persisted: withMed feeds BOTH the MAD aggregate and the output
+    // join — without the cache the scan + median pass would execute
+    // twice per action
     val withMed = df.join(broadcast(med), groupCols)
       .withColumn("dev", abs(col(valueCol).cast("double") - col("med")))
+      .transform(OperatorCache.persist)
     val mad = withMed.groupBy(g: _*)
       .agg(median(col("dev")).as("mad"))
     withMed.join(broadcast(mad), groupCols)

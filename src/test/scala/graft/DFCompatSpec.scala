@@ -192,6 +192,16 @@ class DFCompatSpec extends AnyFunSuite {
     // parallel vectors: sqrt(5)*sqrt(20) is not exactly 10 in doubles
     assert(math.abs(one("SELECT cosine_sim(array(1.0, 2.0), array(2.0, 4.0))")
       .asInstanceOf[Double] - 1.0) < 1e-12)
+    // undefined input is NULL, never a silent wrong answer: a NULL
+    // element would read as 0.0 in the kernel, mismatched lengths
+    // would truncate to the shorter
+    assert(one("SELECT dot_product(array(1.0, NULL), array(5.0, 7.0))")
+      == null)
+    assert(one("SELECT dot_product(array(1.0, 2.0, 3.0), array(1.0, 2.0))")
+      == null)
+    assert(one("SELECT vec_norm(array(1.0, NULL))") == null)
+    assert(one("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0))")
+      == null)
   }
 
   test("sketch kernels are reachable from SQL (service surface)") {

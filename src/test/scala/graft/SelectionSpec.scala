@@ -101,10 +101,35 @@ class SelectionSpec extends AnyFunSuite {
 
   test("kCenterGreedy k=1 returns only the seed; empty corpus throws") {
     val cs = Coreset.kCenterGreedy(line, "vec_id", "embedding", k = 1)
-    assert(cs == Seq(Coreset.Center(1, 0L, Seq(0L, 0L), -1L)))
+    assert(cs == Seq(Coreset.Center(1, 0L, Seq(0L, 0L), -1L, 1024)))
     val empty = line.filter(col("vec_id") < 0)
     intercept[IllegalArgumentException] {
       Coreset.kCenterGreedy(empty, "vec_id", "embedding", k = 2)
+    }
+  }
+
+  test("kCenterGreedy stops early when distinct vectors run out " +
+      "(no duplicate centers)") {
+    val dup = Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)), (2L, Seq(5f, 0f)),
+      (3L, Seq(5f, 0f))).toDF("vec_id", "embedding")
+    val cs = Coreset.kCenterGreedy(dup, "vec_id", "embedding", k = 4)
+    assert(cs.map(_.id) == Seq(0L, 2L)) // only 2 distinct vectors exist
+    assert(cs.map(_.id).distinct.size == cs.size)
+  }
+
+  test("assign derives the scale from the centers and rejects mixes") {
+    // centers selected at a non-default scale still assign correctly —
+    // the scale travels WITH the centers, not as a second parameter a
+    // caller could get wrong
+    val cs = Coreset.kCenterGreedy(line, "vec_id", "embedding", k = 2,
+      scale = 4096)
+    assert(cs.forall(_.scale == 4096))
+    val a = Coreset.assign(line, "vec_id", "embedding", cs)
+      .orderBy("id").collect()
+    assert(a.head.getAs[Long]("dist_q") == 0L) // seed maps to itself
+    intercept[IllegalArgumentException] {
+      Coreset.assign(line, "vec_id", "embedding",
+        Seq(cs.head, cs.last.copy(scale = 1024)))
     }
   }
 }
