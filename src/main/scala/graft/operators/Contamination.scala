@@ -39,4 +39,32 @@ object Contamination {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Streaming-tier decontamination flag: the bench grams compress into
+    * ONE bloom-filter binary (built batch-side with Spark's own
+    * BloomFilterAggregate, collected once — sketch-sized, not
+    * data-sized) and every document probes it inside a pure projection,
+    * so the check runs UNCHANGED on a streaming ingest: zero state, no
+    * shuffle, no watermark. At 100 TB the corpus never moves — the
+    * few-MB filter rides into the scan stage as a literal, the same
+    * shape as [[BloomJoin.bloomProbe]].
+    *
+    * Output (id, maybe_contaminated): bloom errors are ONE-SIDED — a
+    * false flag happens at the filter's fpp, a false clean never — so
+    * the streaming tier routes flagged docs to the exact [[overlap]]
+    * for offline verification and clean docs straight through. */
+  def streamFlag(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, expectedItems: Long = 1000000L): DataFrame = {
+    val bytes = bench
+      .select(explode(array_distinct(Repetition.ngrams(col(textCol), n)))
+        .as("gram"))
+      .agg(BloomJoin.bloomAgg(col("gram"), expectedItems).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val grams = array_distinct(Repetition.ngrams(col(textCol), n))
+    val flagged =
+      if (bytes == null) lit(false) // empty bench: nothing to match
+      else exists(grams, g => BloomJoin.mightContain(lit(bytes), g))
+    corpus.select(col(idCol).as("id"),
+      coalesce(flagged, lit(false)).as("maybe_contaminated"))
+  }
 }

@@ -121,6 +121,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists { case (id, m, p) => id == 12L && m > 0 && p })
   }
 
+  test("bloom decontamination flag runs unchanged on a streaming ingest " +
+      "(bench grams as one literal sketch, zero state)") {
+    import graft.operators.Contamination
+    val dir = Files.createTempDirectory("graft_stream_cont").toFile
+    val out = s"graft_cont_out_${System.nanoTime()}"
+    val bench = Seq((100L, "the secret eval answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "contains the secret eval answer is forty two exactly verbatim"),
+      (2L, "a completely unrelated clean training document body"),
+      (3L, "another clean document with different words entirely")
+    ).toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/*")
+    val q = Contamination.streamFlag(stream, bench, "doc_id", "text", n = 8)
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table(out).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> false))
+    // identical to the batch run of the same flag (determinism), and
+    // one-sided vs the exact tier: every overlap() hit must be flagged
+    val batch = Contamination.streamFlag(docs, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch == flags)
+    val exact = Contamination.overlap(docs, bench, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.forall(flags(_)))
+  }
+
   test("streaming dedup drops cross-batch duplicates, state bounded by watermark") {
     val dir = Files.createTempDirectory("graft_sdedup").toFile
     val out = s"graft_sdedup_out_${System.nanoTime()}"
