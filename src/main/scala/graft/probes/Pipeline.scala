@@ -1126,6 +1126,20 @@ object Pipeline {
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "pj")))
         .select(col("vec_id"), col("j").cast("long").as("j"), col("pj"))
         .orderBy("vec_id", "j")
+    },
+
+    // Training-shard export plan + manifest (operators/ShardExport):
+    // md5 shard deal, salted deterministic intra-shard read order, and
+    // the per-shard manifest whose content_md5 chains per-doc hashes in
+    // rank order — shard membership, order, counts and fingerprints all
+    // replay bit-exactly in DuckDB. The physical writer + read-back
+    // order contract is ShardExportSpec's.
+    Probe.df("q_shard_export",
+      graft.operators.ShardExport.oracleSql(
+        "documents", "doc_id", "text", numShards = 8)) { (s, dir) =>
+      val planned = graft.operators.ShardExport.plan(
+        Tables.load(s, dir, "documents"), "doc_id", numShards = 8)
+      graft.operators.ShardExport.manifest(planned, "text").orderBy("shard")
     }
   )
 }

@@ -85,6 +85,28 @@ object Selection {
         .orderBy("fused_rank")
     },
 
+    // MMR diversity re-ranking against the vec_id=0 query: integer MIPS
+    // relevance + running-max integer similarity, λ=3/4 as two integer
+    // multipliers — every greedy pick is bit-exact, so the oracle
+    // replays the whole trajectory as unrolled CTEs (the k-center
+    // recipe with max-sim in place of min-dist).
+    Probe.df("q_retrieval_mmr",
+      Retrieval.mmrOracleSql("embeddings", "vec_id", "embedding",
+        "vec_id = 0", k = 8, dim = 64)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      val picks = Retrieval.mmrSelect(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, k = 8)
+      import s.implicits._
+      picks.toDF()
+        .select(col("iter").cast("long").as("iter"), col("id"),
+          col("relQ").as("rel_q"), col("maxSimQ").as("maxsim_q"),
+          col("mmrQ").as("mmr_q"))
+        .orderBy("iter")
+    },
+
     // Greedy k-center coreset (farthest-point-first) over the embedding
     // table: quantized integer squared-L2 makes every argmax step and
     // the final nearest-center assignment bit-exact, so the DuckDB

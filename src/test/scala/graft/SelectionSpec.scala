@@ -132,4 +132,93 @@ class SelectionSpec extends AnyFunSuite {
         Seq(cs.head, cs.last.copy(scale = 1024)))
     }
   }
+
+  // ---- MMR diversity re-ranking ----
+
+  /** Plain-Scala replay of mmrSelect's integer semantics. */
+  private def naiveMmr(cands: Seq[(Long, Seq[Float])], query: Seq[Double],
+      k: Int, lNum: Int, lDen: Int, scale: Int = 1024): Seq[(Int, Long)] = {
+    def quant(v: Seq[Double]) = v.map(x => math.floor(x * scale).toLong)
+    val qq = quant(query)
+    val qs = cands.map { case (id, v) =>
+      id -> quant(v.map(_.toDouble))
+    }
+    def dot(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val rel = qs.map { case (id, v) => id -> dot(v, qq) }.toMap
+    var picked = Vector.empty[(Int, Long)]
+    var remaining = qs
+    var t = 1
+    while (t <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, v) =>
+        val ms =
+          if (picked.isEmpty) 0L
+          else picked.map { case (_, pid) =>
+            dot(v, qs.find(_._1 == pid).get._2)
+          }.max
+        (id, lNum * rel(id) - (lDen - lNum) * ms)
+      }
+      val win = scored.minBy { case (id, s) => (-s, id) }._1
+      picked :+= (t, win)
+      remaining = remaining.filterNot(_._1 == win)
+      t += 1
+    }
+    picked
+  }
+
+  // NOTE: the query must NOT coincide with the top candidate — when
+  // q == c1 exactly, rel(d) = dot(d, q) = dot(d, c1) = maxsim(d) after
+  // the first pick and every λ=1/2 MMR score degenerates to 0.
+  private lazy val mmrCands = Seq(
+    (1L, Seq(0.9f, 0.1f)),   // most relevant (ties 2 on rel, wins by id)
+    (2L, Seq(0.9f, 0.12f)),  // near-duplicate of 1
+    (3L, Seq(0.5f, -0.8f)),  // diverse, moderate relevance
+    (4L, Seq(0.1f, 0.05f))   // weakly relevant
+  ).toDF("vec_id", "embedding")
+  private val mmrQuery = Seq(1.0, 0.0)
+
+  test("mmrSelect matches the plain-Scala integer replay") {
+    val rows = mmrCands.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val got = Retrieval.mmrSelect(mmrCands, "vec_id", "embedding",
+        mmrQuery, k = 4, lambdaNum = 3, lambdaDen = 4)
+      .map(p => (p.iter, p.id))
+    assert(got == naiveMmr(rows, mmrQuery, 4, 3, 4))
+  }
+
+  test("mmrSelect trades relevance for diversity at lambda = 1/2") {
+    val picks = Retrieval.mmrSelect(mmrCands, "vec_id", "embedding",
+      mmrQuery, k = 3, lambdaNum = 1, lambdaDen = 2)
+    // pure relevance would pick 1 then its near-duplicate 2; MMR's
+    // second pick must jump to the diverse candidate 3
+    assert(picks.head.id == 1L && picks.head.maxSimQ == 0L)
+    assert(picks(1).id == 3L)
+    // the near-dup's penalty is visible: when 2 finally enters, its
+    // maxsim is the (large) dot with pick 1
+    val p2 = picks.find(_.id == 2L)
+    assert(p2.forall(_.maxSimQ > 0L))
+  }
+
+  test("mmrSelect with lambdaNum == lambdaDen is pure relevance top-k") {
+    val picks = Retrieval.mmrSelect(mmrCands, "vec_id", "embedding",
+      mmrQuery, k = 4, lambdaNum = 1, lambdaDen = 1)
+    val relOrder = mmrCands.collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1024).toLong)
+        val q = mmrQuery.map(x => math.floor(x * 1024).toLong)
+        (r.getLong(0), v.zip(q).map { case (a, b) => a * b }.sum)
+      }
+      .sortBy { case (id, rel) => (-rel, id) }.map(_._1).toSeq
+    assert(picks.map(_.id) == relOrder)
+    // selection order IS the mmr trajectory; mmr == lambda * rel here
+    assert(picks.forall(p => p.mmrQ == p.relQ))
+  }
+
+  test("mmrSelect drains early when k exceeds the candidate count") {
+    val picks = Retrieval.mmrSelect(mmrCands, "vec_id", "embedding",
+      mmrQuery, k = 10)
+    assert(picks.size == 4)
+    assert(picks.map(_.id).distinct.size == 4)
+  }
 }
