@@ -105,6 +105,208 @@ object Coreset {
     centers
   }
 
+  /** One per-bucket center from [[kCenterSharded]]'s local phase. */
+  final case class ShardCenter(bucket: Long, iter: Int, id: Long,
+      vec: Seq[Long], radiusQ: Long, scale: Int)
+
+  private def sqLocal(a: Seq[Long], b: Seq[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** Pure-Scala greedy with [[kCenterGreedy]]'s exact semantics (seed =
+    * min id, argmax ties by min id, early stop at distance 0) — the
+    * merge step of [[kCenterSharded]] runs it over the O(buckets·k)
+    * collected bucket centers. */
+  private[operators] def greedyLocal(points: Seq[(Long, Seq[Long])],
+      k: Int, scale: Int): Seq[Center] = {
+    require(points.nonEmpty, "k-center merge on an empty center set")
+    val seed = points.minBy(_._1)
+    var centers = Vector(Center(1, seed._1, seed._2, -1L, scale))
+    var mind = points.map { case (id, v) => (id, v, sqLocal(v, seed._2)) }
+    var t = 2
+    var stop = false
+    while (t <= k && !stop) {
+      val cands = mind.filter(_._3 > 0)
+      if (cands.isEmpty) stop = true
+      else {
+        val win = cands.minBy { case (id, _, d) => (-d, id) }
+        centers :+= Center(t, win._1, win._2, win._3, scale)
+        mind = mind.map { case (id, v, d) =>
+          (id, v, math.min(d, sqLocal(v, win._2)))
+        }
+        t += 1
+      }
+    }
+    centers
+  }
+
+  /** Merge-and-reduce k-center — the composition that scales the greedy
+    * sweep past [[kCenterGreedy]]'s k sequential corpus passes: deal
+    * points into `numBuckets` DETERMINISTIC md5 buckets (semantic, not
+    * physical partitions — so the whole construction is replayable and
+    * partition-invariant), run ALL buckets' greedy sweeps
+    * simultaneously (each iteration is ONE distributed job: a
+    * per-bucket bounded-heap argmax + a projection folding in each
+    * bucket's newest center), then run the same greedy over the
+    * O(numBuckets·kPerBucket) collected bucket centers on the driver —
+    * the classic coreset merge step (Har-Peled & Mazumdar '04 shape).
+    * A 2-approximation of a 2-approximation: bounded quality loss for
+    * a kPerBucket-pass (not kFinal·numBuckets-pass) schedule, and the
+    * same shape works as a streaming accumulate-then-merge.
+    *
+    * EXACTNESS: same integer quantization/distances as
+    * [[kCenterGreedy]]; bucket = md5-hex8(id) mod numBuckets (the
+    * [[Sampling]] recipe); every per-bucket argmax breaks ties by min
+    * id; exhausted buckets (farthest remaining point at distance 0)
+    * stop adding centers. Both phases and the final assignment replay
+    * in DuckDB ([[shardedOracleSql]]).
+    *
+    * Returns (per-bucket centers, merged final centers). Assign points
+    * with [[assign]] over the final centers. */
+  def kCenterSharded(df: DataFrame, idCol: String, vecCol: String,
+      numBuckets: Int, kPerBucket: Int, kFinal: Int,
+      scale: Int = 1024): (Seq[ShardCenter], Seq[Center]) = {
+    require(numBuckets >= 1 && kPerBucket >= 1 && kFinal >= 1,
+      "sharded k-center needs positive numBuckets/kPerBucket/kFinal")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(numBuckets.toLong))
+    val q = df.select(col(idCol).cast("long").as("id"),
+        bucket.as("bucket"), quantize(col(vecCol), scale).as("q"))
+      .transform(OperatorCache.persist)
+    // per-bucket seeds: min id (one bounded-heap pass for all buckets)
+    val seedRows = graft.plans.TopK.perKey(q, Seq("bucket"),
+        Seq(("id", true)), k = 1)
+      .select(col("bucket"), col("id"), col("q")).collect()
+    require(seedRows.nonEmpty, "sharded k-center on an empty corpus")
+    var perBucket = seedRows.toVector.map(r =>
+      ShardCenter(r.getLong(0), 1, r.getLong(1), r.getSeq[Long](2),
+        -1L, scale))
+    val seeds = perBucket.map(c => c.bucket -> c).toMap
+    var cur = q.withColumn("mind",
+        seeds.foldLeft(lit(Long.MaxValue)) { case (acc, (b, c)) =>
+          when(col("bucket") === b, sqDistToLit(col("q"), c.vec))
+            .otherwise(acc)
+        })
+      .transform(OperatorCache.persist)
+    var prev: DataFrame = null
+    var t = 2
+    var active = kPerBucket >= 2
+    while (t <= kPerBucket && active) {
+      // one bounded-heap argmax per bucket, all buckets in one job; a
+      // bucket whose max mind is 0 has every point on a center already
+      val tops = graft.plans.TopK.perKey(cur, Seq("bucket"),
+          Seq(("mind", false), ("id", true)), k = 1)
+        .filter(col("mind") > 0)
+        .select(col("bucket"), col("id"), col("q"), col("mind")).collect()
+      if (prev != null) prev.unpersist()
+      if (tops.isEmpty) active = false
+      else {
+        val newCs = tops.toVector.map(r =>
+          ShardCenter(r.getLong(0), t, r.getLong(1), r.getSeq[Long](2),
+            r.getLong(3), scale))
+        perBucket ++= newCs
+        prev = cur
+        cur = cur.withColumn("mind",
+            newCs.foldLeft(col("mind")) { case (acc, c) =>
+              when(col("bucket") === c.bucket,
+                least(col("mind"), sqDistToLit(col("q"), c.vec)))
+                .otherwise(acc)
+            })
+          .transform(OperatorCache.persist)
+        t += 1
+      }
+    }
+    cur.unpersist()
+    if (prev != null) prev.unpersist()
+    q.unpersist()
+    val merged = greedyLocal(
+      perBucket.map(c => c.id -> c.vec).sortBy(_._1), kFinal, scale)
+    (perBucket, merged)
+  }
+
+  /** DuckDB replay of [[kCenterSharded]] + [[assign]]: md5 bucket deal,
+    * per-bucket simultaneous greedy (QUALIFY per-bucket argmax, LEFT
+    * JOIN so exhausted buckets keep their running min), driver merge
+    * greedy unrolled over the bucket-center union, final per-point
+    * argmin. Output (id, center_id, center_iter, dist_q) ORDER BY id. */
+  def shardedOracleSql(table: String, idCol: String, vecCol: String,
+      numBuckets: Int, kPerBucket: Int, kFinal: Int, dim: Int,
+      scale: Int = 1024): String = {
+    def d(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(range($dim), i ->
+         |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1]) *
+         |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1])))
+         |  AS BIGINT)""".stripMargin
+    val hex8 = "CAST(list_sum(list_transform(range(8), k -> " +
+      s"CAST(instr('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), " +
+      "CAST(k AS INT)+1, 1)) - 1 AS BIGINT) << CAST(4*(7-k) AS BIGINT))) " +
+      "AS BIGINT)"
+    // phase 1: per-bucket simultaneous greedy, unrolled
+    val localSteps = (2 to kPerBucket).map { t =>
+      val prevD = if (t == 2) "d1" else s"d${t - 1}"
+      val mkD =
+        if (t == 2)
+          s"""d1 AS (SELECT e.id, e.bucket, e.q, ${d("e.q", "s.q")} AS mind
+             |  FROM e JOIN s ON e.bucket = s.bucket)""".stripMargin
+        else ""
+      val c =
+        s"""c$t AS (SELECT bucket, id, q, mind FROM $prevD WHERE mind > 0
+           |  QUALIFY row_number() OVER (PARTITION BY bucket
+           |    ORDER BY mind DESC, id) = 1)""".stripMargin
+      val nextD =
+        if (t < kPerBucket)
+          s""",
+             |d$t AS (SELECT p.id, p.bucket, p.q,
+             |    CASE WHEN c.id IS NOT NULL
+             |      THEN least(p.mind, ${d("p.q", "c.q")})
+             |      ELSE p.mind END AS mind
+             |  FROM $prevD p LEFT JOIN c$t c ON p.bucket = c.bucket)"""
+            .stripMargin
+        else ""
+      (if (mkD.nonEmpty) mkD + ",\n" else "") + c + nextD
+    }.mkString(",\n")
+    val cenUnion = ("SELECT id, q FROM s" +:
+      (2 to kPerBucket).map(t => s"SELECT id, q FROM c$t"))
+      .mkString(" UNION ALL ")
+    // phase 2: merge greedy over the bucket centers, unrolled
+    val mergeSteps = (2 to kFinal).map { t =>
+      val upd =
+        if (t == 2)
+          s"""g1 AS (SELECT cen.id, cen.q, ${d("cen.q", "f.q")} AS mind
+             |  FROM cen, f1 f)""".stripMargin
+        else
+          s"""g${t - 1} AS (SELECT g.id, g.q,
+             |    least(g.mind, ${d("g.q", "f.q")}) AS mind
+             |  FROM g${t - 2} g, f${t - 1} f)""".stripMargin
+      s"""$upd,
+         |f$t AS (SELECT id, q FROM g${t - 1} WHERE mind > 0
+         |  ORDER BY mind DESC, id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val ff = (1 to kFinal).map(t => s"SELECT $t AS iter, id, q FROM f$t")
+      .mkString(" UNION ALL ")
+    val localBlock = if (localSteps.isEmpty) "" else localSteps + ",\n"
+    val mergeBlock = if (mergeSteps.isEmpty) "" else mergeSteps + ",\n"
+    s"""WITH e AS (SELECT CAST($idCol AS BIGINT) AS id,
+       |    $hex8 % $numBuckets AS bucket,
+       |    list_transform($vecCol::DOUBLE[], x ->
+       |      CAST(floor(x * $scale) AS BIGINT)) AS q
+       |  FROM $table),
+       |s AS (SELECT bucket, id, q FROM e
+       |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) = 1),
+       |${localBlock}cen AS ($cenUnion),
+       |f1 AS (SELECT id, q FROM cen ORDER BY id LIMIT 1),
+       |${mergeBlock}ff AS ($ff),
+       |ad AS (SELECT e.id, ff.id AS center_id,
+       |    CAST(ff.iter AS BIGINT) AS center_iter,
+       |    ${d("e.q", "ff.q")} AS dist_q
+       |  FROM e, ff),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY id
+       |    ORDER BY dist_q, center_iter) AS rn FROM ad)
+       |SELECT id, center_id, center_iter, dist_q FROM r WHERE rn = 1
+       |ORDER BY id""".stripMargin
+  }
+
   /** Assign every point to its nearest selected center (ties by earliest
     * center): (id, center_id, center_iter, dist_q). Shuffle-free — the
     * argmin folds over the k centers as literals inside one projection.

@@ -119,6 +119,21 @@ object Selection {
       Coreset.assign(e, "vec_id", "embedding", centers).orderBy("id")
     },
 
+    // Merge-and-reduce k-center (the coreset scale path): md5-bucket
+    // deal → all buckets' greedy sweeps run simultaneously (ONE
+    // bounded-heap argmax job per iteration) → driver merge greedy over
+    // the bucket centers → shuffle-free assignment. Semantic buckets
+    // (not physical partitions) keep the whole composition
+    // deterministic, so the oracle replays both phases end to end.
+    Probe.df("q_coreset_merge",
+      Coreset.shardedOracleSql("embeddings", "vec_id", "embedding",
+        numBuckets = 4, kPerBucket = 3, kFinal = 4, dim = 64)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val (_, merged) = Coreset.kCenterSharded(e, "vec_id", "embedding",
+        numBuckets = 4, kPerBucket = 3, kFinal = 4)
+      Coreset.assign(e, "vec_id", "embedding", merged).orderBy("id")
+    },
+
     // Ranking-metric eval: three single-term BM25 runs scored against
     // sparse tf>=6 relevance judgments (sparser than the ranking signal,
     // so hits, precision counts and first_rel_rank genuinely vary per

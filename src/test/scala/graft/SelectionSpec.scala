@@ -133,6 +133,108 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  // ---- merge-and-reduce (sharded) k-center ----
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucketOf(id: Long, m: Int): Long =
+    java.lang.Long.parseLong(md5Hex(id.toString).take(8), 16) % m
+
+  /** Plain-Scala replay of kCenterSharded's two phases. */
+  private def naiveSharded(points: Seq[(Long, Seq[Float])], m: Int,
+      kb: Int, kf: Int, scale: Int = 1024)
+      : (Seq[(Long, Int, Long)], Seq[Long]) = {
+    def quant(v: Seq[Float]) =
+      v.map(x => math.floor(x.toDouble * scale).toLong)
+    def sq(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byBucket = points.map { case (id, v) =>
+      (bucketOf(id, m), id, quant(v))
+    }.groupBy(_._1)
+    var perBucket = Vector.empty[(Long, Int, Long, Seq[Long])]
+    byBucket.foreach { case (b, ps) =>
+      val pts = ps.map(p => (p._2, p._3))
+      val seed = pts.minBy(_._1)
+      var cs = Vector((1, seed._1, seed._2))
+      var mind = pts.map { case (id, v) => (id, v, sq(v, seed._2)) }
+      var t = 2
+      var stop = false
+      while (t <= kb && !stop) {
+        val cands = mind.filter(_._3 > 0)
+        if (cands.isEmpty) stop = true
+        else {
+          val win = cands.minBy { case (id, _, d) => (-d, id) }
+          cs :+= ((t, win._1, win._2))
+          mind = mind.map { case (id, v, d) =>
+            (id, v, math.min(d, sq(v, win._2)))
+          }
+          t += 1
+        }
+      }
+      perBucket ++= cs.map(c => (b, c._1, c._2, c._3))
+    }
+    // merge greedy over the union of bucket centers
+    val cen = perBucket.map(c => (c._3, c._4)).sortBy(_._1)
+    val seed = cen.minBy(_._1)
+    var fin = Vector(seed._1)
+    var mind = cen.map { case (id, v) => (id, v, sq(v, seed._2)) }
+    var t = 2
+    var stop = false
+    while (t <= kf && !stop) {
+      val cands = mind.filter(_._3 > 0)
+      if (cands.isEmpty) stop = true
+      else {
+        val win = cands.minBy { case (id, _, d) => (-d, id) }
+        fin :+= win._1
+        val wv = cen.find(_._1 == win._1).get._2
+        mind = mind.map { case (id, v, d) => (id, v, math.min(d, sq(v, wv))) }
+        t += 1
+      }
+    }
+    (perBucket.map(c => (c._1, c._2, c._3)).sortBy(c => (c._1, c._2)), fin)
+  }
+
+  private lazy val shardPts: Seq[(Long, Seq[Float])] =
+    (0L until 24L).map { i =>
+      (i, Seq((i % 7).toFloat, (i % 5).toFloat, (i / 8).toFloat))
+    }
+
+  test("kCenterSharded matches the plain-Scala two-phase replay") {
+    val df = shardPts.toDF("vec_id", "embedding")
+    val (per, fin) = Coreset.kCenterSharded(df, "vec_id", "embedding",
+      numBuckets = 3, kPerBucket = 3, kFinal = 4)
+    val (nPer, nFin) = naiveSharded(shardPts, 3, 3, 4)
+    assert(per.map(c => (c.bucket, c.iter, c.id)).sortBy(c => (c._1, c._2))
+      == nPer)
+    assert(fin.map(_.id) == nFin)
+    // merged centers carry the merge-stage selection order
+    assert(fin.map(_.iter) == (1 to fin.size))
+  }
+
+  test("kCenterSharded is partition-invariant") {
+    val df = shardPts.toDF("vec_id", "embedding")
+    val a = Coreset.kCenterSharded(df, "vec_id", "embedding", 3, 3, 4)
+    val b = Coreset.kCenterSharded(df.repartition(11), "vec_id",
+      "embedding", 3, 3, 4)
+    assert(a._1.map(c => (c.bucket, c.iter, c.id)).sorted ==
+      b._1.map(c => (c.bucket, c.iter, c.id)).sorted)
+    assert(a._2.map(_.id) == b._2.map(_.id))
+  }
+
+  test("kCenterSharded stops exhausted buckets early (no dup centers)") {
+    // every vector identical: each bucket yields ONLY its seed, and the
+    // merge stage yields only the global min-id center
+    val dup = (0L until 12L).map(i => (i, Seq(1f, 1f))).toDF(
+      "vec_id", "embedding")
+    val (per, fin) = Coreset.kCenterSharded(dup, "vec_id", "embedding",
+      numBuckets = 3, kPerBucket = 4, kFinal = 3)
+    assert(per.forall(_.iter == 1))
+    assert(per.map(_.id).distinct.size == per.size)
+    assert(fin.size == 1)
+  }
+
   // ---- MMR diversity re-ranking ----
 
   /** Plain-Scala replay of mmrSelect's integer semantics. */
