@@ -244,6 +244,40 @@ class CatalogV2Spec extends AnyFunSuite {
     }
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from parquet footer " +
+      "stats through the catalog scan") {
+    spark.sql("CREATE TABLE g2.db.aggpd (a INT, s STRING)")
+    spark.sql("INSERT INTO g2.db.aggpd VALUES (1,'x'), (5,'y'), (3,'z')")
+    spark.sql("INSERT INTO g2.db.aggpd VALUES (7,'w')")
+    val prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      // the whole aggregate compiles to a footer-stats read: at 100 TB
+      // this is O(files) metadata, zero data bytes scanned
+      val df = spark.sql(
+        "SELECT count(*) AS c, min(a) AS mn, max(a) AS mx FROM g2.db.aggpd")
+      val r = df.collect().head
+      assert((r.getLong(0), r.getInt(1), r.getInt(2)) == ((4L, 1, 7)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)"), plan)
+      // time travel aggregates the PINNED snapshot's file set
+      val old = spark.sql("SELECT count(*) AS c, max(a) AS mx " +
+        "FROM g2.db.aggpd VERSION AS OF 2").collect().head
+      assert((old.getLong(0), old.getInt(1)) == ((3L, 5)))
+      // COW DELETE rewrites the inventory; stats follow the new files
+      spark.sql("DELETE FROM g2.db.aggpd WHERE a = 7")
+      val after = spark.sql(
+        "SELECT count(*) AS c, max(a) AS mx FROM g2.db.aggpd").collect().head
+      assert((after.getLong(0), after.getInt(1)) == ((3L, 5)))
+      // a residual data filter disables the pushdown — correct fallback
+      val filtered = spark.sql(
+        "SELECT count(*) AS c FROM g2.db.aggpd WHERE s <> 'q'")
+      assert(filtered.collect().head.getLong(0) == 3L)
+      assert(!filtered.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT"))
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+  }
+
   test("DELETE prunes by footer stats: non-overlapping files keep their identity") {
     spark.sql("CREATE TABLE g2.db.delprune (k INT, v STRING)")
     spark.sql("INSERT INTO g2.db.delprune SELECT id, concat('v', id) FROM range(100)")
