@@ -331,7 +331,8 @@ class GraftTable(
         if (v1.nonEmpty) {
           val conf = spark.sparkContext.hadoopConfiguration
           files = files.filter(f => ParquetStats.mayMatchAll(
-            tableDir.resolve(f).toString, v1, conf))
+            tableDir.resolve(f).toString, v1, conf) &&
+            BloomSidecars.mayMatchAll(tableDir, f, v1))
           replaced = files
         }
       }
@@ -387,11 +388,13 @@ class GraftTable(
     // FILE-LEVEL PRUNING: only files whose footer stats say the predicate
     // MIGHT match get rewritten; provably-unaffected files stay in place
     // (after compact() sorts on the predicate column, a key-range DELETE
-    // over 100 TB rewrites O(1) files). Conservative: stats missing →
-    // rewrite.
+    // over 100 TB rewrites O(1) files). Bloom sidecars additionally skip
+    // point lookups over interleaved keys min/max can't separate.
+    // Conservative: stats/sidecar missing → rewrite.
     val (touched, _) = baseFiles.partition(f =>
       ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,
-        spark.sparkContext.hadoopConfiguration))
+        spark.sparkContext.hadoopConfiguration) &&
+        BloomSidecars.mayMatchAll(tableDir, f, filters.toSeq))
     val absTouched = baseSnap match {
       case Some(_) => touched.map(f => tableDir.resolve(f).toString)
       case None => visibleFiles // pre-snapshot table: whole data dir

@@ -226,6 +226,51 @@ object Maintenance {
     }
   }
 
+  /** Build per-(file, column) bloom-filter sidecars for the CURRENT
+    * snapshot ([[BloomSidecars]]) — point-lookup file skipping where
+    * footer min/max can't prune (interleaved keys). ONE distributed
+    * pass: every file's per-column bloom aggregates in a single
+    * `groupBy(input_file_name)` job; the driver collects only
+    * (files × cols) sketch binaries. Copy-on-write rewrites produce new
+    * file names, so sidecars never go stale — rewritten files are
+    * simply unpruned until the next addBlooms run. Returns the number
+    * of sidecars written. */
+  def addBlooms(spark: SparkSession, ident: String, cols: Seq[String],
+      expectedItems: Long = 100000L): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(cols.nonEmpty, "addBlooms needs at least one column")
+    val dir = tableDir(spark, ident)
+    val snap = Snapshots.latest(dir)
+    val files = snap.map(_.files).getOrElse(Seq.empty)
+    if (files.isEmpty) return 0
+    val byName = files.map(f =>
+      Paths.get(f).getFileName.toString -> f).toMap
+    require(byName.size == files.size,
+      s"$ident: duplicate data-file names; bloom sidecars key on the name")
+    val abs = files.map(f => dir.resolve(f).toString)
+    val aggs = cols.map(c =>
+      graft.operators.BloomJoin.bloomAgg(col(c), expectedItems)
+        .as(s"__bf_$c"))
+    val rows = spark.read.parquet(abs: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    var written = 0
+    rows.foreach { r =>
+      val name = r.getString(0).split('/').last
+      byName.get(name).foreach { rel =>
+        cols.zipWithIndex.foreach { case (c, i) =>
+          val bytes = r.getAs[Array[Byte]](i + 1)
+          if (bytes != null) { // all-NULL file: no sidecar, not pruned
+            BloomSidecars.write(dir, rel, c, bytes)
+            written += 1
+          }
+        }
+      }
+    }
+    written
+  }
+
   /** Drop all but the newest `keepLast` snapshots and delete data files no
     * surviving snapshot references. Returns (snapshots dropped, files
     * deleted). Time travel to expired versions stops working — that is the
@@ -239,6 +284,17 @@ object Maintenance {
     val live = keep.flatMap(_.files).toSet
     val dead = drop.flatMap(_.files).toSet -- live
     dead.foreach { f => Files.deleteIfExists(dir.resolve(f)) }
+    // a dead data file's bloom sidecars are orphans too
+    val bloomsDir = dir.resolve("blooms")
+    if (Files.isDirectory(bloomsDir)) {
+      val deadNames = dead.map(f => Paths.get(f).getFileName.toString)
+      scala.util.Using.resource(Files.list(bloomsDir)) { st =>
+        st.iterator().asScala
+          .filter(p => deadNames.exists(n =>
+            p.getFileName.toString.startsWith(n + ".")))
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
     drop.foreach { s =>
       Files.deleteIfExists(dir.resolve("_graft_snapshots").resolve(f"v${s.version}%08d.snap"))
     }

@@ -23,7 +23,7 @@ object Procedures {
   val Namespace: Array[String] = Array("system")
 
   def list(): Array[Identifier] =
-    Array("compact", "zorder", "expire_snapshots", "changes")
+    Array("compact", "zorder", "expire_snapshots", "add_blooms", "changes")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -81,6 +81,20 @@ object Procedures {
         val (dropped, deleted) = Maintenance.expireSnapshots(
           SparkSession.active, full(in), in.getInt(1))
         Array(new GenericInternalRow(Array[Any](dropped, deleted)))
+      }
+      case "add_blooms" => proc(
+        "add_blooms",
+        "build per-(file, column) bloom sidecars for the current " +
+          "snapshot — point-lookup file skipping where footer min/max " +
+          "can't prune (Iceberg puffin blob stats)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("cols", StringType)
+            .comment("comma-separated point-lookup columns").build()),
+        StructType(Seq(StructField("sidecars_written", IntegerType)))) { in =>
+        val written = Maintenance.addBlooms(
+          SparkSession.active, full(in), cols(in, 1))
+        Array(new GenericInternalRow(Array[Any](written)))
       }
       case "changes" => proc(
         "changes",

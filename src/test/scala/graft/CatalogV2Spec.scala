@@ -300,6 +300,60 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(graft.catalog.Snapshots.latest(dir).get.version == vBefore)
   }
 
+  test("bloom sidecars skip point lookups where footer min/max can't prune") {
+    spark.sql("CREATE TABLE g2.db.bloomy (k INT, v STRING)")
+    // two ONE-FILE commits with INTERLEAVED key ranges: [1,99] and
+    // [2,100] overlap, so footer stats alone can never separate a point
+    // lookup (coalesce(1) pins one part file per append — SQL VALUES
+    // parallelizes to one file per row, whose min==max stats WOULD prune)
+    spark.createDataFrame(Seq((1, "o"), (3, "o"), (5, "o"), (99, "o")))
+      .toDF("k", "v").coalesce(1).writeTo("g2.db.bloomy").append()
+    spark.createDataFrame(Seq((2, "e"), (4, "e"), (6, "e"), (100, "e")))
+      .toDF("k", "v").coalesce(1).writeTo("g2.db.bloomy").append()
+    val wh = spark.conf.get("spark.sql.catalog.g2.warehouse")
+    val dir = java.nio.file.Paths.get(wh, "db", "bloomy")
+    val before = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    assert(before.size == 2)
+    // build sidecars through the SQL procedure surface
+    val out = spark.sql("CALL g2.system.add_blooms('db.bloomy', 'k')").collect()
+    assert(out.head.getInt(0) == 2)
+    // k=50 is inside both footer ranges but in neither bloom →
+    // provable no-op, NO commit (4 items in a 100k-sized filter: fp
+    // chance is negligible)
+    val v = graft.catalog.Snapshots.latest(dir).get.version
+    spark.sql("DELETE FROM g2.db.bloomy WHERE k = 50")
+    assert(graft.catalog.Snapshots.latest(dir).get.version == v)
+    // point DELETE: only the odd file contains 5 — the even file is
+    // bloom-negative and keeps its identity (footer range says "maybe")
+    spark.sql("DELETE FROM g2.db.bloomy WHERE k = 5")
+    val after = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    val kept = before.intersect(after)
+    assert(kept.size == 1)
+    assert(spark.sql("SELECT count(*) FROM g2.db.bloomy").collect()
+      .head.getLong(0) == 7)
+    // the rewritten odd file has NO sidecar (new name) → conservative
+    // rewrite, still correct; the even file's sidecar still prunes it
+    // (99 is bloom-negative there) so it keeps its identity again
+    spark.sql("DELETE FROM g2.db.bloomy WHERE k = 99")
+    val after2 = graft.catalog.Snapshots.latest(dir).get.files.toSet
+    assert(kept.subsetOf(after2))
+    assert(spark.sql("SELECT count(*) FROM g2.db.bloomy").collect()
+      .head.getLong(0) == 6)
+    // snapshot expiry removes dead files' sidecars with them; every
+    // surviving sidecar belongs to a live file
+    graft.catalog.Maintenance.expireSnapshots(spark, "g2.db.bloomy", 1)
+    val liveNames = after2.map(f =>
+      java.nio.file.Paths.get(f).getFileName.toString)
+    val leftovers = scala.util.Using.resource(
+        java.nio.file.Files.list(dir.resolve("blooms"))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    assert(leftovers.nonEmpty) // the still-live even file keeps its bloom
+    assert(leftovers.forall(n => liveNames.exists(l => n.startsWith(l + "."))),
+      s"orphan sidecars survive expiry: $leftovers")
+  }
+
   test("date-range DELETE prunes via logical-type-aware stats") {
     spark.sql("CREATE TABLE g2.db.deldate (d DATE, v INT)")
     spark.sql("""INSERT INTO g2.db.deldate
