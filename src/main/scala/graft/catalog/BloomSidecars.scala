@@ -71,28 +71,31 @@ object BloomSidecars {
     * as far as this file's bloom sidecars can tell? Only point-lookup
     * conjuncts (`=`, `IN`, null-safe `=`) consult a bloom; everything
     * else is `true`. AND both sides must may-match; OR/NOT stay
-    * conservative. */
+    * conservative. Each (file, column) sidecar is read and
+    * deserialized at most ONCE per call — the caller loops this over
+    * every candidate file, so redundant I/O would scale with
+    * conjuncts × files. */
   def mayMatchAll(tableDir: Path, relFile: String,
-      filters: Seq[Filter]): Boolean =
-    filters.forall(mayMatch(tableDir, relFile, _))
-
-  private def mayMatch(tableDir: Path, relFile: String, f: Filter): Boolean =
-    f match {
-      case EqualTo(a, v) => pointMayMatch(tableDir, relFile, a, Seq(v))
-      case EqualNullSafe(a, v) if v != null =>
-        pointMayMatch(tableDir, relFile, a, Seq(v))
+      filters: Seq[Filter]): Boolean = {
+    val cache = scala.collection.mutable.Map.empty[String, Option[BloomFilter]]
+    def bloom(column: String): Option[BloomFilter] =
+      cache.getOrElseUpdate(column, loadBloom(tableDir, relFile, column))
+    def mayMatch(f: Filter): Boolean = f match {
+      case EqualTo(a, v) => pointMayMatch(bloom(a), Seq(v))
+      case EqualNullSafe(a, v) if v != null => pointMayMatch(bloom(a), Seq(v))
       case In(a, vs) if vs != null && vs.nonEmpty =>
-        pointMayMatch(tableDir, relFile, a, vs.toSeq)
-      case And(l, r) =>
-        mayMatch(tableDir, relFile, l) && mayMatch(tableDir, relFile, r)
+        pointMayMatch(bloom(a), vs.toSeq)
+      case And(l, r) => mayMatch(l) && mayMatch(r)
       case _ => true
     }
+    filters.forall(mayMatch)
+  }
 
   /** False only when a sidecar exists for the column AND every value
     * hashes to a known type AND the bloom rejects all of them. */
-  private def pointMayMatch(tableDir: Path, relFile: String,
-      column: String, values: Seq[Any]): Boolean =
-    loadBloom(tableDir, relFile, column) match {
+  private def pointMayMatch(bloom: Option[BloomFilter],
+      values: Seq[Any]): Boolean =
+    bloom match {
       case None => true
       case Some(bf) =>
         values.exists(v => hashOf(v) match {

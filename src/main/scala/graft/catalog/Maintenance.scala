@@ -240,8 +240,18 @@ object Maintenance {
     import org.apache.spark.sql.functions.{col, input_file_name}
     require(cols.nonEmpty, "addBlooms needs at least one column")
     val dir = tableDir(spark, ident)
-    val snap = Snapshots.latest(dir)
-    val files = snap.map(_.files).getOrElse(Seq.empty)
+    // pre-snapshot (v1-era) tables have data but no snapshot — mirror
+    // GraftTable.visibleFiles' whole-data-dir fallback rather than
+    // silently writing zero sidecars for a table that has files
+    val files = Snapshots.latest(dir).map(_.files).getOrElse {
+      val dataDir = dir.resolve("data")
+      if (!Files.isDirectory(dataDir)) Seq.empty
+      else scala.util.Using.resource(Files.walk(dataDir)) { st =>
+        st.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => dir.relativize(p).toString).toSeq
+      }
+    }
     if (files.isEmpty) return 0
     val byName = files.map(f =>
       Paths.get(f).getFileName.toString -> f).toMap
@@ -260,8 +270,13 @@ object Maintenance {
       val name = r.getString(0).split('/').last
       byName.get(name).foreach { rel =>
         cols.zipWithIndex.foreach { case (c, i) =>
+          // Defensive: the aggregate only evaluates to null for a
+          // zero-row group (committed files are never empty). NULL
+          // column values DO land in the bloom — xxhash64(NULL) is the
+          // seed — which is harmless: null-lookup filters are handled
+          // conservatively in BloomSidecars.mayMatch, never hashed.
           val bytes = r.getAs[Array[Byte]](i + 1)
-          if (bytes != null) { // all-NULL file: no sidecar, not pruned
+          if (bytes != null) {
             BloomSidecars.write(dir, rel, c, bytes)
             written += 1
           }

@@ -167,10 +167,7 @@ object Coreset {
       scale: Int = 1024): (Seq[ShardCenter], Seq[Center]) = {
     require(numBuckets >= 1 && kPerBucket >= 1 && kFinal >= 1,
       "sharded k-center needs positive numBuckets/kPerBucket/kFinal")
-    val bucket = pmod(
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long"),
-      lit(numBuckets.toLong))
+    val bucket = Sampling.md5Bucket(col(idCol), numBuckets)
     val q = df.select(col(idCol).cast("long").as("id"),
         bucket.as("bucket"), quantize(col(vecCol), scale).as("q"))
       .transform(OperatorCache.persist)
@@ -238,10 +235,6 @@ object Coreset {
          |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1]) *
          |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1])))
          |  AS BIGINT)""".stripMargin
-    val hex8 = "CAST(list_sum(list_transform(range(8), k -> " +
-      s"CAST(instr('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), " +
-      "CAST(k AS INT)+1, 1)) - 1 AS BIGINT) << CAST(4*(7-k) AS BIGINT))) " +
-      "AS BIGINT)"
     // phase 1: per-bucket simultaneous greedy, unrolled
     val localSteps = (2 to kPerBucket).map { t =>
       val prevD = if (t == 2) "d1" else s"d${t - 1}"
@@ -288,7 +281,7 @@ object Coreset {
     val localBlock = if (localSteps.isEmpty) "" else localSteps + ",\n"
     val mergeBlock = if (mergeSteps.isEmpty) "" else mergeSteps + ",\n"
     s"""WITH e AS (SELECT CAST($idCol AS BIGINT) AS id,
-       |    $hex8 % $numBuckets AS bucket,
+       |    ${Sampling.duckMd5Bucket(idCol, numBuckets)} AS bucket,
        |    list_transform($vecCol::DOUBLE[], x ->
        |      CAST(floor(x * $scale) AS BIGINT)) AS q
        |  FROM $table),

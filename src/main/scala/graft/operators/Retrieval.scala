@@ -180,6 +180,8 @@ object Retrieval {
     val out = (s"SELECT 1 AS it, id, rel, CAST(0 AS BIGINT) AS ms, " +
       s"$lambdaNum * rel AS mmr FROM c1") +:
       (2 to k).map(t => s"SELECT $t AS it, id, rel, ms, mmr FROM c$t")
+    val stepsSep = if (steps.isEmpty) "" else ","        // k = 1: no CTEs
+    val stepsBlock = if (steps.isEmpty) "" else steps + "\n"
     s"""WITH e AS (SELECT CAST($idCol AS BIGINT) AS id,
        |    list_transform($vecCol::DOUBLE[], x ->
        |      CAST(floor(x * $scale) AS BIGINT)) AS q,
@@ -188,9 +190,8 @@ object Retrieval {
        |qv AS (SELECT q FROM e WHERE is_q),
        |r AS (SELECT e.id, e.q, ${dot("e.q", "qv.q")} AS rel
        |  FROM e, qv WHERE NOT e.is_q),
-       |c1 AS (SELECT id, q, rel FROM r ORDER BY rel DESC, id LIMIT 1),
-       |$steps
-       |SELECT CAST(it AS BIGINT) AS iter, id, rel AS rel_q,
+       |c1 AS (SELECT id, q, rel FROM r ORDER BY rel DESC, id LIMIT 1)$stepsSep
+       |${stepsBlock}SELECT CAST(it AS BIGINT) AS iter, id, rel AS rel_q,
        |  ms AS maxsim_q, mmr AS mmr_q
        |FROM (${out.mkString(" UNION ALL ")})
        |ORDER BY iter""".stripMargin

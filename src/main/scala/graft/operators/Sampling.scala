@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Deterministic md5 bucket of an id: first-8-hex md5 digits mod
+    * `numBuckets` — the shared deal used by [[graft.operators.ShardExport]]
+    * and [[Coreset.kCenterSharded]]. Replay in DuckDB with
+    * [[duckMd5Bucket]]. */
+  def md5Bucket(id: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(numBuckets.toLong))
+
+  /** DuckDB replay of [[md5Bucket]] over SQL expression `idExpr`: parse
+    * the first 8 md5 hex digits via instr/shift-sum (DuckDB has no
+    * hex-string-to-int conv), then mod. Keep THIS one copy — the recipe
+    * is exactness-critical and easy to drift. */
+  def duckMd5Bucket(idExpr: String, numBuckets: Int): String = {
+    val hex8 = "CAST(list_sum(list_transform(range(8), k -> " +
+      s"CAST(instr('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), " +
+      "CAST(k AS INT)+1, 1)) - 1 AS BIGINT) << CAST(4*(7-k) AS BIGINT))) " +
+      "AS BIGINT)"
+    s"$hex8 % $numBuckets"
+  }
+
   /** 4-hex-digit cumulative upper bounds for the leading fractions (the
     * last split takes the remainder, so no bound is emitted for it). */
   def hexBounds(fractions: Seq[Double]): Seq[String] = {

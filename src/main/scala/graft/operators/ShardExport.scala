@@ -38,9 +38,7 @@ object ShardExport {
       salt: String = "epoch0"): DataFrame = {
     require(numShards >= 1, "shard export needs numShards >= 1")
     val idStr = col(idCol).cast("string")
-    val shard = pmod(
-      conv(substring(md5(idStr), 1, 8), 16, 10).cast("long"),
-      lit(numShards.toLong))
+    val shard = Sampling.md5Bucket(col(idCol), numShards)
     val order = md5(concat(lit(salt), idStr))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__ord"), col(idCol))
@@ -88,13 +86,10 @@ object ShardExport {
     * order, identical ordered fingerprint chain. */
   def oracleSql(table: String, idCol: String, payloadCol: String,
       numShards: Int, salt: String = "epoch0"): String = {
-    val hex8 = "CAST(list_sum(list_transform(range(8), k -> " +
-      s"CAST(instr('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), " +
-      "CAST(k AS INT)+1, 1)) - 1 AS BIGINT) << CAST(4*(7-k) AS BIGINT))) " +
-      "AS BIGINT)"
+    val saltLit = salt.replace("'", "''") // match Spark's lit(salt)
     s"""WITH p AS (SELECT $idCol AS id, $payloadCol AS payload,
-       |    $hex8 % $numShards AS shard,
-       |    md5('$salt' || CAST($idCol AS VARCHAR)) AS ord
+       |    ${Sampling.duckMd5Bucket(idCol, numShards)} AS shard,
+       |    md5('$saltLit' || CAST($idCol AS VARCHAR)) AS ord
        |  FROM $table),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard
        |    ORDER BY ord, id) AS BIGINT) AS shard_rank FROM p)
