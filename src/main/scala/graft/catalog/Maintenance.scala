@@ -287,15 +287,23 @@ object Maintenance {
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files no
-    * surviving snapshot references. Returns (snapshots dropped, files
-    * deleted). Time travel to expired versions stops working — that is the
-    * point. */
+    * surviving snapshot references. TAGGED snapshots ([[Snapshots
+    * .createTag]]) are never expired — a tag is the reproducibility pin
+    * for e.g. the exact corpus a model was trained on, so it protects
+    * its snapshot (and that snapshot's files) until the tag is dropped.
+    * Returns (snapshots dropped, files deleted). Time travel to expired
+    * versions stops working — that is the point. */
   def expireSnapshots(spark: SparkSession, ident: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val dir = tableDir(spark, ident)
     val all = Snapshots.list(dir)
     if (all.length <= keepLast) return (0, 0)
-    val (drop, keep) = all.splitAt(all.length - keepLast)
+    val tagged = Snapshots.tags(dir).map(_.version).toSet
+    val (candidates, newest) = all.splitAt(all.length - keepLast)
+    val (protectedSnaps, drop) =
+      candidates.partition(s => tagged.contains(s.version))
+    val keep = protectedSnaps ++ newest
+    if (drop.isEmpty) return (0, 0)
     val live = keep.flatMap(_.files).toSet
     val dead = drop.flatMap(_.files).toSet -- live
     dead.foreach { f => Files.deleteIfExists(dir.resolve(f)) }

@@ -175,23 +175,36 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
         if (tableExists(base))
           return new FilesTable(s"${fullName(base)}.files", tablePath(base))
       }
+      // `cat.ns.t.refs`: the named tags (Iceberg refs metadata table).
+      if (ident.name() == "refs" && ident.namespace().nonEmpty) {
+        val base = Identifier.of(ident.namespace().init, ident.namespace().last)
+        if (tableExists(base))
+          return new RefsTable(s"${fullName(base)}.refs", tablePath(base))
+      }
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
     }
     buildTable(ident, pinned = None)
   }
 
-  /** `SELECT ... FROM t VERSION AS OF <n>` */
+  /** `SELECT ... FROM t VERSION AS OF <n | 'tag'>` — a numeric version
+    * resolves directly; any other string resolves as a named tag
+    * ([[Snapshots.createTag]]; tag names are forbidden from being
+    * numeric, so the dispatch is unambiguous). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft snapshot versions are integers; got '$version'")
+    val snap = version.toLongOption match {
+      case Some(v) => Snapshots.byVersion(tablePath(ident), v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot v$v for ${fullName(ident)}; have versions " +
+            Snapshots.list(tablePath(ident)).map(_.version)
+              .mkString("[", ",", "]")))
+      case None => Snapshots.byTag(tablePath(ident), version).getOrElse(
+        throw new IllegalArgumentException(
+          s"no tag '$version' for ${fullName(ident)}; have tags " +
+            Snapshots.tags(tablePath(ident)).map(_.name)
+              .mkString("[", ",", "]")))
     }
-    val snap = Snapshots.byVersion(tablePath(ident), v).getOrElse(
-      throw new IllegalArgumentException(
-        s"no snapshot v$v for ${fullName(ident)}; have versions " +
-          Snapshots.list(tablePath(ident)).map(_.version).mkString("[", ",", "]")))
     buildTable(ident, Some(snap))
   }
 

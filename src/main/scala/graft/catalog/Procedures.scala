@@ -23,7 +23,8 @@ object Procedures {
   val Namespace: Array[String] = Array("system")
 
   def list(): Array[Identifier] =
-    Array("compact", "zorder", "expire_snapshots", "add_blooms", "changes")
+    Array("compact", "zorder", "expire_snapshots", "add_blooms",
+      "create_tag", "drop_tag", "changes")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -81,6 +82,35 @@ object Procedures {
         val (dropped, deleted) = Maintenance.expireSnapshots(
           SparkSession.active, full(in), in.getInt(1))
         Array(new GenericInternalRow(Array[Any](dropped, deleted)))
+      }
+      case "create_tag" => proc(
+        "create_tag",
+        "pin an immutable named tag to a snapshot version — readable " +
+          "via VERSION AS OF '<name>', protected from expire_snapshots " +
+          "(Iceberg refs)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", IntegerType).build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("version", LongType)))) { in =>
+        val dir = Maintenance.tableDir(SparkSession.active, full(in))
+        val ref = Snapshots.createTag(dir, s(in, 1), in.getInt(2).toLong)
+        Array(new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(ref.name),
+          ref.version)))
+      }
+      case "drop_tag" => proc(
+        "drop_tag",
+        "remove a named tag (the snapshot stays; it just loses expiry " +
+          "protection)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("existed", BooleanType)))) { in =>
+        val dir = Maintenance.tableDir(SparkSession.active, full(in))
+        Array(new GenericInternalRow(Array[Any](
+          Snapshots.dropTag(dir, s(in, 1)))))
       }
       case "add_blooms" => proc(
         "add_blooms",

@@ -55,6 +55,77 @@ object Snapshots {
   def byTimestamp(tableDir: Path, tsMillis: Long): Option[Snap] =
     list(tableDir).filter(_.tsMillis <= tsMillis).lastOption
 
+  // --- named refs (tags) -------------------------------------------------
+  // Iceberg-style immutable tags: a human name pinned to one snapshot
+  // version, resolvable via `VERSION AS OF '<name>'`. The
+  // training-data use case is reproducibility — tag the exact corpus
+  // snapshot a model was trained on, and the tag keeps that snapshot
+  // alive through expireSnapshots. A tag file is
+  // `_graft_refs/<name>.ref` holding "version\ncreated-at-millis".
+
+  private def refsDir(tableDir: Path): Path = tableDir.resolve("_graft_refs")
+
+  /** One named ref: tag name, pinned version, creation time. */
+  final case class Ref(name: String, version: Long, tsMillis: Long)
+
+  /** Create an immutable tag for an EXISTING snapshot version. Fails
+    * loudly when the tag exists (same `createLink` CAS as commits — a
+    * tag can never be silently repointed; drop it first), when the
+    * version doesn't, or when the name could be confused with a
+    * numeric version / escape the refs dir. */
+  def createTag(tableDir: Path, name: String, version: Long): Ref = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || "-_.".contains(c)) &&
+      !name.startsWith("."),
+      s"tag name must be [A-Za-z0-9._-]+ not starting with '.', got '$name'")
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' would be ambiguous with a numeric version")
+    byVersion(tableDir, version).getOrElse(throw new IllegalArgumentException(
+      s"cannot tag: no snapshot v$version (have " +
+        list(tableDir).map(_.version).mkString("[", ",", "]") + ")"))
+    val d = refsDir(tableDir)
+    Files.createDirectories(d)
+    val ref = Ref(name, version, System.currentTimeMillis())
+    val tmp = d.resolve(s".$name.ref.${java.util.UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, s"$version\n${ref.tsMillis}")
+    try {
+      Files.createLink(d.resolve(s"$name.ref"), tmp)
+      Files.delete(tmp)
+      ref
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.delete(tmp)
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists (tags are immutable; drop it first)")
+    }
+  }
+
+  /** Remove a tag; returns whether it existed. The snapshot itself is
+    * untouched (it just loses expiry protection). */
+  def dropTag(tableDir: Path, name: String): Boolean =
+    Files.deleteIfExists(refsDir(tableDir).resolve(s"$name.ref"))
+
+  /** All tags, sorted by name. */
+  def tags(tableDir: Path): Seq[Ref] = {
+    val d = refsDir(tableDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else scala.util.Using.resource(Files.list(d)) { st =>
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".ref") &&
+          !p.getFileName.toString.startsWith("."))
+        .map { p =>
+          val lines = Files.readAllLines(p).asScala
+          Ref(p.getFileName.toString.stripSuffix(".ref"),
+            lines.head.toLong, lines(1).toLong)
+        }.toSeq.sortBy(_.name)
+    }
+  }
+
+  /** Resolve a tag to its pinned snapshot. */
+  def byTag(tableDir: Path, name: String): Option[Snap] =
+    tags(tableDir).find(_.name == name)
+      .flatMap(r => byVersion(tableDir, r.version))
+
   /** Append the next snapshot; `files` is the COMPLETE visible file list. */
   def commit(tableDir: Path, files: Seq[String]): Snap =
     commitWith(tableDir)(_ => files)

@@ -300,6 +300,54 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(graft.catalog.Snapshots.latest(dir).get.version == vBefore)
   }
 
+  test("snapshot tags: VERSION AS OF '<name>', expiry protection, .refs") {
+    spark.sql("CREATE TABLE g2.db.tagged (a INT)")          // v1 empty
+    spark.sql("INSERT INTO g2.db.tagged VALUES (1), (2)")   // v2
+    spark.sql("INSERT INTO g2.db.tagged VALUES (3)")        // v3
+    spark.sql("INSERT OVERWRITE g2.db.tagged VALUES (9)")   // v4
+    // pin the pre-overwrite corpus as a named tag via SQL
+    val created = spark.sql(
+      "CALL g2.system.create_tag('db.tagged', 'train-run-1', 3)").collect()
+    assert(created.head.getString(0) == "train-run-1" &&
+      created.head.getLong(1) == 3L)
+    // tag reads resolve to the pinned snapshot
+    assert(spark.sql(
+      "SELECT a FROM g2.db.tagged VERSION AS OF 'train-run-1' ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // .refs metadata table lists it
+    val refs = spark.sql("SELECT name, version FROM g2.db.tagged.refs")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(refs == Seq(("train-run-1", 3L)))
+    // tags are immutable; numeric names are rejected as ambiguous
+    intercept[Exception] { spark.sql(
+      "CALL g2.system.create_tag('db.tagged', 'train-run-1', 2)").collect() }
+    intercept[Exception] { spark.sql(
+      "CALL g2.system.create_tag('db.tagged', '7', 2)").collect() }
+    // expiry keeps the tagged snapshot (and its files) alive
+    val (dropped, _) = graft.catalog.Maintenance.expireSnapshots(
+      spark, "g2.db.tagged", keepLast = 1)
+    assert(dropped == 2) // v1, v2 expired; v3 survives via the tag
+    assert(spark.sql(
+      "SELECT a FROM g2.db.tagged VERSION AS OF 'train-run-1' ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    intercept[Exception] { spark.sql(
+      "SELECT * FROM g2.db.tagged VERSION AS OF 2").collect() }
+    // dropping the tag releases the protection; the next expiry reclaims
+    assert(spark.sql("CALL g2.system.drop_tag('db.tagged', 'train-run-1')")
+      .collect().head.getBoolean(0))
+    val (dropped2, _) = graft.catalog.Maintenance.expireSnapshots(
+      spark, "g2.db.tagged", keepLast = 1)
+    assert(dropped2 == 1)
+    intercept[Exception] { spark.sql(
+      "SELECT * FROM g2.db.tagged VERSION AS OF 'train-run-1'").collect() }
+    // unknown tag errors name the available tags
+    val err = intercept[Exception] { spark.sql(
+      "SELECT * FROM g2.db.tagged VERSION AS OF 'nope'").collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(err).contains("no tag 'nope'"))
+  }
+
   test("bloom sidecars skip point lookups where footer min/max can't prune") {
     spark.sql("CREATE TABLE g2.db.bloomy (k INT, v STRING)")
     // two ONE-FILE commits with INTERLEAVED key ranges: [1,99] and
