@@ -51,7 +51,13 @@ final class Engine(root: SparkSession) {
       // Arrow IPC encoding, cached at first fetch:
       // (stream bytes, message-boundary offsets for per-batch framing).
       var ipc: Option[(Array[Byte], Array[Int])] = None,
-      var touchedMs: Long = System.currentTimeMillis())
+      var touchedMs: Long = System.currentTimeMillis()) {
+    // Per-execute job-group suffix: cancelQuery is STICKY (future jobs
+    // of the cancelled group fail too, closing the AQE inter-job gap
+    // race), so each execute runs under a fresh attempt id to stay
+    // re-executable after a cancel.
+    val executeAttempt = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
 
   private val sessions = new ConcurrentHashMap[String, SparkSession]()
   private val statements = new ConcurrentHashMap[String, Statement]()
@@ -253,14 +259,39 @@ final class Engine(root: SparkSession) {
   def execute(handle: String): Long = {
     val st = statement(handle)
     val df = plan(st)
-    val rows = df.collect() // outside the lock: fetches of the OLD result
-                            // stay servable while the job runs
+    // every Spark job this statement submits carries its handle as the
+    // job group, so cancelQuery from ANOTHER connection can abort it —
+    // the verb the reference leaves Status::unimplemented
+    // (do_action_cancel_query, lib.rs:781-787). Thread-local on the
+    // handler thread: concurrent executes don't cross-tag.
+    val sc = st.session.sparkContext
+    st.executeAttempt.incrementAndGet()
+    sc.setJobGroup(Engine.jobGroup(handle) + "-" + st.executeAttempt.get(),
+      s"graft statement $handle", interruptOnCancel = true)
+    val rows = try df.collect() // outside the lock: fetches of the OLD
+      finally sc.clearJobGroup() // result stay servable during the job
     st.synchronized {
       st.result = Some((df.schema, rows.length.toLong))
       st.rows = Some(rows)
       st.ipc = None // new result: any cached encoding is stale
     }
     rows.length.toLong
+  }
+
+  /** Cancel a RUNNING statement's Spark jobs (`cancel_query` verb —
+    * Flight SQL's ActionCancelQueryRequest; the reference stubs it,
+    * lib.rs:781-787). STICKY (`cancelJobGroupAndFutureJobs`): an AQE
+    * collect runs several sequential jobs with gaps between them, so a
+    * non-sticky cancel landing in a gap would kill nothing and the
+    * remaining jobs would run to completion. The blocked `execute`
+    * fails with a cancellation SparkException; the statement handle
+    * itself stays valid — the old cached result (if any) remains
+    * fetchable, and a NEW execute clears the sticky flag by running
+    * under a fresh attempt-suffixed group. */
+  def cancelQuery(handle: String): Unit = {
+    val st = statement(handle)
+    st.session.sparkContext.cancelJobGroupAndFutureJobs(
+      Engine.jobGroup(handle) + "-" + st.executeAttempt.get())
   }
 
   def fetch(handle: String): (StructType, Array[Row]) = {
@@ -454,6 +485,10 @@ final class Engine(root: SparkSession) {
 }
 
 object Engine {
+
+  /** Spark job-group name tagging every job a statement submits —
+    * the cancellation key for [[Engine.cancelQuery]]. */
+  private[graft] def jobGroup(handle: String): String = s"graft-stmt-$handle"
 
   /** `[NOT] SIMILAR TO '<pattern>' [ESCAPE '<c>']` with literal pattern
     * and escape — the shim's supported shape (no computed patterns).

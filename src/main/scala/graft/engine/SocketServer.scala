@@ -247,6 +247,13 @@ final class SocketServer(engine: Engine, requestedPort: Int = 31337,
             .rowsToArrowIpc(engine.session(token), schema, rows)
           res.put("ok", true).put("rows", rows.length)
             .put("bytes", arrow.length)
+        case "cancel_query" =>
+          // Flight SQL CancelQuery (the reference's
+          // do_action_cancel_query is Status::unimplemented,
+          // lib.rs:781-787): abort the statement's running Spark jobs
+          // from ANOTHER connection; the handle stays valid.
+          engine.cancelQuery(text("handle"))
+          res.put("ok", true)
         case "close_statement" =>
           engine.closeStatement(text("handle"))
           res.put("ok", true)

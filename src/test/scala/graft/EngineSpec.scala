@@ -707,4 +707,40 @@ class EngineSpec extends AnyFunSuite {
     engine.closeSession(active)
     engine.closeSession(busy)
   }
+
+  test("cancel_query aborts a running statement from another thread " +
+      "(reference stubs do_action_cancel_query, lib.rs:781-787)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // ~2·10^9 cheap evaluations pinned to TWO partitions: minutes
+    // uncancelled (so a prompt return proves the cancel, not query
+    // completion) while leaving 30 cores free — suites run in parallel
+    // in this JVM and a 32-core storm here starves the TTL-timing tests
+    val (h, _) = engine.prepare(token,
+      "SELECT max(xxhash64(a.id * b.id)) AS m " +
+        "FROM range(0, 20000000, 1, 2) a CROSS JOIN range(100) b")
+    val started = System.nanoTime()
+    val running = Future(engine.execute(h))
+    // wait until the statement's job group has an active job
+    val sc = TestSpark.spark.sparkContext
+    val group = Engine.jobGroup(h) + "-1" // first execute attempt
+    var waited = 0
+    while (sc.statusTracker.getJobIdsForGroup(group).isEmpty && waited < 200) {
+      Thread.sleep(50); waited += 1
+    }
+    assert(sc.statusTracker.getJobIdsForGroup(group).nonEmpty,
+      "statement job never started")
+    engine.cancelQuery(h)
+    val err = intercept[Exception] { Await.result(running, 60.seconds) }
+    val elapsedSec = (System.nanoTime() - started) / 1e9
+    assert(elapsedSec < 60, s"cancel took ${elapsedSec}s")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(err).toLowerCase.contains("cancel"), err.toString)
+    // the handle survives cancellation and can run a fresh query
+    engine.bind(h, Nil)
+    intercept[IllegalStateException] { engine.fetch(h) } // never executed
+    engine.closeStatement(h)
+  }
 }

@@ -206,6 +206,26 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("cancel_query verb is wired: ok on an idle statement, handle " +
+      "stays executable (reference stubs it, lib.rs:781-787)") {
+    withServer { (_, c) =>
+      val token = auth(c)
+      val prep = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT 1 AS v")
+      val handle = prep.get("handle").asText
+      // cancel with no active job: a no-op, not an error (the
+      // cross-thread abort semantics are EngineSpec's cancel test)
+      assert(c.call("cmd" -> "cancel_query", "handle" -> handle)
+        .get("ok").asBoolean)
+      assert(c.call("cmd" -> "execute", "handle" -> handle)
+        .get("rows").asLong == 1L)
+      // unknown handle surfaces as ok=false, like other verbs
+      assert(!c.call("cmd" -> "cancel_query", "handle" -> "nope")
+        .get("ok").asBoolean)
+      c.call("cmd" -> "close_session", "token" -> token)
+    }
+  }
+
   test("catalog introspection verbs list catalogs/schemas/tables (VERDICT r7 #6)") {
     withServer { (_, c) =>
       val token = auth(c)
