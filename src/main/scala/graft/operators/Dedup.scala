@@ -245,6 +245,41 @@ object Dedup {
     df.groupBy(md5(lower(col(textCol))).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-source exact dedup with PROVENANCE: when the same text
+    * appears in several sources, keep the copy from the
+    * highest-priority source — the "prefer the curated edition over
+    * the crawl copy" rule every multi-corpus assembly applies (C4 vs
+    * books vs wiki overlap) — and report where else it appeared.
+    * `priority` lists sources best-first; unlisted sources rank after
+    * all listed ones; ties break by (source name, min id), so the
+    * representative is total-order deterministic. Output per distinct
+    * text: keep_id, keep_source, n_copies, n_sources, and the sorted
+    * distinct source list (provenance — what a data card reports).
+    *
+    * Scale shape: ONE exchange keyed on the 16-byte fingerprint; the
+    * argmin rides a struct `min` (partial-aggregated map-side), the
+    * text column never shuffles, and the per-group source list is
+    * bounded by the number of corpora, not the corpus size. */
+  def provenanceDedup(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, priority: Seq[String]): DataFrame = {
+    val rank = priority.zipWithIndex
+      .foldLeft(lit(priority.size): Column) { case (acc, (s0, i)) =>
+        when(col(sourceCol) === s0, lit(i)).otherwise(acc)
+      }
+    df.select(md5(lower(col(textCol))).as("fp"),
+        col(idCol).as("__id"), col(sourceCol).as("__src"), rank.as("__rk"))
+      .groupBy("fp")
+      .agg(
+        min(struct(col("__rk"), col("__src"), col("__id"))).as("best"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("__src")).as("n_sources"),
+        array_sort(collect_set(col("__src"))).as("__sources"))
+      .select(col("best.__id").as("keep_id"),
+        col("best.__src").as("keep_source"),
+        col("n_copies"), col("n_sources"),
+        array_join(col("__sources"), ",").as("sources"))
+  }
+
   /** SoftDedup (Xue et al. 2024, "SoftDedup: an Efficient Data
     * Reweighting Method for Speeding Up Language Model Pre-training"):
     * instead of DROPPING duplicates, keep every document and DOWNWEIGHT

@@ -75,6 +75,42 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Cross-source provenance dedup (Dedup.provenanceDedup): identical
+    // texts collapse onto the highest-priority source's copy (listed
+    // sources best-first, unlisted after, ties by source/id — total
+    // order), with n_copies/n_sources/sorted provenance list. Planted
+    // like q_dedup_soft: every 5th doc collapses onto one of 3 shared
+    // pages, which therefore span many sources.
+    Probe.df("q_dedup_provenance",
+      """WITH d AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0
+        |    THEN 'shared boilerplate page about topic '
+        |         || CAST(doc_id % 3 AS VARCHAR)
+        |    ELSE text END AS text FROM documents),
+        |f AS (SELECT doc_id, source, md5(lower(text)) AS fp,
+        |  CASE source WHEN 'src3' THEN 0 WHEN 'src7' THEN 1 ELSE 2 END
+        |    AS rk FROM d),
+        |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  array_to_string(list_sort(list_distinct(list(source))), ',')
+        |    AS sources
+        |  FROM f GROUP BY fp),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY rk, source, doc_id) AS rn FROM f)
+        |SELECT r.doc_id AS keep_id, r.source AS keep_source,
+        |  g.n_copies, g.n_sources, g.sources
+        |FROM r JOIN g USING (fp) WHERE rn = 1
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("shared boilerplate page about topic "),
+              (col("doc_id") % 3).cast("string")))
+            .otherwise(col("text")).as("text"))
+      Dedup.provenanceDedup(planted, "doc_id", "text", "source",
+          priority = Seq("src3", "src7"))
+        .orderBy("keep_id")
+    },
+
     // Incremental NOVELTY dedup (Dedup.minhashNovelty — the continual-
     // pretraining ingest shape): even doc_ids play the curated BASE,
     // odd ones the NEW batch; per batch doc the operator reports

@@ -400,6 +400,14 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(leftovers.nonEmpty) // the still-live even file keeps its bloom
     assert(leftovers.forall(n => liveNames.exists(l => n.startsWith(l + "."))),
       s"orphan sidecars survive expiry: $leftovers")
+    // a CORRUPTED sidecar degrades to conservative (may match), never
+    // to a wrong prune or a crash
+    val evenRel = after2.head
+    java.nio.file.Files.write(
+      graft.catalog.BloomSidecars.sidecarPath(dir, evenRel, "k"),
+      Array[Byte](1, 2, 3))
+    assert(graft.catalog.BloomSidecars.mayMatchAll(dir, evenRel,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 123456))))
   }
 
   test("date-range DELETE prunes via logical-type-aware stats") {

@@ -707,4 +707,27 @@ class OperatorsSpec extends AnyFunSuite {
     // partitions the string — nothing dropped, nothing duplicated)
     assert(toks.mkString == "it's 2026, graft-time!")
   }
+
+  test("provenanceDedup keeps the highest-priority source's copy and " +
+      "reports the full provenance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "crawl", "same text"),
+      (2L, "books", "same text"),   // listed priority 0 → wins
+      (3L, "crawl", "same text"),
+      (4L, "forum", "other text"),  // unlisted sources tie-break by name
+      (5L, "blog", "other text"),
+      (6L, "crawl", "unique text")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Dedup
+      .provenanceDedup(docs, "doc_id", "text", "source",
+        priority = Seq("books", "crawl"))
+      .orderBy("keep_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (2L, "books", 3L, 2L, "books,crawl"), // priority beats min id
+      (5L, "blog", 2L, 2L, "blog,forum"),   // both unlisted: name order
+      (6L, "crawl", 1L, 1L, "crawl")))
+  }
 }
