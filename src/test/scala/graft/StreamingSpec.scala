@@ -153,6 +153,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(exact.forall(flags(_)))
   }
 
+  test("minhashNovelty drives a continual-pretraining ingest via " +
+      "foreachBatch: each micro-batch is screened against the static base") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft_novelty_stream").toFile
+    val base = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "a curated reference document about query engines and joins")
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a genuinely novel document with fresh content")
+    ).toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(s"$dir/b1")
+    val got = scala.collection.mutable.Map.empty[Long, Boolean]
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the ingest gate: screen ONLY this micro-batch against the
+        // base (base bucketed per call here; a long-lived job would
+        // hold the base's banded blocks persisted across batches)
+        Dedup.minhashNovelty(base, df, "doc_id", "text").collect()
+          .foreach(r => got.synchronized {
+            got(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("novel")
+          })
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    // second micro-batch: one near-dup of the OTHER base doc, one novel
+    Seq((3L, "a curated reference document about query engines and joins"),
+        (4L, "more fresh content that matches nothing in the base"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toMap == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true),
+      s"got $got")
+  }
+
   test("streaming dedup drops cross-batch duplicates, state bounded by watermark") {
     val dir = Files.createTempDirectory("graft_sdedup").toFile
     val out = s"graft_sdedup_out_${System.nanoTime()}"
