@@ -296,6 +296,11 @@ object Maintenance {
   def expireSnapshots(spark: SparkSession, ident: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val dir = tableDir(spark, ident)
+    // Same monitor as Snapshots.commitWith/createTag: an in-JVM
+    // createTag can't land between the tag read and the deletions
+    // below (it would pin a snapshot this sweep is destroying);
+    // cross-process, createTag re-checks and undoes after its link.
+    Snapshots.synchronized {
     val all = Snapshots.list(dir)
     if (all.length <= keepLast) return (0, 0)
     val tagged = Snapshots.tags(dir).map(_.version).toSet
@@ -335,5 +340,6 @@ object Maintenance {
       }
     }
     (drop.length, dead.size)
+    }
   }
 }

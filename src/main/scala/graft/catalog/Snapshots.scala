@@ -73,39 +73,51 @@ object Snapshots {
     * tag can never be silently repointed; drop it first), when the
     * version doesn't, or when the name could be confused with a
     * numeric version / escape the refs dir. */
-  def createTag(tableDir: Path, name: String, version: Long): Ref = {
-    require(name.nonEmpty &&
-      name.forall(c => c.isLetterOrDigit || "-_.".contains(c)) &&
-      !name.startsWith("."),
-      s"tag name must be [A-Za-z0-9._-]+ not starting with '.', got '$name'")
-    require(name.toLongOption.isEmpty,
-      s"tag name '$name' would be ambiguous with a numeric version")
-    byVersion(tableDir, version).getOrElse(throw new IllegalArgumentException(
-      s"cannot tag: no snapshot v$version (have " +
-        list(tableDir).map(_.version).mkString("[", ",", "]") + ")"))
-    val d = refsDir(tableDir)
-    Files.createDirectories(d)
-    val ref = Ref(name, version, System.currentTimeMillis())
-    val tmp = d.resolve(s".$name.ref.${java.util.UUID.randomUUID()}.tmp")
-    Files.writeString(tmp, s"$version\n${ref.tsMillis}")
-    try {
-      Files.createLink(d.resolve(s"$name.ref"), tmp)
-      Files.delete(tmp)
-      ref
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+  def createTag(tableDir: Path, name: String, version: Long): Ref =
+    synchronized { // same monitor as commitWith/expiry: a tag can't be
+      // created against a snapshot an in-JVM expiry is deleting
+      require(name.nonEmpty &&
+        name.forall(c => c.isLetterOrDigit || "-_.".contains(c)) &&
+        !name.startsWith("."),
+        s"tag name must be [A-Za-z0-9._-]+ not starting with '.', got '$name'")
+      require(name.toLongOption.isEmpty,
+        s"tag name '$name' would be ambiguous with a numeric version")
+      byVersion(tableDir, version).getOrElse(throw new IllegalArgumentException(
+        s"cannot tag: no snapshot v$version (have " +
+          list(tableDir).map(_.version).mkString("[", ",", "]") + ")"))
+      val d = refsDir(tableDir)
+      Files.createDirectories(d)
+      val ref = Ref(name, version, System.currentTimeMillis())
+      val tmp = d.resolve(s".$name.ref.${java.util.UUID.randomUUID()}.tmp")
+      Files.writeString(tmp, s"$version\n${ref.tsMillis}")
+      try {
+        Files.createLink(d.resolve(s"$name.ref"), tmp)
         Files.delete(tmp)
-        throw new IllegalArgumentException(
-          s"tag '$name' already exists (tags are immutable; drop it first)")
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp)
+          throw new IllegalArgumentException(
+            s"tag '$name' already exists (tags are immutable; drop it first)")
+      }
+      // cross-PROCESS expiry race: if the snapshot vanished between the
+      // check and the link, undo rather than leave a dangling pin
+      if (byVersion(tableDir, version).isEmpty) {
+        Files.deleteIfExists(d.resolve(s"$name.ref"))
+        throw new IllegalStateException(
+          s"tag '$name' lost a race with snapshot expiry of v$version; " +
+            "nothing was created")
+      }
+      ref
     }
-  }
 
   /** Remove a tag; returns whether it existed. The snapshot itself is
     * untouched (it just loses expiry protection). */
   def dropTag(tableDir: Path, name: String): Boolean =
     Files.deleteIfExists(refsDir(tableDir).resolve(s"$name.ref"))
 
-  /** All tags, sorted by name. */
+  /** All tags, sorted by name. A ref dropped between the directory
+    * listing and its read (drop_tag is a public SQL verb — ordinary
+    * concurrency, not corruption) is simply omitted. */
   def tags(tableDir: Path): Seq[Ref] = {
     val d = refsDir(tableDir)
     if (!Files.isDirectory(d)) Seq.empty
@@ -113,10 +125,14 @@ object Snapshots {
       st.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".ref") &&
           !p.getFileName.toString.startsWith("."))
-        .map { p =>
-          val lines = Files.readAllLines(p).asScala
-          Ref(p.getFileName.toString.stripSuffix(".ref"),
-            lines.head.toLong, lines(1).toLong)
+        .flatMap { p =>
+          try {
+            val lines = Files.readAllLines(p).asScala
+            Some(Ref(p.getFileName.toString.stripSuffix(".ref"),
+              lines.head.toLong, lines(1).toLong))
+          } catch {
+            case _: java.nio.file.NoSuchFileException => None
+          }
         }.toSeq.sortBy(_.name)
     }
   }

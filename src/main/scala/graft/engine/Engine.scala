@@ -258,18 +258,42 @@ final class Engine(root: SparkSession) {
     * lands in driver memory, same as the reference's server memory). */
   def execute(handle: String): Long = {
     val st = statement(handle)
-    val df = plan(st)
     // every Spark job this statement submits carries its handle as the
     // job group, so cancelQuery from ANOTHER connection can abort it —
     // the verb the reference leaves Status::unimplemented
-    // (do_action_cancel_query, lib.rs:781-787). Thread-local on the
-    // handler thread: concurrent executes don't cross-tag.
-    val sc = st.session.sparkContext
-    st.executeAttempt.incrementAndGet()
-    sc.setJobGroup(Engine.jobGroup(handle) + "-" + st.executeAttempt.get(),
-      s"graft statement $handle", interruptOnCancel = true)
-    val rows = try df.collect() // outside the lock: fetches of the OLD
-      finally sc.clearJobGroup() // result stay servable during the job
+    // (do_action_cancel_query, lib.rs:781-787). The group is set
+    // BEFORE plan(): session.sql() runs commands (INSERT/CTAS/DELETE)
+    // and EXPLAIN ANALYZE eagerly, and those long writes are exactly
+    // what a client most wants to cancel. The attempt value must be
+    // the LOCAL incrementAndGet result — re-reading the counter would
+    // let two concurrent executes of one handle share a suffix.
+    //
+    // The group property is set on a DEDICATED thread, not the caller:
+    // Spark job-group properties are InheritableThreadLocal, so any
+    // pool thread born while the caller held the group (e.g. a
+    // fork-join compensation thread spawned by the blocking collect)
+    // would inherit it — and after a STICKY cancel such a zombie
+    // property poisons every unrelated job that thread later submits.
+    // On a dedicated thread the property dies with the thread.
+    val attempt = st.executeAttempt.incrementAndGet()
+    val outcome = new java.util.concurrent.atomic.AtomicReference[
+      Either[Throwable, (org.apache.spark.sql.DataFrame, Array[Row])]]()
+    val worker = new Thread(() => {
+      val sc = st.session.sparkContext
+      sc.setJobGroup(Engine.jobGroup(handle) + "-" + attempt,
+        s"graft statement $handle", interruptOnCancel = true)
+      try { // outside the lock: old-result fetches stay servable
+        val d = plan(st)
+        outcome.set(Right((d, d.collect())))
+      } catch { case e: Throwable => outcome.set(Left(e)) }
+      finally sc.clearJobGroup()
+    }, s"graft-exec-$handle-$attempt")
+    worker.start()
+    worker.join()
+    val (df, rows) = outcome.get() match {
+      case Left(e) => throw e
+      case Right(r) => r
+    }
     st.synchronized {
       st.result = Some((df.schema, rows.length.toLong))
       st.rows = Some(rows)
