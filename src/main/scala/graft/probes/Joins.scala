@@ -255,6 +255,44 @@ object Joins {
           ev.where(col("event_type") === "view"), "event_id", "s", "e",
           bin = 1800000000L) // 30-minute buckets ~ the max interval length
         .orderBy("ida", "idb")
+    },
+
+    // Edit-distance (fuzzy) join — FuzzyJoin.editDistanceJoin: q-gram
+    // count-filter blocking (Gravano '01, recall-complete) + exact
+    // levenshtein verify, so the blocked plan must equal the naive
+    // cross join the oracle computes. Planted zero-padded entity names:
+    // ids differing in ONE digit are genuine cross-id distance-1
+    // matches, every third right row carries a one-char typo (still
+    // matches), every 3k+1 row grows a 6-char suffix (must NOT match).
+    Probe.df("q_join_fuzzy",
+      """WITH l AS (SELECT doc_id AS id_l,
+        |    'entity ' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+        |      || ' corporation' AS s
+        |  FROM documents),
+        |r AS (SELECT doc_id AS id_r,
+        |    'entity ' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN ' corpXration'
+        |      WHEN 1 THEN ' corporation extra'
+        |      ELSE ' corporation' END AS s
+        |  FROM documents)
+        |SELECT l.id_l, r.id_r,
+        |  CAST(levenshtein(l.s, r.s) AS BIGINT) AS dist
+        |FROM l, r WHERE levenshtein(l.s, r.s) <= 1
+        |ORDER BY id_l, id_r""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val d = Tables.load(s, dir, "documents")
+      val l = d.select(col("doc_id").as("id_l"),
+        concat(lit("entity "), lpad(col("doc_id").cast("string"), 4, "0"),
+          lit(" corporation")).as("s"))
+      val r = d.select(col("doc_id").as("id_r"),
+        concat(lit("entity "), lpad(col("doc_id").cast("string"), 4, "0"),
+          when(col("doc_id") % 3 === 0, lit(" corpXration"))
+            .when(col("doc_id") % 3 === 1, lit(" corporation extra"))
+            .otherwise(lit(" corporation"))).as("s"))
+      graft.operators.FuzzyJoin.editDistanceJoin(
+          l, r, "id_l", "s", "id_r", "s", maxDist = 1)
+        .orderBy("id_l", "id_r")
     }
   )
 }
