@@ -1,51 +1,63 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Edit-distance (fuzzy string) join — the entity-resolution tier a
   * curation pipeline uses to match near-identical names/titles across
   * corpora where [[Dedup]]'s token shingles are too coarse (one-char
-  * typos, OCR slips). Classic q-gram count-filter blocking (Gravano et
-  * al., "Approximate String Joins in a Database (Almost) for Free",
-  * VLDB '01): two strings within edit distance k must share at least
-  * `max(|s|,|t|) − (q−1) − k·q` q-grams (each edit destroys at most q
-  * grams of the multiset), so candidates are generated by an equi-join
-  * on grams + a multiset-intersection count filter, then verified with
-  * the exact `levenshtein` — recall-COMPLETE by the bound, so the
-  * blocked plan must equal the naive cross join. (Beyond-ref
-  * extension: DataFusion 40 has `levenshtein` the scalar but no join
-  * operator over it.)
+  * typos, OCR slips). Candidates come from PREFIX-FILTERED q-gram
+  * blocking (Chaudhuri/Ganti/Kaushik's SSJoin primitive, ICDE '06, on
+  * the Gravano VLDB '01 count bound), then the exact `levenshtein`
+  * verifies — recall-COMPLETE, so the blocked plan must equal the
+  * naive cross join. (Beyond-ref extension: DataFusion 40 has
+  * `levenshtein` the scalar but no join operator over it.)
   *
-  * Pairs the count filter cannot reason about — both strings short
-  * enough that the bound is ≤ 0, i.e. `max(len) ≤ q−1+k·q` — take a
-  * separate short×short path (a length-filtered join over the tiny
-  * short-string slice); strings shorter than q can only truly match
-  * within that slice (their gram set is empty, and any longer partner
-  * forces a positive bound no empty set meets), so the two paths are
+  * Why prefix filtering and not a plain join on all grams: two strings
+  * within edit distance k must share ≥ `max(g_s,g_t) − k·q` of their
+  * multiset q-grams (each edit destroys ≤ q grams; g = len−q+1), but
+  * joining on EVERY gram explodes quadratically on ubiquitous grams —
+  * a corpus of "entity NNNN corporation" names shares ~20 grams across
+  * ALL rows, and the all-grams join is O(n²) per such gram (measured:
+  * sf0.1's 5k names ran minutes). The prefix filter keeps completeness
+  * at blocked cost: expand each gram occurrence into an element
+  * (gram, occ) — multiset intersection becomes SET intersection — fix
+  * ONE global element order (ascending corpus frequency, rarest
+  * first), and keep each string's first `min(g, k·q+1)` elements. A
+  * pair meeting the count bound MUST share an element inside both
+  * prefixes (a true match can miss at most k·q of either side's
+  * elements), so joining only the rare prefix elements loses nothing —
+  * and ubiquitous grams sort last, out of every prefix.
+  *
+  * Pairs the bound cannot reason about — both strings short enough
+  * that `max(len) ≤ q−1+k·q` — take a separate short×short path (a
+  * length-filtered join over the tiny short slice); strings shorter
+  * than q can only truly match within that slice, so the two paths are
   * disjoint AND together complete.
   *
-  * Scale shape: grams shuffle as (id, len, gram, count) — never whole
-  * rows; the candidate count filter is one aggregate on (id_l, id_r);
-  * the exact verify joins strings back BY ID. Ubiquitous grams are the
-  * skew risk — they cannot be dropped without losing the recall bound
-  * (unlike [[Fingerprint]]'s maxDocFreq guard); mitigate with a larger
-  * `q` or AQE skew handling. Edit-distance verification is O(len²)
-  * per surviving candidate — this operator is for SHORT strings
-  * (names, titles, keys), not documents.
+  * Scale shape: one frequency aggregate over (gram, occ) elements, one
+  * per-string rank window (partitioned BY STRING — short rows), a join
+  * on prefix elements only, pair-distinct, then the exact verify joins
+  * strings back BY ID. Edit-distance verification is O(len²) per
+  * surviving candidate — this operator is for SHORT strings (names,
+  * titles, keys), not documents.
   */
 object FuzzyJoin {
 
-  /** Multiset q-gram counts per string: (id, len, gram, c). Strings
-    * shorter than q produce no rows (handled by the short path). */
-  private def gramCounts(df: DataFrame, q: Int): DataFrame =
+  /** Expanded positional-multiset elements per string:
+    * (id, len, gram, occ). `occ` numbers duplicate grams within one
+    * string, so multiset gram intersection == set intersection of
+    * (gram, occ) elements. Strings shorter than q produce no rows
+    * (the short path owns them). */
+  private def gramElems(df: DataFrame, q: Int): DataFrame =
     df.select(col("id"), col("s"), length(col("s")).as("len"))
       .where(col("len") >= q)
       .select(col("id"), col("len"),
         explode(transform(sequence(lit(1), col("len") - (q - 1)),
           i => col("s").substr(i, lit(q)))).as("gram"))
-      .groupBy("id", "len", "gram")
-      .agg(count(lit(1)).as("c"))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("id", "gram").orderBy("gram")).cast("long"))
 
   /** All (id_l, id_r, dist) pairs with `levenshtein ≤ maxDist`,
     * exactly the naive cross join's answer at blocked cost. */
@@ -59,25 +71,32 @@ object FuzzyJoin {
     val r = right.select(col(idR).as("id_r"), col(strR).as("s_r"))
       .where(col("s_r").isNotNull)
     val shortBound = q - 1 + maxDist * q
-    val gl = gramCounts(
-        l.select(col("id_l").as("id"), col("s_l").as("s")), q)
-      .select(col("id").as("id_l"), col("len").as("len_l"),
-        col("gram"), col("c").as("c_l"))
-    val gr = gramCounts(
-        r.select(col("id_r").as("id"), col("s_r").as("s")), q)
-      .select(col("id").as("id_r"), col("len").as("len_r"),
-        col("gram"), col("c").as("c_r"))
-    val bound: Column =
-      greatest(col("len_l"), col("len_r")) - lit(q - 1) - lit(maxDist * q)
-    val gramCands = gl.join(gr, "gram")
-      // length filter first (necessary for ed ≤ k), and only pairs the
-      // count bound can reason about — the short slice is the other path
+    val prefixLen = maxDist * q + 1
+    val gl = gramElems(
+      l.select(col("id_l").as("id"), col("s_l").as("s")), q)
+    val gr = gramElems(
+      r.select(col("id_r").as("id"), col("s_r").as("s")), q)
+    // ONE global element order shared by both sides: ascending corpus
+    // frequency (rarest first), ties by (gram, occ) — any total order
+    // is correct, rare-first is what makes the prefixes selective
+    val freq = gl.select(col("gram"), col("occ"))
+      .unionByName(gr.select(col("gram"), col("occ")))
+      .groupBy("gram", "occ").agg(count(lit(1)).as("f"))
+    def prefixed(g: DataFrame): DataFrame =
+      g.join(freq, Seq("gram", "occ"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("id").orderBy("f", "gram", "occ")))
+        .where(col("rk") <= prefixLen)
+    val pl = prefixed(gl).select(col("id").as("id_l"),
+      col("len").as("len_l"), col("gram"), col("occ"))
+    val pr = prefixed(gr).select(col("id").as("id_r"),
+      col("len").as("len_r"), col("gram"), col("occ"))
+    val gramCands = pl.join(pr, Seq("gram", "occ"))
+      // length filter (necessary for ed ≤ k), and only pairs the count
+      // bound can reason about — the short slice is the other path
       .where(abs(col("len_l") - col("len_r")) <= maxDist &&
         greatest(col("len_l"), col("len_r")) > shortBound)
-      .groupBy("id_l", "id_r", "len_l", "len_r")
-      .agg(sum(least(col("c_l"), col("c_r"))).as("shared"))
-      .where(col("shared") >= bound)
-      .select("id_l", "id_r")
+      .select("id_l", "id_r").distinct()
     val shortCands = l.where(length(col("s_l")) <= shortBound)
       .crossJoin(r.where(length(col("s_r")) <= shortBound))
       .where(abs(length(col("s_l")) - length(col("s_r"))) <= maxDist)
