@@ -45,6 +45,31 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized adversarial corpus: tiny alphabet, lengths 0-7, " +
+      "equality with the naive join at k = 0, 1, 2") {
+    // seeded, so deterministic; alphabet {a, b, space} maximizes gram
+    // collisions and near-pairs — the hardest recall regime
+    val rnd = new scala.util.Random(42)
+    def randStr() =
+      (0 until rnd.nextInt(8)).map(_ => "ab "(rnd.nextInt(3))).mkString
+    val ls = (1L to 25L).map(i => (i, randStr()))
+    val rs = (101L to 130L).map(i => (i, randStr()))
+    val l = ls.toDF("id_l", "s")
+    val r = rs.toDF("id_r", "s")
+    for (k <- 0 to 2) {
+      val expected = (for {
+        (il, sl) <- ls; (ir, sr) <- rs
+        d = lev(sl, sr) if d <= k
+      } yield (il, ir, d.toLong)).toSet
+      val got = FuzzyJoin.editDistanceJoin(l, r, "id_l", "s", "id_r", "s",
+          maxDist = k)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .toSet
+      assert(got == expected, s"mismatch at maxDist=$k: " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("short-string pairs (below the count-filter bound) are found " +
       "by the dedicated path") {
     // every string here is <= q-1+k*q = 3 chars at q=2, k=1 — the gram
