@@ -75,6 +75,43 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // EXACT set-similarity self-join (SetJoin.jaccardJoin — ppjoin
+    // family): all pairs with word-set Jaccard >= 0.5, prefix-filtered
+    // blocking + integer-exact verify; the deterministic complement of
+    // the banded minhash path, so the oracle is the naive all-pairs
+    // cross join. Planted shared pages give ~3k genuine cross-id pairs
+    // on top of the self-pairs.
+    Probe.df("q_join_jaccard",
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |    THEN 'shared boilerplate page about topic '
+         |         || CAST(doc_id % 3 AS VARCHAR)
+         |    ELSE text END AS text FROM documents),
+         |w AS (SELECT doc_id, list_distinct($duckWords) AS t FROM d),
+         |f AS (SELECT * FROM w WHERE len(t) > 0),
+         |p AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         |    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+         |    CAST(len(a.t) AS BIGINT) AS sz_l,
+         |    CAST(len(b.t) AS BIGINT) AS sz_r
+         |  FROM f a, f b)
+         |SELECT id_l, id_r, inter, sz_l, sz_r,
+         |  inter::DOUBLE / (sz_l + sz_r - inter)::DOUBLE AS jaccard
+         |FROM p
+         |WHERE inter::DOUBLE / (sz_l + sz_r - inter)::DOUBLE
+         |  >= CAST(0.5 AS DOUBLE)
+         |ORDER BY id_l, id_r""".stripMargin) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("shared boilerplate page about topic "),
+              (col("doc_id") % 3).cast("string")))
+            .otherwise(col("text")).as("text"))
+      val toks = planted.select(col("doc_id"),
+        Dedup.words(col("text")).as("toks"))
+      graft.operators.SetJoin.jaccardJoin(
+          toks, toks, "doc_id", "toks", "doc_id", "toks", tau = 0.5)
+        .orderBy("id_l", "id_r")
+    },
+
     // Cross-source provenance dedup (Dedup.provenanceDedup): identical
     // texts collapse onto the highest-priority source's copy (listed
     // sources best-first, unlisted after, ties by source/id — total

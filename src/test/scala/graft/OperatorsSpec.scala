@@ -708,6 +708,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(toks.mkString == "it's 2026, graft-time!")
   }
 
+  test("jaccardJoin equals the naive all-pairs answer at several " +
+      "thresholds (stopword-heavy corpus, empties excluded)") {
+    import spark.implicits._
+    // deterministic corpus where every row shares the stopwords "the a"
+    // — the prefix filter must survive ubiquitous tokens — plus planted
+    // near-dups and an empty-token row that must match nothing
+    val rows = Seq(
+      (1L, Seq("the", "a", "quick", "brown", "fox")),
+      (2L, Seq("the", "a", "quick", "brown", "wolf")),
+      (3L, Seq("the", "a", "slow", "green", "turtle")),
+      (4L, Seq("the", "a", "quick", "brown", "fox")), // exact dup of 1
+      (5L, Seq[String]()),                            // empty: no matches
+      (6L, Seq("the", "a")),
+      (7L, Seq("unrelated", "words", "entirely", "different", "here")))
+    val df = rows.toDF("id", "toks")
+    def naive(tau: Double) = (for {
+      (il, tl) <- rows; (ir, tr) <- rows
+      sl = tl.distinct.toSet; sr = tr.distinct.toSet
+      if sl.nonEmpty && sr.nonEmpty
+      inter = (sl & sr).size
+      jac = inter.toDouble / (sl.size + sr.size - inter)
+      if jac >= tau
+    } yield (il, ir, inter.toLong, jac)).toSet
+    for (tau <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = graft.operators.SetJoin
+        .jaccardJoin(df, df, "id", "toks", "id", "toks", tau)
+        .collect()
+        .map(r => (r.getAs[Long]("id_l"), r.getAs[Long]("id_r"),
+          r.getAs[Long]("inter"), r.getAs[Double]("jaccard")))
+        .toSet
+      assert(got == naive(tau), s"mismatch at tau=$tau: " +
+        s"missing=${naive(tau) -- got} extra=${got -- naive(tau)}")
+    }
+  }
+
   test("provenanceDedup keeps the highest-priority source's copy and " +
       "reports the full provenance") {
     import spark.implicits._
