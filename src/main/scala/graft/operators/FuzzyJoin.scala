@@ -76,21 +76,17 @@ object FuzzyJoin {
       l.select(col("id_l").as("id"), col("s_l").as("s")), q)
     val gr = gramElems(
       r.select(col("id_r").as("id"), col("s_r").as("s")), q)
-    // ONE global element order shared by both sides: ascending corpus
-    // frequency (rarest first), ties by (gram, occ) — any total order
-    // is correct, rare-first is what makes the prefixes selective
-    val freq = gl.select(col("gram"), col("occ"))
-      .unionByName(gr.select(col("gram"), col("occ")))
-      .groupBy("gram", "occ").agg(count(lit(1)).as("f"))
-    def prefixed(g: DataFrame): DataFrame =
-      g.join(freq, Seq("gram", "occ"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("id").orderBy("f", "gram", "occ")))
-        .where(col("rk") <= prefixLen)
-    val pl = prefixed(gl).select(col("id").as("id_l"),
-      col("len").as("len_l"), col("gram"), col("occ"))
-    val pr = prefixed(gr).select(col("id").as("id_r"),
-      col("len").as("len_r"), col("gram"), col("occ"))
+    // ONE global element order shared by both sides (PrefixFilter):
+    // rare-first is what makes the prefixes selective
+    val freq = PrefixFilter.frequencies(gl, gr, Seq("gram", "occ"))
+    val pl = PrefixFilter.prefix(gl, freq, Seq("gram", "occ"),
+        lit(prefixLen))
+      .select(col("id").as("id_l"), col("len").as("len_l"),
+        col("gram"), col("occ"))
+    val pr = PrefixFilter.prefix(gr, freq, Seq("gram", "occ"),
+        lit(prefixLen))
+      .select(col("id").as("id_r"), col("len").as("len_r"),
+        col("gram"), col("occ"))
     val gramCands = pl.join(pr, Seq("gram", "occ"))
       // length filter (necessary for ed ≤ k), and only pairs the count
       // bound can reason about — the short slice is the other path
@@ -103,9 +99,13 @@ object FuzzyJoin {
       .select("id_l", "id_r")
     gramCands.unionByName(shortCands)
       .join(l, "id_l").join(r, "id_r")
+      // THRESHOLD levenshtein: banded O(k·len) DP that returns -1 past
+      // maxDist — the verify dominates the operator's runtime and the
+      // unbounded 2-arg form pays full O(len²) per candidate for a
+      // distance we only need up to k
       .withColumn("dist",
-        levenshtein(col("s_l"), col("s_r")).cast("long"))
-      .where(col("dist") <= maxDist)
+        levenshtein(col("s_l"), col("s_r"), maxDist).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_l"), col("id_r"), col("dist"))
   }
 }

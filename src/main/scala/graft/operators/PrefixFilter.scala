@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The shared prefix-filter core of [[FuzzyJoin]] (q-gram elements) and
+  * [[SetJoin]] (tokens): ONE global element order — ascending corpus
+  * frequency, ties by the element key — and a per-set prefix cut under
+  * it. Correctness of both "recall-complete" operators hangs on this
+  * order being (a) total and (b) IDENTICAL on both join sides, so the
+  * logic lives once: a drift between two hand-mirrored copies would
+  * silently break completeness in whichever copy lagged. */
+private[operators] object PrefixFilter {
+
+  /** Corpus frequency of each element over the union of both sides.
+    * `keyCols` are the element-identity columns. */
+  def frequencies(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    a.select(keyCols.map(col): _*)
+      .unionByName(b.select(keyCols.map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("f"))
+
+  /** Keep each `id`'s first `prefixLen` elements under the global
+    * (frequency, keyCols…) order. `e` must carry an `id` column plus
+    * `keyCols`; other columns pass through. */
+  def prefix(e: DataFrame, freq: DataFrame, keyCols: Seq[String],
+      prefixLen: Column): DataFrame =
+    e.join(freq, keyCols)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("id")
+          .orderBy((col("f") +: keyCols.map(col)): _*)))
+      .where(col("__rk") <= prefixLen)
+      .drop("__rk", "f")
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT set-similarity join — all pairs with Jaccard(tokensₗ, tokensᵣ)
@@ -39,16 +38,21 @@ object SetJoin {
 
   /** All (id_l, id_r, inter, sz_l, sz_r, jaccard) with jaccard ≥ tau.
     * `tokL`/`tokR` are array<string> columns; multisets are collapsed
-    * to sets (`array_distinct`); empty/null token sets match nothing
-    * (Jaccard is undefined there — and 0/0 = NaN compares as LARGER
-    * than tau in Spark but NULL/false in most engines, so excluding
-    * them is the only cross-engine-sane contract). */
+    * to sets (`array_distinct`); NULL ELEMENTS are stripped before
+    * anything else (an equi-join on tokens can never block a null, so
+    * keeping them in the verify would silently miss truly-matching
+    * pairs — the null element participates in nothing); empty/null
+    * token sets match nothing (Jaccard is undefined there — and
+    * 0/0 = NaN compares as LARGER than tau in Spark but NULL/false in
+    * most engines, so excluding them is the only cross-engine-sane
+    * contract). */
   def jaccardJoin(left: DataFrame, right: DataFrame,
       idL: String, tokL: String, idR: String, tokR: String,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1, got $tau")
     def prep(df: DataFrame, id: String, tok: String): DataFrame =
-      df.select(col(id).as("id"), array_distinct(col(tok)).as("toks"))
+      df.select(col(id).as("id"),
+          array_distinct(filter(col(tok), x => x.isNotNull)).as("toks"))
         .where(col("toks").isNotNull && size(col("toks")) > 0)
         .withColumn("sz", size(col("toks")).cast("long"))
     val l = prep(left, idL, tokL)
@@ -57,17 +61,12 @@ object SetJoin {
       df.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
     val el = exploded(l)
     val er = exploded(r)
-    val freq = el.select("tok").unionByName(er.select("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("f"))
-    def prefixed(e: DataFrame): DataFrame =
-      e.join(freq, "tok")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("id").orderBy("f", "tok")))
-        .where(col("rk") <= col("sz") - floor(lit(tau) * col("sz")) + 1)
-    val pl = prefixed(el).select(col("id").as("id_l"),
-      col("sz").as("szp_l"), col("tok"))
-    val pr = prefixed(er).select(col("id").as("id_r"),
-      col("sz").as("szp_r"), col("tok"))
+    val freq = PrefixFilter.frequencies(el, er, Seq("tok"))
+    val pLen = col("sz") - floor(lit(tau) * col("sz")) + 1
+    val pl = PrefixFilter.prefix(el, freq, Seq("tok"), pLen)
+      .select(col("id").as("id_l"), col("sz").as("szp_l"), col("tok"))
+    val pr = PrefixFilter.prefix(er, freq, Seq("tok"), pLen)
+      .select(col("id").as("id_r"), col("sz").as("szp_r"), col("tok"))
     val cands = pl.join(pr, "tok")
       .where(least(col("szp_l"), col("szp_r")).cast("double") >=
         lit(tau) * greatest(col("szp_l"), col("szp_r")) - lit(1e-9))

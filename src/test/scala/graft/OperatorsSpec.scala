@@ -721,11 +721,15 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, Seq("the", "a", "quick", "brown", "fox")), // exact dup of 1
       (5L, Seq[String]()),                            // empty: no matches
       (6L, Seq("the", "a")),
-      (7L, Seq("unrelated", "words", "entirely", "different", "here")))
+      (7L, Seq("unrelated", "words", "entirely", "different", "here")),
+      // null ELEMENTS are stripped by contract (an equi-join can never
+      // block them) — 8 must still match 1/4 on its non-null tokens
+      (8L, Seq(null, "the", "a", "quick", "brown", "fox")))
     val df = rows.toDF("id", "toks")
     def naive(tau: Double) = (for {
       (il, tl) <- rows; (ir, tr) <- rows
-      sl = tl.distinct.toSet; sr = tr.distinct.toSet
+      sl = tl.filter(_ != null).distinct.toSet
+      sr = tr.filter(_ != null).distinct.toSet
       if sl.nonEmpty && sr.nonEmpty
       inter = (sl & sr).size
       jac = inter.toDouble / (sl.size + sr.size - inter)
