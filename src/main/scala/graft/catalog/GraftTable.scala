@@ -49,15 +49,12 @@ class GraftTable(
   /** Visible data files (absolute paths) for this table handle. */
   private def visibleFiles: Seq[String] = {
     val snap = pinned.orElse(Snapshots.latest(tableDir))
-    snap match {
-      case Some(s) => s.files.map(f => tableDir.resolve(f).toString)
+    val rel = snap match {
+      case Some(s) => s.files
       case None => // pre-snapshot (v1-era) table: whole data dir
-        if (!Files.isDirectory(dataDir)) Seq.empty
-        else scala.util.Using.resource(Files.walk(dataDir)) { st =>
-          st.iterator().asScala
-            .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq
-        }
+        Snapshots.walkDataParquet(tableDir)
     }
+    rel.map(f => tableDir.resolve(f).toString)
   }
 
   private def readDelegate: ParquetTable = delegateFor(visibleFiles)

@@ -240,18 +240,11 @@ object Maintenance {
     import org.apache.spark.sql.functions.{col, input_file_name}
     require(cols.nonEmpty, "addBlooms needs at least one column")
     val dir = tableDir(spark, ident)
-    // pre-snapshot (v1-era) tables have data but no snapshot — mirror
-    // GraftTable.visibleFiles' whole-data-dir fallback rather than
+    // pre-snapshot (v1-era) tables have data but no snapshot — the
+    // SAME whole-data-dir fallback GraftTable's scan uses, rather than
     // silently writing zero sidecars for a table that has files
-    val files = Snapshots.latest(dir).map(_.files).getOrElse {
-      val dataDir = dir.resolve("data")
-      if (!Files.isDirectory(dataDir)) Seq.empty
-      else scala.util.Using.resource(Files.walk(dataDir)) { st =>
-        st.iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet"))
-          .map(p => dir.relativize(p).toString).toSeq
-      }
-    }
+    val files = Snapshots.latest(dir).map(_.files)
+      .getOrElse(Snapshots.walkDataParquet(dir))
     if (files.isEmpty) return 0
     val byName = files.map(f =>
       Paths.get(f).getFileName.toString -> f).toMap
@@ -296,21 +289,30 @@ object Maintenance {
   def expireSnapshots(spark: SparkSession, ident: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val dir = tableDir(spark, ident)
-    // Same monitor as Snapshots.commitWith/createTag: an in-JVM
-    // createTag can't land between the tag read and the deletions
-    // below (it would pin a snapshot this sweep is destroying);
-    // cross-process, createTag re-checks and undoes after its link.
-    Snapshots.synchronized {
-    val all = Snapshots.list(dir)
-    if (all.length <= keepLast) return (0, 0)
-    val tagged = Snapshots.tags(dir).map(_.version).toSet
-    val (candidates, newest) = all.splitAt(all.length - keepLast)
-    val (protectedSnaps, drop) =
-      candidates.partition(s => tagged.contains(s.version))
-    val keep = protectedSnaps ++ newest
-    if (drop.isEmpty) return (0, 0)
-    val live = keep.flatMap(_.files).toSet
-    val dead = drop.flatMap(_.files).toSet -- live
+    // METADATA phase under the cross-process refs lock (shared with
+    // createTag): the tags-read and the .snap unlinks are one atomic
+    // decision, so a concurrent createTag can never pin a snapshot
+    // this sweep is committing to destroy. Once the .snap files are
+    // gone, the dead data files are unreferenced by ANY surviving
+    // snapshot — their deletion (potentially thousands of slow-storage
+    // unlinks) happens OUTSIDE the lock so commits and tags on other
+    // tables never stall behind a big sweep.
+    val (drop, dead) = Snapshots.withRefsLock(dir) {
+      val all = Snapshots.list(dir)
+      if (all.length <= keepLast) return (0, 0)
+      val tagged = Snapshots.tags(dir).map(_.version).toSet
+      val (candidates, newest) = all.splitAt(all.length - keepLast)
+      val (protectedSnaps, dropSnaps) =
+        candidates.partition(s => tagged.contains(s.version))
+      if (dropSnaps.isEmpty) return (0, 0)
+      val live = (protectedSnaps ++ newest).flatMap(_.files).toSet
+      val deadFiles = dropSnaps.flatMap(_.files).toSet -- live
+      dropSnaps.foreach { s =>
+        Files.deleteIfExists(dir.resolve("_graft_snapshots")
+          .resolve(f"v${s.version}%08d.snap"))
+      }
+      (dropSnaps, deadFiles)
+    }
     dead.foreach { f => Files.deleteIfExists(dir.resolve(f)) }
     // a dead data file's bloom sidecars are orphans too
     val bloomsDir = dir.resolve("blooms")
@@ -322,9 +324,6 @@ object Maintenance {
             p.getFileName.toString.startsWith(n + ".")))
           .foreach(Files.deleteIfExists(_))
       }
-    }
-    drop.foreach { s =>
-      Files.deleteIfExists(dir.resolve("_graft_snapshots").resolve(f"v${s.version}%08d.snap"))
     }
     // prune now-empty partition dirs under data/
     val dataDir = dir.resolve("data")
@@ -340,6 +339,5 @@ object Maintenance {
       }
     }
     (drop.length, dead.size)
-    }
   }
 }

@@ -46,6 +46,20 @@ object Snapshots {
 
   def latest(tableDir: Path): Option[Snap] = list(tableDir).lastOption
 
+  /** All parquet data files under `tableDir/data`, RELATIVE to the
+    * table dir — the pre-snapshot (v1-era) visibility fallback, shared
+    * by [[GraftTable]]'s scan and [[Maintenance.addBlooms]] so the two
+    * can never disagree about what a snapshot-less table contains. */
+  private[catalog] def walkDataParquet(tableDir: Path): Seq[String] = {
+    val dataDir = tableDir.resolve("data")
+    if (!Files.isDirectory(dataDir)) Seq.empty
+    else scala.util.Using.resource(Files.walk(dataDir)) { st =>
+      st.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => tableDir.relativize(p).toString).toSeq
+    }
+  }
+
   def byVersion(tableDir: Path, version: Long): Option[Snap] =
     list(tableDir).find(_.version == version)
 
@@ -68,14 +82,38 @@ object Snapshots {
   /** One named ref: tag name, pinned version, creation time. */
   final case class Ref(name: String, version: Long, tsMillis: Long)
 
+  /** CROSS-PROCESS critical section for the tag↔expiry interaction: an
+    * OS file lock under the table dir, held by [[createTag]] (around
+    * check + link) and by expiry's metadata phase (tags-read + .snap
+    * unlink). A JVM-side monitor alone leaves this window: process A
+    * computes its expiry drop set (tag absent), process B links a tag
+    * and re-checks the .snap (still there — A hasn't deleted yet), A
+    * deletes it → a dangling tag over a destroyed snapshot. File
+    * locking matches the commit CAS's local-FS assumptions
+    * (`createLink`). JVM-internal recursion/threads are serialized by
+    * the enclosing object monitor, so the lock is acquired
+    * non-reentrantly exactly once per critical section. */
+  private[catalog] def withRefsLock[A](tableDir: Path)(body: => A): A =
+    synchronized {
+      Files.createDirectories(tableDir)
+      val lockPath = tableDir.resolve("_graft_refs.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+
   /** Create an immutable tag for an EXISTING snapshot version. Fails
     * loudly when the tag exists (same `createLink` CAS as commits — a
     * tag can never be silently repointed; drop it first), when the
     * version doesn't, or when the name could be confused with a
     * numeric version / escape the refs dir. */
   def createTag(tableDir: Path, name: String, version: Long): Ref =
-    synchronized { // same monitor as commitWith/expiry: a tag can't be
-      // created against a snapshot an in-JVM expiry is deleting
+    withRefsLock(tableDir) { // expiry's metadata phase holds the same
+      // lock, so the snapshot cannot be mid-deletion while we pin it
       require(name.nonEmpty &&
         name.forall(c => c.isLetterOrDigit || "-_.".contains(c)) &&
         !name.startsWith("."),
@@ -98,14 +136,6 @@ object Snapshots {
           Files.delete(tmp)
           throw new IllegalArgumentException(
             s"tag '$name' already exists (tags are immutable; drop it first)")
-      }
-      // cross-PROCESS expiry race: if the snapshot vanished between the
-      // check and the link, undo rather than leave a dangling pin
-      if (byVersion(tableDir, version).isEmpty) {
-        Files.deleteIfExists(d.resolve(s"$name.ref"))
-        throw new IllegalStateException(
-          s"tag '$name' lost a race with snapshot expiry of v$version; " +
-            "nothing was created")
       }
       ref
     }

@@ -42,6 +42,30 @@ object Coreset {
   def quantize(vec: Column, scale: Int): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
+  // --- DuckDB replay fragments, ONE copy each (the
+  // Sampling.duckMd5Bucket convention: these recipes are
+  // exactness-critical, and a drift between hand-mirrored copies
+  // surfaces as oracle mismatches that look like operator bugs) ------
+
+  /** DuckDB replay of [[quantize]] over SQL expression `vecExpr`. */
+  private[operators] def duckQuantize(vecExpr: String, scale: Int): String =
+    s"list_transform($vecExpr::DOUBLE[], x -> " +
+      s"CAST(floor(x * $scale) AS BIGINT))"
+
+  /** DuckDB integer squared-L2 between two quantized list exprs. */
+  private[operators] def duckSqDistL2(a: String, b: String,
+      dim: Int): String =
+    s"""CAST(list_sum(list_transform(range($dim), i ->
+       |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1]) *
+       |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1])))
+       |  AS BIGINT)""".stripMargin
+
+  /** DuckDB integer dot product between two quantized list exprs. */
+  private[operators] def duckDot(a: String, b: String, dim: Int): String =
+    s"""CAST(list_sum(list_transform(range($dim), i ->
+       |    $a[CAST(i AS INT)+1] * $b[CAST(i AS INT)+1]))
+       |  AS BIGINT)""".stripMargin
+
   private def sqDistToLit(q: Column, center: Seq[Long]): Column = {
     val c = array(center.map(lit): _*)
     aggregate(zip_with(q, c, (a, b) => (a - b) * (a - b)),
@@ -230,11 +254,7 @@ object Coreset {
   def shardedOracleSql(table: String, idCol: String, vecCol: String,
       numBuckets: Int, kPerBucket: Int, kFinal: Int, dim: Int,
       scale: Int = 1024): String = {
-    def d(a: String, b: String) =
-      s"""CAST(list_sum(list_transform(range($dim), i ->
-         |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1]) *
-         |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1])))
-         |  AS BIGINT)""".stripMargin
+    def d(a: String, b: String) = duckSqDistL2(a, b, dim)
     // phase 1: per-bucket simultaneous greedy, unrolled
     val localSteps = (2 to kPerBucket).map { t =>
       val prevD = if (t == 2) "d1" else s"d${t - 1}"
@@ -282,8 +302,7 @@ object Coreset {
     val mergeBlock = if (mergeSteps.isEmpty) "" else mergeSteps + ",\n"
     s"""WITH e AS (SELECT CAST($idCol AS BIGINT) AS id,
        |    ${Sampling.duckMd5Bucket(idCol, numBuckets)} AS bucket,
-       |    list_transform($vecCol::DOUBLE[], x ->
-       |      CAST(floor(x * $scale) AS BIGINT)) AS q
+       |    ${duckQuantize(vecCol, scale)} AS q
        |  FROM $table),
        |s AS (SELECT bucket, id, q FROM e
        |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) = 1),
@@ -333,11 +352,7 @@ object Coreset {
     * exhausts, and the early-stop path is spec-covered.) */
   def oracleSql(table: String, idCol: String, vecCol: String, k: Int,
       dim: Int, scale: Int = 1024): String = {
-    def d(a: String, b: String) =
-      s"""CAST(list_sum(list_transform(range($dim), i ->
-         |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1]) *
-         |    ($a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1])))
-         |  AS BIGINT)""".stripMargin
+    def d(a: String, b: String) = duckSqDistL2(a, b, dim)
     val steps = (2 to k).map { t =>
       val upd =
         if (t == 2)
@@ -354,8 +369,7 @@ object Coreset {
     val cen = (1 to k).map(t => s"SELECT $t AS iter, id, q FROM c$t")
       .mkString(" UNION ALL ")
     s"""WITH e AS (SELECT CAST($idCol AS BIGINT) AS id,
-       |    list_transform($vecCol::DOUBLE[], x ->
-       |      CAST(floor(x * $scale) AS BIGINT)) AS q
+       |    ${duckQuantize(vecCol, scale)} AS q
        |  FROM $table),
        |c1 AS (SELECT id, q FROM e ORDER BY id LIMIT 1),
        |$steps,

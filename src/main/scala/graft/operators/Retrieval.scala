@@ -159,10 +159,7 @@ object Retrieval {
       queryPred: String, k: Int, dim: Int, lambdaNum: Int = 3,
       lambdaDen: Int = 4, scale: Int = 1024): String = {
     val divCoef = lambdaDen - lambdaNum
-    def dot(a: String, b: String) =
-      s"""CAST(list_sum(list_transform(range($dim), i ->
-         |    $a[CAST(i AS INT)+1] * $b[CAST(i AS INT)+1]))
-         |  AS BIGINT)""".stripMargin
+    def dot(a: String, b: String) = Coreset.duckDot(a, b, dim)
     val steps = (2 to k).map { t =>
       val upd =
         if (t == 2)
@@ -183,8 +180,7 @@ object Retrieval {
     val stepsSep = if (steps.isEmpty) "" else ","        // k = 1: no CTEs
     val stepsBlock = if (steps.isEmpty) "" else steps + "\n"
     s"""WITH e AS (SELECT CAST($idCol AS BIGINT) AS id,
-       |    list_transform($vecCol::DOUBLE[], x ->
-       |      CAST(floor(x * $scale) AS BIGINT)) AS q,
+       |    ${Coreset.duckQuantize(vecCol, scale)} AS q,
        |    $queryPred AS is_q
        |  FROM $table),
        |qv AS (SELECT q FROM e WHERE is_q),

@@ -249,33 +249,42 @@ class CatalogV2Spec extends AnyFunSuite {
     spark.sql("CREATE TABLE g2.db.aggpd (a INT, s STRING)")
     spark.sql("INSERT INTO g2.db.aggpd VALUES (1,'x'), (5,'y'), (3,'z')")
     spark.sql("INSERT INTO g2.db.aggpd VALUES (7,'w')")
-    val prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // a DEDICATED session: suites run in parallel in this JVM, and
+    // flipping aggregatePushdown on the shared session would flip
+    // concurrently-running COUNT/MIN/MAX plans (and their flips could
+    // break this test's negative assertion)
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.catalog.g2", "graft.catalog.MetaCatalog")
+    iso.conf.set("spark.sql.catalog.g2.warehouse",
+      spark.conf.get("spark.sql.catalog.g2.warehouse"))
+    val spark2 = iso
+    val prev = spark2.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     try {
       // the whole aggregate compiles to a footer-stats read: at 100 TB
       // this is O(files) metadata, zero data bytes scanned
-      val df = spark.sql(
+      val df = spark2.sql(
         "SELECT count(*) AS c, min(a) AS mn, max(a) AS mx FROM g2.db.aggpd")
       val r = df.collect().head
       assert((r.getLong(0), r.getInt(1), r.getInt(2)) == ((4L, 1, 7)))
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("PushedAggregation: [COUNT(*)"), plan)
       // time travel aggregates the PINNED snapshot's file set
-      val old = spark.sql("SELECT count(*) AS c, max(a) AS mx " +
+      val old = spark2.sql("SELECT count(*) AS c, max(a) AS mx " +
         "FROM g2.db.aggpd VERSION AS OF 2").collect().head
       assert((old.getLong(0), old.getInt(1)) == ((3L, 5)))
       // COW DELETE rewrites the inventory; stats follow the new files
-      spark.sql("DELETE FROM g2.db.aggpd WHERE a = 7")
-      val after = spark.sql(
+      spark2.sql("DELETE FROM g2.db.aggpd WHERE a = 7")
+      val after = spark2.sql(
         "SELECT count(*) AS c, max(a) AS mx FROM g2.db.aggpd").collect().head
       assert((after.getLong(0), after.getInt(1)) == ((3L, 5)))
       // a residual data filter disables the pushdown — correct fallback
-      val filtered = spark.sql(
+      val filtered = spark2.sql(
         "SELECT count(*) AS c FROM g2.db.aggpd WHERE s <> 'q'")
       assert(filtered.collect().head.getLong(0) == 3L)
       assert(!filtered.queryExecution.executedPlan.toString
         .contains("PushedAggregation: [COUNT"))
-    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+    } finally spark2.conf.set("spark.sql.parquet.aggregatePushdown", prev)
   }
 
   test("DELETE prunes by footer stats: non-overlapping files keep their identity") {
