@@ -747,6 +747,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardJoin randomized adversarial corpus: tiny vocabulary, " +
+      "equality with the naive join at several thresholds") {
+    import spark.implicits._
+    // seeded, deterministic; 6-word vocabulary maximizes set overlap —
+    // the hardest recall regime for the prefix filter
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def randSet() =
+      (0 until rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(6)))
+    val ls = (1L to 20L).map(i => (i, randSet()))
+    val rs = (101L to 125L).map(i => (i, randSet()))
+    val l = ls.toDF("id", "toks")
+    val r = rs.toDF("id", "toks")
+    for (tau <- Seq(0.34, 0.5, 0.75)) {
+      val expected = (for {
+        (il, tl) <- ls; (ir, tr) <- rs
+        sl = tl.distinct.toSet; sr = tr.distinct.toSet
+        if sl.nonEmpty && sr.nonEmpty
+        inter = (sl & sr).size
+        jac = inter.toDouble / (sl.size + sr.size - inter)
+        if jac >= tau
+      } yield (il, ir)).toSet
+      val got = graft.operators.SetJoin
+        .jaccardJoin(l, r, "id", "toks", "id", "toks", tau)
+        .collect().map(x => (x.getAs[Long]("id_l"), x.getAs[Long]("id_r")))
+        .toSet
+      assert(got == expected, s"mismatch at tau=$tau: " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("provenanceDedup keeps the highest-priority source's copy and " +
       "reports the full provenance") {
     import spark.implicits._
