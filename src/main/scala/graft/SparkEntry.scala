@@ -92,5 +92,12 @@ object SparkEntry {
     // round 11 late: hybrid retrieval composition — BM25 + brute-force
     // cosine runs fused by fixed-point RRF, both top-N cuts on the
     // bounded-heap operator (two heaps, candidate-stream-only shuffle)
-    "q_retrieval_rrf")
+    "q_retrieval_rrf",
+    // round 12: the deterministic similarity-join tier (VERDICT r11 #3)
+    // — prefix-filtered + ppjoin-positional q-gram edit-distance join,
+    // and the exact Jaccard set join on its bench-tier sparse corpus
+    // (q_join_jaccard's natural-text corpus emits 12.46M true pairs at
+    // sf0.1 — inherently quadratic output, so it stays correctness-tier
+    // like q_fingerprint_overlap; see BASELINE.md round 12)
+    "q_join_fuzzy", "q_join_jaccard_groups")
 }

@@ -259,23 +259,44 @@ object Maintenance {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     var written = 0
+    var unmatched = 0
     rows.foreach { r =>
-      val name = r.getString(0).split('/').last
-      byName.get(name).foreach { rel =>
-        cols.zipWithIndex.foreach { case (c, i) =>
-          // Defensive: the aggregate only evaluates to null for a
-          // zero-row group (committed files are never empty). NULL
-          // column values DO land in the bloom — xxhash64(NULL) is the
-          // seed — which is harmless: null-lookup filters are handled
-          // conservatively in BloomSidecars.mayMatch, never hashed.
-          val bytes = r.getAs[Array[Byte]](i + 1)
-          if (bytes != null) {
-            BloomSidecars.write(dir, rel, c, bytes)
-            written += 1
+      // input_file_name() is a URI (percent-encoded): a data-file name
+      // containing URL-encodable characters (spaces, '%', unicode)
+      // would not equal its snapshot entry's raw name — decode the URI
+      // path before the byName lookup, or those files silently get no
+      // sidecar (ADVICE r11). Fall back to the raw string when the
+      // value isn't URI-parseable.
+      val raw = r.getString(0)
+      val decoded =
+        try java.net.URI.create(raw).getPath
+        catch { case _: IllegalArgumentException | _: NullPointerException => raw }
+      val name = Paths.get(
+        if (decoded == null || decoded.isEmpty) raw else decoded)
+        .getFileName.toString
+      byName.get(name) match {
+        case Some(rel) =>
+          cols.zipWithIndex.foreach { case (c, i) =>
+            // Defensive: the aggregate only evaluates to null for a
+            // zero-row group (committed files are never empty). NULL
+            // column values DO land in the bloom — xxhash64(NULL) is the
+            // seed — which is harmless: null-lookup filters are handled
+            // conservatively in BloomSidecars.mayMatch, never hashed.
+            val bytes = r.getAs[Array[Byte]](i + 1)
+            if (bytes != null) {
+              BloomSidecars.write(dir, rel, c, bytes)
+              written += 1
+            }
           }
-        }
+        case None => unmatched += 1
       }
     }
+    // Conservative but never silent: an unmatched group means some scan
+    // file got no sidecar (it stays unpruned — correct, just unindexed).
+    if (unmatched > 0)
+      System.err.println(
+        s"[addBlooms] $ident: $unmatched scanned file(s) not in the " +
+          "snapshot file list; no sidecar written for them")
     written
   }
 

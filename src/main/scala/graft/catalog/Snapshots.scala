@@ -147,7 +147,13 @@ object Snapshots {
 
   /** All tags, sorted by name. A ref dropped between the directory
     * listing and its read (drop_tag is a public SQL verb — ordinary
-    * concurrency, not corruption) is simply omitted. */
+    * concurrency, not corruption) is simply omitted. A ref that EXISTS
+    * but doesn't parse (truncated/empty — a torn copy, a disk-full
+    * write) fails with a named 'corrupted ref' error instead of leaking
+    * a raw NoSuchElementException/NumberFormatException from every
+    * metadata path that reads tags (ADVICE r11); it must NOT be
+    * silently skipped — a skipped tag would lose its snapshot's expiry
+    * protection and expireSnapshots would delete pinned files. */
   def tags(tableDir: Path): Seq[Ref] = {
     val d = refsDir(tableDir)
     if (!Files.isDirectory(d)) Seq.empty
@@ -162,6 +168,12 @@ object Snapshots {
               lines.head.toLong, lines(1).toLong))
           } catch {
             case _: java.nio.file.NoSuchFileException => None
+            case e @ (_: NumberFormatException |
+                      _: NoSuchElementException |
+                      _: IndexOutOfBoundsException) =>
+              throw new IllegalStateException(
+                s"corrupted ref $p: expected '<version>\\n<tsMillis>' " +
+                  "(delete or restore the file to recover)", e)
           }
         }.toSeq.sortBy(_.name)
     }

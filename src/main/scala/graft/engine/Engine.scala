@@ -57,6 +57,13 @@ final class Engine(root: SparkSession) {
     // race), so each execute runs under a fresh attempt id to stay
     // re-executable after a cancel.
     val executeAttempt = new java.util.concurrent.atomic.AtomicInteger(0)
+    // The attempt whose worker is CURRENTLY running (0 = none): the
+    // cancel target. cancelQuery used to read executeAttempt, which a
+    // concurrent re-execute increments before its worker starts — a
+    // cancel aimed at running attempt N could sticky-cancel the
+    // just-started N+1 instead and leave N running (ADVICE r11). Set by
+    // the worker before its first job, cleared (CAS) when it finishes.
+    val runningAttempt = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
   private val sessions = new ConcurrentHashMap[String, SparkSession]()
@@ -268,28 +275,45 @@ final class Engine(root: SparkSession) {
     // the LOCAL incrementAndGet result — re-reading the counter would
     // let two concurrent executes of one handle share a suffix.
     //
-    // The group property is set on a DEDICATED thread, not the caller:
-    // Spark job-group properties are InheritableThreadLocal, so any
-    // pool thread born while the caller held the group (e.g. a
-    // fork-join compensation thread spawned by the blocking collect)
-    // would inherit it — and after a STICKY cancel such a zombie
-    // property poisons every unrelated job that thread later submits.
-    // On a dedicated thread the property dies with the thread.
+    // The group property is set on a DEDICATED pool thread, not the
+    // caller: Spark job-group properties are InheritableThreadLocal, so
+    // any thread born while the caller held the group (e.g. a fork-join
+    // compensation thread spawned by the blocking collect) would
+    // inherit it — and after a STICKY cancel such a zombie property
+    // poisons every unrelated job that thread later submits. Pool
+    // threads set the group per task and CLEAR it in finally, so no
+    // value outlives its execute; the pool bounds worker threads under
+    // load where thread-per-execute was unbounded (ADVICE r11).
     val attempt = st.executeAttempt.incrementAndGet()
     val outcome = new java.util.concurrent.atomic.AtomicReference[
       Either[Throwable, (org.apache.spark.sql.DataFrame, Array[Row])]]()
-    val worker = new Thread(() => {
+    val task: Runnable = () => {
       val sc = st.session.sparkContext
       sc.setJobGroup(Engine.jobGroup(handle) + "-" + attempt,
         s"graft statement $handle", interruptOnCancel = true)
+      st.runningAttempt.set(attempt)
       try { // outside the lock: old-result fetches stay servable
         val d = plan(st)
         outcome.set(Right((d, d.collect())))
       } catch { case e: Throwable => outcome.set(Left(e)) }
-      finally sc.clearJobGroup()
-    }, s"graft-exec-$handle-$attempt")
-    worker.start()
-    worker.join()
+      finally {
+        st.runningAttempt.compareAndSet(attempt, 0)
+        sc.clearJobGroup()
+      }
+    }
+    val fut = Engine.execPool.submit(task)
+    try fut.get()
+    catch {
+      case ie: InterruptedException =>
+        // The CALLER was interrupted (client gone, server shutting
+        // down): without this, the worker's Spark jobs would run to
+        // completion unobserved, their result discarded (ADVICE r11).
+        // Sticky-cancel the attempt's group — the worker unwinds with a
+        // cancellation SparkException and releases its pool slot.
+        st.session.sparkContext.cancelJobGroupAndFutureJobs(
+          Engine.jobGroup(handle) + "-" + attempt)
+        throw ie
+    }
     val (df, rows) = outcome.get() match {
       case Left(e) => throw e
       case Right(r) => r
@@ -314,8 +338,17 @@ final class Engine(root: SparkSession) {
     * under a fresh attempt-suffixed group. */
   def cancelQuery(handle: String): Unit = {
     val st = statement(handle)
+    // Target the RUNNING attempt, not the latest allocated one: a
+    // concurrent re-execute bumps executeAttempt before its worker
+    // starts, and a cancel aimed at running attempt N must not land on
+    // the fresh N+1 instead (ADVICE r11). Fallback to executeAttempt
+    // covers the window between allocation and worker start — there the
+    // about-to-run attempt IS the right target (sticky cancel kills it
+    // the moment it submits its first job).
+    val running = st.runningAttempt.get()
+    val target = if (running > 0) running else st.executeAttempt.get()
     st.session.sparkContext.cancelJobGroupAndFutureJobs(
-      Engine.jobGroup(handle) + "-" + st.executeAttempt.get())
+      Engine.jobGroup(handle) + "-" + target)
   }
 
   def fetch(handle: String): (StructType, Array[Row]) = {
@@ -513,6 +546,27 @@ object Engine {
   /** Spark job-group name tagging every job a statement submits —
     * the cancellation key for [[Engine.cancelQuery]]. */
   private[graft] def jobGroup(handle: String): String = s"graft-stmt-$handle"
+
+  /** Bounded worker pool for [[Engine.execute]] (ADVICE r11: a thread
+    * per execute is unbounded under load). Daemon threads, shared by
+    * all engines in the JVM — they carry no state between tasks (the
+    * job-group property is set per task and cleared in its finally).
+    * Sized by GRAFT_EXEC_THREADS (floor 1, default 16 — matches the
+    * reference's tokio worker default, a handful of concurrent
+    * statements per process). */
+  private[engine] lazy val execPool: java.util.concurrent.ExecutorService = {
+    val n = math.max(1, sys.env.get("GRAFT_EXEC_THREADS")
+      .flatMap(_.toIntOption).getOrElse(16))
+    java.util.concurrent.Executors.newFixedThreadPool(n,
+      new java.util.concurrent.ThreadFactory {
+        private val i = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-exec-${i.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+  }
 
   /** `[NOT] SIMILAR TO '<pattern>' [ESCAPE '<c>']` with literal pattern
     * and escape — the shim's supported shape (no computed patterns).

@@ -31,10 +31,24 @@ import org.apache.spark.sql.functions._
   * and ubiquitous grams sort last, out of every prefix.
   *
   * Pairs the bound cannot reason about — both strings short enough
-  * that `max(len) ≤ q−1+k·q` — take a separate short×short path (a
-  * length-filtered join over the tiny short slice); strings shorter
-  * than q can only truly match within that slice, so the two paths are
-  * disjoint AND together complete.
+  * that `max(len) ≤ q−1+k·q` — take a separate short×short path:
+  * a LENGTH-BUCKET equi-join (each left short string emits bucket
+  * keys len−k…len+k; right joins on its own length), which generates
+  * exactly the |len_l−len_r| ≤ k pairs — all the q-gram bound can say
+  * about short strings — without a cartesian-product node, so a corpus
+  * dominated by short codes (tickers, SKUs) still hash-joins. Strings
+  * shorter than q can only truly match within that slice, so the two
+  * paths are disjoint AND together complete.
+  *
+  * Candidates on the gram path additionally pass ppjoin's POSITIONAL
+  * filter (Xiao et al. WWW '08 §3): a shared element at ranks
+  * (p_l, p_r) in the two full ordered element lists bounds the
+  * achievable overlap by `1 + min(g_l−p_l, g_r−p_r)`, which must reach
+  * the count bound `max(g_l,g_r) − k·q`; a true pair's FIRST shared
+  * element (global order) always passes — everything before it is
+  * non-shared, so if it sat past either prefix the count bound would
+  * already be violated — and the verify is the dominant stage, so
+  * cutting candidates here is the cheapest win. All integers: exact.
   *
   * Scale shape: one frequency aggregate over (gram, occ) elements, one
   * per-string rank window (partitioned BY STRING — short rows), a join
@@ -80,24 +94,49 @@ object FuzzyJoin {
     // rare-first is what makes the prefixes selective
     val freq = PrefixFilter.frequencies(gl, gr, Seq("gram", "occ"))
     val pl = PrefixFilter.prefix(gl, freq, Seq("gram", "occ"),
-        lit(prefixLen))
+        lit(prefixLen), posCol = Some("pos"))
       .select(col("id").as("id_l"), col("len").as("len_l"),
-        col("gram"), col("occ"))
+        col("pos").as("pos_l"), col("gram"), col("occ"))
     val pr = PrefixFilter.prefix(gr, freq, Seq("gram", "occ"),
-        lit(prefixLen))
+        lit(prefixLen), posCol = Some("pos"))
       .select(col("id").as("id_r"), col("len").as("len_r"),
-        col("gram"), col("occ"))
+        col("pos").as("pos_r"), col("gram"), col("occ"))
+    // g = len − (q−1) gram elements per string
+    val gL = col("len_l") - lit(q - 1)
+    val gR = col("len_r") - lit(q - 1)
     val gramCands = pl.join(pr, Seq("gram", "occ"))
       // length filter (necessary for ed ≤ k), and only pairs the count
       // bound can reason about — the short slice is the other path
       .where(abs(col("len_l") - col("len_r")) <= maxDist &&
-        greatest(col("len_l"), col("len_r")) > shortBound)
+        greatest(col("len_l"), col("len_r")) > shortBound &&
+        // ppjoin positional filter: overlap through THIS shared element
+        // is at most 1 + the shorter remaining suffix, and must reach
+        // the Gravano count bound. Integer arithmetic — exact.
+        lit(1) + least(gL - col("pos_l"), gR - col("pos_r")) >=
+          greatest(gL, gR) - lit(maxDist * q))
       .select("id_l", "id_r").distinct()
+    // Short×short: the gram bound says nothing below shortBound, so the
+    // only blocking available is the length filter itself — realized as
+    // a length-BUCKET equi-join (left emits len−k…len+k, right joins on
+    // its own length; each qualifying pair arrives exactly once, at
+    // bucket len_r), NOT a crossJoin: a corpus dominated by short codes
+    // would make a cartesian node O(n²) shuffle-free but O(n²) work,
+    // while the hash join only meets same-length-class rows.
     val shortCands = l.where(length(col("s_l")) <= shortBound)
-      .crossJoin(r.where(length(col("s_r")) <= shortBound))
-      .where(abs(length(col("s_l")) - length(col("s_r"))) <= maxDist)
+      .select(col("id_l"), length(col("s_l")).as("len_l"))
+      .withColumn("bkt",
+        explode(sequence(col("len_l") - maxDist, col("len_l") + maxDist)))
+      .join(r.where(length(col("s_r")) <= shortBound)
+        .select(col("id_r"), length(col("s_r")).as("bkt")), "bkt")
       .select("id_l", "id_r")
+    // Non-coalescible spread before the verify: candidates are two
+    // longs, so AQE's bytes-based coalescing would fuse the expensive
+    // per-pair DP onto a couple of tasks (same hazard as SetJoin —
+    // measured there). repartition(N, keys) is exempt (STATUS r10).
+    val nP = scala.util.Try(left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
     gramCands.unionByName(shortCands)
+      .repartition(nP, col("id_l"), col("id_r"))
       .join(l, "id_l").join(r, "id_r")
       // THRESHOLD levenshtein: banded O(k·len) DP that returns -1 past
       // maxDist — the verify dominates the operator's runtime and the

@@ -24,13 +24,22 @@ private[operators] object PrefixFilter {
 
   /** Keep each `id`'s first `prefixLen` elements under the global
     * (frequency, keyCols…) order. `e` must carry an `id` column plus
-    * `keyCols`; other columns pass through. */
+    * `keyCols`; other columns pass through. `posCol`, when set, retains
+    * each kept element's 1-based rank in the id's FULL ordered element
+    * list under that name — the input to ppjoin's positional filter
+    * (Xiao et al. WWW '08 §3): a shared element at position p leaves at
+    * most `size − p` elements after it, bounding the achievable overlap
+    * BEFORE the verify runs. */
   def prefix(e: DataFrame, freq: DataFrame, keyCols: Seq[String],
-      prefixLen: Column): DataFrame =
-    e.join(freq, keyCols)
+      prefixLen: Column, posCol: Option[String] = None): DataFrame = {
+    val ranked = e.join(freq, keyCols)
       .withColumn("__rk", row_number().over(
         Window.partitionBy("id")
           .orderBy((col("f") +: keyCols.map(col)): _*)))
       .where(col("__rk") <= prefixLen)
-      .drop("__rk", "f")
+    posCol match {
+      case Some(p) => ranked.withColumnRenamed("__rk", p).drop("f")
+      case None => ranked.drop("__rk", "f")
+    }
+  }
 }

@@ -50,9 +50,15 @@ object SetJoin {
       idL: String, tokL: String, idR: String, tokR: String,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1, got $tau")
+    // Tokens are deduped AND SORTED once per set (n·log n, paid
+    // |corpus| times) so the verify — paid |candidates| times, the
+    // quadratic term — is an allocation-free merge walk
+    // ([[graft.functions.SortedIntersectCount]]) instead of Spark's
+    // interpreted array_intersect building a hash set per pair.
     def prep(df: DataFrame, id: String, tok: String): DataFrame =
       df.select(col(id).as("id"),
-          array_distinct(filter(col(tok), x => x.isNotNull)).as("toks"))
+          array_sort(array_distinct(filter(col(tok), x => x.isNotNull)))
+            .as("toks"))
         .where(col("toks").isNotNull && size(col("toks")) > 0)
         .withColumn("sz", size(col("toks")).cast("long"))
     val l = prep(left, idL, tokL)
@@ -63,21 +69,52 @@ object SetJoin {
     val er = exploded(r)
     val freq = PrefixFilter.frequencies(el, er, Seq("tok"))
     val pLen = col("sz") - floor(lit(tau) * col("sz")) + 1
-    val pl = PrefixFilter.prefix(el, freq, Seq("tok"), pLen)
-      .select(col("id").as("id_l"), col("sz").as("szp_l"), col("tok"))
-    val pr = PrefixFilter.prefix(er, freq, Seq("tok"), pLen)
-      .select(col("id").as("id_r"), col("sz").as("szp_r"), col("tok"))
+    val pl = PrefixFilter.prefix(el, freq, Seq("tok"), pLen,
+        posCol = Some("pos"))
+      .select(col("id").as("id_l"), col("sz").as("szp_l"),
+        col("pos").as("pos_l"), col("tok"))
+    val pr = PrefixFilter.prefix(er, freq, Seq("tok"), pLen,
+        posCol = Some("pos"))
+      .select(col("id").as("id_r"), col("sz").as("szp_r"),
+        col("pos").as("pos_r"), col("tok"))
     val cands = pl.join(pr, "tok")
       .where(least(col("szp_l"), col("szp_r")).cast("double") >=
-        lit(tau) * greatest(col("szp_l"), col("szp_r")) - lit(1e-9))
+        lit(tau) * greatest(col("szp_l"), col("szp_r")) - lit(1e-9) &&
+        // ppjoin positional filter (Xiao et al. WWW '08 §3): overlap
+        // through THIS shared token is at most 1 + the shorter
+        // remaining suffix, and a true pair needs overlap
+        // ≥ τ/(1+τ)·(|A|+|B|). A true pair's FIRST shared token (global
+        // order) always sits inside both prefixes and passes — tokens
+        // before it are all non-shared, so a deeper position would
+        // already break the τ bound. ε guards the float α; inclusion
+        // is harmless, the verify is exact.
+        (lit(1) + least(col("szp_l") - col("pos_l"),
+          col("szp_r") - col("pos_r"))).cast("double") >=
+          lit(tau / (1.0 + tau)) * (col("szp_l") + col("szp_r"))
+            .cast("double") - lit(1e-9))
       .select("id_l", "id_r").distinct()
+    // Non-coalescible spread before the verify: candidate pairs are two
+    // longs, so AQE sees a tiny shuffle and coalesces the fused
+    // distinct→join→verify pipeline down to a couple of tasks — but the
+    // verify's per-ROW cost (a merge walk over two token arrays) is the
+    // operator's dominant term, and bytes-based coalescing starves it
+    // (measured: 2 tasks over an sf0.1 candidate set, minutes of wall
+    // on 32 idle cores). repartition(N, keys) is exempt from AQE
+    // coalescing (STATUS round-10 lesson).
+    val nP = scala.util.Try(left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
     cands
+      .repartition(nP, col("id_l"), col("id_r"))
       .join(l.select(col("id").as("id_l"), col("toks").as("toks_l"),
         col("sz").as("sz_l")), "id_l")
       .join(r.select(col("id").as("id_r"), col("toks").as("toks_r"),
         col("sz").as("sz_r")), "id_r")
-      .withColumn("inter",
-        size(array_intersect(col("toks_l"), col("toks_r"))).cast("long"))
+      .withColumn("inter", {
+        import org.apache.spark.sql.graftaccess.Internals
+        Internals.column(graft.functions.SortedIntersectCount(
+          Internals.expression(col("toks_l")),
+          Internals.expression(col("toks_r"))))
+      })
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_l") + col("sz_r") - col("inter")).cast("double"))
       .where(col("jaccard") >= tau)

@@ -281,6 +281,28 @@ object Similarity {
     df.select(col(idCol).as("vec_id"),
       ivfCellExpr(col(vecCol), centroids).as("cell"))
 
+  /** Incremental IVF index maintenance — the ANN twin of
+    * [[Dedup.minhashNovelty]]'s continual-ingest shape: instead of
+    * re-assigning the whole corpus when a catalog table grows, read
+    * ONLY the rows that changed between two snapshot versions
+    * ([[graft.catalog.Changelog]] — data reads touch just the changed
+    * files, planning is a metadata-only snapshot diff) and run them
+    * through the same cell-assign projection the full build uses.
+    * Output is the index DELTA: 'insert' rows are postings to add,
+    * 'delete' rows (COW rewrites emit whole-file delete+insert pairs)
+    * are postings to retract — apply both and the index equals a full
+    * rebuild, because assignment is a pure per-row function of the
+    * frozen centroids. At 100 TB this is the difference between an
+    * index refresh costing O(delta) and O(corpus). */
+  def ivfIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      ident: String, fromVersion: Long, toVersion: Long,
+      idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    graft.catalog.Changelog.read(spark, ident, fromVersion, toVersion)
+      .select(col(idCol).as("vec_id"),
+        ivfCellExpr(col(vecCol), centroids).as("cell"),
+        col("_change_type"), col("_commit_version"))
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means-cluster the
     * embeddings, then WITHIN each cluster drop every vector whose cosine

@@ -293,6 +293,55 @@ object Joins {
       graft.operators.FuzzyJoin.editDistanceJoin(
           l, r, "id_l", "s", "id_r", "s", maxDist = 1)
         .orderBy("id_l", "id_r")
+    },
+
+    // Exact Jaccard join, BENCH tier (SetJoin.jaccardJoin on a
+    // sparse-similarity corpus): q_join_jaccard's natural-text corpus
+    // is the CORRECTNESS tier but its output is inherently quadratic
+    // (12.46M true pairs at sf0.1 — any exact join must emit them all,
+    // so it measures output throughput, not plan; same reasoning that
+    // keeps q_fingerprint_overlap out of the bench). This corpus is
+    // the shape the operator exists for at scale: each doc's token set
+    // shares 6 group tokens with its 5-doc group and carries 2 own
+    // tokens → within-group Jaccard 0.6-0.78, cross-group < 0.1, so
+    // true pairs are LINEAR (~6 per doc incl. self) and the benched
+    // number tracks blocking selectivity + verify cost, not emit volume.
+    // The 'x' token repeats corpus-wide (f ≈ n/7): the ppjoin prefix
+    // must sort it out of every prefix or candidates go quadratic.
+    Probe.df("q_join_jaccard_groups",
+      """WITH d AS (SELECT doc_id,
+        |    ['doc' || CAST(doc_id AS VARCHAR),
+        |     'x' || CAST(doc_id % 7 AS VARCHAR),
+        |     'g1-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g2-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g3-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g4-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g5-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g6-' || CAST(doc_id // 5 AS VARCHAR)] AS t
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+        |    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+        |    CAST(len(a.t) AS BIGINT) AS sz_l,
+        |    CAST(len(b.t) AS BIGINT) AS sz_r
+        |  FROM d a, d b)
+        |SELECT id_l, id_r, inter, sz_l, sz_r,
+        |  inter::DOUBLE / (sz_l + sz_r - inter)::DOUBLE AS jaccard
+        |FROM p
+        |WHERE inter::DOUBLE / (sz_l + sz_r - inter)::DOUBLE
+        |  >= CAST(0.5 AS DOUBLE)
+        |ORDER BY id_l, id_r""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val g = expr("CAST(doc_id DIV 5 AS STRING)")
+      val toks = Tables.load(s, dir, "documents").select(col("doc_id"),
+        array(
+          concat(lit("doc"), col("doc_id").cast("string")),
+          concat(lit("x"), (col("doc_id") % 7).cast("string")),
+          concat(lit("g1-"), g), concat(lit("g2-"), g),
+          concat(lit("g3-"), g), concat(lit("g4-"), g),
+          concat(lit("g5-"), g), concat(lit("g6-"), g)).as("toks"))
+      graft.operators.SetJoin.jaccardJoin(
+          toks, toks, "doc_id", "toks", "doc_id", "toks", tau = 0.5)
+        .orderBy("id_l", "id_r")
     }
   )
 }

@@ -1072,6 +1072,60 @@ object Pipeline {
         .orderBy("vec_id")
     },
 
+    // Incremental ANN index maintenance (Similarity.ivfIndexDelta —
+    // VERDICT r11 stretch): a catalog table of vectors grows by one
+    // append commit; the index delta is read from the CHANGELOG (data
+    // reads touch only the new files, planning is a snapshot-log diff)
+    // and run through the same frozen-centroid cell-assign projection
+    // the full build uses. The oracle recomputes the delta batch's
+    // assignments directly from the parquet source — parity proves the
+    // changelog route delivers exactly the delta rows and assignment is
+    // version-independent. Centroids are the first 8 BASE vectors, so
+    // both sides derive them with no shared literals. The COW delete
+    // side of the delta contract is pinned in CatalogV2Spec (changelog)
+    // + StreamingSpec (foreachBatch ingest).
+    Probe.df("q_ann_index_delta",
+      """WITH b AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 <> 0),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |         embedding::DOUBLE[] AS c
+        |  FROM (SELECT * FROM b ORDER BY vec_id LIMIT 8)),
+        |d AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |best AS (
+        |  SELECT d.vec_id, c.cell,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY list_dot_product(d.embedding::DOUBLE[], c.c) DESC,
+        |               c.cell) AS rn
+        |  FROM d CROSS JOIN cent c)
+        |SELECT vec_id, CAST(cell AS INT) AS cell,
+        |  'insert' AS change_type
+        |FROM best WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.annidx")
+      s.sql("CREATE TABLE gprobe.db.annidx (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      s.sql("INSERT INTO gprobe.db.annidx " +
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 0")
+      s.sql("INSERT INTO gprobe.db.annidx " +
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0")
+      val tdir = java.nio.file.Paths.get(wh, "db", "annidx")
+      val vs = graft.catalog.Snapshots.list(tdir).map(_.version)
+      val base = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 =!= 0)
+      val cents = Similarity.ivfCentroidsFrom(base, "vec_id", "embedding", 8)
+      Similarity.ivfIndexDelta(s, "gprobe.db.annidx",
+          vs(vs.length - 2), vs.last, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cell"),
+          col("_change_type").as("change_type"))
+        .orderBy("vec_id")
+    },
+
     // Trained IVF: two Lloyd rounds of deterministic k-means (quantized
     // int64 accumulation — bit-reproducible regardless of partitioning),
     // then the final cell assignment. The oracle REPLAYS the whole

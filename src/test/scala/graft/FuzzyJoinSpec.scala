@@ -70,6 +70,36 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("short-string-dominated corpus: naive equality AND no cartesian " +
+      "node — the short path is a length-bucket equi-join") {
+    // A corpus that is ~all short codes (tickers/SKU-like, length 0-5 at
+    // q=2,k=2 ⇒ every string is at or below the gram bound's reach):
+    // the old short path cross-joined this whole corpus. Seeded RNG.
+    val rnd = new scala.util.Random(7)
+    def code() =
+      (0 until rnd.nextInt(6)).map(_ => "abc12"(rnd.nextInt(5))).mkString
+    val ls = (1L to 40L).map(i => (i, code()))
+    val rs = (201L to 240L).map(i => (i, code()))
+    val l = ls.toDF("id_l", "s")
+    val r = rs.toDF("id_r", "s")
+    for (k <- 1 to 2) {
+      val joined = FuzzyJoin.editDistanceJoin(l, r, "id_l", "s", "id_r", "s",
+        maxDist = k)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"short-string corpus must not plan a cartesian node at k=$k:\n$p")
+      val expected = (for {
+        (il, sl) <- ls; (ir, sr) <- rs
+        d = lev(sl, sr) if d <= k
+      } yield (il, ir, d.toLong)).toSet
+      val got = joined.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == expected, s"mismatch at maxDist=$k: " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("short-string pairs (below the count-filter bound) are found " +
       "by the dedicated path") {
     // every string here is <= q-1+k*q = 3 chars at q=2, k=1 — the gram

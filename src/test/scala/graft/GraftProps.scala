@@ -346,3 +346,46 @@ object HashedMarginProps
       kernel(s.replaceAll("\\s+", " "), w) == kernel(s, w)
     }
 }
+
+object SortedIntersectProps extends Properties("SortedIntersectCount") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.SetKernels
+
+  // The kernel's contract: ascending UTF8String binary order, distinct,
+  // no nulls — exactly what SetJoin's array_sort(array_distinct(...))
+  // produces. Small alphabet maximizes collisions.
+  private val tokGen: Gen[List[String]] = for {
+    n <- Gen.choose(0, 20)
+    t <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "", "xyz", "é", "1"))
+  } yield t
+
+  private def sortedArr(ts: List[String]): (GenericArrayData, Set[String]) = {
+    val distinct = ts.distinct
+    val sorted = distinct.map(UTF8String.fromString)
+      .sortWith(_.binaryCompare(_) < 0)
+    (new GenericArrayData(sorted.map(x => x: Any).toArray), distinct.toSet)
+  }
+
+  property("merge-walk count equals set-intersection size") =
+    Prop.forAll(tokGen, tokGen) { (a, b) =>
+      val (aa, sa) = sortedArr(a)
+      val (bb, sb) = sortedArr(b)
+      SetKernels.sortedIntersectCount(aa, bb) == (sa & sb).size.toLong
+    }
+
+  property("count is symmetric and bounded by min size") =
+    Prop.forAll(tokGen, tokGen) { (a, b) =>
+      val (aa, _) = sortedArr(a)
+      val (bb, _) = sortedArr(b)
+      val n = SetKernels.sortedIntersectCount(aa, bb)
+      n == SetKernels.sortedIntersectCount(bb, aa) &&
+        n <= math.min(aa.numElements(), bb.numElements())
+    }
+
+  property("self-intersection is the full size") =
+    Prop.forAll(tokGen) { a =>
+      val (aa, sa) = sortedArr(a)
+      SetKernels.sortedIntersectCount(aa, aa) == sa.size.toLong
+    }
+}

@@ -193,6 +193,53 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("ivf cell-assign drives a streaming vector ingest via foreachBatch: " +
+      "the accumulated index delta equals the batch assignment") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft_ann_stream").toFile
+    def vec(xs: Double*) = xs.map(_.toFloat)
+    val base = Seq(
+      (1L, vec(1.0, 0.0, 0.0)), (2L, vec(0.0, 1.0, 0.0)),
+      (3L, vec(0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    // centroids frozen from the base corpus — the index-maintenance
+    // contract: assignment is a pure per-row function, so streaming
+    // micro-batches and a batch rebuild agree exactly
+    val cents = Similarity.ivfCentroidsFrom(base, "vec_id", "embedding", 3)
+    val b1 = Seq((10L, vec(0.9, 0.1, 0.0)), (11L, vec(0.0, 0.2, 0.9)))
+      .toDF("vec_id", "embedding")
+    b1.coalesce(1).write.parquet(s"$dir/b1")
+    val got = scala.collection.mutable.Map.empty[Long, Int]
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the ingest gate: assign ONLY this micro-batch and append the
+        // postings — Similarity.ivfIndexDelta is the catalog-batch
+        // rendering of the same shape (q_ann_index_delta)
+        Similarity.ivfAssign(df, "vec_id", "embedding", cents).collect()
+          .foreach(r => got.synchronized {
+            got(r.getAs[Long]("vec_id")) = r.getAs[Int]("cell")
+          })
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    Seq((12L, vec(0.8, 0.0, 0.1)), (13L, vec(0.1, 0.9, 0.0)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+    val all = Seq(
+      (10L, vec(0.9, 0.1, 0.0)), (11L, vec(0.0, 0.2, 0.9)),
+      (12L, vec(0.8, 0.0, 0.1)), (13L, vec(0.1, 0.9, 0.0)))
+      .toDF("vec_id", "embedding")
+    val batch = Similarity.ivfAssign(all, "vec_id", "embedding", cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      .toMap
+    assert(got.toMap == batch, s"stream $got vs batch $batch")
+    assert(got.toMap == Map(10L -> 0, 11L -> 2, 12L -> 0, 13L -> 1))
+  }
+
   test("streaming dedup drops cross-batch duplicates, state bounded by watermark") {
     val dir = Files.createTempDirectory("graft_sdedup").toFile
     val out = s"graft_sdedup_out_${System.nanoTime()}"
