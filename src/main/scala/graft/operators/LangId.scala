@@ -57,7 +57,30 @@ object LangId {
     "it" -> Seq(" di", "di ", "re ", " co", "to ", "la ", " la", "ere",
       "no ", "one", "ne ", "che", " ch", "lle", "del", "ell", " pe",
       "per", "zio", "ion", "ni ", " no", "ano", "nte", "ato", " so",
-      "gli", " in", "ita", "e d"))
+      "gli", " in", "ita", "e d"),
+    // Native-script profiles for the script-dispatch languages
+    // (VERDICT r11 #8): dispatch fires only above cjkThreshold, so a
+    // MIXED-script document (a Cyrillic phrase inside digits/markup, a
+    // diluted Devanagari quote) used to fall through to the 5-language
+    // Latin vote and come back 'und' — with these the VOTE covers
+    // ru/ar/hi too. Same construction as the Latin lists (published
+    // letter/trigram frequency tables, boundary-padded, rank-weighted);
+    // the scripts are disjoint, so these grams can never perturb a
+    // Latin vote. (ja/ko/zh stay dispatch-only: their texts rarely use
+    // ASCII spaces, so word-boundary-padded trigrams are the wrong
+    // feature — kana/Hangul/Han ratios are the reliable signal.)
+    "ru" -> Seq(" не", "не ", " на", "на ", " по", "по ", " пр", "ого",
+      "го ", "ени", "ние", "ие ", "ост", "сть", "ть ", "ать", " ко",
+      "ово", "ов ", " от", "от ", " ст", "сто", "то ", " то", "но ",
+      " и ", "ой ", "ли ", "ия "),
+    "ar" -> Seq(" ال", "الم", "الت", "الع", "الا", "لى ", " عل", "على",
+      "ية ", " في", "في ", " من", "من ", " وا", "ان ", "ين ", "ون ",
+      " لل", "ات ", "ها ", " أن", "أن ", "ما ", " ما", "ة ا", "اء ",
+      " با", " لا", "لا ", "الس"),
+    "hi" -> Seq(" के", "के ", " का", "का ", " की", "की ", " है", "है ",
+      " को", "को ", "में", " मे", "ें ", " ने", "ने ", " से", "से ",
+      " पर", "पर ", "ों ", "ता ", "या ", "ार ", "ान ", " हो", "हैं",
+      " और", "और ", "ही ", "िया"))
 
   require(Profiles.forall { case (_, gs) =>
     gs.distinct.length == gs.length && gs.forall(_.length == 3) },

@@ -51,13 +51,43 @@ class LangIdSpec extends AnyFunSuite {
       1L -> "\u4eca\u65e5\u306f\u3044\u3044\u5929\u6c17\u306a\u306e\u3067\u516c\u5712\u3078\u6563\u6b69\u306b\u884c\u304d\u307e\u3057\u3087\u3046",
       2L -> "\u304d\u3087\u3046\u306f \u3044\u3044 \u3066\u3093\u304d \u3067\u3059 \u306d \u3055\u3093\u307d \u306b \u3044\u304d\u307e\u3057\u3087\u3046",
       3L -> "\uc624\ub298\uc740 \ub0a0\uc528\uac00 \uc88b\uc544\uc11c \uacf5\uc6d0\uc5d0 \uc0b0\ucc45\ud558\ub7ec \uac11\ub2c8\ub2e4",
-      4L -> "\u0441\u0435\u0433\u043e\u0434\u043d\u044f \u0445\u043e\u0440\u043e\u0448\u0430\u044f \u043f\u043e\u0433\u043e\u0434\u0430 \u0438 \u043c\u044b \u0438\u0434\u0435\u043c \u0433\u0443\u043b\u044f\u0442\u044c \u0432 \u043f\u0430\u0440\u043a",
-      5L -> "\u0627\u0644\u0637\u0642\u0633 \u062c\u0645\u064a\u0644 \u0627\u0644\u064a\u0648\u0645 \u0644\u0646\u0630\u0647\u0628 \u0625\u0644\u0649 \u0627\u0644\u062d\u062f\u064a\u0642\u0629 \u0644\u0644\u062a\u0646\u0632\u0647",
-      6L -> "\u0906\u091c \u092e\u094c\u0938\u092e \u0905\u091a\u094d\u091b\u093e \u0939\u0948 \u091a\u0932\u094b \u092a\u093e\u0930\u094d\u0915 \u092e\u0947\u0902 \u091f\u0939\u0932\u0928\u0947 \u091a\u0932\u0924\u0947 \u0939\u0948\u0902",
+      4L -> ("\u0441\u0435\u0433\u043e\u0434\u043d\u044f \u0445\u043e\u0440\u043e\u0448\u0430\u044f \u043f\u043e\u0433\u043e\u0434\u0430 \u0438 \u043c\u044b \u0438\u0434\u0435\u043c \u0433\u0443\u043b\u044f\u0442\u044c \u0432 \u043f\u0430\u0440\u043a"),
+      5L -> ("\u0627\u0644\u0637\u0642\u0633 \u062c\u0645\u064a\u0644 \u0627\u0644\u064a\u0648\u0645 \u0644\u0646\u0630\u0647\u0628 \u0625\u0644\u0649 \u0627\u0644\u062d\u062f\u064a\u0642\u0629 \u0644\u0644\u062a\u0646\u0632\u0647"),
+      6L -> ("\u0906\u091c \u092e\u094c\u0938\u092e \u0905\u091a\u094d\u091b\u093e \u0939\u0948 \u091a\u0932\u094b \u092a\u093e\u0930\u094d\u0915 \u092e\u0947\u0902 \u091f\u0939\u0932\u0928\u0947 \u091a\u0932\u0924\u0947 \u0939\u0948\u0902"),
       // pure-Han stays zh (the ja check must not swallow it)
       7L -> "\u4eca\u5929\u5929\u6c14\u5f88\u597d\u6211\u4eec\u4e00\u8d77\u53bb\u516c\u56ed\u6563\u6b65\u5427"))
     assert(out == Map(1L -> "ja", 2L -> "ja", 3L -> "ko", 4L -> "ru",
       5L -> "ar", 6L -> "hi", 7L -> "zh"))
+  }
+
+  test("trained-script profiles: ru/ar/hi win the VOTE with dispatch " +
+      "disabled, and a below-threshold mixed doc no longer falls to " +
+      "'und' (VERDICT r11 #8)") {
+    // dispatch off entirely: the trigram vote alone must identify the
+    // script-dispatch languages' native-script text
+    val voteOnly = LangId.classify(Seq(
+        4L -> ("\u0441\u0435\u0433\u043e\u0434\u043d\u044f \u0445\u043e\u0440\u043e\u0448\u0430\u044f \u043f\u043e\u0433\u043e\u0434\u0430 \u0438 " +
+          "\u043c\u044b \u0438\u0434\u0435\u043c \u0433\u0443\u043b\u044f\u0442\u044c \u0432 \u043f\u0430\u0440\u043a"),
+        5L -> ("\u0627\u0644\u0637\u0642\u0633 \u062c\u0645\u064a\u0644 \u0627\u0644\u064a\u0648\u0645 \u0644\u0646\u0630\u0647\u0628 " +
+          "\u0625\u0644\u0649 \u0627\u0644\u062d\u062f\u064a\u0642\u0629 \u0644\u0644\u062a\u0646\u0632\u0647"),
+        6L -> ("\u0906\u091c \u092e\u094c\u0938\u092e \u0905\u091a\u094d\u091b\u093e \u0939\u0948 \u091a\u0932\u094b " +
+          "\u092a\u093e\u0930\u094d\u0915 \u092e\u0947\u0902 \u091f\u0939\u0932\u0928\u0947 \u091a\u0932\u0924\u0947 \u0939\u0948\u0902"))
+        .toDF("doc_id", "text"),
+        "doc_id", "text", LangId.profilesDf(spark), cjkThreshold = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(voteOnly == Map(4L -> "ru", 5L -> "ar", 6L -> "hi"))
+    // dispatch ON at the default 0.3: a Cyrillic phrase diluted with
+    // enough digits sits BELOW the script threshold — before the
+    // trained profiles this fell to the Latin-only vote and came back
+    // 'und'; now the vote itself labels it
+    val mixed = "\u0441\u0435\u0433\u043e\u0434\u043d\u044f \u043f\u043e\u0433\u043e\u0434\u0430 " +
+      "0123456789 0123456789 0123456789 0123456789 0123456789 0123456789"
+    val cyr = mixed.count(c => c >= '\u0400' && c <= '\u04ff')
+    assert(cyr.toDouble / mixed.length < 0.3, "fixture must sit below dispatch")
+    val out = LangId.classify(Seq(9L -> mixed).toDF("doc_id", "text"),
+        "doc_id", "text", LangId.profilesDf(spark))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(9L) == "ru")
   }
 
   test("margin column is the top1-minus-top2 vote gap; 0 when fewer " +
