@@ -121,4 +121,82 @@ object SetJoin {
       .select(col("id_l"), col("id_r"), col("inter"),
         col("sz_l"), col("sz_r"), col("jaccard"))
   }
+
+  /** EXACT set-CONTAINMENT join — all pairs with
+    * |A ∩ B| / |A| ≥ τ (A from `left`): "τ of the left doc's tokens
+    * appear in the right doc", the asymmetric question behind quote
+    * detection, provenance ("is this doc mostly contained in that
+    * one?") and query-subsumption — [[jaccardJoin]]'s symmetric
+    * machinery with the containment blocking policy (the set
+    * containment join of the SSJoin literature, ICDE '06 §4:
+    * an OVERLAP constraint t = ⌈τ·|A|⌉ that depends on |A| alone).
+    *
+    * Blocking: only the LEFT side is prefix-cut (first
+    * |A| − ⌊τ·|A|⌋ + 1 elements under the shared rare-first order —
+    * floor form, one longer than tight, immune to float-ceil
+    * undersizing); the right side joins on ALL its elements, because
+    * |A| can be small enough that B's achievable prefix bound is its
+    * whole set. This stays blocked: prefix elements are corpus-RARE by
+    * construction, so each joins O(f) right occurrences — a stopword
+    * can never fan out (it never enters a left prefix). Candidates then
+    * pass the size filter |B| ≥ τ·|A| and the ppjoin positional filter
+    * (overlap through the shared element ≤ 1 + min remaining suffix,
+    * must reach τ·|A|); the verify is the same sorted merge-walk
+    * kernel, and containment = inter / |A| is one IEEE division of
+    * exact integers. Same null/empty contract as [[jaccardJoin]]. */
+  def containmentJoin(left: DataFrame, right: DataFrame,
+      idL: String, tokL: String, idR: String, tokR: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1, got $tau")
+    def prep(df: DataFrame, id: String, tok: String): DataFrame =
+      df.select(col(id).as("id"),
+          array_sort(array_distinct(filter(col(tok), x => x.isNotNull)))
+            .as("toks"))
+        .where(col("toks").isNotNull && size(col("toks")) > 0)
+        .withColumn("sz", size(col("toks")).cast("long"))
+    val l = prep(left, idL, tokL)
+    val r = prep(right, idR, tokR)
+    def exploded(df: DataFrame): DataFrame =
+      df.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    val el = exploded(l)
+    val er = exploded(r)
+    val freq = PrefixFilter.frequencies(el, er, Seq("tok"))
+    val pl = PrefixFilter.prefix(el, freq,
+        Seq("tok"), col("sz") - floor(lit(tau) * col("sz")) + 1,
+        posCol = Some("pos"))
+      .select(col("id").as("id_l"), col("sz").as("szp_l"),
+        col("pos").as("pos_l"), col("tok"))
+    // right side: ALL elements, but positions still ride along for the
+    // positional filter (rank under the SAME global order)
+    val pr = PrefixFilter.prefix(er, freq, Seq("tok"), col("sz"),
+        posCol = Some("pos"))
+      .select(col("id").as("id_r"), col("sz").as("szp_r"),
+        col("pos").as("pos_r"), col("tok"))
+    val cands = pl.join(pr, "tok")
+      .where(col("szp_r").cast("double") >=
+        lit(tau) * col("szp_l").cast("double") - lit(1e-9) &&
+        (lit(1) + least(col("szp_l") - col("pos_l"),
+          col("szp_r") - col("pos_r"))).cast("double") >=
+          lit(tau) * col("szp_l").cast("double") - lit(1e-9))
+      .select("id_l", "id_r").distinct()
+    val nP = scala.util.Try(left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    cands
+      .repartition(nP, col("id_l"), col("id_r"))
+      .join(l.select(col("id").as("id_l"), col("toks").as("toks_l"),
+        col("sz").as("sz_l")), "id_l")
+      .join(r.select(col("id").as("id_r"), col("toks").as("toks_r"),
+        col("sz").as("sz_r")), "id_r")
+      .withColumn("inter", {
+        import org.apache.spark.sql.graftaccess.Internals
+        Internals.column(graft.functions.SortedIntersectCount(
+          Internals.expression(col("toks_l")),
+          Internals.expression(col("toks_r"))))
+      })
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz_l").cast("double"))
+      .where(col("containment") >= tau)
+      .select(col("id_l"), col("id_r"), col("inter"),
+        col("sz_l"), col("sz_r"), col("containment"))
+  }
 }

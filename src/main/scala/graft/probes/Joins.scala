@@ -342,6 +342,52 @@ object Joins {
       graft.operators.SetJoin.jaccardJoin(
           toks, toks, "doc_id", "toks", "doc_id", "toks", tau = 0.5)
         .orderBy("id_l", "id_r")
+    },
+
+    // Exact set-CONTAINMENT join (SetJoin.containmentJoin): all pairs
+    // with |A∩B|/|A| >= 0.75 — the asymmetric quote/provenance question
+    // ("is this small doc mostly contained in that bigger one?").
+    // Planted: left docs carry 4 tokens (3 group + own id), right docs
+    // 8 (the same 3 group tokens + 3 more + own id + a corpus-wide x
+    // token the left prefix must never fan out on); within-group
+    // containment is exactly 3/4 = τ (a boundary-exact pair — one IEEE
+    // division of exact integers on both engines), self pairs 4/4,
+    // cross-group 0. Oracle = naive cross join.
+    Probe.df("q_join_containment",
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(doc_id // 5 AS VARCHAR) AS g FROM documents),
+        |lt AS (SELECT doc_id, ['qa-' || g, 'qb-' || g, 'qc-' || g,
+        |    'doc' || CAST(doc_id AS VARCHAR)] AS t FROM ids),
+        |rt AS (SELECT doc_id, ['qa-' || g, 'qb-' || g, 'qc-' || g,
+        |    'g4-' || g, 'g5-' || g, 'g6-' || g,
+        |    'doc' || CAST(doc_id AS VARCHAR),
+        |    'x' || CAST(doc_id % 7 AS VARCHAR)] AS t FROM ids),
+        |p AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+        |    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+        |    CAST(len(a.t) AS BIGINT) AS sz_l,
+        |    CAST(len(b.t) AS BIGINT) AS sz_r
+        |  FROM lt a, rt b)
+        |SELECT id_l, id_r, inter, sz_l, sz_r,
+        |  inter::DOUBLE / sz_l::DOUBLE AS containment
+        |FROM p
+        |WHERE inter::DOUBLE / sz_l::DOUBLE >= CAST(0.75 AS DOUBLE)
+        |ORDER BY id_l, id_r""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val g = expr("CAST(doc_id DIV 5 AS STRING)")
+      val d = Tables.load(s, dir, "documents")
+      val lt = d.select(col("doc_id"), array(
+        concat(lit("qa-"), g), concat(lit("qb-"), g),
+        concat(lit("qc-"), g),
+        concat(lit("doc"), col("doc_id").cast("string"))).as("toks"))
+      val rt = d.select(col("doc_id"), array(
+        concat(lit("qa-"), g), concat(lit("qb-"), g),
+        concat(lit("qc-"), g), concat(lit("g4-"), g),
+        concat(lit("g5-"), g), concat(lit("g6-"), g),
+        concat(lit("doc"), col("doc_id").cast("string")),
+        concat(lit("x"), (col("doc_id") % 7).cast("string"))).as("toks"))
+      graft.operators.SetJoin.containmentJoin(
+          lt, rt, "doc_id", "toks", "doc_id", "toks", tau = 0.75)
+        .orderBy("id_l", "id_r")
     }
   )
 }

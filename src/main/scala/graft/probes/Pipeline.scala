@@ -189,6 +189,64 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Changelog-driven NOVELTY ingest (round 12 — the continual-
+    // pretraining loop closed end-to-end over the CATALOG): the corpus
+    // table grows by one append commit; the base is read by TIME TRAVEL
+    // at the prior version, the new batch arrives via the CHANGELOG
+    // (data reads touch only the new files), and minhashNovelty screens
+    // batch against base. Same splits as q_dedup_novelty, so the exact
+    // all-pairs truth oracle is identical — parity proves the catalog
+    // route delivers exactly the base/batch partition.
+    Probe.df("q_dedup_novelty_delta",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                 for i in range(1, greatest(len(ws)-2, 1)+1)]) AS sh
+        |  FROM w),
+        |a AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+        |b AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+        |v AS (SELECT * FROM (
+        |    SELECT b.doc_id AS doc_id, a.doc_id AS base_id,
+        |      len(list_intersect(b.sh, a.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(b.sh, a.sh))) AS jaccard
+        |    FROM b CROSS JOIN a)
+        |  WHERE jaccard >= 0.5),
+        |best AS (SELECT doc_id, base_id, jaccard FROM v
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY jaccard DESC, base_id ASC) = 1),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups
+        |  FROM v GROUP BY doc_id)
+        |SELECT b.doc_id, r.doc_id IS NULL AS novel,
+        |  COALESCE(r.n_dups, 0) AS n_dups,
+        |  COALESCE(best.base_id, -1) AS best_match_id,
+        |  COALESCE(best.jaccard, 0.0) AS best_jaccard
+        |FROM b LEFT JOIN r USING (doc_id) LEFT JOIN best USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.docdelta")
+      s.sql("CREATE TABLE gprobe.db.docdelta (doc_id BIGINT, text STRING)")
+      s.sql("INSERT INTO gprobe.db.docdelta " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO gprobe.db.docdelta " +
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1")
+      val tdir = java.nio.file.Paths.get(wh, "db", "docdelta")
+      val vs = graft.catalog.Snapshots.list(tdir).map(_.version)
+      val base = s.sql("SELECT doc_id, text FROM gprobe.db.docdelta " +
+        s"VERSION AS OF ${vs(vs.length - 2)}")
+      val batch = graft.catalog.Changelog.read(s, "gprobe.db.docdelta",
+          vs(vs.length - 2), vs.last)
+        .where(col("_change_type") === "insert")
+        .select(col("doc_id"), col("text"))
+      Dedup.minhashNovelty(base, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // LINE-level dedup with curation bookkeeping
     // (Boilerplate.dedupLinesProfile — the stats tier of the C4
     // dedupLines operator: every doc retained, exact n_lines/n_dropped;

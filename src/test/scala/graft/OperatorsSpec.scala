@@ -778,6 +778,71 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentJoin equals the naive all-pairs answer at several " +
+      "thresholds (asymmetric: small-in-big, stopwords, boundary pairs)") {
+    import spark.implicits._
+    val ls = Seq(
+      (1L, Seq("the", "quick", "fox")),            // 3 tokens
+      (2L, Seq("quick", "fox")),                   // fully inside 11
+      (3L, Seq("unrelated", "tokens", "here")),
+      (4L, Seq("the")),                            // 1 ubiquitous token
+      (5L, Seq[String]()))                         // empty: no matches
+    val rs = Seq(
+      (11L, Seq("the", "quick", "brown", "fox", "jumps")),
+      (12L, Seq("the", "slow", "green", "turtle")),
+      (13L, Seq("quick", "fox")),
+      (14L, Seq(null, "the", "quick", "fox")))     // null stripped
+    val l = ls.toDF("id", "toks")
+    val r = rs.toDF("id", "toks")
+    def naive(tau: Double) = (for {
+      (il, tl) <- ls; (ir, tr) <- rs
+      sl = tl.filter(_ != null).distinct.toSet
+      sr = tr.filter(_ != null).distinct.toSet
+      if sl.nonEmpty && sr.nonEmpty
+      inter = (sl & sr).size
+      c = inter.toDouble / sl.size
+      if c >= tau
+    } yield (il, ir, inter.toLong, c)).toSet
+    for (tau <- Seq(0.5, 0.67, 0.75, 1.0)) {
+      val got = graft.operators.SetJoin
+        .containmentJoin(l, r, "id", "toks", "id", "toks", tau)
+        .collect()
+        .map(x => (x.getAs[Long]("id_l"), x.getAs[Long]("id_r"),
+          x.getAs[Long]("inter"), x.getAs[Double]("containment")))
+        .toSet
+      assert(got == naive(tau), s"mismatch at tau=$tau: " +
+        s"missing=${naive(tau) -- got} extra=${got -- naive(tau)}")
+    }
+  }
+
+  test("containmentJoin randomized adversarial corpus: tiny vocabulary, " +
+      "equality with the naive join at several thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def randSet() =
+      (0 until rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(6)))
+    val ls = (1L to 20L).map(i => (i, randSet()))
+    val rs = (101L to 125L).map(i => (i, randSet()))
+    val l = ls.toDF("id", "toks")
+    val r = rs.toDF("id", "toks")
+    for (tau <- Seq(0.34, 0.5, 0.75, 1.0)) {
+      val expected = (for {
+        (il, tl) <- ls; (ir, tr) <- rs
+        sl = tl.distinct.toSet; sr = tr.distinct.toSet
+        if sl.nonEmpty && sr.nonEmpty
+        inter = (sl & sr).size
+        if inter.toDouble / sl.size >= tau
+      } yield (il, ir)).toSet
+      val got = graft.operators.SetJoin
+        .containmentJoin(l, r, "id", "toks", "id", "toks", tau)
+        .collect().map(x => (x.getAs[Long]("id_l"), x.getAs[Long]("id_r")))
+        .toSet
+      assert(got == expected, s"mismatch at tau=$tau: " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("provenanceDedup keeps the highest-priority source's copy and " +
       "reports the full provenance") {
     import spark.implicits._
