@@ -99,5 +99,8 @@ object SparkEntry {
     // (q_join_jaccard's natural-text corpus emits 12.46M true pairs at
     // sf0.1 — inherently quadratic output, so it stays correctness-tier
     // like q_fingerprint_overlap; see BASELINE.md round 12)
-    "q_join_fuzzy", "q_join_jaccard_groups")
+    "q_join_fuzzy", "q_join_jaccard_groups",
+    // round 12 late: the asymmetric containment variant (left-only
+    // prefix blocking) joins the tracked set on the same linear corpus
+    "q_join_containment")
 }
