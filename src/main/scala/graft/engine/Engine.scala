@@ -57,13 +57,17 @@ final class Engine(root: SparkSession) {
     // race), so each execute runs under a fresh attempt id to stay
     // re-executable after a cancel.
     val executeAttempt = new java.util.concurrent.atomic.AtomicInteger(0)
-    // The attempt whose worker is CURRENTLY running (0 = none): the
-    // cancel target. cancelQuery used to read executeAttempt, which a
+    // The attempts whose workers are CURRENTLY running: the cancel
+    // targets. cancelQuery used to read executeAttempt, which a
     // concurrent re-execute increments before its worker starts — a
     // cancel aimed at running attempt N could sticky-cancel the
-    // just-started N+1 instead and leave N running (ADVICE r11). Set by
-    // the worker before its first job, cleared (CAS) when it finishes.
-    val runningAttempt = new java.util.concurrent.atomic.AtomicInteger(0)
+    // just-started N+1 instead and leave N running (ADVICE r11). A SET,
+    // not a scalar: two overlapping executes of one handle are
+    // supported, and a single slot would lose attempt N when N+1
+    // finishes first and clears it (round-12 self-review). Workers add
+    // themselves before their first job and remove on finish.
+    val runningAttempts =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
   }
 
   private val sessions = new ConcurrentHashMap[String, SparkSession]()
@@ -291,13 +295,13 @@ final class Engine(root: SparkSession) {
       val sc = st.session.sparkContext
       sc.setJobGroup(Engine.jobGroup(handle) + "-" + attempt,
         s"graft statement $handle", interruptOnCancel = true)
-      st.runningAttempt.set(attempt)
+      st.runningAttempts.add(attempt)
       try { // outside the lock: old-result fetches stay servable
         val d = plan(st)
         outcome.set(Right((d, d.collect())))
       } catch { case e: Throwable => outcome.set(Left(e)) }
       finally {
-        st.runningAttempt.compareAndSet(attempt, 0)
+        st.runningAttempts.remove(attempt)
         sc.clearJobGroup()
       }
     }
@@ -338,17 +342,23 @@ final class Engine(root: SparkSession) {
     * under a fresh attempt-suffixed group. */
   def cancelQuery(handle: String): Unit = {
     val st = statement(handle)
-    // Target the RUNNING attempt, not the latest allocated one: a
+    // Target every RUNNING attempt, not the latest allocated one: a
     // concurrent re-execute bumps executeAttempt before its worker
     // starts, and a cancel aimed at running attempt N must not land on
-    // the fresh N+1 instead (ADVICE r11). Fallback to executeAttempt
-    // covers the window between allocation and worker start — there the
+    // the fresh N+1 instead (ADVICE r11); with overlapping executes of
+    // one handle, BOTH in-flight attempts are this statement's query
+    // and both are cancelled. Fallback to executeAttempt covers the
+    // window between allocation and worker start — there the
     // about-to-run attempt IS the right target (sticky cancel kills it
     // the moment it submits its first job).
-    val running = st.runningAttempt.get()
-    val target = if (running > 0) running else st.executeAttempt.get()
-    st.session.sparkContext.cancelJobGroupAndFutureJobs(
-      Engine.jobGroup(handle) + "-" + target)
+    import scala.jdk.CollectionConverters._
+    val running = st.runningAttempts.asScala.toSeq.sorted
+    val targets =
+      if (running.nonEmpty) running else Seq(st.executeAttempt.get())
+    targets.foreach { a =>
+      st.session.sparkContext.cancelJobGroupAndFutureJobs(
+        Engine.jobGroup(handle) + "-" + a)
+    }
   }
 
   def fetch(handle: String): (StructType, Array[Row]) = {

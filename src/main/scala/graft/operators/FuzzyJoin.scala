@@ -133,10 +133,9 @@ object FuzzyJoin {
     // longs, so AQE's bytes-based coalescing would fuse the expensive
     // per-pair DP onto a couple of tasks (same hazard as SetJoin —
     // measured there). repartition(N, keys) is exempt (STATUS r10).
-    val nP = scala.util.Try(left.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
     gramCands.unionByName(shortCands)
-      .repartition(nP, col("id_l"), col("id_r"))
+      .repartition(OpConf.shufflePartitions(left),
+        col("id_l"), col("id_r"))
       .join(l, "id_l").join(r, "id_r")
       // THRESHOLD levenshtein: banded O(k·len) DP that returns -1 past
       // maxDist — the verify dominates the operator's runtime and the

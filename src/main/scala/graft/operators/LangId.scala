@@ -190,8 +190,7 @@ object LangId {
     // ONE exchange — ReusedExchange fires, each branch's projection
     // runs post-shuffle on every core, and the final left join is
     // already co-partitioned by id.
-    val nP = scala.util.Try(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val nP = OpConf.shufflePartitions(df)
     // null ids are dropped UP FRONT (mirrored in [[oracleSql]]): the id
     // is the key a pipeline joins the labels back on, and the explicit
     // filter makes both branches' exchange subtrees canonicalize

@@ -56,8 +56,7 @@ object QualityClassifier {
     * [[score]] re-attaches them with margin 0). */
   private def features(df: DataFrame, idCol: String, textCol: String,
       labelCol: Option[String], dim: Int): DataFrame = {
-    val nP = scala.util.Try(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val nP = OpConf.shufflePartitions(df)
     val lab = labelCol.map(c => col(c).cast("int").as("y")).toSeq
     df.select(col(idCol).as("id") +: lab :+ col(textCol).as("__text"): _*)
       .filter(col("id").isNotNull)
@@ -130,8 +129,7 @@ object QualityClassifier {
       .groupBy(col("id"))
       .agg(sum(coalesce(col("wt"), lit(0L)) * col("cnt"))
         .cast("long").as("z"))
-    val nP = scala.util.Try(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val nP = OpConf.shufflePartitions(df)
     val ids = df.select(col(idCol).as("id"))
       .filter(col("id").isNotNull)
       .repartition(nP, col("id"))

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   * prefix is a recall bug no oracle would catch on most corpora).
   * Ubiquitous tokens sort out of every prefix, so a corpus-wide
   * stopword cannot trigger the O(n²)-per-common-token blowup.
+  * Candidates additionally pass ppjoin's POSITIONAL filter (WW '08 §3,
+  * in the per-join filters below).
   *
   * EXACTNESS: the verify computes |A∩B| as an integer and
   * jaccard = inter / (|A|+|B|−inter) — one IEEE division of exact
@@ -36,35 +38,62 @@ import org.apache.spark.sql.functions._
   * back BY ID for the verify. Verify is O(|A|+|B|) per candidate. */
 object SetJoin {
 
+  /** Normalize one side to (id, toks, sz). Tokens are deduped AND
+    * SORTED once per set (n·log n, paid |corpus| times) so the verify —
+    * paid |candidates| times, the quadratic term — is an
+    * allocation-free merge walk ([[graft.functions
+    * .SortedIntersectCount]]) instead of Spark's interpreted
+    * array_intersect building a hash set per pair. NULL ELEMENTS are
+    * stripped before anything else (an equi-join on tokens can never
+    * block a null, so keeping them in the verify would silently miss
+    * truly-matching pairs); empty/null token sets match nothing
+    * (similarity is undefined there — and 0/0 = NaN compares as LARGER
+    * than tau in Spark but NULL/false in most engines, so excluding
+    * them is the only cross-engine-sane contract). */
+  private def prepSets(df: DataFrame, id: String, tok: String): DataFrame =
+    df.select(col(id).as("id"),
+        array_sort(array_distinct(filter(col(tok), x => x.isNotNull)))
+          .as("toks"))
+      .where(col("toks").isNotNull && size(col("toks")) > 0)
+      .withColumn("sz", size(col("toks")).cast("long"))
+
+  private def exploded(df: DataFrame): DataFrame =
+    df.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+
+  /** Join the (id_l, id_r) candidates back to their token arrays and
+    * attach the exact integer `inter`. The repartition is a
+    * NON-COALESCIBLE spread before the verify: candidate pairs are two
+    * longs, so AQE sees a tiny shuffle and coalesces the fused
+    * distinct→join→verify pipeline down to a couple of tasks — but the
+    * verify's per-ROW cost (a merge walk over two token arrays) is the
+    * operator's dominant term, and bytes-based coalescing starves it
+    * (measured: 2 tasks over an sf0.1 candidate set, minutes of wall
+    * on 32 idle cores). repartition(N, keys) is exempt from AQE
+    * coalescing (STATUS round-10 lesson). */
+  private def verified(cands: DataFrame, l: DataFrame,
+      r: DataFrame): DataFrame =
+    cands
+      .repartition(OpConf.shufflePartitions(l), col("id_l"), col("id_r"))
+      .join(l.select(col("id").as("id_l"), col("toks").as("toks_l"),
+        col("sz").as("sz_l")), "id_l")
+      .join(r.select(col("id").as("id_r"), col("toks").as("toks_r"),
+        col("sz").as("sz_r")), "id_r")
+      .withColumn("inter", {
+        import org.apache.spark.sql.graftaccess.Internals
+        Internals.column(graft.functions.SortedIntersectCount(
+          Internals.expression(col("toks_l")),
+          Internals.expression(col("toks_r"))))
+      })
+
   /** All (id_l, id_r, inter, sz_l, sz_r, jaccard) with jaccard ≥ tau.
-    * `tokL`/`tokR` are array<string> columns; multisets are collapsed
-    * to sets (`array_distinct`); NULL ELEMENTS are stripped before
-    * anything else (an equi-join on tokens can never block a null, so
-    * keeping them in the verify would silently miss truly-matching
-    * pairs — the null element participates in nothing); empty/null
-    * token sets match nothing (Jaccard is undefined there — and
-    * 0/0 = NaN compares as LARGER than tau in Spark but NULL/false in
-    * most engines, so excluding them is the only cross-engine-sane
-    * contract). */
+    * `tokL`/`tokR` are array<string> columns; see [[prepSets]] for the
+    * null/empty contract. */
   def jaccardJoin(left: DataFrame, right: DataFrame,
       idL: String, tokL: String, idR: String, tokR: String,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1, got $tau")
-    // Tokens are deduped AND SORTED once per set (n·log n, paid
-    // |corpus| times) so the verify — paid |candidates| times, the
-    // quadratic term — is an allocation-free merge walk
-    // ([[graft.functions.SortedIntersectCount]]) instead of Spark's
-    // interpreted array_intersect building a hash set per pair.
-    def prep(df: DataFrame, id: String, tok: String): DataFrame =
-      df.select(col(id).as("id"),
-          array_sort(array_distinct(filter(col(tok), x => x.isNotNull)))
-            .as("toks"))
-        .where(col("toks").isNotNull && size(col("toks")) > 0)
-        .withColumn("sz", size(col("toks")).cast("long"))
-    val l = prep(left, idL, tokL)
-    val r = prep(right, idR, tokR)
-    def exploded(df: DataFrame): DataFrame =
-      df.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    val l = prepSets(left, idL, tokL)
+    val r = prepSets(right, idR, tokR)
     val el = exploded(l)
     val er = exploded(r)
     val freq = PrefixFilter.frequencies(el, er, Seq("tok"))
@@ -93,28 +122,7 @@ object SetJoin {
           lit(tau / (1.0 + tau)) * (col("szp_l") + col("szp_r"))
             .cast("double") - lit(1e-9))
       .select("id_l", "id_r").distinct()
-    // Non-coalescible spread before the verify: candidate pairs are two
-    // longs, so AQE sees a tiny shuffle and coalesces the fused
-    // distinct→join→verify pipeline down to a couple of tasks — but the
-    // verify's per-ROW cost (a merge walk over two token arrays) is the
-    // operator's dominant term, and bytes-based coalescing starves it
-    // (measured: 2 tasks over an sf0.1 candidate set, minutes of wall
-    // on 32 idle cores). repartition(N, keys) is exempt from AQE
-    // coalescing (STATUS round-10 lesson).
-    val nP = scala.util.Try(left.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
-    cands
-      .repartition(nP, col("id_l"), col("id_r"))
-      .join(l.select(col("id").as("id_l"), col("toks").as("toks_l"),
-        col("sz").as("sz_l")), "id_l")
-      .join(r.select(col("id").as("id_r"), col("toks").as("toks_r"),
-        col("sz").as("sz_r")), "id_r")
-      .withColumn("inter", {
-        import org.apache.spark.sql.graftaccess.Internals
-        Internals.column(graft.functions.SortedIntersectCount(
-          Internals.expression(col("toks_l")),
-          Internals.expression(col("toks_r"))))
-      })
+    verified(cands, l, r)
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_l") + col("sz_r") - col("inter")).cast("double"))
       .where(col("jaccard") >= tau)
@@ -126,10 +134,10 @@ object SetJoin {
     * |A ∩ B| / |A| ≥ τ (A from `left`): "τ of the left doc's tokens
     * appear in the right doc", the asymmetric question behind quote
     * detection, provenance ("is this doc mostly contained in that
-    * one?") and query-subsumption — [[jaccardJoin]]'s symmetric
-    * machinery with the containment blocking policy (the set
-    * containment join of the SSJoin literature, ICDE '06 §4:
-    * an OVERLAP constraint t = ⌈τ·|A|⌉ that depends on |A| alone).
+    * one?") and query-subsumption — [[jaccardJoin]]'s machinery with
+    * the containment blocking policy (the set containment join of the
+    * SSJoin literature, ICDE '06 §4: an OVERLAP constraint t = ⌈τ·|A|⌉
+    * that depends on |A| alone).
     *
     * Blocking: only the LEFT side is prefix-cut (first
     * |A| − ⌊τ·|A|⌋ + 1 elements under the shared rare-first order —
@@ -141,23 +149,14 @@ object SetJoin {
     * can never fan out (it never enters a left prefix). Candidates then
     * pass the size filter |B| ≥ τ·|A| and the ppjoin positional filter
     * (overlap through the shared element ≤ 1 + min remaining suffix,
-    * must reach τ·|A|); the verify is the same sorted merge-walk
-    * kernel, and containment = inter / |A| is one IEEE division of
-    * exact integers. Same null/empty contract as [[jaccardJoin]]. */
+    * must reach τ·|A|); containment = inter / |A| is one IEEE division
+    * of exact integers. Same null/empty contract as [[jaccardJoin]]. */
   def containmentJoin(left: DataFrame, right: DataFrame,
       idL: String, tokL: String, idR: String, tokR: String,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1, got $tau")
-    def prep(df: DataFrame, id: String, tok: String): DataFrame =
-      df.select(col(id).as("id"),
-          array_sort(array_distinct(filter(col(tok), x => x.isNotNull)))
-            .as("toks"))
-        .where(col("toks").isNotNull && size(col("toks")) > 0)
-        .withColumn("sz", size(col("toks")).cast("long"))
-    val l = prep(left, idL, tokL)
-    val r = prep(right, idR, tokR)
-    def exploded(df: DataFrame): DataFrame =
-      df.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    val l = prepSets(left, idL, tokL)
+    val r = prepSets(right, idR, tokR)
     val el = exploded(l)
     val er = exploded(r)
     val freq = PrefixFilter.frequencies(el, er, Seq("tok"))
@@ -179,20 +178,7 @@ object SetJoin {
           col("szp_r") - col("pos_r"))).cast("double") >=
           lit(tau) * col("szp_l").cast("double") - lit(1e-9))
       .select("id_l", "id_r").distinct()
-    val nP = scala.util.Try(left.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
-    cands
-      .repartition(nP, col("id_l"), col("id_r"))
-      .join(l.select(col("id").as("id_l"), col("toks").as("toks_l"),
-        col("sz").as("sz_l")), "id_l")
-      .join(r.select(col("id").as("id_r"), col("toks").as("toks_r"),
-        col("sz").as("sz_r")), "id_r")
-      .withColumn("inter", {
-        import org.apache.spark.sql.graftaccess.Internals
-        Internals.column(graft.functions.SortedIntersectCount(
-          Internals.expression(col("toks_l")),
-          Internals.expression(col("toks_r"))))
-      })
+    verified(cands, l, r)
       .withColumn("containment",
         col("inter").cast("double") / col("sz_l").cast("double"))
       .where(col("containment") >= tau)
