@@ -80,10 +80,15 @@ object FuzzyJoin {
       maxDist: Int, q: Int = 2): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(q >= 1, "gram width must be positive")
-    val l = left.select(col(idL).as("id_l"), col(strL).as("s_l"))
-      .where(col("s_l").isNotNull)
-    val r = right.select(col(idR).as("id_r"), col(strR).as("s_r"))
-      .where(col("s_r").isNotNull)
+    // Persisted (OperatorCache): each side feeds the gram expansion,
+    // the short-slice bucket join AND the verify join — unpersisted,
+    // three source scans per side at 100 TB.
+    val l = OperatorCache.persist(
+      left.select(col(idL).as("id_l"), col(strL).as("s_l"))
+        .where(col("s_l").isNotNull))
+    val r = OperatorCache.persist(
+      right.select(col(idR).as("id_r"), col(strR).as("s_r"))
+        .where(col("s_r").isNotNull))
     val shortBound = q - 1 + maxDist * q
     val prefixLen = maxDist * q + 1
     val gl = gramElems(

@@ -51,11 +51,17 @@ object SetJoin {
     * than tau in Spark but NULL/false in most engines, so excluding
     * them is the only cross-engine-sane contract). */
   private def prepSets(df: DataFrame, id: String, tok: String): DataFrame =
-    df.select(col(id).as("id"),
-        array_sort(array_distinct(filter(col(tok), x => x.isNotNull)))
-          .as("toks"))
-      .where(col("toks").isNotNull && size(col("toks")) > 0)
-      .withColumn("sz", size(col("toks")).cast("long"))
+    // Persisted (OperatorCache — engine statements release it on
+    // close): the prepped relation feeds the frequency aggregate, the
+    // prefix rank AND the verify join — unpersisted, each consumer
+    // re-reads (and re-sorts) the whole corpus, 3 source scans per
+    // side at 100 TB.
+    OperatorCache.persist(
+      df.select(col(id).as("id"),
+          array_sort(array_distinct(filter(col(tok), x => x.isNotNull)))
+            .as("toks"))
+        .where(col("toks").isNotNull && size(col("toks")) > 0)
+        .withColumn("sz", size(col("toks")).cast("long")))
 
   private def exploded(df: DataFrame): DataFrame =
     df.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
