@@ -101,6 +101,7 @@ object SparkEntry {
     // like q_fingerprint_overlap; see BASELINE.md round 12)
     "q_join_fuzzy", "q_join_jaccard_groups",
     // round 12 late: the asymmetric containment variant (left-only
-    // prefix blocking) joins the tracked set on the same linear corpus
-    "q_join_containment")
+    // prefix blocking) and the integer-idf weighted Jaccard join track
+    // the same linear corpus
+    "q_join_containment", "q_join_jaccard_weighted")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT set-similarity join — all pairs with Jaccard(tokensₗ, tokensᵣ)
@@ -190,5 +191,94 @@ object SetJoin {
       .where(col("containment") >= tau)
       .select(col("id_l"), col("id_r"), col("inter"),
         col("sz_l"), col("sz_r"), col("containment"))
+  }
+
+  /** EXACT WEIGHTED set-similarity join — all pairs with
+    * J_w(A,B) = W(A∩B) / W(A∪B) ≥ τ under integer idf-style token
+    * weights `w(t) = N div f(t)` (N = total sets across both sides,
+    * f = how many contain t, floor division): the production form of
+    * near-dup similarity, where sharing a RARE token means far more
+    * than sharing a stopword — plain Jaccard scores "the of and is a"
+    * ∩ "the of and is b" at 0.67; weighted, those five stopwords weigh
+    * ~5 units against a rare token's ~N. (The weighted ppjoin of Xiao
+    * et al. WWW '08 §6; integer weights keep every sum exact and the
+    * final similarity ONE IEEE division of exact integers, so the
+    * whole operator replays in the oracle.)
+    *
+    * Blocking (any fixed global order is complete for the weighted
+    * prefix bound; rare-first makes it selective): A's prefix keeps
+    * tokens while the cumulative weight BEFORE the token is
+    * ≤ (1−τ)·W(A) — if no shared token sat in the prefix, the shared
+    * weight would all lie in the suffix, whose weight is < τ·W(A) ≤
+    * W(A∩B), a contradiction. Candidates then pass the weighted size
+    * filter min(W) ≥ τ/(1+τ)·(W_A+W_B) and the weighted positional
+    * filter w(t) + min(suffix weights) ≥ the same bound. All blocking
+    * comparisons carry a 1e-6 ε (inclusion harmless — verify exact);
+    * blocking floats never cross the engine boundary.
+    *
+    * Verify: relational — candidates fan out over A's tokens and
+    * inner-join B's (id, tok), so W(∩) is ONE integer sum per pair;
+    * O(|A|) rows per candidate, the weighted analogue of the
+    * merge-walk. Two O(1) driver counts (N) are the only actions.
+    * Same null/empty contract as [[jaccardJoin]]. */
+  def weightedJaccardJoin(left: DataFrame, right: DataFrame,
+      idL: String, tokL: String, idR: String, tokR: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1, got $tau")
+    val l = prepSets(left, idL, tokL)
+    val r = prepSets(right, idR, tokR)
+    val el = exploded(l)
+    val er = exploded(r)
+    val n = l.count() + r.count() // N: one scalar per side, O(1) result
+    val freq = PrefixFilter.frequencies(el, er, Seq("tok"))
+    // integer idf: rare token (f=1) weighs N, corpus-wide token weighs
+    // 1. INTEGER division (DIV), not floor(double/double): a double
+    // quotient rounding up across an integer boundary would silently
+    // diverge from the oracle's `//`.
+    val weights = freq.withColumn("w", expr(s"CAST($n DIV f AS BIGINT)"))
+    def weighted(e: DataFrame, side: String): DataFrame = {
+      val win = Window.partitionBy("id").orderBy(col("f"), col("tok"))
+      val cum = e.join(weights, "tok")
+        .withColumn("cum", sum(col("w")).over(
+          win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("wsum", sum(col("w")).over(
+          win.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      cum.select(col("id").as(s"id_$side"), col("tok"),
+        col("w"), (col("cum") - col("w")).as(s"before_$side"),
+        (col("wsum") - col("cum")).as(s"suffix_$side"),
+        col("wsum").as(s"wsum_$side"))
+    }
+    val wl = weighted(el, "l")
+    val wr = weighted(er, "r")
+    val bound = lit(tau / (1.0 + tau)) *
+      (col("wsum_l") + col("wsum_r")).cast("double") - lit(1e-6)
+    val cands = wl
+      .where(col("before_l").cast("double") <=
+        lit(1.0 - tau) * col("wsum_l").cast("double") + lit(1e-6))
+      .join(wr.where(col("before_r").cast("double") <=
+        lit(1.0 - tau) * col("wsum_r").cast("double") + lit(1e-6))
+        .drop("w"), "tok") // w is a function of tok — one copy suffices
+      .where(least(col("wsum_l"), col("wsum_r")).cast("double") >= bound &&
+        (col("w") + least(col("suffix_l"), col("suffix_r")))
+          .cast("double") >= bound)
+      .select("id_l", "id_r").distinct()
+    // relational verify: pair × A-token rows, inner join B's tokens —
+    // only SHARED tokens survive, one integer sum per pair
+    val winter = cands
+      .repartition(OpConf.shufflePartitions(l), col("id_l"), col("id_r"))
+      .join(wl.select(col("id_l"), col("tok"), col("w")), "id_l")
+      .join(wr.select(col("id_r"), col("tok")), Seq("id_r", "tok"))
+      .groupBy(col("id_l"), col("id_r"))
+      .agg(sum(col("w")).cast("long").as("w_inter"))
+    winter
+      .join(wl.select(col("id_l"), col("wsum_l")).distinct(), "id_l")
+      .join(wr.select(col("id_r"), col("wsum_r")).distinct(), "id_r")
+      .withColumn("w_jaccard", col("w_inter").cast("double") /
+        (col("wsum_l") + col("wsum_r") - col("w_inter")).cast("double"))
+      .where(col("w_jaccard") >= tau)
+      .select(col("id_l"), col("id_r"), col("w_inter"),
+        col("wsum_l").as("w_l"), col("wsum_r").as("w_r"),
+        col("w_jaccard"))
   }
 }

@@ -388,6 +388,60 @@ object Joins {
       graft.operators.SetJoin.containmentJoin(
           lt, rt, "doc_id", "toks", "doc_id", "toks", tau = 0.75)
         .orderBy("id_l", "id_r")
+    },
+
+    // WEIGHTED Jaccard self-join (SetJoin.weightedJaccardJoin): integer
+    // idf weights w = N div f over the union of both sides — rare
+    // tokens dominate, the corpus-wide x token weighs ~7 units against
+    // the unique doc token's ~N. On the grouped corpus the within-group
+    // weighted similarity is ~0.37 (six group tokens at w=N/10 vs the
+    // heavy unique token), self pairs 1.0, cross-group ~0 — τ=0.35
+    // selects exactly group-mates. The oracle replays the WHOLE weight
+    // derivation (union counts, integer division) plus the naive join.
+    Probe.df("q_join_jaccard_weighted",
+      """WITH d AS (SELECT doc_id,
+        |    ['doc' || CAST(doc_id AS VARCHAR),
+        |     'x' || CAST(doc_id % 7 AS VARCHAR),
+        |     'g1-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g2-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g3-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g4-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g5-' || CAST(doc_id // 5 AS VARCHAR),
+        |     'g6-' || CAST(doc_id // 5 AS VARCHAR)] AS t
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(t) AS tok FROM d),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM e),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM u
+        |  GROUP BY tok),
+        |nn AS (SELECT 2 * count(*) AS n FROM d),
+        |w AS (SELECT tok, CAST(nn.n // f.f AS BIGINT) AS w FROM f, nn),
+        |ws AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wsum
+        |  FROM e JOIN w USING (tok) GROUP BY doc_id),
+        |iw AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+        |    CAST(sum(w.w) AS BIGINT) AS w_inter
+        |  FROM e a JOIN e b ON a.tok = b.tok JOIN w ON w.tok = a.tok
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_l, id_r, w_inter, wa.wsum AS w_l, wb.wsum AS w_r
+        |  FROM iw JOIN ws wa ON wa.doc_id = id_l
+        |          JOIN ws wb ON wb.doc_id = id_r)
+        |SELECT id_l, id_r, w_inter, w_l, w_r,
+        |  w_inter::DOUBLE / (w_l + w_r - w_inter)::DOUBLE AS w_jaccard
+        |FROM p
+        |WHERE w_inter::DOUBLE / (w_l + w_r - w_inter)::DOUBLE
+        |  >= CAST(0.35 AS DOUBLE)
+        |ORDER BY id_l, id_r""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val g = expr("CAST(doc_id DIV 5 AS STRING)")
+      val toks = Tables.load(s, dir, "documents").select(col("doc_id"),
+        array(
+          concat(lit("doc"), col("doc_id").cast("string")),
+          concat(lit("x"), (col("doc_id") % 7).cast("string")),
+          concat(lit("g1-"), g), concat(lit("g2-"), g),
+          concat(lit("g3-"), g), concat(lit("g4-"), g),
+          concat(lit("g5-"), g), concat(lit("g6-"), g)).as("toks"))
+      graft.operators.SetJoin.weightedJaccardJoin(
+          toks, toks, "doc_id", "toks", "doc_id", "toks", tau = 0.35)
+        .orderBy("id_l", "id_r")
     }
   )
 }

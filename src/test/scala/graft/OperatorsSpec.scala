@@ -843,6 +843,87 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedJaccardJoin equals the naive weighted answer at several " +
+      "thresholds (stopword-heavy corpus: rare tokens dominate)") {
+    import spark.implicits._
+    val ls = Seq(
+      (1L, Seq("the", "a", "of", "is", "rare1")),
+      (2L, Seq("the", "a", "of", "is", "rare2")),
+      (3L, Seq("the", "a", "of", "is", "rare1")), // shares rare1 with 1
+      (4L, Seq("rare3", "rare4")),
+      (5L, Seq[String]()),
+      (6L, Seq(null, "the", "rare3")))
+    val rs = Seq(
+      (11L, Seq("the", "a", "of", "is", "rare1")),
+      (12L, Seq("the", "a", "of", "is")),
+      (13L, Seq("rare3", "rare4", "extra")),
+      (14L, Seq("unrelated", "words")))
+    def naive(tau: Double) = {
+      val sl = ls.map { case (i, t) =>
+        i -> t.filter(_ != null).distinct.toSet }.filter(_._2.nonEmpty)
+      val sr = rs.map { case (i, t) =>
+        i -> t.filter(_ != null).distinct.toSet }.filter(_._2.nonEmpty)
+      val n = (sl.size + sr.size).toLong
+      val f = (sl.flatMap(_._2) ++ sr.flatMap(_._2))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      def w(t: String) = n / f(t)
+      (for {
+        (il, a) <- sl; (ir, b) <- sr
+        winter = (a & b).toSeq.map(w).sum
+        wa = a.toSeq.map(w).sum; wb = b.toSeq.map(w).sum
+        jw = winter.toDouble / (wa + wb - winter)
+        if jw >= tau
+      } yield (il, ir, winter, jw)).toSet
+    }
+    val l = ls.toDF("id", "toks")
+    val r = rs.toDF("id", "toks")
+    for (tau <- Seq(0.2, 0.5, 0.9)) {
+      val got = graft.operators.SetJoin
+        .weightedJaccardJoin(l, r, "id", "toks", "id", "toks", tau)
+        .collect()
+        .map(x => (x.getAs[Long]("id_l"), x.getAs[Long]("id_r"),
+          x.getAs[Long]("w_inter"), x.getAs[Double]("w_jaccard")))
+        .toSet
+      assert(got == naive(tau), s"mismatch at tau=$tau: " +
+        s"missing=${naive(tau) -- got} extra=${got -- naive(tau)}")
+    }
+  }
+
+  test("weightedJaccardJoin randomized adversarial corpus: tiny " +
+      "vocabulary, equality with the naive weighted join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def randSet() =
+      (0 until rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(6)))
+    val ls = (1L to 20L).map(i => (i, randSet()))
+    val rs = (101L to 125L).map(i => (i, randSet()))
+    val l = ls.toDF("id", "toks")
+    val r = rs.toDF("id", "toks")
+    for (tau <- Seq(0.3, 0.6, 1.0)) {
+      val sl = ls.map { case (i, t) => i -> t.distinct.toSet }
+        .filter(_._2.nonEmpty)
+      val sr = rs.map { case (i, t) => i -> t.distinct.toSet }
+        .filter(_._2.nonEmpty)
+      val n = (sl.size + sr.size).toLong
+      val f = (sl.flatMap(_._2) ++ sr.flatMap(_._2))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      def w(t: String) = n / f(t)
+      val expected = (for {
+        (il, a) <- sl; (ir, b) <- sr
+        winter = (a & b).toSeq.map(w).sum
+        wa = a.toSeq.map(w).sum; wb = b.toSeq.map(w).sum
+        if winter.toDouble / (wa + wb - winter) >= tau
+      } yield (il, ir)).toSet
+      val got = graft.operators.SetJoin
+        .weightedJaccardJoin(l, r, "id", "toks", "id", "toks", tau)
+        .collect().map(x => (x.getAs[Long]("id_l"), x.getAs[Long]("id_r")))
+        .toSet
+      assert(got == expected, s"mismatch at tau=$tau: " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("provenanceDedup keeps the highest-priority source's copy and " +
       "reports the full provenance") {
     import spark.implicits._
