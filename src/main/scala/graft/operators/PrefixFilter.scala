@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * silently break completeness in whichever copy lagged. */
 private[operators] object PrefixFilter {
 
+  /** THE global element order — ascending corpus frequency, ties by
+    * the element key — used by every prefix cut AND by
+    * [[SetJoin.weightedJaccardJoin]]'s cumulative-weight cut. One
+    * definition: completeness of every blocked join hangs on both
+    * sides (and both the counted and weighted variants) sorting
+    * identically. */
+  def globalOrder(keyCols: Seq[String]): Seq[Column] =
+    col("f") +: keyCols.map(col)
+
   /** Corpus frequency of each element over the union of both sides.
     * `keyCols` are the element-identity columns. */
   def frequencies(a: DataFrame, b: DataFrame,
@@ -34,8 +43,7 @@ private[operators] object PrefixFilter {
       prefixLen: Column, posCol: Option[String] = None): DataFrame = {
     val ranked = e.join(freq, keyCols)
       .withColumn("__rk", row_number().over(
-        Window.partitionBy("id")
-          .orderBy((col("f") +: keyCols.map(col)): _*)))
+        Window.partitionBy("id").orderBy(globalOrder(keyCols): _*)))
       .where(col("__rk") <= prefixLen)
     posCol match {
       case Some(p) => ranked.withColumnRenamed("__rk", p).drop("f")

@@ -113,9 +113,15 @@ object SetJoin {
         posCol = Some("pos"))
       .select(col("id").as("id_r"), col("sz").as("szp_r"),
         col("pos").as("pos_r"), col("tok"))
+    // ε is relative (floor 1e-9): a pathological multi-million-token
+    // set's τ·sz product carries rounding error ∝ sz, and an absolute
+    // ε would be swallowed — same hazard as the weighted join's sums.
+    def relEps(x: org.apache.spark.sql.Column) =
+      greatest(lit(1e-9), lit(1e-12) * x)
     val cands = pl.join(pr, "tok")
       .where(least(col("szp_l"), col("szp_r")).cast("double") >=
-        lit(tau) * greatest(col("szp_l"), col("szp_r")) - lit(1e-9) &&
+        lit(tau) * greatest(col("szp_l"), col("szp_r")) -
+          relEps(greatest(col("szp_l"), col("szp_r")).cast("double")) &&
         // ppjoin positional filter (Xiao et al. WWW '08 §3): overlap
         // through THIS shared token is at most 1 + the shorter
         // remaining suffix, and a true pair needs overlap
@@ -127,7 +133,8 @@ object SetJoin {
         (lit(1) + least(col("szp_l") - col("pos_l"),
           col("szp_r") - col("pos_r"))).cast("double") >=
           lit(tau / (1.0 + tau)) * (col("szp_l") + col("szp_r"))
-            .cast("double") - lit(1e-9))
+            .cast("double") -
+          relEps((col("szp_l") + col("szp_r")).cast("double")))
       .select("id_l", "id_r").distinct()
     verified(cands, l, r)
       .withColumn("jaccard", col("inter").cast("double") /
@@ -178,12 +185,17 @@ object SetJoin {
         posCol = Some("pos"))
       .select(col("id").as("id_r"), col("sz").as("szp_r"),
         col("pos").as("pos_r"), col("tok"))
+    // relative ε, same rationale as jaccardJoin's
+    def relEps(x: org.apache.spark.sql.Column) =
+      greatest(lit(1e-9), lit(1e-12) * x)
     val cands = pl.join(pr, "tok")
       .where(col("szp_r").cast("double") >=
-        lit(tau) * col("szp_l").cast("double") - lit(1e-9) &&
+        lit(tau) * col("szp_l").cast("double") -
+          relEps(col("szp_l").cast("double")) &&
         (lit(1) + least(col("szp_l") - col("pos_l"),
           col("szp_r") - col("pos_r"))).cast("double") >=
-          lit(tau) * col("szp_l").cast("double") - lit(1e-9))
+          lit(tau) * col("szp_l").cast("double") -
+          relEps(col("szp_l").cast("double")))
       .select("id_l", "id_r").distinct()
     verified(cands, l, r)
       .withColumn("containment",
@@ -236,28 +248,47 @@ object SetJoin {
     // quotient rounding up across an integer boundary would silently
     // diverge from the oracle's `//`.
     val weights = freq.withColumn("w", expr(s"CAST($n DIV f AS BIGINT)"))
+    // Blocking epsilons are RELATIVE: the comparands are double
+    // products of int64 weight sums, whose rounding error grows with
+    // the sums (ulp of 1e13 is ~2e-3 — an absolute 1e-6 would be
+    // swallowed and a boundary-true pair silently dropped BEFORE the
+    // exact verify: a recall bug no small-corpus oracle could catch).
+    // 1e-9 relative dwarfs the ~1e-16-relative product error; the
+    // widened cut only admits extra candidates for the verify.
+    def relEps(x: org.apache.spark.sql.Column) =
+      greatest(lit(1e-6), lit(1e-9) * x)
     def weighted(e: DataFrame, side: String): DataFrame = {
-      val win = Window.partitionBy("id").orderBy(col("f"), col("tok"))
+      // SAME global order as every prefix cut (PrefixFilter
+      // .globalOrder) — a drifted copy would silently break
+      // completeness in whichever variant lagged
+      val win = Window.partitionBy("id")
+        .orderBy(PrefixFilter.globalOrder(Seq("tok")): _*)
       val cum = e.join(weights, "tok")
         .withColumn("cum", sum(col("w")).over(
           win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("wsum", sum(col("w")).over(
           win.rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)))
-      cum.select(col("id").as(s"id_$side"), col("tok"),
-        col("w"), (col("cum") - col("w")).as(s"before_$side"),
-        (col("wsum") - col("cum")).as(s"suffix_$side"),
-        col("wsum").as(s"wsum_$side"))
+      // Persisted: each side feeds the prefix-candidate join, the
+      // verify token join and the wsum lookup — unpersisted, the
+      // freq/weights join + two window passes would run per consumer.
+      OperatorCache.persist(
+        cum.select(col("id").as(s"id_$side"), col("tok"),
+          col("w"), (col("cum") - col("w")).as(s"before_$side"),
+          (col("wsum") - col("cum")).as(s"suffix_$side"),
+          col("wsum").as(s"wsum_$side")))
     }
     val wl = weighted(el, "l")
     val wr = weighted(er, "r")
-    val bound = lit(tau / (1.0 + tau)) *
-      (col("wsum_l") + col("wsum_r")).cast("double") - lit(1e-6)
+    val wTot = (col("wsum_l") + col("wsum_r")).cast("double")
+    val bound = lit(tau / (1.0 + tau)) * wTot - relEps(wTot)
     val cands = wl
       .where(col("before_l").cast("double") <=
-        lit(1.0 - tau) * col("wsum_l").cast("double") + lit(1e-6))
+        lit(1.0 - tau) * col("wsum_l").cast("double") +
+          relEps(col("wsum_l").cast("double")))
       .join(wr.where(col("before_r").cast("double") <=
-        lit(1.0 - tau) * col("wsum_r").cast("double") + lit(1e-6))
+        lit(1.0 - tau) * col("wsum_r").cast("double") +
+          relEps(col("wsum_r").cast("double")))
         .drop("w"), "tok") // w is a function of tok — one copy suffices
       .where(least(col("wsum_l"), col("wsum_r")).cast("double") >= bound &&
         (col("w") + least(col("suffix_l"), col("suffix_r")))
