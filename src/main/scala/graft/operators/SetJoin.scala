@@ -295,9 +295,16 @@ object SetJoin {
           .cast("double") >= bound)
       .select("id_l", "id_r").distinct()
     // relational verify: pair × A-token rows, inner join B's tokens —
-    // only SHARED tokens survive, one integer sum per pair
+    // only SHARED tokens survive, one integer sum per pair. The spread
+    // is by id_l ALONE, deliberately: HashPartitioning(id_l) still
+    // satisfies the aggregate's ClusteredDistribution(id_l, id_r) (a
+    // subset co-locates), but a repartition on EXACTLY the grouping
+    // keys sits where EnsureRequirements would place the aggregate's
+    // own exchange and gets optimized out — leaving an
+    // ENSURE_REQUIREMENTS exchange AQE happily coalesces onto 2 tasks
+    // (PlanSpec pins REPARTITION_BY_NUM survives in all four joins).
     val winter = cands
-      .repartition(OpConf.shufflePartitions(l), col("id_l"), col("id_r"))
+      .repartition(OpConf.shufflePartitions(l), col("id_l"))
       .join(wl.select(col("id_l"), col("tok"), col("w")), "id_l")
       .join(wr.select(col("id_r"), col("tok")), Seq("id_r", "tok"))
       .groupBy(col("id_l"), col("id_r"))

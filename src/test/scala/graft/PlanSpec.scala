@@ -44,6 +44,22 @@ class PlanSpec extends AnyFunSuite {
       "the corpus repartition must be computed once and reused")
   }
 
+  test("similarity-join verifies sit behind a NON-COALESCIBLE exchange " +
+      "(REPARTITION_BY_NUM — AQE must not fuse the per-pair verify onto " +
+      "a couple of tasks)") {
+    // The candidates relation is two longs/row, so AQE's bytes-based
+    // coalescing would squeeze the fused distinct→join→verify pipeline
+    // to ~2 tasks while the per-ROW verify cost dominates (measured at
+    // sf0.1: minutes of wall on 32 idle cores). repartition(N, keys) is
+    // exempt — this pins that every join-tier probe still carries it.
+    for (name <- Seq("q_join_fuzzy", "q_join_jaccard_groups",
+        "q_join_containment", "q_join_jaccard_weighted")) {
+      val p = planOf(name)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$name lost its explicit-count verify repartition:\n${p.take(600)}")
+    }
+  }
+
   test("star join broadcasts every dimension (no fact shuffle before agg)") {
     val p = planOf("q_join_star")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
