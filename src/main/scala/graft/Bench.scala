@@ -68,6 +68,17 @@ object Bench {
           }
         })
 
+    // 1-min load BEFORE the warmup pass: the `load` field below samples
+    // at END of suite, where it always reads this bench's own 32 busy
+    // threads (~8-13 regardless of co-tenancy). Start load is the number
+    // that actually says whether the box was quiet when the run began.
+    def loadNow: String =
+      try {
+        val mx = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        f"${mx.getSystemLoadAverage}%.1f"
+      } catch { case _: Throwable => "-1" }
+    val loadStart = loadNow
+
     val qs = SparkEntry.queries
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -157,11 +168,7 @@ object Bench {
         else math.abs(p1(n) - p2(n)) / best
       "\"" + n + "\":" + f"$rel%.2f"
     }.mkString("{", ",", "}")
-    val load =
-      try {
-        val mx = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        f"${mx.getSystemLoadAverage}%.1f"
-      } catch { case _: Throwable => "-1" }
+    val load = loadNow
     // Standalone re-measure of the heaviest queries (VERDICT r8 #8):
     // suite numbers interleave 40 queries, so a heavy query's sample can
     // land on a co-tenant spike or another query's cache/GC tail and
@@ -181,7 +188,7 @@ object Bench {
       "\"" + n + "\":" + (if (v.isFinite) v else -1.0)
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"standalone":$stjson,"load":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"standalone":$stjson,"load":$load,"load_start":$loadStart,"sf":"$sfDir"}"""
     println(line)
     // The line has outgrown the driver's stdout tail capture (BENCH_r09
     // lost its first six query timings) — also land the full line on
