@@ -232,6 +232,169 @@ object Similarity {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  /** Cross-relation embedding cosine ε-join: every (left, right) pair
+    * with cosine ≥ threshold — the embedding-space member of the
+    * deterministic join tier (FuzzyJoin / SetJoin are its token-space
+    * siblings; [[cosineNearDupPairs]] is the SELF-join form, and a
+    * cross-relation query — "which candidate docs match which curated
+    * seeds" — cannot be phrased as a self-dedup without materializing
+    * the union and re-filtering a quadratically larger pair set).
+    * Extends the reference's similarity surface the same way
+    * (reference scopes search to its engine's SQL; lib.rs:678).
+    *
+    * Dispatch mirrors [[cosineNearDupPairs]]: a right side whose
+    * optimizer size estimate fits a broadcast takes the exact
+    * nested-loop path; anything larger takes banded sign-LSH blocking
+    * over BOTH relations with one shared plane family. */
+  def cosineJoin(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, smallBytes: Long = 64L << 20,
+      bands: Int = 8, planesPerBand: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
+    val small = org.apache.spark.sql.graftaccess.Internals
+      .planSizeInBytes(right) <= smallBytes
+    if (small) cosineJoinExact(left, right, idCol, vecCol, threshold)
+    else left.select(size(col(vecCol))).take(1) match {
+      case Array() => cosineJoinExact(left, right, idCol, vecCol, threshold)
+      case Array(row) => cosineJoinLsh(left, right, idCol, vecCol,
+        threshold, bands, planesPerBand, row.getInt(0),
+        maxBucket = maxBucket)
+    }
+  }
+
+  /** Exact tier: norms once per ROW, right side broadcast, the left
+    * relation streams through one codegen nested-loop stage (the same
+    * shape as [[cosineNearDupPairsExact]] without the `<` diagonal). */
+  def cosineJoinExact(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    left.select(col(idCol).as("id_l"), col(vecCol).as("vl"),
+        normKernel(col(vecCol)).as("nl"))
+      .repartition(par) // spread the streamed side across all cores
+      .crossJoin(broadcast(right.select(col(idCol).as("id_r"),
+        col(vecCol).as("vr"), normKernel(col(vecCol)).as("nr"))))
+      .select(col("id_l"), col("id_r"),
+        (dotKernel(col("vl"), col("vr")) / (col("nl") * col("nr")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The 100 TB tier: both relations keyed by the SAME banded
+    * sign-planes (pure projection), candidates from a (band, key)
+    * equi-join, exact cosine verify on colliding pairs only — nothing
+    * quadratic materializes. Recall per true pair is 1-(1-p^r)^b for
+    * p = 1 - arccos(c)/π, ~1 at near-dup thresholds (c=0.95, r=8,
+    * b=8 → 0.998); EXACT duplicates agree on every band
+    * deterministically.
+    *
+    * Skew guard: unlike the self-join's min-id star (whose contract is
+    * cluster CONNECTIVITY), a cross-relation ε-join has no hub
+    * semantics, so a (band, key) bucket larger than `maxBucket` on
+    * either side — the "ubiquitous token" of sign space, carrying no
+    * plane selectivity — is dropped from that band entirely; a true
+    * pair landing in a whale keeps its chance through the remaining
+    * b−1 bands. The guard never triggers at oracle scale, so the
+    * replayed-band oracle ([[cosineJoinLshOracleSql]]) is exact. */
+  def cosineJoinLsh(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bands: Int, planesPerBand: Int,
+      dim: Int, semiReduceBytes: Long = 256L << 20,
+      maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.graftaccess.Internals
+    val ps = planes(bands * planesPerBand, dim)
+    // (id, vector, norm, band keys) once per relation — one kernel call
+    // computes all band keys. PERSISTED: each side feeds its banded
+    // explode AND the verify join; unpersisted, the source would be
+    // re-scanned per consumer (the round-12 OperatorCache lesson on
+    // SetJoin/FuzzyJoin inputs).
+    def prep(df: DataFrame): DataFrame = OperatorCache.persist(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+          normKernel(col(vecCol)).as("nrm"))
+        .repartition(col("id"))
+        .withColumn("keys", Internals.column(graft.functions.SignBands(
+          Internals.expression(col("v")), ps, bands))))
+    val bl = prep(left)
+    val br = prep(right)
+    def banded(b: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("band"), col("key"))
+      b.select(col("id"), posexplode(col("keys")).as(Seq("band", "key")))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("cnt") <= maxBucket).drop("cnt")
+    }
+    // shuffle_hash for the same reason as Dedup.bandedCandidates: both
+    // sides arrive hash-partitioned by (band, key) from their windows,
+    // so the join adds no third exchange — and AQE's alternative
+    // (driver-broadcasting a banded table) is exactly what a
+    // 1000-executor plan must not do.
+    val cand = banded(bl).alias("a")
+      .join(banded(br).alias("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .distinct()
+    val smallL = Internals.planSizeInBytes(left) <= semiReduceBytes
+    val smallR = Internals.planSizeInBytes(right) <= semiReduceBytes
+    val lv = bl.select(col("id").as("id_l"), col("v").as("vl"),
+      col("nrm").as("nl"))
+    val rv = br.select(col("id").as("id_r"), col("v").as("vr"),
+      col("nrm").as("nr"))
+    if (smallL && smallR) {
+      // small path: broadcast the BARE pair table into both payload
+      // attaches and stitch by pair key — only bare id pairs ever go
+      // through the driver (the attachPairPayloads contract).
+      val bare = OperatorCache.persist(cand)
+      broadcast(bare).join(lv, "id_l")
+        .join(broadcast(bare).join(rv, "id_r"), Seq("id_l", "id_r"))
+        .select(col("id_l"), col("id_r"),
+          (dotKernel(col("vl"), col("vr")) / (col("nl") * col("nr")))
+            .as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      // large path: semi-reduce each payload side to colliding ids so
+      // the verify exchanges carry vectors for candidates only, and
+      // spread the bare pair table with an EXPLICIT-count repartition —
+      // candidate rows are two longs, so AQE's bytes-based coalescing
+      // would otherwise fuse the expensive per-pair verify onto a
+      // handful of tasks (the round-12 SetJoin lesson).
+      val bare = OperatorCache.persist(cand)
+        .repartition(OpConf.shufflePartitions(left),
+          col("id_l"), col("id_r"))
+      val lvr = lv.join(bare.select("id_l").distinct(), Seq("id_l"),
+        "left_semi")
+      val rvr = rv.join(bare.select("id_r").distinct(), Seq("id_r"),
+        "left_semi")
+      bare.join(lvr, "id_l").join(rvr, "id_r")
+        .select(col("id_l"), col("id_r"),
+          (dotKernel(col("vl"), col("vr")) / (col("nl") * col("nr")))
+            .as("cos"))
+        .filter(col("cos") >= threshold)
+    }
+  }
+
+  /** DuckDB equivalent of [[cosineJoinLsh]]: identical plane literals →
+    * per-band keys on both relations, pairs agreeing on ANY band, exact
+    * cosine filter. Quadratic on the oracle side only. */
+  def cosineJoinLshOracleSql(bands: Int, planesPerBand: Int, dim: Int,
+      threshold: Double, leftTable: String, rightTable: String): String = {
+    val ps = bandedPlanes(bands, planesPerBand, dim)
+    val keyCols = ps.zipWithIndex.map { case (grp, b) =>
+      val sum = grp.zipWithIndex.map { case (p, i) =>
+        val arr = p.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($sum) AS k$b"
+    }.mkString(", ")
+    val anyBand = (0 until bands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+    def side(t: String) =
+      s"""SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |  $keyCols FROM $t""".stripMargin
+    s"""WITH tl AS (${side(leftTable)}), tr AS (${side(rightTable)})
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM tl a JOIN tr b ON ($anyBand))
+       |WHERE cos >= $threshold
+       |ORDER BY id_l, id_r""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), shared with the
     * SQL-oracle generator so both engines bucket identically. */
   def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {

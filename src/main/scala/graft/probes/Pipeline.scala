@@ -1011,6 +1011,52 @@ object Pipeline {
         .orderBy("ida", "idb")
     },
 
+    // Cross-relation cosine ε-join, exact tier: the "which candidate
+    // docs match which curated seeds" question. Parity split of the
+    // embeddings table; τ=0.4 sits under the corpus's ~0.51 max
+    // off-diagonal cosine so the answer is a real, non-empty pair set
+    // (39 / 27 pairs at sf0.001 / sf0.01).
+    Probe.df("q_join_cosine",
+      """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |     r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |scored AS (
+        |  SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+        |    list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))) AS cos
+        |  FROM l, r)
+        |SELECT id_l, id_r, cos FROM scored
+        |WHERE cos >= 0.4
+        |ORDER BY id_l, id_r""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.cosineJoinExact(e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 0.4)
+        .orderBy("id_l", "id_r")
+    },
+
+    // Same join, scale tier forced: banded sign-LSH blocking on BOTH
+    // relations. The right side plants exact duplicates of 20 left rows
+    // (ids +10000) because the raw cross-parity max cosine is ~0.51 —
+    // at τ=0.9 the answer IS the planted-pair set, and exact duplicates
+    // agree on every band deterministically (recall 1, not 1-(1-p^r)^b).
+    // The oracle replays the identical plane literals on both relations.
+    Probe.df("q_join_cosine_lsh",
+      Similarity.cosineJoinLshOracleSql(8, 8, 64, 0.9,
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0) lrel",
+        "(SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings " +
+          "WHERE vec_id % 2 = 0 AND vec_id < 40 UNION ALL " +
+          "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1) rrel")) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val l = e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+      val r = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 2 === 1)
+          .select("vec_id", "embedding"))
+      Similarity.cosineJoinLsh(l, r, "vec_id", "embedding", 0.9,
+          bands = 8, planesPerBand = 8, dim = 64)
+        .orderBy("id_l", "id_r")
+    },
+
     Probe.df("q_ann_lsh",
       Similarity.lshBucketsOracleSql(8, 64, "embeddings")) { (s, dir) =>
       Similarity.lshBuckets(Tables.load(s, dir, "embeddings"),

@@ -391,6 +391,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.size == 10)
   }
 
+  test("cross-relation cosine LSH join equals the exact answer on planted dups") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val l = emb.filter($"vec_id" % 2 === 0)
+    val r = emb.filter($"vec_id" % 2 === 0 && $"vec_id" < 20)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+      .unionByName(emb.filter($"vec_id" % 2 === 1))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_l", "id_r").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val lsh = pairSet(Similarity.cosineJoinLsh(
+      l, r, "vec_id", "embedding", 0.9, bands = 8, planesPerBand = 8, dim = 64))
+    val exact = pairSet(Similarity.cosineJoinExact(l, r, "vec_id", "embedding", 0.9))
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+    assert(exact.size == 10) // the ten planted even-id duplicates
+    assert(exact.forall { case (a, b) => b == a + 10000 })
+  }
+
+  test("cosine join whale-bucket cap drops the band but keeps other-band recall") {
+    // 300 identical right vectors collide into one whale bucket in EVERY
+    // band; with the cap they are all dropped, so the planted true pair
+    // (id 1 on both sides, distinct vector) must still arrive through
+    // its own (non-whale) buckets.
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val whaleVec = base.filter($"vec_id" === 0).select($"embedding")
+      .collect().head.getSeq[Float](0)
+    val whales = spark.range(1000, 1300).select($"id".as("vec_id"),
+      typedLit(whaleVec).as("embedding"))
+    val l = base.filter($"vec_id" === 1)
+    val r = base.filter($"vec_id" === 1).unionByName(whales)
+    val out = Similarity.cosineJoinLsh(l, r, "vec_id", "embedding", 0.99,
+        bands = 8, planesPerBand = 8, dim = 64, maxBucket = 100)
+      .select("id_l", "id_r").collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(out.toSet == Set((1L, 1L)),
+      s"expected only the planted self pair, got ${out.toSet}")
+  }
+
   test("text stats formulas") {
     val out = TextAnalysis.stats(docs.filter($"doc_id" === 1), "doc_id", "text")
       .collect().head
