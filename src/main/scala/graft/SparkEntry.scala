@@ -103,5 +103,8 @@ object SparkEntry {
     // round 12 late: the asymmetric containment variant (left-only
     // prefix blocking) and the integer-idf weighted Jaccard join track
     // the same linear corpus
-    "q_join_containment", "q_join_jaccard_weighted")
+    "q_join_containment", "q_join_jaccard_weighted",
+    // round 12 close: the embedding-space join-tier member — banded
+    // sign-LSH blocking on BOTH relations + exact cosine verify
+    "q_join_cosine_lsh")
 }

