@@ -816,6 +816,34 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Unigram-LM (SentencePiece-family) tokenizer training via hard
+    // (Viterbi) EM — the trainer that complements BPE. The oracle
+    // replays EVERYTHING: the substring seed vocab, each round's
+    // probability table, the per-position Viterbi recurrence as
+    // unrolled CTEs (probability PRODUCTS, never ln — IEEE ops are
+    // bit-identical cross-engine; libm logs are not), and the M-step
+    // recounts with the single-char coverage floor.
+    Probe.df("q_unigram_train",
+      graft.operators.UnigramLm.oracleSql("documents")) { (s, dir) =>
+      graft.operators.UnigramLm.train(
+          Tables.load(s, dir, "documents"), "text")
+        .orderBy("rank")
+    },
+
+    // Per-document segmentation under the trained unigram model — one
+    // more Viterbi pass with the final vocab, flattened in word order
+    // (space-joined scalar for the same pandas-sorter reason as
+    // q_bpe_encode).
+    Probe.df("q_unigram_encode",
+      "SELECT doc_id, array_to_string(syms, ' ') AS syms FROM (" +
+        graft.operators.UnigramLm.encodeOracleSql("documents", "doc_id") +
+        ") ORDER BY doc_id") { (s, dir) =>
+      graft.operators.UnigramLm.encode(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .withColumn("syms", array_join(col("syms"), " "))
+        .orderBy("doc_id")
+    },
+
     // Frequency-dense dictionary encoding: deterministic vocab ids
     // (count DESC, token ASC), documents re-encoded as int sequences in
     // token order. Oracle replays rank + ordered list rebuild.

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.UnigramLm
+
+/** Unigram-LM tokenizer training (Viterbi hard-EM): hand-computed tiny
+  * corpora, tie determinism, the coverage floor, the out-of-domain word
+  * contract, and partition invariance. */
+class UnigramLmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("viterbi kernel segments by probability product with smallest-start ties") {
+    import graft.functions.{TokenizeKernels, ViterbiSegment}
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    m.put("a", 0.25); m.put("b", 0.25); m.put("ab", 0.5)
+    // "ab" as one piece: p=0.5 beats a·b = 0.0625
+    val out = TokenizeKernels.viterbi(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abab"), m, 2)
+    assert(out.toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq == Seq("ab", "ab"))
+    // tie: p(ab) = p(a)·p(b) → 0.25·0.25 = 0.0625 each; smallest start
+    // j wins at every position, so the LONGER last piece is chosen
+    val m2 = new java.util.HashMap[String, java.lang.Double]()
+    m2.put("a", 0.25); m2.put("b", 0.25); m2.put("ab", 0.0625)
+    val out2 = TokenizeKernels.viterbi(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab"), m2, 2)
+    assert(out2.toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq == Seq("ab"))
+    // unreachable char → null (the operator's coverage floor prevents
+    // this for in-corpus text)
+    assert(TokenizeKernels.viterbi(
+      org.apache.spark.unsafe.types.UTF8String.fromString("az"), m, 2) == null)
+    val _ = ViterbiSegment // touch the case class for coverage
+  }
+
+  test("train learns the repeated compound as one piece") {
+    // 'abab' dominates: the seed contains 'abab' (maxPieceLen=4), and
+    // after one E-step every 'abab' word segments as the single piece
+    val df = corpus((1L, "abab abab abab abab ab"), (2L, "abab abab cd"))
+    val v = UnigramLm.train(df, "text", maxPieceLen = 4, minCount = 2,
+        seedSize = 50, maxWordLen = 12, iters = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(v("abab") == 6L, s"expected the compound piece to win: $v")
+    assert(v.contains("ab")) // the standalone word keeps its piece
+  }
+
+  test("single-char coverage floor survives rounds where chars lose every segmentation") {
+    // 'xy' always segments as the pair piece, so 'x'/'y' get zero
+    // Viterbi count — the floor must re-seed them at count 1 each round
+    val df = corpus((1L, "xy xy xy xy"))
+    val v = UnigramLm.train(df, "text", maxPieceLen = 2, minCount = 2,
+        seedSize = 50, maxWordLen = 12, iters = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(v("xy") == 4L)
+    assert(v("x") == 1L && v("y") == 1L, s"coverage floor lost: $v")
+  }
+
+  test("words past maxWordLen are out of the model domain for train AND encode") {
+    val df = corpus((1L, "short superduperextralongword short"))
+    val v = UnigramLm.train(df, "text", maxPieceLen = 3, minCount = 1,
+      seedSize = 500, maxWordLen = 6, iters = 1)
+    assert(!v.select("piece").as[String].collect().exists(_.contains("super")))
+    val enc = UnigramLm.encode(df, "doc_id", "text", maxPieceLen = 3,
+        minCount = 1, seedSize = 500, maxWordLen = 6, iters = 1)
+      .select(explode($"syms").as("p")).as[String].collect()
+    assert(enc.forall(p => !"superduperextralongword".contains(p) ||
+      "short".contains(p)), s"out-of-domain word leaked: ${enc.toSeq}")
+  }
+
+  test("encode flattens pieces in document word order") {
+    val df = corpus((1L, "abab cd abab"))
+    val enc = UnigramLm.encode(df, "doc_id", "text", maxPieceLen = 4,
+        minCount = 1, seedSize = 100, maxWordLen = 12, iters = 2)
+      .select($"doc_id", array_join($"syms", " ").as("s"))
+      .as[(Long, String)].collect().toMap
+    // whatever the exact segmentation, word boundaries and order hold:
+    // the concatenation with spaces removed equals the original words
+    assert(enc(1L).replace(" ", "") == "ababcdabab")
+  }
+
+  test("training is partition-invariant (1 vs 13 partitions, exact equality)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(parts: Int) =
+      UnigramLm.train(docs.repartition(parts), "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(run(1) == run(13))
+  }
+}
