@@ -58,11 +58,12 @@ object UnigramLm {
     * [[BpeTrain.train]]'s merge table). */
   def train(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
       minCount: Long = 2, seedSize: Int = 200, maxWordLen: Int = 12,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, targetSize: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val words = wordCounts(df, textCol, maxWordLen).persist()
     try {
-      val vocab = emRounds(words, maxPieceLen, minCount, seedSize, iters)
+      val vocab = emRounds(words, maxPieceLen, minCount, seedSize, iters,
+        targetSize)
       val n = vocab.map(_._2).sum
       val ranked = vocab.sortBy { case (p, c) => (-c, p) }.zipWithIndex.map {
         case ((p, c), i) =>
@@ -75,7 +76,7 @@ object UnigramLm {
   /** The EM loop over the persisted word table; returns the final
     * (piece, cnt) vocab, driver-side. */
   private def emRounds(words: DataFrame, maxPieceLen: Int, minCount: Long,
-      seedSize: Int, iters: Int): Seq[(String, Long)] = {
+      seedSize: Int, iters: Int, targetSize: Int): Seq[(String, Long)] = {
     val seeds = words
       .select(col("cnt"), explode(substrings(col("word"), maxPieceLen))
         .as("piece"))
@@ -103,9 +104,18 @@ object UnigramLm {
               vmap, maxPieceLen))).as("piece"))
           .groupBy("piece").agg(sum(col("cnt")).as("c"))
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        val present = segmented.map(_._1).toSet
-        vocab = segmented ++
-          charSet.diff(present).toSeq.sorted.map(ch => (ch, 1L))
+        // Pruning (SentencePiece's shrink-to-target, hard-EM form):
+        // keep the `targetSize` highest-count pieces (ties by piece);
+        // single chars always survive — at their true count if they
+        // earned one, at the floor of 1 otherwise.
+        val kept =
+          if (targetSize > 0)
+            segmented.sortBy { case (p, c) => (-c, p) }.take(targetSize)
+          else segmented
+        val keptSet = kept.map(_._1).toSet
+        val segMap = segmented.toMap
+        vocab = kept ++ charSet.diff(keptSet).toSeq.sorted
+          .map(ch => (ch, segMap.getOrElse(ch, 1L)))
       }
       vocab
     } finally seeds.unpersist()
@@ -117,9 +127,9 @@ object UnigramLm {
     * per the model contract. */
   def encode(df: DataFrame, idCol: String, textCol: String,
       maxPieceLen: Int = 4, minCount: Long = 2, seedSize: Int = 200,
-      maxWordLen: Int = 12, iters: Int = 2): DataFrame = {
+      maxWordLen: Int = 12, iters: Int = 2, targetSize: Int = 0): DataFrame = {
     val model = train(df, textCol, maxPieceLen, minCount, seedSize,
-        maxWordLen, iters)
+        maxWordLen, iters, targetSize)
       .select("piece", "p").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap
     val seg = org.apache.spark.sql.graftaccess.Internals.column(
@@ -147,9 +157,14 @@ object UnigramLm {
     * (p{t}, unrolled dp CTEs d{t}_k, segmentation, recount v{t}).
     * MATERIALIZED throughout, like [[BpeTrain.oracleCtes]]. */
   private def oracleCtes(table: String, maxPieceLen: Int, minCount: Long,
-      seedSize: Int, maxWordLen: Int, iters: Int): String = {
+      seedSize: Int, maxWordLen: Int, iters: Int,
+      targetSize: Int): String = {
     val rounds = (1 to iters).map { t =>
       val prev = s"v${t - 1}"
+      val keep =
+        if (targetSize > 0)
+          s"(SELECT piece, c FROM cnts$t ORDER BY c DESC, piece LIMIT $targetSize)"
+        else s"cnts$t"
       val dp = (1 to maxWordLen).map { k =>
         val preds = (math.max(0, k - maxPieceLen) until k)
           .map(j => s"SELECT * FROM d${t}_$j").mkString(" UNION ALL ")
@@ -175,11 +190,15 @@ object UnigramLm {
          |$dp,
          |cnts$t AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
          |  FROM (SELECT cnt, unnest(ps) AS piece FROM ($seg)) GROUP BY 1),
+         |k$t AS MATERIALIZED (SELECT piece, c FROM $keep),
          |v$t AS MATERIALIZED (
-         |  SELECT piece, c FROM cnts$t
+         |  SELECT piece, c FROM k$t
          |  UNION ALL
-         |  SELECT ch.piece, CAST(1 AS BIGINT) AS c FROM chars ch
-         |  WHERE ch.piece NOT IN (SELECT piece FROM cnts$t))""".stripMargin
+         |  SELECT ch.piece, coalesce(
+         |    (SELECT c FROM cnts$t WHERE piece = ch.piece),
+         |    CAST(1 AS BIGINT)) AS c
+         |  FROM chars ch
+         |  WHERE ch.piece NOT IN (SELECT piece FROM k$t))""".stripMargin
     }.mkString(",\n")
     s"""WITH w AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -205,8 +224,10 @@ object UnigramLm {
   /** DuckDB replay of [[train]] — same seed, same per-position Viterbi
     * recurrence (unrolled CTEs), same EM rounds. */
   def oracleSql(table: String, maxPieceLen: Int = 4, minCount: Long = 2,
-      seedSize: Int = 200, maxWordLen: Int = 12, iters: Int = 2): String =
-    oracleCtes(table, maxPieceLen, minCount, seedSize, maxWordLen, iters) +
+      seedSize: Int = 200, maxWordLen: Int = 12, iters: Int = 2,
+      targetSize: Int = 0): String =
+    oracleCtes(table, maxPieceLen, minCount, seedSize, maxWordLen, iters,
+      targetSize) +
       s"""
          |SELECT row_number() OVER (ORDER BY c DESC, piece) AS rank,
          |  piece, c AS cnt,
@@ -218,11 +239,12 @@ object UnigramLm {
     * joined back to the corpus, flattened in word order. */
   def encodeOracleSql(table: String, idCol: String, maxPieceLen: Int = 4,
       minCount: Long = 2, seedSize: Int = 200, maxWordLen: Int = 12,
-      iters: Int = 2): String = {
+      iters: Int = 2, targetSize: Int = 0): String = {
     // one more Viterbi pass (round iters+1's dp chain) under the FINAL
     // vocab v{iters} — exactly what encode's kernel runs
     val t = iters + 1
-    oracleCtes(table, maxPieceLen, minCount, seedSize, maxWordLen, t) +
+    oracleCtes(table, maxPieceLen, minCount, seedSize, maxWordLen, t,
+      targetSize) +
       s""",
          |wordmap AS MATERIALIZED (
          |  SELECT word, ps FROM (${(1 to maxWordLen)

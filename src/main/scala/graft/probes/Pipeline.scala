@@ -824,9 +824,10 @@ object Pipeline {
     // bit-identical cross-engine; libm logs are not), and the M-step
     // recounts with the single-char coverage floor.
     Probe.df("q_unigram_train",
-      graft.operators.UnigramLm.oracleSql("documents")) { (s, dir) =>
+      graft.operators.UnigramLm.oracleSql("documents",
+        targetSize = 40)) { (s, dir) =>
       graft.operators.UnigramLm.train(
-          Tables.load(s, dir, "documents"), "text")
+          Tables.load(s, dir, "documents"), "text", targetSize = 40)
         .orderBy("rank")
     },
 

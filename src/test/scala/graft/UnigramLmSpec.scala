@@ -72,6 +72,20 @@ class UnigramLmSpec extends AnyFunSuite {
       "short".contains(p)), s"out-of-domain word leaked: ${enc.toSeq}")
   }
 
+  test("pruning shrinks to targetSize but single chars always survive") {
+    val df = corpus((1L, "abab abab abab cd cd ef"))
+    val v = UnigramLm.train(df, "text", maxPieceLen = 4, minCount = 1,
+        seedSize = 100, maxWordLen = 12, iters = 2, targetSize = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val pieces = v.map(_._1).toSet
+    // the two dominant pieces survive the cut...
+    assert(pieces.contains("abab") && pieces.contains("cd"), v.toSeq)
+    // ...every corpus char is still present (coverage floor) and
+    // nothing else is
+    for (ch <- "abcdef") assert(pieces.contains(ch.toString), v.toSeq)
+    assert(v.length == 2 + 6, v.toSeq)
+  }
+
   test("encode flattens pieces in document word order") {
     val df = corpus((1L, "abab cd abab"))
     val enc = UnigramLm.encode(df, "doc_id", "text", maxPieceLen = 4,
