@@ -105,6 +105,9 @@ object SparkEntry {
     // the same linear corpus
     "q_join_containment", "q_join_jaccard_weighted",
     // round 12 close: the embedding-space join-tier member — banded
-    // sign-LSH blocking on BOTH relations + exact cosine verify
-    "q_join_cosine_lsh")
+    // sign-LSH blocking on BOTH relations + exact cosine verify — and
+    // the unigram-LM tokenizer trainer (2 Viterbi-EM rounds: per round
+    // one model-sized collect + one word-table aggregate; encode stays
+    // correctness-tier — it reruns training then adds one pass)
+    "q_join_cosine_lsh", "q_unigram_train")
 }
