@@ -32,8 +32,13 @@ object TokenizeKernels {
   def viterbi(word: UTF8String,
       vocab: java.util.HashMap[String, java.lang.Double],
       maxPieceLen: Int): ArrayData = {
-    val s = word.toString
-    val n = s.length
+    // DP over CODE POINTS, not UTF-16 units: the trainer's seed
+    // (Column.substr), its length filters, and the DuckDB oracle all
+    // count code points — a UTF-16 window would make a piece spanning a
+    // supplementary character unreachable here while the oracle can
+    // still pick it (self-review catch).
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val dp = new Array[Double](n + 1)
     val back = new Array[Int](n + 1)
@@ -45,7 +50,7 @@ object TokenizeKernels {
       var j = math.max(0, k - maxPieceLen)
       while (j < k) {
         if (back(j) >= 0) {
-          val p = vocab.get(s.substring(j, k))
+          val p = vocab.get(new String(cps, j, k - j))
           if (p != null) {
             val cand = dp(j) * p.doubleValue()
             if (back(k) < 0 || cand > dp(k)) { dp(k) = cand; back(k) = j }
@@ -64,7 +69,7 @@ object TokenizeKernels {
     var idx = cnt - 1
     while (at > 0) {
       val j = back(at)
-      out(idx) = UTF8String.fromString(s.substring(j, at))
+      out(idx) = UTF8String.fromString(new String(cps, j, at - j))
       idx -= 1
       at = j
     }

@@ -116,10 +116,12 @@ object Similarity {
     val small = org.apache.spark.sql.graftaccess.Internals
       .planSizeInBytes(df) <= smallBytes
     if (small) cosineNearDupPairsExact(df, idCol, vecCol, threshold)
-    else df.select(size(col(vecCol))).take(1) match {
+    else df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1) match {
       // size estimates can be large while the actual row count is zero
       // (selective filters without column stats) — fall back to the
-      // exact path rather than crash probing the dimension
+      // exact path rather than crash probing the dimension (null rows
+      // are skipped by the probe: size(null) would NPE the getInt)
       case Array() => cosineNearDupPairsExact(df, idCol, vecCol, threshold)
       case Array(row) => cosineNearDupPairsLsh(df, idCol, vecCol, threshold,
         bands, planesPerBand, row.getInt(0), maxBucket = maxBucket)
@@ -236,26 +238,14 @@ object Similarity {
     * ANY band, exact cosine filter. (The oracle side may go quadratic —
     * it only ever runs at oracle scale.) */
   def cosineLshOracleSql(bands: Int, planesPerBand: Int, dim: Int,
-      threshold: Double, table: String): String = {
-    val ps = bandedPlanes(bands, planesPerBand, dim)
-    val keyCols = ps.zipWithIndex.map { case (grp, b) =>
-      val sum = grp.zipWithIndex.map { case (p, i) =>
-        val arr = p.map(_.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"($sum) AS k$b"
-    }.mkString(", ")
-    val anyBand = (0 until bands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
-    s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
-       |  $keyCols FROM $table)
+      threshold: Double, table: String): String =
+    s"""WITH t AS (${bandedSideSql(bands, planesPerBand, dim, table)})
        |SELECT * FROM (
        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-       |  FROM t a JOIN t b ON a.vec_id < b.vec_id AND ($anyBand))
+       |  FROM t a JOIN t b ON a.vec_id < b.vec_id AND (${anyBandPred(bands)}))
        |WHERE cos >= $threshold
        |ORDER BY ida, idb""".stripMargin
-  }
 
   /** Cross-relation embedding cosine ε-join: every (left, right) pair
     * with cosine ≥ threshold — the embedding-space member of the
@@ -278,8 +268,16 @@ object Similarity {
     val small = org.apache.spark.sql.graftaccess.Internals
       .planSizeInBytes(right) <= smallBytes
     if (small) cosineJoinExact(left, right, idCol, vecCol, threshold)
-    else left.select(size(col(vecCol))).take(1) match {
-      case Array() => cosineJoinExact(left, right, idCol, vecCol, threshold)
+    else left.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1) match {
+      // the dimension probe found no usable left row: the join is
+      // empty. Emit the empty result WITHOUT broadcasting the right
+      // side the dispatch just judged too large (self-review catch —
+      // the self-join's analogous fallback is safe only because it
+      // broadcasts the same empty frame it probed)
+      case Array() =>
+        cosineJoinExact(left.limit(0), right.limit(0), idCol, vecCol,
+          threshold)
       case Array(row) => cosineJoinLsh(left, right, idCol, vecCol,
         threshold, bands, planesPerBand, row.getInt(0),
         maxBucket = maxBucket)
@@ -354,13 +352,13 @@ object Similarity {
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .distinct()
-    val smallL = Internals.planSizeInBytes(left) <= (64L << 20)
-    val smallR = Internals.planSizeInBytes(right) <= (64L << 20)
+    val szL = Internals.planSizeInBytes(left)
+    val szR = Internals.planSizeInBytes(right)
     val lv = bl.select(col("id").as("id_l"), col("v").as("vl"),
       col("nrm").as("nl"))
     val rv = br.select(col("id").as("id_r"), col("v").as("vr"),
       col("nrm").as("nr"))
-    val attached = if (smallL && smallR) {
+    val attached = if (szL <= (64L << 20) && szR <= (64L << 20)) {
       // small path: the bare pair table STREAMS through two chained
       // broadcast hash joins whose build sides are the PER-ID payload
       // tables — bounded by corpus size, never by the (potentially
@@ -373,20 +371,26 @@ object Similarity {
       // of sort churn for a join the broadcast form does for free.
       cand.join(broadcast(lv), "id_l").join(broadcast(rv), "id_r")
     } else {
-      // large path: semi-reduce each payload side to colliding ids so
-      // the verify exchanges carry vectors for candidates only, and
-      // spread the bare pair table with an EXPLICIT-count repartition —
-      // candidate rows are two longs, so AQE's bytes-based coalescing
-      // would otherwise fuse the expensive per-pair verify onto a
-      // handful of tasks (the round-12 SetJoin lesson). shuffle_hash
-      // keeps the chained joins sort-free (pair order is useless).
-      val bare = OperatorCache.persist(cand)
-        .repartition(OpConf.shufflePartitions(left),
-          col("id_l"), col("id_r"))
-      val lvr = lv.join(bare.select("id_l").distinct(), Seq("id_l"),
-        "left_semi")
-      val rvr = rv.join(bare.select("id_r").distinct(), Seq("id_r"),
-        "left_semi")
+      // large path: spread the bare pair table with an EXPLICIT-count
+      // repartition — candidate rows are two longs, so AQE's
+      // bytes-based coalescing would otherwise fuse the expensive
+      // per-pair verify onto a handful of tasks (the round-12 SetJoin
+      // lesson) — and shuffle_hash keeps the chained joins sort-free
+      // (pair order is useless). Sides past `semiReduceBytes` are
+      // first SEMI-REDUCED to colliding ids so the verify exchanges
+      // carry vectors for candidates only; the id sets feed off the
+      // PERSISTED pair table directly (c0), NOT the repartitioned
+      // view — they have no use for the pair spread, and routing them
+      // through it would re-execute the explicit exchange per
+      // consumer whenever ReusedExchange declines to fire
+      // (self-review catch).
+      val c0 = OperatorCache.persist(cand)
+      val bare = c0.repartition(OpConf.shufflePartitions(left),
+        col("id_l"), col("id_r"))
+      val lvr = if (szL <= semiReduceBytes) lv
+        else lv.join(c0.select("id_l").distinct(), Seq("id_l"), "left_semi")
+      val rvr = if (szR <= semiReduceBytes) rv
+        else rv.join(c0.select("id_r").distinct(), Seq("id_r"), "left_semi")
       bare.join(lvr.hint("shuffle_hash"), "id_l")
         .join(rvr.hint("shuffle_hash"), "id_r")
     }
@@ -402,27 +406,39 @@ object Similarity {
     * cosine filter. Quadratic on the oracle side only. */
   def cosineJoinLshOracleSql(bands: Int, planesPerBand: Int, dim: Int,
       threshold: Double, leftTable: String, rightTable: String): String = {
-    val ps = bandedPlanes(bands, planesPerBand, dim)
-    val keyCols = ps.zipWithIndex.map { case (grp, b) =>
-      val sum = grp.zipWithIndex.map { case (p, i) =>
-        val arr = p.map(_.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"($sum) AS k$b"
-    }.mkString(", ")
-    val anyBand = (0 until bands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
-    def side(t: String) =
-      s"""SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
-         |  $keyCols FROM $t""".stripMargin
+    def side(t: String) = bandedSideSql(bands, planesPerBand, dim, t)
     s"""WITH tl AS (${side(leftTable)}), tr AS (${side(rightTable)})
        |SELECT * FROM (
        |  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-       |  FROM tl a JOIN tr b ON ($anyBand))
+       |  FROM tl a JOIN tr b ON (${anyBandPred(bands)}))
        |WHERE cos >= $threshold
        |ORDER BY id_l, id_r""".stripMargin
   }
+
+  /** Shared SQL fragments of the two LSH oracles — the plane-key
+    * encoding must stay IDENTICAL between the self-join and
+    * cross-relation forms (a drift would silently diverge the two
+    * oracles from the one [[planes]] family the operators share). */
+  private def bandKeyColsSql(bands: Int, planesPerBand: Int,
+      dim: Int): String =
+    bandedPlanes(bands, planesPerBand, dim).zipWithIndex.map {
+      case (grp, b) =>
+        val sum = grp.zipWithIndex.map { case (p, i) =>
+          val arr = p.map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"($sum) AS k$b"
+    }.mkString(", ")
+
+  private def anyBandPred(bands: Int): String =
+    (0 until bands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+
+  private def bandedSideSql(bands: Int, planesPerBand: Int, dim: Int,
+      table: String): String =
+    s"""SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+       |  ${bandKeyColsSql(bands, planesPerBand, dim)} FROM $table""".stripMargin
 
   /** Deterministic pseudo-random hyperplanes (seeded), shared with the
     * SQL-oracle generator so both engines bucket identically. */

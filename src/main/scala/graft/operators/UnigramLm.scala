@@ -46,6 +46,20 @@ object UnigramLm {
       transform(sequence(lit(1), least(lit(maxPieceLen), length(word) - i + 1)),
         l => word.substr(i, l))))
 
+  /** Driver-side tie-break order for pieces: UTF-8 BYTE order, matching
+    * both Spark's engine-side UTF8String comparison and DuckDB's
+    * default binary collation. Java's String.compareTo is UTF-16 order,
+    * which ranks supplementary characters BEFORE U+E000..U+FFFF — a
+    * count tie straddling the prune cut would keep a different piece
+    * than the oracle (self-review catch). */
+  private val utf8Order: Ordering[String] =
+    (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  private val byCountDescPiece: Ordering[(String, Long)] =
+    Ordering.Tuple2(Ordering.Long, utf8Order)
+      .on[(String, Long)] { case (p, c) => (-c, p) }
+
   private def wordCounts(df: DataFrame, textCol: String,
       maxWordLen: Int): DataFrame =
     df.select(explode(Dedup.words(col(textCol))).as("word"))
@@ -65,7 +79,7 @@ object UnigramLm {
       val vocab = emRounds(words, maxPieceLen, minCount, seedSize, iters,
         targetSize)
       val n = vocab.map(_._2).sum
-      val ranked = vocab.sortBy { case (p, c) => (-c, p) }.zipWithIndex.map {
+      val ranked = vocab.sorted(byCountDescPiece).zipWithIndex.map {
         case ((p, c), i) =>
           (i + 1L, p, c, c.toDouble / n.toDouble)
       }
@@ -110,7 +124,7 @@ object UnigramLm {
         // earned one, at the floor of 1 otherwise.
         val kept =
           if (targetSize > 0)
-            segmented.sortBy { case (p, c) => (-c, p) }.take(targetSize)
+            segmented.sorted(byCountDescPiece).take(targetSize)
           else segmented
         val keptSet = kept.map(_._1).toSet
         val segMap = segmented.toMap

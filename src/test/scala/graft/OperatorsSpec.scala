@@ -409,6 +409,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.forall { case (a, b) => b == a + 10000 })
   }
 
+  test("cosineJoin dispatcher: small-right exact path, forced-LSH path, empty-left fallback") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val l = emb.filter($"vec_id" % 2 === 0)
+    val r = emb.filter($"vec_id" % 2 === 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_l", "id_r").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineJoinExact(l, r, "vec_id", "embedding", 0.4))
+    assert(exact.nonEmpty)
+    // small right → dispatcher takes the exact path
+    assert(pairs(Similarity.cosineJoin(l, r, "vec_id", "embedding", 0.4)) == exact)
+    // smallBytes = 0 forces the dim probe + LSH tier through the
+    // dispatcher; 8x8 banded recall on this corpus at 0.4 is partial,
+    // so assert the LSH answer is a SUBSET that includes the planted
+    // certainty tier (none here) — i.e. no false positives
+    val lsh = pairs(Similarity.cosineJoin(l, r, "vec_id", "embedding", 0.4,
+      smallBytes = 0))
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh -- exact}")
+    // empty left with large-judged right must not broadcast the right
+    // side — and must return the empty result
+    val none = Similarity.cosineJoin(l.filter($"vec_id" < 0), r,
+      "vec_id", "embedding", 0.4, smallBytes = 0)
+    assert(none.count() == 0)
+    // null embeddings are skipped by the dimension probe
+    val withNull = l.select($"vec_id",
+      when($"vec_id" === 0, lit(null)).otherwise($"embedding").as("embedding"))
+    val probed = Similarity.cosineJoin(withNull, r, "vec_id", "embedding", 0.4,
+      smallBytes = 0)
+    assert(probed.columns.toSeq == Seq("id_l", "id_r", "cos"))
+    probed.count() // must not NPE
+  }
+
   test("cosine join whale-bucket cap drops the band but keeps other-band recall") {
     // 300 identical right vectors collide into one whale bucket in EVERY
     // band; with the cap they are all dropped, so the planted true pair

@@ -72,6 +72,33 @@ class UnigramLmSpec extends AnyFunSuite {
       "short".contains(p)), s"out-of-domain word leaked: ${enc.toSeq}")
   }
 
+  test("viterbi kernel windows by CODE POINTS, not UTF-16 units") {
+    import graft.functions.TokenizeKernels
+    // "x😀yz" is 4 code points but 5 UTF-16 units: with maxPieceLen=4
+    // the whole-word piece must be reachable (a UTF-16 window would
+    // exclude it and split the word instead)
+    val wordS = "x\uD83D\uDE00yz"
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    m.put(wordS, 0.9)
+    for (ch <- Seq("x", "\uD83D\uDE00", "y", "z")) m.put(ch, 0.01)
+    val out = TokenizeKernels.viterbi(
+      org.apache.spark.unsafe.types.UTF8String.fromString(wordS), m, 4)
+    assert(out.toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq == Seq(wordS))
+  }
+
+  test("piece tie-breaks use UTF-8 byte order (supplementary chars AFTER U+E000)") {
+    // U+E000 (private use) and the emoji (U+1F600) tie on count; UTF-8
+    // order ranks U+E000 first, Java UTF-16 order would rank the
+    // surrogate-led emoji first — ranks must follow UTF-8 (the engine
+    // and oracle collation)
+    val df = corpus((1L, "\uE000 \uD83D\uDE00 \uE000 \uD83D\uDE00"))
+    val ranked = UnigramLm.train(df, "text", maxPieceLen = 1, minCount = 1,
+        seedSize = 10, maxWordLen = 4, iters = 1)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(ranked == Seq("\uE000", "\uD83D\uDE00"), ranked)
+  }
+
   test("pruning shrinks to targetSize but single chars always survive") {
     val df = corpus((1L, "abab abab abab cd cd ef"))
     val v = UnigramLm.train(df, "text", maxPieceLen = 4, minCount = 1,
