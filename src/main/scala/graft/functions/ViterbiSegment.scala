@@ -77,6 +77,73 @@ object TokenizeKernels {
   }
 }
 
+/** Companion greedy kernel — see [[TokenizeKernels.viterbi]] for the
+  * code-point rationale shared by both. */
+object MaxMatchKernel {
+  /** Greedy longest-match-first (MaxMatch) segmentation — WordPiece
+    * INFERENCE (Song et al. EMNLP '21 describe the linear variant; this
+    * is the textbook quadratic scan, fine at word lengths). At each
+    * position take the LONGEST vocab piece that matches; if none
+    * matches, the whole word maps to the single `unk` piece (standard
+    * WordPiece failure semantics). Deterministic — no scores at all, so
+    * the oracle replay is pure set membership. */
+  def maxMatch(word: UTF8String, vocab: java.util.HashSet[String],
+      maxPieceLen: Int, unk: UTF8String): ArrayData = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any]()
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxPieceLen, n - pos)
+      var matched = -1
+      while (l >= 1 && matched < 0) {
+        if (vocab.contains(new String(cps, pos, l))) matched = l
+        l -= 1
+      }
+      if (matched < 0)
+        return new GenericArrayData(Array[Any](unk))
+      out.add(UTF8String.fromString(new String(cps, pos, matched)))
+      pos += matched
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** [[MaxMatchKernel.maxMatch]] as a codegen'd Catalyst expression. */
+case class MaxMatchSegment(child: Expression, vocab: Seq[String],
+    maxPieceLen: Int, unk: String) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"max_match_segment expects string, got $other")
+  }
+
+  @transient private lazy val vset: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val unkU = UTF8String.fromString(unk)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MaxMatchKernel.maxMatch(input.asInstanceOf[UTF8String], vset,
+      maxPieceLen, unkU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocab", vset, "java.util.HashSet")
+    val unkRef = ctx.addReferenceObj("unk", unkU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.MaxMatchKernel.maxMatch($in, $ref, $maxPieceLen, $unkRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "max_match_segment"
+}
+
 /** [[TokenizeKernels.viterbi]] as a codegen'd Catalyst expression; the
   * piece model rides along as a reference object (same shape as
   * [[SignBands]]' plane matrix). */

@@ -162,6 +162,35 @@ object UnigramLm {
         x => x.getField("syms"))).as("syms"))
   }
 
+  /** MaxMatch (greedy longest-match-first — WordPiece INFERENCE)
+    * encoding under the SAME trained vocab: at each position take the
+    * longest vocab piece; a word with an unmatchable position maps to
+    * the single `unk` piece (standard WordPiece failure semantics —
+    * unreachable for in-corpus text thanks to the coverage floor, but
+    * the contract matters for out-of-corpus input). Score-free, so the
+    * oracle replay is pure set membership — no float anywhere. */
+  def maxMatchEncode(df: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int = 4, minCount: Long = 2, seedSize: Int = 200,
+      maxWordLen: Int = 12, iters: Int = 2, targetSize: Int = 0,
+      unk: String = "[UNK]"): DataFrame = {
+    val pieces = train(df, textCol, maxPieceLen, minCount, seedSize,
+        maxWordLen, iters, targetSize)
+      .select("piece").collect().map(_.getString(0)).toSeq
+    val seg = org.apache.spark.sql.graftaccess.Internals.column(
+      graft.functions.MaxMatchSegment(
+        org.apache.spark.sql.graftaccess.Internals
+          .expression(col("word")),
+        pieces, maxPieceLen, unk))
+    df.select(col(idCol),
+        posexplode(Dedup.words(col(textCol))).as(Seq("pos", "word")))
+      .where(length(col("word")) <= maxWordLen)
+      .withColumn("syms", seg)
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        x => x.getField("syms"))).as("syms"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val duckWords =
@@ -248,6 +277,49 @@ object UnigramLm {
          |  c::DOUBLE / (SELECT CAST(sum(c) AS BIGINT) FROM v$iters)::DOUBLE AS p
          |FROM v$iters
          |ORDER BY rank""".stripMargin
+
+  /** DuckDB replay of [[maxMatchEncode]]: the trained vocab v{iters},
+    * then a greedy chain unrolled by STEP (each step consumes one
+    * piece, longest-first; a completed word exits at its completion
+    * step; never-completing words fall to the `unk` piece via the
+    * LEFT JOIN). */
+  def maxMatchOracleSql(table: String, idCol: String, maxPieceLen: Int = 4,
+      minCount: Long = 2, seedSize: Int = 200, maxWordLen: Int = 12,
+      iters: Int = 2, targetSize: Int = 0,
+      unk: String = "[UNK]"): String = {
+    val steps = (1 to maxWordLen).map { s =>
+      s"""g$s AS MATERIALIZED (
+         |  SELECT word, pos, ps FROM (
+         |    SELECT g.word, g.pos + length(v.piece) AS pos,
+         |      list_append(g.ps, v.piece) AS ps,
+         |      row_number() OVER (PARTITION BY g.word
+         |        ORDER BY length(v.piece) DESC) AS rk
+         |    FROM g${s - 1} g JOIN v$iters v
+         |      ON g.pos < length(g.word)
+         |     AND v.piece = substr(g.word, g.pos + 1, length(v.piece))
+         |  ) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val doneUnion = (1 to maxWordLen)
+      .map(s => s"SELECT word, pos, ps FROM g$s").mkString(" UNION ALL ")
+    oracleCtes(table, maxPieceLen, minCount, seedSize, maxWordLen, iters,
+      targetSize) +
+      s""",
+         |g0 AS (SELECT word, 0 AS pos, []::VARCHAR[] AS ps FROM w),
+         |$steps,
+         |done AS MATERIALIZED (
+         |  SELECT word, ps FROM ($doneUnion) WHERE pos = length(word)),
+         |wordmap AS MATERIALIZED (
+         |  SELECT w.word, coalesce(d.ps, ['$unk']) AS ps
+         |  FROM w LEFT JOIN done d ON w.word = d.word),
+         |dw AS (SELECT $idCol, generate_subscripts(ws, 1) AS pos,
+         |         unnest(ws) AS word
+         |       FROM (SELECT $idCol, $duckWords AS ws FROM $table)),
+         |enc AS (SELECT dw.$idCol, dw.pos, wordmap.ps
+         |        FROM dw JOIN wordmap USING (word))
+         |SELECT $idCol, flatten(list(ps ORDER BY pos)) AS syms
+         |FROM enc GROUP BY $idCol
+         |ORDER BY $idCol""".stripMargin
+  }
 
   /** DuckDB replay of [[encode]]: the final round's word→pieces map
     * joined back to the corpus, flattened in word order. */

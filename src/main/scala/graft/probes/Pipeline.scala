@@ -845,6 +845,21 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // MaxMatch (greedy longest-match-first — WordPiece INFERENCE)
+    // under the SAME unigram-trained vocab: the third tokenizer-family
+    // member (BPE merges / unigram Viterbi / WordPiece greedy). Fully
+    // score-free, so the oracle replay is pure set membership: the
+    // trained-vocab CTEs plus a step-unrolled greedy chain.
+    Probe.df("q_wordpiece_encode",
+      "SELECT doc_id, array_to_string(syms, ' ') AS syms FROM (" +
+        graft.operators.UnigramLm.maxMatchOracleSql("documents", "doc_id") +
+        ") ORDER BY doc_id") { (s, dir) =>
+      graft.operators.UnigramLm.maxMatchEncode(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .withColumn("syms", array_join(col("syms"), " "))
+        .orderBy("doc_id")
+    },
+
     // Frequency-dense dictionary encoding: deterministic vocab ids
     // (count DESC, token ASC), documents re-encoded as int sequences in
     // token order. Oracle replays rank + ordered list rebuild.

@@ -113,6 +113,40 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(v.length == 2 + 6, v.toSeq)
   }
 
+  test("maxMatch kernel is greedy-longest-first with whole-word UNK fallback") {
+    import graft.functions.MaxMatchKernel
+    def seg(word: String, vocab: Seq[String], maxLen: Int) = {
+      val s = new java.util.HashSet[String](); vocab.foreach(s.add)
+      val out = MaxMatchKernel.maxMatch(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word), s,
+        maxLen, org.apache.spark.unsafe.types.UTF8String.fromString("[UNK]"))
+      out.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    }
+    // greedy takes 'abc' even though 'ab'+'cd' would cover better later:
+    // leftover 'd' still matches, so greedy = abc, d
+    assert(seg("abcd", Seq("abc", "ab", "cd", "d"), 3) == Seq("abc", "d"))
+    // greedy DEAD END → whole word collapses to [UNK] (c unmatchable)
+    assert(seg("abc", Seq("abc", "ab"), 2) == Seq("[UNK]"))
+    // code-point window: 4-cp piece with a supplementary char reachable
+    // at maxLen 4
+    assert(seg("x\uD83D\uDE00yz", Seq("x\uD83D\uDE00yz"), 4)
+      == Seq("x\uD83D\uDE00yz"))
+  }
+
+  test("maxMatchEncode covers the corpus under the trained vocab") {
+    val df = corpus((1L, "abab cd abab"))
+    val enc = UnigramLm.maxMatchEncode(df, "doc_id", "text",
+        maxPieceLen = 4, minCount = 1, seedSize = 100, maxWordLen = 12,
+        iters = 2)
+      .select($"doc_id", array_join($"syms", " ").as("s"))
+      .as[(Long, String)].collect().toMap
+    // coverage floor guarantees no [UNK] for in-corpus text, and word
+    // order/boundaries hold
+    assert(!enc(1L).contains("[UNK]"))
+    assert(enc(1L).replace(" ", "") == "ababcdabab")
+  }
+
   test("encode flattens pieces in document word order") {
     val df = corpus((1L, "abab cd abab"))
     val enc = UnigramLm.encode(df, "doc_id", "text", maxPieceLen = 4,
