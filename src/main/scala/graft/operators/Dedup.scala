@@ -598,9 +598,15 @@ object Dedup {
       .union(pairs.select(col(idbCol).as("src"), col(idaCol).as("dst")))
       .distinct()
       .transform(OperatorCache.persist)
+    // localCheckpoint per round: `labels` is referenced TWICE per
+    // iteration, so without lineage truncation the logical plan doubles
+    // every round and a deep component (diameter ≳ 10) OOMs the driver
+    // building AQE's plan strings — caching materializes data but does
+    // NOT cut the plan tree. Eager local checkpoint does both (leaf
+    // plan); superseded rounds' blocks are ContextCleaner-reclaimed.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .transform(OperatorCache.persist)
+      .localCheckpoint(true)
     var converged = false
     while (!converged) {
       // each node offers its label to every neighbour; take the min seen
@@ -610,17 +616,90 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
-        .transform(OperatorCache.persist)
-      next.count() // fully materialize the cache BEFORE dropping the parent
+        .localCheckpoint(true)
       converged = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.cluster") =!= col("o.cluster"))
         .isEmpty
-      labels.unpersist()
       labels = next
     }
     edges.unpersist()
-    labels // still persisted — callers that iterate further should unpersist
+    labels // checkpoint-materialized; blocks are ContextCleaner-reclaimed
+  }
+
+  /** Connected components by the ALTERNATING large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC '14) — the scale path [[clusterPairs]]'s doc promises.
+    * Min-label propagation converges in DIAMETER rounds: a 100 TB corpus
+    * whose boilerplate chains into one deep component (page-1 ~ page-2 ~
+    * page-3 ...) crawls through hundreds of shuffle rounds. The
+    * alternating algorithm converges in O(log^2 n) rounds regardless of
+    * diameter, and each round's edge count never exceeds the input's.
+    *
+    * Per round, two phases over the directed edge list (u, v):
+    *   - large-star: symmetrize; per node u with m = min(N(u) ∪ {u}),
+    *     re-point every STRICTLY LARGER neighbour v > u at m;
+    *   - small-star: on big→small edges, per node u with m = min(N(u)),
+    *     re-point u and every other smaller neighbour at m.
+    * Both phases are a groupBy-min plus an equi-join of the edge list
+    * back onto its own per-node mins — no collect_list hub blowup (a
+    * giant component's root has millions of neighbours; grouping them
+    * into an array would be the skew bomb the join form avoids). The
+    * fixpoint is disjoint min-rooted stars; the check is two anti-joins
+    * over the (small, persisted) edge sets.
+    *
+    * Same contract as [[clusterPairs]]: input (ida, idb) pairs, output
+    * (id, cluster) for every id in a pair, cluster = component min. */
+  def clusterPairsStar(pairs: DataFrame, idaCol: String = "ida",
+      idbCol: String = "idb", maxRounds: Int = 100): DataFrame =
+    clusterPairsStarWithRounds(pairs, idaCol, idbCol, maxRounds)._1
+
+  private[graft] def clusterPairsStarWithRounds(pairs: DataFrame,
+      idaCol: String, idbCol: String,
+      maxRounds: Int): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input invariant: u > v on every edge (largeStar emits big→small)
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // Lineage MUST be truncated per round: largeStar/smallStar reference
+    // their input 4+ times, so without truncation the logical plan grows
+    // exponentially with rounds (persist caches data, not the plan tree).
+    // localCheckpoint materializes the round's edges and cuts the plan to
+    // a leaf — on a real cluster swap for reliable checkpoint(): local
+    // blocks die with an executor, acceptable single-JVM, not at 1000
+    // executors. Superseded rounds' blocks are reclaimed by the
+    // ContextCleaner once unreferenced.
+    var edges = pairs
+      .select(greatest(col(idaCol), col(idbCol)).as("u"),
+        least(col(idaCol), col(idbCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    val labels = edges
+      .select(col("u").as("id"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** SimHash band keys over DuckDB-REPLICABLE word hashes: the 60-bit

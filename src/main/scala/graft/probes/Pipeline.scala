@@ -336,6 +336,31 @@ object Pipeline {
       Dedup.clusterPairs(pairs).orderBy("id")
     },
 
+    // Large-star/small-star connected components (Kiveris SOCC '14) on
+    // an ADVERSARIAL deep-chain graph: documents ranked by doc_id and
+    // chained consecutively in blocks of 50 — components of diameter 49,
+    // where min-label propagation would need ~49 shuffle rounds and the
+    // alternating algorithm stays logarithmic (the spec pins the round
+    // count; this probe pins the labels). The rank window is probe input
+    // SCAFFOLDING, not the operator — clusterPairsStar consumes a plain
+    // edge list. Oracle: blocks of 50 ranks, cluster = block-min doc_id.
+    Probe.df("q_dedup_cc_star",
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) AS r FROM documents),
+        |g AS (SELECT doc_id, (r - 1) // 50 AS blk FROM r)
+        |SELECT doc_id AS id,
+        |       min(doc_id) OVER (PARTITION BY blk) AS cluster
+        |FROM g ORDER BY id""".stripMargin) { (s, dir) =>
+      val ranked = Tables.load(s, dir, "documents").select("doc_id")
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      val chain = ranked.as("a")
+        .join(ranked.as("b"), col("b.r") === col("a.r") + 1 &&
+          col("a.r") % 50 =!= 0)
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      Dedup.clusterPairsStar(chain).orderBy("id")
+    },
+
     // LSH pairs vs the exact all-pairs answer (no blocking on either side)
     Probe.df("q_dedup_minhash",
       duckShingleCte("documents") +

@@ -252,6 +252,32 @@ class OperatorsSpec extends AnyFunSuite {
       7L -> 7L, 9L -> 7L))
   }
 
+  test("clusterPairsStar equals clusterPairs on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      val pairs = edges.toDF("ida", "idb")
+      val star = Dedup.clusterPairsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.clusterPairs(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"trial $trial: star $star vs prop $prop")
+    }
+  }
+
+  test("clusterPairsStar converges in O(log n) rounds on a deep chain") {
+    // a 64-node path has diameter 63: min-label propagation needs ~63
+    // shuffle rounds; the alternating algorithm must stay logarithmic
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val (labels, rounds) = Dedup.clusterPairsStarWithRounds(
+      pairs, "ida", "idb", maxRounds = 100)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 64L).map(_ -> 1L).toMap)
+    assert(rounds <= 12, s"expected O(log^2 n) rounds, took $rounds")
+  }
+
   test("IVF assignment + probed search recovers brute-force neighbors") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = Similarity.ivfCentroidsFrom(emb, "vec_id", "embedding", 8)
