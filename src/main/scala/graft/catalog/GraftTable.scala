@@ -39,16 +39,37 @@ class GraftTable(
     declaredSchema: StructType,
     partitionCols: Seq[String],
     props: Map[String, String],
-    pinned: Option[Snapshots.Snap]) extends Table
+    pinned: Option[Snapshots.Snap],
+    branch: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
   private def dataDir: Path = tableDir.resolve("data")
 
+  /** The snapshot this handle reads and writes against: the pinned
+    * time-travel snapshot, the branch head (WAP staging), or main's
+    * latest. A branch handle whose ref vanished mid-use fails loudly
+    * rather than silently reading main. */
+  private def headSnap: Option[Snapshots.Snap] = pinned.orElse(branch match {
+    case Some(b) => Some(Snapshots.branchHead(tableDir, b).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$b' of $fullName no longer exists")))
+    case None => Snapshots.latest(tableDir)
+  })
+
+  /** Commit the next snapshot of THIS handle's lineage: the branch's
+    * private log for a WAP staging handle, the main log otherwise. */
+  private def commitVisible(
+      compute: Option[Snapshots.Snap] => Seq[String]): Snapshots.Snap =
+    branch match {
+      case Some(b) => Snapshots.commitToBranch(tableDir, b)(compute)
+      case None => Snapshots.commitWith(tableDir)(compute)
+    }
+
   /** Visible data files (absolute paths) for this table handle. */
   private def visibleFiles: Seq[String] = {
-    val snap = pinned.orElse(Snapshots.latest(tableDir))
+    val snap = headSnap
     val rel = snap match {
       case Some(s) => s.files
       case None => // pre-snapshot (v1-era) table: whole data dir
@@ -83,7 +104,7 @@ class GraftTable(
   override def partitioning(): Array[Transform] =
     partitionCols.map(c => Expressions.identity(c)).toArray
   override def properties(): java.util.Map[String, String] = {
-    val snapInfo = pinned.orElse(Snapshots.latest(tableDir))
+    val snapInfo = headSnap
       .map(s => Map("graft.current-snapshot-id" -> s.version.toString))
       .getOrElse(Map.empty)
     (props ++ snapInfo + ("provider" -> "parquet")).asJava
@@ -196,7 +217,7 @@ class GraftTable(
   private def publishAndCommit(tmp: Path, overwrite: Boolean,
       replacedBase: Option[Seq[String]],
       only: Option[Set[Path]] = None): Unit = {
-    Snapshots.commitWith(tableDir) { latest =>
+    commitVisible { latest =>
       replacedBase.foreach { base =>
         val current = latest.map(_.files.toSet).getOrElse(Set.empty)
         val gone = base.filterNot(current.contains)
@@ -281,7 +302,7 @@ class GraftTable(
     // exactly the filtered scan's rows, so scan set and replaced set
     // stay in lockstep by construction.
     private val baseFiles: Seq[String] =
-      Snapshots.latest(tableDir).map(_.files).getOrElse(Seq.empty)
+      headSnap.map(_.files).getOrElse(Seq.empty)
     @volatile private var replaced: Seq[String] = baseFiles
 
     override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -380,7 +401,7 @@ class GraftTable(
     // One consistent base snapshot for BOTH the scan and the commit's
     // replaced-file set (reading them separately could straddle a
     // concurrent commit).
-    val baseSnap = Snapshots.latest(tableDir)
+    val baseSnap = headSnap
     val baseFiles = baseSnap.map(_.files).getOrElse(Seq.empty)
     // FILE-LEVEL PRUNING: only files whose footer stats say the predicate
     // MIGHT match get rewritten; provably-unaffected files stay in place

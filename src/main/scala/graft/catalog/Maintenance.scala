@@ -321,12 +321,17 @@ object Maintenance {
     val (drop, dead) = Snapshots.withRefsLock(dir) {
       val all = Snapshots.list(dir)
       if (all.length <= keepLast) return (0, 0)
-      val tagged = Snapshots.tags(dir).map(_.version).toSet
+      // tags AND branch fork points pin their main snapshots; files
+      // staged on branch logs are live too (an unpublished WAP branch
+      // must survive a maintenance sweep)
+      val tagged = Snapshots.tags(dir).map(_.version).toSet ++
+        Snapshots.branches(dir).map(_.version)
       val (candidates, newest) = all.splitAt(all.length - keepLast)
       val (protectedSnaps, dropSnaps) =
         candidates.partition(s => tagged.contains(s.version))
       if (dropSnaps.isEmpty) return (0, 0)
-      val live = (protectedSnaps ++ newest).flatMap(_.files).toSet
+      val live = (protectedSnaps ++ newest).flatMap(_.files).toSet ++
+        Snapshots.branchReferencedFiles(dir)
       val deadFiles = dropSnaps.flatMap(_.files).toSet -- live
       dropSnaps.foreach { s =>
         Files.deleteIfExists(dir.resolve("_graft_snapshots")

@@ -140,11 +140,12 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
   private def fullName(ident: Identifier): String =
     s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
 
-  private def buildTable(ident: Identifier, pinned: Option[Snapshots.Snap]): GraftTable = {
+  private def buildTable(ident: Identifier, pinned: Option[Snapshots.Snap],
+      branch: Option[String] = None): GraftTable = {
     val props = readProps(ident)
     val parts = props.get(PartitionKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     new GraftTable(fullName(ident), tablePath(ident), readSchema(ident),
-      parts, props - PartitionKey, pinned)
+      parts, props - PartitionKey, pinned, branch)
   }
 
   // --- tables -----------------------------------------------------------
@@ -181,6 +182,16 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
         if (tableExists(base))
           return new RefsTable(s"${fullName(base)}.refs", tablePath(base))
       }
+      // `cat.ns.t.branch_<name>`: a READ-WRITE handle on a WAP branch
+      // (Iceberg's Spark branch-write surface) — reads see the branch
+      // head, writes stage on the branch's private log; main untouched.
+      if (ident.name().startsWith("branch_") && ident.namespace().nonEmpty) {
+        val base = Identifier.of(ident.namespace().init, ident.namespace().last)
+        val bname = ident.name().stripPrefix("branch_")
+        if (tableExists(base) &&
+            Snapshots.branches(tablePath(base)).exists(_.name == bname))
+          return buildTable(base, pinned = None, branch = Some(bname))
+      }
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
     }
     buildTable(ident, pinned = None)
@@ -199,10 +210,15 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
           s"no snapshot v$v for ${fullName(ident)}; have versions " +
             Snapshots.list(tablePath(ident)).map(_.version)
               .mkString("[", ",", "]")))
-      case None => Snapshots.byTag(tablePath(ident), version).getOrElse(
-        throw new IllegalArgumentException(
-          s"no tag '$version' for ${fullName(ident)}; have tags " +
+      case None => Snapshots.byTag(tablePath(ident), version)
+        // not a tag: resolve as a branch head (the AUDIT read of the
+        // write-audit-publish flow); tag/branch names share a namespace
+        .orElse(Snapshots.branchHead(tablePath(ident), version))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no tag or branch '$version' for ${fullName(ident)}; have tags " +
             Snapshots.tags(tablePath(ident)).map(_.name)
+              .mkString("[", ",", "]") + " and branches " +
+            Snapshots.branches(tablePath(ident)).map(_.name)
               .mkString("[", ",", "]")))
     }
     buildTable(ident, Some(snap))

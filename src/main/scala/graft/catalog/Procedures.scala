@@ -24,7 +24,8 @@ object Procedures {
 
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "add_blooms",
-      "create_tag", "drop_tag", "changes")
+      "create_tag", "drop_tag", "changes",
+      "create_branch", "drop_branch", "fast_forward")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -111,6 +112,48 @@ object Procedures {
         val dir = Maintenance.tableDir(SparkSession.active, full(in))
         Array(new GenericInternalRow(Array[Any](
           Snapshots.dropTag(dir, s(in, 1)))))
+      }
+      case "create_branch" => proc(
+        "create_branch",
+        "fork a mutable branch from a snapshot version — stage writes " +
+          "via INSERT INTO t.branch_<name>, audit via VERSION AS OF " +
+          "'<name>', publish via fast_forward (Iceberg WAP)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", IntegerType).build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("forked_at", LongType)))) { in =>
+        val dir = Maintenance.tableDir(SparkSession.active, full(in))
+        val ref = Snapshots.createBranch(dir, s(in, 1), in.getInt(2).toLong)
+        Array(new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(ref.name),
+          ref.version)))
+      }
+      case "drop_branch" => proc(
+        "drop_branch",
+        "remove a branch ref and its staged (unpublished) snapshot log; " +
+          "staged data files become orphans",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("existed", BooleanType)))) { in =>
+        val dir = Maintenance.tableDir(SparkSession.active, full(in))
+        Array(new GenericInternalRow(Array[Any](
+          Snapshots.dropBranch(dir, s(in, 1)))))
+      }
+      case "fast_forward" => proc(
+        "fast_forward",
+        "publish a branch: append its head as the next main snapshot " +
+          "(fails if main moved past the fork point) — the publish of " +
+          "write-audit-publish",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("published_version", LongType)))) { in =>
+        val dir = Maintenance.tableDir(SparkSession.active, full(in))
+        Array(new GenericInternalRow(Array[Any](
+          Snapshots.fastForward(dir, s(in, 1)).version)))
       }
       case "add_blooms" => proc(
         "add_blooms",

@@ -11,13 +11,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Iceberg-style metadata table: `SELECT * FROM cat.ns.t.refs` lists the
-  * table's named tags ([[Snapshots.createTag]]) — name, pinned snapshot
-  * version, creation time. Ref metadata is O(tags) and driver-local →
-  * `LocalScan`, same as [[SnapshotsTable]]. */
+  * table's named refs — TAG rows ([[Snapshots.createTag]]: name, pinned
+  * version, creation time) and BRANCH rows ([[Snapshots.createBranch]]:
+  * name, FORK version, creation time). Ref metadata is O(refs) and
+  * driver-local → `LocalScan`, same as [[SnapshotsTable]]. */
 class RefsTable(fullName: String, tableDir: Path) extends Table with SupportsRead {
 
   private val schemaDef = StructType(Seq(
     StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
     StructField("version", LongType, nullable = false),
     StructField("created_at", TimestampType, nullable = false)))
 
@@ -30,12 +32,14 @@ class RefsTable(fullName: String, tableDir: Path) extends Table with SupportsRea
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
         override def readSchema(): StructType = schemaDef
-        override def rows(): Array[InternalRow] =
-          Snapshots.tags(tableDir).map { r =>
+        override def rows(): Array[InternalRow] = {
+          def row(r: Snapshots.Ref, kind: String): InternalRow =
             new GenericInternalRow(Array[Any](
-              UTF8String.fromString(r.name), r.version, r.tsMillis * 1000L))
-              : InternalRow
-          }.toArray
+              UTF8String.fromString(r.name), UTF8String.fromString(kind),
+              r.version, r.tsMillis * 1000L))
+          (Snapshots.tags(tableDir).map(row(_, "TAG")) ++
+            Snapshots.branches(tableDir).map(row(_, "BRANCH"))).toArray
+        }
       }
     }
 }

@@ -34,8 +34,7 @@ object Snapshots {
     Snap(v, lines.head.toLong, lines.tail.filter(_.nonEmpty))
   }
 
-  def list(tableDir: Path): Seq[Snap] = {
-    val d = dir(tableDir)
+  private def listLog(d: Path): Seq[Snap] = {
     if (!Files.isDirectory(d)) Seq.empty
     else scala.util.Using.resource(Files.list(d)) { st =>
       st.iterator().asScala
@@ -43,6 +42,8 @@ object Snapshots {
         .map(parse).toSeq.sortBy(_.version)
     }
   }
+
+  def list(tableDir: Path): Seq[Snap] = listLog(dir(tableDir))
 
   def latest(tableDir: Path): Option[Snap] = list(tableDir).lastOption
 
@@ -114,31 +115,51 @@ object Snapshots {
   def createTag(tableDir: Path, name: String, version: Long): Ref =
     withRefsLock(tableDir) { // expiry's metadata phase holds the same
       // lock, so the snapshot cannot be mid-deletion while we pin it
-      require(name.nonEmpty &&
-        name.forall(c => c.isLetterOrDigit || "-_.".contains(c)) &&
-        !name.startsWith("."),
-        s"tag name must be [A-Za-z0-9._-]+ not starting with '.', got '$name'")
-      require(name.toLongOption.isEmpty,
-        s"tag name '$name' would be ambiguous with a numeric version")
+      validateRefName(tableDir, name)
       byVersion(tableDir, version).getOrElse(throw new IllegalArgumentException(
         s"cannot tag: no snapshot v$version (have " +
           list(tableDir).map(_.version).mkString("[", ",", "]") + ")"))
-      val d = refsDir(tableDir)
-      Files.createDirectories(d)
-      val ref = Ref(name, version, System.currentTimeMillis())
-      val tmp = d.resolve(s".$name.ref.${java.util.UUID.randomUUID()}.tmp")
-      Files.writeString(tmp, s"$version\n${ref.tsMillis}")
-      try {
-        Files.createLink(d.resolve(s"$name.ref"), tmp)
-        Files.delete(tmp)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.delete(tmp)
-          throw new IllegalArgumentException(
-            s"tag '$name' already exists (tags are immutable; drop it first)")
-      }
-      ref
+      linkRef(tableDir, s"$name.ref", version)
     }
+
+  /** Shared tag/branch name rules. Tags and branches live in ONE
+    * namespace — both resolve through `VERSION AS OF '<name>'`, so a
+    * tag and a branch with the same name would be ambiguous. */
+  private def validateRefName(tableDir: Path, name: String): Unit = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || "-_.".contains(c)) &&
+      !name.startsWith("."),
+      s"ref name must be [A-Za-z0-9._-]+ not starting with '.', got '$name'")
+    require(name.toLongOption.isEmpty,
+      s"ref name '$name' would be ambiguous with a numeric version")
+    require(!tags(tableDir).exists(_.name == name),
+      s"a tag named '$name' already exists")
+    require(!branches(tableDir).exists(_.name == name),
+      s"a branch named '$name' already exists")
+  }
+
+  /** Write-and-link a ref file (`<name>.ref` / `<name>.branch`) with the
+    * same createLink CAS as commits — a ref can never be silently
+    * repointed by a concurrent creator. */
+  private def linkRef(tableDir: Path, fileName: String, version: Long): Ref = {
+    val d = refsDir(tableDir)
+    Files.createDirectories(d)
+    val name = fileName.substring(0, fileName.lastIndexOf('.'))
+    val ref = Ref(name, version, System.currentTimeMillis())
+    val tmp = d.resolve(s".$fileName.${java.util.UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, s"$version\n${ref.tsMillis}")
+    try {
+      Files.createLink(d.resolve(fileName), tmp)
+      Files.delete(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.delete(tmp)
+        throw new IllegalArgumentException(
+          s"ref '$name' already exists (refs are never silently " +
+            "repointed; drop it first)")
+    }
+    ref
+  }
 
   /** Remove a tag; returns whether it existed. The snapshot itself is
     * untouched (it just loses expiry protection). */
@@ -154,17 +175,19 @@ object Snapshots {
     * metadata path that reads tags (ADVICE r11); it must NOT be
     * silently skipped — a skipped tag would lose its snapshot's expiry
     * protection and expireSnapshots would delete pinned files. */
-  def tags(tableDir: Path): Seq[Ref] = {
+  def tags(tableDir: Path): Seq[Ref] = refsOf(tableDir, ".ref")
+
+  private def refsOf(tableDir: Path, suffix: String): Seq[Ref] = {
     val d = refsDir(tableDir)
     if (!Files.isDirectory(d)) Seq.empty
     else scala.util.Using.resource(Files.list(d)) { st =>
       st.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".ref") &&
+        .filter(p => p.getFileName.toString.endsWith(suffix) &&
           !p.getFileName.toString.startsWith("."))
         .flatMap { p =>
           try {
             val lines = Files.readAllLines(p).asScala
-            Some(Ref(p.getFileName.toString.stripSuffix(".ref"),
+            Some(Ref(p.getFileName.toString.stripSuffix(suffix),
               lines.head.toLong, lines(1).toLong))
           } catch {
             case _: java.nio.file.NoSuchFileException => None
@@ -199,21 +222,28 @@ object Snapshots {
     * replaces an existing target), so a driver that lost the race
     * re-reads the log and retries on the next version. */
   def commitWith(tableDir: Path)(compute: Option[Snap] => Seq[String]): Snap =
+    casCommit(dir(tableDir), () => latest(tableDir))(compute)
+
+  /** The shared CAS append loop: `head` re-reads the current tip of the
+    * target log each attempt (main log, or a branch log falling back to
+    * its fork snapshot), `compute` builds the next complete file list on
+    * top of it. */
+  private def casCommit(logDir: Path, head: () => Option[Snap])(
+      compute: Option[Snap] => Seq[String]): Snap =
     synchronized {
-      val d = dir(tableDir)
-      Files.createDirectories(d)
+      Files.createDirectories(logDir)
       var attempts = 0
       while (attempts < 10) {
-        val prev = latest(tableDir)
+        val prev = head()
         val files = compute(prev)
         val next = prev.map(_.version + 1).getOrElse(1L)
         val snap = Snap(next, System.currentTimeMillis(), files)
         val body = (snap.tsMillis.toString +: files).mkString("\n")
-        val tmp = d.resolve(
+        val tmp = logDir.resolve(
           f".v$next%08d.snap.${java.util.UUID.randomUUID()}.tmp")
         Files.writeString(tmp, body)
         try {
-          Files.createLink(d.resolve(f"v$next%08d.snap"), tmp)
+          Files.createLink(logDir.resolve(f"v$next%08d.snap"), tmp)
           Files.delete(tmp)
           return snap
         } catch {
@@ -225,6 +255,122 @@ object Snapshots {
         }
       }
       throw new IllegalStateException(
-        s"snapshot commit on $tableDir lost the CAS race 10 times; giving up")
+        s"snapshot commit on $logDir lost the CAS race 10 times; giving up")
     }
+
+  // --- branches (write-audit-publish) ------------------------------------
+  // Iceberg-style MUTABLE branch refs, scoped to the WAP workflow: stage
+  // writes on an isolated branch, audit them (`VERSION AS OF '<branch>'`
+  // or `INSERT INTO t.branch_<name>`), then publish atomically with
+  // [[fastForward]]. A branch is `_graft_refs/<name>.branch` holding the
+  // MAIN version it forked from, plus a private snapshot log
+  // `_graft_branches/<name>/v%08d.snap` (same format and CAS as the main
+  // log, versions continuing from the fork). Main readers never consult
+  // branch logs, so staged commits are invisible until published —
+  // branch data files live under data/ but no main snapshot lists them.
+
+  private def branchesDir(tableDir: Path): Path =
+    tableDir.resolve("_graft_branches")
+
+  private def branchLog(tableDir: Path, name: String): Path =
+    branchesDir(tableDir).resolve(name)
+
+  /** All branch refs (name, FORK version, creation time), sorted. */
+  def branches(tableDir: Path): Seq[Ref] = refsOf(tableDir, ".branch")
+
+  /** Create a branch forking main at `version`. Same CAS + validation
+    * discipline as [[createTag]]; tag and branch names share one
+    * namespace (both resolve through `VERSION AS OF '<name>'`). */
+  def createBranch(tableDir: Path, name: String, version: Long): Ref =
+    withRefsLock(tableDir) {
+      validateRefName(tableDir, name)
+      byVersion(tableDir, version).getOrElse(throw new IllegalArgumentException(
+        s"cannot branch: no snapshot v$version (have " +
+          list(tableDir).map(_.version).mkString("[", ",", "]") + ")"))
+      linkRef(tableDir, s"$name.branch", version)
+    }
+
+  /** Remove a branch ref AND its private snapshot log; staged data files
+    * under data/ become orphans (no snapshot references them — orphan
+    * file GC is a separate maintenance sweep, as in Iceberg). */
+  def dropBranch(tableDir: Path, name: String): Boolean =
+    withRefsLock(tableDir) {
+      val existed =
+        Files.deleteIfExists(refsDir(tableDir).resolve(s"$name.branch"))
+      val log = branchLog(tableDir, name)
+      if (Files.isDirectory(log)) {
+        scala.util.Using.resource(Files.walk(log)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
+      }
+      existed
+    }
+
+  /** The branch's current snapshot: the tip of its private log, or the
+    * main snapshot it forked from when nothing was staged yet. None when
+    * no such branch exists. */
+  def branchHead(tableDir: Path, name: String): Option[Snap] =
+    branches(tableDir).find(_.name == name).flatMap { ref =>
+      listLog(branchLog(tableDir, name)).lastOption
+        .orElse(byVersion(tableDir, ref.version))
+    }
+
+  /** Stage a commit on a branch: same read-compute-CAS as [[commitWith]]
+    * but against the branch's private log; main is untouched. */
+  def commitToBranch(tableDir: Path, name: String)(
+      compute: Option[Snap] => Seq[String]): Snap = {
+    val ref = branches(tableDir).find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' (have " +
+          branches(tableDir).map(_.name).mkString("[", ",", "]") + ")"))
+    casCommit(branchLog(tableDir, name), () =>
+      listLog(branchLog(tableDir, name)).lastOption
+        .orElse(byVersion(tableDir, ref.version)))(compute)
+  }
+
+  /** Publish a branch: append its head's file list as the next MAIN
+    * snapshot. True fast-forward semantics — fails when main has moved
+    * past the fork point (the staged commits were not audited against
+    * main's current state; re-branch and re-stage). On success the
+    * branch ref repoints at the published version and its private log is
+    * cleared, so the branch continues from the published state —
+    * Iceberg's fast_forward leaves branch and main at the same snapshot
+    * the same way. */
+  def fastForward(tableDir: Path, name: String): Snap =
+    withRefsLock(tableDir) {
+      val ref = branches(tableDir).find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch '$name' (have " +
+            branches(tableDir).map(_.name).mkString("[", ",", "]") + ")"))
+      val head = branchHead(tableDir, name).getOrElse(
+        throw new IllegalStateException(
+          s"branch '$name' forked at v${ref.version} but that snapshot " +
+            "is gone (expired?)"))
+      val mainV = latest(tableDir).map(_.version).getOrElse(0L)
+      if (mainV != ref.version) throw new IllegalStateException(
+        s"branch '$name' forked at v${ref.version} but main is at " +
+          s"v$mainV; not fast-forwardable (re-branch from the current " +
+          "snapshot and re-stage)")
+      val snap = commitWith(tableDir)(_ => head.files)
+      // repoint the branch at the published snapshot; clear the log
+      Files.deleteIfExists(refsDir(tableDir).resolve(s"$name.branch"))
+      val log = branchLog(tableDir, name)
+      if (Files.isDirectory(log)) {
+        scala.util.Using.resource(Files.walk(log)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
+      }
+      linkRef(tableDir, s"$name.branch", snap.version)
+      snap
+    }
+
+  /** Every data file referenced by any branch-log snapshot — kept LIVE
+    * by expireSnapshots so staged-but-unpublished work can't be
+    * destroyed by a maintenance sweep (fork-point main snapshots are
+    * protected separately, like tagged versions). */
+  private[catalog] def branchReferencedFiles(tableDir: Path): Set[String] =
+    branches(tableDir).iterator.flatMap(r =>
+      listLog(branchLog(tableDir, r.name)).flatMap(_.files)).toSet
 }

@@ -320,6 +320,52 @@ object Extras {
         "sort_cols => 'k', target_files => 1)")
     },
 
+    // Write-audit-publish over catalog branches (Iceberg WAP): fork an
+    // audit branch, stage an INSERT + a row-level DELETE on it, read all
+    // three phases (main-during-staging proves ISOLATION, the branch
+    // read is the AUDIT, main-after-fast-forward is the PUBLISH), and
+    // hash-check the lot against DuckDB replaying the same relational
+    // content. Each phase is COLLECTED eagerly — visible files resolve
+    // at scan planning, so a lazy union would read every phase at its
+    // execution-time state, not its staging-time state.
+    Probe.df("q_wap_branch",
+      """WITH mainv AS (SELECT CAST(r_regionkey AS BIGINT) AS k FROM region),
+        |stage AS (SELECT CAST(n_nationkey AS BIGINT) + 100 AS k FROM nation
+        |          WHERE CAST(n_nationkey AS BIGINT) % 2 = 0),
+        |phases AS (
+        |  SELECT 'main_before' AS phase, k FROM mainv
+        |  UNION ALL SELECT 'branch_audit', k FROM mainv
+        |  UNION ALL SELECT 'branch_audit', k FROM stage
+        |  UNION ALL SELECT 'main_after', k FROM mainv
+        |  UNION ALL SELECT 'main_after', k FROM stage)
+        |SELECT phase, k FROM phases ORDER BY phase, k""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.wapt")
+      s.sql("CREATE TABLE gprobe.db.wapt (k BIGINT)")                 // v1
+      s.sql("INSERT INTO gprobe.db.wapt " +
+        "SELECT CAST(r_regionkey AS BIGINT) FROM region")             // v2
+      s.sql("CALL gprobe.system.create_branch('db.wapt', 'audit', 2)")
+        .collect()
+      s.sql("INSERT INTO gprobe.db.wapt.branch_audit " +
+        "SELECT CAST(n_nationkey AS BIGINT) + 100 FROM nation")
+      s.sql("DELETE FROM gprobe.db.wapt.branch_audit " +
+        "WHERE k >= 100 AND k % 2 = 1")
+      def phase(name: String, sql: String): Seq[(String, Long)] =
+        s.sql(sql).collect().map(r => (name, r.getLong(0))).toSeq
+      val before = phase("main_before", "SELECT k FROM gprobe.db.wapt")
+      val audit = phase("branch_audit",
+        "SELECT k FROM gprobe.db.wapt.branch_audit")
+      s.sql("CALL gprobe.system.fast_forward('db.wapt', 'audit')").collect()
+      val after = phase("main_after", "SELECT k FROM gprobe.db.wapt")
+      (before ++ audit ++ after).toDF("phase", "k").orderBy("phase", "k")
+    },
+
     // Iceberg-parity `_file` metadata column through the graft catalog
     // (GraftTable + FileTaggedScans): rows tagged with their source data
     // file inside ONE delegate scan — rows-only (paths are

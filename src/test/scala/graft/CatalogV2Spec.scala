@@ -354,7 +354,72 @@ class CatalogV2Spec extends AnyFunSuite {
       "SELECT * FROM g2.db.tagged VERSION AS OF 'nope'").collect() }
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + msgs(t.getCause)
-    assert(msgs(err).contains("no tag 'nope'"))
+    assert(msgs(err).contains("no tag or branch 'nope'"))
+  }
+
+  test("WAP branches: stage, audit, fast-forward publish, expiry safety") {
+    spark.sql("CREATE TABLE g2.db.wap (a INT)")          // v1 empty
+    spark.sql("INSERT INTO g2.db.wap VALUES (1), (2)")   // v2 main
+    val created = spark.sql(
+      "CALL g2.system.create_branch('db.wap', 'audit', 2)").collect()
+    assert(created.head.getString(0) == "audit" &&
+      created.head.getLong(1) == 2L)
+    // stage on the branch: MAIN MUST NOT SEE IT
+    spark.sql("INSERT INTO g2.db.wap.branch_audit VALUES (3), (4)")
+    assert(spark.sql("SELECT count(*) FROM g2.db.wap")
+      .collect().head.getLong(0) == 2)
+    // audit reads: the branch handle and VERSION AS OF '<branch>'
+    assert(spark.sql("SELECT a FROM g2.db.wap.branch_audit ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(spark.sql("SELECT a FROM g2.db.wap VERSION AS OF 'audit' ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    // staged commits stack; a row-level fixup on the branch stays staged
+    spark.sql("INSERT INTO g2.db.wap.branch_audit VALUES (5)")
+    spark.sql("DELETE FROM g2.db.wap.branch_audit WHERE a = 4")
+    assert(spark.sql("SELECT a FROM g2.db.wap.branch_audit ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 5))
+    assert(spark.sql("SELECT count(*) FROM g2.db.wap")
+      .collect().head.getLong(0) == 2)
+    // .refs lists the branch with its fork point
+    val refs = spark.sql(
+      "SELECT name, type, version FROM g2.db.wap.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs == Seq(("audit", "BRANCH", 2L)))
+    // a tag cannot shadow a branch name (one VERSION AS OF namespace)
+    intercept[Exception] { spark.sql(
+      "CALL g2.system.create_tag('db.wap', 'audit', 2)").collect() }
+    // expiry keeps the fork snapshot AND the staged files alive
+    val (droppedW, _) = graft.catalog.Maintenance.expireSnapshots(
+      spark, "g2.db.wap", keepLast = 1)
+    assert(droppedW == 1) // only v1; v2 is the branch fork point
+    assert(spark.sql("SELECT a FROM g2.db.wap.branch_audit ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 5))
+    // publish: main jumps to the branch head atomically
+    val pub = spark.sql(
+      "CALL g2.system.fast_forward('db.wap', 'audit')").collect()
+    assert(pub.head.getLong(0) == 3L)
+    assert(spark.sql("SELECT a FROM g2.db.wap ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 5))
+    // the branch now points at the published snapshot and keeps working
+    assert(spark.sql("SELECT a FROM g2.db.wap.branch_audit ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 5))
+    // NOT fast-forwardable once main moves past a branch's fork point
+    spark.sql("CALL g2.system.create_branch('db.wap', 'late', 3)").collect()
+    spark.sql("INSERT INTO g2.db.wap VALUES (9)") // main v4
+    spark.sql("INSERT INTO g2.db.wap.branch_late VALUES (8)")
+    val ffErr = intercept[Exception] { spark.sql(
+      "CALL g2.system.fast_forward('db.wap', 'late')").collect() }
+    def msgs2(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs2(t.getCause)
+    assert(msgs2(ffErr).contains("not fast-forwardable"))
+    // dropping the branch removes its ref and staged log
+    assert(spark.sql("CALL g2.system.drop_branch('db.wap', 'late')")
+      .collect().head.getBoolean(0))
+    intercept[Exception] { spark.sql(
+      "SELECT * FROM g2.db.wap.branch_late").collect() }
+    // a never-branched name is not writable
+    intercept[Exception] { spark.sql(
+      "INSERT INTO g2.db.wap.branch_ghost VALUES (7)") }
   }
 
   test("bloom sidecars skip point lookups where footer min/max can't prune") {
