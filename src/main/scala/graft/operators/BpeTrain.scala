@@ -34,6 +34,36 @@ object BpeTrain {
   private def spaced(word: Column): Column =
     concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
 
+  /** The GPT-2 byte→unicode bijection (Radford et al. 2019; the public
+    * encoder.py `bytes_to_unicode`): printable latin-1 bytes map to
+    * themselves, every other byte to consecutive code points from
+    * U+0100. Each of the 256 bytes gets a PRINTABLE single-codepoint
+    * symbol, so byte-level merges ride the same space-sentineled string
+    * machinery as character BPE — and any UTF-8 input (or arbitrary
+    * binary) tokenizes without an unknown-character escape hatch. */
+  val ByteUnicode: IndexedSeq[String] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (printable(b)) new String(Character.toChars(b))
+      else { val s = new String(Character.toChars(256 + n)); n += 1; s }
+    }
+  }
+
+  /** ' Ã ¤ x ' — the word's UTF-8 bytes through [[ByteUnicode]], space-
+    * sentineled. Bytes come from the hex of the encoded word (two hex
+    * digits per byte), the same derivation the DuckDB oracle replays. */
+  private def byteSpaced(word: Column): Column = {
+    val mapArr = array(ByteUnicode.map(lit): _*)
+    // qualified: this object's own `encode` shadows functions.encode
+    val h = lower(hex(org.apache.spark.sql.functions.encode(word, "UTF-8")))
+    val syms = transform(
+      sequence(lit(1), (length(h) / lit(2)).cast("int")),
+      i => element_at(mapArr,
+        conv(h.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1))
+    concat(lit(" "), concat_ws(" ", syms), lit(" "))
+  }
+
   private def adjacentPairs(syms: Column): Column =
     when(size(syms) >= 2,
       transform(sequence(lit(1), size(syms) - 1), i =>
@@ -51,15 +81,30 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      trainRounds(spark, base, merges)
+      trainRounds(spark, base, merges, spaced)
+    } finally base.unpersist()
+  }
+
+  /** [[train]] at BYTE level: seed symbols are the words' UTF-8 bytes
+    * through [[ByteUnicode]] instead of their code points — multi-byte
+    * characters start split and must EARN their merge, exactly GPT-2's
+    * vocabulary construction. Same distributed shape as [[train]]. */
+  def trainBytes(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    val base = df
+      .select(explode(Dedup.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      trainRounds(spark, base, merges, byteSpaced)
     } finally base.unpersist()
   }
 
   private def trainRounds(spark: SparkSession, base: DataFrame,
-      merges: Int): DataFrame = {
+      merges: Int, seed: Column => Column): DataFrame = {
     var acc = Vector.empty[(Int, String, String, Long)]
     for (r <- 1 to merges) {
-      val sCol = acc.foldLeft(spaced(col("word"))) { case (c, (_, p, m, _)) =>
+      val sCol = acc.foldLeft(seed(col("word"))) { case (c, (_, p, m, _)) =>
         (1 to MergePasses).foldLeft(c)((cc, _) =>
           call_function("replace", cc, lit(s" $p "), lit(s" $m ")))
       }
@@ -85,11 +130,22 @@ object BpeTrain {
     * runs in order. One extra explode + per-doc bounded collect on top
     * of training. */
   def encode(df: DataFrame, idCol: String, textCol: String,
-      merges: Int): DataFrame = {
-    val learned = train(df, textCol, merges).collect()
+      merges: Int): DataFrame =
+    encodeWith(df, idCol, textCol, merges, spaced, train)
+
+  /** [[encode]] under a [[trainBytes]] vocabulary: byte-level symbol
+    * sequences per document. */
+  def encodeBytes(df: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame =
+    encodeWith(df, idCol, textCol, merges, byteSpaced, trainBytes)
+
+  private def encodeWith(df: DataFrame, idCol: String, textCol: String,
+      merges: Int, seed: Column => Column,
+      trainer: (DataFrame, String, Int) => DataFrame): DataFrame = {
+    val learned = trainer(df, textCol, merges).collect()
       .sortBy(_.getAs[Int]("rank"))
       .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
-    val chain = learned.foldLeft(spaced(col("word"))) { case (c, (p, m)) =>
+    val chain = learned.foldLeft(seed(col("word"))) { case (c, (p, m)) =>
       (1 to MergePasses).foldLeft(c)((cc, _) =>
         call_function("replace", cc, lit(s" $p "), lit(s" $m ")))
     }
@@ -124,9 +180,10 @@ object BpeTrain {
   /** The shared training CTE chain (w, s0, p1..b1..s1, …, s`merges`);
     * MATERIALIZED throughout — inlined CTEs would expand the chain
     * exponentially through the repeated argmax subqueries. */
-  private def oracleCtes(table: String, merges: Int): String = {
+  private def oracleCtes(table: String, merges: Int,
+      textSql: String = "text", byteLevel: Boolean = false): String = {
     val duckWords =
-      """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+      s"""list_filter(string_split_regex(lower($textSql), '\\s+'), x -> x <> '')"""
     val rounds = (1 to merges).map { r =>
       val prev = if (r == 1) "s0" else s"s${r - 1}"
       val rep = (1 to MergePasses).foldLeft("s") { (acc, _) =>
@@ -141,13 +198,43 @@ object BpeTrain {
          |b$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
          |s$r AS MATERIALIZED (SELECT word, cnt, $rep AS s FROM $prev)""".stripMargin
     }.mkString(",\n")
+    // byte level: the seed symbol string maps each UTF-8 byte (two hex
+    // digits of the encoded word) through the ByteUnicode table — the
+    // same md5-hex digit arithmetic the simhash oracle uses
+    val s0 = if (byteLevel) {
+      val mapList = ByteUnicode
+        .map(sym => "'" + sym.replace("'", "''") + "'")
+        .mkString("[", ", ", "]")
+      s"""s0 AS MATERIALIZED (SELECT word, cnt,
+         |  ' ' || array_to_string([$mapList[
+         |      (instr('0123456789abcdef', substr(h, 2*CAST(i AS INT)-1, 1))-1)*16
+         |      + instr('0123456789abcdef', substr(h, 2*CAST(i AS INT), 1))]
+         |    for i in range(1, length(h)//2 + 1)], ' ') || ' ' AS s
+         |  FROM (SELECT word, cnt, lower(hex(encode(word))) AS h FROM w))"""
+        .stripMargin
+    } else {
+      s"""s0 AS MATERIALIZED (SELECT word, cnt,
+         |  ' ' || array_to_string([substr(word, CAST(i AS INT), 1)
+         |                          for i in range(1, length(word)+1)], ' ')
+         |      || ' ' AS s FROM w)""".stripMargin
+    }
     s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |  SELECT unnest($duckWords) AS word FROM $table) GROUP BY 1),
-       |s0 AS MATERIALIZED (SELECT word, cnt,
-       |  ' ' || array_to_string([substr(word, CAST(i AS INT), 1)
-       |                          for i in range(1, length(word)+1)], ' ')
-       |      || ' ' AS s FROM w),
+       |$s0,
        |$rounds""".stripMargin
+  }
+
+  /** DuckDB replay of [[trainBytes]]: the same chained-CTE rounds over
+    * the byte-level seed; `textSql` lets the probe plant multi-byte
+    * characters (the synthetic corpus is ASCII, where byte level would
+    * degenerate to character level). */
+  def bytesOracleSql(table: String, merges: Int,
+      textSql: String = "text"): String = {
+    val out = (1 to merges).map(r =>
+      s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, n FROM b$r")
+      .mkString("\nUNION ALL ")
+    oracleCtes(table, merges, textSql, byteLevel = true) +
+      "\n" + out + "\nORDER BY rank"
   }
 
   /** DuckDB replay: the same rounds as chained CTEs, same pass count. */

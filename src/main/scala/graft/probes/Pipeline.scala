@@ -825,6 +825,25 @@ object Pipeline {
         .orderBy("rank")
     },
 
+    // BYTE-level BPE training (the GPT-2 vocabulary construction): seed
+    // symbols are UTF-8 bytes through the ByteUnicode bijection, so
+    // multi-byte characters start split and must earn their merge. The
+    // corpus is ASCII — where byte level degenerates to character level
+    // — so the probe PLANTS multi-byte characters ('a'→'ä', 'e'→'é',
+    // both engines' translate) and the learned table must merge the
+    // split UTF-8 pairs back. Oracle replays the full loop, including
+    // the hex-digit byte extraction and the 256-entry symbol map.
+    Probe.df("q_bpe_bytes_train",
+      graft.operators.BpeTrain.bytesOracleSql("documents", 8,
+        "translate(text, 'ae', '\u00e4\u00e9')")) { (s, dir) =>
+      graft.operators.BpeTrain.trainBytes(
+          Tables.load(s, dir, "documents")
+            .withColumn("text",
+              translate(col("text"), "ae", "\u00e4\u00e9")),
+          "text", 8)
+        .orderBy("rank")
+    },
+
     // BPE encoding through the learned merge table: per-document symbol
     // sequences, flattened in word order. Oracle joins the training
     // chain's final word→symbols mapping back to the corpus. Symbols are

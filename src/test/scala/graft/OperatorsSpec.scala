@@ -783,6 +783,41 @@ class OperatorsSpec extends AnyFunSuite {
       "low", "e", "r", "low", "e", "s", "t"))
   }
 
+  test("ByteUnicode is a 256-way bijection of printable single codepoints") {
+    import graft.operators.BpeTrain
+    val m = BpeTrain.ByteUnicode
+    assert(m.length == 256 && m.distinct.length == 256)
+    assert(m.forall(s => s.codePointCount(0, s.length) == 1))
+    // printable latin-1 bytes map to themselves; space does not
+    assert(m(97) == "a" && m(33) == "!" && m(255) == "\u00ff")
+    assert(m(32) == "\u0120") // GPT-2's 'Ġ'
+  }
+
+  test("byte-level bpe splits multi-byte chars and earns their merge") {
+    import graft.operators.BpeTrain
+    // U+00E4 is 0xC3 0xA4 -> seed symbols are bytes 195 and 164; the
+    // dominant pair is that UTF-8 split pair, so merge 1 restores it
+    val docs = Seq((1L, "b\u00e4 b\u00e4 b\u00e4 c\u00e4"))
+      .toDF("doc_id", "text")
+    val m = BpeTrain.trainBytes(docs, "text", 2).orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("n")))
+    assert(m(0) == ((1, "\u00c3 \u00a4", "\u00c3\u00a4", 4L)))
+    // round 2: 'b <0xC3><0xA4>' (3) beats 'c <0xC3><0xA4>' (1)
+    assert(m(1) == ((2, "b \u00c3\u00a4", "b\u00c3\u00a4", 3L)))
+    // encodeBytes under the same vocab roundtrips through the inverse map
+    val syms = BpeTrain.encodeBytes(docs, "doc_id", "text", 2)
+      .collect()(0).getSeq[String](1)
+    assert(syms == Seq("b\u00c3\u00a4", "b\u00c3\u00a4", "b\u00c3\u00a4",
+      "c", "\u00c3\u00a4"))
+    val inverse = BpeTrain.ByteUnicode.zipWithIndex
+      .map { case (s, b) => s.codePointAt(0) -> b.toByte }.toMap
+    val decoded = new String(
+      syms.flatMap(t => t.codePoints().toArray.map(inverse)).toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(decoded == "b\u00e4b\u00e4b\u00e4c\u00e4")
+  }
+
   test("dictEncode ranks ids by (freq desc, token) and keeps token order") {
     import graft.operators.DictEncode
     val docs = Seq((1L, "b b a"), (2L, "a c b")).toDF("doc_id", "text")
