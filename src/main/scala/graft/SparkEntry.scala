@@ -109,5 +109,10 @@ object SparkEntry {
     // the unigram-LM tokenizer trainer (2 Viterbi-EM rounds: per round
     // one model-sized collect + one word-table aggregate; encode stays
     // correctness-tier — it reruns training then adds one pass)
-    "q_join_cosine_lsh", "q_unigram_train")
+    "q_join_cosine_lsh", "q_unigram_train",
+    // round 12 third session: large-star/small-star connected components
+    // on the adversarial deep-chain graph (~7 alternating rounds, two
+    // edge-list shuffles each, per-round localCheckpoint) — the
+    // diameter-independent CC the dedup cluster step needs at 100 TB
+    "q_dedup_cc_star")
 }

@@ -429,6 +429,116 @@ object Dedup {
                   ' ')""").as("clean_text"))
   }
 
+  /** CONTENT-DEFINED chunking duplication stats — the LBFS recipe
+    * (Muthitacharoen et al., SOSP '01) at word granularity, in the
+    * stateless-boundary form: a chunk boundary falls AFTER word i when
+    * the `gramWords`-word gram ENDING at i hashes to 0 mod `modulus`
+    * (expected chunk length = modulus words). Boundaries depend only on
+    * the local gram, so an insertion near the top of a page shifts ONLY
+    * the chunks overlapping the edit — where [[chunkDupStats]]'s fixed
+    * windows all shift and every downstream chunk's fingerprint changes.
+    * That shift robustness is what makes CDC the industrial dedup tier
+    * for near-identical scraped pages (headers injected, dates bumped).
+    *
+    * Scale shape: gram hashing happens INSIDE the per-doc array (only a
+    * boolean rides the explode, never the gram text); one shuffle
+    * partitions word rows by doc for the boundary-cumsum window; chunk
+    * fingerprinting groups on the same (id) partitioning (exchange
+    * reusable); duplicate detection shuffles 16-byte fingerprints; the
+    * (tiny) duplicated-fp set broadcasts back. Docs with no words are
+    * excluded. Output: (id, n_chunks, n_dup_chunks, dup_frac) —
+    * duplication = fingerprint in ≥2 DISTINCT docs, as in
+    * [[chunkDupStats]]; dup_frac is one IEEE division of exact counts. */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      gramWords: Int = 4, modulus: Int = 8): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, gramWords, modulus)
+    val dupFps = chunks.select("id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("fp").as("dfp"))
+    chunks.join(dupFps, col("fp") === col("dfp"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dfp").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** The CDC chunk table (id, chunk index, fingerprint) — the reusable
+    * half of [[cdcChunkDedup]]; the spec pins shift robustness on it. */
+  private[graft] def cdcChunks(df: DataFrame, idCol: String,
+      textCol: String, gramWords: Int, modulus: Int): DataFrame = {
+    val w = gramWords
+    val pos = df
+      .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 1)
+      .select(col("id"), explode(expr(
+        s"""transform(ws, (wd, i) -> struct(i + 1 AS pos, wd AS word,
+           |  CASE WHEN i + 1 >= $w THEN
+           |    CAST(conv(substr(md5(array_join(
+           |      slice(ws, i + 2 - $w, $w), ' ')), 1, 15), 16, 10)
+           |      AS BIGINT) % $modulus = 0
+           |  ELSE false END AS bnd))""".stripMargin)).as("g"))
+      .select(col("id"), col("g.pos").as("pos"),
+        col("g.word").as("word"), col("g.bnd").as("bnd"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    // word i's chunk = boundaries strictly before i (boundary AFTER j
+    // opens a new chunk at j+1)
+    val chunked = pos.withColumn("chunk",
+      coalesce(sum(col("bnd").cast("int")).over(
+          byDoc.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0)))
+    chunked
+      .groupBy("id", "chunk")
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ")).as("fp"))
+  }
+
+  /** DuckDB replay of [[cdcChunkDedup]]: same gram-hash boundary rule
+    * (the md5-hex digit arithmetic of the simhash oracle), same shifted
+    * cumsum, same distinct-doc duplication rule. */
+  def cdcOracleSql(table: String, idCol: String,
+      gramWords: Int = 4, modulus: Int = 8): String = {
+    val w = gramWords
+    val duckWords =
+      """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+    val md5int = (s: String) =>
+      s"""CAST(list_sum(list_transform(range(15), j ->
+         |  CAST(instr('0123456789abcdef',
+         |    substr(md5($s), CAST(j AS INT)+1, 1)) - 1 AS BIGINT)
+         |  << CAST(4*(14-j) AS BIGINT))) AS BIGINT)""".stripMargin
+    val gram =
+      s"array_to_string(ws[CAST(i-$w+1 AS INT):CAST(i AS INT)], ' ')"
+    s"""WITH w AS (SELECT $idCol, $duckWords AS ws FROM $table),
+       |p AS (SELECT $idCol, unnest([{'pos': i,
+       |    'word': ws[CAST(i AS INT)],
+       |    'bnd': CASE WHEN i >= $w THEN
+       |      (${md5int(gram)}) % $modulus = 0 ELSE false END}
+       |  for i in range(1, len(ws)+1)]) AS g
+       |  FROM w WHERE len(ws) >= 1),
+       |q AS (SELECT $idCol, g.pos AS pos, g.word AS word, g.bnd AS bnd
+       |      FROM p),
+       |c AS (SELECT $idCol, pos, word,
+       |    coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY $idCol ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM q),
+       |ch AS (SELECT $idCol, chunk,
+       |    md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+       |  FROM c GROUP BY $idCol, chunk),
+       |dup AS (SELECT fp FROM (SELECT DISTINCT $idCol, fp FROM ch)
+       |        GROUP BY fp HAVING count(*) >= 2)
+       |SELECT $idCol, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) FILTER (WHERE fp IN (SELECT fp FROM dup))
+       |    AS BIGINT) AS n_dup_chunks,
+       |  CAST(count(*) FILTER (WHERE fp IN (SELECT fp FROM dup))
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+       |FROM ch GROUP BY $idCol
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** Exact blocked all-pairs n-gram Jaccard: the quadratic baseline, kept
     * honest by a blocking key (same language, similar length, ...). The
     * scale path is [[minhashLshPairs]]; this is its verification oracle. */

@@ -450,6 +450,21 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // CONTENT-DEFINED chunking dedup (LBFS, stateless w-gram boundary):
+    // boundaries from the content itself, so shifted near-copies keep
+    // their downstream chunk fingerprints (OperatorsSpec pins the shift
+    // robustness; q_dedup_chunks' fixed windows are the contrast).
+    // Oracle replays gram hashing (md5-hex digits), the shifted
+    // boundary cumsum, and the distinct-doc duplication rule.
+    Probe.df("q_dedup_cdc",
+      Dedup.cdcOracleSql("documents", "doc_id")) { (s, dir) =>
+      Dedup.cdcChunkDedup(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_chunks"),
+          col("n_dup_chunks"), col("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // Maximal duplicated-SPAN removal (Lee et al. 2022 ExactSubstr at
     // word granularity): sliding 10-word grams, cross-doc duplicated
     // grams merged into maximal spans, documents REBUILT with the spans

@@ -783,6 +783,33 @@ class OperatorsSpec extends AnyFunSuite {
       "low", "e", "r", "low", "e", "s", "t"))
   }
 
+  test("cdc chunking is shift-robust where fixed windows are not") {
+    // 80 deterministic pseudo-words; the near-copy prepends ONE word
+    val baseWords = (1 to 80).map(i => s"tok${i * 7 % 97}")
+    val d = Seq(
+      (1L, baseWords.mkString(" ")),
+      (2L, ("intro" +: baseWords).mkString(" "))).toDF("doc_id", "text")
+    val fps = Dedup.cdcChunks(d, "doc_id", "text", 4, 8)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert(f1.size >= 4, s"fixture too short: ${f1.size} chunks")
+    // content-defined boundaries realign after the edit: every chunk of
+    // doc 1 except (at most) the head region survives in doc 2
+    assert((f1 -- f2).size <= 2,
+      s"CDC lost ${(f1 -- f2).size} of ${f1.size} chunks to a 1-word shift")
+    // contrast: 20-word FIXED windows all shift -> zero duplication
+    val fixed = Dedup.chunkDupStats(d, "doc_id", "text", chunkWords = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixed(1L) == 0L && fixed(2L) == 0L)
+    // and the CDC dup stats see the shared chunks
+    val cdc = Dedup.cdcChunkDedup(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cdc(1L)._2 >= cdc(1L)._1 - 2,
+      s"expected most of doc 1's ${cdc(1L)._1} chunks duplicated, " +
+        s"got ${cdc(1L)._2}")
+  }
+
   test("ByteUnicode is a 256-way bijection of printable single codepoints") {
     import graft.operators.BpeTrain
     val m = BpeTrain.ByteUnicode
