@@ -25,7 +25,7 @@ object Procedures {
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "add_blooms",
       "create_tag", "drop_tag", "changes",
-      "create_branch", "drop_branch", "fast_forward")
+      "create_branch", "drop_branch", "fast_forward", "rollback_to_version")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -112,6 +112,21 @@ object Procedures {
         val dir = Maintenance.tableDir(SparkSession.active, full(in))
         Array(new GenericInternalRow(Array[Any](
           Snapshots.dropTag(dir, s(in, 1)))))
+      }
+      case "rollback_to_version" => proc(
+        "rollback_to_version",
+        "restore an older snapshot's content as the next main snapshot " +
+          "(append-only: history is never rewritten — Iceberg " +
+          "rollback_to_snapshot)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", IntegerType).build()),
+        StructType(Seq(StructField("restored_version", LongType),
+          StructField("new_version", LongType)))) { in =>
+        val dir = Maintenance.tableDir(SparkSession.active, full(in))
+        val snap = Snapshots.rollbackTo(dir, in.getInt(1).toLong)
+        Array(new GenericInternalRow(Array[Any](
+          in.getInt(1).toLong, snap.version)))
       }
       case "create_branch" => proc(
         "create_branch",

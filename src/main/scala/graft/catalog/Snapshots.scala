@@ -366,6 +366,23 @@ object Snapshots {
       snap
     }
 
+  /** Roll the table back to an older snapshot's content: appends a NEW
+    * main snapshot with version `v`'s file list (the log stays append-
+    * only and fully auditable — Iceberg's rollback_to_snapshot moves the
+    * main ref the same way; history is never rewritten). Runs under the
+    * refs lock so a concurrent expiry sweep cannot decide to delete the
+    * files this rollback is about to re-reference: either the target
+    * snapshot survived the sweep (its files are live) or it was dropped
+    * and this fails loudly. */
+  def rollbackTo(tableDir: Path, version: Long): Snap =
+    withRefsLock(tableDir) {
+      val target = byVersion(tableDir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot roll back: no snapshot v$version (have " +
+            list(tableDir).map(_.version).mkString("[", ",", "]") + ")"))
+      commitWith(tableDir)(_ => target.files)
+    }
+
   /** Every data file referenced by any branch-log snapshot — kept LIVE
     * by expireSnapshots so staged-but-unpublished work can't be
     * destroyed by a maintenance sweep (fork-point main snapshots are

@@ -357,6 +357,22 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(msgs(err).contains("no tag or branch 'nope'"))
   }
 
+  test("rollback_to_version restores old content as a NEW snapshot") {
+    spark.sql("CREATE TABLE g2.db.rollb (a INT)")          // v1
+    spark.sql("INSERT INTO g2.db.rollb VALUES (1), (2)")   // v2
+    spark.sql("INSERT OVERWRITE g2.db.rollb VALUES (9)")   // v3
+    val out = spark.sql(
+      "CALL g2.system.rollback_to_version('db.rollb', 2)").collect()
+    assert(out.head.getLong(0) == 2L && out.head.getLong(1) == 4L)
+    assert(spark.sql("SELECT a FROM g2.db.rollb ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // append-only history: the overwritten state is still readable
+    assert(spark.sql("SELECT a FROM g2.db.rollb VERSION AS OF 3")
+      .collect().map(_.getInt(0)).toSeq == Seq(9))
+    intercept[Exception] { spark.sql(
+      "CALL g2.system.rollback_to_version('db.rollb', 99)").collect() }
+  }
+
   test("WAP branches: stage, audit, fast-forward publish, expiry safety") {
     spark.sql("CREATE TABLE g2.db.wap (a INT)")          // v1 empty
     spark.sql("INSERT INTO g2.db.wap VALUES (1), (2)")   // v2 main

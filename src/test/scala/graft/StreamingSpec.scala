@@ -433,6 +433,45 @@ class StreamingSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == 7.5)
   }
 
+  test("streaming WAP: micro-batches stage on a branch, publish atomically") {
+    // the production shape: a stream lands on an AUDIT branch; consumers
+    // of main see NOTHING until a (human or rule) gate fast-forwards —
+    // then the whole staged history becomes visible in one commit
+    val wh = Files.createTempDirectory("graft_wh_swap").toString
+    spark.conf.set("spark.sql.catalog.gswap", "graft.catalog.MetaCatalog")
+    spark.conf.set("spark.sql.catalog.gswap.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gswap.s")
+    spark.sql("CREATE TABLE gswap.s.ev (user_id BIGINT, value DOUBLE)") // v1
+    spark.sql("INSERT INTO gswap.s.ev VALUES (0, 0.5)")                 // v2
+    spark.sql("CALL gswap.system.create_branch('s.ev', 'ingest', 2)").collect()
+
+    val dir = Files.createTempDirectory("graft_fb_wap").toFile
+    Seq((1L, 1.5), (2L, 2.5)).toDF("user_id", "value")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val stream = spark.readStream
+      .schema(Seq((1L, 1.0)).toDF("user_id", "value").schema)
+      .parquet(s"$dir/*")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.writeTo("gswap.s.ev.branch_ingest").append()
+      }
+      .start()
+    q.processAllAvailable()
+    Seq((3L, 3.5)).toDF("user_id", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+
+    // staged rows are invisible on main, visible on the branch
+    assert(spark.sql("SELECT count(*) FROM gswap.s.ev")
+      .collect().head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM gswap.s.ev.branch_ingest")
+      .collect().head.getLong(0) == 4)
+    spark.sql("CALL gswap.system.fast_forward('s.ev', 'ingest')").collect()
+    assert(spark.sql("SELECT sum(value) FROM gswap.s.ev")
+      .collect().head.getDouble(0) == 8.0)
+  }
+
   test("flatMapGroupsWithState event-time timeout closes sessions exactly once") {
     val dir = Files.createTempDirectory("graft_fmg").toFile
     val out = s"graft_fmg_out_${System.nanoTime()}"
