@@ -114,5 +114,9 @@ object SparkEntry {
     // on the adversarial deep-chain graph (~7 alternating rounds, two
     // edge-list shuffles each, per-round localCheckpoint) — the
     // diameter-independent CC the dedup cluster step needs at 100 TB
-    "q_dedup_cc_star")
+    "q_dedup_cc_star",
+    // round 12 third session: content-defined chunking dedup — boolean
+    // boundary flags ride the explode, one doc-partitioned window, chunk
+    // group on the same partitioning
+    "q_dedup_cdc")
 }

@@ -366,4 +366,53 @@ object Maintenance {
     }
     (drop.length, dead.size)
   }
+
+  /** Delete data files under data/ that NO snapshot references — not any
+    * main-log version (current or historical), not any branch-log
+    * staged commit (Iceberg's remove_orphan_files). Orphans come from
+    * dropped branches, failed write attempts whose task files moved but
+    * whose commit lost the CAS, and crashed drivers. `olderThanMillis`
+    * is the in-flight-write guard (Iceberg's older_than): a file younger
+    * than the cutoff may belong to a commit that hasn't published yet,
+    * so it is NEVER deleted — callers use 0 only in tests.
+    * Runs the reference scan under the refs lock so a concurrent commit
+    * / branch write can't publish a file this sweep already classified
+    * as orphaned. Returns the number of files deleted. */
+  def removeOrphanFiles(spark: SparkSession, ident: String,
+      olderThanMillis: Long = 24L * 3600 * 1000): Int = {
+    val dir = tableDir(spark, ident)
+    val dataDir = dir.resolve("data")
+    if (!Files.isDirectory(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val dead = Snapshots.withRefsLock(dir) {
+      val snaps = Snapshots.list(dir)
+      // pre-snapshot (v1-era) table: visibility IS the data-dir walk, so
+      // nothing under data/ is ever an orphan
+      if (snaps.isEmpty) return 0
+      val referenced = snaps.flatMap(_.files).toSet ++
+        Snapshots.branchReferencedFiles(dir)
+      scala.util.Using.resource(Files.walk(dataDir)) { st =>
+        st.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet") &&
+            !referenced.contains(dir.relativize(p).toString) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .toList
+      }
+    }
+    // unlink outside the lock (thousands of slow-storage deletes must
+    // not stall commits), plus each orphan's bloom sidecars
+    dead.foreach(Files.deleteIfExists(_))
+    val bloomsDir = dir.resolve("blooms")
+    if (Files.isDirectory(bloomsDir)) {
+      val deadNames = dead.map(_.getFileName.toString)
+      scala.util.Using.resource(Files.list(bloomsDir)) { st =>
+        st.iterator().asScala
+          .filter(p => deadNames.exists(n =>
+            p.getFileName.toString.startsWith(n + ".")))
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+    dead.length
+  }
 }

@@ -25,7 +25,8 @@ object Procedures {
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "add_blooms",
       "create_tag", "drop_tag", "changes",
-      "create_branch", "drop_branch", "fast_forward", "rollback_to_version")
+      "create_branch", "drop_branch", "fast_forward", "rollback_to_version",
+      "remove_orphan_files")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -112,6 +113,20 @@ object Procedures {
         val dir = Maintenance.tableDir(SparkSession.active, full(in))
         Array(new GenericInternalRow(Array[Any](
           Snapshots.dropTag(dir, s(in, 1)))))
+      }
+      case "remove_orphan_files" => proc(
+        "remove_orphan_files",
+        "delete data files no snapshot (main or branch) references — " +
+          "dropped-branch leftovers, lost-CAS write attempts; " +
+          "older_than_hours guards in-flight writes (Iceberg " +
+          "remove_orphan_files)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_hours", IntegerType).build()),
+        StructType(Seq(StructField("files_deleted", IntegerType)))) { in =>
+        Array(new GenericInternalRow(Array[Any](
+          Maintenance.removeOrphanFiles(SparkSession.active, full(in),
+            in.getInt(1).toLong * 3600 * 1000))))
       }
       case "rollback_to_version" => proc(
         "rollback_to_version",

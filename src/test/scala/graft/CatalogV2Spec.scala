@@ -357,6 +357,42 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(msgs(err).contains("no tag or branch 'nope'"))
   }
 
+  test("remove_orphan_files reclaims dropped-branch leftovers, keeps " +
+      "referenced and too-young files") {
+    spark.sql("CREATE TABLE g2.db.orph (a INT)")          // v1
+    spark.sql("INSERT INTO g2.db.orph VALUES (1)")        // v2
+    spark.sql("CALL g2.system.create_branch('db.orph', 'tmp', 2)").collect()
+    spark.sql("INSERT INTO g2.db.orph.branch_tmp VALUES (2), (3)")
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "orph")
+    def dataFiles: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir.resolve("data"))) {
+        _.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(_.toString).toSet
+      }
+    }
+    val before = dataFiles
+    // branch-referenced staged files are NOT orphans
+    assert(graft.catalog.Maintenance.removeOrphanFiles(
+      spark, "g2.db.orph", olderThanMillis = 0) == 0)
+    assert(spark.sql("CALL g2.system.drop_branch('db.orph', 'tmp')")
+      .collect().head.getBoolean(0))
+    // too-young guard: default cutoff deletes nothing
+    assert(spark.sql(
+      "CALL g2.system.remove_orphan_files('db.orph', 24)").collect()
+      .head.getInt(0) == 0)
+    assert(dataFiles == before)
+    // cutoff 0: the dropped branch's staged files are reclaimed
+    val n = graft.catalog.Maintenance.removeOrphanFiles(
+      spark, "g2.db.orph", olderThanMillis = 0)
+    assert(n >= 1, s"expected staged orphans reclaimed, got $n")
+    assert(spark.sql("SELECT a FROM g2.db.orph").collect()
+      .map(_.getInt(0)).toSeq == Seq(1), "main content untouched")
+    assert(spark.sql("SELECT a FROM g2.db.orph VERSION AS OF 1").collect()
+      .isEmpty) // historical snapshots still resolve
+  }
+
   test("rollback_to_version restores old content as a NEW snapshot") {
     spark.sql("CREATE TABLE g2.db.rollb (a INT)")          // v1
     spark.sql("INSERT INTO g2.db.rollb VALUES (1), (2)")   // v2
