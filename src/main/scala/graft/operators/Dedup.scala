@@ -812,6 +812,29 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** INCREMENTAL connected components — the continual-ingest shape (the
+    * CC analog of [[minhashNovelty]]): merge a NEW batch of near-dup
+    * pairs into an EXISTING (id, cluster) assignment without re-running
+    * CC over the full history. The old assignment is already a star
+    * forest, so re-starring (old star edges ∪ new pairs) converges in
+    * O(log² batch-diameter) rounds over |old labels| + |new pairs| edges
+    * — never re-reads the corpus, never re-generates old pairs. Labels
+    * of untouched components come back unchanged (their stars are
+    * already fixpoints); components bridged by a new pair re-root at the
+    * combined min. */
+  def clusterPairsDelta(labels: DataFrame, newPairs: DataFrame,
+      idaCol: String = "ida", idbCol: String = "idb"): DataFrame = {
+    val starEdges = labels
+      .select(col("id").as(idaCol), col("cluster").as(idbCol))
+      .where(col(idaCol) =!= col(idbCol)) // roots' self-rows aren't edges
+    val merged = clusterPairsStar(starEdges.unionByName(
+      newPairs.select(col(idaCol), col(idbCol))), idaCol, idbCol)
+    // old SINGLETON labels (id == cluster, no co-members) have no star
+    // edge and no new pair — carry them through unchanged
+    merged.unionByName(labels.select(col("id"), col("cluster"))
+      .join(merged.select("id"), Seq("id"), "left_anti"))
+  }
+
   /** SimHash band keys over DuckDB-REPLICABLE word hashes: the 60-bit
     * prefix of md5(word) (both engines render the same lowercase hex, and
     * 15 hex chars fit a BIGINT under ANSI). This is the cross-engine

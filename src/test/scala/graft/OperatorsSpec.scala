@@ -267,6 +267,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterPairsDelta merges new pairs into an existing assignment " +
+      "without re-reading old pairs") {
+    // old clusters: {1,2,3} rooted at 1, {7,9} at 7, singleton 5
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L),
+      (5L, 5L)).toDF("id", "cluster")
+    // a new pair bridges the two components; another adds a new doc
+    val newPairs = Seq((3L, 9L), (11L, 12L)).toDF("ida", "idb")
+    val out = Dedup.clusterPairsDelta(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 9L -> 1L,
+      5L -> 5L, 11L -> 11L, 12L -> 11L))
+    // equivalent to full CC over old+new pairs (plus the singleton)
+    val full = Dedup.clusterPairs(
+      Seq((1L, 2L), (2L, 3L), (7L, 9L), (3L, 9L), (11L, 12L))
+        .toDF("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out - 5L == full)
+  }
+
   test("clusterPairsStar converges in O(log n) rounds on a deep chain") {
     // a 64-node path has diameter 63: min-label propagation needs ~63
     // shuffle rounds; the alternating algorithm must stay logarithmic
