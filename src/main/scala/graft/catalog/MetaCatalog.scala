@@ -182,6 +182,14 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
         if (tableExists(base))
           return new RefsTable(s"${fullName(base)}.refs", tablePath(base))
       }
+      // `cat.ns.t.partitions`: per-partition file/row/byte counts of the
+      // current snapshot (Iceberg partitions metadata table).
+      if (ident.name() == "partitions" && ident.namespace().nonEmpty) {
+        val base = Identifier.of(ident.namespace().init, ident.namespace().last)
+        if (tableExists(base))
+          return new PartitionsTable(s"${fullName(base)}.partitions",
+            tablePath(base))
+      }
       // `cat.ns.t.branch_<name>`: a READ-WRITE handle on a WAP branch
       // (Iceberg's Spark branch-write surface) — reads see the branch
       // head, writes stage on the branch's private log; main untouched.

@@ -159,6 +159,27 @@ class CatalogV2Spec extends AnyFunSuite {
       s"expected region=eu in PartitionFilters:\n$plan")
   }
 
+  test(".partitions metadata table reports per-partition file/row/byte counts") {
+    // reuses g2.db.part from the test above (eu: 2 rows, us: 1, ap: 1)
+    val parts = spark.sql(
+      "SELECT partition, file_count, record_count FROM g2.db.part.partitions " +
+        "ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(parts.map(_._1) == Seq("region=ap", "region=eu", "region=us"))
+    assert(parts.map(_._3) == Seq(1L, 2L, 1L), s"row counts: $parts")
+    assert(parts.forall(_._2 >= 1L))
+    // unpartitioned table: ONE empty-string partition row
+    spark.sql("CREATE TABLE g2.db.nopart (a INT)")
+    spark.sql("INSERT INTO g2.db.nopart VALUES (1), (2), (3)")
+    val np = spark.sql(
+      "SELECT partition, record_count FROM g2.db.nopart.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(np == Seq(("", 3L)), np.toString)
+    // sizes come from the filesystem and are positive
+    assert(spark.sql("SELECT sum(size_bytes) FROM g2.db.part.partitions")
+      .collect().head.getLong(0) > 0L)
+  }
+
   test("partitioned table: translatable DELETE still takes deleteWhere " +
       "(metadata path, no rewrite); ReplaceData ops route partitions") {
     // Regression: SupportsRowLevelOperations is matched by
