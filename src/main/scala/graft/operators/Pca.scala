@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained PCA over an embedding column — the learned counterpart of
+  * [[RandomProjection]] (whitening / decorrelation before SemDeDup-style
+  * clustering, PQ codebooks, or cosine LSH; the reference has no vector
+  * surface at all, lib.rs:678).
+  *
+  * Fit is split the only way that is EXACT at scale: the distributed
+  * pass accumulates integer statistics (quantized component sums m and
+  * the second-moment outer products S), and the covariance-shaped Gram
+  * `G = n·S − m·mᵀ` is assembled from them — integer arithmetic is
+  * associative, so G is bit-identical under any partitioning and the
+  * DuckDB oracle replays it exactly (floats would differ by reduction
+  * order). The o(dim²) eigensolve (cyclic Jacobi) runs on the driver —
+  * at 100 TB the data pass is the cost; a 64×64 eigensolve is free.
+  *
+  * Scale shape: the S pass explodes dim² products per row but they
+  * map-side combine into dim² groups, so the shuffle carries
+  * O(dim² · partitions) rows; the m pass is the same at O(dim). The
+  * quantized-sum magnitudes bound exactness: sums are accumulated as
+  * DECIMAL(38,0), exact past 10^37 — n·2^(2·quantBits+2·log2|x|)
+  * stays far inside that for any realistic corpus (int64 would wrap at
+  * ~10^6 rows already, which is why the accumulator is decimal).
+  */
+object Pca {
+
+  /** Quantized components: floor(x·2^quantBits) — the
+    * [[RandomProjection]] recipe (floor, not round: no cross-engine
+    * tie-direction question). */
+  private def quantExpr(vecCol: String, quantBits: Int): Column =
+    expr(s"transform(cast($vecCol as array<double>), " +
+      s"x -> cast(floor(x * ${1L << quantBits}) as bigint))")
+
+  /** The flattened integer Gram table (i, j, g) with
+    * g = n·S[i,j] − m[i]·m[j] — n² times the covariance of the
+    * quantized vectors. Null vectors are skipped. */
+  def gramTable(df: DataFrame, vecCol: String, dim: Int,
+      quantBits: Int = 10): DataFrame = {
+    val base = df.where(col(vecCol).isNotNull)
+      .select(quantExpr(vecCol, quantBits).as("q"))
+    val dec = "decimal(38,0)"
+    val s = base
+      .select(posexplode(expr(
+        s"flatten(transform(q, x -> transform(q, y -> x * y)))"))
+        .as(Seq("pos", "prod")))
+      .groupBy("pos").agg(sum(col("prod").cast(dec)).as("s"))
+      .select((col("pos") / dim).cast("int").as("i"),
+        pmod(col("pos"), lit(dim)).cast("int").as("j"), col("s"))
+    val m = base
+      .select(posexplode(col("q")).as(Seq("k", "qk")))
+      .groupBy("k").agg(sum(col("qk").cast(dec)).as("m"),
+        count(lit(1)).as("n"))
+    val mi = m.select(col("k").as("i"), col("m").as("mi"), col("n"))
+    val mj = m.select(col("k").as("j"), col("m").as("mj"))
+    s.join(mi, "i").join(mj, "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        (col("n").cast(dec) * col("s") - col("mi") * col("mj"))
+          .cast("long").as("g"))
+  }
+
+  /** DuckDB replay of [[gramTable]] — nested comprehension outer
+    * products, HUGEINT-exact sums, same n·S − m·mᵀ assembly. */
+  def gramOracleSql(table: String, vecCol: String, dim: Int,
+      quantBits: Int = 10): String = {
+    val scale = 1L << quantBits
+    s"""WITH e AS (SELECT list_transform($vecCol::DOUBLE[],
+       |    x -> CAST(floor(x * $scale.0) AS BIGINT)) AS q
+       |  FROM $table WHERE $vecCol IS NOT NULL),
+       |p AS (SELECT unnest(flatten([[{'pos': (i-1)*$dim + (j-1),
+       |      'prod': q[CAST(i AS INT)] * q[CAST(j AS INT)]}
+       |    for j in range(1, $dim + 1)] for i in range(1, $dim + 1)])) AS c
+       |  FROM e),
+       |s AS (SELECT c.pos // $dim AS i, c.pos % $dim AS j,
+       |    sum(CAST(c.prod AS HUGEINT)) AS s
+       |  FROM p GROUP BY 1, 2),
+       |m AS (SELECT (k-1) AS k, sum(CAST(q[CAST(k AS INT)] AS HUGEINT)) AS m,
+       |    CAST(count(*) AS HUGEINT) AS n
+       |  FROM e CROSS JOIN range(1, $dim + 1) t(k) GROUP BY 1)
+       |SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+       |  CAST(mi.n * s.s - mi.m * mj.m AS BIGINT) AS g
+       |FROM s JOIN m mi ON s.i = mi.k JOIN m mj ON s.j = mj.k
+       |ORDER BY i, j""".stripMargin
+  }
+
+  /** Cyclic Jacobi eigensolve of a symmetric matrix: (eigenvalues,
+    * eigenvectors as rows), sorted by eigenvalue descending. Plain
+    * deterministic O(dim³) driver code — dim is 64 here, the data pass
+    * is the distributed part. */
+  private[graft] def jacobiEigen(g: Array[Array[Double]],
+      sweeps: Int = 50): (Array[Double], Array[Array[Double]]) = {
+    val n = g.length
+    val a = g.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-20) {
+      off = 0.0
+      for (p <- 0 until n; q <- (p + 1) until n) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until n).map(k => v(k)(i)).toArray).toArray)
+  }
+
+  /** (mean, components, eigenvalues): top-`d` principal axes. The mean
+    * is in ORIGINAL units; components are orthonormal rows; eigenvalues
+    * are in original variance units. */
+  def fit(df: DataFrame, vecCol: String, dim: Int, d: Int,
+      quantBits: Int = 10): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val scale = (1L << quantBits).toDouble
+    val gramRows = gramTable(df, vecCol, dim, quantBits).collect()
+    val g = Array.ofDim[Double](dim, dim)
+    gramRows.foreach(r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2).toDouble)
+    val mRow = df.where(col(vecCol).isNotNull)
+      .select(posexplode(quantExpr(vecCol, quantBits)).as(Seq("k", "qk")))
+      .groupBy("k").agg(sum("qk").as("m"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = mRow(0)._2.toDouble
+    val mean = (0 until dim).map(k => mRow(k)._1.toDouble / n / scale).toArray
+    // G is n² · scale² · covariance — rescale for eigenvalues in
+    // variance units (eigenvectors are scale-invariant)
+    val cov = g.map(_.map(_ / (n * n * scale * scale)))
+    val (vals, vecs) = jacobiEigen(cov)
+    (mean, vecs.take(d), vals.take(d))
+  }
+
+  /** Shuffle-free projection y = V·(x − mean): each output coordinate is
+    * a literal-coefficient linear form inside the scan stage (the
+    * [[RandomProjection]] shape — constants ship with the plan, no
+    * join). Output (idCol, proj array<double>). */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+      mean: Array[Double], components: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val outs = components.map { comp =>
+      val shift = comp.indices.map(i => comp(i) * mean(i)).sum
+      comp.indices.map(i =>
+          element_at(v, i + 1) * lit(comp(i)))
+        .reduce(_ + _) - lit(shift)
+    }
+    df.select(col(idCol), array(outs.toIndexedSeq: _*).as("proj"))
+  }
+}

@@ -1462,6 +1462,20 @@ object Pipeline {
         .orderBy("vec_id", "j")
     },
 
+    // Trained PCA's distributed pass (operators/Pca): the integer Gram
+    // G = n·S − m·mᵀ from floor-quantized vectors, decimal-exact sums —
+    // bit-identical under any partitioning, replayed per cell by DuckDB
+    // (nested-comprehension outer products, HUGEINT sums). The driver
+    // eigensolve + projection on top are PcaSpec's (float eigenvectors
+    // are not oracle territory; the data pass is).
+    Probe.df("q_pca_gram",
+      graft.operators.Pca.gramOracleSql("embeddings", "embedding", 64)) {
+      (s, dir) =>
+      graft.operators.Pca.gramTable(
+          Tables.load(s, dir, "embeddings"), "embedding", 64)
+        .orderBy("i", "j")
+    },
+
     // Training-shard export plan + manifest (operators/ShardExport):
     // md5 shard deal, salted deterministic intra-shard read order, and
     // the per-shard manifest whose content_md5 chains per-doc hashes in
