@@ -340,17 +340,8 @@ object Maintenance {
       (dropSnaps, deadFiles)
     }
     dead.foreach { f => Files.deleteIfExists(dir.resolve(f)) }
-    // a dead data file's bloom sidecars are orphans too
-    val bloomsDir = dir.resolve("blooms")
-    if (Files.isDirectory(bloomsDir)) {
-      val deadNames = dead.map(f => Paths.get(f).getFileName.toString)
-      scala.util.Using.resource(Files.list(bloomsDir)) { st =>
-        st.iterator().asScala
-          .filter(p => deadNames.exists(n =>
-            p.getFileName.toString.startsWith(n + ".")))
-          .foreach(Files.deleteIfExists(_))
-      }
-    }
+    deleteBloomSidecars(dir,
+      dead.toSeq.map(f => Paths.get(f).getFileName.toString))
     // prune now-empty partition dirs under data/
     val dataDir = dir.resolve("data")
     if (Files.isDirectory(dataDir)) {
@@ -372,12 +363,15 @@ object Maintenance {
     * staged commit (Iceberg's remove_orphan_files). Orphans come from
     * dropped branches, failed write attempts whose task files moved but
     * whose commit lost the CAS, and crashed drivers. `olderThanMillis`
-    * is the in-flight-write guard (Iceberg's older_than): a file younger
-    * than the cutoff may belong to a commit that hasn't published yet,
-    * so it is NEVER deleted — callers use 0 only in tests.
-    * Runs the reference scan under the refs lock so a concurrent commit
-    * / branch write can't publish a file this sweep already classified
-    * as orphaned. Returns the number of files deleted. */
+    * is the in-flight-write guard (Iceberg's older_than) and it is the
+    * ONLY protection against racing an in-flight write: plain commits
+    * take the createLink CAS, not the refs lock, so a writer can be
+    * between its data-file move and its snapshot publish while this
+    * sweep scans — a file younger than the cutoff is NEVER deleted for
+    * exactly that reason (the CALL surface enforces a positive cutoff;
+    * 0 is for single-process tests only). The refs lock here serializes
+    * against ref/snapshot-log mutation (expiry, branch create/drop), not
+    * against commits. Returns the number of files deleted. */
   def removeOrphanFiles(spark: SparkSession, ident: String,
       olderThanMillis: Long = 24L * 3600 * 1000): Int = {
     val dir = tableDir(spark, ident)
@@ -403,9 +397,15 @@ object Maintenance {
     // unlink outside the lock (thousands of slow-storage deletes must
     // not stall commits), plus each orphan's bloom sidecars
     dead.foreach(Files.deleteIfExists(_))
+    deleteBloomSidecars(dir, dead.map(_.getFileName.toString))
+    dead.length
+  }
+
+  /** A dead data file's bloom sidecars are orphans too (shared by
+    * [[expireSnapshots]] and [[removeOrphanFiles]]). */
+  private def deleteBloomSidecars(dir: Path, deadNames: Seq[String]): Unit = {
     val bloomsDir = dir.resolve("blooms")
-    if (Files.isDirectory(bloomsDir)) {
-      val deadNames = dead.map(_.getFileName.toString)
+    if (Files.isDirectory(bloomsDir) && deadNames.nonEmpty) {
       scala.util.Using.resource(Files.list(bloomsDir)) { st =>
         st.iterator().asScala
           .filter(p => deadNames.exists(n =>
@@ -413,6 +413,5 @@ object Maintenance {
           .foreach(Files.deleteIfExists(_))
       }
     }
-    dead.length
   }
 }

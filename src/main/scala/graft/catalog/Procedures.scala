@@ -124,6 +124,12 @@ object Procedures {
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("older_than_hours", IntegerType).build()),
         StructType(Seq(StructField("files_deleted", IntegerType)))) { in =>
+        // the mtime cutoff is the ONLY in-flight-write guard (commits
+        // take the CAS, not the refs lock) — the SQL surface refuses a
+        // cutoff that could race a live writer
+        require(in.getInt(1) >= 1,
+          "older_than_hours must be >= 1: a zero cutoff can delete " +
+            "files a concurrent writer moved but has not committed yet")
         Array(new GenericInternalRow(Array[Any](
           Maintenance.removeOrphanFiles(SparkSession.active, full(in),
             in.getInt(1).toLong * 3600 * 1000))))

@@ -297,15 +297,19 @@ object Snapshots {
     withRefsLock(tableDir) {
       val existed =
         Files.deleteIfExists(refsDir(tableDir).resolve(s"$name.branch"))
-      val log = branchLog(tableDir, name)
-      if (Files.isDirectory(log)) {
-        scala.util.Using.resource(Files.walk(log)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.deleteIfExists(_))
-        }
-      }
+      deleteBranchLog(tableDir, name)
       existed
     }
+
+  private def deleteBranchLog(tableDir: Path, name: String): Unit = {
+    val log = branchLog(tableDir, name)
+    if (Files.isDirectory(log)) {
+      scala.util.Using.resource(Files.walk(log)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
 
   /** The branch's current snapshot: the tip of its private log, or the
     * main snapshot it forked from when nothing was staged yet. None when
@@ -347,21 +351,24 @@ object Snapshots {
         throw new IllegalStateException(
           s"branch '$name' forked at v${ref.version} but that snapshot " +
             "is gone (expired?)"))
-      val mainV = latest(tableDir).map(_.version).getOrElse(0L)
-      if (mainV != ref.version) throw new IllegalStateException(
-        s"branch '$name' forked at v${ref.version} but main is at " +
-          s"v$mainV; not fast-forwardable (re-branch from the current " +
-          "snapshot and re-stage)")
-      val snap = commitWith(tableDir)(_ => head.files)
+      // the fork-point check must live INSIDE the commit's compute so a
+      // CAS retry re-validates it: a concurrent plain commitWith from
+      // another process does NOT hold this refs lock, and blindly
+      // publishing head.files on the retry would drop that writer's
+      // files from the current view
+      def requireAtFork(mainV: Long): Unit =
+        if (mainV != ref.version) throw new IllegalStateException(
+          s"branch '$name' forked at v${ref.version} but main is at " +
+            s"v$mainV; not fast-forwardable (re-branch from the current " +
+            "snapshot and re-stage)")
+      requireAtFork(latest(tableDir).map(_.version).getOrElse(0L))
+      val snap = commitWith(tableDir) { prev =>
+        requireAtFork(prev.map(_.version).getOrElse(0L))
+        head.files
+      }
       // repoint the branch at the published snapshot; clear the log
       Files.deleteIfExists(refsDir(tableDir).resolve(s"$name.branch"))
-      val log = branchLog(tableDir, name)
-      if (Files.isDirectory(log)) {
-        scala.util.Using.resource(Files.walk(log)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.deleteIfExists(_))
-        }
-      }
+      deleteBranchLog(tableDir, name)
       linkRef(tableDir, s"$name.branch", snap.version)
       snap
     }

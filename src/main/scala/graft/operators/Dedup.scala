@@ -791,9 +791,10 @@ object Dedup {
     // blocks die with an executor, acceptable single-JVM, not at 1000
     // executors. Superseded rounds' blocks are reclaimed by the
     // ContextCleaner once unreferenced.
-    var edges = pairs
+    val canon = pairs
       .select(greatest(col(idaCol), col(idbCol)).as("u"),
         least(col(idaCol), col(idbCol)).as("v"))
+    var edges = canon
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
@@ -805,10 +806,23 @@ object Dedup {
       edges = next
       rounds += 1
     }
-    val labels = edges
+    // a non-fixpoint edge list is NOT a star forest — labels built from
+    // it would carry conflicting clusters per id; corrupt output must
+    // never be returned silently (the paper bound is O(log² n) rounds,
+    // so hitting maxRounds means something is genuinely wrong)
+    if (!converged) throw new IllegalStateException(
+      s"clusterPairsStar did not converge within $maxRounds rounds")
+    val starLabels = edges
       .select(col("u").as("id"), col("v").as("cluster"))
       .union(edges.select(col("v").as("id"), col("v").as("cluster")))
       .distinct()
+    // contract parity with clusterPairs: EVERY id appearing in a pair is
+    // labeled — ids whose only pair is a self-pair (a, a) have no edge
+    // after the self-loop filter and label themselves
+    val allIds = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id"))).distinct()
+    val labels = allIds.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     (labels, rounds)
   }
 

@@ -37,27 +37,36 @@ object Pca {
   /** The flattened integer Gram table (i, j, g) with
     * g = n·S[i,j] − m[i]·m[j] — n² times the covariance of the
     * quantized vectors. Null vectors are skipped. */
+  private val Dec = "decimal(38,0)"
+
+  /** Second-moment table (pos = i·dim+j, s = Σ qᵢqⱼ). */
+  private def sTable(df: DataFrame, vecCol: String, quantBits: Int) =
+    df.where(col(vecCol).isNotNull)
+      .select(quantExpr(vecCol, quantBits).as("q"))
+      .select(posexplode(expr(
+        "flatten(transform(q, x -> transform(q, y -> x * y)))"))
+        .as(Seq("pos", "prod")))
+      .groupBy("pos").agg(sum(col("prod").cast(Dec)).as("s"))
+
+  /** Component-sum table (k, m = Σ qₖ, n). */
+  private def mTable(df: DataFrame, vecCol: String, quantBits: Int) =
+    df.where(col(vecCol).isNotNull)
+      .select(quantExpr(vecCol, quantBits).as("q"))
+      .select(posexplode(col("q")).as(Seq("k", "qk")))
+      .groupBy("k").agg(sum(col("qk").cast(Dec)).as("m"),
+        count(lit(1)).as("n"))
+
   def gramTable(df: DataFrame, vecCol: String, dim: Int,
       quantBits: Int = 10): DataFrame = {
-    val base = df.where(col(vecCol).isNotNull)
-      .select(quantExpr(vecCol, quantBits).as("q"))
-    val dec = "decimal(38,0)"
-    val s = base
-      .select(posexplode(expr(
-        s"flatten(transform(q, x -> transform(q, y -> x * y)))"))
-        .as(Seq("pos", "prod")))
-      .groupBy("pos").agg(sum(col("prod").cast(dec)).as("s"))
+    val s = sTable(df, vecCol, quantBits)
       .select((col("pos") / dim).cast("int").as("i"),
         pmod(col("pos"), lit(dim)).cast("int").as("j"), col("s"))
-    val m = base
-      .select(posexplode(col("q")).as(Seq("k", "qk")))
-      .groupBy("k").agg(sum(col("qk").cast(dec)).as("m"),
-        count(lit(1)).as("n"))
+    val m = mTable(df, vecCol, quantBits)
     val mi = m.select(col("k").as("i"), col("m").as("mi"), col("n"))
     val mj = m.select(col("k").as("j"), col("m").as("mj"))
     s.join(mi, "i").join(mj, "j")
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        (col("n").cast(dec) * col("s") - col("mi") * col("mj"))
+        (col("n").cast(Dec) * col("s") - col("mi") * col("mj"))
           .cast("long").as("g"))
   }
 
@@ -102,7 +111,10 @@ object Pca {
         off += a(p)(q) * a(p)(q)
         if (math.abs(a(p)(q)) > 1e-300) {
           val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-          val t = math.signum(theta) /
+          // sgn(0) must act as +1 (Numerical Recipes' form): equal
+          // diagonal entries (theta = 0) still need a 45° rotation —
+          // math.signum(0) = 0 would silently skip it forever
+          val t = (if (theta >= 0.0) 1.0 else -1.0) /
             (math.abs(theta) + math.sqrt(theta * theta + 1.0))
           val c = 1.0 / math.sqrt(t * t + 1.0)
           val s = t * c
@@ -136,19 +148,25 @@ object Pca {
   def fit(df: DataFrame, vecCol: String, dim: Int, d: Int,
       quantBits: Int = 10): (Array[Double], Array[Array[Double]], Array[Double]) = {
     val scale = (1L << quantBits).toDouble
-    val gramRows = gramTable(df, vecCol, dim, quantBits).collect()
-    val g = Array.ofDim[Double](dim, dim)
-    gramRows.foreach(r =>
-      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2).toDouble)
-    val mRow = df.where(col(vecCol).isNotNull)
-      .select(posexplode(quantExpr(vecCol, quantBits)).as(Seq("k", "qk")))
-      .groupBy("k").agg(sum("qk").as("m"), count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val n = mRow(0)._2.toDouble
-    val mean = (0 until dim).map(k => mRow(k)._1.toDouble / n / scale).toArray
+    // exactly TWO data passes (S and m); G = n·S − m·mᵀ is assembled on
+    // the driver from the dim² + dim collected statistics — the
+    // distributed join in gramTable exists for the oracle probe's flat
+    // output, not for fit
+    val sRows = sTable(df, vecCol, quantBits).collect()
+      .map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val mRows = mTable(df, vecCol, quantBits).collect()
+      .map(r => r.getInt(0) -> ((BigDecimal(r.getDecimal(1)), r.getLong(2))))
+      .toMap
+    val n = mRows(0)._2.toDouble
+    val mean = (0 until dim).map(k =>
+      (mRows(k)._1 / n).toDouble / scale).toArray
     // G is n² · scale² · covariance — rescale for eigenvalues in
     // variance units (eigenvectors are scale-invariant)
-    val cov = g.map(_.map(_ / (n * n * scale * scale)))
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val g = BigDecimal(n.toLong) * sRows(i * dim + j) -
+        mRows(i)._1 * mRows(j)._1
+      g.toDouble / (n * n * scale * scale)
+    }
     val (vals, vecs) = jacobiEigen(cov)
     (mean, vecs.take(d), vals.take(d))
   }

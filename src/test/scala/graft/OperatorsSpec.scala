@@ -267,6 +267,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterPairsStar labels ids whose only pair is a self-pair " +
+      "(contract parity with clusterPairs)") {
+    val pairs = Seq((4L, 4L), (1L, 2L)).toDF("ida", "idb")
+    val star = Dedup.clusterPairsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 4L -> 4L))
+    assert(star == prop)
+  }
+
   test("clusterPairsDelta merges new pairs into an existing assignment " +
       "without re-reading old pairs") {
     // old clusters: {1,2,3} rooted at 1, {7,9} at 7, singleton 5

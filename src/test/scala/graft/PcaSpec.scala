@@ -33,6 +33,19 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("jacobiEigen rotates equal-diagonal matrices (theta = 0)") {
+    // [[2,1],[1,2]]: eigenvalues 3 and 1, dominant axis (1,1)/sqrt(2) —
+    // sgn(0)=0 in place of +1 would skip every rotation and return the
+    // identity basis
+    val (vals, vecs) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12,
+      vals.toSeq.toString)
+    val inv = 1.0 / math.sqrt(2.0)
+    val cos = vecs(0)(0) * inv + vecs(0)(1) * inv
+    assert(math.abs(math.abs(cos) - 1.0) < 1e-9, vecs(0).toSeq.toString)
+  }
+
   test("fit recovers the planted principal axis; components orthonormal") {
     val (mean, comps, vals) = Pca.fit(planted, "embedding", 3, 2)
     assert(mean.length == 3 && comps.length == 2)
