@@ -800,10 +800,17 @@ object Dedup {
       .localCheckpoint(true)
     var rounds = 0
     var converged = false
+    var edgeCount = edges.count()
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // both sides are DISTINCT sets, so equal counts + one-direction
+      // inclusion proves set equality — one anti-join per round, not
+      // two; the count is a cheap job over the checkpointed blocks and
+      // short-circuits the anti-join entirely when sizes differ
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     // a non-fixpoint edge list is NOT a star forest — labels built from
