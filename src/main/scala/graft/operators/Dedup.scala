@@ -440,15 +440,19 @@ object Dedup {
     * That shift robustness is what makes CDC the industrial dedup tier
     * for near-identical scraped pages (headers injected, dates bumped).
     *
-    * Scale shape: gram hashing happens INSIDE the per-doc array (only a
-    * boolean rides the explode, never the gram text); one shuffle
-    * partitions word rows by doc for the boundary-cumsum window; chunk
+    * Scale shape: gram AND word hashing happen INSIDE the per-doc array,
+    * so the rows the boundary-cumsum window shuffles are fixed-width
+    * (id, pos, 60-bit word hash, boundary bool) — never text, the same
+    * fingerprint-only-shuffle discipline as [[dupSpanDedup]]; chunk
     * fingerprinting groups on the same (id) partitioning (exchange
     * reusable); duplicate detection shuffles 16-byte fingerprints; the
-    * (tiny) duplicated-fp set broadcasts back. Docs with no words are
-    * excluded. Output: (id, n_chunks, n_dup_chunks, dup_frac) —
-    * duplication = fingerprint in ≥2 DISTINCT docs, as in
-    * [[chunkDupStats]]; dup_frac is one IEEE division of exact counts. */
+    * (tiny) duplicated-fp set broadcasts back. A chunk's identity is the
+    * md5 of its word-hash sequence — two chunks collide only through a
+    * 60-bit word-hash collision, the tier every md5-60bit operator here
+    * accepts. Docs with no words are excluded. Output:
+    * (id, n_chunks, n_dup_chunks, dup_frac) — duplication = fingerprint
+    * in ≥2 DISTINCT docs, as in [[chunkDupStats]]; dup_frac is one IEEE
+    * division of exact counts. */
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
       gramWords: Int = 4, modulus: Int = 8): DataFrame = {
     val chunks = cdcChunks(df, idCol, textCol, gramWords, modulus)
@@ -472,14 +476,15 @@ object Dedup {
       .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
       .where(size(col("ws")) >= 1)
       .select(col("id"), explode(expr(
-        s"""transform(ws, (wd, i) -> struct(i + 1 AS pos, wd AS word,
+        s"""transform(ws, (wd, i) -> struct(i + 1 AS pos,
+           |  CAST(conv(substr(md5(wd), 1, 15), 16, 10) AS BIGINT) AS h,
            |  CASE WHEN i + 1 >= $w THEN
            |    CAST(conv(substr(md5(array_join(
            |      slice(ws, i + 2 - $w, $w), ' ')), 1, 15), 16, 10)
            |      AS BIGINT) % $modulus = 0
            |  ELSE false END AS bnd))""".stripMargin)).as("g"))
       .select(col("id"), col("g.pos").as("pos"),
-        col("g.word").as("word"), col("g.bnd").as("bnd"))
+        col("g.h").as("h"), col("g.bnd").as("bnd"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     // word i's chunk = boundaries strictly before i (boundary AFTER j
@@ -492,8 +497,8 @@ object Dedup {
     chunked
       .groupBy("id", "chunk")
       .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("word")))),
-        x => x.getField("word")), " ")).as("fp"))
+        array_sort(collect_list(struct(col("pos"), col("h")))),
+        x => x.getField("h").cast("string")), " ")).as("fp"))
   }
 
   /** DuckDB replay of [[cdcChunkDedup]]: same gram-hash boundary rule
@@ -513,20 +518,20 @@ object Dedup {
       s"array_to_string(ws[CAST(i-$w+1 AS INT):CAST(i AS INT)], ' ')"
     s"""WITH w AS (SELECT $idCol, $duckWords AS ws FROM $table),
        |p AS (SELECT $idCol, unnest([{'pos': i,
-       |    'word': ws[CAST(i AS INT)],
+       |    'h': ${md5int(s"ws[CAST(i AS INT)]")},
        |    'bnd': CASE WHEN i >= $w THEN
        |      (${md5int(gram)}) % $modulus = 0 ELSE false END}
        |  for i in range(1, len(ws)+1)]) AS g
        |  FROM w WHERE len(ws) >= 1),
-       |q AS (SELECT $idCol, g.pos AS pos, g.word AS word, g.bnd AS bnd
+       |q AS (SELECT $idCol, g.pos AS pos, g.h AS h, g.bnd AS bnd
        |      FROM p),
-       |c AS (SELECT $idCol, pos, word,
+       |c AS (SELECT $idCol, pos, h,
        |    coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
        |      PARTITION BY $idCol ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
        |  FROM q),
        |ch AS (SELECT $idCol, chunk,
-       |    md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+       |    md5(string_agg(CAST(h AS VARCHAR), ' ' ORDER BY pos)) AS fp
        |  FROM c GROUP BY $idCol, chunk),
        |dup AS (SELECT fp FROM (SELECT DISTINCT $idCol, fp FROM ch)
        |        GROUP BY fp HAVING count(*) >= 2)
