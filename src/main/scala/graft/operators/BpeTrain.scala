@@ -218,10 +218,15 @@ object BpeTrain {
          |                          for i in range(1, length(word)+1)], ' ')
          |      || ' ' AS s FROM w)""".stripMargin
     }
-    s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-       |  SELECT unnest($duckWords) AS word FROM $table) GROUP BY 1),
-       |$s0,
-       |$rounds""".stripMargin
+    // assembled by CONCATENATION, never an outer stripMargin: s0 and the
+    // rounds are already margin-stripped, and re-stripping would eat the
+    // leading '|' of any '||'-continuation line (the q_bpe_train binder
+    // error this comment is the regression pin for)
+    val head =
+      s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest($duckWords) AS word FROM $table) GROUP BY 1)"""
+        .stripMargin
+    head + ",\n" + s0 + ",\n" + rounds
   }
 
   /** DuckDB replay of [[trainBytes]]: the same chained-CTE rounds over
