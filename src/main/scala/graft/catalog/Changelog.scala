@@ -85,4 +85,31 @@ object Changelog {
         spark.sparkContext.emptyRDD[Row], out)
     } else batches.reduce(_ unionByName _)
   }
+
+  /** NET row-level changes — Iceberg's changelog CARRY-OVER REMOVAL
+    * (`create_changelog_view(remove_carryovers => true)`): a COW
+    * rewrite emits whole-file delete+insert pairs even for rows the
+    * command never touched; per (row content, commit version) the
+    * carried-over copies cancel (multiset semantics: n inserts − n
+    * deletes), leaving exactly the rows that logically changed, with
+    * `n_copies` carrying the surviving multiplicity. A downstream
+    * incremental consumer applies THIS, not the raw file-level feed.
+    *
+    * Scale shape: one aggregate over the changed-file rows only (the
+    * [[read]] scan never touches unchanged files); the shuffle key is
+    * the full row content + version, i.e. exactly the dedup-by-content
+    * exchange the cancellation needs. */
+  def netChanges(spark: SparkSession, ident: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val raw = read(spark, ident, fromVersion, toVersion)
+    val keys = raw.columns.filterNot(_ == "_change_type")
+    raw.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .as("net"))
+      .where(col("net") =!= 0L)
+      .select(keys.map(col) :+
+        when(col("net") > 0, "insert").otherwise("delete")
+          .as("_change_type") :+
+        abs(col("net")).as("n_copies"): _*)
+  }
 }

@@ -366,6 +366,46 @@ object Extras {
       (before ++ audit ++ after).toDF("phase", "k").orderBy("phase", "k")
     },
 
+    // NET row-level changelog (Iceberg create_changelog_view with
+    // carry-over removal): a COW DELETE's rewrite emits whole-file
+    // delete+insert pairs; per (row, version) the untouched rows cancel,
+    // leaving exactly the logical changes. Hash-checked against DuckDB
+    // replaying the planted operation sequence — insert region keys
+    // (v2), COW-delete the even ones (v3: carried-over odd rows MUST
+    // cancel), insert shifted nation keys (v4).
+    Probe.df("q_changelog_net",
+      """WITH r AS (SELECT CAST(r_regionkey AS BIGINT) AS k FROM region),
+        |n AS (SELECT CAST(n_nationkey AS BIGINT) + 100 AS k FROM nation),
+        |ch AS (
+        |  SELECT k, CAST(2 AS BIGINT) AS _commit_version,
+        |         'insert' AS _change_type, CAST(1 AS BIGINT) AS n_copies
+        |  FROM r
+        |  UNION ALL
+        |  SELECT k, CAST(3 AS BIGINT), 'delete', CAST(1 AS BIGINT)
+        |  FROM r WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(4 AS BIGINT), 'insert', CAST(1 AS BIGINT) FROM n)
+        |SELECT k, _commit_version, _change_type, n_copies FROM ch
+        |ORDER BY _commit_version, _change_type, k""".stripMargin) {
+      (s, dir) =>
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.cdcnet")
+      s.sql("CREATE TABLE gprobe.db.cdcnet (k BIGINT)")               // v1
+      s.sql("INSERT INTO gprobe.db.cdcnet " +
+        "SELECT CAST(r_regionkey AS BIGINT) FROM region")             // v2
+      s.sql("DELETE FROM gprobe.db.cdcnet WHERE k % 2 = 0")           // v3
+      s.sql("INSERT INTO gprobe.db.cdcnet " +
+        "SELECT CAST(n_nationkey AS BIGINT) + 100 FROM nation")       // v4
+      graft.catalog.Changelog.netChanges(s, "gprobe.db.cdcnet", 1L, 4L)
+        .select(col("k"), col("_commit_version"), col("_change_type"),
+          col("n_copies"))
+        .orderBy("_commit_version", "_change_type", "k")
+    },
+
     // Iceberg-parity `_file` metadata column through the graft catalog
     // (GraftTable + FileTaggedScans): rows tagged with their source data
     // file inside ONE delegate scan — rows-only (paths are

@@ -1086,6 +1086,35 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(rows(0, 4).count(_._2 == "insert") == 3)
   }
 
+  test("netChanges cancels COW carry-over rows, keeps logical changes") {
+    import graft.catalog.Changelog
+    spark.sql("CREATE TABLE g2.db.cdcn (a INT)")                   // v1
+    // ONE file with mixed keys so the COW rewrite must carry rows over
+    spark.sql("INSERT INTO g2.db.cdcn SELECT /*+ COALESCE(1) */ * " +
+      "FROM VALUES (1), (2), (3), (4) AS t(a)")                    // v2
+    spark.sql("DELETE FROM g2.db.cdcn WHERE a % 2 = 0")            // v3: COW
+    // the raw file-level feed carries over the untouched rows 1 and 3
+    val raw = Changelog.read(spark, "g2.db.cdcn", 2, 3)
+      .select("a", "_change_type")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(raw == Set((1, "delete"), (2, "delete"), (3, "delete"),
+      (4, "delete"), (1, "insert"), (3, "insert")),
+      s"expected whole-file delete + survivor re-insert, got $raw")
+    // net changes: carry-overs cancel, only the logical deletes remain
+    val net = Changelog.netChanges(spark, "g2.db.cdcn", 2, 3)
+      .select("a", "_change_type", "n_copies")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(net == Set((2, "delete", 1L), (4, "delete", 1L)), net.toString)
+    // duplicate-row multiplicity is multiset-correct
+    spark.sql("INSERT INTO g2.db.cdcn VALUES (7), (7)")            // v4
+    val dup = Changelog.netChanges(spark, "g2.db.cdcn", 3, 4)
+      .select("a", "_change_type", "n_copies")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(dup == Set((7, "insert", 2L)), dup.toString)
+  }
+
   test("CALL changes returns the per-version file-level summary") {
     spark.sql("CREATE TABLE g2.db.cdcsum (a INT)")                 // v1
     spark.sql("INSERT INTO g2.db.cdcsum VALUES (1)")               // v2
