@@ -103,13 +103,25 @@ object Changelog {
       toVersion: Long): DataFrame = {
     val raw = read(spark, ident, fromVersion, toVersion)
     val keys = raw.columns.filterNot(_ == "_change_type")
+    // content grouping needs orderable columns and owns the output name
+    // 'n_copies'; fail with a named error instead of an ambiguous
+    // analysis exception mid-plan
+    require(!keys.contains("n_copies"),
+      s"netChanges: $ident has a column named 'n_copies', which collides " +
+        "with the output multiplicity column")
+    raw.schema.fields.filter(f => keys.contains(f.name)).foreach { f =>
+      require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+        s"netChanges: map-typed column '${f.name}' cannot be grouped by " +
+          "content (Spark restriction); use the file-level read")
+    }
+    val net = "__graft_net" // internal; cannot collide with table columns
     raw.groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
-        .as("net"))
-      .where(col("net") =!= 0L)
+        .as(net))
+      .where(col(net) =!= 0L)
       .select(keys.map(col) :+
-        when(col("net") > 0, "insert").otherwise("delete")
+        when(col(net) > 0, "insert").otherwise("delete")
           .as("_change_type") :+
-        abs(col("net")).as("n_copies"): _*)
+        abs(col(net)).as("n_copies"): _*)
   }
 }

@@ -760,8 +760,11 @@ object Dedup {
     * back onto its own per-node mins — no collect_list hub blowup (a
     * giant component's root has millions of neighbours; grouping them
     * into an array would be the skew bomb the join form avoids). The
-    * fixpoint is disjoint min-rooted stars; the check is two anti-joins
-    * over the (small, persisted) edge sets.
+    * fixpoint is disjoint min-rooted stars; the convergence check is a
+    * count comparison plus ONE anti-join — both rounds' edge sets are
+    * DISTINCT (each phase ends in .distinct(), which is load-bearing
+    * for this), so equal counts + one-direction inclusion proves set
+    * equality.
     *
     * Same contract as [[clusterPairs]]: input (ida, idb) pairs, output
     * (id, cluster) for every id in a pair, cluster = component min. */
