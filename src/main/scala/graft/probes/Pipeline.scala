@@ -875,6 +875,48 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Tokenizer FERTILITY / compression evaluation (the standard
+    // tokenizer-comparison metrics): per language, words, subword
+    // tokens under the 8-merge BPE vocab, characters, fertility =
+    // tokens/word and chars/token — integer sums + single IEEE
+    // divisions, so the whole report is hash-exact. Oracle reuses the
+    // BPE-encode training chain and aggregates it per lang.
+    Probe.df("q_tokenizer_fertility",
+      "WITH encd AS (\n" +
+        graft.operators.BpeTrain.encodeOracleSql("documents", "doc_id", 8) +
+        """),
+          |agg AS (SELECT d.lang,
+          |    CAST(sum(len(e.syms)) AS BIGINT) AS n_tokens,
+          |    CAST(sum(len(list_filter(string_split_regex(lower(d.text),
+          |      '\s+'), x -> x <> ''))) AS BIGINT) AS n_words,
+          |    CAST(sum(length(replace(lower(d.text), ' ', '')))
+          |      AS BIGINT) AS n_chars
+          |  FROM encd e JOIN documents d USING (doc_id)
+          |  GROUP BY d.lang)
+          |SELECT lang, n_words, n_tokens, n_chars,
+          |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+          |    AS fertility,
+          |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          |    AS chars_per_token
+          |FROM agg ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val enc = graft.operators.BpeTrain.encode(docs, "doc_id", "text", 8)
+      enc.join(docs.select(col("doc_id"), col("lang"), col("text")),
+          "doc_id")
+        .groupBy("lang")
+        .agg(sum(size(col("syms"))).cast("long").as("n_tokens"),
+          sum(size(graft.operators.Dedup.words(col("text")))).cast("long")
+            .as("n_words"),
+          sum(length(regexp_replace(lower(col("text")), " ", "")))
+            .cast("long").as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     // Unigram-LM (SentencePiece-family) tokenizer training via hard
     // (Viterbi) EM — the trainer that complements BPE. The oracle
     // replays EVERYTHING: the substring seed vocab, each round's
