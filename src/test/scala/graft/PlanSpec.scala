@@ -95,6 +95,31 @@ class PlanSpec extends AnyFunSuite {
       "expected partial aggregation before the shuffle")
   }
 
+  test("CDC chunking plans ONE data exchange: the chunk aggregation " +
+      "reuses the boundary-window's hash(id) partitioning") {
+    // the window needs hash(id); groupBy(id, chunk) is satisfied by the
+    // same partitioning (subset clustering) — a second exchange before
+    // the chunk fingerprints would re-shuffle the whole corpus's rows
+    val chunks = graft.operators.Dedup.cdcChunks(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", 4, 8)
+    val p = chunks.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n" +
+      p.take(1200))
+  }
+
+  test("PCA's Gram pass map-side combines before its dim^2-group exchange") {
+    val s = graft.operators.Pca.gramTable(
+      Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+      "embedding", 64)
+    val p = s.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      "expected partial aggregation of the outer products before the " +
+        "shuffle — without it the exchange carries dim^2 rows per input " +
+        "row instead of dim^2 per partition\n" + p.take(1200))
+  }
+
   test("date_bin stays inside whole-stage codegen") {
     // AQE wraps the plan pre-execution; disable it so codegen stages show
     spark.conf.set("spark.sql.adaptive.enabled", "false")
