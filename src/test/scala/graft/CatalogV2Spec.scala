@@ -414,6 +414,35 @@ class CatalogV2Spec extends AnyFunSuite {
       .isEmpty) // historical snapshots still resolve
   }
 
+  test("concurrent branch staging never loses a commit; a concurrent " +
+      "main commit makes fast_forward fail loudly, not drop data") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    spark.sql("CREATE TABLE g2.db.bconc (a INT)")          // v1
+    spark.sql("INSERT INTO g2.db.bconc VALUES (0)")        // v2
+    spark.sql("CALL g2.system.create_branch('db.bconc', 'st', 2)").collect()
+    // 8 concurrent staged INSERTs race the branch log's CAS
+    val writes = (1 to 8).map { i =>
+      Future { spark.sql(s"INSERT INTO g2.db.bconc.branch_st VALUES ($i)") }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    assert(spark.sql("SELECT sum(a) FROM g2.db.bconc.branch_st")
+      .collect().head.getLong(0) == 36)
+    assert(spark.sql("SELECT count(*) FROM g2.db.bconc")
+      .collect().head.getLong(0) == 1)
+    // main moves past the fork -> the publish must FAIL, and the
+    // concurrent main row must never vanish
+    spark.sql("INSERT INTO g2.db.bconc VALUES (100)")      // v3
+    val err = intercept[Exception] { spark.sql(
+      "CALL g2.system.fast_forward('db.bconc', 'st')").collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(err).contains("not fast-forwardable"))
+    assert(spark.sql("SELECT sum(a) FROM g2.db.bconc")
+      .collect().head.getLong(0) == 100)
+  }
+
   test("rollback_to_version restores old content as a NEW snapshot") {
     spark.sql("CREATE TABLE g2.db.rollb (a INT)")          // v1
     spark.sql("INSERT INTO g2.db.rollb VALUES (1), (2)")   // v2
