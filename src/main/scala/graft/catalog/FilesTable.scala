@@ -36,14 +36,23 @@ class FilesTable(fullName: String, tableDir: Path) extends Table with SupportsRe
         override def readSchema(): StructType = schemaDef
         override def rows(): Array[InternalRow] =
           Snapshots.latest(tableDir).toSeq.flatMap { s =>
+            val conf = org.apache.spark.sql.SparkSession.active
+              .sparkContext.hadoopConfiguration
+            // parallel footer fetches — the per-file metadata reads are
+            // independent and dominate planning at high file counts
+            val counts = new java.util.concurrent.ConcurrentHashMap[
+              String, Long]()
+            import scala.jdk.CollectionConverters._
+            s.files.asJava.parallelStream().forEach { f =>
+              counts.put(f,
+                ParquetStats.rowCount(tableDir.resolve(f).toString, conf))
+            }
             s.files.map { f =>
               val p = tableDir.resolve(f)
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(f),
                 if (Files.exists(p)) Files.size(p) else 0L,
-                ParquetStats.rowCount(p.toString,
-                  org.apache.spark.sql.SparkSession.active
-                    .sparkContext.hadoopConfiguration),
+                counts.get(f),
                 s.version))
             }
           }.toArray

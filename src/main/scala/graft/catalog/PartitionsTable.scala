@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
@@ -39,6 +41,15 @@ class PartitionsTable(fullName: String, tableDir: Path)
           val conf = org.apache.spark.sql.SparkSession.active
             .sparkContext.hadoopConfiguration
           Snapshots.latest(tableDir).toSeq.flatMap { s =>
+            // footer reads dominate planning at high file counts —
+            // fan them out (each is an independent metadata fetch)
+            val stats = new java.util.concurrent.ConcurrentHashMap[
+              String, (Long, Long)]()
+            s.files.asJava.parallelStream().forEach { f =>
+              val p = tableDir.resolve(f)
+              stats.put(f, (ParquetStats.rowCount(p.toString, conf),
+                if (Files.exists(p)) Files.size(p) else 0L))
+            }
             s.files.groupBy { f =>
               // data/<partition dirs>/<file>: the partition identity is
               // everything between data/ and the file name
@@ -47,9 +58,8 @@ class PartitionsTable(fullName: String, tableDir: Path)
               if (cut < 0) "" else rel.substring(0, cut)
             }.toSeq.sortBy(_._1).map { case (part, files) =>
               val (rows, bytes) = files.foldLeft((0L, 0L)) { case ((r, b), f) =>
-                val p = tableDir.resolve(f)
-                (r + ParquetStats.rowCount(p.toString, conf),
-                  b + (if (Files.exists(p)) Files.size(p) else 0L))
+                val (fr, fb) = stats.get(f)
+                (r + fr, b + fb)
               }
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(part), files.length.toLong,

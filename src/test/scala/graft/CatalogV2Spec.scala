@@ -160,10 +160,15 @@ class CatalogV2Spec extends AnyFunSuite {
   }
 
   test(".partitions metadata table reports per-partition file/row/byte counts") {
-    // reuses g2.db.part from the test above (eu: 2 rows, us: 1, ap: 1)
+    // self-contained (never depend on another test's table — filtered
+    // runs break the ordering)
+    spark.sql("CREATE TABLE g2.db.partmeta (id INT, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql("INSERT INTO g2.db.partmeta VALUES (1,'eu'), (2,'us'), " +
+      "(3,'eu'), (4,'ap')")
     val parts = spark.sql(
-      "SELECT partition, file_count, record_count FROM g2.db.part.partitions " +
-        "ORDER BY partition")
+      "SELECT partition, file_count, record_count " +
+        "FROM g2.db.partmeta.partitions ORDER BY partition")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(parts.map(_._1) == Seq("region=ap", "region=eu", "region=us"))
     assert(parts.map(_._3) == Seq(1L, 2L, 1L), s"row counts: $parts")
@@ -176,7 +181,7 @@ class CatalogV2Spec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(np == Seq(("", 3L)), np.toString)
     // sizes come from the filesystem and are positive
-    assert(spark.sql("SELECT sum(size_bytes) FROM g2.db.part.partitions")
+    assert(spark.sql("SELECT sum(size_bytes) FROM g2.db.partmeta.partitions")
       .collect().head.getLong(0) > 0L)
   }
 
