@@ -104,22 +104,35 @@ object Changelog {
     val raw = read(spark, ident, fromVersion, toVersion)
     val keys = raw.columns.filterNot(_ == "_change_type")
     // content grouping needs orderable columns and owns the output name
-    // 'n_copies'; fail with a named error instead of an ambiguous
-    // analysis exception mid-plan
-    require(!keys.contains("n_copies"),
-      s"netChanges: $ident has a column named 'n_copies', which collides " +
-        "with the output multiplicity column")
-    raw.schema.fields.filter(f => keys.contains(f.name)).foreach { f =>
-      require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
-        s"netChanges: map-typed column '${f.name}' cannot be grouped by " +
-          "content (Spark restriction); use the file-level read")
+    // 'n_copies' (plus the internal aggregate alias); fail with a named
+    // error instead of an ambiguous analysis exception mid-plan. Name
+    // checks are CASE-INSENSITIVE — Spark resolution is, by default.
+    val net = "__graft_net"
+    Seq("n_copies", net).foreach { reserved =>
+      require(!keys.exists(_.equalsIgnoreCase(reserved)),
+        s"netChanges: $ident has a column named '$reserved' (any case), " +
+          "which collides with the net-changes output")
     }
-    val net = "__graft_net" // internal; cannot collide with table columns
-    raw.groupBy(keys.map(col).toIndexedSeq: _*)
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    raw.schema.fields.filter(f => keys.contains(f.name)).foreach { f =>
+      require(!hasMap(f.dataType),
+        s"netChanges: column '${f.name}' contains a map type (possibly " +
+          "nested) and cannot be grouped by content (Spark restriction); " +
+          "use the file-level read")
+    }
+    // backtick-quote key references: a legal column name may contain
+    // dots, which a bare col() would mis-parse as nested-field access
+    def keyCol(k: String) = col(s"`${k.replace("`", "``")}`")
+    raw.groupBy(keys.map(keyCol).toIndexedSeq: _*)
       .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
         .as(net))
       .where(col(net) =!= 0L)
-      .select(keys.map(col) :+
+      .select(keys.map(keyCol) :+
         when(col(net) > 0, "insert").otherwise("delete")
           .as("_change_type") :+
         abs(col(net)).as("n_copies"): _*)

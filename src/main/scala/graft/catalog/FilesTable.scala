@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -38,22 +38,11 @@ class FilesTable(fullName: String, tableDir: Path) extends Table with SupportsRe
           Snapshots.latest(tableDir).toSeq.flatMap { s =>
             val conf = org.apache.spark.sql.SparkSession.active
               .sparkContext.hadoopConfiguration
-            // parallel footer fetches — the per-file metadata reads are
-            // independent and dominate planning at high file counts
-            val counts = new java.util.concurrent.ConcurrentHashMap[
-              String, Long]()
-            import scala.jdk.CollectionConverters._
-            s.files.asJava.parallelStream().forEach { f =>
-              counts.put(f,
-                ParquetStats.rowCount(tableDir.resolve(f).toString, conf))
-            }
+            val stats = ParquetStats.footerStats(tableDir, s.files, conf)
             s.files.map { f =>
-              val p = tableDir.resolve(f)
+              val (rows, bytes) = stats(f)
               new GenericInternalRow(Array[Any](
-                UTF8String.fromString(f),
-                if (Files.exists(p)) Files.size(p) else 0L,
-                counts.get(f),
-                s.version))
+                UTF8String.fromString(f), bytes, rows, s.version))
             }
           }.toArray
       }

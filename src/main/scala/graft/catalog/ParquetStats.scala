@@ -30,6 +30,33 @@ object ParquetStats {
       finally r.close()
     } catch { case _: Exception => 0L }
 
+  /** Per-file (footer row count, on-disk size) for a snapshot's file
+    * list, fetched on a DEDICATED bounded pool — the metadata reads are
+    * independent blocking I/O, so they must neither run sequentially
+    * (planning at 100k files) nor occupy the JVM-wide ForkJoin common
+    * pool (a hung object-store open would starve every other
+    * parallel-stream user on the driver). Shared by the `.files` and
+    * `.partitions` metadata tables. */
+  private[catalog] def footerStats(tableDir: java.nio.file.Path,
+      files: Seq[String], conf: Configuration): Map[String, (Long, Long)] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(2, Runtime.getRuntime.availableProcessors())),
+      r => { val t = new Thread(r, "graft-footer-io"); t.setDaemon(true); t })
+    try {
+      val futures = files.map { f =>
+        f -> pool.submit(new java.util.concurrent.Callable[(Long, Long)] {
+          override def call(): (Long, Long) = {
+            val p = tableDir.resolve(f)
+            (rowCount(p.toString, conf),
+              if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
+              else 0L)
+          }
+        })
+      }
+      futures.map { case (f, fut) => f -> fut.get() }.toMap
+    } finally pool.shutdown()
+  }
+
   /** Could any row of `file` satisfy the conjunction of `filters`?
     * `conf` should be the session's `sparkContext.hadoopConfiguration`
     * so object-store credentials apply. */

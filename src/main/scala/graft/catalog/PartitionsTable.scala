@@ -1,8 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path}
-
-import scala.jdk.CollectionConverters._
+import java.nio.file.Path
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -41,15 +39,7 @@ class PartitionsTable(fullName: String, tableDir: Path)
           val conf = org.apache.spark.sql.SparkSession.active
             .sparkContext.hadoopConfiguration
           Snapshots.latest(tableDir).toSeq.flatMap { s =>
-            // footer reads dominate planning at high file counts —
-            // fan them out (each is an independent metadata fetch)
-            val stats = new java.util.concurrent.ConcurrentHashMap[
-              String, (Long, Long)]()
-            s.files.asJava.parallelStream().forEach { f =>
-              val p = tableDir.resolve(f)
-              stats.put(f, (ParquetStats.rowCount(p.toString, conf),
-                if (Files.exists(p)) Files.size(p) else 0L))
-            }
+            val stats = ParquetStats.footerStats(tableDir, s.files, conf)
             s.files.groupBy { f =>
               // data/<partition dirs>/<file>: the partition identity is
               // everything between data/ and the file name
@@ -58,7 +48,7 @@ class PartitionsTable(fullName: String, tableDir: Path)
               if (cut < 0) "" else rel.substring(0, cut)
             }.toSeq.sortBy(_._1).map { case (part, files) =>
               val (rows, bytes) = files.foldLeft((0L, 0L)) { case ((r, b), f) =>
-                val (fr, fb) = stats.get(f)
+                val (fr, fb) = stats(f)
                 (r + fr, b + fb)
               }
               new GenericInternalRow(Array[Any](
