@@ -118,5 +118,9 @@ object SparkEntry {
     // round 12 third session: content-defined chunking dedup — boolean
     // boundary flags ride the explode, one doc-partitioned window, chunk
     // group on the same partitioning
-    "q_dedup_cdc")
+    "q_dedup_cdc",
+    // round 12 third session: the PCA Gram pass — upper-triangle
+    // integer outer products, decimal-exact map-side combine into dim²
+    // groups (the heavy-numeric aggregation benchmark)
+    "q_pca_gram")
 }

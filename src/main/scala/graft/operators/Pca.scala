@@ -39,14 +39,26 @@ object Pca {
     * quantized vectors. Null vectors are skipped. */
   private val Dec = "decimal(38,0)"
 
-  /** Second-moment table (pos = i·dim+j, s = Σ qᵢqⱼ). */
-  private def sTable(df: DataFrame, vecCol: String, quantBits: Int) =
-    df.where(col(vecCol).isNotNull)
+  /** Second-moment table (pos = i·dim+j, s = Σ qᵢqⱼ) for the FULL
+    * matrix. S is symmetric, so only the upper triangle is exploded and
+    * aggregated (halving the dominant dim²-per-row stage); the lower
+    * triangle is mirrored from the dim²-row AGGREGATE, which is free. */
+  private def sTable(df: DataFrame, vecCol: String, quantBits: Int,
+      dim: Int) = {
+    val upper = df.where(col(vecCol).isNotNull)
       .select(quantExpr(vecCol, quantBits).as("q"))
-      .select(posexplode(expr(
-        "flatten(transform(q, x -> transform(q, y -> x * y)))"))
-        .as(Seq("pos", "prod")))
+      .select(explode(expr(
+        s"""flatten(transform(q, (x, i) ->
+           |  transform(slice(q, i + 1, size(q) - i),
+           |    (y, k) -> struct(i * $dim + i + k AS pos, x * y AS prod))))"""
+          .stripMargin)).as("g"))
+      .select(col("g.pos").as("pos"), col("g.prod").as("prod"))
       .groupBy("pos").agg(sum(col("prod").cast(Dec)).as("s"))
+    val i = (col("pos") / dim).cast("int")
+    val j = pmod(col("pos"), lit(dim)).cast("int")
+    upper.union(upper.where(i =!= j)
+      .select((j * dim + i).cast("int").as("pos"), col("s")))
+  }
 
   /** Component-sum table (k, m = Σ qₖ, n). */
   private def mTable(df: DataFrame, vecCol: String, quantBits: Int) =
@@ -58,7 +70,7 @@ object Pca {
 
   def gramTable(df: DataFrame, vecCol: String, dim: Int,
       quantBits: Int = 10): DataFrame = {
-    val s = sTable(df, vecCol, quantBits)
+    val s = sTable(df, vecCol, quantBits, dim)
       .select((col("pos") / dim).cast("int").as("i"),
         pmod(col("pos"), lit(dim)).cast("int").as("j"), col("s"))
     val m = mTable(df, vecCol, quantBits)
@@ -152,7 +164,7 @@ object Pca {
     // the driver from the dim² + dim collected statistics — the
     // distributed join in gramTable exists for the oracle probe's flat
     // output, not for fit
-    val sRows = sTable(df, vecCol, quantBits).collect()
+    val sRows = sTable(df, vecCol, quantBits, dim).collect()
       .map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
     val mRows = mTable(df, vecCol, quantBits).collect()
       .map(r => r.getInt(0) -> ((BigDecimal(r.getDecimal(1)), r.getLong(2))))
