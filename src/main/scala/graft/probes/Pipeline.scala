@@ -361,6 +361,34 @@ object Pipeline {
       Dedup.clusterPairsStar(chain).orderBy("id")
     },
 
+    // Incremental CC delta (the continual-ingest shape): the chain
+    // blocks of q_dedup_cc_star are the EXISTING assignment; the new
+    // batch is exactly the bridge edges between consecutive blocks
+    // (rank % 50 == 0 — the edges the base chain omitted), so pairs of
+    // blocks merge: cluster = min doc_id of each 100-rank super-block.
+    // The corpus is never re-read — the delta runs on (labels ∪ batch).
+    Probe.df("q_dedup_cc_delta",
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) AS r FROM documents),
+        |g AS (SELECT doc_id, (r - 1) // 100 AS blk FROM r)
+        |SELECT doc_id AS id,
+        |       min(doc_id) OVER (PARTITION BY blk) AS cluster
+        |FROM g ORDER BY id""".stripMargin) { (s, dir) =>
+      val ranked = Tables.load(s, dir, "documents").select("doc_id")
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      val chain = ranked.as("a")
+        .join(ranked.as("b"), col("b.r") === col("a.r") + 1 &&
+          col("a.r") % 50 =!= 0)
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      val labels = Dedup.clusterPairsStar(chain)
+      val bridges = ranked.as("a")
+        .join(ranked.as("b"), col("b.r") === col("a.r") + 1 &&
+          col("a.r") % 50 === 0 && col("a.r") % 100 =!= 0)
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      Dedup.clusterPairsDelta(labels, bridges).orderBy("id")
+    },
+
     // LSH pairs vs the exact all-pairs answer (no blocking on either side)
     Probe.df("q_dedup_minhash",
       duckShingleCte("documents") +

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Pca
@@ -62,6 +63,40 @@ class PcaSpec extends AnyFunSuite {
       val want = if (a == b) 1.0 else 0.0
       assert(math.abs(dot - want) < 1e-9, s"<$a,$b> = $dot")
     }
+  }
+
+  test("PCA-compressed neighbor search keeps recall on low-rank data") {
+    // the pipeline composition PCA exists for: when the corpus has low
+    // intrinsic dimension, searching in the 8-dim PCA space recovers
+    // the full-space neighbors. Planted: rank-5, near-zero-mean vectors
+    // in 16 dims (zero mean keeps cosine comparable across spaces —
+    // centering is not translation-invariant for cosine; and the
+    // sf0.001 synthetic embeddings are genuinely full-rank, where ANY
+    // 8-dim cut scrambles neighbors, so they cannot test this).
+    val basis = (0 until 5).map(b =>
+      (0 until 16).map(k => math.sin(0.7 * (b + 1) * (k + 3))).toArray)
+    val planted16 = (1 to 200).map { i =>
+      val w = (0 until 5).map(b => ((i * (b + 2)) % 21 - 10).toDouble / 10.0)
+      val eps = ((i * 13) % 7 - 3).toDouble / 500.0
+      (i.toLong, (0 until 16).map(k =>
+        (0 until 5).map(b => w(b) * basis(b)(k)).sum +
+          (if (k == 7) eps else 0.0)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val (mean, comps, _) =
+      graft.operators.Pca.fit(planted16, "embedding", 16, 8)
+    val proj = graft.operators.Pca.project(
+      planted16, "vec_id", "embedding", mean, comps)
+      .select(col("vec_id"), col("proj").as("embedding"))
+    def topk(q: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      graft.operators.Similarity.bruteForceTopK(
+          q.filter($"vec_id" <= 8), c, "vec_id", "embedding", 10)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = topk(planted16, planted16)
+    val compressed = topk(proj, proj)
+    val recall = full.intersect(compressed).size.toDouble / full.size
+    assert(recall >= 0.9, s"PCA-space recall@10 too low: $recall")
   }
 
   test("project concentrates variance in the first coordinate and centers it") {
