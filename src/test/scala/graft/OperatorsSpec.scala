@@ -840,6 +840,52 @@ class OperatorsSpec extends AnyFunSuite {
         s"got ${cdc(1L)._2}")
   }
 
+  test("cdcChunkDedup matches a driver-side reference on random corpora") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val w = 4; val m = 8
+    def reference(corpus: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+      val chunks = corpus.flatMap { case (id, text) =>
+        val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (ws.isEmpty) Seq.empty
+        else {
+          val bnd = ws.indices.map { i0 =>
+            val pos = i0 + 1
+            pos >= w && h60(ws.slice(pos - w, pos).mkString(" ")) % m == 0
+          }
+          // chunk of word i = boundaries strictly before i
+          val chunkIdx = bnd.scanLeft(0)((acc, b) => acc + (if (b) 1 else 0))
+          ws.indices.groupBy(i0 => chunkIdx(i0)).toSeq.map { case (_, is) =>
+            id -> md5hex(is.sorted.map(i0 => h60(ws(i0)).toString)
+              .mkString(" "))
+          }
+        }
+      }
+      val dupFps = chunks.distinct.groupBy(_._2)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      chunks.groupBy(_._1).map { case (id, cs) =>
+        id -> ((cs.size.toLong, cs.count(c => dupFps(c._2)).toLong))
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val vocab = (0 until 12).map(v => s"w$v")
+      val corpus = (1L to 8L).map { id =>
+        id -> Seq.fill(10 + rnd.nextInt(30))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Dedup.cdcChunkDedup(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", w, m)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == reference(corpus), s"trial $trial")
+    }
+  }
+
   test("ByteUnicode is a 256-way bijection of printable single codepoints") {
     import graft.operators.BpeTrain
     val m = BpeTrain.ByteUnicode
