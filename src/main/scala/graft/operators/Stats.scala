@@ -126,6 +126,49 @@ object Stats {
     * uses only same-operand IEEE ops (one subtraction, one division,
     * one multiply per bound), which reproduce bit-identically across
     * engines (FIXTURES.md recipes). */
+  /** Join/aggregation KEY SKEW profile — the pre-flight a 100 TB
+    * shuffle needs: the top-K heaviest keys with exact counts, their
+    * corpus share (parts-per-million, integer DIV — exact), and the
+    * SALT FACTOR a skew mitigation should split each key into,
+    * ceil(cnt · partitions / total) = the number of average-partition
+    * units the key occupies. One map-side-combined count aggregate
+    * (the distinct-key table, not the corpus, feeds everything else);
+    * keys are cast to string so the report is type-uniform. */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int,
+      partitions: Int): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    // top-K via TakeOrdered (distributed heap — never a global window
+    // over the key table, which can be huge); the rank window then runs
+    // on ≤ topK rows
+    val byWeight = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key"))
+    counts
+      .orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(byWeight))
+      .select(col("rank"), col("key"), col("cnt"),
+        expr("CAST(cnt * 1000000 DIV total AS BIGINT)").as("share_ppm"),
+        expr(s"CAST((cnt * $partitions + total - 1) DIV total AS BIGINT)")
+          .as("salt"))
+  }
+
+  /** DuckDB replay of [[skewProfile]] — same integer DIV arithmetic. */
+  def skewProfileOracleSql(table: String, keyExpr: String, topK: Int,
+      partitions: Int): String =
+    s"""WITH c AS (SELECT CAST($keyExpr AS VARCHAR) AS key,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM $table GROUP BY 1),
+       |t AS (SELECT *, CAST(sum(cnt) OVER () AS BIGINT) AS total FROM c),
+       |r AS (SELECT key, cnt, total,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
+       |  FROM t)
+       |SELECT rank, key, cnt,
+       |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+       |  CAST((cnt * $partitions + total - 1) // total AS BIGINT) AS salt
+       |FROM r WHERE rank <= $topK ORDER BY rank""".stripMargin
+
   def histogramWidth(df: DataFrame, valueCol: String,
       bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")

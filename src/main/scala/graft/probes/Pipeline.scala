@@ -903,6 +903,19 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Join-key SKEW profile: top-K heaviest keys with exact counts,
+    // integer-exact corpus share (ppm) and the salt factor a skew
+    // mitigation should split each key into — the pre-flight report a
+    // 100 TB shuffle needs. Top-K via TakeOrdered over the distinct-key
+    // table, never a global window.
+    Probe.df("q_skew_profile",
+      graft.operators.Stats.skewProfileOracleSql(
+        "documents", "lang", 5, 32)) { (s, dir) =>
+      graft.operators.Stats.skewProfile(
+          Tables.load(s, dir, "documents"), "lang", 5, 32)
+        .orderBy("rank")
+    },
+
     // Tokenizer FERTILITY / compression evaluation (the standard
     // tokenizer-comparison metrics): per language, words, subword
     // tokens under the 8-merge BPE vocab, characters, fertility =
