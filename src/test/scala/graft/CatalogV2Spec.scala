@@ -1149,6 +1149,41 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(dup == Set((7, "insert", 2L)), dup.toString)
   }
 
+  test("netChanges applied cumulatively reconstructs any version range " +
+      "(randomized op sequences)") {
+    import graft.catalog.Changelog
+    val rnd = new scala.util.Random(11)
+    spark.sql("CREATE TABLE g2.db.cdrnd (a INT)")
+    var expected = Map.empty[Int, Long].withDefaultValue(0L) // multiset
+    for (_ <- 0 until 10) {
+      if (rnd.nextBoolean() || expected.isEmpty) {
+        val vals = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(6))
+        spark.sql(s"INSERT INTO g2.db.cdrnd VALUES " +
+          vals.map(v => s"($v)").mkString(", "))
+        vals.foreach(v => expected += v -> (expected(v) + 1L))
+      } else {
+        val v = rnd.nextInt(6)
+        spark.sql(s"DELETE FROM g2.db.cdrnd WHERE a = $v")
+        expected -= v
+      }
+    }
+    // replaying the net changes over the whole history must yield the
+    // final multiset exactly
+    val replayed = Changelog.netChanges(spark, "g2.db.cdrnd", 0L, 100L)
+      .collect().foldLeft(Map.empty[Int, Long].withDefaultValue(0L)) {
+        (acc, r) =>
+          val (a, n) = (r.getInt(0), r.getLong(3))
+          val sign = if (r.getString(2) == "insert") n else -n
+          acc + (a -> (acc(a) + sign))
+      }.filter(_._2 != 0L)
+    assert(replayed == expected.filter(_._2 != 0L).toMap,
+      s"replayed $replayed vs expected $expected")
+    // and it matches the current table content
+    val now = spark.sql("SELECT a FROM g2.db.cdrnd").collect()
+      .groupBy(_.getInt(0)).map { case (k, v) => k -> v.length.toLong }
+    assert(now == expected.filter(_._2 != 0L).toMap)
+  }
+
   test("CALL changes returns the per-version file-level summary") {
     spark.sql("CREATE TABLE g2.db.cdcsum (a INT)")                 // v1
     spark.sql("INSERT INTO g2.db.cdcsum VALUES (1)")               // v2
