@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * one explode + map-side-combined aggregate over the WORD-FREQUENCY
   * table (|vocab| rows, not the corpus — the corpus is read once for
   * word counts), then a 1-row collect of the argmax; the driver holds
-  * only the O(merges) merge list, and each round's symbol state is
-  * recomputed from literals, so results are bit-identical under any
-  * partitioning.
+  * only the O(merges) merge list. The rewritten word→symbols table is
+  * MATERIALIZED every [[RoundsPerMaterialize]] rounds
+  * ([[Checkpoints.truncate]]), so plan depth stays O(R) — per-round
+  * replace chains over a literal seed would grow O(merges) deep and
+  * O(merges²) in total work, a hard ceiling at real 32k-merge
+  * vocabularies. Per-row string rewriting is deterministic, so results
+  * stay bit-identical under any partitioning or materialization split.
   *
   * The merge rewrite runs on a space-sentineled symbol string via
   * `replace(s, ' a b ', ' ab ')`, applied [[MergePasses]] times: one
@@ -100,27 +104,53 @@ object BpeTrain {
     } finally base.unpersist()
   }
 
+  /** Materialize the rewritten word→symbols table every this many merge
+    * rounds. Without it the round-r symbol column re-applies the WHOLE
+    * accumulated chain to the seed — r·[[MergePasses]] nested replaces,
+    * O(merges²) total work, and codegen's 64KB method limit long before
+    * a real 32k-merge vocabulary. With it, plan depth is bounded at
+    * R·MergePasses replaces over a leaf (the |vocab|-row table through
+    * [[Checkpoints.truncate]]), total work O(merges·|vocab|), and the
+    * result is bit-identical — materialization changes where the string
+    * lives between rounds, not a single replace. */
+  val RoundsPerMaterialize = 8
+
+  /** Pending-merge chain applied to an already-(partially-)rewritten
+    * symbol column. */
+  private def applyMerges(c0: Column,
+      pending: Seq[(String, String)]): Column =
+    pending.foldLeft(c0) { case (c, (p, m)) =>
+      (1 to MergePasses).foldLeft(c)((cc, _) =>
+        call_function("replace", cc, lit(s" $p "), lit(s" $m ")))
+    }
+
   private def trainRounds(spark: SparkSession, base: DataFrame,
       merges: Int, seed: Column => Column): DataFrame = {
     var acc = Vector.empty[(Int, String, String, Long)]
+    // (word, cnt, s): s carries every merge up to the last materialize;
+    // `pending` holds the ≤ RoundsPerMaterialize merges since
+    var cur = base.select(col("word"), col("cnt"), seed(col("word")).as("s"))
+    var pending = Vector.empty[(String, String)]
+    def result = spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n")
     for (r <- 1 to merges) {
-      val sCol = acc.foldLeft(seed(col("word"))) { case (c, (_, p, m, _)) =>
-        (1 to MergePasses).foldLeft(c)((cc, _) =>
-          call_function("replace", cc, lit(s" $p "), lit(s" $m ")))
+      if (pending.size >= RoundsPerMaterialize) {
+        // superseded tables' blocks are ContextCleaner-reclaimed
+        cur = Checkpoints.truncate(cur.select(col("word"), col("cnt"),
+          applyMerges(col("s"), pending).as("s")))
+        pending = Vector.empty
       }
-      val best = base
-        .select(col("cnt"), explode(adjacentPairs(split(trim(sCol), " ")))
-          .as("pair"))
+      val best = cur
+        .select(col("cnt"), explode(adjacentPairs(
+          split(trim(applyMerges(col("s"), pending)), " "))).as("pair"))
         .groupBy("pair").agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(1).collect()
-      if (best.isEmpty) {
-        return spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n")
-      }
+      if (best.isEmpty) return result
       val p = best(0).getAs[String]("pair")
       acc = acc :+ ((r, p, p.replace(" ", ""), best(0).getAs[Long]("n")))
+      pending = pending :+ ((p, p.replace(" ", "")))
     }
-    spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n")
+    result
   }
 
   /** (idCol, syms array<string>) — every document tokenized by the
@@ -145,13 +175,24 @@ object BpeTrain {
     val learned = trainer(df, textCol, merges).collect()
       .sortBy(_.getAs[Int]("rank"))
       .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
-    val chain = learned.foldLeft(seed(col("word"))) { case (c, (p, m)) =>
-      (1 to MergePasses).foldLeft(c)((cc, _) =>
-        call_function("replace", cc, lit(s" $p "), lit(s" $m ")))
+      .toSeq
+    // The merge chain is applied to the DISTINCT word table, segmented
+    // every RoundsPerMaterialize merges (bounded plan depth, same reason
+    // as trainRounds), then joined back onto the corpus — each word is
+    // rewritten ONCE, not once per occurrence, which is also the oracle's
+    // own shape (dw JOIN s<merges> USING (word)).
+    var vocab = df
+      .select(explode(Dedup.words(col(textCol))).as("word")).distinct()
+      .select(col("word"), seed(col("word")).as("s"))
+    learned.grouped(RoundsPerMaterialize).foreach { seg =>
+      val next = vocab.select(col("word"), applyMerges(col("s"), seg).as("s"))
+      vocab = if (seg.size >= RoundsPerMaterialize)
+        Checkpoints.truncate(next) else next
     }
     df.select(col(idCol),
         posexplode(Dedup.words(col(textCol))).as(Seq("pos", "word")))
-      .withColumn("syms", split(trim(chain), " "))
+      .join(vocab, "word")
+      .withColumn("syms", split(trim(col("s")), " "))
       .groupBy(idCol)
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("syms")))),

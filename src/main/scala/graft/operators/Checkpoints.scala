@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative DataFrame operators (connected
+  * components, BPE training rounds, PageRank): any loop that re-references
+  * its own output grows the LOGICAL plan exponentially — persist/cache
+  * materializes data, not lineage, and the driver OOMs building AQE's
+  * plan strings at depth ≳10. Eager checkpointing does both: the round's
+  * result is materialized AND its plan is cut to a leaf.
+  *
+  * Durability is a deployment choice, not a code path:
+  *
+  *  - `graft.checkpoint.dir` UNSET (default): `localCheckpoint` — blocks
+  *    live in executor storage. Right for single-JVM runs; on a real
+  *    cluster an executor loss mid-loop kills the job (local blocks are
+  *    not recoverable), restarting an hours-long CC job from zero.
+  *  - `graft.checkpoint.dir` SET: reliable `checkpoint()` into that
+  *    directory (HDFS/object store on a cluster) — each round's state
+  *    survives executor loss, so a 1000-executor job resumes the loop's
+  *    lineage from files instead of dying. The extra cost is one
+  *    write+read of the (small, fixed-width) iteration state per round,
+  *    never of the corpus.
+  *
+  * Both modes return bit-identical results — the knob changes WHERE the
+  * materialized bytes live, nothing about the computation (OperatorsSpec
+  * pins label equality across modes).
+  */
+object Checkpoints {
+
+  val DirKey = "graft.checkpoint.dir"
+
+  /** Eagerly materialize `df` and truncate its lineage to a leaf plan;
+    * reliable when [[DirKey]] is set, executor-local otherwise. */
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir appends a per-SparkContext UUID subdir; set it
+        // once (first caller wins) so every round shares one directory and
+        // the ContextCleaner can reclaim superseded rounds' files when
+        // spark.cleaner.referenceTracking.cleanCheckpoints is enabled.
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
+}

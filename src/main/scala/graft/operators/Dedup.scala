@@ -713,25 +713,25 @@ object Dedup {
       .union(pairs.select(col(idbCol).as("src"), col(idaCol).as("dst")))
       .distinct()
       .transform(OperatorCache.persist)
-    // localCheckpoint per round: `labels` is referenced TWICE per
+    // Checkpoints.truncate per round: `labels` is referenced TWICE per
     // iteration, so without lineage truncation the logical plan doubles
     // every round and a deep component (diameter ≳ 10) OOMs the driver
     // building AQE's plan strings — caching materializes data but does
-    // NOT cut the plan tree. Eager local checkpoint does both (leaf
-    // plan); superseded rounds' blocks are ContextCleaner-reclaimed.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+    // NOT cut the plan tree. Eager checkpoint does both (leaf plan);
+    // graft.checkpoint.dir switches local blocks → reliable files.
+    var labels = Checkpoints.truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
     var converged = false
     while (!converged) {
       // each node offers its label to every neighbour; take the min seen
       val offers = labels.join(edges, col("id") === col("src"))
         .groupBy(col("dst").as("id2")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(offers, col("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint(true)
+      val next = Checkpoints.truncate(
+        labels.join(offers, col("id") === col("id2"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster")))
       converged = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.cluster") =!= col("o.cluster"))
@@ -794,23 +794,20 @@ object Dedup {
     // Lineage MUST be truncated per round: largeStar/smallStar reference
     // their input 4+ times, so without truncation the logical plan grows
     // exponentially with rounds (persist caches data, not the plan tree).
-    // localCheckpoint materializes the round's edges and cuts the plan to
-    // a leaf — on a real cluster swap for reliable checkpoint(): local
-    // blocks die with an executor, acceptable single-JVM, not at 1000
-    // executors. Superseded rounds' blocks are reclaimed by the
-    // ContextCleaner once unreferenced.
+    // Checkpoints.truncate materializes the round's edges and cuts the
+    // plan to a leaf; set graft.checkpoint.dir on a real cluster so the
+    // per-round state survives executor loss (local blocks don't — an
+    // hours-long CC job at 1000 executors must not restart from zero).
     val canon = pairs
       .select(greatest(col(idaCol), col(idbCol)).as("u"),
         least(col(idaCol), col(idbCol)).as("v"))
-    var edges = canon
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    var edges = Checkpoints.truncate(
+      canon.where(col("u") =!= col("v")).distinct())
     var rounds = 0
     var converged = false
     var edgeCount = edges.count()
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = Checkpoints.truncate(smallStar(largeStar(edges)))
       // both sides are DISTINCT sets, so equal counts + one-direction
       // inclusion proves set equality — one anti-join per round, not
       // two; the count is a cheap job over the checkpointed blocks and

@@ -18,19 +18,25 @@ import org.apache.spark.sql.functions._
   * dangling nodes leak their mass — both deterministic, both replayed
   * identically by the oracle; ranks are a RELATIVE signal.
   *
-  * Scale shape: a fixed `iters`-deep unrolled plan (no data-dependent
-  * driver loop). Edges persist once partitioned by `src`, so every
+  * Scale shape: edges persist once partitioned by `src`, so every
   * iteration's rank⋈edge join reuses that layout; each iteration pays
   * one shuffle on `dst` for the contribution aggregate — the canonical
   * distributed-PageRank cost. N arrives via a broadcast 1-row count,
-  * never a driver collect.
+  * never a driver collect. Each iteration references the previous rank
+  * table TWICE (contribution join + damping join), so an unrolled plan
+  * doubles per iteration — [[Checkpoints.truncate]] cuts lineage every
+  * `truncateEvery` rounds, bounding plan size at 2^truncateEvery leaf
+  * references while materializing only the fixed-width (id, rank, n)
+  * table (graft.checkpoint.dir makes those cuts executor-loss-durable).
   */
 object PageRank {
 
   /** (id, rank) after `iters` damped iterations; rank in micro-units of
     * `unit` total initial mass. Edge DataFrame must have src/dst cols. */
   def ranks(edges: DataFrame, iters: Int, unit: Long = 1000000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      truncateEvery: Int = 4): DataFrame = {
+    require(truncateEvery >= 1, "truncateEvery must be >= 1")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
       .transform(OperatorCache.persist)
@@ -40,7 +46,7 @@ object PageRank {
     val nRow = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("id"), expr(s"${unit}L div n").as("rank"), col("n"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = ranks.join(e, col("id") === col("src"))
         .join(deg, "src")
         .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -51,6 +57,11 @@ object PageRank {
             expr(s"(${dampNum}L * coalesce(s, 0L)) div ${dampDen}L"))
             .as("rank"),
           col("n"))
+      // integer arithmetic: truncation never changes values, only bounds
+      // the doubling-per-iteration plan (skip after the last round — the
+      // caller gets a composable lazy frame)
+      if (it % truncateEvery == 0 && it < iters)
+        ranks = Checkpoints.truncate(ranks)
     }
     ranks.select(col("id"), col("rank"))
   }
