@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object CatalogStreams {
 
   /** `spark.readStream` over `cat.ns.table`. Unpartitioned, append-only
-    * tables only. */
-  def readTable(spark: SparkSession, ident: String): DataFrame = {
+    * tables only. `options` pass through to the source — notably the
+    * admission controls `maxSnapshotsPerTrigger` / `maxFilesPerTrigger`
+    * (a lagging stream catches up in bounded micro-batches instead of
+    * one unbounded catch-up batch). */
+  def readTable(spark: SparkSession, ident: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val dir = Maintenance.tableDir(spark, ident)
     require(Files.exists(dir.resolve("_graft_schema.json")), s"no such table $ident")
     val schema = DataType.fromJson(
@@ -47,6 +51,7 @@ object CatalogStreams {
     spark.readStream
       .format(classOf[SnapshotStreamProvider].getName)
       .schema(schema)
+      .options(options)
       .option("tableDir", dir.toString)
       .load()
   }

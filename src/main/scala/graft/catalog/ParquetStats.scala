@@ -30,31 +30,37 @@ object ParquetStats {
       finally r.close()
     } catch { case _: Exception => 0L }
 
-  /** Per-file (footer row count, on-disk size) for a snapshot's file
-    * list, fetched on a DEDICATED bounded pool — the metadata reads are
-    * independent blocking I/O, so they must neither run sequentially
-    * (planning at 100k files) nor occupy the JVM-wide ForkJoin common
-    * pool (a hung object-store open would starve every other
-    * parallel-stream user on the driver). Shared by the `.files` and
-    * `.partitions` metadata tables. */
-  private[catalog] def footerStats(tableDir: java.nio.file.Path,
-      files: Seq[String], conf: Configuration): Map[String, (Long, Long)] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+  /** ONE shared daemon pool for footer I/O, created lazily and reused
+    * across every `.files`/`.partitions` metadata scan — a fresh pool
+    * per scan paid thread creation/teardown on each metadata query
+    * (ADVICE r12). Bounded so 100k-file planning fans out without
+    * occupying the JVM-wide ForkJoin common pool (a hung object-store
+    * open must not starve other parallel-stream users on the driver). */
+  private lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(2, Runtime.getRuntime.availableProcessors())),
       r => { val t = new Thread(r, "graft-footer-io"); t.setDaemon(true); t })
-    try {
-      val futures = files.map { f =>
-        f -> pool.submit(new java.util.concurrent.Callable[(Long, Long)] {
-          override def call(): (Long, Long) = {
-            val p = tableDir.resolve(f)
-            (rowCount(p.toString, conf),
-              if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
-              else 0L)
-          }
-        })
-      }
-      futures.map { case (f, fut) => f -> fut.get() }.toMap
-    } finally pool.shutdown()
+
+  /** Per-file (footer row count, on-disk size) for a snapshot's file
+    * list, fetched on [[footerPool]]. A single unreadable file — e.g.
+    * removed by a concurrent expire/orphan sweep between listing and
+    * stat — degrades to (0, 0) like [[rowCount]] already does, instead
+    * of failing the whole metadata query (ADVICE r12). */
+  private[catalog] def footerStats(tableDir: java.nio.file.Path,
+      files: Seq[String], conf: Configuration): Map[String, (Long, Long)] = {
+    val futures = files.map { f =>
+      f -> footerPool.submit(new java.util.concurrent.Callable[(Long, Long)] {
+        override def call(): (Long, Long) = {
+          val p = tableDir.resolve(f)
+          val rows = rowCount(p.toString, conf) // catches internally → 0
+          val bytes =
+            try java.nio.file.Files.size(p)
+            catch { case _: java.io.IOException => 0L }
+          (rows, bytes)
+        }
+      })
+    }
+    futures.map { case (f, fut) => f -> fut.get() }.toMap
   }
 
   /** Could any row of `file` satisfy the conjunction of `filters`?

@@ -27,15 +27,64 @@ import org.apache.spark.sql.types.StructType
   * read: one metadata read per trigger (the snapshot log), then a scan of
   * only the newly committed files — never a directory listing of the
   * whole table.
+  *
+  * ADMISSION CONTROL (VERDICT r12 #4): without a read limit, a stream
+  * that fell behind N snapshots delivers them all as ONE micro-batch —
+  * unbounded at scale. `maxSnapshotsPerTrigger` caps each batch at that
+  * many commits; `maxFilesPerTrigger` caps it at the first snapshot
+  * prefix whose cumulative fresh-file count exceeds the limit (always
+  * admitting at least one snapshot, so progress is guaranteed even when
+  * a single commit is larger than the cap — FileStreamSource's own
+  * contract). The source's progress watermark is its own position,
+  * persisted under the stream's metadata path so a restart resumes
+  * capped delivery instead of one catch-up mega-batch.
   */
 final class SnapshotStreamSource(
-    spark: SparkSession, tableDir: Path, override val schema: StructType)
+    spark: SparkSession, tableDir: Path, override val schema: StructType,
+    metadataPath: String, maxSnapshotsPerTrigger: Option[Int],
+    maxFilesPerTrigger: Option[Int])
     extends Source {
 
   private def version(o: OffsetV1): Long = o match {
     case LongOffset(v) => v
     case s: SerializedOffset => s.json.trim.toLong
     case other => other.json.trim.toLong
+  }
+
+  // ---- per-source progress watermark (for capped getOffset) ----------
+  // V1 Source.getOffset carries no "current position" input, so a rate-
+  // limited source must track its own (the FileStreamSource pattern).
+  // Persisted best-effort under the checkpoint's source metadata dir:
+  // on restart the file restores capped catch-up; if it is missing the
+  // first recovery getBatch(start, end) re-seeds the position anyway.
+  private val posFile: Option[java.nio.file.Path] =
+    try {
+      val p =
+        if (metadataPath.startsWith("file:"))
+          java.nio.file.Paths.get(new java.net.URI(metadataPath))
+        else java.nio.file.Paths.get(metadataPath)
+      java.nio.file.Files.createDirectories(p)
+      Some(p.resolve("graft-position"))
+    } catch { case _: Exception => None }
+
+  @volatile private var position: Long =
+    posFile.filter(java.nio.file.Files.exists(_)).flatMap { f =>
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+    }.getOrElse(0L)
+
+  private def advance(v: Long): Unit = if (v > position) {
+    position = v
+    posFile.foreach { f =>
+      try {
+        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, v.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Exception => () } // best-effort; memory is primary
+    }
   }
 
   private def filesAt(v: Long): Set[String] =
@@ -45,11 +94,38 @@ final class SnapshotStreamSource(
         s"snapshot v$v of $tableDir is gone (expired while a stream was reading it?)"))
 
   override def getOffset: Option[OffsetV1] =
-    Snapshots.latest(tableDir).map(s => LongOffset(s.version))
+    Snapshots.latest(tableDir).map { s =>
+      val latest = s.version
+      val bySnap = maxSnapshotsPerTrigger
+        .map(n => math.min(latest, position + n)).getOrElse(latest)
+      val byFiles = maxFilesPerTrigger.map { cap =>
+        // admit whole snapshots until the cumulative fresh-file count
+        // would exceed the cap — but always at least one (progress)
+        val pending = Snapshots.list(tableDir)
+          .filter(sn => sn.version > position && sn.version <= latest)
+          .sortBy(_.version)
+        var prev = if (position <= 0L) Set.empty[String] else filesAt(position)
+        var admitted = position
+        var used = 0
+        var first = true
+        var stopped = false
+        pending.foreach { sn =>
+          val cur = sn.files.toSet
+          val fresh = (cur -- prev).size
+          if (!stopped && (first || used + fresh <= cap)) {
+            admitted = sn.version; used += fresh; first = false
+          } else stopped = true // offsets are contiguous: no skipping past
+          prev = cur
+        }
+        admitted
+      }.getOrElse(latest)
+      LongOffset(math.max(position, math.min(bySnap, byFiles)))
+    }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val startV = start.map(version).getOrElse(0L)
     val endV = version(end)
+    advance(endV)
     val startFiles = if (startV <= 0L) Set.empty[String] else filesAt(startV)
     // validate EVERY snapshot in the batch range, not just its endpoints:
     // an add+rewrite committed between two triggers would otherwise slip
@@ -100,6 +176,18 @@ final class SnapshotStreamProvider
 
   override def createSource(
       ctx: SQLContext, metadataPath: String, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): Source =
-    new SnapshotStreamSource(ctx.sparkSession, dirOf(parameters), schema.get)
+      providerName: String, parameters: Map[String, String]): Source = {
+    def intOpt(key: String): Option[Int] =
+      parameters.get(key).map { v =>
+        val n = scala.util.Try(v.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"option $key must be a positive integer, got '$v'"))
+        if (n < 1) throw new IllegalArgumentException(
+          s"option $key must be >= 1, got $n")
+        n
+      }
+    new SnapshotStreamSource(ctx.sparkSession, dirOf(parameters), schema.get,
+      metadataPath, intOpt("maxSnapshotsPerTrigger"),
+      intOpt("maxFilesPerTrigger"))
+  }
 }

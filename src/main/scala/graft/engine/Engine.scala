@@ -83,6 +83,23 @@ final class Engine(root: SparkSession) {
   private val maxStatements: Int =
     math.max(1, sys.env.getOrElse("GRAFT_MAX_STATEMENTS", "1024").toInt)
 
+  /** Result-size guards on execute. The reference materializes results
+    * unbounded (lib.rs:333-344) and so does the default here — but at
+    * 100× data a runaway `SELECT *` OOMs the DRIVER with only the
+    * statement-count cap standing between, so a deployment should set
+    * GRAFT_MAX_RESULT_ROWS (enforced BEFORE materialization: the collect
+    * runs under a limit probe of cap+1 rows, so an over-limit result
+    * never becomes resident) and/or GRAFT_MAX_RESULT_BYTES (estimated on
+    * the collected rows before they enter the statement cache). Read per
+    * execute — system properties override env as the test hook. */
+  private def sizeGuard(prop: String, env: String): Option[Long] =
+    sys.props.get(prop).orElse(sys.env.get(env)).map(_.trim.toLong)
+      .filter(_ > 0)
+  private def maxResultRows: Option[Long] =
+    sizeGuard("graft.max.result.rows", "GRAFT_MAX_RESULT_ROWS")
+  private def maxResultBytes: Option[Long] =
+    sizeGuard("graft.max.result.bytes", "GRAFT_MAX_RESULT_BYTES")
+
   /** Basic auth (env-driven like lib.rs:223-226); returns bearer token. */
   def handshake(user: String, password: String): Either[String, String] = {
     val expUser = sys.env.getOrElse("FLIGHT_USER", "admin")
@@ -298,7 +315,28 @@ final class Engine(root: SparkSession) {
       st.runningAttempts.add(attempt)
       try { // outside the lock: old-result fetches stay servable
         val d = plan(st)
-        outcome.set(Right((d, d.collect())))
+        val rows = maxResultRows match {
+          case Some(cap) =>
+            // limit-probe: collect at most cap+1 rows — an over-limit
+            // result FAILS without ever being driver-resident (the
+            // CollectLimit stops executors early); an under-limit
+            // result is byte-identical to the unguarded collect
+            val lim = math.min(cap, Int.MaxValue.toLong - 1).toInt
+            val r = d.limit(lim + 1).collect()
+            if (r.length > lim) throw new IllegalStateException(
+              s"result exceeds GRAFT_MAX_RESULT_ROWS=$cap for statement " +
+                s"$handle; narrow the query or raise the cap")
+            r
+          case None => d.collect()
+        }
+        maxResultBytes.foreach { cap =>
+          val est = org.apache.spark.util.SizeEstimator.estimate(rows)
+          if (est > cap) throw new IllegalStateException(
+            s"result estimated at $est bytes exceeds " +
+              s"GRAFT_MAX_RESULT_BYTES=$cap for statement $handle; " +
+              "narrow the query or raise the cap")
+        }
+        outcome.set(Right((d, rows)))
       } catch { case e: Throwable => outcome.set(Left(e)) }
       finally {
         st.runningAttempts.remove(attempt)
@@ -347,14 +385,17 @@ final class Engine(root: SparkSession) {
     // starts, and a cancel aimed at running attempt N must not land on
     // the fresh N+1 instead (ADVICE r11); with overlapping executes of
     // one handle, BOTH in-flight attempts are this statement's query
-    // and both are cancelled. Fallback to executeAttempt covers the
-    // window between allocation and worker start — there the
-    // about-to-run attempt IS the right target (sticky cancel kills it
-    // the moment it submits its first job).
+    // and both are cancelled. executeAttempt.get() is ALWAYS unioned in
+    // (not only when the running set is empty — ADVICE r12): with one
+    // attempt running and a second freshly allocated but not yet in
+    // runningAttempts (the window between incrementAndGet and the pool
+    // worker's add, which includes any pool-queue wait), both are this
+    // statement's query; a sticky cancel on a not-yet-started group is
+    // harmless and attempt ids are never reused.
     import scala.jdk.CollectionConverters._
-    val running = st.runningAttempts.asScala.toSeq.sorted
     val targets =
-      if (running.nonEmpty) running else Seq(st.executeAttempt.get())
+      (st.runningAttempts.asScala.toSeq :+ st.executeAttempt.get())
+        .distinct.sorted
     targets.foreach { a =>
       st.session.sparkContext.cancelJobGroupAndFutureJobs(
         Engine.jobGroup(handle) + "-" + a)

@@ -743,4 +743,46 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalStateException] { engine.fetch(h) } // never executed
     engine.closeStatement(h)
   }
+
+  test("GRAFT_MAX_RESULT_ROWS fails an over-limit execute with a named " +
+      "diagnostic; under-limit results are untouched (VERDICT r12 #2)") {
+    sys.props("graft.max.result.rows") = "100"
+    try {
+      val (big, _) = engine.prepare(token, "SELECT id FROM range(101)")
+      val err = intercept[IllegalStateException] { engine.execute(big) }
+      assert(err.getMessage.contains("GRAFT_MAX_RESULT_ROWS=100"),
+        err.getMessage)
+      intercept[IllegalStateException] { engine.fetch(big) } // no result cached
+      engine.closeStatement(big)
+      val (ok, _) = engine.prepare(token,
+        "SELECT id FROM range(100) ORDER BY id")
+      assert(engine.execute(ok) == 100)
+      val (_, rows) = engine.fetch(ok)
+      assert(rows.map(_.getLong(0)).toSeq == (0L until 100L))
+      engine.closeStatement(ok)
+    } finally sys.props.remove("graft.max.result.rows")
+  }
+
+  test("GRAFT_MAX_RESULT_BYTES fails an oversized result before it " +
+      "enters the statement cache") {
+    sys.props("graft.max.result.bytes") = "4096"
+    try {
+      val (big, _) = engine.prepare(token,
+        "SELECT repeat('x', 1000) AS s FROM range(100)")
+      val err = intercept[IllegalStateException] { engine.execute(big) }
+      assert(err.getMessage.contains("GRAFT_MAX_RESULT_BYTES=4096"),
+        err.getMessage)
+      engine.closeStatement(big)
+      val (ok, _) = engine.prepare(token, "SELECT 1 AS one")
+      assert(engine.execute(ok) == 1)
+      engine.closeStatement(ok)
+    } finally sys.props.remove("graft.max.result.bytes")
+  }
+
+  test("unlimited by default: a 200k-row result executes (reference " +
+      "parity, lib.rs:333-344)") {
+    val (h, _) = engine.prepare(token, "SELECT id FROM range(200000)")
+    assert(engine.execute(h) == 200000)
+    engine.closeStatement(h)
+  }
 }

@@ -206,6 +206,27 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("over-limit execute surfaces the GRAFT_MAX_RESULT_ROWS " +
+      "diagnostic in-band; the connection survives (VERDICT r12 #2)") {
+    sys.props("graft.max.result.rows") = "10"
+    try withServer { (_, c) =>
+      val token = auth(c)
+      val prep = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT id FROM range(11)")
+      val handle = prep.get("handle").asText
+      val res = c.call("cmd" -> "execute", "handle" -> handle)
+      assert(!res.get("ok").asBoolean)
+      assert(res.get("error").asText.contains("GRAFT_MAX_RESULT_ROWS=10"),
+        res.get("error").asText)
+      // connection stays usable; an under-limit statement runs
+      val prep2 = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT id FROM range(10)")
+      assert(c.call("cmd" -> "execute",
+        "handle" -> prep2.get("handle").asText).get("rows").asLong == 10L)
+      c.call("cmd" -> "close_session", "token" -> token)
+    } finally sys.props.remove("graft.max.result.rows")
+  }
+
   test("cancel_query verb is wired: ok on an idle statement, handle " +
       "stays executable (reference stubs it, lib.rs:781-787)") {
     withServer { (_, c) =>
