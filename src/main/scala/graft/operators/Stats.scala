@@ -149,13 +149,20 @@ object Stats {
       .orderBy(col("cnt").desc, col("key")).limit(topK)
       .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(byWeight))
+      // the ppm/salt multiplies are widened to DECIMAL(38,0) BEFORE the
+      // multiply: at the 100 TB scale this targets, per-key counts past
+      // ~9.2e12 would overflow BIGINT·1e6 (ANSI throws, non-ANSI wraps
+      // silently — ADVICE r12); the quotients are tiny, so the final
+      // BIGINT cast is always safe
       .select(col("rank"), col("key"), col("cnt"),
-        expr("CAST(cnt * 1000000 DIV total AS BIGINT)").as("share_ppm"),
-        expr(s"CAST((cnt * $partitions + total - 1) DIV total AS BIGINT)")
-          .as("salt"))
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)")
+          .as("share_ppm"),
+        expr(s"CAST((CAST(cnt AS DECIMAL(38,0)) * $partitions + total - 1) " +
+          "DIV total AS BIGINT)").as("salt"))
   }
 
-  /** DuckDB replay of [[skewProfile]] — same integer DIV arithmetic. */
+  /** DuckDB replay of [[skewProfile]] — same integer DIV arithmetic,
+    * HUGEINT-widened like the DECIMAL(38,0) engine side. */
   def skewProfileOracleSql(table: String, keyExpr: String, topK: Int,
       partitions: Int): String =
     s"""WITH c AS (SELECT CAST($keyExpr AS VARCHAR) AS key,
@@ -165,8 +172,9 @@ object Stats {
        |    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
        |  FROM t)
        |SELECT rank, key, cnt,
-       |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
-       |  CAST((cnt * $partitions + total - 1) // total AS BIGINT) AS salt
+       |  CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+       |  CAST((CAST(cnt AS HUGEINT) * $partitions + total - 1) // total
+       |    AS BIGINT) AS salt
        |FROM r WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   def histogramWidth(df: DataFrame, valueCol: String,

@@ -179,6 +179,23 @@ object Joins {
         .orderBy("s_nationkey")
     },
 
+    // AUTO-salted skew join (VERDICT r12 #5): per-key salt factors come
+    // from the skewProfile broadcast — whales spread by their measured
+    // share, uniform keys unsalted. Result identical to the plain join.
+    Probe.df("q_join_salted_auto",
+      """SELECT s_nationkey, count(*) AS items, sum(l_quantity) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      graft.operators.SkewJoin.saltedJoinAuto(
+          s.table("lineitem"), s.table("supplier"),
+          Seq("l_suppkey" -> "s_suppkey"), topK = 64)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("items"), sum("l_quantity").as("qty"))
+        .orderBy("s_nationkey")
+    },
+
     // bloom-pruned join (operators/BloomJoin): fact rows are pre-filtered
     // by a bloom filter of the post-predicate dim keys before the join
     // exchange; the exact join makes the result identical to a plain join

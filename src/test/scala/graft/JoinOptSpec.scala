@@ -52,6 +52,34 @@ class JoinOptSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoinAuto == plain join; profile spreads the whale at " +
+      "least as wide as the manual salt, tail keys unsalted (VERDICT " +
+      "r12 #5)") {
+    import graft.operators.Stats
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    val auto = SkewJoin.saltedJoinAuto(fact, dim, Seq("k" -> "dk"), topK = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    assert(auto == plain)
+    // the derived factors: whale key 0 holds 500/600 rows of a 4-way
+    // shuffle (spark.sql.shuffle.partitions=4 in tests) → ceil(500·4/600)
+    // = 4 ≥ the manual salts=4; every singleton key gets factor 1
+    val prof = Stats.skewProfile(fact, "k", topK = 8, partitions = 4)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("salt"))
+      .toMap
+    assert(prof("0") >= 4L, s"whale factor ${prof("0")}")
+    assert(prof.filter(_._1 != "0").values.forall(_ == 1L),
+      s"tail keys must stay unsalted: $prof")
+    // left join parity too: unmatched big rows exactly once
+    val left = SkewJoin.saltedJoinAuto(fact, dim, Seq("k" -> "dk"),
+      topK = 8, joinType = "left")
+    assert(left.count() == fact.count())
+    assert(left.filter(col("dk").isNull).count() ==
+      fact.filter(col("k") > 50).count())
+  }
+
   test("bloomPrunedJoin == plain join after a dim predicate") {
     val d = dim.filter(col("dk") % 7 === 0)
     val plain = fact.alias("f").join(d.alias("d"), col("f.k") === col("d.dk"))
