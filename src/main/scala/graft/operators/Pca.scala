@@ -82,12 +82,14 @@ object Pca {
           .cast("long").as("g"))
   }
 
-  /** DuckDB replay of [[gramTable]] — nested comprehension outer
-    * products, HUGEINT-exact sums, same n·S − m·mᵀ assembly. */
-  def gramOracleSql(table: String, vecCol: String, dim: Int,
+  /** The [[gramOracleSql]] CTE chain without the final select — ends in
+    * relations `s(i, j, s)` and `m(k, m, n)` so composing oracles (the
+    * OPQ block rotation) can assemble G themselves. Concatenated, never
+    * re-stripMargin'd (the '||'-continuation rule). */
+  private[operators] def gramCtes(table: String, vecCol: String, dim: Int,
       quantBits: Int = 10): String = {
     val scale = 1L << quantBits
-    s"""WITH e AS (SELECT list_transform($vecCol::DOUBLE[],
+    s"""e AS (SELECT list_transform($vecCol::DOUBLE[],
        |    x -> CAST(floor(x * $scale.0) AS BIGINT)) AS q
        |  FROM $table WHERE $vecCol IS NOT NULL),
        |p AS (SELECT unnest(flatten([[{'pos': (i-1)*$dim + (j-1),
@@ -99,12 +101,18 @@ object Pca {
        |  FROM p GROUP BY 1, 2),
        |m AS (SELECT (k-1) AS k, sum(CAST(q[CAST(k AS INT)] AS HUGEINT)) AS m,
        |    CAST(count(*) AS HUGEINT) AS n
-       |  FROM e CROSS JOIN range(1, $dim + 1) t(k) GROUP BY 1)
-       |SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
-       |  CAST(mi.n * s.s - mi.m * mj.m AS BIGINT) AS g
-       |FROM s JOIN m mi ON s.i = mi.k JOIN m mj ON s.j = mj.k
-       |ORDER BY i, j""".stripMargin
+       |  FROM e CROSS JOIN range(1, $dim + 1) t(k) GROUP BY 1)""".stripMargin
   }
+
+  /** DuckDB replay of [[gramTable]] — nested comprehension outer
+    * products, HUGEINT-exact sums, same n·S − m·mᵀ assembly. */
+  def gramOracleSql(table: String, vecCol: String, dim: Int,
+      quantBits: Int = 10): String =
+    "WITH " + gramCtes(table, vecCol, dim, quantBits) + "\n" +
+      s"""SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+         |  CAST(mi.n * s.s - mi.m * mj.m AS BIGINT) AS g
+         |FROM s JOIN m mi ON s.i = mi.k JOIN m mj ON s.j = mj.k
+         |ORDER BY i, j""".stripMargin
 
   /** Cyclic Jacobi eigensolve of a symmetric matrix: (eigenvalues,
     * eigenvectors as rows), sorted by eigenvalue descending. Plain

@@ -44,13 +44,17 @@ object Pq {
 
   /** Untrained codebooks (first-k slices, the [[Similarity.ivfCentroidsFrom]]
     * analogue) — deterministic without a training pass; the cross-engine
-    * oracle recomputes them from the table itself. */
+    * oracle recomputes them from the table itself. Accepts float OR
+    * double vector columns (the widening cast is exact), so rotated
+    * `array<double>` outputs of [[opqBlockRotate]]/[[Pca.project]] feed
+    * straight back in. */
   def pqCodebooksFrom(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
-    val firstK = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val firstK = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
     (0 until m).map(s => firstK.map(v => v.slice(s * sub, (s + 1) * sub)))
   }
 
@@ -188,8 +192,11 @@ object Pq {
     * first-k slices, the same augmented-dot score (identical operation
     * order: an 8-term sequential dot then one subtraction matches the
     * kernel's 9-term sequential dot whose last term is 1·(−b)), the same
-    * first-index tie-break. */
-  private def encodeCtes(table: String, dim: Int, m: Int, k: Int): String = {
+    * first-index tie-break. `tCtes` overrides the corpus CTE chain — it
+    * must end in a relation `t(vec_id, v DOUBLE[])` (the OPQ oracle
+    * substitutes the ROTATED corpus here). */
+  private def encodeCtes(table: String, dim: Int, m: Int, k: Int,
+      tCtes: Option[String] = None): String = {
     val sub = dim / m
     val cbs = (0 until m).map { s =>
       s"""cb$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
@@ -205,8 +212,147 @@ object Pq {
          |             cb$s.code) AS rn
          |  FROM t CROSS JOIN cb$s) WHERE rn = 1)""".stripMargin
     }
-    (Seq(s"t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table)") ++
+    (Seq(tCtes.getOrElse(
+      s"t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $table)")) ++
       cbs ++ picks).mkString(",\n")
+  }
+
+  // ------------------------------------------------------------------
+  // OPQ — Optimized Product Quantization (Ge et al., "Optimized Product
+  // Quantization for Approximate Nearest Neighbor Search", CVPR 2013).
+  // Plain PQ quantizes FIXED coordinate slices; when variance is spread
+  // unevenly or correlated across slices, codebook bits are wasted. The
+  // parametric solution (§4): rotate the space by the data's PCA
+  // eigenbasis, then ALLOCATE principal directions to the M subspaces
+  // balancing per-subspace eigenvalue products, and run PQ in the
+  // rotated space. The rotation is a trained, shippable parameter —
+  // encode stays one projection; at 100 TB nothing about the PQ plan
+  // shape changes (the rotation rides the scan as literal coefficients).
+  // ------------------------------------------------------------------
+
+  /** Parametric OPQ rotation: (mean, R) where R's rows are the PCA
+    * eigenbasis ([[Pca.fit]] — integer-exact Gram, driver Jacobi)
+    * permuted by GREEDY EIGENVALUE ALLOCATION: directions in λ-descending
+    * order each go to the non-full subspace with the smallest current
+    * log-eigenvalue product (Ge et al. §4.2 — balances per-subspace
+    * information so every codebook's k centroids carry similar load).
+    * Rotate with [[Pca.project]]; encode the projection with
+    * [[pqCodebooksFrom]]/[[pqTrain]] + [[pqEncode]] as usual. */
+  def opqRotation(df: DataFrame, vecCol: String, dim: Int, m: Int,
+      quantBits: Int = 10): (Array[Double], Array[Array[Double]]) = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val (mean, comps, vals) = Pca.fit(df, vecCol, dim, dim, quantBits)
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logProd = Array.fill(m)(0.0)
+    (0 until dim).foreach { i => // vals already λ-descending
+      // LAYERED greedy: among non-full buckets, fill the least-loaded
+      // layer first, ties by smallest accumulated log-product. Plain
+      // smallest-product greedy is degenerate when eigenvalues sit
+      // below 1 (normalized data): multiplying by λ < 1 only shrinks a
+      // bucket's product, so the strongest directions would all pile
+      // into ONE subspace — the exact imbalance allocation exists to
+      // prevent. Layering assigns each bucket one direction per round,
+      // weakest-so-far bucket first, balancing products at any λ scale.
+      val open = (0 until m).filter(b => buckets(b).size < sub)
+      val minLoad = open.map(buckets(_).size).min
+      val tgt = open.filter(buckets(_).size == minLoad)
+        .minBy(b => (logProd(b), b))
+      buckets(tgt) = buckets(tgt) :+ i
+      logProd(tgt) += math.log(math.max(vals(i), 1e-300))
+    }
+    (mean, buckets.flatten.map(comps).toArray)
+  }
+
+  /** Exactly-replayable OPQ twin for the cross-engine probe: per
+    * CONSECUTIVE DIMENSION PAIR (2p, 2p+1), the closed-form 2×2 Jacobi
+    * rotation that diagonalizes that covariance block — one cyclic-
+    * Jacobi sweep restricted to disjoint pairs, i.e. a block-diagonal
+    * constrained R (the full [[opqRotation]] is the quality path; its
+    * driver eigensolve has no SQL replay). Every quantity here is a
+    * fixed sequence of correctly-rounded IEEE ops over the INTEGER Gram
+    * (bit-identical cross-engine, [[Pca.gramTable]]), so the DuckDB
+    * oracle reproduces c/s — and therefore codes — exactly: θ =
+    * (g_jj − g_ii) / (2·g_ij), t = sgn(θ)/(|θ| + √(θ²+1)), c = 1/√(t²+1),
+    * s = t·c; g_ij = 0 (integer test) → identity. Returns the (c, s)
+    * pair per block. */
+  def opqBlockRotation(df: DataFrame, vecCol: String, dim: Int,
+      quantBits: Int = 10): Seq[(Double, Double)] = {
+    require(dim % 2 == 0, "block rotation needs an even dim")
+    val g = Pca.gramTable(df, vecCol, dim, quantBits)
+      .where(col("j") - col("i") <= lit(1L) && col("j") >= col("i") &&
+        (col("i") % 2 === 0 || col("i") === col("j")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until dim / 2).map { p =>
+      val (i, j) = (2L * p, 2L * p + 1)
+      val gij = g((i, j))
+      if (gij == 0L) (1.0, 0.0)
+      else {
+        val theta = (g((j, j)).toDouble - g((i, i)).toDouble) /
+          (2.0 * gij.toDouble)
+        val t = (if (theta >= 0.0) 1.0 else -1.0) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        (c, t * c)
+      }
+    }
+  }
+
+  /** Apply [[opqBlockRotation]] as a shuffle-free projection:
+    * (idCol, proj array<double>) with x′₂ₚ = c·x₂ₚ − s·x₂ₚ₊₁ and
+    * x′₂ₚ₊₁ = s·x₂ₚ + c·x₂ₚ₊₁ — literal coefficients inside the scan
+    * stage, the [[Pca.project]] shape. */
+  def opqBlockRotate(df: DataFrame, idCol: String, vecCol: String,
+      cs: Seq[(Double, Double)]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val outs = cs.zipWithIndex.flatMap { case ((c, s), p) =>
+      val (xi, xj) = (element_at(v, 2 * p + 1), element_at(v, 2 * p + 2))
+      Seq(lit(c) * xi - lit(s) * xj, lit(s) * xi + lit(c) * xj)
+    }
+    df.select(col(idCol), array(outs: _*).as("proj"))
+  }
+
+  /** DuckDB replay of block-OPQ encode: integer Gram → closed-form c/s
+    * per pair (same op order as [[opqBlockRotation]]) → rotated corpus →
+    * first-k codebooks → augmented-argmin codes. */
+  def opqBlockOracleSql(table: String, dim: Int, m: Int, k: Int,
+      quantBits: Int = 10): String = {
+    val cols = (0 until m).map(s => s"c$s").mkString(", ")
+    val joins = (1 until m).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
+    val tCtes =
+      Pca.gramCtes(table, "embedding", dim, quantBits) + ",\n" +
+        s"""gd AS (SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+           |    CAST(mi.n * s.s - mi.m * mj.m AS BIGINT) AS g
+           |  FROM s JOIN m mi ON s.i = mi.k JOIN m mj ON s.j = mj.k
+           |  WHERE s.j - s.i <= 1 AND s.j >= s.i
+           |    AND (s.i % 2 = 0 OR s.i = s.j)),
+           |pairsrc AS (SELECT CAST(i // 2 AS INT) AS p,
+           |    MAX(CASE WHEN i = j AND i % 2 = 0 THEN g END) AS gii,
+           |    MAX(CASE WHEN i = j AND i % 2 = 1 THEN g END) AS gjj,
+           |    MAX(CASE WHEN i + 1 = j THEN g END) AS gij
+           |  FROM gd WHERE j // 2 = i // 2 GROUP BY 1),
+           |rth AS (SELECT p, (CAST(gjj AS DOUBLE) - CAST(gii AS DOUBLE))
+           |      / (2.0 * CAST(gij AS DOUBLE)) AS theta
+           |  FROM pairsrc WHERE gij <> 0),
+           |rts AS (SELECT p, (CASE WHEN theta >= 0.0 THEN 1.0 ELSE -1.0 END)
+           |      / (abs(theta) + sqrt(theta * theta + 1.0)) AS t
+           |  FROM rth),
+           |rot AS (SELECT p, 1.0 / sqrt(t * t + 1.0) AS c,
+           |    t * (1.0 / sqrt(t * t + 1.0)) AS s FROM rts
+           |  UNION ALL
+           |  SELECT p, 1.0 AS c, 0.0 AS s FROM pairsrc WHERE gij = 0),
+           |carr AS (SELECT list(c ORDER BY p) AS cs, list(s ORDER BY p) AS ss
+           |  FROM rot),
+           |t0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM $table),
+           |t AS (SELECT vec_id, flatten(
+           |    [[cs[CAST(p AS INT) + 1] * v0[2 * CAST(p AS INT) + 1]
+           |        - ss[CAST(p AS INT) + 1] * v0[2 * CAST(p AS INT) + 2],
+           |      ss[CAST(p AS INT) + 1] * v0[2 * CAST(p AS INT) + 1]
+           |        + cs[CAST(p AS INT) + 1] * v0[2 * CAST(p AS INT) + 2]]
+           |     for p in range(0, ${dim / 2})]) AS v
+           |  FROM t0, carr)""".stripMargin
+    s"""WITH ${encodeCtes(table, dim, m, k, Some(tCtes))}
+       |SELECT vec_id, $cols FROM e0 $joins ORDER BY vec_id""".stripMargin
   }
 
   def pqEncodeOracleSql(table: String, dim: Int, m: Int, k: Int): String = {

@@ -469,8 +469,11 @@ object Similarity {
     * plan shape: it only swaps the centroid constants). */
   def ivfCentroidsFrom(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[Seq[Double]] =
-    df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    // cast-first so float AND double vector columns both work (the
+    // widening cast is exact; rotated/projected corpora are doubles)
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
 
   /** Cell id = argmax inner product over the centroid literals (first
     * index wins ties — mirrored in the oracle's CASE order). A pure

@@ -1494,6 +1494,25 @@ object Pipeline {
         .orderBy("vec_id")
     },
 
+    // OPQ encode (VERDICT r12 #6; Ge et al. CVPR '13): rotate, then PQ
+    // in the rotated space. The probe uses the BLOCK rotation twin —
+    // closed-form 2×2 Jacobi per dimension pair over the INTEGER Gram,
+    // a fixed sequence of correctly-rounded IEEE ops — so the oracle
+    // replays rotation AND codebooks exactly; the full PCA+eigenvalue-
+    // allocation rotation (driver Jacobi, no SQL replay) is spec-tested
+    // for recall in OperatorsSpec.
+    Probe.df("q_ann_opq",
+      graft.operators.Pq.opqBlockOracleSql("embeddings", 64, 8, 16)) {
+      (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cs = graft.operators.Pq.opqBlockRotation(e, "embedding", 64)
+      val rot = graft.operators.Pq.opqBlockRotate(e, "vec_id", "embedding", cs)
+      val cbs = graft.operators.Pq.pqCodebooksFrom(
+        rot, "vec_id", "proj", 64, 8, 16)
+      graft.operators.Pq.pqEncode(rot, "vec_id", "proj", cbs)
+        .orderBy("vec_id")
+    },
+
     // IVF-PQ composed end-to-end: IVF routing (8 cells, nprobe=3) and
     // PQ-ADC scoring (8 subspaces × 16 codes) in ONE plan — one corpus
     // projection (cell + codes), one broadcast join. The oracle replays

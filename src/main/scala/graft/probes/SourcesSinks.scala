@@ -18,6 +18,10 @@ import org.apache.spark.sql.types._
   */
 object SourcesSinks {
 
+  private val ProbeTables =
+    """'region','nation','customer','supplier','part','orders',
+      |'lineitem','events','documents','embeddings'""".stripMargin
+
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
@@ -217,16 +221,37 @@ object SourcesSinks {
       s.sql("SET spark.graft.probe.flag")
     },
 
-    // information_schema introspection (lib.rs:92) — rows-only: catalog
-    // contents are engine-specific
-    Probe.noOracle("q_information_schema") { (s, dir) =>
+    // information_schema introspection (lib.rs:92) — ORACLE-checked
+    // (VERDICT r12 #7): DuckDB has information_schema too, so the full
+    // per-column inventory of the registered test tables hash-compares
+    // after each engine's type names are normalized to one vocabulary
+    // (Spark string→varchar, timestamp_ntz→timestamp, array<float>→
+    // float[]; DuckDB integer→int, timestamp_ns→timestamp). Catalog/
+    // schema columns are engine-specific namespaces and stay projected
+    // out; names, order and types are the introspection contract.
+    Probe.df("q_information_schema",
+      s"""SELECT table_name, column_name,
+         |  CAST(ordinal_position AS INT) AS ordinal_position,
+         |  CASE lower(data_type)
+         |    WHEN 'integer' THEN 'int'
+         |    WHEN 'timestamp_ns' THEN 'timestamp'
+         |    ELSE lower(data_type) END AS data_type
+         |FROM information_schema.columns
+         |WHERE table_name IN ($ProbeTables)
+         |ORDER BY table_name, ordinal_position""".stripMargin) { (s, dir) =>
       Tables.register(s, dir)
       InfoSchema.refresh(s)
       s.sql(InfoSchema.rewrite(
-        """SELECT table_name FROM information_schema.tables
-          |WHERE table_name IN ('region','nation','customer','supplier',
-          |  'part','orders','lineitem','events','documents','embeddings')
-          |ORDER BY table_name""".stripMargin))
+        s"""SELECT table_name, column_name,
+           |  CAST(ordinal_position AS INT) AS ordinal_position,
+           |  CASE data_type
+           |    WHEN 'string' THEN 'varchar'
+           |    WHEN 'timestamp_ntz' THEN 'timestamp'
+           |    WHEN 'array<float>' THEN 'float[]'
+           |    ELSE data_type END AS data_type
+           |FROM information_schema.columns
+           |WHERE table_name IN ($ProbeTables)
+           |ORDER BY table_name, ordinal_position""".stripMargin))
     }
   )
 }

@@ -1294,6 +1294,86 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
+  test("OPQ rotation beats plain PQ recall on correlated data and is " +
+      "orthonormal with balanced subspaces (VERDICT r12 #6)") {
+    import graft.operators.{Pq, Pca}
+    // The classic OPQ-win shape: per-coordinate variance is IMBALANCED
+    // ACROSS the fixed slices. Dims 0-3 carry four strong independent
+    // factors, dims 4-7 near-zero jitter — plain PQ's slices (0,1) and
+    // (2,3) each cram TWO strong dimensions into one 16-code codebook
+    // while slices (4,5), (6,7) waste theirs on noise. The OPQ
+    // eigenvalue allocation re-partitions the (here already principal)
+    // axes so every subspace gets ONE strong direction.
+    val rawData = (1 to 240).map { i =>
+      val f = Seq(
+        ((i * 3) % 41 - 20).toDouble / 5.0,   // var ~ 5.4
+        ((i * 7) % 37 - 18).toDouble / 5.5,   // var ~ 3.7
+        ((i * 11) % 31 - 15).toDouble / 6.0,  // var ~ 2.2
+        ((i * 13) % 29 - 14).toDouble / 6.5)  // var ~ 1.6
+      val noise = (0 until 4).map(r =>
+        ((i * (r + 17)) % 9 - 4).toDouble / 90.0)
+      (i.toLong, f ++ noise)
+    }
+    val data = rawData.toDF("vec_id", "embedding")
+    val (m, k, topK) = (4, 16, 5)
+
+    // truth by the SAME functional ADC approximates — inner product —
+    // computed exactly on the driver (240 rows)
+    val byId = rawData.toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val truth = (1L to 12L).flatMap { q =>
+      rawData.filter(_._1 != q)
+        .sortBy { case (n, v) => (-dot(byId(q), v), n) }
+        .take(topK).map { case (n, _) => (q, n) }
+    }.toSet
+
+    def adcPairs(corpus: org.apache.spark.sql.DataFrame,
+        vecCol: String): Set[(Long, Long)] = {
+      val cbs = Pq.pqTrain(corpus, "vec_id", vecCol, 8, m, k, iters = 5)
+      val enc = Pq.pqEncode(corpus, "vec_id", vecCol, cbs)
+      Pq.pqAdcTopK(corpus.filter(col("vec_id") <= 12),
+          enc, "vec_id", vecCol, cbs, topK)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    val plain = adcPairs(data, "embedding")
+    val (_, rot) = Pq.opqRotation(data, "embedding", 8, m)
+    // rotate WITHOUT centering: an orthonormal R preserves inner
+    // products exactly, so recall differences are pure quantization
+    // error — the thing OPQ improves
+    val rotated = Pca.project(data, "vec_id", "embedding",
+      Array.fill(8)(0.0), rot)
+    val opq = adcPairs(rotated, "proj")
+    val plainRecall = truth.intersect(plain).size.toDouble / truth.size
+    val opqRecall = truth.intersect(opq).size.toDouble / truth.size
+    assert(opqRecall >= plainRecall,
+      s"OPQ recall $opqRecall < plain PQ $plainRecall")
+    // deterministic fixture → these are fixed numbers, not a flake
+    // surface; the bar guards against a silently-broken rotation (a
+    // garbage R scores ≈ chance, ~0.02 here)
+    assert(opqRecall > 0.3,
+      s"OPQ recall degenerate: opq=$opqRecall plain=$plainRecall")
+
+    // rotation structure: orthonormal rows, and eigenvalue allocation
+    // spread the top directions across DIFFERENT subspaces (no subspace
+    // hoards the two strongest eigenvalues)
+    for (a <- rot.indices; b <- rot.indices) {
+      val dot = rot(a).zip(rot(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<$a,$b> = $dot")
+    }
+    val (_, compsSorted, vals) = Pca.fit(data, "embedding", 8, 8)
+    def rowIdx(c: Array[Double]): Int =
+      rot.indexWhere(r => r.zip(c).map { case (x, y) => x * y }.sum > 0.999)
+    val sub = 8 / m
+    val top2Subspaces = Seq(0, 1).map(e => rowIdx(compsSorted(e)) / sub)
+    assert(vals(0) > vals(1))
+    assert(top2Subspaces.distinct.size == 2,
+      s"two strongest directions landed in one subspace: $top2Subspaces")
+  }
+
   test("pageRank per-round truncation changes nothing (integer ranks)") {
     import graft.operators.PageRank
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L),
