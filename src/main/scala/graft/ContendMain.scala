@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-PROCESS catalog contention driver (VERDICT r12 stretch #8).
+  * The in-JVM concurrency pins (CatalogV2Spec) share one lock object by
+  * construction; what a real deployment exercises is two separate JVMs
+  * racing the file-lock CAS on one warehouse. `tools/contend.sh` runs
+  * this main as two concurrent processes against the same table:
+  *
+  *   - role `init <wh>`: create the namespace + table
+  *   - role `writer <wh> <n>`: n committed INSERTs tagged 'w', with an
+  *     expire_snapshots(keep_last=100) thrown in mid-stream (the
+  *     metadata-mutation verb racing data commits)
+  *   - role `brancher <wh> <n>`: n WAP cycles — fork a branch at the
+  *     CURRENT main version, stage one 'b' row, fast_forward. A publish
+  *     that loses the race (main moved past the fork) fails LOUDLY; the
+  *     cycle drops the branch and re-forks, so every staged row is
+  *     eventually published exactly once.
+  *   - role `check <wh> <wRows> <bRows>`: assert no commit was lost or
+  *     duplicated and the snapshot log is a serializable history —
+  *     versions strictly increasing and CONTIGUOUS (modulo the expired
+  *     prefix), every version readable.
+  *
+  * Exit code 0 = role completed; check prints `CONTEND OK`.
+  */
+object ContendMain {
+
+  private def session(wh: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.gcont", "graft.catalog.MetaCatalog")
+      .config("spark.sql.catalog.gcont.warehouse", wh)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val role = args(0)
+    val wh = args(1)
+    val spark = session(wh)
+    role match {
+      case "init" =>
+        spark.sql("CREATE NAMESPACE gcont.s")
+        spark.sql("CREATE TABLE gcont.s.t (a INT, tag STRING)")
+
+      case "writer" =>
+        val n = args(2).toInt
+        (1 to n).foreach { i =>
+          spark.sql(s"INSERT INTO gcont.s.t VALUES ($i, 'w')")
+          if (i == n / 2)
+            spark.sql(
+              "CALL gcont.system.expire_snapshots('s.t', 100)").collect()
+        }
+        println(s"writer done n=$n")
+
+      case "brancher" =>
+        val n = args(2).toInt
+        var published = 0
+        var attempts = 0
+        while (published < n) {
+          attempts += 1
+          require(attempts <= 40 * n, s"gave up after $attempts attempts")
+          val name = s"wap_${published}_$attempts"
+          try {
+            val v = spark.sql("SELECT max(version) FROM gcont.s.t.snapshots")
+              .collect().head.getLong(0)
+            spark.sql(
+              s"CALL gcont.system.create_branch('s.t', '$name', $v)").collect()
+            spark.sql(
+              s"INSERT INTO gcont.s.t.branch_$name VALUES (${1000 + published}, 'b')")
+            spark.sql(
+              s"CALL gcont.system.fast_forward('s.t', '$name')").collect()
+            published += 1
+          } catch {
+            case e: Exception =>
+              // losing the publish race is the EXPECTED path under
+              // contention — drop the stale branch and re-fork at the
+              // new main; anything staged on it is abandoned, never
+              // half-published
+              try spark.sql(
+                s"CALL gcont.system.drop_branch('s.t', '$name')").collect()
+              catch { case _: Exception => () }
+              System.err.println(
+                s"[contend] publish retry (${e.getClass.getSimpleName}: " +
+                  e.getMessage.take(120) + ")")
+          }
+        }
+        println(s"brancher done published=$published attempts=$attempts")
+
+      case "check" =>
+        val wRows = args(2).toInt
+        val bRows = args(3).toInt
+        val byTag = spark.sql(
+            "SELECT tag, count(*) AS n FROM gcont.s.t GROUP BY tag")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(byTag.getOrElse("w", 0L) == wRows,
+          s"writer rows lost/duplicated: ${byTag.get("w")} != $wRows")
+        require(byTag.getOrElse("b", 0L) == bRows,
+          s"published branch rows lost/duplicated: ${byTag.get("b")} != $bRows")
+        // per-row exactly-once: every a value distinct
+        val dup = spark.sql(
+            "SELECT a FROM gcont.s.t GROUP BY a HAVING count(*) > 1")
+          .collect()
+        require(dup.isEmpty, s"duplicated rows: ${dup.mkString(",")}")
+        // serializable snapshot history: strictly increasing, contiguous
+        // tail (expire may have dropped a prefix), every version readable
+        val versions = spark.sql(
+            "SELECT version FROM gcont.s.t.snapshots ORDER BY version")
+          .collect().map(_.getLong(0)).toSeq
+        require(versions.nonEmpty, "no snapshots")
+        require(versions.distinct == versions, "duplicate snapshot versions")
+        require(versions.zip(versions.tail).forall { case (a, b) => b == a + 1 },
+          s"snapshot log has gaps: $versions")
+        versions.foreach { v =>
+          spark.sql(s"SELECT count(*) FROM gcont.s.t VERSION AS OF $v")
+            .collect()
+        }
+        println(s"CONTEND OK rows=${wRows + bRows} " +
+          s"versions=${versions.head}..${versions.last}")
+    }
+    spark.stop()
+  }
+}

@@ -217,6 +217,19 @@ class GraftTable(
   private def publishAndCommit(tmp: Path, overwrite: Boolean,
       replacedBase: Option[Seq[String]],
       only: Option[Set[Path]] = None): Unit = {
+    // The tmp→data move runs EXACTLY ONCE even though the CAS compute
+    // closure can run several times: a commit that loses the
+    // cross-process createLink race retries with a fresh `latest`, and
+    // re-walking tmp on that retry would find NOTHING (the files moved
+    // on attempt 1) — the snapshot would commit an empty append and the
+    // write would be silently lost. tools/contend.sh caught exactly
+    // this: two JVMs racing INSERTs dropped ~1 row in 16. (In ONE JVM
+    // the casCommit monitor serializes commits, so the retry path never
+    // ran and the hole was invisible to in-process tests.) A stale-base
+    // abort AFTER the move leaves the moved files as snapshot-less
+    // orphans in data/ — remove_orphan_files reclaims them, same as any
+    // crashed write.
+    var movedOnce: Option[Seq[String]] = None
     commitVisible { latest =>
       replacedBase.foreach { base =>
         val current = latest.map(_.files.toSet).getOrElse(Set.empty)
@@ -226,20 +239,24 @@ class GraftTable(
             s"${if (gone.length > 3) ", …" else ""} replaced by a concurrent " +
             "commit); retry the operation")
       }
-      val moved = scala.util.Using.resource(Files.walk(tmp)) { st =>
-        st.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          // `only`: publish just the task-committed files (V2 writes) —
-          // stragglers from attempts that died without abort() must not
-          // sneak into the snapshot
-          .filter(p => only.forall(_.contains(p)))
-          .map { p =>
-            val rel = tmp.relativize(p)
-            val dest = dataDir.resolve(rel)
-            Files.createDirectories(dest.getParent)
-            Files.move(p, dest)
-            tableDir.relativize(dest).toString
-          }.toSeq
+      val moved = movedOnce.getOrElse {
+        val m = scala.util.Using.resource(Files.walk(tmp)) { st =>
+          st.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            // `only`: publish just the task-committed files (V2 writes) —
+            // stragglers from attempts that died without abort() must not
+            // sneak into the snapshot
+            .filter(p => only.forall(_.contains(p)))
+            .map { p =>
+              val rel = tmp.relativize(p)
+              val dest = dataDir.resolve(rel)
+              Files.createDirectories(dest.getParent)
+              Files.move(p, dest)
+              tableDir.relativize(dest).toString
+            }.toSeq
+        }
+        movedOnce = Some(m)
+        m
       }
       val prev = (overwrite, replacedBase) match {
         case (true, Some(base)) => // surgical rewrite: drop base only

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Multi-PROCESS catalog contention gate (VERDICT r12 stretch #8): two
+# separate JVMs race committed INSERTs (+ one expire_snapshots) against
+# WAP branch-publish cycles on ONE warehouse, then a third process
+# asserts nothing was lost or duplicated and the snapshot log is a
+# contiguous serializable history. Usage: tools/contend.sh [nWrites nWap]
+set -u
+cd "$(dirname "$0")/.."
+N_W=${1:-16}
+N_B=${2:-6}
+WH=$(mktemp -d /tmp/graft_contend.XXXXXX)
+trap 'rm -rf "$WH"' EXIT
+
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain init "$WH" \
+  >/dev/null 2>"$WH.init.log" || { echo "CONTEND INIT FAILED"; cat "$WH.init.log" | tail -5; exit 1; }
+
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain writer "$WH" "$N_W" \
+  >"$WH.writer.out" 2>"$WH.writer.log" &
+W_PID=$!
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain brancher "$WH" "$N_B" \
+  >"$WH.brancher.out" 2>"$WH.brancher.log" &
+B_PID=$!
+wait $W_PID; W_RC=$?
+wait $B_PID; B_RC=$?
+grep -h "done" "$WH.writer.out" "$WH.brancher.out"
+[ $W_RC -eq 0 ] || { echo "CONTEND WRITER FAILED"; tail -5 "$WH.writer.log"; exit 1; }
+[ $B_RC -eq 0 ] || { echo "CONTEND BRANCHER FAILED"; tail -5 "$WH.brancher.log"; exit 1; }
+
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain check "$WH" "$N_W" "$N_B" \
+  2>"$WH.check.log" | grep "CONTEND OK" \
+  || { echo "CONTEND CHECK FAILED"; tail -10 "$WH.check.log"; exit 1; }
