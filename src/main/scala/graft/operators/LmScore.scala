@@ -108,6 +108,94 @@ object LmScore {
         (sum(log(col("p"))) / count(lit(1))).as("avg_logp"))
   }
 
+  /** CCNet-style perplexity BUCKETING (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020
+    * §3): per language, rank documents by LM quality and split into
+    * head / middle / tail thirds — the standard coarse quality label a
+    * pretraining mix samples from at different rates.
+    *
+    * The ranking key is the EXACT integer mean quantized probability
+    * `avg_q = sum_qp DIV n_bigrams` (monotone inverse of perplexity for
+    * fixed length mix; CCNet's float perplexity could never hash-match
+    * cross-engine). Documents with no bigram (under two tokens) get
+    * avg_q = −1 and sink to the tail, CCNet's "unscorable" convention.
+    * Bucket cuts are integer comparisons (rank·3 ≤ n, rank·3 ≤ 2n) —
+    * no division rounding question on either engine.
+    *
+    * Scale shape: model + scoring as [[score]] (shuffle joins on the
+    * word key); the ranking is ONE window per language partition. A
+    * 100 TB corpus with few huge languages would replace the global
+    * per-lang sort with a histogram of avg_q (the key is a bounded
+    * integer: 0..2^30) and take cutoffs from cumulative counts — same
+    * exact buckets, one aggregate instead of a sort; the window form is
+    * the oracle-matched tier. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val (uni, bi, tot) = bigramModel(df, idCol, textCol)
+    val scored = score(df, idCol, textCol, uni, bi, tot)
+      .select(col(idCol), expr("sum_qp DIV n_bigrams").as("avg_q"))
+    val withLang = df.select(col(idCol), col(langCol).as("lang"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("lang"),
+        coalesce(col("avg_q"), lit(-1L)).as("avg_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("avg_q").desc, col(idCol))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    withLang
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(n))
+      .select(col(idCol), col("lang"), col("avg_q"), col("rank"),
+        when(col("rank") * 3 <= col("n_lang"), lit("head"))
+          .when(col("rank") * 3 <= col("n_lang") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** DuckDB replay of [[perplexityBuckets]] over `documents`: the
+    * [[score]] chain (same interpolation, same quantized-int sum), the
+    * integer DIV mean, the per-language rank, the multiply-compare cuts. */
+  def perplexityBucketsOracleSql(table: String, idCol: String,
+      langCol: String): String = {
+    val duckWords =
+      """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+    s"""WITH w AS (SELECT $idCol, $langCol, $duckWords AS ws FROM $table),
+       |toks AS (SELECT $idCol, unnest(ws) AS w FROM w),
+       |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
+       |               count(*) AS vocab FROM uni),
+       |bg AS (SELECT $idCol, unnest(
+       |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
+       |    for i in range(1, len(ws)) ]) AS s
+       |  FROM w WHERE len(ws) >= 2),
+       |bge AS (SELECT $idCol, s.w1 AS w1, s.w2 AS w2 FROM bg),
+       |bi AS (SELECT w1, w2, count(*) AS cb FROM bge GROUP BY 1, 2),
+       |p AS (SELECT bge.$idCol,
+       |    CAST(0.9 AS DOUBLE) * (coalesce(bi.cb, 0)::DOUBLE
+       |      / greatest(coalesce(u1.cu, 1), 1)::DOUBLE)
+       |  + CAST(0.1 AS DOUBLE) * ((coalesce(u2.cu, 0) + 1)::DOUBLE
+       |      / (tot.n_tokens + tot.vocab)::DOUBLE) AS p
+       |  FROM bge LEFT JOIN bi USING (w1, w2)
+       |           LEFT JOIN uni u1 ON u1.w = bge.w1
+       |           LEFT JOIN uni u2 ON u2.w = bge.w2, tot),
+       |sc AS (SELECT $idCol,
+       |    CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT)
+       |      // CAST(count(*) AS BIGINT) AS avg_q
+       |  FROM p GROUP BY $idCol),
+       |lg AS (SELECT t.$idCol, t.$langCol AS lang,
+       |    coalesce(sc.avg_q, -1) AS avg_q
+       |  FROM (SELECT $idCol, $langCol FROM $table) t
+       |  LEFT JOIN sc USING ($idCol)),
+       |rk AS (SELECT $idCol, lang, CAST(avg_q AS BIGINT) AS avg_q,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY avg_q DESC, $idCol) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+       |  FROM lg)
+       |SELECT $idCol, lang, avg_q, rank,
+       |  CASE WHEN rank * 3 <= n_lang THEN 'head'
+       |       WHEN rank * 3 <= n_lang * 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM rk ORDER BY lang, rank""".stripMargin
+  }
+
   /** Per-document (w1, w2, w3) trigram rows over a tokenized relation. */
   private def trigramsOf(ws: DataFrame, idCol: String): DataFrame =
     ws.where(size(col("__ws")) >= 3)

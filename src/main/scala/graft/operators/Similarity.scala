@@ -687,6 +687,106 @@ object Similarity {
         col("n_hit").cast("double") / col("n_truth").cast("double"))
   }
 
+  /** MinHash-LSH PARAMETER TUNING (the MMDS S-curve analysis, Leskovec/
+    * Rajaraman/Ullman ch. 3.4): for a hash budget H, every (rows r,
+    * bands b) split with r·b = H trades false positives against false
+    * negatives around the target threshold τ — collision probability
+    * p(s) = 1 − (1 − s^r)^b. This scores each divisor split on a
+    * uniform similarity grid: fp_mass = mean of p(s) below τ, fn_mass =
+    * mean of 1 − p(s) at/above τ, err = fp + fn, rank 1 = the split a
+    * [[Dedup.minhashPairs]]-style pipeline should use. Ends
+    * guess-the-(bands, rows) tuning the same way skewProfile ended
+    * guess-the-salt.
+    *
+    * Driver-side by design (like the Jacobi eigensolve): the whole
+    * computation is O(divisors(H)·gridN) scalar math, and EXACTNESS
+    * demands a fixed evaluation order — s^r and (1−s^r)^b as
+    * left-associated multiply chains, sequential accumulation over the
+    * grid, single divisions — every step a correctly-rounded IEEE op
+    * the DuckDB oracle replays bit-identically (the probability-PRODUCT
+    * recipe; libm pow would diverge cross-engine). A distributed sum
+    * would be order-dependent and is neither needed nor exact.
+    *
+    * Output rows: (r, b, fp_mass, fn_mass, err, rank). */
+  def lshTune(spark: org.apache.spark.sql.SparkSession, tau: Double,
+      hashes: Int, gridN: Int = 200): DataFrame = {
+    require(hashes >= 1 && gridN >= 2 && tau > 0.0 && tau < 1.0,
+      s"need hashes>=1, gridN>=2, 0<tau<1; got $hashes, $gridN, $tau")
+    val splits = (1 to hashes).filter(hashes % _ == 0)
+      .map(r => (r, hashes / r))
+    val rows = splits.map { case (r, b) =>
+      var fpSum = 0.0
+      var fnSum = 0.0
+      var k = 0
+      while (k < gridN) {
+        val s = k.toDouble / gridN
+        val sr = (1 until r).foldLeft(s)((acc, _) => acc * s)
+        val qb0 = 1.0 - sr
+        val qb = (1 until b).foldLeft(qb0)((acc, _) => acc * qb0)
+        val p = 1.0 - qb
+        // both branches ADD (the skipped side adds 0.0) so the fold is
+        // literally the oracle's CASE-expression sum
+        fpSum = fpSum + (if (s < tau) p else 0.0)
+        fnSum = fnSum + (if (s < tau) 0.0 else 1.0 - p)
+        k += 1
+      }
+      val fp = fpSum / gridN
+      val fn = fnSum / gridN
+      (r, b, fp, fn, fp + fn)
+    }
+    val ranked = rows.sortBy { case (r, _, _, _, err) => (err, r) }
+      .zipWithIndex
+      .map { case ((r, b, fp, fn, err), i) => (r, b, fp, fn, err, i + 1L) }
+    spark.createDataFrame(ranked)
+      .toDF("r", "b", "fp_mass", "fn_mass", "err", "rank")
+  }
+
+  /** The (rows, bands) [[lshTune]] ranks first — feed it to a banded
+    * minhash join instead of hand-picked constants. */
+  def lshPick(spark: org.apache.spark.sql.SparkSession, tau: Double,
+      hashes: Int, gridN: Int = 200): (Int, Int) = {
+    val best = lshTune(spark, tau, hashes, gridN)
+      .where(col("rank") === 1L).collect().head
+    (best.getAs[Int]("r"), best.getAs[Int]("b"))
+  }
+
+  /** DuckDB replay of [[lshTune]]: per split, the SAME left-associated
+    * multiply chains (generated as explicit `s*s*…` / `q*q*…` SQL), the
+    * same grid, CASE-summed via list_reduce (sequential left fold), the
+    * same final divisions and rank order. */
+  def lshTuneOracleSql(tau: Double, hashes: Int, gridN: Int = 200): String = {
+    val splits = (1 to hashes).filter(hashes % _ == 0)
+      .map(r => (r, hashes / r))
+    // every literal CAST to DOUBLE: DuckDB bare decimals are DECIMAL and
+    // would run decimal arithmetic where the engine ran IEEE doubles
+    val one = "CAST(1.0 AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val n = s"CAST($gridN AS DOUBLE)"
+    val t = s"CAST($tau AS DOUBLE)"
+    val rowsSql = splits.map { case (r, b) =>
+      val s = s"(CAST(k AS DOUBLE) / $n)"
+      val sr = Seq.fill(r)(s).mkString(" * ")
+      val q = s"($one - ($sr))"
+      val qb = Seq.fill(b)(q).mkString(" * ")
+      val p = s"($one - ($qb))"
+      s"""SELECT $r AS r, $b AS b,
+         |  list_reduce([CASE WHEN $s < $t THEN $p ELSE $zero END
+         |    for k in range(0, $gridN)], (x, y) -> x + y) / $n
+         |    AS fp_mass,
+         |  list_reduce([CASE WHEN $s < $t THEN $zero ELSE $one - $p END
+         |    for k in range(0, $gridN)], (x, y) -> x + y) / $n
+         |    AS fn_mass""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH grid AS (
+       |$rowsSql
+       |),
+       |scored AS (SELECT r, b, fp_mass, fn_mass,
+       |    fp_mass + fn_mass AS err FROM grid)
+       |SELECT r, b, fp_mass, fn_mass, err,
+       |  CAST(row_number() OVER (ORDER BY err, r) AS BIGINT) AS rank
+       |FROM scored ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB equivalent of [[lshBuckets]] (for the correctness oracle):
     * identical plane literals, list_dot_product, same bit weights. */
   def lshBucketsOracleSql(nPlanes: Int, dim: Int, table: String): String = {

@@ -367,6 +367,18 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // CCNet-style per-language perplexity bucketing (Wenzek LREC '20):
+    // rank by the EXACT integer mean quantized bigram probability,
+    // split head/middle/tail by multiply-compare thirds; unscorable
+    // docs (< 2 tokens) sink to the tail at avg_q = -1.
+    Probe.df("q_lm_ppl_buckets",
+      graft.operators.LmScore.perplexityBucketsOracleSql(
+        "documents", "doc_id", "lang")) { (s, dir) =>
+      graft.operators.LmScore.perplexityBuckets(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("lang", "rank")
+    },
+
     // Trigram-LM self-scoring: the deeper interpolated tier
     // (0.7·trigram + 0.2·bigram + 0.1·Laplace-unigram). Same
     // quantized-int64 recipe; docs shorter than 3 tokens drop out.

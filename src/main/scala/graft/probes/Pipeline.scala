@@ -1494,6 +1494,16 @@ object Pipeline {
         .orderBy("vec_id")
     },
 
+    // MinHash-LSH parameter tuning (MMDS ch. 3.4 S-curve): every
+    // (rows, bands) divisor split of a 64-hash budget scored on
+    // fp/fn mass around tau=0.5 — all left-associated IEEE multiply
+    // chains + sequential grid sums, replayed bit-identically (the
+    // probability-product recipe; pow() would diverge cross-engine).
+    Probe.df("q_lsh_tune",
+      Similarity.lshTuneOracleSql(0.5, 64)) { (s, _) =>
+      Similarity.lshTune(s, 0.5, 64)
+    },
+
     // OPQ encode (VERDICT r12 #6; Ge et al. CVPR '13): rotate, then PQ
     // in the rotated space. The probe uses the BLOCK rotation twin —
     // closed-form 2×2 Jacobi per dimension pair over the INTEGER Gram,

@@ -1374,6 +1374,68 @@ class OperatorsSpec extends AnyFunSuite {
       s"two strongest directions landed in one subspace: $top2Subspaces")
   }
 
+  test("lshTune ranks a balanced split over the degenerate extremes " +
+      "and lshPick returns it") {
+    import graft.operators.Similarity
+    val out = Similarity.lshTune(spark, tau = 0.5, hashes = 64)
+      .collect().map(r => (r.getAs[Int]("r"), r.getAs[Int]("b"),
+        r.getAs[Double]("fp_mass"), r.getAs[Double]("fn_mass"),
+        r.getAs[Double]("err"), r.getAs[Long]("rank")))
+    assert(out.length == 7) // divisor splits of 64
+    assert(out.forall { case (r, b, _, _, _, _) => r * b == 64 })
+    val best = out.find(_._6 == 1L).get
+    // r=1 (64 bands of 1 row) collides almost everything → fp-heavy;
+    // r=64 (1 band of 64 rows) collides almost nothing → fn-heavy; the
+    // tuned split beats both and is neither extreme
+    // each mass averages over its own half of the grid, so 0.5 is the
+    // ceiling; the degenerate splits sit near their respective ceilings
+    val rOne = out.find(_._1 == 1).get
+    val rMax = out.find(_._1 == 64).get
+    assert(rOne._3 > 0.4 && rOne._4 < 0.01, s"r=1 should be fp-heavy: $rOne")
+    assert(rMax._4 > 0.4 && rMax._3 < 0.01, s"r=64 should be fn-heavy: $rMax")
+    assert(best._5 < rOne._5 && best._5 < rMax._5, s"best $best")
+    assert(best._1 > 1 && best._1 < 64, s"degenerate pick: $best")
+    assert(Similarity.lshPick(spark, 0.5, 64) == ((best._1, best._2)))
+  }
+
+  test("perplexityBuckets: per-language thirds, predictable docs head, " +
+      "unscorable docs tail") {
+    import graft.operators.LmScore
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta alpha beta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (3L, "unique words never repeated anywhere else here", "en"),
+      // de: doc 6 has ONE token → no bigrams → unscorable → tail
+      (4L, "ein zwei ein zwei ein zwei", "de"),
+      (5L, "ein zwei drei vier fuenf", "de"),
+      (6L, "einzelwort", "de")
+    ).toDF("doc_id", "text", "lang")
+    val rows = LmScore.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("avg_q"), r.getAs[Long]("rank"),
+        r.getAs[String]("bucket")))
+    val out = rows.map(t => t._1 -> (t._5, t._3)).toMap
+    assert(out(6L)._1 == "tail" && out(6L)._2 == -1L,
+      s"unscorable doc: ${out(6L)}")
+    // buckets follow the avg_q order within every language (head's
+    // avg_q >= middle's >= tail's), every language splits 1/1/1
+    Seq("en", "de").foreach { l =>
+      val byBucket = rows.filter(_._2 == l)
+        .map(t => t._5 -> t._3).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"), l)
+      assert(byBucket("head") >= byBucket("middle") &&
+        byBucket("middle") >= byBucket("tail"), s"$l: $byBucket")
+      assert(rows.count(t => t._2 == l && t._5 == "head") == 1, l)
+    }
+    // ranks are 1..3 per language, ordered by avg_q desc then doc_id
+    Seq("en", "de").foreach { l =>
+      val langRows = rows.filter(_._2 == l).sortBy(_._4)
+      assert(langRows.map(_._4).toSeq == Seq(1L, 2L, 3L), l)
+      assert(langRows.map(-_._3).toSeq == langRows.map(-_._3).sorted.toSeq, l)
+    }
+  }
+
   test("pageRank per-round truncation changes nothing (integer ranks)") {
     import graft.operators.PageRank
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L),
