@@ -122,5 +122,13 @@ object SparkEntry {
     // round 12 third session: the PCA Gram pass — upper-triangle
     // integer outer products, decimal-exact map-side combine into dim²
     // groups (the heavy-numeric aggregation benchmark)
-    "q_pca_gram")
+    "q_pca_gram",
+    // round 13: the auto-salted join (skew profile → per-key factors →
+    // broadcast lookup, one extra count-aggregate pass over the fact
+    // key), block-OPQ encode (integer Gram + closed-form 2×2 rotations
+    // + rotated PQ codes — the trained-rotation ANN path), and CCNet
+    // perplexity bucketing (self-trained bigram LM + one window per
+    // language). q_lsh_tune stays correctness-tier: pure driver math at
+    // noise level (~40 ms)
+    "q_join_salted_auto", "q_ann_opq", "q_lm_ppl_buckets")
 }

@@ -88,6 +88,113 @@ object Mixing {
     }
   }
 
+  /** LOSS-DRIVEN domain reweighting by multiplicative weights (Arora/
+    * Hazan/Kale, "The Multiplicative Weights Update Method", Theory of
+    * Computing 2012 — the hashable cousin of DoReMi's exponentiated-
+    * gradient domain mixture, Xie et al. 2023): domains whose documents
+    * a reference LM finds HARD (high perplexity = excess loss) get their
+    * mixture weight multiplied up each round, w ← w·(1 + η·excess),
+    * then normalized — the training-mix optimizer a 100 TB pipeline
+    * runs between [[temperatureTakes]]-style count scaling and the
+    * actual sample.
+    *
+    * Exactness: the per-domain signal is the EXACT integer mean
+    * quantized bigram probability ([[LmScore]] sum_qp DIV n_bigrams,
+    * aggregated per domain with integer sums), excess = (bestAvg −
+    * avg_d)/2^30 — one IEEE division; each round is one multiply-add
+    * per domain plus a normalization whose sum folds in DOMAIN-NAME
+    * order — every step correctly-rounded on identical operands, so
+    * the unrolled-CTE DuckDB replay is bit-identical (the
+    * probability-product recipe; exp() would diverge cross-engine).
+    * The fold itself is driver-side over ONE model-sized row per domain
+    * (the kmeans-centroid contract); the data passes are the LM scoring
+    * aggregates. Output: (domain, avg_q, excess, weight) after `rounds`.
+    */
+  def domainReweight(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, eta: Double = 0.5, rounds: Int = 5): DataFrame = {
+    require(eta > 0.0 && rounds >= 1, s"need eta>0, rounds>=1; got $eta, $rounds")
+    val spark = df.sparkSession
+    val (uni, bi, tot) = LmScore.bigramModel(df, idCol, textCol)
+    val perDoc = LmScore.score(df, idCol, textCol, uni, bi, tot)
+    val perDomain = df.select(col(idCol), col(srcCol).as("__dom"))
+      .join(perDoc, Seq(idCol))
+      .groupBy("__dom")
+      .agg(sum(col("sum_qp")).as("sq"), sum(col("n_bigrams")).as("nb"))
+      .select(col("__dom"), expr("sq DIV nb").as("avg_q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // the normalization fold order — fixed by name
+    require(perDomain.nonEmpty, "no scorable documents in any domain")
+    val best = perDomain.map(_._2).max
+    val scale = (1L << 30).toDouble
+    val excess = perDomain.map { case (d, a) =>
+      (d, a, (best - a).toDouble / scale)
+    }
+    var w = excess.map(_ => 1.0)
+    (1 to rounds).foreach { _ =>
+      val up = w.zip(excess).map { case (wi, (_, _, x)) => wi * (1.0 + eta * x) }
+      val norm = up.reduceLeft(_ + _)
+      w = up.map(_ / norm)
+    }
+    spark.createDataFrame(excess.zip(w).map { case ((d, a, x), wi) =>
+      (d, a, x, wi)
+    }).toDF("domain", "avg_q", "excess", "weight")
+  }
+
+  /** DuckDB replay of [[domainReweight]]: the LM chain per domain, the
+    * integer DIV mean, and `rounds` unrolled multiplicative-weight CTEs
+    * whose normalization sums list_reduce in domain-name order. */
+  def domainReweightOracleSql(table: String, idCol: String,
+      srcCol: String, eta: Double = 0.5, rounds: Int = 5): String = {
+    val duckWords =
+      """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+    val one = "CAST(1.0 AS DOUBLE)"
+    val e = s"CAST($eta AS DOUBLE)"
+    val roundCtes = (1 to rounds).map { t =>
+      val p = if (t == 1) "d0" else s"w${t - 1}"
+      s"""u$t AS (SELECT domain, w * ($one + $e * x) AS w, x FROM $p),
+         |n$t AS (SELECT list_reduce(list(w ORDER BY domain),
+         |    (a, b) -> a + b) AS s FROM u$t),
+         |w$t AS (SELECT domain, u$t.w / n$t.s AS w, x FROM u$t, n$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT $idCol, $srcCol, $duckWords AS ws FROM $table),
+       |toks AS (SELECT $idCol, unnest(ws) AS w FROM w),
+       |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
+       |               count(*) AS vocab FROM uni),
+       |bg AS (SELECT $idCol, unnest(
+       |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
+       |    for i in range(1, len(ws)) ]) AS s
+       |  FROM w WHERE len(ws) >= 2),
+       |bge AS (SELECT $idCol, s.w1 AS w1, s.w2 AS w2 FROM bg),
+       |bi AS (SELECT w1, w2, count(*) AS cb FROM bge GROUP BY 1, 2),
+       |p AS (SELECT bge.$idCol,
+       |    CAST(0.9 AS DOUBLE) * (coalesce(bi.cb, 0)::DOUBLE
+       |      / greatest(coalesce(u1.cu, 1), 1)::DOUBLE)
+       |  + CAST(0.1 AS DOUBLE) * ((coalesce(u2.cu, 0) + 1)::DOUBLE
+       |      / (tot.n_tokens + tot.vocab)::DOUBLE) AS p
+       |  FROM bge LEFT JOIN bi USING (w1, w2)
+       |           LEFT JOIN uni u1 ON u1.w = bge.w1
+       |           LEFT JOIN uni u2 ON u2.w = bge.w2, tot),
+       |sc AS (SELECT $idCol,
+       |    CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT) AS sq,
+       |    CAST(count(*) AS BIGINT) AS nb
+       |  FROM p GROUP BY $idCol),
+       |dom AS (SELECT t.$srcCol AS domain,
+       |    CAST(sum(sc.sq) AS BIGINT) // CAST(sum(sc.nb) AS BIGINT) AS avg_q
+       |  FROM (SELECT $idCol, $srcCol FROM $table) t
+       |  JOIN sc USING ($idCol) GROUP BY 1),
+       |bst AS (SELECT max(avg_q) AS b FROM dom),
+       |d0 AS (SELECT domain, avg_q,
+       |    CAST(bst.b - avg_q AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS x,
+       |    $one AS w
+       |  FROM dom, bst),
+       |$roundCtes
+       |SELECT d0.domain, d0.avg_q, d0.x AS excess, w$rounds.w AS weight
+       |FROM d0 JOIN w$rounds USING (domain)
+       |ORDER BY domain""".stripMargin
+  }
+
   /** DuckDB replay of [[exactMix]] (α = 0.5 — hardware sqrt is correctly
     * rounded, so both engines compute identical quantized weights). */
   def exactMixOracleSql(table: String, idCol: String, srcCol: String,

@@ -139,6 +139,18 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Loss-driven multiplicative-weights domain reweighting (the DoReMi
+    // shape with hashable (1 + η·excess) updates): per-domain excess
+    // from the exact integer LM signal, 5 unrolled rounds, domain-name-
+    // ordered normalization folds — bit-identical cross-engine.
+    Probe.df("q_mix_reweight",
+      Mixing.domainReweightOracleSql("documents", "doc_id", "source")) {
+      (s, dir) =>
+      Mixing.domainReweight(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source")
+        .orderBy("domain")
+    },
+
     // END-TO-END curation composition over the round-5 operators:
     // planted multi-line docs → C4 line-level boilerplate removal →
     // Gopher quality gate → weighted priority sample of the survivors.

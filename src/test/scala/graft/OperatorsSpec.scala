@@ -1436,6 +1436,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("domainReweight upweights hard domains monotonically in excess " +
+      "loss; weights normalize to 1") {
+    import graft.operators.Mixing
+    val docs = Seq(
+      // 'easy': repeated predictable bigrams; 'hard': all-hapax text
+      (1L, "alpha beta alpha beta alpha beta", "easy"),
+      (2L, "alpha beta alpha beta gamma", "easy"),
+      (3L, "strange tokens nobody ever repeats", "hard"),
+      (4L, "totally different singleton words here", "hard"),
+      (5L, "alpha beta gamma alpha beta", "mid"),
+      (6L, "gamma alpha beta strange alpha", "mid")
+    ).toDF("doc_id", "text", "source")
+    val out = Mixing.domainReweight(docs, "doc_id", "text", "source",
+        eta = 0.5, rounds = 5)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("avg_q"),
+        r.getAs[Double]("excess"), r.getAs[Double]("weight")))
+    assert(out.length == 3)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+    // weight order mirrors excess order (higher excess → more weight),
+    // and the easiest domain (excess 0) ends below uniform
+    val byDom = out.map(t => t._1 -> t).toMap
+    val sortedByExcess = out.sortBy(_._3).map(_._1).toSeq
+    val sortedByWeight = out.sortBy(_._4).map(_._1).toSeq
+    assert(sortedByExcess == sortedByWeight, out.mkString(", "))
+    val best = out.maxBy(_._2)
+    assert(best._3 == 0.0 && best._4 < 1.0 / 3.0,
+      s"easiest domain must end under uniform: $out")
+  }
+
   test("pageRank per-round truncation changes nothing (integer ranks)") {
     import graft.operators.PageRank
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L),
