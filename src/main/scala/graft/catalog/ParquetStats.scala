@@ -60,7 +60,19 @@ object ParquetStats {
         }
       })
     }
-    futures.map { case (f, fut) => f -> fut.get() }.toMap
+    // bounded wait: a hung footer read degrades ITS file to (0, 0) like
+    // any other read failure instead of blocking the metadata query
+    // forever. Residual risk: a task that never returns keeps its shared
+    // pool thread — ≥16 permanently hung opens would still starve later
+    // scans; a deployment on storage where opens genuinely hang should
+    // front the filesystem with its own client-side timeouts.
+    futures.map { case (f, fut) =>
+      f -> (try fut.get(60, java.util.concurrent.TimeUnit.SECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException => (0L, 0L)
+          case _: java.util.concurrent.ExecutionException => (0L, 0L)
+        })
+    }.toMap
   }
 
   /** Could any row of `file` satisfy the conjunction of `filters`?

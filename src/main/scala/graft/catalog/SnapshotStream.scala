@@ -96,30 +96,45 @@ final class SnapshotStreamSource(
   override def getOffset: Option[OffsetV1] =
     Snapshots.latest(tableDir).map { s =>
       val latest = s.version
-      val bySnap = maxSnapshotsPerTrigger
-        .map(n => math.min(latest, position + n)).getOrElse(latest)
-      val byFiles = maxFilesPerTrigger.map { cap =>
-        // admit whole snapshots until the cumulative fresh-file count
-        // would exceed the cap — but always at least one (progress)
-        val pending = Snapshots.list(tableDir)
-          .filter(sn => sn.version > position && sn.version <= latest)
-          .sortBy(_.version)
-        var prev = if (position <= 0L) Set.empty[String] else filesAt(position)
-        var admitted = position
-        var used = 0
-        var first = true
-        var stopped = false
-        pending.foreach { sn =>
-          val cur = sn.files.toSet
-          val fresh = (cur -- prev).size
-          if (!stopped && (first || used + fresh <= cap)) {
-            admitted = sn.version; used += fresh; first = false
-          } else stopped = true // offsets are contiguous: no skipping past
-          prev = cur
-        }
-        admitted
-      }.getOrElse(latest)
-      LongOffset(math.max(position, math.min(bySnap, byFiles)))
+      // caught-up (or uncapped) fast path: ONE metadata read per
+      // trigger — the capped bookkeeping below re-parses the log and
+      // rebuilds file sets, which a 1s-trigger stream must not pay
+      // when there is nothing pending (round-13 review)
+      if (latest <= position ||
+          (maxSnapshotsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty))
+        LongOffset(math.max(position, latest))
+      else {
+        val bySnap = maxSnapshotsPerTrigger
+          .map(n => math.min(latest, position + n)).getOrElse(latest)
+        val byFiles = maxFilesPerTrigger.map { cap =>
+          // admit whole snapshots until the cumulative fresh-file count
+          // would exceed the cap — but always at least one (progress).
+          // ONE list() serves both the pending window and the position
+          // file set.
+          val all = Snapshots.list(tableDir)
+          val pending = all
+            .filter(sn => sn.version > position && sn.version <= latest)
+            .sortBy(_.version)
+          var prev =
+            if (position <= 0L) Set.empty[String]
+            else all.find(_.version == position).map(_.files.toSet)
+              .getOrElse(filesAt(position))
+          var admitted = position
+          var used = 0
+          var first = true
+          var stopped = false
+          pending.foreach { sn =>
+            val cur = sn.files.toSet
+            val fresh = (cur -- prev).size
+            if (!stopped && (first || used + fresh <= cap)) {
+              admitted = sn.version; used += fresh; first = false
+            } else stopped = true // offsets are contiguous: no skipping past
+            prev = cur
+          }
+          admitted
+        }.getOrElse(latest)
+        LongOffset(math.max(position, math.min(bySnap, byFiles)))
+      }
     }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {

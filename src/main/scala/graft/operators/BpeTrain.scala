@@ -131,12 +131,16 @@ object BpeTrain {
     // `pending` holds the ≤ RoundsPerMaterialize merges since
     var cur = base.select(col("word"), col("cnt"), seed(col("word")).as("s"))
     var pending = Vector.empty[(String, String)]
-    def result = spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n")
+    def result = {
+      Checkpoints.discard(cur) // the merge table never reads cur again
+      spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n")
+    }
     for (r <- 1 to merges) {
       if (pending.size >= RoundsPerMaterialize) {
-        // superseded tables' blocks are ContextCleaner-reclaimed
-        cur = Checkpoints.truncate(cur.select(col("word"), col("cnt"),
+        val next = Checkpoints.truncate(cur.select(col("word"), col("cnt"),
           applyMerges(col("s"), pending).as("s")))
+        Checkpoints.discard(cur) // superseded segment's reliable files
+        cur = next
         pending = Vector.empty
       }
       val best = cur
@@ -186,8 +190,12 @@ object BpeTrain {
       .select(col("word"), seed(col("word")).as("s"))
     learned.grouped(RoundsPerMaterialize).foreach { seg =>
       val next = vocab.select(col("word"), applyMerges(col("s"), seg).as("s"))
-      vocab = if (seg.size >= RoundsPerMaterialize)
-        Checkpoints.truncate(next) else next
+      if (seg.size >= RoundsPerMaterialize) {
+        val t = Checkpoints.truncate(next)
+        Checkpoints.discard(vocab) // materialized into t; never read again
+        vocab = t
+      } else vocab = next // final partial segment stays LAZY on vocab —
+      // vocab must NOT be discarded here (the returned plan reads it)
     }
     df.select(col(idCol),
         posexplode(Dedup.words(col(textCol))).as(Seq("pos", "word")))

@@ -38,12 +38,33 @@ object Checkpoints {
       case Some(dir) =>
         val sc = spark.sparkContext
         // setCheckpointDir appends a per-SparkContext UUID subdir; set it
-        // once (first caller wins) so every round shares one directory and
-        // the ContextCleaner can reclaim superseded rounds' files when
-        // spark.cleaner.referenceTracking.cleanCheckpoints is enabled.
+        // once (first caller wins) so every round shares one directory.
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
   }
+
+  /** Best-effort reclamation of a SUPERSEDED [[truncate]] result's
+    * reliable checkpoint files. Spark only deletes reliable checkpoints
+    * via the ContextCleaner when spark.cleaner.referenceTracking
+    * .cleanCheckpoints is enabled — a conf that must be set before the
+    * SparkContext starts, so an iterative operator cannot rely on it;
+    * without reclamation an hours-long loop writes one full copy of its
+    * state per round until the checkpoint volume fills (round-13
+    * review). Call ONLY once every consumer of the superseded round's
+    * data has materialized (the loops call it after the convergence
+    * check). No-op for local checkpoints (executor blocks are
+    * ContextCleaner-reclaimed regardless of that conf). */
+  def discard(df: DataFrame): Unit =
+    try {
+      val rdd = df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      rdd.flatMap(_.getCheckpointFile).foreach { file =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    } catch { case _: Exception => () } // reclamation must never fail a job
 }

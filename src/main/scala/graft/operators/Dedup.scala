@@ -736,6 +736,7 @@ object Dedup {
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.cluster") =!= col("o.cluster"))
         .isEmpty
+      Checkpoints.discard(labels) // superseded round's reliable files
       labels = next
     }
     edges.unpersist()
@@ -814,6 +815,7 @@ object Dedup {
       // short-circuits the anti-join entirely when sizes differ
       val nextCount = next.count()
       converged = nextCount == edgeCount && next.except(edges).isEmpty
+      Checkpoints.discard(edges) // superseded round's reliable files
       edges = next
       edgeCount = nextCount
       rounds += 1

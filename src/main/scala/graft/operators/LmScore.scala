@@ -150,14 +150,19 @@ object LmScore {
           .otherwise(lit("tail")).as("bucket"))
   }
 
-  /** DuckDB replay of [[perplexityBuckets]] over `documents`: the
-    * [[score]] chain (same interpolation, same quantized-int sum), the
-    * integer DIV mean, the per-language rank, the multiply-compare cuts. */
-  def perplexityBucketsOracleSql(table: String, idCol: String,
-      langCol: String): String = {
+  /** The SELF-scoring oracle CTE chain (train and score on the whole
+    * table) ending in `sc($idCol, sq, nb)` — sq the quantized-int64
+    * probability sum, nb the bigram count. ONE copy of the exactness-
+    * critical interpolation SQL, composed by the q_lm_score probe,
+    * [[perplexityBucketsOracleSql]] and
+    * [[Mixing.domainReweightOracleSql]] (the cross-corpus train/test
+    * oracles q_lm_score_cross / q_dsir_select keep their own split
+    * chains — different relations per stage, not copies of this).
+    * Concatenate, never re-stripMargin (the '||'-continuation rule). */
+  def selfScoreCtes(table: String, idCol: String): String = {
     val duckWords =
       """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
-    s"""WITH w AS (SELECT $idCol, $langCol, $duckWords AS ws FROM $table),
+    s"""w AS (SELECT $idCol, $duckWords AS ws FROM $table),
        |toks AS (SELECT $idCol, unnest(ws) AS w FROM w),
        |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
@@ -177,24 +182,31 @@ object LmScore {
        |           LEFT JOIN uni u1 ON u1.w = bge.w1
        |           LEFT JOIN uni u2 ON u2.w = bge.w2, tot),
        |sc AS (SELECT $idCol,
-       |    CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT)
-       |      // CAST(count(*) AS BIGINT) AS avg_q
-       |  FROM p GROUP BY $idCol),
-       |lg AS (SELECT t.$idCol, t.$langCol AS lang,
-       |    coalesce(sc.avg_q, -1) AS avg_q
-       |  FROM (SELECT $idCol, $langCol FROM $table) t
-       |  LEFT JOIN sc USING ($idCol)),
-       |rk AS (SELECT $idCol, lang, CAST(avg_q AS BIGINT) AS avg_q,
-       |    CAST(row_number() OVER (PARTITION BY lang
-       |      ORDER BY avg_q DESC, $idCol) AS BIGINT) AS rank,
-       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
-       |  FROM lg)
-       |SELECT $idCol, lang, avg_q, rank,
-       |  CASE WHEN rank * 3 <= n_lang THEN 'head'
-       |       WHEN rank * 3 <= n_lang * 2 THEN 'middle'
-       |       ELSE 'tail' END AS bucket
-       |FROM rk ORDER BY lang, rank""".stripMargin
+       |    CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT) AS sq,
+       |    CAST(count(*) AS BIGINT) AS nb
+       |  FROM p GROUP BY $idCol)""".stripMargin
   }
+
+  /** DuckDB replay of [[perplexityBuckets]] over `documents`: the
+    * [[selfScoreCtes]] chain, the integer DIV mean, the per-language
+    * rank, the multiply-compare cuts. */
+  def perplexityBucketsOracleSql(table: String, idCol: String,
+      langCol: String): String =
+    "WITH " + selfScoreCtes(table, idCol) + ",\n" +
+      s"""lg AS (SELECT t.$idCol, t.$langCol AS lang,
+         |    coalesce(sc.sq // sc.nb, -1) AS avg_q
+         |  FROM (SELECT $idCol, $langCol FROM $table) t
+         |  LEFT JOIN sc USING ($idCol)),
+         |rk AS (SELECT $idCol, lang, CAST(avg_q AS BIGINT) AS avg_q,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY avg_q DESC, $idCol) AS BIGINT) AS rank,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+         |  FROM lg)
+         |SELECT $idCol, lang, avg_q, rank,
+         |  CASE WHEN rank * 3 <= n_lang THEN 'head'
+         |       WHEN rank * 3 <= n_lang * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM rk ORDER BY lang, rank""".stripMargin
 
   /** Per-document (w1, w2, w3) trigram rows over a tokenized relation. */
   private def trigramsOf(ws: DataFrame, idCol: String): DataFrame =

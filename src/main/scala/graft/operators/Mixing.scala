@@ -116,14 +116,23 @@ object Mixing {
     val spark = df.sparkSession
     val (uni, bi, tot) = LmScore.bigramModel(df, idCol, textCol)
     val perDoc = LmScore.score(df, idCol, textCol, uni, bi, tot)
+    // LEFT join: a domain whose documents are ALL unscorable (< 2
+    // tokens) must still appear — with the perplexityBuckets sentinel
+    // avg_q = −1 it reads as maximally hard and gets upweighted, never
+    // silently dropped from the normalization (round-13 review). The
+    // domain sums are DECIMAL(38,0)-widened BEFORE aggregation: per-doc
+    // sum_qp ≈ n_bigrams·2^30, so a ~40 GB domain would wrap an int64
+    // sum (the same overflow class skewProfile hardened against).
     val perDomain = df.select(col(idCol), col(srcCol).as("__dom"))
-      .join(perDoc, Seq(idCol))
+      .join(perDoc, Seq(idCol), "left")
       .groupBy("__dom")
-      .agg(sum(col("sum_qp")).as("sq"), sum(col("n_bigrams")).as("nb"))
-      .select(col("__dom"), expr("sq DIV nb").as("avg_q"))
+      .agg(sum(col("sum_qp").cast("decimal(38,0)")).as("sq"),
+        sum(col("n_bigrams").cast("decimal(38,0)")).as("nb"))
+      .select(col("__dom"),
+        expr("CAST(coalesce(sq DIV nb, -1) AS BIGINT)").as("avg_q"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // the normalization fold order — fixed by name
-    require(perDomain.nonEmpty, "no scorable documents in any domain")
+    require(perDomain.nonEmpty, "no domains in input")
     val best = perDomain.map(_._2).max
     val scale = (1L << 30).toDouble
     val excess = perDomain.map { case (d, a) =>
@@ -145,8 +154,6 @@ object Mixing {
     * whose normalization sums list_reduce in domain-name order. */
   def domainReweightOracleSql(table: String, idCol: String,
       srcCol: String, eta: Double = 0.5, rounds: Int = 5): String = {
-    val duckWords =
-      """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
     val one = "CAST(1.0 AS DOUBLE)"
     val e = s"CAST($eta AS DOUBLE)"
     val roundCtes = (1 to rounds).map { t =>
@@ -157,42 +164,21 @@ object Mixing {
          |w$t AS (SELECT domain, u$t.w / n$t.s AS w, x FROM u$t, n$t)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH w AS (SELECT $idCol, $srcCol, $duckWords AS ws FROM $table),
-       |toks AS (SELECT $idCol, unnest(ws) AS w FROM w),
-       |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
-       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
-       |               count(*) AS vocab FROM uni),
-       |bg AS (SELECT $idCol, unnest(
-       |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
-       |    for i in range(1, len(ws)) ]) AS s
-       |  FROM w WHERE len(ws) >= 2),
-       |bge AS (SELECT $idCol, s.w1 AS w1, s.w2 AS w2 FROM bg),
-       |bi AS (SELECT w1, w2, count(*) AS cb FROM bge GROUP BY 1, 2),
-       |p AS (SELECT bge.$idCol,
-       |    CAST(0.9 AS DOUBLE) * (coalesce(bi.cb, 0)::DOUBLE
-       |      / greatest(coalesce(u1.cu, 1), 1)::DOUBLE)
-       |  + CAST(0.1 AS DOUBLE) * ((coalesce(u2.cu, 0) + 1)::DOUBLE
-       |      / (tot.n_tokens + tot.vocab)::DOUBLE) AS p
-       |  FROM bge LEFT JOIN bi USING (w1, w2)
-       |           LEFT JOIN uni u1 ON u1.w = bge.w1
-       |           LEFT JOIN uni u2 ON u2.w = bge.w2, tot),
-       |sc AS (SELECT $idCol,
-       |    CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT) AS sq,
-       |    CAST(count(*) AS BIGINT) AS nb
-       |  FROM p GROUP BY $idCol),
-       |dom AS (SELECT t.$srcCol AS domain,
-       |    CAST(sum(sc.sq) AS BIGINT) // CAST(sum(sc.nb) AS BIGINT) AS avg_q
-       |  FROM (SELECT $idCol, $srcCol FROM $table) t
-       |  JOIN sc USING ($idCol) GROUP BY 1),
-       |bst AS (SELECT max(avg_q) AS b FROM dom),
-       |d0 AS (SELECT domain, avg_q,
-       |    CAST(bst.b - avg_q AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS x,
-       |    $one AS w
-       |  FROM dom, bst),
-       |$roundCtes
-       |SELECT d0.domain, d0.avg_q, d0.x AS excess, w$rounds.w AS weight
-       |FROM d0 JOIN w$rounds USING (domain)
-       |ORDER BY domain""".stripMargin
+    // concatenated (never re-stripMargin'd) around the ONE shared copy
+    // of the LM scoring chain
+    "WITH " + LmScore.selfScoreCtes(table, idCol) + ",\n" +
+      s"""dom AS (SELECT t.$srcCol AS domain,
+         |    CAST(coalesce(sum(sc.sq) // sum(sc.nb), -1) AS BIGINT) AS avg_q
+         |  FROM (SELECT $idCol, $srcCol FROM $table) t
+         |  LEFT JOIN sc USING ($idCol) GROUP BY 1),
+         |bst AS (SELECT max(avg_q) AS b FROM dom),
+         |d0 AS (SELECT domain, avg_q,
+         |    CAST(bst.b - avg_q AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS x,
+         |    $one AS w
+         |  FROM dom, bst),""".stripMargin + "\n" + roundCtes + "\n" +
+      s"""SELECT d0.domain, d0.avg_q, d0.x AS excess, w$rounds.w AS weight
+         |FROM d0 JOIN w$rounds USING (domain)
+         |ORDER BY domain""".stripMargin
   }
 
   /** DuckDB replay of [[exactMix]] (α = 0.5 — hardware sqrt is correctly

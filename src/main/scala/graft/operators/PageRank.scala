@@ -46,6 +46,7 @@ object PageRank {
     val nRow = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("id"), expr(s"${unit}L div n").as("rank"), col("n"))
+    var lastCut: Option[DataFrame] = None
     for (it <- 1 to iters) {
       val contrib = ranks.join(e, col("id") === col("src"))
         .join(deg, "src")
@@ -59,9 +60,15 @@ object PageRank {
           col("n"))
       // integer arithmetic: truncation never changes values, only bounds
       // the doubling-per-iteration plan (skip after the last round — the
-      // caller gets a composable lazy frame)
-      if (it % truncateEvery == 0 && it < iters)
-        ranks = Checkpoints.truncate(ranks)
+      // caller gets a composable lazy frame). The PREVIOUS cut's
+      // reliable files are reclaimed once the new cut materializes; the
+      // last cut stays (the returned lazy plan reads it).
+      if (it % truncateEvery == 0 && it < iters) {
+        val t = Checkpoints.truncate(ranks)
+        lastCut.foreach(Checkpoints.discard)
+        lastCut = Some(t)
+        ranks = t
+      }
     }
     ranks.select(col("id"), col("rank"))
   }

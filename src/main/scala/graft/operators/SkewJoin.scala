@@ -68,25 +68,43 @@ object SkewJoin {
     require(keys.nonEmpty, "at least one join key required")
     val parts = if (partitions > 0) partitions
       else OpConf.shufflePartitions(big)
-    // one string key expression, applied identically on both sides (the
-    // profile's own type-uniform cast); composite keys concatenate with
-    // an unprintable separator
-    def keyOf(cols: Seq[String]): Column =
-      if (cols.size == 1) col(cols.head).cast("string")
-      else concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
-    val bigK = big.withColumn("__skkey", keyOf(keys.map(_._1)))
-    val factors = Stats
-      .skewProfile(bigK, "__skkey", topK, parts)
-      .where(col("salt") >= 2)
-      .select(col("key").as("__skkey"), col("salt").cast("long").as("__salts"))
-    val b = bigK.join(broadcast(factors), Seq("__skkey"), "left")
-      .withColumn("__salts", coalesce(col("__salts"), lit(1L)))
+    val bigKeys = keys.map(_._1)
+    // The factors table carries the big side's TYPED key columns, and
+    // BOTH relations look their factor up through the SAME equality the
+    // real join uses -- never a per-side string rendering, which can
+    // disagree across key types ("7.0" vs "7" for DOUBLE vs INT keys)
+    // while the join's own coercion still matches; a whale whose small
+    // side missed the broadcast would silently lose ~(1 - 1/factor) of
+    // its matches (round-13 review). Same ceil(cnt*parts/total) factor
+    // derivation as Stats.skewProfile, DECIMAL-widened identically.
+    val counts = big.groupBy(bigKeys.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum("__cnt").as("__total"))
+    val factors = counts
+      .orderBy(col("__cnt").desc +: bigKeys.map(col(_).asc): _*)
+      .limit(topK)
+      .crossJoin(broadcast(total))
+      .select(bigKeys.map(col) :+
+        expr(s"CAST((CAST(__cnt AS DECIMAL(38,0)) * $parts + __total - 1) " +
+          "DIV __total AS BIGINT)").as("__salts"): _*)
+      .where(col("__salts") >= 2L)
+      .alias("f")
+    val b0 = big.alias("b0")
+    val bCond = bigKeys
+      .map(bk => col(s"b0.$bk") <=> col(s"f.$bk")).reduce(_ && _)
+    val b = b0.join(broadcast(factors), bCond, "left")
+      .select(col("b0.*") +:
+        coalesce(col("f.__salts"), lit(1L)).as("__salts") +: Nil: _*)
       .withColumn("__salt",
         pmod(xxhash64(monotonically_increasing_id()), col("__salts")))
       .alias("b")
-    val s = small.withColumn("__skkey", keyOf(keys.map(_._2)))
-      .join(broadcast(factors), Seq("__skkey"), "left")
-      .withColumn("__salts", coalesce(col("__salts"), lit(1L)))
+    val s0 = small.alias("s0")
+    val sCond = keys
+      .map { case (bk, sk) => col(s"s0.$sk") === col(s"f.$bk") }
+      .reduce(_ && _)
+    val s = s0.join(broadcast(factors), sCond, "left")
+      .select(col("s0.*") +:
+        coalesce(col("f.__salts"), lit(1L)).as("__salts") +: Nil: _*)
       .withColumn("__salt", explode(sequence(lit(0L), col("__salts") - 1)))
       .alias("s")
     val cond = keys.map { case (bk, sk) => col(s"b.$bk") === col(s"s.$sk") }
@@ -94,6 +112,5 @@ object SkewJoin {
     b.join(s, cond, joinType)
       .drop(col("b.__salt")).drop(col("s.__salt"))
       .drop(col("b.__salts")).drop(col("s.__salts"))
-      .drop(col("b.__skkey")).drop(col("s.__skkey"))
   }
 }

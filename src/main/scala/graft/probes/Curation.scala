@@ -349,30 +349,10 @@ object Curation {
     // FIXTURES recipe); avg_logp (ln-based) is engine-local and stays
     // out of the probe (LmScoreSpec covers it).
     Probe.df("q_lm_score",
-      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
-         |toks AS (SELECT doc_id, unnest(ws) AS w FROM w),
-         |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
-         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tokens,
-         |               count(*) AS vocab FROM uni),
-         |bg AS (SELECT doc_id, unnest(
-         |  [ {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i AS INT)+1]}
-         |    for i in range(1, len(ws)) ]) AS s
-         |  FROM w WHERE len(ws) >= 2),
-         |bge AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
-         |bi AS (SELECT w1, w2, count(*) AS cb FROM bge GROUP BY 1, 2),
-         |p AS (SELECT bge.doc_id,
-         |    CAST(0.9 AS DOUBLE) * (coalesce(bi.cb, 0)::DOUBLE
-         |      / greatest(coalesce(u1.cu, 1), 1)::DOUBLE)
-         |  + CAST(0.1 AS DOUBLE) * ((coalesce(u2.cu, 0) + 1)::DOUBLE
-         |      / (tot.n_tokens + tot.vocab)::DOUBLE) AS p
-         |  FROM bge LEFT JOIN bi USING (w1, w2)
-         |           LEFT JOIN uni u1 ON u1.w = bge.w1
-         |           LEFT JOIN uni u2 ON u2.w = bge.w2, tot)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(CAST(floor(p * 1073741824) AS BIGINT)) AS BIGINT)
-         |    AS sum_qp
-         |FROM p GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      "WITH " +
+        graft.operators.LmScore.selfScoreCtes("documents", "doc_id") + "\n" +
+        """SELECT doc_id, nb AS n_bigrams, sq AS sum_qp FROM sc
+          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.LmScore.selfScore(
           Tables.load(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"), col("sum_qp"))

@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 N_W=${1:-16}
 N_B=${2:-6}
 WH=$(mktemp -d /tmp/graft_contend.XXXXXX)
-trap 'rm -rf "$WH"' EXIT
+trap 'rm -rf "$WH" "$WH".*' EXIT
 
 SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain init "$WH" \
   >/dev/null 2>"$WH.init.log" || { echo "CONTEND INIT FAILED"; cat "$WH.init.log" | tail -5; exit 1; }
