@@ -150,6 +150,57 @@ object LmScore {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** The SCALE TIER of [[perplexityBuckets]] — identical output, no
+    * whole-language sort. The per-lang window form serializes each
+    * language's every document through one sort partition; a 100 TB
+    * corpus with a few huge languages turns that into the job's
+    * critical path. Here the ranking key (avg_q is a bounded integer)
+    * goes through its VALUE HISTOGRAM instead:
+    *
+    *  1. one aggregate to (lang, avg_q, count) — one row per DISTINCT
+    *     score value, not per document;
+    *  2. a window over THAT tiny table for each value's
+    *     strictly-greater cumulative count and the language total;
+    *  3. a fine-grained row_number partitioned by (lang, avg_q) over
+    *     the docs — giant partitions only under massive score TIES,
+    *     never a whole language.
+    *
+    * rank(doc) = cum_greater + within-value rank; same multiply-compare
+    * thirds. Integer arithmetic throughout, so the output is
+    * bit-identical to [[perplexityBuckets]] (OperatorsSpec pins
+    * equality on a tie-heavy fixture where the bucket boundary lands
+    * inside a tie group). */
+  def perplexityBucketsHist(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (uni, bi, tot) = bigramModel(df, idCol, textCol)
+    val scored = score(df, idCol, textCol, uni, bi, tot)
+      .select(col(idCol), expr("sum_qp DIV n_bigrams").as("avg_q"))
+    val withLang = df.select(col(idCol), col(langCol).as("lang"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("lang"),
+        coalesce(col("avg_q"), lit(-1L)).as("avg_q"))
+    val hist = withLang.groupBy("lang", "avg_q")
+      .agg(count(lit(1)).as("__vc"))
+    val wLang = Window.partitionBy("lang").orderBy(col("avg_q").desc)
+    val cum = hist
+      .withColumn("__cumBefore",
+        coalesce(sum(col("__vc")).over(
+          wLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__nLang",
+        sum(col("__vc")).over(Window.partitionBy("lang")))
+    val wVal = Window.partitionBy("lang", "avg_q").orderBy(col(idCol))
+    withLang
+      .join(cum.select(col("lang"), col("avg_q"),
+        col("__cumBefore"), col("__nLang")), Seq("lang", "avg_q"))
+      .withColumn("rank",
+        (col("__cumBefore") + row_number().over(wVal)).cast("long"))
+      .select(col(idCol), col("lang"), col("avg_q"), col("rank"),
+        when(col("rank") * 3 <= col("__nLang"), lit("head"))
+          .when(col("rank") * 3 <= col("__nLang") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** The SELF-scoring oracle CTE chain (train and score on the whole
     * table) ending in `sc($idCol, sq, nb)` — sq the quantized-int64
     * probability sum, nb the bigram count. ONE copy of the exactness-

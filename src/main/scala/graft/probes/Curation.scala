@@ -371,6 +371,17 @@ object Curation {
         .orderBy("lang", "rank")
     },
 
+    // The SCALE TIER of the bucketing: value-histogram cuts + within-
+    // value ranks instead of a whole-language sort — bit-identical
+    // output, so the SAME oracle applies.
+    Probe.df("q_lm_ppl_buckets_hist",
+      graft.operators.LmScore.perplexityBucketsOracleSql(
+        "documents", "doc_id", "lang")) { (s, dir) =>
+      graft.operators.LmScore.perplexityBucketsHist(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("lang", "rank")
+    },
+
     // Trigram-LM self-scoring: the deeper interpolated tier
     // (0.7·trigram + 0.2·bigram + 0.1·Laplace-unigram). Same
     // quantized-int64 recipe; docs shorter than 3 tokens drop out.

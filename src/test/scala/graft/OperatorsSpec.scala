@@ -1465,6 +1465,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"easiest domain must end under uniform: $out")
   }
 
+  test("perplexityBucketsHist equals the window form, including " +
+      "boundary ties inside a tie group (the no-whole-language-sort " +
+      "scale tier)") {
+    import graft.operators.LmScore
+    // tie-heavy: six docs share identical text → identical avg_q; the
+    // head/middle AND middle/tail boundaries land INSIDE the tie group
+    // so the within-value doc_id rank decides the splits
+    val docs = (1L to 9L).map { i =>
+      val text = if (i <= 6L) "alpha beta alpha beta"
+        else s"unique$i words$i nothing$i shared$i"
+      (i, text, "en")
+    }.toDF("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("avg_q"), r.getAs[Long]("rank"),
+        r.getAs[String]("bucket"))).toSet
+    val win = rows(LmScore.perplexityBuckets(docs, "doc_id", "text", "lang"))
+    val hist = rows(
+      LmScore.perplexityBucketsHist(docs, "doc_id", "text", "lang"))
+    assert(hist == win, s"hist ${hist -- win} vs win ${win -- hist}")
+    // the tie group genuinely straddles the boundary
+    val tieBuckets = win.filter(_._1 <= 6L).map(_._5)
+    assert(tieBuckets.size >= 2, s"fixture lost its tie straddle: $win")
+  }
+
   test("pageRank per-round truncation changes nothing (integer ranks)") {
     import graft.operators.PageRank
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L),
