@@ -68,6 +68,36 @@ object Pca {
       .groupBy("k").agg(sum(col("qk").cast(Dec)).as("m"),
         count(lit(1)).as("n"))
 
+  /** SELECTED Gram cells g(i,j) = n·S[i,j] − m[i]·m[j] as a driver map —
+    * for consumers that need only O(dim) cells (the block-OPQ rotation
+    * needs 3 per dimension pair), computing the full dim² table wastes
+    * ~dim/3 of the dominant stage. This is ONE explode-free aggregate:
+    * a sum expression per requested product plus the dim component sums
+    * and the row count, all map-side combined — identical per-row
+    * LONG products and DECIMAL(38,0) accumulation as [[gramTable]]
+    * (integer sums are associative), so every returned cell is
+    * bit-identical to the full table's. */
+  def gramCells(df: DataFrame, vecCol: String, quantBits: Int,
+      cells: Seq[(Int, Int)]): Map[(Int, Int), Long] = {
+    val dims = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val q = quantExpr(vecCol, quantBits)
+    val base = df.where(col(vecCol).isNotNull).select(q.as("q"))
+    val sAggs = cells.map { case (i, j) =>
+      sum((element_at(col("q"), i + 1) * element_at(col("q"), j + 1))
+        .cast(Dec)).as(s"s_${i}_$j")
+    }
+    val mAggs = dims.map(k =>
+      sum(element_at(col("q"), k + 1).cast(Dec)).as(s"m_$k"))
+    val aggs = sAggs ++ mAggs :+ count(lit(1)).as("n")
+    val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = BigDecimal(row.getAs[Long]("n"))
+    val m = dims.map(k => k -> BigDecimal(row.getAs[java.math.BigDecimal](s"m_$k"))).toMap
+    cells.map { case (i, j) =>
+      val s = BigDecimal(row.getAs[java.math.BigDecimal](s"s_${i}_$j"))
+      (i, j) -> (n * s - m(i) * m(j)).toLong
+    }.toMap
+  }
+
   def gramTable(df: DataFrame, vecCol: String, dim: Int,
       quantBits: Int = 10): DataFrame = {
     val s = sTable(df, vecCol, quantBits, dim)

@@ -279,12 +279,17 @@ object Pq {
   def opqBlockRotation(df: DataFrame, vecCol: String, dim: Int,
       quantBits: Int = 10): Seq[(Double, Double)] = {
     require(dim % 2 == 0, "block rotation needs an even dim")
-    val g = Pca.gramTable(df, vecCol, dim, quantBits)
-      .where(col("j") - col("i") <= lit(1L) && col("j") >= col("i") &&
-        (col("i") % 2 === 0 || col("i") === col("j")))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // only the 3 cells per pair are needed — Pca.gramCells computes
+    // exactly those in ONE explode-free aggregate (the full dim² table
+    // spent ~dim/3 of its dominant stage on unused cells), bit-identical
+    // values, so the full-Gram oracle still matches
+    val wanted = (0 until dim / 2).flatMap { p =>
+      val (i, j) = (2 * p, 2 * p + 1)
+      Seq((i, i), (j, j), (i, j))
+    }
+    val g = Pca.gramCells(df, vecCol, quantBits, wanted)
     (0 until dim / 2).map { p =>
-      val (i, j) = (2L * p, 2L * p + 1)
+      val (i, j) = (2 * p, 2 * p + 1)
       val gij = g((i, j))
       if (gij == 0L) (1.0, 0.0)
       else {

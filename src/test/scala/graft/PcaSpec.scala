@@ -34,6 +34,20 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("gramCells equals the full gramTable on every requested cell " +
+      "(the explode-free O(cells) path)") {
+    val d = Seq(
+      (1L, Seq(0.5, -1.25, 2.0, 0.25)),
+      (2L, Seq(1.0, 0.75, -0.5, 1.5)),
+      (3L, Seq(-0.25, 2.0, 0.0, -1.0))).toDF("vec_id", "embedding")
+    val full = Pca.gramTable(d, "embedding", 4, quantBits = 10)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        r.getLong(2)).toMap
+    val cells = Seq((0, 0), (1, 1), (0, 1), (2, 3), (3, 3))
+    val got = Pca.gramCells(d, "embedding", 10, cells)
+    cells.foreach { c => assert(got(c) == full(c), s"cell $c") }
+  }
+
   test("jacobiEigen rotates equal-diagonal matrices (theta = 0)") {
     // [[2,1],[1,2]]: eigenvalues 3 and 1, dominant axis (1,1)/sqrt(2) —
     // sgn(0)=0 in place of +1 would skip every rotation and return the
