@@ -60,14 +60,18 @@ object ParquetStats {
         }
       })
     }
-    // bounded wait: a hung footer read degrades ITS file to (0, 0) like
-    // any other read failure instead of blocking the metadata query
-    // forever. Residual risk: a task that never returns keeps its shared
-    // pool thread — ≥16 permanently hung opens would still starve later
-    // scans; a deployment on storage where opens genuinely hang should
-    // front the filesystem with its own client-side timeouts.
+    // ONE SHARED deadline, not 60 s per future: with the pool wedged, a
+    // per-future timeout would compound to n_files × 60 s (hours at
+    // 100k files — the round-13 second review); the whole map returns
+    // within ~60 s, each unfinished file degraded to (0, 0) like any
+    // other read failure. Residual risk: a task that never returns
+    // keeps its shared pool thread — ≥16 permanently hung opens would
+    // still starve later scans; storage where opens genuinely hang
+    // should front the filesystem with its own client-side timeouts.
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     futures.map { case (f, fut) =>
-      f -> (try fut.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      val remaining = math.max(1L, deadline - System.nanoTime())
+      f -> (try fut.get(remaining, java.util.concurrent.TimeUnit.NANOSECONDS)
         catch {
           case _: java.util.concurrent.TimeoutException => (0L, 0L)
           case _: java.util.concurrent.ExecutionException => (0L, 0L)

@@ -58,8 +58,16 @@ object Checkpoints {
     * ContextCleaner-reclaimed regardless of that conf). */
   def discard(df: DataFrame): Unit =
     try {
-      val rdd = df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      // ROOT-only: a [[truncate]] result's plan IS a LogicalRDD leaf. A
+      // LAZY frame (e.g. the not-yet-materialized first round of a loop)
+      // must be a no-op — collecting the first LogicalRDD anywhere in
+      // its lineage would find an UPSTREAM checkpoint the CALLER owns
+      // (the round-13 second review: BpeTrain discarding its still-lazy
+      // initial state would have deleted a checkpoint-backed INPUT's
+      // files out from under the caller).
+      val rdd = df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
       }
       rdd.flatMap(_.getCheckpointFile).foreach { file =>
         val p = new org.apache.hadoop.fs.Path(file)

@@ -190,9 +190,15 @@ object LmScore {
       .withColumn("__nLang",
         sum(col("__vc")).over(Window.partitionBy("lang")))
     val wVal = Window.partitionBy("lang", "avg_q").orderBy(col(idCol))
+    // NULL-SAFE lang equality: the window form keeps NULL-lang docs as
+    // their own partition (language-ID failures are real data); a
+    // null-unsafe using-join here would silently drop them (round-13
+    // second review). avg_q is never null (coalesced to −1 above).
+    val cumS = cum.select(col("lang").as("__clang"),
+      col("avg_q").as("__cavg"), col("__cumBefore"), col("__nLang"))
     withLang
-      .join(cum.select(col("lang"), col("avg_q"),
-        col("__cumBefore"), col("__nLang")), Seq("lang", "avg_q"))
+      .join(cumS, col("lang") <=> col("__clang") &&
+        col("avg_q") === col("__cavg"))
       .withColumn("rank",
         (col("__cumBefore") + row_number().over(wVal)).cast("long"))
       .select(col(idCol), col("lang"), col("avg_q"), col("rank"),

@@ -85,8 +85,7 @@ object SkewJoin {
       .limit(topK)
       .crossJoin(broadcast(total))
       .select(bigKeys.map(col) :+
-        expr(s"CAST((CAST(__cnt AS DECIMAL(38,0)) * $parts + __total - 1) " +
-          "DIV __total AS BIGINT)").as("__salts"): _*)
+        Stats.saltFactorExpr("__cnt", "__total", parts).as("__salts"): _*)
       .where(col("__salts") >= 2L)
       .alias("f")
     val b0 = big.alias("b0")

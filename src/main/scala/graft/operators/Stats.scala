@@ -157,9 +157,18 @@ object Stats {
       .select(col("rank"), col("key"), col("cnt"),
         expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)")
           .as("share_ppm"),
-        expr(s"CAST((CAST(cnt AS DECIMAL(38,0)) * $partitions + total - 1) " +
-          "DIV total AS BIGINT)").as("salt"))
+        saltFactorExpr("cnt", "total", partitions).as("salt"))
   }
+
+  /** ceil(cnt · partitions / total) with the DECIMAL(38,0) widening —
+    * the ONE copy of the salt-factor arithmetic, shared by
+    * [[skewProfile]]'s report and [[SkewJoin.saltedJoinAuto]]'s typed-key
+    * factor table so the probe-matched profile and the join's actual
+    * factors can never drift (round-13 second review). */
+  private[operators] def saltFactorExpr(cntCol: String, totalCol: String,
+      partitions: Int): Column =
+    expr(s"CAST((CAST($cntCol AS DECIMAL(38,0)) * $partitions + " +
+      s"$totalCol - 1) DIV $totalCol AS BIGINT)")
 
   /** DuckDB replay of [[skewProfile]] — same integer DIV arithmetic,
     * HUGEINT-widened like the DECIMAL(38,0) engine side. */

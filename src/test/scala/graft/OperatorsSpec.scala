@@ -1472,10 +1472,12 @@ class OperatorsSpec extends AnyFunSuite {
     // tie-heavy: six docs share identical text → identical avg_q; the
     // head/middle AND middle/tail boundaries land INSIDE the tie group
     // so the within-value doc_id rank decides the splits
+    // includes NULL-lang docs (language-ID failures): both tiers must
+    // keep them as their own partition, never drop them
     val docs = (1L to 9L).map { i =>
       val text = if (i <= 6L) "alpha beta alpha beta"
         else s"unique$i words$i nothing$i shared$i"
-      (i, text, "en")
+      (i, text, if (i % 4 == 0) null else "en")
     }.toDF("doc_id", "text", "lang")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
@@ -1485,9 +1487,31 @@ class OperatorsSpec extends AnyFunSuite {
     val hist = rows(
       LmScore.perplexityBucketsHist(docs, "doc_id", "text", "lang"))
     assert(hist == win, s"hist ${hist -- win} vs win ${win -- hist}")
+    assert(win.size == 9 && win.count(_._2 == null) == 2,
+      s"NULL-lang docs must be kept: $win")
     // the tie group genuinely straddles the boundary
     val tieBuckets = win.filter(_._1 <= 6L).map(_._5)
     assert(tieBuckets.size >= 2, s"fixture lost its tie straddle: $win")
+  }
+
+  test("Checkpoints.discard is a no-op on LAZY frames — a loop's unmater" +
+      "ialized first round must never delete an upstream input's " +
+      "checkpoint files") {
+    import graft.operators.Checkpoints
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2")
+    spark.conf.set(Checkpoints.DirKey, dir.toString)
+    try {
+      val input = Checkpoints.truncate(
+        (1L to 50L).toDF("id").withColumn("v", col("id") * 2))
+      assert(input.count() == 50)
+      // a lazy derivation over the checkpointed input — discarding IT
+      // must not touch the input's files
+      val lazyDerived = input.select(col("id"), (col("v") + 1).as("v2"))
+      Checkpoints.discard(lazyDerived)
+      assert(input.count() == 50, "input checkpoint files were deleted")
+      // discarding the ROOT checkpoint itself does reclaim it
+      Checkpoints.discard(input)
+    } finally spark.conf.unset(Checkpoints.DirKey)
   }
 
   test("pageRank per-round truncation changes nothing (integer ranks)") {
