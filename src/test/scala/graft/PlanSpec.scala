@@ -423,6 +423,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("saltedJoinAuto attaches factors by BROADCAST on both sides and " +
+      "never degenerates to a cartesian") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fact = ((1 to 400).map(i => (0L, i.toDouble)) ++
+      (1 to 60).map(i => (i.toLong, i.toDouble))).toDF("k", "v")
+    val dim = (0 to 30).map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val out = graft.operators.SkewJoin
+      .saltedJoinAuto(fact, dim, Seq("k" -> "dk"), topK = 8)
+    out.collect() // finalize AQE
+    val p = out.queryExecution.executedPlan.toString
+    // the 1-ROW total attach inside the factor derivation legitimately
+    // plans as a broadcast nested-loop CROSS (same shape as
+    // skewProfile); what must never appear is a data-sized cartesian
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the two factor lookups (big side + small side) ride broadcasts —
+    // the topK-row factor table must NEVER shuffle the fact for a lookup
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected >=2 broadcast factor attaches, saw $bhj:\n" +
+      p.take(1200))
+  }
+
+  test("perplexityBucketsHist ranks docs in (lang, value) partitions — " +
+      "never one whole-language sort window over the doc stream") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def docWindowPartitionWidths(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      df.collect()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def walk(n: SparkPlan): Unit = n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case w: WindowExec =>
+          if (w.windowExpression.toString.contains("row_number"))
+            out += w.partitionSpec.length
+          w.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      out.toSeq
+    }
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val hist = docWindowPartitionWidths(graft.operators.LmScore
+      .perplexityBucketsHist(docs, "doc_id", "text", "lang"))
+    // the doc-level row_number partitions by (lang, avg_q) — fine-
+    // grained; the window FORM partitions its doc ranks by lang alone
+    assert(hist.nonEmpty && hist.forall(_ == 2),
+      s"hist doc-rank window must partition by (lang, avg_q): $hist")
+    val win = docWindowPartitionWidths(graft.operators.LmScore
+      .perplexityBuckets(docs, "doc_id", "text", "lang"))
+    assert(win.nonEmpty && win.forall(_ == 1),
+      s"window form partitions doc ranks by lang alone: $win")
+  }
+
   test("RRF fusion cuts per-key top-N with the bounded-heap operator, " +
       "not a sort (only the candidate stream shuffles)") {
     val df = SparkEntry.queries("q_retrieval_rrf")(
