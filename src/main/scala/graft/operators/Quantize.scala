@@ -41,4 +41,48 @@ object Quantize {
       as: String): DataFrame =
     df.withColumn(as,
       transform(col(qCol), q => q.cast("double") * col(scaleCol)))
+
+  /** Number of 32-bit sign words for a `dim`-wide vector. Words are 32
+    * bits (not 64) so every packed value is a SMALL positive BIGINT —
+    * no two's-complement sign-bit edge cases on either engine. */
+  def binaryWords(dim: Int): Int = (dim + 31) / 32
+
+  /** BINARY (1-bit sign) quantization — the bottom rung of the embedding
+    * compression ladder (float32 → int8 ([[int8]]) → PQ ([[Pq]]) →
+    * binary; Faiss's IndexBinaryFlat shape): bit j of word w is set iff
+    * v[32w+j] > 0. 32× smaller than float32; Hamming distance between
+    * codes (a handful of xor+popcount ops) approximates angular
+    * distance, so a binary scan is the cheapest possible first-stage
+    * filter — at 100 TB the codes column is GBs where the vectors are
+    * TBs, and parquet column pruning means a code-only scan never
+    * touches the float data.
+    *
+    * Output: (idCol, b0 .. b{words-1}) — flat BIGINT columns (join- and
+    * codegen-friendly; no array wrapping). Sign comparisons only, no
+    * arithmetic on the floats — trivially bit-identical cross-engine. */
+  def binarySign(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, s"need dim>=1; got $dim")
+    val words = (0 until binaryWords(dim)).map { w =>
+      val bits = (0 until 32).filter(j => 32 * w + j < dim).map { j =>
+        when(element_at(col(vecCol), 32 * w + j + 1) > 0f, lit(1L << j))
+          .otherwise(lit(0L))
+      }
+      bits.reduce(_ + _).as(s"b$w")
+    }
+    df.select(col(idCol) +: words: _*)
+  }
+
+  /** The DuckDB replay of [[binarySign]]'s word columns: one explicit
+    * CASE-term sum per word (same literals, same `> 0` sign test), for
+    * composition into probe oracles. `vecSql` is the 1-based list
+    * expression (e.g. `embedding`). */
+  def binarySignOracleCols(vecSql: String, dim: Int): Seq[String] =
+    (0 until binaryWords(dim)).map { w =>
+      val terms = (0 until 32).filter(j => 32 * w + j < dim).map { j =>
+        s"(CASE WHEN $vecSql[${32 * w + j + 1}] > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }
+      s"(${terms.mkString(" + ")})"
+    }
 }

@@ -787,6 +787,104 @@ object Similarity {
        |FROM scored ORDER BY rank""".stripMargin
   }
 
+  /** Binary-code ANN (Faiss IndexBinaryFlat shape): scan
+    * [[Quantize.binarySign]] codes by Hamming distance for a per-query
+    * candidate set, then rerank the candidates by EXACT cosine. Two-stage
+    * plan, each stage touching only what it needs:
+    *
+    *  1. Hamming scan over (id, b0..bW) ONLY — 8-16 bytes/row against
+    *     256+ for the floats, so at 100 TB the first stage reads a
+    *     codes column parquet prunes down to GBs. Queries broadcast;
+    *     distance is W xor+popcount ops per pair (codegen'd integer
+    *     math, no floats). Top-`cands` per query by (hamming, nid).
+    *  2. Exact rerank of the nq·cands candidates only: the candidate
+    *     list (a few thousand (qid, nid) rows) is broadcast back against
+    *     the corpus to fetch JUST those vectors, then scored with the
+    *     same kernel-dot/norm recipe as [[bruteForceTopK]].
+    *
+    * Everything rankable is exact cross-engine: Hamming is integer,
+    * cosine is the dot/(norm·norm) single-division recipe. Output:
+    * (qid, nid, hamming, cos, rnk) with rnk <= k. */
+  def binaryAnnTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, cands: Int): DataFrame = {
+    require(k >= 1 && cands >= k, s"need 1 <= k <= cands; got k=$k, cands=$cands")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val w = Quantize.binaryWords(dim)
+    val qc = Quantize.binarySign(queries, idCol, vecCol, dim)
+      .toDF("qid" +: (0 until w).map(i => s"qb$i"): _*)
+    // spread BEFORE the quadratic scan (the bruteForceTopK lesson: a
+    // one-file corpus otherwise scans on one task)
+    val cc = Quantize.binarySign(corpus, idCol, vecCol, dim)
+      .toDF("nid" +: (0 until w).map(i => s"cb$i"): _*)
+      .repartition(par)
+    val hamming = (0 until w).map { i =>
+      bit_count(col(s"qb$i").bitwiseXOR(col(s"cb$i"))).cast("int")
+    }.reduce(_ + _)
+    val scanW = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("nid"))
+    val cand = cc.crossJoin(broadcast(qc))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), hamming.as("hamming"))
+      .withColumn("crank", row_number().over(scanW))
+      .filter(col("crank") <= cands)
+      .drop("crank")
+    // rerank: candidates are the SMALL side (nq·cands rows) — broadcast
+    // them at the corpus, never the reverse
+    val nv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      normKernel(col(vecCol)).as("nn"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normKernel(col(vecCol)).as("qn"))
+    val rerankW = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    nv.join(broadcast(cand), "nid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"), col("hamming"),
+        (dotKernel(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rnk", row_number().over(rerankW))
+      .filter(col("rnk") <= k)
+  }
+
+  /** DuckDB replay of [[binaryAnnTopK]]: the same sign-packed words
+    * ([[Quantize.binarySignOracleCols]]), xor+bit_count Hamming, the
+    * same two rank stages, the same cosine recipe. `querySql` filters
+    * the query rows out of `table`. */
+  def binaryAnnOracleSql(table: String, idSql: String, vecSql: String,
+      dim: Int, k: Int, cands: Int, querySql: String): String = {
+    val words = Quantize.binarySignOracleCols(vecSql, dim)
+    val w = words.size
+    val packed = words.zipWithIndex
+      .map { case (t, i) => s"$t AS b$i" }.mkString(",\n    ")
+    val ham = (0 until w)
+      .map(i => s"CAST(bit_count(xor(q.b$i, c.b$i)) AS INT)")
+      .mkString(" + ")
+    val cos = s"list_dot_product(q.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[]) /" +
+      s" (sqrt(list_dot_product(q.$vecSql::DOUBLE[], q.$vecSql::DOUBLE[])) *" +
+      s" sqrt(list_dot_product(n.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[])))"
+    s"""WITH qc AS (SELECT $idSql AS qid, $vecSql,
+       |    $packed
+       |  FROM $table WHERE $querySql),
+       |cc AS (SELECT $idSql AS nid, $vecSql,
+       |    $packed
+       |  FROM $table),
+       |cand AS (
+       |  SELECT qid, nid, hamming FROM (
+       |    SELECT q.qid, c.nid, $ham AS hamming,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY $ham, c.nid) AS crank
+       |    FROM qc q JOIN cc c ON q.qid <> c.nid)
+       |  WHERE crank <= $cands),
+       |resc AS (SELECT cand.qid, cand.nid, cand.hamming, $cos AS cos
+       |  FROM cand JOIN qc q ON cand.qid = q.qid
+       |  JOIN cc n ON cand.nid = n.nid),
+       |ranked AS (SELECT qid, nid, hamming, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rnk
+       |  FROM resc)
+       |SELECT qid, nid, hamming, cos, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** DuckDB equivalent of [[lshBuckets]] (for the correctness oracle):
     * identical plane literals, list_dot_product, same bit weights. */
   def lshBucketsOracleSql(nPlanes: Int, dim: Int, table: String): String = {

@@ -1163,6 +1163,21 @@ object Pipeline {
         .orderBy("qid", "rnk")
     },
 
+    // Binary-code ANN: 1-bit sign quantization (32× compression), Hamming
+    // scan over the codes only, exact cosine rerank of the top-50
+    // candidates. Hamming is integer, cosine the single-division kernel
+    // recipe — the oracle replays both stages bit-identically. The probe
+    // pins the WHOLE pipeline (codes, candidate cut, rerank), not just
+    // the final ranking.
+    Probe.df("q_ann_binary",
+      Similarity.binaryAnnOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, k = 5, cands = 50, querySql = "vec_id < 10")) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.binaryAnnTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", dim = 64, k = 5, cands = 50)
+        .orderBy("qid", "rnk")
+    },
+
     Probe.df("q_dedup_cosine",
       """WITH scored AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb,

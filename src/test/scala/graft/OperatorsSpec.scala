@@ -339,6 +339,37 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall too low: ${ivf2.intersect(bfPairs).size}/${bfPairs.size}")
   }
 
+  test("binarySign packs sign bits; binaryAnnTopK == brute force at full cands") {
+    // hand-checkable packing: dim 34 spans two 32-bit words
+    val v = Seq((1L, Array.tabulate(34)(i =>
+      if (i == 0 || i == 33) 1.0f else if (i == 32) 0.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val row = graft.operators.Quantize
+      .binarySign(v, "vec_id", "embedding", 34).collect().head
+    assert(row.getLong(1) == 1L)      // bit 0 only (0.0 is not > 0)
+    assert(row.getLong(2) == 2L)      // word 1: bit 1 (= dim index 33)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    val n = emb.count().toInt
+    // cands >= corpus: the Hamming cut keeps everything, rerank IS exact
+    val full = Similarity.binaryAnnTopK(queries, emb, "vec_id", "embedding",
+        dim = 64, k = 5, cands = n)
+      .select("qid", "nid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == bf)
+    // a 50-candidate Hamming cut still recovers most true neighbors
+    val cut = Similarity.binaryAnnTopK(queries, emb, "vec_id", "embedding",
+        dim = 64, k = 5, cands = 50)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfPairs = bf.map(t => (t._1, t._2))
+    assert(cut.intersect(bfPairs).size >= bfPairs.size / 2,
+      s"recall too low: ${cut.intersect(bfPairs).size}/${bfPairs.size}")
+  }
+
   test("softDedup near-dup tier weights by cluster size, singletons keep 1") {
     import graft.operators.Dedup
     // pairs (1,2),(2,3) form one 3-cluster; (7,9) a 2-cluster; 5 alone
