@@ -609,6 +609,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[minhashLshPairs]] with its (rows, bands) split picked by
+    * [[Similarity.lshPick]] for the target threshold — the composed form
+    * of the MMDS S-curve tuning, ending guess-the-(bands, rows) the way
+    * [[saltedJoinAuto]]'s profile ended guess-the-salt. The pick is
+    * O(divisors(numPerms)·gridN) driver math (no Spark job); the pairs
+    * pipeline is identical to [[minhashLshPairs]]. Output adds the
+    * picked (pick_r, pick_b) so callers (and the oracle) can audit the
+    * parameters actually used. */
+  def minhashLshPairsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 128, threshold: Double = 0.7,
+      maxBucket: Int = 4096,
+      semiReduceBytes: Long = 256L << 20): DataFrame = {
+    val (r, b) = Similarity.lshPick(df.sparkSession, threshold, numPerms)
+    minhashLshPairs(df, idCol, textCol, n, numPerms, bands = b,
+        threshold = threshold, maxBucket = maxBucket,
+        semiReduceBytes = semiReduceBytes)
+      .withColumn("pick_r", lit(r))
+      .withColumn("pick_b", lit(b))
+  }
+
   /** Incremental NOVELTY dedup — the continual-pretraining ingest shape:
     * given an already-curated `base` corpus and a NEW `batch`, report per
     * batch document whether a near-duplicate (MinHash-Jaccard >=

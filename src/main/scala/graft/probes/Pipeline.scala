@@ -406,6 +406,37 @@ object Pipeline {
         .orderBy("ida", "idb")
     },
 
+    // Auto-tuned LSH pairs: the (rows, bands) split comes from the
+    // lshTune S-curve pick at the probe's threshold instead of a
+    // hand-picked constant. The oracle pins BOTH halves: the pick (the
+    // full lshTune replay as a derived table, rank 1) and the pairs
+    // (exact all-pairs truth at the threshold — every corpus pair >= 0.5
+    // sits at J >= 0.89, where the picked (4, 16) split's miss
+    // probability is (1-0.89^4)^16 ~ 1.4e-7 per pair AND the minhash
+    // signatures are deterministic, so the outcome is fixed, verified
+    // at both SFs). Hash budget 64, not 128: the oracle's b-long
+    // multiply chain must stay under DuckDB's 128 binder recursion
+    // depth (the r=1 split binds a b=budget chain).
+    Probe.df("q_dedup_minhash_auto",
+      "WITH pick AS (SELECT r, b FROM (" +
+        Similarity.lshTuneOracleSql(0.5, 64) +
+        ") t WHERE rank = 1),\n" +
+        duckShingleCte("documents").stripPrefix("WITH ") +
+        """
+          |SELECT ida, idb, jaccard,
+          |  pick.r AS pick_r, pick.b AS pick_b
+          |FROM (
+          |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+          |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |) p, pick WHERE jaccard >= 0.5
+          |ORDER BY ida, idb""".stripMargin) { (s, dir) =>
+      Dedup.minhashLshPairsAuto(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, numPerms = 64, threshold = 0.5)
+        .orderBy("ida", "idb")
+    },
+
     // Full oracle (VERDICT r7 #5): the probe runs the SAME banded
     // pairs operator over md5-60bit word hashes (DuckDB-replicable, see
     // simhashMd5Bands) so DuckDB can recompute every signature and do

@@ -162,6 +162,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("minhashLshPairsAuto finds the same pairs with the S-curve pick attached") {
+    val rows = Dedup.minhashLshPairsAuto(docs, "doc_id", "text",
+        numPerms = 64, threshold = 0.5)
+      .orderBy("ida", "idb").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val expectPick = Similarity.lshPick(spark, 0.5, 64)
+    assert(rows.forall(r =>
+      (r.getAs[Int]("pick_r"), r.getAs[Int]("pick_b")) == expectPick))
+    assert(expectPick._1 * expectPick._2 == 64)
+  }
+
   test("simhashPairs finds exact dup at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
