@@ -899,6 +899,17 @@ object Pipeline {
         .orderBy("rank")
     },
 
+    // WordPiece-score training: same loop, argmax by likelihood score
+    // n/(l·r) — two chained correctly-rounded double divisions of exact
+    // integer counts, so the oracle's full-loop replay (extra unigram
+    // CTE per round) is bit-identical including the reported score.
+    Probe.df("q_wordpiece_train",
+      graft.operators.BpeTrain.wordPieceOracleSql("documents", 8)) { (s, dir) =>
+      graft.operators.BpeTrain.trainWordPiece(
+          Tables.load(s, dir, "documents"), "text", 8)
+        .orderBy("rank")
+    },
+
     // BYTE-level BPE training (the GPT-2 vocabulary construction): seed
     // symbols are UTF-8 bytes through the ByteUnicode bijection, so
     // multi-byte characters start split and must earn their merge. The

@@ -834,6 +834,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(2) == ((3, "low e", "lowe", 2L)))
   }
 
+  test("trainWordPiece prefers the always-together pair BPE would skip") {
+    import graft.operators.BpeTrain
+    // u('a')=u('b')=60 (10 via 'ab' + 50 standalone), pair (a,b) n=10 →
+    // score 10/3600; u('q')=u('u')=3, pair (q,u) n=3 → score 3/9. BPE's
+    // raw count picks 'a b'; the likelihood score picks 'q u'.
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(50)("a") ++
+      Seq.fill(50)("b") ++ Seq.fill(3)("qu")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val bpe = BpeTrain.train(docs, "text", 1).collect()(0)
+    assert(bpe.getAs[String]("pair") == "a b")
+    val wp = BpeTrain.trainWordPiece(docs, "text", 1).collect()(0)
+    assert(wp.getAs[String]("pair") == "q u")
+    assert(wp.getAs[Long]("n") == 3L)
+    assert(wp.getAs[Double]("score") == 3.0d / 3.0d / 3.0d)
+  }
+
   test("bpeTrain merge rewrite handles shared-delimiter runs exactly") {
     import graft.operators.BpeTrain
     // 'aaaa' word: (a,a) counted 3 (overlapping adjacencies); merging
