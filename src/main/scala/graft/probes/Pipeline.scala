@@ -766,6 +766,20 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Best-fit-decreasing packing: the classic offline heuristic, per
+    // deterministic (doc_id % 8) part. The oracle replays the ENTIRE
+    // sequential fold — sorted items, best-fit argmax with
+    // lowest-index ties, bin creation — as a recursive CTE carrying the
+    // bin-load list; integer state only, so the match is exact.
+    Probe.df("q_pack_bfd",
+      Packing.bestFitOracleSql("documents", "doc_id", "n_chars",
+        budget = 1000, parts = 8)) { (s, dir) =>
+      Packing.packBestFitDecreasing(
+          Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", budget = 1000, parts = 8)
+        .orderBy("doc")
+    },
+
     // Packed-batch boundary metadata: per bin, the cu_seqlens offsets
     // ([0, l1, l1+l2, …]) a flash-attention training loader consumes to
     // mask attention across packed documents — integer prefix sums, so

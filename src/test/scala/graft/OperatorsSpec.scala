@@ -676,6 +676,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(packedBig.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("best-fit-decreasing packs tighter than first-fit, same invariants") {
+    import graft.operators.Packing
+    val docs = spark.range(1, 501).select($"id".as("doc_id"),
+      (($"id" * 37) % 190 + 10).as("tokens"))
+    val out = Packing.packBestFitDecreasing(docs, "doc_id", "tokens",
+      budget = 512, parts = 4).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == (1L to 500L),
+      "every doc packed exactly once")
+    val binTotals = out.groupBy(r => (r.getInt(2), r.getLong(3)))
+      .view.mapValues(_.map(_.getLong(1)).sum)
+    assert(binTotals.values.forall(_ <= 512))
+    // BFD's whole point: it needs no more bins than first-fit-by-id here
+    val ff = Packing.packGreedyPerPartition(docs, "doc_id", "tokens",
+        budget = 512, numPartitions = 4).collect()
+      .groupBy(r => (r.getInt(2), r.getLong(3))).size
+    assert(binTotals.size <= ff, s"BFD used ${binTotals.size} bins vs first-fit's $ff")
+    // an oversized doc opens its own overflowing bin, nothing joins it
+    val big = spark.range(1, 4).select($"id".as("doc_id"),
+      (when($"id" === 2, 9999L).otherwise(100L)).as("tokens"))
+    val packedBig = Packing.packBestFitDecreasing(big, "doc_id", "tokens",
+      budget = 512, parts = 1).collect()
+    assert(packedBig.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val bigBin = packedBig.find(_.getLong(0) == 2L).get.getLong(3)
+    assert(packedBig.filter(_.getLong(3) == bigBin).map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("fingerprint is order- and duplication-insensitive") {
     val fps = Seq((1L, "b a c"), (2L, "c b a a"), (3L, "a b d"))
       .toDF("doc_id", "text")
