@@ -305,4 +305,63 @@ object TextAnalysis {
         lang.as("lang_guess"),
         md5(k.getField("joined")).as("fp"))
   }
+
+  /** Blocklist WORD filter (the C4 "bad words" curation stage, Raffel
+    * et al. 2020 §2.2 shape): per document, which blocklist terms appear
+    * as whole (lower-cased, whitespace-delimited) tokens, how many
+    * DISTINCT terms hit, and a keep flag (no hits). Matching is token
+    * equality on [[Dedup.words]] — substring variants belong to the PII
+    * regex tier.
+    *
+    * Scale shape: distinct doc words explode once, then a BROADCAST
+    * inner join against the needle table (a blocklist is KBs at any
+    * corpus size) and one map-side-combined aggregate; docs with no hit
+    * never reach the aggregate — the final left join restores them.
+    * No driver loop, no per-needle scan: 10k needles cost the same
+    * single pass as 3.
+    *
+    * Output: (idCol, n_hits, hits, keep) — hits a ','-joined sorted
+    * list (set semantics; string-typed so every engine hashes it
+    * identically). */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+      needles: Seq[String]): DataFrame = {
+    require(needles.nonEmpty, "need at least one blocklist term")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ndf = needles.toDF("__term")
+    val hits = df
+      .select(col(idCol),
+        explode(array_distinct(Dedup.words(col(textCol)))).as("__term"))
+      .join(broadcast(ndf), "__term")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__n"),
+        array_join(array_sort(collect_list(col("__term"))), ",").as("__h"))
+    df.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_hits"),
+        coalesce(col("__h"), lit("")).as("hits"),
+        coalesce(col("__n"), lit(0L)).equalTo(0L).as("keep"))
+  }
+
+  /** DuckDB replay of [[blocklistFilter]]: same tokenization, same
+    * distinct-word semi shape, same sorted join + keep flag. */
+  def blocklistOracleSql(table: String, idCol: String, textCol: String,
+      needles: Seq[String]): String = {
+    val lits = needles.map(n => "'" + n.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH dw AS (SELECT $idCol, unnest(list_distinct(
+       |    list_filter(string_split_regex(lower($textCol), '\\s+'),
+       |      x -> x <> ''))) AS term
+       |  FROM $table),
+       |h AS (SELECT $idCol, CAST(count(*) AS BIGINT) AS n_hits,
+       |    array_to_string(list_sort(list(term)), ',') AS hits
+       |  FROM dw WHERE term IN (SELECT unnest($lits))
+       |  GROUP BY $idCol)
+       |SELECT t.$idCol, coalesce(h.n_hits, 0) AS n_hits,
+       |  coalesce(h.hits, '') AS hits,
+       |  coalesce(h.n_hits, 0) = 0 AS keep
+       |FROM $table t LEFT JOIN h USING ($idCol)
+       |ORDER BY t.$idCol""".stripMargin
+  }
 }

@@ -1,7 +1,7 @@
 package graft.probes
 
 import graft.{Probe, Tables}
-import graft.operators.{Boilerplate, Contamination, Fingerprint, GopherRules, Mixing, Pii, Repetition, Sampling, Urls}
+import graft.operators.{Boilerplate, Contamination, Fingerprint, GopherRules, Mixing, Pii, Repetition, Sampling, TextAnalysis, Urls}
 import org.apache.spark.sql.functions._
 
 /** Data-curation probes (builder-prompt extension surface): repetition
@@ -198,6 +198,18 @@ object Curation {
          |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
       GopherRules.qualityFlags(Tables.load(s, dir, "documents"),
           "doc_id", "text", minWords = 20)
+        .orderBy("doc_id")
+    },
+
+    // C4-style blocklist word filter: distinct doc words broadcast-semi
+    // against the needle list, one aggregate, keep = no hits. Needle
+    // 'nosuchword' never matches (the unmatched-needle case rides the
+    // same plan). Pure set/count semantics — exact everywhere.
+    Probe.df("q_blocklist",
+      TextAnalysis.blocklistOracleSql("documents", "doc_id", "text",
+        Seq("slow", "big", "nosuchword"))) { (s, dir) =>
+      TextAnalysis.blocklistFilter(Tables.load(s, dir, "documents"),
+          "doc_id", "text", Seq("slow", "big", "nosuchword"))
         .orderBy("doc_id")
     },
 

@@ -270,4 +270,21 @@ class CurationSpec extends AnyFunSuite {
       "no punctuation floors sentences at 1; vowel-less words get 1 syllable")
     assert(out(3L) == ((0L, 1L, 0L, 0.0)), "empty doc → zero grade")
   }
+
+  test("blocklistFilter: distinct-hit counts, sorted list, keep flag") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "Bad bad APPLE and worse pear"), // 'bad' ×2 counts ONCE
+      (2L, "all clean words here"),
+      (3L, "worse")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+        Seq("bad", "worse", "unused"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((2L, "bad,worse", false)),
+      "lower-cased, repeated hit counted once, sorted list, keep=false")
+    assert(out(2L) == ((0L, "", true)), "clean doc keeps with empty hits")
+    assert(out(3L) == ((1L, "worse", false)))
+  }
 }
