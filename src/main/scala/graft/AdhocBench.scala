@@ -29,6 +29,12 @@ object AdhocBench {
     "bpe_encode64" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       graft.operators.BpeTrain.encode(docs, "doc_id", "text", 64).count()
+    }),
+    // WordPiece-score trainer at the same depth: two aggregates + two
+    // broadcast joins per round instead of BPE's one aggregate
+    "wordpiece_train64" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.BpeTrain.trainWordPiece(docs, "text", 64).count()
     })
   )
 

@@ -130,5 +130,14 @@ object SparkEntry {
     // perplexity bucketing (self-trained bigram LM + one window per
     // language). q_lsh_tune stays correctness-tier: pure driver math at
     // noise level (~40 ms)
-    "q_join_salted_auto", "q_ann_opq", "q_lm_ppl_buckets")
+    "q_join_salted_auto", "q_ann_opq", "q_lm_ppl_buckets",
+    // round 13 extension: binary-code ANN (codes-only Hamming scan +
+    // broadcast exact rerank — the 32× compression tier), the
+    // S-curve-auto-tuned minhash pairs, best-fit-decreasing packing
+    // (per-part imperative fold after one hash exchange), and the
+    // blocklist word filter (distinct-word explode + broadcast semi).
+    // q_wordpiece_train stays standalone-tier with the other trainers
+    // (AdhocBench): 8 rounds × two aggregates each dominate the 3-pass
+    // suite budget the same way bpe_train64 does.
+    "q_ann_binary", "q_dedup_minhash_auto", "q_pack_bfd", "q_blocklist")
 }
