@@ -124,16 +124,24 @@ object BpeTrain {
         call_function("replace", cc, lit(s" $p "), lit(s" $m ")))
     }
 
+  /** The shared training loop. `wordPiece = false` picks the round's
+    * merge by raw pair count (BPE); `true` by the likelihood score
+    * n/(l·r) over the round's symbol unigram counts (WordPiece), adding
+    * a `score` output column. Everything else — materialize cadence,
+    * pending-chain bookkeeping, tie order — is ONE copy. */
   private def trainRounds(spark: SparkSession, base: DataFrame,
-      merges: Int, seed: Column => Column): DataFrame = {
-    var acc = Vector.empty[(Int, String, String, Long)]
+      merges: Int, seed: Column => Column,
+      wordPiece: Boolean = false): DataFrame = {
+    var acc = Vector.empty[(Int, String, String, Long, Double)]
     // (word, cnt, s): s carries every merge up to the last materialize;
     // `pending` holds the ≤ RoundsPerMaterialize merges since
     var cur = base.select(col("word"), col("cnt"), seed(col("word")).as("s"))
     var pending = Vector.empty[(String, String)]
     def result = {
       Checkpoints.discard(cur) // the merge table never reads cur again
-      spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n")
+      val out = spark.createDataFrame(acc)
+        .toDF("rank", "pair", "merged", "n", "score")
+      if (wordPiece) out else out.drop("score")
     }
     for (r <- 1 to merges) {
       if (pending.size >= RoundsPerMaterialize) {
@@ -143,15 +151,37 @@ object BpeTrain {
         cur = next
         pending = Vector.empty
       }
-      val best = cur
-        .select(col("cnt"), explode(adjacentPairs(
-          split(trim(applyMerges(col("s"), pending)), " "))).as("pair"))
-        .groupBy("pair").agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("pair"))
-        .limit(1).collect()
+      val sy = cur.select(col("cnt"),
+        split(trim(applyMerges(col("s"), pending)), " ").as("sy"))
+      val best = if (!wordPiece) {
+        sy.select(col("cnt"), explode(adjacentPairs(col("sy"))).as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(1).collect()
+      } else {
+        // both aggregates read the same rewritten symbols; persisted so
+        // the ≤ RoundsPerMaterialize replace chain runs once per word
+        val syp = sy.persist()
+        try {
+          val uni = syp.select(col("cnt"), explode(col("sy")).as("sym"))
+            .groupBy("sym").agg(sum(col("cnt")).as("u"))
+          syp.select(col("cnt"), explode(adjacentPairs(col("sy"))).as("pair"))
+            .groupBy("pair").agg(sum(col("cnt")).as("n"))
+            .withColumn("lsym", split(col("pair"), " ").getItem(0))
+            .withColumn("rsym", split(col("pair"), " ").getItem(1))
+            .join(broadcast(uni.toDF("lsym", "lu")), "lsym")
+            .join(broadcast(uni.toDF("rsym", "ru")), "rsym")
+            .select(col("pair"), col("n"),
+              (col("n").cast("double") / col("lu").cast("double") /
+                col("ru").cast("double")).as("score"))
+            .orderBy(col("score").desc, col("pair"))
+            .limit(1).collect()
+        } finally syp.unpersist()
+      }
       if (best.isEmpty) return result
       val p = best(0).getAs[String]("pair")
-      acc = acc :+ ((r, p, p.replace(" ", ""), best(0).getAs[Long]("n")))
+      val score = if (wordPiece) best(0).getAs[Double]("score") else 0.0
+      acc = acc :+ ((r, p, p.replace(" ", ""), best(0).getAs[Long]("n"), score))
       pending = pending :+ ((p, p.replace(" ", "")))
     }
     result
@@ -178,94 +208,19 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      var acc = Vector.empty[(Int, String, String, Long, Double)]
-      var cur = base.select(col("word"), col("cnt"), spaced(col("word")).as("s"))
-      var pending = Vector.empty[(String, String)]
-      def result = {
-        Checkpoints.discard(cur)
-        spark.createDataFrame(acc).toDF("rank", "pair", "merged", "n", "score")
-      }
-      for (r <- 1 to merges) {
-        if (pending.size >= RoundsPerMaterialize) {
-          val next = Checkpoints.truncate(cur.select(col("word"), col("cnt"),
-            applyMerges(col("s"), pending).as("s")))
-          Checkpoints.discard(cur)
-          cur = next
-          pending = Vector.empty
-        }
-        // both aggregates read the same rewritten symbols; persisted so
-        // the ≤ RoundsPerMaterialize replace chain runs once per word
-        val sy = cur.select(col("cnt"),
-          split(trim(applyMerges(col("s"), pending)), " ").as("sy")).persist()
-        val best = try {
-          val uni = sy.select(col("cnt"), explode(col("sy")).as("sym"))
-            .groupBy("sym").agg(sum(col("cnt")).as("u"))
-          sy.select(col("cnt"), explode(adjacentPairs(col("sy"))).as("pair"))
-            .groupBy("pair").agg(sum(col("cnt")).as("n"))
-            .withColumn("lsym", split(col("pair"), " ").getItem(0))
-            .withColumn("rsym", split(col("pair"), " ").getItem(1))
-            .join(broadcast(uni.toDF("lsym", "lu")), "lsym")
-            .join(broadcast(uni.toDF("rsym", "ru")), "rsym")
-            .select(col("pair"), col("n"),
-              (col("n").cast("double") / col("lu").cast("double") /
-                col("ru").cast("double")).as("score"))
-            .orderBy(col("score").desc, col("pair"))
-            .limit(1).collect()
-        } finally sy.unpersist()
-        if (best.isEmpty) return result
-        val p = best(0).getAs[String]("pair")
-        acc = acc :+ ((r, p, p.replace(" ", ""), best(0).getAs[Long]("n"),
-          best(0).getAs[Double]("score")))
-        pending = pending :+ ((p, p.replace(" ", "")))
-      }
-      result
+      trainRounds(spark, base, merges, spaced, wordPiece = true)
     } finally base.unpersist()
   }
 
-  /** DuckDB replay of [[trainWordPiece]]: the BPE CTE chain with an
-    * extra per-round unigram CTE and the score-ranked argmax — the SAME
-    * two chained double divisions, same tie order. */
+  /** DuckDB replay of [[trainWordPiece]]: the shared CTE chain with the
+    * score branch — an extra per-round unigram CTE and the score-ranked
+    * argmax, the SAME two chained double divisions, same tie order. */
   def wordPieceOracleSql(table: String, merges: Int): String = {
-    val duckWords =
-      """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
-    val rounds = (1 to merges).map { r =>
-      val prev = if (r == 1) "s0" else s"s${r - 1}"
-      val rep = (1 to MergePasses).foldLeft("s") { (acc, _) =>
-        s"replace($acc, ' ' || (SELECT pair FROM b$r) || ' ', " +
-          s"' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ')"
-      }
-      s"""u$r AS MATERIALIZED (SELECT sym, CAST(sum(cnt) AS BIGINT) AS u FROM (
-         |  SELECT cnt, unnest(string_split(trim(s), ' ')) AS sym FROM $prev)
-         |  GROUP BY 1),
-         |p$r AS MATERIALIZED (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
-         |  SELECT cnt, unnest([sy[CAST(i AS INT)] || ' ' || sy[CAST(i AS INT)+1]
-         |                      for i in range(1, len(sy))]) AS pair
-         |  FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM $prev))
-         |  GROUP BY 1),
-         |b$r AS MATERIALIZED (SELECT pair, n,
-         |    CAST(n AS DOUBLE) / CAST(lu.u AS DOUBLE) / CAST(ru.u AS DOUBLE)
-         |      AS score
-         |  FROM p$r
-         |  JOIN u$r lu ON string_split(pair, ' ')[1] = lu.sym
-         |  JOIN u$r ru ON string_split(pair, ' ')[2] = ru.sym
-         |  ORDER BY score DESC, pair LIMIT 1),
-         |s$r AS MATERIALIZED (SELECT word, cnt, $rep AS s FROM $prev)"""
-        .stripMargin
-    }.mkString(",\n")
-    val s0 =
-      s"""s0 AS MATERIALIZED (SELECT word, cnt,
-         |  ' ' || array_to_string([substr(word, CAST(i AS INT), 1)
-         |                          for i in range(1, length(word)+1)], ' ')
-         |      || ' ' AS s FROM w)""".stripMargin
-    val head =
-      s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |  SELECT unnest($duckWords) AS word FROM $table) GROUP BY 1)"""
-        .stripMargin
     val out = (1 to merges).map(r =>
       s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, n, score FROM b$r")
       .mkString("\nUNION ALL ")
     // concatenated, never re-stripMargin'd (the '||'-continuation rule)
-    head + ",\n" + s0 + ",\n" + rounds + "\n" + out + "\nORDER BY rank"
+    oracleCtes(table, merges, scoreBy = true) + "\n" + out + "\nORDER BY rank"
   }
 
   /** (idCol, syms array<string>) — every document tokenized by the
@@ -341,7 +296,8 @@ object BpeTrain {
     * MATERIALIZED throughout — inlined CTEs would expand the chain
     * exponentially through the repeated argmax subqueries. */
   private def oracleCtes(table: String, merges: Int,
-      textSql: String = "text", byteLevel: Boolean = false): String = {
+      textSql: String = "text", byteLevel: Boolean = false,
+      scoreBy: Boolean = false): String = {
     val duckWords =
       s"""list_filter(string_split_regex(lower($textSql), '\\s+'), x -> x <> '')"""
     val rounds = (1 to merges).map { r =>
@@ -350,12 +306,27 @@ object BpeTrain {
         s"replace($acc, ' ' || (SELECT pair FROM b$r) || ' ', " +
           s"' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ')"
       }
+      // the round's argmax: raw count (BPE) or the WordPiece likelihood
+      // score over an extra unigram CTE — one copy of everything else
+      val pick = if (!scoreBy)
+        s"b$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1)"
+      else
+        s"""u$r AS MATERIALIZED (SELECT sym, CAST(sum(cnt) AS BIGINT) AS u FROM (
+           |  SELECT cnt, unnest(string_split(trim(s), ' ')) AS sym FROM $prev)
+           |  GROUP BY 1),
+           |b$r AS MATERIALIZED (SELECT pair, n,
+           |    CAST(n AS DOUBLE) / CAST(lu.u AS DOUBLE) / CAST(ru.u AS DOUBLE)
+           |      AS score
+           |  FROM p$r
+           |  JOIN u$r lu ON string_split(pair, ' ')[1] = lu.sym
+           |  JOIN u$r ru ON string_split(pair, ' ')[2] = ru.sym
+           |  ORDER BY score DESC, pair LIMIT 1)""".stripMargin
       s"""p$r AS MATERIALIZED (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
          |  SELECT cnt, unnest([sy[CAST(i AS INT)] || ' ' || sy[CAST(i AS INT)+1]
          |                      for i in range(1, len(sy))]) AS pair
          |  FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM $prev))
          |  GROUP BY 1),
-         |b$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |""".stripMargin + pick + s""",
          |s$r AS MATERIALIZED (SELECT word, cnt, $rep AS s FROM $prev)""".stripMargin
     }.mkString(",\n")
     // byte level: the seed symbol string maps each UTF-8 byte (two hex

@@ -132,6 +132,14 @@ object Packing {
   def packBestFitDecreasing(df: DataFrame, orderCol: String,
       tokensCol: String, budget: Long, parts: Int): DataFrame = {
     require(parts >= 1 && budget >= 1, s"need parts/budget >= 1; got $parts, $budget")
+    // The oracle's best-fit argmax packs (load << 32 | inverted index)
+    // into one BIGINT. Only loads that PASS the fit filter are encoded
+    // (DuckDB list comprehensions filter before transforming), and a
+    // passing load is < budget, so budget < 2^31 keeps the encoding
+    // overflow-free — oversized items' overflowing bins never pass the
+    // filter. Context windows are orders of magnitude below this bound.
+    require(budget < (1L << 31),
+      s"budget must be < 2^31 (the oracle's argmax encoding); got $budget")
     val spark = df.sparkSession
     val in = df.select(col(orderCol).cast("long").as("doc"),
         col(tokensCol).cast("long").as("tokens"),
@@ -178,7 +186,8 @@ object Packing {
       budget: Long, parts: Int): String =
     s"""WITH RECURSIVE base AS (
        |  SELECT $idSql AS doc, $tokensSql AS tokens,
-       |    CAST($idSql % $parts AS INT) AS part FROM $table),
+       |    CAST((($idSql % $parts) + $parts) % $parts AS INT) AS part
+       |  FROM $table),
        |items AS (
        |  SELECT part, doc, tokens,
        |    CAST(row_number() OVER (PARTITION BY part

@@ -328,7 +328,9 @@ object TextAnalysis {
     require(needles.nonEmpty, "need at least one blocklist term")
     val spark = df.sparkSession
     import spark.implicits._
-    val ndf = needles.toDF("__term")
+    // tokens are lower-cased, so needles must be too; distinct because a
+    // duplicated needle would double-count every hit through the join
+    val ndf = normNeedles(needles).toDF("__term")
     val hits = df
       .select(col(idCol),
         explode(array_distinct(Dedup.words(col(textCol)))).as("__term"))
@@ -344,11 +346,17 @@ object TextAnalysis {
         coalesce(col("__n"), lit(0L)).equalTo(0L).as("keep"))
   }
 
+  /** Lower-cased, de-duplicated needle list — the normalization BOTH
+    * [[blocklistFilter]] and [[blocklistOracleSql]] apply, so a
+    * mixed-case or repeated needle cannot split the two sides. */
+  private def normNeedles(needles: Seq[String]): Seq[String] =
+    needles.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+
   /** DuckDB replay of [[blocklistFilter]]: same tokenization, same
     * distinct-word semi shape, same sorted join + keep flag. */
   def blocklistOracleSql(table: String, idCol: String, textCol: String,
       needles: Seq[String]): String = {
-    val lits = needles.map(n => "'" + n.replace("'", "''") + "'")
+    val lits = normNeedles(needles).map(n => "'" + n.replace("'", "''") + "'")
       .mkString("[", ", ", "]")
     s"""WITH dw AS (SELECT $idCol, unnest(list_distinct(
        |    list_filter(string_split_regex(lower($textCol), '\\s+'),
