@@ -239,6 +239,14 @@ object BpeTrain {
       merges: Int): DataFrame =
     encodeWith(df, idCol, textCol, merges, byteSpaced, trainBytes)
 
+  /** [[encode]] under a [[trainWordPiece]] vocabulary: the merge TABLE
+    * ranks by likelihood score instead of count, but applying it is the
+    * same rank-ordered replace chain — one encodeWith call. Oracle:
+    * [[encodeOracleSql]] with `scoreBy = true`. */
+  def encodeWordPiece(df: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame =
+    encodeWith(df, idCol, textCol, merges, spaced, trainWordPiece)
+
   private def encodeWith(df: DataFrame, idCol: String, textCol: String,
       merges: Int, seed: Column => Column,
       trainer: (DataFrame, String, Int) => DataFrame): DataFrame = {
@@ -275,12 +283,13 @@ object BpeTrain {
 
   /** Oracle for [[encode]]: the training CTE chain's FINAL word→symbols
     * mapping joined back to the corpus, flattened in word order. */
-  def encodeOracleSql(table: String, idCol: String, merges: Int): String = {
+  def encodeOracleSql(table: String, idCol: String, merges: Int,
+      scoreBy: Boolean = false): String = {
     val duckWords =
       """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
     // NOTE: concatenated, not one stripMargin — stripMargin over the
     // interpolated CTE text would eat the leading '|' of '||' lines.
-    oracleCtes(table, merges) + ",\n" +
+    oracleCtes(table, merges, scoreBy = scoreBy) + ",\n" +
       s"""dw AS (SELECT $idCol, generate_subscripts(ws, 1) AS pos,
          |         unnest(ws) AS word
          |       FROM (SELECT $idCol, $duckWords AS ws FROM $table)),

@@ -806,7 +806,20 @@ object Similarity {
     * cosine is the dot/(norm·norm) single-division recipe. Output:
     * (qid, nid, hamming, cos, rnk) with rnk <= k. */
   def binaryAnnTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int, cands: Int): DataFrame = {
+      vecCol: String, dim: Int, k: Int, cands: Int): DataFrame =
+    binaryAnnTopKIndexed(queries,
+      Quantize.binarySign(corpus, idCol, vecCol, dim), corpus,
+      idCol, vecCol, dim, k, cands)
+
+  /** [[binaryAnnTopK]] against a PRECOMPUTED codes table (the
+    * [[Quantize.binarySign]] output, stored once) — the production
+    * build-once-search-many shape: the Hamming scan reads ONLY the
+    * 8-16-byte code columns (parquet prunes the floats entirely), and
+    * the exact rerank fetches vectors for just the nq·cands candidate
+    * ids from `corpus`. */
+  def binaryAnnTopKIndexed(queries: DataFrame, codes: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, cands: Int): DataFrame = {
     require(k >= 1 && cands >= k, s"need 1 <= k <= cands; got k=$k, cands=$cands")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val w = Quantize.binaryWords(dim)
@@ -814,7 +827,7 @@ object Similarity {
       .toDF("qid" +: (0 until w).map(i => s"qb$i"): _*)
     // spread BEFORE the quadratic scan (the bruteForceTopK lesson: a
     // one-file corpus otherwise scans on one task)
-    val cc = Quantize.binarySign(corpus, idCol, vecCol, dim)
+    val cc = codes
       .toDF("nid" +: (0 until w).map(i => s"cb$i"): _*)
       .repartition(par)
     val hamming = (0 until w).map { i =>

@@ -959,6 +959,21 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // The same encode composition under the WordPiece-score vocabulary:
+    // the merge table RANKS differently (likelihood, not count) but
+    // applies identically, so one probe pins the full train→encode chain
+    // for the third trainer too.
+    Probe.df("q_wordpiece_train_encode",
+      "SELECT doc_id, array_to_string(syms, ' ') AS syms FROM (" +
+        graft.operators.BpeTrain.encodeOracleSql("documents", "doc_id", 8,
+          scoreBy = true) +
+        ") ORDER BY doc_id") { (s, dir) =>
+      graft.operators.BpeTrain.encodeWordPiece(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+        .withColumn("syms", array_join(col("syms"), " "))
+        .orderBy("doc_id")
+    },
+
     // Join-key SKEW profile: top-K heaviest keys with exact counts,
     // integer-exact corpus share (ppm) and the salt factor a skew
     // mitigation should split each key into — the pre-flight report a

@@ -372,6 +372,14 @@ class OperatorsSpec extends AnyFunSuite {
       .select("qid", "nid", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(full == bf)
+    // the precomputed-codes (stored index) path is the same answer
+    val codes = graft.operators.Quantize
+      .binarySign(emb, "vec_id", "embedding", 64)
+    val indexed = Similarity.binaryAnnTopKIndexed(queries, codes, emb,
+        "vec_id", "embedding", dim = 64, k = 5, cands = n)
+      .select("qid", "nid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(indexed == bf)
     // a 50-candidate Hamming cut still recovers most true neighbors
     val cut = Similarity.binaryAnnTopK(queries, emb, "vec_id", "embedding",
         dim = 64, k = 5, cands = 50)
