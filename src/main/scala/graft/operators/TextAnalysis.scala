@@ -346,6 +346,95 @@ object TextAnalysis {
         coalesce(col("__n"), lit(0L)).equalTo(0L).as("keep"))
   }
 
+  /** Sentence-BOUNDARY chunking (the RAG splitter that respects
+    * sentences, next to [[chunkWindows]]' fixed word windows): text
+    * splits into sentences on terminator runs (`[^.!?]+[.!?]*`, no
+    * lookaround — Java regex and RE2 agree), then sentences pack
+    * greedily into chunks of at most `maxWords` words; a chunk never
+    * splits a sentence, and a single sentence longer than the budget
+    * owns one (overflowing) chunk. The greedy fold is ROW-LOCAL — an
+    * interpreted `aggregate` lambda over the doc's own sentence list,
+    * bounded by document length, zero shuffle before the final per-chunk
+    * regroup — so the operator is a projection + one aggregate at any
+    * corpus size. Output: (idCol, chunk, n_sentences, n_words,
+    * chunk_text), chunk 0-based per doc.
+    *
+    * Integer state only (word counts); the DuckDB oracle replays the
+    * fold as a per-doc recursive CTE. */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+      maxWords: Int): DataFrame = {
+    require(maxWords >= 1, s"need maxWords >= 1; got $maxWords")
+    val sents = filter(
+      transform(regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+    val withW = transform(sents, s => struct(s.as("s"),
+      size(filter(split(s, "\\s+"), x => x =!= "")).as("w")))
+    // (ids[i] = chunk of sentence i): greedy fold, break BEFORE a
+    // sentence that would overflow a non-empty chunk
+    val ids = aggregate(withW,
+      struct(array().cast("array<int>").as("ids"),
+        lit(0).as("bin"), lit(0).as("used")),
+      (acc, x) => {
+        val break = acc.getField("used") > 0 &&
+          acc.getField("used") + x.getField("w") > maxWords
+        val bin = when(break, acc.getField("bin") + 1)
+          .otherwise(acc.getField("bin"))
+        val used = when(break, x.getField("w"))
+          .otherwise(acc.getField("used") + x.getField("w"))
+        struct(concat(acc.getField("ids"), array(bin)).as("ids"),
+          bin.as("bin"), used.as("used"))
+      },
+      acc => acc.getField("ids"))
+    df.select(col(idCol),
+        posexplode(arrays_zip(withW.as("sw"), ids.as("cid")))
+          .as(Seq("pos", "z")))
+      .select(col(idCol), col("pos"),
+        col("z").getField("sw").getField("s").as("s"),
+        col("z").getField("sw").getField("w").as("w"),
+        col("z").getField("cid").as("chunk"))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("w").cast("long")).as("n_words"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")), " ").as("chunk_text"))
+  }
+
+  /** DuckDB replay of [[sentenceChunks]]: the same regex split + trim +
+    * word counts, the greedy fold as a per-doc recursive CTE, the same
+    * per-chunk regroup. */
+  def sentenceChunksOracleSql(table: String, idCol: String,
+      textSql: String, maxWords: Int): String =
+    s"""WITH RECURSIVE sent AS (
+       |  SELECT $idCol, generate_subscripts(ss, 1) AS pos, unnest(ss) AS s
+       |  FROM (SELECT $idCol, list_filter(list_transform(
+       |      regexp_extract_all($textSql, '[^.!?]+[.!?]*'), x -> trim(x)),
+       |      x -> x <> '') AS ss FROM $table)),
+       |sw AS (SELECT $idCol, pos, s,
+       |    CAST(len(list_filter(string_split_regex(s, '\\s+'),
+       |      x -> x <> '')) AS INT) AS w
+       |  FROM sent),
+       |fold AS (
+       |  SELECT $idCol, 0 AS pos, CAST(NULL AS VARCHAR) AS s,
+       |         0 AS w, 0 AS bin, 0 AS used
+       |  FROM (SELECT DISTINCT $idCol FROM sw)
+       |  UNION ALL
+       |  SELECT sw.$idCol, sw.pos, sw.s, sw.w,
+       |    CASE WHEN f.used > 0 AND f.used + sw.w > $maxWords
+       |         THEN f.bin + 1 ELSE f.bin END AS bin,
+       |    CASE WHEN f.used > 0 AND f.used + sw.w > $maxWords
+       |         THEN sw.w ELSE f.used + sw.w END AS used
+       |  FROM fold f JOIN sw
+       |    ON sw.$idCol = f.$idCol AND sw.pos = f.pos + 1)
+       |SELECT $idCol, bin AS chunk,
+       |  CAST(count(*) AS BIGINT) AS n_sentences,
+       |  CAST(sum(w) AS BIGINT) AS n_words,
+       |  string_agg(s, ' ' ORDER BY pos) AS chunk_text
+       |FROM fold WHERE s IS NOT NULL
+       |GROUP BY $idCol, bin
+       |ORDER BY $idCol, chunk""".stripMargin
+
   /** Lower-cased, de-duplicated needle list — the normalization BOTH
     * [[blocklistFilter]] and [[blocklistOracleSql]] apply, so a
     * mixed-case or repeated needle cannot split the two sides. */

@@ -213,6 +213,24 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Sentence-boundary RAG chunking (planted multi-sentence docs — the
+    // corpus text has no terminators): greedy sentence packing at 60
+    // words; 10-100-word sentences exercise the one-per-chunk overflow
+    // path and multi-sentence chunks. The oracle replays the regex
+    // split, word counts, the greedy fold (recursive CTE) and the
+    // ordered per-chunk regroup.
+    Probe.df("q_text_sentence_chunks",
+      TextAnalysis.sentenceChunksOracleSql(
+        "documents", "doc_id", "text || '. ' || text || '! ' || text || '?'",
+        maxWords = 60)) { (s, dir) =>
+      TextAnalysis.sentenceChunks(
+          Tables.load(s, dir, "documents").select(col("doc_id"),
+            concat(col("text"), lit(". "), col("text"), lit("! "),
+              col("text"), lit("?")).as("text")),
+          "doc_id", "text", maxWords = 60)
+        .orderBy("doc_id", "chunk")
+    },
+
     // C4-style line-level boilerplate removal (planted multi-line docs —
     // the corpus text is single-line): corpus-frequent lines drop, each
     // doc rebuilds from surviving lines in original order. The oracle

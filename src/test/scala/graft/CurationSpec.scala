@@ -271,6 +271,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 1L, 0L, 0.0)), "empty doc → zero grade")
   }
 
+  test("sentenceChunks: greedy sentence packing, oversized sentence owns " +
+      "a chunk, empty doc yields none") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c. d e! f g h i j k? l"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceChunks(docs, "doc_id", "text", maxWords = 5)
+      .orderBy("doc_id", "chunk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 2L, 5L, "a b c. d e!"),   // 3+2 fills the 5-word budget
+      (1L, 1, 1L, 6L, "f g h i j k?"),  // 6 words: overflowing own chunk
+      (1L, 2, 1L, 1L, "l")))            // break BEFORE l (0 room left)
+  }
+
   test("blocklistFilter: distinct-hit counts, sorted list, keep flag") {
     import graft.operators.TextAnalysis
     val docs = Seq(
