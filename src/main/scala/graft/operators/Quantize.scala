@@ -61,16 +61,22 @@ object Quantize {
     * codegen-friendly; no array wrapping). Sign comparisons only, no
     * arithmetic on the floats — trivially bit-identical cross-engine. */
   def binarySign(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int): DataFrame = {
+      dim: Int): DataFrame =
+    df.select(col(idCol) +: binaryWordCols(col(vecCol), dim)
+      .zipWithIndex.map { case (c, w) => c.as(s"b$w") }: _*)
+
+  /** The unaliased word columns of [[binarySign]] — for callers that
+    * attach codes alongside other projections (e.g. an IVF cell id) in
+    * ONE corpus pass. */
+  def binaryWordCols(vec: Column, dim: Int): Seq[Column] = {
     require(dim >= 1, s"need dim>=1; got $dim")
-    val words = (0 until binaryWords(dim)).map { w =>
+    (0 until binaryWords(dim)).map { w =>
       val bits = (0 until 32).filter(j => 32 * w + j < dim).map { j =>
-        when(element_at(col(vecCol), 32 * w + j + 1) > 0f, lit(1L << j))
+        when(element_at(vec, 32 * w + j + 1) > 0f, lit(1L << j))
           .otherwise(lit(0L))
       }
-      bits.reduce(_ + _).as(s"b$w")
+      bits.reduce(_ + _)
     }
-    df.select(col(idCol) +: words: _*)
   }
 
   /** The DuckDB replay of [[binarySign]]'s word columns: one explicit

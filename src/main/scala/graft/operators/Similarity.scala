@@ -841,8 +841,14 @@ object Similarity {
       .withColumn("crank", row_number().over(scanW))
       .filter(col("crank") <= cands)
       .drop("crank")
-    // rerank: candidates are the SMALL side (nq·cands rows) — broadcast
-    // them at the corpus, never the reverse
+    binaryRerank(cand, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Shared exact-cosine rerank of a (qid, nid, hamming) candidate set:
+    * candidates are the SMALL side (nq·cands rows) — broadcast them at
+    * the corpus, never the reverse. */
+  private def binaryRerank(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val nv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
       normKernel(col(vecCol)).as("nn"))
     val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
@@ -855,6 +861,52 @@ object Similarity {
         (dotKernel(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       .withColumn("rnk", row_number().over(rerankW))
       .filter(col("rnk") <= k)
+  }
+
+  /** IVF + binary codes composed (Faiss IndexBinaryIVF shape): coarse
+    * routing restricts the Hamming scan to the query's `nprobe` best
+    * cells, the Hamming cut restricts the exact rerank to `cands`
+    * candidates — the two pruning axes multiply, and the scan stage
+    * reads only (cell, codes) columns. Same routing semantics as
+    * [[ivfTopK]] (ArgMaxDot assignment, first-index ties; probe cells
+    * by dot DESC with higher-index ties), same code/rerank semantics as
+    * [[binaryAnnTopK]] — so the oracle composes the two replays. */
+  def ivfBinaryTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], dim: Int,
+      nprobe: Int, k: Int, cands: Int): DataFrame = {
+    require(k >= 1 && cands >= k && nprobe >= 1,
+      s"need 1 <= k <= cands, nprobe >= 1; got k=$k, cands=$cands, nprobe=$nprobe")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val w = Quantize.binaryWords(dim)
+    val cwords = Quantize.binaryWordCols(col(vecCol), dim)
+      .zipWithIndex.map { case (c, i) => c.as(s"cb$i") }
+    val cc = corpus.select(Seq(col(idCol).as("nid"),
+        ivfCellExpr(col(vecCol), centroids).as("cell")) ++ cwords: _*)
+      .repartition(par)
+    val qDots = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotKernel(col("qv"), typedLit(c)).as("d"), lit(i).as("i"))
+    }
+    val qwords = Quantize.binaryWordCols(col(vecCol), dim)
+      .zipWithIndex.map { case (c, i) => c.as(s"qb$i") }
+    val q = queries
+      .select(Seq(col(idCol).as("qid"), col(vecCol).as("qv")) ++ qwords: _*)
+      .withColumn("probe_cells", transform(
+        slice(reverse(array_sort(array(qDots: _*))), 1, nprobe),
+        p => p.getField("i")))
+      .drop("qv")
+    val hamming = (0 until w).map { i =>
+      bit_count(col(s"qb$i").bitwiseXOR(col(s"cb$i"))).cast("int")
+    }.reduce(_ + _)
+    val scanW = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("nid"))
+    val cand = cc.join(broadcast(q),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), hamming.as("hamming"))
+      .withColumn("crank", row_number().over(scanW))
+      .filter(col("crank") <= cands)
+      .drop("crank")
+    binaryRerank(cand, queries, corpus, idCol, vecCol, k)
   }
 
   /** DuckDB replay of [[binaryAnnTopK]]: the same sign-packed words
@@ -885,6 +937,67 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q.qid
        |        ORDER BY $ham, c.nid) AS crank
        |    FROM qc q JOIN cc c ON q.qid <> c.nid)
+       |  WHERE crank <= $cands),
+       |resc AS (SELECT cand.qid, cand.nid, cand.hamming, $cos AS cos
+       |  FROM cand JOIN qc q ON cand.qid = q.qid
+       |  JOIN cc n ON cand.nid = n.nid),
+       |ranked AS (SELECT qid, nid, hamming, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rnk
+       |  FROM resc)
+       |SELECT qid, nid, hamming, cos, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** DuckDB replay of [[ivfBinaryTopK]] with centroids = the first
+    * `nCents` corpus vectors by id (the [[ivfCentroidsFrom]] contract):
+    * routing (assignment rn=1 dot DESC cell ASC; probe cells prn<=nprobe
+    * dot DESC cell DESC) composed with the binary scan + rerank replay
+    * of [[binaryAnnOracleSql]]. */
+  def ivfBinaryOracleSql(table: String, idSql: String, vecSql: String,
+      dim: Int, nCents: Int, nprobe: Int, k: Int, cands: Int,
+      querySql: String): String = {
+    val words = Quantize.binarySignOracleCols(vecSql, dim)
+    val w = words.size
+    val packed = words.zipWithIndex
+      .map { case (t, i) => s"$t AS b$i" }.mkString(",\n    ")
+    val ham = (0 until w)
+      .map(i => s"CAST(bit_count(xor(q.b$i, c.b$i)) AS INT)")
+      .mkString(" + ")
+    val cos = s"list_dot_product(q.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[]) /" +
+      s" (sqrt(list_dot_product(q.$vecSql::DOUBLE[], q.$vecSql::DOUBLE[])) *" +
+      s" sqrt(list_dot_product(n.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[])))"
+    s"""WITH cent AS (SELECT CAST(row_number() OVER (ORDER BY $idSql) - 1
+       |      AS INT) AS cell, $vecSql::DOUBLE[] AS c
+       |  FROM (SELECT $idSql, $vecSql FROM $table
+       |        ORDER BY $idSql LIMIT $nCents)),
+       |cc AS (SELECT $idSql AS nid, $vecSql,
+       |    $packed
+       |  FROM $table),
+       |qc AS (SELECT $idSql AS qid, $vecSql,
+       |    $packed
+       |  FROM $table WHERE $querySql),
+       |pc AS (SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_dot_product(q.$vecSql::DOUBLE[], c.c) DESC,
+       |               c.cell DESC) AS prn
+       |    FROM qc q CROSS JOIN cent c) t
+       |  WHERE prn <= $nprobe),
+       |asg AS (SELECT nid, cell FROM (
+       |    SELECT e.nid, c.cell, row_number() OVER (PARTITION BY e.nid
+       |      ORDER BY list_dot_product(e.$vecSql::DOUBLE[], c.c) DESC,
+       |               c.cell) AS rn
+       |    FROM cc e CROSS JOIN cent c) t
+       |  WHERE rn = 1),
+       |cand AS (SELECT qid, nid, hamming FROM (
+       |    SELECT pc.qid, c.nid, $ham AS hamming,
+       |      row_number() OVER (PARTITION BY pc.qid
+       |        ORDER BY $ham, c.nid) AS crank
+       |    FROM pc JOIN asg a USING (cell)
+       |    JOIN cc c ON c.nid = a.nid
+       |    JOIN qc q ON q.qid = pc.qid
+       |    WHERE c.nid <> pc.qid) t
        |  WHERE crank <= $cands),
        |resc AS (SELECT cand.qid, cand.nid, cand.hamming, $cos AS cos
        |  FROM cand JOIN qc q ON cand.qid = q.qid

@@ -1249,6 +1249,21 @@ object Pipeline {
         .orderBy("qid", "rnk")
     },
 
+    // IVF + binary composed (Faiss IndexBinaryIVF): routing restricts
+    // the Hamming scan to 4 of 8 cells, the 30-candidate cut restricts
+    // the exact rerank. The oracle composes the two exact replays.
+    Probe.df("q_ann_ivfbin",
+      Similarity.ivfBinaryOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, nCents = 8, nprobe = 4, k = 5, cands = 30,
+        querySql = "vec_id < 8")) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsFrom(e, "vec_id", "embedding", 8)
+      Similarity.ivfBinaryTopK(e.filter(col("vec_id") < 8), e,
+          "vec_id", "embedding", cents, dim = 64, nprobe = 4, k = 5,
+          cands = 30)
+        .orderBy("qid", "rnk")
+    },
+
     Probe.df("q_dedup_cosine",
       """WITH scored AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb,

@@ -380,6 +380,13 @@ class OperatorsSpec extends AnyFunSuite {
       .select("qid", "nid", "rnk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(indexed == bf)
+    // IVF-binary with all cells probed and all candidates kept IS exact
+    val cents = Similarity.ivfCentroidsFrom(emb, "vec_id", "embedding", 8)
+    val ivfbin = Similarity.ivfBinaryTopK(queries, emb, "vec_id",
+        "embedding", cents, dim = 64, nprobe = 8, k = 5, cands = n)
+      .select("qid", "nid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfbin == bf)
     // a 50-candidate Hamming cut still recovers most true neighbors
     val cut = Similarity.binaryAnnTopK(queries, emb, "vec_id", "embedding",
         dim = 64, k = 5, cands = 50)
