@@ -645,13 +645,9 @@ object Similarity {
     val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
       normKernel(col(vecCol)).as("nn"),
       ivfCellExpr(col(vecCol), centroids).as("cell"))
-    val qDots = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dotKernel(col("qv"), typedLit(c)).as("d"), lit(i).as("i"))
-    }
-    val probes = slice(reverse(array_sort(array(qDots: _*))), 1, nprobe)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
         normKernel(col(vecCol)).as("qn"))
-      .withColumn("probe_cells", transform(probes, p => p.getField("i")))
+      .withColumn("probe_cells", probeCellsExpr(centroids, nprobe))
     val scored = assigned.join(broadcast(q),
         array_contains(col("probe_cells"), col("cell")) &&
           col("qid") =!= col("nid"))
@@ -825,23 +821,48 @@ object Similarity {
     val w = Quantize.binaryWords(dim)
     val qc = Quantize.binarySign(queries, idCol, vecCol, dim)
       .toDF("qid" +: (0 until w).map(i => s"qb$i"): _*)
-    // spread BEFORE the quadratic scan (the bruteForceTopK lesson: a
+    // select BY NAME before the positional rename: a codes table whose
+    // columns were reordered on reload would otherwise silently bind
+    // words as ids; this fails loudly instead
+    // (spread BEFORE the quadratic scan — the bruteForceTopK lesson: a
     // one-file corpus otherwise scans on one task)
     val cc = codes
+      .select(col(idCol) +: (0 until w).map(i => col(s"b$i")): _*)
       .toDF("nid" +: (0 until w).map(i => s"cb$i"): _*)
       .repartition(par)
+    val cand = hammingCand(
+      cc.crossJoin(broadcast(qc)).filter(col("qid") =!= col("nid")),
+      w, cands)
+    binaryRerank(cand, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** Shared Hamming scan stage: sums xor+popcount over the qbI/cbI code
+    * columns of an already-joined (query × corpus-codes) frame and keeps
+    * the top-`cands` per query by (hamming, nid). ONE copy of the
+    * distance and the cut, whatever the join that feeds it. */
+  private def hammingCand(joined: DataFrame, w: Int, cands: Int): DataFrame = {
     val hamming = (0 until w).map { i =>
       bit_count(col(s"qb$i").bitwiseXOR(col(s"cb$i"))).cast("int")
     }.reduce(_ + _)
     val scanW = Window.partitionBy(col("qid"))
       .orderBy(col("hamming"), col("nid"))
-    val cand = cc.crossJoin(broadcast(qc))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), hamming.as("hamming"))
+    joined.select(col("qid"), col("nid"), hamming.as("hamming"))
       .withColumn("crank", row_number().over(scanW))
       .filter(col("crank") <= cands)
       .drop("crank")
-    binaryRerank(cand, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** The query's `nprobe` best cells over `qv` — dot DESC, higher index
+    * on ties (reverse of ascending (d, i) struct order). Shared by
+    * [[ivfTopK]] and [[ivfBinaryTopKIndexed]] so the routing convention
+    * has one copy. */
+  private def probeCellsExpr(centroids: Seq[Seq[Double]],
+      nprobe: Int): Column = {
+    val qDots = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotKernel(col("qv"), typedLit(c)).as("d"), lit(i).as("i"))
+    }
+    transform(slice(reverse(array_sort(array(qDots: _*))), 1, nprobe),
+      p => p.getField("i"))
   }
 
   /** Shared exact-cosine rerank of a (qid, nid, hamming) candidate set:
@@ -863,51 +884,94 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** The stored artifact for [[ivfBinaryTopKIndexed]]: ONE corpus pass
+    * attaching the coarse cell and the sign-code words —
+    * (idCol, cell, b0..b{W-1}). Persist this once; searches then scan
+    * 12-20 bytes/row with the floats parquet-pruned away. */
+  def ivfBinaryIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], dim: Int): DataFrame =
+    corpus.select(col(idCol) +:
+      ivfCellExpr(col(vecCol), centroids).as("cell") +:
+      Quantize.binaryWordCols(col(vecCol), dim)
+        .zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
+
   /** IVF + binary codes composed (Faiss IndexBinaryIVF shape): coarse
     * routing restricts the Hamming scan to the query's `nprobe` best
     * cells, the Hamming cut restricts the exact rerank to `cands`
-    * candidates — the two pruning axes multiply, and the scan stage
-    * reads only (cell, codes) columns. Same routing semantics as
-    * [[ivfTopK]] (ArgMaxDot assignment, first-index ties; probe cells
-    * by dot DESC with higher-index ties), same code/rerank semantics as
-    * [[binaryAnnTopK]] — so the oracle composes the two replays. */
+    * candidates — the two pruning axes multiply. This overload builds
+    * the [[ivfBinaryIndex]] inline (one full-vector pass); use the
+    * Indexed variant with a stored index for the scan-only-codes shape.
+    * Same routing semantics as [[ivfTopK]] (ArgMaxDot assignment,
+    * first-index ties; probe cells by dot DESC with higher-index ties),
+    * same code/rerank semantics as [[binaryAnnTopK]] — so the oracle
+    * composes the two replays. */
   def ivfBinaryTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Double]], dim: Int,
+      nprobe: Int, k: Int, cands: Int): DataFrame =
+    ivfBinaryTopKIndexed(queries,
+      ivfBinaryIndex(corpus, idCol, vecCol, centroids, dim), corpus,
+      idCol, vecCol, centroids, dim, nprobe, k, cands)
+
+  /** [[ivfBinaryTopK]] against a stored [[ivfBinaryIndex]]: the scan
+    * stage reads only (id, cell, codes) columns. */
+  def ivfBinaryTopKIndexed(queries: DataFrame, index: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], dim: Int,
       nprobe: Int, k: Int, cands: Int): DataFrame = {
     require(k >= 1 && cands >= k && nprobe >= 1,
       s"need 1 <= k <= cands, nprobe >= 1; got k=$k, cands=$cands, nprobe=$nprobe")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val w = Quantize.binaryWords(dim)
-    val cwords = Quantize.binaryWordCols(col(vecCol), dim)
-      .zipWithIndex.map { case (c, i) => c.as(s"cb$i") }
-    val cc = corpus.select(Seq(col(idCol).as("nid"),
-        ivfCellExpr(col(vecCol), centroids).as("cell")) ++ cwords: _*)
+    // by-name select before the positional rename, as in the flat path
+    val cc = index
+      .select(col(idCol) +: col("cell") +:
+        (0 until w).map(i => col(s"b$i")): _*)
+      .toDF(Seq("nid", "cell") ++ (0 until w).map(i => s"cb$i"): _*)
       .repartition(par)
-    val qDots = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dotKernel(col("qv"), typedLit(c)).as("d"), lit(i).as("i"))
-    }
     val qwords = Quantize.binaryWordCols(col(vecCol), dim)
       .zipWithIndex.map { case (c, i) => c.as(s"qb$i") }
     val q = queries
       .select(Seq(col(idCol).as("qid"), col(vecCol).as("qv")) ++ qwords: _*)
-      .withColumn("probe_cells", transform(
-        slice(reverse(array_sort(array(qDots: _*))), 1, nprobe),
-        p => p.getField("i")))
+      .withColumn("probe_cells", probeCellsExpr(centroids, nprobe))
       .drop("qv")
-    val hamming = (0 until w).map { i =>
-      bit_count(col(s"qb$i").bitwiseXOR(col(s"cb$i"))).cast("int")
-    }.reduce(_ + _)
-    val scanW = Window.partitionBy(col("qid"))
-      .orderBy(col("hamming"), col("nid"))
-    val cand = cc.join(broadcast(q),
+    val cand = hammingCand(
+      cc.join(broadcast(q),
         array_contains(col("probe_cells"), col("cell")) &&
-          col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), hamming.as("hamming"))
-      .withColumn("crank", row_number().over(scanW))
-      .filter(col("crank") <= cands)
-      .drop("crank")
+          col("qid") =!= col("nid")),
+      w, cands)
     binaryRerank(cand, queries, corpus, idCol, vecCol, k)
   }
+
+  /** Shared SQL fragments of the binary-ANN oracles — ONE copy of the
+    * packed-word list, the Hamming sum, the cosine recipe, and the
+    * rerank tail (resc/ranked/final SELECT over a `cand` CTE), so the
+    * flat and IVF-composed replays cannot drift. */
+  private def binaryPackedSql(vecSql: String, dim: Int): String =
+    Quantize.binarySignOracleCols(vecSql, dim).zipWithIndex
+      .map { case (t, i) => s"$t AS b$i" }.mkString(",\n    ")
+
+  private def binaryHamSql(dim: Int): String =
+    (0 until Quantize.binaryWords(dim))
+      .map(i => s"CAST(bit_count(xor(q.b$i, c.b$i)) AS INT)")
+      .mkString(" + ")
+
+  private def binaryCosSql(vecSql: String): String =
+    s"list_dot_product(q.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[]) /" +
+      s" (sqrt(list_dot_product(q.$vecSql::DOUBLE[], q.$vecSql::DOUBLE[])) *" +
+      s" sqrt(list_dot_product(n.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[])))"
+
+  private def binaryRerankTailSql(vecSql: String, k: Int): String =
+    s"""resc AS (SELECT cand.qid, cand.nid, cand.hamming,
+       |    ${binaryCosSql(vecSql)} AS cos
+       |  FROM cand JOIN qc q ON cand.qid = q.qid
+       |  JOIN cc n ON cand.nid = n.nid),
+       |ranked AS (SELECT qid, nid, hamming, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rnk
+       |  FROM resc)
+       |SELECT qid, nid, hamming, cos, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
 
   /** DuckDB replay of [[binaryAnnTopK]]: the same sign-packed words
     * ([[Quantize.binarySignOracleCols]]), xor+bit_count Hamming, the
@@ -915,16 +979,9 @@ object Similarity {
     * the query rows out of `table`. */
   def binaryAnnOracleSql(table: String, idSql: String, vecSql: String,
       dim: Int, k: Int, cands: Int, querySql: String): String = {
-    val words = Quantize.binarySignOracleCols(vecSql, dim)
-    val w = words.size
-    val packed = words.zipWithIndex
-      .map { case (t, i) => s"$t AS b$i" }.mkString(",\n    ")
-    val ham = (0 until w)
-      .map(i => s"CAST(bit_count(xor(q.b$i, c.b$i)) AS INT)")
-      .mkString(" + ")
-    val cos = s"list_dot_product(q.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[]) /" +
-      s" (sqrt(list_dot_product(q.$vecSql::DOUBLE[], q.$vecSql::DOUBLE[])) *" +
-      s" sqrt(list_dot_product(n.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[])))"
+    val packed = binaryPackedSql(vecSql, dim)
+    val ham = binaryHamSql(dim)
+    // assembled by concatenation: the tail is already margin-stripped
     s"""WITH qc AS (SELECT $idSql AS qid, $vecSql,
        |    $packed
        |  FROM $table WHERE $querySql),
@@ -938,16 +995,7 @@ object Similarity {
        |        ORDER BY $ham, c.nid) AS crank
        |    FROM qc q JOIN cc c ON q.qid <> c.nid)
        |  WHERE crank <= $cands),
-       |resc AS (SELECT cand.qid, cand.nid, cand.hamming, $cos AS cos
-       |  FROM cand JOIN qc q ON cand.qid = q.qid
-       |  JOIN cc n ON cand.nid = n.nid),
-       |ranked AS (SELECT qid, nid, hamming, cos,
-       |    row_number() OVER (PARTITION BY qid
-       |      ORDER BY cos DESC, nid) AS rnk
-       |  FROM resc)
-       |SELECT qid, nid, hamming, cos, CAST(rnk AS INT) AS rnk
-       |FROM ranked WHERE rnk <= $k
-       |ORDER BY qid, rnk""".stripMargin
+       |""".stripMargin + binaryRerankTailSql(vecSql, k)
   }
 
   /** DuckDB replay of [[ivfBinaryTopK]] with centroids = the first
@@ -958,16 +1006,9 @@ object Similarity {
   def ivfBinaryOracleSql(table: String, idSql: String, vecSql: String,
       dim: Int, nCents: Int, nprobe: Int, k: Int, cands: Int,
       querySql: String): String = {
-    val words = Quantize.binarySignOracleCols(vecSql, dim)
-    val w = words.size
-    val packed = words.zipWithIndex
-      .map { case (t, i) => s"$t AS b$i" }.mkString(",\n    ")
-    val ham = (0 until w)
-      .map(i => s"CAST(bit_count(xor(q.b$i, c.b$i)) AS INT)")
-      .mkString(" + ")
-    val cos = s"list_dot_product(q.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[]) /" +
-      s" (sqrt(list_dot_product(q.$vecSql::DOUBLE[], q.$vecSql::DOUBLE[])) *" +
-      s" sqrt(list_dot_product(n.$vecSql::DOUBLE[], n.$vecSql::DOUBLE[])))"
+    val packed = binaryPackedSql(vecSql, dim)
+    val ham = binaryHamSql(dim)
+    // assembled by concatenation: the tail is already margin-stripped
     s"""WITH cent AS (SELECT CAST(row_number() OVER (ORDER BY $idSql) - 1
        |      AS INT) AS cell, $vecSql::DOUBLE[] AS c
        |  FROM (SELECT $idSql, $vecSql FROM $table
@@ -999,16 +1040,7 @@ object Similarity {
        |    JOIN qc q ON q.qid = pc.qid
        |    WHERE c.nid <> pc.qid) t
        |  WHERE crank <= $cands),
-       |resc AS (SELECT cand.qid, cand.nid, cand.hamming, $cos AS cos
-       |  FROM cand JOIN qc q ON cand.qid = q.qid
-       |  JOIN cc n ON cand.nid = n.nid),
-       |ranked AS (SELECT qid, nid, hamming, cos,
-       |    row_number() OVER (PARTITION BY qid
-       |      ORDER BY cos DESC, nid) AS rnk
-       |  FROM resc)
-       |SELECT qid, nid, hamming, cos, CAST(rnk AS INT) AS rnk
-       |FROM ranked WHERE rnk <= $k
-       |ORDER BY qid, rnk""".stripMargin
+       |""".stripMargin + binaryRerankTailSql(vecSql, k)
   }
 
   /** DuckDB equivalent of [[lshBuckets]] (for the correctness oracle):

@@ -372,7 +372,7 @@ object TextAnalysis {
       size(filter(split(s, "\\s+"), x => x =!= "")).as("w")))
     // (ids[i] = chunk of sentence i): greedy fold, break BEFORE a
     // sentence that would overflow a non-empty chunk
-    val ids = aggregate(withW,
+    def idsOf(sw: Column): Column = aggregate(sw,
       struct(array().cast("array<int>").as("ids"),
         lit(0).as("bin"), lit(0).as("used")),
       (acc, x) => {
@@ -386,8 +386,13 @@ object TextAnalysis {
           bin.as("bin"), used.as("used"))
       },
       acc => acc.getField("ids"))
-    df.select(col(idCol),
-        posexplode(arrays_zip(withW.as("sw"), ids.as("cid")))
+    // materialize the split+count ONCE per row (its own projection —
+    // interpreted HOFs are the dominant per-row cost, and CollapseProject
+    // keeps a non-cheap multiply-referenced expression uncollapsed), then
+    // fold and zip read the attribute
+    df.select(col(idCol), withW.as("sw"))
+      .select(col(idCol),
+        posexplode(arrays_zip(col("sw"), idsOf(col("sw")).as("cid")))
           .as(Seq("pos", "z")))
       .select(col(idCol), col("pos"),
         col("z").getField("sw").getField("s").as("s"),
