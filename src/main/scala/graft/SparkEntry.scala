@@ -139,5 +139,9 @@ object SparkEntry {
     // q_wordpiece_train stays standalone-tier with the other trainers
     // (AdhocBench): 8 rounds × two aggregates each dominate the 3-pass
     // suite budget the same way bpe_train64 does.
-    "q_ann_binary", "q_dedup_minhash_auto", "q_pack_bfd", "q_blocklist")
+    "q_ann_binary", "q_dedup_minhash_auto", "q_pack_bfd", "q_blocklist",
+    // round 13 extension, late: the IVF-composed binary tier (routed
+    // Hamming scan + exact rerank) and sentence-boundary chunking (one
+    // materialized HOF projection + per-chunk regroup)
+    "q_ann_ivfbin", "q_text_sentence_chunks")
 }
