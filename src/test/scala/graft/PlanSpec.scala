@@ -490,4 +490,49 @@ class PlanSpec extends AnyFunSuite {
     assert(heaps == 2, s"expected 2 bounded-heap cuts, saw $heaps:\n" +
       p.take(1200))
   }
+
+  test("binary ANN: a STORED codes table scans without the float " +
+      "vectors (parquet prunes them) and the Hamming cut rides " +
+      "WindowGroupLimit") {
+    import graft.operators.{Quantize, Similarity}
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_codes").toString
+    Quantize.binarySign(emb, "vec_id", "embedding", 64)
+      .write.mode("overwrite").parquet(dir)
+    val codes = spark.read.parquet(dir)
+    val df = Similarity.binaryAnnTopKIndexed(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      codes, emb, "vec_id", "embedding", dim = 64, k = 5, cands = 50)
+    val p = df.queryExecution.executedPlan.toString
+    // the codes-table scan reads ONLY (vec_id, b0, b1) — the whole
+    // point of the stored index: the scan stage never touches floats
+    val codeScans = p.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("graft_codes"))
+      .toSeq
+    assert(codeScans.nonEmpty, "expected a scan of the stored codes")
+    assert(codeScans.forall(l => !l.contains("embedding")),
+      s"codes scan must not read embeddings:\n${codeScans.mkString("\n")}")
+    // the top-cands cut is pushed into the window (rank-limit pruning
+    // before the full per-query sort materializes)
+    assert(p.contains("WindowGroupLimit"),
+      "expected WindowGroupLimit on the Hamming cut:\n" + p.take(1500))
+  }
+
+  test("best-fit-decreasing packs after ONE exchange (the part hash " +
+      "shuffle); the fold itself adds none") {
+    import graft.operators.Packing
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "n_chars")
+    val df = Packing.packBestFitDecreasing(docs, "doc_id", "n_chars",
+      budget = 1000, parts = 8)
+    // the fold runs behind createDataFrame(rdd), so the SQL plan is a
+    // detached LogicalRDD — pin the shuffle count in the RDD lineage,
+    // where the repartition actually lives
+    val lineage = df.rdd.toDebugString
+    val shuffles = lineage.linesIterator
+      .count(_.contains("ShuffledRowRDD"))
+    assert(shuffles == 1,
+      s"expected exactly one shuffle in the lineage, saw $shuffles:\n$lineage")
+  }
 }
