@@ -380,6 +380,19 @@ class OperatorsSpec extends AnyFunSuite {
       .select("qid", "nid", "rnk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(indexed == bf)
+    // a dim that spans a PARTIAL second word (34 = 32 + 2) searches
+    // exactly too — the packing's last-word mask is the risk spot
+    val odd = emb.select($"vec_id",
+      org.apache.spark.sql.functions.slice($"embedding", 1, 34).as("embedding"))
+    val oddFull = Similarity.binaryAnnTopK(odd.filter($"vec_id" < 3), odd,
+        "vec_id", "embedding", dim = 34, k = 5, cands = n)
+      .select("qid", "nid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oddBf = Similarity.bruteForceTopK(odd.filter($"vec_id" < 3), odd,
+        "vec_id", "embedding", 5)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(oddFull == oddBf)
     // IVF-binary with all cells probed and all candidates kept IS exact
     val cents = Similarity.ivfCentroidsFrom(emb, "vec_id", "embedding", 8)
     val ivfbin = Similarity.ivfBinaryTopK(queries, emb, "vec_id",
