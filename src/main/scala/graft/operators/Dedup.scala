@@ -389,18 +389,33 @@ object Dedup {
       gramWords: Int = 10): DataFrame = {
     val k = gramWords
     val w = df.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
-    val grams = w.where(size(col("ws")) >= k)
-      .select(col("id"), explode(expr(
-        s"transform(sequence(1, size(ws) - ${k - 1}), " +
-          s"i -> struct(i AS pos, md5(array_join(slice(ws, i, $k), ' ')) AS fp))"))
-        .as("g"))
-      .select(col("id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
+    val grams = spanGrams(w, k)
     // fingerprints seen in ≥2 distinct docs (within-doc-only repeats are
     // NOT duplication at this tier — the cross-doc contract of the paper)
     val dupFps = grams.select("id", "fp").distinct()
       .groupBy("fp").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select("fp")
     val dupPos = grams.join(dupFps, Seq("fp")).select("id", "pos")
+    removeSpans(w, dupPos, k)
+  }
+
+  /** (id, pos, fp) sliding k-word gram fingerprints off a (id, ws)
+    * table — the shared front of [[dupSpanDedup]] and
+    * [[decontaminateSpans]]. */
+  private def spanGrams(w: DataFrame, k: Int): DataFrame =
+    w.where(size(col("ws")) >= k)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"i -> struct(i AS pos, md5(array_join(slice(ws, i, $k), ' ')) AS fp))"))
+        .as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
+
+  /** Span merge + word-level rebuild over flagged gram positions — the
+    * shared back of [[dupSpanDedup]] and [[decontaminateSpans]]:
+    * (id, pos) gram hits → maximal spans (islands over lag) → per-doc
+    * (n_spans, dup_words, clean_text). */
+  private def removeSpans(w: DataFrame, dupPos: DataFrame,
+      k: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     val spans = dupPos
@@ -427,6 +442,35 @@ object Dedup {
                            NOT exists(spans, sp -> x.i >= sp.s AND x.i <= sp.e)),
                     x -> x.w),
                   ' ')""").as("clean_text"))
+  }
+
+  /** Span-level DECONTAMINATION (the GPT-3 appendix-C procedure, Brown
+    * et al. 2020: rather than dropping a contaminated training document
+    * wholesale, REMOVE the overlapping spans): every k-word gram of a
+    * train document that also appears in the EVAL set flags its
+    * positions; flagged grams merge into maximal spans and the document
+    * is rebuilt without them — the surgical complement of
+    * [[Contamination.overlap]]'s flag-only tier. Shares
+    * [[dupSpanDedup]]'s gram/merge/rebuild machinery; only the flag
+    * source differs (eval-gram membership instead of cross-doc
+    * duplication).
+    *
+    * Scale shape: the eval set's distinct gram fingerprints are a
+    * benchmark-sized table (thousands of rows) — broadcast against the
+    * train gram stream, so the only shuffle is the per-doc span-merge
+    * window; train text never shuffles. Output per train document:
+    * (id, n_spans, dup_words, clean_text). */
+  def decontaminateSpans(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, gramWords: Int = 10): DataFrame = {
+    val k = gramWords
+    val w = train.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+    val evalFps = spanGrams(
+        eval.select(col(idCol).as("id"), words(col(textCol)).as("ws")), k)
+      .select("fp").distinct()
+    val dupPos = spanGrams(w, k)
+      .join(broadcast(evalFps), Seq("fp"))
+      .select("id", "pos")
+    removeSpans(w, dupPos, k)
   }
 
   /** CONTENT-DEFINED chunking duplication stats — the LBFS recipe

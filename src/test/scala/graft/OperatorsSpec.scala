@@ -174,6 +174,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(expectPick._1 * expectPick._2 == 64)
   }
 
+  test("decontaminateSpans removes exactly the eval-overlapping span") {
+    val train = Seq(
+      (1L, "a b c x y z d e f"), // shares the 3-gram 'x y z' with eval
+      (2L, "p q r s t")          // clean
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(train, eval, "doc_id", "text",
+        gramWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 3L, "a b c d e f")))
+    assert(out(2L) == ((0L, 0L, "p q r s t")))
+  }
+
   test("simhashPairs finds exact dup at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
