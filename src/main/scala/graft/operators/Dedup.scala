@@ -375,16 +375,18 @@ object Dedup {
     * the rebuild formula is uniform and cross-engine replayable).
     *
     * Scale shape: the gram explode is a projection off the scan; the
-    * only shuffles carry (id, pos, 16-byte md5) rows — never text —
-    * once to find cross-doc fingerprints and once to hash-partition by
-    * doc for the span-merge window; the duplicated-fp set is tiny by
+    * FLAG stages shuffle only (id, pos, 16-byte md5) rows — once to
+    * find cross-doc fingerprints and once to hash-partition by doc for
+    * the span-merge window; the duplicated-fp set is tiny by
     * construction and its join back onto the gram stream broadcasts.
     * Span merging is two window functions over (id, pos) on one
-    * partitioning; the text rebuild is a per-doc higher-order-function
-    * projection (O(len · n_spans) per row, no extra shuffle). Positions
-    * are 1-based; a gram at p covers words [p, p+k-1], so two grams
-    * merge iff the later start is ≤ the earlier end + 1, i.e.
-    * pos - prev_pos ≤ k. */
+    * partitioning; the per-row rebuild itself is a higher-order-function
+    * projection (O(len · n_spans), no shuffle of its own), but the
+    * rebuild JOIN (word arrays × per-doc span lists on id) exchanges
+    * the text once when the flagged-doc table outgrows a broadcast —
+    * the one text-carrying shuffle in the plan. Positions are 1-based;
+    * a gram at p covers words [p, p+k-1], so two grams merge iff the
+    * later start is ≤ the earlier end + 1, i.e. pos - prev_pos ≤ k. */
   def dupSpanDedup(df: DataFrame, idCol: String, textCol: String,
       gramWords: Int = 10): DataFrame = {
     val k = gramWords
@@ -457,9 +459,11 @@ object Dedup {
     *
     * Scale shape: the eval set's distinct gram fingerprints are a
     * benchmark-sized table (thousands of rows) — broadcast against the
-    * train gram stream, so the only shuffle is the per-doc span-merge
-    * window; train text never shuffles. Output per train document:
-    * (id, n_spans, dup_words, clean_text). */
+    * train gram stream, so the FLAG stage shuffles only (id, pos) hits
+    * into the span-merge window; like [[dupSpanDedup]], the rebuild
+    * join is the one place train text exchanges (once, on id) when the
+    * contaminated-doc table outgrows a broadcast. Output per train
+    * document: (id, n_spans, dup_words, clean_text). */
   def decontaminateSpans(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, gramWords: Int = 10): DataFrame = {
     val k = gramWords
@@ -471,6 +475,54 @@ object Dedup {
       .join(broadcast(evalFps), Seq("fp"))
       .select("id", "pos")
     removeSpans(w, dupPos, k)
+  }
+
+  /** Shared DuckDB replay of the span-removal pipeline ([[dupSpanDedup]]
+    * and [[decontaminateSpans]] — ONE copy of the gram fingerprinting,
+    * span merge, coverage and rebuild CTEs, mirroring the Scala side's
+    * spanGrams/removeSpans split): `flagCteSql` supplies the `dfp` CTE
+    * body (a single-column `fp` SELECT — the only part the two
+    * operators disagree on). */
+  def spanRemovalOracleSql(table: String, idCol: String,
+      duckWords: String, gramWords: Int, flagCteSql: String): String = {
+    val k = gramWords
+    s"""WITH w AS (SELECT $idCol, $duckWords AS ws FROM $table),
+       |g0 AS (SELECT $idCol, unnest(
+       |    [ {'pos': i, 'fp': md5(array_to_string(ws[i:i+${k - 1}], ' '))}
+       |      for i in range(1, len(ws) - ${k - 2}) ]) AS u
+       |  FROM w WHERE len(ws) >= $k),
+       |g AS (SELECT $idCol, u.pos AS pos, u.fp AS fp FROM g0),
+       |dfp AS ($flagCteSql),
+       |p AS (SELECT $idCol, pos FROM g JOIN dfp USING (fp)),
+       |s AS (SELECT $idCol, pos,
+       |    CASE WHEN lag(pos) OVER win IS NULL
+       |          OR pos - lag(pos) OVER win > $k
+       |      THEN 1 ELSE 0 END AS ns
+       |  FROM p WINDOW win AS (PARTITION BY $idCol ORDER BY pos)),
+       |si AS (SELECT $idCol, pos,
+       |    sum(ns) OVER (PARTITION BY $idCol ORDER BY pos) AS sid FROM s),
+       |sp AS (SELECT $idCol, sid, min(pos) AS st,
+       |       max(pos) + ${k - 1} AS en
+       |       FROM si GROUP BY $idCol, sid),
+       |agg AS (SELECT $idCol, CAST(count(*) AS BIGINT) AS n_spans,
+       |        CAST(sum(en - st + 1) AS BIGINT) AS dup_words
+       |        FROM sp GROUP BY $idCol),
+       |cov AS (SELECT DISTINCT $idCol,
+       |        unnest([ i for i in range(st, en + 1) ]) AS i FROM sp),
+       |wi0 AS (SELECT $idCol, unnest(
+       |    [ {'i': i, 'wd': ws[i]} for i in range(1, len(ws) + 1) ]) AS u
+       |  FROM w),
+       |wi AS (SELECT $idCol, u.i AS i, u.wd AS wd FROM wi0),
+       |keep AS (SELECT * FROM wi ANTI JOIN cov USING ($idCol, i)),
+       |ct AS (SELECT $idCol,
+       |       array_to_string(list(wd ORDER BY i), ' ') AS clean_text
+       |       FROM keep GROUP BY $idCol)
+       |SELECT w.$idCol,
+       |  coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
+       |  coalesce(agg.dup_words, 0)::BIGINT AS dup_words,
+       |  coalesce(ct.clean_text, '') AS clean_text
+       |FROM w LEFT JOIN agg USING ($idCol) LEFT JOIN ct USING ($idCol)
+       |ORDER BY w.$idCol""".stripMargin
   }
 
   /** CONTENT-DEFINED chunking duplication stats — the LBFS recipe

@@ -529,102 +529,36 @@ object Pipeline {
     // grams merged into maximal spans, documents REBUILT with the spans
     // removed. clean_text itself is hash-compared — the oracle replays
     // gram fingerprinting, span merge (islands over lag), coverage and
-    // the word-level rebuild. Integer positions end to end; md5 grams.
-    // Span-level DECONTAMINATION (GPT-3 appendix C): train = the whole
-    // corpus, eval = doc_id % 17 = 0; every train gram that appears in
-    // eval flags its span, flagged spans are surgically removed. Eval
-    // members of train redact fully; near-dups of eval docs lose the
-    // shared spans only. Same merge/rebuild replay as q_dedup_spans,
-    // different flag source.
-    Probe.df("q_decontaminate_spans",
-      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
-         |g0 AS (SELECT doc_id, unnest(
-         |    [ {'pos': i, 'fp': md5(array_to_string(ws[i:i+${SpanGramWords - 1}], ' '))}
-         |      for i in range(1, len(ws) - ${SpanGramWords - 2}) ]) AS u
-         |  FROM w WHERE len(ws) >= $SpanGramWords),
-         |g AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM g0),
-         |ev AS (SELECT DISTINCT fp FROM g WHERE doc_id % 17 = 0),
-         |p AS (SELECT doc_id, pos FROM g JOIN ev USING (fp)),
-         |s AS (SELECT doc_id, pos,
-         |    CASE WHEN lag(pos) OVER win IS NULL
-         |          OR pos - lag(pos) OVER win > $SpanGramWords
-         |      THEN 1 ELSE 0 END AS ns
-         |  FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-         |si AS (SELECT doc_id, pos,
-         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM s),
-         |sp AS (SELECT doc_id, sid, min(pos) AS st,
-         |       max(pos) + ${SpanGramWords - 1} AS en
-         |       FROM si GROUP BY doc_id, sid),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |        CAST(sum(en - st + 1) AS BIGINT) AS dup_words
-         |        FROM sp GROUP BY doc_id),
-         |cov AS (SELECT DISTINCT doc_id,
-         |        unnest([ i for i in range(st, en + 1) ]) AS i FROM sp),
-         |wi0 AS (SELECT doc_id, unnest(
-         |    [ {'i': i, 'wd': ws[i]} for i in range(1, len(ws) + 1) ]) AS u
-         |  FROM w),
-         |wi AS (SELECT doc_id, u.i AS i, u.wd AS wd FROM wi0),
-         |keep AS (SELECT * FROM wi ANTI JOIN cov USING (doc_id, i)),
-         |ct AS (SELECT doc_id,
-         |       array_to_string(list(wd ORDER BY i), ' ') AS clean_text
-         |       FROM keep GROUP BY doc_id)
-         |SELECT w.doc_id,
-         |  coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
-         |  coalesce(agg.dup_words, 0)::BIGINT AS dup_words,
-         |  coalesce(ct.clean_text, '') AS clean_text
-         |FROM w LEFT JOIN agg USING (doc_id) LEFT JOIN ct USING (doc_id)
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      Dedup.decontaminateSpans(docs,
-          docs.filter(col("doc_id") % 17 === 0),
+    // the word-level rebuild (Dedup.spanRemovalOracleSql — ONE copy,
+    // shared with q_decontaminate_spans; only the flag-source CTE
+    // differs). Integer positions end to end; md5 grams.
+    Probe.df("q_dedup_spans",
+      Dedup.spanRemovalOracleSql("documents", "doc_id", duckWords,
+        SpanGramWords,
+        """SELECT fp FROM (
+          |    SELECT fp, count(*) AS nd
+          |    FROM (SELECT DISTINCT doc_id, fp FROM g) GROUP BY fp)
+          |  WHERE nd >= 2""".stripMargin)) { (s, dir) =>
+      Dedup.dupSpanDedup(Tables.load(s, dir, "documents"),
           "doc_id", "text", gramWords = SpanGramWords)
         .select(col("id").as("doc_id"), col("n_spans"), col("dup_words"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")
     },
 
-    Probe.df("q_dedup_spans",
-      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
-         |g0 AS (SELECT doc_id, unnest(
-         |    [ {'pos': i, 'fp': md5(array_to_string(ws[i:i+${SpanGramWords - 1}], ' '))}
-         |      for i in range(1, len(ws) - ${SpanGramWords - 2}) ]) AS u
-         |  FROM w WHERE len(ws) >= $SpanGramWords),
-         |g AS (SELECT doc_id, u.pos AS pos, u.fp AS fp FROM g0),
-         |d AS (SELECT fp FROM (
-         |    SELECT fp, count(*) AS nd
-         |    FROM (SELECT DISTINCT doc_id, fp FROM g) GROUP BY fp)
-         |  WHERE nd >= 2),
-         |p AS (SELECT doc_id, pos FROM g JOIN d USING (fp)),
-         |s AS (SELECT doc_id, pos,
-         |    CASE WHEN lag(pos) OVER win IS NULL
-         |          OR pos - lag(pos) OVER win > $SpanGramWords
-         |      THEN 1 ELSE 0 END AS ns
-         |  FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-         |si AS (SELECT doc_id, pos,
-         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM s),
-         |sp AS (SELECT doc_id, sid, min(pos) AS st,
-         |       max(pos) + ${SpanGramWords - 1} AS en
-         |       FROM si GROUP BY doc_id, sid),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |        CAST(sum(en - st + 1) AS BIGINT) AS dup_words
-         |        FROM sp GROUP BY doc_id),
-         |cov AS (SELECT DISTINCT doc_id,
-         |        unnest([ i for i in range(st, en + 1) ]) AS i FROM sp),
-         |wi0 AS (SELECT doc_id, unnest(
-         |    [ {'i': i, 'wd': ws[i]} for i in range(1, len(ws) + 1) ]) AS u
-         |  FROM w),
-         |wi AS (SELECT doc_id, u.i AS i, u.wd AS wd FROM wi0),
-         |keep AS (SELECT * FROM wi ANTI JOIN cov USING (doc_id, i)),
-         |ct AS (SELECT doc_id,
-         |       array_to_string(list(wd ORDER BY i), ' ') AS clean_text
-         |       FROM keep GROUP BY doc_id)
-         |SELECT w.doc_id,
-         |  coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
-         |  coalesce(agg.dup_words, 0)::BIGINT AS dup_words,
-         |  coalesce(ct.clean_text, '') AS clean_text
-         |FROM w LEFT JOIN agg USING (doc_id) LEFT JOIN ct USING (doc_id)
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Dedup.dupSpanDedup(Tables.load(s, dir, "documents"),
+    // Span-level DECONTAMINATION (GPT-3 appendix C): train = the whole
+    // corpus, eval = doc_id % 17 = 0; every train gram that appears in
+    // eval flags its span, flagged spans are surgically removed. Eval
+    // members of train redact fully; near-dups of eval docs lose the
+    // shared spans only. Same merge/rebuild replay as q_dedup_spans
+    // (the shared builder), different flag source.
+    Probe.df("q_decontaminate_spans",
+      Dedup.spanRemovalOracleSql("documents", "doc_id", duckWords,
+        SpanGramWords,
+        "SELECT DISTINCT fp FROM g WHERE doc_id % 17 = 0")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.decontaminateSpans(docs,
+          docs.filter(col("doc_id") % 17 === 0),
           "doc_id", "text", gramWords = SpanGramWords)
         .select(col("id").as("doc_id"), col("n_spans"), col("dup_words"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))

@@ -505,18 +505,30 @@ class PlanSpec extends AnyFunSuite {
       emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
       codes, emb, "vec_id", "embedding", dim = 64, k = 5, cands = 50)
     val p = df.queryExecution.executedPlan.toString
-    // the codes-table scan reads ONLY (vec_id, b0, b1) — the whole
-    // point of the stored index: the scan stage never touches floats
-    val codeScans = p.linesIterator
-      .filter(l => l.contains("Scan parquet") && l.contains("graft_codes"))
-      .toSeq
-    assert(codeScans.nonEmpty, "expected a scan of the stored codes")
-    assert(codeScans.forall(l => !l.contains("embedding")),
-      s"codes scan must not read embeddings:\n${codeScans.mkString("\n")}")
-    // the top-cands cut is pushed into the window (rank-limit pruning
-    // before the full per-query sort materializes)
-    assert(p.contains("WindowGroupLimit"),
-      "expected WindowGroupLimit on the Hamming cut:\n" + p.take(1500))
+    // the STREAMED (big) side of the Hamming cross join must be the
+    // stored-codes scan, not anything reading the float table — the
+    // whole point of the stored index. Checking only the codes scan's
+    // own line would be vacuous (the codes file has no float column);
+    // the pin is that no corpus-table scan appears in the streamed
+    // subtree. In toString form the streamed child's lines carry the
+    // ':' tree prefix between the join node and its broadcast sibling.
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinIdx >= 0, "expected the Hamming cross join:\n" + p.take(1500))
+    val streamed = lines.drop(joinIdx + 1)
+      .takeWhile(l => !l.contains("BroadcastExchange"))
+    assert(streamed.exists(_.contains("graft_codes")),
+      s"streamed side must scan the stored codes:\n${streamed.mkString("\n")}")
+    assert(!streamed.exists(_.contains("testdata")),
+      s"streamed side must not scan the float table:\n${streamed.mkString("\n")}")
+    // BOTH rank cuts (the Hamming crank and the rerank rnk) keep the
+    // rank-limit pushdown: 2 windows × (partial + final) = 4 nodes — a
+    // bare contains() could be satisfied by the cheap rerank window
+    // alone while the expensive Hamming cut regressed
+    val wgl = lines.count(_.contains("WindowGroupLimit"))
+    assert(wgl == 4,
+      s"expected 4 WindowGroupLimit nodes (2 windows × partial+final), saw $wgl:\n" +
+        p.take(1500))
   }
 
   test("best-fit-decreasing packs after ONE exchange (the part hash " +
