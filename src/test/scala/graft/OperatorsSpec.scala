@@ -162,6 +162,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("binarySign matches a driver bit-for-bit reference on 200 random " +
+      "vectors (zeros land on the not-> 0 side)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(50)(
+        if (rnd.nextInt(4) == 0) 0.0f else (rnd.nextFloat() - 0.5f)))
+    }
+    val got = graft.operators.Quantize
+      .binarySign(rows.toDF("vec_id", "embedding"), "vec_id", "embedding", 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, v) =>
+      var w0 = 0L
+      var w1 = 0L
+      for (j <- 0 until 32) if (v(j) > 0) w0 |= 1L << j
+      for (j <- 32 until 50) if (v(j) > 0) w1 |= 1L << (j - 32)
+      assert(got(id) == ((w0, w1)), s"vec $id")
+    }
+  }
+
   test("minhashLshPairsAuto finds the same pairs with the S-curve pick attached") {
     val rows = Dedup.minhashLshPairsAuto(docs, "doc_id", "text",
         numPerms = 64, threshold = 0.5)
