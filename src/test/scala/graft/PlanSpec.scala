@@ -529,6 +529,26 @@ class PlanSpec extends AnyFunSuite {
     assert(wgl == 4,
       s"expected 4 WindowGroupLimit nodes (2 windows × partial+final), saw $wgl:\n" +
         p.take(1500))
+    // the IVF-composed indexed path holds the same property: the routed
+    // Hamming join streams the stored (cell, codes) index, never floats
+    val cents = Similarity.ivfCentroidsFrom(emb, "vec_id", "embedding", 8)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfcodes").toString
+    Similarity.ivfBinaryIndex(emb, "vec_id", "embedding", cents, 64)
+      .write.mode("overwrite").parquet(idxDir)
+    val p2 = Similarity.ivfBinaryTopKIndexed(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+        spark.read.parquet(idxDir), emb, "vec_id", "embedding", cents,
+        dim = 64, nprobe = 4, k = 5, cands = 30)
+      .queryExecution.executedPlan.toString
+    val l2 = p2.linesIterator.toSeq
+    val j2 = l2.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(j2 >= 0, "expected the routed Hamming join:\n" + p2.take(1500))
+    val streamed2 = l2.drop(j2 + 1)
+      .takeWhile(l => !l.contains("BroadcastExchange"))
+    assert(streamed2.exists(_.contains("graft_ivfcodes")) &&
+      !streamed2.exists(_.contains("testdata")),
+      s"routed scan must stream the stored index only:\n${streamed2.mkString("\n")}")
   }
 
   test("best-fit-decreasing packs after ONE exchange (the part hash " +
