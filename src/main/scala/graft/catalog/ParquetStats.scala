@@ -73,7 +73,13 @@ object ParquetStats {
       val remaining = math.max(1L, deadline - System.nanoTime())
       f -> (try fut.get(remaining, java.util.concurrent.TimeUnit.NANOSECONDS)
         catch {
-          case _: java.util.concurrent.TimeoutException => (0L, 0L)
+          case _: java.util.concurrent.TimeoutException =>
+            // cancel the straggler: a QUEUED task is removed outright and
+            // a RUNNING one interrupted — without this, tasks stuck behind
+            // a wedged open keep occupying (and later uselessly executing
+            // on) the SHARED pool's threads, delaying the next metadata
+            // scan past the deadline this map already paid (ADVICE r13)
+            fut.cancel(true); (0L, 0L)
           case _: java.util.concurrent.ExecutionException => (0L, 0L)
         })
     }.toMap

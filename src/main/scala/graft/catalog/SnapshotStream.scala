@@ -115,23 +115,34 @@ final class SnapshotStreamSource(
           val pending = all
             .filter(sn => sn.version > position && sn.version <= latest)
             .sortBy(_.version)
-          var prev =
-            if (position <= 0L) Set.empty[String]
+          val prev0 =
+            if (position <= 0L) Some(Set.empty[String])
             else all.find(_.version == position).map(_.files.toSet)
-              .getOrElse(filesAt(position))
-          var admitted = position
-          var used = 0
-          var first = true
-          var stopped = false
-          pending.foreach { sn =>
-            val cur = sn.files.toSet
-            val fresh = (cur -- prev).size
-            if (!stopped && (first || used + fresh <= cap)) {
-              admitted = sn.version; used += fresh; first = false
-            } else stopped = true // offsets are contiguous: no skipping past
-            prev = cur
+          prev0 match {
+            case None =>
+              // the position's snapshot was EXPIRED while this stream
+              // lagged: fresh-file accounting has no baseline, so admit
+              // only the first pending snapshot — getBatch(position, ..)
+              // then fails with filesAt's clearer expired-snapshot
+              // diagnostic instead of an offset-discovery throw
+              // (ADVICE r13; same failure class as the uncapped path).
+              pending.headOption.map(_.version).getOrElse(position)
+            case Some(p0) =>
+              var prev = p0
+              var admitted = position
+              var used = 0
+              var first = true
+              var stopped = false
+              pending.foreach { sn =>
+                val cur = sn.files.toSet
+                val fresh = (cur -- prev).size
+                if (!stopped && (first || used + fresh <= cap)) {
+                  admitted = sn.version; used += fresh; first = false
+                } else stopped = true // offsets contiguous: no skipping past
+                prev = cur
+              }
+              admitted
           }
-          admitted
         }.getOrElse(latest)
         LongOffset(math.max(position, math.min(bySnap, byFiles)))
       }

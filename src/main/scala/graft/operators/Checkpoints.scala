@@ -55,7 +55,18 @@ object Checkpoints {
     * review). Call ONLY once every consumer of the superseded round's
     * data has materialized (the loops call it after the convergence
     * check). No-op for local checkpoints (executor blocks are
-    * ContextCleaner-reclaimed regardless of that conf). */
+    * ContextCleaner-reclaimed regardless of that conf).
+    *
+    * FINAL-cut lifetime (ADVICE r13): an iterative operator's RETURNED
+    * plan still reads its last truncate's files, so the loops
+    * (PageRank, the CC family, BPE training) deliberately leave ONE
+    * iteration-state copy per job in `graft.checkpoint.dir`. Callers
+    * that run many jobs against one long-lived directory own the
+    * reclamation: persist or write the final result, then call
+    * [[discard]] on the returned frame (it is a [[truncate]] root, so
+    * discard resolves its files) — or sweep the directory between jobs.
+    * Spark cannot do it for them: the files must outlive the job for
+    * exactly as long as the caller keeps composing on the lazy plan. */
   def discard(df: DataFrame): Unit =
     try {
       // ROOT-only: a [[truncate]] result's plan IS a LogicalRDD leaf. A

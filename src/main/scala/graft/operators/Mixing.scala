@@ -131,7 +131,12 @@ object Mixing {
       .select(col("__dom"),
         expr("CAST(coalesce(sq DIV nb, -1) AS BIGINT)").as("avg_q"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1) // the normalization fold order — fixed by name
+      // the normalization fold order — fixed by name. A NULL domain is
+      // real data (the language-ID-failure stance of
+      // LmScore.perplexityBucketsHist): it sorts LAST, matching the
+      // DuckDB oracle's default NULLS-LAST `list(w ORDER BY domain)`,
+      // instead of NPE-ing String ordering (ADVICE r13).
+      .sortBy { case (d, _) => (d == null, if (d == null) "" else d) }
     require(perDomain.nonEmpty, "no domains in input")
     val best = perDomain.map(_._2).max
     val scale = (1L << 30).toDouble

@@ -62,7 +62,9 @@ object PageRank {
       // the doubling-per-iteration plan (skip after the last round — the
       // caller gets a composable lazy frame). The PREVIOUS cut's
       // reliable files are reclaimed once the new cut materializes; the
-      // last cut stays (the returned lazy plan reads it).
+      // last cut stays (the returned lazy plan reads it) — callers own
+      // reclaiming it after materializing (see Checkpoints.discard's
+      // final-cut-lifetime note).
       if (it % truncateEvery == 0 && it < iters) {
         val t = Checkpoints.truncate(ranks)
         lastCut.foreach(Checkpoints.discard)
