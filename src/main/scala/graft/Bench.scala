@@ -79,11 +79,32 @@ object Bench {
       } catch { case _: Throwable => "-1" }
     val loadStart = loadNow
 
+    // SPARK_GRAFT_BENCH_DIAG=1: per-attempt JVM counters to stderr — the
+    // round-14 inflation investigation needs to see, for ONE in-suite
+    // run, whether a slow sample coincides with Janino recompilation
+    // (codegen-cache eviction), GC pressure, or neither (pure CPU
+    // contention). Counters are cumulative JVM-wide; the per-attempt
+    // DELTA is what matters.
+    val diag = sys.env.contains("SPARK_GRAFT_BENCH_DIAG")
+    def gcMsNow: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def compilesNow: Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+
     val qs = SparkEntry.queries
     def runOnce(name: String): Double = {
+      val c0 = if (diag) compilesNow else 0L
+      val g0 = if (diag) gcMsNow else 0L
       val t0 = System.nanoTime()
       qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       val t = (System.nanoTime() - t0) / 1e9
+      if (diag) System.err.println(
+        f"[diag] $name%-36s t=$t%7.3f compiles=${compilesNow - c0}%-4d " +
+          f"gc_ms=${gcMsNow - g0}%-6d load=$loadNow%s")
       // Cache hygiene OUTSIDE the timer: several operators persist()
       // intermediates and hand back a lazy DataFrame, so each timed pass
       // creates fresh cached blocks that nothing ever unpersists. Over
@@ -181,8 +202,18 @@ object Bench {
     // (0 disables).
     val standaloneK =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STANDALONE", "5").toInt
-    val heaviest = results.filter(_._2 >= 0).sortBy(-_._2)
-      .take(math.max(0, standaloneK)).map(_._1)
+    // Pinned quiet-box in-suite criteria (BASELINE.md "Round 14"): the
+    // two adjudicated load-amplified queries are FORCED into the
+    // standalone re-measure whenever their in-suite best-of exceeds the
+    // criterion, so the same run already carries the steady-state number
+    // instead of re-litigating the adjudication by hand (VERDICT r13 #5).
+    val watchlist = Map(
+      "q_quality_classifier" -> 2.5,
+      "q_fingerprint_overlap_banded" -> 3.0)
+    val forced = results
+      .filter { case (n, v) => watchlist.get(n).exists(v > _) }.map(_._1)
+    val heaviest = (results.filter(_._2 >= 0).sortBy(-_._2)
+      .take(math.max(0, standaloneK)).map(_._1) ++ forced).distinct
     val stjson = heaviest.map { n =>
       val v = math.min(attempt(n), attempt(n))
       "\"" + n + "\":" + (if (v.isFinite) v else -1.0)
