@@ -35,8 +35,40 @@ object AdhocBench {
     "wordpiece_train64" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       graft.operators.BpeTrain.trainWordPiece(docs, "text", 64).count()
+    }),
+    // Real-ish vocab depth through the HYBRID tier (VERDICT r13 #2):
+    // ONE distributed word-frequency aggregate, then 1024 driver-side
+    // merge rounds — no per-round scheduler round-trips
+    "bpe_train1024" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.BpeTrain.train(docs, "text", 1024).count()
+    }),
+    "wordpiece_train1024" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.BpeTrain.trainWordPiece(docs, "text", 1024).count()
+    }),
+    // forced-DISTRIBUTED twins (localTrainMaxWords=0): the
+    // oracle-replayable tier's cost line, for the hybrid A/B
+    "bpe_train64_dist" -> ((s, dir) => forceDistributed(s) {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.BpeTrain.train(docs, "text", 64).count()
+    }),
+    "wordpiece_train64_dist" -> ((s, dir) => forceDistributed(s) {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.BpeTrain.trainWordPiece(docs, "text", 64).count()
     })
   )
+
+  private def forceDistributed(s: SparkSession)(body: => Long): Long = {
+    val key = graft.operators.BpeTrain.LocalTrainMaxWordsKey
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "0")
+    try body
+    finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -85,7 +85,7 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      trainRounds(spark, base, merges, spaced)
+      trainHybrid(spark, base, merges, spaced, spacedLocal)
     } finally base.unpersist()
   }
 
@@ -100,8 +100,161 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      trainRounds(spark, base, merges, byteSpaced)
+      trainHybrid(spark, base, merges, byteSpaced, byteSpacedLocal)
     } finally base.unpersist()
+  }
+
+  /** Distinct-word-count bound (SQL conf) at or under which the merge
+    * LOOP runs driver-side ([[trainLocalRounds]]); 0 forces the
+    * distributed loop. The word-frequency AGGREGATE — the only
+    * corpus-sized work — is always distributed. */
+  val LocalTrainMaxWordsKey = "graft.bpe.localTrainMaxWords"
+
+  /** Default [[LocalTrainMaxWordsKey]]: 2M distinct words ≈ tens of MB
+    * of driver strings — far under any real driver heap, far over any
+    * real tokenizer-training corpus's distinct-word table (which is
+    * vocabulary-shaped: it grows ~Heaps-law sublinearly, not with the
+    * corpus). */
+  val LocalTrainMaxWordsDefault = 2000000L
+
+  /** HYBRID dispatch (VERDICT r13 #2): the distributed loop is correct
+    * and linear, but each merge round is one Spark aggregate + a 1-row
+    * argmax collect — a real 32k-merge vocabulary would be 32k
+    * SEQUENTIAL jobs, hours of pure scheduler latency on work whose
+    * data (the distinct-word table) is model-sized. The public
+    * HuggingFace-trainer shape fixes the altitude: aggregate word
+    * frequencies ONCE distributed, then run the merge loop driver-side
+    * over that table when it fits [[LocalTrainMaxWordsKey]]. Both
+    * tiers are BIT-identical (OperatorsSpec pins local == distributed
+    * on the probe fixture; Java String.replace ≡ Spark replace,
+    * UTF-8-byte tie order ≡ UTF8String/DuckDB binary order), so the
+    * DuckDB oracles hold regardless of tier; the distributed loop
+    * stays as the oracle-replayable fallback above the bound. */
+  private def trainHybrid(spark: SparkSession, base: DataFrame,
+      merges: Int, seed: Column => Column, seedLocal: String => String,
+      wordPiece: Boolean = false): DataFrame = {
+    val bound = spark.conf.getOption(LocalTrainMaxWordsKey)
+      .map(_.trim.toLong).getOrElse(LocalTrainMaxWordsDefault)
+    if (bound > 0 && base.count() <= bound) {
+      val words = base.collect()
+        .map(r => (seedLocal(r.getString(0)), r.getLong(1)))
+      val acc = trainLocalRounds(words, merges, wordPiece)
+      val out = spark.createDataFrame(acc)
+        .toDF("rank", "pair", "merged", "n", "score")
+      if (wordPiece) out else out.drop("score")
+    } else trainRounds(spark, base, merges, seed, wordPiece)
+  }
+
+  /** `a < b` by UNSIGNED UTF-8 BYTES — Spark's UTF8String order and
+    * DuckDB's string order; Java String.compareTo (UTF-16 units) sorts
+    * supplementary characters differently and must not decide ties. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side twin of [[spaced]]: the SAME java.util.regex rewrite
+    * Spark's regexp_replace runs. */
+  private val SpacedRe = java.util.regex.Pattern.compile("(.)")
+  private def spacedLocal(word: String): String =
+    " " + SpacedRe.matcher(word).replaceAll("$1 ")
+
+  /** Driver-side twin of [[byteSpaced]]. */
+  private def byteSpacedLocal(word: String): String = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length * 3 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < bs.length) {
+      sb.append(ByteUnicode(bs(i) & 0xff)).append(' '); i += 1
+    }
+    sb.toString
+  }
+
+  /** The merge loop over a DRIVER-resident (seeded symbol string, cnt)
+    * table — the [[trainHybrid]] fast tier. Each round recounts
+    * adjacent pairs (and symbol unigrams for WordPiece) with exact
+    * integer sums, picks the same (n DESC | score DESC, pair ASC
+    * by UTF-8 bytes) argmax, and rewrites via the same
+    * leftmost-non-overlapping literal replace applied ≤ [[MergePasses]]
+    * times (a pass that finds no occurrence is the identity, so
+    * stopping early is exact). O(merges · total symbols) with zero
+    * scheduler round-trips. */
+  private def trainLocalRounds(words: Array[(String, Long)], merges: Int,
+      wordPiece: Boolean): Vector[(Int, String, String, Long, Double)] = {
+    val strs = words.map(_._1)
+    val cnts = words.map(_._2)
+    var acc = Vector.empty[(Int, String, String, Long, Double)]
+    val sum = new java.util.function.BiFunction[java.lang.Long, java.lang.Long, java.lang.Long] {
+      override def apply(a: java.lang.Long, b: java.lang.Long): java.lang.Long = a + b
+    }
+    var r = 1
+    while (r <= merges) {
+      val pc = new java.util.HashMap[String, java.lang.Long]()
+      val uc = if (wordPiece) new java.util.HashMap[String, java.lang.Long]() else null
+      var i = 0
+      while (i < strs.length) {
+        val sy = strs(i).trim.split(" ")
+        val c = java.lang.Long.valueOf(cnts(i))
+        if (wordPiece) {
+          var j = 0
+          while (j < sy.length) { uc.merge(sy(j), c, sum); j += 1 }
+        }
+        var j = 0
+        while (j < sy.length - 1) {
+          pc.merge(sy(j) + " " + sy(j + 1), c, sum); j += 1
+        }
+        i += 1
+      }
+      if (pc.isEmpty) return acc // no word has >= 2 symbols left
+      var bestP: String = null
+      var bestN = 0L
+      var bestS = 0.0
+      val it = pc.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val p = e.getKey
+        val n = e.getValue.longValue()
+        if (!wordPiece) {
+          if (bestP == null || n > bestN || (n == bestN && utf8Lt(p, bestP))) {
+            bestP = p; bestN = n
+          }
+        } else {
+          // the SAME two chained correctly-rounded IEEE divisions as the
+          // distributed tier and the oracle: CAST(n)/CAST(lu)/CAST(ru)
+          val sp = p.indexOf(' ')
+          val s = n.toDouble / uc.get(p.substring(0, sp)).toDouble /
+            uc.get(p.substring(sp + 1)).toDouble
+          if (bestP == null || s > bestS || (s == bestS && utf8Lt(p, bestP))) {
+            bestP = p; bestN = n; bestS = s
+          }
+        }
+      }
+      val merged = bestP.replace(" ", "")
+      acc = acc :+ ((r, bestP, merged, bestN, if (wordPiece) bestS else 0.0))
+      val from = " " + bestP + " "
+      val to = " " + merged + " "
+      i = 0
+      while (i < strs.length) {
+        var s = strs(i)
+        var k = 0
+        while (k < MergePasses && s.contains(from)) {
+          s = s.replace(from, to); k += 1
+        }
+        strs(i) = s
+        i += 1
+      }
+      r += 1
+    }
+    acc
   }
 
   /** Materialize the rewritten word→symbols table every this many merge
@@ -208,7 +361,7 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      trainRounds(spark, base, merges, spaced, wordPiece = true)
+      trainHybrid(spark, base, merges, spaced, spacedLocal, wordPiece = true)
     } finally base.unpersist()
   }
 
