@@ -412,15 +412,15 @@ object Dedup {
         .as("g"))
       .select(col("id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
 
-  /** Span merge + word-level rebuild over flagged gram positions — the
-    * shared back of [[dupSpanDedup]] and [[decontaminateSpans]]:
-    * (id, pos) gram hits → maximal spans (islands over lag) → per-doc
-    * (n_spans, dup_words, clean_text). */
-  private def removeSpans(w: DataFrame, dupPos: DataFrame,
-      k: Int): DataFrame = {
+  /** Maximal-span merge over flagged gram positions (islands over lag,
+    * one window partitioning): a gram at `pos` covers units
+    * [pos, pos+k-1], so hits whose starts are ≤ k apart merge. Shared
+    * by the word-level span ops and [[exactSubstrDedup]]'s char tier.
+    * Output: (id, sid, s, e) disjoint, non-adjacent spans. */
+  private def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
-    val spans = dupPos
+    dupPos
       .withColumn("prev", lag("pos", 1).over(byDoc))
       .withColumn("ns",
         when(col("prev").isNull || col("pos") - col("prev") > k, 1)
@@ -428,6 +428,15 @@ object Dedup {
       .withColumn("sid", sum("ns").over(byDoc))
       .groupBy("id", "sid")
       .agg(min("pos").as("s"), (max("pos") + lit(k - 1)).as("e"))
+  }
+
+  /** Span merge + word-level rebuild over flagged gram positions — the
+    * shared back of [[dupSpanDedup]] and [[decontaminateSpans]]:
+    * (id, pos) gram hits → maximal spans (islands over lag) → per-doc
+    * (n_spans, dup_words, clean_text). */
+  private def removeSpans(w: DataFrame, dupPos: DataFrame,
+      k: Int): DataFrame = {
+    val spans = mergeSpans(dupPos, k)
     val perDoc = spans.groupBy("id").agg(
       count(lit(1)).as("n_spans"),
       sum(col("e") - col("s") + 1).as("dup_words"),
@@ -475,6 +484,128 @@ object Dedup {
       .join(broadcast(evalFps), Seq("fp"))
       .select("id", "pos")
     removeSpans(w, dupPos, k)
+  }
+
+  /** EXACT-SUBSTRING deduplication at CHARACTER granularity — the
+    * bounded, oracle-able variant of Lee et al. 2022's ExactSubstr
+    * (\"Deduplicating Training Data Makes Language Models Better\",
+    * §4.2): every duplicated substring of length ≥ `gramChars` that
+    * appears in ≥ 2 DISTINCT documents is removed surgically, the
+    * document rebuilt around it. Where the paper builds a corpus-wide
+    * suffix array, this tier slides a `gramChars`-char gram over each
+    * document: a duplicated substring of length M ≥ L contains exactly
+    * M − L + 1 duplicated L-grams, so flagging every duplicated L-gram
+    * start and merging flags ≤ L apart (the shared [[mergeSpans]])
+    * reconstructs precisely the maximal duplicated regions — same
+    * result as the suffix-array walk for matches ≥ L, no global
+    * suffix sort.
+    *
+    * Scale shape: the gram stream shuffles only (id, pos, 16-byte md5)
+    * rows — never text — once for the cross-doc duplicate count and
+    * once into the span-merge window; the duplicated-fp set broadcasts
+    * back. Per-char grams are O(total chars) rows, the price of the
+    * EXACT guarantee; at 100 TB the winnowed fingerprint tier
+    * ([[graft.operators.Fingerprint]]) selects O(len/w) grams per doc
+    * with the ≥ L+w−1 match guarantee and feeds the same span merge —
+    * this exact tier is for corpora (or the verify pass) where every
+    * ≥ L match must go. Within-doc-only repeats are NOT flagged (the
+    * cross-doc contract of [[dupSpanDedup]]).
+    *
+    * Output per document: (id, n_spans, dup_chars, clean_text) —
+    * clean_text concatenates the surviving segments; positions are
+    * 1-based code points, a span at [s, e] covers chars s..e
+    * inclusive. The rebuild is a single higher-order fold over the
+    * (few) merged spans — O(len + n_spans) per row, no shuffle. */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int = 40): DataFrame = {
+    val L = gramChars
+    require(L >= 2, s"gramChars must be >= 2, got $L")
+    val t = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val grams = t.where(length(col("text")) >= L)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${L - 1}), " +
+          s"i -> struct(i AS pos, md5(substring(text, i, $L)) AS fp))"))
+        .as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
+    val dupFps = grams.select("id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("fp")
+    val dupPos = grams.join(dupFps, Seq("fp")).select("id", "pos")
+    val spans = mergeSpans(dupPos, L)
+    val perDoc = spans.groupBy("id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("dup_chars"),
+      sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    t.join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        // segment-concat fold over the sorted spans: spans are disjoint
+        // and non-adjacent (mergeSpans), so s > prev always and every
+        // substring length is >= 0; the finish clause appends the tail
+        expr("""CASE WHEN spans IS NULL THEN text ELSE
+                  aggregate(spans,
+                    struct(CAST(0 AS INT) AS prev, CAST('' AS STRING) AS acc),
+                    (st, sp) -> struct(CAST(sp.e AS INT),
+                      concat(st.acc,
+                        substring(text, st.prev + 1, sp.s - st.prev - 1))),
+                    st -> concat(st.acc,
+                      substring(text, st.prev + 1,
+                        length(text) - st.prev)))
+                END""").as("clean_text"))
+  }
+
+  /** DuckDB replay of [[exactSubstrDedup]]: char-gram fingerprints,
+    * the same span-merge CTEs, and a per-char coverage rebuild. Kept
+    * textually separate from [[spanRemovalOracleSql]] because every
+    * LEAF differs (gram source = substr not word-slice, unit table =
+    * chars not words, separator '' not ' ', dup_chars not dup_words);
+    * the span-merge skeleton (s/si/sp CTEs) mirrors it line for
+    * line. */
+  def exactSubstrOracleSql(table: String, idCol: String,
+      gramChars: Int): String = {
+    val k = gramChars
+    s"""WITH w AS (SELECT $idCol, text FROM $table),
+       |g AS (SELECT $idCol, unnest(
+       |    [ {'pos': i, 'fp': md5(substr(text, CAST(i AS INT), $k))}
+       |      for i in range(1, length(text) - ${k - 2}) ]) AS u
+       |  FROM w WHERE length(text) >= $k),
+       |p0 AS (SELECT $idCol, u.pos AS pos, u.fp AS fp FROM g),
+       |dfp AS (SELECT fp FROM (
+       |    SELECT fp, count(*) AS nd
+       |    FROM (SELECT DISTINCT $idCol, fp FROM p0) GROUP BY fp)
+       |  WHERE nd >= 2),
+       |p AS (SELECT $idCol, pos FROM p0 JOIN dfp USING (fp)),
+       |s AS (SELECT $idCol, pos,
+       |    CASE WHEN lag(pos) OVER win IS NULL
+       |          OR pos - lag(pos) OVER win > $k
+       |      THEN 1 ELSE 0 END AS ns
+       |  FROM p WINDOW win AS (PARTITION BY $idCol ORDER BY pos)),
+       |si AS (SELECT $idCol, pos,
+       |    sum(ns) OVER (PARTITION BY $idCol ORDER BY pos) AS sid FROM s),
+       |sp AS (SELECT $idCol, sid, min(pos) AS st,
+       |       max(pos) + ${k - 1} AS en
+       |       FROM si GROUP BY $idCol, sid),
+       |agg AS (SELECT $idCol, CAST(count(*) AS BIGINT) AS n_spans,
+       |        CAST(sum(en - st + 1) AS BIGINT) AS dup_chars
+       |        FROM sp GROUP BY $idCol),
+       |cov AS (SELECT DISTINCT $idCol,
+       |        unnest([ i for i in range(st, en + 1) ]) AS i FROM sp),
+       |ci0 AS (SELECT $idCol, unnest(
+       |    [ {'i': i, 'ch': substr(text, CAST(i AS INT), 1)}
+       |      for i in range(1, length(text) + 1) ]) AS u
+       |  FROM w),
+       |ci AS (SELECT $idCol, u.i AS i, u.ch AS ch FROM ci0),
+       |keep AS (SELECT * FROM ci ANTI JOIN cov USING ($idCol, i)),
+       |ct AS (SELECT $idCol,
+       |       array_to_string(list(ch ORDER BY i), '') AS clean_text
+       |       FROM keep GROUP BY $idCol)
+       |SELECT w.$idCol,
+       |  coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
+       |  coalesce(agg.dup_chars, 0)::BIGINT AS dup_chars,
+       |  coalesce(ct.clean_text, '') AS clean_text
+       |FROM w LEFT JOIN agg USING ($idCol) LEFT JOIN ct USING ($idCol)
+       |ORDER BY w.$idCol""".stripMargin
   }
 
   /** Shared DuckDB replay of the span-removal pipeline ([[dupSpanDedup]]

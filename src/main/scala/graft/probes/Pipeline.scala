@@ -546,6 +546,31 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // EXACT-SUBSTRING dedup at CHAR granularity (Lee et al. 2022
+    // ExactSubstr, the bounded sliding-gram variant — no suffix array;
+    // VERDICT r13 #3): every cross-doc duplicated substring >= 40 chars
+    // is surgically removed and the doc rebuilt. The corpus plants
+    // shifted full-copy twins ('XX ' prefix) for every 50th doc, so the
+    // duplicated region sits at DIFFERENT positions in the two copies —
+    // the alignment case fixed-chunk dedup misses. Oracle replays gram
+    // fingerprints, span merge, and the per-char coverage rebuild.
+    Probe.df("q_dedup_substr",
+      Dedup.exactSubstrOracleSql(
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 1000000 AS doc_id, 'XX ' || text AS text " +
+          "FROM documents WHERE doc_id % 50 = 0)",
+        "doc_id", gramChars = 40)) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = d.unionAll(d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("XX "), col("text")).as("text")))
+      Dedup.exactSubstrDedup(planted, "doc_id", "text", gramChars = 40)
+        .select(col("id").as("doc_id"), col("n_spans"), col("dup_chars"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // Span-level DECONTAMINATION (GPT-3 appendix C): train = the whole
     // corpus, eval = doc_id % 17 = 0; every train gram that appears in
     // eval flags its span, flagged spans are surgically removed. Eval
