@@ -102,27 +102,98 @@ object ContendMain {
           s"writer rows lost/duplicated: ${byTag.get("w")} != $wRows")
         require(byTag.getOrElse("b", 0L) == bRows,
           s"published branch rows lost/duplicated: ${byTag.get("b")} != $bRows")
-        // per-row exactly-once: every a value distinct
-        val dup = spark.sql(
-            "SELECT a FROM gcont.s.t GROUP BY a HAVING count(*) > 1")
-          .collect()
-        require(dup.isEmpty, s"duplicated rows: ${dup.mkString(",")}")
-        // serializable snapshot history: strictly increasing, contiguous
-        // tail (expire may have dropped a prefix), every version readable
-        val versions = spark.sql(
-            "SELECT version FROM gcont.s.t.snapshots ORDER BY version")
-          .collect().map(_.getLong(0)).toSeq
-        require(versions.nonEmpty, "no snapshots")
-        require(versions.distinct == versions, "duplicate snapshot versions")
-        require(versions.zip(versions.tail).forall { case (a, b) => b == a + 1 },
-          s"snapshot log has gaps: $versions")
-        versions.foreach { v =>
-          spark.sql(s"SELECT count(*) FROM gcont.s.t VERSION AS OF $v")
-            .collect()
-        }
+        assertNoDupRows(spark)
+        val versions = assertHistory(spark)
         println(s"CONTEND OK rows=${wRows + bRows} " +
+          s"versions=${versions.head}..${versions.last}")
+
+      // crash-kill recovery gate (VERDICT r13 #4) ------------------------
+      case "victim" =>
+        // committed INSERTs until SIGKILLed from outside; each success is
+        // acknowledged on stdout AFTER the commit returns, so the killer
+        // knows a lower bound on what must be visible afterwards
+        val n = args(2).toInt
+        (1 to n).foreach { i =>
+          spark.sql(s"INSERT INTO gcont.s.t VALUES (${2000 + i}, 'v')")
+          println(s"victim committed $i")
+          Console.out.flush()
+        }
+        println(s"victim done n=$n")
+
+      case "checkkill" =>
+        // after a kill -9 mid-commit: (1) the warehouse still accepts
+        // commits; (2) every ACKED victim insert is visible exactly once,
+        // plus at most ONE unacked in-flight commit (killed between
+        // createLink and the ack); (3) history is contiguous and every
+        // version readable (no partial commit surfaced); (4) the orphan
+        // sweep reclaims the dead writer's unreferenced data files and
+        // stranded .tmp metadata, after which data/ holds ONLY referenced
+        // files.
+        val acked = args(2).toInt
+        spark.sql("INSERT INTO gcont.s.t VALUES (9001, 'postkill')")
+        spark.sql("INSERT INTO gcont.s.t VALUES (9002, 'postkill')")
+        val byTag = spark.sql(
+            "SELECT tag, count(*) AS n FROM gcont.s.t GROUP BY tag")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val v = byTag.getOrElse("v", 0L)
+        require(v == acked || v == acked + 1,
+          s"victim rows $v outside [$acked, ${acked + 1}]: lost or partial commit")
+        require(byTag.getOrElse("postkill", 0L) == 2L,
+          s"post-kill commits not accepted: ${byTag.get("postkill")}")
+        assertNoDupRows(spark)
+        val versions = assertHistory(spark)
+        // the sweep: cutoff 0 is safe here — the victim is dead and this
+        // is the only process writing. Published/stale branches are
+        // dropped first so "referenced" below is exactly the main log
+        // (branch-staged files would otherwise read as strays).
+        val tdir = java.nio.file.Paths.get(wh, "s", "t")
+        graft.catalog.Snapshots.branches(tdir).foreach { ref =>
+          spark.sql(
+            s"CALL gcont.system.drop_branch('s.t', '${ref.name}')").collect()
+        }
+        val swept = graft.catalog.Maintenance
+          .removeOrphanFiles(spark, "gcont.s.t", olderThanMillis = 0L)
+        val referenced = graft.catalog.Snapshots.list(tdir)
+          .flatMap(_.files).toSet
+        val onDisk = scala.util.Using.resource(
+            java.nio.file.Files.walk(tdir.resolve("data"))) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              p.toString.endsWith(".parquet"))
+            .map(p => tdir.relativize(p).toString).toList
+        }
+        val strays = onDisk.filterNot(referenced.contains)
+        require(strays.isEmpty,
+          s"unreferenced data files survive the sweep: $strays")
+        println(s"CONTEND KILL OK v=$v acked=$acked swept=$swept " +
           s"versions=${versions.head}..${versions.last}")
     }
     spark.stop()
+  }
+
+  /** Per-row exactly-once: every `a` value distinct. */
+  private def assertNoDupRows(spark: SparkSession): Unit = {
+    val dup = spark.sql(
+        "SELECT a FROM gcont.s.t GROUP BY a HAVING count(*) > 1")
+      .collect()
+    require(dup.isEmpty, s"duplicated rows: ${dup.mkString(",")}")
+  }
+
+  /** Serializable snapshot history: strictly increasing, contiguous
+    * tail (expire may have dropped a prefix), every version readable. */
+  private def assertHistory(spark: SparkSession): Seq[Long] = {
+    val versions = spark.sql(
+        "SELECT version FROM gcont.s.t.snapshots ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    require(versions.nonEmpty, "no snapshots")
+    require(versions.distinct == versions, "duplicate snapshot versions")
+    require(versions.zip(versions.tail).forall { case (a, b) => b == a + 1 },
+      s"snapshot log has gaps: $versions")
+    versions.foreach { v =>
+      spark.sql(s"SELECT count(*) FROM gcont.s.t VERSION AS OF $v")
+        .collect()
+    }
+    versions
   }
 }

@@ -395,9 +395,13 @@ object Maintenance {
       }
     }
     // unlink outside the lock (thousands of slow-storage deletes must
-    // not stall commits), plus each orphan's bloom sidecars
+    // not stall commits), plus each orphan's bloom sidecars and any
+    // stale commit/ref tmp files a crashed writer stranded in the
+    // metadata dirs (round-14 crash-kill gate: a SIGKILL mid-commit
+    // leaves one .snap.*.tmp that nothing else reclaims)
     dead.foreach(Files.deleteIfExists(_))
     deleteBloomSidecars(dir, dead.map(_.getFileName.toString))
+    Snapshots.staleTmpFiles(dir, cutoff).foreach(Files.deleteIfExists(_))
     dead.length
   }
 

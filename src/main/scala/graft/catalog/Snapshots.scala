@@ -275,6 +275,30 @@ object Snapshots {
   private def branchLog(tableDir: Path, name: String): Path =
     branchesDir(tableDir).resolve(name)
 
+  /** Stale commit/ref TEMP files left by CRASHED writers (`.*.tmp`
+    * under the main log, refs dir, and every branch log) older than the
+    * cutoff — a SIGKILL between `Files.writeString(tmp, ...)` and the
+    * createLink CAS strands exactly one such file per dead writer, and
+    * nothing else ever reads or reclaims it. The age cutoff is the same
+    * in-flight guard [[Maintenance.removeOrphanFiles]] applies to data
+    * files: a LIVE writer's tmp is milliseconds old. */
+  private[catalog] def staleTmpFiles(tableDir: Path,
+      cutoffMillis: Long): Seq[Path] = {
+    def tmpsIn(d: Path): Seq[Path] =
+      if (!Files.isDirectory(d)) Nil
+      else scala.util.Using.resource(Files.list(d)) { st =>
+        st.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".tmp") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoffMillis).toList
+      }
+    val branchLogs =
+      if (!Files.isDirectory(branchesDir(tableDir))) Nil
+      else scala.util.Using.resource(Files.list(branchesDir(tableDir))) {
+        st => st.iterator().asScala.filter(Files.isDirectory(_)).toList
+      }
+    (dir(tableDir) +: refsDir(tableDir) +: branchLogs).flatMap(tmpsIn)
+  }
+
   /** All branch refs (name, FORK version, creation time), sorted. */
   def branches(tableDir: Path): Seq[Ref] = refsOf(tableDir, ".branch")
 

@@ -29,3 +29,21 @@ grep -h "done" "$WH.writer.out" "$WH.brancher.out"
 SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain check "$WH" "$N_W" "$N_B" \
   2>"$WH.check.log" | grep "CONTEND OK" \
   || { echo "CONTEND CHECK FAILED"; tail -10 "$WH.check.log"; exit 1; }
+
+# stage 2: crash-kill recovery (VERDICT r13 #4) — SIGKILL a committing
+# writer at a RANDOM point, then assert the warehouse recovers: acked
+# commits visible exactly once (+ at most one unacked in-flight), history
+# contiguous and fully readable, new commits accepted, and the orphan
+# sweep reclaims the dead writer's strays (data files AND .tmp metadata).
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain victim "$WH" 200 \
+  >"$WH.victim.out" 2>"$WH.victim.log" &
+V_PID=$!
+# session startup is ~5-7s; the random extra lands the kill anywhere in
+# the commit loop (a pre-first-commit kill still tests recovery: acked=0)
+sleep $((5 + RANDOM % 8))
+kill -9 $V_PID 2>/dev/null
+wait $V_PID 2>/dev/null
+ACKED=$(grep -c "victim committed" "$WH.victim.out")
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain checkkill "$WH" "$ACKED" \
+  2>"$WH.checkkill.log" | grep "CONTEND KILL OK" \
+  || { echo "CONTEND KILL CHECK FAILED (acked=$ACKED)"; tail -10 "$WH.checkkill.log"; exit 1; }
