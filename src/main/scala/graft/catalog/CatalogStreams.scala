@@ -55,4 +55,44 @@ object CatalogStreams {
       .option("tableDir", dir.toString)
       .load()
   }
+
+  /** Idempotent foreachBatch APPEND into a MetaCatalog table (VERDICT
+    * r13 #7): Structured Streaming's foreachBatch is at-least-once — a
+    * crash between the sink write and the checkpoint's batch commit
+    * RE-DELIVERS the batch on restart, and a plain append would then
+    * double-ingest. The public recipe (the Delta idempotent-writes
+    * pattern) keys the write on `batchId`: stamp every row with the
+    * batch id, and make delivery a DELETE-where-batchId + APPEND pair.
+    * Each of the two commits is snapshot-atomic here (COW delete, one
+    * commit; append, one commit), so every interleaving of crash +
+    * re-delivery converges to exactly-once rows:
+    *
+    *  - crash before the delete: re-delivery re-runs both (delete is a
+    *    no-op on an absent batch);
+    *  - crash between delete and append: re-delivery deletes nothing
+    *    and appends once;
+    *  - crash after the append: re-delivery deletes the first copy and
+    *    appends the second — one copy survives.
+    *
+    * The target table must carry `batchIdCol` (BIGINT). Usage:
+    *
+    * {{{
+    *   ds.writeStream.foreachBatch(
+    *     CatalogStreams.idempotentAppend("cat.ns.sink") _).start()
+    * }}}
+    *
+    * Derived ingest state (novelty filters, IVF index deltas, CC label
+    * merges) composes the same way: make the batch's effect a pure
+    * function of (table state WITHOUT this batchId, batch rows) and the
+    * delete-first replay is exact. NOTE the non-append commits make the
+    * sink table unsuitable for [[readTable]] tailing — idempotent sinks
+    * are terminal tables by design. */
+  def idempotentAppend(ident: String, batchIdCol: String = "_batch_id")(
+      df: DataFrame, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DELETE FROM $ident WHERE $batchIdCol = $batchId")
+    df.withColumn(batchIdCol,
+        org.apache.spark.sql.functions.lit(batchId))
+      .writeTo(ident).append()
+  }
 }
