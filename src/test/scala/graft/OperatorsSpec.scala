@@ -1416,6 +1416,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1).take(firstWordSyms.size) == firstWordSyms)
   }
 
+  test("hybrid driver-side trainer tier equals the distributed loop " +
+      "bit-for-bit across BPE / byte-BPE / WordPiece (VERDICT r13 #2)") {
+    import graft.operators.BpeTrain
+    // multi-byte chars exercise the byte seed; repeated runs exercise
+    // the MergePasses replace semantics; shared prefixes force ties
+    val docs = Seq(
+      (1L, "ababab ababab abc abäcke wörter"),
+      (2L, "abc abc abäcke wörter wörter zzz"),
+      (3L, "ababab zzz zzz abc wörter ab")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank")
+      .collect().map(_.toSeq).toSeq
+    def both(f: => org.apache.spark.sql.DataFrame) = {
+      val local = rows(f) // default bound: small fixture goes local
+      spark.conf.set(BpeTrain.LocalTrainMaxWordsKey, "0")
+      val dist = try rows(f)
+        finally spark.conf.unset(BpeTrain.LocalTrainMaxWordsKey)
+      (local, dist)
+    }
+    val (bl, bd) = both(BpeTrain.train(docs, "text", 12))
+    assert(bl == bd, s"BPE local $bl vs distributed $bd")
+    val (yl, yd) = both(BpeTrain.trainBytes(docs, "text", 12))
+    assert(yl == yd, s"byte-BPE local $yl vs distributed $yd")
+    val (wl, wd) = both(BpeTrain.trainWordPiece(docs, "text", 12))
+    assert(wl == wd, s"WordPiece local $wl vs distributed $wd")
+    assert(bl.nonEmpty && yl.nonEmpty && wl.nonEmpty)
+  }
+
+  test("exactSubstrDedup removes exactly the maximal cross-doc >= L " +
+      "substrings (VERDICT r13 #3)") {
+    import graft.operators.Dedup
+    val L = 40
+    // one unique char per filler: no two DOCS share any filler char, so
+    // no cross-doc 40-gram can involve filler text (within-doc repeats
+    // inside a filler are fine — the cross-doc contract ignores them)
+    def filler(tag: Char, n: Int): String = tag.toString * n
+    val shared60 = "S" * 25 + "HAREDREGIONSHAREDREGIONSHAREDREGION"
+    assert(shared60.length == 60)
+    val shared39 = "T" * 39
+    val sharedB = "U" * 50
+    val docs = Seq(
+      // 1 & 2: one 60-char shared region at DIFFERENT offsets
+      (1L, filler('a', 100) + shared60 + filler('b', 80)),
+      (2L, filler('c', 37) + shared60 + filler('d', 120)),
+      // 3: shares BOTH regions with 1/2 and 4 — two separated spans
+      (3L, filler('e', 90) + shared60 + filler('f', 70) + sharedB +
+        filler('g', 50)),
+      (4L, filler('h', 55) + sharedB + filler('i', 66)),
+      // 5 & 6: shared substring SHORTER than L — never flagged
+      (5L, filler('j', 80) + shared39 + filler('k', 80)),
+      (6L, filler('l', 80) + shared39 + filler('m', 80)),
+      // 7: a WITHIN-doc repeat only — cross-doc contract: not flagged
+      (7L, filler('n', 60) + "V" * 45 + filler('o', 60) + "V" * 45),
+      // 8 & 9: full duplicates — everything removed
+      (8L, filler('p', 120)),
+      (9L, filler('p', 120))
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 60L, filler('a', 100) + filler('b', 80))))
+    assert(out(2L) == ((1L, 60L, filler('c', 37) + filler('d', 120))))
+    assert(out(3L)._1 == 2L && out(3L)._2 == 110L)
+    assert(out(3L)._3 ==
+      filler('e', 90) + filler('f', 70) + filler('g', 50))
+    assert(out(4L) == ((1L, 50L, filler('h', 55) + filler('i', 66))))
+    assert(out(5L)._1 == 0L && out(5L)._3.contains(shared39))
+    assert(out(6L)._1 == 0L)
+    assert(out(7L)._1 == 0L, "within-doc repeats are not cross-doc dups")
+    assert(out(8L) == ((1L, 120L, "")))
+    assert(out(9L) == ((1L, 120L, "")))
+  }
+
   test("Checkpoints.truncate reliable mode (graft.checkpoint.dir) and " +
       "local mode produce identical CC labels (VERDICT r12 #3)") {
     import graft.operators.{Checkpoints, Dedup}
@@ -1609,6 +1682,26 @@ class OperatorsSpec extends AnyFunSuite {
     val best = out.maxBy(_._2)
     assert(best._3 == 0.0 && best._4 < 1.0 / 3.0,
       s"easiest domain must end under uniform: $out")
+  }
+
+  test("domainReweight keeps a NULL domain as real data (sorted last in " +
+      "the normalization fold, never an NPE — ADVICE r13)") {
+    import graft.operators.Mixing
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "easy"),
+      (2L, "alpha beta alpha beta gamma", "easy"),
+      (3L, "strange tokens nobody ever repeats", null)
+    ).toDF("doc_id", "text", "source")
+    val out = Mixing.domainReweight(docs, "doc_id", "text", "source",
+        eta = 0.5, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getAs[Double]("weight")))
+    assert(out.length == 2)
+    assert(out.count(_._1 == null) == 1, out.mkString(", "))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-12)
+    // under the MLE bigram model the all-hapax NULL domain is the MOST
+    // predictable (every bigram's only continuation: p = 1) → excess 0
+    // → downweighted relative to 'easy', whose alpha has two followers
+    assert(out.find(_._1 == null).get._2 < out.find(_._1 == "easy").get._2)
   }
 
   test("perplexityBucketsHist equals the window form, including " +
