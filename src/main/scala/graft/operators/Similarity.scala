@@ -833,7 +833,7 @@ object Similarity {
     val cand = hammingCand(
       cc.crossJoin(broadcast(qc)).filter(col("qid") =!= col("nid")),
       w, cands)
-    binaryRerank(cand, queries, corpus, idCol, vecCol, k)
+    binaryRerank(cand, queries, corpus, idCol, vecCol, dim, k, cands)
   }
 
   /** Shared Hamming scan stage: sums xor+popcount over the qbI/cbI code
@@ -865,19 +865,45 @@ object Similarity {
       p => p.getField("i"))
   }
 
-  /** Shared exact-cosine rerank of a (qid, nid, hamming) candidate set:
-    * candidates are the SMALL side (nq·cands rows) — broadcast them at
-    * the corpus, never the reverse. */
+  /** Broadcast ceiling (bytes, SQL conf) for [[binaryRerank]]'s
+    * candidate/query broadcasts; the shuffle-join fallback engages
+    * above it. */
+  val RerankBroadcastMaxBytesKey = "graft.ann.rerankBroadcastMaxBytes"
+
+  /** Shared exact-cosine rerank of a (qid, nid, hamming) candidate set.
+    * At serving scale the candidates are the SMALL side (nq·cands
+    * rows) — broadcast them at the corpus, never the reverse. A BATCH
+    * scoring job (millions of queries) outgrows that broadcast, so the
+    * dispatch mirrors the cosine verify's: decide on the QUERY SOURCE's
+    * optimizer estimate (trustworthy — it comes from the scan), bounding
+    * the candidate table from above by nq·cands 24-byte rows with
+    * nq ≤ qBytes/(8+4·dim). Beyond [[RerankBroadcastMaxBytesKey]]
+    * (default 32 MB), plain shuffle joins take over: candidates join the
+    * corpus on nid, then the queries on qid — and that final qid
+    * partitioning is exactly the rerank window's, so no extra exchange
+    * follows. Identical results either way (OperatorsSpec pins the
+    * forced-shuffle plan + equality). */
   private def binaryRerank(cand: DataFrame, queries: DataFrame,
-      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, cands: Int): DataFrame = {
     val nv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
       normKernel(col(vecCol)).as("nn"))
     val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       normKernel(col(vecCol)).as("qn"))
     val rerankW = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
-    nv.join(broadcast(cand), "nid")
-      .join(broadcast(qv), "qid")
+    val maxBytes = queries.sparkSession.conf
+      .getOption(RerankBroadcastMaxBytesKey)
+      .map(_.trim.toLong).getOrElse(32L << 20)
+    val qBytes = org.apache.spark.sql.graftaccess.Internals
+      .planSizeInBytes(queries)
+    val nqUpper = qBytes / (8L + 4L * dim) + 1L // id + float4 vector
+    val joined =
+      if (qBytes <= maxBytes && nqUpper * 24L * cands <= maxBytes)
+        nv.join(broadcast(cand), "nid").join(broadcast(qv), "qid")
+      else
+        cand.join(nv, "nid").join(qv, "qid")
+    joined
       .select(col("qid"), col("nid"), col("hamming"),
         (dotKernel(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       .withColumn("rnk", row_number().over(rerankW))
@@ -939,7 +965,7 @@ object Similarity {
         array_contains(col("probe_cells"), col("cell")) &&
           col("qid") =!= col("nid")),
       w, cands)
-    binaryRerank(cand, queries, corpus, idCol, vecCol, k)
+    binaryRerank(cand, queries, corpus, idCol, vecCol, dim, k, cands)
   }
 
   /** Shared SQL fragments of the binary-ANN oracles — ONE copy of the

@@ -443,6 +443,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall too low: ${cut.intersect(bfPairs).size}/${bfPairs.size}")
   }
 
+  test("binary rerank above the broadcast ceiling plans shuffle joins " +
+      "with identical results (VERDICT r13 stretch)") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    def run() = Similarity.binaryAnnTopK(queries, emb, "vec_id",
+      "embedding", dim = 64, k = 5, cands = 50)
+    // disable the planner's own size-based auto-broadcast so the plans
+    // show the DISPATCH's decision: the broadcast tier places hints
+    // (which override the threshold), the fallback places none (at real
+    // scale the planner's size estimates decide — and a huge candidate
+    // table then plans a shuffle join, as pinned here)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dflt = run()
+      assert(!dflt.queryExecution.sparkPlan.toString.contains("SortMergeJoin"),
+        "default rerank must stay broadcast at probe scale")
+      val before = dflt.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(4))).toSet
+      spark.conf.set(Similarity.RerankBroadcastMaxBytesKey, "1")
+      val forced = run()
+      assert(forced.queryExecution.sparkPlan.toString
+          .contains("SortMergeJoin"),
+        "forced-large rerank must plan shuffle joins")
+      val after = forced.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(4))).toSet
+      assert(after == before, "dispatch must not change results")
+    } finally {
+      spark.conf.unset(Similarity.RerankBroadcastMaxBytesKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("softDedup near-dup tier weights by cluster size, singletons keep 1") {
     import graft.operators.Dedup
     // pairs (1,2),(2,3) form one 3-cluster; (7,9) a 2-cluster; 5 alone
