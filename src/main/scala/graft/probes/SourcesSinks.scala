@@ -215,10 +215,24 @@ object SourcesSinks {
         .toDF("plan_with_metrics")
     },
 
-    // SET statement round-trip (lib.rs:651-653 acknowledges SET)
-    Probe.noOracle("q_set_conf") { (s, dir) =>
+    // SET statement round-trip (lib.rs:651-653 acknowledges SET) —
+    // ORACLE-checked since round 14 (VERDICT r13 stretch #9): the SET
+    // values read back through information_schema.df_settings (the
+    // DataFusion settings-table surface) and hash-compare against a
+    // DuckDB VALUES replay of exactly what was set.
+    Probe.df("q_set_conf",
+      """SELECT * FROM (VALUES
+        |    ('spark.graft.probe.flag', 'on'),
+        |    ('spark.graft.probe.level', '7')) AS t(name, value)
+        |ORDER BY name""".stripMargin) { (s, dir) =>
       s.sql("SET spark.graft.probe.flag=on")
-      s.sql("SET spark.graft.probe.flag")
+      s.sql("SET spark.graft.probe.level=7")
+      InfoSchema.refresh(s)
+      s.sql(InfoSchema.rewrite(
+        """SELECT name, value FROM information_schema.df_settings
+          |WHERE name IN ('spark.graft.probe.flag',
+          |               'spark.graft.probe.level')
+          |ORDER BY name""".stripMargin))
     },
 
     // information_schema introspection (lib.rs:92) — ORACLE-checked
