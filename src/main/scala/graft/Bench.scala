@@ -210,8 +210,13 @@ object Bench {
     val watchlist = Map(
       "q_quality_classifier" -> 2.5,
       "q_fingerprint_overlap_banded" -> 3.0)
-    val forced = results
-      .filter { case (n, v) => watchlist.get(n).exists(v > _) }.map(_._1)
+    // standaloneK = 0 still means "no standalone re-measures at all" —
+    // the watchlist widens the default set, it must not override an
+    // explicit disable
+    val forced =
+      if (standaloneK <= 0) Seq.empty
+      else results
+        .filter { case (n, v) => watchlist.get(n).exists(v > _) }.map(_._1)
     val heaviest = (results.filter(_._2 >= 0).sortBy(-_._2)
       .take(math.max(0, standaloneK)).map(_._1) ++ forced).distinct
     val stjson = heaviest.map { n =>

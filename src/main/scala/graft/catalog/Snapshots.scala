@@ -284,12 +284,18 @@ object Snapshots {
     * files: a LIVE writer's tmp is milliseconds old. */
   private[catalog] def staleTmpFiles(tableDir: Path,
       cutoffMillis: Long): Seq[Path] = {
+    // a LIVE writer's tmp lives milliseconds: it can vanish between the
+    // list and the stat (the same list-then-read race refsOf tolerates)
+    // — a file that disappeared is simply not stale
+    def staleAt(p: Path): Boolean =
+      try Files.isRegularFile(p) &&
+        Files.getLastModifiedTime(p).toMillis <= cutoffMillis
+      catch { case _: java.io.IOException => false }
     def tmpsIn(d: Path): Seq[Path] =
       if (!Files.isDirectory(d)) Nil
       else scala.util.Using.resource(Files.list(d)) { st =>
-        st.iterator().asScala.filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".tmp") &&
-          Files.getLastModifiedTime(p).toMillis <= cutoffMillis).toList
+        st.iterator().asScala.filter(p =>
+          p.getFileName.toString.endsWith(".tmp") && staleAt(p)).toList
       }
     val branchLogs =
       if (!Files.isDirectory(branchesDir(tableDir))) Nil

@@ -147,19 +147,13 @@ object BpeTrain {
 
   /** `a < b` by UNSIGNED UTF-8 BYTES — Spark's UTF8String order and
     * DuckDB's string order; Java String.compareTo (UTF-16 units) sorts
-    * supplementary characters differently and must not decide ties. */
-  private def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+    * supplementary characters differently and must not decide ties.
+    * Delegates to UTF8String.compareTo (correct-by-construction against
+    * the sort order the distributed tier uses) rather than re-rolling
+    * the byte walk. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
 
   /** Driver-side twin of [[spaced]]: the SAME java.util.regex rewrite
     * Spark's regexp_replace runs. */

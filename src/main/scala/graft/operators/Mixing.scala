@@ -131,12 +131,21 @@ object Mixing {
       .select(col("__dom"),
         expr("CAST(coalesce(sq DIV nb, -1) AS BIGINT)").as("avg_q"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      // the normalization fold order — fixed by name. A NULL domain is
-      // real data (the language-ID-failure stance of
+      // the normalization fold order — fixed by name in UTF-8 BYTE
+      // order (UTF8String.compareTo = Spark's sort = DuckDB's binary
+      // `ORDER BY domain`; Java String.compareTo orders supplementary
+      // characters differently and must not decide the fold). A NULL
+      // domain is real data (the language-ID-failure stance of
       // LmScore.perplexityBucketsHist): it sorts LAST, matching the
-      // DuckDB oracle's default NULLS-LAST `list(w ORDER BY domain)`,
-      // instead of NPE-ing String ordering (ADVICE r13).
-      .sortBy { case (d, _) => (d == null, if (d == null) "" else d) }
+      // oracle's default NULLS-LAST `list(w ORDER BY domain)`, instead
+      // of NPE-ing String ordering (ADVICE r13).
+      .sortWith { case ((a, _), (b, _)) =>
+        if (a == null) false
+        else if (b == null) true
+        else org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      }
     require(perDomain.nonEmpty, "no domains in input")
     val best = perDomain.map(_._2).max
     val scale = (1L << 30).toDouble
