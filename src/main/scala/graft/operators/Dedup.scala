@@ -521,16 +521,57 @@ object Dedup {
     val L = gramChars
     require(L >= 2, s"gramChars must be >= 2, got $L")
     val t = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val grams = t.where(length(col("text")) >= L)
+    val grams = charGrams(t, L)
+    val dupFps = grams.select("id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("fp")
+    val dupPos = grams.join(dupFps, Seq("fp")).select("id", "pos")
+    removeCharSpans(t, dupPos, L)
+  }
+
+  /** INTRA-document exact-substring dedup — the within-doc complement
+    * of [[exactSubstrDedup]] (Lee et al. '22 treat both; scraped pages
+    * repeat their own boilerplate: navigation blocks, footers,
+    * templated paragraphs). Every occurrence of a ≥ `gramChars`-char
+    * substring whose fingerprint already appeared at an EARLIER
+    * position of the SAME document is flagged and removed, so exactly
+    * the first occurrence of each repeated region survives.
+    *
+    * Scale shape: one projection explodes (id, pos, 16-byte md5) rows;
+    * the first-occurrence window partitions by (id, fp) — fixed-width
+    * rows on one hash exchange, per-doc-gram granularity, no cross-doc
+    * state at all (this tier composes WITH, not instead of, the
+    * cross-doc one). Output: (id, n_spans, dup_chars, clean_text). */
+  def intraDocSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int = 40): DataFrame = {
+    val L = gramChars
+    require(L >= 2, s"gramChars must be >= 2, got $L")
+    val t = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "fp")
+    val dupPos = charGrams(t, L)
+      .withColumn("mp", min("pos").over(byFp))
+      .where(col("pos") > col("mp"))
+      .select("id", "pos")
+    removeCharSpans(t, dupPos, L)
+  }
+
+  /** (id, pos, fp) sliding L-char gram fingerprints off a (id, text)
+    * table — the shared front of the char-granularity substring ops. */
+  private def charGrams(t: DataFrame, L: Int): DataFrame =
+    t.where(length(col("text")) >= L)
       .select(col("id"), explode(expr(
         s"transform(sequence(1, length(text) - ${L - 1}), " +
           s"i -> struct(i AS pos, md5(substring(text, i, $L)) AS fp))"))
         .as("g"))
       .select(col("id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
-    val dupFps = grams.select("id", "fp").distinct()
-      .groupBy("fp").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2).select("fp")
-    val dupPos = grams.join(dupFps, Seq("fp")).select("id", "pos")
+
+  /** Char-span merge + rebuild over flagged gram positions — the shared
+    * back of [[exactSubstrDedup]] and [[intraDocSubstrDedup]]: flags →
+    * maximal spans ([[mergeSpans]]) → per-doc
+    * (n_spans, dup_chars, clean_text) with a segment-concat fold. */
+  private def removeCharSpans(t: DataFrame, dupPos: DataFrame,
+      L: Int): DataFrame = {
     val spans = mergeSpans(dupPos, L)
     val perDoc = spans.groupBy("id").agg(
       count(lit(1)).as("n_spans"),
@@ -563,7 +604,34 @@ object Dedup {
     * the span-merge skeleton (s/si/sp CTEs) mirrors it line for
     * line. */
   def exactSubstrOracleSql(table: String, idCol: String,
-      gramChars: Int): String = {
+      gramChars: Int): String =
+    charSpanRemovalOracleSql(table, idCol, gramChars,
+      s"""dfp AS (SELECT fp FROM (
+         |    SELECT fp, count(*) AS nd
+         |    FROM (SELECT DISTINCT $idCol, fp FROM p0) GROUP BY fp)
+         |  WHERE nd >= 2),
+         |p AS (SELECT $idCol, pos FROM p0 JOIN dfp USING (fp))"""
+        .stripMargin)
+
+  /** DuckDB replay of [[intraDocSubstrDedup]]: the same char-gram and
+    * span-removal chain with the flag stage swapped to
+    * later-than-first-occurrence within the document. */
+  def intraDocSubstrOracleSql(table: String, idCol: String,
+      gramChars: Int): String =
+    charSpanRemovalOracleSql(table, idCol, gramChars,
+      s"""p AS (SELECT $idCol, pos FROM (
+         |    SELECT $idCol, pos,
+         |      min(pos) OVER (PARTITION BY $idCol, fp) AS mp FROM p0)
+         |  WHERE pos > mp)""".stripMargin)
+
+  /** The shared char-granularity span-removal replay: `flagCteSql`
+    * supplies the CTE(s) deriving `p($idCol, pos)` — the flagged gram
+    * starts — from `p0($idCol, pos, fp)`; everything else (gram
+    * fingerprints, span merge, coverage, per-char rebuild) is ONE
+    * copy, mirroring the Scala side's charGrams/removeCharSpans
+    * split. */
+  private def charSpanRemovalOracleSql(table: String, idCol: String,
+      gramChars: Int, flagCteSql: String): String = {
     val k = gramChars
     s"""WITH w AS (SELECT $idCol, text FROM $table),
        |g AS (SELECT $idCol, unnest(
@@ -571,11 +639,7 @@ object Dedup {
        |      for i in range(1, length(text) - ${k - 2}) ]) AS u
        |  FROM w WHERE length(text) >= $k),
        |p0 AS (SELECT $idCol, u.pos AS pos, u.fp AS fp FROM g),
-       |dfp AS (SELECT fp FROM (
-       |    SELECT fp, count(*) AS nd
-       |    FROM (SELECT DISTINCT $idCol, fp FROM p0) GROUP BY fp)
-       |  WHERE nd >= 2),
-       |p AS (SELECT $idCol, pos FROM p0 JOIN dfp USING (fp)),
+       |""".stripMargin + flagCteSql + s""",
        |s AS (SELECT $idCol, pos,
        |    CASE WHEN lag(pos) OVER win IS NULL
        |          OR pos - lag(pos) OVER win > $k

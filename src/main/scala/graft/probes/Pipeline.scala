@@ -571,6 +571,30 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // INTRA-document exact-substring dedup (the within-doc complement:
+    // scraped pages repeating their own boilerplate). Every 40th doc
+    // gets its own first 80 chars appended — the duplicated tail is
+    // flagged as later-than-first-occurrence and removed; the head (the
+    // FIRST occurrence) survives. Same shared char-gram/span/rebuild
+    // chain, flag stage swapped to a per-(doc, fp) first-occurrence
+    // window.
+    Probe.df("q_dedup_substr_intra",
+      Dedup.intraDocSubstrOracleSql(
+        "(SELECT doc_id, CASE WHEN doc_id % 40 = 0 " +
+          "THEN text || ' ' || substr(text, 1, 80) ELSE text END AS text " +
+          "FROM documents)",
+        "doc_id", gramChars = 40)) { (s, dir) =>
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 40 === 0,
+            concat(col("text"), lit(" "), substring(col("text"), 1, 80)))
+            .otherwise(col("text")).as("text"))
+      Dedup.intraDocSubstrDedup(planted, "doc_id", "text", gramChars = 40)
+        .select(col("id").as("doc_id"), col("n_spans"), col("dup_chars"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // Span-level DECONTAMINATION (GPT-3 appendix C): train = the whole
     // corpus, eval = doc_id % 17 = 0; every train gram that appears in
     // eval flags its span, flagged spans are surgically removed. Eval

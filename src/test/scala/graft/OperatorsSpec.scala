@@ -1522,6 +1522,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(9L) == ((1L, 120L, "")))
   }
 
+  test("intraDocSubstrDedup keeps the FIRST occurrence of a within-doc " +
+      "repeat and ignores cross-doc-only duplication") {
+    import graft.operators.Dedup
+    val L = 40
+    // NON-periodic fillers: a single-char (or short-period) run longer
+    // than L legitimately self-repeats and WOULD be flagged — the
+    // index-embedded form never repeats a 40-char window
+    def filler(tag: Char, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString.take(n)
+    val boiler = "NAVIGATIONBLOCKNAVIGATIONBLOCKNAVIGATIONBLOCK" // 45
+    assert(boiler.length == 45)
+    val docs = Seq(
+      // the repeat: boiler at two positions — second occurrence removed
+      (1L, boiler + filler('a', 60) + boiler + filler('b', 50)),
+      // cross-doc duplication ONLY (same text as doc 3): intra-doc tier
+      // must NOT touch it
+      (2L, filler('c', 100)),
+      (3L, filler('c', 100))
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocSubstrDedup(docs, "doc_id", "text", L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: second boiler occurrence = chars [106, 150]; note the
+    // 'c'-filler docs are untouched (within-DOC first occurrences only)
+    assert(out(1L)._1 == 1L, out(1L).toString)
+    assert(out(1L)._3 == boiler + filler('a', 60) + filler('b', 50),
+      out(1L)._3)
+    assert(out(1L)._2 == 45L)
+    assert(out(2L) == ((0L, 0L, filler('c', 100))))
+    assert(out(3L) == ((0L, 0L, filler('c', 100))))
+    // single-char run: "d"*120 repeats ITSELF at offset 1 — everything
+    // after the first L-gram's start is a later occurrence; the span
+    // covers [2, 120] and exactly the first char survives
+    val run = Seq((9L, "d" * 120)).toDF("doc_id", "text")
+    val r9 = Dedup.intraDocSubstrDedup(run, "doc_id", "text", L)
+      .collect().head
+    assert(r9.getString(3) == "d" && r9.getLong(2) == 119L)
+  }
+
   test("Checkpoints.truncate reliable mode (graft.checkpoint.dir) and " +
       "local mode produce identical CC labels (VERDICT r12 #3)") {
     import graft.operators.{Checkpoints, Dedup}
