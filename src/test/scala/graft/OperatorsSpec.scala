@@ -342,6 +342,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out - 5L == full)
   }
 
+  test("clusterPairsDelta re-applied with the SAME batch is a fixpoint " +
+      "(foreachBatch re-delivery is safe by algebra)") {
+    import graft.operators.Dedup
+    // at-least-once foreachBatch can re-deliver a batch after a crash;
+    // the CC-delta ingest is safe without batchId bookkeeping iff
+    // merging the same pairs twice changes nothing
+    val labels0 = Seq((1L, 1L), (2L, 1L), (7L, 7L), (9L, 7L), (5L, 5L))
+      .toDF("id", "cluster")
+    val batch = Seq((2L, 9L), (11L, 12L)).toDF("ida", "idb")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val once = Dedup.clusterPairsDelta(labels0, batch)
+    val onceM = m(once)
+    val twiceM = m(Dedup.clusterPairsDelta(once, batch))
+    assert(twiceM == onceM, s"re-delivery changed labels: $twiceM vs $onceM")
+    assert(onceM(9L) == 1L && onceM(12L) == 11L && onceM(5L) == 5L)
+  }
+
   test("clusterPairsStar converges in O(log n) rounds on a deep chain") {
     // a 64-node path has diameter 63: min-label propagation needs ~63
     // shuffle rounds; the alternating algorithm must stay logarithmic
