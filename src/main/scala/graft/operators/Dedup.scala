@@ -557,9 +557,15 @@ object Dedup {
   }
 
   /** (id, pos, fp) sliding L-char gram fingerprints off a (id, text)
-    * table — the shared front of the char-granularity substring ops. */
+    * table — the shared front of the char-granularity substring ops.
+    * The explode is the canonical cheap-bytes/expensive-rows stage (one
+    * md5 PER CHARACTER of input): left on the scan's split count it ran
+    * on 6 of 32 threads at sf0.1 (4.5 s stages, measured) — the
+    * explicit-N spread (NOT AQE-coalescible) puts every core under it
+    * for the price of exchanging the small text table once. */
   private def charGrams(t: DataFrame, L: Int): DataFrame =
     t.where(length(col("text")) >= L)
+      .repartition(t.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), explode(expr(
         s"transform(sequence(1, length(text) - ${L - 1}), " +
           s"i -> struct(i AS pos, md5(substring(text, i, $L)) AS fp))"))
