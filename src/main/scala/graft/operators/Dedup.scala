@@ -776,6 +776,10 @@ object Dedup {
     val pos = df
       .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
       .where(size(col("ws")) >= 1)
+      // TWO md5s per word position off the scan's few splits without
+      // the explicit-N spread (the charGrams lesson: 3-task 1.0-1.2 s
+      // stages measured at sf0.1)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), explode(expr(
         s"""transform(ws, (wd, i) -> struct(i + 1 AS pos,
            |  CAST(conv(substr(md5(wd), 1, 15), 16, 10) AS BIGINT) AS h,
