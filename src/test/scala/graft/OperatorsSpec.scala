@@ -342,6 +342,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out - 5L == full)
   }
 
+  test("substring dedup (cross-doc AND intra-doc) matches a driver-side " +
+      "reference on random small-alphabet corpora") {
+    import graft.operators.Dedup
+    val L = 12
+    val rnd = new scala.util.Random(421)
+    // plain-Scala replay of the definition: grams → flags → merged
+    // spans (gap <= L on START positions) → coverage rebuild
+    def ref(texts: Seq[(Long, String)],
+        intra: Boolean): Map[Long, (Long, Long, String)] = {
+      val grams = texts.flatMap { case (id, t) =>
+        (0 to t.length - L).map(p => (id, p + 1, t.substring(p, p + L)))
+      }
+      val flagged: Map[Long, Seq[Int]] =
+        if (!intra) {
+          val dup = grams.groupBy(_._3)
+            .filter(_._2.map(_._1).distinct.size >= 2).keySet
+          grams.filter(g => dup(g._3)).groupBy(_._1)
+            .map { case (id, g) => id -> g.map(_._2).sorted }
+        } else grams.groupBy(g => (g._1, g._3)).toSeq
+          .flatMap { case ((id, _), g) =>
+            g.map(_._2).sorted.tail.map(p => (id, p))
+          }.groupBy(_._1).map { case (id, g) => id -> g.map(_._2).sorted }
+      texts.map { case (id, t) =>
+        val ps = flagged.getOrElse(id, Seq.empty)
+        var groups = Vector.empty[Vector[Int]]
+        ps.foreach { p =>
+          if (groups.nonEmpty && p - groups.last.last <= L)
+            groups = groups.init :+ (groups.last :+ p)
+          else groups = groups :+ Vector(p)
+        }
+        val spans = groups.map(g => (g.head, g.last + L - 1))
+        val covered = spans.flatMap { case (s, e) => s to e }.toSet
+        val clean = t.zipWithIndex
+          .collect { case (c, i) if !covered(i + 1) => c }.mkString
+        id -> ((spans.size.toLong,
+          spans.map { case (s, e) => (e - s + 1).toLong }.sum, clean))
+      }.toMap
+    }
+    (0 until 3).foreach { round =>
+      def randText(n: Int): String =
+        (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val shared = randText(30)
+      val docs = (1L to 12L).map { i =>
+        var t = randText(40 + rnd.nextInt(120))
+        if (i % 3 == 0) t = t.take(20) + shared + t.drop(20) // cross-doc
+        if (i % 4 == 0) t = t + t.take(25) // intra-doc self-repeat
+        (i, t)
+      }
+      val df = docs.toDF("doc_id", "text")
+      for (intra <- Seq(false, true)) {
+        val got = (if (intra) Dedup.intraDocSubstrDedup(df, "doc_id", "text", L)
+          else Dedup.exactSubstrDedup(df, "doc_id", "text", L))
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+        val want = ref(docs, intra)
+        assert(got == want,
+          s"round=$round intra=$intra diff=${
+            (got.toSet -- want.toSet).take(2)} vs ${
+            (want.toSet -- got.toSet).take(2)}")
+      }
+    }
+  }
+
   test("clusterPairsDelta re-applied with the SAME batch is a fixpoint " +
       "(foreachBatch re-delivery is safe by algebra)") {
     import graft.operators.Dedup
