@@ -384,7 +384,10 @@ object Dedup {
     * projection (O(len · n_spans), no shuffle of its own), but the
     * rebuild JOIN (word arrays × per-doc span lists on id) exchanges
     * the text once when the flagged-doc table outgrows a broadcast —
-    * the one text-carrying shuffle in the plan. Positions are 1-based;
+    * the one text-carrying shuffle AT CLUSTER SCALE (on an under-split
+    * local file the conditional [[OpConf.spreadForKernel]] adds a
+    * round-robin exchange of the small word arrays before the gram
+    * kernel; a finely-split real table skips it). Positions are 1-based;
     * a gram at p covers words [p, p+k-1], so two grams merge iff the
     * later start is ≤ the earlier end + 1, i.e. pos - prev_pos ≤ k. */
   def dupSpanDedup(df: DataFrame, idCol: String, textCol: String,
@@ -404,12 +407,14 @@ object Dedup {
   /** (id, pos, fp) sliding k-word gram fingerprints off a (id, ws)
     * table — the shared front of [[dupSpanDedup]] and
     * [[decontaminateSpans]]. Same cheap-bytes/expensive-rows spread as
-    * [[charGrams]]: one md5 per word position inherits the scan's few
-    * splits without the explicit-N repartition (measured on the char
-    * tier: 6 of 32 threads, 3.6× slower). */
-  private def spanGrams(w: DataFrame, k: Int): DataFrame =
-    w.where(size(col("ws")) >= k)
-      .repartition(w.sparkSession.sparkContext.defaultParallelism)
+    * [[charGrams]] (one md5 per word position serializes on an
+    * under-split scan); `spread = false` skips it for inputs that are
+    * tiny BY CONTRACT (an eval set), where even the conditional
+    * exchange is pure overhead. */
+  private def spanGrams(w: DataFrame, k: Int,
+      spread: Boolean = true): DataFrame =
+    (if (spread) OpConf.spreadForKernel(w.where(size(col("ws")) >= k))
+     else w.where(size(col("ws")) >= k))
       .select(col("id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${k - 1}), " +
           s"i -> struct(i AS pos, md5(array_join(slice(ws, i, $k), ' ')) AS fp))"))
@@ -482,7 +487,8 @@ object Dedup {
     val k = gramWords
     val w = train.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
     val evalFps = spanGrams(
-        eval.select(col(idCol).as("id"), words(col(textCol)).as("ws")), k)
+        eval.select(col(idCol).as("id"), words(col(textCol)).as("ws")), k,
+        spread = false) // benchmark-sized by contract: no exchange
       .select("fp").distinct()
     val dupPos = spanGrams(w, k)
       .join(broadcast(evalFps), Seq("fp"))
@@ -538,8 +544,13 @@ object Dedup {
     * repeat their own boilerplate: navigation blocks, footers,
     * templated paragraphs). Every occurrence of a ≥ `gramChars`-char
     * substring whose fingerprint already appeared at an EARLIER
-    * position of the SAME document is flagged and removed, so exactly
-    * the first occurrence of each repeated region survives.
+    * position of the SAME document is flagged and removed. For
+    * NON-overlapping repeats the first occurrence survives intact; an
+    * OVERLAPPING self-repeat (period < gramChars, e.g. a padding run)
+    * flags every gram start after the first, so the maximal merged
+    * span collapses the run to its first character(s) — spec-pinned
+    * ('d'·120 → clean_text "d"), the maximal-span contract rather
+    * than a keep-one-period rewrite.
     *
     * Scale shape: one projection explodes (id, pos, 16-byte md5) rows;
     * the first-occurrence window partitions by (id, fp) — fixed-width
@@ -563,13 +574,13 @@ object Dedup {
   /** (id, pos, fp) sliding L-char gram fingerprints off a (id, text)
     * table — the shared front of the char-granularity substring ops.
     * The explode is the canonical cheap-bytes/expensive-rows stage (one
-    * md5 PER CHARACTER of input): left on the scan's split count it ran
-    * on 6 of 32 threads at sf0.1 (4.5 s stages, measured) — the
-    * explicit-N spread (NOT AQE-coalescible) puts every core under it
-    * for the price of exchanging the small text table once. */
+    * md5 PER CHARACTER of input): left on a small local file's few scan
+    * splits it ran on 6 of 32 threads at sf0.1 (4.5 s stages, measured)
+    * — [[OpConf.spreadForKernel]] spreads it only when the scan
+    * under-splits, so a finely-split cluster table never pays a text
+    * exchange for it. */
   private def charGrams(t: DataFrame, L: Int): DataFrame =
-    t.where(length(col("text")) >= L)
-      .repartition(t.sparkSession.sparkContext.defaultParallelism)
+    OpConf.spreadForKernel(t.where(length(col("text")) >= L))
       .select(col("id"), explode(expr(
         s"transform(sequence(1, length(text) - ${L - 1}), " +
           s"i -> struct(i AS pos, md5(substring(text, i, $L)) AS fp))"))
@@ -743,8 +754,10 @@ object Dedup {
     *
     * Scale shape: gram AND word hashing happen INSIDE the per-doc array,
     * so the rows the boundary-cumsum window shuffles are fixed-width
-    * (id, pos, 60-bit word hash, boundary bool) — never text, the same
-    * fingerprint-only-shuffle discipline as [[dupSpanDedup]]; chunk
+    * (id, pos, 60-bit word hash, boundary bool) — never text at cluster
+    * scale (an under-split local scan first pays the conditional
+    * [[OpConf.spreadForKernel]] round-robin of the small word arrays),
+    * the same fingerprint-only-shuffle discipline as [[dupSpanDedup]]; chunk
     * fingerprinting groups on the same (id) partitioning (exchange
     * reusable); duplicate detection shuffles 16-byte fingerprints; the
     * (tiny) duplicated-fp set broadcasts back. A chunk's identity is the
@@ -776,10 +789,10 @@ object Dedup {
     val pos = df
       .select(col(idCol).as("id"), words(col(textCol)).as("ws"))
       .where(size(col("ws")) >= 1)
-      // TWO md5s per word position off the scan's few splits without
-      // the explicit-N spread (the charGrams lesson: 3-task 1.0-1.2 s
-      // stages measured at sf0.1)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // TWO md5s per word position serialize on an under-split scan
+      // (3-task 1.0-1.2 s stages measured at sf0.1); conditional, so a
+      // finely-split cluster table pays nothing
+      .transform(OpConf.spreadForKernel)
       .select(col("id"), explode(expr(
         s"""transform(ws, (wd, i) -> struct(i + 1 AS pos,
            |  CAST(conv(substr(md5(wd), 1, 15), 16, 10) AS BIGINT) AS h,

@@ -95,18 +95,27 @@ class PlanSpec extends AnyFunSuite {
       "expected partial aggregation before the shuffle")
   }
 
-  test("CDC chunking plans ONE data exchange: the chunk aggregation " +
-      "reuses the boundary-window's hash(id) partitioning") {
+  test("CDC chunking plans ONE hash exchange (chunk aggregation reuses " +
+      "the boundary-window's hash(id) partitioning) plus at most the " +
+      "conditional kernel spread") {
     // the window needs hash(id); groupBy(id, chunk) is satisfied by the
-    // same partitioning (subset clustering) — a second exchange before
-    // the chunk fingerprints would re-shuffle the whole corpus's rows
+    // same partitioning (subset clustering) — a SECOND hash exchange
+    // before the chunk fingerprints would re-shuffle the whole corpus's
+    // rows. The round-robin exchange is OpConf.spreadForKernel: present
+    // here because the tiny local file under-splits, absent on a
+    // finely-split table (conditional — r14).
     val chunks = graft.operators.Dedup.cdcChunks(
       Tables.load(spark, "/root/testdata/sf0.001", "documents"),
       "doc_id", "text", 4, 8)
     val p = chunks.queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n" +
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
       p.take(1200))
+    // case varies by node (hashpartitioning prints lowercase,
+    // RoundRobinPartitioning as the case-class name)
+    val rrEx = "(?i)Exchange roundrobinpartitioning".r.findAllIn(p).size
+    assert(rrEx == 1, "expected exactly the kernel spread on this " +
+      s"under-split local scan, got $rrEx:\n" + p.take(1200))
   }
 
   test("PCA's Gram pass map-side combines before its dim^2-group exchange") {
