@@ -111,10 +111,19 @@ object ContendMain {
       case "victim" =>
         // committed INSERTs until SIGKILLed from outside; each success is
         // acknowledged on stdout AFTER the commit returns, so the killer
-        // knows a lower bound on what must be visible afterwards
+        // knows a lower bound on what must be visible afterwards. Every
+        // 5th round also runs expire_snapshots, which HOLDS the refs
+        // lock — a kill landing inside it proves the lock is an OS
+        // advisory lock (kernel-released on death), not a lock-file
+        // protocol a dead holder would strand: checkkill's own
+        // drop_branch/orphan sweep take the same lock and would hang
+        // forever on a stranded one.
         val n = args(2).toInt
         (1 to n).foreach { i =>
           spark.sql(s"INSERT INTO gcont.s.t VALUES (${2000 + i}, 'v')")
+          if (i % 5 == 0)
+            spark.sql(
+              "CALL gcont.system.expire_snapshots('s.t', 100)").collect()
           println(s"victim committed $i")
           Console.out.flush()
         }
