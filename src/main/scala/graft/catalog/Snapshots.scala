@@ -291,17 +291,25 @@ object Snapshots {
       try Files.isRegularFile(p) &&
         Files.getLastModifiedTime(p).toMillis <= cutoffMillis
       catch { case _: java.io.IOException => false }
+    // whole DIRECTORIES race too: this sweep runs outside the refs
+    // lock, so a concurrent drop_branch can delete a branch log between
+    // the isDirectory check and the list — a vanished dir has no stale
+    // tmps, same stance as the per-file race below
     def tmpsIn(d: Path): Seq[Path] =
-      if (!Files.isDirectory(d)) Nil
-      else scala.util.Using.resource(Files.list(d)) { st =>
-        st.iterator().asScala.filter(p =>
-          p.getFileName.toString.endsWith(".tmp") && staleAt(p)).toList
-      }
+      try {
+        if (!Files.isDirectory(d)) Nil
+        else scala.util.Using.resource(Files.list(d)) { st =>
+          st.iterator().asScala.filter(p =>
+            p.getFileName.toString.endsWith(".tmp") && staleAt(p)).toList
+        }
+      } catch { case _: java.io.IOException => Nil }
     val branchLogs =
-      if (!Files.isDirectory(branchesDir(tableDir))) Nil
-      else scala.util.Using.resource(Files.list(branchesDir(tableDir))) {
-        st => st.iterator().asScala.filter(Files.isDirectory(_)).toList
-      }
+      try {
+        if (!Files.isDirectory(branchesDir(tableDir))) Nil
+        else scala.util.Using.resource(Files.list(branchesDir(tableDir))) {
+          st => st.iterator().asScala.filter(Files.isDirectory(_)).toList
+        }
+      } catch { case _: java.io.IOException => Nil }
     (dir(tableDir) +: refsDir(tableDir) +: branchLogs).flatMap(tmpsIn)
   }
 

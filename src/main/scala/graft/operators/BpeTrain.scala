@@ -145,15 +145,10 @@ object BpeTrain {
     } else trainRounds(spark, base, merges, seed, wordPiece)
   }
 
-  /** `a < b` by UNSIGNED UTF-8 BYTES — Spark's UTF8String order and
-    * DuckDB's string order; Java String.compareTo (UTF-16 units) sorts
-    * supplementary characters differently and must not decide ties.
-    * Delegates to UTF8String.compareTo (correct-by-construction against
-    * the sort order the distributed tier uses) rather than re-rolling
-    * the byte walk. */
-  private def utf8Lt(a: String, b: String): Boolean =
-    org.apache.spark.unsafe.types.UTF8String.fromString(a)
-      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+  /** `a < b` by UNSIGNED UTF-8 BYTES (the shared [[OpConf.utf8Lt]]) —
+    * ties must break in Spark's UTF8String order, never Java's UTF-16
+    * compareTo. */
+  private def utf8Lt(a: String, b: String): Boolean = OpConf.utf8Lt(a, b)
 
   /** Driver-side twin of [[spaced]]: the SAME java.util.regex rewrite
     * Spark's regexp_replace runs. */

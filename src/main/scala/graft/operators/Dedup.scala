@@ -512,8 +512,11 @@ object Dedup {
     *
     * Scale shape: the gram stream shuffles only (id, pos, 16-byte md5)
     * rows — never text — once for the cross-doc duplicate count and
-    * once into the span-merge window; the duplicated-fp set broadcasts
-    * back. Per-char grams are O(total chars) rows, the price of the
+    * once into the span-merge window; the duplicated-fp set joins back
+    * via AQE's runtime-size broadcast (deliberately NOT hint-forced: a
+    * pathologically duplicated corpus makes dupFps as big as the gram
+    * stream, where a forced broadcast would OOM and a shuffle join is
+    * the right plan). Per-char grams are O(total chars) rows, the price of the
     * EXACT guarantee; at 100 TB the winnowed fingerprint tier
     * ([[graft.operators.Fingerprint]]) selects O(len/w) grams per doc
     * with the ≥ L+w−1 match guarantee and feeds the same span merge —
@@ -688,9 +691,13 @@ object Dedup {
        |SELECT w.$idCol,
        |  coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
        |  coalesce(agg.dup_chars, 0)::BIGINT AS dup_chars,
-       |  coalesce(ct.clean_text, '') AS clean_text
+       |  CASE WHEN w.text IS NULL THEN NULL
+       |       ELSE coalesce(ct.clean_text, '') END AS clean_text
        |FROM w LEFT JOIN agg USING ($idCol) LEFT JOIN ct USING ($idCol)
        |ORDER BY w.$idCol""".stripMargin
+    // NULL text passes through as NULL clean_text on BOTH sides (the
+    // Spark CASE keeps text; a blanket coalesce('') here would diverge
+    // from the operator — third-review finding).
   }
 
   /** Shared DuckDB replay of the span-removal pipeline ([[dupSpanDedup]]

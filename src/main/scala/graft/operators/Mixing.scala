@@ -142,9 +142,7 @@ object Mixing {
       .sortWith { case ((a, _), (b, _)) =>
         if (a == null) false
         else if (b == null) true
-        else org.apache.spark.unsafe.types.UTF8String.fromString(a)
-          .compareTo(
-            org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+        else OpConf.utf8Lt(a, b)
       }
     require(perDomain.nonEmpty, "no domains in input")
     val best = perDomain.map(_._2).max
@@ -190,9 +188,14 @@ object Mixing {
          |    CAST(bst.b - avg_q AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS x,
          |    $one AS w
          |  FROM dom, bst),""".stripMargin + "\n" + roundCtes + "\n" +
-      s"""SELECT d0.domain, d0.avg_q, d0.x AS excess, w$rounds.w AS weight
-         |FROM d0 JOIN w$rounds USING (domain)
-         |ORDER BY domain""".stripMargin
+      s"""SELECT d0.domain, d0.avg_q, d0.x AS excess, wr.w AS weight
+         |FROM d0 JOIN w$rounds wr
+         |  ON d0.domain IS NOT DISTINCT FROM wr.domain
+         |ORDER BY d0.domain""".stripMargin
+    // the join is NULL-SAFE so a NULL domain row survives the replay
+    // (USING (domain) would silently drop it — third-review finding);
+    // note a composition that carries NULL domains must also align the
+    // two engines' ORDER BY null placement (DuckDB last, Spark first).
   }
 
   /** DuckDB replay of [[exactMix]] (α = 0.5 — hardware sqrt is correctly

@@ -27,6 +27,25 @@ private[graft] object OpConf {
     * happens exactly when its bytes are small. */
   def spreadForKernel(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // A plan that already SHUFFLES is at the session's shuffle
+    // parallelism — no spread needed, and probing it with .rdd under
+    // AQE would eagerly EXECUTE the upstream stages at construction
+    // time (third-review finding). Only narrow (scan/filter/project)
+    // plans consult .rdd, where partition planning runs no jobs.
+    val hasShuffle = df.queryExecution.sparkPlan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isDefined
+    if (hasShuffle) df
+    else if (df.rdd.getNumPartitions < par) df.repartition(par)
+    else df
   }
+
+  /** `a < b` by UNSIGNED UTF-8 BYTES (UTF8String.compareTo) — Spark's
+    * sort order and DuckDB's binary string order; Java String.compareTo
+    * (UTF-16 units) sorts supplementary characters differently and must
+    * never decide a tie or fold order an oracle replays. ONE copy for
+    * every driver-side argmax/sort that feeds an oracle. */
+  def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
 }

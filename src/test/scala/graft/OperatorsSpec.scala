@@ -1585,7 +1585,10 @@ class OperatorsSpec extends AnyFunSuite {
       (7L, filler('n', 60) + "V" * 45 + filler('o', 60) + "V" * 45),
       // 8 & 9: full duplicates — everything removed
       (8L, filler('p', 120)),
-      (9L, filler('p', 120))
+      (9L, filler('p', 120)),
+      // 10: NULL text passes through as NULL (both engines — the oracle
+      // CASE mirrors it)
+      (10L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", L)
       .collect().map(r => r.getLong(0) ->
@@ -1601,6 +1604,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(7L)._1 == 0L, "within-doc repeats are not cross-doc dups")
     assert(out(8L) == ((1L, 120L, "")))
     assert(out(9L) == ((1L, 120L, "")))
+    assert(out(10L) == ((0L, 0L, null)))
   }
 
   test("intraDocSubstrDedup keeps the FIRST occurrence of a within-doc " +
