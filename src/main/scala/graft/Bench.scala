@@ -202,21 +202,56 @@ object Bench {
     // (0 disables).
     val standaloneK =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STANDALONE", "5").toInt
-    // Pinned quiet-box in-suite criteria (BASELINE.md "Round 14"): the
-    // two adjudicated load-amplified queries are FORCED into the
-    // standalone re-measure whenever their in-suite best-of exceeds the
-    // criterion, so the same run already carries the steady-state number
-    // instead of re-litigating the adjudication by hand (VERDICT r13 #5).
-    val watchlist = Map(
-      "q_quality_classifier" -> 2.5,
-      "q_fingerprint_overlap_banded" -> 3.0)
+    // Quiet-box BAND per query (VERDICT r14 #1, generalizing the r14
+    // two-query watchlist): each value is the recorded quiet best
+    // (min of the round-15 quiet anchor and the r14 closing quiet
+    // line, load_start <= 0.3 both — provenance in BASELINE.md
+    // "Round 15"). ANY query whose in-suite best-of-passes exceeds
+    // 1.5x its band is FORCED into the same-run standalone
+    // re-measure, so every driver line self-adjudicates: an inflated
+    // in-suite sample (the r14-diagnosed disk-I/O co-tenant shape)
+    // ships with its steady-state number in the same JSON instead of
+    // needing a by-hand re-measure. Queries without a band (new this
+    // round) are only covered by the top-K set until their first
+    // quiet anchor. Bands are adjudication thresholds, not goals —
+    // update them only from quiet (load_start < 1.5) runs.
+    val bands = Map(
+      "q1_agg" -> 0.308, "q_agg_distinct" -> 0.597, "q_ann_binary" -> 0.88,
+      "q_ann_ivf" -> 0.227, "q_ann_ivfbin" -> 1.053, "q_ann_opq" -> 1.11,
+      "q_ann_topk" -> 0.429, "q_blocklist" -> 0.428, "q_bm25" -> 0.563,
+      "q_corr_scalar_subquery" -> 0.666, "q_date_bin" -> 0.21, "q_dedup_cc_star" -> 3.838,
+      "q_dedup_cdc" -> 1.519, "q_dedup_chunks" -> 0.83, "q_dedup_cosine" -> 0.302,
+      "q_dedup_cosine_lsh" -> 1.278, "q_dedup_minhash" -> 1.865, "q_dedup_minhash_auto" -> 1.36,
+      "q_fingerprint_overlap_banded" -> 1.997, "q_grouping_sets" -> 0.361, "q_join_asof" -> 0.411,
+      "q_join_containment" -> 1.184, "q_join_cosine_lsh" -> 1.243, "q_join_fuzzy" -> 3.154,
+      "q_join_interval" -> 0.721, "q_join_jaccard_groups" -> 1.384, "q_join_jaccard_weighted" -> 1.817,
+      "q_join_salted_auto" -> 0.614, "q_join_star" -> 0.777, "q_langid" -> 1.088,
+      "q_lm_ppl_buckets" -> 1.435, "q_lm_score" -> 0.861, "q_lm_score_kn" -> 1.035,
+      "q_pack_bfd" -> 0.242, "q_pca_gram" -> 4.443, "q_pipeline_e2e" -> 0.598,
+      "q_profile_approx" -> 0.615, "q_quality_classifier" -> 2.176, "q_retrieval_rrf" -> 0.778,
+      "q_sessionize" -> 0.494, "q_text_sentence_chunks" -> 0.7, "q_text_stats" -> 0.362,
+      "q_tfidf" -> 0.671, "q_tokenize_bpe" -> 0.339, "q_topk" -> 0.063,
+      "q_tpch_q1" -> 0.406, "q_tpch_q10" -> 0.476, "q_tpch_q11" -> 0.543,
+      "q_tpch_q16" -> 0.485, "q_tpch_q18" -> 1.009, "q_tpch_q2" -> 0.608,
+      "q_tpch_q20" -> 0.561, "q_tpch_q21" -> 1.16, "q_tpch_q3" -> 0.684,
+      "q_tpch_q5" -> 0.726, "q_tpch_q6" -> 0.134, "q_tpch_q8" -> 0.536,
+      "q_unigram_train" -> 1.133, "q_vocab" -> 0.352, "q_win_rank" -> 0.333,
+      "q_window_session" -> 0.538)
+    // A renamed query must SURFACE, not silently lose its band
+    // (ADVICE r14): warn loudly on band keys that no longer exist.
+    val unknownBands = bands.keySet.diff(qs.keySet)
+    if (unknownBands.nonEmpty) System.err.println(
+      s"[bench] WARNING: band entries for unknown queries " +
+        s"${unknownBands.toSeq.sorted.mkString(", ")} — renamed in " +
+        "SparkEntry.queries? Their standalone forcing is disabled.")
     // standaloneK = 0 still means "no standalone re-measures at all" —
-    // the watchlist widens the default set, it must not override an
+    // the band forcing widens the default set, it must not override an
     // explicit disable
     val forced =
       if (standaloneK <= 0) Seq.empty
       else results
-        .filter { case (n, v) => watchlist.get(n).exists(v > _) }.map(_._1)
+        .filter { case (n, v) => bands.get(n).exists(b => v > 1.5 * b) }
+        .map(_._1)
     val heaviest = (results.filter(_._2 >= 0).sortBy(-_._2)
       .take(math.max(0, standaloneK)).map(_._1) ++ forced).distinct
     val stjson = heaviest.map { n =>

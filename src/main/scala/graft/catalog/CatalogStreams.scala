@@ -86,7 +86,13 @@ object CatalogStreams {
     * function of (table state WITHOUT this batchId, batch rows) and the
     * delete-first replay is exact. NOTE the non-append commits make the
     * sink table unsuitable for [[readTable]] tailing — idempotent sinks
-    * are terminal tables by design. */
+    * are terminal tables by design. A further caveat (ADVICE r14): the
+    * DELETE and APPEND are TWO snapshot commits, so during a replay a
+    * concurrent reader of the CURRENT snapshot can transiently observe
+    * the batch's rows absent (after the delete, before the re-append) —
+    * batch-atomic visibility for concurrent readers needs a
+    * multi-operation transaction the catalog does not have; readers that
+    * need a stable view should pin a snapshot (`VERSION AS OF`). */
   def idempotentAppend(ident: String, batchIdCol: String = "_batch_id")(
       df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession

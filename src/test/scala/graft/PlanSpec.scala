@@ -114,8 +114,19 @@ class PlanSpec extends AnyFunSuite {
     // case varies by node (hashpartitioning prints lowercase,
     // RoundRobinPartitioning as the case-class name)
     val rrEx = "(?i)Exchange roundrobinpartitioning".r.findAllIn(p).size
-    assert(rrEx == 1, "expected exactly the kernel spread on this " +
-      s"under-split local scan, got $rrEx:\n" + p.take(1200))
+    // The spread is CONDITIONAL on this machine's parallelism vs the
+    // fixture's scan-split count (ADVICE r14: on a low-core box the
+    // scan may already match defaultParallelism and the spread
+    // correctly stays out) — derive the expectation from the same
+    // predicate the operator dispatches on instead of hard-coding 1.
+    val scanParts = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").rdd.getNumPartitions
+    val expected =
+      if (scanParts < spark.sparkContext.defaultParallelism) 1 else 0
+    assert(rrEx == expected, s"expected $expected kernel spread(s) " +
+      s"(scan splits $scanParts vs parallelism " +
+      s"${spark.sparkContext.defaultParallelism}), got $rrEx:\n" +
+      p.take(1200))
   }
 
   test("PCA's Gram pass map-side combines before its dim^2-group exchange") {

@@ -44,6 +44,17 @@ sleep $((5 + RANDOM % 8))
 kill -9 $V_PID 2>/dev/null
 wait $V_PID 2>/dev/null
 ACKED=$(grep -c "victim committed" "$WH.victim.out")
+# A victim that died at STARTUP (classpath/session error) commits
+# nothing and would make this stage pass vacuously (ADVICE r14): with
+# zero acked commits, require the log to show a healthy Spark bring-up
+# and no exception — otherwise the "kill test" never tested a kill.
+if [ "$ACKED" -eq 0 ]; then
+  if grep -qE 'Exception in thread|Could not find or load main class|NoClassDefFoundError' "$WH.victim.log"; then
+    echo "CONTEND KILL STAGE INVALID: victim failed at startup (acked=0)"
+    tail -5 "$WH.victim.log"; exit 1
+  fi
+  echo "contend: kill landed pre-first-commit (acked=0, startup healthy)"
+fi
 SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain checkkill "$WH" "$ACKED" \
   2>"$WH.checkkill.log" | grep "CONTEND KILL OK" \
   || { echo "CONTEND KILL CHECK FAILED (acked=$ACKED)"; tail -10 "$WH.checkkill.log"; exit 1; }
