@@ -94,6 +94,50 @@ case class WinnowPairKeys(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_pair_keys"
 }
 
+/** POSITIONAL winnow selection: the distinct (gram position, hash)
+  * pairs the winnow actually selects, 1-based code-point positions in
+  * ascending order — the gram source of the winnowed exact-substring
+  * dedup tier ([[graft.operators.Dedup.winnowSubstrDedup]]), which
+  * needs positions to merge flagged grams into removable char spans.
+  * [[WinnowFingerprints]] deliberately discards positions (set
+  * semantics for overlap joins); this kernel keeps them.
+  *
+  * Tie rule (cross-engine pinned): each window selects its minimum
+  * hash, ties broken by the RIGHTMOST position — the standard
+  * winnowing tie rule, and exactly what the monotonic deque's `>=`
+  * pop produces. The DuckDB oracle replays it by minimizing
+  * `hash * 2^31 + (2^31 - pos)` per window (hash < 2^30, pos < 2^31:
+  * lossless in one BIGINT; larger pos ⇒ smaller encoding ⇒ rightmost
+  * wins equal hashes). Selection is LOCAL (window contents only), so
+  * two documents sharing a ≥ k+w−1-char substring select identical
+  * (relative position, hash) pairs inside it — the guarantee the
+  * span-merge tier builds on. */
+case class WinnowPositions(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, "winnow needs k >= 2, w >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_positions expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.computePositions(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.WinnowFingerprints.computePositions($in, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "winnow_positions"
+}
+
 object WinnowFingerprints {
   final val Base = 257L
   final val Mod = 1000000007L
@@ -183,6 +227,50 @@ object WinnowFingerprints {
     * note): rolling k-gram hashes + deque window minima + distinct sort. */
   def compute(text: UTF8String, k: Int, w: Int): GenericArrayData =
     toSortedDistinctArrayData(minimaSequence(rollingHashes(text, k), w))
+
+  /** [[WinnowPositions]]' helper: distinct selected (1-based position,
+    * hash) structs in ascending position order. Same deque as
+    * [[minimaSequence]] (min per window, rightmost tie) but keeping the
+    * selected INDEX; the head index is non-decreasing across windows,
+    * so last-value dedup yields a sorted distinct position list. */
+  def computePositions(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val hashes = rollingHashes(text, k)
+    val m = hashes.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val sel = new Array[Int](m)
+    var sl = 0
+    if (m <= w) {
+      // a document shorter than one full window is ONE window: the
+      // rightmost minimal gram of the whole sequence is selected
+      var best = 0
+      var i = 1
+      while (i < m) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
+      sel(0) = best; sl = 1
+    } else {
+      val deque = new Array[Int](m)
+      var head = 0
+      var tail = 0 // exclusive
+      var i = 0
+      while (i < m) {
+        while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) {
+          val p = deque(head)
+          if (sl == 0 || sel(sl - 1) != p) { sel(sl) = p; sl += 1 }
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Any](sl)
+    var j = 0
+    while (j < sl) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](sel(j) + 1, hashes(sel(j))))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Sorted distinct `h1 * Mod + h2` keys over ADJACENT entries of the
     * positional winnow sequence — the band-of-2 blocking keys

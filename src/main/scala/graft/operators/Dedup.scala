@@ -574,6 +574,63 @@ object Dedup {
     removeCharSpans(t, dupPos, L)
   }
 
+  /** WINNOWED exact-substring dedup — the 100 TB gram-selection tier of
+    * [[exactSubstrDedup]] (VERDICT r14 #2; Schleimer et al. '03
+    * winnowing composed with Lee et al. '22 §4.2 span removal). Where
+    * the exact tier fingerprints EVERY L-char gram (O(total chars)
+    * gram rows — the price of the every-match-≥L contract), this tier
+    * selects only the winnow's ~1/w density subset
+    * ([[graft.functions.WinnowPositions]]: min-hash per window of `w`
+    * consecutive grams, rightmost tie) and feeds the SAME
+    * [[mergeSpans]]/[[removeCharSpans]] back end.
+    *
+    * Guarantees (both directions, documented for the contract):
+    *  - COMPLETENESS: every substring of length ≥ L+w−1 duplicated
+    *    across ≥ 2 documents is caught — such a region contains a full
+    *    window of w grams in both copies, winnow selection is LOCAL
+    *    (window contents only), so both copies select the same gram
+    *    hash there, its doc-count reaches 2, and the gram's span is
+    *    removed from every copy. Matches in [L, L+w−1) may be missed
+    *    entirely (they can straddle windows whose minima lie outside
+    *    the match) — the false-negative band the w-fold gram saving
+    *    buys. Region EDGES: the first/last selected gram inside a
+    *    duplicated region can lie up to w−1 grams in, so up to
+    *    w−1 duplicated chars per edge can survive (the exact tier
+    *    removes the full maximal region).
+    *  - SOUNDNESS: only duplicated chars are ever removed. Flags merge
+    *    at gap ≤ L ([[mergeSpans]]), so consecutive flagged grams have
+    *    overlapping extents and every char of a merged span lies
+    *    inside SOME cross-doc-duplicated L-gram. (Within one shared
+    *    region consecutive selections are ≤ w apart; w ≤ L holds for
+    *    any sane parameterization, enforced below.)
+    *
+    * Scale shape: identical to [[exactSubstrDedup]] — fixed-width
+    * (id, pos, fp) shuffles, AQE-sized dupFps join-back — at ~1/w the
+    * gram-row volume; the winnow kernel itself is one codegen call per
+    * document. Output: (id, n_spans, dup_chars, clean_text). */
+  def winnowSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int = 40, window: Int = 8): DataFrame = {
+    val L = gramChars
+    require(L >= 2, s"gramChars must be >= 2, got $L")
+    require(window >= 1 && window <= L,
+      s"window must be in [1, gramChars]: soundness of the gap-<=L span " +
+        s"merge needs consecutive in-region selections <= L apart, got " +
+        s"window=$window gramChars=$L")
+    val t = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sel = OpConf.spreadForKernel(t.where(length(col("text")) >= L))
+      .select(col("id"), explode(
+        org.apache.spark.sql.graftaccess.Internals.column(
+          graft.functions.WinnowPositions(
+            org.apache.spark.sql.graftaccess.Internals.expression(
+              col("text")), L, window))).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
+    val dupFps = sel.select("id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("fp")
+    val dupPos = sel.join(dupFps, Seq("fp")).select("id", "pos")
+    removeCharSpans(t, dupPos, L)
+  }
+
   /** (id, pos, fp) sliding L-char gram fingerprints off a (id, text)
     * table — the shared front of the char-granularity substring ops.
     * The explode is the canonical cheap-bytes/expensive-rows stage (one
@@ -630,12 +687,72 @@ object Dedup {
   def exactSubstrOracleSql(table: String, idCol: String,
       gramChars: Int): String =
     charSpanRemovalOracleSql(table, idCol, gramChars,
-      s"""dfp AS (SELECT fp FROM (
-         |    SELECT fp, count(*) AS nd
-         |    FROM (SELECT DISTINCT $idCol, fp FROM p0) GROUP BY fp)
-         |  WHERE nd >= 2),
-         |p AS (SELECT $idCol, pos FROM p0 JOIN dfp USING (fp))"""
-        .stripMargin)
+      everyCharGramCteSql(idCol, gramChars), crossDocDupFlagCteSql(idCol))
+
+  /** The cross-doc duplicate flag CTEs (`p0` → flagged `p`), shared by
+    * the exact and winnowed substring tiers — both flag a gram iff its
+    * fingerprint appears in ≥ 2 distinct documents. */
+  private def crossDocDupFlagCteSql(idCol: String): String =
+    s"""dfp AS (SELECT fp FROM (
+       |    SELECT fp, count(*) AS nd
+       |    FROM (SELECT DISTINCT $idCol, fp FROM p0) GROUP BY fp)
+       |  WHERE nd >= 2),
+       |p AS (SELECT $idCol, pos FROM p0 JOIN dfp USING (fp))"""
+      .stripMargin
+
+  /** The exact tier's gram source (`w` → `p0`): one md5 per character
+    * position. */
+  private def everyCharGramCteSql(idCol: String, gramChars: Int): String = {
+    val k = gramChars
+    s"""g AS (SELECT $idCol, unnest(
+       |    [ {'pos': i, 'fp': md5(substr(text, CAST(i AS INT), $k))}
+       |      for i in range(1, length(text) - ${k - 2}) ]) AS u
+       |  FROM w WHERE length(text) >= $k),
+       |p0 AS (SELECT $idCol, u.pos AS pos, u.fp AS fp FROM g)"""
+      .stripMargin
+  }
+
+  /** DuckDB replay of [[winnowSubstrDedup]]: the winnow kernel's exact
+    * integer math (same Rabin–Karp Base/Mod as
+    * [[graft.operators.Fingerprint.oracleFpsCte]]), per-window
+    * rightmost-minimum selection via the `hash·2^31 + (2^31 − pos)`
+    * BIGINT encoding (lossless: hash < 2^30, pos < 2^31; larger pos ⇒
+    * smaller encoding ⇒ rightmost wins ties under list_min), then the
+    * SAME cross-doc flag and span-merge/rebuild CTEs as the exact
+    * tier. */
+  def winnowSubstrOracleSql(table: String, idCol: String,
+      gramChars: Int, window: Int): String = {
+    val k = gramChars
+    val W = window
+    val B = 2147483648L // 2^31
+    import graft.functions.WinnowFingerprints.{Base, Mod}
+    val pw = Array.iterate(1L, k)(p => p * Base % Mod).reverse
+    val terms = (0 until k).map(j =>
+      s"CAST(unicode(substr(text, CAST(i AS INT)+$j, 1)) AS BIGINT) * ${pw(j)}")
+      .mkString(" + ")
+    val gramCte =
+      s"""h AS (SELECT $idCol,
+         |  [ ($terms) % $Mod
+         |    for i in range(1, length(text) - $k + 2) ] AS hh
+         |  FROM w WHERE length(text) >= $k),
+         |sel AS (SELECT $idCol, list_distinct(CASE
+         |    WHEN len(hh) = 0 THEN []::BIGINT[]
+         |    WHEN len(hh) <= $W THEN
+         |      [ list_min([ hh[CAST(p AS INT)] * $B + ($B - p)
+         |                   for p in range(1, len(hh) + 1) ]) ]
+         |    ELSE
+         |      [ list_min([ hh[CAST(p AS INT)] * $B + ($B - p)
+         |                   for p in range(CAST(i AS INT),
+         |                                  CAST(i AS INT) + $W) ])
+         |        for i in range(1, len(hh) - $W + 2) ]
+         |  END) AS encs FROM h),
+         |p0 AS (SELECT $idCol, CAST($B - (e % $B) AS BIGINT) AS pos,
+         |       e // $B AS fp
+         |       FROM (SELECT $idCol, unnest(encs) AS e FROM sel))"""
+        .stripMargin
+    charSpanRemovalOracleSql(table, idCol, gramChars, gramCte,
+      crossDocDupFlagCteSql(idCol))
+  }
 
   /** DuckDB replay of [[intraDocSubstrDedup]]: the same char-gram and
     * span-removal chain with the flag stage swapped to
@@ -643,27 +760,24 @@ object Dedup {
   def intraDocSubstrOracleSql(table: String, idCol: String,
       gramChars: Int): String =
     charSpanRemovalOracleSql(table, idCol, gramChars,
+      everyCharGramCteSql(idCol, gramChars),
       s"""p AS (SELECT $idCol, pos FROM (
          |    SELECT $idCol, pos,
          |      min(pos) OVER (PARTITION BY $idCol, fp) AS mp FROM p0)
          |  WHERE pos > mp)""".stripMargin)
 
-  /** The shared char-granularity span-removal replay: `flagCteSql`
-    * supplies the CTE(s) deriving `p($idCol, pos)` — the flagged gram
-    * starts — from `p0($idCol, pos, fp)`; everything else (gram
-    * fingerprints, span merge, coverage, per-char rebuild) is ONE
-    * copy, mirroring the Scala side's charGrams/removeCharSpans
-    * split. */
+  /** The shared char-granularity span-removal replay: `gramCteSql`
+    * supplies the CTE(s) deriving the gram table `p0($idCol, pos, fp)`
+    * from `w($idCol, text)` (every-char md5 for the exact tier, winnow
+    * selection for the winnowed tier); `flagCteSql` the CTE(s) deriving
+    * the flagged starts `p($idCol, pos)` from `p0`; everything else
+    * (span merge, coverage, per-char rebuild) is ONE copy, mirroring
+    * the Scala side's charGrams/removeCharSpans split. */
   private def charSpanRemovalOracleSql(table: String, idCol: String,
-      gramChars: Int, flagCteSql: String): String = {
+      gramChars: Int, gramCteSql: String, flagCteSql: String): String = {
     val k = gramChars
     s"""WITH w AS (SELECT $idCol, text FROM $table),
-       |g AS (SELECT $idCol, unnest(
-       |    [ {'pos': i, 'fp': md5(substr(text, CAST(i AS INT), $k))}
-       |      for i in range(1, length(text) - ${k - 2}) ]) AS u
-       |  FROM w WHERE length(text) >= $k),
-       |p0 AS (SELECT $idCol, u.pos AS pos, u.fp AS fp FROM g),
-       |""".stripMargin + flagCteSql + s""",
+       |""".stripMargin + gramCteSql + ",\n" + flagCteSql + s""",
        |s AS (SELECT $idCol, pos,
        |    CASE WHEN lag(pos) OVER win IS NULL
        |          OR pos - lag(pos) OVER win > $k

@@ -571,6 +571,34 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // WINNOWED exact-substring dedup (the 100 TB gram-selection tier,
+    // VERDICT r14 #2): the winnow selects ~1/w of the char grams
+    // (min-hash per window of w=8, rightmost tie) and the SAME span
+    // merge/rebuild runs on the selected subset — every cross-doc
+    // duplicate >= L+w-1 = 47 chars is caught; [40, 47) may be missed
+    // and up to w-1 chars per region edge survive (contract documented
+    // at Dedup.winnowSubstrDedup). Same shifted-twin plant as
+    // q_dedup_substr; the oracle replays the rolling hash, the
+    // rightmost-min window selection (BIGINT-encoded argmin), flagging
+    // and rebuild.
+    Probe.df("q_dedup_substr_winnow",
+      Dedup.winnowSubstrOracleSql(
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 1000000 AS doc_id, 'XX ' || text AS text " +
+          "FROM documents WHERE doc_id % 50 = 0)",
+        "doc_id", gramChars = 40, window = 8)) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = d.unionAll(d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("XX "), col("text")).as("text")))
+      Dedup.winnowSubstrDedup(planted, "doc_id", "text",
+          gramChars = 40, window = 8)
+        .select(col("id").as("doc_id"), col("n_spans"), col("dup_chars"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // INTRA-document exact-substring dedup (the within-doc complement:
     // scraped pages repeating their own boilerplate). Every 40th doc
     // gets its own first 80 chars appended — the duplicated tail is

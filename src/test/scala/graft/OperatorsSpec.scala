@@ -1607,6 +1607,116 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(10L) == ((0L, 0L, null)))
   }
 
+  test("winnowSubstrDedup catches every planted cross-doc substring " +
+      ">= L+w-1, removes ONLY duplicated chars, and matches a " +
+      "driver-side replay on random corpora (VERDICT r14 #2)") {
+    import graft.operators.Dedup
+    val L = 12
+    val W = 4 // guarantee threshold: L + W - 1 = 15
+    // pairwise-unique tag streams: no accidental shared 12-gram
+    def filler(tag: String, n: Int): String =
+      (0 until n).map(i => s"<$tag$i>").mkString.take(n)
+    val plant = "PLANTEDSEGMENT!" // exactly L + W - 1 = 15 chars
+    assert(plant.length == L + W - 1)
+    val docs = Seq(
+      (1L, filler("a", 40) + plant + filler("b", 40)),
+      (2L, filler("c", 25) + plant + filler("d", 55)),
+      (3L, filler("e", 80))).toDF("doc_id", "text")
+    val out = Dedup.winnowSubstrDedup(docs, "doc_id", "text", L, W)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // COMPLETENESS at the >= L+w-1 threshold: a full window of w grams
+    // fits in the plant on both docs, so both remove >= one L-gram.
+    // SOUNDNESS: only plant chars go — the unique fillers survive
+    // verbatim on both sides of the cut.
+    for ((id, pre, post) <- Seq(
+        (1L, filler("a", 40), filler("b", 40)),
+        (2L, filler("c", 25), filler("d", 55)))) {
+      val (n, dup, clean) = out(id)
+      assert(n == 1L && dup >= L && dup <= plant.length,
+        s"doc $id: $n spans, $dup dup chars")
+      assert(clean.startsWith(pre) && clean.endsWith(post) &&
+        clean.length == pre.length + post.length + plant.length - dup,
+        s"doc $id clean=$clean")
+    }
+    assert(out(3L) == ((0L, 0L, filler("e", 80))))
+    // parameter contract: w > L would break the gap-<=L merge soundness
+    intercept[IllegalArgumentException] {
+      Dedup.winnowSubstrDedup(docs, "doc_id", "text", 8, 9)
+    }
+
+    // randomized driver-side replay of the full definition: rolling
+    // hashes -> per-window rightmost-min selection -> cross-doc flags
+    // -> gap-<=L span merge -> coverage rebuild (the same reference
+    // shape as the exact tier's randomized check above)
+    import graft.functions.WinnowFingerprints.{Base, Mod}
+    def gramHashes(t: String, k: Int): Array[Long] = {
+      val cps = t.codePoints().toArray
+      (0 to cps.length - k).map { p =>
+        var h = 0L
+        var j = 0
+        while (j < k) { h = (h * Base + cps(p + j)) % Mod; j += 1 }
+        h
+      }.toArray
+    }
+    def selected(t: String): Seq[(Int, Long)] = {
+      val hs = gramHashes(t, L)
+      val m = hs.length
+      if (m == 0) Seq.empty
+      else {
+        val wins =
+          if (m <= W) Seq(0 until m)
+          else (0 to m - W).map(i => i until i + W)
+        wins.map { win => // rightmost minimal
+          val p = win.maxBy(i => (-hs(i), i))
+          (p + 1, hs(p))
+        }.distinct
+      }
+    }
+    def ref(texts: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+      val sel = texts.flatMap { case (id, t) =>
+        selected(t).map { case (p, h) => (id, p, h) } }
+      val dup = sel.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val flagged = sel.filter(g => dup(g._3)).groupBy(_._1)
+        .map { case (id, g) => id -> g.map(_._2).sorted }
+      texts.map { case (id, t) =>
+        val ps = flagged.getOrElse(id, Seq.empty)
+        var groups = Vector.empty[Vector[Int]]
+        ps.foreach { p =>
+          if (groups.nonEmpty && p - groups.last.last <= L)
+            groups = groups.init :+ (groups.last :+ p)
+          else groups = groups :+ Vector(p)
+        }
+        val spans = groups.map(g => (g.head, g.last + L - 1))
+        val covered = spans.flatMap { case (s, e) => s to e }.toSet
+        val clean = t.zipWithIndex
+          .collect { case (c, i) if !covered(i + 1) => c }.mkString
+        id -> ((spans.size.toLong,
+          spans.map { case (s, e) => (e - s + 1).toLong }.sum, clean))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(1527)
+    (0 until 3).foreach { round =>
+      def randText(n: Int): String =
+        (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val shared = randText(30)
+      val rdocs = (1L to 12L).map { i =>
+        var t = randText(40 + rnd.nextInt(120))
+        if (i % 3 == 0) t = t.take(20) + shared + t.drop(20)
+        (i, t)
+      }
+      val got = Dedup.winnowSubstrDedup(
+          rdocs.toDF("doc_id", "text"), "doc_id", "text", L, W)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val want = ref(rdocs)
+      assert(got == want, s"round=$round diff=${
+        (got.toSet -- want.toSet).take(2)} vs ${
+        (want.toSet -- got.toSet).take(2)}")
+    }
+  }
+
   test("intraDocSubstrDedup keeps the FIRST occurrence of a within-doc " +
       "repeat and ignores cross-doc-only duplication") {
     import graft.operators.Dedup
