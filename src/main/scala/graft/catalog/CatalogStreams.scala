@@ -48,6 +48,11 @@ object CatalogStreams {
             "drops files); streaming reads require append-only commits")
       case _ => ()
     }
+    // merge-on-read sidecars are logical row drops — the same
+    // non-append class (the source also fails mid-stream MOR commits)
+    require(!snaps.exists(_.deleteFiles.nonEmpty),
+      s"table $ident has merge-on-read position-delete files; streaming " +
+        "reads require append-only history (compact the table first)")
     spark.readStream
       .format(classOf[SnapshotStreamProvider].getName)
       .schema(schema)

@@ -45,7 +45,23 @@ object Changelog {
 
   /** The changelog rows for `ident` (= `cat.ns.table`) between snapshot
     * versions (fromVersion, toVersion]: table columns plus
-    * `_change_type` ('insert' | 'delete') and `_commit_version`. */
+    * `_change_type` ('insert' | 'delete') and `_commit_version`.
+    *
+    * MERGE-ON-READ commits make this genuinely ROW-LEVEL (the semantics
+    * copy-on-write alone cannot express, and the reason Iceberg's
+    * changelog needs position deletes for row-level precision):
+    *
+    *  - a data file ADDED at v emits its rows MINUS the positions v's
+    *    sidecars mask in it, as 'insert';
+    *  - a data file REMOVED at v emits its rows MINUS the positions the
+    *    PREVIOUS snapshot masked (already-dead rows were never visible,
+    *    so a later rewrite must not report them deleted twice);
+    *  - a delete sidecar ADDED at v emits exactly the NEWLY-masked rows
+    *    (its positions, minus positions already covered at v-1,
+    *    restricted to data files still present) as 'delete' — the
+    *    row-level DELETE event, read from only the referenced files;
+    *  - a delete sidecar REMOVED at v (rollback) emits the rows that
+    *    are no longer masked by any sidecar at v as 'insert'. */
   def read(spark: SparkSession, ident: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
@@ -55,12 +71,9 @@ object Changelog {
       Files.readString(dir.resolve("_graft_schema.json")))
       .asInstanceOf[StructType]
 
-    def readFiles(fs: Seq[String], typ: String, v: Long): DataFrame = {
-      val raw = spark.read
-        .option("basePath", dir.resolve("data").toString)
-        .parquet(fs.map(f => dir.resolve(f).toString): _*)
-      // align to the DECLARED schema: files written before an ALTER ADD
-      // COLUMN lack the new column (read NULL); dropped columns hide
+    // align to the DECLARED schema: files written before an ALTER ADD
+    // COLUMN lack the new column (read NULL); dropped columns hide
+    def align(raw: DataFrame, typ: String, v: Long): DataFrame = {
       val have = raw.columns.toSet
       val aligned = schema.fields.map { f =>
         if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -71,13 +84,72 @@ object Changelog {
         .withColumn("_commit_version", lit(v))
     }
 
-    val batches = fileChanges(dir, fromVersion, toVersion).flatMap {
-      case (s, added, removed) =>
-        (if (added.nonEmpty) Seq(readFiles(added, "insert", s.version))
-         else Seq.empty) ++
-        (if (removed.nonEmpty) Seq(readFiles(removed, "delete", s.version))
-         else Seq.empty)
+    def readRaw(fs: Seq[String]): DataFrame = spark.read
+      .option("basePath", dir.resolve("data").toString)
+      .parquet(fs.map(f => dir.resolve(f).toString): _*)
+
+    def positions(deleteFiles: Seq[String]): DataFrame =
+      DeleteSidecars.positionsDf(spark, dir, deleteFiles)
+
+    // data-file change: serve its rows minus what `mask` sidecars cover
+    def maskedRows(fs: Seq[String], mask: Seq[String], typ: String,
+        v: Long): DataFrame =
+      align(DeleteSidecars.applyDeletes(readRaw(fs), spark, dir, fs, mask),
+        typ, v)
+
+    // sidecar change: serve exactly the rows at `pos` (file, pos) pairs
+    // that live in still-present data files — reads ONLY those files
+    def rowsAtPositions(present: Set[String], pos: DataFrame, typ: String,
+        v: Long): Option[DataFrame] = {
+      import spark.implicits._
+      val fs = pos.select("file").distinct().as[String].collect() // small
+        .filter(present.contains).toSeq
+      if (fs.isEmpty) None
+      else {
+        val mapDf = spark.createDataFrame(
+          fs.map(f => DeleteSidecars.sparkFileUri(dir.resolve(f)) -> f))
+          .toDF("__uri", "file")
+        val posUri = pos.join(broadcast(mapDf), "file")
+          .select(col("__uri"), col("pos"))
+        val rows = readRaw(fs).join(broadcast(posUri),
+          col("_metadata.file_path") === col("__uri") &&
+            col("_metadata.row_index") === col("pos"),
+          "left_semi")
+        Some(align(rows, typ, v))
+      }
     }
+
+    val snaps = Snapshots.list(dir)
+    val batches = snaps.zip(None +: snaps.map(Some(_))).collect {
+      case (s, prev) if s.version > fromVersion && s.version <= toVersion =>
+        val before = prev.map(_.files.toSet).getOrElse(Set.empty[String])
+        val now = s.files.toSet
+        val added = s.files.filterNot(before)
+        val removed = prev.map(_.files.filterNot(now)).getOrElse(Seq.empty)
+        val (addedDel, addedData) = added.partition(Snapshots.isDeleteFile)
+        val (removedDel, removedData) = removed.partition(Snapshots.isDeleteFile)
+        val prevDels = prev.map(_.deleteFiles).getOrElse(Seq.empty)
+
+        val inserts =
+          if (addedData.isEmpty) None
+          else Some(maskedRows(addedData, s.deleteFiles, "insert", s.version))
+        val deletes =
+          if (removedData.isEmpty) None
+          else Some(maskedRows(removedData, prevDels, "delete", s.version))
+        val morDeletes =
+          if (addedDel.isEmpty) None
+          else rowsAtPositions(s.dataFiles.toSet,
+            positions(addedDel).join(positions(prevDels),
+              Seq("file", "pos"), "left_anti"),
+            "delete", s.version)
+        val morUndeletes =
+          if (removedDel.isEmpty) None
+          else rowsAtPositions(s.dataFiles.toSet,
+            positions(removedDel).join(positions(s.deleteFiles),
+              Seq("file", "pos"), "left_anti"),
+            "insert", s.version)
+        Seq(inserts, deletes, morDeletes, morUndeletes).flatten
+    }.flatten
     if (batches.isEmpty) {
       val out = schema.add("_change_type", StringType)
         .add("_commit_version", LongType)

@@ -1,0 +1,172 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types.StructType
+
+/** Iceberg-style FIELD-ID schema evolution for MetaCatalog tables — the
+  * piece that makes RENAME COLUMN safe over name-mapped parquet, and
+  * makes drop-then-re-add NOT resurrect old data (the classic field-ID
+  * test; Iceberg spec §4 "Column Projection" assigns every column a
+  * permanent id exactly for these two).
+  *
+  * Files written by this catalog carry no embedded field ids (Spark's
+  * parquet writer has no public hook for them), so the mapping lives in
+  * table metadata as a GENERATION LOG: each schema-changing ALTER
+  * appends a generation `(activeFrom, id → physical name)` where
+  * `activeFrom` is the first MAIN snapshot version whose new files were
+  * written under that generation (= latest version + 1 at ALTER time).
+  * A data file resolves through the generation active at the snapshot
+  * where it FIRST appeared:
+  *
+  *  - renamed column: old files map current id → old physical name and
+  *    serve the old bytes under the new name;
+  *  - dropped id: absent from the current generation — its bytes are
+  *    never served again, even if a later ADD re-uses the name (the
+  *    re-added column has a fresh id, absent from old generations, so
+  *    old files read NULL for it).
+  *
+  * On-disk format (`_graft_fields.tsv`): line 1 `nextId=<n>`, then one
+  * `<activeFrom>\t<id>\t<name>` line per field per generation. Tables
+  * created before this metadata existed synthesize a single generation
+  * from the declared schema (ids by position) — zero behavior change
+  * until the first rename.
+  *
+  * Scale note: per-file generation resolution scans the snapshot log
+  * (first-seen version per file) — the same O(files) metadata Iceberg
+  * keeps as a per-file schema-id in manifests; planning-time only,
+  * never a data read. Concurrency: ALTER is not serialized against
+  * in-flight plain commits, so run schema changes without concurrent
+  * writers (Iceberg serializes both through one metadata CAS; this
+  * catalog's commit CAS covers snapshots only). */
+object FieldIds {
+
+  /** One schema generation: active for files first committed at
+    * `activeFrom` or later (until the next generation). */
+  final case class Gen(activeFrom: Long, names: Map[Int, String]) {
+    def idOf(name: String): Option[Int] =
+      names.collectFirst { case (i, n) if n == name => i }
+  }
+
+  final case class Meta(nextId: Int, gens: Seq[Gen]) {
+    require(gens.nonEmpty && gens.map(_.activeFrom) == gens.map(_.activeFrom).sorted,
+      s"generations must be non-empty and sorted: ${gens.map(_.activeFrom)}")
+    def current: Gen = gens.last
+    /** The generation a file first committed at `version` was written
+      * under. Versions below every activeFrom (shouldn't happen) fall
+      * back to the first generation. */
+    def genFor(version: Long): Gen =
+      gens.reverse.find(_.activeFrom <= version).getOrElse(gens.head)
+    /** True once a rename/drop/add created a second generation. */
+    def evolved: Boolean = gens.size > 1
+  }
+
+  /** The requested-schema name for a field id ABSENT from a file's
+    * generation: guaranteed to match no physical column, so the parquet
+    * reader serves NULL (never a stale same-named column's bytes). */
+  val AbsentPrefix = "__graft_absent_"
+  def absentName(id: Int): String = s"$AbsentPrefix$id"
+
+  /** First main-snapshot version each file appeared in — the per-file
+    * generation key (one metadata-only log scan; Iceberg stores this as
+    * a manifest schema-id). */
+  def firstSeen(tableDir: Path): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    Snapshots.list(tableDir).foreach(s =>
+      s.files.foreach(f => if (!m.contains(f)) m.update(f, s.version)))
+    m.toMap
+  }
+
+  /** Whether any of `files` was written under an OLDER generation than
+    * the current one — consumers without a generation-aware read path
+    * (upsert, changelog) reject such tables and advise compaction. */
+  def hasOldGenFiles(tableDir: Path, meta: Meta, files: Seq[String]): Boolean =
+    meta.evolved && {
+      val seen = firstSeen(tableDir)
+      files.exists(f =>
+        meta.genFor(seen.getOrElse(f, Long.MaxValue)) != meta.current)
+    }
+
+  private def file(tableDir: Path): Path =
+    tableDir.resolve("_graft_fields.tsv")
+
+  def exists(tableDir: Path): Boolean = Files.exists(file(tableDir))
+
+  /** Single generation synthesized from a declared schema (ids by
+    * position, active from the first snapshot). */
+  def synthesize(schema: StructType): Meta =
+    Meta(schema.fields.length + 1,
+      Seq(Gen(1L, schema.fields.zipWithIndex
+        .map { case (f, i) => (i + 1) -> f.name }.toMap)))
+
+  def read(tableDir: Path): Option[Meta] = {
+    val f = file(tableDir)
+    if (!Files.exists(f)) return None
+    val lines = Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+    val nextId = lines.head.stripPrefix("nextId=").toInt
+    val gens = lines.tail.map { l =>
+      val parts = l.split("\t", 3)
+      (parts(0).toLong, parts(1).toInt, parts(2))
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (af, rows) =>
+      Gen(af, rows.map(r => r._2 -> r._3).toMap)
+    }
+    Some(Meta(nextId, gens))
+  }
+
+  def readOrSynthesize(tableDir: Path, schema: StructType): Meta =
+    read(tableDir).getOrElse(synthesize(schema))
+
+  def write(tableDir: Path, meta: Meta): Unit = {
+    meta.gens.flatMap(_.names.values).foreach { n =>
+      require(!n.contains("\t") && !n.contains("\n"),
+        s"column name '$n' cannot be recorded in field-id metadata")
+    }
+    val body = (s"nextId=${meta.nextId}" +:
+      meta.gens.flatMap(g => g.names.toSeq.sortBy(_._1).map {
+        case (id, n) => s"${g.activeFrom}\t$id\t$n"
+      })).mkString("\n")
+    val tmp = file(tableDir).resolveSibling(
+      s".fields.${java.util.UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, file(tableDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Append (or merge into) a generation active from `activeFrom` with
+    * the given id→name mapping. Consecutive ALTERs between two commits
+    * share one activeFrom — they MERGE into one generation (two gens
+    * with equal activeFrom would make resolution ambiguous). */
+  private def withGen(meta: Meta, activeFrom: Long,
+      names: Map[Int, String], nextId: Int): Meta = {
+    val kept = meta.gens.filterNot(_.activeFrom == activeFrom)
+    require(kept.forall(_.activeFrom < activeFrom),
+      s"new generation activeFrom=$activeFrom precedes an existing one")
+    Meta(nextId, kept :+ Gen(activeFrom, names))
+  }
+
+  def addColumn(meta: Meta, name: String, activeFrom: Long): Meta = {
+    require(meta.current.idOf(name).isEmpty, s"column $name already mapped")
+    withGen(meta, activeFrom,
+      meta.current.names + (meta.nextId -> name), meta.nextId + 1)
+  }
+
+  def dropColumn(meta: Meta, name: String, activeFrom: Long): Meta =
+    meta.current.idOf(name) match {
+      case Some(id) =>
+        withGen(meta, activeFrom, meta.current.names - id, meta.nextId)
+      case None => meta // IF EXISTS drop of an unmapped column
+    }
+
+  def renameColumn(meta: Meta, from: String, to: String,
+      activeFrom: Long): Meta = {
+    val id = meta.current.idOf(from).getOrElse(
+      throw new IllegalArgumentException(s"no such column $from"))
+    require(meta.current.idOf(to).isEmpty,
+      s"cannot rename $from to $to: $to already exists")
+    withGen(meta, activeFrom,
+      meta.current.names + (id -> to), meta.nextId)
+  }
+}

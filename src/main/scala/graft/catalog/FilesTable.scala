@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class FilesTable(fullName: String, tableDir: Path) extends Table with SupportsRead {
 
   private val schemaDef = StructType(Seq(
+    StructField("content", StringType, nullable = false),
     StructField("file_path", StringType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
     StructField("record_count", LongType, nullable = false),
@@ -41,7 +42,12 @@ class FilesTable(fullName: String, tableDir: Path) extends Table with SupportsRe
             val stats = ParquetStats.footerStats(tableDir, s.files, conf)
             s.files.map { f =>
               val (rows, bytes) = stats(f)
+              // Iceberg-parity `content` kind: MOR sidecars report as
+              // position-deletes with their (file, pos) record count
+              val content =
+                if (Snapshots.isDeleteFile(f)) "position-deletes" else "data"
               new GenericInternalRow(Array[Any](
+                UTF8String.fromString(content),
                 UTF8String.fromString(f), bytes, rows, s.version))
             }
           }.toArray

@@ -27,11 +27,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `InsertableRelation` fallback — still a fully distributed `df.write`,
   * but with commit control: files land under `data/` (hive-layout dirs for
   * identity-partitioned tables), then one snapshot append makes them
-  * visible. DELETE is copy-on-write: survivors are rewritten and the new
-  * snapshot references only them, old files stay for time travel — the
-  * same contract Iceberg's copy-on-write DELETE gives a 1000-executor
-  * cluster (at 100 TB the refinement is file-level pruning via column
-  * stats so only files containing matches rewrite; semantics identical).
+  * visible. DELETE is copy-on-write by default: survivors are rewritten
+  * and the new snapshot references only them, old files stay for time
+  * travel — Iceberg's copy-on-write contract, with file-level pruning
+  * via column stats so only files containing matches rewrite. Under
+  * `write.delete.mode='merge-on-read'` a translatable DELETE instead
+  * commits position-delete sidecars ([[DeleteSidecars]]) and scans
+  * apply them below the plan ([[org.apache.spark.sql.graftaccess
+  * .MorScans]]) — at 100 TB a 0.1% delete costs O(matched rows), not a
+  * rewrite of every touched file; compaction folds the sidecars away.
+  * Column RENAME (and drop+re-add) resolve through field-id schema
+  * generations ([[FieldIds]], [[org.apache.spark.sql.graftaccess
+  * .MultiGenScans]]) — old files serve their bytes under current names
+  * with no rewrite; compaction migrates them to the current generation.
   */
 class GraftTable(
     fullName: String,
@@ -40,12 +48,20 @@ class GraftTable(
     partitionCols: Seq[String],
     props: Map[String, String],
     pinned: Option[Snapshots.Snap],
-    branch: Option[String] = None) extends Table
+    branch: Option[String] = None,
+    fieldMeta: Option[FieldIds.Meta] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
   private def dataDir: Path = tableDir.resolve("data")
+  private def deletesDir: Path = tableDir.resolve("deletes")
+
+  /** Whether row-level DELETEs on this table write position-delete
+    * sidecars instead of rewriting files (Iceberg v2's
+    * `write.delete.mode`; copy-on-write is the default). */
+  private def morDeletes: Boolean =
+    props.get("write.delete.mode").exists(_.trim == "merge-on-read")
 
   /** The snapshot this handle reads and writes against: the pinned
     * time-travel snapshot, the branch head (WAP staging), or main's
@@ -67,20 +83,94 @@ class GraftTable(
       case None => Snapshots.commitWith(tableDir)(compute)
     }
 
-  /** Visible data files (absolute paths) for this table handle. */
-  private def visibleFiles: Seq[String] = {
-    val snap = headSnap
-    val rel = snap match {
-      case Some(s) => s.files
+  /** Visible DATA files (absolute paths) for this table handle —
+    * position-delete sidecars are metadata for the scan, never scanned
+    * as rows ([[Snapshots.Snap.dataFiles]]). */
+  private def visibleDataFiles: Seq[String] = {
+    val rel = headSnap match {
+      case Some(s) => s.dataFiles
       case None => // pre-snapshot (v1-era) table: whole data dir
         Snapshots.walkDataParquet(tableDir)
     }
     rel.map(f => tableDir.resolve(f).toString)
   }
 
-  private def readDelegate: ParquetTable = delegateFor(visibleFiles)
+  /** The broadcastable merge-on-read index for the given sidecars,
+    * keyed by ABSOLUTE data-file path (what partition readers see). */
+  private def morIndexAbs(
+      deleteFiles: Seq[String]): Map[String, Array[Long]] = {
+    val maxBytes = spark.conf.getOption(DeleteSidecars.BroadcastMaxBytesKey)
+      .map(_.toLong).getOrElse(DeleteSidecars.BroadcastMaxBytesDefault)
+    DeleteSidecars.loadIndex(tableDir, deleteFiles,
+        spark.sparkContext.hadoopConfiguration, maxBytes)
+      .flatMap { case (rel, ps) =>
+        val p = tableDir.resolve(rel)
+        // partition readers identify files by their planned SparkPath —
+        // key the index under both the URI form ("file:/...") and the
+        // plain filesystem path, so the lookup is encoding-proof
+        Seq(DeleteSidecars.sparkFileUri(p) -> ps, p.toString -> ps)
+      }
+  }
 
-  private def delegateFor(files: Seq[String]): ParquetTable = {
+  // --- field-id schema generations (FieldIds) ---------------------------
+
+  /** Field-id metadata only matters once a DROP/RENAME created a second
+    * generation; single-generation tables keep every fast path. */
+  private def evolvedMeta: Option[FieldIds.Meta] = fieldMeta.filter(_.evolved)
+
+  /** First main-snapshot version each file appeared in — the per-file
+    * schema-generation key, [[FieldIds.firstSeen]]. */
+  private def firstSeenVersions(): Map[String, Long] =
+    FieldIds.firstSeen(tableDir)
+
+  /** The CURRENT declared schema translated to generation `g`'s physical
+    * names, plus the current→physical rename map. Fields whose id `g`
+    * lacks are requested under the absent-marker name (reads NULL,
+    * never a stale same-named column) and forced nullable. */
+  private def genSchema(m: FieldIds.Meta,
+      g: FieldIds.Gen): (StructType, Map[String, String]) = {
+    val cur = m.current
+    val fields = declaredSchema.fields.map { f =>
+      val id = cur.idOf(f.name).getOrElse(throw new IllegalStateException(
+        s"$fullName: column ${f.name} missing from field-id metadata " +
+          "(_graft_fields.tsv out of sync with _graft_schema.json)"))
+      g.names.get(id) match {
+        case Some(phys) => f.copy(name = phys)
+        case None => f.copy(name = FieldIds.absentName(id), nullable = true)
+      }
+    }
+    partitionCols.foreach { pc =>
+      val mapped = fields(declaredSchema.fieldIndex(pc)).name
+      if (mapped != pc) throw new IllegalStateException(
+        s"$fullName: partition column $pc resolved to '$mapped' in an old " +
+          "schema generation; partition columns cannot be renamed")
+    }
+    (StructType(fields),
+      declaredSchema.fieldNames.zip(fields.map(_.name)).toMap)
+  }
+
+  /** Visible data files grouped by schema generation, oldest first and
+    * ALWAYS ending with the current generation (possibly empty — the
+    * composite scan reports the current names through it). Empty result
+    * = the table never evolved, or every file is current-generation
+    * (the single-scan fast path holds). */
+  private def generationGroups(
+      dataRel: Seq[String]): Seq[(FieldIds.Gen, Seq[String])] =
+    evolvedMeta match {
+      case None => Seq.empty
+      case Some(m) =>
+        val seen = firstSeenVersions()
+        val groups = dataRel
+          // branch-staged files are absent from the main log: newest gen
+          .groupBy(f => m.genFor(seen.getOrElse(f, Long.MaxValue)))
+          .toSeq.sortBy(_._1.activeFrom)
+        if (groups.forall(_._1 == m.current)) Seq.empty // fast path holds
+        else if (groups.lastOption.exists(_._1 == m.current)) groups
+        else groups :+ (m.current -> Seq.empty[String])
+    }
+
+  private def delegateFor(files: Seq[String],
+      schema: StructType = declaredSchema): ParquetTable = {
     // Empty snapshot (fresh table, TRUNCATE, or time travel to v1): scan a
     // dedicated empty dir — scanning data/ would leak files committed by
     // LATER snapshots into the pinned view.
@@ -94,7 +184,7 @@ class GraftTable(
     val opts = new CaseInsensitiveStringMap(
       Map("basePath" -> dataDir.toString).asJava)
     ParquetTable(fullName, spark, opts, paths,
-      Some(declaredSchema), classOf[ParquetFileFormat])
+      Some(schema), classOf[ParquetFileFormat])
   }
 
   override def name(): String = fullName
@@ -143,9 +233,34 @@ class GraftTable(
       })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val delegate = readDelegate.newScanBuilder(options)
-    if (fileColShadowed) delegate
-    else new org.apache.spark.sql.graftaccess.FileTaggedScans.Builder(delegate)
+    import org.apache.spark.sql.graftaccess.{FileTaggedScans, MorScans, MultiGenScans}
+    // ONE snapshot read decides the data files, the delete sidecars and
+    // the generation split (reading them separately could straddle a
+    // commit)
+    val snap = headSnap
+    val dataRel = snap match {
+      case Some(s) => s.dataFiles
+      case None => Snapshots.walkDataParquet(tableDir)
+    }
+    val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
+    def wrap(plain: ScanBuilder): ScanBuilder =
+      if (dels.nonEmpty)
+        new MorScans.Builder(plain, !fileColShadowed, () => morIndexAbs(dels))
+      else if (fileColShadowed) plain
+      else new FileTaggedScans.Builder(plain)
+    generationGroups(dataRel) match {
+      case Seq() => // single schema generation: the untouched fast path
+        wrap(delegateFor(dataRel.map(f => tableDir.resolve(f).toString))
+          .newScanBuilder(options))
+      case groups => // one delegate per generation, physical names mapped
+        new MultiGenScans.Builder(groups.map { case (g, files) =>
+          val (sg, rename) = genSchema(fieldMeta.get, g)
+          MultiGenScans.GenSlice(
+            wrap(delegateFor(files.map(f => tableDir.resolve(f).toString), sg)
+              .newScanBuilder(options)),
+            rename)
+        })
+    }
   }
 
   // --- write (V1 fallback: full commit control, still distributed) ------
@@ -184,26 +299,50 @@ class GraftTable(
       val w = aligned.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
-      // The V1 writer emits a zero-row part file for an empty frame (a
-      // rewrite whose pruned files left no survivors). Committing it
-      // would inflate every later snapshot's file inventory — Iceberg
-      // skips empty files; so do we. Footer reads are bounded by the
-      // rewrite's own output size.
-      scala.util.Using.resource(Files.walk(tmp)) { st =>
-        st.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .filter(p => ParquetStats.rowCount(p.toString) == 0L)
-          .toList.foreach(Files.deleteIfExists(_))
-      }
+      stripZeroRowParts(tmp)
       publishAndCommit(tmp, overwrite, replacedBase)
-    } finally {
-      if (Files.exists(tmp)) {
-        scala.util.Using.resource(Files.walk(tmp)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.deleteIfExists(_))
-        }
+    } finally dropRecursively(tmp)
+  }
+
+  /** The V1 writer emits a zero-row part file for an empty frame (a
+    * rewrite whose pruned files left no survivors). Committing it
+    * would inflate every later snapshot's file inventory — Iceberg
+    * skips empty files; so do we. Footer reads are bounded by the
+    * write's own output size. */
+  private def stripZeroRowParts(tmp: Path): Unit =
+    scala.util.Using.resource(Files.walk(tmp)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filter(p => ParquetStats.rowCount(p.toString) == 0L)
+        .toList.foreach(Files.deleteIfExists(_))
+    }
+
+  private def dropRecursively(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      scala.util.Using.resource(Files.walk(dir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
       }
     }
+
+  /** Merge-on-read DELETE commit: write `positions` (file, pos) as
+    * parquet sidecars under `deletes/` and append ONE snapshot that
+    * keeps every current file and adds the sidecars. `baseTouched` is
+    * the data-file set the positions were computed against — a
+    * concurrent rewrite of any of them aborts the commit (the
+    * positions would mask the wrong rows in the rewritten files). */
+  private def commitDeleteSidecars(positions: DataFrame,
+      baseTouched: Seq[String]): Unit = {
+    val tmp = Files.createTempDirectory(
+      s"graft_mor_${UUID.randomUUID().toString.take(8)}")
+    try {
+      positions
+        .sortWithinPartitions("file", "pos") // read-side locality
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      stripZeroRowParts(tmp)
+      publishAndCommit(tmp, overwrite = false,
+        replacedBase = Some(baseTouched), destRoot = Some(deletesDir))
+    } finally dropRecursively(tmp)
   }
 
   /** Move every parquet file under `tmp` into `data/` (preserving
@@ -216,7 +355,9 @@ class GraftTable(
     * aborts loudly, Iceberg-style, before any file moves. */
   private def publishAndCommit(tmp: Path, overwrite: Boolean,
       replacedBase: Option[Seq[String]],
-      only: Option[Set[Path]] = None): Unit = {
+      only: Option[Set[Path]] = None,
+      destRoot: Option[Path] = None): Unit = {
+    val destDir = destRoot.getOrElse(dataDir)
     // The tmp→data move runs EXACTLY ONCE even though the CAS compute
     // closure can run several times: a commit that loses the
     // cross-process createLink race retries with a fresh `latest`, and
@@ -249,7 +390,7 @@ class GraftTable(
             .filter(p => only.forall(_.contains(p)))
             .map { p =>
               val rel = tmp.relativize(p)
-              val dest = dataDir.resolve(rel)
+              val dest = destDir.resolve(rel)
               Files.createDirectories(dest.getParent)
               Files.move(p, dest)
               tableDir.relativize(dest).toString
@@ -318,8 +459,29 @@ class GraftTable(
     // contain matching rows (see GroupFilterScan) — the written data is
     // exactly the filtered scan's rows, so scan set and replaced set
     // stay in lockstep by construction.
+    // data files only: the write replaces exactly the scanned groups;
+    // pending MOR sidecars are applied by the scan (deleted rows never
+    // enter the rewrite) and SURVIVE the commit — their entries for
+    // replaced files reference now-absent names, which every reader
+    // ignores, and compaction folds them away.
+    private val baseSnap: Option[Snapshots.Snap] = headSnap
     private val baseFiles: Seq[String] =
-      headSnap.map(_.files).getOrElse(Seq.empty)
+      baseSnap.map(_.dataFiles).getOrElse(Seq.empty)
+    private val baseDeletes: Seq[String] =
+      baseSnap.map(_.deleteFiles).getOrElse(Seq.empty)
+    // The group-based rewrite reads files under the DECLARED schema; a
+    // pre-rename file would silently serve NULL for renamed columns and
+    // the rewrite would persist the corruption — reject loudly. Checked
+    // at SCAN build, not construction: this operation is instantiated
+    // at analysis for EVERY conditional DELETE, including translatable
+    // ones that convert back to the (generation-aware) metadata
+    // deleteWhere path and never build a scan or write.
+    private def requireSingleGeneration(): Unit =
+      if (generationGroups(baseFiles).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"$fullName has data files from an older schema generation " +
+            "(RENAME/DROP COLUMN); run CALL <cat>.system.compact(...) to " +
+            "migrate them before MERGE/UPDATE/subquery-DELETE commands")
     @volatile private var replaced: Seq[String] = baseFiles
 
     override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -342,9 +504,16 @@ class GraftTable(
         with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
       @volatile private var files: Seq[String] = baseFiles
       override def readSchema(): StructType = declaredSchema
-      override def toBatch: org.apache.spark.sql.connector.read.Batch =
-        delegateFor(files.map(f => tableDir.resolve(f).toString))
-          .newScanBuilder(options).build().toBatch
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+        requireSingleGeneration()
+        val delegate = delegateFor(files.map(f => tableDir.resolve(f).toString))
+          .newScanBuilder(options)
+        if (baseDeletes.isEmpty) delegate.build().toBatch
+        else // pending MOR sidecars: masked rows must not enter the rewrite
+          new org.apache.spark.sql.graftaccess.MorScans.Builder(
+            delegate, fileColAllowed = false, () => morIndexAbs(baseDeletes))
+            .build().toBatch
+      }
       override def description(): String =
         s"graft-row-level($fullName, ${files.length}/${baseFiles.length} files)"
       // ONE attribute: exposing several makes Spark build a joint
@@ -408,46 +577,102 @@ class GraftTable(
 
   // --- DELETE (copy-on-write) ------------------------------------------
 
+  /** V1 read of the given visible data files (tableDir-relative) with
+    * every column served under its CURRENT name regardless of the
+    * schema generation the file was written in, `_metadata` preserved
+    * for position work — the row-level-command counterpart of the
+    * generation-aware scan. */
+  private def readFilesAsCurrent(relFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def q(n: String) = s"`${n.replace("`", "``")}`"
+    def readGroup(files: Seq[String], schema: StructType,
+        rename: Map[String, String]): DataFrame =
+      spark.read.option("basePath", dataDir.toString).schema(schema)
+        .parquet(files.map(f => tableDir.resolve(f).toString): _*)
+        .select(declaredSchema.fieldNames.toSeq
+          .map(n => col(q(rename.getOrElse(n, n))).as(n)) :+
+          col("_metadata"): _*)
+    evolvedMeta match {
+      case None => readGroup(relFiles, declaredSchema, Map.empty)
+      case Some(m) =>
+        val seen = firstSeenVersions()
+        relFiles.groupBy(f => m.genFor(seen.getOrElse(f, Long.MaxValue)))
+          .toSeq.sortBy(_._1.activeFrom)
+          .map { case (g, fs) =>
+            val (sg, rename) = genSchema(m, g)
+            readGroup(fs, sg, rename)
+          }.reduce(_ unionByName _)
+    }
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterToColumn.translate(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, not}
     val cond = filters.flatMap(FilterToColumn.translate)
       .reduceOption(_ && _).getOrElse(lit(true))
     // One consistent base snapshot for BOTH the scan and the commit's
     // replaced-file set (reading them separately could straddle a
     // concurrent commit).
     val baseSnap = headSnap
-    val baseFiles = baseSnap.map(_.files).getOrElse(Seq.empty)
+    val baseData = baseSnap.map(_.dataFiles).getOrElse(Seq.empty)
+    val baseDeletes = baseSnap.map(_.deleteFiles).getOrElse(Seq.empty)
     // FILE-LEVEL PRUNING: only files whose footer stats say the predicate
-    // MIGHT match get rewritten; provably-unaffected files stay in place
+    // MIGHT match get touched; provably-unaffected files stay in place
     // (after compact() sorts on the predicate column, a key-range DELETE
-    // over 100 TB rewrites O(1) files). Bloom sidecars additionally skip
+    // over 100 TB touches O(1) files). Bloom sidecars additionally skip
     // point lookups over interleaved keys min/max can't separate.
-    // Conservative: stats/sidecar missing → rewrite.
-    val (touched, _) = baseFiles.partition(f =>
+    // Conservative: stats/sidecar missing → touch.
+    val (touched, _) = baseData.partition(f =>
       ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,
         spark.sparkContext.hadoopConfiguration) &&
         BloomSidecars.mayMatchAll(tableDir, f, filters.toSeq))
-    val absTouched = baseSnap match {
-      case Some(_) => touched.map(f => tableDir.resolve(f).toString)
-      case None => visibleFiles // pre-snapshot table: whole data dir
-    }
     if (baseSnap.isDefined && touched.isEmpty) return // provably a no-op
+
+    if (morDeletes && baseSnap.isDefined) {
+      // MERGE-ON-READ: commit O(matched rows) of (file, pos) pairs —
+      // no data file is rewritten. Matching runs over the touched files
+      // only; positions come from the parquet reader's absolute row
+      // index (`_metadata.row_index`), the same coordinate the scan-side
+      // index filters on. Re-recording an already-masked position is
+      // harmless (the read-side index is a set).
+      val uriToRel = touched.map(rel =>
+        DeleteSidecars.sparkFileUri(tableDir.resolve(rel)) -> rel)
+      val mapDf = spark.createDataFrame(uriToRel).toDF("__uri", "__rel")
+      val matches = readFilesAsCurrent(touched)
+        .filter(coalesce(cond, lit(false))) // DELETE drops TRUE rows only
+        .select(col("_metadata.file_path").as("__uri"),
+          col("_metadata.row_index").as("pos"))
+        .join(broadcast(mapDf), "__uri")
+        .select(col("__rel").as("file"), col("pos"))
+        .persist()
+      try {
+        // nothing matched: no commit (Iceberg skips empty commits too)
+        if (!matches.isEmpty) commitDeleteSidecars(matches, touched)
+      } finally matches.unpersist()
+      return
+    }
+
+    val touchedRel =
+      if (baseSnap.isDefined) touched else Snapshots.walkDataParquet(tableDir)
     val survivors =
-      if (absTouched.isEmpty) spark.createDataFrame(
+      if (touchedRel.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredSchema)
-      else spark.read
-        .option("basePath", dataDir.toString)
-        .schema(declaredSchema)
-        .parquet(absTouched: _*)
+      else {
+        val raw = readFilesAsCurrent(touchedRel)
+        // rows already masked by pending MOR sidecars must NOT be
+        // resurrected into the rewrite
+        val live = DeleteSidecars.applyDeletes(raw, spark, tableDir,
+          baseSnap.map(_.dataFiles).getOrElse(Seq.empty), baseDeletes)
         // DSv2 DELETE removes rows where the predicate is TRUE; a NULL
         // predicate (e.g. `a > 5` with a NULL) must KEEP the row — a bare
         // not(cond) is NULL there and filter() would silently drop it.
-        .filter(not(coalesce(cond, lit(false))))
+        live.select(declaredSchema.fieldNames.map(col).toSeq: _*)
+          .filter(not(coalesce(cond, lit(false))))
+      }
     commitWrite(survivors, overwrite = true,
-      replacedBase = Some(if (baseSnap.isDefined) touched else baseFiles))
+      replacedBase = Some(if (baseSnap.isDefined) touched else baseData))
   }
 }
 

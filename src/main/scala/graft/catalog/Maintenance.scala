@@ -140,18 +140,33 @@ object Maintenance {
         GreaterThanOrEqual(k, stats.getAs[Any](s"__min_$k")))
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    val touched = base.files.filter(f =>
+    val touched = base.dataFiles.filter(f =>
       ParquetStats.mayMatchAll(dir.resolve(f).toString, envelope, conf))
+    // upsert's survivor read is a raw declared-schema parquet read: a
+    // pre-rename file would silently serve NULLs and the rewrite would
+    // persist them — reject loudly, compact() is the migration path
+    FieldIds.read(dir).foreach { m =>
+      if (FieldIds.hasOldGenFiles(dir, m, touched))
+        throw new UnsupportedOperationException(
+          s"$ident has data files from an older schema generation " +
+            "(RENAME/DROP COLUMN); compact() the table before upsert")
+    }
 
     val survivors =
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read
-        .option("basePath", dir.resolve("data").toString)
-        .schema(schema)
-        .parquet(touched.map(f => dir.resolve(f).toString): _*)
-        .join(src.select(keyCols.map(col).toSeq: _*), keyCols, "left_anti")
+      else {
+        val raw = spark.read
+          .option("basePath", dir.resolve("data").toString)
+          .schema(schema)
+          .parquet(touched.map(f => dir.resolve(f).toString): _*)
+        // rows masked by pending MOR sidecars must not be resurrected
+        DeleteSidecars
+          .applyDeletes(raw, spark, dir, base.dataFiles, base.deleteFiles)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+          .join(src.select(keyCols.map(col).toSeq: _*), keyCols, "left_anti")
+      }
 
     val props = readProps(dir)
     val parts = props.get("graft.partition.columns").toSeq
@@ -159,7 +174,7 @@ object Maintenance {
     val table = new GraftTable(ident, dir, schema, parts,
       props - "graft.partition.columns", pinned = None)
     table.replaceFiles(survivors.unionByName(src), touched)
-    (touched.length, base.files.length)
+    (touched.length, base.dataFiles.length)
   }
 
   private def readProps(dir: Path): Map[String, String] = {
@@ -200,12 +215,20 @@ object Maintenance {
     }
     val parts = props.get("graft.partition.columns").toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty)
-    val pinned = spark.read
-      .option("basePath", dir.resolve("data").toString)
-      .schema(schema)
-      .parquet(base.files.map(f => dir.resolve(f).toString): _*)
+    // Read EXACTLY the base snapshot through the table's OWN scan: the
+    // generation-aware column mapping serves pre-rename files under
+    // current names, and merge-on-read sidecars mask deleted rows — so
+    // compaction is both the sidecar FOLD (replacedBase = the FULL base
+    // list, data AND delete files, none carried forward) and the
+    // schema-generation MIGRATION (every output file is written under
+    // the current names). The rewritten table is back on the
+    // single-scan vectorized fast path.
     val table = new GraftTable(ident, dir, schema, parts,
-      props - "graft.partition.columns", pinned = None)
+      props - "graft.partition.columns", pinned = Some(base),
+      fieldMeta = FieldIds.read(dir))
+    val pinned = org.apache.spark.sql.graftaccess.Internals
+      .tableDf(spark, table)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     table.replaceFiles(layout(pinned), base.files)
     val after = Snapshots.latest(dir).map(_.files.length).getOrElse(0)
     (base.files.length, after)
@@ -242,8 +265,11 @@ object Maintenance {
     val dir = tableDir(spark, ident)
     // pre-snapshot (v1-era) tables have data but no snapshot — the
     // SAME whole-data-dir fallback GraftTable's scan uses, rather than
-    // silently writing zero sidecars for a table that has files
-    val files = Snapshots.latest(dir).map(_.files)
+    // silently writing zero sidecars for a table that has files.
+    // Data files only: MOR sidecars are not scannable rows (and bloom
+    // pruning of a file with masked rows stays conservative — a bloom
+    // hit on a deleted key just fails to prune, never corrupts).
+    val files = Snapshots.latest(dir).map(_.dataFiles)
       .getOrElse(Snapshots.walkDataParquet(dir))
     if (files.isEmpty) return 0
     val byName = files.map(f =>
@@ -385,13 +411,18 @@ object Maintenance {
       if (snaps.isEmpty) return 0
       val referenced = snaps.flatMap(_.files).toSet ++
         Snapshots.branchReferencedFiles(dir)
-      scala.util.Using.resource(Files.walk(dataDir)) { st =>
-        st.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.toString.endsWith(".parquet") &&
-            !referenced.contains(dir.relativize(p).toString) &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff)
-          .toList
+      // deletes/ holds position-delete sidecars: a crashed MOR DELETE
+      // strands moved-but-uncommitted files there exactly like data/
+      val roots = Seq(dataDir, dir.resolve("deletes")).filter(Files.isDirectory(_))
+      roots.flatMap { root =>
+        scala.util.Using.resource(Files.walk(root)) { st =>
+          st.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.toString.endsWith(".parquet") &&
+              !referenced.contains(dir.relativize(p).toString) &&
+              Files.getLastModifiedTime(p).toMillis <= cutoff)
+            .toList
+        }
       }
     }
     // unlink outside the lock (thousands of slow-storage deletes must

@@ -145,7 +145,8 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     val props = readProps(ident)
     val parts = props.get(PartitionKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     new GraftTable(fullName(ident), tablePath(ident), readSchema(ident),
-      parts, props - PartitionKey, pinned, branch)
+      parts, props - PartitionKey, pinned, branch,
+      FieldIds.read(tablePath(ident)))
   }
 
   // --- tables -----------------------------------------------------------
@@ -259,6 +260,7 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     }
     Files.createDirectories(tablePath(ident).resolve("data"))
     Files.writeString(schemaFile(ident), schema.json)
+    FieldIds.write(tablePath(ident), FieldIds.synthesize(schema))
     val baseProps = properties.asScala.toMap ++
       (if (partCols.nonEmpty) Map(PartitionKey -> partCols.mkString(",")) else Map.empty)
     if (baseProps.nonEmpty) writeProps(ident, baseProps)
@@ -266,18 +268,20 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     buildTable(ident, pinned = None)
   }
 
-  /** Schema evolution, Iceberg-style name mapping: ADD COLUMN reads as NULL
-    * from pre-evolution files, DROP COLUMN hides the column without data
-    * rewrite. RENAME / type change are rejected — with name-mapped Parquet
-    * they would corrupt old files' reads (Iceberg needs field IDs for
-    * that), and a loud error beats silent nulls. */
+  /** Schema evolution through FIELD IDS ([[FieldIds]], Iceberg spec §4):
+    * ADD COLUMN reads as NULL from pre-evolution files; DROP COLUMN
+    * hides the column without rewrite AND seals a schema generation, so
+    * a later re-ADD of the same name (fresh id) never resurrects the
+    * dropped column's bytes; RENAME COLUMN keeps the field id and maps
+    * old files' physical name at read time — no data rewrite. Type
+    * changes stay rejected (existing parquet keeps the old physical
+    * type). ALTER is not serialized against concurrent writers — run
+    * schema changes alone (Iceberg funnels both through one metadata
+    * CAS; this catalog's CAS covers snapshots only). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
     changes.foreach {
-      case _: TableChange.RenameColumn => throw new UnsupportedOperationException(
-        "RENAME COLUMN is not supported: graft tables map Parquet columns by name; " +
-          "recreate the table (CTAS) to rename")
       case _: TableChange.UpdateColumnType => throw new UnsupportedOperationException(
         "ALTER COLUMN TYPE is not supported: existing Parquet files keep the old " +
           "physical type; recreate the table (CTAS) to change types")
@@ -298,10 +302,36 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
         case d: TableChange.DeleteColumn if parts.contains(d.fieldNames().mkString(".")) =>
           throw new IllegalArgumentException(
             s"cannot drop partition column ${d.fieldNames().mkString(".")}")
+        case r: TableChange.RenameColumn if parts.contains(r.fieldNames().mkString(".")) =>
+          throw new IllegalArgumentException(
+            s"cannot rename partition column ${r.fieldNames().mkString(".")}: " +
+              "hive-layout data dirs carry the physical name")
         case _ => ()
       }
-      val evolved = schemaChanges.foldLeft(readSchema(ident))(applySchemaChange)
+      val before = readSchema(ident)
+      val evolved = schemaChanges.foldLeft(before)(applySchemaChange)
+      // field-id bookkeeping: DROP/RENAME seal a generation active from
+      // the NEXT snapshot; ADD extends the current generation in place
+      // (a fresh id can never collide with old files' physical names)
+      val activeFrom = Snapshots.latest(tablePath(ident))
+        .map(_.version).getOrElse(0L) + 1L
+      var meta = FieldIds.readOrSynthesize(tablePath(ident), before)
+      schemaChanges.foreach {
+        case a: TableChange.AddColumn =>
+          val cur = meta.current
+          meta = meta.copy(
+            nextId = meta.nextId + 1,
+            gens = meta.gens.init :+
+              cur.copy(names = cur.names + (meta.nextId -> a.fieldNames().head)))
+        case d: TableChange.DeleteColumn =>
+          meta = FieldIds.dropColumn(meta, d.fieldNames().head, activeFrom)
+        case r: TableChange.RenameColumn =>
+          meta = FieldIds.renameColumn(meta, r.fieldNames().head, r.newName(),
+            activeFrom)
+        case _ => () // nullability/comment: names and ids unchanged
+      }
       Files.writeString(schemaFile(ident), evolved.json)
+      FieldIds.write(tablePath(ident), meta)
     }
     if (propChanges.nonEmpty) {
       val next = propChanges.foldLeft(readProps(ident)) {
@@ -334,6 +364,15 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
         if (!schema.fieldNames.contains(n) && !d.ifExists())
           throw new IllegalArgumentException(s"no such column $n")
         new StructType(schema.fields.filterNot(_.name == n))
+      case r: TableChange.RenameColumn =>
+        val n = topLevel(r.fieldNames())
+        if (!schema.fieldNames.contains(n))
+          throw new IllegalArgumentException(s"no such column $n")
+        if (schema.fieldNames.contains(r.newName()))
+          throw new IllegalArgumentException(
+            s"cannot rename $n to ${r.newName()}: column already exists")
+        new StructType(schema.fields.map(f =>
+          if (f.name == n) f.copy(name = r.newName()) else f))
       case u: TableChange.UpdateColumnNullability =>
         val n = topLevel(u.fieldNames())
         new StructType(schema.fields.map(f =>

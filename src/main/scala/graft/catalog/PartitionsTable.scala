@@ -39,8 +39,10 @@ class PartitionsTable(fullName: String, tableDir: Path)
           val conf = org.apache.spark.sql.SparkSession.active
             .sparkContext.hadoopConfiguration
           Snapshots.latest(tableDir).toSeq.flatMap { s =>
-            val stats = ParquetStats.footerStats(tableDir, s.files, conf)
-            s.files.groupBy { f =>
+            // data files only: MOR sidecars live flat under deletes/
+            // and have no partition identity
+            val stats = ParquetStats.footerStats(tableDir, s.dataFiles, conf)
+            s.dataFiles.groupBy { f =>
               // data/<partition dirs>/<file>: the partition identity is
               // everything between data/ and the file name
               val rel = f.stripPrefix("data/")

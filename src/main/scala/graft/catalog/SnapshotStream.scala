@@ -167,10 +167,22 @@ final class SnapshotStreamSource(
           s"table at $tableDir had a non-append commit while streaming " +
             s"(snapshot v${s.version} drops ${dropped.size} file(s)); " +
             "streaming reads require append-only commits")
+        // a merge-on-read DELETE adds no data file but LOGICALLY drops
+        // rows — the same contract violation as a rewrite, just spelled
+        // as a sidecar add; failing here beats silently re-serving
+        // masked rows (the fresh-file scan below reads raw data files)
+        val morAdds = (cur -- prev).filter(Snapshots.isDeleteFile)
+        require(morAdds.isEmpty,
+          s"table at $tableDir committed ${morAdds.size} merge-on-read " +
+            s"position-delete file(s) at snapshot v${s.version} while " +
+            "streaming; streaming reads require append-only commits " +
+            "(compact the table and restart the stream from a fresh " +
+            "checkpoint, or use the changelog reader)")
         prev = cur
       }
     val endFiles = filesAt(endV)
     val fresh = (endFiles -- startFiles).toSeq.sorted
+      .filterNot(Snapshots.isDeleteFile) // unreachable post-guard; belt&braces
       .map(f => tableDir.resolve(f).toUri.toString)
     org.apache.spark.sql.graftaccess.Internals
       .streamingParquetDf(spark, schema, fresh)

@@ -24,7 +24,22 @@ import scala.jdk.CollectionConverters._
   * read, never a data scan.
   */
 object Snapshots {
-  final case class Snap(version: Long, tsMillis: Long, files: Seq[String])
+  /** `files` is the COMPLETE visible file list, data files and
+    * position-delete sidecars alike; delete files are distinguished by
+    * their `deletes/` path prefix (data files live under `data/`), so
+    * the on-disk snapshot format is unchanged by merge-on-read support
+    * and every path-shaped consumer (expiry liveness, orphan
+    * accounting, CAS diffs) keeps working on the full list. Consumers
+    * that READ file contents must pick the right subset. */
+  final case class Snap(version: Long, tsMillis: Long, files: Seq[String]) {
+    /** Parquet data files (relative paths under `data/`). */
+    def dataFiles: Seq[String] = files.filterNot(isDeleteFile)
+    /** Position-delete sidecars (relative paths under `deletes/`). */
+    def deleteFiles: Seq[String] = files.filter(isDeleteFile)
+  }
+
+  /** Whether a snapshot-relative path names a position-delete sidecar. */
+  def isDeleteFile(rel: String): Boolean = rel.startsWith("deletes/")
 
   private def dir(tableDir: Path): Path = tableDir.resolve("_graft_snapshots")
 

@@ -406,6 +406,116 @@ object Extras {
         .orderBy("_commit_version", "_change_type", "k")
     },
 
+    // MERGE-ON-READ DELETE (Iceberg v2 `write.delete.mode`): positions,
+    // not rewrites — the commit records (file, pos) sidecars and scans
+    // anti-apply them below the plan. Four hash-checked phases: 'after'
+    // (masked rows excluded from plain reads), 'cdc' (the row-level
+    // changelog emits exactly the masked rows as deletes — semantics
+    // copy-on-write file diffs cannot express), 'travel' (the
+    // pre-delete snapshot still serves every row), and 'sidecar' (a
+    // 0/1 pin that sidecars exist and the data files were untouched —
+    // i.e. this really took the MOR path, not a silent COW fallback).
+    Probe.df("q_delete_mor",
+      """WITH base AS (
+        |  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k,
+        |         CAST(l_quantity AS DOUBLE) AS qty
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |phases AS (
+        |  SELECT 'after' AS phase, k, qty FROM base WHERE qty >= 10
+        |  UNION ALL SELECT 'cdc', k, qty FROM base WHERE qty < 10
+        |  UNION ALL SELECT 'travel', k, qty FROM base
+        |  UNION ALL SELECT 'sidecar', CAST(1 AS BIGINT), CAST(0 AS DOUBLE))
+        |SELECT phase, k, qty FROM phases ORDER BY phase, k, qty""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.mordel")
+      s.sql("""CREATE TABLE gprobe.db.mordel (k BIGINT, qty DOUBLE)
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")       // v1
+      s.sql("INSERT INTO gprobe.db.mordel " +
+        "SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT), " +
+        "CAST(l_quantity AS DOUBLE) FROM lineitem " +
+        "WHERE l_orderkey % 7 = 0")                                   // v2
+      val dataBefore = graft.catalog.Snapshots
+        .latest(java.nio.file.Paths.get(wh, "db", "mordel")).get.dataFiles.toSet
+      s.sql("DELETE FROM gprobe.db.mordel WHERE qty < 10")            // v3: MOR
+      val snap = graft.catalog.Snapshots
+        .latest(java.nio.file.Paths.get(wh, "db", "mordel")).get
+      val morPinned = // sidecars written AND no data file rewritten
+        snap.deleteFiles.nonEmpty && snap.dataFiles.toSet == dataBefore
+      val after = s.sql(
+        "SELECT 'after' AS phase, k, qty FROM gprobe.db.mordel")
+      val cdc = graft.catalog.Changelog.read(s, "gprobe.db.mordel", 2L, 3L)
+        .where(col("_change_type") === "delete")
+        .select(org.apache.spark.sql.functions.lit("cdc").as("phase"),
+          col("k"), col("qty"))
+      val travel = s.sql(
+        "SELECT 'travel' AS phase, k, qty FROM gprobe.db.mordel VERSION AS OF 2")
+      val sidecar = Seq(("sidecar", if (morPinned) 1L else 0L, 0.0d))
+        .toDF("phase", "k", "qty")
+      after.unionAll(cdc).unionAll(travel).unionAll(sidecar)
+        .orderBy("phase", "k", "qty")
+    },
+
+    // FIELD-ID schema evolution (Iceberg spec §4): RENAME COLUMN serves
+    // pre-rename files' bytes under the new name (phase 'renamed'), and
+    // DROP + re-ADD of the same name does NOT resurrect the dropped
+    // column's data — the re-added field has a fresh id, absent from
+    // every older generation, so old files read NULL (phase 'dra', the
+    // classic field-id test). Both phases hash-checked against a DuckDB
+    // replay of the logical content.
+    Probe.df("q_rename_fieldids",
+      """WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |reg AS (SELECT CAST(r_regionkey AS BIGINT) AS k FROM region),
+        |ren AS (
+        |  SELECT 'renamed' AS phase, k,
+        |         CAST(k AS DOUBLE) * CAST(1.5 AS DOUBLE) AS b FROM nat
+        |  UNION ALL SELECT 'renamed', k + 100,
+        |         CAST(k + 100 AS DOUBLE) * CAST(2.0 AS DOUBLE) FROM reg),
+        |dra AS (
+        |  SELECT 'dra' AS phase, k, CAST(NULL AS DOUBLE) AS b FROM nat
+        |  UNION ALL SELECT 'dra', k + 100, CAST(NULL AS DOUBLE) FROM reg
+        |  UNION ALL SELECT 'dra', k + 200,
+        |         CAST(k + 200 AS DOUBLE) * CAST(3.0 AS DOUBLE) FROM reg)
+        |SELECT phase, k, b FROM (SELECT * FROM ren UNION ALL SELECT * FROM dra)
+        |ORDER BY phase, k, b NULLS FIRST""".stripMargin) { (s, dir) =>
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.renev")
+      s.sql("CREATE TABLE gprobe.db.renev (k BIGINT, a DOUBLE)")      // v1
+      s.sql("INSERT INTO gprobe.db.renev " +
+        "SELECT CAST(n_nationkey AS BIGINT), " +
+        "CAST(n_nationkey AS DOUBLE) * CAST(1.5 AS DOUBLE) FROM nation") // v2
+      s.sql("ALTER TABLE gprobe.db.renev RENAME COLUMN a TO b")
+      s.sql("INSERT INTO gprobe.db.renev " +
+        "SELECT CAST(r_regionkey AS BIGINT) + 100, " +
+        "CAST(r_regionkey + 100 AS DOUBLE) * CAST(2.0 AS DOUBLE) FROM region") // v3
+      // COLLECTED eagerly: the later DROP changes what `b` resolves to
+      val renamed = s.sql(
+        "SELECT 'renamed' AS phase, k, b FROM gprobe.db.renev").collect()
+      s.sql("ALTER TABLE gprobe.db.renev DROP COLUMN b")
+      s.sql("ALTER TABLE gprobe.db.renev ADD COLUMN b DOUBLE")
+      s.sql("INSERT INTO gprobe.db.renev " +
+        "SELECT CAST(r_regionkey AS BIGINT) + 200, " +
+        "CAST(r_regionkey + 200 AS DOUBLE) * CAST(3.0 AS DOUBLE) FROM region") // v4
+      val dra = s.sql(
+        "SELECT 'dra' AS phase, k, b FROM gprobe.db.renev").collect()
+      import org.apache.spark.sql.types._
+      val outSchema = StructType(Seq(StructField("phase", StringType, false),
+        StructField("k", LongType, true), StructField("b", DoubleType, true)))
+      s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava((renamed ++ dra).toSeq).asJava,
+        outSchema)
+        .orderBy(col("phase"), col("k"), col("b").asc_nulls_first)
+    },
+
     // Iceberg-parity `_file` metadata column through the graft catalog
     // (GraftTable + FileTaggedScans): rows tagged with their source data
     // file inside ONE delegate scan — rows-only (paths are

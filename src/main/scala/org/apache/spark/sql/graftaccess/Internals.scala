@@ -58,6 +58,16 @@ object Internals {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[ClassicSession], plan)
 
+  /** DataFrame over a DSv2 Table handle directly — lets maintenance jobs
+    * read EXACTLY a pinned snapshot through the table's own scan
+    * (generation-aware column mapping, MOR delete masking) without a
+    * catalog round-trip. */
+  def tableDf(spark: SparkSession,
+      table: org.apache.spark.sql.connector.catalog.Table)
+      : org.apache.spark.sql.DataFrame =
+    ofRows(spark, org.apache.spark.sql.execution.datasources.v2
+      .DataSourceV2Relation.create(table, None, None))
+
   /** Encode a DataFrame's result as ONE Arrow IPC stream (schema message +
     * record batch + EOS) — the wire format of the reference's Flight
     * `do_get` (lib.rs:288-295 encodes cached batches the same way). The

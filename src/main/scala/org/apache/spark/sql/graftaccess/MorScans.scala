@@ -1,0 +1,170 @@
+package org.apache.spark.sql.graftaccess
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.ProjectingInternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Merge-on-read scan wrapper for the graft catalog: applies position-
+  * delete sidecars ([[graft.catalog.DeleteSidecars]]) below the query
+  * plan, so every consumer of a MOR table — SQL, DataFrame, row-level
+  * operation rewrites — transparently sees deleted rows gone.
+  *
+  * Mechanism: the delegate `ParquetScan`'s `readDataSchema` gains
+  * Spark's TEMPORARY ROW-INDEX column
+  * (`ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME`), which both
+  * parquet reader paths populate with the row's ABSOLUTE position in its
+  * file — correct under column pruning, predicate pushdown, row-group
+  * skipping and file splits (it is the machinery behind
+  * `_metadata.row_index`). Readers then drop rows whose (file, position)
+  * appears in the broadcast delete index and project the scratch column
+  * away. Because positions are absolute, FILTER PUSHDOWN STAYS ON —
+  * a pushed filter only removes rows this wrapper would have served or
+  * dropped identically. Aggregate pushdown is disabled (a footer-served
+  * count would see deleted rows), and the scan is row-based while
+  * deletes are pending (Spark requires all-or-nothing columnar per scan;
+  * compaction folds deletes away and restores the vectorized path) —
+  * the documented MOR read tax, same trade Iceberg's Spark reader makes.
+  *
+  * Also serves the `_file` metadata column (same per-file partition
+  * regrouping as [[FileTaggedScans]], which remains the zero-overhead
+  * path for tables with no pending deletes). */
+object MorScans {
+
+  private val RowIdxField = StructField(
+    ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
+    nullable = true)
+
+  /** `loadIndex` runs at build time on the driver and returns
+    * ABSOLUTE-path data file → sorted deleted positions. */
+  final class Builder(plain: ScanBuilder, fileColAllowed: Boolean,
+      loadIndex: () => Map[String, Array[Long]])
+      extends ScanBuilder
+      with SupportsPushDownRequiredColumns
+      with SupportsPushDownCatalystFilters {
+    // deliberately NOT SupportsPushDownAggregates: a pushed aggregate is
+    // answered from footer metadata and would count masked rows
+
+    private var wantFile = false
+
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      wantFile = fileColAllowed &&
+        requiredSchema.fieldNames.contains(FileTaggedScans.FileCol)
+      val dataOnly = StructType(
+        if (wantFile) requiredSchema.filterNot(_.name == FileTaggedScans.FileCol)
+        else requiredSchema.fields.toSeq)
+      plain match {
+        case p: SupportsPushDownRequiredColumns => p.pruneColumns(dataOnly)
+        case _ => ()
+      }
+    }
+
+    override def pushFilters(fs: Seq[Expression]): Seq[Expression] =
+      plain match {
+        case p: SupportsPushDownCatalystFilters => p.pushFilters(fs)
+        case _ => fs
+      }
+
+    override def pushedFilters: Array[Predicate] = plain match {
+      case p: SupportsPushDownCatalystFilters => p.pushedFilters
+      case _ => Array.empty
+    }
+
+    override def build(): Scan = {
+      val scan0 = plain.build() match {
+        case p: ParquetScan => p
+        case other => throw new IllegalStateException(
+          s"merge-on-read scans wrap Spark's ParquetScan, got " +
+            s"${other.getClass.getName}")
+      }
+      val withIdx = scan0.copy(readDataSchema =
+        StructType(scan0.readDataSchema.fields :+ RowIdxField))
+      new MorScan(withIdx, scan0.readSchema(), wantFile, loadIndex)
+    }
+  }
+
+  private final class MorScan(withIdx: ParquetScan, outSchema: StructType,
+      wantFile: Boolean, loadIndex: () => Map[String, Array[Long]])
+      extends Scan with Batch with SupportsReportStatistics {
+
+    override def readSchema(): StructType =
+      if (wantFile)
+        StructType(outSchema.fields :+
+          StructField(FileTaggedScans.FileCol, StringType, nullable = false))
+      else outSchema
+
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-mor(${withIdx.description()})"
+    // the delegate's estimate, slightly over (masked rows counted) —
+    // fine for join-side sizing, conservative in the safe direction
+    override def estimateStatistics(): Statistics =
+      withIdx.estimateStatistics()
+
+    override def planInputPartitions(): Array[InputPartition] =
+      FileTaggedScans.regroupByFile(withIdx.toBatch.planInputPartitions())
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val index = spark.sparkContext.broadcast(loadIndex())
+      // rows arrive as readDataSchema(+rowIdx) ++ partition columns;
+      // the scratch row-index column sits at the end of the data block
+      val rowIdxOrd = withIdx.readDataSchema.length - 1
+      val n = withIdx.readSchema().length
+      new MorReaderFactory(withIdx.toBatch.createReaderFactory(), index,
+        rowIdxOrd, withIdx.readSchema(), (0 until n).filterNot(_ == rowIdxOrd),
+        wantFile)
+    }
+  }
+
+  /** Row-based only: ColumnarBatch has no row mask, and Spark scans are
+    * all-or-nothing columnar — the whole-scan row fallback is the MOR
+    * read tax until compaction folds the deletes. */
+  private final class MorReaderFactory(
+      inner: PartitionReaderFactory,
+      index: Broadcast[Map[String, Array[Long]]],
+      rowIdxOrd: Int, innerSchema: StructType, keepOrdinals: Seq[Int],
+      wantFile: Boolean) extends PartitionReaderFactory {
+
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+
+    override def createReader(
+        p: InputPartition): PartitionReader[InternalRow] = {
+      val tp = p.asInstanceOf[FileTaggedScans.TaggedPartition]
+      val r = inner.createReader(tp.inner)
+      val deleted: Array[Long] = index.value.getOrElse(tp.file, null)
+      val proj = ProjectingInternalRow(
+        StructType(keepOrdinals.map(innerSchema.fields)), keepOrdinals)
+      val tag = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(tp.file)))
+      val joined = new JoinedRow
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (r.next()) {
+            val row = r.get()
+            if (deleted == null ||
+                java.util.Arrays.binarySearch(deleted,
+                  row.getLong(rowIdxOrd)) < 0) {
+              cur = row
+              return true
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = {
+          proj.project(cur)
+          if (wantFile) joined(proj, tag) else proj
+        }
+        override def close(): Unit = r.close()
+      }
+    }
+  }
+}

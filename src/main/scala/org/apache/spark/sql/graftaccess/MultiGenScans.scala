@@ -1,0 +1,122 @@
+package org.apache.spark.sql.graftaccess
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+
+/** Composite scan over SCHEMA GENERATIONS of one graft table
+  * ([[graft.catalog.FieldIds]]): files written before a RENAME/DROP
+  * COLUMN carry old physical column names, so each generation gets its
+  * own delegate scan over its files with the CURRENT schema translated
+  * to that generation's physical names (fields whose id the generation
+  * lacks are requested under an impossible name and read NULL — never a
+  * stale same-named column's bytes). Row layouts are positionally
+  * identical across generations by construction (same pruned field
+  * order, same partition columns), so the union is a plain partition
+  * concat with per-partition reader dispatch.
+  *
+  * Pushdown: column pruning forwards to every slice (renamed); filters
+  * forward ONLY to slices where every referenced column physically
+  * exists (attribute names rewritten), and ALL filters are returned as
+  * residual so Catalyst re-applies them above the scan — redundant on
+  * the pushed slices, required on the skipped ones. Aggregate pushdown
+  * is off (a footer-served aggregate cannot span renamed generations).
+  * The per-slice delegates may already be MOR- or `_file`-wrapped; this
+  * layer is agnostic to that (it only forwards builder calls and
+  * dispatches partitions). Compaction rewrites every file under the
+  * current generation and restores the single-scan fast path. */
+object MultiGenScans {
+
+  /** One generation's delegate: `rename` maps CURRENT field name →
+    * this generation's physical name (including the absent-marker). */
+  final case class GenSlice(plain: ScanBuilder, rename: Map[String, String])
+
+  final class Builder(slices: Seq[GenSlice])
+      extends ScanBuilder
+      with SupportsPushDownRequiredColumns
+      with SupportsPushDownCatalystFilters {
+    require(slices.nonEmpty)
+    // the LAST slice is the current generation (identity rename)
+
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      slices.foreach { s =>
+        val renamed = StructType(requiredSchema.fields.map(f =>
+          f.copy(name = s.rename.getOrElse(f.name, f.name))))
+        s.plain match {
+          case p: SupportsPushDownRequiredColumns => p.pruneColumns(renamed)
+          case _ => ()
+        }
+      }
+
+    override def pushFilters(fs: Seq[Expression]): Seq[Expression] = {
+      slices.foreach { s =>
+        val absent = s.rename.collect {
+          case (cur, phys)
+              if phys.startsWith(graft.catalog.FieldIds.AbsentPrefix) => cur
+        }.toSet
+        val eligible = fs.filter(_.references.forall(a => !absent(a.name)))
+        val renamed = eligible.map(_.transform {
+          case a: AttributeReference if s.rename.contains(a.name) =>
+            a.withName(s.rename(a.name))
+        })
+        s.plain match {
+          case p: SupportsPushDownCatalystFilters => p.pushFilters(renamed)
+          case _ => ()
+        }
+      }
+      fs // ALL residual: skipped slices never saw them
+    }
+
+    override def pushedFilters: Array[Predicate] = slices.last.plain match {
+      case p: SupportsPushDownCatalystFilters => p.pushedFilters
+      case _ => Array.empty
+    }
+
+    override def build(): Scan = new CompositeScan(slices.map(_.plain.build()))
+  }
+
+  private final case class SlicePartition(inner: InputPartition, slice: Int)
+      extends InputPartition {
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  private final class CompositeScan(scans: Seq[Scan]) extends Scan with Batch {
+    // the current generation's scan already reports CURRENT names; all
+    // slices are positionally identical
+    override def readSchema(): StructType = scans.last.readSchema()
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-generations(${scans.length} schema generations)"
+
+    private lazy val batches = scans.map(_.toBatch)
+
+    override def planInputPartitions(): Array[InputPartition] =
+      batches.zipWithIndex.flatMap { case (b, i) =>
+        b.planInputPartitions().map(p => SlicePartition(p, i): InputPartition)
+      }.toArray
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new DispatchFactory(batches.map(_.createReaderFactory()))
+  }
+
+  private final class DispatchFactory(factories: Seq[PartitionReaderFactory])
+      extends PartitionReaderFactory {
+    override def supportColumnarReads(p: InputPartition): Boolean = {
+      val sp = p.asInstanceOf[SlicePartition]
+      factories(sp.slice).supportColumnarReads(sp.inner)
+    }
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val sp = p.asInstanceOf[SlicePartition]
+      factories(sp.slice).createReader(sp.inner)
+    }
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      val sp = p.asInstanceOf[SlicePartition]
+      factories(sp.slice).createColumnarReader(sp.inner)
+    }
+  }
+}

@@ -127,11 +127,7 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT a FROM g2.db.evo2").collect().head.getInt(0) == 7)
   }
 
-  test("RENAME COLUMN and ALTER TYPE are rejected loudly (name-mapped parquet)") {
-    val e1 = intercept[Exception] {
-      spark.sql("ALTER TABLE g2.db.evo2 RENAME COLUMN a TO b")
-    }
-    assert(e1.getMessage.contains("RENAME COLUMN is not supported"))
+  test("ALTER TYPE is rejected loudly (old parquet keeps the physical type)") {
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE g2.db.evo2 ALTER COLUMN a TYPE BIGINT")
     }
@@ -1193,5 +1189,364 @@ class CatalogV2Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSeq
     assert(got == Seq((2L, 1, 0), (3L, 1, 0), (4L, 0, 1)),
       s"unexpected summary $got")
+  }
+
+  // --- merge-on-read position deletes (write.delete.mode) ---------------
+
+  private def tdir(table: String) = java.nio.file.Paths.get(
+    spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", table)
+  private def snapNow(table: String) =
+    graft.catalog.Snapshots.latest(tdir(table)).get
+
+  test("MOR DELETE writes position-delete sidecars, rewrites no data file") {
+    spark.sql("""CREATE TABLE g2.db.mor (a INT, grp STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")          // v1
+    spark.sql("INSERT INTO g2.db.mor VALUES (1,'keep'), (2,'drop')")   // v2
+    spark.sql("INSERT INTO g2.db.mor VALUES (3,'keep'), (4,'drop')")   // v3
+    val before = snapNow("mor")
+    assert(before.deleteFiles.isEmpty && before.dataFiles.size >= 2)
+
+    spark.sql("DELETE FROM g2.db.mor WHERE grp = 'drop'")              // v4
+    val after = snapNow("mor")
+    assert(after.dataFiles.toSet == before.dataFiles.toSet,
+      "MOR DELETE must not rewrite or drop any data file")
+    assert(after.deleteFiles.nonEmpty &&
+      after.deleteFiles.forall(_.startsWith("deletes/")),
+      s"expected position-delete sidecars, got ${after.deleteFiles}")
+
+    // reads exclude masked rows — plain, filtered, aggregated
+    assert(spark.sql("SELECT a FROM g2.db.mor ORDER BY a").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    assert(spark.sql("SELECT a FROM g2.db.mor WHERE a >= 2 ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(spark.sql("SELECT count(*) FROM g2.db.mor").collect()
+      .head.getLong(0) == 2, "aggregate pushdown must not count masked rows")
+
+    // time travel: before the delete sees all rows, after sees the mask
+    assert(spark.sql("SELECT count(*) FROM g2.db.mor VERSION AS OF 3")
+      .collect().head.getLong(0) == 4)
+
+    // a second MOR delete stacks
+    spark.sql("DELETE FROM g2.db.mor WHERE a = 1")                     // v5
+    assert(spark.sql("SELECT a FROM g2.db.mor").collect()
+      .map(_.getInt(0)).toSeq == Seq(3))
+    assert(snapNow("mor").deleteFiles.size > after.deleteFiles.size)
+    assert(snapNow("mor").dataFiles.toSet == before.dataFiles.toSet)
+
+    // a no-match MOR delete commits nothing
+    val v = snapNow("mor").version
+    spark.sql("DELETE FROM g2.db.mor WHERE a = 999")
+    assert(snapNow("mor").version == v, "empty MOR delete must not commit")
+  }
+
+  test("MOR and COW DELETEs produce identical query results") {
+    for ((t, mode) <- Seq(("morcow_m", "merge-on-read"), ("morcow_c", "copy-on-write"))) {
+      spark.sql(s"""CREATE TABLE g2.db.$t (a INT, b DOUBLE)
+        TBLPROPERTIES ('write.delete.mode'='$mode')""")
+      spark.sql(s"INSERT INTO g2.db.$t SELECT CAST(id AS INT), CAST(id AS DOUBLE) / 7 " +
+        "FROM range(0, 1000)")
+      spark.sql(s"DELETE FROM g2.db.$t WHERE a % 3 = 1")
+      spark.sql(s"DELETE FROM g2.db.$t WHERE a >= 900")
+    }
+    val m = spark.sql("SELECT * FROM g2.db.morcow_m ORDER BY a").collect().toSeq
+    val c = spark.sql("SELECT * FROM g2.db.morcow_c ORDER BY a").collect().toSeq
+    assert(m == c, "merge-on-read and copy-on-write must agree row-for-row")
+    assert(snapNow("morcow_m").deleteFiles.nonEmpty)
+    assert(snapNow("morcow_c").deleteFiles.isEmpty)
+  }
+
+  test("compact folds MOR sidecars into rewritten files and drops them") {
+    spark.sql("""CREATE TABLE g2.db.morc (a INT, s STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morc SELECT CAST(id AS INT), concat('s', id) " +
+      "FROM range(0, 100)")
+    spark.sql("INSERT INTO g2.db.morc SELECT CAST(id AS INT), concat('s', id) " +
+      "FROM range(100, 200)")
+    val dropped = (0 until 200 by 10).toSeq
+    spark.sql(s"DELETE FROM g2.db.morc WHERE a IN (${dropped.mkString(",")})")
+    assert(snapNow("morc").deleteFiles.nonEmpty)
+    graft.catalog.Maintenance.compact(spark, "g2.db.morc", Seq("a"), 2)
+    val s = snapNow("morc")
+    assert(s.deleteFiles.isEmpty, "compaction must fold sidecars away")
+    assert(spark.sql("SELECT count(*), sum(a) FROM g2.db.morc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head ==
+      ((180L, (0 until 200).filter(_ % 10 != 0).map(_.toLong).sum)))
+    // masked rows stay gone in the compacted files
+    assert(spark.sql("SELECT count(*) FROM g2.db.morc WHERE a % 10 = 0")
+      .collect().head.getLong(0) == 0)
+  }
+
+  test("non-translatable DELETE on a MOR table falls back to COW, correctly") {
+    // `k IN (subquery)` cannot take the metadata deleteWhere path, so
+    // even under write.delete.mode=merge-on-read it runs the row-level
+    // COW rewrite — correct rows, rewrite cost; pinned as the documented
+    // scope boundary (MOR applies to Filter-translatable DELETEs).
+    spark.sql("""CREATE TABLE g2.db.morsub (k INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morsub VALUES (1), (2), (3), (4)")
+    spark.sql("DELETE FROM g2.db.morsub WHERE k = 2") // MOR sidecar
+    assert(snapNow("morsub").deleteFiles.nonEmpty)
+    spark.sql( // subquery yields k = 3
+      "DELETE FROM g2.db.morsub WHERE k IN (SELECT id + 3 FROM range(1))")
+    assert(spark.sql("SELECT k FROM g2.db.morsub ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 4),
+      "COW fallback must not resurrect MOR-masked rows")
+  }
+
+  test("_file metadata column serves through a MOR scan") {
+    spark.sql("""CREATE TABLE g2.db.morf (a INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morf VALUES (1), (2)")
+    spark.sql("INSERT INTO g2.db.morf VALUES (3)")
+    spark.sql("DELETE FROM g2.db.morf WHERE a = 2")
+    val rows = spark.sql("SELECT a, _file FROM g2.db.morf ORDER BY a")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.map(_._1).toSeq == Seq(1, 3))
+    assert(rows.forall(_._2.endsWith(".parquet")))
+    assert(rows.map(_._2).distinct.length == 2, "two source files expected")
+  }
+
+  test("MOR DELETE on an identity-partitioned table masks across partition dirs") {
+    spark.sql("""CREATE TABLE g2.db.morp (a INT, lang STRING)
+      PARTITIONED BY (lang)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morp VALUES (1,'en'), (2,'en'), (3,'de'), (4,'de')")
+    val before = snapNow("morp")
+    spark.sql("DELETE FROM g2.db.morp WHERE a >= 2 AND a <= 3")
+    assert(snapNow("morp").dataFiles.toSet == before.dataFiles.toSet)
+    assert(snapNow("morp").deleteFiles.nonEmpty)
+    assert(spark.sql("SELECT a FROM g2.db.morp ORDER BY a").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 4))
+    // partition pruning still serves the mask
+    assert(spark.sql("SELECT a FROM g2.db.morp WHERE lang = 'en'").collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("upsert on a MOR table does not resurrect masked rows") {
+    spark.sql("""CREATE TABLE g2.db.moru (k INT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.moru VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("DELETE FROM g2.db.moru WHERE k = 2") // MOR mask
+    import spark.implicits._
+    graft.catalog.Maintenance.upsert(spark, "g2.db.moru",
+      Seq((3, "C!"), (9, "i")).toDF("k", "v"), Seq("k"))
+    assert(spark.sql("SELECT k, v FROM g2.db.moru ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (3, "C!"), (9, "i")),
+      "k=2 was MOR-masked before the upsert and must stay gone")
+  }
+
+  test("changelog emits row-level deletes for MOR commits; nets zero on compact") {
+    spark.sql("""CREATE TABLE g2.db.morcdc (k INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")           // v1
+    spark.sql("INSERT INTO g2.db.morcdc VALUES (1), (2), (3), (4)")     // v2
+    spark.sql("DELETE FROM g2.db.morcdc WHERE k IN (2, 4)")             // v3
+    val cdc = graft.catalog.Changelog.read(spark, "g2.db.morcdc", 2L, 3L)
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(cdc == Seq((2, "delete", 3L), (4, "delete", 3L)),
+      s"MOR delete must emit EXACTLY the masked rows, got $cdc")
+
+    // a second overlapping MOR delete re-records k=4: only the NEWLY
+    // masked row is a change
+    spark.sql("DELETE FROM g2.db.morcdc WHERE k >= 3")                  // v4
+    val cdc2 = graft.catalog.Changelog.read(spark, "g2.db.morcdc", 3L, 4L)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(cdc2 == Seq((3, "delete")), s"already-masked k=4 must not repeat: $cdc2")
+
+    // compaction carries over: net changes across it are zero
+    graft.catalog.Maintenance.compact(spark, "g2.db.morcdc", Seq("k"), 1) // v5
+    val net = graft.catalog.Changelog.netChanges(spark, "g2.db.morcdc", 4L, 5L)
+    assert(net.count() == 0, "compaction must net to zero row changes")
+
+    // cumulative replay: per-k inserts minus deletes over the whole
+    // history reconstructs the surviving row set (netChanges rows are
+    // per-commit; carryovers cancel within each commit)
+    import org.apache.spark.sql.functions.{col, sum, when}
+    val survived = graft.catalog.Changelog
+      .netChanges(spark, "g2.db.morcdc", 0L, 5L)
+      .groupBy("k")
+      .agg(sum(when(col("_change_type") === "insert", col("n_copies"))
+        .otherwise(-col("n_copies"))).as("n"))
+      .where(col("n") > 0).select("k")
+      .collect().map(_.getInt(0)).toSeq
+    assert(survived == Seq(1), s"history must replay to k=1: $survived")
+  }
+
+  test("rollback across a MOR delete un-masks rows; changelog emits inserts") {
+    spark.sql("""CREATE TABLE g2.db.morrb (k INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")           // v1
+    spark.sql("INSERT INTO g2.db.morrb VALUES (1), (2)")                // v2
+    spark.sql("DELETE FROM g2.db.morrb WHERE k = 2")                    // v3
+    assert(spark.sql("SELECT count(*) FROM g2.db.morrb").collect()
+      .head.getLong(0) == 1)
+    spark.sql("CALL g2.system.rollback_to_version('db.morrb', 2)")      // v4
+    assert(spark.sql("SELECT k FROM g2.db.morrb ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2), "rollback must un-mask k=2")
+    val cdc = graft.catalog.Changelog.read(spark, "g2.db.morrb", 3L, 4L)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(cdc == Seq((2, "insert")), s"un-delete must emit an insert: $cdc")
+  }
+
+  test("streaming readTable rejects tables with MOR history") {
+    spark.sql("""CREATE TABLE g2.db.morst (k INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morst VALUES (1), (2)")
+    spark.sql("DELETE FROM g2.db.morst WHERE k = 1")
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.CatalogStreams.readTable(spark, "g2.db.morst")
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
+  test("MOR position index over the broadcast cap fails loudly, advising compact") {
+    spark.sql("""CREATE TABLE g2.db.morcap (k INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morcap SELECT CAST(id AS INT) FROM range(0, 100)")
+    spark.sql("DELETE FROM g2.db.morcap WHERE k < 50")
+    spark.conf.set(graft.catalog.DeleteSidecars.BroadcastMaxBytesKey, "64")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM g2.db.morcap").collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("compact")),
+        s"expected a compact-advising error, got ${chain(e)}")
+    } finally
+      spark.conf.unset(graft.catalog.DeleteSidecars.BroadcastMaxBytesKey)
+    // and reads recover once the limit is back
+    assert(spark.sql("SELECT count(*) FROM g2.db.morcap").collect()
+      .head.getLong(0) == 50)
+  }
+
+  // --- field-id schema evolution (RENAME COLUMN, drop+re-add) -----------
+
+  test("RENAME COLUMN serves old files' data under the new name (field ids)") {
+    spark.sql("CREATE TABLE g2.db.ren (a INT, s STRING)")            // v1
+    spark.sql("INSERT INTO g2.db.ren VALUES (1,'x'), (2,'y')")       // v2: gen-1 files
+    spark.sql("ALTER TABLE g2.db.ren RENAME COLUMN a TO a2")
+    // old files read under the NEW name
+    assert(spark.sql("SELECT a2, s FROM g2.db.ren ORDER BY a2").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "x"), (2, "y")))
+    // new writes land under the new physical name and mix with old files
+    spark.sql("INSERT INTO g2.db.ren VALUES (3,'z')")                // v3: gen-2 file
+    assert(spark.sql("SELECT a2 FROM g2.db.ren ORDER BY a2").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // filters on the renamed column apply across both generations
+    assert(spark.sql("SELECT s FROM g2.db.ren WHERE a2 >= 2 ORDER BY s")
+      .collect().map(_.getString(0)).toSeq == Seq("y", "z"))
+    // aggregates too
+    assert(spark.sql("SELECT sum(a2) FROM g2.db.ren").collect()
+      .head.getLong(0) == 6L)
+    // the old name is gone
+    intercept[Exception] {
+      spark.sql("SELECT a FROM g2.db.ren").collect()
+    }
+    // chained rename: a2 -> a3, still serving generation-1 bytes
+    spark.sql("INSERT INTO g2.db.ren VALUES (4,'w')")                // v4
+    spark.sql("ALTER TABLE g2.db.ren RENAME COLUMN a2 TO a3")
+    assert(spark.sql("SELECT a3 FROM g2.db.ren ORDER BY a3").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("drop + re-add of a column does NOT resurrect old data (field ids)") {
+    spark.sql("CREATE TABLE g2.db.dra (k INT, x STRING)")            // v1
+    spark.sql("INSERT INTO g2.db.dra VALUES (1,'old1'), (2,'old2')") // v2
+    spark.sql("ALTER TABLE g2.db.dra DROP COLUMN x")
+    spark.sql("ALTER TABLE g2.db.dra ADD COLUMN x STRING")
+    // the classic field-id test: old files' physical x must NOT serve
+    assert(spark.sql("SELECT k, x FROM g2.db.dra ORDER BY k").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq == Seq((1, null), (2, null)),
+      "re-added column must read NULL from pre-drop files")
+    spark.sql("INSERT INTO g2.db.dra VALUES (3,'new3')")
+    assert(spark.sql("SELECT k, x FROM g2.db.dra WHERE x IS NOT NULL").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((3, "new3")))
+  }
+
+  test("rename guards: partition columns and name collisions reject") {
+    spark.sql("CREATE TABLE g2.db.reng (a INT, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql("INSERT INTO g2.db.reng VALUES (1, 'eu')")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.reng RENAME COLUMN region TO r2")
+    }
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.reng RENAME COLUMN a TO region")
+    }
+    assert(e2.getMessage.contains("already exists"))
+  }
+
+  test("compact migrates pre-rename files to the current generation") {
+    spark.sql("CREATE TABLE g2.db.renc (a INT, s STRING)")
+    spark.sql("INSERT INTO g2.db.renc VALUES (1,'x'), (2,'y')")
+    spark.sql("ALTER TABLE g2.db.renc RENAME COLUMN a TO b")
+    spark.sql("INSERT INTO g2.db.renc VALUES (3,'z')")
+    // pre-migration: upsert and row-level commands reject loudly
+    val e = intercept[Exception] {
+      import spark.implicits._
+      graft.catalog.Maintenance.upsert(spark, "g2.db.renc",
+        Seq((1, "X")).toDF("b", "s"), Seq("b"))
+    }
+    assert(e.getMessage.contains("compact"))
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE g2.db.renc SET s = 'u' WHERE b = 1")
+    }
+    assert(e2.getMessage.contains("compact"))
+    graft.catalog.Maintenance.compact(spark, "g2.db.renc", Seq("b"), 1)
+    assert(spark.sql("SELECT b, s FROM g2.db.renc ORDER BY b").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "x"), (2, "y"), (3, "z")))
+    // post-migration the guarded paths work again
+    spark.sql("UPDATE g2.db.renc SET s = 'u' WHERE b = 1")
+    assert(spark.sql("SELECT s FROM g2.db.renc WHERE b = 1").collect()
+      .head.getString(0) == "u")
+  }
+
+  test("MOR deletes and renames compose (positions are name-agnostic)") {
+    spark.sql("""CREATE TABLE g2.db.renm (a INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.renm VALUES (1), (2), (3)")
+    spark.sql("ALTER TABLE g2.db.renm RENAME COLUMN a TO b")
+    spark.sql("DELETE FROM g2.db.renm WHERE b = 2") // MOR over old-gen files
+    assert(snapNow("renm").deleteFiles.nonEmpty, "expected a MOR sidecar")
+    assert(spark.sql("SELECT b FROM g2.db.renm ORDER BY b").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    // compact folds sidecars AND migrates generations in one pass
+    graft.catalog.Maintenance.compact(spark, "g2.db.renm", Seq("b"), 1)
+    val s = snapNow("renm")
+    assert(s.deleteFiles.isEmpty)
+    assert(spark.sql("SELECT b FROM g2.db.renm ORDER BY b").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
+  test("time travel across a rename serves old snapshots under current names") {
+    spark.sql("CREATE TABLE g2.db.rent (a INT)")                     // v1
+    spark.sql("INSERT INTO g2.db.rent VALUES (1), (2)")              // v2
+    spark.sql("ALTER TABLE g2.db.rent RENAME COLUMN a TO b")
+    spark.sql("INSERT INTO g2.db.rent VALUES (3)")                   // v3
+    // the pinned snapshot predates the rename; columns resolve by id
+    // under the CURRENT name (one consistent view, like Iceberg reads
+    // with the current schema)
+    assert(spark.sql("SELECT b FROM g2.db.rent VERSION AS OF 2 ORDER BY b")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test(".files metadata table reports sidecars as position-deletes content") {
+    spark.sql("""CREATE TABLE g2.db.morft (a INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morft VALUES (1), (2), (3)")
+    spark.sql("DELETE FROM g2.db.morft WHERE a = 2")
+    val rows = spark.sql(
+      "SELECT content, record_count FROM g2.db.morft.files ORDER BY content")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(_._1).count(_ == "data") >= 1)
+    assert(rows.filter(_._1 == "position-deletes").map(_._2).sum == 1,
+      s"one masked position expected, got $rows")
   }
 }
