@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SetJoin, Similarity}
+
+/** Measured LINEAR-SCALING evidence for the heavy operator families
+  * (VERDICT r14 #5): the 100 TB claims elsewhere are analytic +
+  * sf0.1-measured; this main runs the five heaviest families at sf0.1
+  * AND at a deterministically generated ~10× corpus and prints the
+  * runtime ratios — a super-linear blowup surfaces as ratio >> factor.
+  *
+  * The scaled corpus replicates documents/embeddings `factor`× with
+  * SEEDED mutations that keep the duplicate structure LINEAR (carried
+  * lesson: quadratic-true-pair corpora cannot be benched): every
+  * SECOND word of a replica gets a replica-specific suffix, so every
+  * 3-word shingle and every 40-char gram contains a mutated word and
+  * nothing matches across replicas (an every-8th-word mutation was
+  * measured to leave cross-replica Jaccard ≈ 5/11, near the 0.5 LSH
+  * threshold — pair counts went 73× at 10× data); ids offset by r·10⁷
+  * keep every planted group replica-local. Embeddings get a
+  * per-replica deterministic perturbation. No RNG anywhere — re-runs
+  * are bit-identical.
+  *
+  * Usage: `tools/run.sh graft.ScaleBench <srcSfDir> <scaledDir> [factor]
+  * [op ...]` — generates `<scaledDir>` once (skips when present), then
+  * for each op prints one JSON line
+  * `{"op":…,"base_sec":…,"scaled_sec":…,"ratio":…,"base_rows":…,"scaled_rows":…}`.
+  * Results are recorded in BASELINE.md ("Round 15: measured scaling"). */
+object ScaleBench {
+
+  private val IdOffset = 10000000L
+
+  def genCorpus(spark: SparkSession, src: String, dest: String,
+      factor: Int): Unit = {
+    if (Files.exists(Paths.get(dest, "documents.parquet"))) return
+    Files.createDirectories(Paths.get(dest))
+    val docs = Tables.load(spark, src, "documents")
+    val docReps = (0 until factor).map { r =>
+      if (r == 0) docs
+      else {
+        val mutated = array_join(
+          // every SECOND word mutated: every 3-shingle and 40-char
+          // gram hits a replica-specific token — zero cross-replica
+          // matches, in-replica structure intact
+          expr(s"transform(split(text, ' '), (w, i) -> " +
+            s"IF(i % 2 = 0, concat(w, '_r$r'), w))"), " ")
+        docs.select(
+          (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
+          mutated.as("text"),
+          col("lang"), col("source"),
+          length(mutated).cast("long").as("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+    docReps.write.mode("overwrite")
+      .parquet(Paths.get(dest, "documents.parquet").toString)
+
+    val emb = Tables.load(spark, src, "embeddings")
+    val embReps = (0 until factor).map { r =>
+      if (r == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(r * IdOffset)).as("vec_id"),
+        expr(s"transform(embedding, (v, i) -> " +
+          s"CAST(v + CAST((i * $r) % 7 AS FLOAT) * CAST(0.001 AS FLOAT) " +
+          s"AS FLOAT))").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    embReps.write.mode("overwrite")
+      .parquet(Paths.get(dest, "embeddings.parquet").toString)
+  }
+
+  /** The probe-identical planted shapes (linear duplicate structure). */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("XX "), col("text")).as("text")))
+  }
+
+  private def chainPairs(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.load(s, dir, "documents").select("doc_id")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+    ranked.as("a")
+      .join(ranked.as("b"), col("b.r") === col("a.r") + 1 &&
+        col("a.r") % 50 =!= 0)
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+  }
+
+  private def groupToks(s: SparkSession, dir: String): DataFrame = {
+    val g = expr("CAST(doc_id DIV 5 AS STRING)")
+    Tables.load(s, dir, "documents").select(col("doc_id"),
+      array(
+        concat(lit("doc"), col("doc_id").cast("string")),
+        concat(lit("x"), (col("doc_id") % 7).cast("string")),
+        concat(lit("g1-"), g), concat(lit("g2-"), g),
+        concat(lit("g3-"), g), concat(lit("g4-"), g),
+        concat(lit("g5-"), g), concat(lit("g6-"), g)).as("toks"))
+  }
+
+  val ops: Map[String, (SparkSession, String) => Long] = Map(
+    // banded MinHash+LSH near-dup candidate generation + exact verify
+    "minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text").count()),
+    // large/small-star connected components over a planted chain graph
+    "cc_star" -> ((s, dir) =>
+      Dedup.clusterPairsStar(chainPairs(s, dir)).count()),
+    // exact Jaccard ε-join (prefix-filtered ppjoin)
+    "setjoin_jaccard" -> ((s, dir) =>
+      SetJoin.jaccardJoin(groupToks(s, dir), groupToks(s, dir),
+        "doc_id", "toks", "doc_id", "toks", tau = 0.5).count()),
+    // exact-substring dedup at char granularity (one md5 per char).
+    // A plain count() would let Spark PRUNE the clean_text rebuild —
+    // aggregate over it so the full span-merge + rebuild is paid.
+    "substr_exact" -> ((s, dir) =>
+      Dedup.exactSubstrDedup(plantedDocs(s, dir), "doc_id", "text",
+          gramChars = 40)
+        .agg(sum(length(col("clean_text"))), sum(col("dup_chars")))
+        .collect().head.getLong(0)),
+    // the winnowed gram-selection tier (~1/w of the grams)
+    "substr_winnow" -> ((s, dir) =>
+      Dedup.winnowSubstrDedup(plantedDocs(s, dir), "doc_id", "text",
+          gramChars = 40, window = 8)
+        .agg(sum(length(col("clean_text"))), sum(col("dup_chars")))
+        .collect().head.getLong(0)),
+    // IVF: deterministic k-means build + cell assignment of the corpus
+    "ivf_build" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsFrom(e, "vec_id", "embedding", 16)
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents).count()
+    }),
+    // IVF search: 64 in-corpus queries probing 4 of 16 cells, top-10
+    "ivf_search" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsFrom(e, "vec_id", "embedding", 16)
+      val q = e.filter(col("vec_id") % 31 === 0).limit(64)
+      Similarity.ivfTopK(q, e, "vec_id", "embedding", cents,
+        nprobe = 4, k = 10).count()
+    })
+  )
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: ScaleBench <srcSfDir> <scaledDir> [factor] [op ...]")
+    val (src, dest) = (args(0), args(1))
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val requested =
+      if (args.length > 3) args.drop(3).toSeq else ops.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    genCorpus(spark, src, dest, factor)
+
+    def timed(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    requested.foreach { name =>
+      val f = ops.getOrElse(name,
+        sys.error(s"unknown op $name; have ${ops.keys.toSeq.sorted}"))
+      f(spark, src) // warmup (JIT, codegen, footers)
+      val (baseSec, baseRows) = timed(f(spark, src))
+      val (scaledSec, scaledRows) = timed(f(spark, dest))
+      println(f"""{"op":"$name","factor":$factor,"base_sec":$baseSec%.3f,""" +
+        f""""scaled_sec":$scaledSec%.3f,"ratio":${scaledSec / baseSec}%.2f,""" +
+        f""""base_rows":$baseRows,"scaled_rows":$scaledRows}""")
+    }
+    spark.stop()
+  }
+}

@@ -206,6 +206,69 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("reference parity details pinned to their lib.rs anchors (PROTOCOL.md)") {
+    withServer { (_, c) =>
+      // handshake failure wording — lib.rs:237-240
+      val bad = c.call("cmd" -> "handshake", "user" -> "admin",
+        "password" -> "wrong")
+      assert(!bad.get("ok").asBoolean)
+      assert(bad.get("error").asText.contains("Invalid credentials!"))
+      val token = auth(c)
+
+      // DDL/DML through execute_update returns -1, never a row count —
+      // lib.rs:653
+      val ddl = c.call("cmd" -> "execute_update", "token" -> token,
+        "sql" -> "CREATE OR REPLACE TEMP VIEW parity_v AS SELECT 1 AS x")
+      assert(ddl.get("ok").asBoolean, ddl.toString)
+      assert(ddl.get("rows").asLong == -1L, s"DDL must report -1: $ddl")
+
+      // the literal 'rollback' is answered with a one-row VALUES plan,
+      // not parsed — lib.rs:677, 683-696
+      val rb = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "rollback")
+      assert(rb.get("ok").asBoolean, rb.toString)
+      val rbh = rb.get("handle").asText
+      assert(c.call("cmd" -> "execute", "handle" -> rbh)
+        .get("rows").asLong == 1L)
+      c.call("cmd" -> "close_statement", "handle" -> rbh)
+
+      // an EMPTY result still fetches schema-only Arrow IPC bytes — the
+      // schema message a Flight DoGet would open with (lib.rs:288-295)
+      val prep = c.call("cmd" -> "prepare", "token" -> token,
+        "sql" -> "SELECT 1 AS a WHERE 1 = 0")
+      val h = prep.get("handle").asText
+      assert(c.call("cmd" -> "execute", "handle" -> h)
+        .get("rows").asLong == 0L)
+      val f1 = c.call("cmd" -> "fetch_arrow", "handle" -> h)
+      assert(f1.get("ok").asBoolean)
+      val bytes1 = c.readFrame()
+      assert(bytes1.nonEmpty, "empty result must still carry schema bytes")
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes1), alloc)
+      try {
+        val schema = reader.getVectorSchemaRoot.getSchema
+        assert(schema.getFields.get(0).getName == "a")
+        assert(!reader.loadNextBatch() ||
+          reader.getVectorSchemaRoot.getRowCount == 0)
+      } finally { reader.close(); alloc.close() }
+
+      // repeated fetch serves the SAME cached bytes (encode-once result
+      // cache — lib.rs:333-344)
+      val f2 = c.call("cmd" -> "fetch_arrow", "handle" -> h)
+      assert(f2.get("ok").asBoolean)
+      val bytes2 = c.readFrame()
+      assert(java.util.Arrays.equals(bytes1, bytes2),
+        "re-fetch must return the identical cached encoding")
+
+      // close_statement frees the handle — lib.rs:718-730
+      assert(c.call("cmd" -> "close_statement", "handle" -> h)
+        .get("ok").asBoolean)
+      assert(!c.call("cmd" -> "fetch_arrow", "handle" -> h)
+        .get("ok").asBoolean, "a closed handle must not fetch")
+    }
+  }
+
   test("over-limit execute surfaces the GRAFT_MAX_RESULT_ROWS " +
       "diagnostic in-band; the connection survives (VERDICT r12 #2)") {
     sys.props("graft.max.result.rows") = "10"

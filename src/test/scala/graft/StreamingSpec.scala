@@ -733,6 +733,55 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
   }
 
+  test("expireSnapshots racing a LAGGING capped tail fails with the " +
+      "expired-snapshot diagnostic at getBatch (ADVICE r13 #4 pin)") {
+    // Drive the Source contract directly (Trigger.Once ignores
+    // per-trigger caps, so a real harness query cannot be parked
+    // mid-catch-up deterministically): one capped trigger leaves the
+    // source's position at v2, maintenance destroys v2, and the next
+    // cycle must (a) survive offset DISCOVERY via the first-pending
+    // fallback and (b) fail the BATCH with the clear expired-snapshot
+    // diagnostic — never silently skip or re-deliver.
+    val wh = Files.createTempDirectory("graft_wh_tail6").toString
+    spark.conf.set("spark.sql.catalog.gtail6", "graft.catalog.MetaCatalog")
+    spark.conf.set("spark.sql.catalog.gtail6.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gtail6.s")
+    spark.sql("CREATE TABLE gtail6.s.feed (id BIGINT)")          // v1
+    (1 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO gtail6.s.feed VALUES ($i)"))       // v2..v6
+    val tableDir = java.nio.file.Paths.get(wh, "s", "feed")
+    val meta = Files.createTempDirectory("graft_tail6_meta").toString
+    val src = new graft.catalog.SnapshotStreamSource(spark, tableDir,
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType),
+      meta, maxSnapshotsPerTrigger = Some(1), maxFilesPerTrigger = None)
+
+    // two capped triggers: v1 (the empty CREATE snapshot), then v2 —
+    // the tail is parked at v2 with four snapshots still pending
+    // (batch DataFrames are streaming-flagged — any inspection trips the
+    // batch-execution checker; the capped OFFSETS are the lag evidence)
+    val off0 = src.getOffset.get
+    assert(off0.json.trim == "1", s"capped first offset must be v1: $off0")
+    src.getBatch(None, off0) // succeeds: v1 alive
+    val off1 = src.getOffset.get
+    assert(off1.json.trim == "2", s"capped second offset must be v2: $off1")
+    src.getBatch(Some(off0), off1) // succeeds: v2 alive
+
+    // maintenance expires history PAST the stream's position
+    graft.catalog.Maintenance.expireSnapshots(spark, "gtail6.s.feed",
+      keepLast = 1)
+
+    // offset discovery survives (first-pending fallback, no baseline)
+    val off2 = src.getOffset.get
+    assert(off2.json.trim.toLong > 2L, s"fallback must admit progress: $off2")
+    // ...but the batch fails loudly: its START snapshot is gone
+    val err = intercept[IllegalStateException] {
+      src.getBatch(Some(off1), off2)
+    }
+    assert(err.getMessage.contains("expired while a stream"),
+      s"expected the expired-snapshot diagnostic, got: ${err.getMessage}")
+  }
+
   test("a rewrite hidden INSIDE one batch range still fails the stream") {
     // add + COW-delete committed between two triggers: the dropped file
     // cancels out of the endpoint diff, so only per-snapshot validation
