@@ -172,7 +172,8 @@ object ScaleBench {
     requested.foreach { name =>
       val f = ops.getOrElse(name,
         sys.error(s"unknown op $name; have ${ops.keys.toSeq.sorted}"))
-      f(spark, src) // warmup (JIT, codegen, footers)
+      f(spark, src) // warm BOTH corpora (JIT, codegen, footers, listing)
+      f(spark, dest)
       val (baseSec, baseRows) = timed(f(spark, src))
       val (scaledSec, scaledRows) = timed(f(spark, dest))
       println(f"""{"op":"$name","factor":$factor,"base_sec":$baseSec%.3f,""" +

@@ -49,10 +49,15 @@ object CatalogStreams {
       case _ => ()
     }
     // merge-on-read sidecars are logical row drops — the same
-    // non-append class (the source also fails mid-stream MOR commits)
+    // non-append class (the source also fails mid-stream MOR commits).
+    // Compaction alone cannot unblock this: HISTORICAL snapshots keep
+    // referencing the sidecars (and compact's own file drops trip the
+    // sliding check above) — only expiring the affected history does.
     require(!snaps.exists(_.deleteFiles.nonEmpty),
-      s"table $ident has merge-on-read position-delete files; streaming " +
-        "reads require append-only history (compact the table first)")
+      s"table $ident has merge-on-read position-delete files in its " +
+        "history; streaming reads require append-only history (compact, " +
+        "then expire_snapshots past the affected versions — or use the " +
+        "changelog reader)")
     spark.readStream
       .format(classOf[SnapshotStreamProvider].getName)
       .schema(schema)

@@ -71,6 +71,25 @@ object Changelog {
       Files.readString(dir.resolve("_graft_schema.json")))
       .asInstanceOf[StructType]
 
+    // The raw reads below map columns by PHYSICAL name: a file from an
+    // older field-id generation (pre-RENAME, or pre-drop with a
+    // re-added same-named column) would silently serve renamed columns
+    // as NULL — or worse, resurrect a dropped column's bytes. Reject
+    // loudly; compact() rewrites history's files... but old SNAPSHOTS
+    // keep referencing the old files, so the guard covers every file
+    // any snapshot in the requested range references.
+    FieldIds.read(dir).foreach { m =>
+      val rangeFiles = Snapshots.list(dir)
+        .filter(s => s.version >= fromVersion && s.version <= toVersion)
+        .flatMap(_.dataFiles).distinct
+      if (FieldIds.hasOldGenFiles(dir, m, rangeFiles))
+        throw new UnsupportedOperationException(
+          s"$ident: the changelog range ($fromVersion, $toVersion] " +
+            "references data files from an older schema generation " +
+            "(RENAME/DROP COLUMN); read a post-compact range, or " +
+            "compact() and expire the pre-rename history first")
+    }
+
     // align to the DECLARED schema: files written before an ALTER ADD
     // COLUMN lack the new column (read NULL); dropped columns hide
     def align(raw: DataFrame, typ: String, v: Long): DataFrame = {

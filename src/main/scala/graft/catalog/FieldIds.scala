@@ -147,10 +147,16 @@ object FieldIds {
     Meta(nextId, kept :+ Gen(activeFrom, names))
   }
 
-  def addColumn(meta: Meta, name: String, activeFrom: Long): Meta = {
+  /** ADD COLUMN extends the CURRENT generation IN PLACE — no new
+    * generation: a fresh id can never collide with any old file's
+    * physical names (files written before the add simply lack the
+    * column and read NULL), and sealing a generation here would wrongly
+    * mark every existing current-generation file as old-generation,
+    * tripping the compact-first rejections for a plain ADD. */
+  def addColumn(meta: Meta, name: String): Meta = {
     require(meta.current.idOf(name).isEmpty, s"column $name already mapped")
-    withGen(meta, activeFrom,
-      meta.current.names + (meta.nextId -> name), meta.nextId + 1)
+    Meta(meta.nextId + 1, meta.gens.init :+
+      meta.current.copy(names = meta.current.names + (meta.nextId -> name)))
   }
 
   def dropColumn(meta: Meta, name: String, activeFrom: Long): Meta =

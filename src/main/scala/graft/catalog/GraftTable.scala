@@ -83,18 +83,6 @@ class GraftTable(
       case None => Snapshots.commitWith(tableDir)(compute)
     }
 
-  /** Visible DATA files (absolute paths) for this table handle —
-    * position-delete sidecars are metadata for the scan, never scanned
-    * as rows ([[Snapshots.Snap.dataFiles]]). */
-  private def visibleDataFiles: Seq[String] = {
-    val rel = headSnap match {
-      case Some(s) => s.dataFiles
-      case None => // pre-snapshot (v1-era) table: whole data dir
-        Snapshots.walkDataParquet(tableDir)
-    }
-    rel.map(f => tableDir.resolve(f).toString)
-  }
-
   /** The broadcastable merge-on-read index for the given sidecars,
     * keyed by ABSOLUTE data-file path (what partition readers see). */
   private def morIndexAbs(
@@ -106,9 +94,15 @@ class GraftTable(
       .flatMap { case (rel, ps) =>
         val p = tableDir.resolve(rel)
         // partition readers identify files by their planned SparkPath —
-        // key the index under both the URI form ("file:/...") and the
-        // plain filesystem path, so the lookup is encoding-proof
-        Seq(DeleteSidecars.sparkFileUri(p) -> ps, p.toString -> ps)
+        // key the index under the percent-ENCODED URI ("file:/a%20b"),
+        // the DECODED Hadoop Path form ("file:/a b" — what
+        // SparkPath.toPath renders for hive dirs with url-encodable
+        // partition values), and the plain filesystem path, so the
+        // lookup is encoding-proof
+        Seq(DeleteSidecars.sparkFileUri(p) -> ps,
+          new org.apache.hadoop.fs.Path("file", null, p.toString)
+            .toString -> ps,
+          p.toString -> ps)
       }
   }
 
@@ -243,9 +237,12 @@ class GraftTable(
       case None => Snapshots.walkDataParquet(tableDir)
     }
     val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
+    // ONE sidecar read + ONE broadcast per scan build, shared by every
+    // generation slice (each slice's MorScan resolves the same lazy)
+    lazy val sharedIndex = spark.sparkContext.broadcast(morIndexAbs(dels))
     def wrap(plain: ScanBuilder): ScanBuilder =
       if (dels.nonEmpty)
-        new MorScans.Builder(plain, !fileColShadowed, () => morIndexAbs(dels))
+        new MorScans.Builder(plain, !fileColShadowed, () => sharedIndex)
       else if (fileColShadowed) plain
       else new FileTaggedScans.Builder(plain)
     generationGroups(dataRel) match {
@@ -415,6 +412,24 @@ class GraftTable(
   private[catalog] def replaceFiles(data: DataFrame, baseFiles: Seq[String]): Unit =
     commitWrite(data, overwrite = true, replacedBase = Some(baseFiles))
 
+  /** Replace the snapshot's position-delete sidecars with a rewritten
+    * set — data files untouched (Maintenance.rewritePositionDeletes).
+    * Same surgical semantics as [[replaceFiles]]: a concurrent commit
+    * that already folded `oldSidecars` aborts this rewrite. */
+  private[catalog] def replaceDeleteSidecars(positions: DataFrame,
+      oldSidecars: Seq[String], targetFiles: Int): Unit = {
+    val tmp = Files.createTempDirectory(
+      s"graft_mor_rw_${UUID.randomUUID().toString.take(8)}")
+    try {
+      positions.coalesce(math.max(1, targetFiles))
+        .sortWithinPartitions("file", "pos")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      stripZeroRowParts(tmp) // all-dangling input → pure sidecar drop
+      publishAndCommit(tmp, overwrite = true,
+        replacedBase = Some(oldSidecars), destRoot = Some(deletesDir))
+    } finally dropRecursively(tmp)
+  }
+
   // --- SQL row-level commands (MERGE INTO / UPDATE / subquery DELETE) ---
 
   /** Group-based (copy-on-write) row-level operation support: Spark's
@@ -511,7 +526,8 @@ class GraftTable(
         if (baseDeletes.isEmpty) delegate.build().toBatch
         else // pending MOR sidecars: masked rows must not enter the rewrite
           new org.apache.spark.sql.graftaccess.MorScans.Builder(
-            delegate, fileColAllowed = false, () => morIndexAbs(baseDeletes))
+            delegate, fileColAllowed = false,
+            () => spark.sparkContext.broadcast(morIndexAbs(baseDeletes)))
             .build().toBatch
       }
       override def description(): String =

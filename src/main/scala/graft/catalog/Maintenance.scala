@@ -229,7 +229,20 @@ object Maintenance {
     val pinned = org.apache.spark.sql.graftaccess.Internals
       .tableDf(spark, table)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
-    table.replaceFiles(layout(pinned), base.files)
+    // The broadcast-position cap is an INTERACTIVE-read OOM guard whose
+    // error advises running compact — compact itself must not trip it
+    // (it has to read everything once to fold the sidecars away, and
+    // the circular advice would leave raising the cap session-wide as
+    // the only escape). Lift it for exactly this job; the conf is read
+    // at scan-build time, which happens inside replaceFiles' write.
+    val capKey = DeleteSidecars.BroadcastMaxBytesKey
+    val prevCap = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, Long.MaxValue.toString)
+    try table.replaceFiles(layout(pinned), base.files)
+    finally prevCap match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None => spark.conf.unset(capKey)
+    }
     val after = Snapshots.latest(dir).map(_.files.length).getOrElse(0)
     (base.files.length, after)
   }
@@ -247,6 +260,45 @@ object Maintenance {
       val table = new GraftTable(ident, dir, schema, Seq.empty, Map.empty, None)
       table.replaceFiles(spark.table(ident), staleBase)
     }
+  }
+
+  /** Rewrite the current snapshot's POSITION-DELETE sidecars without
+    * touching any data file (Iceberg's `rewrite_position_delete_files`
+    * — the cheap MOR upkeep between full compactions): drops entries
+    * referencing data files no longer in the snapshot (dangling after
+    * COW rewrites/upserts replaced their targets) and coalesces many
+    * small per-DELETE sidecars into `targetFiles` sorted files, so the
+    * scan-side index load reads one file instead of one per DELETE.
+    * Returns (sidecars before, sidecars after, positions before,
+    * positions after). Masked-row visibility is UNCHANGED by
+    * construction — only entries that no reader could ever apply drop. */
+  def rewritePositionDeletes(spark: SparkSession, ident: String,
+      targetFiles: Int = 1): (Int, Int, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val dir = tableDir(spark, ident)
+    val base = Snapshots.latest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots for $ident"))
+    if (base.deleteFiles.isEmpty) return (0, 0, 0L, 0L)
+    val pos = DeleteSidecars.positionsDf(spark, dir, base.deleteFiles)
+      .persist()
+    try {
+      val before = pos.count()
+      val present = base.dataFiles.toSet
+      val kept = pos.filter(col("file").isInCollection(present))
+      val after = kept.count()
+      val schema = DataType.fromJson(
+        Files.readString(dir.resolve("_graft_schema.json")))
+        .asInstanceOf[StructType]
+      val props = readProps(dir)
+      val parts = props.get("graft.partition.columns").toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty)
+      val table = new GraftTable(ident, dir, schema, parts,
+        props - "graft.partition.columns", pinned = None)
+      table.replaceDeleteSidecars(kept, base.deleteFiles, targetFiles)
+      val now = Snapshots.latest(dir).map(_.deleteFiles.length).getOrElse(0)
+      (base.deleteFiles.length, now, before, after)
+    } finally pos.unpersist()
   }
 
   /** Build per-(file, column) bloom-filter sidecars for the CURRENT

@@ -312,17 +312,27 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
       val evolved = schemaChanges.foldLeft(before)(applySchemaChange)
       // field-id bookkeeping: DROP/RENAME seal a generation active from
       // the NEXT snapshot; ADD extends the current generation in place
-      // (a fresh id can never collide with old files' physical names)
-      val activeFrom = Snapshots.latest(tablePath(ident))
-        .map(_.version).getOrElse(0L) + 1L
+      // (a fresh id can never collide with old files' physical names).
+      // Pre-snapshot (v1-era) tables have no commit log to key
+      // generations on — activeFrom would collide with the synthesized
+      // generation and the rename would silently read NULL from every
+      // existing file — so RENAME stays loudly rejected there (DROP
+      // keeps its historical name-hiding semantics).
+      val latestV = Snapshots.latest(tablePath(ident)).map(_.version)
+      schemaChanges.foreach {
+        case r: TableChange.RenameColumn if latestV.isEmpty =>
+          throw new UnsupportedOperationException(
+            s"cannot rename column ${r.fieldNames().mkString(".")}: " +
+              s"${fullName(ident)} predates the snapshot log (no commit " +
+              "history to key schema generations on); recreate the table " +
+              "(CTAS) to rename")
+        case _ => ()
+      }
+      val activeFrom = latestV.getOrElse(0L) + 1L
       var meta = FieldIds.readOrSynthesize(tablePath(ident), before)
       schemaChanges.foreach {
         case a: TableChange.AddColumn =>
-          val cur = meta.current
-          meta = meta.copy(
-            nextId = meta.nextId + 1,
-            gens = meta.gens.init :+
-              cur.copy(names = cur.names + (meta.nextId -> a.fieldNames().head)))
+          meta = FieldIds.addColumn(meta, a.fieldNames().head)
         case d: TableChange.DeleteColumn =>
           meta = FieldIds.dropColumn(meta, d.fieldNames().head, activeFrom)
         case r: TableChange.RenameColumn =>

@@ -26,7 +26,7 @@ object Procedures {
     Array("compact", "zorder", "expire_snapshots", "add_blooms",
       "create_tag", "drop_tag", "changes",
       "create_branch", "drop_branch", "fast_forward", "rollback_to_version",
-      "remove_orphan_files")
+      "remove_orphan_files", "rewrite_position_deletes")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -71,6 +71,22 @@ object Procedures {
         val (before, after) = Maintenance.compactZOrder(
           SparkSession.active, full(in), cols(in, 1), in.getInt(2))
         Array(new GenericInternalRow(Array[Any](before, after)))
+      }
+      case "rewrite_position_deletes" => proc(
+        "rewrite_position_deletes",
+        "rewrite merge-on-read position-delete sidecars without touching " +
+          "data files: drop dangling entries, coalesce into target_files " +
+          "(Iceberg rewrite_position_delete_files)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_files", IntegerType).build()),
+        StructType(Seq(StructField("sidecars_before", IntegerType),
+          StructField("sidecars_after", IntegerType),
+          StructField("positions_before", LongType),
+          StructField("positions_after", LongType)))) { in =>
+        val (sb, sa, pb, pa) = Maintenance.rewritePositionDeletes(
+          SparkSession.active, full(in), in.getInt(1))
+        Array(new GenericInternalRow(Array[Any](sb, sa, pb, pa)))
       }
       case "expire_snapshots" => proc(
         "expire_snapshots",

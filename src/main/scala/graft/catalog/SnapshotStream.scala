@@ -176,8 +176,9 @@ final class SnapshotStreamSource(
           s"table at $tableDir committed ${morAdds.size} merge-on-read " +
             s"position-delete file(s) at snapshot v${s.version} while " +
             "streaming; streaming reads require append-only commits " +
-            "(compact the table and restart the stream from a fresh " +
-            "checkpoint, or use the changelog reader)")
+            "(compact, then expire_snapshots past the affected versions " +
+            "and restart from a fresh checkpoint — or use the changelog " +
+            "reader)")
         prev = cur
       }
     val endFiles = filesAt(endV)

@@ -42,10 +42,12 @@ object MorScans {
     ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
     nullable = true)
 
-  /** `loadIndex` runs at build time on the driver and returns
-    * ABSOLUTE-path data file → sorted deleted positions. */
+  /** `loadIndex` runs on the driver when the scan plans and returns the
+    * BROADCAST delete index (absolute-path data file → sorted deleted
+    * positions). Callers memoize it so a multi-generation scan's slices
+    * share ONE sidecar read and ONE broadcast. */
   final class Builder(plain: ScanBuilder, fileColAllowed: Boolean,
-      loadIndex: () => Map[String, Array[Long]])
+      loadIndex: () => Broadcast[Map[String, Array[Long]]])
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with SupportsPushDownCatalystFilters {
@@ -91,7 +93,7 @@ object MorScans {
   }
 
   private final class MorScan(withIdx: ParquetScan, outSchema: StructType,
-      wantFile: Boolean, loadIndex: () => Map[String, Array[Long]])
+      wantFile: Boolean, loadIndex: () => Broadcast[Map[String, Array[Long]]])
       extends Scan with Batch with SupportsReportStatistics {
 
     override def readSchema(): StructType =
@@ -112,8 +114,7 @@ object MorScans {
       FileTaggedScans.regroupByFile(withIdx.toBatch.planInputPartitions())
 
     override def createReaderFactory(): PartitionReaderFactory = {
-      val spark = org.apache.spark.sql.SparkSession.active
-      val index = spark.sparkContext.broadcast(loadIndex())
+      val index = loadIndex()
       // rows arrive as readDataSchema(+rowIdx) ++ partition columns;
       // the scratch row-index column sits at the end of the data block
       val rowIdxOrd = withIdx.readDataSchema.length - 1

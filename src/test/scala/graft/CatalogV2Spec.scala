@@ -1322,6 +1322,21 @@ class CatalogV2Spec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("MOR delete masks rows whose partition value needs URI encoding") {
+    // a SPACE in a hive partition value survives into the path un-escaped;
+    // the scan-side index lookup must match the planned file identity
+    // across encodings (percent-encoded URI vs decoded Hadoop path)
+    spark.sql("""CREATE TABLE g2.db.morsp (a INT, tag STRING)
+      PARTITIONED BY (tag)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morsp VALUES (1,'a b'), (2,'a b'), (3,'plain')")
+    spark.sql("DELETE FROM g2.db.morsp WHERE a = 2")
+    assert(snapNow("morsp").deleteFiles.nonEmpty, "expected a MOR sidecar")
+    assert(spark.sql("SELECT a FROM g2.db.morsp ORDER BY a").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3),
+      "masked row in the space-valued partition must stay gone")
+  }
+
   test("upsert on a MOR table does not resurrect masked rows") {
     spark.sql("""CREATE TABLE g2.db.moru (k INT, v STRING)
       TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
@@ -1399,6 +1414,44 @@ class CatalogV2Spec extends AnyFunSuite {
       graft.catalog.CatalogStreams.readTable(spark, "g2.db.morst")
     }
     assert(e.getMessage.contains("merge-on-read"))
+  }
+
+  test("rewrite_position_deletes coalesces sidecars and drops dangling " +
+      "entries without touching data files") {
+    spark.sql("""CREATE TABLE g2.db.morrw (k INT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morrw SELECT CAST(id AS INT), concat('v', id) " +
+      "FROM range(0, 100)")
+    spark.sql("DELETE FROM g2.db.morrw WHERE k < 5")    // sidecar batch 1
+    spark.sql("DELETE FROM g2.db.morrw WHERE k >= 95")  // sidecar batch 2
+    val before = snapNow("morrw")
+    assert(before.deleteFiles.size >= 2)
+
+    // an upsert rewrites the touched files: its sidecar entries dangle
+    import spark.implicits._
+    graft.catalog.Maintenance.upsert(spark, "g2.db.morrw",
+      Seq((50, "V!")).toDF("k", "v"), Seq("k"))
+    val mid = snapNow("morrw")
+    assert(mid.deleteFiles.toSet == before.deleteFiles.toSet,
+      "upsert must not touch sidecars")
+
+    val res = spark.sql(
+      "CALL g2.system.rewrite_position_deletes('db.morrw', 1)").collect().head
+    val after = snapNow("morrw")
+    assert(after.dataFiles.toSet == mid.dataFiles.toSet,
+      "sidecar rewrite must not touch data files")
+    assert(after.deleteFiles.size == 1,
+      s"expected one coalesced sidecar, got ${after.deleteFiles}")
+    assert(res.getInt(0) >= 2 && res.getInt(1) == 1)
+    assert(res.getLong(3) <= res.getLong(2),
+      "dangling entries (if any) must only ever drop")
+    // masked-row visibility unchanged
+    assert(spark.sql("SELECT count(*) FROM g2.db.morrw").collect()
+      .head.getLong(0) == 90)
+    assert(spark.sql("SELECT v FROM g2.db.morrw WHERE k = 50").collect()
+      .head.getString(0) == "V!")
+    assert(spark.sql("SELECT count(*) FROM g2.db.morrw WHERE k < 5 OR k >= 95")
+      .collect().head.getLong(0) == 0)
   }
 
   test("MOR position index over the broadcast cap fails loudly, advising compact") {
@@ -1523,6 +1576,30 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(s.deleteFiles.isEmpty)
     assert(spark.sql("SELECT b FROM g2.db.renm ORDER BY b").collect()
       .map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
+  test("changelog rejects ranges referencing pre-rename files (no silent " +
+      "NULLs or resurrected bytes); post-compact ranges read fine") {
+    spark.sql("CREATE TABLE g2.db.rencl (k INT, x STRING)")          // v1
+    spark.sql("INSERT INTO g2.db.rencl VALUES (1,'a'), (2,'b')")     // v2
+    spark.sql("ALTER TABLE g2.db.rencl RENAME COLUMN x TO y")
+    spark.sql("INSERT INTO g2.db.rencl VALUES (3,'c')")              // v3
+    val e = intercept[UnsupportedOperationException] {
+      graft.catalog.Changelog.read(spark, "g2.db.rencl", 1L, 3L).collect()
+    }
+    assert(e.getMessage.contains("older schema generation"))
+    graft.catalog.Maintenance.compact(spark, "g2.db.rencl", Seq("k"), 1) // v4
+    // the compaction diff ITSELF still references the pre-rename files
+    // (their rows are its 'delete' side) — (3, 4] stays rejected too
+    intercept[UnsupportedOperationException] {
+      graft.catalog.Changelog.read(spark, "g2.db.rencl", 3L, 4L).collect()
+    }
+    // a range past the migration touches only current-generation files
+    spark.sql("INSERT INTO g2.db.rencl VALUES (4,'d')")              // v5
+    val rows = graft.catalog.Changelog.read(spark, "g2.db.rencl", 4L, 5L)
+      .select("k", "y", "_change_type").collect()
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(1)),
+      "post-compact changelog must serve the renamed column's data")
   }
 
   test("time travel across a rename serves old snapshots under current names") {
