@@ -36,7 +36,18 @@ object ScaleBench {
 
   def genCorpus(spark: SparkSession, src: String, dest: String,
       factor: Int): Unit = {
-    if (Files.exists(Paths.get(dest, "documents.parquet"))) return
+    // the marker is written LAST: a crash mid-generation (documents
+    // written, embeddings missing) leaves no marker and regenerates;
+    // a marker from a DIFFERENT factor fails loudly rather than
+    // silently benchmarking the wrong scale under this factor's label
+    val marker = Paths.get(dest, "_graft_scale_factor")
+    if (Files.exists(marker)) {
+      val have = Files.readString(marker).trim
+      require(have == factor.toString,
+        s"$dest was generated at factor $have, not $factor; " +
+          "point at a fresh directory")
+      return
+    }
     Files.createDirectories(Paths.get(dest))
     val docs = Tables.load(spark, src, "documents")
     val docReps = (0 until factor).map { r =>
@@ -70,6 +81,7 @@ object ScaleBench {
     }.reduce(_ unionByName _)
     embReps.write.mode("overwrite")
       .parquet(Paths.get(dest, "embeddings.parquet").toString)
+    Files.writeString(marker, factor.toString)
   }
 
   /** The probe-identical planted shapes (linear duplicate structure). */

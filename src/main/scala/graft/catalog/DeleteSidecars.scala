@@ -111,19 +111,27 @@ object DeleteSidecars {
     * (file, position) appear in `deleteFiles` drop. The file-identity
     * join key is the ABSOLUTE URI: relative paths map driver-side
     * through the same `Path.toUri` both sides use, so hive partition
-    * dirs with url-encoded values stay matched. */
+    * dirs with url-encoded values stay matched. Positions load through
+    * [[loadIndex]], so the SAME [[BroadcastMaxBytesKey]] guard that
+    * protects interactive scans protects these driver-side
+    * materializations (COW-fallback DELETE, upsert, changelog) — over
+    * the cap they fail with the compact-advising error, never a silent
+    * driver OOM. */
   def applyDeletes(df: DataFrame, spark: SparkSession, tableDir: Path,
       dataFiles: Seq[String], deleteFiles: Seq[String]): DataFrame = {
     // no sidecars, or no data files (df is then a plain empty frame
     // with no `_metadata` to join on): nothing to mask
     if (deleteFiles.isEmpty || dataFiles.isEmpty) return df
-    import spark.implicits._
+    val maxBytes = spark.conf.getOption(BroadcastMaxBytesKey)
+      .map(_.toLong).getOrElse(BroadcastMaxBytesDefault)
+    val index = loadIndex(tableDir, deleteFiles,
+      spark.sparkContext.hadoopConfiguration, maxBytes)
     val relToUri = dataFiles.map(rel =>
       rel -> sparkFileUri(tableDir.resolve(rel))).toMap
-    val posUri = positionsDf(spark, tableDir, deleteFiles)
-      .as[(String, Long)].collect() // small by contract
-      .flatMap { case (rel, pos) => relToUri.get(rel).map(u => (u, pos)) }
-    val dels = spark.createDataFrame(posUri.toSeq).toDF("__uri", "__pos")
+    val posUri = index.toSeq.flatMap { case (rel, positions) =>
+      relToUri.get(rel).toSeq.flatMap(u => positions.map(p => (u, p)))
+    }
+    val dels = spark.createDataFrame(posUri).toDF("__uri", "__pos")
     df.join(broadcast(dels),
       col("_metadata.file_path") === col("__uri") &&
         col("_metadata.row_index") === col("__pos"),

@@ -49,7 +49,8 @@ class GraftTable(
     props: Map[String, String],
     pinned: Option[Snapshots.Snap],
     branch: Option[String] = None,
-    fieldMeta: Option[FieldIds.Meta] = None) extends Table
+    fieldMeta: Option[FieldIds.Meta] = None,
+    morCapOverride: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -87,8 +88,13 @@ class GraftTable(
     * keyed by ABSOLUTE data-file path (what partition readers see). */
   private def morIndexAbs(
       deleteFiles: Seq[String]): Map[String, Array[Long]] = {
-    val maxBytes = spark.conf.getOption(DeleteSidecars.BroadcastMaxBytesKey)
-      .map(_.toLong).getOrElse(DeleteSidecars.BroadcastMaxBytesDefault)
+    // morCapOverride: a maintenance handle (compact) lifts the
+    // interactive-read OOM guard for ITS OWN scan only — never by
+    // mutating session conf, which would race concurrent compacts and
+    // disable the guard for unrelated queries
+    val maxBytes = morCapOverride.getOrElse(
+      spark.conf.getOption(DeleteSidecars.BroadcastMaxBytesKey)
+        .map(_.toLong).getOrElse(DeleteSidecars.BroadcastMaxBytesDefault))
     DeleteSidecars.loadIndex(tableDir, deleteFiles,
         spark.sparkContext.hadoopConfiguration, maxBytes)
       .flatMap { case (rel, ps) =>
@@ -289,7 +295,8 @@ class GraftTable(
     * (INSERT OVERWRITE / TRUNCATE) replaces the whole visible set by
     * request. */
   private def commitWrite(data: DataFrame, overwrite: Boolean,
-      replacedBase: Option[Seq[String]] = None): Unit = {
+      replacedBase: Option[Seq[String]] = None,
+      knownDeletes: Option[Seq[String]] = None): Unit = {
     val tmp = Files.createTempDirectory(s"graft_commit_${UUID.randomUUID().toString.take(8)}")
     try {
       val aligned = data.toDF(declaredSchema.fieldNames.toSeq: _*)
@@ -297,7 +304,8 @@ class GraftTable(
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
       stripZeroRowParts(tmp)
-      publishAndCommit(tmp, overwrite, replacedBase)
+      publishAndCommit(tmp, overwrite, replacedBase,
+        knownDeletes = knownDeletes)
     } finally dropRecursively(tmp)
   }
 
@@ -350,10 +358,18 @@ class GraftTable(
     * was computed FROM: the commit replaces exactly those files and keeps
     * anything committed since; a stale base (concurrent rewrite won)
     * aborts loudly, Iceberg-style, before any file moves. */
+  /** `knownDeletes`: the MOR sidecar set the committing REWRITE read
+    * its masked rows from — a sidecar committed since then may
+    * reference data files this commit replaces, and the rewritten
+    * files (read pre-sidecar) would silently RESURRECT those rows
+    * (Iceberg's validateNoNewDeleteFiles guards the same race).
+    * Conservative: ANY new sidecar aborts, even one over untouched
+    * files — retry semantics, same as the stale-base abort. */
   private def publishAndCommit(tmp: Path, overwrite: Boolean,
       replacedBase: Option[Seq[String]],
       only: Option[Set[Path]] = None,
-      destRoot: Option[Path] = None): Unit = {
+      destRoot: Option[Path] = None,
+      knownDeletes: Option[Seq[String]] = None): Unit = {
     val destDir = destRoot.getOrElse(dataDir)
     // The tmp→data move runs EXACTLY ONCE even though the CAS compute
     // closure can run several times: a commit that loses the
@@ -376,6 +392,15 @@ class GraftTable(
           s"$fullName: rewrite base is stale (files ${gone.take(3).mkString(", ")}" +
             s"${if (gone.length > 3) ", …" else ""} replaced by a concurrent " +
             "commit); retry the operation")
+      }
+      knownDeletes.foreach { known =>
+        val newDels = latest.map(_.deleteFiles).getOrElse(Seq.empty)
+          .filterNot(known.toSet)
+        if (newDels.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"$fullName: a concurrent merge-on-read DELETE committed " +
+            s"${newDels.length} position-delete sidecar(s) after this " +
+            "rewrite read its base snapshot; the rewritten files would " +
+            "resurrect the masked rows — retry the operation")
       }
       val moved = movedOnce.getOrElse {
         val m = scala.util.Using.resource(Files.walk(tmp)) { st =>
@@ -407,10 +432,14 @@ class GraftTable(
   }
 
   /** Rewrite the given base snapshot's files with `data` — surgical
-    * (files committed since `baseFiles` survive; stale base aborts).
-    * Maintenance.compact's entry point. */
-  private[catalog] def replaceFiles(data: DataFrame, baseFiles: Seq[String]): Unit =
-    commitWrite(data, overwrite = true, replacedBase = Some(baseFiles))
+    * (files committed since `baseFiles` survive; stale base aborts, and
+    * so does a merge-on-read DELETE committed since `baseDeletes` was
+    * read — the rewrite would resurrect its masked rows).
+    * Maintenance.compact/upsert's entry point. */
+  private[catalog] def replaceFiles(data: DataFrame, baseFiles: Seq[String],
+      baseDeletes: Seq[String] = Seq.empty): Unit =
+    commitWrite(data, overwrite = true, replacedBase = Some(baseFiles),
+      knownDeletes = Some(baseDeletes))
 
   /** Replace the snapshot's position-delete sidecars with a rewritten
     * set — data files untouched (Maintenance.rewritePositionDeletes).
@@ -583,7 +612,8 @@ class GraftTable(
             // publish (retry stragglers stay behind and are dropped)
             onCommit = paths => try publishAndCommit(staging,
               overwrite = true, replacedBase = Some(replaced),
-              only = Some(paths.map(p => java.nio.file.Paths.get(p)).toSet))
+              only = Some(paths.map(p => java.nio.file.Paths.get(p)).toSet),
+              knownDeletes = Some(baseDeletes))
             finally dropStaging(),
             onAbort = _ => dropStaging(),
             partitionCols = partitionCols)
@@ -688,7 +718,8 @@ class GraftTable(
           .filter(not(coalesce(cond, lit(false))))
       }
     commitWrite(survivors, overwrite = true,
-      replacedBase = Some(if (baseSnap.isDefined) touched else baseData))
+      replacedBase = Some(if (baseSnap.isDefined) touched else baseData),
+      knownDeletes = Some(baseDeletes))
   }
 }
 

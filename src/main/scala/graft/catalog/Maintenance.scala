@@ -125,7 +125,7 @@ object Maintenance {
       sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nulls_$k")))
     val stats = src.agg(aggCols.head, aggCols.tail: _*).collect()(0)
     val rows = stats.getAs[Long]("__rows")
-    if (rows == 0L) return (0, base.files.length) // empty source: no-op
+    if (rows == 0L) return (0, base.dataFiles.length) // empty source: no-op
     keyCols.foreach(k => require(stats.getAs[Long](s"__nulls_$k") == 0L,
       s"upsert source has null key values in $k"))
     val groups = src.select(keyCols.map(col).toSeq: _*).distinct().count()
@@ -173,7 +173,7 @@ object Maintenance {
       .flatMap(_.split(",")).filter(_.nonEmpty)
     val table = new GraftTable(ident, dir, schema, parts,
       props - "graft.partition.columns", pinned = None)
-    table.replaceFiles(survivors.unionByName(src), touched)
+    table.replaceFiles(survivors.unionByName(src), touched, base.deleteFiles)
     (touched.length, base.dataFiles.length)
   }
 
@@ -223,26 +223,21 @@ object Maintenance {
     // schema-generation MIGRATION (every output file is written under
     // the current names). The rewritten table is back on the
     // single-scan vectorized fast path.
-    val table = new GraftTable(ident, dir, schema, parts,
-      props - "graft.partition.columns", pinned = Some(base),
-      fieldMeta = FieldIds.read(dir))
-    val pinned = org.apache.spark.sql.graftaccess.Internals
-      .tableDf(spark, table)
-      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     // The broadcast-position cap is an INTERACTIVE-read OOM guard whose
     // error advises running compact — compact itself must not trip it
     // (it has to read everything once to fold the sidecars away, and
-    // the circular advice would leave raising the cap session-wide as
-    // the only escape). Lift it for exactly this job; the conf is read
-    // at scan-build time, which happens inside replaceFiles' write.
-    val capKey = DeleteSidecars.BroadcastMaxBytesKey
-    val prevCap = spark.conf.getOption(capKey)
-    spark.conf.set(capKey, Long.MaxValue.toString)
-    try table.replaceFiles(layout(pinned), base.files)
-    finally prevCap match {
-      case Some(v) => spark.conf.set(capKey, v)
-      case None => spark.conf.unset(capKey)
-    }
+    // circular advice would leave raising the cap session-wide as the
+    // only escape). Lifted on THIS handle only (morCapOverride) — never
+    // by mutating session conf, which would race concurrent compacts
+    // and disable the guard for unrelated queries.
+    val table = new GraftTable(ident, dir, schema, parts,
+      props - "graft.partition.columns", pinned = Some(base),
+      fieldMeta = FieldIds.read(dir),
+      morCapOverride = Some(Long.MaxValue))
+    val pinned = org.apache.spark.sql.graftaccess.Internals
+      .tableDf(spark, table)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    table.replaceFiles(layout(pinned), base.files, base.deleteFiles)
     val after = Snapshots.latest(dir).map(_.files.length).getOrElse(0)
     (base.files.length, after)
   }
@@ -259,6 +254,20 @@ object Maintenance {
         Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
       val table = new GraftTable(ident, dir, schema, Seq.empty, Map.empty, None)
       table.replaceFiles(spark.table(ident), staleBase)
+    }
+
+    /** Drive a rewrite whose base predates a merge-on-read DELETE — the
+      * concurrent-sidecar abort path (impossible to time reliably with
+      * real concurrent statements). `baseFiles`/`baseDeletes` are the
+      * rewrite's (stale) view of the snapshot. */
+    def replaceWithStaleDeletes(spark: SparkSession, ident: String,
+        baseFiles: Seq[String], baseDeletes: Seq[String]): Unit = {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val dir = tableDir(spark, ident)
+      val schema = DataType.fromJson(
+        Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
+      val table = new GraftTable(ident, dir, schema, Seq.empty, Map.empty, None)
+      table.replaceFiles(spark.table(ident), baseFiles, baseDeletes)
     }
   }
 
@@ -408,7 +417,32 @@ object Maintenance {
       val (protectedSnaps, dropSnaps) =
         candidates.partition(s => tagged.contains(s.version))
       if (dropSnaps.isEmpty) return (0, 0)
-      val live = (protectedSnaps ++ newest).flatMap(_.files).toSet ++
+      val retained = protectedSnaps ++ newest
+      // FIELD-ID SAFETY: per-file schema generations resolve through the
+      // file's FIRST-SEEN snapshot version (FieldIds.firstSeen). Dropping
+      // the snapshot a live file first appeared in RAISES its first-seen
+      // version — if that crosses a DROP/RENAME generation boundary, the
+      // file silently reclassifies as a newer generation and its reads
+      // corrupt (a dropped-then-re-added column would resurrect old
+      // bytes; a renamed column would read NULL). Refuse exactly those
+      // expirations; compact() migrates the files and unblocks.
+      FieldIds.read(dir).filter(_.evolved).foreach { m =>
+        val seenBefore = FieldIds.firstSeen(dir)
+        val retainedSet = retained.map(_.version).toSet
+        def seenAfter(f: String): Long = all
+          .filter(s => retainedSet.contains(s.version) && s.files.contains(f))
+          .map(_.version).minOption.getOrElse(Long.MaxValue)
+        val unsafe = retained.flatMap(_.dataFiles).distinct.filter { f =>
+          val before = seenBefore.getOrElse(f, Long.MaxValue)
+          m.genFor(before) != m.genFor(seenAfter(f))
+        }
+        if (unsafe.nonEmpty) throw new IllegalStateException(
+          s"$ident: expiring past a RENAME/DROP COLUMN generation " +
+            s"boundary would reclassify ${unsafe.length} live data " +
+            s"file(s) (e.g. ${unsafe.head}) into the wrong schema " +
+            "generation; compact() the table first to migrate them")
+      }
+      val live = retained.flatMap(_.files).toSet ++
         Snapshots.branchReferencedFiles(dir)
       val deadFiles = dropSnaps.flatMap(_.files).toSet -- live
       dropSnaps.foreach { s =>

@@ -340,8 +340,14 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
             activeFrom)
         case _ => () // nullability/comment: names and ids unchanged
       }
-      Files.writeString(schemaFile(ident), evolved.json)
+      // fields FIRST: a crash between the two writes then leaves an
+      // un-renamed declared schema over evolved field ids, and the next
+      // scan FAILS LOUDLY (genSchema: "missing from field-id metadata");
+      // the reverse order would leave a renamed schema over un-evolved
+      // ids, which reads the renamed column as silent NULLs through the
+      // single-generation fast path
       FieldIds.write(tablePath(ident), meta)
+      Files.writeString(schemaFile(ident), evolved.json)
     }
     if (propChanges.nonEmpty) {
       val next = propChanges.foldLeft(readProps(ident)) {

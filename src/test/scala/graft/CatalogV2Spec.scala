@@ -1602,6 +1602,55 @@ class CatalogV2Spec extends AnyFunSuite {
       "post-compact changelog must serve the renamed column's data")
   }
 
+  test("a rewrite whose base predates a concurrent MOR delete aborts " +
+      "instead of resurrecting the masked rows") {
+    spark.sql("""CREATE TABLE g2.db.morrace (k INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO g2.db.morrace VALUES (1), (2), (3)")
+    val base = snapNow("morrace")
+    // the "concurrent" MOR delete commits AFTER the rewrite captured base
+    spark.sql("DELETE FROM g2.db.morrace WHERE k = 2")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.catalog.Maintenance.CompactTestHook.replaceWithStaleDeletes(
+        spark, "g2.db.morrace", base.dataFiles, base.deleteFiles)
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    assert(spark.sql("SELECT k FROM g2.db.morrace ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3), "the mask must survive")
+    // with the sidecar in its base view, the same rewrite commits fine
+    val cur = snapNow("morrace")
+    graft.catalog.Maintenance.CompactTestHook.replaceWithStaleDeletes(
+      spark, "g2.db.morrace", cur.dataFiles, cur.deleteFiles)
+    assert(spark.sql("SELECT k FROM g2.db.morrace ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
+  test("expireSnapshots refuses to reclassify live files across a " +
+      "generation boundary (drop+re-add stays dead after expiry)") {
+    spark.sql("CREATE TABLE g2.db.renexp (k INT, x STRING)")          // v1
+    spark.sql("INSERT INTO g2.db.renexp VALUES (1,'secret')")         // v2
+    spark.sql("ALTER TABLE g2.db.renexp DROP COLUMN x")
+    spark.sql("ALTER TABLE g2.db.renexp ADD COLUMN x STRING")         // gen 2
+    spark.sql("INSERT INTO g2.db.renexp VALUES (2,'new')")            // v3
+    spark.sql("INSERT INTO g2.db.renexp VALUES (3,'new3')")           // v4
+    // expiring v2 would raise the v2-file's first-seen past the
+    // generation boundary and RESURRECT the dropped 'secret' bytes
+    val e = intercept[IllegalStateException] {
+      graft.catalog.Maintenance.expireSnapshots(spark, "g2.db.renexp", 1)
+    }
+    assert(e.getMessage.contains("generation boundary"))
+    assert(spark.sql("SELECT x FROM g2.db.renexp WHERE k = 1").collect()
+      .head.isNullAt(0), "dropped bytes must stay dead")
+    // compaction migrates the file; expiry then proceeds and the
+    // dropped column stays dead
+    graft.catalog.Maintenance.compact(spark, "g2.db.renexp", Seq("k"), 1)
+    val (dropped, _) =
+      graft.catalog.Maintenance.expireSnapshots(spark, "g2.db.renexp", 1)
+    assert(dropped > 0)
+    assert(spark.sql("SELECT x FROM g2.db.renexp WHERE k = 1").collect()
+      .head.isNullAt(0), "dropped bytes must stay dead after expiry")
+  }
+
   test("time travel across a rename serves old snapshots under current names") {
     spark.sql("CREATE TABLE g2.db.rent (a INT)")                     // v1
     spark.sql("INSERT INTO g2.db.rent VALUES (1), (2)")              // v2
