@@ -74,9 +74,14 @@ object ScaleBench {
       if (r == 0) emb
       else emb.select(
         (col("vec_id") + lit(r * IdOffset)).as("vec_id"),
+        // (i%13 + 1) * r is NONZERO for every dimension of every
+        // replica r >= 1 and DISTINCT across replicas at every i — a
+        // modular form like (i*r)%7 is identically zero when r divides
+        // the modulus (replica 7 came out bit-identical to the base:
+        // the planted-duplicate failure this mutation exists to avoid)
         expr(s"transform(embedding, (v, i) -> " +
-          s"CAST(v + CAST((i * $r) % 7 AS FLOAT) * CAST(0.001 AS FLOAT) " +
-          s"AS FLOAT))").as("embedding"),
+          s"CAST(v + CAST(i % 13 + 1 AS FLOAT) * CAST($r AS FLOAT) * " +
+          s"CAST(3.0E-4 AS FLOAT) AS FLOAT))").as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
     embReps.write.mode("overwrite")

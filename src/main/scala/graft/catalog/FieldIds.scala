@@ -79,15 +79,42 @@ object FieldIds {
     m.toMap
   }
 
-  /** Whether any of `files` was written under an OLDER generation than
-    * the current one — consumers without a generation-aware read path
-    * (upsert, changelog) reject such tables and advise compaction. */
-  def hasOldGenFiles(tableDir: Path, meta: Meta, files: Seq[String]): Boolean =
-    meta.evolved && {
-      val seen = firstSeen(tableDir)
-      files.exists(f =>
-        meta.genFor(seen.getOrElse(f, Long.MaxValue)) != meta.current)
+  /** Whether generation `g` resolves EVERY current field id to its
+    * current physical name — i.e. the translation is the identity.
+    * Files of such generations read correctly through the plain
+    * declared-schema paths even though the Gen object differs: after a
+    * pure DROP COLUMN the old generation merely carries an extra id
+    * whose column is never requested. Only a RENAME (old name differs)
+    * or a DROP + re-ADD (id absent ⇒ a same-named physical column is a
+    * DIFFERENT field) breaks identity — those are the files that need
+    * the generation-aware scan and must never be stats-pruned or
+    * raw-read under current names. */
+  def identityTranslated(meta: Meta, g: Gen): Boolean =
+    meta.current.names.forall { case (id, name) =>
+      g.names.get(id).contains(name)
     }
+
+  /** The data files among `files` whose generation translation is NOT
+    * the identity ([[identityTranslated]]) — the set every
+    * name-keyed consumer (footer-stats pruning, raw declared-schema
+    * reads) must treat as opaque. */
+  def nonIdentityFiles(tableDir: Path, meta: Meta,
+      files: Seq[String]): Set[String] =
+    if (!meta.evolved) Set.empty
+    else {
+      val seen = firstSeen(tableDir)
+      files.filter { f =>
+        !identityTranslated(meta,
+          meta.genFor(seen.getOrElse(f, Long.MaxValue)))
+      }.toSet
+    }
+
+  /** Whether any of `files` was written under a generation whose
+    * translation differs from the current schema — consumers without a
+    * generation-aware read path (upsert, changelog) reject such tables
+    * and advise compaction. */
+  def hasOldGenFiles(tableDir: Path, meta: Meta, files: Seq[String]): Boolean =
+    nonIdentityFiles(tableDir, meta, files).nonEmpty
 
   private def file(tableDir: Path): Path =
     tableDir.resolve("_graft_fields.tsv")

@@ -152,8 +152,10 @@ class GraftTable(
   /** Visible data files grouped by schema generation, oldest first and
     * ALWAYS ending with the current generation (possibly empty — the
     * composite scan reports the current names through it). Empty result
-    * = the table never evolved, or every file is current-generation
-    * (the single-scan fast path holds). */
+    * = the table never evolved, or every file's generation translation
+    * is the IDENTITY ([[FieldIds.identityTranslated]] — e.g. only pure
+    * DROPs happened), so the single-scan declared-schema fast path
+    * stays correct. */
   private def generationGroups(
       dataRel: Seq[String]): Seq[(FieldIds.Gen, Seq[String])] =
     evolvedMeta match {
@@ -164,7 +166,8 @@ class GraftTable(
           // branch-staged files are absent from the main log: newest gen
           .groupBy(f => m.genFor(seen.getOrElse(f, Long.MaxValue)))
           .toSeq.sortBy(_._1.activeFrom)
-        if (groups.forall(_._1 == m.current)) Seq.empty // fast path holds
+        if (groups.forall(g => FieldIds.identityTranslated(m, g._1)))
+          Seq.empty // fast path holds
         else if (groups.lastOption.exists(_._1 == m.current)) groups
         else groups :+ (m.current -> Seq.empty[String])
     }
@@ -669,11 +672,17 @@ class GraftTable(
     // (after compact() sorts on the predicate column, a key-range DELETE
     // over 100 TB touches O(1) files). Bloom sidecars additionally skip
     // point lookups over interleaved keys min/max can't separate.
-    // Conservative: stats/sidecar missing → touch.
-    val (touched, _) = baseData.partition(f =>
-      ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,
+    // Conservative: stats/sidecar missing → touch. Files whose schema
+    // generation is NOT identity-translated bypass pruning entirely:
+    // their footer stats are keyed by OLD physical names, and a
+    // same-named column from a dropped field would prune on the WRONG
+    // column's stats, silently keeping rows the DELETE matched.
+    val opaque = fieldMeta.map(m =>
+      FieldIds.nonIdentityFiles(tableDir, m, baseData)).getOrElse(Set.empty)
+    val (touched, _) = baseData.partition(f => opaque.contains(f) ||
+      (ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,
         spark.sparkContext.hadoopConfiguration) &&
-        BloomSidecars.mayMatchAll(tableDir, f, filters.toSeq))
+        BloomSidecars.mayMatchAll(tableDir, f, filters.toSeq)))
     if (baseSnap.isDefined && touched.isEmpty) return // provably a no-op
 
     if (morDeletes && baseSnap.isDefined) {

@@ -140,17 +140,21 @@ object Maintenance {
         GreaterThanOrEqual(k, stats.getAs[Any](s"__min_$k")))
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    val touched = base.dataFiles.filter(f =>
+    // Non-identity-translated files bypass envelope pruning (their
+    // footer stats are keyed by OLD physical names — a same-named
+    // column from a dropped field would wrongly prune) and then trip
+    // the loud rejection below, instead of escaping it and leaving
+    // duplicate keys. upsert's survivor read is a raw declared-schema
+    // parquet read: a pre-rename file would silently serve NULLs and
+    // the rewrite would persist them — compact() is the migration path.
+    val opaque = FieldIds.read(dir).map(m =>
+      FieldIds.nonIdentityFiles(dir, m, base.dataFiles)).getOrElse(Set.empty)
+    val touched = base.dataFiles.filter(f => opaque.contains(f) ||
       ParquetStats.mayMatchAll(dir.resolve(f).toString, envelope, conf))
-    // upsert's survivor read is a raw declared-schema parquet read: a
-    // pre-rename file would silently serve NULLs and the rewrite would
-    // persist them — reject loudly, compact() is the migration path
-    FieldIds.read(dir).foreach { m =>
-      if (FieldIds.hasOldGenFiles(dir, m, touched))
-        throw new UnsupportedOperationException(
-          s"$ident has data files from an older schema generation " +
-            "(RENAME/DROP COLUMN); compact() the table before upsert")
-    }
+    if (opaque.exists(touched.contains))
+      throw new UnsupportedOperationException(
+        s"$ident has data files from an older schema generation " +
+          "(RENAME or DROP+re-ADD COLUMN); compact() the table before upsert")
 
     val survivors =
       if (touched.isEmpty)
@@ -432,9 +436,16 @@ object Maintenance {
         def seenAfter(f: String): Long = all
           .filter(s => retainedSet.contains(s.version) && s.files.contains(f))
           .map(_.version).minOption.getOrElse(Long.MaxValue)
+        // a generation change is harmful only when the TRANSLATION of
+        // some current field differs (identity-translated moves — e.g.
+        // across pure-DROP boundaries — read the same either way)
+        def translation(v: Long): Seq[Option[String]] = {
+          val g = m.genFor(v)
+          m.current.names.keySet.toSeq.sorted.map(g.names.get)
+        }
         val unsafe = retained.flatMap(_.dataFiles).distinct.filter { f =>
           val before = seenBefore.getOrElse(f, Long.MaxValue)
-          m.genFor(before) != m.genFor(seenAfter(f))
+          translation(before) != translation(seenAfter(f))
         }
         if (unsafe.nonEmpty) throw new IllegalStateException(
           s"$ident: expiring past a RENAME/DROP COLUMN generation " +

@@ -326,6 +326,27 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
               s"${fullName(ident)} predates the snapshot log (no commit " +
               "history to key schema generations on); recreate the table " +
               "(CTAS) to rename")
+        case d: TableChange.DeleteColumn if latestV.isEmpty =>
+          // same hole as rename: with no commit log, the drop cannot
+          // seal a generation, so a later re-ADD of the same name would
+          // silently resurrect the dropped column's bytes
+          throw new UnsupportedOperationException(
+            s"cannot drop column ${d.fieldNames().mkString(".")}: " +
+              s"${fullName(ident)} predates the snapshot log (no commit " +
+              "history to key schema generations on); recreate the table " +
+              "(CTAS) to drop columns")
+        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn)
+            if Snapshots.branches(tablePath(ident)).nonEmpty =>
+          // files staged on a WAP branch live outside the main log, so
+          // generation resolution classifies them as CURRENT — a rename
+          // sealed now would make their physical columns silently read
+          // NULL after fast_forward publishes them at the new boundary
+          throw new IllegalStateException(
+            s"cannot apply $c to ${fullName(ident)}: branches " +
+              Snapshots.branches(tablePath(ident)).map(_.name)
+                .mkString("[", ",", "]") +
+              " hold staged files that a schema-generation boundary " +
+              "would misclassify; publish or drop them first")
         case _ => ()
       }
       val activeFrom = latestV.getOrElse(0L) + 1L

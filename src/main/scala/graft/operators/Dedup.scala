@@ -534,12 +534,20 @@ object Dedup {
     val L = gramChars
     require(L >= 2, s"gramChars must be >= 2, got $L")
     val t = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val grams = charGrams(t, L)
+    removeCharSpans(t, crossDocDupPositions(charGrams(t, L)), L)
+  }
+
+  /** The cross-doc duplicate flag over an (id, pos, fp) gram stream —
+    * flag a position iff its fingerprint appears in ≥ 2 DISTINCT
+    * documents; shared by the exact and winnowed substring tiers (the
+    * Scala twin of [[crossDocDupFlagCteSql]]). The dupFps join-back is
+    * deliberately NOT hint-broadcast: a pathologically duplicated
+    * corpus makes it as big as the gram stream — AQE picks. */
+  private def crossDocDupPositions(grams: DataFrame): DataFrame = {
     val dupFps = grams.select("id", "fp").distinct()
       .groupBy("fp").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select("fp")
-    val dupPos = grams.join(dupFps, Seq("fp")).select("id", "pos")
-    removeCharSpans(t, dupPos, L)
+    grams.join(dupFps, Seq("fp")).select("id", "pos")
   }
 
   /** INTRA-document exact-substring dedup — the within-doc complement
@@ -597,8 +605,17 @@ object Dedup {
     *    duplicated region can lie up to w−1 grams in, so up to
     *    w−1 duplicated chars per edge can survive (the exact tier
     *    removes the full maximal region).
-    *  - SOUNDNESS: only duplicated chars are ever removed. Flags merge
-    *    at gap ≤ L ([[mergeSpans]]), so consecutive flagged grams have
+    *  - SOUNDNESS: only duplicated chars are ever removed. The rolling
+    *    hash is used for position SELECTION ONLY (a collision merely
+    *    picks a different gram of the window — selection stays a pure
+    *    function of content, so completeness is untouched); the
+    *    cross-doc FLAG identity is the md5 of the selected L-gram
+    *    itself, the same 128-bit identity the exact tier uses. A
+    *    ~30-bit flag identity would destroy unique text on hash
+    *    collisions — at 100 TB gram volumes EVERY rolling-hash bucket
+    *    collides cross-doc, so flag-on-rolling-hash would remove
+    *    essentially the whole corpus. Flags merge at gap ≤ L
+    *    ([[mergeSpans]]), so consecutive flagged grams have
     *    overlapping extents and every char of a merged span lies
     *    inside SOME cross-doc-duplicated L-gram. (Within one shared
     *    region consecutive selections are ≤ w apart; w ≤ L holds for
@@ -618,17 +635,16 @@ object Dedup {
         s"window=$window gramChars=$L")
     val t = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val sel = OpConf.spreadForKernel(t.where(length(col("text")) >= L))
-      .select(col("id"), explode(
+      .select(col("id"), col("text"), explode(
         org.apache.spark.sql.graftaccess.Internals.column(
           graft.functions.WinnowPositions(
             org.apache.spark.sql.graftaccess.Internals.expression(
               col("text")), L, window))).as("g"))
-      .select(col("id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
-    val dupFps = sel.select("id", "fp").distinct()
-      .groupBy("fp").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2).select("fp")
-    val dupPos = sel.join(dupFps, Seq("fp")).select("id", "pos")
-    removeCharSpans(t, dupPos, L)
+      // the kernel's rolling hash picked the POSITION; the flag
+      // fingerprint is the md5 of the gram itself (see SOUNDNESS above)
+      .select(col("id"), col("g.pos").as("pos"),
+        expr(s"md5(substring(text, g.pos, $L))").as("fp"))
+    removeCharSpans(t, crossDocDupPositions(sel), L)
   }
 
   /** (id, pos, fp) sliding L-char gram fingerprints off a (id, text)
@@ -717,7 +733,9 @@ object Dedup {
     * [[graft.operators.Fingerprint.oracleFpsCte]]), per-window
     * rightmost-minimum selection via the `hash·2^31 + (2^31 − pos)`
     * BIGINT encoding (lossless: hash < 2^30, pos < 2^31; larger pos ⇒
-    * smaller encoding ⇒ rightmost wins ties under list_min), then the
+    * smaller encoding ⇒ rightmost wins ties under list_min), then —
+    * like the operator — the md5 of the SELECTED gram as the flag
+    * fingerprint (the rolling hash only picks positions), into the
     * SAME cross-doc flag and span-merge/rebuild CTEs as the exact
     * tier. */
   def winnowSubstrOracleSql(table: String, idCol: String,
@@ -746,9 +764,11 @@ object Dedup {
          |                                  CAST(i AS INT) + $W) ])
          |        for i in range(1, len(hh) - $W + 2) ]
          |  END) AS encs FROM h),
-         |p0 AS (SELECT $idCol, CAST($B - (e % $B) AS BIGINT) AS pos,
-         |       e // $B AS fp
-         |       FROM (SELECT $idCol, unnest(encs) AS e FROM sel))"""
+         |psel AS (SELECT $idCol, CAST($B - (e % $B) AS BIGINT) AS pos
+         |       FROM (SELECT $idCol, unnest(encs) AS e FROM sel)),
+         |p0 AS (SELECT psel.$idCol, psel.pos,
+         |       md5(substr(w.text, CAST(psel.pos AS INT), $k)) AS fp
+         |       FROM psel JOIN w USING ($idCol))"""
         .stripMargin
     charSpanRemovalOracleSql(table, idCol, gramChars, gramCte,
       crossDocDupFlagCteSql(idCol))

@@ -1602,6 +1602,50 @@ class CatalogV2Spec extends AnyFunSuite {
       "post-compact changelog must serve the renamed column's data")
   }
 
+  test("DELETE prunes never consult a same-named column from a dropped " +
+      "field (old-generation files bypass footer stats)") {
+    spark.sql("CREATE TABLE g2.db.dras (k INT, b INT)")
+    spark.sql("INSERT INTO g2.db.dras VALUES (1, 100), (2, 200)")
+    spark.sql("ALTER TABLE g2.db.dras DROP COLUMN b")
+    spark.sql("ALTER TABLE g2.db.dras ADD COLUMN b INT")
+    spark.sql("INSERT INTO g2.db.dras VALUES (3, 300)")
+    // old files' PHYSICAL b has numNulls=0 — stats keyed by current
+    // name would prune them and the matching rows would survive
+    spark.sql("DELETE FROM g2.db.dras WHERE b IS NULL")
+    assert(spark.sql("SELECT k FROM g2.db.dras ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(3),
+      "rows whose re-added column reads NULL must be deleted")
+    // and the value predicate must not be answered from stale stats:
+    // old physical b contains 200 but the FIELD b is NULL there
+    spark.sql("DROP TABLE IF EXISTS g2.db.dras2")
+    spark.sql("CREATE TABLE g2.db.dras2 (k INT, b INT)")
+    spark.sql("INSERT INTO g2.db.dras2 VALUES (1, 100), (2, 200)")
+    spark.sql("ALTER TABLE g2.db.dras2 DROP COLUMN b")
+    spark.sql("ALTER TABLE g2.db.dras2 ADD COLUMN b INT")
+    spark.sql("DELETE FROM g2.db.dras2 WHERE b = 200")
+    assert(spark.sql("SELECT count(*) FROM g2.db.dras2").collect()
+      .head.getLong(0) == 2, "no FIELD b equals 200; nothing may delete")
+  }
+
+  test("a pure DROP COLUMN keeps the fast path: MERGE/upsert/changelog " +
+      "still work without compaction") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.dropfast (k INT, v STRING, c INT)") // v1
+    spark.sql("INSERT INTO g2.db.dropfast VALUES (1,'a',10), (2,'b',20)") // v2
+    spark.sql("ALTER TABLE g2.db.dropfast DROP COLUMN c")
+    // old files carry the dropped physical column but every CURRENT
+    // field maps identically — no generation-aware scan, no rejects
+    spark.sql("UPDATE g2.db.dropfast SET v = 'B' WHERE k = 2")
+    assert(spark.sql("SELECT v FROM g2.db.dropfast WHERE k = 2").collect()
+      .head.getString(0) == "B")
+    graft.catalog.Maintenance.upsert(spark, "g2.db.dropfast",
+      Seq((3, "c")).toDF("k", "v"), Seq("k"))
+    assert(spark.sql("SELECT count(*) FROM g2.db.dropfast").collect()
+      .head.getLong(0) == 3)
+    assert(graft.catalog.Changelog.read(spark, "g2.db.dropfast", 1L, 2L)
+      .count() == 2)
+  }
+
   test("a rewrite whose base predates a concurrent MOR delete aborts " +
       "instead of resurrecting the masked rows") {
     spark.sql("""CREATE TABLE g2.db.morrace (k INT)
