@@ -129,6 +129,86 @@ object ContendMain {
         }
         println(s"victim done n=$n")
 
+      // merge-on-read contention (round 15) ------------------------------
+      case "morinit" =>
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS gcont.s")
+        spark.sql("""CREATE TABLE gcont.s.m (a INT, tag STRING)
+          TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+        spark.sql("INSERT INTO gcont.s.m " +
+          "SELECT CAST(id AS INT), 'seed' FROM range(1, 201)")
+
+      case "mordeleter" =>
+        // n rounds: a MOR DELETE of one process-owned seed row each
+        // round (sidecar commits from two JVMs race the snapshot CAS),
+        // an INSERT every 3rd round (appends race sidecar commits),
+        // and a rewrite_position_deletes every 4th round (a SURGICAL
+        // sidecar replace racing concurrent sidecar adds — losing that
+        // race aborts loudly and is retried, never half-applied).
+        val n = args(2).toInt
+        val base = args(3).toInt // 0 or 100: disjoint seed slices
+        (1 to n).foreach { i =>
+          spark.sql(s"DELETE FROM gcont.s.m WHERE a = ${base + i}")
+          if (i % 3 == 0)
+            spark.sql(s"INSERT INTO gcont.s.m VALUES (${5000 + base + i}, 'ins$base')")
+          if (i % 4 == 0) {
+            var attempts = 0
+            var done = false
+            while (!done) {
+              attempts += 1
+              require(attempts <= 20, "sidecar rewrite starved")
+              try {
+                spark.sql("CALL gcont.system.rewrite_position_deletes" +
+                  "('s.m', 1)").collect()
+                done = true
+              } catch {
+                case e: Exception if attempts < 20 =>
+                  System.err.println(s"[contend] sidecar-rewrite retry " +
+                    s"(${e.getClass.getSimpleName})")
+              }
+            }
+          }
+          println(s"mordeleter $base committed $i")
+          Console.out.flush()
+        }
+        println(s"mordeleter done base=$base n=$n")
+
+      case "checkmor" =>
+        // after two racing MOR deleters: every deleted seed row is gone
+        // exactly once, every surviving seed row present exactly once,
+        // inserts exactly-once, history contiguous/readable — and the
+        // whole state is STABLE under compaction (sidecars fold to the
+        // identical row set, then no sidecars remain).
+        val n = args(2).toInt
+        def rows(): Map[String, Long] = spark.sql(
+            "SELECT tag, count(*) AS n FROM gcont.s.m GROUP BY tag")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val byTag = rows()
+        require(byTag.getOrElse("seed", 0L) == 200L - 2L * n,
+          s"seed rows after 2x$n MOR deletes: ${byTag.get("seed")} != ${200 - 2 * n}")
+        require(byTag.getOrElse("ins0", 0L) == n / 3 &&
+          byTag.getOrElse("ins100", 0L) == n / 3,
+          s"racing inserts lost/duplicated: $byTag")
+        val deletedVisible = spark.sql(
+          s"""SELECT count(*) FROM gcont.s.m
+              WHERE tag = 'seed' AND ((a >= 1 AND a <= $n) OR
+                                      (a >= 101 AND a <= ${100 + n}))""")
+          .collect().head.getLong(0)
+        require(deletedVisible == 0L,
+          s"$deletedVisible MOR-deleted rows still visible")
+        assertNoDupRows(spark, "gcont.s.m")
+        val versions = assertHistory(spark, "gcont.s.m")
+        val before = spark.sql("SELECT a, tag FROM gcont.s.m ORDER BY a")
+          .collect().toSeq
+        graft.catalog.Maintenance.compact(spark, "gcont.s.m", Seq("a"), 2)
+        val after = spark.sql("SELECT a, tag FROM gcont.s.m ORDER BY a")
+          .collect().toSeq
+        require(before == after, "compaction changed the visible rows")
+        val tdir = java.nio.file.Paths.get(wh, "s", "m")
+        require(graft.catalog.Snapshots.latest(tdir).get.deleteFiles.isEmpty,
+          "sidecars survive compaction")
+        println(s"CONTEND MOR OK rows=${before.size} " +
+          s"versions=${versions.head}..${versions.last}")
+
       case "checkkill" =>
         // after a kill -9 mid-commit: (1) the warehouse still accepts
         // commits; (2) every ACKED victim insert is visible exactly once,
@@ -182,25 +262,27 @@ object ContendMain {
   }
 
   /** Per-row exactly-once: every `a` value distinct. */
-  private def assertNoDupRows(spark: SparkSession): Unit = {
+  private def assertNoDupRows(spark: SparkSession,
+      table: String = "gcont.s.t"): Unit = {
     val dup = spark.sql(
-        "SELECT a FROM gcont.s.t GROUP BY a HAVING count(*) > 1")
+        s"SELECT a FROM $table GROUP BY a HAVING count(*) > 1")
       .collect()
     require(dup.isEmpty, s"duplicated rows: ${dup.mkString(",")}")
   }
 
   /** Serializable snapshot history: strictly increasing, contiguous
     * tail (expire may have dropped a prefix), every version readable. */
-  private def assertHistory(spark: SparkSession): Seq[Long] = {
+  private def assertHistory(spark: SparkSession,
+      table: String = "gcont.s.t"): Seq[Long] = {
     val versions = spark.sql(
-        "SELECT version FROM gcont.s.t.snapshots ORDER BY version")
+        s"SELECT version FROM $table.snapshots ORDER BY version")
       .collect().map(_.getLong(0)).toSeq
     require(versions.nonEmpty, "no snapshots")
     require(versions.distinct == versions, "duplicate snapshot versions")
     require(versions.zip(versions.tail).forall { case (a, b) => b == a + 1 },
       s"snapshot log has gaps: $versions")
     versions.foreach { v =>
-      spark.sql(s"SELECT count(*) FROM gcont.s.t VERSION AS OF $v")
+      spark.sql(s"SELECT count(*) FROM $table VERSION AS OF $v")
         .collect()
     }
     versions

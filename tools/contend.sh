@@ -58,3 +58,26 @@ fi
 SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain checkkill "$WH" "$ACKED" \
   2>"$WH.checkkill.log" | grep "CONTEND KILL OK" \
   || { echo "CONTEND KILL CHECK FAILED (acked=$ACKED)"; tail -10 "$WH.checkkill.log"; exit 1; }
+
+# stage 3: merge-on-read contention (round 15) — two JVMs race MOR
+# DELETEs (sidecar commits), INSERTs, and surgical sidecar rewrites on
+# one merge-on-read table; the checker asserts exactly-once effects, a
+# contiguous history, and that compaction folds the racing sidecars to
+# the identical row set.
+N_M=${3:-12}
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain morinit "$WH" \
+  >/dev/null 2>"$WH.morinit.log" || { echo "CONTEND MOR INIT FAILED"; tail -5 "$WH.morinit.log"; exit 1; }
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain mordeleter "$WH" "$N_M" 0 \
+  >"$WH.mord0.out" 2>"$WH.mord0.log" &
+M0_PID=$!
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain mordeleter "$WH" "$N_M" 100 \
+  >"$WH.mord1.out" 2>"$WH.mord1.log" &
+M1_PID=$!
+wait $M0_PID; M0_RC=$?
+wait $M1_PID; M1_RC=$?
+grep -h "done" "$WH.mord0.out" "$WH.mord1.out"
+[ $M0_RC -eq 0 ] || { echo "CONTEND MOR DELETER-0 FAILED"; tail -5 "$WH.mord0.log"; exit 1; }
+[ $M1_RC -eq 0 ] || { echo "CONTEND MOR DELETER-100 FAILED"; tail -5 "$WH.mord1.log"; exit 1; }
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain checkmor "$WH" "$N_M" \
+  2>"$WH.checkmor.log" | grep "CONTEND MOR OK" \
+  || { echo "CONTEND MOR CHECK FAILED"; tail -10 "$WH.checkmor.log"; exit 1; }

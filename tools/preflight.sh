@@ -24,11 +24,12 @@ for sf in sf0.01 sf0.001; do
   echo "$res" | grep -q " 0 fail" || { echo "VERIFY $sf FAILED"; exit 1; }
 done
 
-echo "== multi-process catalog contention (+ crash-kill recovery) =="
-cres=$(./tools/contend.sh 2>&1 | tail -2)
-echo "$cres"
+echo "== multi-process catalog contention (+ crash-kill + MOR races) =="
+cres=$(./tools/contend.sh 2>&1)
+echo "$cres" | grep -E "CONTEND|done"
 echo "$cres" | grep -q "CONTEND OK" || { echo "CONTEND FAILED"; exit 1; }
 echo "$cres" | grep -q "CONTEND KILL OK" || { echo "CONTEND KILL FAILED"; exit 1; }
+echo "$cres" | grep -q "CONTEND MOR OK" || { echo "CONTEND MOR FAILED"; exit 1; }
 
 echo "== bench sf0.1 =="
 bjson=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 ./tools/run.sh graft.Bench 2>/tmp/preflight_bench.log) \
