@@ -424,10 +424,15 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0,
           else {
             // same on-disk layout MetaCatalog.createTable writes: schema
             // json + props (+ partition spec) + v1 empty snapshot
-            DataType.fromJson(req.get("schema-json").asText()) // validate
+            val schema = DataType.fromJson(req.get("schema-json").asText())
+              .asInstanceOf[org.apache.spark.sql.types.StructType] // validate
             Files.createDirectories(dir.resolve("data"))
             Files.writeString(dir.resolve("_graft_schema.json"),
               req.get("schema-json").asText())
+            // field-id metadata at creation, same as MetaCatalog
+            // (renames on REST-created tables then key generations
+            // identically; ALTER itself stays warehouse-catalog-only)
+            FieldIds.write(dir, FieldIds.synthesize(schema))
             val props = new java.util.Properties()
             Option(req.get("properties")).foreach(_.properties().asScala
               .foreach(e => props.setProperty(e.getKey, e.getValue.asText())))
