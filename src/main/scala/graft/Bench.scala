@@ -204,9 +204,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STANDALONE", "5").toInt
     // Quiet-box BAND per query (VERDICT r14 #1, generalizing the r14
     // two-query watchlist): each value is the recorded quiet best
-    // (min of the round-15 quiet anchor and the r14 closing quiet
-    // line, load_start <= 0.3 both — provenance in BASELINE.md
-    // "Round 15"). ANY query whose in-suite best-of-passes exceeds
+    // (min over the r14 closing quiet line, the round-15 opening
+    // anchor, and the round-15 CLOSING quiet line at load_start 0.4 —
+    // provenance in BASELINE.md "Round 15 (closing)"). ANY query whose in-suite best-of-passes exceeds
     // 1.5x its band is FORCED into the same-run standalone
     // re-measure, so every driver line self-adjudicates: an inflated
     // in-suite sample (the r14-diagnosed disk-I/O co-tenant shape)
@@ -216,27 +216,27 @@ object Bench {
     // quiet anchor. Bands are adjudication thresholds, not goals —
     // update them only from quiet (load_start < 1.5) runs.
     val bands = Map(
-      "q1_agg" -> 0.308, "q_agg_distinct" -> 0.597, "q_ann_binary" -> 0.88,
-      "q_ann_ivf" -> 0.227, "q_ann_ivfbin" -> 1.053, "q_ann_opq" -> 1.11,
-      "q_ann_topk" -> 0.429, "q_blocklist" -> 0.428, "q_bm25" -> 0.563,
-      "q_corr_scalar_subquery" -> 0.666, "q_date_bin" -> 0.21, "q_dedup_cc_star" -> 3.838,
-      "q_dedup_cdc" -> 1.519, "q_dedup_chunks" -> 0.83, "q_dedup_cosine" -> 0.302,
-      "q_dedup_cosine_lsh" -> 1.278, "q_dedup_minhash" -> 1.865, "q_dedup_minhash_auto" -> 1.36,
-      "q_fingerprint_overlap_banded" -> 1.997, "q_grouping_sets" -> 0.361, "q_join_asof" -> 0.411,
-      "q_join_containment" -> 1.184, "q_join_cosine_lsh" -> 1.243, "q_join_fuzzy" -> 3.154,
-      "q_join_interval" -> 0.721, "q_join_jaccard_groups" -> 1.384, "q_join_jaccard_weighted" -> 1.817,
-      "q_join_salted_auto" -> 0.614, "q_join_star" -> 0.777, "q_langid" -> 1.088,
-      "q_lm_ppl_buckets" -> 1.435, "q_lm_score" -> 0.861, "q_lm_score_kn" -> 1.035,
-      "q_pack_bfd" -> 0.242, "q_pca_gram" -> 4.443, "q_pipeline_e2e" -> 0.598,
-      "q_profile_approx" -> 0.615, "q_quality_classifier" -> 2.176, "q_retrieval_rrf" -> 0.778,
-      "q_sessionize" -> 0.494, "q_text_sentence_chunks" -> 0.7, "q_text_stats" -> 0.362,
-      "q_tfidf" -> 0.671, "q_tokenize_bpe" -> 0.339, "q_topk" -> 0.063,
-      "q_tpch_q1" -> 0.406, "q_tpch_q10" -> 0.476, "q_tpch_q11" -> 0.543,
-      "q_tpch_q16" -> 0.485, "q_tpch_q18" -> 1.009, "q_tpch_q2" -> 0.608,
-      "q_tpch_q20" -> 0.561, "q_tpch_q21" -> 1.16, "q_tpch_q3" -> 0.684,
-      "q_tpch_q5" -> 0.726, "q_tpch_q6" -> 0.134, "q_tpch_q8" -> 0.536,
-      "q_unigram_train" -> 1.133, "q_vocab" -> 0.352, "q_win_rank" -> 0.333,
-      "q_window_session" -> 0.538)
+      "q1_agg" -> 0.308, "q_agg_distinct" -> 0.498, "q_ann_binary" -> 0.811,
+      "q_ann_ivf" -> 0.198, "q_ann_ivfbin" -> 0.886, "q_ann_opq" -> 1.11,
+      "q_ann_topk" -> 0.335, "q_blocklist" -> 0.387, "q_bm25" -> 0.522,
+      "q_corr_scalar_subquery" -> 0.449, "q_date_bin" -> 0.201, "q_dedup_cc_star" -> 3.165,
+      "q_dedup_cdc" -> 1.224, "q_dedup_chunks" -> 0.83, "q_dedup_cosine" -> 0.262,
+      "q_dedup_cosine_lsh" -> 0.781, "q_dedup_minhash" -> 1.218, "q_dedup_minhash_auto" -> 1.154,
+      "q_fingerprint_overlap_banded" -> 1.603, "q_grouping_sets" -> 0.304, "q_join_asof" -> 0.36,
+      "q_join_containment" -> 1.034, "q_join_cosine_lsh" -> 0.812, "q_join_fuzzy" -> 3.13,
+      "q_join_interval" -> 0.682, "q_join_jaccard_groups" -> 1.07, "q_join_jaccard_weighted" -> 1.079,
+      "q_join_salted_auto" -> 0.55, "q_join_star" -> 0.777, "q_langid" -> 0.692,
+      "q_lm_ppl_buckets" -> 1.342, "q_lm_score" -> 0.861, "q_lm_score_kn" -> 1.035,
+      "q_pack_bfd" -> 0.233, "q_pca_gram" -> 3.622, "q_pipeline_e2e" -> 0.598,
+      "q_profile_approx" -> 0.615, "q_quality_classifier" -> 1.609, "q_retrieval_rrf" -> 0.778,
+      "q_sessionize" -> 0.389, "q_text_sentence_chunks" -> 0.606, "q_text_stats" -> 0.362,
+      "q_tfidf" -> 0.671, "q_tokenize_bpe" -> 0.313, "q_topk" -> 0.063,
+      "q_tpch_q1" -> 0.293, "q_tpch_q10" -> 0.387, "q_tpch_q11" -> 0.503,
+      "q_tpch_q16" -> 0.423, "q_tpch_q18" -> 0.73, "q_tpch_q2" -> 0.511,
+      "q_tpch_q20" -> 0.561, "q_tpch_q21" -> 0.955, "q_tpch_q3" -> 0.684,
+      "q_tpch_q5" -> 0.694, "q_tpch_q6" -> 0.122, "q_tpch_q8" -> 0.385,
+      "q_unigram_train" -> 0.828, "q_vocab" -> 0.304, "q_win_rank" -> 0.313,
+      "q_window_session" -> 0.406)
     // A renamed query must SURFACE, not silently lose its band
     // (ADVICE r14): warn loudly on band keys that no longer exist.
     val unknownBands = bands.keySet.diff(qs.keySet)
