@@ -37,10 +37,12 @@ import org.apache.spark.sql.types.StructType
   * Scale note: per-file generation resolution scans the snapshot log
   * (first-seen version per file) — the same O(files) metadata Iceberg
   * keeps as a per-file schema-id in manifests; planning-time only,
-  * never a data read. Concurrency: ALTER is not serialized against
-  * in-flight plain commits, so run schema changes without concurrent
-  * writers (Iceberg serializes both through one metadata CAS; this
-  * catalog's commit CAS covers snapshots only). */
+  * never a data read. Concurrency (ADVICE r15): ALTER's metadata
+  * transaction and every snapshot commit hold the same per-table lock
+  * ([[Snapshots.withRefsLock]]), and commits re-validate the schema
+  * epoch captured at handle build — a write planned pre-ALTER that
+  * tries to commit post-ALTER aborts loudly instead of having its
+  * old-name files classified into the new generation. */
 object FieldIds {
 
   /** One schema generation: active for files first committed at

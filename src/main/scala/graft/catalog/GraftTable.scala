@@ -58,6 +58,16 @@ class GraftTable(
   private def dataDir: Path = tableDir.resolve("data")
   private def deletesDir: Path = tableDir.resolve("deletes")
 
+  /** Schema metadata captured when this handle was built. Every commit
+    * re-reads it inside the table lock and ABORTS on mismatch: a write
+    * planned under the pre-ALTER schema whose files commit after a
+    * RENAME/DROP generation boundary would otherwise be silently
+    * classified into the NEW generation and read wrong (NULLs for the
+    * renamed column) — ADVICE r15. ALTER's own metadata transaction
+    * holds the same lock, so there is no window between this check and
+    * the snapshot publish. */
+  private val schemaEpoch: String = GraftTable.schemaEpochOf(tableDir)
+
   /** Whether row-level DELETEs on this table write position-delete
     * sidecars instead of rewriting files (Iceberg v2's
     * `write.delete.mode`; copy-on-write is the default). */
@@ -388,6 +398,15 @@ class GraftTable(
     // crashed write.
     var movedOnce: Option[Seq[String]] = None
     commitVisible { latest =>
+      // Inside the table lock: ALTER holds the same lock for its whole
+      // schema-metadata transaction, so a mid-write RENAME/DROP is
+      // caught here (abort + retry) instead of silently misclassifying
+      // this commit's files into the post-ALTER generation.
+      val epochNow = GraftTable.schemaEpochOf(tableDir)
+      if (epochNow != schemaEpoch)
+        throw new java.util.ConcurrentModificationException(
+          s"$fullName: table schema metadata changed while this write " +
+            "was in flight (concurrent ALTER TABLE); retry the operation")
       replacedBase.foreach { base =>
         val current = latest.map(_.files.toSet).getOrElse(Set.empty)
         val gone = base.filterNot(current.contains)
@@ -729,6 +748,22 @@ class GraftTable(
     commitWrite(survivors, overwrite = true,
       replacedBase = Some(if (baseSnap.isDefined) touched else baseData),
       knownDeletes = Some(baseDeletes))
+  }
+}
+
+object GraftTable {
+  /** Fingerprint of a table's schema-defining metadata (`_graft_schema
+    * .json` + `_graft_fields.tsv`): captured at handle build, re-read at
+    * commit under the table lock — any difference means a concurrent
+    * ALTER landed mid-write and the commit must abort (retry semantics)
+    * rather than classify old-schema files into the new generation.
+    * Table PROPERTIES are deliberately excluded: a property tweak never
+    * changes how committed files resolve. */
+  private[catalog] def schemaEpochOf(tableDir: Path): String = {
+    def part(p: Path): String =
+      if (Files.exists(p)) Files.readString(p) else ""
+    part(tableDir.resolve("_graft_schema.json")) + " " +
+      part(tableDir.resolve("_graft_fields.tsv"))
   }
 }
 

@@ -140,21 +140,21 @@ object Maintenance {
         GreaterThanOrEqual(k, stats.getAs[Any](s"__min_$k")))
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    // Non-identity-translated files bypass envelope pruning (their
-    // footer stats are keyed by OLD physical names — a same-named
-    // column from a dropped field would wrongly prune) and then trip
-    // the loud rejection below, instead of escaping it and leaving
-    // duplicate keys. upsert's survivor read is a raw declared-schema
-    // parquet read: a pre-rename file would silently serve NULLs and
-    // the rewrite would persist them — compact() is the migration path.
+    // Any non-identity-translated file rejects upsert outright: its
+    // footer stats are keyed by OLD physical names (envelope pruning on
+    // them would be wrong), and upsert's survivor read is a raw
+    // declared-schema parquet read — a pre-rename file would silently
+    // serve NULLs and the rewrite would persist them. compact() is the
+    // migration path. (ADVICE r15: this was previously spelled as an
+    // always-equivalent opaque∩touched check.)
     val opaque = FieldIds.read(dir).map(m =>
       FieldIds.nonIdentityFiles(dir, m, base.dataFiles)).getOrElse(Set.empty)
-    val touched = base.dataFiles.filter(f => opaque.contains(f) ||
-      ParquetStats.mayMatchAll(dir.resolve(f).toString, envelope, conf))
-    if (opaque.exists(touched.contains))
+    if (opaque.nonEmpty)
       throw new UnsupportedOperationException(
         s"$ident has data files from an older schema generation " +
           "(RENAME or DROP+re-ADD COLUMN); compact() the table before upsert")
+    val touched = base.dataFiles.filter(f =>
+      ParquetStats.mayMatchAll(dir.resolve(f).toString, envelope, conf))
 
     val survivors =
       if (touched.isEmpty)
@@ -259,6 +259,25 @@ object Maintenance {
       val table = new GraftTable(ident, dir, schema, Seq.empty, Map.empty, None)
       table.replaceFiles(spark.table(ident), staleBase)
     }
+
+    /** A table handle built NOW (capturing the current schema epoch) for
+      * later use — the ALTER-vs-in-flight-writer race (ADVICE r15),
+      * impossible to time with real concurrent statements: build the
+      * handle, run an ALTER, then commit through the stale handle and
+      * assert the loud abort. */
+    def handleNow(spark: SparkSession, ident: String): GraftTable = {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val dir = tableDir(spark, ident)
+      val schema = DataType.fromJson(
+        Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
+      new GraftTable(ident, dir, schema, Seq.empty, Map.empty, None)
+    }
+
+    /** Commit a full-table rewrite through a pre-built handle (see
+      * [[handleNow]]). */
+    def replaceThrough(handle: GraftTable, data: DataFrame,
+        baseFiles: Seq[String]): Unit =
+      handle.replaceFiles(data, baseFiles)
 
     /** Drive a rewrite whose base predates a merge-on-read DELETE — the
       * concurrent-sidecar abort path (impossible to time reliably with
@@ -485,16 +504,15 @@ object Maintenance {
     * main-log version (current or historical), not any branch-log
     * staged commit (Iceberg's remove_orphan_files). Orphans come from
     * dropped branches, failed write attempts whose task files moved but
-    * whose commit lost the CAS, and crashed drivers. `olderThanMillis`
-    * is the in-flight-write guard (Iceberg's older_than) and it is the
-    * ONLY protection against racing an in-flight write: plain commits
-    * take the createLink CAS, not the refs lock, so a writer can be
-    * between its data-file move and its snapshot publish while this
-    * sweep scans — a file younger than the cutoff is NEVER deleted for
-    * exactly that reason (the CALL surface enforces a positive cutoff;
-    * 0 is for single-process tests only). The refs lock here serializes
-    * against ref/snapshot-log mutation (expiry, branch create/drop), not
-    * against commits. Returns the number of files deleted. */
+    * whose commit lost the CAS, and crashed drivers. Commits now hold
+    * the same per-table refs lock (ADVICE r15), so a LIVE writer can no
+    * longer be observed between its data-file move and its snapshot
+    * publish — but `olderThanMillis` (Iceberg's older_than) remains
+    * load-bearing: a writer that CRASHED mid-commit released the lock
+    * with its files stranded, and distinguishing that from a file moved
+    * milliseconds ago still needs the age cutoff (the CALL surface
+    * enforces a positive cutoff; 0 is for single-process tests only).
+    * Returns the number of files deleted. */
   def removeOrphanFiles(spark: SparkSession, ident: String,
       olderThanMillis: Long = 24L * 3600 * 1000): Int = {
     val dir = tableDir(spark, ident)

@@ -255,6 +255,7 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     }
     val schema = new StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    schema.fieldNames.foreach(MetaCatalog.requireLegalColumnName)
     partCols.find(c => !schema.fieldNames.contains(c)).foreach { c =>
       throw new IllegalArgumentException(s"partition column $c not in schema")
     }
@@ -275,10 +276,24 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     * dropped column's bytes; RENAME COLUMN keeps the field id and maps
     * old files' physical name at read time — no data rewrite. Type
     * changes stay rejected (existing parquet keeps the old physical
-    * type). ALTER is not serialized against concurrent writers — run
-    * schema changes alone (Iceberg funnels both through one metadata
-    * CAS; this catalog's CAS covers snapshots only). */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    * type).
+    *
+    * Serialization (ADVICE r15): the whole metadata transaction —
+    * read-latest, field-id read-modify-write, schema write — runs under
+    * the table's cross-process lock ([[Snapshots.withRefsLock]]), the
+    * SAME lock every snapshot commit takes, so `activeFrom = latest+1`
+    * cannot be invalidated by an in-flight writer (a write planned
+    * before the ALTER that tries to commit after it aborts on the
+    * schema-epoch check in GraftTable instead of misclassifying its
+    * files), and two concurrent ALTERs can no longer lose one's
+    * field-id allocation to a last-write-wins race. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    Snapshots.withRefsLock(tablePath(ident)) {
+      alterTableLocked(ident, changes)
+    }
+
+  private def alterTableLocked(ident: Identifier,
+      changes: Seq[TableChange]): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
     changes.foreach {
@@ -393,6 +408,7 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     change match {
       case a: TableChange.AddColumn =>
         val n = topLevel(a.fieldNames())
+        MetaCatalog.requireLegalColumnName(n)
         if (schema.fieldNames.contains(n))
           throw new IllegalArgumentException(s"column $n already exists")
         schema.add(StructField(n, a.dataType(), a.isNullable))
@@ -403,6 +419,7 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
         new StructType(schema.fields.filterNot(_.name == n))
       case r: TableChange.RenameColumn =>
         val n = topLevel(r.fieldNames())
+        MetaCatalog.requireLegalColumnName(r.newName())
         if (!schema.fieldNames.contains(n))
           throw new IllegalArgumentException(s"no such column $n")
         if (schema.fieldNames.contains(r.newName()))
@@ -448,4 +465,17 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
       st.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
     }
+}
+
+object MetaCatalog {
+  /** Reject column names in the reserved absent-marker namespace
+    * (ADVICE r15): a user column literally named `__graft_absent_<n>`
+    * could match an old-generation scan's request for a DROPPED field
+    * id and serve real bytes where NULL is required. Enforced at
+    * CREATE TABLE, ADD COLUMN and RENAME ... TO. */
+  private[catalog] def requireLegalColumnName(name: String): Unit =
+    if (name.startsWith(FieldIds.AbsentPrefix))
+      throw new IllegalArgumentException(
+        s"column name '$name' is reserved (the '${FieldIds.AbsentPrefix}' " +
+          "prefix marks dropped fields in old schema generations)")
 }

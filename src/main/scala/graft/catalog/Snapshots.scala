@@ -98,28 +98,49 @@ object Snapshots {
   /** One named ref: tag name, pinned version, creation time. */
   final case class Ref(name: String, version: Long, tsMillis: Long)
 
-  /** CROSS-PROCESS critical section for the tag↔expiry interaction: an
-    * OS file lock under the table dir, held by [[createTag]] (around
-    * check + link) and by expiry's metadata phase (tags-read + .snap
-    * unlink). A JVM-side monitor alone leaves this window: process A
-    * computes its expiry drop set (tag absent), process B links a tag
-    * and re-checks the .snap (still there — A hasn't deleted yet), A
-    * deletes it → a dangling tag over a destroyed snapshot. File
-    * locking matches the commit CAS's local-FS assumptions
-    * (`createLink`). JVM-internal recursion/threads are serialized by
-    * the enclosing object monitor, so the lock is acquired
-    * non-reentrantly exactly once per critical section. */
+  /** CROSS-PROCESS critical section per table: an OS file lock under
+    * the table dir, held by [[createTag]] (around check + link), by
+    * expiry's metadata phase (tags-read + .snap unlink), by EVERY
+    * snapshot commit ([[casCommit]] — so schema-changing ALTERs
+    * serialize against in-flight writers, ADVICE r15), and by
+    * [[graft.catalog.MetaCatalog]]'s ALTER metadata transaction. A
+    * JVM-side monitor alone leaves this window: process A computes its
+    * expiry drop set (tag absent), process B links a tag and re-checks
+    * the .snap (still there — A hasn't deleted yet), A deletes it → a
+    * dangling tag over a destroyed snapshot. File locking matches the
+    * commit CAS's local-FS assumptions (`createLink`).
+    *
+    * Reentrant per thread+table (rollbackTo/fastForward commit INSIDE
+    * their refs critical section, and casCommit now locks too):
+    * re-acquiring the OS lock in one JVM would throw
+    * OverlappingFileLockException, so a thread that already holds a
+    * table's lock runs the body directly. Distinct threads are
+    * serialized by the enclosing object monitor before they ever reach
+    * the OS lock. */
+  private val heldLocks = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+  }
+
   private[catalog] def withRefsLock[A](tableDir: Path)(body: => A): A =
     synchronized {
-      Files.createDirectories(tableDir)
-      val lockPath = tableDir.resolve("_graft_refs.lock")
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try body finally lock.release()
-      } finally ch.close()
+      val key = tableDir.toAbsolutePath.normalize.toString
+      if (heldLocks.get.contains(key)) body
+      else {
+        Files.createDirectories(tableDir)
+        val lockPath = tableDir.resolve("_graft_refs.lock")
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          heldLocks.get += key
+          try body finally {
+            heldLocks.get -= key
+            lock.release()
+          }
+        } finally ch.close()
+      }
     }
 
   /** Create an immutable tag for an EXISTING snapshot version. Fails
@@ -230,22 +251,26 @@ object Snapshots {
     * snapshot and returns the next complete file list. Two concurrent
     * INSERTs that each read `latest` outside the lock would otherwise
     * both base v(N+1)/v(N+2) on vN and the first writer's files would
-    * vanish from the current view (lost update). The lock serializes
-    * writers in THIS JVM; cross-process safety comes from the commit CAS:
-    * `Files.createLink` FAILS with FileAlreadyExistsException when the
-    * version file exists (unlike POSIX ATOMIC_MOVE, which silently
-    * replaces an existing target), so a driver that lost the race
-    * re-reads the log and retries on the next version. */
+    * vanish from the current view (lost update). Serialization is the
+    * per-table [[withRefsLock]] (in-JVM via the object monitor, cross-
+    * process via the OS file lock — which also serializes commits
+    * against ALTER's schema-metadata transaction, ADVICE r15); the
+    * `createLink` CAS stays as belt-and-braces: it FAILS with
+    * FileAlreadyExistsException when the version file exists (unlike
+    * POSIX ATOMIC_MOVE, which silently replaces an existing target), so
+    * even a lock-bypassing writer cannot clobber a committed version. */
   def commitWith(tableDir: Path)(compute: Option[Snap] => Seq[String]): Snap =
-    casCommit(dir(tableDir), () => latest(tableDir))(compute)
+    casCommit(tableDir, dir(tableDir), () => latest(tableDir))(compute)
 
   /** The shared CAS append loop: `head` re-reads the current tip of the
     * target log each attempt (main log, or a branch log falling back to
     * its fork snapshot), `compute` builds the next complete file list on
-    * top of it. */
-  private def casCommit(logDir: Path, head: () => Option[Snap])(
+    * top of it. Runs under the table's refs lock (reentrant for the
+    * rollback/fast-forward callers that already hold it). */
+  private def casCommit(tableDir: Path, logDir: Path,
+      head: () => Option[Snap])(
       compute: Option[Snap] => Seq[String]): Snap =
-    synchronized {
+    withRefsLock(tableDir) {
       Files.createDirectories(logDir)
       var attempts = 0
       while (attempts < 10) {
@@ -381,7 +406,7 @@ object Snapshots {
       throw new IllegalArgumentException(
         s"no branch '$name' (have " +
           branches(tableDir).map(_.name).mkString("[", ",", "]") + ")"))
-    casCommit(branchLog(tableDir, name), () =>
+    casCommit(tableDir, branchLog(tableDir, name), () =>
       listLog(branchLog(tableDir, name)).lastOption
         .orElse(byVersion(tableDir, ref.version)))(compute)
   }

@@ -1719,4 +1719,45 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(rows.filter(_._1 == "position-deletes").map(_._2).sum == 1,
       s"one masked position expected, got $rows")
   }
+
+  test("a write in flight across an ALTER aborts on the schema-epoch " +
+      "check instead of misclassifying its files (ADVICE r15)") {
+    spark.sql("CREATE TABLE g2.db.epoch (a INT, b INT)")
+    spark.sql("INSERT INTO g2.db.epoch VALUES (1, 10), (2, 20)")
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "epoch")
+    val base = graft.catalog.Snapshots.latest(dir).get
+    // the "in-flight writer": a handle whose schema epoch predates...
+    val handle = graft.catalog.Maintenance.CompactTestHook
+      .handleNow(spark, "g2.db.epoch")
+    // ...this ALTER, which seals a new schema generation
+    spark.sql("ALTER TABLE g2.db.epoch RENAME COLUMN b TO c")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.catalog.Maintenance.CompactTestHook.replaceThrough(handle,
+        spark.sql("SELECT a, c AS b FROM g2.db.epoch"), base.files)
+    }
+    assert(e.getMessage.contains("ALTER"))
+    // the table is intact and the rename still reads old bytes
+    assert(spark.sql("SELECT c FROM g2.db.epoch ORDER BY c").collect()
+      .map(_.getInt(0)).toSeq == Seq(10, 20))
+  }
+
+  test("the absent-marker column-name namespace is reserved " +
+      "(CREATE / ADD COLUMN / RENAME TO all reject it)") {
+    val bad = graft.catalog.FieldIds.AbsentPrefix + "7"
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE g2.db.resv1 ($bad INT)")
+    }
+    assert(e1.getMessage.contains("reserved"))
+    spark.sql("CREATE TABLE g2.db.resv2 (a INT)")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE g2.db.resv2 ADD COLUMN $bad INT")
+    }
+    assert(e2.getMessage.contains("reserved"))
+    spark.sql("INSERT INTO g2.db.resv2 VALUES (1)")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE g2.db.resv2 RENAME COLUMN a TO $bad")
+    }
+    assert(e3.getMessage.contains("reserved"))
+  }
 }
