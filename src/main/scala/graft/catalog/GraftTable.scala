@@ -94,9 +94,10 @@ class GraftTable(
       case None => Snapshots.commitWith(tableDir)(compute)
     }
 
-  /** The broadcastable merge-on-read index for the given sidecars,
-    * keyed by ABSOLUTE data-file path (what partition readers see). */
-  private def morIndexAbs(
+  /** The merge-on-read position index for the given sidecars, keyed by
+    * tableDir-RELATIVE data-file path — loaded ONCE per scan build (it
+    * also drives the clean-vs-masked file split, VERDICT r15 #1). */
+  private def morRelIndex(
       deleteFiles: Seq[String]): Map[String, Array[Long]] = {
     // morCapOverride: a maintenance handle (compact) lifts the
     // interactive-read OOM guard for ITS OWN scan only — never by
@@ -106,21 +107,26 @@ class GraftTable(
       spark.conf.getOption(DeleteSidecars.BroadcastMaxBytesKey)
         .map(_.toLong).getOrElse(DeleteSidecars.BroadcastMaxBytesDefault))
     DeleteSidecars.loadIndex(tableDir, deleteFiles,
-        spark.sparkContext.hadoopConfiguration, maxBytes)
-      .flatMap { case (rel, ps) =>
-        val p = tableDir.resolve(rel)
-        // partition readers identify files by their planned SparkPath —
-        // key the index under the percent-ENCODED URI ("file:/a%20b"),
-        // the DECODED Hadoop Path form ("file:/a b" — what
-        // SparkPath.toPath renders for hive dirs with url-encodable
-        // partition values), and the plain filesystem path, so the
-        // lookup is encoding-proof
-        Seq(DeleteSidecars.sparkFileUri(p) -> ps,
-          new org.apache.hadoop.fs.Path("file", null, p.toString)
-            .toString -> ps,
-          p.toString -> ps)
-      }
+      spark.sparkContext.hadoopConfiguration, maxBytes)
   }
+
+  /** The broadcastable form of [[morRelIndex]]'s result, keyed by
+    * ABSOLUTE data-file path (what partition readers see). */
+  private def morIndexAbs(
+      relIndex: Map[String, Array[Long]]): Map[String, Array[Long]] =
+    relIndex.flatMap { case (rel, ps) =>
+      val p = tableDir.resolve(rel)
+      // partition readers identify files by their planned SparkPath —
+      // key the index under the percent-ENCODED URI ("file:/a%20b"),
+      // the DECODED Hadoop Path form ("file:/a b" — what
+      // SparkPath.toPath renders for hive dirs with url-encodable
+      // partition values), and the plain filesystem path, so the
+      // lookup is encoding-proof
+      Seq(DeleteSidecars.sparkFileUri(p) -> ps,
+        new org.apache.hadoop.fs.Path("file", null, p.toString)
+          .toString -> ps,
+        p.toString -> ps)
+    }
 
   // --- field-id schema generations (FieldIds) ---------------------------
 
@@ -256,26 +262,49 @@ class GraftTable(
       case None => Snapshots.walkDataParquet(tableDir)
     }
     val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
-    // ONE sidecar read + ONE broadcast per scan build, shared by every
-    // generation slice (each slice's MorScan resolves the same lazy)
-    lazy val sharedIndex = spark.sparkContext.broadcast(morIndexAbs(dels))
-    def wrap(plain: ScanBuilder): ScanBuilder =
-      if (dels.nonEmpty)
-        new MorScans.Builder(plain, !fileColShadowed, () => sharedIndex)
-      else if (fileColShadowed) plain
-      else new FileTaggedScans.Builder(plain)
+    // ONE sidecar read per scan build (it also decides the clean/masked
+    // split below) + ONE broadcast shared by every masked slice
+    val relIndex: Map[String, Array[Long]] =
+      if (dels.isEmpty) Map.empty else morRelIndex(dels)
+    lazy val sharedIndex = spark.sparkContext.broadcast(morIndexAbs(relIndex))
+    def cleanWrap(plain: ScanBuilder): ScanBuilder =
+      if (fileColShadowed) plain else new FileTaggedScans.Builder(plain)
+    // Clean-vs-masked split (VERDICT r15 #1): only files with pending
+    // delete-sidecar entries pay the row-based MOR read tax; every
+    // other file keeps the untouched vectorized delegate. Without the
+    // split, ONE 0.1% MOR DELETE de-vectorizes every whole-table scan
+    // until compaction — the exact hot path the feature exists for.
+    def slicesFor(files: Seq[String], schema: StructType,
+        rename: Map[String, String]): Seq[MultiGenScans.GenSlice] = {
+      val (masked, clean) = files.partition(relIndex.contains)
+      def delegate(fs: Seq[String]) =
+        delegateFor(fs.map(f => tableDir.resolve(f).toString), schema)
+          .newScanBuilder(options)
+      val cleanSlice =
+        if (clean.nonEmpty || masked.isEmpty)
+          Seq(MultiGenScans.GenSlice(cleanWrap(delegate(clean)), rename))
+        else Seq.empty
+      val maskedSlice =
+        if (masked.nonEmpty)
+          Seq(MultiGenScans.GenSlice(new MorScans.Builder(
+            delegate(masked), !fileColShadowed, () => sharedIndex), rename))
+        else Seq.empty
+      cleanSlice ++ maskedSlice
+    }
     generationGroups(dataRel) match {
-      case Seq() => // single schema generation: the untouched fast path
-        wrap(delegateFor(dataRel.map(f => tableDir.resolve(f).toString))
-          .newScanBuilder(options))
+      case Seq() =>
+        slicesFor(dataRel, declaredSchema, Map.empty) match {
+          case Seq(only) => only.plain // untouched single-scan fast path
+          case slices => new MultiGenScans.Builder(slices, "mor split")
+        }
       case groups => // one delegate per generation, physical names mapped
-        new MultiGenScans.Builder(groups.map { case (g, files) =>
-          val (sg, rename) = genSchema(fieldMeta.get, g)
-          MultiGenScans.GenSlice(
-            wrap(delegateFor(files.map(f => tableDir.resolve(f).toString), sg)
-              .newScanBuilder(options)),
-            rename)
-        })
+        new MultiGenScans.Builder(
+          groups.flatMap { case (g, files) =>
+            val (sg, rename) = genSchema(fieldMeta.get, g)
+            slicesFor(files, sg, rename)
+          },
+          if (relIndex.isEmpty) "schema generations"
+          else "schema generations + mor split")
     }
   }
 
@@ -535,6 +564,13 @@ class GraftTable(
       baseSnap.map(_.dataFiles).getOrElse(Seq.empty)
     private val baseDeletes: Seq[String] =
       baseSnap.map(_.deleteFiles).getOrElse(Seq.empty)
+    // ONE sidecar read + ONE broadcast for the whole operation (the
+    // scan's toBatch can run several times — runtime group filtering
+    // re-plans partitions from a fresh Batch)
+    private lazy val baseRelIndex: Map[String, Array[Long]] =
+      if (baseDeletes.isEmpty) Map.empty else morRelIndex(baseDeletes)
+    private lazy val baseMorBroadcast =
+      spark.sparkContext.broadcast(morIndexAbs(baseRelIndex))
     // The group-based rewrite reads files under the DECLARED schema; a
     // pre-rename file would silently serve NULL for renamed columns and
     // the rewrite would persist the corruption — reject loudly. Checked
@@ -572,14 +608,27 @@ class GraftTable(
       override def readSchema(): StructType = declaredSchema
       override def toBatch: org.apache.spark.sql.connector.read.Batch = {
         requireSingleGeneration()
-        val delegate = delegateFor(files.map(f => tableDir.resolve(f).toString))
-          .newScanBuilder(options)
-        if (baseDeletes.isEmpty) delegate.build().toBatch
-        else // pending MOR sidecars: masked rows must not enter the rewrite
-          new org.apache.spark.sql.graftaccess.MorScans.Builder(
-            delegate, fileColAllowed = false,
-            () => spark.sparkContext.broadcast(morIndexAbs(baseDeletes)))
-            .build().toBatch
+        def delegate(fs: Seq[String]) =
+          delegateFor(fs.map(f => tableDir.resolve(f).toString))
+            .newScanBuilder(options)
+        if (baseRelIndex.isEmpty) delegate(files).build().toBatch
+        else {
+          // pending MOR sidecars: masked rows must not enter the
+          // rewrite — same clean/masked split as interactive scans.
+          // FIXED two-slice layout (clean, masked) even when one side
+          // is empty: runtime group filtering re-plans partitions from
+          // a FRESH toBatch but reuses the FIRST batch's reader
+          // factory, so the slice structure must not depend on the
+          // narrowed file list (an empty slice plans zero partitions).
+          import org.apache.spark.sql.graftaccess.{MorScans, MultiGenScans}
+          val (masked, clean) = files.partition(baseRelIndex.contains)
+          new MultiGenScans.Builder(Seq(
+            MultiGenScans.GenSlice(delegate(clean), Map.empty),
+            MultiGenScans.GenSlice(new MorScans.Builder(
+              delegate(masked), fileColAllowed = false,
+              () => baseMorBroadcast), Map.empty)),
+            "mor split").build().toBatch
+        }
       }
       override def description(): String =
         s"graft-row-level($fullName, ${files.length}/${baseFiles.length} files)"

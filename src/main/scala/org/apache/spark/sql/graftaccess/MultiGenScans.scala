@@ -34,12 +34,16 @@ object MultiGenScans {
     * this generation's physical name (including the absent-marker). */
   final case class GenSlice(plain: ScanBuilder, rename: Map[String, String])
 
-  final class Builder(slices: Seq[GenSlice])
+  /** `desc` labels the composite in EXPLAIN output — "schema
+    * generations" for rename/drop splits, "mor split" for the
+    * clean-vs-masked delete-sidecar split (VERDICT r15 #1), possibly
+    * both. Slices must stay positionally identical; the LAST slice
+    * reports the composite's (current-name) readSchema. */
+  final class Builder(slices: Seq[GenSlice], desc: String = "schema generations")
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with SupportsPushDownCatalystFilters {
     require(slices.nonEmpty)
-    // the LAST slice is the current generation (identity rename)
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       slices.foreach { s =>
@@ -75,7 +79,8 @@ object MultiGenScans {
       case _ => Array.empty
     }
 
-    override def build(): Scan = new CompositeScan(slices.map(_.plain.build()))
+    override def build(): Scan =
+      new CompositeScan(slices.map(_.plain.build()), desc)
   }
 
   private final case class SlicePartition(inner: InputPartition, slice: Int)
@@ -84,13 +89,35 @@ object MultiGenScans {
       inner.preferredLocations()
   }
 
-  private final class CompositeScan(scans: Seq[Scan]) extends Scan with Batch {
+  private final class CompositeScan(scans: Seq[Scan], desc: String)
+      extends Scan with Batch with SupportsReportStatistics {
     // the current generation's scan already reports CURRENT names; all
     // slices are positionally identical
     override def readSchema(): StructType = scans.last.readSchema()
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-generations(${scans.length} schema generations)"
+      s"graft-composite(${scans.length} slices: $desc)"
+
+    /** Sum of the slices' estimates (every delegate here is ultimately
+      * Spark's ParquetScan, which reports) — without this the composite
+      * would report UNKNOWN and a broadcast-eligible small table behind
+      * a pending sidecar would stop broadcasting. */
+    override def estimateStatistics(): Statistics = {
+      val parts = scans.map {
+        case s: SupportsReportStatistics => Some(s.estimateStatistics())
+        case _ => None
+      }
+      new Statistics {
+        private def sum(f: Statistics => java.util.OptionalLong)
+            : java.util.OptionalLong =
+          if (parts.exists(p => p.isEmpty || !f(p.get).isPresent))
+            java.util.OptionalLong.empty()
+          else java.util.OptionalLong.of(parts.map(p => f(p.get).getAsLong).sum)
+        override def sizeInBytes(): java.util.OptionalLong =
+          sum(_.sizeInBytes())
+        override def numRows(): java.util.OptionalLong = sum(_.numRows())
+      }
+    }
 
     private lazy val batches = scans.map(_.toBatch)
 

@@ -1720,6 +1720,27 @@ class CatalogV2Spec extends AnyFunSuite {
       s"one masked position expected, got $rows")
   }
 
+  test("MOR masking stays exact across MULTIPLE columnar batches of one " +
+      "file (the closeIfFreeable/vector-reuse trap only multi-batch " +
+      "files hit)") {
+    spark.sql("""CREATE TABLE g2.db.morbig (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    // one file, ~10k rows → 3+ vectorized batches at the default 4096
+    spark.sql("""INSERT INTO g2.db.morbig
+      SELECT id, CAST(id AS DOUBLE) / 2 FROM range(10000)""")
+    spark.sql("DELETE FROM g2.db.morbig WHERE k % 3 = 0")
+    val got = spark.sql(
+      "SELECT count(*) AS c, sum(k) AS s FROM g2.db.morbig").collect().head
+    val expect = (0L until 10000L).filter(_ % 3 != 0)
+    assert(got.getLong(0) == expect.length)
+    assert(got.getLong(1) == expect.sum)
+    // row-identity check on a slice spanning batch boundaries
+    val ks = spark.sql(
+      "SELECT k FROM g2.db.morbig WHERE k BETWEEN 4090 AND 4102 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks == (4090L to 4102L).filter(_ % 3 != 0))
+  }
+
   test("a write in flight across an ALTER aborts on the schema-epoch " +
       "check instead of misclassifying its files (ADVICE r15)") {
     spark.sql("CREATE TABLE g2.db.epoch (a INT, b INT)")
