@@ -136,6 +136,8 @@ object ContendMain {
           TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
         spark.sql("INSERT INTO gcont.s.m " +
           "SELECT CAST(id AS INT), 'seed' FROM range(1, 201)")
+        spark.sql("INSERT INTO gcont.s.m " +
+          "SELECT CAST(1000 + id AS INT), 'eqseed' FROM range(1, 201)")
 
       case "mordeleter" =>
         // n rounds: a MOR DELETE of one process-owned seed row each
@@ -148,6 +150,10 @@ object ContendMain {
         val base = args(3).toInt // 0 or 100: disjoint seed slices
         (1 to n).foreach { i =>
           spark.sql(s"DELETE FROM gcont.s.m WHERE a = ${base + i}")
+          // EQUALITY delete racing position deletes, inserts and
+          // sidecar rewrites from the other JVM (round 16)
+          spark.sql("CALL gcont.system.delete_by_key" +
+            s"('s.m', 'a', '${1000 + base + i}')").collect()
           if (i % 3 == 0)
             spark.sql(s"INSERT INTO gcont.s.m VALUES (${5000 + base + i}, 'ins$base')")
           if (i % 4 == 0) {
@@ -185,6 +191,9 @@ object ContendMain {
         val byTag = rows()
         require(byTag.getOrElse("seed", 0L) == 200L - 2L * n,
           s"seed rows after 2x$n MOR deletes: ${byTag.get("seed")} != ${200 - 2 * n}")
+        require(byTag.getOrElse("eqseed", 0L) == 200L - 2L * n,
+          s"eqseed rows after 2x$n equality deletes: " +
+            s"${byTag.get("eqseed")} != ${200 - 2 * n}")
         require(byTag.getOrElse("ins0", 0L) == n / 3 &&
           byTag.getOrElse("ins100", 0L) == n / 3,
           s"racing inserts lost/duplicated: $byTag")
@@ -195,6 +204,13 @@ object ContendMain {
           .collect().head.getLong(0)
         require(deletedVisible == 0L,
           s"$deletedVisible MOR-deleted rows still visible")
+        val eqVisible = spark.sql(
+          s"""SELECT count(*) FROM gcont.s.m
+              WHERE tag = 'eqseed' AND ((a >= 1001 AND a <= ${1000 + n}) OR
+                                        (a >= 1101 AND a <= ${1100 + n}))""")
+          .collect().head.getLong(0)
+        require(eqVisible == 0L,
+          s"$eqVisible equality-deleted rows still visible")
         assertNoDupRows(spark, "gcont.s.m")
         val versions = assertHistory(spark, "gcont.s.m")
         val before = spark.sql("SELECT a, tag FROM gcont.s.m ORDER BY a")

@@ -110,16 +110,25 @@ object Changelog {
     def positions(deleteFiles: Seq[String]): DataFrame =
       DeleteSidecars.positionsDf(spark, dir, deleteFiles)
 
-    // data-file change: serve its rows minus what `mask` sidecars cover
+    lazy val firstSeen = FieldIds.firstSeen(dir)
+    val maxKeys = spark.conf.getOption(EqualityDeletes.MaxKeysKey)
+      .map(_.toLong).getOrElse(EqualityDeletes.MaxKeysDefault)
+
+    // data-file change: serve its rows minus what `mask` sidecars
+    // (BOTH types) cover
     def maskedRows(fs: Seq[String], mask: Seq[String], typ: String,
         v: Long): DataFrame =
-      align(DeleteSidecars.applyDeletes(readRaw(fs), spark, dir, fs, mask),
+      align(EqualityDeletes.applyAll(readRaw(fs), spark, dir, fs, mask),
         typ, v)
 
-    // sidecar change: serve exactly the rows at `pos` (file, pos) pairs
-    // that live in still-present data files — reads ONLY those files
-    def rowsAtPositions(present: Set[String], pos: DataFrame, typ: String,
-        v: Long): Option[DataFrame] = {
+    // position-sidecar change: the rows at `pos` (file, pos) pairs that
+    // live in still-present data files — reads ONLY those files.
+    // `alsoMask`: sidecars whose masks must ALSO not cover the row (a
+    // position newly masked was no visible-row change if an equality
+    // batch already masked it; an un-deleted position is no insert if
+    // an equality batch still masks it).
+    def rowsAtPositions(present: Set[String], pos: DataFrame,
+        alsoMask: Seq[String], typ: String, v: Long): Option[DataFrame] = {
       import spark.implicits._
       val fs = pos.select("file").distinct().as[String].collect() // small
         .filter(present.contains).toSeq
@@ -134,8 +143,54 @@ object Changelog {
           col("_metadata.file_path") === col("__uri") &&
             col("_metadata.row_index") === col("pos"),
           "left_semi")
-        Some(align(rows, typ, v))
+        Some(align(
+          EqualityDeletes.applyAll(rows, spark, dir, fs, alsoMask), typ, v))
       }
+    }
+
+    // equality-sidecar change: the rows the given eq sidecars MATCH
+    // (per their strict first-seen-before-version rule) among `present`
+    // data files, deduplicated by row identity, minus whatever
+    // `alsoMask` sidecars cover. Reads only files the version rule
+    // subjects (stats pruning of key envelopes left to the parquet
+    // row-group layer — eq batches are small by contract).
+    def rowsMatchingEq(present: Seq[String], eqFiles: Seq[String],
+        alsoMask: Seq[String], typ: String, v: Long): Option[DataFrame] = {
+      val batches = EqualityDeletes.loadBatches(spark, dir, eqFiles,
+        f => firstSeen.getOrElse(f, Long.MaxValue), maxKeys)
+      val maxV = batches.map(_.version).maxOption.getOrElse(Long.MinValue)
+      val subject = present.filter(f =>
+        firstSeen.getOrElse(f, Long.MaxValue) < maxV)
+      if (subject.isEmpty || batches.forall(_.keys.isEmpty)) return None
+      val uriToSeen = subject.map(rel =>
+        DeleteSidecars.sparkFileUri(dir.resolve(rel)) ->
+          firstSeen.getOrElse(rel, Long.MaxValue))
+      val seenDf = spark.createDataFrame(uriToSeen).toDF("__uri", "__fseen")
+      val tagged = readRaw(subject)
+        .join(broadcast(seenDf),
+          col("_metadata.file_path") === col("__uri"), "left")
+      val matched = batches.filter(_.keys.nonEmpty).map { b =>
+        val scalaRows = b.keys.toSeq.map { t =>
+          Row.fromSeq(t.zip(b.types).map { case (value, dt) =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToScala(value, dt)
+          })
+        }
+        val keysDf = spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(scalaRows).asJava,
+          org.apache.spark.sql.types.StructType(b.cols.zip(b.types).map {
+            case (c, t) => org.apache.spark.sql.types.StructField(c, t) }))
+        val cond = b.cols.map(c => tagged(c) <=> keysDf(c)).reduce(_ && _) &&
+          col("__fseen") < lit(b.version)
+        tagged.join(broadcast(keysDf), cond, "left_semi")
+      }.reduce(_ unionByName _)
+        .withColumn("__rid_uri", col("_metadata.file_path"))
+        .withColumn("__rid_pos", col("_metadata.row_index"))
+        .dropDuplicates("__rid_uri", "__rid_pos")
+        .drop("__rid_uri", "__rid_pos", "__uri", "__fseen")
+      Some(align(
+        EqualityDeletes.applyAll(matched, spark, dir, subject, alsoMask),
+        typ, v))
     }
 
     val snaps = Snapshots.list(dir)
@@ -147,7 +202,13 @@ object Changelog {
         val removed = prev.map(_.files.filterNot(now)).getOrElse(Seq.empty)
         val (addedDel, addedData) = added.partition(Snapshots.isDeleteFile)
         val (removedDel, removedData) = removed.partition(Snapshots.isDeleteFile)
+        val (addedEq, addedPos) =
+          addedDel.partition(Snapshots.isEqualityDeleteFile)
+        val (removedEq, removedPos) =
+          removedDel.partition(Snapshots.isEqualityDeleteFile)
         val prevDels = prev.map(_.deleteFiles).getOrElse(Seq.empty)
+        val prevPos = prevDels.filterNot(Snapshots.isEqualityDeleteFile)
+        val prevEq = prevDels.filter(Snapshots.isEqualityDeleteFile)
 
         val inserts =
           if (addedData.isEmpty) None
@@ -155,19 +216,28 @@ object Changelog {
         val deletes =
           if (removedData.isEmpty) None
           else Some(maskedRows(removedData, prevDels, "delete", s.version))
-        val morDeletes =
-          if (addedDel.isEmpty) None
+        val morDeletes = // newly POSITION-masked, visible at prev
+          if (addedPos.isEmpty) None
           else rowsAtPositions(s.dataFiles.toSet,
-            positions(addedDel).join(positions(prevDels),
+            positions(addedPos).join(positions(prevPos),
               Seq("file", "pos"), "left_anti"),
+            prevEq, "delete", s.version)
+        val morUndeletes = // position rollback, not still masked at s
+          if (removedPos.isEmpty) None
+          else rowsAtPositions(s.dataFiles.toSet,
+            positions(removedPos).join(positions(s.posDeleteFiles),
+              Seq("file", "pos"), "left_anti"),
+            s.eqDeleteFiles, "insert", s.version)
+        val eqDeletes = // newly EQUALITY-masked, visible at prev
+          if (addedEq.isEmpty) None
+          else rowsMatchingEq(s.dataFiles, addedEq, prevDels,
             "delete", s.version)
-        val morUndeletes =
-          if (removedDel.isEmpty) None
-          else rowsAtPositions(s.dataFiles.toSet,
-            positions(removedDel).join(positions(s.deleteFiles),
-              Seq("file", "pos"), "left_anti"),
+        val eqUndeletes = // equality rollback, not still masked at s
+          if (removedEq.isEmpty) None
+          else rowsMatchingEq(s.dataFiles, removedEq, s.deleteFiles,
             "insert", s.version)
-        Seq(inserts, deletes, morDeletes, morUndeletes).flatten
+        Seq(inserts, deletes, morDeletes, morUndeletes,
+          eqDeletes, eqUndeletes).flatten
     }.flatten
     if (batches.isEmpty) {
       val out = schema.add("_change_type", StringType)

@@ -43,9 +43,12 @@ class FilesTable(fullName: String, tableDir: Path) extends Table with SupportsRe
             s.files.map { f =>
               val (rows, bytes) = stats(f)
               // Iceberg-parity `content` kind: MOR sidecars report as
-              // position-deletes with their (file, pos) record count
+              // position-deletes (record count = (file, pos) pairs) or
+              // equality-deletes (record count = key tuples)
               val content =
-                if (Snapshots.isDeleteFile(f)) "position-deletes" else "data"
+                if (Snapshots.isEqualityDeleteFile(f)) "equality-deletes"
+                else if (Snapshots.isDeleteFile(f)) "position-deletes"
+                else "data"
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(content),
                 UTF8String.fromString(f), bytes, rows, s.version))

@@ -110,23 +110,34 @@ class GraftTable(
       spark.sparkContext.hadoopConfiguration, maxBytes)
   }
 
-  /** The broadcastable form of [[morRelIndex]]'s result, keyed by
-    * ABSOLUTE data-file path (what partition readers see). */
-  private def morIndexAbs(
-      relIndex: Map[String, Array[Long]]): Map[String, Array[Long]] =
-    relIndex.flatMap { case (rel, ps) =>
-      val p = tableDir.resolve(rel)
-      // partition readers identify files by their planned SparkPath —
-      // key the index under the percent-ENCODED URI ("file:/a%20b"),
-      // the DECODED Hadoop Path form ("file:/a b" — what
-      // SparkPath.toPath renders for hive dirs with url-encodable
-      // partition values), and the plain filesystem path, so the
-      // lookup is encoding-proof
-      Seq(DeleteSidecars.sparkFileUri(p) -> ps,
+  /** Re-key a tableDir-relative map by ABSOLUTE data-file path (what
+    * partition readers see). Partition readers identify files by their
+    * planned SparkPath — key under the percent-ENCODED URI
+    * ("file:/a%20b"), the DECODED Hadoop Path form ("file:/a b" — what
+    * SparkPath.toPath renders for hive dirs with url-encodable
+    * partition values), and the plain filesystem path, so the lookup is
+    * encoding-proof. */
+  private def absKeyed[A](rel: Map[String, A]): Map[String, A] =
+    rel.flatMap { case (r, v) =>
+      val p = tableDir.resolve(r)
+      Seq(DeleteSidecars.sparkFileUri(p) -> v,
         new org.apache.hadoop.fs.Path("file", null, p.toString)
-          .toString -> ps,
-        p.toString -> ps)
+          .toString -> v,
+        p.toString -> v)
     }
+
+  /** The pending equality-delete batches of this snapshot, loaded
+    * driver-side (small by contract, guarded by
+    * [[EqualityDeletes.MaxKeysKey]]; a maintenance handle lifts the cap
+    * the same way as the position guard). */
+  private def loadEqBatches(eqFiles: Seq[String],
+      seen: Map[String, Long]): Seq[EqualityDeletes.Batch] = {
+    val maxKeys = morCapOverride.map(_ => Long.MaxValue).getOrElse(
+      spark.conf.getOption(EqualityDeletes.MaxKeysKey).map(_.toLong)
+        .getOrElse(EqualityDeletes.MaxKeysDefault))
+    EqualityDeletes.loadBatches(spark, tableDir, eqFiles,
+      f => seen.getOrElse(f, Long.MaxValue), maxKeys)
+  }
 
   // --- field-id schema generations (FieldIds) ---------------------------
 
@@ -261,22 +272,45 @@ class GraftTable(
       case Some(s) => s.dataFiles
       case None => Snapshots.walkDataParquet(tableDir)
     }
-    val dels = snap.map(_.deleteFiles).getOrElse(Seq.empty)
+    val posDels = snap.map(_.posDeleteFiles).getOrElse(Seq.empty)
+    val eqDels = snap.map(_.eqDeleteFiles).getOrElse(Seq.empty)
     // ONE sidecar read per scan build (it also decides the clean/masked
     // split below) + ONE broadcast shared by every masked slice
     val relIndex: Map[String, Array[Long]] =
-      if (dels.isEmpty) Map.empty else morRelIndex(dels)
-    lazy val sharedIndex = spark.sparkContext.broadcast(morIndexAbs(relIndex))
+      if (posDels.isEmpty) Map.empty else morRelIndex(posDels)
+    val seen: Map[String, Long] =
+      if (eqDels.isEmpty) Map.empty else firstSeenVersions()
+    val eqBatches: Seq[EqualityDeletes.Batch] =
+      if (eqDels.isEmpty) Seq.empty else loadEqBatches(eqDels, seen)
+    // a sidecar at version vB masks files FIRST SEEN strictly before vB
+    def eqApplies(rel: String): Boolean =
+      eqBatches.exists(_.version > seen.getOrElse(rel, Long.MaxValue))
+    def isMasked(rel: String): Boolean =
+      relIndex.contains(rel) || eqApplies(rel)
+    lazy val sharedCtx = spark.sparkContext.broadcast(
+      org.apache.spark.sql.graftaccess.MorScans.MaskContext(
+        absKeyed(relIndex), eqBatches.toArray,
+        absKeyed(seen.filter { case (f, _) => eqApplies(f) })))
+    val groups = generationGroups(dataRel)
+    // equality keys are recorded under CURRENT column names; an
+    // old-generation slice reads different physical names, so the mask
+    // would silently miss — unreachable in normal operation (deleteByKey
+    // rejects old-gen tables, ALTER rejects pending eq sidecars), kept
+    // as defense in depth
+    if (eqBatches.nonEmpty && groups.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$fullName has pending equality-delete sidecars AND data files " +
+          "from an older schema generation; compact() the table first")
     def cleanWrap(plain: ScanBuilder): ScanBuilder =
       if (fileColShadowed) plain else new FileTaggedScans.Builder(plain)
     // Clean-vs-masked split (VERDICT r15 #1): only files with pending
-    // delete-sidecar entries pay the row-based MOR read tax; every
-    // other file keeps the untouched vectorized delegate. Without the
-    // split, ONE 0.1% MOR DELETE de-vectorizes every whole-table scan
-    // until compaction — the exact hot path the feature exists for.
+    // delete-sidecar entries (position or applicable equality) pay the
+    // mask-read tax; every other file keeps the untouched vectorized
+    // delegate. Masked slices stay columnar too (RemappedColumnVector),
+    // so one 0.1% MOR DELETE never de-vectorizes the table.
     def slicesFor(files: Seq[String], schema: StructType,
         rename: Map[String, String]): Seq[MultiGenScans.GenSlice] = {
-      val (masked, clean) = files.partition(relIndex.contains)
+      val (masked, clean) = files.partition(isMasked)
       def delegate(fs: Seq[String]) =
         delegateFor(fs.map(f => tableDir.resolve(f).toString), schema)
           .newScanBuilder(options)
@@ -287,19 +321,19 @@ class GraftTable(
       val maskedSlice =
         if (masked.nonEmpty)
           Seq(MultiGenScans.GenSlice(new MorScans.Builder(
-            delegate(masked), !fileColShadowed, () => sharedIndex), rename))
+            delegate(masked), !fileColShadowed, () => sharedCtx), rename))
         else Seq.empty
       cleanSlice ++ maskedSlice
     }
-    generationGroups(dataRel) match {
+    groups match {
       case Seq() =>
         slicesFor(dataRel, declaredSchema, Map.empty) match {
           case Seq(only) => only.plain // untouched single-scan fast path
           case slices => new MultiGenScans.Builder(slices, "mor split")
         }
-      case groups => // one delegate per generation, physical names mapped
+      case gs => // one delegate per generation, physical names mapped
         new MultiGenScans.Builder(
-          groups.flatMap { case (g, files) =>
+          gs.flatMap { case (g, files) =>
             val (sg, rename) = genSchema(fieldMeta.get, g)
             slicesFor(files, sg, rename)
           },
@@ -378,6 +412,29 @@ class GraftTable(
     * the data-file set the positions were computed against — a
     * concurrent rewrite of any of them aborts the commit (the
     * positions would mask the wrong rows in the rewritten files). */
+  /** EQUALITY-delete commit ([[EqualityDeletes]]): write the deleted
+    * KEY TUPLES as one parquet sidecar under `deletes/eq_<uuid>/` and
+    * append ONE snapshot keeping every current file plus the sidecar.
+    * The sidecar's commit version defines its applicability (it masks
+    * only files first-seen strictly before it), so `baseData` — the
+    * data-file set visible when the keys were resolved — guards the
+    * same race the position path does: a concurrent rewrite of any base
+    * file aborts (the rewritten file would get a NEW first-seen version
+    * at or after this commit and silently escape the mask). */
+  private[catalog] def commitEqualityDeleteSidecar(keys: DataFrame,
+      baseData: Seq[String]): Unit = {
+    val tmp = Files.createTempDirectory(
+      s"graft_eqdel_${UUID.randomUUID().toString.take(8)}")
+    try {
+      keys.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp.resolve(s"eq_${UUID.randomUUID().toString.take(8)}")
+          .toString)
+      stripZeroRowParts(tmp)
+      publishAndCommit(tmp, overwrite = false,
+        replacedBase = Some(baseData), destRoot = Some(deletesDir))
+    } finally dropRecursively(tmp)
+  }
+
   private def commitDeleteSidecars(positions: DataFrame,
       baseTouched: Seq[String]): Unit = {
     val tmp = Files.createTempDirectory(
@@ -567,10 +624,28 @@ class GraftTable(
     // ONE sidecar read + ONE broadcast for the whole operation (the
     // scan's toBatch can run several times — runtime group filtering
     // re-plans partitions from a fresh Batch)
-    private lazy val baseRelIndex: Map[String, Array[Long]] =
-      if (baseDeletes.isEmpty) Map.empty else morRelIndex(baseDeletes)
+    private lazy val baseRelIndex: Map[String, Array[Long]] = {
+      val pos = baseDeletes.filterNot(Snapshots.isEqualityDeleteFile)
+      if (pos.isEmpty) Map.empty else morRelIndex(pos)
+    }
+    private lazy val baseSeen: Map[String, Long] =
+      if (baseDeletes.exists(Snapshots.isEqualityDeleteFile))
+        firstSeenVersions()
+      else Map.empty
+    private lazy val baseEqBatches: Seq[EqualityDeletes.Batch] = {
+      val eq = baseDeletes.filter(Snapshots.isEqualityDeleteFile)
+      if (eq.isEmpty) Seq.empty else loadEqBatches(eq, baseSeen)
+    }
+    private def baseEqApplies(rel: String): Boolean =
+      baseEqBatches.exists(
+        _.version > baseSeen.getOrElse(rel, Long.MaxValue))
+    private def baseMasked(rel: String): Boolean =
+      baseRelIndex.contains(rel) || baseEqApplies(rel)
     private lazy val baseMorBroadcast =
-      spark.sparkContext.broadcast(morIndexAbs(baseRelIndex))
+      spark.sparkContext.broadcast(
+        org.apache.spark.sql.graftaccess.MorScans.MaskContext(
+          absKeyed(baseRelIndex), baseEqBatches.toArray,
+          absKeyed(baseSeen.filter { case (f, _) => baseEqApplies(f) })))
     // The group-based rewrite reads files under the DECLARED schema; a
     // pre-rename file would silently serve NULL for renamed columns and
     // the rewrite would persist the corruption — reject loudly. Checked
@@ -611,7 +686,7 @@ class GraftTable(
         def delegate(fs: Seq[String]) =
           delegateFor(fs.map(f => tableDir.resolve(f).toString))
             .newScanBuilder(options)
-        if (baseRelIndex.isEmpty) delegate(files).build().toBatch
+        if (baseDeletes.isEmpty) delegate(files).build().toBatch
         else {
           // pending MOR sidecars: masked rows must not enter the
           // rewrite — same clean/masked split as interactive scans.
@@ -621,7 +696,7 @@ class GraftTable(
           // factory, so the slice structure must not depend on the
           // narrowed file list (an empty slice plans zero partitions).
           import org.apache.spark.sql.graftaccess.{MorScans, MultiGenScans}
-          val (masked, clean) = files.partition(baseRelIndex.contains)
+          val (masked, clean) = files.partition(baseMasked)
           new MultiGenScans.Builder(Seq(
             MultiGenScans.GenSlice(delegate(clean), Map.empty),
             MultiGenScans.GenSlice(new MorScans.Builder(
@@ -784,9 +859,9 @@ class GraftTable(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredSchema)
       else {
         val raw = readFilesAsCurrent(touchedRel)
-        // rows already masked by pending MOR sidecars must NOT be
-        // resurrected into the rewrite
-        val live = DeleteSidecars.applyDeletes(raw, spark, tableDir,
+        // rows already masked by pending MOR sidecars (position OR
+        // equality) must NOT be resurrected into the rewrite
+        val live = EqualityDeletes.applyAll(raw, spark, tableDir,
           baseSnap.map(_.dataFiles).getOrElse(Seq.empty), baseDeletes)
         // DSv2 DELETE removes rows where the predicate is TRUE; a NULL
         // predicate (e.g. `a > 5` with a NULL) must KEEP the row — a bare
@@ -811,7 +886,7 @@ object GraftTable {
   private[catalog] def schemaEpochOf(tableDir: Path): String = {
     def part(p: Path): String =
       if (Files.exists(p)) Files.readString(p) else ""
-    part(tableDir.resolve("_graft_schema.json")) + " " +
+    part(tableDir.resolve("_graft_schema.json")) + "\u0000" +
       part(tableDir.resolve("_graft_fields.tsv"))
   }
 }

@@ -165,9 +165,10 @@ object Maintenance {
           .option("basePath", dir.resolve("data").toString)
           .schema(schema)
           .parquet(touched.map(f => dir.resolve(f).toString): _*)
-        // rows masked by pending MOR sidecars must not be resurrected
-        DeleteSidecars
-          .applyDeletes(raw, spark, dir, base.dataFiles, base.deleteFiles)
+        // rows masked by pending MOR sidecars (position OR equality)
+        // must not be resurrected
+        EqualityDeletes
+          .applyAll(raw, spark, dir, base.dataFiles, base.deleteFiles)
           .select(schema.fieldNames.map(col).toSeq: _*)
           .join(src.select(keyCols.map(col).toSeq: _*), keyCols, "left_anti")
       }
@@ -179,6 +180,74 @@ object Maintenance {
       props - "graft.partition.columns", pinned = None)
     table.replaceFiles(survivors.unionByName(src), touched, base.deleteFiles)
     (touched.length, base.dataFiles.length)
+  }
+
+  /** DELETE BY KEY via an EQUALITY-delete sidecar ([[EqualityDeletes]] —
+    * Iceberg v2's second delete-file type; VERDICT r15 #2): commit the
+    * distinct rows of `keys` (columns = the equality fields, a subset
+    * of the table schema) as one `deletes/eq_<uuid>/` sidecar. O(keys)
+    * metadata — no data file read, no positions computed, no rewrite;
+    * the streaming-CDC delete path a 100 TB upsert pipeline needs. Rows
+    * of data files committed BEFORE this call whose key tuple matches
+    * any key row are masked from every subsequent read; rows inserted
+    * AFTER (or in the same commit) are untouched, so re-inserting a
+    * deleted key needs no ceremony. Returns the number of distinct keys
+    * committed (0 = no-op, nothing committed).
+    *
+    * Validations: key columns must exist with EXACT table types (values
+    * are hash-compared against read rows — a lossy cast would silently
+    * fail to mask), be atomic orderable types, and contain no NULLs;
+    * tables with old-generation (pre-rename) files reject — the sidecar
+    * records CURRENT names, which old files don't carry physically. */
+  def deleteByKey(spark: SparkSession, ident: String,
+      keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val dir = tableDir(spark, ident)
+    val base = Snapshots.latest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots for $ident"))
+    val schema = DataType.fromJson(
+      Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteByKey needs at least one key column")
+    keyCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"deleteByKey: no column $c in $ident"))
+      require(EqualityDeletes.supportedKeyType(f.dataType),
+        s"deleteByKey: column $c has unsupported key type " +
+          s"${f.dataType.simpleString}")
+      val kt = keys.schema(c).dataType
+      require(kt == f.dataType,
+        s"deleteByKey: key column $c is ${kt.simpleString} but $ident " +
+          s"declares ${f.dataType.simpleString}; cast the keys first " +
+          "(values are compared exactly against read rows)")
+    }
+    val opaque = FieldIds.read(dir).map(m =>
+      FieldIds.nonIdentityFiles(dir, m, base.dataFiles)).getOrElse(Set.empty)
+    if (opaque.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$ident has data files from an older schema generation " +
+          "(RENAME or DROP+re-ADD COLUMN); compact() before deleteByKey " +
+          "(equality sidecars record current column names)")
+    val distinctKeys = keys.select(keyCols.map(col): _*).distinct().persist()
+    try {
+      val aggs = count(lit(1)).as("__rows") +: keyCols.map(k =>
+        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nulls_$k"))
+      val stats = distinctKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = stats.getAs[Long]("__rows")
+      if (n == 0L) return 0L
+      keyCols.foreach(k => require(stats.getAs[Long](s"__nulls_$k") == 0L,
+        s"deleteByKey: null key values in $k (null never matches a row; " +
+          "delete nulls with a predicate DELETE instead)"))
+      val props = readProps(dir)
+      val parts = props.get("graft.partition.columns").toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty)
+      val table = new GraftTable(ident, dir, schema, parts,
+        props - "graft.partition.columns", pinned = None)
+      table.commitEqualityDeleteSidecar(distinctKeys, base.dataFiles)
+      n
+    } finally distinctKeys.unpersist()
   }
 
   private def readProps(dir: Path): Map[String, String] = {
@@ -311,9 +380,25 @@ object Maintenance {
     val dir = tableDir(spark, ident)
     val base = Snapshots.latest(dir).getOrElse(
       throw new IllegalArgumentException(s"no snapshots for $ident"))
-    if (base.deleteFiles.isEmpty) return (0, 0, 0L, 0L)
-    val pos = DeleteSidecars.positionsDf(spark, dir, base.deleteFiles)
-      .persist()
+    // EQUALITY sidecars are version-applicable and must never be
+    // rewritten (a rewrite would give them a NEWER commit version and
+    // widen what they mask) — but an INERT one (no present data file
+    // first-seen before its version, e.g. every pre-delete file has
+    // since been rewritten or upserted) masks nothing now and drops.
+    val posFiles = base.posDeleteFiles
+    val eqFiles = base.eqDeleteFiles
+    val inertEq: Seq[String] =
+      if (eqFiles.isEmpty) Seq.empty
+      else {
+        val seen = FieldIds.firstSeen(dir)
+        val oldestData = base.dataFiles
+          .map(f => seen.getOrElse(f, Long.MaxValue))
+          .minOption.getOrElse(Long.MaxValue)
+        eqFiles.filter(f =>
+          seen.getOrElse(f, Long.MaxValue) <= oldestData)
+      }
+    if (posFiles.isEmpty && inertEq.isEmpty) return (0, 0, 0L, 0L)
+    val pos = DeleteSidecars.positionsDf(spark, dir, posFiles).persist()
     try {
       val before = pos.count()
       val present = base.dataFiles.toSet
@@ -327,7 +412,7 @@ object Maintenance {
         .flatMap(_.split(",")).filter(_.nonEmpty)
       val table = new GraftTable(ident, dir, schema, parts,
         props - "graft.partition.columns", pinned = None)
-      table.replaceDeleteSidecars(kept, base.deleteFiles, targetFiles)
+      table.replaceDeleteSidecars(kept, posFiles ++ inertEq, targetFiles)
       val now = Snapshots.latest(dir).map(_.deleteFiles.length).getOrElse(0)
       (base.deleteFiles.length, now, before, after)
     } finally pos.unpersist()
@@ -471,6 +556,38 @@ object Maintenance {
             s"boundary would reclassify ${unsafe.length} live data " +
             s"file(s) (e.g. ${unsafe.head}) into the wrong schema " +
             "generation; compact() the table first to migrate them")
+      }
+      // EQUALITY-DELETE SAFETY (round 16): sidecar applicability is the
+      // ORDER firstSeen(dataFile) < firstSeen(eqFile), and both sides
+      // are computed from the surviving log — dropping the snapshot a
+      // file first appeared in RAISES its first-seen version and can
+      // flip that order (e.g. data at v2, eq at v3, expire v2 → both
+      // first-seen v3 → strict < fails → masked rows RESURRECT).
+      // Refuse exactly those expirations; compact() folds the sidecars
+      // and unblocks.
+      locally {
+        val retainedSet = retained.map(_.version).toSet
+        val eqLive = retained.flatMap(_.eqDeleteFiles).distinct
+        if (eqLive.nonEmpty) {
+          val seenBefore = FieldIds.firstSeen(dir)
+          def seenAfter(f: String): Long = all
+            .filter(s => retainedSet.contains(s.version) && s.files.contains(f))
+            .map(_.version).minOption.getOrElse(Long.MaxValue)
+          val dataLive = retained.flatMap(_.dataFiles).distinct
+          val flipped = for {
+            e <- eqLive
+            f <- dataLive
+            if (seenBefore.getOrElse(f, Long.MaxValue) <
+                seenBefore.getOrElse(e, Long.MaxValue)) !=
+              (seenAfter(f) < seenAfter(e))
+          } yield (f, e)
+          if (flipped.nonEmpty) throw new IllegalStateException(
+            s"$ident: expiring these snapshots would change which data " +
+              s"files ${flipped.length} equality-delete pairing(s) mask " +
+              s"(e.g. ${flipped.head._1} vs ${flipped.head._2}) — masked " +
+              "rows would resurrect; compact() the table first to fold " +
+              "the sidecars")
+        }
       }
       val live = retained.flatMap(_.files).toSet ++
         Snapshots.branchReferencedFiles(dir)

@@ -351,6 +351,17 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
               "history to key schema generations on); recreate the table " +
               "(CTAS) to drop columns")
         case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn)
+            if Snapshots.latest(tablePath(ident))
+              .exists(_.eqDeleteFiles.nonEmpty) =>
+          // equality-delete sidecars record CURRENT column names; a
+          // generation boundary would leave their keys pointing at
+          // physical names old files don't carry — the scan-side mask
+          // would silently miss. compact() folds the sidecars first.
+          throw new IllegalStateException(
+            s"cannot apply $c to ${fullName(ident)}: pending " +
+              "equality-delete sidecars record current column names; " +
+              "compact() the table first")
+        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn)
             if Snapshots.branches(tablePath(ident)).nonEmpty =>
           // files staged on a WAP branch live outside the main log, so
           // generation resolution classifies them as CURRENT — a rename

@@ -26,7 +26,7 @@ object Procedures {
     Array("compact", "zorder", "expire_snapshots", "add_blooms",
       "create_tag", "drop_tag", "changes",
       "create_branch", "drop_branch", "fast_forward", "rollback_to_version",
-      "remove_orphan_files", "rewrite_position_deletes")
+      "remove_orphan_files", "rewrite_position_deletes", "delete_by_key")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -241,6 +241,41 @@ object Procedures {
               s.version, s.tsMillis, added.size, removed.size))
               : InternalRow
           }.toArray
+      }
+      case "delete_by_key" => proc(
+        "delete_by_key",
+        "commit an EQUALITY-delete sidecar masking every pre-existing " +
+          "row whose key column equals one of the given values — " +
+          "O(keys) metadata, no data read or rewrite (Iceberg v2 " +
+          "equality deletes); rows inserted later are untouched",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("key_col", StringType).build(),
+          ProcedureParameter.in("values", StringType)
+            .comment("comma-separated key values, parsed as the " +
+              "column's declared type").build()),
+        StructType(Seq(StructField("keys_deleted", LongType)))) { in =>
+        val active = SparkSession.active
+        val table = full(in)
+        val keyCol = s(in, 1)
+        val raw = s(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // parse values as the table's declared type for the column
+        val dir = Maintenance.tableDir(active, table)
+        val schema = org.apache.spark.sql.types.DataType.fromJson(
+          java.nio.file.Files.readString(dir.resolve("_graft_schema.json")))
+          .asInstanceOf[StructType]
+        val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"delete_by_key: no column $keyCol in $table"))
+        import org.apache.spark.sql.functions.col
+        import active.implicits._
+        val keysDf = raw.toDF(keyCol).select(col(keyCol).cast(dt).as(keyCol))
+        if (!keysDf.where(col(keyCol).isNull).isEmpty)
+          throw new IllegalArgumentException(
+            s"delete_by_key: some values failed to parse as " +
+              s"${dt.simpleString}: ${raw.mkString(", ")}")
+        Array(new GenericInternalRow(Array[Any](
+          Maintenance.deleteByKey(active, table, keysDf))))
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.system.$other " +

@@ -34,12 +34,28 @@ object Snapshots {
   final case class Snap(version: Long, tsMillis: Long, files: Seq[String]) {
     /** Parquet data files (relative paths under `data/`). */
     def dataFiles: Seq[String] = files.filterNot(isDeleteFile)
-    /** Position-delete sidecars (relative paths under `deletes/`). */
+    /** ALL delete sidecars (position + equality), `deletes/` prefix. */
     def deleteFiles: Seq[String] = files.filter(isDeleteFile)
+    /** Position-delete sidecars: `(file, pos)` parquet under `deletes/`
+      * but outside the `deletes/eq_*` namespace. */
+    def posDeleteFiles: Seq[String] =
+      files.filter(f => isDeleteFile(f) && !isEqualityDeleteFile(f))
+    /** Equality-delete sidecars (`deletes/eq_<uuid>/...`): key-valued
+      * parquet whose columns name the equality fields (Iceberg v2's
+      * second delete-file type); each masks rows of data files FIRST
+      * COMMITTED STRICTLY BEFORE the sidecar's own commit version. */
+    def eqDeleteFiles: Seq[String] = files.filter(isEqualityDeleteFile)
   }
 
-  /** Whether a snapshot-relative path names a position-delete sidecar. */
+  /** Whether a snapshot-relative path names a delete sidecar (either
+    * type — both live under `deletes/`, so every path-shaped consumer
+    * (expiry liveness, orphan accounting, CAS diffs) treats them
+    * uniformly). */
   def isDeleteFile(rel: String): Boolean = rel.startsWith("deletes/")
+
+  /** Whether the path names an EQUALITY-delete sidecar specifically. */
+  def isEqualityDeleteFile(rel: String): Boolean =
+    rel.startsWith("deletes/eq_")
 
   private def dir(tableDir: Path): Path = tableDir.resolve("_graft_snapshots")
 

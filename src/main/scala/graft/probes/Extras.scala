@@ -461,6 +461,76 @@ object Extras {
         .orderBy("phase", "k", "qty")
     },
 
+    // EQUALITY DELETES (Iceberg v2's second delete-file type): a
+    // DELETE-BY-KEY commits the key tuples as a `deletes/eq_*` sidecar —
+    // O(keys) metadata, no data read or rewrite — and scans mask rows of
+    // files first-seen STRICTLY BEFORE the sidecar's commit version.
+    // Four hash-checked phases: 'after' (keyed rows gone from reads),
+    // 'cdc' (the changelog emits exactly the newly-masked rows),
+    // 'reinsert' (a later insert of a deleted key is SERVED — the strict
+    // version rule, the property streaming CDC upserts rely on), and
+    // 'sidecar' (a 0/1 pin that an eq sidecar exists and no data file
+    // was rewritten — this really took the equality path).
+    Probe.df("q_delete_eq",
+      """WITH base AS (
+        |  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k,
+        |         CAST(l_quantity AS DOUBLE) AS qty
+        |  FROM lineitem WHERE l_orderkey % 5 = 0),
+        |delkeys AS (SELECT DISTINCT k FROM base WHERE qty < 15),
+        |phases AS (
+        |  SELECT 'after' AS phase, k, qty FROM base
+        |  WHERE k NOT IN (SELECT k FROM delkeys)
+        |  UNION ALL SELECT 'cdc', k, qty FROM base
+        |  WHERE k IN (SELECT k FROM delkeys)
+        |  UNION ALL SELECT 'reinsert', (SELECT min(k) FROM delkeys),
+        |         CAST(99 AS DOUBLE)
+        |  UNION ALL SELECT 'sidecar', CAST(1 AS BIGINT), CAST(0 AS DOUBLE))
+        |SELECT phase, k, qty FROM phases ORDER BY phase, k, qty""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.eqdel")
+      s.sql("CREATE TABLE gprobe.db.eqdel (k BIGINT, qty DOUBLE)")    // v1
+      s.sql("INSERT INTO gprobe.db.eqdel " +
+        "SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT), " +
+        "CAST(l_quantity AS DOUBLE) FROM lineitem " +
+        "WHERE l_orderkey % 5 = 0")                                   // v2
+      val tdir = java.nio.file.Paths.get(wh, "db", "eqdel")
+      val dataBefore = graft.catalog.Snapshots
+        .latest(tdir).get.dataFiles.toSet
+      // COLLECTED eagerly: once the eq sidecar commits, re-evaluating
+      // this frame would see the keys already masked (empty result)
+      val delKeys: Array[Long] = s.sql(
+        "SELECT DISTINCT k FROM gprobe.db.eqdel WHERE qty < 15")
+        .collect().map(_.getLong(0))
+      graft.catalog.Maintenance.deleteByKey(s, "gprobe.db.eqdel",
+        delKeys.toSeq.toDF("k"))                                      // v3: eq
+      val snap = graft.catalog.Snapshots.latest(tdir).get
+      val eqPinned = // an eq sidecar exists AND no data file rewritten
+        snap.eqDeleteFiles.nonEmpty && snap.posDeleteFiles.isEmpty &&
+          snap.dataFiles.toSet == dataBefore
+      val minDel = delKeys.min
+      s.sql(s"INSERT INTO gprobe.db.eqdel VALUES ($minDel, 99.0)")    // v4
+      val after = s.sql(
+        "SELECT 'after' AS phase, k, qty FROM gprobe.db.eqdel " +
+          s"WHERE NOT (k = $minDel AND qty = 99.0)")
+      val cdc = graft.catalog.Changelog.read(s, "gprobe.db.eqdel", 2L, 3L)
+        .where(col("_change_type") === "delete")
+        .select(org.apache.spark.sql.functions.lit("cdc").as("phase"),
+          col("k"), col("qty"))
+      val reinsert = s.sql(
+        "SELECT 'reinsert' AS phase, k, qty FROM gprobe.db.eqdel " +
+          s"WHERE k = $minDel AND qty = 99.0")
+      val sidecar = Seq(("sidecar", if (eqPinned) 1L else 0L, 0.0d))
+        .toDF("phase", "k", "qty")
+      after.unionAll(cdc).unionAll(reinsert).unionAll(sidecar)
+        .orderBy("phase", "k", "qty")
+    },
+
     // FIELD-ID schema evolution (Iceberg spec §4): RENAME COLUMN serves
     // pre-rename files' bytes under the new name (phase 'renamed'), and
     // DROP + re-ADD of the same name does NOT resurrect the dropped

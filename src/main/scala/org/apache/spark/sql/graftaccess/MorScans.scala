@@ -45,12 +45,29 @@ object MorScans {
     ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType,
     nullable = true)
 
-  /** `loadIndex` runs on the driver when the scan plans and returns the
-    * BROADCAST delete index (absolute-path data file → sorted deleted
-    * positions). Callers memoize it so a multi-generation scan's slices
-    * share ONE sidecar read and ONE broadcast. */
+  /** Execution-side mask context for BOTH sidecar types, broadcast once
+    * per scan build and shared by every masked slice:
+    *  - `pos`: absolute-path data file → sorted deleted positions
+    *    (position-delete sidecars);
+    *  - `eqBatches`: pending equality-delete commits (key columns +
+    *    catalyst-typed tuple sets + the commit version);
+    *  - `fileSeen`: absolute-path data file → first-seen snapshot
+    *    version (a batch at version vB masks a file iff its first-seen
+    *    version < vB — Iceberg's strict sequence-number rule, so files
+    *    committed with or after the delete are never masked). */
+  final case class MaskContext(
+      pos: Map[String, Array[Long]],
+      eqBatches: Array[graft.catalog.EqualityDeletes.Batch],
+      fileSeen: Map[String, Long]) extends Serializable {
+    def eqColumns: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      eqBatches.toSeq.flatMap(b => b.cols.zip(b.types)).distinct
+  }
+
+  /** `loadCtx` runs on the driver when the scan plans and returns the
+    * BROADCAST mask context. Callers memoize it so a multi-slice scan's
+    * slices share ONE sidecar read and ONE broadcast. */
   final class Builder(plain: ScanBuilder, fileColAllowed: Boolean,
-      loadIndex: () => Broadcast[Map[String, Array[Long]]])
+      loadCtx: () => Broadcast[MaskContext])
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with SupportsPushDownCatalystFilters {
@@ -89,14 +106,22 @@ object MorScans {
           s"merge-on-read scans wrap Spark's ParquetScan, got " +
             s"${other.getClass.getName}")
       }
+      val ctxB = loadCtx()
+      // equality-delete key columns the pruned read dropped must still
+      // be READ (the mask needs their values); they ride as scratch
+      // columns next to the row index and are projected away with it
+      val present = scan0.readSchema().fieldNames.toSet
+      val extra = ctxB.value.eqColumns
+        .filterNot { case (c, _) => present.contains(c) }
+        .map { case (c, t) => StructField(c, t, nullable = true) }
       val withIdx = scan0.copy(readDataSchema =
-        StructType(scan0.readDataSchema.fields :+ RowIdxField))
-      new MorScan(withIdx, scan0.readSchema(), wantFile, loadIndex)
+        StructType(scan0.readDataSchema.fields ++ extra :+ RowIdxField))
+      new MorScan(withIdx, scan0.readSchema(), extra.length, wantFile, ctxB)
     }
   }
 
   private final class MorScan(withIdx: ParquetScan, outSchema: StructType,
-      wantFile: Boolean, loadIndex: () => Broadcast[Map[String, Array[Long]]])
+      extraCount: Int, wantFile: Boolean, ctx: Broadcast[MaskContext])
       extends Scan with Batch with SupportsReportStatistics {
 
     override def readSchema(): StructType =
@@ -117,14 +142,17 @@ object MorScans {
       FileTaggedScans.regroupByFile(withIdx.toBatch.planInputPartitions())
 
     override def createReaderFactory(): PartitionReaderFactory = {
-      val index = loadIndex()
-      // rows arrive as readDataSchema(+rowIdx) ++ partition columns;
-      // the scratch row-index column sits at the end of the data block
+      // rows arrive as [dataCols..., eqScratch..., rowIdx, partCols...];
+      // every scratch column is projected away after masking
+      val full = withIdx.readSchema()
       val rowIdxOrd = withIdx.readDataSchema.length - 1
-      val n = withIdx.readSchema().length
-      new MorReaderFactory(withIdx.toBatch.createReaderFactory(), index,
-        rowIdxOrd, withIdx.readSchema(), (0 until n).filterNot(_ == rowIdxOrd),
-        wantFile)
+      val scratchLow = rowIdxOrd - extraCount
+      val keepOrdinals = (0 until full.length)
+        .filterNot(o => o >= scratchLow && o <= rowIdxOrd)
+      val eqOrds: Array[Array[Int]] = ctx.value.eqBatches.map(b =>
+        b.cols.map(full.fieldIndex).toArray)
+      new MorReaderFactory(withIdx.toBatch.createReaderFactory(), ctx,
+        rowIdxOrd, full, keepOrdinals, eqOrds, wantFile)
     }
   }
 
@@ -138,13 +166,90 @@ object MorScans {
     * by conf). */
   private final class MorReaderFactory(
       inner: PartitionReaderFactory,
-      index: Broadcast[Map[String, Array[Long]]],
+      ctx: Broadcast[MaskContext],
       rowIdxOrd: Int, innerSchema: StructType, keepOrdinals: Seq[Int],
+      eqOrds: Array[Array[Int]],
       wantFile: Boolean) extends PartitionReaderFactory {
 
     override def supportColumnarReads(p: InputPartition): Boolean =
       inner.supportColumnarReads(
         p.asInstanceOf[FileTaggedScans.TaggedPartition].inner)
+
+    /** The equality batches that apply to this file: committed STRICTLY
+      * after the file was first seen. */
+    private def applicable(file: String): Array[Int] = {
+      val c = ctx.value
+      if (c.eqBatches.isEmpty) Array.emptyIntArray
+      else {
+        val seen = c.fileSeen.getOrElse(file, Long.MaxValue)
+        c.eqBatches.indices.filter(i => c.eqBatches(i).version > seen).toArray
+      }
+    }
+
+    private def vecValue(v: org.apache.spark.sql.vectorized.ColumnVector,
+        i: Int, dt: org.apache.spark.sql.types.DataType): Any = {
+      import org.apache.spark.sql.types._
+      if (v.isNullAt(i)) null
+      else dt match {
+        case BooleanType => Boolean.box(v.getBoolean(i))
+        case ByteType => Byte.box(v.getByte(i))
+        case ShortType => Short.box(v.getShort(i))
+        case IntegerType | DateType => Int.box(v.getInt(i))
+        case LongType | TimestampType | TimestampNTZType =>
+          Long.box(v.getLong(i))
+        case FloatType => Float.box(v.getFloat(i))
+        case DoubleType => Double.box(v.getDouble(i))
+        case StringType => v.getUTF8String(i)
+        case d: DecimalType => v.getDecimal(i, d.precision, d.scale)
+        case other => throw new IllegalStateException(
+          s"unsupported equality-delete key type $other")
+      }
+    }
+
+    /** Whether row `i` of columnar batch `b` matches any applicable
+      * equality batch's key set. */
+    private def eqMaskedVec(b: org.apache.spark.sql.vectorized.ColumnarBatch,
+        i: Int, appl: Array[Int]): Boolean = {
+      val c = ctx.value
+      var a = 0
+      while (a < appl.length) {
+        val batch = c.eqBatches(appl(a))
+        val ords = eqOrds(appl(a))
+        val tuple = new Array[Any](ords.length)
+        var j = 0
+        while (j < ords.length) {
+          tuple(j) = vecValue(b.column(ords(j)), i, batch.types(j))
+          j += 1
+        }
+        if (batch.keys.contains(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(tuple)))
+          return true
+        a += 1
+      }
+      false
+    }
+
+    private def eqMaskedRow(row: InternalRow, appl: Array[Int]): Boolean = {
+      val c = ctx.value
+      var a = 0
+      while (a < appl.length) {
+        val batch = c.eqBatches(appl(a))
+        val ords = eqOrds(appl(a))
+        val tuple = new Array[Any](ords.length)
+        var j = 0
+        while (j < ords.length) {
+          tuple(j) =
+            if (row.isNullAt(ords(j))) null
+            else row.get(ords(j), batch.types(j))
+          j += 1
+        }
+        if (batch.keys.contains(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(tuple)))
+          return true
+        a += 1
+      }
+      false
+    }
 
     override def createColumnarReader(p: InputPartition)
         : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -152,7 +257,8 @@ object MorScans {
       import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
       val tp = p.asInstanceOf[FileTaggedScans.TaggedPartition]
       val r = inner.createColumnarReader(tp.inner)
-      val deleted: Array[Long] = index.value.getOrElse(tp.file, null)
+      val deleted: Array[Long] = ctx.value.pos.getOrElse(tp.file, null)
+      val appl = applicable(tp.file)
       val path = UTF8String.fromString(tp.file)
       new PartitionReader[ColumnarBatch] {
         override def next(): Boolean = r.next()
@@ -164,8 +270,11 @@ object MorScans {
           var k = 0
           var i = 0
           while (i < n) {
-            if (deleted == null || java.util.Arrays.binarySearch(
-                deleted, idxCol.getLong(i)) < 0) {
+            val survives =
+              (deleted == null || java.util.Arrays.binarySearch(
+                deleted, idxCol.getLong(i)) < 0) &&
+              (appl.isEmpty || !eqMaskedVec(b, i, appl))
+            if (survives) {
               mapBuf(k) = i
               k += 1
             }
@@ -195,7 +304,8 @@ object MorScans {
         p: InputPartition): PartitionReader[InternalRow] = {
       val tp = p.asInstanceOf[FileTaggedScans.TaggedPartition]
       val r = inner.createReader(tp.inner)
-      val deleted: Array[Long] = index.value.getOrElse(tp.file, null)
+      val deleted: Array[Long] = ctx.value.pos.getOrElse(tp.file, null)
+      val appl = applicable(tp.file)
       val proj = ProjectingInternalRow(
         StructType(keepOrdinals.map(innerSchema.fields)), keepOrdinals)
       val tag = new GenericInternalRow(
@@ -206,9 +316,12 @@ object MorScans {
         override def next(): Boolean = {
           while (r.next()) {
             val row = r.get()
-            if (deleted == null ||
+            val survives =
+              (deleted == null ||
                 java.util.Arrays.binarySearch(deleted,
-                  row.getLong(rowIdxOrd)) < 0) {
+                  row.getLong(rowIdxOrd)) < 0) &&
+              (appl.isEmpty || !eqMaskedRow(row, appl))
+            if (survives) {
               cur = row
               return true
             }

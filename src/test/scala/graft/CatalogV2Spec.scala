@@ -1720,6 +1720,277 @@ class CatalogV2Spec extends AnyFunSuite {
       s"one masked position expected, got $rows")
   }
 
+  // --- equality deletes (Iceberg v2's second delete type, r16) ---------
+
+  test("deleteByKey masks pre-existing rows only: a later re-insert of " +
+      "the same key is served (strict first-seen-before-version rule)") {
+    spark.sql("CREATE TABLE g2.db.eqbase (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g2.db.eqbase VALUES (1,'a'), (2,'b'), (3,'c')")
+    import spark.implicits._
+    val n = graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqbase",
+      Seq(2L, 3L).toDF("k"))
+    assert(n == 2)
+    assert(spark.sql("SELECT k FROM g2.db.eqbase ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // re-insert a deleted key: the new row is NOT masked
+    spark.sql("INSERT INTO g2.db.eqbase VALUES (2,'b2')")
+    assert(spark.sql("SELECT k, v FROM g2.db.eqbase ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2")))
+    // no data file was rewritten; exactly one equality sidecar pends
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "eqbase")
+    val snap = graft.catalog.Snapshots.latest(dir).get
+    assert(snap.eqDeleteFiles.nonEmpty && snap.posDeleteFiles.isEmpty)
+    assert(spark.sql("SELECT content FROM g2.db.eqbase.files").collect()
+      .map(_.getString(0)).contains("equality-deletes"))
+  }
+
+  test("equality + position deletes STACK, time travel ignores both, " +
+      "and compact folds both sidecar types away") {
+    spark.sql("""CREATE TABLE g2.db.eqstack (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.sql("""INSERT INTO g2.db.eqstack
+      SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)""")          // v2
+    spark.sql("DELETE FROM g2.db.eqstack WHERE k < 10")             // v3: pos
+    import spark.implicits._
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqstack",
+      Seq(50L, 51L, 5L).toDF("k"))                                  // v4: eq (5 already masked)
+    val expect = (0L until 100L).filter(k => k >= 10 && k != 50 && k != 51)
+    assert(spark.sql("SELECT k FROM g2.db.eqstack ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == expect)
+    // travel to v2: every row served
+    assert(spark.sql(
+      "SELECT count(*) FROM g2.db.eqstack VERSION AS OF 2").collect()
+      .head.getLong(0) == 100)
+    // aggregate through the masked scan is exact
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM g2.db.eqstack")
+      .collect().head.getLong(0) == expect.sum)
+    // compact folds both sidecar types; the fast path returns
+    graft.catalog.Maintenance.compact(spark, "g2.db.eqstack", Seq("k"), 1)
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "eqstack")
+    val snap = graft.catalog.Snapshots.latest(dir).get
+    assert(snap.deleteFiles.isEmpty)
+    assert(spark.sql("SELECT k FROM g2.db.eqstack ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == expect)
+  }
+
+  test("COW DELETE, MOR position DELETE and equality deleteByKey agree " +
+      "row-for-row on the same logical operation") {
+    import spark.implicits._
+    def build(name: String, mor: Boolean): Unit = {
+      val p = if (mor)
+        " TBLPROPERTIES ('write.delete.mode'='merge-on-read')" else ""
+      spark.sql(s"CREATE TABLE g2.db.$name (k BIGINT, v STRING)$p")
+      spark.sql(s"""INSERT INTO g2.db.$name
+        SELECT id, concat('v', CAST(id AS STRING)) FROM range(0, 200)""")
+    }
+    build("par_cow", mor = false)
+    build("par_mor", mor = true)
+    build("par_eq", mor = false)
+    spark.sql("DELETE FROM g2.db.par_cow WHERE k % 7 = 0")
+    spark.sql("DELETE FROM g2.db.par_mor WHERE k % 7 = 0")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.par_eq",
+      (0L until 200L).filter(_ % 7 == 0).toDF("k"))
+    val rows = Seq("par_cow", "par_mor", "par_eq").map(t =>
+      spark.sql(s"SELECT k, v FROM g2.db.$t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    assert(rows(0) == rows(1) && rows(1) == rows(2))
+  }
+
+  test("equality-delete changelog is row-exact: the commit emits EXACTLY " +
+      "the newly-masked rows, and a rollback emits them back as inserts") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.eqcdc (k BIGINT, v STRING)")        // v1
+    spark.sql("INSERT INTO g2.db.eqcdc VALUES (1,'a'), (2,'b'), (3,'c')") // v2
+    spark.sql("DELETE FROM g2.db.eqcdc WHERE k = 3") // v3: COW rewrite
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqcdc",
+      Seq(2L, 3L, 99L).toDF("k")) // v4: only k=2 is NEWLY masked (3 gone, 99 absent)
+    val cdc = graft.catalog.Changelog.read(spark, "g2.db.eqcdc", 3L, 4L)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(cdc == Seq((2L, "b", "delete")),
+      s"expected exactly the newly-masked row, got $cdc")
+    // rollback to v3: the eq sidecar leaves the current view → un-delete
+    spark.sql("CALL g2.system.rollback_to_version('db.eqcdc', 3)") // v5
+    val undo = graft.catalog.Changelog.read(spark, "g2.db.eqcdc", 4L, 5L)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(undo == Seq((2L, "b", "insert")),
+      s"expected exactly the un-masked row, got $undo")
+    assert(spark.sql("SELECT k FROM g2.db.eqcdc ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("delete_by_key CALL surface parses values as the declared type; " +
+      "deleteByKey validates columns, types and nulls loudly") {
+    spark.sql("CREATE TABLE g2.db.eqval (k BIGINT, s STRING, arr ARRAY<INT>)")
+    spark.sql("INSERT INTO g2.db.eqval VALUES (7, 'x', array(1)), (8, 'y', array(2))")
+    val out = spark.sql(
+      "CALL g2.system.delete_by_key('db.eqval', 'k', '7')").collect()
+    assert(out.head.getLong(0) == 1L)
+    assert(spark.sql("SELECT k FROM g2.db.eqval").collect()
+      .map(_.getLong(0)).toSeq == Seq(8L))
+    import spark.implicits._
+    val e1 = intercept[IllegalArgumentException] {
+      graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqval",
+        Seq(1).toDF("nope"))
+    }
+    assert(e1.getMessage.contains("no column"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqval",
+        Seq(1).toDF("k")) // INT vs declared BIGINT
+    }
+    assert(e2.getMessage.contains("cast the keys first"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqval",
+        Seq(Some(1L), None).toDF("k"))
+    }
+    assert(e3.getMessage.contains("null key"))
+    val e4 = intercept[IllegalArgumentException] {
+      graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqval",
+        Seq(Seq(1)).toDF("arr"))
+    }
+    assert(e4.getMessage.contains("unsupported key type"))
+  }
+
+  test("multi-column equality keys match as TUPLES, not independently") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.eqmc (a BIGINT, b STRING, v INT)")
+    spark.sql("""INSERT INTO g2.db.eqmc VALUES
+      (1,'x',10), (1,'y',11), (2,'x',12), (2,'y',13)""")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqmc",
+      Seq((1L, "x"), (2L, "y")).toDF("a", "b"))
+    val left = spark.sql("SELECT a, b FROM g2.db.eqmc ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(left == Seq((1L, "y"), (2L, "x")))
+  }
+
+  test("ALTER RENAME/DROP rejects while equality sidecars pend, and " +
+      "deleteByKey rejects old-generation tables (compact unblocks both)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.eqren (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g2.db.eqren VALUES (1,'a'), (2,'b')")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqren",
+      Seq(1L).toDF("k"))
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.eqren RENAME COLUMN v TO w")
+    }
+    assert(e.getMessage.contains("equality-delete"))
+    graft.catalog.Maintenance.compact(spark, "g2.db.eqren", Seq("k"), 1)
+    spark.sql("ALTER TABLE g2.db.eqren RENAME COLUMN v TO w") // unblocked
+    // ...and the other direction: old-gen files reject deleteByKey
+    val e2 = intercept[UnsupportedOperationException] {
+      // the rename resealed a generation over the pre-rename file? no —
+      // compact migrated; force the old-gen state with a fresh rename
+      spark.sql("INSERT INTO g2.db.eqren VALUES (3,'c')")
+      spark.sql("ALTER TABLE g2.db.eqren RENAME COLUMN w TO x")
+      graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqren",
+        Seq(3L).toDF("k"))
+    }
+    assert(e2.getMessage.contains("older schema generation"))
+  }
+
+  test("rewrite_position_deletes drops INERT equality sidecars (no " +
+      "present file predates them) but never rewrites live ones") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.eqinert (k BIGINT)")
+    spark.sql("INSERT INTO g2.db.eqinert VALUES (1), (2)")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqinert",
+      Seq(1L).toDF("k"))
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "eqinert")
+    // live: rewrite keeps it
+    graft.catalog.Maintenance.rewritePositionDeletes(spark, "g2.db.eqinert")
+    assert(graft.catalog.Snapshots.latest(dir).get.eqDeleteFiles.nonEmpty)
+    assert(spark.sql("SELECT k FROM g2.db.eqinert").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // an upsert whose key envelope covers every file rewrites them all;
+    // the sidecar SURVIVES the commit (unlike INSERT OVERWRITE, which
+    // replaces the whole visible set, sidecars included) but no present
+    // file predates it any more → inert
+    graft.catalog.Maintenance.upsert(spark, "g2.db.eqinert",
+      Seq(1L, 2L, 9L).toDF("k"), Seq("k"))
+    assert(graft.catalog.Snapshots.latest(dir).get.eqDeleteFiles.nonEmpty,
+      "upsert must keep the sidecar for this test to exercise inert-drop")
+    assert(spark.sql("SELECT k FROM g2.db.eqinert ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 9L)) // new k=1 not masked
+    graft.catalog.Maintenance.rewritePositionDeletes(spark, "g2.db.eqinert")
+    assert(graft.catalog.Snapshots.latest(dir).get.eqDeleteFiles.isEmpty)
+    assert(spark.sql("SELECT k FROM g2.db.eqinert ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 9L))
+  }
+
+  test("expireSnapshots refuses to flip the equality applicability " +
+      "order (raised first-seen versions would resurrect masked rows)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.eqexp (k BIGINT)")                 // v1
+    spark.sql("INSERT INTO g2.db.eqexp VALUES (1), (2)")             // v2
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqexp",
+      Seq(2L).toDF("k"))                                             // v3: eq
+    spark.sql("INSERT INTO g2.db.eqexp VALUES (2)")                  // v4: re-insert
+    assert(spark.sql("SELECT k FROM g2.db.eqexp ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // expiring v2 would raise the v2 file's first-seen to v3 — equal to
+    // the sidecar's version, so the strict rule would STOP masking it
+    val e = intercept[IllegalStateException] {
+      graft.catalog.Maintenance.expireSnapshots(spark, "g2.db.eqexp",
+        keepLast = 2)
+    }
+    assert(e.getMessage.contains("resurrect"))
+    // compact folds the sidecar (v5); the guard STILL protects v4 —
+    // a retained snapshot referencing the sidecar keeps the refusal
+    graft.catalog.Maintenance.compact(spark, "g2.db.eqexp", Seq("k"), 1)
+    val e2 = intercept[IllegalStateException] {
+      graft.catalog.Maintenance.expireSnapshots(spark, "g2.db.eqexp",
+        keepLast = 2) // would retain v4, which still applies the sidecar
+    }
+    assert(e2.getMessage.contains("resurrect"))
+    // once no retained snapshot references the sidecar, expiry proceeds
+    spark.sql("INSERT INTO g2.db.eqexp VALUES (3)")                  // v6
+    graft.catalog.Maintenance.expireSnapshots(spark, "g2.db.eqexp",
+      keepLast = 2)
+    assert(spark.sql("SELECT k FROM g2.db.eqexp ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("the equality-delete key cap fails loudly, advising compaction") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.eqcap (k BIGINT)")
+    spark.sql("INSERT INTO g2.db.eqcap SELECT id FROM range(0, 50)")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqcap",
+      (0L until 20L).toDF("k"))
+    spark.conf.set(graft.catalog.EqualityDeletes.MaxKeysKey, "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        spark.sql("SELECT count(*) FROM g2.db.eqcap").collect()
+      }
+      assert(e.getMessage.contains("compact"))
+    } finally spark.conf.unset(graft.catalog.EqualityDeletes.MaxKeysKey)
+    // compact (maintenance handle lifts the cap) restores reads
+    spark.conf.set(graft.catalog.EqualityDeletes.MaxKeysKey, "10")
+    try {
+      graft.catalog.Maintenance.compact(spark, "g2.db.eqcap", Seq("k"), 1)
+      assert(spark.sql("SELECT count(*) FROM g2.db.eqcap").collect()
+        .head.getLong(0) == 30)
+    } finally spark.conf.unset(graft.catalog.EqualityDeletes.MaxKeysKey)
+  }
+
+  test("upsert over a table with pending equality deletes does not " +
+      "resurrect masked rows, and eq masks apply inside MERGE scans") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.equp (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g2.db.equp VALUES (1,'a'), (2,'b'), (3,'c')")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.equp",
+      Seq(2L).toDF("k"))
+    graft.catalog.Maintenance.upsert(spark, "g2.db.equp",
+      Seq((3L, "c2"), (4L, "d")).toDF("k", "v"), Seq("k"))
+    assert(spark.sql("SELECT k, v FROM g2.db.equp ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c2"), (4L, "d")))
+  }
+
   test("MOR masking stays exact across MULTIPLE columnar batches of one " +
       "file (the closeIfFreeable/vector-reuse trap only multi-batch " +
       "files hit)") {
