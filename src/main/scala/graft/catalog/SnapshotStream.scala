@@ -42,7 +42,8 @@ import org.apache.spark.sql.types.StructType
 final class SnapshotStreamSource(
     spark: SparkSession, tableDir: Path, override val schema: StructType,
     metadataPath: String, maxSnapshotsPerTrigger: Option[Int],
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    changelogIdent: Option[String] = None)
     extends Source {
 
   private def version(o: OffsetV1): Long = o match {
@@ -152,6 +153,20 @@ final class SnapshotStreamSource(
     val startV = start.map(version).getOrElse(0L)
     val endV = version(end)
     advance(endV)
+    // CHANGELOG MODE (round 16, VERDICT r15 #3): serve the ROW-LEVEL
+    // changelog of (startV, endV] instead of fresh data files — a table
+    // that MOR-deletes daily can tail itself; deletes arrive as
+    // `_change_type='delete'` rows instead of failing the stream. The
+    // append-only validation below is exactly what this mode replaces.
+    // Exactly-once: offsets are snapshot versions and Changelog.read is
+    // a pure function of the log, so a replayed batch range reproduces
+    // identical rows; an expired snapshot in the range fails loudly
+    // (same stance as filesAt) rather than silently skipping.
+    changelogIdent.foreach { ident =>
+      val df = Changelog.read(spark, ident, startV, endV)
+      return org.apache.spark.sql.graftaccess.Internals
+        .streamingDfFromPlan(df)
+    }
     val startFiles = if (startV <= 0L) Set.empty[String] else filesAt(startV)
     // validate EVERY snapshot in the batch range, not just its endpoints:
     // an add+rewrite committed between two triggers would otherwise slip
@@ -177,8 +192,8 @@ final class SnapshotStreamSource(
             s"position-delete file(s) at snapshot v${s.version} while " +
             "streaming; streaming reads require append-only commits " +
             "(compact, then expire_snapshots past the affected versions " +
-            "and restart from a fresh checkpoint — or use the changelog " +
-            "reader)")
+            "and restart from a fresh checkpoint — or tail " +
+            "CatalogStreams.readChangelog, which serves deletes as row events)")
         prev = cur
       }
     val endFiles = filesAt(endV)
@@ -227,6 +242,11 @@ final class SnapshotStreamProvider
       }
     new SnapshotStreamSource(ctx.sparkSession, dirOf(parameters), schema.get,
       metadataPath, intOpt("maxSnapshotsPerTrigger"),
-      intOpt("maxFilesPerTrigger"))
+      intOpt("maxFilesPerTrigger"),
+      // mode=changelog serves the row-level changelog instead of fresh
+      // files; `ident` names the table for Changelog.read
+      parameters.get("mode").filter(_ == "changelog").map(_ =>
+        parameters.getOrElse("ident", throw new IllegalArgumentException(
+          "option ident is required for mode=changelog"))))
   }
 }

@@ -243,6 +243,20 @@ object Internals {
         relation, isStreaming = true))
   }
 
+  /** Render an arbitrary (batch) DataFrame as a STREAMING frame for a
+    * V1 Source.getBatch: Spark's MicroBatchExecution asserts
+    * `isStreaming` on the returned plan, but a changelog micro-batch is
+    * a join/union plan, not a file list — so plan it here (driver-side,
+    * lazily) and wrap the resulting RDD as a streaming LogicalRDD. The
+    * RDD executes only when the micro-batch runs. */
+  def streamingDfFromPlan(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    val cs = ds.sparkSession
+    cs.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema,
+      isStreaming = true)
+  }
+
   /** Execute a DataFrame's physical plan fully and render the tree with
     * its RUNTIME metric values — the analogue of DataFusion's
     * `EXPLAIN ANALYZE` (which the reference serves through `ctx.sql`).

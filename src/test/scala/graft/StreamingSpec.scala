@@ -540,6 +540,51 @@ class StreamingSpec extends AnyFunSuite {
       s"re-delivery must not duplicate or lose rows: $rows")
   }
 
+  test("readChangelog tails ACROSS merge-on-read deletes: position and " +
+      "equality deletes arrive as row-exact delete events, exactly once") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_wh_cltail").toString
+    spark.conf.set("spark.sql.catalog.gcl", "graft.catalog.MetaCatalog")
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gcl.s")
+    spark.sql("""CREATE TABLE gcl.s.feed (id BIGINT, v DOUBLE)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")          // v1
+    spark.sql("INSERT INTO gcl.s.feed VALUES (1, 1.5), (2, 2.5), (3, 3.5)") // v2
+
+    val out = s"graft_cl_out_${System.nanoTime()}"
+    val q = graft.catalog.CatalogStreams.readChangelog(spark, "gcl.s.feed")
+      .writeStream.format("memory").queryName(out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    def events(): Seq[(Long, String, Long)] = spark.table(out)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(events() == Seq((1L, "insert", 2L), (2L, "insert", 2L),
+      (3L, "insert", 2L)))
+
+    // a MOR position DELETE mid-stream: the append-only tail would fail
+    // here; the changelog tail delivers the row as a delete event
+    spark.sql("DELETE FROM gcl.s.feed WHERE id = 2")                   // v3
+    q.processAllAvailable()
+    assert(events().contains((2L, "delete", 3L)))
+
+    // an equality delete mid-stream: same contract
+    graft.catalog.Maintenance.deleteByKey(spark, "gcl.s.feed",
+      Seq(3L).toDF("id"))                                              // v4
+    // and a fresh insert in the next commit
+    spark.sql("INSERT INTO gcl.s.feed VALUES (4, 4.5)")                // v5
+    q.processAllAvailable()
+    q.stop()
+    assert(events() == Seq(
+      (1L, "insert", 2L), (2L, "insert", 2L), (3L, "insert", 2L),
+      (2L, "delete", 3L), (3L, "delete", 4L),
+      (4L, "insert", 5L)).sorted, s"got ${events()}")
+
+    // the current table state matches replaying the event stream
+    assert(spark.sql("SELECT id FROM gcl.s.feed ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 4L))
+  }
+
   test("streaming WAP: micro-batches stage on a branch, publish atomically") {
     // the production shape: a stream lands on an AUDIT branch; consumers
     // of main see NOTHING until a (human or rule) gate fast-forwards —
