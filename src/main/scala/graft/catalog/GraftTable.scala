@@ -68,6 +68,19 @@ class GraftTable(
     * the snapshot publish. */
   private val schemaEpoch: String = GraftTable.schemaEpochOf(tableDir)
 
+  /** The parsed partition spec ([[PartitionTransforms]]): `partitionCols`
+    * carries raw spec strings — bare names (identity, the historical
+    * format) and transform specs like `days(ts)` / `bucket(16,id)` /
+    * `truncate(4,name)` (hidden partitioning, round 16). */
+  private val partSpec: Seq[PartitionTransforms.T] =
+    partitionCols.map(PartitionTransforms.parse)
+  /** Identity partition sources — the dir columns that are ALSO schema
+    * columns (every pre-r16 fast path keys on these). */
+  private def identityCols: Seq[String] =
+    partSpec.collect { case PartitionTransforms.Identity(c) => c }
+  private def hiddenTransforms: Seq[PartitionTransforms.T] =
+    partSpec.filterNot(_.isIdentity)
+
   /** Whether row-level DELETEs on this table write position-delete
     * sidecars instead of rewriting files (Iceberg v2's
     * `write.delete.mode`; copy-on-write is the default). */
@@ -166,7 +179,7 @@ class GraftTable(
         case None => f.copy(name = FieldIds.absentName(id), nullable = true)
       }
     }
-    partitionCols.foreach { pc =>
+    identityCols.foreach { pc =>
       val mapped = fields(declaredSchema.fieldIndex(pc)).name
       if (mapped != pc) throw new IllegalStateException(
         s"$fullName: partition column $pc resolved to '$mapped' in an old " +
@@ -222,7 +235,14 @@ class GraftTable(
   override def columns(): Array[Column] = declaredSchema.fields.map(f =>
     Column.create(f.name, f.dataType, f.nullable))
   override def partitioning(): Array[Transform] =
-    partitionCols.map(c => Expressions.identity(c)).toArray
+    partSpec.map {
+      case PartitionTransforms.Identity(c) => Expressions.identity(c)
+      case PartitionTransforms.Days(c) => Expressions.days(c)
+      case PartitionTransforms.Bucket(n, c) => Expressions.bucket(n, c)
+      case PartitionTransforms.Trunc(w, c) =>
+        Expressions.apply("truncate",
+          Expressions.literal(w), Expressions.column(c))
+    }.toArray
   override def properties(): java.util.Map[String, String] = {
     val snapInfo = headSnap
       .map(s => Map("graft.current-snapshot-id" -> s.version.toString))
@@ -325,21 +345,33 @@ class GraftTable(
         else Seq.empty
       cleanSlice ++ maskedSlice
     }
-    groups match {
-      case Seq() =>
-        slicesFor(dataRel, declaredSchema, Map.empty) match {
-          case Seq(only) => only.plain // untouched single-scan fast path
-          case slices => new MultiGenScans.Builder(slices, "mor split")
-        }
-      case gs => // one delegate per generation, physical names mapped
-        new MultiGenScans.Builder(
-          gs.flatMap { case (g, files) =>
-            val (sg, rename) = genSchema(fieldMeta.get, g)
-            slicesFor(files, sg, rename)
-          },
-          if (relIndex.isEmpty) "schema generations"
-          else "schema generations + mor split")
-    }
+    def assemble(files: Seq[String]): ScanBuilder =
+      generationGroups(files) match {
+        case Seq() =>
+          slicesFor(files, declaredSchema, Map.empty) match {
+            case Seq(only) => only.plain // untouched single-scan fast path
+            case slices => new MultiGenScans.Builder(slices, "mor split")
+          }
+        case gs => // one delegate per generation, physical names mapped
+          new MultiGenScans.Builder(
+            gs.flatMap { case (g, fs) =>
+              val (sg, rename) = genSchema(fieldMeta.get, g)
+              slicesFor(fs, sg, rename)
+            },
+            if (relIndex.isEmpty) "schema generations"
+            else "schema generations + mor split")
+      }
+    // HIDDEN PARTITIONING (round 16): the kept file list depends on the
+    // pushed filters, so the whole delegate stack is constructed at
+    // build() time over the transform-pruned files — predicates on the
+    // SOURCE column (`WHERE ts >= ...`) prune `ts_day=...` dirs with no
+    // user-visible partition column.
+    if (hiddenTransforms.isEmpty) assemble(dataRel)
+    else new org.apache.spark.sql.graftaccess.HiddenPruneScans.Builder(
+      dataRel,
+      (files, v1) => PartitionTransforms.prune(
+        files, partSpec, v1, declaredSchema),
+      assemble)
   }
 
   // --- write (V1 fallback: full commit control, still distributed) ------
@@ -376,8 +408,14 @@ class GraftTable(
     val tmp = Files.createTempDirectory(s"graft_commit_${UUID.randomUUID().toString.take(8)}")
     try {
       val aligned = data.toDF(declaredSchema.fieldNames.toSeq: _*)
-      val w = aligned.write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      // hidden transforms derive their dir column here; the derived
+      // value lives ONLY in directory names (partitionBy drops it from
+      // the written files, and reads never request it)
+      val laid = PartitionTransforms.withDerived(partSpec, aligned)
+      val w = laid.write.mode(SaveMode.Overwrite)
+      (if (partSpec.nonEmpty)
+        w.partitionBy(PartitionTransforms.dirColumns(partSpec): _*)
+      else w)
         .parquet(tmp.toString)
       stripZeroRowParts(tmp)
       publishAndCommit(tmp, overwrite, replacedBase,
@@ -739,7 +777,16 @@ class GraftTable(
       // already been converted to metadata deleteWhere by this point.
       // Identity-partitioned tables route rows to hive-layout dirs in
       // the V2 writer (BatchWrites partitionCols), same on-disk contract
-      // as the V1 partitionBy writes.
+      // as the V1 partitionBy writes. HIDDEN transforms would need the
+      // derived dir value computed inside the V2 writer — reject loudly
+      // (deleteWhere / deleteByKey / Maintenance.upsert cover the
+      // row-level operations on transform-partitioned tables).
+      if (hiddenTransforms.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"$fullName uses hidden partition transforms " +
+            s"(${hiddenTransforms.map(_.spec).mkString(", ")}); " +
+            "MERGE/UPDATE rewrites are not supported — use DELETE with a " +
+            "predicate, Maintenance.deleteByKey, or Maintenance.upsert")
       val staging = tableDir.resolve(s"_staging_${UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(staging)
       def dropStaging(): Unit =
@@ -822,9 +869,15 @@ class GraftTable(
     // column's stats, silently keeping rows the DELETE matched.
     val opaque = fieldMeta.map(m =>
       FieldIds.nonIdentityFiles(tableDir, m, baseData)).getOrElse(Set.empty)
+    // hidden-partition transforms prune FIRST (a dir-value disproof
+    // needs no footer read at all); footer stats and bloom sidecars
+    // refine within the surviving dirs
+    val dirPruned = PartitionTransforms.prune(
+      baseData, partSpec, filters.toSeq, declaredSchema).toSet
     val (touched, _) = baseData.partition(f => opaque.contains(f) ||
-      (ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,
-        spark.sparkContext.hadoopConfiguration) &&
+      (dirPruned.contains(f) &&
+        ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,
+          spark.sparkContext.hadoopConfiguration) &&
         BloomSidecars.mayMatchAll(tableDir, f, filters.toSeq)))
     if (baseSnap.isDefined && touched.isEmpty) return // provably a no-op
 

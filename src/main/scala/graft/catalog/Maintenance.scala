@@ -175,7 +175,7 @@ object Maintenance {
 
     val props = readProps(dir)
     val parts = props.get("graft.partition.columns").toSeq
-      .flatMap(_.split(",")).filter(_.nonEmpty)
+      .flatMap(PartitionTransforms.splitSpec)
     val table = new GraftTable(ident, dir, schema, parts,
       props - "graft.partition.columns", pinned = None)
     table.replaceFiles(survivors.unionByName(src), touched, base.deleteFiles)
@@ -242,7 +242,7 @@ object Maintenance {
           "delete nulls with a predicate DELETE instead)"))
       val props = readProps(dir)
       val parts = props.get("graft.partition.columns").toSeq
-        .flatMap(_.split(",")).filter(_.nonEmpty)
+        .flatMap(PartitionTransforms.splitSpec)
       val table = new GraftTable(ident, dir, schema, parts,
         props - "graft.partition.columns", pinned = None)
       table.commitEqualityDeleteSidecar(distinctKeys, base.dataFiles)
@@ -287,7 +287,7 @@ object Maintenance {
       }
     }
     val parts = props.get("graft.partition.columns").toSeq
-      .flatMap(_.split(",")).filter(_.nonEmpty)
+      .flatMap(PartitionTransforms.splitSpec)
     // Read EXACTLY the base snapshot through the table's OWN scan: the
     // generation-aware column mapping serves pre-rename files under
     // current names, and merge-on-read sidecars mask deleted rows — so
@@ -409,7 +409,7 @@ object Maintenance {
         .asInstanceOf[StructType]
       val props = readProps(dir)
       val parts = props.get("graft.partition.columns").toSeq
-        .flatMap(_.split(",")).filter(_.nonEmpty)
+        .flatMap(PartitionTransforms.splitSpec)
       val table = new GraftTable(ident, dir, schema, parts,
         props - "graft.partition.columns", pinned = None)
       table.replaceDeleteSidecars(kept, posFiles ++ inertEq, targetFiles)

@@ -143,7 +143,7 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
   private def buildTable(ident: Identifier, pinned: Option[Snapshots.Snap],
       branch: Option[String] = None): GraftTable = {
     val props = readProps(ident)
-    val parts = props.get(PartitionKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+    val parts = props.get(PartitionKey).toSeq.flatMap(PartitionTransforms.splitSpec)
     new GraftTable(fullName(ident), tablePath(ident), readSchema(ident),
       parts, props - PartitionKey, pinned, branch,
       FieldIds.read(tablePath(ident)))
@@ -248,22 +248,40 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
-    val partCols = partitions.toSeq.map {
-      case t if t.name == "identity" => t.references().head.fieldNames().mkString(".")
+    // identity columns plus HIDDEN partition transforms (round 16 —
+    // Iceberg spec §4): days(ts), bucket(n, col), truncate(w, col).
+    // `PARTITIONED BY (days(ts))` arrives as Spark's named transforms
+    // (`truncate` as a generic ApplyTransform, argument order free).
+    def ref(t: Transform): String =
+      t.references().head.fieldNames().mkString(".")
+    def intArg(t: Transform): Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] =>
+        l.value().asInstanceOf[Number].intValue()
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transform $t needs an integer argument"))
+    val partSpec: Seq[PartitionTransforms.T] = partitions.toSeq.map {
+      case t if t.name == "identity" => PartitionTransforms.Identity(ref(t))
+      case t if t.name == "days" => PartitionTransforms.Days(ref(t))
+      case t if t.name == "bucket" =>
+        PartitionTransforms.Bucket(intArg(t), ref(t))
+      case t if t.name == "truncate" =>
+        PartitionTransforms.Trunc(intArg(t), ref(t))
       case t => throw new UnsupportedOperationException(
-        s"graft tables support identity partitioning only; got $t")
+        s"graft tables support identity, days, bucket and truncate " +
+          s"partitioning; got $t")
     }
     val schema = new StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
     schema.fieldNames.foreach(MetaCatalog.requireLegalColumnName)
-    partCols.find(c => !schema.fieldNames.contains(c)).foreach { c =>
-      throw new IllegalArgumentException(s"partition column $c not in schema")
-    }
+    partSpec.foreach(PartitionTransforms.validate(_, schema))
     Files.createDirectories(tablePath(ident).resolve("data"))
     Files.writeString(schemaFile(ident), schema.json)
     FieldIds.write(tablePath(ident), FieldIds.synthesize(schema))
     val baseProps = properties.asScala.toMap ++
-      (if (partCols.nonEmpty) Map(PartitionKey -> partCols.mkString(",")) else Map.empty)
+      (if (partSpec.nonEmpty)
+        Map(PartitionKey -> PartitionTransforms.formatSpec(partSpec))
+      else Map.empty)
     if (baseProps.nonEmpty) writeProps(ident, baseProps)
     Snapshots.commit(tablePath(ident), Seq.empty) // v1: empty table
     buildTable(ident, pinned = None)
@@ -311,16 +329,22 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
       case _ => false
     }
     if (schemaChanges.nonEmpty) {
-      val parts = readProps(ident).get(PartitionKey).toSeq
-        .flatMap(_.split(",")).filter(_.nonEmpty)
+      // partition SOURCES — identity columns and hidden-transform
+      // sources alike: dir layouts and the prune mapping carry the name
+      val partSources = readProps(ident).get(PartitionKey)
+        .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
+        .map(_.source)
       schemaChanges.foreach {
-        case d: TableChange.DeleteColumn if parts.contains(d.fieldNames().mkString(".")) =>
+        case d: TableChange.DeleteColumn
+            if partSources.contains(d.fieldNames().mkString(".")) =>
           throw new IllegalArgumentException(
             s"cannot drop partition column ${d.fieldNames().mkString(".")}")
-        case r: TableChange.RenameColumn if parts.contains(r.fieldNames().mkString(".")) =>
+        case r: TableChange.RenameColumn
+            if partSources.contains(r.fieldNames().mkString(".")) =>
           throw new IllegalArgumentException(
             s"cannot rename partition column ${r.fieldNames().mkString(".")}: " +
-              "hive-layout data dirs carry the physical name")
+              "hive-layout data dirs (and transform dir names) carry the " +
+              "physical name")
         case _ => ()
       }
       val before = readSchema(ident)

@@ -1,0 +1,342 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+
+/** HIDDEN PARTITIONING for MetaCatalog tables — Iceberg's partition
+  * transforms (spec §4 "Partition Transforms"; VERDICT r15 #4):
+  * `days(ts)`, `bucket(n, col)`, `truncate(w, col)` alongside plain
+  * identity columns. The table partitions on a DERIVED value the user
+  * never writes or sees: writes compute it and lay out hive-style dirs
+  * (`ts_day=2026-01-01/`); scans prune those dirs from predicates on
+  * the SOURCE column — the defining property of hidden partitioning
+  * (no `WHERE ts_day = ...` ceremony, no accidentally-unpartitioned
+  * queries). Time-partitioned event tables are the first thing a
+  * 100 TB ingest builds; bucket transforms spread write-hot keys.
+  *
+  * Pruning is driver-side over the snapshot's file list (the same
+  * metadata pass footer-stats pruning uses): each file's dir value is
+  * parsed from its path and tested against the pushed predicates,
+  * conservatively (cannot prove a miss → keep). The derived column is
+  * dropped on read — it lives only in directory names.
+  *
+  * Bucket hashing uses Spark's own `hash()` (Murmur3, seed 42),
+  * evaluated through the SAME catalyst expression on both the write
+  * path and the prune path, so a literal can never hash differently
+  * than the column it prunes. */
+object PartitionTransforms {
+
+  /** Hive's null-partition directory value. */
+  val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  sealed trait T {
+    /** Source column (the one users query). */
+    def source: String
+    /** Directory column name (`<src>` for identity, `<src>_day` etc). */
+    def dirName: String
+    /** Round-trip spec string stored in table properties. */
+    def spec: String
+    def isIdentity: Boolean = this.isInstanceOf[Identity]
+  }
+  final case class Identity(source: String) extends T {
+    def dirName: String = source
+    def spec: String = source
+  }
+  final case class Days(source: String) extends T {
+    def dirName: String = s"${source}_day"
+    def spec: String = s"days($source)"
+  }
+  final case class Bucket(n: Int, source: String) extends T {
+    require(n >= 1, s"bucket($n, $source): need n >= 1")
+    def dirName: String = s"${source}_bucket"
+    def spec: String = s"bucket($n,$source)"
+  }
+  final case class Trunc(w: Int, source: String) extends T {
+    require(w >= 1, s"truncate($w, $source): need w >= 1")
+    def dirName: String = s"${source}_trunc"
+    def spec: String = s"truncate($w,$source)"
+  }
+
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+  private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+  private val DaysRe = """days\(\s*([^)]+?)\s*\)""".r
+
+  def parse(s: String): T = s.trim match {
+    case DaysRe(c) => Days(c)
+    case BucketRe(n, c) => Bucket(n.toInt, c)
+    case TruncRe(w, c) => Trunc(w.toInt, c)
+    case c => Identity(c)
+  }
+
+  /** Split a stored partition spec into per-transform strings. The
+    * legacy format is comma-joined bare identity names; transform specs
+    * contain commas INSIDE parens (`bucket(8,k)`), so the r16 writer
+    * joins with `;` whenever any transform is present. Reading accepts
+    * both: a `;` or a `(` selects the transform-aware split. */
+  def splitSpec(propVal: String): Seq[String] = {
+    val parts =
+      if (propVal.contains(';') || propVal.contains('(')) propVal.split(';')
+      else propVal.split(',')
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  def parseSpec(propVal: String): Seq[T] = splitSpec(propVal).map(parse)
+
+  def formatSpec(spec: Seq[T]): String =
+    if (spec.forall(_.isIdentity)) spec.map(_.spec).mkString(",")
+    else spec.map(_.spec).mkString(";")
+
+  /** Validate a transform against the table schema at CREATE TABLE. */
+  def validate(t: T, schema: StructType): Unit = {
+    val f = schema.fields.find(_.name == t.source).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition transform ${t.spec}: column ${t.source} not in schema"))
+    t match {
+      case _: Identity => ()
+      case _: Days => f.dataType match {
+        case _: TimestampType | _: TimestampNTZType | _: DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"days(${t.source}) needs a timestamp/date column, got " +
+            other.simpleString)
+      }
+      case _: Bucket => f.dataType match {
+        case _: IntegerType | _: LongType | _: StringType | _: DateType |
+             _: TimestampType | _: ShortType | _: ByteType => ()
+        case other => throw new IllegalArgumentException(
+          s"bucket(n, ${t.source}) needs an atomic key column, got " +
+            other.simpleString)
+      }
+      case _: Trunc => f.dataType match {
+        case _: StringType | _: IntegerType | _: LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"truncate(w, ${t.source}) needs a string or integral column, " +
+            s"got ${other.simpleString}")
+      }
+    }
+    if (!t.isIdentity && schema.fieldNames.contains(t.dirName))
+      throw new IllegalArgumentException(
+        s"partition transform ${t.spec} derives directory column " +
+          s"'${t.dirName}', which collides with a schema column")
+  }
+
+  /** The derived partition value for the write path. */
+  def derive(t: T, df: DataFrame): Column = t match {
+    case Identity(c) => df(c)
+    case Days(c) => to_date(df(c)) // DATE dirs: ts_day=2026-01-01
+    case Bucket(n, c) => pmod(hash(df(c)), lit(n))
+    case Trunc(w, c) => df.schema(c).dataType match {
+      case _: StringType => substring(df(c), 1, w)
+      // floor-to-multiple, correct for negatives via pmod's sign
+      case _ => df(c) - pmod(df(c), lit(w.toLong))
+    }
+  }
+
+  /** Columns the write's `partitionBy` uses, in spec order. */
+  def dirColumns(spec: Seq[T]): Seq[String] = spec.map(_.dirName)
+
+  /** Inject the derived dir columns of NON-identity transforms. */
+  def withDerived(spec: Seq[T], df: DataFrame): DataFrame =
+    spec.filterNot(_.isIdentity).foldLeft(df)((acc, t) =>
+      acc.withColumn(t.dirName, derive(t, acc)))
+
+  // --- pruning -----------------------------------------------------------
+
+  /** Spark's `hash()` for one literal — the SAME catalyst expression the
+    * write path evaluates, so prune and layout can never disagree. */
+  private def sparkHash(value: Any, dt: DataType): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    new Murmur3Hash(Seq(Literal.create(value, dt)))
+      .eval(null).asInstanceOf[Int]
+  }
+
+  /** The zone `to_date` (the write-path derivation) interprets the
+    * source in: the SESSION time zone for zoned timestamps, wall-time
+    * (UTC-as-wall) for TIMESTAMP_NTZ. Prune and layout must use the
+    * SAME zone or a day boundary could prune a dir that holds matches. */
+  private def zoneFor(srcType: DataType): java.time.ZoneId = srcType match {
+    case _: TimestampNTZType => java.time.ZoneOffset.UTC
+    case _ => java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+  }
+
+  private def toEpochMicros(v: Any, zone: java.time.ZoneId): Option[Long] =
+    v match {
+      case t: java.sql.Timestamp =>
+        Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+      case l: java.time.LocalDateTime => // TIMESTAMP_NTZ: wall time
+        Some(l.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+          l.getNano / 1000)
+      case d: java.sql.Date =>
+        Some(d.toLocalDate.atStartOfDay(zone).toInstant.getEpochSecond
+          * 1000000L)
+      case d: java.time.LocalDate =>
+        Some(d.atStartOfDay(zone).toInstant.getEpochSecond * 1000000L)
+      case _ => None
+    }
+
+  /** [lo, hi) epoch-micros interval of a day-dir value in `zone`. */
+  private def dayInterval(dirVal: String,
+      zone: java.time.ZoneId): Option[(Long, Long)] =
+    try {
+      val d = java.time.LocalDate.parse(dirVal)
+      val lo = d.atStartOfDay(zone).toInstant.getEpochSecond * 1000000L
+      val hi = d.plusDays(1).atStartOfDay(zone).toInstant
+        .getEpochSecond * 1000000L
+      Some((lo, hi))
+    } catch { case _: Exception => None }
+
+  /** The dir value of transform `t` in a tableDir-relative file path, if
+    * the path carries it (None → conservative keep). Hive-escaped
+    * characters are %-decoded. */
+  private[catalog] def dirValueOf(t: T, relPath: String): Option[String] =
+    relPath.split('/').collectFirst {
+      case seg if seg.startsWith(t.dirName + "=") =>
+        unescape(seg.substring(t.dirName.length + 1))
+    }
+
+  /** Hive partition-dir unescaping (`%2F` → `/` etc). */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** May a file whose transform-dir value is `dirVal` contain a row
+    * matching `filter`? Conservative: anything unprovable → true. Only
+    * filters referencing `t.source` can prune. */
+  private def mayMatch(t: T, dirVal: String, filter: sources.Filter,
+      schema: StructType): Boolean = {
+    import sources._
+    val isNullDir = dirVal == NullDir
+    def srcType: DataType = schema(t.source).dataType
+    filter match {
+      case And(l, r) =>
+        mayMatch(t, dirVal, l, schema) && mayMatch(t, dirVal, r, schema)
+      case Or(l, r) =>
+        mayMatch(t, dirVal, l, schema) || mayMatch(t, dirVal, r, schema)
+      case IsNull(a) if a == t.source => isNullDir
+      case IsNotNull(a) if a == t.source => !isNullDir
+      case EqualTo(a, v) if a == t.source =>
+        if (isNullDir || v == null) false else valueInDir(t, dirVal, v, srcType)
+      case EqualNullSafe(a, v) if a == t.source =>
+        if (v == null) isNullDir
+        else !isNullDir && valueInDir(t, dirVal, v, srcType)
+      case In(a, vs) if a == t.source =>
+        if (isNullDir) false
+        else vs.exists(v => v != null && valueInDir(t, dirVal, v, srcType))
+      case GreaterThan(a, v) if a == t.source =>
+        !isNullDir && rangeOverlaps(t, dirVal, v, lowerExcl = true,
+          isLowerBound = true, srcType)
+      case GreaterThanOrEqual(a, v) if a == t.source =>
+        !isNullDir && rangeOverlaps(t, dirVal, v, lowerExcl = false,
+          isLowerBound = true, srcType)
+      case LessThan(a, v) if a == t.source =>
+        !isNullDir && rangeOverlaps(t, dirVal, v, lowerExcl = true,
+          isLowerBound = false, srcType)
+      case LessThanOrEqual(a, v) if a == t.source =>
+        !isNullDir && rangeOverlaps(t, dirVal, v, lowerExcl = false,
+          isLowerBound = false, srcType)
+      case StringStartsWith(a, prefix) if a == t.source => t match {
+        case Trunc(w, _) if !isNullDir =>
+          if (prefix.length >= w) prefix.take(w) == dirVal
+          else dirVal.startsWith(prefix)
+        case _ => true
+      }
+      case _ => true // Not(...), other columns, unknown filters: keep
+    }
+  }
+
+  /** Point containment: does `v` land in this dir? */
+  private def valueInDir(t: T, dirVal: String, v: Any,
+      srcType: DataType): Boolean = t match {
+    case Identity(_) => true // identity dirs prune via the file index
+    case Days(_) =>
+      val zone = zoneFor(srcType)
+      toEpochMicros(v, zone) match {
+        case Some(us) =>
+          java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L)) * 1000)
+            .atZone(zone).toLocalDate.toString == dirVal
+        case None => true
+      }
+    case Bucket(n, _) =>
+      dirVal.toIntOption match {
+        case Some(b) =>
+          Math.floorMod(sparkHash(v, srcType), n) == b
+        case None => true
+      }
+    case Trunc(w, _) => v match {
+      case s: String => s.take(w) == dirVal
+      case i: Int => dirVal.toLongOption.forall(d =>
+        i - Math.floorMod(i.toLong, w.toLong) == d)
+      case l: Long => dirVal.toLongOption.forall(d =>
+        l - Math.floorMod(l, w.toLong) == d)
+      case _ => true
+    }
+  }
+
+  /** Range overlap for order-preserving transforms (days, numeric and
+    * string truncate); bucket ranges never prune (hash is unordered). */
+  private def rangeOverlaps(t: T, dirVal: String, v: Any,
+      lowerExcl: Boolean, isLowerBound: Boolean,
+      srcType: DataType): Boolean = t match {
+    case Days(_) =>
+      val zone = zoneFor(srcType)
+      (toEpochMicros(v, zone), dayInterval(dirVal, zone)) match {
+        case (Some(us), Some((lo, hi))) =>
+          if (isLowerBound) hi > us + (if (lowerExcl) 1 else 0)
+          else lo < us + (if (lowerExcl) 0 else 1)
+        case _ => true
+      }
+    case Trunc(w, _) => v match {
+      case s: String =>
+        // dir covers all strings with this w-prefix
+        if (isLowerBound) dirVal >= s.take(w) || s.startsWith(dirVal)
+        else dirVal <= s.take(w)
+      case other =>
+        val x = other match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case _ => return true
+        }
+        dirVal.toLongOption match {
+          case Some(lo) =>
+            val hi = lo + w // exclusive
+            if (isLowerBound) hi > x + (if (lowerExcl) 1 else 0)
+            else lo < x + (if (lowerExcl) 0 else 1)
+          case None => true
+        }
+    }
+    case _ => true
+  }
+
+  /** Driver-side hidden-partition file pruning: drop files whose
+    * transform-dir values PROVABLY cannot match the pushed filters.
+    * Conjunct semantics: every top-level filter must be satisfiable. */
+  def prune(files: Seq[String], spec: Seq[T],
+      filters: Seq[sources.Filter], schema: StructType): Seq[String] = {
+    val hidden = spec.filterNot(_.isIdentity)
+    if (hidden.isEmpty || filters.isEmpty) return files
+    files.filter { f =>
+      hidden.forall { t =>
+        dirValueOf(t, f) match {
+          case Some(dv) => filters.forall(fl => mayMatch(t, dv, fl, schema))
+          case None => true // no dir in path (old layout): keep
+        }
+      }
+    }
+  }
+}

@@ -461,6 +461,62 @@ object Extras {
         .orderBy("phase", "k", "qty")
     },
 
+    // HIDDEN PARTITIONING (Iceberg spec §4 partition transforms): a
+    // days(ts)-partitioned events table lays out derived `ts_day=...`
+    // dirs the user never writes or queries; a RAW ts-range predicate
+    // prunes them driver-side (PartitionTransforms — the plan reads
+    // only the overlapping day dirs, pinned in CatalogV2Spec). Phases:
+    // 'week' (a 7-day range aggregation over the partitioned table) and
+    // 'layout' (a 0/1 pin that the day-dir count matches the distinct
+    // days, i.e. the hidden layout really landed).
+    Probe.df("q_part_days",
+      """WITH agg AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(value) AS DOUBLE) AS sv
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY 1),
+        |phases AS (
+        |  SELECT 'week' AS phase, d, n, sv FROM agg
+        |  UNION ALL SELECT 'layout', DATE '2024-01-01', CAST(1 AS BIGINT),
+        |    CAST(0 AS DOUBLE))
+        |SELECT phase, d, n, sv FROM phases ORDER BY phase, d""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.evdays")
+      s.sql("""CREATE TABLE gprobe.db.evdays
+        (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+        PARTITIONED BY (days(ts))""")
+      s.sql("INSERT INTO gprobe.db.evdays " +
+        "SELECT event_id, ts, value FROM events")
+      val week = s.sql("""SELECT 'week' AS phase, CAST(ts AS DATE) AS d,
+          count(*) AS n, CAST(sum(value) AS DOUBLE) AS sv
+        FROM gprobe.db.evdays
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1, 2""")
+      val dataDir = java.nio.file.Paths.get(wh, "db", "evdays", "data")
+      val dayDirs = scala.util.Using.resource(
+        java.nio.file.Files.list(dataDir)) { st =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+          .asScala.count(_.getFileName.toString.startsWith("ts_day="))
+      }
+      val distinctDays = s.sql(
+        "SELECT count(DISTINCT CAST(ts AS DATE)) FROM events")
+        .collect().head.getLong(0)
+      val layout = Seq(("layout", java.sql.Date.valueOf("2024-01-01"),
+        if (dayDirs.toLong == distinctDays) 1L else 0L, 0.0d))
+        .toDF("phase", "d", "n", "sv")
+      week.unionAll(layout).orderBy("phase", "d")
+    },
+
     // EQUALITY DELETES (Iceberg v2's second delete-file type): a
     // DELETE-BY-KEY commits the key tuples as a `deletes/eq_*` sidecar —
     // O(keys) metadata, no data read or rewrite — and scans mask rows of

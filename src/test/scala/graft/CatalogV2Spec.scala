@@ -1720,6 +1720,119 @@ class CatalogV2Spec extends AnyFunSuite {
       s"one masked position expected, got $rows")
   }
 
+  // --- hidden partition transforms (Iceberg spec §4, r16) --------------
+
+  /** Number of parquet FILES the (already filter-pushed) scan reads —
+    * partition-count comparisons are unstable because Spark packs small
+    * files into a fixed number of FilePartitions. */
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.length == 1)
+    scans.head.toBatch.planInputPartitions().map {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.length
+      case _ => 1
+    }.sum
+  }
+
+  test("days(ts) hidden partitioning: a predicate on the SOURCE column " +
+      "prunes day dirs, the derived column never surfaces") {
+    spark.sql("""CREATE TABLE g2.db.evdays (ev_id BIGINT, ts TIMESTAMP, v DOUBLE)
+      PARTITIONED BY (days(ts))""")
+    // 4 days × 6 events
+    spark.sql("""INSERT INTO g2.db.evdays
+      SELECT id, timestamp_seconds(1700000000 + (id % 4) * 86400 + id),
+             CAST(id AS DOUBLE)
+      FROM range(0, 24)""")
+    // layout: hive dirs on the DERIVED day, not a schema column
+    val dataDir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "evdays", "data")
+    val dirs = java.nio.file.Files.list(dataDir).iterator()
+    val dayDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(dirs)
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("ts_day="))
+      .toSeq
+    assert(dayDirs.size == 4, s"expected 4 day dirs, got $dayDirs")
+    assert(!spark.table("g2.db.evdays").columns.contains("ts_day"))
+    // correctness + pruning: one day selected via a RAW ts range
+    val oneDay = spark.sql("""SELECT ev_id FROM g2.db.evdays
+      WHERE ts >= timestamp_seconds(1700000000)
+        AND ts < timestamp_seconds(1700086400)""")
+    assert(oneDay.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 24L).filter(id => (id % 4) * 86400 + id < 86400).sorted)
+    val full = spark.sql("SELECT ev_id FROM g2.db.evdays")
+    assert(scanFiles(oneDay) < scanFiles(full),
+      s"ts-range predicate must prune day dirs: " +
+        s"${scanFiles(oneDay)} !< ${scanFiles(full)}")
+    // a DELETE with a ts predicate also dir-prunes (and stays correct)
+    spark.sql("""DELETE FROM g2.db.evdays
+      WHERE ts >= timestamp_seconds(1700259200)""")
+    assert(spark.sql("SELECT count(*) FROM g2.db.evdays").collect()
+      .head.getLong(0) ==
+      (0L until 24L).count(id =>
+        1700000000 + (id % 4) * 86400 + id < 1700259200))
+  }
+
+  test("bucket(n, k) hidden partitioning: point lookups prune to one " +
+      "bucket dir with Spark's own hash") {
+    spark.sql("""CREATE TABLE g2.db.evbkt (k BIGINT, v STRING)
+      PARTITIONED BY (bucket(8, k))""")
+    spark.sql("""INSERT INTO g2.db.evbkt
+      SELECT id, concat('v', CAST(id AS STRING)) FROM range(0, 400)""")
+    val point = spark.sql("SELECT v FROM g2.db.evbkt WHERE k = 123")
+    assert(point.collect().map(_.getString(0)).toSeq == Seq("v123"))
+    val full = spark.sql("SELECT v FROM g2.db.evbkt")
+    assert(scanFiles(point) < scanFiles(full),
+      "k = 123 must prune to one bucket dir")
+    // IN lists prune to the union of their buckets
+    val in3 = spark.sql("SELECT v FROM g2.db.evbkt WHERE k IN (1, 2, 3)")
+    assert(in3.collect().map(_.getString(0)).toSet == Set("v1", "v2", "v3"))
+    assert(scanFiles(in3) <= scanFiles(full))
+  }
+
+  test("truncate(w, s) hidden partitioning: equality and prefix " +
+      "predicates prune truncation dirs") {
+    spark.sql("""CREATE TABLE g2.db.evtr (s STRING, v BIGINT)
+      PARTITIONED BY (truncate(2, s))""")
+    spark.sql("""INSERT INTO g2.db.evtr VALUES
+      ('aaX', 1), ('abY', 2), ('baZ', 3), ('bbW', 4), ('ba', 5)""")
+    val eq = spark.sql("SELECT v FROM g2.db.evtr WHERE s = 'baZ'")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val full = spark.sql("SELECT v FROM g2.db.evtr")
+    assert(scanFiles(eq) < scanFiles(full))
+    val pre = spark.sql("SELECT v FROM g2.db.evtr WHERE s LIKE 'ba%'")
+    assert(pre.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L))
+    assert(scanFiles(pre) < scanFiles(full))
+  }
+
+  test("hidden-transform guardrails: MERGE rejects with advice, the " +
+      "source column cannot be renamed, upsert still works") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE g2.db.evguard (k BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO g2.db.evguard
+      SELECT id, timestamp_seconds(1700000000 + id) FROM range(0, 5)""")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO g2.db.evguard t
+        USING (SELECT 1L AS k, timestamp_seconds(1700000099) AS ts) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("hidden partition transforms"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.evguard RENAME COLUMN ts TO t2")
+    }
+    assert(e2.getMessage.contains("partition column"))
+    graft.catalog.Maintenance.upsert(spark, "g2.db.evguard",
+      Seq((99L, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1700100000L)))).toDF("k", "ts"),
+      Seq("k"))
+    assert(spark.sql("SELECT count(*) FROM g2.db.evguard").collect()
+      .head.getLong(0) == 6)
+  }
+
   // --- equality deletes (Iceberg v2's second delete type, r16) ---------
 
   test("deleteByKey masks pre-existing rows only: a later re-insert of " +
