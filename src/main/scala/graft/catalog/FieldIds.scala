@@ -46,8 +46,13 @@ import org.apache.spark.sql.types.StructType
 object FieldIds {
 
   /** One schema generation: active for files first committed at
-    * `activeFrom` or later (until the next generation). */
-  final case class Gen(activeFrom: Long, names: Map[Int, String]) {
+    * `activeFrom` or later (until the next generation). `types` records
+    * a field's PHYSICAL type (Spark DataType json) where it differs from
+    * the current declared type — i.e. the pre-promotion type of files
+    * written under this generation (type PROMOTION, round 16; absent =
+    * the current type, the pre-r16 format unchanged). */
+  final case class Gen(activeFrom: Long, names: Map[Int, String],
+      types: Map[Int, String] = Map.empty) {
     def idOf(name: String): Option[Int] =
       names.collectFirst { case (i, n) if n == name => i }
   }
@@ -94,7 +99,11 @@ object FieldIds {
   def identityTranslated(meta: Meta, g: Gen): Boolean =
     meta.current.names.forall { case (id, name) =>
       g.names.get(id).contains(name)
-    }
+    } &&
+      // a recorded physical type for a LIVE field means this
+      // generation's files were written pre-promotion: name-keyed
+      // consumers would read the narrow bytes under the wide type
+      g.types.keys.forall(id => !meta.current.names.contains(id))
 
   /** The data files among `files` whose generation translation is NOT
     * the identity ([[identityTranslated]]) — the set every
@@ -136,10 +145,15 @@ object FieldIds {
     val lines = Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
     val nextId = lines.head.stripPrefix("nextId=").toInt
     val gens = lines.tail.map { l =>
-      val parts = l.split("\t", 3)
-      (parts(0).toLong, parts(1).toInt, parts(2))
+      // line: <activeFrom>\t<id>\t<name>[\t<physical-type-json>] — the
+      // 4th column is the round-16 promotion extension; 3-column files
+      // (every pre-r16 table) parse unchanged
+      val parts = l.split("\t", 4)
+      (parts(0).toLong, parts(1).toInt, parts(2),
+        if (parts.length == 4 && parts(3).nonEmpty) Some(parts(3)) else None)
     }.groupBy(_._1).toSeq.sortBy(_._1).map { case (af, rows) =>
-      Gen(af, rows.map(r => r._2 -> r._3).toMap)
+      Gen(af, rows.map(r => r._2 -> r._3).toMap,
+        rows.collect { case (_, id, _, Some(tj)) => id -> tj }.toMap)
     }
     Some(Meta(nextId, gens))
   }
@@ -154,7 +168,10 @@ object FieldIds {
     }
     val body = (s"nextId=${meta.nextId}" +:
       meta.gens.flatMap(g => g.names.toSeq.sortBy(_._1).map {
-        case (id, n) => s"${g.activeFrom}\t$id\t$n"
+        case (id, n) => g.types.get(id) match {
+          case Some(tj) => s"${g.activeFrom}\t$id\t$n\t$tj"
+          case None => s"${g.activeFrom}\t$id\t$n"
+        }
       })).mkString("\n")
     val tmp = file(tableDir).resolveSibling(
       s".fields.${java.util.UUID.randomUUID()}.tmp")
@@ -173,7 +190,34 @@ object FieldIds {
     val kept = meta.gens.filterNot(_.activeFrom == activeFrom)
     require(kept.forall(_.activeFrom < activeFrom),
       s"new generation activeFrom=$activeFrom precedes an existing one")
-    Meta(nextId, kept :+ Gen(activeFrom, names))
+    // the new CURRENT generation inherits the current one's recorded
+    // physical types (fields promoted earlier keep their record; the
+    // usual case is empty = declared types)
+    Meta(nextId, kept :+ Gen(activeFrom, names, meta.current.types))
+  }
+
+  /** TYPE PROMOTION (round 16 — Iceberg spec §4 legal widenings): seal
+    * a generation boundary at `activeFrom` and stamp `oldTypeJson` into
+    * every EXISTING generation carrying the field (their files hold the
+    * narrow physical type; generations that already recorded a type —
+    * an earlier promotion — keep it). The new current generation does
+    * NOT record the field: its files carry the new declared type. */
+  def promoteColumn(meta: Meta, name: String, oldTypeJson: String,
+      activeFrom: Long): Meta = {
+    val id = meta.current.idOf(name).getOrElse(
+      throw new IllegalArgumentException(s"no such column $name"))
+    val stamped = meta.gens.map { g =>
+      if (g.names.contains(id) && !g.types.contains(id))
+        g.copy(types = g.types + (id -> oldTypeJson))
+      else g
+    }
+    val kept = stamped.filterNot(_.activeFrom == activeFrom)
+    require(kept.forall(_.activeFrom < activeFrom),
+      s"new generation activeFrom=$activeFrom precedes an existing one")
+    Meta(meta.nextId,
+      kept :+ Gen(activeFrom, meta.current.names,
+        (stamped.last.types - id).filter { case (i, _) =>
+          meta.current.names.contains(i) }))
   }
 
   /** ADD COLUMN extends the CURRENT generation IN PLACE — no new

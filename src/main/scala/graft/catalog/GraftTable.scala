@@ -164,18 +164,28 @@ class GraftTable(
     FieldIds.firstSeen(tableDir)
 
   /** The CURRENT declared schema translated to generation `g`'s physical
-    * names, plus the current→physical rename map. Fields whose id `g`
-    * lacks are requested under the absent-marker name (reads NULL,
-    * never a stale same-named column) and forced nullable. */
-  private def genSchema(m: FieldIds.Meta,
-      g: FieldIds.Gen): (StructType, Map[String, String]) = {
+    * names AND physical types, plus the current→physical rename map and
+    * the set of current names whose physical TYPE differs (promoted
+    * fields — their old files read the narrow type and get a widening
+    * cast in the composite scan; filters on them are not pushed to the
+    * slice). Fields whose id `g` lacks are requested under the
+    * absent-marker name (reads NULL, never a stale same-named column)
+    * and forced nullable. */
+  private def genSchema(m: FieldIds.Meta, g: FieldIds.Gen)
+      : (StructType, Map[String, String], Set[String]) = {
     val cur = m.current
+    val promoted = scala.collection.mutable.Set.empty[String]
     val fields = declaredSchema.fields.map { f =>
       val id = cur.idOf(f.name).getOrElse(throw new IllegalStateException(
         s"$fullName: column ${f.name} missing from field-id metadata " +
           "(_graft_fields.tsv out of sync with _graft_schema.json)"))
       g.names.get(id) match {
-        case Some(phys) => f.copy(name = phys)
+        case Some(phys) =>
+          val physType = g.types.get(id)
+            .map(org.apache.spark.sql.types.DataType.fromJson)
+            .getOrElse(f.dataType)
+          if (physType != f.dataType) promoted += f.name
+          f.copy(name = phys, dataType = physType)
         case None => f.copy(name = FieldIds.absentName(id), nullable = true)
       }
     }
@@ -186,7 +196,8 @@ class GraftTable(
           "schema generation; partition columns cannot be renamed")
     }
     (StructType(fields),
-      declaredSchema.fieldNames.zip(fields.map(_.name)).toMap)
+      declaredSchema.fieldNames.zip(fields.map(_.name)).toMap,
+      promoted.toSet)
   }
 
   /** Visible data files grouped by schema generation, oldest first and
@@ -329,19 +340,22 @@ class GraftTable(
     // delegate. Masked slices stay columnar too (RemappedColumnVector),
     // so one 0.1% MOR DELETE never de-vectorizes the table.
     def slicesFor(files: Seq[String], schema: StructType,
-        rename: Map[String, String]): Seq[MultiGenScans.GenSlice] = {
+        rename: Map[String, String], noPush: Set[String] = Set.empty)
+        : Seq[MultiGenScans.GenSlice] = {
       val (masked, clean) = files.partition(isMasked)
       def delegate(fs: Seq[String]) =
         delegateFor(fs.map(f => tableDir.resolve(f).toString), schema)
           .newScanBuilder(options)
       val cleanSlice =
         if (clean.nonEmpty || masked.isEmpty)
-          Seq(MultiGenScans.GenSlice(cleanWrap(delegate(clean)), rename))
+          Seq(MultiGenScans.GenSlice(cleanWrap(delegate(clean)), rename,
+            noPush))
         else Seq.empty
       val maskedSlice =
         if (masked.nonEmpty)
           Seq(MultiGenScans.GenSlice(new MorScans.Builder(
-            delegate(masked), !fileColShadowed, () => sharedCtx), rename))
+            delegate(masked), !fileColShadowed, () => sharedCtx), rename,
+            noPush))
         else Seq.empty
       cleanSlice ++ maskedSlice
     }
@@ -355,8 +369,8 @@ class GraftTable(
         case gs => // one delegate per generation, physical names mapped
           new MultiGenScans.Builder(
             gs.flatMap { case (g, fs) =>
-              val (sg, rename) = genSchema(fieldMeta.get, g)
-              slicesFor(fs, sg, rename)
+              val (sg, rename, promoted) = genSchema(fieldMeta.get, g)
+              slicesFor(fs, sg, rename, promoted)
             },
             if (relIndex.isEmpty) "schema generations"
             else "schema generations + mor split")
@@ -828,8 +842,11 @@ class GraftTable(
         rename: Map[String, String]): DataFrame =
       spark.read.option("basePath", dataDir.toString).schema(schema)
         .parquet(files.map(f => tableDir.resolve(f).toString): _*)
-        .select(declaredSchema.fieldNames.toSeq
-          .map(n => col(q(rename.getOrElse(n, n))).as(n)) :+
+        .select(declaredSchema.fields.toSeq
+          // cast covers promoted generations (narrow physical type →
+          // declared); a same-type cast is a no-op
+          .map(f => col(q(rename.getOrElse(f.name, f.name)))
+            .cast(f.dataType).as(f.name)) :+
           col("_metadata"): _*)
     evolvedMeta match {
       case None => readGroup(relFiles, declaredSchema, Map.empty)
@@ -838,7 +855,7 @@ class GraftTable(
         relFiles.groupBy(f => m.genFor(seen.getOrElse(f, Long.MaxValue)))
           .toSeq.sortBy(_._1.activeFrom)
           .map { case (g, fs) =>
-            val (sg, rename) = genSchema(m, g)
+            val (sg, rename, _) = genSchema(m, g)
             readGroup(fs, sg, rename)
           }.reduce(_ unionByName _)
     }

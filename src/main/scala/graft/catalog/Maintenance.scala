@@ -542,10 +542,12 @@ object Maintenance {
           .map(_.version).minOption.getOrElse(Long.MaxValue)
         // a generation change is harmful only when the TRANSLATION of
         // some current field differs (identity-translated moves — e.g.
-        // across pure-DROP boundaries — read the same either way)
-        def translation(v: Long): Seq[Option[String]] = {
+        // across pure-DROP boundaries — read the same either way);
+        // translation = physical NAME and physical TYPE (promotion)
+        def translation(v: Long): Seq[(Option[String], Option[String])] = {
           val g = m.genFor(v)
-          m.current.names.keySet.toSeq.sorted.map(g.names.get)
+          m.current.names.keySet.toSeq.sorted
+            .map(id => (g.names.get(id), g.types.get(id)))
         }
         val unsafe = retained.flatMap(_.dataFiles).distinct.filter { f =>
           val before = seenBefore.getOrElse(f, Long.MaxValue)

@@ -314,10 +314,25 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
       changes: Seq[TableChange]): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    // TYPE changes: the Iceberg-legal WIDENINGS (spec §4 — int→long,
+    // float→double, decimal precision growth at fixed scale) are
+    // supported since round 16 through the field-id generation
+    // machinery (a promotion is a generation whose translation is a
+    // CAST); everything else still rejects — existing parquet keeps the
+    // narrow physical type and a narrowing/kind-change would corrupt.
     changes.foreach {
-      case _: TableChange.UpdateColumnType => throw new UnsupportedOperationException(
-        "ALTER COLUMN TYPE is not supported: existing Parquet files keep the old " +
-          "physical type; recreate the table (CTAS) to change types")
+      case u: TableChange.UpdateColumnType =>
+        val cur = readSchema(ident)
+        val n = u.fieldNames().mkString(".")
+        val from = cur.fields.find(_.name == n).map(_.dataType).getOrElse(
+          throw new IllegalArgumentException(s"no such column $n"))
+        if (!MetaCatalog.legalWidening(from, u.newDataType()))
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN $n TYPE ${u.newDataType().simpleString}: only " +
+              "the Iceberg-legal widenings are supported (int→bigint, " +
+              "float→double, decimal precision growth at the same " +
+              s"scale); $n is ${from.simpleString} — recreate the table " +
+              "(CTAS) for other changes")
       case _ => ()
     }
     val schemaChanges = changes.filter {
@@ -345,6 +360,12 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
             s"cannot rename partition column ${r.fieldNames().mkString(".")}: " +
               "hive-layout data dirs (and transform dir names) carry the " +
               "physical name")
+        case u: TableChange.UpdateColumnType
+            if partSources.contains(u.fieldNames().mkString(".")) =>
+          throw new IllegalArgumentException(
+            s"cannot change the type of partition column " +
+              s"${u.fieldNames().mkString(".")}: dir values are parsed " +
+              "under the declared type")
         case _ => ()
       }
       val before = readSchema(ident)
@@ -374,7 +395,15 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
               s"${fullName(ident)} predates the snapshot log (no commit " +
               "history to key schema generations on); recreate the table " +
               "(CTAS) to drop columns")
-        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn)
+        case u: TableChange.UpdateColumnType if latestV.isEmpty =>
+          // a promotion needs a generation boundary too
+          throw new UnsupportedOperationException(
+            s"cannot widen column ${u.fieldNames().mkString(".")}: " +
+              s"${fullName(ident)} predates the snapshot log (no commit " +
+              "history to key schema generations on); recreate the table " +
+              "(CTAS) to change types")
+        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+                  _: TableChange.UpdateColumnType)
             if Snapshots.latest(tablePath(ident))
               .exists(_.eqDeleteFiles.nonEmpty) =>
           // equality-delete sidecars record CURRENT column names; a
@@ -385,7 +414,8 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
             s"cannot apply $c to ${fullName(ident)}: pending " +
               "equality-delete sidecars record current column names; " +
               "compact() the table first")
-        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn)
+        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+                  _: TableChange.UpdateColumnType)
             if Snapshots.branches(tablePath(ident)).nonEmpty =>
           // files staged on a WAP branch live outside the main log, so
           // generation resolution classifies them as CURRENT — a rename
@@ -409,6 +439,14 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
         case r: TableChange.RenameColumn =>
           meta = FieldIds.renameColumn(meta, r.fieldNames().head, r.newName(),
             activeFrom)
+        case u: TableChange.UpdateColumnType =>
+          // promotion: stamp the OLD physical type into existing
+          // generations and seal a boundary — old files read through a
+          // widening cast, new files carry the new type
+          val oldType = before.fields
+            .find(_.name == u.fieldNames().head).get.dataType
+          meta = FieldIds.promoteColumn(meta, u.fieldNames().head,
+            oldType.json, activeFrom)
         case _ => () // nullability/comment: names and ids unchanged
       }
       // fields FIRST: a crash between the two writes then leaves an
@@ -462,6 +500,12 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
             s"cannot rename $n to ${r.newName()}: column already exists")
         new StructType(schema.fields.map(f =>
           if (f.name == n) f.copy(name = r.newName()) else f))
+      case u: TableChange.UpdateColumnType =>
+        val n = topLevel(u.fieldNames())
+        if (!schema.fieldNames.contains(n))
+          throw new IllegalArgumentException(s"no such column $n")
+        new StructType(schema.fields.map(f =>
+          if (f.name == n) f.copy(dataType = u.newDataType()) else f))
       case u: TableChange.UpdateColumnNullability =>
         val n = topLevel(u.fieldNames())
         new StructType(schema.fields.map(f =>
@@ -508,6 +552,23 @@ object MetaCatalog {
     * could match an old-generation scan's request for a DROPPED field
     * id and serve real bytes where NULL is required. Enforced at
     * CREATE TABLE, ADD COLUMN and RENAME ... TO. */
+  /** The Iceberg-legal type widenings (spec §4): int→long,
+    * float→double, decimal precision growth at the same scale. The
+    * no-op (same type) is legal too. */
+  private[catalog] def legalWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+  }
+
   private[catalog] def requireLegalColumnName(name: String): Unit =
     if (name.startsWith(FieldIds.AbsentPrefix))
       throw new IllegalArgumentException(

@@ -461,6 +461,62 @@ object Extras {
         .orderBy("phase", "k", "qty")
     },
 
+    // TYPE PROMOTION (Iceberg spec §4 legal widenings): ALTER COLUMN
+    // int→bigint seals a schema generation; files written before the
+    // promotion keep the NARROW physical type and serve correct wide
+    // values through a widening cast in the composite scan (no data
+    // rewrite). Phases: 'rows' (narrow-era and wide-era rows under the
+    // wide schema, incl. a value beyond int range), 'agg' (a sum that
+    // only works if both eras read exactly), and 'compacted' (the same
+    // rows after compact migrates every file to the wide type).
+    Probe.df("q_promote_type",
+      """WITH nat AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |         CAST(n_nationkey * 3 AS BIGINT) AS q FROM nation),
+        |wide AS (
+        |  SELECT CAST(100 + r_regionkey AS BIGINT) AS k,
+        |         CAST(3000000000 + r_regionkey AS BIGINT) AS q FROM region),
+        |allr AS (SELECT k, q FROM nat UNION ALL SELECT k, q FROM wide),
+        |phases AS (
+        |  SELECT 'rows' AS phase, k, q FROM allr
+        |  UNION ALL SELECT 'compacted', k, q FROM allr
+        |  UNION ALL SELECT 'agg', CAST(count(*) AS BIGINT),
+        |    CAST(sum(q) AS BIGINT) FROM allr)
+        |SELECT phase, k, q FROM phases ORDER BY phase, k, q""".stripMargin) {
+      (s, dir) =>
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.promo")
+      s.sql("CREATE TABLE gprobe.db.promo (k BIGINT, q INT)")         // v1
+      s.sql("INSERT INTO gprobe.db.promo " +
+        "SELECT CAST(n_nationkey AS BIGINT), " +
+        "CAST(n_nationkey * 3 AS INT) FROM nation")                   // v2: narrow
+      s.sql("ALTER TABLE gprobe.db.promo ALTER COLUMN q TYPE BIGINT")
+      s.sql("INSERT INTO gprobe.db.promo " +
+        "SELECT CAST(100 + r_regionkey AS BIGINT), " +
+        "CAST(3000000000 + r_regionkey AS BIGINT) FROM region")       // v3: wide
+      val rows = s.sql(
+        "SELECT 'rows' AS phase, k, q FROM gprobe.db.promo")
+      val agg = s.sql("""SELECT 'agg' AS phase,
+        CAST(count(*) AS BIGINT) AS k, sum(q) AS q FROM gprobe.db.promo""")
+      // collected before compact rewrites the layout
+      val preCompact = rows.unionAll(agg).collect()
+      graft.catalog.Maintenance.compact(s, "gprobe.db.promo", Seq("k"), 1)
+      val compacted = s.sql(
+        "SELECT 'compacted' AS phase, k, q FROM gprobe.db.promo")
+      import org.apache.spark.sql.types._
+      val outSchema = StructType(Seq(StructField("phase", StringType, false),
+        StructField("k", LongType, true), StructField("q", LongType, true)))
+      s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(preCompact.toSeq).asJava,
+        outSchema)
+        .unionAll(compacted)
+        .orderBy("phase", "k", "q")
+    },
+
     // HIDDEN PARTITIONING (Iceberg spec §4 partition transforms): a
     // days(ts)-partitioned events table lays out derived `ts_day=...`
     // dirs the user never writes or queries; a RAW ts-range predicate

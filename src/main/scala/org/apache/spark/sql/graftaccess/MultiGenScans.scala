@@ -31,8 +31,12 @@ import org.apache.spark.sql.types.StructType
 object MultiGenScans {
 
   /** One generation's delegate: `rename` maps CURRENT field name →
-    * this generation's physical name (including the absent-marker). */
-  final case class GenSlice(plain: ScanBuilder, rename: Map[String, String])
+    * this generation's physical name (including the absent-marker);
+    * `noPush` lists current names whose physical TYPE differs in this
+    * generation (promoted fields — a filter carrying the wide type must
+    * not reach a narrow-typed parquet column). */
+  final case class GenSlice(plain: ScanBuilder, rename: Map[String, String],
+      noPush: Set[String] = Set.empty)
 
   /** `desc` labels the composite in EXPLAIN output — "schema
     * generations" for rename/drop splits, "mor split" for the
@@ -61,7 +65,8 @@ object MultiGenScans {
           case (cur, phys)
               if phys.startsWith(graft.catalog.FieldIds.AbsentPrefix) => cur
         }.toSet
-        val eligible = fs.filter(_.references.forall(a => !absent(a.name)))
+        val eligible = fs.filter(_.references.forall(a =>
+          !absent(a.name) && !s.noPush(a.name)))
         val renamed = eligible.map(_.transform {
           case a: AttributeReference if s.rename.contains(a.name) =>
             a.withName(s.rename(a.name))
@@ -127,23 +132,79 @@ object MultiGenScans {
       }.toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new DispatchFactory(batches.map(_.createReaderFactory()))
+      new DispatchFactory(batches.map(_.createReaderFactory()),
+        scans.map(_.readSchema()), readSchema())
   }
 
-  private final class DispatchFactory(factories: Seq[PartitionReaderFactory])
+  /** Per-slice reader dispatch. Slices whose readSchema TYPES differ
+    * from the composite's (type-promoted generations: old files carry
+    * the narrow physical type) get a WIDENING CAST on the differing
+    * ordinals — columnar batches via [[WideningColumnVector]] (the
+    * vectorized path survives promotion), row readers via an unsafe
+    * projection of Cast expressions. */
+  private final class DispatchFactory(factories: Seq[PartitionReaderFactory],
+      sliceSchemas: Seq[StructType], outSchema: StructType)
       extends PartitionReaderFactory {
+
+    /** Ordinals needing a cast for slice `i` (empty = passthrough). */
+    private def castOrds(i: Int): Array[Int] =
+      sliceSchemas(i).fields.zip(outSchema.fields).zipWithIndex.collect {
+        case ((f, o), ord) if f.dataType != o.dataType => ord
+      }
+
     override def supportColumnarReads(p: InputPartition): Boolean = {
       val sp = p.asInstanceOf[SlicePartition]
       factories(sp.slice).supportColumnarReads(sp.inner)
     }
+
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val sp = p.asInstanceOf[SlicePartition]
-      factories(sp.slice).createReader(sp.inner)
+      val inner = factories(sp.slice).createReader(sp.inner)
+      val ords = castOrds(sp.slice)
+      if (ords.isEmpty) inner
+      else {
+        val from = sliceSchemas(sp.slice)
+        val exprs = outSchema.fields.zipWithIndex.map { case (o, j) =>
+          val b = org.apache.spark.sql.catalyst.expressions.BoundReference(
+            j, from.fields(j).dataType, nullable = true)
+          if (ords.contains(j))
+            org.apache.spark.sql.catalyst.expressions.Cast(b, o.dataType)
+          else b: org.apache.spark.sql.catalyst.expressions.Expression
+        }
+        new PartitionReader[InternalRow] {
+          private val proj = org.apache.spark.sql.catalyst.expressions
+            .UnsafeProjection.create(exprs)
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = proj(inner.get())
+          override def close(): Unit = inner.close()
+        }
+      }
     }
+
     override def createColumnarReader(p: InputPartition)
         : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
       val sp = p.asInstanceOf[SlicePartition]
-      factories(sp.slice).createColumnarReader(sp.inner)
+      val inner = factories(sp.slice).createColumnarReader(sp.inner)
+      val ords = castOrds(sp.slice)
+      if (ords.isEmpty) inner
+      else {
+        val from = sliceSchemas(sp.slice)
+        new PartitionReader[ColumnarBatch] {
+          override def next(): Boolean = inner.next()
+          override def get(): ColumnarBatch = {
+            val b = inner.get()
+            val cols = Array.tabulate[ColumnVector](b.numCols()) { j =>
+              if (ords.contains(j))
+                new WideningColumnVector(b.column(j),
+                  from.fields(j).dataType, outSchema.fields(j).dataType)
+              else b.column(j)
+            }
+            new ColumnarBatch(cols, b.numRows())
+          }
+          override def close(): Unit = inner.close()
+        }
+      }
     }
   }
 }

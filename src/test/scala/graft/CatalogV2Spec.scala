@@ -127,11 +127,14 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT a FROM g2.db.evo2").collect().head.getInt(0) == 7)
   }
 
-  test("ALTER TYPE is rejected loudly (old parquet keeps the physical type)") {
+  test("ALTER TYPE beyond the legal widenings is rejected loudly " +
+      "(old parquet keeps the physical kind)") {
+    // int→bigint is a LEGAL widening since r16 (see the promotion
+    // tests); a kind change is not — the narrow bytes cannot serve it
     val e2 = intercept[Exception] {
-      spark.sql("ALTER TABLE g2.db.evo2 ALTER COLUMN a TYPE BIGINT")
+      spark.sql("ALTER TABLE g2.db.evo2 ALTER COLUMN a TYPE STRING")
     }
-    assert(e2.getMessage.contains("ALTER COLUMN TYPE is not supported"))
+    assert(e2.getMessage.contains("widening"))
   }
 
   test("identity-partitioned table: hive layout on disk, partition pruning on read") {
@@ -1831,6 +1834,108 @@ class CatalogV2Spec extends AnyFunSuite {
       Seq("k"))
     assert(spark.sql("SELECT count(*) FROM g2.db.evguard").collect()
       .head.getLong(0) == 6)
+  }
+
+  // --- type promotion (Iceberg spec §4 legal widenings, r16) -----------
+
+  test("ALTER COLUMN TYPE int→bigint: old narrow files read correct " +
+      "wide values (multi-batch, vectorized), new files store wide") {
+    spark.sql("CREATE TABLE g2.db.prom (k INT, v STRING)")
+    // 10k rows → several vectorized batches in the promoted slice
+    spark.sql("""INSERT INTO g2.db.prom
+      SELECT CAST(id AS INT), concat('v', CAST(id AS STRING))
+      FROM range(0, 10000)""")
+    spark.sql("ALTER TABLE g2.db.prom ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("g2.db.prom").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("INSERT INTO g2.db.prom VALUES (3000000000, 'big')")
+    val agg = spark.sql(
+      "SELECT count(*) AS c, sum(k) AS s FROM g2.db.prom").collect().head
+    assert(agg.getLong(0) == 10001)
+    assert(agg.getLong(1) == (0L until 10000L).sum + 3000000000L)
+    // row identity across the generation boundary
+    assert(spark.sql(
+      "SELECT v FROM g2.db.prom WHERE k = 4097").collect()
+      .map(_.getString(0)).toSeq == Seq("v4097"))
+    assert(spark.sql(
+      "SELECT v FROM g2.db.prom WHERE k = 3000000000").collect()
+      .map(_.getString(0)).toSeq == Seq("big"))
+    // compact migrates every file to the wide type: fast path returns
+    graft.catalog.Maintenance.compact(spark, "g2.db.prom", Seq("k"), 1)
+    val scans = spark.sql("SELECT k FROM g2.db.prom")
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }
+    assert(!scans.head.description().contains("schema generations"))
+    assert(spark.sql("SELECT sum(k) FROM g2.db.prom").collect()
+      .head.getLong(0) == agg.getLong(1))
+  }
+
+  test("float→double and decimal precision growth promote; narrowings " +
+      "and kind changes stay rejected") {
+    spark.sql(
+      "CREATE TABLE g2.db.promfd (f FLOAT, d DECIMAL(10,2), s STRING)")
+    spark.sql("""INSERT INTO g2.db.promfd VALUES
+      (CAST(1.5 AS FLOAT), CAST(12345678.99 AS DECIMAL(10,2)), 'a')""")
+    spark.sql("ALTER TABLE g2.db.promfd ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("ALTER TABLE g2.db.promfd ALTER COLUMN d TYPE DECIMAL(20,2)")
+    spark.sql("""INSERT INTO g2.db.promfd VALUES
+      (2.25, CAST(123456789012345678.11 AS DECIMAL(20,2)), 'b')""")
+    val rows = spark.sql(
+      "SELECT f, d FROM g2.db.promfd ORDER BY s").collect()
+    assert(rows(0).getDouble(0) == 1.5)
+    assert(rows(0).getDecimal(1) ==
+      new java.math.BigDecimal("12345678.99"))
+    assert(rows(1).getDecimal(1) ==
+      new java.math.BigDecimal("123456789012345678.11"))
+    // narrowings: Spark's own analyzer rejects them (canUpCast) before
+    // the catalog is consulted
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.promfd ALTER COLUMN f TYPE FLOAT")
+    }
+    assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    // Spark-legal up-casts that are NOT physical-layout-safe widenings
+    // (double→string, decimal scale change) reject in the CATALOG: the
+    // narrow parquet bytes cannot serve the new kind
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.promfd ALTER COLUMN f TYPE STRING")
+    }
+    assert(e2.getMessage.contains("widening"))
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.promfd ALTER COLUMN d TYPE DECIMAL(22,4)")
+    }
+    assert(e3.getMessage.contains("widening"))
+  }
+
+  test("promotion composes with rename and time travel: pinned snapshots " +
+      "read narrow files under the current wide schema") {
+    spark.sql("CREATE TABLE g2.db.promtt (k INT, b DOUBLE)")          // v1
+    spark.sql("INSERT INTO g2.db.promtt VALUES (1, 1.5), (2, 2.5)")   // v2
+    spark.sql("ALTER TABLE g2.db.promtt ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO g2.db.promtt VALUES (3000000000, 3.5)")    // v3
+    spark.sql("ALTER TABLE g2.db.promtt RENAME COLUMN b TO c")
+    spark.sql("INSERT INTO g2.db.promtt VALUES (4, 4.5)")             // v4
+    assert(spark.sql("SELECT k, c FROM g2.db.promtt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5), (4L, 4.5), (3000000000L, 3.5)))
+    // travel to v2: narrow-era files under CURRENT names and types
+    assert(spark.sql(
+      "SELECT k, c FROM g2.db.promtt VERSION AS OF 2 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    // upsert rejects until compacted (raw reads would mis-type), then works
+    import spark.implicits._
+    val e = intercept[UnsupportedOperationException] {
+      graft.catalog.Maintenance.upsert(spark, "g2.db.promtt",
+        Seq((2L, 9.9)).toDF("k", "c"), Seq("k"))
+    }
+    assert(e.getMessage.contains("older schema generation"))
+    graft.catalog.Maintenance.compact(spark, "g2.db.promtt", Seq("k"), 1)
+    graft.catalog.Maintenance.upsert(spark, "g2.db.promtt",
+      Seq((2L, 9.9)).toDF("k", "c"), Seq("k"))
+    assert(spark.sql("SELECT c FROM g2.db.promtt WHERE k = 2").collect()
+      .map(_.getDouble(0)).toSeq == Seq(9.9))
   }
 
   // --- equality deletes (Iceberg v2's second delete type, r16) ---------
