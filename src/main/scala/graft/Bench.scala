@@ -215,28 +215,13 @@ object Bench {
     // round) are only covered by the top-K set until their first
     // quiet anchor. Bands are adjudication thresholds, not goals —
     // update them only from quiet (load_start < 1.5) runs.
-    val bands = Map(
-      "q1_agg" -> 0.308, "q_agg_distinct" -> 0.498, "q_ann_binary" -> 0.811,
-      "q_ann_ivf" -> 0.198, "q_ann_ivfbin" -> 0.886, "q_ann_opq" -> 1.11,
-      "q_ann_topk" -> 0.335, "q_blocklist" -> 0.387, "q_bm25" -> 0.522,
-      "q_corr_scalar_subquery" -> 0.449, "q_date_bin" -> 0.201, "q_dedup_cc_star" -> 3.165,
-      "q_dedup_cdc" -> 1.224, "q_dedup_chunks" -> 0.83, "q_dedup_cosine" -> 0.262,
-      "q_dedup_cosine_lsh" -> 0.781, "q_dedup_minhash" -> 1.218, "q_dedup_minhash_auto" -> 1.154,
-      "q_fingerprint_overlap_banded" -> 1.603, "q_grouping_sets" -> 0.304, "q_join_asof" -> 0.36,
-      "q_join_containment" -> 1.034, "q_join_cosine_lsh" -> 0.812, "q_join_fuzzy" -> 3.13,
-      "q_join_interval" -> 0.682, "q_join_jaccard_groups" -> 1.07, "q_join_jaccard_weighted" -> 1.079,
-      "q_join_salted_auto" -> 0.55, "q_join_star" -> 0.777, "q_langid" -> 0.692,
-      "q_lm_ppl_buckets" -> 1.342, "q_lm_score" -> 0.861, "q_lm_score_kn" -> 1.035,
-      "q_pack_bfd" -> 0.233, "q_pca_gram" -> 3.622, "q_pipeline_e2e" -> 0.598,
-      "q_profile_approx" -> 0.615, "q_quality_classifier" -> 1.609, "q_retrieval_rrf" -> 0.778,
-      "q_sessionize" -> 0.389, "q_text_sentence_chunks" -> 0.606, "q_text_stats" -> 0.362,
-      "q_tfidf" -> 0.671, "q_tokenize_bpe" -> 0.313, "q_topk" -> 0.063,
-      "q_tpch_q1" -> 0.293, "q_tpch_q10" -> 0.387, "q_tpch_q11" -> 0.503,
-      "q_tpch_q16" -> 0.423, "q_tpch_q18" -> 0.73, "q_tpch_q2" -> 0.511,
-      "q_tpch_q20" -> 0.561, "q_tpch_q21" -> 0.955, "q_tpch_q3" -> 0.684,
-      "q_tpch_q5" -> 0.694, "q_tpch_q6" -> 0.122, "q_tpch_q8" -> 0.385,
-      "q_unigram_train" -> 0.828, "q_vocab" -> 0.304, "q_win_rank" -> 0.313,
-      "q_window_session" -> 0.406)
+    // Bands live in a committed JSON the bench itself refreshes
+    // (VERDICT r15 #6): a new quiet record tightens its band with no
+    // code edit, and the quiet line survives driver BENCH_LOCAL
+    // clobbering inside the bands file.
+    val bandsPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BANDS", "tools/bench_bands.json")
+    val bands: Map[String, Double] = Bench.loadBands(bandsPath)
     // A renamed query must SURFACE, not silently lose its band
     // (ADVICE r14): warn loudly on band keys that no longer exist.
     val unknownBands = bands.keySet.diff(qs.keySet)
@@ -254,8 +239,10 @@ object Bench {
         .map(_._1)
     val heaviest = (results.filter(_._2 >= 0).sortBy(-_._2)
       .take(math.max(0, standaloneK)).map(_._1) ++ forced).distinct
-    val stjson = heaviest.map { n =>
-      val v = math.min(attempt(n), attempt(n))
+    val standaloneVals: Seq[(String, Double)] = heaviest.map { n =>
+      n -> math.min(attempt(n), attempt(n))
+    }
+    val stjson = standaloneVals.map { case (n, v) =>
       "\"" + n + "\":" + (if (v.isFinite) v else -1.0)
     }.mkString("{", ",", "}")
     val line =
@@ -271,6 +258,58 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
     }
+    // QUIET runs refresh the bands file in place (VERDICT r15 #6): the
+    // per-query best-ever only ever TIGHTENS (min of old band, in-suite
+    // best and same-run standalone), so a new record arms stricter
+    // standalone forcing for every later run with no code edit. Loaded
+    // runs never write — an inflated sample must not be recorded, and
+    // a fast fluke on a loaded box is not trusted either.
+    // ...and only at the CANONICAL bench scale: a quiet sf0.01
+    // iteration run would otherwise tighten the sf0.1 bands to
+    // unreachable values and force every standalone forever
+    if (loadStart.toDoubleOption.exists(l => l >= 0 && l < 1.5) &&
+        sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
+      Bench.refreshBands(bandsPath, results, standaloneVals)
     spark.stop()
   }
+
+  /** Parse the committed flat-JSON bands file ({"query": seconds, ...});
+    * a missing or unreadable file disables band forcing with a loud
+    * stderr note rather than failing the bench. */
+  def loadBands(path: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val re = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[bench] no bands file at $path ($e); standalone forcing " +
+            "falls back to the top-K set only")
+        Map.empty
+    }
+
+  /** Tighten the bands file from a QUIET run: per query, the new band is
+    * min(existing band, in-suite best, standalone re-measure). Queries
+    * measured for the first time gain a band. Failed measures (< 0)
+    * never write. */
+  def refreshBands(path: String, results: Seq[(String, Double)],
+      standalones: Seq[(String, Double)]): Unit =
+    try {
+      val old = loadBands(path)
+      val st = standalones.filter(_._2 >= 0).toMap
+      val merged = scala.collection.mutable.Map.empty[String, Double] ++ old
+      results.filter(_._2 >= 0).foreach { case (n, v) =>
+        val cand = math.min(v, st.getOrElse(n, v))
+        merged(n) = merged.get(n).fold(cand)(b => math.min(b, cand))
+      }
+      val body = merged.toSeq.sortBy(_._1).map { case (n, v) =>
+        "\"" + n + "\": " + BigDecimal(v).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not refresh bands file: $e")
+    }
 }

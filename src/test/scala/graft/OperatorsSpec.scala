@@ -213,6 +213,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhash banding+verify equals a driver-side EXHAUSTIVE hamming " +
+      "reference on random corpora (oracle-independence: the probe's " +
+      "DuckDB oracle shares the hash, so only an independent " +
+      "formulation can catch a banding bug — VERDICT r15 #7)") {
+    // independence target: the banded candidate generation + bucket
+    // caps + semi-reduced verify must produce EXACTLY the pairs an
+    // all-pairs comparison of the sign vectors yields — computed here
+    // driver-side from the collected vectors, no banding involved
+    val rnd = new scala.util.Random(9341)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(n: Int): String =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 30L).map(i => (i, doc(30 + rnd.nextInt(60))))
+    // planted near-dups: copies with 0-2 word substitutions
+    val dups = base.take(8).map { case (i, t) =>
+      val ws = t.split(" ")
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.size))
+      }
+      (i + 100L, ws.mkString(" "))
+    }
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val svs = corpus.select(col("doc_id"),
+        Dedup.simhashVector(col("text")).as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def hamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+    val want = (for {
+      a <- svs.keys; b <- svs.keys; if a < b
+      if hamming(svs(a), svs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture must plant at least one near-dup")
+    assert(got == want,
+      s"banding lost ${(want -- got).take(3)} / invented ${(got -- want).take(3)}")
+  }
+
   test("Stats.profile: one-pass per-column min/max/nulls/distinct") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(5L), None),
