@@ -1,0 +1,208 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.TableChange
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The catalog-agnostic ALTER TABLE metadata transaction, shared by
+  * [[MetaCatalog]] and [[RestCatalog]] (round-16 stretch: REST ALTER
+  * parity — the REST catalog serves POINTERS and every commit already
+  * runs client-side against the table location, so schema evolution
+  * does too, under the same per-table lock). Callers MUST hold
+  * [[Snapshots.withRefsLock]] on `tableDir` — the transaction is
+  * read-latest + field-id read-modify-write + schema write, and the
+  * lock (shared with every snapshot commit) is what makes
+  * `activeFrom = latest+1` safe against in-flight writers (whose
+  * commits abort on the schema-epoch check instead of misclassifying
+  * their files). */
+object AlterOps {
+
+  private val PartitionKey = "graft.partition.columns"
+
+  private def schemaFile(tableDir: Path): Path =
+    tableDir.resolve("_graft_schema.json")
+  private def propsFile(tableDir: Path): Path =
+    tableDir.resolve("_graft_props.properties")
+
+  private def readSchema(tableDir: Path): StructType =
+    DataType.fromJson(Files.readString(schemaFile(tableDir)))
+      .asInstanceOf[StructType]
+
+  private def readProps(tableDir: Path): Map[String, String] = {
+    val f = propsFile(tableDir)
+    if (!Files.exists(f)) return Map.empty
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    p.asScala.toMap
+  }
+
+  private def writeProps(tableDir: Path, props: Map[String, String]): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = Files.newOutputStream(propsFile(tableDir))
+    try p.store(out, null) finally out.close()
+  }
+
+  /** Apply `changes` to the table metadata at `tableDir`. See
+    * [[MetaCatalog.alterTable]] for the semantics (field-id generations
+    * for DROP/RENAME/type promotion, the guard set, property edits).
+    * The caller holds the table lock. */
+  def applyChanges(tableDir: Path, fullName: String,
+      changes: Seq[TableChange]): Unit = {
+    // TYPE changes: the Iceberg-legal WIDENINGS (spec §4 — int→long,
+    // float→double, decimal precision growth at fixed scale) are
+    // supported through the field-id generation machinery (a promotion
+    // is a generation whose translation is a CAST); everything else
+    // rejects — existing parquet keeps the narrow physical type and a
+    // narrowing/kind-change would corrupt.
+    changes.foreach {
+      case u: TableChange.UpdateColumnType =>
+        val cur = readSchema(tableDir)
+        val n = u.fieldNames().mkString(".")
+        val from = cur.fields.find(_.name == n).map(_.dataType).getOrElse(
+          throw new IllegalArgumentException(s"no such column $n"))
+        if (!MetaCatalog.legalWidening(from, u.newDataType()))
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN $n TYPE ${u.newDataType().simpleString}: only " +
+              "the Iceberg-legal widenings are supported (int→bigint, " +
+              "float→double, decimal precision growth at the same " +
+              s"scale); $n is ${from.simpleString} — recreate the table " +
+              "(CTAS) for other changes")
+      case _ => ()
+    }
+    val schemaChanges = changes.filter {
+      case _: TableChange.ColumnChange => true
+      case _ => false
+    }
+    val propChanges = changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (schemaChanges.nonEmpty) {
+      // partition SOURCES — identity columns and hidden-transform
+      // sources alike: dir layouts and the prune mapping carry the name
+      val partSources = readProps(tableDir).get(PartitionKey)
+        .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
+        .map(_.source)
+      schemaChanges.foreach {
+        case d: TableChange.DeleteColumn
+            if partSources.contains(d.fieldNames().mkString(".")) =>
+          throw new IllegalArgumentException(
+            s"cannot drop partition column ${d.fieldNames().mkString(".")}")
+        case r: TableChange.RenameColumn
+            if partSources.contains(r.fieldNames().mkString(".")) =>
+          throw new IllegalArgumentException(
+            s"cannot rename partition column ${r.fieldNames().mkString(".")}: " +
+              "hive-layout data dirs (and transform dir names) carry the " +
+              "physical name")
+        case u: TableChange.UpdateColumnType
+            if partSources.contains(u.fieldNames().mkString(".")) =>
+          throw new IllegalArgumentException(
+            s"cannot change the type of partition column " +
+              s"${u.fieldNames().mkString(".")}: dir values are parsed " +
+              "under the declared type")
+        case _ => ()
+      }
+      val before = readSchema(tableDir)
+      val evolved = schemaChanges.foldLeft(before)(
+        MetaCatalog.applySchemaChange)
+      // field-id bookkeeping: DROP/RENAME/promotion seal a generation
+      // active from the NEXT snapshot; ADD extends the current
+      // generation in place (a fresh id can never collide with old
+      // files' physical names). Pre-snapshot (v1-era) tables have no
+      // commit log to key generations on — generation-sealing changes
+      // stay loudly rejected there.
+      val latestV = Snapshots.latest(tableDir).map(_.version)
+      schemaChanges.foreach {
+        case r: TableChange.RenameColumn if latestV.isEmpty =>
+          throw new UnsupportedOperationException(
+            s"cannot rename column ${r.fieldNames().mkString(".")}: " +
+              s"$fullName predates the snapshot log (no commit " +
+              "history to key schema generations on); recreate the table " +
+              "(CTAS) to rename")
+        case d: TableChange.DeleteColumn if latestV.isEmpty =>
+          // same hole as rename: with no commit log, the drop cannot
+          // seal a generation, so a later re-ADD of the same name would
+          // silently resurrect the dropped column's bytes
+          throw new UnsupportedOperationException(
+            s"cannot drop column ${d.fieldNames().mkString(".")}: " +
+              s"$fullName predates the snapshot log (no commit " +
+              "history to key schema generations on); recreate the table " +
+              "(CTAS) to drop columns")
+        case u: TableChange.UpdateColumnType if latestV.isEmpty =>
+          // a promotion needs a generation boundary too
+          throw new UnsupportedOperationException(
+            s"cannot widen column ${u.fieldNames().mkString(".")}: " +
+              s"$fullName predates the snapshot log (no commit " +
+              "history to key schema generations on); recreate the table " +
+              "(CTAS) to change types")
+        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+                  _: TableChange.UpdateColumnType)
+            if Snapshots.latest(tableDir)
+              .exists(_.eqDeleteFiles.nonEmpty) =>
+          // equality-delete sidecars record CURRENT column names; a
+          // generation boundary would leave their keys pointing at
+          // physical names old files don't carry — the scan-side mask
+          // would silently miss. compact() folds the sidecars first.
+          throw new IllegalStateException(
+            s"cannot apply $c to $fullName: pending " +
+              "equality-delete sidecars record current column names; " +
+              "compact() the table first")
+        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+                  _: TableChange.UpdateColumnType)
+            if Snapshots.branches(tableDir).nonEmpty =>
+          // files staged on a WAP branch live outside the main log, so
+          // generation resolution classifies them as CURRENT — a rename
+          // sealed now would make their physical columns silently read
+          // NULL after fast_forward publishes them at the new boundary
+          throw new IllegalStateException(
+            s"cannot apply $c to $fullName: branches " +
+              Snapshots.branches(tableDir).map(_.name)
+                .mkString("[", ",", "]") +
+              " hold staged files that a schema-generation boundary " +
+              "would misclassify; publish or drop them first")
+        case _ => ()
+      }
+      val activeFrom = latestV.getOrElse(0L) + 1L
+      var meta = FieldIds.readOrSynthesize(tableDir, before)
+      schemaChanges.foreach {
+        case a: TableChange.AddColumn =>
+          meta = FieldIds.addColumn(meta, a.fieldNames().head)
+        case d: TableChange.DeleteColumn =>
+          meta = FieldIds.dropColumn(meta, d.fieldNames().head, activeFrom)
+        case r: TableChange.RenameColumn =>
+          meta = FieldIds.renameColumn(meta, r.fieldNames().head, r.newName(),
+            activeFrom)
+        case u: TableChange.UpdateColumnType =>
+          // promotion: stamp the OLD physical type into existing
+          // generations and seal a boundary — old files read through a
+          // widening cast, new files carry the new type
+          val oldType = before.fields
+            .find(_.name == u.fieldNames().head).get.dataType
+          meta = FieldIds.promoteColumn(meta, u.fieldNames().head,
+            oldType.json, activeFrom)
+        case _ => () // nullability/comment: names and ids unchanged
+      }
+      // fields FIRST: a crash between the two writes then leaves an
+      // un-renamed declared schema over evolved field ids, and the next
+      // scan FAILS LOUDLY (genSchema: "missing from field-id metadata");
+      // the reverse order would leave a renamed schema over un-evolved
+      // ids, which reads the renamed column as silent NULLs through the
+      // single-generation fast path
+      FieldIds.write(tableDir, meta)
+      Files.writeString(schemaFile(tableDir), evolved.json)
+    }
+    if (propChanges.nonEmpty) {
+      val next = propChanges.foldLeft(readProps(tableDir)) {
+        case (m, s: TableChange.SetProperty) => m + (s.property() -> s.value())
+        case (m, r: TableChange.RemoveProperty) => m - r.property()
+        case (m, _) => m
+      }
+      writeProps(tableDir, next)
+    }
+  }
+}

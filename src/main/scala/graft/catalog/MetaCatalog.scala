@@ -314,164 +314,43 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
       changes: Seq[TableChange]): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-    // TYPE changes: the Iceberg-legal WIDENINGS (spec §4 — int→long,
-    // float→double, decimal precision growth at fixed scale) are
-    // supported since round 16 through the field-id generation
-    // machinery (a promotion is a generation whose translation is a
-    // CAST); everything else still rejects — existing parquet keeps the
-    // narrow physical type and a narrowing/kind-change would corrupt.
-    changes.foreach {
-      case u: TableChange.UpdateColumnType =>
-        val cur = readSchema(ident)
-        val n = u.fieldNames().mkString(".")
-        val from = cur.fields.find(_.name == n).map(_.dataType).getOrElse(
-          throw new IllegalArgumentException(s"no such column $n"))
-        if (!MetaCatalog.legalWidening(from, u.newDataType()))
-          throw new UnsupportedOperationException(
-            s"ALTER COLUMN $n TYPE ${u.newDataType().simpleString}: only " +
-              "the Iceberg-legal widenings are supported (int→bigint, " +
-              "float→double, decimal precision growth at the same " +
-              s"scale); $n is ${from.simpleString} — recreate the table " +
-              "(CTAS) for other changes")
-      case _ => ()
-    }
-    val schemaChanges = changes.filter {
-      case _: TableChange.ColumnChange => true
-      case _ => false
-    }
-    val propChanges = changes.filter {
-      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
-      case _ => false
-    }
-    if (schemaChanges.nonEmpty) {
-      // partition SOURCES — identity columns and hidden-transform
-      // sources alike: dir layouts and the prune mapping carry the name
-      val partSources = readProps(ident).get(PartitionKey)
-        .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
-        .map(_.source)
-      schemaChanges.foreach {
-        case d: TableChange.DeleteColumn
-            if partSources.contains(d.fieldNames().mkString(".")) =>
-          throw new IllegalArgumentException(
-            s"cannot drop partition column ${d.fieldNames().mkString(".")}")
-        case r: TableChange.RenameColumn
-            if partSources.contains(r.fieldNames().mkString(".")) =>
-          throw new IllegalArgumentException(
-            s"cannot rename partition column ${r.fieldNames().mkString(".")}: " +
-              "hive-layout data dirs (and transform dir names) carry the " +
-              "physical name")
-        case u: TableChange.UpdateColumnType
-            if partSources.contains(u.fieldNames().mkString(".")) =>
-          throw new IllegalArgumentException(
-            s"cannot change the type of partition column " +
-              s"${u.fieldNames().mkString(".")}: dir values are parsed " +
-              "under the declared type")
-        case _ => ()
-      }
-      val before = readSchema(ident)
-      val evolved = schemaChanges.foldLeft(before)(applySchemaChange)
-      // field-id bookkeeping: DROP/RENAME seal a generation active from
-      // the NEXT snapshot; ADD extends the current generation in place
-      // (a fresh id can never collide with old files' physical names).
-      // Pre-snapshot (v1-era) tables have no commit log to key
-      // generations on — activeFrom would collide with the synthesized
-      // generation and the rename would silently read NULL from every
-      // existing file — so RENAME stays loudly rejected there (DROP
-      // keeps its historical name-hiding semantics).
-      val latestV = Snapshots.latest(tablePath(ident)).map(_.version)
-      schemaChanges.foreach {
-        case r: TableChange.RenameColumn if latestV.isEmpty =>
-          throw new UnsupportedOperationException(
-            s"cannot rename column ${r.fieldNames().mkString(".")}: " +
-              s"${fullName(ident)} predates the snapshot log (no commit " +
-              "history to key schema generations on); recreate the table " +
-              "(CTAS) to rename")
-        case d: TableChange.DeleteColumn if latestV.isEmpty =>
-          // same hole as rename: with no commit log, the drop cannot
-          // seal a generation, so a later re-ADD of the same name would
-          // silently resurrect the dropped column's bytes
-          throw new UnsupportedOperationException(
-            s"cannot drop column ${d.fieldNames().mkString(".")}: " +
-              s"${fullName(ident)} predates the snapshot log (no commit " +
-              "history to key schema generations on); recreate the table " +
-              "(CTAS) to drop columns")
-        case u: TableChange.UpdateColumnType if latestV.isEmpty =>
-          // a promotion needs a generation boundary too
-          throw new UnsupportedOperationException(
-            s"cannot widen column ${u.fieldNames().mkString(".")}: " +
-              s"${fullName(ident)} predates the snapshot log (no commit " +
-              "history to key schema generations on); recreate the table " +
-              "(CTAS) to change types")
-        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn |
-                  _: TableChange.UpdateColumnType)
-            if Snapshots.latest(tablePath(ident))
-              .exists(_.eqDeleteFiles.nonEmpty) =>
-          // equality-delete sidecars record CURRENT column names; a
-          // generation boundary would leave their keys pointing at
-          // physical names old files don't carry — the scan-side mask
-          // would silently miss. compact() folds the sidecars first.
-          throw new IllegalStateException(
-            s"cannot apply $c to ${fullName(ident)}: pending " +
-              "equality-delete sidecars record current column names; " +
-              "compact() the table first")
-        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn |
-                  _: TableChange.UpdateColumnType)
-            if Snapshots.branches(tablePath(ident)).nonEmpty =>
-          // files staged on a WAP branch live outside the main log, so
-          // generation resolution classifies them as CURRENT — a rename
-          // sealed now would make their physical columns silently read
-          // NULL after fast_forward publishes them at the new boundary
-          throw new IllegalStateException(
-            s"cannot apply $c to ${fullName(ident)}: branches " +
-              Snapshots.branches(tablePath(ident)).map(_.name)
-                .mkString("[", ",", "]") +
-              " hold staged files that a schema-generation boundary " +
-              "would misclassify; publish or drop them first")
-        case _ => ()
-      }
-      val activeFrom = latestV.getOrElse(0L) + 1L
-      var meta = FieldIds.readOrSynthesize(tablePath(ident), before)
-      schemaChanges.foreach {
-        case a: TableChange.AddColumn =>
-          meta = FieldIds.addColumn(meta, a.fieldNames().head)
-        case d: TableChange.DeleteColumn =>
-          meta = FieldIds.dropColumn(meta, d.fieldNames().head, activeFrom)
-        case r: TableChange.RenameColumn =>
-          meta = FieldIds.renameColumn(meta, r.fieldNames().head, r.newName(),
-            activeFrom)
-        case u: TableChange.UpdateColumnType =>
-          // promotion: stamp the OLD physical type into existing
-          // generations and seal a boundary — old files read through a
-          // widening cast, new files carry the new type
-          val oldType = before.fields
-            .find(_.name == u.fieldNames().head).get.dataType
-          meta = FieldIds.promoteColumn(meta, u.fieldNames().head,
-            oldType.json, activeFrom)
-        case _ => () // nullability/comment: names and ids unchanged
-      }
-      // fields FIRST: a crash between the two writes then leaves an
-      // un-renamed declared schema over evolved field ids, and the next
-      // scan FAILS LOUDLY (genSchema: "missing from field-id metadata");
-      // the reverse order would leave a renamed schema over un-evolved
-      // ids, which reads the renamed column as silent NULLs through the
-      // single-generation fast path
-      FieldIds.write(tablePath(ident), meta)
-      Files.writeString(schemaFile(ident), evolved.json)
-    }
-    if (propChanges.nonEmpty) {
-      val next = propChanges.foldLeft(readProps(ident)) {
-        case (m, s: TableChange.SetProperty) => m + (s.property() -> s.value())
-        case (m, r: TableChange.RemoveProperty) => m - r.property()
-        case (m, _) => m
-      }
-      writeProps(ident, next)
-    }
+    AlterOps.applyChanges(tablePath(ident), fullName(ident), changes)
     buildTable(ident, pinned = None)
   }
 
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    deleteRecursively(tablePath(ident))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent))
+      throw new NoSuchTableException((oldIdent.namespace() :+ oldIdent.name()).toSeq)
+    // RENAME TO arrives with the target spelled as the user typed it —
+    // possibly catalog-qualified or bare; normalize to this catalog's
+    // namespace layout.
+    val targetNs = newIdent.namespace() match {
+      case ns if ns.isEmpty => oldIdent.namespace()
+      case ns if ns.head == catalogName => ns.drop(1)
+      case ns => ns
+    }
+    Files.move(tablePath(oldIdent),
+      tablePath(Identifier.of(targetNs, newIdent.name())))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    scala.util.Using.resource(Files.walk(p)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+}
+
+object MetaCatalog {
   /** Top-level add/drop/nullability/comment evolution (nested fields are
     * rejected — partition-scale tables evolve flat columns). */
-  private def applySchemaChange(schema: StructType, change: TableChange): StructType = {
+  private[catalog] def applySchemaChange(schema: StructType, change: TableChange): StructType = {
     import org.apache.spark.sql.types.StructField
     def topLevel(fieldNames: Array[String]): String = {
       if (fieldNames.length != 1) throw new UnsupportedOperationException(
@@ -518,35 +397,6 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    if (!tableExists(ident)) return false
-    deleteRecursively(tablePath(ident))
-    true
-  }
-
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    if (!tableExists(oldIdent))
-      throw new NoSuchTableException((oldIdent.namespace() :+ oldIdent.name()).toSeq)
-    // RENAME TO arrives with the target spelled as the user typed it —
-    // possibly catalog-qualified or bare; normalize to this catalog's
-    // namespace layout.
-    val targetNs = newIdent.namespace() match {
-      case ns if ns.isEmpty => oldIdent.namespace()
-      case ns if ns.head == catalogName => ns.drop(1)
-      case ns => ns
-    }
-    Files.move(tablePath(oldIdent),
-      tablePath(Identifier.of(targetNs, newIdent.name())))
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    scala.util.Using.resource(Files.walk(p)) { st =>
-      st.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
-}
-
-object MetaCatalog {
   /** Reject column names in the reserved absent-marker namespace
     * (ADVICE r15): a user column literally named `__graft_absent_<n>`
     * could match an old-generation scan's request for a DROPPED field

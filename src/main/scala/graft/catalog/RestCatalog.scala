@@ -181,9 +181,15 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
     val props = Option(meta.get("properties")).map { p =>
       p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val dir = Paths.get(meta.get("location").asText())
     new GraftTable(
       s"$name0.${ident.namespace().mkString(".")}.${ident.name()}",
-      Paths.get(meta.get("location").asText()), schema, parts, props, None)
+      dir, schema, parts, props, None,
+      // field-id generations MUST ride along (round 16 — previously a
+      // table renamed via the owning catalog silently read the renamed
+      // column as NULL through REST: the handle lacked the generation
+      // metadata and took the single-generation fast path)
+      fieldMeta = FieldIds.read(dir))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -223,13 +229,28 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
       s"/v1/namespaces/${nsPart(ident.namespace())}/tables/${ident.name()}",
       None).statusCode() == 200
 
-  /** Schema evolution over REST is out of scope: the reference's REST
-    * binary routes DDL through the engine's own catalog provider, whose
-    * iceberg ALTER path the underlying crate does not expose either. */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE over the REST catalog is not supported; " +
-        "alter via the owning warehouse catalog")
+  /** Schema evolution over REST (round-16 stretch — RestCatalogSpec
+    * round-trips a rename created and read purely via REST): the REST
+    * catalog serves POINTERS and every scan and snapshot commit already
+    * runs client-side against the table LOCATION, so the ALTER metadata
+    * transaction does too — the same [[AlterOps]] transaction
+    * [[MetaCatalog]] runs, under the same per-table lock, with the
+    * full guard set (field-id generations, promotion legality,
+    * eq-sidecar/branch/partition-source rejections). The server reads
+    * `_graft_schema.json` fresh per request, so the next REST
+    * loadTable serves the evolved schema with no cache invalidation. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val j = get(
+      s"/v1/namespaces/${nsPart(ident.namespace())}/tables/${ident.name()}")
+      .getOrElse(throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq))
+    val dir = Paths.get(j.get("metadata").get("location").asText())
+    val full = s"$name0.${ident.namespace().mkString(".")}.${ident.name()}"
+    Snapshots.withRefsLock(dir) {
+      AlterOps.applyChanges(dir, full, changes)
+    }
+    loadTable(ident)
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME TABLE over the REST catalog is not supported")

@@ -101,6 +101,44 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER parity over REST: rename/add/widen created and read purely " +
+      "via REST, with the full guard set (round-16 stretch)") {
+    withServer { port =>
+      spark.conf.set("spark.sql.catalog.rcat3", "graft.catalog.RestCatalog")
+      spark.conf.set("spark.sql.catalog.rcat3.uri", s"http://127.0.0.1:$port")
+      try {
+        spark.sql("CREATE NAMESPACE rcat3.adb")
+        spark.sql("CREATE TABLE rcat3.adb.a (k INT, v DOUBLE)")       // v1
+        spark.sql("INSERT INTO rcat3.adb.a VALUES (1, 1.5), (2, 2.5)") // v2
+        // rename: old bytes under the new name, purely via REST
+        spark.sql("ALTER TABLE rcat3.adb.a RENAME COLUMN v TO w")
+        spark.sql("INSERT INTO rcat3.adb.a VALUES (3, 3.5)")          // v3
+        assert(spark.sql("SELECT k, w FROM rcat3.adb.a ORDER BY k")
+          .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+          Seq((1, 1.5), (2, 2.5), (3, 3.5)))
+        // add + widen through the same path
+        spark.sql("ALTER TABLE rcat3.adb.a ADD COLUMN note STRING")
+        spark.sql("ALTER TABLE rcat3.adb.a ALTER COLUMN k TYPE BIGINT")
+        spark.sql("INSERT INTO rcat3.adb.a VALUES (3000000000, 9.5, 'wide')")
+        val rows = spark.sql(
+          "SELECT k, w, note FROM rcat3.adb.a ORDER BY k").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+          .toSeq
+        assert(rows == Seq((1L, 1.5, None), (2L, 2.5, None),
+          (3L, 3.5, None), (3000000000L, 9.5, Some("wide"))))
+        // the guard set rides along: illegal widening rejects via REST
+        val e = intercept[Exception] {
+          spark.sql("ALTER TABLE rcat3.adb.a ALTER COLUMN note TYPE INT")
+        }
+        assert(e.getMessage.contains("widening") ||
+          e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+      } finally {
+        spark.conf.unset("spark.sql.catalog.rcat3")
+        spark.conf.unset("spark.sql.catalog.rcat3.uri")
+      }
+    }
+  }
+
   test("auth: configured server rejects missing/wrong credentials, accepts bearer and basic") {
     val tok = "sekrit-token-123"
     val srv = new RestCatalogServer(Paths.get(wh), 0, Some(s"Bearer $tok"))
