@@ -307,7 +307,16 @@ object Bench {
         "\"" + n + "\": " + BigDecimal(v).setScale(3,
           BigDecimal.RoundingMode.HALF_UP).toDouble
       }.mkString("{\n", ",\n", "\n}\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+      // write-to-tmp + ATOMIC_MOVE: a crash or concurrent reader
+      // mid-write must never see a truncated bands file (loadBands'
+      // regex would silently parse a partial band set)
+      val target = java.nio.file.Paths.get(path)
+      val tmp = target.resolveSibling(
+        s".${target.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.writeString(tmp, body)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] could not refresh bands file: $e")

@@ -31,7 +31,7 @@ object AlterOps {
     DataType.fromJson(Files.readString(schemaFile(tableDir)))
       .asInstanceOf[StructType]
 
-  private def readProps(tableDir: Path): Map[String, String] = {
+  private[catalog] def readProps(tableDir: Path): Map[String, String] = {
     val f = propsFile(tableDir)
     if (!Files.exists(f)) return Map.empty
     val p = new java.util.Properties()
@@ -83,11 +83,29 @@ object AlterOps {
       case _ => false
     }
     if (schemaChanges.nonEmpty) {
+      val partSpec = readProps(tableDir).get(PartitionKey)
+        .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
       // partition SOURCES — identity columns and hidden-transform
       // sources alike: dir layouts and the prune mapping carry the name
-      val partSources = readProps(tableDir).get(PartitionKey)
-        .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
-        .map(_.source)
+      val partSources = partSpec.map(_.source)
+      // ...and a new/renamed column must not collide with a DERIVED dir
+      // column name (ts_day, k_bucket, ...): the next write's
+      // withDerived would silently overwrite the user column's values
+      // and partitionBy would then drop it from the files entirely
+      // (CREATE TABLE validates the same collision)
+      val derivedNames = partSpec.filterNot(_.isIdentity).map(_.dirName).toSet
+      def requireNoDirCollision(n: String): Unit =
+        if (derivedNames.contains(n))
+          throw new IllegalArgumentException(
+            s"column name '$n' collides with a hidden partition " +
+              "transform's derived directory column; pick another name")
+      schemaChanges.foreach {
+        case a: TableChange.AddColumn =>
+          requireNoDirCollision(a.fieldNames().mkString("."))
+        case r: TableChange.RenameColumn =>
+          requireNoDirCollision(r.newName())
+        case _ => ()
+      }
       schemaChanges.foreach {
         case d: TableChange.DeleteColumn
             if partSources.contains(d.fieldNames().mkString(".")) =>

@@ -210,7 +210,21 @@ object Maintenance {
       Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteByKey needs at least one key column")
+    // IDENTITY partition columns are NOT physically stored in data
+    // files (partitionBy drops them to dir names): the scan-side mask
+    // reads key columns as parquet scratch columns and would read NULL,
+    // silently failing to mask — reject, advising the predicate DELETE
+    // path (which prunes dirs and rewrites/marks correctly).
+    val identityParts = readProps(dir).get("graft.partition.columns")
+      .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
+      .collect { case PartitionTransforms.Identity(c) => c }.toSet
     keyCols.foreach { c =>
+      if (identityParts.contains(c))
+        throw new UnsupportedOperationException(
+          s"deleteByKey: $c is an identity partition column of $ident — " +
+            "its values live in directory names, not data files, so the " +
+            "equality mask cannot read them; use DELETE FROM ... WHERE " +
+            s"$c = ... (dir-pruned) instead")
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"deleteByKey: no column $c in $ident"))
@@ -250,16 +264,8 @@ object Maintenance {
     } finally distinctKeys.unpersist()
   }
 
-  private def readProps(dir: Path): Map[String, String] = {
-    val f = dir.resolve("_graft_props.properties")
-    if (!Files.exists(f)) Map.empty[String, String]
-    else {
-      val p = new java.util.Properties()
-      val in = Files.newInputStream(f)
-      try p.load(in) finally in.close()
-      p.asScala.toMap
-    }
-  }
+  private def readProps(dir: Path): Map[String, String] =
+    AlterOps.readProps(dir) // one shared properties reader (r16 review)
 
   /** Shared rewrite plumbing: pin ONE snapshot for both the read and the
     * surgical commit — a writeTo().overwrite() would blanket-replace and
@@ -568,13 +574,21 @@ object Maintenance {
       // Refuse exactly those expirations; compact() folds the sidecars
       // and unblocks.
       locally {
-        val retainedSet = retained.map(_.version).toSet
         val eqLive = retained.flatMap(_.eqDeleteFiles).distinct
         if (eqLive.nonEmpty) {
           val seenBefore = FieldIds.firstSeen(dir)
-          def seenAfter(f: String): Long = all
-            .filter(s => retainedSet.contains(s.version) && s.files.contains(f))
-            .map(_.version).minOption.getOrElse(Long.MaxValue)
+          // ONE pass over the retained snapshots builds the post-expiry
+          // first-seen map (the pairwise check below is then pure map
+          // lookups — an O(eq·data·snapshots·files) scan here would
+          // cost minutes of driver CPU on a metadata-only operation)
+          val seenAfterMap = {
+            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            retained.sortBy(_.version).foreach(s =>
+              s.files.foreach(f => if (!m.contains(f)) m.update(f, s.version)))
+            m
+          }
+          def seenAfter(f: String): Long =
+            seenAfterMap.getOrElse(f, Long.MaxValue)
           val dataLive = retained.flatMap(_.dataFiles).distinct
           val flipped = for {
             e <- eqLive

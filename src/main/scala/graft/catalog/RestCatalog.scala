@@ -344,8 +344,11 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0,
       val in = Files.newInputStream(propsFile)
       try props.load(in) finally in.close()
     }
+    // transform specs carry commas inside parens (bucket(8,k)) — the
+    // shared splitter handles both the ';'-joined r16 format and the
+    // legacy comma-joined identity list
     val partCols = Option(props.getProperty("graft.partition.columns"))
-      .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      .toSeq.flatMap(PartitionTransforms.splitSpec)
     props.remove("graft.partition.columns")
     val propMap = props.stringPropertyNames().asScala
       .map(k => k -> props.getProperty(k)).toMap
@@ -450,9 +453,9 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0,
             Files.createDirectories(dir.resolve("data"))
             Files.writeString(dir.resolve("_graft_schema.json"),
               req.get("schema-json").asText())
-            // field-id metadata at creation, same as MetaCatalog
-            // (renames on REST-created tables then key generations
-            // identically; ALTER itself stays warehouse-catalog-only)
+            // field-id metadata at creation, same as MetaCatalog —
+            // renames on REST-created tables key generations
+            // identically (and since r16, ALTER runs over REST too)
             FieldIds.write(dir, FieldIds.synthesize(schema))
             val props = new java.util.Properties()
             Option(req.get("properties")).foreach(_.properties().asScala
@@ -460,7 +463,9 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0,
             val partCols = Option(req.get("partition-cols")).toSeq
               .flatMap(_.elements().asScala.map(_.asText())).filter(_.nonEmpty)
             if (partCols.nonEmpty)
-              props.setProperty("graft.partition.columns", partCols.mkString(","))
+              props.setProperty("graft.partition.columns",
+                PartitionTransforms.formatSpec(
+                  partCols.map(PartitionTransforms.parse)))
             if (!props.isEmpty) {
               val out = Files.newOutputStream(
                 dir.resolve("_graft_props.properties"))

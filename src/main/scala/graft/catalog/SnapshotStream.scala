@@ -163,6 +163,23 @@ final class SnapshotStreamSource(
     // identical rows; an expired snapshot in the range fails loudly
     // (same stance as filesAt) rather than silently skipping.
     changelogIdent.foreach { ident =>
+      // RANGE CONTINUITY: the changelog diffs CONSECUTIVE snapshots of
+      // the surviving log — an expired snapshot inside (or at the start
+      // of) a lagging stream's range would silently re-attribute its
+      // adds to the next version (duplicate events). Validate here:
+      // startV itself must survive (it is the diff baseline), and the
+      // range must have no gaps. startV == 0 (a fresh stream) is exempt
+      // — the first surviving snapshot then emits its full file set as
+      // the bootstrap state, which is the correct initial load.
+      val present = Snapshots.list(tableDir).map(_.version)
+        .filter(v => v >= math.max(startV, 1L) && v <= endV)
+      val expected =
+        if (startV > 0) startV to endV
+        else present.headOption.map(_ to endV).getOrElse(1L to 0L)
+      if (present != expected) throw new IllegalStateException(
+        s"snapshots ${expected.diff(present).mkString(", ")} of $tableDir " +
+          "were expired while a changelog stream needed them (offset " +
+          s"$startV); restart from a fresh checkpoint")
       val df = Changelog.read(spark, ident, startV, endV)
       return org.apache.spark.sql.graftaccess.Internals
         .streamingDfFromPlan(df)

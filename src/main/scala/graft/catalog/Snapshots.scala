@@ -131,33 +131,40 @@ object Snapshots {
     * re-acquiring the OS lock in one JVM would throw
     * OverlappingFileLockException, so a thread that already holds a
     * table's lock runs the body directly. Distinct threads are
-    * serialized by the enclosing object monitor before they ever reach
-    * the OS lock. */
+    * serialized by a PER-TABLE monitor before they reach the OS lock —
+    * per-table, not object-global, so blocking on another process's
+    * lock for one table never stalls unrelated tables in this JVM. */
   private val heldLocks = new ThreadLocal[scala.collection.mutable.Set[String]] {
     override def initialValue(): scala.collection.mutable.Set[String] =
       scala.collection.mutable.Set.empty
   }
 
-  private[catalog] def withRefsLock[A](tableDir: Path)(body: => A): A =
-    synchronized {
-      val key = tableDir.toAbsolutePath.normalize.toString
-      if (heldLocks.get.contains(key)) body
-      else {
-        Files.createDirectories(tableDir)
-        val lockPath = tableDir.resolve("_graft_refs.lock")
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock()
-          heldLocks.get += key
-          try body finally {
-            heldLocks.get -= key
-            lock.release()
-          }
-        } finally ch.close()
-      }
+  /** PER-TABLE JVM monitors: the in-JVM serialization must be scoped to
+    * the table, not this object — a global monitor held while BLOCKING
+    * on another process's OS lock would stall every unrelated table's
+    * commits in this JVM (round-16 review). */
+  private val tableMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[catalog] def withRefsLock[A](tableDir: Path)(body: => A): A = {
+    val key = tableDir.toAbsolutePath.normalize.toString
+    if (heldLocks.get.contains(key)) body
+    else tableMonitors.computeIfAbsent(key, _ => new Object).synchronized {
+      Files.createDirectories(tableDir)
+      val lockPath = tableDir.resolve("_graft_refs.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        heldLocks.get += key
+        try body finally {
+          heldLocks.get -= key
+          lock.release()
+        }
+      } finally ch.close()
     }
+  }
 
   /** Create an immutable tag for an EXISTING snapshot version. Fails
     * loudly when the tag exists (same `createLink` CAS as commits — a

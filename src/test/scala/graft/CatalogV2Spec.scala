@@ -2073,6 +2073,25 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(e4.getMessage.contains("unsupported key type"))
   }
 
+  test("deleteByKey rejects identity partition columns (their values " +
+      "live in dir names — the scratch-column mask would read NULL and " +
+      "silently fail to mask; r16 review)") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE g2.db.eqpart (k BIGINT, region STRING)
+      PARTITIONED BY (region)""")
+    spark.sql("INSERT INTO g2.db.eqpart VALUES (1, 'eu'), (2, 'us')")
+    val e = intercept[UnsupportedOperationException] {
+      graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqpart",
+        Seq("eu").toDF("region"))
+    }
+    assert(e.getMessage.contains("identity partition column"))
+    // non-partition keys on the same table still work
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqpart",
+      Seq(2L).toDF("k"))
+    assert(spark.sql("SELECT k FROM g2.db.eqpart").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("multi-column equality keys match as TUPLES, not independently") {
     import spark.implicits._
     spark.sql("CREATE TABLE g2.db.eqmc (a BIGINT, b STRING, v INT)")

@@ -139,6 +139,29 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("transform-partitioned tables round-trip over REST (the spec " +
+      "string carries commas inside parens; r16 review)") {
+    // created via the OWNING catalog (REST create stays identity-only),
+    // then read AND written through REST
+    spark.sql("""CREATE TABLE rsrc.db.bktt (k BIGINT, v STRING)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO rsrc.db.bktt VALUES (1, 'a'), (2, 'b')")
+    withServer { port =>
+      spark.conf.set("spark.sql.catalog.rcat4", "graft.catalog.RestCatalog")
+      spark.conf.set("spark.sql.catalog.rcat4.uri", s"http://127.0.0.1:$port")
+      try {
+        assert(spark.sql("SELECT v FROM rcat4.db.bktt WHERE k = 2")
+          .collect().map(_.getString(0)).toSeq == Seq("b"))
+        spark.sql("INSERT INTO rcat4.db.bktt VALUES (3, 'c')")
+        assert(spark.sql("SELECT k FROM rcat4.db.bktt ORDER BY k")
+          .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      } finally {
+        spark.conf.unset("spark.sql.catalog.rcat4")
+        spark.conf.unset("spark.sql.catalog.rcat4.uri")
+      }
+    }
+  }
+
   test("auth: configured server rejects missing/wrong credentials, accepts bearer and basic") {
     val tok = "sekrit-token-123"
     val srv = new RestCatalogServer(Paths.get(wh), 0, Some(s"Bearer $tok"))

@@ -585,6 +585,44 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(1L, 4L))
   }
 
+  test("a changelog stream whose offset snapshot was EXPIRED fails " +
+      "loudly instead of re-attributing its adds (r16 review)") {
+    val wh = Files.createTempDirectory("graft_wh_clexp").toString
+    spark.conf.set("spark.sql.catalog.gclx", "graft.catalog.MetaCatalog")
+    spark.conf.set("spark.sql.catalog.gclx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gclx.s")
+    spark.sql("CREATE TABLE gclx.s.feed (id BIGINT)")                  // v1
+    spark.sql("INSERT INTO gclx.s.feed VALUES (1)")                    // v2
+    val ckpt = Files.createTempDirectory("graft_clexp_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = graft.catalog.CatalogStreams
+      .readChangelog(spark, "gclx.s.feed")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = start()
+    q.processAllAvailable() // committed offset = v2
+    q.stop()
+    spark.sql("INSERT INTO gclx.s.feed VALUES (2)")                    // v3
+    spark.sql("INSERT INTO gclx.s.feed VALUES (3)")                    // v4
+    // expire v1..v3: the stream's diff baseline (v2) is gone
+    graft.catalog.Maintenance.expireSnapshots(spark, "gclx.s.feed",
+      keepLast = 1)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
+    }
+    q2.stop()
+    assert(e.getMessage.contains("expired") ||
+      Option(e.getCause).exists(_.getMessage.contains("expired")),
+      e.getMessage.take(400))
+  }
+
   test("streaming WAP: micro-batches stage on a branch, publish atomically") {
     // the production shape: a stream lands on an AUDIT branch; consumers
     // of main see NOTHING until a (human or rule) gate fast-forwards —
