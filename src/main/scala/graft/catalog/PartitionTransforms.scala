@@ -223,16 +223,21 @@ object PartitionTransforms {
     val isNullDir = dirVal == NullDir
     def srcType: DataType = schema(t.source).dataType
     filter match {
+      // WHERE null rows land differs per transform: days/truncate
+      // derive NULL → the hive null dir; BUCKET derives pmod(hash(NULL),
+      // n) — Spark's hash() of NULL is the SEED (42), NOT null — so
+      // null-source rows live in an ORDINARY bucket dir and an IS NULL
+      // prune keyed on the null dir alone would silently drop them.
       case And(l, r) =>
         mayMatch(t, dirVal, l, schema) && mayMatch(t, dirVal, r, schema)
       case Or(l, r) =>
         mayMatch(t, dirVal, l, schema) || mayMatch(t, dirVal, r, schema)
-      case IsNull(a) if a == t.source => isNullDir
+      case IsNull(a) if a == t.source => nullInDir(t, dirVal, srcType)
       case IsNotNull(a) if a == t.source => !isNullDir
       case EqualTo(a, v) if a == t.source =>
         if (isNullDir || v == null) false else valueInDir(t, dirVal, v, srcType)
       case EqualNullSafe(a, v) if a == t.source =>
-        if (v == null) isNullDir
+        if (v == null) nullInDir(t, dirVal, srcType)
         else !isNullDir && valueInDir(t, dirVal, v, srcType)
       case In(a, vs) if a == t.source =>
         if (isNullDir) false
@@ -258,6 +263,18 @@ object PartitionTransforms {
       case _ => true // Not(...), other columns, unknown filters: keep
     }
   }
+
+  /** Could a NULL source value live in this dir? days/truncate derive
+    * NULL → the hive null dir; bucket derives the SEED hash's bucket
+    * (evaluated through the same catalyst expression as the write). */
+  private def nullInDir(t: T, dirVal: String, srcType: DataType): Boolean =
+    t match {
+      case Bucket(n, _) =>
+        dirVal == NullDir || // belt-and-braces; bucket never writes it
+          dirVal.toIntOption.contains(
+            Math.floorMod(sparkHash(null, srcType), n))
+      case _ => dirVal == NullDir
+    }
 
   /** Point containment: does `v` land in this dir? */
   private def valueInDir(t: T, dirVal: String, v: Any,

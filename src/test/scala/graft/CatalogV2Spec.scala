@@ -1809,6 +1809,29 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(scanFiles(pre) < scanFiles(full))
   }
 
+  test("bucket-partitioned IS NULL finds null-key rows (Spark's " +
+      "hash(NULL) is the SEED, so nulls live in an ordinary bucket dir " +
+      "— the null-dir-only prune dropped them; r16 self-audit)") {
+    spark.sql("""CREATE TABLE g2.db.evbn (k BIGINT, v STRING)
+      PARTITIONED BY (bucket(8, k))""")
+    spark.sql("""INSERT INTO g2.db.evbn VALUES
+      (1, 'a'), (NULL, 'n1'), (2, 'b'), (NULL, 'n2')""")
+    assert(spark.sql("SELECT v FROM g2.db.evbn WHERE k IS NULL ORDER BY v")
+      .collect().map(_.getString(0)).toSeq == Seq("n1", "n2"))
+    assert(spark.sql("SELECT v FROM g2.db.evbn WHERE k <=> CAST(NULL AS BIGINT) ORDER BY v")
+      .collect().map(_.getString(0)).toSeq == Seq("n1", "n2"))
+    assert(spark.sql("SELECT count(*) FROM g2.db.evbn WHERE k IS NOT NULL")
+      .collect().head.getLong(0) == 2)
+    // days/truncate route nulls to the hive null dir; IS NULL prunes to it
+    spark.sql("""CREATE TABLE g2.db.evtn (s STRING, v BIGINT)
+      PARTITIONED BY (truncate(2, s))""")
+    spark.sql("INSERT INTO g2.db.evtn VALUES ('ab', 1), (NULL, 2)")
+    assert(spark.sql("SELECT v FROM g2.db.evtn WHERE s IS NULL").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(scanFiles(spark.sql("SELECT v FROM g2.db.evtn WHERE s IS NULL")) <
+      scanFiles(spark.sql("SELECT v FROM g2.db.evtn")))
+  }
+
   test("hidden-transform guardrails: MERGE rejects with advice, the " +
       "source column cannot be renamed, upsert still works") {
     import spark.implicits._
