@@ -53,6 +53,23 @@ object EqualityDeletes {
   final case class Batch(version: Long, cols: Seq[String],
       types: Seq[DataType], keys: Set[Seq[Any]]) extends Serializable
 
+  /** Normalize a key value for the HASH-SET compare: -0.0 → 0.0 for
+    * float/double, because the set compares boxed values
+    * (`java.lang.Double.equals`: 0.0 != -0.0) while every SQL-level
+    * consumer compares with `<=>` (0.0 = -0.0) — without this, a
+    * -0.0-keyed row would be treated as deleted by rewrites/changelog
+    * but still served by interactive scans (ADVICE r16). Applied to
+    * BOTH the key set (at load) and the read-side values
+    * ([[org.apache.spark.sql.graftaccess.MorScans]]). NaN needs no
+    * handling: `Double.equals` and `<=>` both treat NaN = NaN as true. */
+  def normKeyValue(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0d =>
+      java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue() == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+
   /** Group sidecar part-files by their `deletes/eq_<uuid>/` commit dir
     * (one [[Batch]] per commit). */
   private def groupByCommit(eqFiles: Seq[String]): Seq[(String, Seq[String])] =
@@ -82,15 +99,23 @@ object EqualityDeletes {
       }
       val conv = schema.fields.map(f =>
         CatalystTypeConverters.createToCatalystConverter(f.dataType))
-      val rows = df.collect()
-      total += rows.length
-      if (total > maxKeys) throw new IllegalStateException(
+      def overflow(): Nothing = throw new IllegalStateException(
         s"equality-delete key count for $tableDir exceeds $MaxKeysKey=" +
           s"$maxKeys (${eqFiles.length} sidecar file(s)); run " +
           "CALL <cat>.system.compact(...) to fold deletes into data " +
           "files, or raise the limit")
+      // guard BEFORE collect: parquet footer row counts bound the
+      // driver-side materialization, so one oversized sidecar fails
+      // loudly instead of OOMing the driver first (ADVICE r16)
+      val footerRows = files.map(f =>
+        ParquetStats.rowCount(tableDir.resolve(f).toString,
+          spark.sparkContext.hadoopConfiguration)).sum
+      if (total + footerRows > maxKeys) overflow()
+      val rows = df.collect()
+      total += rows.length
+      if (total > maxKeys) overflow()
       val keys = rows.iterator.map { r =>
-        schema.indices.map(i => conv(i)(r.get(i))): Seq[Any]
+        schema.indices.map(i => normKeyValue(conv(i)(r.get(i)))): Seq[Any]
       }.toSet
       Batch(version, schema.fieldNames.toSeq,
         schema.fields.map(_.dataType).toSeq, keys)

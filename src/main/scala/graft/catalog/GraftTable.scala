@@ -80,6 +80,10 @@ class GraftTable(
     partSpec.collect { case PartitionTransforms.Identity(c) => c }
   private def hiddenTransforms: Seq[PartitionTransforms.T] =
     partSpec.filterNot(_.isIdentity)
+  /** The zone pinned at CREATE for `days()` boundaries (ADVICE r16);
+    * None on pre-r17 tables → session zone, the historical behavior. */
+  private def partitionZone: Option[String] =
+    props.get(PartitionTransforms.ZoneKey)
 
   /** Whether row-level DELETEs on this table write position-delete
     * sidecars instead of rewriting files (Iceberg v2's
@@ -332,17 +336,9 @@ class GraftTable(
       throw new UnsupportedOperationException(
         s"$fullName has pending equality-delete sidecars AND data files " +
           "from an older schema generation; compact() the table first")
-    // defense in depth (deleteByKey rejects this at write): an identity
-    // partition column is not stored in data files — the scratch read
-    // would serve NULL and the mask would silently miss
-    if (eqBatches.nonEmpty) {
-      val idSet = identityCols.toSet
-      val bad = eqBatches.flatMap(_.cols).distinct.filter(idSet)
-      if (bad.nonEmpty) throw new IllegalStateException(
-        s"$fullName has equality-delete sidecars keyed on identity " +
-          s"partition column(s) ${bad.mkString(", ")}, whose values live " +
-          "in directory names, not data files; compact() to fold them")
-    }
+    // identity-partition key columns are served from DIR VALUES via
+    // readPartitionSchema (MorScans routes them there, r17); timestamp
+    // partition keys stay rejected at deleteByKey (zone-dependent parse)
     def cleanWrap(plain: ScanBuilder): ScanBuilder =
       if (fileColShadowed) plain else new FileTaggedScans.Builder(plain)
     // Clean-vs-masked split (VERDICT r15 #1): only files with pending
@@ -395,7 +391,7 @@ class GraftTable(
     else new org.apache.spark.sql.graftaccess.HiddenPruneScans.Builder(
       dataRel,
       (files, v1) => PartitionTransforms.prune(
-        files, partSpec, v1, declaredSchema),
+        files, partSpec, v1, declaredSchema, partitionZone),
       assemble)
   }
 
@@ -436,7 +432,8 @@ class GraftTable(
       // hidden transforms derive their dir column here; the derived
       // value lives ONLY in directory names (partitionBy drops it from
       // the written files, and reads never request it)
-      val laid = PartitionTransforms.withDerived(partSpec, aligned)
+      val laid =
+        PartitionTransforms.withDerived(partSpec, aligned, partitionZone)
       val w = laid.write.mode(SaveMode.Overwrite)
       (if (partSpec.nonEmpty)
         w.partitionBy(PartitionTransforms.dirColumns(partSpec): _*)
@@ -901,7 +898,8 @@ class GraftTable(
     // needs no footer read at all); footer stats and bloom sidecars
     // refine within the surviving dirs
     val dirPruned = PartitionTransforms.prune(
-      baseData, partSpec, filters.toSeq, declaredSchema).toSet
+      baseData, partSpec, filters.toSeq, declaredSchema,
+      partitionZone).toSet
     val (touched, _) = baseData.partition(f => opaque.contains(f) ||
       (dirPruned.contains(f) &&
         ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,

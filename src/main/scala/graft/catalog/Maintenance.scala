@@ -210,21 +210,26 @@ object Maintenance {
       Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteByKey needs at least one key column")
-    // IDENTITY partition columns are NOT physically stored in data
+    // IDENTITY partition key columns are NOT physically stored in data
     // files (partitionBy drops them to dir names): the scan-side mask
-    // reads key columns as parquet scratch columns and would read NULL,
-    // silently failing to mask — reject, advising the predicate DELETE
-    // path (which prunes dirs and rewrites/marks correctly).
+    // routes them through readPartitionSchema, where the reader serves
+    // the DIR value (MorScans, r17 — a data-scratch read would serve
+    // NULL and silently miss). Timestamp partition columns stay
+    // rejected: Spark parses timestamp dir values in the READ session's
+    // zone, so the parsed key could differ from the written one and the
+    // mask would be zone-dependent.
     val identityParts = readProps(dir).get("graft.partition.columns")
       .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
       .collect { case PartitionTransforms.Identity(c) => c }.toSet
     keyCols.foreach { c =>
-      if (identityParts.contains(c))
+      if (identityParts.contains(c) &&
+          (schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]))
         throw new UnsupportedOperationException(
-          s"deleteByKey: $c is an identity partition column of $ident — " +
-            "its values live in directory names, not data files, so the " +
-            "equality mask cannot read them; use DELETE FROM ... WHERE " +
-            s"$c = ... (dir-pruned) instead")
+          s"deleteByKey: $c is a TIMESTAMP identity partition column of " +
+            s"$ident — its dir values parse in the read session's zone, " +
+            "so an equality mask on it would be zone-dependent; use " +
+            s"DELETE FROM ... WHERE $c = ... (dir-pruned) instead")
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"deleteByKey: no column $c in $ident"))

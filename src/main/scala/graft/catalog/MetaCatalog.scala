@@ -278,9 +278,20 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     Files.createDirectories(tablePath(ident).resolve("data"))
     Files.writeString(schemaFile(ident), schema.json)
     FieldIds.write(tablePath(ident), FieldIds.synthesize(schema))
+    // pin the creating session's zone for days() boundaries (ADVICE
+    // r16): derive and prune must share ONE zone across sessions
+    val needsZone = partSpec.exists {
+      case PartitionTransforms.Days(c) =>
+        schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]
+      case _ => false
+    }
     val baseProps = properties.asScala.toMap ++
       (if (partSpec.nonEmpty)
         Map(PartitionKey -> PartitionTransforms.formatSpec(partSpec))
+      else Map.empty) ++
+      (if (needsZone)
+        Map(PartitionTransforms.ZoneKey -> org.apache.spark.sql.internal
+          .SQLConf.get.sessionLocalTimeZone)
       else Map.empty)
     if (baseProps.nonEmpty) writeProps(ident, baseProps)
     Snapshots.commit(tablePath(ident), Seq.empty) // v1: empty table
@@ -305,10 +316,17 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     * schema-epoch check in GraftTable instead of misclassifying its
     * files), and two concurrent ALTERs can no longer lose one's
     * field-id allocation to a last-write-wins race. */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    // existence check BEFORE the lock (ADVICE r16): withRefsLock creates
+    // the table dir + lock file, so locking first would leave a stray
+    // directory in the warehouse for ALTER on a nonexistent table.
+    // Re-checked inside for the drop-table race.
+    if (!tableExists(ident))
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
     Snapshots.withRefsLock(tablePath(ident)) {
       alterTableLocked(ident, changes)
     }
+  }
 
   private def alterTableLocked(ident: Identifier,
       changes: Seq[TableChange]): Table = {

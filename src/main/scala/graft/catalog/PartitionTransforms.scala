@@ -25,11 +25,25 @@ import org.apache.spark.sql.types._
   * Bucket hashing uses Spark's own `hash()` (Murmur3, seed 42),
   * evaluated through the SAME catalyst expression on both the write
   * path and the prune path, so a literal can never hash differently
-  * than the column it prunes. */
+  * than the column it prunes.
+  *
+  * Day-boundary time zone (ADVICE r16): `days()` over a ZONED timestamp
+  * needs ONE zone shared by every writer and every reader — deriving
+  * with the write session's zone and pruning with the read session's
+  * would make the two disagree on day boundaries and silently drop
+  * files. CREATE TABLE pins the creating session's zone into table
+  * properties ([[ZoneKey]]); both [[derive]] and [[prune]] use the
+  * pinned zone regardless of the current session's setting. Tables
+  * created before the key existed fall back to the session zone (the
+  * pre-r17 behavior, correct as long as the zone never changes). */
 object PartitionTransforms {
 
   /** Hive's null-partition directory value. */
   val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Table property pinning the time zone `days()` uses for its day
+    * boundaries (set at CREATE from the creating session). */
+  val ZoneKey = "graft.partition.zone"
 
   sealed trait T {
     /** Source column (the one users query). */
@@ -121,10 +135,22 @@ object PartitionTransforms {
           s"'${t.dirName}', which collides with a schema column")
   }
 
-  /** The derived partition value for the write path. */
-  def derive(t: T, df: DataFrame): Column = t match {
+  /** The derived partition value for the write path. `zone` is the
+    * table's pinned [[ZoneKey]] — a `days()` over a zoned timestamp
+    * casts to DATE in THAT zone (via an explicit-zone catalyst Cast),
+    * never the write session's; None (pre-r17 table) keeps the session
+    * zone. NTZ timestamps and DATE sources are zone-free. */
+  def derive(t: T, df: DataFrame, zone: Option[String]): Column = t match {
     case Identity(c) => df(c)
-    case Days(c) => to_date(df(c)) // DATE dirs: ts_day=2026-01-01
+    case Days(c) => df.schema(c).dataType match {
+      // DATE dirs: ts_day=2026-01-01
+      case _: TimestampType if zone.isDefined =>
+        org.apache.spark.sql.graftaccess.Internals.column(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.graftaccess.Internals.expression(df(c)),
+            DateType, zone))
+      case _ => to_date(df(c))
+    }
     case Bucket(n, c) => pmod(hash(df(c)), lit(n))
     case Trunc(w, c) => df.schema(c).dataType match {
       case _: StringType => substring(df(c), 1, w)
@@ -137,9 +163,10 @@ object PartitionTransforms {
   def dirColumns(spec: Seq[T]): Seq[String] = spec.map(_.dirName)
 
   /** Inject the derived dir columns of NON-identity transforms. */
-  def withDerived(spec: Seq[T], df: DataFrame): DataFrame =
+  def withDerived(spec: Seq[T], df: DataFrame,
+      zone: Option[String]): DataFrame =
     spec.filterNot(_.isIdentity).foldLeft(df)((acc, t) =>
-      acc.withColumn(t.dirName, derive(t, acc)))
+      acc.withColumn(t.dirName, derive(t, acc, zone)))
 
   // --- pruning -----------------------------------------------------------
 
@@ -151,14 +178,16 @@ object PartitionTransforms {
       .eval(null).asInstanceOf[Int]
   }
 
-  /** The zone `to_date` (the write-path derivation) interprets the
-    * source in: the SESSION time zone for zoned timestamps, wall-time
+  /** The zone the write-path derivation interprets the source in: the
+    * table's PINNED zone ([[ZoneKey]]) for zoned timestamps (session
+    * zone only for pre-r17 tables without the key), wall-time
     * (UTC-as-wall) for TIMESTAMP_NTZ. Prune and layout must use the
     * SAME zone or a day boundary could prune a dir that holds matches. */
-  private def zoneFor(srcType: DataType): java.time.ZoneId = srcType match {
+  private def zoneFor(srcType: DataType,
+      pinned: Option[String]): java.time.ZoneId = srcType match {
     case _: TimestampNTZType => java.time.ZoneOffset.UTC
-    case _ => java.time.ZoneId.of(
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    case _ => java.time.ZoneId.of(pinned.getOrElse(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
   }
 
   private def toEpochMicros(v: Any, zone: java.time.ZoneId): Option[Long] =
@@ -218,7 +247,7 @@ object PartitionTransforms {
     * matching `filter`? Conservative: anything unprovable → true. Only
     * filters referencing `t.source` can prune. */
   private def mayMatch(t: T, dirVal: String, filter: sources.Filter,
-      schema: StructType): Boolean = {
+      schema: StructType, zone: Option[String]): Boolean = {
     import sources._
     val isNullDir = dirVal == NullDir
     def srcType: DataType = schema(t.source).dataType
@@ -229,31 +258,35 @@ object PartitionTransforms {
       // null-source rows live in an ORDINARY bucket dir and an IS NULL
       // prune keyed on the null dir alone would silently drop them.
       case And(l, r) =>
-        mayMatch(t, dirVal, l, schema) && mayMatch(t, dirVal, r, schema)
+        mayMatch(t, dirVal, l, schema, zone) &&
+          mayMatch(t, dirVal, r, schema, zone)
       case Or(l, r) =>
-        mayMatch(t, dirVal, l, schema) || mayMatch(t, dirVal, r, schema)
+        mayMatch(t, dirVal, l, schema, zone) ||
+          mayMatch(t, dirVal, r, schema, zone)
       case IsNull(a) if a == t.source => nullInDir(t, dirVal, srcType)
       case IsNotNull(a) if a == t.source => !isNullDir
       case EqualTo(a, v) if a == t.source =>
-        if (isNullDir || v == null) false else valueInDir(t, dirVal, v, srcType)
+        if (isNullDir || v == null) false
+        else valueInDir(t, dirVal, v, srcType, zone)
       case EqualNullSafe(a, v) if a == t.source =>
         if (v == null) nullInDir(t, dirVal, srcType)
-        else !isNullDir && valueInDir(t, dirVal, v, srcType)
+        else !isNullDir && valueInDir(t, dirVal, v, srcType, zone)
       case In(a, vs) if a == t.source =>
         if (isNullDir) false
-        else vs.exists(v => v != null && valueInDir(t, dirVal, v, srcType))
+        else vs.exists(v =>
+          v != null && valueInDir(t, dirVal, v, srcType, zone))
       case GreaterThan(a, v) if a == t.source =>
         !isNullDir && rangeOverlaps(t, dirVal, v, lowerExcl = true,
-          isLowerBound = true, srcType)
+          isLowerBound = true, srcType, zone)
       case GreaterThanOrEqual(a, v) if a == t.source =>
         !isNullDir && rangeOverlaps(t, dirVal, v, lowerExcl = false,
-          isLowerBound = true, srcType)
+          isLowerBound = true, srcType, zone)
       case LessThan(a, v) if a == t.source =>
         !isNullDir && rangeOverlaps(t, dirVal, v, lowerExcl = true,
-          isLowerBound = false, srcType)
+          isLowerBound = false, srcType, zone)
       case LessThanOrEqual(a, v) if a == t.source =>
         !isNullDir && rangeOverlaps(t, dirVal, v, lowerExcl = false,
-          isLowerBound = false, srcType)
+          isLowerBound = false, srcType, zone)
       case StringStartsWith(a, prefix) if a == t.source => t match {
         case Trunc(w, _) if !isNullDir =>
           if (prefix.length >= w) prefix.take(w) == dirVal
@@ -278,10 +311,10 @@ object PartitionTransforms {
 
   /** Point containment: does `v` land in this dir? */
   private def valueInDir(t: T, dirVal: String, v: Any,
-      srcType: DataType): Boolean = t match {
+      srcType: DataType, pinned: Option[String]): Boolean = t match {
     case Identity(_) => true // identity dirs prune via the file index
     case Days(_) =>
-      val zone = zoneFor(srcType)
+      val zone = zoneFor(srcType, pinned)
       toEpochMicros(v, zone) match {
         case Some(us) =>
           java.time.Instant.ofEpochSecond(
@@ -309,9 +342,9 @@ object PartitionTransforms {
     * string truncate); bucket ranges never prune (hash is unordered). */
   private def rangeOverlaps(t: T, dirVal: String, v: Any,
       lowerExcl: Boolean, isLowerBound: Boolean,
-      srcType: DataType): Boolean = t match {
+      srcType: DataType, pinned: Option[String]): Boolean = t match {
     case Days(_) =>
-      val zone = zoneFor(srcType)
+      val zone = zoneFor(srcType, pinned)
       (toEpochMicros(v, zone), dayInterval(dirVal, zone)) match {
         case (Some(us), Some((lo, hi))) =>
           if (isLowerBound) hi > us + (if (lowerExcl) 1 else 0)
@@ -344,13 +377,15 @@ object PartitionTransforms {
     * transform-dir values PROVABLY cannot match the pushed filters.
     * Conjunct semantics: every top-level filter must be satisfiable. */
   def prune(files: Seq[String], spec: Seq[T],
-      filters: Seq[sources.Filter], schema: StructType): Seq[String] = {
+      filters: Seq[sources.Filter], schema: StructType,
+      zone: Option[String]): Seq[String] = {
     val hidden = spec.filterNot(_.isIdentity)
     if (hidden.isEmpty || filters.isEmpty) return files
     files.filter { f =>
       hidden.forall { t =>
         dirValueOf(t, f) match {
-          case Some(dv) => filters.forall(fl => mayMatch(t, dv, fl, schema))
+          case Some(dv) =>
+            filters.forall(fl => mayMatch(t, dv, fl, schema, zone))
           case None => true // no dir in path (old layout): keep
         }
       }

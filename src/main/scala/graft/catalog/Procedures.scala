@@ -253,12 +253,14 @@ object Procedures {
           ProcedureParameter.in("key_col", StringType).build(),
           ProcedureParameter.in("values", StringType)
             .comment("comma-separated key values, parsed as the " +
-              "column's declared type").build()),
+              "column's declared type; a value containing a comma or " +
+              "quote must be double-quoted CSV-style (\"a,b\", " +
+              "\"say \"\"hi\"\"\")").build()),
         StructType(Seq(StructField("keys_deleted", LongType)))) { in =>
         val active = SparkSession.active
         val table = full(in)
         val keyCol = s(in, 1)
-        val raw = s(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val raw = splitKeyValues(s(in, 2))
         // parse values as the table's declared type for the column
         val dir = Maintenance.tableDir(active, table)
         val schema = org.apache.spark.sql.types.DataType.fromJson(
@@ -281,6 +283,49 @@ object Procedures {
         s"unknown procedure $catalogName.system.$other " +
           s"(available: ${list().map(_.name).mkString(", ")})")
     }
+  }
+
+  /** Split `delete_by_key`'s values parameter. Plain tokens split on
+    * bare commas (the historical format — exact for every non-string
+    * type); a DOUBLE-QUOTED token carries literal commas, with `""`
+    * escaping a quote (CSV quoting) — without this, a string key
+    * containing a comma would silently split into two WRONG keys and
+    * mask the wrong rows (ADVICE r16). A lone `"` inside an unquoted
+    * token or an unterminated quote fails loudly. */
+  private[catalog] def splitKeyValues(input: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quoted = false    // currently inside "..."
+    var wasQuoted = false // this token used quoting (keep even if empty)
+    var i = 0
+    def flush(): Unit = {
+      val t = if (wasQuoted) cur.toString else cur.toString.trim
+      if (t.nonEmpty || wasQuoted) out += t
+      cur.clear(); wasQuoted = false
+    }
+    while (i < input.length) {
+      val c = input.charAt(i)
+      if (quoted) {
+        if (c == '"') {
+          if (i + 1 < input.length && input.charAt(i + 1) == '"') {
+            cur.append('"'); i += 1 // "" = escaped quote
+          } else quoted = false
+        } else cur.append(c)
+      } else c match {
+        case ',' => flush()
+        case '"' if cur.toString.trim.isEmpty && !wasQuoted =>
+          quoted = true; wasQuoted = true; cur.clear()
+        case '"' => throw new IllegalArgumentException(
+          s"delete_by_key: stray quote at offset $i in values " +
+            "(quote the WHOLE token CSV-style: \"a,b\")")
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    if (quoted) throw new IllegalArgumentException(
+      "delete_by_key: unterminated quoted value in " + input)
+    flush()
+    out.toSeq
   }
 
   private def proc(procName: String, desc: String,

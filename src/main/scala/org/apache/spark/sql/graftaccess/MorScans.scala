@@ -109,19 +109,32 @@ object MorScans {
       val ctxB = loadCtx()
       // equality-delete key columns the pruned read dropped must still
       // be READ (the mask needs their values); they ride as scratch
-      // columns next to the row index and are projected away with it
+      // columns next to the row index and are projected away with it.
+      // An IDENTITY PARTITION key column is NOT in the data files (the
+      // write drops it to dir names) — a data-scratch read would serve
+      // NULL and silently miss; it routes through readPartitionSchema
+      // instead, where the reader serves the dir value (VERDICT r16 #2).
       val present = scan0.readSchema().fieldNames.toSet
-      val extra = ctxB.value.eqColumns
+      val partCols = scan0.fileIndex.partitionSchema.fieldNames.toSet
+      val missing = ctxB.value.eqColumns
         .filterNot { case (c, _) => present.contains(c) }
-        .map { case (c, t) => StructField(c, t, nullable = true) }
-      val withIdx = scan0.copy(readDataSchema =
-        StructType(scan0.readDataSchema.fields ++ extra :+ RowIdxField))
-      new MorScan(withIdx, scan0.readSchema(), extra.length, wantFile, ctxB)
+      val extra = missing.collect { case (c, t) if !partCols.contains(c) =>
+        StructField(c, t, nullable = true) }
+      val extraPart = missing.collect { case (c, t) if partCols.contains(c) =>
+        StructField(c, t, nullable = true) }
+      val withIdx = scan0.copy(
+        readDataSchema =
+          StructType(scan0.readDataSchema.fields ++ extra :+ RowIdxField),
+        readPartitionSchema =
+          StructType(scan0.readPartitionSchema.fields ++ extraPart))
+      new MorScan(withIdx, scan0.readSchema(), extra.length,
+        extraPart.length, wantFile, ctxB)
     }
   }
 
   private final class MorScan(withIdx: ParquetScan, outSchema: StructType,
-      extraCount: Int, wantFile: Boolean, ctx: Broadcast[MaskContext])
+      extraCount: Int, extraPartCount: Int, wantFile: Boolean,
+      ctx: Broadcast[MaskContext])
       extends Scan with Batch with SupportsReportStatistics {
 
     override def readSchema(): StructType =
@@ -142,13 +155,15 @@ object MorScans {
       FileTaggedScans.regroupByFile(withIdx.toBatch.planInputPartitions())
 
     override def createReaderFactory(): PartitionReaderFactory = {
-      // rows arrive as [dataCols..., eqScratch..., rowIdx, partCols...];
-      // every scratch column is projected away after masking
+      // rows arrive as [dataCols..., eqScratch..., rowIdx,
+      // partCols..., partScratch...]; every scratch column (data-side
+      // AND the appended partition-key scratch) is projected away
       val full = withIdx.readSchema()
       val rowIdxOrd = withIdx.readDataSchema.length - 1
       val scratchLow = rowIdxOrd - extraCount
       val keepOrdinals = (0 until full.length)
-        .filterNot(o => o >= scratchLow && o <= rowIdxOrd)
+        .filterNot(o => (o >= scratchLow && o <= rowIdxOrd) ||
+          o >= full.length - extraPartCount)
       val eqOrds: Array[Array[Int]] = ctx.value.eqBatches.map(b =>
         b.cols.map(full.fieldIndex).toArray)
       new MorReaderFactory(withIdx.toBatch.createReaderFactory(), ctx,
@@ -197,8 +212,13 @@ object MorScans {
         case IntegerType | DateType => Int.box(v.getInt(i))
         case LongType | TimestampType | TimestampNTZType =>
           Long.box(v.getLong(i))
-        case FloatType => Float.box(v.getFloat(i))
-        case DoubleType => Double.box(v.getDouble(i))
+        // -0.0 normalized to 0.0: the key set was normalized the same
+        // way (EqualityDeletes.normKeyValue) so the boxed-equality
+        // compare matches SQL's <=> semantics (ADVICE r16)
+        case FloatType =>
+          val f = v.getFloat(i); Float.box(if (f == 0.0f) 0.0f else f)
+        case DoubleType =>
+          val d = v.getDouble(i); Double.box(if (d == 0.0d) 0.0d else d)
         case StringType => v.getUTF8String(i)
         case d: DecimalType => v.getDecimal(i, d.precision, d.scale)
         case other => throw new IllegalStateException(
@@ -240,7 +260,8 @@ object MorScans {
         while (j < ords.length) {
           tuple(j) =
             if (row.isNullAt(ords(j))) null
-            else row.get(ords(j), batch.types(j))
+            else graft.catalog.EqualityDeletes.normKeyValue(
+              row.get(ords(j), batch.types(j)))
           j += 1
         }
         if (batch.keys.contains(

@@ -2096,23 +2096,58 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(e4.getMessage.contains("unsupported key type"))
   }
 
-  test("deleteByKey rejects identity partition columns (their values " +
-      "live in dir names — the scratch-column mask would read NULL and " +
-      "silently fail to mask; r16 review)") {
+  test("deleteByKey on an IDENTITY PARTITION key column masks via dir " +
+      "values (readPartitionSchema routing, VERDICT r16 #2): scans, " +
+      "re-insert, changelog and compact all agree") {
     import spark.implicits._
     spark.sql("""CREATE TABLE g2.db.eqpart (k BIGINT, region STRING)
       PARTITIONED BY (region)""")
-    spark.sql("INSERT INTO g2.db.eqpart VALUES (1, 'eu'), (2, 'us')")
-    val e = intercept[UnsupportedOperationException] {
-      graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqpart",
-        Seq("eu").toDF("region"))
-    }
-    assert(e.getMessage.contains("identity partition column"))
-    // non-partition keys on the same table still work
-    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqpart",
-      Seq(2L).toDF("k"))
+    spark.sql(
+      "INSERT INTO g2.db.eqpart VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
+    // CDC delete keyed on the partition column itself
+    val n = graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqpart",
+      Seq("eu").toDF("region"))
+    assert(n == 1L)
     assert(spark.sql("SELECT k FROM g2.db.eqpart").collect()
-      .map(_.getLong(0)).toSeq == Seq(1L))
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // pruned scan that never projects the partition column still masks
+    assert(spark.sql("SELECT count(*) FROM g2.db.eqpart").collect()
+      .head.getLong(0) == 1L)
+    // re-inserted keys are served (strict first-seen applicability)
+    spark.sql("INSERT INTO g2.db.eqpart VALUES (9, 'eu')")
+    assert(spark.sql("SELECT k FROM g2.db.eqpart ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 9L))
+    // changelog is row-exact for the partition-keyed delete commit
+    val cdc = graft.catalog.Changelog.read(spark, "g2.db.eqpart", 2L, 3L)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(cdc.toSeq == Seq((1L, "delete"), (3L, "delete")), cdc.toSeq)
+    // compact folds the mask; results unchanged after
+    graft.catalog.Maintenance.compact(spark, "g2.db.eqpart",
+      Seq("k"), targetFiles = 1)
+    assert(spark.sql("SELECT k FROM g2.db.eqpart ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 9L))
+    // multi-column key where ONE side is the partition column
+    spark.sql("""CREATE TABLE g2.db.eqpart2 (k BIGINT, region STRING)
+      PARTITIONED BY (region)""")
+    spark.sql(
+      "INSERT INTO g2.db.eqpart2 VALUES (1, 'eu'), (1, 'us'), (2, 'eu')")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqpart2",
+      Seq((1L, "eu")).toDF("k", "region"))
+    assert(spark.sql("SELECT k, region FROM g2.db.eqpart2 ORDER BY k, region")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "us"), (2L, "eu")))
+    // TIMESTAMP partition keys stay rejected (zone-dependent dir parse)
+    spark.sql("""CREATE TABLE g2.db.eqpartts (k BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (ts)""")
+    spark.sql(
+      "INSERT INTO g2.db.eqpartts VALUES (1, timestamp_seconds(1700000000))")
+    val e = intercept[UnsupportedOperationException] {
+      graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqpartts",
+        Seq(java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(1700000000L))).toDF("ts"))
+    }
+    assert(e.getMessage.contains("zone-dependent"))
   }
 
   test("multi-column equality keys match as TUPLES, not independently") {
@@ -2311,5 +2346,123 @@ class CatalogV2Spec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE g2.db.resv2 RENAME COLUMN a TO $bad")
     }
     assert(e3.getMessage.contains("reserved"))
+  }
+
+  // --- round-17 ADVICE r16 fixes ----------------------------------------
+
+  test("days() boundaries use the zone PINNED at CREATE: reads and " +
+      "writes from a session in another zone agree with the layout") {
+    val zoneConf = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(zoneConf)
+    try {
+      spark.conf.set(zoneConf, "Asia/Tokyo") // UTC+9, no DST
+      spark.sql("""CREATE TABLE g2.db.evzone (ev_id BIGINT, ts TIMESTAMP)
+        PARTITIONED BY (days(ts))""")
+      // 23:00 UTC = 08:00 next day in Tokyo: the two zones disagree on
+      // which day these rows belong to
+      spark.sql("""INSERT INTO g2.db.evzone
+        SELECT id, timestamp_seconds(1700000000 + 82800 + id)
+        FROM range(0, 4)""")
+      assert(spark.sql("SHOW TBLPROPERTIES g2.db.evzone").collect()
+        .exists(r => r.getString(0) ==
+          graft.catalog.PartitionTransforms.ZoneKey &&
+          r.getString(1) == "Asia/Tokyo"))
+      def probe(): Unit = {
+        val got = spark.sql("""SELECT ev_id FROM g2.db.evzone
+          WHERE ts >= timestamp_seconds(1700082800)
+            AND ts < timestamp_seconds(1700082803)""")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == Seq(0L, 1L, 2L), s"got $got")
+      }
+      probe()
+      // a READER (and a second WRITER) in a different session zone must
+      // see the same rows — pre-fix, prune() recomputed day intervals
+      // in the read zone and silently dropped the files
+      spark.conf.set(zoneConf, "America/Los_Angeles")
+      probe()
+      spark.sql("""INSERT INTO g2.db.evzone
+        SELECT id, timestamp_seconds(1700000000 + 82800 + id)
+        FROM range(4, 6)""")
+      spark.conf.set(zoneConf, "UTC")
+      assert(spark.sql("""SELECT count(*) FROM g2.db.evzone
+        WHERE ts >= timestamp_seconds(1700082800)""").collect()
+        .head.getLong(0) == 6)
+      // the on-disk layout stayed consistent: ONE day dir (Tokyo's),
+      // not one per writer zone
+      val dataDir = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.g2.warehouse"),
+        "db", "evzone", "data")
+      val dayDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(dataDir).iterator()).asScala
+        .map(_.getFileName.toString).filter(_.startsWith("ts_day=")).toSeq
+      // 1700082800 = 2023-11-15 21:13 UTC = 2023-11-16 06:13 Tokyo:
+      // every writer derived TOKYO's day regardless of its session zone
+      assert(dayDirs == Seq("ts_day=2023-11-16"), s"got $dayDirs")
+    } finally spark.conf.set(zoneConf, orig)
+  }
+
+  test("equality deletes treat -0.0 and 0.0 as the SAME double key in " +
+      "both the scan mask and the rewrite path") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.negz (d DOUBLE, v STRING)")
+    spark.sql("""INSERT INTO g2.db.negz VALUES
+      (cast(-0.0 as double), 'neg'), (cast(0.0 as double), 'pos'),
+      (1.5, 'other')""")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.negz",
+      Seq(0.0).toDF("d"))
+    // interactive scan: both zero rows masked (SQL: -0.0 = 0.0)
+    assert(spark.sql("SELECT v FROM g2.db.negz").collect()
+      .map(_.getString(0)).toSeq == Seq("other"))
+    // rewrite path agrees (pre-fix: compact dropped rows scans served)
+    graft.catalog.Maintenance.compact(spark, "g2.db.negz",
+      Seq("v"), targetFiles = 1)
+    assert(spark.sql("SELECT v FROM g2.db.negz").collect()
+      .map(_.getString(0)).toSeq == Seq("other"))
+    // and the mirror image: delete by -0.0 masks the +0.0 row too
+    spark.sql("CREATE TABLE g2.db.negz2 (d DOUBLE, v STRING)")
+    spark.sql("""INSERT INTO g2.db.negz2 VALUES
+      (cast(0.0 as double), 'pos'), (2.5, 'other')""")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.negz2",
+      Seq(-0.0).toDF("d"))
+    assert(spark.sql("SELECT v FROM g2.db.negz2").collect()
+      .map(_.getString(0)).toSeq == Seq("other"))
+  }
+
+  test("ALTER TABLE on a nonexistent table leaves no stray directory " +
+      "in the warehouse") {
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g2.db.ghost_alter ADD COLUMN x INT")
+    }
+    assert(e.getMessage.toLowerCase.contains("table"))
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "ghost_alter")
+    assert(!java.nio.file.Files.exists(dir),
+      s"ALTER on a missing table created $dir")
+  }
+
+  test("delete_by_key CSV quoting: a quoted value carries a literal " +
+      "comma; unquoted values keep the historical split") {
+    spark.sql("CREATE TABLE g2.db.dbkq (s STRING, v INT)")
+    spark.sql("""INSERT INTO g2.db.dbkq VALUES
+      ('a,b', 1), ('a', 2), ('b', 3), ('say "hi"', 4), ('plain', 5)""")
+    // quoted token: ONE key 'a,b' — pre-fix this split into 'a' and 'b'
+    // and masked the WRONG rows
+    val r1 = spark.sql(
+      """CALL g2.system.delete_by_key('db.dbkq', 's', '"a,b"')""")
+      .collect().head.getLong(0)
+    assert(r1 == 1L)
+    assert(spark.sql("SELECT s FROM g2.db.dbkq ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "say \"hi\"", "plain"))
+    // escaped quotes inside a quoted token
+    spark.sql("CALL g2.system.delete_by_key('db.dbkq', 's', " +
+      "'\"say \"\"hi\"\"\", plain')")
+    assert(spark.sql("SELECT s FROM g2.db.dbkq ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
+    // unterminated quote fails loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL g2.system.delete_by_key('db.dbkq', 's', '\"oops')")
+    }
+    assert(e.getMessage.contains("unterminated"))
   }
 }
