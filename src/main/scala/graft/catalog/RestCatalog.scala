@@ -203,19 +203,47 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String]): Table = {
-    val partCols = partitions.toSeq.map {
-      case t if t.name == "identity" => t.references().head.fieldNames().mkString(".")
+    // transform partitioning over REST (r17, VERDICT r16 #6 — the last
+    // createTable parity gap): the same named-transform parse
+    // MetaCatalog.createTable does, validated client-side, shipped as
+    // per-transform spec strings the server parses back
+    def ref(t: org.apache.spark.sql.connector.expressions.Transform): String =
+      t.references().head.fieldNames().mkString(".")
+    def intArg(t: org.apache.spark.sql.connector.expressions.Transform): Int =
+      t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"transform $t needs an integer argument"))
+    val partSpec: Seq[PartitionTransforms.T] = partitions.toSeq.map {
+      case t if t.name == "identity" => PartitionTransforms.Identity(ref(t))
+      case t if t.name == "days" => PartitionTransforms.Days(ref(t))
+      case t if t.name == "bucket" =>
+        PartitionTransforms.Bucket(intArg(t), ref(t))
+      case t if t.name == "truncate" =>
+        PartitionTransforms.Trunc(intArg(t), ref(t))
       case t => throw new UnsupportedOperationException(
-        s"graft tables support identity partitioning only; got $t")
+        s"graft tables support identity, days, bucket and truncate " +
+          s"partitioning; got $t")
     }
-    partCols.find(c => !schema.fieldNames.contains(c)).foreach { c =>
-      throw new IllegalArgumentException(s"partition column $c not in schema")
+    partSpec.foreach(PartitionTransforms.validate(_, schema))
+    // pin the CLIENT session's zone for days() boundaries — the writers
+    // live client-side, the server only stores metadata
+    val needsZone = partSpec.exists {
+      case PartitionTransforms.Days(c) =>
+        schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]
+      case _ => false
     }
+    val props = new java.util.HashMap[String, String](properties)
+    if (needsZone && !props.containsKey(PartitionTransforms.ZoneKey))
+      props.put(PartitionTransforms.ZoneKey, org.apache.spark.sql.internal
+        .SQLConf.get.sessionLocalTimeZone)
     val body = mapper.writeValueAsString(Map(
       "name" -> ident.name(),
       "schema-json" -> schema.json,
-      "partition-cols" -> partCols.toArray,
-      "properties" -> properties).asJava)
+      "partition-cols" -> partSpec.map(_.spec).toArray,
+      "properties" -> props).asJava)
     val res = expect("POST",
       s"/v1/namespaces/${nsPart(ident.namespace())}/tables", Some(body),
       Set(200, 409))
@@ -462,10 +490,15 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0,
               .foreach(e => props.setProperty(e.getKey, e.getValue.asText())))
             val partCols = Option(req.get("partition-cols")).toSeq
               .flatMap(_.elements().asScala.map(_.asText())).filter(_.nonEmpty)
-            if (partCols.nonEmpty)
+            if (partCols.nonEmpty) {
+              val spec = partCols.map(PartitionTransforms.parse)
+              // validate SERVER-side too: a raw HTTP client could send
+              // a transform over a wrong-typed column or a derived
+              // dir-name collision the Spark client never sees
+              spec.foreach(PartitionTransforms.validate(_, schema))
               props.setProperty("graft.partition.columns",
-                PartitionTransforms.formatSpec(
-                  partCols.map(PartitionTransforms.parse)))
+                PartitionTransforms.formatSpec(spec))
+            }
             if (!props.isEmpty) {
               val out = Files.newOutputStream(
                 dir.resolve("_graft_props.properties"))

@@ -464,11 +464,15 @@ object Extras {
     // TYPE PROMOTION (Iceberg spec §4 legal widenings): ALTER COLUMN
     // int→bigint seals a schema generation; files written before the
     // promotion keep the NARROW physical type and serve correct wide
-    // values through a widening cast in the composite scan (no data
-    // rewrite). Phases: 'rows' (narrow-era and wide-era rows under the
+    // values natively (Spark's parquet reader widens narrow columns
+    // under the declared schema — no data rewrite, no compact
+    // required). Phases: 'rows' (narrow-era and wide-era rows under the
     // wide schema, incl. a value beyond int range), 'agg' (a sum that
-    // only works if both eras read exactly), and 'compacted' (the same
-    // rows after compact migrates every file to the wide type).
+    // only works if both eras read exactly), 'mutated' (r17 — UPSERT
+    // and a deleteByKey KEYED ON THE PROMOTED COLUMN, both WITHOUT an
+    // intervening compact: row-level writes are first-class on promoted
+    // tables), and 'compacted' (the same rows after compact migrates
+    // every file to the wide type).
     Probe.df("q_promote_type",
       """WITH nat AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS k,
@@ -477,13 +481,19 @@ object Extras {
         |  SELECT CAST(100 + r_regionkey AS BIGINT) AS k,
         |         CAST(3000000000 + r_regionkey AS BIGINT) AS q FROM region),
         |allr AS (SELECT k, q FROM nat UNION ALL SELECT k, q FROM wide),
+        |mut AS (
+        |  SELECT k, CASE WHEN k = 1 THEN CAST(777 AS BIGINT) ELSE q END AS q
+        |  FROM allr WHERE NOT (k = 3 AND q = 9)
+        |  UNION ALL SELECT CAST(555 AS BIGINT), CAST(888 AS BIGINT)),
         |phases AS (
         |  SELECT 'rows' AS phase, k, q FROM allr
-        |  UNION ALL SELECT 'compacted', k, q FROM allr
+        |  UNION ALL SELECT 'mutated', k, q FROM mut
+        |  UNION ALL SELECT 'compacted', k, q FROM mut
         |  UNION ALL SELECT 'agg', CAST(count(*) AS BIGINT),
         |    CAST(sum(q) AS BIGINT) FROM allr)
         |SELECT phase, k, q FROM phases ORDER BY phase, k, q""".stripMargin) {
       (s, dir) =>
+      import s.implicits._
       val wh = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
       s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
@@ -502,8 +512,19 @@ object Extras {
         "SELECT 'rows' AS phase, k, q FROM gprobe.db.promo")
       val agg = s.sql("""SELECT 'agg' AS phase,
         CAST(count(*) AS BIGINT) AS k, sum(q) AS q FROM gprobe.db.promo""")
-      // collected before compact rewrites the layout
-      val preCompact = rows.unionAll(agg).collect()
+      // collected before the row-level mutations below
+      val preMutation = rows.unionAll(agg).collect()
+      // r17: row-level writes WITHOUT compacting first — the upsert
+      // reads narrow-era files natively widened, and the equality
+      // delete keys on the PROMOTED column (narrow files scratch-read
+      // q widened, so the wide key masks the int-era row)
+      graft.catalog.Maintenance.upsert(s, "gprobe.db.promo",
+        Seq((1L, 777L), (555L, 888L)).toDF("k", "q"), Seq("k"))       // v4
+      graft.catalog.Maintenance.deleteByKey(s, "gprobe.db.promo",
+        Seq(9L).toDF("q"))                                            // v5
+      val mutated = s.sql(
+        "SELECT 'mutated' AS phase, k, q FROM gprobe.db.promo")
+      val preCompact = preMutation ++ mutated.collect()
       graft.catalog.Maintenance.compact(s, "gprobe.db.promo", Seq("k"), 1)
       val compacted = s.sql(
         "SELECT 'compacted' AS phase, k, q FROM gprobe.db.promo")
@@ -515,6 +536,128 @@ object Extras {
         outSchema)
         .unionAll(compacted)
         .orderBy("phase", "k", "q")
+    },
+
+    // MERGE / UPDATE ON HIDDEN-PARTITIONED TABLES (r17, VERDICT r16
+    // #1): row-level commands over days()- and bucket()-partitioned
+    // tables — the V2 writer recomputes each row's derived dir value
+    // through the same catalyst expressions the prune path evaluates
+    // (BatchWrites.deriveExpr), and runtime group filtering dir-prunes
+    // the rewrite. Phases over a days(ts) events table: 'merged'
+    // (matched UPDATE + unmatched INSERT into a brand-new day),
+    // 'updated' (a day-range UPDATE that dir-prunes), 'compacted' (the
+    // same rows after compact); plus a bucket(8, c_custkey) customer
+    // table: 'bucket' (MERGE matched + unmatched) and
+    // 'bucket_compacted'.
+    Probe.df("q_merge_partitioned",
+      """WITH ev AS (SELECT event_id, ts, value FROM events),
+        |merged AS (
+        |  SELECT event_id, ts,
+        |    CASE WHEN event_id % 97 = 0 THEN value + 1000 ELSE value END AS value
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT event_id + 1000000, TIMESTAMP '2024-02-05 12:00:00',
+        |    CAST(event_id AS DOUBLE)
+        |  FROM ev WHERE event_id % 203 = 0),
+        |updated AS (
+        |  SELECT event_id, ts,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        |         THEN value * 2 ELSE value END AS value
+        |  FROM merged),
+        |cust AS (SELECT c_custkey, c_acctbal FROM customer),
+        |bkt AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 500
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT c_custkey + 500000, CAST(c_custkey AS DOUBLE)
+        |  FROM cust WHERE c_custkey % 13 = 0),
+        |dayagg AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(value) AS DOUBLE) AS sv
+        |  FROM updated GROUP BY 1),
+        |phases AS (
+        |  SELECT 'merged' AS phase, CAST(ts AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(value) AS DOUBLE) AS sv
+        |  FROM merged GROUP BY 2
+        |  UNION ALL SELECT 'updated', d, n, sv FROM dayagg
+        |  UNION ALL SELECT 'compacted', d, n, sv FROM dayagg
+        |  UNION ALL SELECT ph, DATE '2024-01-01',
+        |    CAST(count(*) AS BIGINT), CAST(sum(c_acctbal) AS DOUBLE)
+        |  FROM bkt CROSS JOIN (SELECT 'bucket' AS ph UNION ALL
+        |    SELECT 'bucket_compacted') GROUP BY ph)
+        |SELECT phase, d, n, sv FROM phases ORDER BY phase, d""".stripMargin) {
+      (s, dir) =>
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.evmrgp")
+      s.sql("""CREATE TABLE gprobe.db.evmrgp
+        (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+        PARTITIONED BY (days(ts))""")
+      s.sql("INSERT INTO gprobe.db.evmrgp " +
+        "SELECT event_id, ts, value FROM events")
+      // matched UPDATE (+1000) and unmatched INSERT into a NEW day dir
+      s.sql("""MERGE INTO gprobe.db.evmrgp t
+        USING (
+          SELECT event_id, ts, value FROM events WHERE event_id % 97 = 0
+          UNION ALL
+          SELECT event_id + 1000000, TIMESTAMP '2024-02-05 12:00:00',
+                 CAST(event_id AS DOUBLE)
+          FROM events WHERE event_id % 203 = 0) s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET t.value = t.value + 1000
+        WHEN NOT MATCHED THEN INSERT *""")
+      def dayAgg(phase: String) = s.sql(s"""SELECT '$phase' AS phase,
+          CAST(ts AS DATE) AS d, count(*) AS n,
+          CAST(sum(value) AS DOUBLE) AS sv
+        FROM gprobe.db.evmrgp GROUP BY 1, 2""")
+      val merged = dayAgg("merged").collect()
+      // day-range UPDATE: runtime group filtering + dir pruning
+      s.sql("""UPDATE gprobe.db.evmrgp SET value = value * 2
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-15 00:00:00'""")
+      val updated = dayAgg("updated").collect()
+      graft.catalog.Maintenance.compact(s, "gprobe.db.evmrgp",
+        Seq("event_id"), 2)
+      val compacted = dayAgg("compacted").collect()
+      // bucket(8, k): MERGE matched + unmatched, then compact
+      s.sql("DROP TABLE IF EXISTS gprobe.db.custb")
+      s.sql("""CREATE TABLE gprobe.db.custb
+        (c_custkey BIGINT, c_acctbal DOUBLE)
+        PARTITIONED BY (bucket(8, c_custkey))""")
+      s.sql("INSERT INTO gprobe.db.custb " +
+        "SELECT c_custkey, c_acctbal FROM customer")
+      s.sql("""MERGE INTO gprobe.db.custb t
+        USING (
+          SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 11 = 0
+          UNION ALL
+          SELECT c_custkey + 500000, CAST(c_custkey AS DOUBLE)
+          FROM customer WHERE c_custkey % 13 = 0) s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET t.c_acctbal = t.c_acctbal + 500
+        WHEN NOT MATCHED THEN INSERT *""")
+      def bAgg(phase: String) = s.sql(s"""SELECT '$phase' AS phase,
+          DATE '2024-01-01' AS d, count(*) AS n,
+          CAST(sum(c_acctbal) AS DOUBLE) AS sv FROM gprobe.db.custb""")
+      val bucket = bAgg("bucket").collect()
+      graft.catalog.Maintenance.compact(s, "gprobe.db.custb",
+        Seq("c_custkey"), 2)
+      val bucketC = bAgg("bucket_compacted").collect()
+      import org.apache.spark.sql.types._
+      val outSchema = StructType(Seq(StructField("phase", StringType, false),
+        StructField("d", DateType, true), StructField("n", LongType, false),
+        StructField("sv", DoubleType, true)))
+      s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          (merged ++ updated ++ compacted ++ bucket ++ bucketC).toSeq).asJava,
+        outSchema)
+        .orderBy("phase", "d")
     },
 
     // HIDDEN PARTITIONING (Iceberg spec §4 partition transforms): a

@@ -10,7 +10,7 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal, Murmur3Hash, Pmod, Substring, Subtract, UnsafeProjection}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -20,6 +20,8 @@ import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, Parqu
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
+
+import graft.catalog.PartitionTransforms
 
 /** Distributed DSv2 parquet `BatchWrite` built on Spark's own writer
   * stack (`ParquetUtils.prepareWrite` → `ParquetOutputWriter` — the same
@@ -39,15 +41,22 @@ import org.apache.spark.util.SerializableConfiguration
   * paths and runs the caller's snapshot-commit callback; `abort` hands
   * back whatever was staged for cleanup.
   *
-  * Identity-partitioned tables: rows route to hive-layout
-  * `col=value/` dirs (values escaped exactly like Spark's own dynamic
-  * partition write, so the read side's partition-dir inference agrees),
-  * and the partition columns are DROPPED from the data files — the same
-  * on-disk contract as the catalog's V1 `partitionBy` writes. The Write
-  * declares a clustered distribution on the partition columns, so Spark
-  * shuffles the replacement data and each task sees few partition dirs
-  * (bounding open writers / file count — the dynamic-partition-write
-  * discipline at any scale). */
+  * Partitioned tables route rows to hive-layout `col=value/` dirs
+  * (values escaped exactly like Spark's own dynamic partition write, so
+  * the read side's partition-dir inference agrees). IDENTITY columns
+  * are dropped from the data files — the same on-disk contract as the
+  * catalog's V1 `partitionBy` writes. HIDDEN transforms (r17, VERDICT
+  * r16 #1 — `days(ts)` / `bucket(n,k)` / `truncate(w,s)`) derive their
+  * dir value per row through the SAME catalyst expressions the V1 write
+  * path evaluates ([[PartitionTransforms.derive]]: an explicit-zone
+  * Cast for days, Spark's Murmur3 `hash()` for bucket), compiled to one
+  * `UnsafeProjection` per task, so a MERGE INTO a days-partitioned
+  * table lands rewritten rows in exactly the dirs the prune path
+  * expects — including rows whose UPDATE moved them to another day.
+  * The Write declares a clustered distribution on the partition SOURCE
+  * columns, so Spark shuffles the replacement data and each task sees
+  * few partition dirs (bounding open writers / file count — the
+  * dynamic-partition-write discipline at any scale). */
 object BatchWrites {
 
   final case class Staged(path: String) extends WriterCommitMessage
@@ -61,11 +70,20 @@ object BatchWrites {
   def parquetWrite(spark: SparkSession, schema: StructType,
       stagingDir: String, onCommit: Seq[String] => Unit,
       onAbort: Seq[String] => Unit,
-      partitionCols: Seq[String] = Nil): Write = {
+      partitionSpec: Seq[PartitionTransforms.T] = Nil,
+      partitionZone: Option[String] = None): Write = {
     val cs = spark.asInstanceOf[ClassicSession]
+    val identityCols = partitionSpec.collect {
+      case PartitionTransforms.Identity(c) => c
+    }
     val fileSchema =
-      StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+      StructType(schema.filterNot(f => identityCols.contains(f.name)))
     require(fileSchema.nonEmpty, "cannot write a table that is ALL partition columns")
+    // the zone days() derives in: the table's pinned zone, else the
+    // session zone captured HERE on the driver (executors must not read
+    // their own local session conf)
+    val zone = partitionZone.getOrElse(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val job = Job.getInstance(cs.sessionState.newHadoopConf())
     val fac = ParquetUtils.prepareWrite(cs.sessionState.conf, job, fileSchema,
       new ParquetOptions(Map.empty[String, String], cs.sessionState.conf))
@@ -73,13 +91,17 @@ object BatchWrites {
     new Write with BatchWrite with RequiresDistributionAndOrdering { self =>
       override def toBatch: BatchWrite = self
       override def requiredDistribution: Distribution =
-        if (partitionCols.isEmpty) Distributions.unspecified()
+        if (partitionSpec.isEmpty) Distributions.unspecified()
         else Distributions.clustered(
-          partitionCols.map(c => Expressions.identity(c)).toArray)
+          // cluster on the SOURCE columns: identity dirs colocate
+          // exactly; transform dirs colocate because equal sources
+          // derive equal dir values (a superset partitioning)
+          partitionSpec.map(t => Expressions.identity(t.source)).toArray)
       override def requiredOrdering: Array[SortOrder] = Array.empty
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
-        ParquetWriterFactory(fac, conf, schema, partitionCols, stagingDir)
+        ParquetWriterFactory(fac, conf, schema, partitionSpec, zone,
+          stagingDir)
       override def commit(msgs: Array[WriterCommitMessage]): Unit =
         onCommit(msgs.toSeq.flatMap {
           case Staged(p) => Seq(p)
@@ -124,9 +146,35 @@ object BatchWrites {
     ExternalCatalogUtils.escapePathName(name) + "=" + frag
   }
 
+  /** The write-path derivation of one hidden transform as a catalyst
+    * expression over `ref` — the SAME shapes [[PartitionTransforms
+    * .derive]] builds for the V1 path (explicit-zone Cast for days over
+    * zoned timestamps; Spark's Murmur3 `hash()` seed for bucket;
+    * prefix / floor-to-multiple for truncate), so the V2 row-level
+    * writes and the prune path can never disagree on a dir value. */
+  private def deriveExpr(t: PartitionTransforms.T, ref: BoundReference,
+      zone: String): org.apache.spark.sql.catalyst.expressions.Expression =
+    t match {
+      case PartitionTransforms.Identity(_) => ref
+      case PartitionTransforms.Days(_) => ref.dataType match {
+        case _: DateType => ref
+        // NTZ casts to DATE by wall time (zone-free); zoned timestamps
+        // cast in the table's pinned zone
+        case _ => Cast(ref, DateType, Some(zone))
+      }
+      case PartitionTransforms.Bucket(n, _) =>
+        Pmod(new Murmur3Hash(Seq(ref)), Literal(n))
+      case PartitionTransforms.Trunc(w, _) => ref.dataType match {
+        case _: StringType => Substring(ref, Literal(1), Literal(w))
+        case _ =>
+          val v = Cast(ref, LongType)
+          Subtract(v, Pmod(v, Literal(w.toLong)))
+      }
+    }
+
   final case class ParquetWriterFactory(fac: OutputWriterFactory,
       conf: SerializableConfiguration, schema: StructType,
-      partitionCols: Seq[String],
+      partitionSpec: Seq[PartitionTransforms.T], zone: String,
       stagingDir: String) extends DataWriterFactory {
 
     override def createWriter(partitionId: Int,
@@ -136,9 +184,12 @@ object BatchWrites {
           TaskType.MAP, partitionId),
         (taskId % Int.MaxValue).toInt)
       val ctx = new TaskAttemptContextImpl(conf.value, attempt)
+      val identityCols = partitionSpec.collect {
+        case PartitionTransforms.Identity(c) => c
+      }
       val fileSchema =
-        StructType(schema.filterNot(f => partitionCols.contains(f.name)))
-      val partFields = partitionCols.map(c => schema.fields(schema.fieldIndex(c)))
+        StructType(schema.filterNot(f => identityCols.contains(f.name)))
+      val hidden = partitionSpec.filterNot(_.isIdentity)
 
       final class WEntry(val w: OutputWriter, val path: String) {
         var n = 0L
@@ -157,7 +208,11 @@ object BatchWrites {
         // are skipped — COW replacement data must not contain them).
         private var offset = -1
         private var dataProj: UnsafeProjection = _
-        private var partOrds: Array[Int] = _
+        // hidden-transform dir values, computed per row through ONE
+        // codegen'd projection (spec order over the non-identity specs)
+        private var derivedProj: UnsafeProjection = _
+        private var derivedTypes: Array[DataType] = _
+        private var identityOrds: Map[String, Int] = _
 
         private def setup(r: InternalRow): Unit = {
           offset =
@@ -166,13 +221,22 @@ object BatchWrites {
             else throw new IllegalStateException(
               s"row has ${r.numFields} fields for write schema ${schema.simpleString}")
           val dataIdx = schema.fields.zipWithIndex
-            .filterNot { case (f, _) => partitionCols.contains(f.name) }
+            .filterNot { case (f, _) => identityCols.contains(f.name) }
           dataProj = UnsafeProjection.create(
             dataIdx.map { case (f, i) =>
               BoundReference(i + offset, f.dataType, f.nullable)
             }.toIndexedSeq)
-          partOrds = partitionCols
-            .map(c => schema.fieldIndex(c) + offset).toArray
+          identityOrds = identityCols
+            .map(c => c -> (schema.fieldIndex(c) + offset)).toMap
+          if (hidden.nonEmpty) {
+            val exprs = hidden.map { t =>
+              val i = schema.fieldIndex(t.source)
+              deriveExpr(t, BoundReference(i + offset,
+                schema.fields(i).dataType, nullable = true), zone)
+            }
+            derivedProj = UnsafeProjection.create(exprs.toIndexedSeq)
+            derivedTypes = exprs.map(_.dataType).toArray
+          }
         }
 
         override def write(r: InternalRow): Unit = {
@@ -181,10 +245,20 @@ object BatchWrites {
               org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION)
             return
           val rel =
-            if (partitionCols.isEmpty) ""
-            else partFields.iterator.zip(partOrds.iterator)
-              .map { case (f, ord) => partFragment(f.name, f.dataType, r, ord) }
-              .mkString("/")
+            if (partitionSpec.isEmpty) ""
+            else {
+              val derived = if (hidden.isEmpty) null else derivedProj(r)
+              var hi = 0
+              partitionSpec.iterator.map {
+                case PartitionTransforms.Identity(c) =>
+                  partFragment(c, schema(c).dataType, r, identityOrds(c))
+                case t =>
+                  val frag =
+                    partFragment(t.dirName, derivedTypes(hi), derived, hi)
+                  hi += 1
+                  frag
+              }.mkString("/")
+            }
           val entry = writers.getOrElseUpdate(rel, {
             val dir = if (rel.isEmpty) stagingDir else s"$stagingDir/$rel"
             java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))

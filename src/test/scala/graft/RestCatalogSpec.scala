@@ -162,6 +162,58 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE with transform partitioning PURELY over REST " +
+      "(r17, VERDICT r16 #6): create, write, prune and spec round-trip " +
+      "without touching the owning catalog") {
+    withServer { port =>
+      spark.conf.set("spark.sql.catalog.rcat5", "graft.catalog.RestCatalog")
+      spark.conf.set("spark.sql.catalog.rcat5.uri", s"http://127.0.0.1:$port")
+      try {
+        spark.sql("""CREATE TABLE rcat5.db.evrest
+          (k BIGINT, ts TIMESTAMP, v STRING)
+          PARTITIONED BY (bucket(8, k), days(ts))""")
+        spark.sql("""INSERT INTO rcat5.db.evrest
+          SELECT id, timestamp_seconds(1700000000 + (id % 3) * 86400 + id),
+                 concat('v', CAST(id AS STRING))
+          FROM range(0, 30)""")
+        // point lookup on the bucket source + a day range both work
+        assert(spark.sql("SELECT v FROM rcat5.db.evrest WHERE k = 7")
+          .collect().map(_.getString(0)).toSeq == Seq("v7"))
+        assert(spark.sql("""SELECT count(*) FROM rcat5.db.evrest
+          WHERE ts < timestamp_seconds(1700086400)""").collect()
+          .head.getLong(0) == 30 / 3)
+        // the derived layout really landed (both transforms nested)
+        val dataDir = java.nio.file.Paths.get(wh, "db", "evrest", "data")
+        val buckets = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.list(dataDir).iterator()).asScala
+          .map(_.getFileName.toString).filter(_.startsWith("k_bucket="))
+          .toSeq
+        assert(buckets.nonEmpty, "bucket dirs missing")
+        // spec + pinned zone round-trip through table properties
+        val p = new java.util.Properties()
+        val in = java.nio.file.Files.newInputStream(java.nio.file.Paths
+          .get(wh, "db", "evrest", "_graft_props.properties"))
+        try p.load(in) finally in.close()
+        assert(p.getProperty("graft.partition.columns") ==
+          "bucket(8,k);days(ts)")
+        assert(p.getProperty(
+          graft.catalog.PartitionTransforms.ZoneKey) != null)
+        // the owning catalog reads the same table identically
+        assert(spark.sql("SELECT count(*) FROM rsrc.db.evrest").collect()
+          .head.getLong(0) == 30)
+        // validation parity: wrong-typed transform source rejects
+        val e = intercept[Exception] {
+          spark.sql("""CREATE TABLE rcat5.db.badrest (s STRING)
+            PARTITIONED BY (days(s))""")
+        }
+        assert(e.getMessage.contains("timestamp/date"))
+      } finally {
+        spark.conf.unset("spark.sql.catalog.rcat5")
+        spark.conf.unset("spark.sql.catalog.rcat5.uri")
+      }
+    }
+  }
+
   test("auth: configured server rejects missing/wrong credentials, accepts bearer and basic") {
     val tok = "sekrit-token-123"
     val srv = new RestCatalogServer(Paths.get(wh), 0, Some(s"Bearer $tok"))
