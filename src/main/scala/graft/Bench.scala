@@ -247,16 +247,43 @@ object Bench {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"standalone":$stjson,"load":$load,"load_start":$loadStart,"sf":"$sfDir"}"""
-    println(line)
-    // The line has outgrown the driver's stdout tail capture (BENCH_r09
-    // lost its first six query timings) — also land the full line on
-    // disk so every round-trip carries every query (VERDICT r9 #7).
+    // STDOUT gets a line that FITS THE DRIVER'S 2000-CHAR TAIL CAPTURE
+    // (VERDICT r16 #7: the full line with spread + standalone outgrew
+    // it in r15 AND r16 — its head was cut off mid-JSON and the
+    // driver's parse failed, leaving "parsed": null): per-query values
+    // at 3 decimals (1 ms — below bench noise), NO spread/standalone
+    // maps. The FULL line (full precision + the self-adjudication
+    // attachments) lands in BENCH_LOCAL.json (driver-clobbered
+    // post-commit) AND tools/bench_attach.json (atomic write, survives
+    // the clobber — the standalone/spread evidence an adjudicator
+    // reads next to BENCH_r{N}.json).
+    val qjsonOut = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v >= 0) f"$v%.3f" else "-1") }
+      .mkString("{", ",", "}")
+    val stdoutLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjsonOut,"load":$load,"load_start":$loadStart,"sf":"$sfDir"}"""
+    if (stdoutLine.length > 1800) System.err.println(
+      s"[bench] WARNING: stdout line ${stdoutLine.length} chars — " +
+        "approaching the driver's 2000-char tail; trim precision or keys")
+    println(stdoutLine)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
       line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
+    }
+    try {
+      val attach = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_ATTACH", "tools/bench_attach.json"))
+      val tmp = attach.resolveSibling(
+        s".attach.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, attach,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_attach.json: $e")
     }
     // QUIET runs refresh the bands file in place (VERDICT r15 #6): the
     // per-query best-ever only ever TIGHTENS (min of old band, in-suite

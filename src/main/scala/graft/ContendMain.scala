@@ -273,15 +273,143 @@ object ContendMain {
           s"unreferenced data files survive the sweep: $strays")
         println(s"CONTEND KILL OK v=$v acked=$acked swept=$swept " +
           s"versions=${versions.head}..${versions.last}")
+
+      case "hpinit" =>
+        // stage 4 (r17, VERDICT r16 #8 — the pairwise-feature matrix):
+        // ONE days()-partitioned table that two JVMs will hit with
+        // hidden-partition MERGEs, equality deletes AND a mid-race type
+        // promotion. Every r16/r17 feature interaction on one table.
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS gcont.s")
+        spark.sql("""CREATE TABLE gcont.s.h
+          (k BIGINT, ts TIMESTAMP, q INT, tag STRING)
+          PARTITIONED BY (days(ts))""")
+        spark.sql("""INSERT INTO gcont.s.h
+          SELECT id, timestamp_seconds(1700000000 + (id % 4) * 86400),
+                 CAST(id AS INT), 'seed'
+          FROM range(1, 201)""")
+
+      case "hpwriter" =>
+        // n rounds per process (base 0 / 100, disjoint effect slices):
+        //  - MERGE INTO: one FIXED matched key incremented (+1 per
+        //    round — exactly-once measurable) + one unmatched insert
+        //    into a derived day dir (the r17 hidden-partition V2 write
+        //    under cross-JVM contention);
+        //  - delete_by_key of one owned seed row (eq sidecars racing);
+        //  - base=0 PROMOTES q int→bigint at the halfway round, while
+        //    the other JVM's in-flight writes epoch-abort and retry;
+        //  - an INSERT every 3rd round.
+        // Every op retries on abort (schema-epoch, lost CAS): an abort
+        // means nothing committed, so retry keeps exactly-once.
+        val n = args(2).toInt
+        val base = args(3).toInt
+        val fixedKey = if (base == 0) 181 else 182
+        def retry[A](what: String)(body: => A): A = {
+          var attempts = 0
+          while (true) {
+            attempts += 1
+            try return body
+            catch {
+              case e: Exception if attempts < 30 =>
+                System.err.println(s"[contend] $what retry " +
+                  s"(${e.getClass.getSimpleName}: " +
+                  s"${Option(e.getMessage).getOrElse("").take(80)})")
+            }
+          }
+          sys.error("unreachable")
+        }
+        (1 to n).foreach { i =>
+          retry(s"merge $i")(spark.sql(s"""MERGE INTO gcont.s.h t
+            USING (
+              SELECT CAST($fixedKey AS BIGINT) AS k,
+                     timestamp_seconds(1700000000) AS ts,
+                     0 AS q, 'x' AS tag
+              UNION ALL
+              SELECT CAST(${5000 + base + i} AS BIGINT),
+                     timestamp_seconds(${1700000000L + (i % 6) * 86400}),
+                     ${base + i}, 'mrg$base') s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET t.q = t.q + 1
+            WHEN NOT MATCHED THEN INSERT *"""))
+          retry(s"eqdel $i")(spark.sql("CALL gcont.system.delete_by_key" +
+            s"('s.h', 'k', '${base + i}')").collect())
+          if (base == 0 && i == n / 2)
+            retry("promote")(spark.sql(
+              "ALTER TABLE gcont.s.h ALTER COLUMN q TYPE BIGINT"))
+          if (i % 3 == 0)
+            retry(s"insert $i")(spark.sql(
+              s"INSERT INTO gcont.s.h VALUES (${7000 + base + i}, " +
+                s"timestamp_seconds(1700000000), 1, 'ins$base')"))
+          println(s"hpwriter $base committed $i")
+          Console.out.flush()
+        }
+        println(s"hpwriter done base=$base n=$n")
+
+      case "checkhp" =>
+        // exactly-once effects after the two racing hpwriters: eq
+        // deletes masked each owned seed row once; the fixed MERGE keys
+        // carry EXACTLY n increments each (a lost or double-applied
+        // rewrite shows up here); unmatched merge inserts and plain
+        // inserts exactly once; the promotion landed (wide values
+        // readable; narrow-era rows exact); history contiguous; the
+        // whole state stable under compaction; day-dir pruning exact.
+        val n = args(2).toInt
+        val byTag = spark.sql(
+            "SELECT tag, count(*) AS n FROM gcont.s.h GROUP BY tag")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(byTag.getOrElse("seed", 0L) == 200L - 2L * n,
+          s"seed rows after 2x$n eq deletes: ${byTag.get("seed")}")
+        require(byTag.getOrElse("mrg0", 0L) == n &&
+          byTag.getOrElse("mrg100", 0L) == n,
+          s"merge inserts lost/duplicated: $byTag")
+        require(byTag.getOrElse("ins0", 0L) == n / 3 &&
+          byTag.getOrElse("ins100", 0L) == n / 3,
+          s"racing inserts lost/duplicated: $byTag")
+        val q181 = spark.sql("SELECT q FROM gcont.s.h WHERE k = 181")
+          .collect().head.getLong(0)
+        val q182 = spark.sql("SELECT q FROM gcont.s.h WHERE k = 182")
+          .collect().head.getLong(0)
+        require(q181 == 181L + n && q182 == 182L + n,
+          s"fixed-key MERGE increments not exactly-once: " +
+            s"q181=$q181 (want ${181 + n}), q182=$q182 (want ${182 + n})")
+        // the promotion landed: schema wide + a beyond-int write works
+        require(spark.table("gcont.s.h").schema("q").dataType ==
+          org.apache.spark.sql.types.LongType, "promotion lost")
+        // idempotent under check re-runs (a failed check may have
+        // inserted the probe row already)
+        spark.sql("DELETE FROM gcont.s.h WHERE k = 9999")
+        spark.sql("INSERT INTO gcont.s.h VALUES (9999, " +
+          "timestamp_seconds(1700000000), 3000000000, 'wide')")
+        require(spark.sql("SELECT q FROM gcont.s.h WHERE k = 9999")
+          .collect().head.getLong(0) == 3000000000L, "wide write lost")
+        assertNoDupRows(spark, "gcont.s.h", "k")
+        val versions = assertHistory(spark, "gcont.s.h")
+        // day-dir pruning correct after all of it (ts range == tag calc)
+        val day0 = spark.sql("""SELECT count(*) FROM gcont.s.h
+          WHERE ts >= timestamp_seconds(1700000000)
+            AND ts < timestamp_seconds(1700086400)""").collect()
+          .head.getLong(0)
+        val day0Twin = spark.sql("""SELECT count(*) FROM (
+          SELECT * FROM gcont.s.h) WHERE unix_timestamp(ts) >= 1700000000
+            AND unix_timestamp(ts) < 1700086400""").collect()
+          .head.getLong(0)
+        require(day0 == day0Twin, s"day prune diverged: $day0 != $day0Twin")
+        val before = spark.sql("SELECT k, q, tag FROM gcont.s.h ORDER BY k")
+          .collect().toSeq
+        graft.catalog.Maintenance.compact(spark, "gcont.s.h", Seq("k"), 2)
+        val after = spark.sql("SELECT k, q, tag FROM gcont.s.h ORDER BY k")
+          .collect().toSeq
+        require(before == after, "compaction changed the visible rows")
+        println(s"CONTEND HP OK rows=${before.size} " +
+          s"versions=${versions.head}..${versions.last}")
     }
     spark.stop()
   }
 
-  /** Per-row exactly-once: every `a` value distinct. */
+  /** Per-row exactly-once: every key value distinct. */
   private def assertNoDupRows(spark: SparkSession,
-      table: String = "gcont.s.t"): Unit = {
+      table: String = "gcont.s.t", key: String = "a"): Unit = {
     val dup = spark.sql(
-        s"SELECT a FROM $table GROUP BY a HAVING count(*) > 1")
+        s"SELECT $key FROM $table GROUP BY $key HAVING count(*) > 1")
       .collect()
     require(dup.isEmpty, s"duplicated rows: ${dup.mkString(",")}")
   }

@@ -158,14 +158,16 @@ object AlterOps {
               s"$fullName predates the snapshot log (no commit " +
               "history to key schema generations on); recreate the table " +
               "(CTAS) to change types")
-        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn |
-                  _: TableChange.UpdateColumnType)
+        case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn)
             if Snapshots.latest(tableDir)
               .exists(_.eqDeleteFiles.nonEmpty) =>
           // equality-delete sidecars record CURRENT column names; a
           // generation boundary would leave their keys pointing at
           // physical names old files don't carry — the scan-side mask
           // would silently miss. compact() folds the sidecars first.
+          // TYPE PROMOTION is exempt (r17): names are unchanged and
+          // EqualityDeletes.loadBatches widens narrow sidecar keys to
+          // the declared type at read, so pending masks stay exact.
           throw new IllegalStateException(
             s"cannot apply $c to $fullName: pending " +
               "equality-delete sidecars record current column names; " +

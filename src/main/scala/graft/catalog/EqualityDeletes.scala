@@ -87,10 +87,34 @@ object EqualityDeletes {
       eqFiles: Seq[String], addVersion: String => Long,
       maxKeys: Long): Seq[Batch] = {
     var total = 0L
+    // sidecars committed BEFORE a type promotion carry the NARROW key
+    // type; read values arrive natively widened to the declared type,
+    // so the key set must be widened too (exact — only legal widenings
+    // are castable here) or the hash compare would silently miss (r17:
+    // CDC keeps flowing across a promotion, no compact required)
+    val declared: Option[StructType] = {
+      val f = tableDir.resolve("_graft_schema.json")
+      if (java.nio.file.Files.exists(f))
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(java.nio.file.Files.readString(f))
+          .asInstanceOf[StructType])
+      else None
+    }
     groupByCommit(eqFiles).map { case (commitDir, files) =>
       val version = files.map(addVersion).min
-      val df = spark.read.parquet(
+      val raw = spark.read.parquet(
         files.map(f => tableDir.resolve(f).toString): _*)
+      val df = declared match {
+        case Some(sch) => raw.select(raw.schema.fields.map { f =>
+          sch.fields.find(_.name == f.name).map(_.dataType) match {
+            case Some(dt) if dt != f.dataType &&
+                MetaCatalog.legalWidening(f.dataType, dt) =>
+              col(f.name).cast(dt).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+        case None => raw
+      }
       val schema = df.schema
       schema.fields.foreach { f =>
         require(supportedKeyType(f.dataType),

@@ -212,7 +212,10 @@ object BatchWrites {
         // codegen'd projection (spec order over the non-identity specs)
         private var derivedProj: UnsafeProjection = _
         private var derivedTypes: Array[DataType] = _
-        private var identityOrds: Map[String, Int] = _
+        // per-spec-entry fragment plan, precomputed once: (dirName,
+        // value type, ordinal, fromDerived) — the write loop must not
+        // do per-row field lookups
+        private var fragPlan: Array[(String, DataType, Int, Boolean)] = _
 
         private def setup(r: InternalRow): Unit = {
           offset =
@@ -226,8 +229,6 @@ object BatchWrites {
             dataIdx.map { case (f, i) =>
               BoundReference(i + offset, f.dataType, f.nullable)
             }.toIndexedSeq)
-          identityOrds = identityCols
-            .map(c => c -> (schema.fieldIndex(c) + offset)).toMap
           if (hidden.nonEmpty) {
             val exprs = hidden.map { t =>
               val i = schema.fieldIndex(t.source)
@@ -237,6 +238,14 @@ object BatchWrites {
             derivedProj = UnsafeProjection.create(exprs.toIndexedSeq)
             derivedTypes = exprs.map(_.dataType).toArray
           }
+          var hi = -1
+          fragPlan = partitionSpec.map {
+            case PartitionTransforms.Identity(c) =>
+              (c, schema(c).dataType, schema.fieldIndex(c) + offset, false)
+            case t =>
+              hi += 1
+              (t.dirName, derivedTypes(hi), hi, true)
+          }.toArray
         }
 
         override def write(r: InternalRow): Unit = {
@@ -248,15 +257,8 @@ object BatchWrites {
             if (partitionSpec.isEmpty) ""
             else {
               val derived = if (hidden.isEmpty) null else derivedProj(r)
-              var hi = 0
-              partitionSpec.iterator.map {
-                case PartitionTransforms.Identity(c) =>
-                  partFragment(c, schema(c).dataType, r, identityOrds(c))
-                case t =>
-                  val frag =
-                    partFragment(t.dirName, derivedTypes(hi), derived, hi)
-                  hi += 1
-                  frag
+              fragPlan.iterator.map { case (name, dt, ord, fromDerived) =>
+                partFragment(name, dt, if (fromDerived) derived else r, ord)
               }.mkString("/")
             }
           val entry = writers.getOrElseUpdate(rel, {

@@ -2402,6 +2402,31 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("older schema generation"))
   }
 
+  test("type promotion with PENDING equality sidecars: narrow sidecar " +
+      "keys widen at load, the mask stays exact across the boundary " +
+      "(r17 — CDC keeps flowing, no compact required)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE g2.db.eqprom (q INT, v STRING)")
+    spark.sql(
+      "INSERT INTO g2.db.eqprom VALUES (7, 'del'), (8, 'keep'), (9, 'del2')")
+    // narrow-typed sidecar committed BEFORE the promotion
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqprom",
+      Seq(7).toDF("q"))
+    spark.sql("ALTER TABLE g2.db.eqprom ALTER COLUMN q TYPE BIGINT")
+    // the pre-promotion mask still applies after the widening
+    assert(spark.sql("SELECT v FROM g2.db.eqprom ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("del2", "keep"))
+    // CDC continues with WIDE keys against the same table
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqprom",
+      Seq(9L).toDF("q"))
+    assert(spark.sql("SELECT v FROM g2.db.eqprom").collect()
+      .map(_.getString(0)).toSeq == Seq("keep"))
+    // rewrite path agrees (applyAll widens the same way)
+    graft.catalog.Maintenance.compact(spark, "g2.db.eqprom", Seq("q"), 1)
+    assert(spark.sql("SELECT v FROM g2.db.eqprom").collect()
+      .map(_.getString(0)).toSeq == Seq("keep"))
+  }
+
   test("rewrite_position_deletes drops INERT equality sidecars (no " +
       "present file predates them) but never rewrites live ones") {
     import spark.implicits._

@@ -81,3 +81,28 @@ grep -h "done" "$WH.mord0.out" "$WH.mord1.out"
 SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain checkmor "$WH" "$N_M" \
   2>"$WH.checkmor.log" | grep "CONTEND MOR OK" \
   || { echo "CONTEND MOR CHECK FAILED"; tail -10 "$WH.checkmor.log"; exit 1; }
+
+# stage 4: cross-feature matrix (round 17, VERDICT r16 #8) — two JVMs
+# race hidden-partition MERGEs (derived-dir V2 writes + runtime group
+# filtering), equality deletes, plain INSERTs AND a mid-race int→bigint
+# type promotion on ONE days()-partitioned table; the checker asserts
+# exactly-once effects (incl. per-key MERGE increment counts), the
+# promotion landed, day pruning stayed exact, history contiguous, and
+# compaction is a no-op on the visible rows.
+N_H=${4:-8}
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain hpinit "$WH" \
+  >/dev/null 2>"$WH.hpinit.log" || { echo "CONTEND HP INIT FAILED"; tail -5 "$WH.hpinit.log"; exit 1; }
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain hpwriter "$WH" "$N_H" 0 \
+  >"$WH.hp0.out" 2>"$WH.hp0.log" &
+H0_PID=$!
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain hpwriter "$WH" "$N_H" 100 \
+  >"$WH.hp1.out" 2>"$WH.hp1.log" &
+H1_PID=$!
+wait $H0_PID; H0_RC=$?
+wait $H1_PID; H1_RC=$?
+grep -h "done" "$WH.hp0.out" "$WH.hp1.out"
+[ $H0_RC -eq 0 ] || { echo "CONTEND HP WRITER-0 FAILED"; tail -5 "$WH.hp0.log"; exit 1; }
+[ $H1_RC -eq 0 ] || { echo "CONTEND HP WRITER-100 FAILED"; tail -5 "$WH.hp1.log"; exit 1; }
+SPARK_DRIVER_MEM=3g ./tools/run.sh graft.ContendMain checkhp "$WH" "$N_H" \
+  2>"$WH.checkhp.log" | grep "CONTEND HP OK" \
+  || { echo "CONTEND HP CHECK FAILED"; tail -10 "$WH.checkhp.log"; exit 1; }
