@@ -257,11 +257,16 @@ object Bench {
     // post-commit) AND tools/bench_attach.json (atomic write, survives
     // the clobber — the standalone/spread evidence an adjudicator
     // reads next to BENCH_r{N}.json).
+    // Locale.ROOT: the f interpolator uses the JVM default locale — a
+    // comma-decimal locale would emit {"value":30,458} (invalid JSON)
+    // and re-break the parse this line exists to fix
+    def dec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qjsonOut = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v >= 0) f"$v%.3f" else "-1") }
+      "\"" + k + "\":" + (if (v >= 0) dec3(v) else "-1") }
       .mkString("{", ",", "}")
     val stdoutLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjsonOut,"load":$load,"load_start":$loadStart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${dec3(total)},"unit":"sec","queries":$qjsonOut,"load":$load,"load_start":$loadStart,"sf":"$sfDir"}"""
     if (stdoutLine.length > 1800) System.err.println(
       s"[bench] WARNING: stdout line ${stdoutLine.length} chars — " +
         "approaching the driver's 2000-char tail; trim precision or keys")

@@ -302,6 +302,12 @@ object ContendMain {
         // means nothing committed, so retry keeps exactly-once.
         val n = args(2).toInt
         val base = args(3).toInt
+        // the stage's exactly-once arithmetic owns seed slices
+        // base+1..base+n and fixed keys 181/182: n outside [2, 40]
+        // would overlap them (or skip the promotion round) and raise
+        // FALSE alarms (r17 review)
+        require(n >= 2 && n <= 40, s"hpwriter: n=$n outside [2, 40]")
+        require(base == 0 || base == 100, s"hpwriter: base=$base")
         val fixedKey = if (base == 0) 181 else 182
         def retry[A](what: String)(body: => A): A = {
           var attempts = 0
@@ -353,6 +359,7 @@ object ContendMain {
         // readable; narrow-era rows exact); history contiguous; the
         // whole state stable under compaction; day-dir pruning exact.
         val n = args(2).toInt
+        require(n >= 2 && n <= 40, s"checkhp: n=$n outside [2, 40]")
         val byTag = spark.sql(
             "SELECT tag, count(*) AS n FROM gcont.s.h GROUP BY tag")
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -31,6 +31,13 @@ object AlterOps {
     DataType.fromJson(Files.readString(schemaFile(tableDir)))
       .asInstanceOf[StructType]
 
+  /** The declared schema, or None for a bare data dir (pre-catalog
+    * layouts) — ONE reader shared by every consumer that needs the
+    * declared types next to raw parquet reads (r17 review). */
+  private[catalog] def readDeclaredSchema(tableDir: Path): Option[StructType] =
+    if (Files.exists(schemaFile(tableDir))) Some(readSchema(tableDir))
+    else None
+
   private[catalog] def readProps(tableDir: Path): Map[String, String] = {
     val f = propsFile(tableDir)
     if (!Files.exists(f)) return Map.empty

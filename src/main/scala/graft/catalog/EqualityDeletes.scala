@@ -92,14 +92,7 @@ object EqualityDeletes {
     // so the key set must be widened too (exact — only legal widenings
     // are castable here) or the hash compare would silently miss (r17:
     // CDC keeps flowing across a promotion, no compact required)
-    val declared: Option[StructType] = {
-      val f = tableDir.resolve("_graft_schema.json")
-      if (java.nio.file.Files.exists(f))
-        Some(org.apache.spark.sql.types.DataType
-          .fromJson(java.nio.file.Files.readString(f))
-          .asInstanceOf[StructType])
-      else None
-    }
+    val declared: Option[StructType] = AlterOps.readDeclaredSchema(tableDir)
     groupByCommit(eqFiles).map { case (commitDir, files) =>
       val version = files.map(addVersion).min
       val raw = spark.read.parquet(

@@ -115,7 +115,26 @@ object Maintenance {
       Files.readString(dir.resolve("_graft_schema.json"))).asInstanceOf[StructType]
     require(keyCols.forall(schema.fieldNames.contains),
       s"key columns ${keyCols.mkString(",")} must exist in ${ident}")
-    val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+    // Align source TYPES to the declared schema, not just names: a
+    // wide-typed source (e.g. LongType for an INT column) would
+    // otherwise be written VERBATIM — committing INT64 parquet files
+    // under an int-declared column that every later read fails on
+    // (found by RowLevelModelSpec, r17). Loss-free up-casts (canUpCast)
+    // apply silently, like SQL INSERT's store assignment; anything
+    // else rejects loudly.
+    val src = source.select(schema.fields.map { f =>
+      val in = source.schema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"upsert source is missing column ${f.name} of $ident"))
+      if (in.dataType == f.dataType) col(f.name)
+      else if (org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(in.dataType, f.dataType))
+        col(f.name).cast(f.dataType).as(f.name)
+      else throw new IllegalArgumentException(
+        s"upsert source column ${f.name} is ${in.dataType.simpleString} " +
+          s"but $ident declares ${f.dataType.simpleString}; cast the " +
+          "source explicitly (only loss-free up-casts apply implicitly)")
+    }.toSeq: _*)
 
     // One aggregate answers: row count, per-key min/max (the pruning
     // envelope) and null-key counts; a distinct count then rules out
@@ -467,13 +486,8 @@ object Maintenance {
     // WIDE values, matching the wide probe values scans use. Partition
     // columns have no bytes in data files — an explicit-schema read
     // would silently hash all-NULL blooms; reject instead.
-    val schemaJsonF = dir.resolve("_graft_schema.json")
     val declared: Option[org.apache.spark.sql.types.StructType] =
-      if (Files.exists(schemaJsonF))
-        Some(org.apache.spark.sql.types.DataType
-          .fromJson(Files.readString(schemaJsonF))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      else None
+      AlterOps.readDeclaredSchema(dir)
     declared.foreach { sch =>
       val identityParts = readProps(dir).get("graft.partition.columns")
         .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
@@ -492,12 +506,24 @@ object Maintenance {
         .StructType(sch.fields.filter(f => cols.contains(f.name))))
       case None => spark.read
     }
+    // schema epoch captured BEFORE the distributed pass: a concurrent
+    // ALTER COLUMN TYPE drops this column's blooms (narrow-value hashes
+    // would false-negative wide probes) — sidecars built from the
+    // PRE-promotion read must not be written after it, or the stale
+    // hashes come back (r17 review). The write loop below re-validates
+    // under the same per-table lock ALTER holds.
+    val epoch0 = GraftTable.schemaEpochOf(dir)
     val rows = reader.parquet(abs: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     var written = 0
     var unmatched = 0
+    Snapshots.withRefsLock(dir) {
+      if (GraftTable.schemaEpochOf(dir) != epoch0)
+        throw new IllegalStateException(
+          s"addBlooms: a concurrent ALTER changed $ident's schema while " +
+            "the bloom pass ran; re-run addBlooms (no sidecar written)")
     rows.foreach { r =>
       // input_file_name() is a URI (percent-encoded): a data-file name
       // containing URL-encodable characters (spaces, '%', unicode)
@@ -529,6 +555,7 @@ object Maintenance {
         case None => unmatched += 1
       }
     }
+    } // withRefsLock
     // Conservative but never silent: an unmatched group means some scan
     // file got no sidecar (it stays unpruned — correct, just unindexed).
     if (unmatched > 0)

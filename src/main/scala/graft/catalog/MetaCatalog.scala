@@ -250,27 +250,8 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     // identity columns plus HIDDEN partition transforms (round 16 —
     // Iceberg spec §4): days(ts), bucket(n, col), truncate(w, col).
-    // `PARTITIONED BY (days(ts))` arrives as Spark's named transforms
-    // (`truncate` as a generic ApplyTransform, argument order free).
-    def ref(t: Transform): String =
-      t.references().head.fieldNames().mkString(".")
-    def intArg(t: Transform): Int = t.arguments().collectFirst {
-      case l: org.apache.spark.sql.connector.expressions.Literal[_]
-          if l.value().isInstanceOf[Number] =>
-        l.value().asInstanceOf[Number].intValue()
-    }.getOrElse(throw new IllegalArgumentException(
-      s"transform $t needs an integer argument"))
-    val partSpec: Seq[PartitionTransforms.T] = partitions.toSeq.map {
-      case t if t.name == "identity" => PartitionTransforms.Identity(ref(t))
-      case t if t.name == "days" => PartitionTransforms.Days(ref(t))
-      case t if t.name == "bucket" =>
-        PartitionTransforms.Bucket(intArg(t), ref(t))
-      case t if t.name == "truncate" =>
-        PartitionTransforms.Trunc(intArg(t), ref(t))
-      case t => throw new UnsupportedOperationException(
-        s"graft tables support identity, days, bucket and truncate " +
-          s"partitioning; got $t")
-    }
+    val partSpec: Seq[PartitionTransforms.T] =
+      PartitionTransforms.fromSparkTransforms(partitions.toSeq)
     val schema = new StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
     schema.fieldNames.foreach(MetaCatalog.requireLegalColumnName)

@@ -98,6 +98,33 @@ object PartitionTransforms {
 
   def parseSpec(propVal: String): Seq[T] = splitSpec(propVal).map(parse)
 
+  /** Spark's named connector `Transform`s → the catalog's spec — ONE
+    * parser shared by MetaCatalog and RestCatalog createTable
+    * (`PARTITIONED BY (days(ts))` arrives as named transforms,
+    * `truncate` as a generic ApplyTransform, argument order free). */
+  def fromSparkTransforms(
+      partitions: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[T] = {
+    def ref(t: org.apache.spark.sql.connector.expressions.Transform): String =
+      t.references().head.fieldNames().mkString(".")
+    def intArg(t: org.apache.spark.sql.connector.expressions.Transform): Int =
+      t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"transform $t needs an integer argument"))
+    partitions.map {
+      case t if t.name == "identity" => Identity(ref(t))
+      case t if t.name == "days" => Days(ref(t))
+      case t if t.name == "bucket" => Bucket(intArg(t), ref(t))
+      case t if t.name == "truncate" => Trunc(intArg(t), ref(t))
+      case t => throw new UnsupportedOperationException(
+        s"graft tables support identity, days, bucket and truncate " +
+          s"partitioning; got $t")
+    }
+  }
+
   def formatSpec(spec: Seq[T]): String =
     if (spec.forall(_.isIdentity)) spec.map(_.spec).mkString(",")
     else spec.map(_.spec).mkString(";")

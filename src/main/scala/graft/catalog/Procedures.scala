@@ -297,11 +297,12 @@ object Procedures {
     val cur = new StringBuilder
     var quoted = false    // currently inside "..."
     var wasQuoted = false // this token used quoting (keep even if empty)
+    var closed = false    // a quoted token ended; only spaces may follow
     var i = 0
     def flush(): Unit = {
       val t = if (wasQuoted) cur.toString else cur.toString.trim
       if (t.nonEmpty || wasQuoted) out += t
-      cur.clear(); wasQuoted = false
+      cur.clear(); wasQuoted = false; closed = false
     }
     while (i < input.length) {
       val c = input.charAt(i)
@@ -309,10 +310,16 @@ object Procedures {
         if (c == '"') {
           if (i + 1 < input.length && input.charAt(i + 1) == '"') {
             cur.append('"'); i += 1 // "" = escaped quote
-          } else quoted = false
+          } else { quoted = false; closed = true }
         } else cur.append(c)
       } else c match {
         case ',' => flush()
+        // after a closing quote, only whitespace may precede the comma —
+        // silently appending junk would corrupt the key (review r17)
+        case w if closed && w.isWhitespace => ()
+        case _ if closed => throw new IllegalArgumentException(
+          s"delete_by_key: unexpected character '$c' after a closing " +
+            s"quote at offset $i (quote the WHOLE token CSV-style)")
         case '"' if cur.toString.trim.isEmpty && !wasQuoted =>
           quoted = true; wasQuoted = true; cur.clear()
         case '"' => throw new IllegalArgumentException(

@@ -207,26 +207,8 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
     // createTable parity gap): the same named-transform parse
     // MetaCatalog.createTable does, validated client-side, shipped as
     // per-transform spec strings the server parses back
-    def ref(t: org.apache.spark.sql.connector.expressions.Transform): String =
-      t.references().head.fieldNames().mkString(".")
-    def intArg(t: org.apache.spark.sql.connector.expressions.Transform): Int =
-      t.arguments().collectFirst {
-        case l: org.apache.spark.sql.connector.expressions.Literal[_]
-            if l.value().isInstanceOf[Number] =>
-          l.value().asInstanceOf[Number].intValue()
-      }.getOrElse(throw new IllegalArgumentException(
-        s"transform $t needs an integer argument"))
-    val partSpec: Seq[PartitionTransforms.T] = partitions.toSeq.map {
-      case t if t.name == "identity" => PartitionTransforms.Identity(ref(t))
-      case t if t.name == "days" => PartitionTransforms.Days(ref(t))
-      case t if t.name == "bucket" =>
-        PartitionTransforms.Bucket(intArg(t), ref(t))
-      case t if t.name == "truncate" =>
-        PartitionTransforms.Trunc(intArg(t), ref(t))
-      case t => throw new UnsupportedOperationException(
-        s"graft tables support identity, days, bucket and truncate " +
-          s"partitioning; got $t")
-    }
+    val partSpec: Seq[PartitionTransforms.T] =
+      PartitionTransforms.fromSparkTransforms(partitions.toSeq)
     partSpec.foreach(PartitionTransforms.validate(_, schema))
     // pin the CLIENT session's zone for days() boundaries — the writers
     // live client-side, the server only stores metadata

@@ -150,7 +150,15 @@ object Snapshots {
     val key = tableDir.toAbsolutePath.normalize.toString
     if (heldLocks.get.contains(key)) body
     else tableMonitors.computeIfAbsent(key, _ => new Object).synchronized {
-      Files.createDirectories(tableDir)
+      // REQUIRE the table dir (never create it): every legitimate caller
+      // locks an existing table, and creating it here would leave a
+      // stray warehouse directory when the caller then fails its
+      // existence check — e.g. ALTER racing a concurrent DROP TABLE
+      // (ADVICE r16 + the r17 review's race refinement)
+      if (!Files.isDirectory(tableDir))
+        throw new IllegalStateException(
+          s"table directory $tableDir does not exist " +
+            "(dropped concurrently?)")
       val lockPath = tableDir.resolve("_graft_refs.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,

@@ -2781,5 +2781,16 @@ class CatalogV2Spec extends AnyFunSuite {
         "CALL g2.system.delete_by_key('db.dbkq', 's', '\"oops')")
     }
     assert(e.getMessage.contains("unterminated"))
+    // junk after a closing quote fails loudly too (r17 review: silently
+    // appending it would corrupt the key); trailing spaces are fine
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "CALL g2.system.delete_by_key('db.dbkq', 's', '\"a\"junk')")
+    }
+    assert(e2.getMessage.contains("after a closing quote"))
+    spark.sql("INSERT INTO g2.db.dbkq VALUES ('sp', 9)")
+    spark.sql("CALL g2.system.delete_by_key('db.dbkq', 's', '\"sp\" ')")
+    assert(spark.sql("SELECT count(*) FROM g2.db.dbkq WHERE s = 'sp'")
+      .collect().head.getLong(0) == 0L)
   }
 }

@@ -1,0 +1,175 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MODEL-BASED randomized testing of the catalog's row-level surface —
+  * the r16 review found four real bugs at pairwise FEATURE
+  * INTERSECTIONS (eq deletes × partitioning, changelog × expiry, ...),
+  * so this spec drives a seeded-random OP SEQUENCE against one table
+  * and checks full-table equality with a trivial in-memory model after
+  * EVERY op. The table stacks the features: hidden bucket(4, k)
+  * partitioning, a mid-sequence int→bigint promotion of `q`, equality
+  * deletes, upserts, SQL MERGE, predicate DELETE/UPDATE (COW and MOR
+  * variants), and compaction. Any interaction bug that changes visible
+  * rows surfaces as a model divergence with the op trace attached. */
+class RowLevelModelSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    val wh = java.nio.file.Files.createTempDirectory("graft_model_wh").toString
+    s.conf.set("spark.sql.catalog.gmod", "graft.catalog.MetaCatalog")
+    s.conf.set("spark.sql.catalog.gmod.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gmod.db")
+    s
+  }
+
+  /** One run: `mor` toggles merge-on-read DELETEs. The model is a
+    * Map[k → (q, v)] — upsert/MERGE key on k, so one row per key by
+    * construction. Ops per step are chosen by the seeded RNG. */
+  private def run(table: String, seed: Long, mor: Boolean,
+      steps: Int): Unit = {
+    import spark.implicits._
+    val props =
+      if (mor) " TBLPROPERTIES ('write.delete.mode'='merge-on-read')" else ""
+    spark.sql(s"DROP TABLE IF EXISTS gmod.db.$table")
+    spark.sql(s"""CREATE TABLE gmod.db.$table (k BIGINT, q INT, v STRING)
+      PARTITIONED BY (bucket(4, k))$props""")
+    val rnd = new scala.util.Random(seed)
+    val model = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    var promoted = false
+    val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def freshRows(n: Int): Seq[(Long, Long, String)] =
+      (1 to n).map { _ =>
+        val k = rnd.nextInt(60).toLong // small key space: collisions ARE
+        val q =                        // the point (re-insert, re-delete)
+          if (promoted && rnd.nextInt(4) == 0) 3000000000L + rnd.nextInt(100)
+          else rnd.nextInt(1000).toLong
+        (k, q, s"v${rnd.nextInt(1000)}")
+      }.groupBy(_._1).values.map(_.head).toSeq // one row per key per batch
+
+    def verify(op: String): Unit = {
+      trace += op
+      val got = spark.sql(s"SELECT k, q, v FROM gmod.db.$table")
+        .collect().map(r => (r.getLong(0),
+          r.getAs[Number](1).longValue(), // INT pre-promotion, LONG after
+          r.getString(2)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      val want = model.toSeq.map { case (k, (q, v)) => (k, q, v) }
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(got == want,
+        s"model divergence after [$op] (seed=$seed mor=$mor)\n" +
+          s"trace: ${trace.mkString(" ; ")}\n" +
+          s"got:  ${got.take(80)}\nwant: ${want.take(80)}")
+    }
+
+    // source DF typed to the table's CURRENT declared q type (the
+    // upsert API rejects non-upcast sources; our Long test values fit
+    // int exactly pre-promotion)
+    def srcDf(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "q", "v").select(
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("q")
+          .cast(if (promoted) "bigint" else "int").as("q"),
+        org.apache.spark.sql.functions.col("v"))
+
+    // seed rows
+    val init = freshRows(25)
+    graft.catalog.Maintenance.upsert(spark, s"gmod.db.$table",
+      srcDf(init), Seq("k"))
+    init.foreach { case (k, q, v) => model(k) = (q, v) }
+    verify("init upsert")
+
+    (1 to steps).foreach { step =>
+      rnd.nextInt(7) match {
+        case 0 => // upsert a small batch
+          val rows = freshRows(1 + rnd.nextInt(5))
+          graft.catalog.Maintenance.upsert(spark, s"gmod.db.$table",
+            srcDf(rows), Seq("k"))
+          rows.foreach { case (k, q, v) => model(k) = (q, v) }
+          verify(s"$step:upsert(${rows.map(_._1).sorted.mkString(",")})")
+        case 1 => // equality delete by key (pre-existing rows only; the
+          // model has at most one row per key, inserted earlier, so a
+          // plain remove matches the strict first-seen rule)
+          val ks = (1 to (1 + rnd.nextInt(3)))
+            .map(_ => rnd.nextInt(60).toLong).distinct
+          graft.catalog.Maintenance.deleteByKey(spark, s"gmod.db.$table",
+            ks.toDF("k"))
+          ks.foreach(model.remove)
+          verify(s"$step:deleteByKey(${ks.sorted.mkString(",")})")
+        case 2 => // SQL MERGE: one update + one insert candidate
+          val rows = freshRows(2)
+          val src = rows.map { case (k, q, v) => s"($k, $q, '$v')" }
+            .mkString(", ")
+          spark.sql(s"""MERGE INTO gmod.db.$table t
+            USING (SELECT * FROM VALUES $src AS s(k, q, v)) s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+          rows.foreach { case (k, q, v) => model(k) = (q, v) }
+          verify(s"$step:merge(${rows.map(_._1).sorted.mkString(",")})")
+        case 3 => // predicate DELETE on a q range (COW or MOR per table)
+          val lo = rnd.nextInt(1000)
+          val hi = lo + rnd.nextInt(300)
+          spark.sql(
+            s"DELETE FROM gmod.db.$table WHERE q >= $lo AND q <= $hi")
+          model.filterInPlace { case (_, (q, _)) => q < lo || q > hi }
+          verify(s"$step:delete(q in [$lo,$hi])")
+        case 4 => // UPDATE on a k point (row-level command path)
+          val k = rnd.nextInt(60).toLong
+          spark.sql(
+            s"UPDATE gmod.db.$table SET v = 'u$step' WHERE k = $k")
+          model.get(k).foreach { case (q, _) => model(k) = (q, s"u$step") }
+          verify(s"$step:update(k=$k)")
+        case 5 if !promoted && step > steps / 3 => // the ONE promotion
+          spark.sql(s"ALTER TABLE gmod.db.$table ALTER COLUMN q TYPE BIGINT")
+          promoted = true
+          verify(s"$step:promote")
+        case _ if rnd.nextInt(3) == 0 => // occasional compact
+          graft.catalog.Maintenance.compact(spark, s"gmod.db.$table",
+            Seq("k"), 1 + rnd.nextInt(3))
+          verify(s"$step:compact")
+        case _ => // insert-only merge of definitely-fresh keys
+          val k = 100L + step
+          val q = if (promoted) 4000000000L + step else 7 * step
+          spark.sql(s"""MERGE INTO gmod.db.$table t
+            USING (SELECT CAST($k AS BIGINT) AS k, CAST($q AS ${
+              if (promoted) "BIGINT" else "INT"} ) AS q, 'f$step' AS v) s
+            ON t.k = s.k
+            WHEN NOT MATCHED THEN INSERT *""")
+          model(k) = (q, s"f$step")
+          verify(s"$step:insert(k=$k)")
+      }
+    }
+    // end state also survives a final compact + is time-travel stable
+    graft.catalog.Maintenance.compact(spark, s"gmod.db.$table", Seq("k"), 2)
+    verify("final compact")
+  }
+
+  test("upsert rejects a source column whose type cannot up-cast to " +
+      "the declared type (a verbatim write would commit unreadable " +
+      "wide parquet under a narrow schema — found by this spec)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gmod.db.mtyp (k BIGINT, q INT)")
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.Maintenance.upsert(spark, "gmod.db.mtyp",
+        Seq((1L, 5L)).toDF("k", "q"), Seq("k")) // q LONG vs declared INT
+    }
+    assert(e.getMessage.contains("loss-free"))
+    // loss-free up-cast applies silently (int source, bigint column)
+    spark.sql("CREATE TABLE gmod.db.mtyp2 (k BIGINT, q BIGINT)")
+    graft.catalog.Maintenance.upsert(spark, "gmod.db.mtyp2",
+      Seq((1, 5)).toDF("k", "q"), Seq("k")) // both INT sources
+    assert(spark.sql("SELECT q FROM gmod.db.mtyp2").collect()
+      .head.getLong(0) == 5L)
+  }
+
+  test("seeded-random op sequences match the in-memory model: COW table " +
+      "(bucket-partitioned, mid-sequence promotion)") {
+    run("mcow", seed = 0xC0FFEE17L, mor = false, steps = 22)
+  }
+
+  test("seeded-random op sequences match the in-memory model: " +
+      "MERGE-ON-READ table (position + equality sidecars stack)") {
+    run("mmor", seed = 0xBEEF1717L, mor = true, steps = 22)
+  }
+}
