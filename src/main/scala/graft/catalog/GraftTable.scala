@@ -253,6 +253,9 @@ class GraftTable(
     partSpec.map {
       case PartitionTransforms.Identity(c) => Expressions.identity(c)
       case PartitionTransforms.Days(c) => Expressions.days(c)
+      case PartitionTransforms.Years(c) => Expressions.years(c)
+      case PartitionTransforms.Months(c) => Expressions.months(c)
+      case PartitionTransforms.Hours(c) => Expressions.hours(c)
       case PartitionTransforms.Bucket(n, c) => Expressions.bucket(n, c)
       case PartitionTransforms.Trunc(w, c) =>
         Expressions.apply("truncate",

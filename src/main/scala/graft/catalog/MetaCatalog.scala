@@ -262,8 +262,10 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     // pin the creating session's zone for days() boundaries (ADVICE
     // r16): derive and prune must share ONE zone across sessions
     val needsZone = partSpec.exists {
-      case PartitionTransforms.Days(c) =>
-        schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]
+      case t @ (_: PartitionTransforms.Days | _: PartitionTransforms.Years |
+                _: PartitionTransforms.Months | _: PartitionTransforms.Hours) =>
+        schema(t.source).dataType
+          .isInstanceOf[org.apache.spark.sql.types.TimestampType]
       case _ => false
     }
     val baseProps = properties.asScala.toMap ++

@@ -62,6 +62,22 @@ object PartitionTransforms {
     def dirName: String = s"${source}_day"
     def spec: String = s"days($source)"
   }
+  /** Year dirs `ts_year=2023` (r17 — completing Iceberg spec §4's time
+    * transform set alongside days). */
+  final case class Years(source: String) extends T {
+    def dirName: String = s"${source}_year"
+    def spec: String = s"years($source)"
+  }
+  /** Month dirs `ts_month=2023-11`. */
+  final case class Months(source: String) extends T {
+    def dirName: String = s"${source}_month"
+    def spec: String = s"months($source)"
+  }
+  /** Hour dirs `ts_hour=2023-11-16-22` (timestamps only). */
+  final case class Hours(source: String) extends T {
+    def dirName: String = s"${source}_hour"
+    def spec: String = s"hours($source)"
+  }
   final case class Bucket(n: Int, source: String) extends T {
     require(n >= 1, s"bucket($n, $source): need n >= 1")
     def dirName: String = s"${source}_bucket"
@@ -76,9 +92,15 @@ object PartitionTransforms {
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
   private val DaysRe = """days\(\s*([^)]+?)\s*\)""".r
+  private val YearsRe = """years\(\s*([^)]+?)\s*\)""".r
+  private val MonthsRe = """months\(\s*([^)]+?)\s*\)""".r
+  private val HoursRe = """hours\(\s*([^)]+?)\s*\)""".r
 
   def parse(s: String): T = s.trim match {
     case DaysRe(c) => Days(c)
+    case YearsRe(c) => Years(c)
+    case MonthsRe(c) => Months(c)
+    case HoursRe(c) => Hours(c)
     case BucketRe(n, c) => Bucket(n.toInt, c)
     case TruncRe(w, c) => Trunc(w.toInt, c)
     case c => Identity(c)
@@ -117,11 +139,14 @@ object PartitionTransforms {
     partitions.map {
       case t if t.name == "identity" => Identity(ref(t))
       case t if t.name == "days" => Days(ref(t))
+      case t if t.name == "years" => Years(ref(t))
+      case t if t.name == "months" => Months(ref(t))
+      case t if t.name == "hours" => Hours(ref(t))
       case t if t.name == "bucket" => Bucket(intArg(t), ref(t))
       case t if t.name == "truncate" => Trunc(intArg(t), ref(t))
       case t => throw new UnsupportedOperationException(
-        s"graft tables support identity, days, bucket and truncate " +
-          s"partitioning; got $t")
+        s"graft tables support identity, years/months/days/hours, " +
+          s"bucket and truncate partitioning; got $t")
     }
   }
 
@@ -136,10 +161,16 @@ object PartitionTransforms {
         s"partition transform ${t.spec}: column ${t.source} not in schema"))
     t match {
       case _: Identity => ()
-      case _: Days => f.dataType match {
+      case _: Days | _: Years | _: Months => f.dataType match {
         case _: TimestampType | _: TimestampNTZType | _: DateType => ()
         case other => throw new IllegalArgumentException(
-          s"days(${t.source}) needs a timestamp/date column, got " +
+          s"${t.spec} needs a timestamp/date column, got " +
+            other.simpleString)
+      }
+      case _: Hours => f.dataType match {
+        case _: TimestampType | _: TimestampNTZType => ()
+        case other => throw new IllegalArgumentException(
+          s"hours(${t.source}) needs a timestamp column, got " +
             other.simpleString)
       }
       case _: Bucket => f.dataType match {
@@ -162,29 +193,62 @@ object PartitionTransforms {
           s"'${t.dirName}', which collides with a schema column")
   }
 
-  /** The derived partition value for the write path. `zone` is the
-    * table's pinned [[ZoneKey]] — a `days()` over a zoned timestamp
-    * casts to DATE in THAT zone (via an explicit-zone catalyst Cast),
-    * never the write session's; None (pre-r17 table) keeps the session
-    * zone. NTZ timestamps and DATE sources are zone-free. */
-  def derive(t: T, df: DataFrame, zone: Option[String]): Column = t match {
-    case Identity(c) => df(c)
-    case Days(c) => df.schema(c).dataType match {
-      // DATE dirs: ts_day=2026-01-01
-      case _: TimestampType if zone.isDefined =>
-        org.apache.spark.sql.graftaccess.Internals.column(
-          org.apache.spark.sql.catalyst.expressions.Cast(
-            org.apache.spark.sql.graftaccess.Internals.expression(df(c)),
-            DateType, zone))
-      case _ => to_date(df(c))
-    }
-    case Bucket(n, c) => pmod(hash(df(c)), lit(n))
-    case Trunc(w, c) => df.schema(c).dataType match {
-      case _: StringType => substring(df(c), 1, w)
-      // floor-to-multiple, correct for negatives via pmod's sign
-      case _ => df(c) - pmod(df(c), lit(w.toLong))
+  /** The dir-value pattern of a calendar transform. */
+  private def patternFor(t: T): String = t match {
+    case _: Years => "yyyy"
+    case _: Months => "yyyy-MM"
+    case _: Hours => "yyyy-MM-dd-HH"
+    case other => throw new IllegalStateException(s"no pattern for $other")
+  }
+
+  /** The derived partition value as ONE catalyst expression — shared by
+    * the V1 write path (wrapped as a Column), the V2 row-level writer
+    * ([[org.apache.spark.sql.graftaccess.BatchWrites]]) and, via the
+    * same shapes, the prune path's reasoning, so no two paths can ever
+    * disagree on a dir value (r17 review). `zone` is the table's
+    * pinned [[ZoneKey]]; None (pre-r17 table) = the CURRENT session
+    * zone, captured here on the driver. NTZ and DATE sources are
+    * zone-free (wall time / calendar value). */
+  def deriveCatalyst(t: T,
+      ref: org.apache.spark.sql.catalyst.expressions.Expression,
+      zone: Option[String])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Literal, Murmur3Hash, Pmod, Substring, Subtract}
+    def z: String = zone.getOrElse(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    // wall-time rendering for NTZ/DATE: interpret and format in ONE
+    // fixed zone (UTC) — the zone cancels, leaving the calendar fields
+    def wallTs: org.apache.spark.sql.catalyst.expressions.Expression =
+      Cast(ref, TimestampType, Some("UTC"))
+    t match {
+      case Identity(_) => ref
+      case Days(_) => ref.dataType match {
+        case _: DateType => ref // DATE dirs: ts_day=2026-01-01
+        case _: TimestampNTZType => Cast(ref, DateType) // wall time
+        case _ => Cast(ref, DateType, Some(z))
+      }
+      case _: Years | _: Months | _: Hours =>
+        val fmt = Literal(patternFor(t))
+        ref.dataType match {
+          case _: TimestampType => new DateFormatClass(ref, fmt, Some(z))
+          case _ => new DateFormatClass(wallTs, fmt, Some("UTC"))
+        }
+      case Bucket(n, _) => Pmod(new Murmur3Hash(Seq(ref)), Literal(n))
+      case Trunc(w, _) => ref.dataType match {
+        case _: StringType => Substring(ref, Literal(1), Literal(w))
+        case _ => // floor-to-multiple, correct for negatives via pmod
+          val v = Cast(ref, LongType)
+          Subtract(v, Pmod(v, Literal(w.toLong)))
+      }
     }
   }
+
+  /** The derived partition value for the V1 write path. */
+  def derive(t: T, df: DataFrame, zone: Option[String]): Column =
+    org.apache.spark.sql.graftaccess.Internals.column(
+      deriveCatalyst(t,
+        org.apache.spark.sql.graftaccess.Internals.expression(df(t.source)),
+        zone))
 
   /** Columns the write's `partitionBy` uses, in spec order. */
   def dirColumns(spec: Seq[T]): Seq[String] = spec.map(_.dirName)
@@ -234,15 +298,36 @@ object PartitionTransforms {
       case _ => None
     }
 
-  /** [lo, hi) epoch-micros interval of a day-dir value in `zone`. */
-  private def dayInterval(dirVal: String,
+  /** [lo, hi) epoch-micros interval of a calendar-transform dir value
+    * in `zone` — days `2023-11-16`, years `2023`, months `2023-11`,
+    * hours `2023-11-16-22` (r17). Unparseable → None (conservative). */
+  private def timeInterval(t: T, dirVal: String,
       zone: java.time.ZoneId): Option[(Long, Long)] =
     try {
-      val d = java.time.LocalDate.parse(dirVal)
-      val lo = d.atStartOfDay(zone).toInstant.getEpochSecond * 1000000L
-      val hi = d.plusDays(1).atStartOfDay(zone).toInstant
-        .getEpochSecond * 1000000L
-      Some((lo, hi))
+      def us(z: java.time.ZonedDateTime): Long =
+        z.toInstant.getEpochSecond * 1000000L
+      t match {
+        case _: Days =>
+          val d = java.time.LocalDate.parse(dirVal)
+          Some((us(d.atStartOfDay(zone)), us(d.plusDays(1).atStartOfDay(zone))))
+        case _: Years =>
+          val y = java.time.Year.parse(dirVal)
+          Some((us(y.atDay(1).atStartOfDay(zone)),
+            us(y.plusYears(1).atDay(1).atStartOfDay(zone))))
+        case _: Months =>
+          val m = java.time.YearMonth.parse(dirVal)
+          Some((us(m.atDay(1).atStartOfDay(zone)),
+            us(m.plusMonths(1).atDay(1).atStartOfDay(zone))))
+        case _: Hours =>
+          val f = new java.time.format.DateTimeFormatterBuilder()
+            .appendPattern("yyyy-MM-dd-HH")
+            .parseDefaulting(
+              java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+            .toFormatter()
+          val h = java.time.LocalDateTime.parse(dirVal, f)
+          Some((us(h.atZone(zone)), us(h.plusHours(1).atZone(zone))))
+        case _ => None
+      }
     } catch { case _: Exception => None }
 
   /** The dir value of transform `t` in a tableDir-relative file path, if
@@ -340,14 +425,12 @@ object PartitionTransforms {
   private def valueInDir(t: T, dirVal: String, v: Any,
       srcType: DataType, pinned: Option[String]): Boolean = t match {
     case Identity(_) => true // identity dirs prune via the file index
-    case Days(_) =>
+    case _: Days | _: Years | _: Months | _: Hours =>
+      // interval containment: v lands in this dir iff lo <= v < hi
       val zone = zoneFor(srcType, pinned)
-      toEpochMicros(v, zone) match {
-        case Some(us) =>
-          java.time.Instant.ofEpochSecond(
-            Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L)) * 1000)
-            .atZone(zone).toLocalDate.toString == dirVal
-        case None => true
+      (toEpochMicros(v, zone), timeInterval(t, dirVal, zone)) match {
+        case (Some(us), Some((lo, hi))) => us >= lo && us < hi
+        case _ => true
       }
     case Bucket(n, _) =>
       dirVal.toIntOption match {
@@ -365,14 +448,15 @@ object PartitionTransforms {
     }
   }
 
-  /** Range overlap for order-preserving transforms (days, numeric and
-    * string truncate); bucket ranges never prune (hash is unordered). */
+  /** Range overlap for order-preserving transforms (calendar
+    * transforms, numeric and string truncate); bucket ranges never
+    * prune (hash is unordered). */
   private def rangeOverlaps(t: T, dirVal: String, v: Any,
       lowerExcl: Boolean, isLowerBound: Boolean,
       srcType: DataType, pinned: Option[String]): Boolean = t match {
-    case Days(_) =>
+    case _: Days | _: Years | _: Months | _: Hours =>
       val zone = zoneFor(srcType, pinned)
-      (toEpochMicros(v, zone), dayInterval(dirVal, zone)) match {
+      (toEpochMicros(v, zone), timeInterval(t, dirVal, zone)) match {
         case (Some(us), Some((lo, hi))) =>
           if (isLowerBound) hi > us + (if (lowerExcl) 1 else 0)
           else lo < us + (if (lowerExcl) 0 else 1)

@@ -213,8 +213,10 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
     // pin the CLIENT session's zone for days() boundaries — the writers
     // live client-side, the server only stores metadata
     val needsZone = partSpec.exists {
-      case PartitionTransforms.Days(c) =>
-        schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]
+      case t @ (_: PartitionTransforms.Days | _: PartitionTransforms.Years |
+                _: PartitionTransforms.Months | _: PartitionTransforms.Hours) =>
+        schema(t.source).dataType
+          .isInstanceOf[org.apache.spark.sql.types.TimestampType]
       case _ => false
     }
     val props = new java.util.HashMap[String, String](properties)

@@ -146,32 +146,6 @@ object BatchWrites {
     ExternalCatalogUtils.escapePathName(name) + "=" + frag
   }
 
-  /** The write-path derivation of one hidden transform as a catalyst
-    * expression over `ref` — the SAME shapes [[PartitionTransforms
-    * .derive]] builds for the V1 path (explicit-zone Cast for days over
-    * zoned timestamps; Spark's Murmur3 `hash()` seed for bucket;
-    * prefix / floor-to-multiple for truncate), so the V2 row-level
-    * writes and the prune path can never disagree on a dir value. */
-  private def deriveExpr(t: PartitionTransforms.T, ref: BoundReference,
-      zone: String): org.apache.spark.sql.catalyst.expressions.Expression =
-    t match {
-      case PartitionTransforms.Identity(_) => ref
-      case PartitionTransforms.Days(_) => ref.dataType match {
-        case _: DateType => ref
-        // NTZ casts to DATE by wall time (zone-free); zoned timestamps
-        // cast in the table's pinned zone
-        case _ => Cast(ref, DateType, Some(zone))
-      }
-      case PartitionTransforms.Bucket(n, _) =>
-        Pmod(new Murmur3Hash(Seq(ref)), Literal(n))
-      case PartitionTransforms.Trunc(w, _) => ref.dataType match {
-        case _: StringType => Substring(ref, Literal(1), Literal(w))
-        case _ =>
-          val v = Cast(ref, LongType)
-          Subtract(v, Pmod(v, Literal(w.toLong)))
-      }
-    }
-
   final case class ParquetWriterFactory(fac: OutputWriterFactory,
       conf: SerializableConfiguration, schema: StructType,
       partitionSpec: Seq[PartitionTransforms.T], zone: String,
@@ -230,10 +204,13 @@ object BatchWrites {
               BoundReference(i + offset, f.dataType, f.nullable)
             }.toIndexedSeq)
           if (hidden.nonEmpty) {
+            // the SAME catalyst shapes the V1 write and the prune
+            // path evaluate — one derivation, zero parity risk
             val exprs = hidden.map { t =>
               val i = schema.fieldIndex(t.source)
-              deriveExpr(t, BoundReference(i + offset,
-                schema.fields(i).dataType, nullable = true), zone)
+              PartitionTransforms.deriveCatalyst(t, BoundReference(
+                i + offset, schema.fields(i).dataType, nullable = true),
+                Some(zone))
             }
             derivedProj = UnsafeProjection.create(exprs.toIndexedSeq)
             derivedTypes = exprs.map(_.dataType).toArray

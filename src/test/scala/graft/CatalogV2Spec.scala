@@ -2588,6 +2588,72 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(e3.getMessage.contains("reserved"))
   }
 
+  test("years/months/hours transforms (r17 — completing Iceberg's time " +
+      "transform set): layout, source-predicate pruning, zone pinning, " +
+      "nulls and MERGE all behave like days()") {
+    // months(ts): 3 month dirs, range predicates prune
+    spark.sql("""CREATE TABLE g2.db.evmon (k BIGINT, ts TIMESTAMP, v DOUBLE)
+      PARTITIONED BY (months(ts))""")
+    spark.sql("""INSERT INTO g2.db.evmon
+      SELECT id, timestamp_seconds(1700000000 + (id % 3) * 2678400 + id),
+             CAST(id AS DOUBLE)
+      FROM range(0, 30)""")
+    val dataDir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "evmon", "data")
+    val monDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.list(dataDir).iterator()).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("ts_month=")).toSet
+    // 1700000000 = 2023-11-14 UTC; +31d = Dec; +62d = Jan
+    assert(monDirs == Set("ts_month=2023-11", "ts_month=2023-12",
+      "ts_month=2024-01"), s"got $monDirs")
+    val nov = spark.sql("""SELECT k FROM g2.db.evmon
+      WHERE ts < timestamp_seconds(1701388800)""") // < 2023-12-01
+    assert(nov.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 30L).filter(_ % 3 == 0).toSeq)
+    assert(scanFiles(nov) < scanFiles(spark.table("g2.db.evmon").toDF()),
+      "month-range predicate must prune month dirs")
+    // MERGE recomputes the month dir (row moves months)
+    spark.sql("""MERGE INTO g2.db.evmon t
+      USING (SELECT 0L AS k, timestamp_seconds(1710000000) AS ts,
+             99.0D AS v) s
+      ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""")
+    assert(spark.sql("""SELECT v FROM g2.db.evmon
+      WHERE ts >= timestamp_seconds(1709000000)""").collect()
+      .map(_.getDouble(0)).toSeq == Seq(99.0))
+    // years(d) over a DATE column (zone-free calendar value) + nulls
+    spark.sql("""CREATE TABLE g2.db.evyr (d DATE, v BIGINT)
+      PARTITIONED BY (years(d))""")
+    spark.sql("""INSERT INTO g2.db.evyr VALUES
+      (DATE '2022-06-01', 1), (DATE '2023-01-01', 2),
+      (DATE '2023-12-31', 3), (NULL, 4)""")
+    assert(spark.sql("SELECT v FROM g2.db.evyr WHERE d >= DATE '2023-01-01'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(spark.sql("SELECT v FROM g2.db.evyr WHERE d IS NULL").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    val yr = spark.sql("SELECT v FROM g2.db.evyr WHERE d > DATE '2023-05-05'")
+    assert(yr.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // hours(ts): hour dirs + point-hour pruning; rejects DATE sources
+    spark.sql("""CREATE TABLE g2.db.evhr (k BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (hours(ts))""")
+    spark.sql("""INSERT INTO g2.db.evhr
+      SELECT id, timestamp_seconds(1700000000 + (id % 4) * 3600)
+      FROM range(0, 16)""")
+    val hr = spark.sql("""SELECT k FROM g2.db.evhr
+      WHERE ts >= timestamp_seconds(1700003600)
+        AND ts < timestamp_seconds(1700007200)""")
+    assert(hr.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 16L).filter(_ % 4 == 1).toSeq)
+    assert(scanFiles(hr) < scanFiles(spark.table("g2.db.evhr").toDF()))
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE g2.db.evhrbad (d DATE)
+        PARTITIONED BY (hours(d))""")
+    }
+    assert(e.getMessage.contains("needs a timestamp"))
+    // zone pinned for zoned-timestamp calendar transforms
+    assert(spark.sql("SHOW TBLPROPERTIES g2.db.evmon").collect()
+      .exists(_.getString(0) == graft.catalog.PartitionTransforms.ZoneKey))
+  }
+
   test("PROPERTY: hidden-partition pruning never changes results — " +
       "random predicates over days/bucket/truncate fixtures match an " +
       "unpartitioned twin (oracle-independence for prune(), VERDICT " +
@@ -2601,6 +2667,14 @@ class CatalogV2Spec extends AnyFunSuite {
       SELECT id,
              CASE WHEN id % 11 = 10 THEN CAST(NULL AS TIMESTAMP)
                   ELSE timestamp_seconds(1700000000 - 100000 + id * 9000)
+             END, id % 5
+      FROM range(0, 120)""")
+    spark.sql("""CREATE TABLE g2.db.prpm (k BIGINT, ts TIMESTAMP, v BIGINT)
+      PARTITIONED BY (months(ts))""")
+    spark.sql("""INSERT INTO g2.db.prpm
+      SELECT id,
+             CASE WHEN id % 11 = 10 THEN CAST(NULL AS TIMESTAMP)
+                  ELSE timestamp_seconds(1700000000 - 100000 + id * 90000)
              END, id % 5
       FROM range(0, 120)""")
     spark.sql("""CREATE TABLE g2.db.prpb (k BIGINT, s STRING)
@@ -2617,7 +2691,7 @@ class CatalogV2Spec extends AnyFunSuite {
                               WHEN id % 3 = 1 THEN 'ab' ELSE 'b' END,
                               CAST(id AS STRING)) END, id
       FROM range(0, 120)""")
-    Seq("prpd", "prpb", "prpt").foreach { t =>
+    Seq("prpd", "prpm", "prpb", "prpt").foreach { t =>
       spark.table(s"g2.db.$t").createOrReplaceTempView(s"twin_$t")
       spark.table(s"twin_$t").cache().count() // freeze the twin's rows
     }
@@ -2650,8 +2724,9 @@ class CatalogV2Spec extends AnyFunSuite {
       s"s >= ${sLit()}", s"s < ${sLit()}",
       s"s = ${sLit()} OR s IS NULL", s"s <=> ${sLit()}"))
     val gens = Map("prpd" -> (() => daysPred()),
+      "prpm" -> (() => daysPred()), // same ts-predicate shapes
       "prpb" -> (() => bucketPred()), "prpt" -> (() => truncPred()))
-    for (t <- Seq("prpd", "prpb", "prpt"); _ <- 1 to 25) {
+    for (t <- Seq("prpd", "prpm", "prpb", "prpt"); _ <- 1 to 25) {
       val p = gens(t)()
       val got = spark.sql(s"SELECT * FROM g2.db.$t WHERE $p").collect()
         .map(_.toString).sorted.toSeq
@@ -2661,7 +2736,7 @@ class CatalogV2Spec extends AnyFunSuite {
         s"pruned scan of g2.db.$t diverged on [$p]: " +
           s"got ${got.size} rows, want ${want.size}")
     }
-    Seq("prpd", "prpb", "prpt").foreach(t =>
+    Seq("prpd", "prpm", "prpb", "prpt").foreach(t =>
       spark.table(s"twin_$t").unpersist())
   }
 
