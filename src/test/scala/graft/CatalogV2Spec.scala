@@ -2654,6 +2654,58 @@ class CatalogV2Spec extends AnyFunSuite {
       .exists(_.getString(0) == graft.catalog.PartitionTransforms.ZoneKey))
   }
 
+  test("hours()/days() across a DST FALL-BACK boundary: two instants " +
+      "sharing one wall-clock hour dir are both found (the interval " +
+      "prune uses wall-clock arithmetic, so the repeated hour's dir " +
+      "covers BOTH offsets; r17 self-audit)") {
+    val zoneConf = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(zoneConf)
+    try {
+      spark.conf.set(zoneConf, "America/Los_Angeles")
+      // 2023-11-05: clocks fall back 02:00 PDT → 01:00 PST; wall hour
+      // "01" happens twice. 1699172100 = 01:15 PDT; 1699175700 = 01:15
+      // PST (one hour later in instants, same wall clock).
+      spark.sql("""CREATE TABLE g2.db.evdst (k BIGINT, ts TIMESTAMP)
+        PARTITIONED BY (hours(ts))""")
+      spark.sql("""INSERT INTO g2.db.evdst VALUES
+        (1, timestamp_seconds(1699172100)),
+        (2, timestamp_seconds(1699175700)),
+        (3, timestamp_seconds(1699180000))""")
+      // both ambiguous-hour rows share ONE dir
+      val dataDir = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "evdst",
+        "data")
+      val hourDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(dataDir).iterator()).asScala
+        .map(_.getFileName.toString).filter(_.startsWith("ts_hour="))
+        .toSet
+      assert(hourDirs.contains("ts_hour=2023-11-05-01"), s"got $hourDirs")
+      // point predicates on EACH occurrence must both survive the prune
+      Seq(1699172100L -> 1L, 1699175700L -> 2L).foreach { case (s, k) =>
+        assert(spark.sql(
+          s"SELECT k FROM g2.db.evdst WHERE ts = timestamp_seconds($s)")
+          .collect().map(_.getLong(0)).toSeq == Seq(k),
+          s"instant $s (row $k) pruned away at the fall-back hour")
+      }
+      // a range inside the SECOND occurrence only
+      assert(spark.sql("""SELECT k FROM g2.db.evdst
+        WHERE ts >= timestamp_seconds(1699175400)
+          AND ts < timestamp_seconds(1699176000)""").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L))
+      // days() across the 25-hour day: all three rows are 2023-11-05
+      spark.sql("""CREATE TABLE g2.db.evdst2 (k BIGINT, ts TIMESTAMP)
+        PARTITIONED BY (days(ts))""")
+      spark.sql("""INSERT INTO g2.db.evdst2 VALUES
+        (1, timestamp_seconds(1699172100)),
+        (2, timestamp_seconds(1699175700)),
+        (3, timestamp_seconds(1699228700))""") // 16:xx PST, same local day
+      assert(spark.sql("""SELECT count(*) FROM g2.db.evdst2
+        WHERE ts >= timestamp_seconds(1699167600)
+          AND ts < timestamp_seconds(1699257600)""").collect()
+        .head.getLong(0) == 3L) // the full 25-hour local day
+    } finally spark.conf.set(zoneConf, orig)
+  }
+
   test("PROPERTY: hidden-partition pruning never changes results — " +
       "random predicates over days/bucket/truncate fixtures match an " +
       "unpartitioned twin (oracle-independence for prune(), VERDICT " +
