@@ -122,14 +122,17 @@ object Maintenance {
     // (found by RowLevelModelSpec, r17). Loss-free up-casts (canUpCast)
     // apply silently, like SQL INSERT's store assignment; anything
     // else rejects loudly.
+    // source fields resolve with the SESSION resolver (case-insensitive
+    // by default — the pre-r17 col(name) select honored that too)
+    val resolve = org.apache.spark.sql.graftaccess.Internals.resolver(spark)
     val src = source.select(schema.fields.map { f =>
-      val in = source.schema.fields.find(_.name == f.name).getOrElse(
-        throw new IllegalArgumentException(
+      val in = source.schema.fields.find(i => resolve(i.name, f.name))
+        .getOrElse(throw new IllegalArgumentException(
           s"upsert source is missing column ${f.name} of $ident"))
-      if (in.dataType == f.dataType) col(f.name)
+      if (in.dataType == f.dataType) col(in.name).as(f.name)
       else if (org.apache.spark.sql.catalyst.expressions.Cast
           .canUpCast(in.dataType, f.dataType))
-        col(f.name).cast(f.dataType).as(f.name)
+        col(in.name).cast(f.dataType).as(f.name)
       else throw new IllegalArgumentException(
         s"upsert source column ${f.name} is ${in.dataType.simpleString} " +
           s"but $ident declares ${f.dataType.simpleString}; cast the " +
@@ -462,6 +465,12 @@ object Maintenance {
     import org.apache.spark.sql.functions.{col, input_file_name}
     require(cols.nonEmpty, "addBlooms needs at least one column")
     val dir = tableDir(spark, ident)
+    // schema epoch captured FIRST — before the declared-schema read and
+    // the file listing — so an ALTER landing anywhere during this run
+    // flips the under-lock re-check below (capturing it later left a
+    // TOCTOU window where a pre-alter reader passed a post-alter epoch
+    // check; r17 second review)
+    val epoch0 = GraftTable.schemaEpochOf(dir)
     // pre-snapshot (v1-era) tables have data but no snapshot — the
     // SAME whole-data-dir fallback GraftTable's scan uses, rather than
     // silently writing zero sidecars for a table that has files.
@@ -506,13 +515,11 @@ object Maintenance {
         .StructType(sch.fields.filter(f => cols.contains(f.name))))
       case None => spark.read
     }
-    // schema epoch captured BEFORE the distributed pass: a concurrent
-    // ALTER COLUMN TYPE drops this column's blooms (narrow-value hashes
-    // would false-negative wide probes) — sidecars built from the
-    // PRE-promotion read must not be written after it, or the stale
-    // hashes come back (r17 review). The write loop below re-validates
-    // under the same per-table lock ALTER holds.
-    val epoch0 = GraftTable.schemaEpochOf(dir)
+    // a concurrent ALTER COLUMN TYPE drops this column's blooms
+    // (narrow-value hashes would false-negative wide probes) — sidecars
+    // built from the pre-promotion read must not be written after it,
+    // or the stale hashes come back (r17 review). The write loop below
+    // re-validates epoch0 under the same per-table lock ALTER holds.
     val rows = reader.parquet(abs: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)

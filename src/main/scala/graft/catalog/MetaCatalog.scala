@@ -259,15 +259,9 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     Files.createDirectories(tablePath(ident).resolve("data"))
     Files.writeString(schemaFile(ident), schema.json)
     FieldIds.write(tablePath(ident), FieldIds.synthesize(schema))
-    // pin the creating session's zone for days() boundaries (ADVICE
-    // r16): derive and prune must share ONE zone across sessions
-    val needsZone = partSpec.exists {
-      case t @ (_: PartitionTransforms.Days | _: PartitionTransforms.Years |
-                _: PartitionTransforms.Months | _: PartitionTransforms.Hours) =>
-        schema(t.source).dataType
-          .isInstanceOf[org.apache.spark.sql.types.TimestampType]
-      case _ => false
-    }
+    // pin the creating session's zone for calendar-transform boundaries
+    // (ADVICE r16): derive and prune must share ONE zone across sessions
+    val needsZone = PartitionTransforms.needsPinnedZone(partSpec, schema)
     val baseProps = properties.asScala.toMap ++
       (if (partSpec.nonEmpty)
         Map(PartitionKey -> PartitionTransforms.formatSpec(partSpec))
@@ -300,14 +294,20 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     * files), and two concurrent ALTERs can no longer lose one's
     * field-id allocation to a last-write-wins race. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    // existence check BEFORE the lock (ADVICE r16): withRefsLock creates
-    // the table dir + lock file, so locking first would leave a stray
-    // directory in the warehouse for ALTER on a nonexistent table.
-    // Re-checked inside for the drop-table race.
+    // existence check BEFORE the lock (ADVICE r16), re-checked inside
+    // for the drop-table race; withRefsLock itself REQUIRES the dir
+    // (r17 — it used to create it, which left a stray warehouse dir on
+    // this path), so a DROP landing between the check and the lock
+    // surfaces here as a missing dir → map it back to the proper
+    // NoSuchTableException.
     if (!tableExists(ident))
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-    Snapshots.withRefsLock(tablePath(ident)) {
+    try Snapshots.withRefsLock(tablePath(ident)) {
       alterTableLocked(ident, changes)
+    } catch {
+      case e: IllegalStateException if !tableExists(ident) =>
+        throw new NoSuchTableException(
+          (ident.namespace() :+ ident.name()).toSeq)
     }
   }
 

@@ -150,6 +150,17 @@ object PartitionTransforms {
     }
   }
 
+  /** Whether CREATE TABLE must pin the session zone ([[ZoneKey]]): any
+    * calendar transform over a ZONED timestamp derives zone-dependent
+    * dir values — ONE helper shared by MetaCatalog and RestCatalog so
+    * the two can never diverge (r17 second review). */
+  def needsPinnedZone(spec: Seq[T], schema: StructType): Boolean =
+    spec.exists {
+      case t @ (_: Days | _: Years | _: Months | _: Hours) =>
+        schema(t.source).dataType.isInstanceOf[TimestampType]
+      case _ => false
+    }
+
   def formatSpec(spec: Seq[T]): String =
     if (spec.forall(_.isIdentity)) spec.map(_.spec).mkString(",")
     else spec.map(_.spec).mkString(";")
@@ -298,6 +309,14 @@ object PartitionTransforms {
       case _ => None
     }
 
+  /** Constant hour-dir parser, hoisted out of the per-(file, predicate)
+    * prune loop (r17 second review). */
+  private val HourDirFormat: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd-HH")
+      .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+      .toFormatter()
+
   /** [lo, hi) epoch-micros interval of a calendar-transform dir value
     * in `zone` — days `2023-11-16`, years `2023`, months `2023-11`,
     * hours `2023-11-16-22` (r17). Unparseable → None (conservative). */
@@ -319,12 +338,7 @@ object PartitionTransforms {
           Some((us(m.atDay(1).atStartOfDay(zone)),
             us(m.plusMonths(1).atDay(1).atStartOfDay(zone))))
         case _: Hours =>
-          val f = new java.time.format.DateTimeFormatterBuilder()
-            .appendPattern("yyyy-MM-dd-HH")
-            .parseDefaulting(
-              java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
-            .toFormatter()
-          val h = java.time.LocalDateTime.parse(dirVal, f)
+          val h = java.time.LocalDateTime.parse(dirVal, HourDirFormat)
           Some((us(h.atZone(zone)), us(h.plusHours(1).atZone(zone))))
         case _ => None
       }

@@ -210,15 +210,9 @@ class RestCatalog extends TableCatalog with SupportsNamespaces {
     val partSpec: Seq[PartitionTransforms.T] =
       PartitionTransforms.fromSparkTransforms(partitions.toSeq)
     partSpec.foreach(PartitionTransforms.validate(_, schema))
-    // pin the CLIENT session's zone for days() boundaries — the writers
-    // live client-side, the server only stores metadata
-    val needsZone = partSpec.exists {
-      case t @ (_: PartitionTransforms.Days | _: PartitionTransforms.Years |
-                _: PartitionTransforms.Months | _: PartitionTransforms.Hours) =>
-        schema(t.source).dataType
-          .isInstanceOf[org.apache.spark.sql.types.TimestampType]
-      case _ => false
-    }
+    // pin the CLIENT session's zone for calendar-transform boundaries —
+    // the writers live client-side, the server only stores metadata
+    val needsZone = PartitionTransforms.needsPinnedZone(partSpec, schema)
     val props = new java.util.HashMap[String, String](properties)
     if (needsZone && !props.containsKey(PartitionTransforms.ZoneKey))
       props.put(PartitionTransforms.ZoneKey, org.apache.spark.sql.internal

@@ -161,6 +161,12 @@ class RowLevelModelSpec extends AnyFunSuite {
       Seq((1, 5)).toDF("k", "q"), Seq("k")) // both INT sources
     assert(spark.sql("SELECT q FROM gmod.db.mtyp2").collect()
       .head.getLong(0) == 5L)
+    // source columns resolve case-INSENSITIVELY (the session default —
+    // the type-alignment pass must not regress it; r17 second review)
+    graft.catalog.Maintenance.upsert(spark, "gmod.db.mtyp2",
+      Seq((2L, 7L)).toDF("K", "Q"), Seq("k"))
+    assert(spark.sql("SELECT q FROM gmod.db.mtyp2 WHERE k = 2").collect()
+      .head.getLong(0) == 7L)
   }
 
   test("seeded-random op sequences match the in-memory model: COW table " +
