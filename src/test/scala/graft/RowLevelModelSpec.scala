@@ -178,4 +178,20 @@ class RowLevelModelSpec extends AnyFunSuite {
       "MERGE-ON-READ table (position + equality sidecars stack)") {
     run("mmor", seed = 0xBEEF1717L, mor = true, steps = 22)
   }
+
+  // SOAK MODE: -Dgraft.model.seeds=7,8,9 (sbt: `set Test/javaOptions +=
+  // "-Dgraft.model.seeds=..."`) or SPARK_GRAFT_MODEL_SEEDS runs extra
+  // seeds (both COW and MOR, 30 steps each) — off in the suite, used
+  // for longer bug hunts before a round closes.
+  sys.props.get("graft.model.seeds")
+      .orElse(sys.env.get("SPARK_GRAFT_MODEL_SEEDS")).foreach { seeds =>
+    seeds.split(",").map(_.trim).filter(_.nonEmpty).foreach { sd =>
+      test(s"SOAK seed=$sd: COW model run") {
+        run(s"soakc$sd", seed = sd.toLong, mor = false, steps = 30)
+      }
+      test(s"SOAK seed=$sd: MOR model run") {
+        run(s"soakm$sd", seed = sd.toLong, mor = true, steps = 30)
+      }
+    }
+  }
 }
