@@ -299,7 +299,16 @@ object ContendMain {
         //    the other JVM's in-flight writes epoch-abort and retry;
         //  - an INSERT every 3rd round.
         // Every op retries on abort (schema-epoch, lost CAS): an abort
-        // means nothing committed, so retry keeps exactly-once.
+        // means nothing committed, so retry keeps exactly-once. ONLY
+        // the known abort types retry (ADVICE r17): an exception thrown
+        // AFTER a successful commit (post-commit read failure,
+        // transient I/O) would re-run the op and double-apply the MERGE
+        // increment, tripping checkhp as a false alarm — and a blind
+        // catch-all would mask real non-abort failures. Aborts surface
+        // as ConcurrentModificationException (schema-epoch flip, stale
+        // rewrite base, concurrent sidecar) or the casCommit give-up
+        // IllegalStateException, possibly wrapped by Spark — walk the
+        // cause chain.
         val n = args(2).toInt
         val base = args(3).toInt
         // the stage's exactly-once arithmetic owns seed slices
@@ -309,13 +318,21 @@ object ContendMain {
         require(n >= 2 && n <= 40, s"hpwriter: n=$n outside [2, 40]")
         require(base == 0 || base == 100, s"hpwriter: base=$base")
         val fixedKey = if (base == 0) 181 else 182
+        def isAbort(e: Throwable): Boolean =
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .exists {
+              case _: java.util.ConcurrentModificationException => true
+              case ise: IllegalStateException =>
+                Option(ise.getMessage).exists(_.contains("lost the CAS race"))
+              case _ => false
+            }
         def retry[A](what: String)(body: => A): A = {
           var attempts = 0
           while (true) {
             attempts += 1
             try return body
             catch {
-              case e: Exception if attempts < 30 =>
+              case e: Exception if attempts < 30 && isAbort(e) =>
                 System.err.println(s"[contend] $what retry " +
                   s"(${e.getClass.getSimpleName}: " +
                   s"${Option(e.getMessage).getOrElse("").take(80)})")

@@ -38,7 +38,7 @@ object AlterOps {
     if (Files.exists(schemaFile(tableDir))) Some(readSchema(tableDir))
     else None
 
-  private[catalog] def readProps(tableDir: Path): Map[String, String] = {
+  private[graft] def readProps(tableDir: Path): Map[String, String] = {
     val f = propsFile(tableDir)
     if (!Files.exists(f)) return Map.empty
     val p = new java.util.Properties()
@@ -47,7 +47,7 @@ object AlterOps {
     p.asScala.toMap
   }
 
-  private def writeProps(tableDir: Path, props: Map[String, String]): Unit = {
+  private[graft] def writeProps(tableDir: Path, props: Map[String, String]): Unit = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     val out = Files.newOutputStream(propsFile(tableDir))

@@ -84,6 +84,21 @@ class GraftTable(
     * None on pre-r17 tables → session zone, the historical behavior. */
   private def partitionZone: Option[String] =
     props.get(PartitionTransforms.ZoneKey)
+  /** Whether this handle must BACKFILL a zone pin: a pre-r17 table with
+    * a calendar transform over a zoned TIMESTAMP but no [[PartitionTransforms.ZoneKey]]
+    * derives and prunes in whatever zone each session happens to run —
+    * an exposure the V2 row-level writes extended to rewrites (ADVICE
+    * r17). The first commit through this handle pins the zone the
+    * handle actually derived with, closing the window for good. */
+  private lazy val zoneNeedsBackfill: Boolean = partitionZone.isEmpty &&
+    PartitionTransforms.needsPinnedZone(partSpec, declaredSchema)
+  /** ONE zone per handle, used by every derive and prune: the pinned
+    * zone, or (backfill case) the session zone captured HERE on the
+    * driver so the value later pinned is exactly the value used. */
+  private lazy val effectiveZone: Option[String] = partitionZone.orElse(
+    if (zoneNeedsBackfill)
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    else None)
 
   /** Whether row-level DELETEs on this table write position-delete
     * sidecars instead of rewriting files (Iceberg v2's
@@ -394,7 +409,7 @@ class GraftTable(
     else new org.apache.spark.sql.graftaccess.HiddenPruneScans.Builder(
       dataRel,
       (files, v1) => PartitionTransforms.prune(
-        files, partSpec, v1, declaredSchema, partitionZone),
+        files, partSpec, v1, declaredSchema, effectiveZone),
       assemble)
   }
 
@@ -436,7 +451,7 @@ class GraftTable(
       // value lives ONLY in directory names (partitionBy drops it from
       // the written files, and reads never request it)
       val laid =
-        PartitionTransforms.withDerived(partSpec, aligned, partitionZone)
+        PartitionTransforms.withDerived(partSpec, aligned, effectiveZone)
       val w = laid.write.mode(SaveMode.Overwrite)
       (if (partSpec.nonEmpty)
         w.partitionBy(PartitionTransforms.dirColumns(partSpec): _*)
@@ -556,6 +571,28 @@ class GraftTable(
         throw new java.util.ConcurrentModificationException(
           s"$fullName: table schema metadata changed while this write " +
             "was in flight (concurrent ALTER TABLE); retry the operation")
+      // ZONE BACKFILL (ADVICE r17): the first commit through a handle
+      // on a legacy zoned calendar-transform table (no ZoneKey) pins
+      // the zone the handle derived with, so the cross-session
+      // day-boundary drift window closes instead of persisting
+      // indefinitely. Under the same lock as the commit: a concurrent
+      // session that pinned a DIFFERENT zone first wins, and this
+      // commit aborts — its dir derivations may disagree with the now-
+      // authoritative pin.
+      if (zoneNeedsBackfill) effectiveZone.foreach { z =>
+        val fresh = AlterOps.readProps(tableDir)
+        fresh.get(PartitionTransforms.ZoneKey) match {
+          case Some(other) if other != z =>
+            throw new java.util.ConcurrentModificationException(
+              s"$fullName: a concurrent session pinned partition zone " +
+                s"'$other' while this write (zone '$z') was in flight; " +
+                "retry the operation")
+          case Some(_) => () // same zone already pinned: nothing to do
+          case None =>
+            AlterOps.writeProps(tableDir,
+              fresh + (PartitionTransforms.ZoneKey -> z))
+        }
+      }
       replacedBase.foreach { base =>
         val current = latest.map(_.files.toSet).getOrElse(Set.empty)
         val gone = base.filterNot(current.contains)
@@ -792,7 +829,7 @@ class GraftTable(
           // costs no footer read); footer stats + blooms refine within
           // the surviving dirs — same order as deleteWhere
           val dirKept = PartitionTransforms.prune(
-            files, partSpec, v1, declaredSchema, partitionZone).toSet
+            files, partSpec, v1, declaredSchema, effectiveZone).toSet
           files = files.filter(f => dirKept.contains(f) &&
             ParquetStats.mayMatchAll(
               tableDir.resolve(f).toString, v1, conf) &&
@@ -836,7 +873,7 @@ class GraftTable(
             finally dropStaging(),
             onAbort = _ => dropStaging(),
             partitionSpec = partSpec,
-            partitionZone = partitionZone)
+            partitionZone = effectiveZone)
       }
     }
   }
@@ -904,7 +941,7 @@ class GraftTable(
     // refine within the surviving dirs
     val dirPruned = PartitionTransforms.prune(
       baseData, partSpec, filters.toSeq, declaredSchema,
-      partitionZone).toSet
+      effectiveZone).toSet
     val (touched, _) = baseData.partition(f => opaque.contains(f) ||
       (dirPruned.contains(f) &&
         ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,

@@ -305,7 +305,12 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
     try Snapshots.withRefsLock(tablePath(ident)) {
       alterTableLocked(ident, changes)
     } catch {
-      case e: IllegalStateException if !tableExists(ident) =>
+      // ONLY the dedicated missing-dir failure maps to NoSuchTable
+      // (ADVICE r17): a legitimate ALTER rejection that happens to use
+      // IllegalStateException (pending-eq-sidecar guard, branch guard)
+      // racing a concurrent DROP must surface AS ITSELF, not be
+      // reported as a missing table.
+      case _: Snapshots.TableDirMissingException =>
         throw new NoSuchTableException(
           (ident.namespace() :+ ident.name()).toSeq)
     }

@@ -476,6 +476,15 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0,
               spec.foreach(PartitionTransforms.validate(_, schema))
               props.setProperty("graft.partition.columns",
                 PartitionTransforms.formatSpec(spec))
+              // ADVICE r17: a raw HTTP client (the Spark client always
+              // pins) creating a calendar transform over a zoned
+              // TIMESTAMP without a pinned zone would silently fall
+              // back to per-session zones — the cross-session
+              // day-boundary mis-prune ZoneKey exists to prevent. Pin
+              // an explicit UTC default into the stored props.
+              if (PartitionTransforms.needsPinnedZone(spec, schema) &&
+                  props.getProperty(PartitionTransforms.ZoneKey) == null)
+                props.setProperty(PartitionTransforms.ZoneKey, "UTC")
             }
             if (!props.isEmpty) {
               val out = Files.newOutputStream(

@@ -24,6 +24,14 @@ import scala.jdk.CollectionConverters._
   * read, never a data scan.
   */
 object Snapshots {
+  /** The table directory vanished under [[withRefsLock]] — the one
+    * failure mode callers may legitimately map to "no such table"
+    * (ALTER racing a concurrent DROP). A plain IllegalStateException
+    * from a guard INSIDE the lock (e.g. the pending-eq-sidecar ALTER
+    * rejection) must never be mistaken for it (ADVICE r17). */
+  final class TableDirMissingException(dir: Path) extends IllegalStateException(
+    s"table directory $dir does not exist (dropped concurrently?)")
+
   /** `files` is the COMPLETE visible file list, data files and
     * position-delete sidecars alike; delete files are distinguished by
     * their `deletes/` path prefix (data files live under `data/`), so
@@ -154,11 +162,12 @@ object Snapshots {
       // locks an existing table, and creating it here would leave a
       // stray warehouse directory when the caller then fails its
       // existence check — e.g. ALTER racing a concurrent DROP TABLE
-      // (ADVICE r16 + the r17 review's race refinement)
+      // (ADVICE r16 + the r17 review's race refinement). The DEDICATED
+      // exception type lets ALTER's drop-race handler catch exactly
+      // this failure instead of every IllegalStateException a guard
+      // inside the lock might raise (ADVICE r17).
       if (!Files.isDirectory(tableDir))
-        throw new IllegalStateException(
-          s"table directory $tableDir does not exist " +
-            "(dropped concurrently?)")
+        throw new TableDirMissingException(tableDir)
       val lockPath = tableDir.resolve("_graft_refs.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,

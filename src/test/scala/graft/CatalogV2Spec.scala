@@ -2920,4 +2920,44 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM g2.db.dbkq WHERE s = 'sp'")
       .collect().head.getLong(0) == 0L)
   }
+
+  test("legacy zoned days() tables (no ZoneKey) get the zone PINNED on " +
+      "their first write — the drift window closes instead of " +
+      "persisting (ADVICE r17)") {
+    val zoneConf = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(zoneConf)
+    val zk = graft.catalog.PartitionTransforms.ZoneKey
+    try {
+      spark.conf.set(zoneConf, "Asia/Tokyo")
+      spark.sql("""CREATE TABLE g2.db.evzbf (ev_id BIGINT, ts TIMESTAMP)
+        PARTITIONED BY (days(ts))""")
+      // simulate a pre-r17 table: strip the CREATE-time pin from props
+      val dir = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.catalog.g2.warehouse"), "db", "evzbf")
+      val props0 = graft.catalog.AlterOps.readProps(dir)
+      assert(props0.contains(zk))
+      graft.catalog.AlterOps.writeProps(dir, props0 - zk)
+      // first write through the legacy table pins the WRITER's zone
+      spark.sql("""INSERT INTO g2.db.evzbf
+        SELECT id, timestamp_seconds(1700000000 + 82800 + id)
+        FROM range(0, 4)""")
+      assert(graft.catalog.AlterOps.readProps(dir).get(zk)
+        .contains("Asia/Tokyo"))
+      // a reader AND a second writer in another zone now agree with the
+      // layout (pre-fix both would re-derive in their own session zone)
+      spark.conf.set(zoneConf, "America/Los_Angeles")
+      val got = spark.sql("""SELECT ev_id FROM g2.db.evzbf
+        WHERE ts >= timestamp_seconds(1700082800)
+          AND ts < timestamp_seconds(1700082803)""")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(0L, 1L, 2L), s"got $got")
+      spark.sql("""INSERT INTO g2.db.evzbf
+        SELECT id, timestamp_seconds(1700000000 + 82800 + id)
+        FROM range(4, 6)""")
+      val dayDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(dir.resolve("data")).iterator()).asScala
+        .map(_.getFileName.toString).filter(_.startsWith("ts_day=")).toSeq
+      assert(dayDirs == Seq("ts_day=2023-11-16"), s"got $dayDirs")
+    } finally spark.conf.set(zoneConf, orig)
+  }
 }
