@@ -90,11 +90,22 @@ object AlterOps {
       case _ => false
     }
     if (schemaChanges.nonEmpty) {
-      val partSpec = readProps(tableDir).get(PartitionKey)
-        .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
+      // era-log aware (r18): evolution's latest spec is authoritative;
+      // guards must see the CURRENT sources, not a stale property
+      val partSpec = SpecEras.currentSpecStrings(tableDir,
+        readProps(tableDir)).map(PartitionTransforms.parse)
       // partition SOURCES — identity columns and hidden-transform
-      // sources alike: dir layouts and the prune mapping carry the name
-      val partSources = partSpec.map(_.source)
+      // sources alike: dir layouts and the prune mapping carry the name.
+      // ALL ERAS, not just the current spec (r18): a field dropped by
+      // DROP PARTITION FIELD leaves old-era files whose dirs were
+      // derived from the source — renaming it and re-ADDing a column
+      // under the old name would make era pruning test the NEW column's
+      // literals against the OLD column's dir values (e.g. an IS NULL
+      // probe on the re-added column would wrongly prune all-NULL old
+      // files outside the seed bucket). Loud rejection; CTAS migrates.
+      val partSources = (partSpec.map(_.source) ++
+        SpecEras.read(tableDir).toSeq.flatten
+          .flatMap(_.spec.map(_.source))).distinct
       // ...and a new/renamed column must not collide with a DERIVED dir
       // column name (ts_day, k_bucket, ...): the next write's
       // withDerived would silently overwrite the user column's values

@@ -111,10 +111,16 @@ object Changelog {
     // the old-generation guard above already rejects files whose NAMES
     // don't translate. Identity partition columns resolve from dir
     // names via basePath, same as an inferred read.
-    def readRaw(fs: Seq[String]): DataFrame = spark.read
-      .option("basePath", dir.resolve("data").toString)
-      .schema(schema)
-      .parquet(fs.map(f => dir.resolve(f).toString): _*)
+    def readRaw(fs: Seq[String]): DataFrame =
+      // one basePath read per spec era (r18): a rollback diff can
+      // re-reference files from several eras whose dir depths differ,
+      // which Spark's partition inference rejects outright
+      SpecEras.fileGroups(dir, fs, Seq.empty).map { case (_, eraFs) =>
+        spark.read
+          .option("basePath", dir.resolve("data").toString)
+          .schema(schema)
+          .parquet(eraFs.map(f => dir.resolve(f).toString): _*)
+      }.reduce(_ unionByName _)
 
     def positions(deleteFiles: Seq[String]): DataFrame =
       DeleteSidecars.positionsDf(spark, dir, deleteFiles)

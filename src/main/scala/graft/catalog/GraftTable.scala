@@ -100,6 +100,36 @@ class GraftTable(
       Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     else None)
 
+  /** Partition-spec ERAS ([[SpecEras]], r18 — Iceberg spec §4 versioned
+    * partition specs): the era log when `ADD/DROP PARTITION FIELD` ever
+    * ran, else one synthetic era over the current spec. Old files keep
+    * their era's spec for pruning AND for scan slicing (mixed-era file
+    * sets have mixed dir depths, which Spark's partition inference
+    * rejects outright); new writes always use [[partSpec]] (the latest
+    * era — the catalogs load it through [[SpecEras.currentSpecStrings]]). */
+  private lazy val specEras: Seq[SpecEras.Era] =
+    SpecEras.read(tableDir).getOrElse(Seq(SpecEras.Era(1L, partSpec)))
+  private def specEvolved: Boolean = specEras.size > 1
+  /** Files grouped by spec era, oldest first (ONE group — no metadata
+    * read — when the table never evolved). */
+  private def eraFileGroups(files: Seq[String])
+      : Seq[(Seq[PartitionTransforms.T], Seq[String])] =
+    if (!specEvolved) Seq((partSpec, files))
+    else SpecEras.fileGroups(tableDir, files, partSpec)
+  /** Era-aware hidden-partition prune: each file's dir values are
+    * interpreted under the spec that WROTE them (a k_bucket=3 dir from
+    * a bucket(8,k) era must never be tested modulo a later re-add). */
+  private def eraPrune(files: Seq[String],
+      filters: Seq[Filter]): Seq[String] =
+    eraFileGroups(files).flatMap { case (spec, fs) =>
+      PartitionTransforms.prune(fs, spec, filters, declaredSchema,
+        effectiveZone)
+    }
+  /** Whether ANY era carries a hidden transform — the prune wrap must
+    * engage for old-era dirs even after every field was dropped. */
+  private def anyEraHidden: Boolean =
+    specEras.exists(_.spec.exists(!_.isIdentity))
+
   /** Whether row-level DELETEs on this table write position-delete
     * sidecars instead of rewriting files (Iceberg v2's
     * `write.delete.mode`; copy-on-write is the default). */
@@ -384,33 +414,52 @@ class GraftTable(
         else Seq.empty
       cleanSlice ++ maskedSlice
     }
-    def assemble(files: Seq[String]): ScanBuilder =
+    def slicesOneEra(files: Seq[String]): Seq[MultiGenScans.GenSlice] =
       generationGroups(files) match {
-        case Seq() =>
-          slicesFor(files, declaredSchema, Map.empty) match {
-            case Seq(only) => only.plain // untouched single-scan fast path
-            case slices => new MultiGenScans.Builder(slices, "mor split")
-          }
-        case gs => // one delegate per generation, physical names mapped
+        case Seq() => slicesFor(files, declaredSchema, Map.empty)
+        case gs => gs.flatMap { case (g, fs) =>
+          val (sg, rename, promoted) = genSchema(fieldMeta.get, g)
+          slicesFor(fs, sg, rename, promoted)
+        }
+      }
+    def assemble(files: Seq[String]): ScanBuilder =
+      eraFileGroups(files) match {
+        // SPEC ERAS (r18): one delegate stack per era — files of
+        // different eras have different dir depths, and Spark's hive
+        // partition inference rejects a mixed-depth file set outright
+        // (CONFLICTING_PARTITION_COLUMN_NAMES); within one era the
+        // layout is consistent by construction. Each era group's slices
+        // end with a current-generation slice, so the LAST slice
+        // overall reports current names.
+        case eg if eg.lengthCompare(1) > 0 =>
           new MultiGenScans.Builder(
-            gs.flatMap { case (g, fs) =>
-              val (sg, rename, promoted) = genSchema(fieldMeta.get, g)
-              slicesFor(fs, sg, rename, promoted)
-            },
-            if (relIndex.isEmpty) "schema generations"
-            else "schema generations + mor split")
+            eg.flatMap { case (_, fs) => slicesOneEra(fs) }, "spec eras")
+        case _ =>
+          generationGroups(files) match {
+            case Seq() =>
+              slicesFor(files, declaredSchema, Map.empty) match {
+                case Seq(only) => only.plain // untouched single-scan fast path
+                case slices => new MultiGenScans.Builder(slices, "mor split")
+              }
+            case gs => // one delegate per generation, physical names mapped
+              new MultiGenScans.Builder(
+                gs.flatMap { case (g, fs) =>
+                  val (sg, rename, promoted) = genSchema(fieldMeta.get, g)
+                  slicesFor(fs, sg, rename, promoted)
+                },
+                if (relIndex.isEmpty) "schema generations"
+                else "schema generations + mor split")
+          }
       }
     // HIDDEN PARTITIONING (round 16): the kept file list depends on the
     // pushed filters, so the whole delegate stack is constructed at
     // build() time over the transform-pruned files — predicates on the
     // SOURCE column (`WHERE ts >= ...`) prune `ts_day=...` dirs with no
-    // user-visible partition column.
-    if (hiddenTransforms.isEmpty) assemble(dataRel)
+    // user-visible partition column. Era-aware since r18: each file
+    // prunes under the spec that wrote its dirs.
+    if (!anyEraHidden) assemble(dataRel)
     else new org.apache.spark.sql.graftaccess.HiddenPruneScans.Builder(
-      dataRel,
-      (files, v1) => PartitionTransforms.prune(
-        files, partSpec, v1, declaredSchema, effectiveZone),
-      assemble)
+      dataRel, (files, v1) => eraPrune(files, v1), assemble)
   }
 
   // --- write (V1 fallback: full commit control, still distributed) ------
@@ -786,23 +835,37 @@ class GraftTable(
         def delegate(fs: Seq[String]) =
           delegateFor(fs.map(f => tableDir.resolve(f).toString))
             .newScanBuilder(options)
-        if (baseDeletes.isEmpty) delegate(files).build().toBatch
+        if (baseDeletes.isEmpty && !specEvolved)
+          delegate(files).build().toBatch
         else {
           // pending MOR sidecars: masked rows must not enter the
           // rewrite — same clean/masked split as interactive scans.
-          // FIXED two-slice layout (clean, masked) even when one side
-          // is empty: runtime group filtering re-plans partitions from
-          // a FRESH toBatch but reuses the FIRST batch's reader
-          // factory, so the slice structure must not depend on the
-          // narrowed file list (an empty slice plans zero partitions).
+          // SPEC ERAS (r18): one slice group PER ERA — a mixed-era file
+          // set has mixed dir depths, which partition inference rejects.
+          // FIXED slice layout (per BASE-file era, clean+masked) even
+          // when a side is empty: runtime group filtering re-plans
+          // partitions from a FRESH toBatch but reuses the FIRST
+          // batch's reader factory, so the slice structure must not
+          // depend on the narrowed file list (an empty slice plans zero
+          // partitions).
           import org.apache.spark.sql.graftaccess.{MorScans, MultiGenScans}
-          val (masked, clean) = files.partition(baseMasked)
-          new MultiGenScans.Builder(Seq(
-            MultiGenScans.GenSlice(delegate(clean), Map.empty),
-            MultiGenScans.GenSlice(new MorScans.Builder(
-              delegate(masked), fileColAllowed = false,
-              () => baseMorBroadcast), Map.empty)),
-            "mor split").build().toBatch
+          val fileSet = files.toSet
+          val slices = eraFileGroups(baseFiles).flatMap { case (_, eraFs) =>
+            val cur = eraFs.filter(fileSet.contains)
+            if (baseDeletes.isEmpty)
+              Seq(MultiGenScans.GenSlice(delegate(cur), Map.empty))
+            else {
+              val (masked, clean) = cur.partition(baseMasked)
+              Seq(
+                MultiGenScans.GenSlice(delegate(clean), Map.empty),
+                MultiGenScans.GenSlice(new MorScans.Builder(
+                  delegate(masked), fileColAllowed = false,
+                  () => baseMorBroadcast), Map.empty))
+            }
+          }
+          new MultiGenScans.Builder(slices,
+            if (specEvolved) "spec eras + mor split" else "mor split")
+            .build().toBatch
         }
       }
       override def description(): String =
@@ -827,9 +890,9 @@ class GraftTable(
           val conf = spark.sparkContext.hadoopConfiguration
           // hidden-partition dirs prune FIRST (a dir-value disproof
           // costs no footer read); footer stats + blooms refine within
-          // the surviving dirs — same order as deleteWhere
-          val dirKept = PartitionTransforms.prune(
-            files, partSpec, v1, declaredSchema, effectiveZone).toSet
+          // the surviving dirs — same order as deleteWhere. Era-aware:
+          // each file prunes under the spec that wrote its dirs (r18).
+          val dirKept = eraPrune(files, v1).toSet
           files = files.filter(f => dirKept.contains(f) &&
             ParquetStats.mayMatchAll(
               tableDir.resolve(f).toString, v1, conf) &&
@@ -898,17 +961,21 @@ class GraftTable(
           .map(f => col(q(rename.getOrElse(f.name, f.name)))
             .cast(f.dataType).as(f.name)) :+
           col("_metadata"): _*)
-    evolvedMeta match {
-      case None => readGroup(relFiles, declaredSchema, Map.empty)
+    def readOneEra(eraFiles: Seq[String]): DataFrame = evolvedMeta match {
+      case None => readGroup(eraFiles, declaredSchema, Map.empty)
       case Some(m) =>
         val seen = firstSeenVersions()
-        relFiles.groupBy(f => m.genFor(seen.getOrElse(f, Long.MaxValue)))
+        eraFiles.groupBy(f => m.genFor(seen.getOrElse(f, Long.MaxValue)))
           .toSeq.sortBy(_._1.activeFrom)
           .map { case (g, fs) =>
             val (sg, rename, _) = genSchema(m, g)
             readGroup(fs, sg, rename)
           }.reduce(_ unionByName _)
     }
+    // SPEC ERAS (r18): one basePath read per era — a mixed-era file set
+    // has mixed dir depths, which partition inference rejects outright
+    eraFileGroups(relFiles).map(g => readOneEra(g._2))
+      .reduce(_ unionByName _)
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -938,10 +1005,9 @@ class GraftTable(
       FieldIds.nonIdentityFiles(tableDir, m, baseData)).getOrElse(Set.empty)
     // hidden-partition transforms prune FIRST (a dir-value disproof
     // needs no footer read at all); footer stats and bloom sidecars
-    // refine within the surviving dirs
-    val dirPruned = PartitionTransforms.prune(
-      baseData, partSpec, filters.toSeq, declaredSchema,
-      effectiveZone).toSet
+    // refine within the surviving dirs. Era-aware (r18): each file
+    // prunes under the spec that wrote its dirs.
+    val dirPruned = eraPrune(baseData, filters.toSeq).toSet
     val (touched, _) = baseData.partition(f => opaque.contains(f) ||
       (dirPruned.contains(f) &&
         ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,
@@ -1008,7 +1074,11 @@ object GraftTable {
     def part(p: Path): String =
       if (Files.exists(p)) Files.readString(p) else ""
     part(tableDir.resolve("_graft_schema.json")) + "\u0000" +
-      part(tableDir.resolve("_graft_fields.tsv"))
+      part(tableDir.resolve("_graft_fields.tsv")) + "\u0000" +
+      // partition-spec eras (r18): a write laid out under the old spec
+      // committing after an ADD/DROP PARTITION FIELD would first-commit
+      // into the NEW era and be pruned under the wrong spec - abort it
+      part(tableDir.resolve("_graft_partspec.tsv"))
   }
 }
 

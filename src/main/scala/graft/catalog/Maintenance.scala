@@ -183,10 +183,15 @@ object Maintenance {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
-        val raw = spark.read
-          .option("basePath", dir.resolve("data").toString)
-          .schema(schema)
-          .parquet(touched.map(f => dir.resolve(f).toString): _*)
+        // one basePath read per spec era (r18): mixed-era file sets
+        // have mixed dir depths, which partition inference rejects
+        val raw = SpecEras.fileGroups(dir, touched, Seq.empty)
+          .map { case (_, fs) =>
+            spark.read
+              .option("basePath", dir.resolve("data").toString)
+              .schema(schema)
+              .parquet(fs.map(f => dir.resolve(f).toString): _*)
+          }.reduce(_ unionByName _)
         // rows masked by pending MOR sidecars (position OR equality)
         // must not be resurrected
         EqualityDeletes
@@ -196,8 +201,7 @@ object Maintenance {
       }
 
     val props = readProps(dir)
-    val parts = props.get("graft.partition.columns").toSeq
-      .flatMap(PartitionTransforms.splitSpec)
+    val parts = SpecEras.currentSpecStrings(dir, props)
     val table = new GraftTable(ident, dir, schema, parts,
       props - "graft.partition.columns", pinned = None)
     table.replaceFiles(survivors.unionByName(src), touched, base.deleteFiles)
@@ -240,8 +244,8 @@ object Maintenance {
     // rejected: Spark parses timestamp dir values in the READ session's
     // zone, so the parsed key could differ from the written one and the
     // mask would be zone-dependent.
-    val identityParts = readProps(dir).get("graft.partition.columns")
-      .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
+    val identityParts = SpecEras.currentSpecStrings(dir, readProps(dir))
+      .map(PartitionTransforms.parse)
       .collect { case PartitionTransforms.Identity(c) => c }.toSet
     keyCols.foreach { c =>
       if (identityParts.contains(c) &&
@@ -282,8 +286,7 @@ object Maintenance {
         s"deleteByKey: null key values in $k (null never matches a row; " +
           "delete nulls with a predicate DELETE instead)"))
       val props = readProps(dir)
-      val parts = props.get("graft.partition.columns").toSeq
-        .flatMap(PartitionTransforms.splitSpec)
+      val parts = SpecEras.currentSpecStrings(dir, props)
       val table = new GraftTable(ident, dir, schema, parts,
         props - "graft.partition.columns", pinned = None)
       table.commitEqualityDeleteSidecar(distinctKeys, base.dataFiles)
@@ -319,8 +322,7 @@ object Maintenance {
         p.asScala.toMap
       }
     }
-    val parts = props.get("graft.partition.columns").toSeq
-      .flatMap(PartitionTransforms.splitSpec)
+    val parts = SpecEras.currentSpecStrings(dir, props)
     // Read EXACTLY the base snapshot through the table's OWN scan: the
     // generation-aware column mapping serves pre-rename files under
     // current names, and merge-on-read sidecars mask deleted rows — so
@@ -441,8 +443,7 @@ object Maintenance {
         Files.readString(dir.resolve("_graft_schema.json")))
         .asInstanceOf[StructType]
       val props = readProps(dir)
-      val parts = props.get("graft.partition.columns").toSeq
-        .flatMap(PartitionTransforms.splitSpec)
+      val parts = SpecEras.currentSpecStrings(dir, props)
       val table = new GraftTable(ident, dir, schema, parts,
         props - "graft.partition.columns", pinned = None)
       table.replaceDeleteSidecars(kept, posFiles ++ inertEq, targetFiles)
@@ -498,8 +499,8 @@ object Maintenance {
     val declared: Option[org.apache.spark.sql.types.StructType] =
       AlterOps.readDeclaredSchema(dir)
     declared.foreach { sch =>
-      val identityParts = readProps(dir).get("graft.partition.columns")
-        .map(PartitionTransforms.parseSpec).getOrElse(Seq.empty)
+      val identityParts = SpecEras.currentSpecStrings(dir, readProps(dir))
+        .map(PartitionTransforms.parse)
         .collect { case PartitionTransforms.Identity(c) => c }.toSet
       cols.foreach { c =>
         require(!identityParts.contains(c),
@@ -635,6 +636,30 @@ object Maintenance {
             s"boundary would reclassify ${unsafe.length} live data " +
             s"file(s) (e.g. ${unsafe.head}) into the wrong schema " +
             "generation; compact() the table first to migrate them")
+      }
+      // SPEC-ERA SAFETY (r18): partition-spec eras resolve through the
+      // same first-seen versions as field-id generations — dropping the
+      // snapshot a live file first appeared in can raise its first-seen
+      // across an era boundary, and the file's dirs would then prune
+      // under a spec that did not write them (silently wrong results).
+      // Refuse exactly those expirations; compact() migrates the files
+      // to the latest era and unblocks.
+      SpecEras.read(dir).filter(_.size > 1).foreach { eras =>
+        val seenBefore = FieldIds.firstSeen(dir)
+        val retainedSet = retained.map(_.version).toSet
+        def seenAfter(f: String): Long = all
+          .filter(s => retainedSet.contains(s.version) && s.files.contains(f))
+          .map(_.version).minOption.getOrElse(Long.MaxValue)
+        val unsafe = retained.flatMap(_.dataFiles).distinct.filter { f =>
+          SpecEras.eraFor(eras,
+              seenBefore.getOrElse(f, Long.MaxValue)).activeFrom !=
+            SpecEras.eraFor(eras, seenAfter(f)).activeFrom
+        }
+        if (unsafe.nonEmpty) throw new IllegalStateException(
+          s"$ident: expiring past an ADD/DROP PARTITION FIELD era " +
+            s"boundary would reclassify ${unsafe.length} live data " +
+            s"file(s) (e.g. ${unsafe.head}) into the wrong partition-" +
+            "spec era; compact() the table first to migrate them")
       }
       // EQUALITY-DELETE SAFETY (round 16): sidecar applicability is the
       // ORDER firstSeen(dataFile) < firstSeen(eqFile), and both sides

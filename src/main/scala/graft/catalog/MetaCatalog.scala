@@ -143,7 +143,10 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
   private def buildTable(ident: Identifier, pinned: Option[Snapshots.Snap],
       branch: Option[String] = None): GraftTable = {
     val props = readProps(ident)
-    val parts = props.get(PartitionKey).toSeq.flatMap(PartitionTransforms.splitSpec)
+    // era-log-aware spec load (r18): the latest era is authoritative
+    // once ADD/DROP PARTITION FIELD ever ran; the property is a synced
+    // legacy mirror
+    val parts = SpecEras.currentSpecStrings(tablePath(ident), props)
     new GraftTable(fullName(ident), tablePath(ident), readSchema(ident),
       parts, props - PartitionKey, pinned, branch,
       FieldIds.read(tablePath(ident)))

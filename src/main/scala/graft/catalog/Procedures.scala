@@ -26,7 +26,8 @@ object Procedures {
     Array("compact", "zorder", "expire_snapshots", "add_blooms",
       "create_tag", "drop_tag", "changes",
       "create_branch", "drop_branch", "fast_forward", "rollback_to_version",
-      "remove_orphan_files", "rewrite_position_deletes", "delete_by_key")
+      "remove_orphan_files", "rewrite_position_deletes", "delete_by_key",
+      "add_partition_field", "drop_partition_field")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -278,6 +279,45 @@ object Procedures {
               s"${dt.simpleString}: ${raw.mkString(", ")}")
         Array(new GenericInternalRow(Array[Any](
           Maintenance.deleteByKey(active, table, keysDf))))
+      }
+      case "add_partition_field" => proc(
+        "add_partition_field",
+        "evolve the partition spec: new writes lay out the added hidden " +
+          "transform's dirs, old files keep pruning under their own " +
+          "era's spec (Iceberg spec evolution); compact migrates to the " +
+          "latest spec",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("field", StringType)
+            .comment("hidden transform, e.g. 'hours(ts)' or " +
+              "'bucket(16,k)' (identity fields are data-layout-bearing " +
+              "and cannot evolve)").build()),
+        StructType(Seq(StructField("spec_before", StringType),
+          StructField("spec_after", StringType)))) { in =>
+        val dir = Maintenance.tableDir(SparkSession.active, full(in))
+        val (before, after) =
+          SpecEras.addPartitionField(dir, full(in), s(in, 1))
+        Array(new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(before),
+          org.apache.spark.unsafe.types.UTF8String.fromString(after))))
+      }
+      case "drop_partition_field" => proc(
+        "drop_partition_field",
+        "evolve the partition spec: new writes stop laying out the " +
+          "field's dirs, old files keep pruning under their own era's " +
+          "spec; accepts the transform spelling ('days(ts)') or its " +
+          "dir column ('ts_day')",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("field", StringType).build()),
+        StructType(Seq(StructField("spec_before", StringType),
+          StructField("spec_after", StringType)))) { in =>
+        val dir = Maintenance.tableDir(SparkSession.active, full(in))
+        val (before, after) =
+          SpecEras.dropPartitionField(dir, full(in), s(in, 1))
+        Array(new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(before),
+          org.apache.spark.unsafe.types.UTF8String.fromString(after))))
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.system.$other " +

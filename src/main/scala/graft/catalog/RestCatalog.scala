@@ -352,9 +352,11 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0,
     }
     // transform specs carry commas inside parens (bucket(8,k)) — the
     // shared splitter handles both the ';'-joined r16 format and the
-    // legacy comma-joined identity list
-    val partCols = Option(props.getProperty("graft.partition.columns"))
-      .toSeq.flatMap(PartitionTransforms.splitSpec)
+    // legacy comma-joined identity list. Era-log aware (r18): the
+    // latest era wins once ADD/DROP PARTITION FIELD ever ran.
+    val partCols = SpecEras.currentSpecStrings(dir,
+      Option(props.getProperty("graft.partition.columns"))
+        .map(v => Map("graft.partition.columns" -> v)).getOrElse(Map.empty))
     props.remove("graft.partition.columns")
     val propMap = props.stringPropertyNames().asScala
       .map(k => k -> props.getProperty(k)).toMap

@@ -716,6 +716,127 @@ object Extras {
       week.unionAll(layout).orderBy("phase", "d")
     },
 
+    // PARTITION-SPEC EVOLUTION (Iceberg spec §4 versioned partition
+    // specs, r18): ADD PARTITION FIELD hours(ts) on a days(ts) table —
+    // old files keep pruning and reading under the days-only era, new
+    // files lay out day+hour dirs; a MERGE spans both eras; DROP
+    // PARTITION FIELD days(ts) opens a third era; compact migrates
+    // everything to the latest spec. Phases: 'mixed' (week range agg
+    // over two live eras), 'merged' (post-MERGE full agg), 'evolved'
+    // (three live eras + third insert), 'compacted' (same content
+    // after the era migration), 'layout' (a 0/1 pin that era-2 files
+    // really carry ts_day/ts_hour nested dirs and post-compact live
+    // files carry hour dirs only).
+    Probe.df("q_part_evolve",
+      """WITH ev AS (SELECT event_id, ts, value FROM events),
+        |merged AS (
+        |  SELECT event_id, ts,
+        |    CASE WHEN event_id % 131 = 0 THEN value + 1000
+        |         ELSE value END AS value
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT event_id + 2000000, TIMESTAMP '2024-02-07 06:30:00',
+        |    CAST(event_id AS DOUBLE)
+        |  FROM ev WHERE event_id % 407 = 0),
+        |evolved AS (
+        |  SELECT * FROM merged
+        |  UNION ALL
+        |  SELECT event_id + 3000000, ts + INTERVAL 35 DAY, value * 3
+        |  FROM ev WHERE event_id % 203 = 0),
+        |wk AS (
+        |  SELECT 'mixed' AS phase, CAST(ts AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(value) AS DOUBLE) AS sv
+        |  FROM ev
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY 2),
+        |mg AS (
+        |  SELECT 'merged' AS phase, CAST(ts AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(value) AS DOUBLE) AS sv
+        |  FROM merged GROUP BY 2),
+        |evp AS (
+        |  SELECT ph AS phase, d, n, sv FROM (
+        |    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(value) AS DOUBLE) AS sv
+        |    FROM evolved GROUP BY 1)
+        |  CROSS JOIN (SELECT 'evolved' AS ph UNION ALL SELECT 'compacted')),
+        |phases AS (
+        |  SELECT * FROM wk UNION ALL SELECT * FROM mg
+        |  UNION ALL SELECT * FROM evp
+        |  UNION ALL SELECT 'layout', DATE '2024-01-01',
+        |    CAST(1 AS BIGINT), CAST(0 AS DOUBLE))
+        |SELECT phase, d, n, sv FROM phases
+        |ORDER BY phase, d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gprobe", "graft.catalog.MetaCatalog")
+      s.conf.set("spark.sql.catalog.gprobe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
+      s.sql("DROP TABLE IF EXISTS gprobe.db.evevol")
+      s.sql("""CREATE TABLE gprobe.db.evevol
+        (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+        PARTITIONED BY (days(ts))""")
+      s.sql("INSERT INTO gprobe.db.evevol " +
+        "SELECT event_id, ts, value FROM events WHERE event_id % 2 = 0")
+      s.sql("CALL gprobe.system.add_partition_field('db.evevol', 'hours(ts)')")
+      s.sql("INSERT INTO gprobe.db.evevol " +
+        "SELECT event_id, ts, value FROM events WHERE event_id % 2 = 1")
+      def agg(phase: String, where: String = "true") = s.sql(
+        s"""SELECT '$phase' AS phase, CAST(ts AS DATE) AS d,
+            count(*) AS n, CAST(sum(value) AS DOUBLE) AS sv
+          FROM gprobe.db.evevol WHERE $where GROUP BY 1, 2""").collect()
+      // two live eras: a raw ts-range predicate prunes era-1 by day
+      // dirs, era-2 by day AND hour dirs
+      val mixed = agg("mixed",
+        """ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts < TIMESTAMP '2024-01-15 00:00:00'""")
+      // MERGE spans eras: matched rows live in both layouts
+      s.sql("""MERGE INTO gprobe.db.evevol t
+        USING (
+          SELECT event_id, ts, value FROM events WHERE event_id % 131 = 0
+          UNION ALL
+          SELECT event_id + 2000000, TIMESTAMP '2024-02-07 06:30:00',
+                 CAST(event_id AS DOUBLE)
+          FROM events WHERE event_id % 407 = 0) s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET t.value = t.value + 1000
+        WHEN NOT MATCHED THEN INSERT *""")
+      val merged = agg("merged")
+      // era-2 layout pin: nested ts_day=/ts_hour= dirs really landed
+      val tdir = java.nio.file.Paths.get(wh, "db", "evevol")
+      val liveMid = graft.catalog.Snapshots.latest(tdir).get.dataFiles
+      val sawNested = liveMid.exists(f =>
+        f.contains("ts_day=") && f.contains("ts_hour="))
+      s.sql("CALL gprobe.system.drop_partition_field('db.evevol', 'days(ts)')")
+      s.sql("""INSERT INTO gprobe.db.evevol
+        SELECT event_id + 3000000, ts + INTERVAL 35 DAYS, value * 3
+        FROM events WHERE event_id % 203 = 0""")
+      val evolved = agg("evolved")
+      graft.catalog.Maintenance.compact(s, "gprobe.db.evevol",
+        Seq("event_id"), 2)
+      val compacted = agg("compacted")
+      val liveEnd = graft.catalog.Snapshots.latest(tdir).get.dataFiles
+      val migrated = liveEnd.forall(f =>
+        f.contains("ts_hour=") && !f.contains("ts_day="))
+      val layout = Seq(("layout", java.sql.Date.valueOf("2024-01-01"),
+        if (sawNested && migrated) 1L else 0L, 0.0d))
+        .toDF("phase", "d", "n", "sv")
+      import org.apache.spark.sql.types._
+      val outSchema = StructType(Seq(StructField("phase", StringType, false),
+        StructField("d", DateType, true), StructField("n", LongType, false),
+        StructField("sv", DoubleType, true)))
+      s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          (mixed ++ merged ++ evolved ++ compacted).toSeq).asJava,
+        outSchema)
+        .unionAll(layout.select(col("phase"), col("d"),
+          col("n"), col("sv")))
+        .orderBy("phase", "d")
+    },
+
     // EQUALITY DELETES (Iceberg v2's second delete-file type): a
     // DELETE-BY-KEY commits the key tuples as a `deletes/eq_*` sidecar —
     // O(keys) metadata, no data read or rewrite — and scans mask rows of

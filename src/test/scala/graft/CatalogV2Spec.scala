@@ -2743,7 +2743,23 @@ class CatalogV2Spec extends AnyFunSuite {
                               WHEN id % 3 = 1 THEN 'ab' ELSE 'b' END,
                               CAST(id AS STRING)) END, id
       FROM range(0, 120)""")
-    Seq("prpd", "prpm", "prpb", "prpt").foreach { t =>
+    // MIXED-ERA fixture (r18): days(ts) → +hours(ts) → -days(ts), a
+    // third of the rows written under each spec era — every predicate
+    // must prune each file under the era that wrote its dirs
+    spark.sql("""CREATE TABLE g2.db.prpe (k BIGINT, ts TIMESTAMP, v BIGINT)
+      PARTITIONED BY (days(ts))""")
+    def prpeInsert(lo: Int, hi: Int): Unit = spark.sql(s"""INSERT INTO g2.db.prpe
+      SELECT id,
+             CASE WHEN id % 11 = 10 THEN CAST(NULL AS TIMESTAMP)
+                  ELSE timestamp_seconds(1700000000 - 100000 + id * 9000)
+             END, id % 5
+      FROM range($lo, $hi)""")
+    prpeInsert(0, 40)
+    spark.sql("CALL g2.system.add_partition_field('db.prpe', 'hours(ts)')")
+    prpeInsert(40, 80)
+    spark.sql("CALL g2.system.drop_partition_field('db.prpe', 'days(ts)')")
+    prpeInsert(80, 120)
+    Seq("prpd", "prpm", "prpb", "prpt", "prpe").foreach { t =>
       spark.table(s"g2.db.$t").createOrReplaceTempView(s"twin_$t")
       spark.table(s"twin_$t").cache().count() // freeze the twin's rows
     }
@@ -2777,8 +2793,9 @@ class CatalogV2Spec extends AnyFunSuite {
       s"s = ${sLit()} OR s IS NULL", s"s <=> ${sLit()}"))
     val gens = Map("prpd" -> (() => daysPred()),
       "prpm" -> (() => daysPred()), // same ts-predicate shapes
-      "prpb" -> (() => bucketPred()), "prpt" -> (() => truncPred()))
-    for (t <- Seq("prpd", "prpm", "prpb", "prpt"); _ <- 1 to 25) {
+      "prpb" -> (() => bucketPred()), "prpt" -> (() => truncPred()),
+      "prpe" -> (() => daysPred())) // mixed spec eras (r18)
+    for (t <- Seq("prpd", "prpm", "prpb", "prpt", "prpe"); _ <- 1 to 25) {
       val p = gens(t)()
       val got = spark.sql(s"SELECT * FROM g2.db.$t WHERE $p").collect()
         .map(_.toString).sorted.toSeq
@@ -2788,7 +2805,7 @@ class CatalogV2Spec extends AnyFunSuite {
         s"pruned scan of g2.db.$t diverged on [$p]: " +
           s"got ${got.size} rows, want ${want.size}")
     }
-    Seq("prpd", "prpm", "prpb", "prpt").foreach(t =>
+    Seq("prpd", "prpm", "prpb", "prpt", "prpe").foreach(t =>
       spark.table(s"twin_$t").unpersist())
   }
 
@@ -2919,6 +2936,166 @@ class CatalogV2Spec extends AnyFunSuite {
     spark.sql("CALL g2.system.delete_by_key('db.dbkq', 's', '\"sp\" ')")
     assert(spark.sql("SELECT count(*) FROM g2.db.dbkq WHERE s = 'sp'")
       .collect().head.getLong(0) == 0L)
+  }
+
+  // --- partition-spec evolution (Iceberg spec §4 versioned specs, r18) --
+
+  test("ADD/DROP PARTITION FIELD: old files prune and read under their " +
+      "own era's spec, new writes use the latest, MERGE spans eras, " +
+      "compact migrates to the latest spec (r18)") {
+    def ts(id: Long): Long = 1700000000L + (id % 3) * 86400 + (id % 7) * 3600
+    spark.sql("""CREATE TABLE g2.db.evol (k BIGINT, ts TIMESTAMP, v DOUBLE)
+      PARTITIONED BY (days(ts))""")                                  // v1
+    spark.sql("""INSERT INTO g2.db.evol
+      SELECT id, timestamp_seconds(1700000000 + (id % 3) * 86400 +
+        (id % 7) * 3600), CAST(id AS DOUBLE)
+      FROM range(0, 30)""")                                          // v2
+    val r = spark.sql(
+      "CALL g2.system.add_partition_field('db.evol', 'hours(ts)')")
+      .collect().head
+    assert(r.getString(0) == "days(ts)" &&
+      r.getString(1) == "days(ts);hours(ts)", r.toString)
+    spark.sql("""INSERT INTO g2.db.evol
+      SELECT id, timestamp_seconds(1700000000 + (id % 3) * 86400 +
+        (id % 7) * 3600), CAST(id AS DOUBLE)
+      FROM range(100, 130)""")                                       // v3
+    // layout: era-1 parquet directly under ts_day=*/; era-2 parquet
+    // one level deeper under ts_day=*/ts_hour=*/
+    val dir = tdir("evol")
+    val live = graft.catalog.Snapshots.latest(dir).get.dataFiles
+    val era1 = live.filter(f => f.contains("ts_day=") && !f.contains("ts_hour="))
+    val era2 = live.filter(_.contains("ts_hour="))
+    assert(era1.nonEmpty && era2.nonEmpty && era1.size + era2.size == live.size,
+      s"mixed-era layout expected, got $live")
+    // reads span both eras
+    def allK(): Seq[Long] = spark.sql("SELECT k FROM g2.db.evol")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(allK() == ((0L until 30L) ++ (100L until 130L)).sorted)
+    // a source-column range predicate stays EXACT across eras (era-1
+    // prunes by day only, era-2 by day and hour)
+    val q = spark.sql("""SELECT k FROM g2.db.evol
+      WHERE ts >= timestamp_seconds(1700003600)
+        AND ts < timestamp_seconds(1700090000)""")
+    val want = ((0L until 30L) ++ (100L until 130L))
+      .filter(id => ts(id) >= 1700003600L && ts(id) < 1700090000L)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == want.sorted)
+    // MERGE across eras: matched rows in BOTH eras update, an unmatched
+    // row inserts into the latest-era layout
+    spark.sql("""MERGE INTO g2.db.evol t USING (
+        SELECT CAST(5 AS BIGINT) AS k,
+               timestamp_seconds(1700000000) AS ts, CAST(0 AS DOUBLE) AS v
+        UNION ALL SELECT 105, timestamp_seconds(1700000000), 0
+        UNION ALL SELECT 999, timestamp_seconds(1700300000), 9) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = t.v + 1000
+      WHEN NOT MATCHED THEN INSERT *""")
+    val vOf = spark.sql("SELECT k, v FROM g2.db.evol WHERE k IN (5, 105, 999)")
+      .collect().map(r2 => r2.getLong(0) -> r2.getDouble(1)).toMap
+    assert(vOf == Map(5L -> 1005.0, 105L -> 1105.0, 999L -> 9.0), vOf.toString)
+    // DROP by dir-column name: era 3 stops laying out day dirs
+    val r2 = spark.sql(
+      "CALL g2.system.drop_partition_field('db.evol', 'ts_day')")
+      .collect().head
+    assert(r2.getString(0) == "days(ts);hours(ts)" &&
+      r2.getString(1) == "hours(ts)", r2.toString)
+    spark.sql("""INSERT INTO g2.db.evol
+      SELECT id, timestamp_seconds(1700000000 + (id % 3) * 86400 +
+        (id % 7) * 3600), CAST(id AS DOUBLE)
+      FROM range(200, 210)""")
+    val live3 = graft.catalog.Snapshots.latest(dir).get.dataFiles
+    assert(live3.exists(f => f.contains("ts_hour=") && !f.contains("ts_day=")),
+      s"era-3 files must carry hour dirs only: $live3")
+    assert(allK() == ((0L until 30L) ++ (100L until 130L) ++
+      (200L until 210L) :+ 999L).sorted)
+    // predicate exactness again over THREE live eras
+    val q3 = spark.sql("""SELECT k FROM g2.db.evol
+      WHERE ts >= timestamp_seconds(1700003600)
+        AND ts < timestamp_seconds(1700090000)""")
+    val want3 = (((0L until 30L) ++ (100L until 130L) ++ (200L until 210L))
+      .filter(id => ts(id) >= 1700003600L && ts(id) < 1700090000L) ++
+      Seq.empty).sorted
+    assert(q3.collect().map(_.getLong(0)).sorted.toSeq == want3)
+    // compact migrates every live file to the LATEST spec (hour dirs
+    // only); history keeps the mixed-era layout for time travel
+    val preCompactV = graft.catalog.Snapshots.latest(dir).get.version
+    graft.catalog.Maintenance.compact(spark, "g2.db.evol", Seq("k"), 2)
+    val liveC = graft.catalog.Snapshots.latest(dir).get.dataFiles
+    assert(liveC.forall(f => f.contains("ts_hour=") && !f.contains("ts_day=")),
+      s"compact must migrate to the latest spec: $liveC")
+    assert(allK() == ((0L until 30L) ++ (100L until 130L) ++
+      (200L until 210L) :+ 999L).sorted)
+    assert(spark.sql(
+      s"SELECT count(*) FROM g2.db.evol VERSION AS OF $preCompactV")
+      .collect().head.getLong(0) == 71L)
+  }
+
+  test("partition-spec evolution guardrails: identity fields reject, " +
+      "duplicate fields reject, staged branches reject, renaming an " +
+      "old-era source rejects, in-flight writes abort, expiry refuses " +
+      "an era-boundary reclassify (r18)") {
+    spark.sql("""CREATE TABLE g2.db.evolg (k BIGINT, ts TIMESTAMP, v DOUBLE)
+      PARTITIONED BY (bucket(4, k))""")                              // v1
+    spark.sql("""INSERT INTO g2.db.evolg
+      SELECT id, timestamp_seconds(1700000000 + id), CAST(id AS DOUBLE)
+      FROM range(0, 20)""")                                          // v2
+    // identity fields are data-layout-bearing
+    val e1 = intercept[Exception](spark.sql(
+      "CALL g2.system.add_partition_field('db.evolg', 'v')"))
+    assert(e1.getMessage.contains("identity"), e1.getMessage)
+    // duplicate spec / colliding dir name
+    val e2 = intercept[Exception](spark.sql(
+      "CALL g2.system.add_partition_field('db.evolg', 'bucket(8,k)')"))
+    assert(e2.getMessage.contains("k_bucket"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "CALL g2.system.add_partition_field('db.evolg', 'bucket(4,k)')"))
+    assert(e3.getMessage.contains("already partitioned"), e3.getMessage)
+    // staged WAP branches reject (files outside the main log would
+    // misclassify into the new era)
+    spark.sql("CALL g2.system.create_branch('db.evolg', 'stage', 2)")
+    val e4 = intercept[Exception](spark.sql(
+      "CALL g2.system.add_partition_field('db.evolg', 'days(ts)')"))
+    assert(e4.getMessage.contains("stage"), e4.getMessage)
+    spark.sql("CALL g2.system.drop_branch('db.evolg', 'stage')")
+    // an in-flight write planned before the evolution aborts at commit
+    val handle = graft.catalog.Maintenance.CompactTestHook
+      .handleNow(spark, "g2.db.evolg")
+    val base = graft.catalog.Snapshots.latest(tdir("evolg")).get.files
+    spark.sql("CALL g2.system.add_partition_field('db.evolg', 'days(ts)')")
+    val e5 = intercept[Exception] {
+      graft.catalog.Maintenance.CompactTestHook.replaceThrough(
+        handle, spark.table("g2.db.evolg"), base)
+    }
+    assert(Iterator.iterate(e5: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(6).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      e5.toString)
+    // renaming / dropping / retyping an OLD-era source rejects even
+    // after the field is dropped from the current spec
+    spark.sql("CALL g2.system.drop_partition_field('db.evolg', 'k_bucket')")
+    val e6 = intercept[Exception](spark.sql(
+      "ALTER TABLE g2.db.evolg RENAME COLUMN k TO k2"))
+    assert(e6.getMessage.contains("partition column"), e6.getMessage)
+    // rows written before/after both evolutions all read
+    spark.sql("""INSERT INTO g2.db.evolg
+      SELECT id, timestamp_seconds(1700000000 + id), CAST(id AS DOUBLE)
+      FROM range(100, 110)""")
+    assert(spark.sql("SELECT count(*) FROM g2.db.evolg").collect()
+      .head.getLong(0) == 30L)
+    // bucket point-lookup on era-1 files still prunes under era-1's
+    // bucket(4,k), day predicate on era-3 files under days(ts)
+    assert(spark.sql("SELECT v FROM g2.db.evolg WHERE k = 7").collect()
+      .map(_.getDouble(0)).toSeq == Seq(7.0))
+    // expiry refuses to reclassify era-1 files across the era boundary
+    val e7 = intercept[IllegalStateException] {
+      graft.catalog.Maintenance.expireSnapshots(spark, "g2.db.evolg", 1)
+    }
+    assert(e7.getMessage.contains("era"), e7.getMessage)
+    // compact migrates; expiry then unblocks
+    graft.catalog.Maintenance.compact(spark, "g2.db.evolg", Seq("k"), 1)
+    val (dropped, _) =
+      graft.catalog.Maintenance.expireSnapshots(spark, "g2.db.evolg", 1)
+    assert(dropped > 0)
+    assert(spark.sql("SELECT count(*) FROM g2.db.evolg").collect()
+      .head.getLong(0) == 30L)
   }
 
   test("legacy zoned days() tables (no ZoneKey) get the zone PINNED on " +
