@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.TableChange
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 
 /** The catalog-agnostic ALTER TABLE metadata transaction, shared by
   * [[MetaCatalog]] and [[RestCatalog]] (round-16 stretch: REST ALTER
@@ -137,10 +137,33 @@ object AlterOps {
               "physical name")
         case u: TableChange.UpdateColumnType
             if partSources.contains(u.fieldNames().mkString(".")) =>
-          throw new IllegalArgumentException(
-            s"cannot change the type of partition column " +
-              s"${u.fieldNames().mkString(".")}: dir values are parsed " +
-              "under the declared type")
+          // PROMOTION-STABLE sources are exempt (r18): int→bigint on a
+          // source whose every transform (any era) derives through a
+          // width-canonical expression — bucket under the v2 derivation
+          // (hash(cast(k AS BIGINT))), truncate (floor over cast-to-
+          // long) — leaves every existing dir value exact. Anything
+          // else (identity dirs parse under the declared type; v1
+          // bucket hashes int and long differently) stays rejected.
+          val n = u.fieldNames().mkString(".")
+          val from = readSchema(tableDir).fields.find(_.name == n)
+            .map(_.dataType)
+          val v2 = readProps(tableDir)
+            .get(PartitionTransforms.BucketDerivationKey)
+            .exists(_.trim == "v2")
+          val overSource = (partSpec ++ SpecEras.read(tableDir).toSeq
+            .flatten.flatMap(_.spec)).filter(_.source == n)
+          val stable = from.contains(IntegerType) &&
+            u.newDataType() == LongType && overSource.nonEmpty &&
+            overSource.forall {
+              case _: PartitionTransforms.Bucket => v2
+              case _: PartitionTransforms.Trunc => true
+              case _ => false
+            }
+          if (!stable) throw new IllegalArgumentException(
+            s"cannot change the type of partition column $n: dir values " +
+              "are parsed under the declared type (int→bigint is allowed " +
+              "when every transform over the column is bucket under the " +
+              "v2 hash derivation or truncate — both dir-stable)")
         case _ => ()
       }
       val before = readSchema(tableDir)

@@ -68,12 +68,21 @@ class GraftTable(
     * the snapshot publish. */
   private val schemaEpoch: String = GraftTable.schemaEpochOf(tableDir)
 
+  /** Whether this table records the v2 HASH-WIDTH-STABLE bucket
+    * derivation (`graft.bucket.derivation=v2`, set at CREATE since r18):
+    * integral bucket keys hash through BIGINT, so promoting the source
+    * int→bigint keeps every dir valid. Pre-r18 tables keep v1. */
+  private def bucketWideDerivation: Boolean =
+    props.get(PartitionTransforms.BucketDerivationKey)
+      .exists(_.trim == "v2")
+
   /** The parsed partition spec ([[PartitionTransforms]]): `partitionCols`
     * carries raw spec strings — bare names (identity, the historical
     * format) and transform specs like `days(ts)` / `bucket(16,id)` /
     * `truncate(4,name)` (hidden partitioning, round 16). */
   private val partSpec: Seq[PartitionTransforms.T] =
-    partitionCols.map(PartitionTransforms.parse)
+    PartitionTransforms.withBucketMode(
+      partitionCols.map(PartitionTransforms.parse), bucketWideDerivation)
   /** Identity partition sources — the dir columns that are ALSO schema
     * columns (every pre-r16 fast path keys on these). */
   private def identityCols: Seq[String] =
@@ -108,7 +117,10 @@ class GraftTable(
     * rejects outright); new writes always use [[partSpec]] (the latest
     * era — the catalogs load it through [[SpecEras.currentSpecStrings]]). */
   private lazy val specEras: Seq[SpecEras.Era] =
-    SpecEras.read(tableDir).getOrElse(Seq(SpecEras.Era(1L, partSpec)))
+    SpecEras.read(tableDir)
+      .map(_.map(e => e.copy(spec = PartitionTransforms.withBucketMode(
+        e.spec, bucketWideDerivation))))
+      .getOrElse(Seq(SpecEras.Era(1L, partSpec)))
   private def specEvolved: Boolean = specEras.size > 1
   /** Files grouped by spec era, oldest first (ONE group — no metadata
     * read — when the table never evolved). */
@@ -301,7 +313,7 @@ class GraftTable(
       case PartitionTransforms.Years(c) => Expressions.years(c)
       case PartitionTransforms.Months(c) => Expressions.months(c)
       case PartitionTransforms.Hours(c) => Expressions.hours(c)
-      case PartitionTransforms.Bucket(n, c) => Expressions.bucket(n, c)
+      case PartitionTransforms.Bucket(n, c, _) => Expressions.bucket(n, c)
       case PartitionTransforms.Trunc(w, c) =>
         Expressions.apply("truncate",
           Expressions.literal(w), Expressions.column(c))

@@ -272,6 +272,13 @@ class MetaCatalog extends TableCatalog with SupportsNamespaces
       (if (needsZone)
         Map(PartitionTransforms.ZoneKey -> org.apache.spark.sql.internal
           .SQLConf.get.sessionLocalTimeZone)
+      else Map.empty) ++
+      // NEW bucket tables record the v2 hash-width-stable derivation
+      // (r18): hash(cast(k AS BIGINT)) for integral keys, which makes a
+      // later int→bigint promotion of the source dir-stable. Existing
+      // tables keep v1 (their dirs hold v1 hashes) and the ALTER guard.
+      (if (partSpec.exists(_.isInstanceOf[PartitionTransforms.Bucket]))
+        Map(PartitionTransforms.BucketDerivationKey -> "v2")
       else Map.empty)
     if (baseProps.nonEmpty) writeProps(ident, baseProps)
     Snapshots.commit(tablePath(ident), Seq.empty) // v1: empty table

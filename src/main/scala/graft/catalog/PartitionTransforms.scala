@@ -78,7 +78,19 @@ object PartitionTransforms {
     def dirName: String = s"${source}_hour"
     def spec: String = s"hours($source)"
   }
-  final case class Bucket(n: Int, source: String) extends T {
+  /** `wide` = the v2 HASH-WIDTH-STABLE derivation (r18): integral
+    * sources hash as `hash(cast(k AS BIGINT))`, so an int→bigint
+    * promotion of the source leaves every existing dir value valid
+    * (Spark's Murmur3 hashes int and long DIFFERENTLY — under the v1
+    * derivation a promotion would silently orphan every bucket dir,
+    * which is why the ALTER guard rejects it there). Recorded per table
+    * as the `graft.bucket.derivation=v2` property, set at CREATE for
+    * new tables; pre-r18 tables keep v1 and the promotion rejection.
+    * The flag is carried here (not threaded through every signature) so
+    * the write derivation and the prune containment evaluate the SAME
+    * expression by construction. It never appears in spec strings. */
+  final case class Bucket(n: Int, source: String,
+      wide: Boolean = false) extends T {
     require(n >= 1, s"bucket($n, $source): need n >= 1")
     def dirName: String = s"${source}_bucket"
     def spec: String = s"bucket($n,$source)"
@@ -159,6 +171,21 @@ object PartitionTransforms {
       case t @ (_: Days | _: Years | _: Months | _: Hours) =>
         schema(t.source).dataType.isInstanceOf[TimestampType]
       case _ => false
+    }
+
+  /** Table property selecting the bucket hash derivation; "v2" = the
+    * hash-width-stable variant ([[Bucket.wide]]). */
+  val BucketDerivationKey = "graft.bucket.derivation"
+
+  /** Tag every bucket transform with the table's derivation mode —
+    * call sites that parse spec strings for HASHING consumers (write
+    * derivation, prune) must apply this; validation/guard-only readers
+    * need not. */
+  def withBucketMode(spec: Seq[T], wide: Boolean): Seq[T] =
+    if (!wide) spec
+    else spec.map {
+      case b: Bucket => b.copy(wide = true)
+      case t => t
     }
 
   def formatSpec(spec: Seq[T]): String =
@@ -244,7 +271,16 @@ object PartitionTransforms {
           case _: TimestampType => new DateFormatClass(ref, fmt, Some(z))
           case _ => new DateFormatClass(wallTs, fmt, Some("UTC"))
         }
-      case Bucket(n, _) => Pmod(new Murmur3Hash(Seq(ref)), Literal(n))
+      case Bucket(n, _, wide) =>
+        // v2 (wide): integral keys hash through one canonical width, so
+        // an int→bigint promotion of the source is dir-stable; every
+        // other type hashes as-is (only int→long is a legal widening)
+        val key = ref.dataType match {
+          case _: ByteType | _: ShortType | _: IntegerType if wide =>
+            Cast(ref, LongType)
+          case _ => ref
+        }
+        Pmod(new Murmur3Hash(Seq(key)), Literal(n))
       case Trunc(w, _) => ref.dataType match {
         case _: StringType => Substring(ref, Literal(1), Literal(w))
         case _ => // floor-to-multiple, correct for negatives via pmod
@@ -272,11 +308,13 @@ object PartitionTransforms {
 
   // --- pruning -----------------------------------------------------------
 
-  /** Spark's `hash()` for one literal — the SAME catalyst expression the
-    * write path evaluates, so prune and layout can never disagree. */
-  private def sparkHash(value: Any, dt: DataType): Int = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
-    new Murmur3Hash(Seq(Literal.create(value, dt)))
+  /** The bucket of one literal, evaluated through the SAME catalyst
+    * derivation the write path compiles ([[deriveCatalyst]] — including
+    * the v2 wide-hash variant), so prune and layout can never disagree
+    * by construction. */
+  private def bucketOf(t: T, value: Any, dt: DataType): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    deriveCatalyst(t, Literal.create(value, dt), None)
       .eval(null).asInstanceOf[Int]
   }
 
@@ -428,10 +466,9 @@ object PartitionTransforms {
     * (evaluated through the same catalyst expression as the write). */
   private def nullInDir(t: T, dirVal: String, srcType: DataType): Boolean =
     t match {
-      case Bucket(n, _) =>
+      case _: Bucket =>
         dirVal == NullDir || // belt-and-braces; bucket never writes it
-          dirVal.toIntOption.contains(
-            Math.floorMod(sparkHash(null, srcType), n))
+          dirVal.toIntOption.contains(bucketOf(t, null, srcType))
       case _ => dirVal == NullDir
     }
 
@@ -446,10 +483,9 @@ object PartitionTransforms {
         case (Some(us), Some((lo, hi))) => us >= lo && us < hi
         case _ => true
       }
-    case Bucket(n, _) =>
+    case _: Bucket =>
       dirVal.toIntOption match {
-        case Some(b) =>
-          Math.floorMod(sparkHash(v, srcType), n) == b
+        case Some(b) => bucketOf(t, v, srcType) == b
         case None => true
       }
     case Trunc(w, _) => v match {

@@ -487,6 +487,11 @@ final class RestCatalogServer(warehouse: Path, requestedPort: Int = 0,
               if (PartitionTransforms.needsPinnedZone(spec, schema) &&
                   props.getProperty(PartitionTransforms.ZoneKey) == null)
                 props.setProperty(PartitionTransforms.ZoneKey, "UTC")
+              // new bucket tables record the v2 hash-width-stable
+              // derivation, same as MetaCatalog.createTable (r18)
+              if (spec.exists(_.isInstanceOf[PartitionTransforms.Bucket]))
+                props.setProperty(
+                  PartitionTransforms.BucketDerivationKey, "v2")
             }
             if (!props.isEmpty) {
               val out = Files.newOutputStream(

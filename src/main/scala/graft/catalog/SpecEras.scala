@@ -224,10 +224,22 @@ object SpecEras {
           Map(PartitionTransforms.ZoneKey -> org.apache.spark.sql.internal
             .SQLConf.get.sessionLocalTimeZone)
         else Map.empty[String, String]
+      // a bucket field added to a table that never had one (no prior
+      // bucket era, no recorded derivation) starts on the v2 hash-
+      // width-stable derivation — there are no old bucket dirs a new
+      // hash could orphan. Tables with existing v1 bucket dirs keep v1.
+      val bucketProps =
+        if (newSpec.exists(_.isInstanceOf[PartitionTransforms.Bucket]) &&
+            !props.contains(PartitionTransforms.BucketDerivationKey) &&
+            !base.exists(_.spec.exists(
+              _.isInstanceOf[PartitionTransforms.Bucket])))
+          Map(PartitionTransforms.BucketDerivationKey -> "v2")
+        else Map.empty[String, String]
       val nextProps =
-        if (newSpec.isEmpty) props - PartitionKey ++ zoneProps
+        (if (newSpec.isEmpty) props - PartitionKey
         else props + (PartitionKey ->
-          PartitionTransforms.formatSpec(newSpec)) ++ zoneProps
+          PartitionTransforms.formatSpec(newSpec))) ++
+          zoneProps ++ bucketProps
       AlterOps.writeProps(tableDir, nextProps)
       (PartitionTransforms.formatSpec(cur),
         PartitionTransforms.formatSpec(newSpec))

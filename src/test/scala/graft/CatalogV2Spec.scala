@@ -2759,7 +2759,23 @@ class CatalogV2Spec extends AnyFunSuite {
     prpeInsert(40, 80)
     spark.sql("CALL g2.system.drop_partition_field('db.prpe', 'days(ts)')")
     prpeInsert(80, 120)
-    Seq("prpd", "prpm", "prpb", "prpt", "prpe").foreach { t =>
+    // PROMOTED bucket-source fixture (r18): int-keyed v2 bucket table,
+    // promoted to bigint mid-data — narrow-era dirs must prune exactly
+    // under wide probe values (hash-width-stable derivation)
+    spark.sql("""CREATE TABLE g2.db.prpv (k INT, s STRING)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("""INSERT INTO g2.db.prpv
+      SELECT CASE WHEN id % 13 = 12 THEN CAST(NULL AS INT)
+                  ELSE CAST(id AS INT) END,
+             concat('s', CAST(id AS STRING))
+      FROM range(0, 60)""")
+    spark.sql("ALTER TABLE g2.db.prpv ALTER COLUMN k TYPE BIGINT")
+    spark.sql("""INSERT INTO g2.db.prpv
+      SELECT CASE WHEN id % 13 = 12 THEN CAST(NULL AS BIGINT)
+                  WHEN id % 7 = 6 THEN 6000000000 + id ELSE id END,
+             concat('s', CAST(id AS STRING))
+      FROM range(60, 120)""")
+    Seq("prpd", "prpm", "prpb", "prpt", "prpe", "prpv").foreach { t =>
       spark.table(s"g2.db.$t").createOrReplaceTempView(s"twin_$t")
       spark.table(s"twin_$t").cache().count() // freeze the twin's rows
     }
@@ -2794,8 +2810,10 @@ class CatalogV2Spec extends AnyFunSuite {
     val gens = Map("prpd" -> (() => daysPred()),
       "prpm" -> (() => daysPred()), // same ts-predicate shapes
       "prpb" -> (() => bucketPred()), "prpt" -> (() => truncPred()),
-      "prpe" -> (() => daysPred())) // mixed spec eras (r18)
-    for (t <- Seq("prpd", "prpm", "prpb", "prpt", "prpe"); _ <- 1 to 25) {
+      "prpe" -> (() => daysPred()), // mixed spec eras (r18)
+      "prpv" -> (() => bucketPred())) // promoted v2 bucket source (r18)
+    for (t <- Seq("prpd", "prpm", "prpb", "prpt", "prpe", "prpv");
+        _ <- 1 to 25) {
       val p = gens(t)()
       val got = spark.sql(s"SELECT * FROM g2.db.$t WHERE $p").collect()
         .map(_.toString).sorted.toSeq
@@ -2805,7 +2823,7 @@ class CatalogV2Spec extends AnyFunSuite {
         s"pruned scan of g2.db.$t diverged on [$p]: " +
           s"got ${got.size} rows, want ${want.size}")
     }
-    Seq("prpd", "prpm", "prpb", "prpt", "prpe").foreach(t =>
+    Seq("prpd", "prpm", "prpb", "prpt", "prpe", "prpv").foreach(t =>
       spark.table(s"twin_$t").unpersist())
   }
 
@@ -3096,6 +3114,82 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(dropped > 0)
     assert(spark.sql("SELECT count(*) FROM g2.db.evolg").collect()
       .head.getLong(0) == 30L)
+  }
+
+  test("bucket v2 hash derivation: promoting the bucket SOURCE " +
+      "int→bigint is dir-stable — prune, deleteByKey and MERGE stay " +
+      "exact over narrow-era dirs (r18)") {
+    import spark.implicits._
+    spark.sql("""CREATE TABLE g2.db.bktv2 (k INT, v STRING)
+      PARTITIONED BY (bucket(8, k))""")
+    assert(graft.catalog.AlterOps.readProps(tdir("bktv2"))
+      .get("graft.bucket.derivation").contains("v2"))
+    spark.sql("""INSERT INTO g2.db.bktv2
+      SELECT CAST(id AS INT),
+             CASE WHEN id % 9 = 8 THEN CAST(NULL AS STRING)
+                  ELSE concat('v', CAST(id AS STRING)) END
+      FROM range(0, 64)""")
+    // narrow-era point lookup prunes to one bucket dir and stays exact
+    val one = spark.sql("SELECT v FROM g2.db.bktv2 WHERE k = 7")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("v7"))
+    assert(scanFiles(one) < scanFiles(spark.table("g2.db.bktv2")))
+    // the promotion is ALLOWED on a v2 table (v1 tables reject — the
+    // narrow-era dirs hold hash(cast(k AS BIGINT)) values, so the wide
+    // probe hashes identically)
+    spark.sql("ALTER TABLE g2.db.bktv2 ALTER COLUMN k TYPE BIGINT")
+    spark.sql("""INSERT INTO g2.db.bktv2
+      VALUES (6000000000, 'wide'), (64, 'v64'), (CAST(NULL AS BIGINT), 'nul')""")
+    // narrow keys written pre-promotion still prune + serve exactly
+    val narrow = spark.sql("SELECT v FROM g2.db.bktv2 WHERE k = 7")
+    assert(narrow.collect().map(_.getString(0)).toSeq == Seq("v7"))
+    assert(scanFiles(narrow) < scanFiles(spark.table("g2.db.bktv2")))
+    // beyond-int keys land and serve
+    assert(spark.sql("SELECT v FROM g2.db.bktv2 WHERE k = 6000000000")
+      .collect().map(_.getString(0)).toSeq == Seq("wide"))
+    // IS NULL routes to the seed bucket under the same derivation
+    assert(spark.sql("SELECT count(*) FROM g2.db.bktv2 WHERE k IS NULL")
+      .collect().head.getLong(0) == 1L)
+    // deleteByKey ON the promoted bucket source
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.bktv2",
+      Seq(7L, 6000000000L).toDF("k"))
+    assert(spark.sql(
+      "SELECT count(*) FROM g2.db.bktv2 WHERE k IN (7, 6000000000)")
+      .collect().head.getLong(0) == 0L)
+    // MERGE through the V2 row-level writer derives wide-hash dirs
+    spark.sql("""MERGE INTO g2.db.bktv2 t USING (
+        SELECT CAST(12 AS BIGINT) AS k, 'upd' AS v
+        UNION ALL SELECT 7000000000, 'new') s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql(
+      "SELECT v FROM g2.db.bktv2 WHERE k IN (12, 7000000000) ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("upd", "new"))
+    // everything above survives a compact byte-for-byte
+    val pre = spark.sql("SELECT k, v FROM g2.db.bktv2").collect()
+      .map(_.toString).sorted.toSeq
+    graft.catalog.Maintenance.compact(spark, "g2.db.bktv2", Seq("v"), 2)
+    assert(spark.sql("SELECT k, v FROM g2.db.bktv2").collect()
+      .map(_.toString).sorted.toSeq == pre)
+  }
+
+  test("pre-r18 bucket tables (no derivation property) keep the v1 " +
+      "hash: prune stays exact and the source promotion stays rejected") {
+    val dir = tdir("bktv1")
+    spark.sql("""CREATE TABLE g2.db.bktv1 (k INT, v STRING)
+      PARTITIONED BY (bucket(8, k))""")
+    // simulate a pre-r18 table: strip the derivation property
+    val p0 = graft.catalog.AlterOps.readProps(dir)
+    graft.catalog.AlterOps.writeProps(dir, p0 - "graft.bucket.derivation")
+    spark.sql("""INSERT INTO g2.db.bktv1
+      SELECT CAST(id AS INT), concat('v', CAST(id AS STRING))
+      FROM range(0, 32)""")
+    val one = spark.sql("SELECT v FROM g2.db.bktv1 WHERE k = 5")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("v5"))
+    assert(scanFiles(one) < scanFiles(spark.table("g2.db.bktv1")))
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE g2.db.bktv1 ALTER COLUMN k TYPE BIGINT"))
+    assert(e.getMessage.contains("partition column"), e.getMessage)
   }
 
   test("legacy zoned days() tables (no ZoneKey) get the zone PINNED on " +
