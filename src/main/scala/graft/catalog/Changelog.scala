@@ -114,11 +114,14 @@ object Changelog {
     def readRaw(fs: Seq[String]): DataFrame =
       // one basePath read per spec era (r18): a rollback diff can
       // re-reference files from several eras whose dir depths differ,
-      // which Spark's partition inference rejects outright
+      // which Spark's partition inference rejects outright; the pinned
+      // zone governs TIMESTAMP identity dir-value parsing
       SpecEras.fileGroups(dir, fs, Seq.empty).map { case (_, eraFs) =>
-        spark.read
+        val r0 = spark.read
           .option("basePath", dir.resolve("data").toString)
           .schema(schema)
+        AlterOps.readProps(dir).get(PartitionTransforms.ZoneKey)
+          .fold(r0)(z => r0.option("timeZone", z))
           .parquet(eraFs.map(f => dir.resolve(f).toString): _*)
       }.reduce(_ unionByName _)
 

@@ -296,8 +296,13 @@ class GraftTable(
     }
     // basePath keeps hive-style partition-dir inference rooted at data/
     // even though we hand the index leaf files, not the directory.
+    // The pinned zone (when the spec needs one) also governs how
+    // TIMESTAMP identity-partition dir VALUES parse (r18): without it,
+    // the reader would interpret `ts=2024-01-01 10%3A00%3A00` in its
+    // own session zone and serve different instants than were written.
     val opts = new CaseInsensitiveStringMap(
-      Map("basePath" -> dataDir.toString).asJava)
+      (Map("basePath" -> dataDir.toString) ++
+        effectiveZone.map("timeZone" -> _)).asJava)
     ParquetTable(fullName, spark, opts, paths,
       Some(schema), classOf[ParquetFileFormat])
   }
@@ -513,7 +518,11 @@ class GraftTable(
       // the written files, and reads never request it)
       val laid =
         PartitionTransforms.withDerived(partSpec, aligned, effectiveZone)
-      val w = laid.write.mode(SaveMode.Overwrite)
+      // the pinned zone also governs how TIMESTAMP identity-partition
+      // dir values RENDER (r18) — FileFormatWriter casts partition
+      // values to string under the write job's timeZone option
+      val w0 = laid.write.mode(SaveMode.Overwrite)
+      val w = effectiveZone.fold(w0)(z => w0.option("timeZone", z))
       (if (partSpec.nonEmpty)
         w.partitionBy(PartitionTransforms.dirColumns(partSpec): _*)
       else w)
@@ -847,8 +856,18 @@ class GraftTable(
         def delegate(fs: Seq[String]) =
           delegateFor(fs.map(f => tableDir.resolve(f).toString))
             .newScanBuilder(options)
+        // This scan REPORTS the declared schema, but ParquetScan
+        // delegates serve identity-partition columns LAST — reorder the
+        // batch to declared order or every non-trailing partition
+        // column reads misaligned ordinals (r18; latent since r16 for
+        // any identity-partitioned table whose partition column is not
+        // the final schema column).
+        def reordered(scan: org.apache.spark.sql.connector.read.Scan)
+            : org.apache.spark.sql.connector.read.Batch =
+          org.apache.spark.sql.graftaccess.MultiGenScans.reorder(
+            scan.toBatch, scan.readSchema(), declaredSchema)
         if (baseDeletes.isEmpty && !specEvolved)
-          delegate(files).build().toBatch
+          reordered(delegate(files).build())
         else {
           // pending MOR sidecars: masked rows must not enter the
           // rewrite — same clean/masked split as interactive scans.
@@ -875,9 +894,9 @@ class GraftTable(
                   () => baseMorBroadcast), Map.empty))
             }
           }
-          new MultiGenScans.Builder(slices,
+          reordered(new MultiGenScans.Builder(slices,
             if (specEvolved) "spec eras + mor split" else "mor split")
-            .build().toBatch
+            .build())
         }
       }
       override def description(): String =
@@ -964,8 +983,10 @@ class GraftTable(
     import org.apache.spark.sql.functions.col
     def q(n: String) = s"`${n.replace("`", "``")}`"
     def readGroup(files: Seq[String], schema: StructType,
-        rename: Map[String, String]): DataFrame =
-      spark.read.option("basePath", dataDir.toString).schema(schema)
+        rename: Map[String, String]): DataFrame = {
+      val r0 = spark.read.option("basePath", dataDir.toString).schema(schema)
+      // pinned zone governs TIMESTAMP identity dir-value parsing (r18)
+      effectiveZone.fold(r0)(z => r0.option("timeZone", z))
         .parquet(files.map(f => tableDir.resolve(f).toString): _*)
         .select(declaredSchema.fields.toSeq
           // cast covers promoted generations (narrow physical type →
@@ -973,6 +994,7 @@ class GraftTable(
           .map(f => col(q(rename.getOrElse(f.name, f.name)))
             .cast(f.dataType).as(f.name)) :+
           col("_metadata"): _*)
+    }
     def readOneEra(eraFiles: Seq[String]): DataFrame = evolvedMeta match {
       case None => readGroup(eraFiles, declaredSchema, Map.empty)
       case Some(m) =>

@@ -184,12 +184,15 @@ object Maintenance {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         // one basePath read per spec era (r18): mixed-era file sets
-        // have mixed dir depths, which partition inference rejects
+        // have mixed dir depths, which partition inference rejects;
+        // the pinned zone governs TIMESTAMP identity dir-value parsing
+        val zoneOpt = readProps(dir).get(PartitionTransforms.ZoneKey)
         val raw = SpecEras.fileGroups(dir, touched, Seq.empty)
           .map { case (_, fs) =>
-            spark.read
+            val r0 = spark.read
               .option("basePath", dir.resolve("data").toString)
               .schema(schema)
+            zoneOpt.fold(r0)(z => r0.option("timeZone", z))
               .parquet(fs.map(f => dir.resolve(f).toString): _*)
           }.reduce(_ unionByName _)
         // rows masked by pending MOR sidecars (position OR equality)
@@ -240,22 +243,25 @@ object Maintenance {
     // files (partitionBy drops them to dir names): the scan-side mask
     // routes them through readPartitionSchema, where the reader serves
     // the DIR value (MorScans, r17 — a data-scratch read would serve
-    // NULL and silently miss). Timestamp partition columns stay
-    // rejected: Spark parses timestamp dir values in the READ session's
-    // zone, so the parsed key could differ from the written one and the
-    // mask would be zone-dependent.
+    // NULL and silently miss). ZONED timestamp partition columns are
+    // fine once the table pins a zone (r18 — CREATE pins it, the first
+    // write backfills legacy tables): dir values render AND parse under
+    // the pinned zone, so the mask is session-independent. Only a
+    // never-written legacy table without the pin still rejects.
     val identityParts = SpecEras.currentSpecStrings(dir, readProps(dir))
       .map(PartitionTransforms.parse)
       .collect { case PartitionTransforms.Identity(c) => c }.toSet
     keyCols.foreach { c =>
       if (identityParts.contains(c) &&
-          (schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
-            schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]))
+          schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
+          !readProps(dir).contains(PartitionTransforms.ZoneKey))
         throw new UnsupportedOperationException(
           s"deleteByKey: $c is a TIMESTAMP identity partition column of " +
-            s"$ident — its dir values parse in the read session's zone, " +
-            "so an equality mask on it would be zone-dependent; use " +
-            s"DELETE FROM ... WHERE $c = ... (dir-pruned) instead")
+            s"$ident and the table has no pinned partition zone " +
+            s"(${PartitionTransforms.ZoneKey}) — its dir values would " +
+            "parse in each session's zone and the mask would be zone-" +
+            "dependent; write to the table once (the zone backfills) or " +
+            s"use DELETE FROM ... WHERE $c = ... (dir-pruned) instead")
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"deleteByKey: no column $c in $ident"))

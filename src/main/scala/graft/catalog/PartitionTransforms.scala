@@ -165,11 +165,19 @@ object PartitionTransforms {
   /** Whether CREATE TABLE must pin the session zone ([[ZoneKey]]): any
     * calendar transform over a ZONED timestamp derives zone-dependent
     * dir values — ONE helper shared by MetaCatalog and RestCatalog so
-    * the two can never diverge (r17 second review). */
+    * the two can never diverge (r17 second review). IDENTITY transforms
+    * over a zoned timestamp need the pin too (r18): the dir value is
+    * the timestamp RENDERED as text, and both the write-side rendering
+    * and the read-side partition-value parse are zone-dependent —
+    * without one shared zone, a reader in another session would parse
+    * different instants than the writer stored (and an equality-delete
+    * mask keyed on the column would be zone-dependent, the r17
+    * deleteByKey rejection). */
   def needsPinnedZone(spec: Seq[T], schema: StructType): Boolean =
     spec.exists {
-      case t @ (_: Days | _: Years | _: Months | _: Hours) =>
-        schema(t.source).dataType.isInstanceOf[TimestampType]
+      case t @ (_: Days | _: Years | _: Months | _: Hours | _: Identity) =>
+        schema.fields.find(_.name == t.source)
+          .exists(_.dataType.isInstanceOf[TimestampType])
       case _ => false
     }
 

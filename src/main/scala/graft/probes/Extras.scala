@@ -860,7 +860,12 @@ object Extras {
         |  WHERE k IN (SELECT k FROM delkeys)
         |  UNION ALL SELECT 'reinsert', (SELECT min(k) FROM delkeys),
         |         CAST(99 AS DOUBLE)
-        |  UNION ALL SELECT 'sidecar', CAST(1 AS BIGINT), CAST(0 AS DOUBLE))
+        |  UNION ALL SELECT 'sidecar', CAST(1 AS BIGINT), CAST(0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'tspart', event_id, CAST(epoch_us(ts) AS DOUBLE)
+        |  FROM events WHERE event_id % 101 = 0
+        |    AND ts NOT IN (SELECT ts FROM events
+        |                   WHERE event_id % 101 = 0 AND event_id % 3 = 0))
         |SELECT phase, k, qty FROM phases ORDER BY phase, k, qty""".stripMargin) {
       (s, dir) =>
       import s.implicits._
@@ -903,7 +908,24 @@ object Extras {
           s"WHERE k = $minDel AND qty = 99.0")
       val sidecar = Seq(("sidecar", if (eqPinned) 1L else 0L, 0.0d))
         .toDF("phase", "k", "qty")
+      // TIMESTAMP identity-partition keys (r18): dir values render and
+      // parse under the zone pinned at CREATE, so an equality mask
+      // keyed on the partition column is exact at MICROSECOND grain
+      s.sql("DROP TABLE IF EXISTS gprobe.db.eqdts")
+      s.sql("""CREATE TABLE gprobe.db.eqdts (k BIGINT, ts TIMESTAMP)
+        PARTITIONED BY (ts)""")
+      s.sql("INSERT INTO gprobe.db.eqdts " +
+        "SELECT event_id, ts FROM events WHERE event_id % 101 = 0")
+      val delTs = s.sql(
+        "SELECT DISTINCT ts FROM gprobe.db.eqdts WHERE k % 3 = 0")
+        .collect().map(_.getTimestamp(0))
+      if (delTs.nonEmpty)
+        graft.catalog.Maintenance.deleteByKey(s, "gprobe.db.eqdts",
+          delTs.toSeq.toDF("ts"))
+      val tspart = s.sql("""SELECT 'tspart' AS phase, k,
+          CAST(unix_micros(ts) AS DOUBLE) AS qty FROM gprobe.db.eqdts""")
       after.unionAll(cdc).unionAll(reinsert).unionAll(sidecar)
+        .unionAll(tspart)
         .orderBy("phase", "k", "qty")
     },
 

@@ -121,7 +121,7 @@ object BatchWrites {
     * way Spark's dynamic partition writes do, so read-side inference
     * round-trips). */
   private def partFragment(name: String, dt: DataType, row: InternalRow,
-      ord: Int): String = {
+      ord: Int, zone: String): String = {
     val v: String =
       if (row.isNullAt(ord)) null
       else dt match {
@@ -133,6 +133,14 @@ object BatchWrites {
         case LongType => row.getLong(ord).toString
         case DateType =>
           java.time.LocalDate.ofEpochDay(row.getInt(ord)).toString
+        case TimestampType =>
+          // rendered in the table's PINNED zone with Spark's own
+          // fraction formatter — byte-identical to the V1 path's
+          // Cast(ts, StringType, zone), so read-side inference and the
+          // hive dir layout agree across sessions (r18)
+          org.apache.spark.sql.catalyst.util.TimestampFormatter
+            .getFractionFormatter(java.time.ZoneId.of(zone))
+            .format(row.getLong(ord))
         case other => throw new UnsupportedOperationException(
           s"partition column $name: unsupported partition type $other")
       }
@@ -235,7 +243,8 @@ object BatchWrites {
             else {
               val derived = if (hidden.isEmpty) null else derivedProj(r)
               fragPlan.iterator.map { case (name, dt, ord, fromDerived) =>
-                partFragment(name, dt, if (fromDerived) derived else r, ord)
+                partFragment(name, dt, if (fromDerived) derived else r, ord,
+                  zone)
               }.mkString("/")
             }
           val entry = writers.getOrElseUpdate(rel, {

@@ -30,6 +30,60 @@ import org.apache.spark.sql.types.StructType
   * current generation and restores the single-scan fast path. */
 object MultiGenScans {
 
+  /** Zero-copy column REORDER over a batch: serves `to`-ordered columns
+    * from an inner batch whose order differs (r18 — the row-level
+    * GroupFilterScan reports the DECLARED schema, but its ParquetScan
+    * delegates serve identity-partition columns LAST; a non-trailing
+    * partition column made every row-level command read misaligned
+    * ordinals). `perm(i)` = the inner ordinal serving output column i.
+    * Columnar batches permute the vector array; row readers project by
+    * ordinal — neither copies values. */
+  def reorder(inner: Batch, from: StructType, to: StructType): Batch =
+    if (from.fieldNames.sameElements(to.fieldNames)) inner
+    else {
+      val perm = to.fieldNames.map(from.fieldIndex)
+      new ReorderBatch(inner, perm, to)
+    }
+
+  private final class ReorderBatch(inner: Batch, perm: Array[Int],
+      to: StructType) extends Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      inner.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      ReorderFactory(inner.createReaderFactory(), perm, to)
+  }
+
+  private final case class ReorderFactory(f: PartitionReaderFactory,
+      perm: Array[Int], to: StructType) extends PartitionReaderFactory {
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      f.supportColumnarReads(p)
+    override def createReader(p: InputPartition)
+        : PartitionReader[InternalRow] = {
+      val r = f.createReader(p)
+      val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        to, perm.toIndexedSeq)
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = r.next()
+        override def get(): InternalRow = { proj.project(r.get()); proj }
+        override def close(): Unit = r.close()
+      }
+    }
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+      val r = f.createColumnarReader(p)
+      new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = r.next()
+        override def get(): ColumnarBatch = {
+          val b = r.get()
+          new ColumnarBatch(
+            perm.map(b.column(_): ColumnVector), b.numRows())
+        }
+        override def close(): Unit = r.close()
+      }
+    }
+  }
+
   /** One generation's delegate: `rename` maps CURRENT field name →
     * this generation's physical name (including the absent-marker);
     * `noPush` lists current names whose physical TYPE differs in this

@@ -2352,17 +2352,60 @@ class CatalogV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT k, region FROM g2.db.eqpart2 ORDER BY k, region")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "us"), (2L, "eu")))
-    // TIMESTAMP partition keys stay rejected (zone-dependent dir parse)
+    // TIMESTAMP partition keys work once the zone is pinned (r18 —
+    // CREATE pins it); a legacy table WITHOUT the pin still rejects
     spark.sql("""CREATE TABLE g2.db.eqpartts (k BIGINT, ts TIMESTAMP)
       PARTITIONED BY (ts)""")
-    spark.sql(
-      "INSERT INTO g2.db.eqpartts VALUES (1, timestamp_seconds(1700000000))")
+    spark.sql("""INSERT INTO g2.db.eqpartts VALUES
+      (1, timestamp_seconds(1700000000)), (2, timestamp_seconds(1700003600))""")
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqpartts",
+      Seq(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1700000000L))).toDF("ts"))
+    assert(spark.sql("SELECT k FROM g2.db.eqpartts").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    val p0 = graft.catalog.AlterOps.readProps(tdir("eqpartts"))
+    graft.catalog.AlterOps.writeProps(tdir("eqpartts"),
+      p0 - graft.catalog.PartitionTransforms.ZoneKey)
     val e = intercept[UnsupportedOperationException] {
       graft.catalog.Maintenance.deleteByKey(spark, "g2.db.eqpartts",
         Seq(java.sql.Timestamp.from(
-          java.time.Instant.ofEpochSecond(1700000000L))).toDF("ts"))
+          java.time.Instant.ofEpochSecond(1700003600L))).toDF("ts"))
     }
-    assert(e.getMessage.contains("zone-dependent"))
+    assert(e.getMessage.contains("pinned partition zone"), e.getMessage)
+    graft.catalog.AlterOps.writeProps(tdir("eqpartts"), p0)
+  }
+
+  test("row-level commands on an identity-partitioned table whose " +
+      "partition column is NOT the last schema column read aligned " +
+      "ordinals (r18 — latent since r16: ParquetScan serves partition " +
+      "columns last while the row-level scan reports declared order)") {
+    spark.sql("""CREATE TABLE g2.db.plead (region STRING, id INT, v STRING)
+      PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO g2.db.plead VALUES
+      ('east', 1, 'a'), ('west', 2, 'b'), ('east', 3, 'c')""")
+    spark.sql("""MERGE INTO g2.db.plead t USING (
+        SELECT 'east' AS region, 1 AS id, 'A' AS v
+        UNION ALL SELECT 'south', 9, 'z') s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT region, id, v FROM g2.db.plead ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSeq == Seq(("east", 1, "A"), ("west", 2, "b"), ("east", 3, "c"),
+        ("south", 9, "z")))
+    spark.sql("UPDATE g2.db.plead SET v = upper(v) WHERE id >= 2")
+    assert(spark.sql("SELECT v FROM g2.db.plead ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("A", "B", "C", "Z"))
+    // and with pending MOR sidecars (the masked slice path)
+    import spark.implicits._
+    graft.catalog.Maintenance.deleteByKey(spark, "g2.db.plead",
+      Seq(3).toDF("id"))
+    spark.sql("""MERGE INTO g2.db.plead t USING (
+        SELECT 'west' AS region, 2 AS id, 'bb' AS v) s
+      ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    assert(spark.sql("SELECT region, id, v FROM g2.db.plead ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSeq == Seq(("east", 1, "A"), ("west", 2, "bb"), ("south", 9, "Z")))
   }
 
   test("multi-column equality keys match as TUPLES, not independently") {
@@ -3190,6 +3233,68 @@ class CatalogV2Spec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       "ALTER TABLE g2.db.bktv1 ALTER COLUMN k TYPE BIGINT"))
     assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
+  test("TIMESTAMP identity partitioning: dir values render AND parse " +
+      "under the pinned zone — a Tokyo writer, an LA reader and an " +
+      "equality-delete mask all agree on the instants (r18)") {
+    import spark.implicits._
+    val zoneConf = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(zoneConf)
+    try {
+      spark.conf.set(zoneConf, "Asia/Tokyo")
+      spark.sql("""CREATE TABLE g2.db.tsid (ts TIMESTAMP, v STRING)
+        PARTITIONED BY (ts)""")
+      assert(graft.catalog.AlterOps.readProps(tdir("tsid"))
+        .get(graft.catalog.PartitionTransforms.ZoneKey)
+        .contains("Asia/Tokyo"))
+      spark.sql("""INSERT INTO g2.db.tsid
+        SELECT timestamp_seconds(1700000000 + id * 3600),
+               concat('v', CAST(id AS STRING))
+        FROM range(0, 4)""")
+      def instants(): Seq[Long] = spark.sql(
+        "SELECT CAST(ts AS BIGINT) FROM g2.db.tsid")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val tokyoView = instants()
+      assert(tokyoView == (0 until 4).map(1700000000L + _ * 3600L))
+      // an LA reader parses the SAME instants from the dirs (pre-fix:
+      // session-zone parse shifted them by the zone offset)
+      spark.conf.set(zoneConf, "America/Los_Angeles")
+      assert(instants() == tokyoView)
+      // equality-delete mask keyed ON the partition column, committed
+      // from the LA session, masks exactly the written instant
+      graft.catalog.Maintenance.deleteByKey(spark, "g2.db.tsid",
+        Seq(java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(1700003600L))).toDF("ts"))
+      assert(instants() == Seq(1700000000L, 1700007200L, 1700010800L))
+      // the V2 row-level writer renders ts dirs under the SAME pinned
+      // zone (MERGE moves a row to a new instant partition)
+      spark.sql("""MERGE INTO g2.db.tsid t USING (
+          SELECT timestamp_seconds(1700000000) AS ts, 'upd' AS v
+          UNION ALL SELECT timestamp_seconds(1700020000), 'new') s
+        ON t.ts = s.ts
+        WHEN MATCHED THEN UPDATE SET t.v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql(
+        "SELECT v FROM g2.db.tsid WHERE ts = timestamp_seconds(1700000000)")
+        .collect().map(_.getString(0)).toSeq == Seq("upd"))
+      assert(instants() ==
+        Seq(1700000000L, 1700007200L, 1700010800L, 1700020000L))
+      // ONE dir per distinct instant ever written (4 inserts + the
+      // MERGE's new row; the masked row's dir stays for time travel),
+      // every one rendered in TOKYO regardless of the writer's zone
+      val dirs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(tdir("tsid").resolve("data")).iterator())
+        .asScala.map(_.getFileName.toString).filter(_.startsWith("ts="))
+        .toSeq
+      assert(dirs.size == 5 && dirs.contains("ts=2023-11-15 07%3A13%3A20"),
+        s"got $dirs")
+      // a UTC third session agrees too, and compact round-trips
+      spark.conf.set(zoneConf, "UTC")
+      graft.catalog.Maintenance.compact(spark, "g2.db.tsid", Seq("v"), 1)
+      assert(instants() ==
+        Seq(1700000000L, 1700007200L, 1700010800L, 1700020000L))
+    } finally spark.conf.set(zoneConf, orig)
   }
 
   test("legacy zoned days() tables (no ZoneKey) get the zone PINNED on " +
