@@ -263,6 +263,35 @@ object AlterOps {
       // single-generation fast path
       FieldIds.write(tableDir, meta)
       Files.writeString(schemaFile(tableDir), evolved.json)
+      // bloom-column bookkeeping (r18): the recorded-columns property is
+      // what lets compact() self-heal sidecars, so it must track the
+      // schema — a DROPPED column leaves the record, a RENAMED column
+      // renames it (its old-named sidecars are dropped; value hashes
+      // are name-independent but lookups key on the current name, and
+      // compact rebuilds under it). A PROMOTED column deliberately
+      // keeps its record — that is the self-healing hook.
+      locally {
+        val props1 = readProps(tableDir)
+        val rec = BloomSidecars.recordedColumns(props1)
+        if (rec.nonEmpty) {
+          var next = rec
+          schemaChanges.foreach {
+            case d: TableChange.DeleteColumn =>
+              next = next.filterNot(_ == d.fieldNames().head)
+            case r: TableChange.RenameColumn
+                if next.contains(r.fieldNames().head) =>
+              dropColumnBlooms(tableDir, r.fieldNames().head)
+              next = next.map(c =>
+                if (c == r.fieldNames().head) r.newName() else c)
+            case _ => ()
+          }
+          if (next != rec)
+            writeProps(tableDir,
+              if (next.isEmpty) props1 - BloomSidecars.ColumnsKey
+              else props1 +
+                (BloomSidecars.ColumnsKey -> next.mkString(",")))
+        }
+      }
     }
     if (propChanges.nonEmpty) {
       val next = propChanges.foldLeft(readProps(tableDir)) {

@@ -32,6 +32,19 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomSidecars {
 
+  /** Table property listing the columns [[Maintenance.addBlooms]] has
+    * indexed (comma-separated) — the durable record that lets
+    * compact() RE-DERIVE sidecars for its rewritten files without a
+    * manual addBlooms run (r18): a type promotion drops the column's
+    * sidecar FILES (stale narrow hashes would false-negative) but
+    * keeps this property, so the next compact restores point-lookup
+    * pruning automatically. */
+  val ColumnsKey = "graft.blooms.columns"
+
+  private[catalog] def recordedColumns(props: Map[String, String]): Seq[String] =
+    props.get(ColumnsKey).toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty)
+
   private def bloomsDir(tableDir: Path): Path = tableDir.resolve("blooms")
 
   /** Sidecar path for a data file's RELATIVE path and a column. Keyed

@@ -352,6 +352,17 @@ object Maintenance {
       .tableDf(spark, table)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     table.replaceFiles(layout(pinned), base.files, base.deleteFiles)
+    // re-derive bloom sidecars for the rewritten files (r18): the
+    // rewrite produced NEW file names, so every recorded bloom column
+    // is unindexed until rebuilt — and a type promotion deliberately
+    // dropped its column's sidecars, making this the self-healing path
+    // for point-lookup pruning. One extra column-pruned pass over the
+    // fresh layout; only columns the user indexed before pay it.
+    val identityParts = parts.map(PartitionTransforms.parse)
+      .collect { case PartitionTransforms.Identity(c) => c }.toSet
+    val bloomCols = BloomSidecars.recordedColumns(props)
+      .filter(c => schema.fieldNames.contains(c) && !identityParts(c))
+    if (bloomCols.nonEmpty) addBlooms(spark, ident, bloomCols)
     val after = Snapshots.latest(dir).map(_.files.length).getOrElse(0)
     (base.files.length, after)
   }
@@ -538,6 +549,14 @@ object Maintenance {
         throw new IllegalStateException(
           s"addBlooms: a concurrent ALTER changed $ident's schema while " +
             "the bloom pass ran; re-run addBlooms (no sidecar written)")
+      // record the indexed columns (r18): compact() re-derives sidecars
+      // for its rewritten files from this property, so a promotion's
+      // sidecar drop heals at the next compact without a manual re-run
+      val props0 = readProps(dir)
+      val recorded =
+        (BloomSidecars.recordedColumns(props0) ++ cols).distinct
+      AlterOps.writeProps(dir,
+        props0 + (BloomSidecars.ColumnsKey -> recorded.mkString(",")))
     rows.foreach { r =>
       // input_file_name() is a URI (percent-encoded): a data-file name
       // containing URL-encodable characters (spaces, '%', unicode)

@@ -71,7 +71,8 @@ object BatchWrites {
       stagingDir: String, onCommit: Seq[String] => Unit,
       onAbort: Seq[String] => Unit,
       partitionSpec: Seq[PartitionTransforms.T] = Nil,
-      partitionZone: Option[String] = None): Write = {
+      partitionZone: Option[String] = None,
+      orderCols: Seq[String] = Nil): Write = {
     val cs = spark.asInstanceOf[ClassicSession]
     val identityCols = partitionSpec.collect {
       case PartitionTransforms.Identity(c) => c
@@ -91,13 +92,27 @@ object BatchWrites {
     new Write with BatchWrite with RequiresDistributionAndOrdering { self =>
       override def toBatch: BatchWrite = self
       override def requiredDistribution: Distribution =
-        if (partitionSpec.isEmpty) Distributions.unspecified()
-        else Distributions.clustered(
+        if (partitionSpec.nonEmpty) Distributions.clustered(
           // cluster on the SOURCE columns: identity dirs colocate
           // exactly; transform dirs colocate because equal sources
           // derive equal dir values (a superset partitioning)
           partitionSpec.map(t => Expressions.identity(t.source)).toArray)
-      override def requiredOrdering: Array[SortOrder] = Array.empty
+        else if (orderCols.nonEmpty)
+          // declared sort order (r18): range-distribute so files are
+          // range-DISJOINT, not just internally sorted
+          Distributions.ordered(orderCols.map(c =>
+            Expressions.sort(Expressions.identity(c),
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING)).toArray)
+        else Distributions.unspecified()
+      override def requiredOrdering: Array[SortOrder] =
+        // per-task sort on (partition sources, declared order): each
+        // written file is internally sorted so its footer stats prune
+        ((if (orderCols.isEmpty) Nil
+          else partitionSpec.map(_.source)) ++ orderCols).distinct
+          .map(c => Expressions.sort(Expressions.identity(c),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING): SortOrder).toArray
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
         ParquetWriterFactory(fac, conf, schema, partitionSpec, zone,

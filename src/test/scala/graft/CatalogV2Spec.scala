@@ -2176,6 +2176,61 @@ class CatalogV2Spec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("z"))
   }
 
+  test("compact self-heals bloom sidecars from the recorded-columns " +
+      "property: promote → compact → point-lookup pruning active again " +
+      "with NO manual addBlooms (r18)") {
+    // two one-file inserts with INTERLEAVED keys: footer min/max can't
+    // separate them, so a point lookup prunes ONLY through blooms
+    spark.sql("CREATE TABLE g2.db.blmheal (q INT, v STRING)")
+    // q = 0,4,8..196 and 2,6,10..198: every ODD value is in-range for
+    // both files' [min, max] yet absent from both
+    spark.sql("INSERT INTO g2.db.blmheal SELECT CAST(id * 4 AS INT), 'e' " +
+      "FROM range(0, 50, 1, 1)")
+    spark.sql("INSERT INTO g2.db.blmheal SELECT CAST(id * 4 + 2 AS INT), " +
+      "'o' FROM range(0, 50, 1, 1)")
+    assert(graft.catalog.Maintenance.addBlooms(
+      spark, "g2.db.blmheal", Seq("q")) == 2)
+    assert(graft.catalog.AlterOps.readProps(tdir("blmheal"))
+      .get(graft.catalog.BloomSidecars.ColumnsKey).contains("q"))
+    def snapVersion: Long =
+      graft.catalog.Snapshots.latest(tdir("blmheal")).get.version
+    // bloom-pruned no-op: 200 is in-range for both files (stats can't
+    // prune) but in neither bloom — no rewrite, no new snapshot
+    val v0 = snapVersion
+    spark.sql("DELETE FROM g2.db.blmheal WHERE q = 101")
+    assert(snapVersion == v0, "bloom miss must make the DELETE a no-op")
+    spark.sql("ALTER TABLE g2.db.blmheal ALTER COLUMN q TYPE BIGINT")
+    // sidecars dropped: the same DELETE now rewrites (conservative)
+    val v1 = snapVersion
+    spark.sql("DELETE FROM g2.db.blmheal WHERE q = 103")
+    assert(snapVersion > v1,
+      "without sidecars the point DELETE must touch files")
+    // compact REBUILDS the sidecars from the property — two range-
+    // clustered output files, each with a q bloom, no manual addBlooms
+    graft.catalog.Maintenance.compact(spark, "g2.db.blmheal", Seq("q"), 2)
+    val bloomsDir = tdir("blmheal").resolve("blooms")
+    val live = graft.catalog.Snapshots.latest(tdir("blmheal")).get
+      .dataFiles.map(f => java.nio.file.Paths.get(f).getFileName.toString)
+      .toSet
+    val rebuilt = scala.util.Using.resource(
+      java.nio.file.Files.list(bloomsDir)) { st =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+        .asScala.map(_.getFileName.toString)
+        .count(n => n.endsWith(".q.bloom") &&
+          live.exists(f => n.startsWith(f + ".")))
+    }
+    assert(rebuilt == live.size, s"rebuilt $rebuilt of ${live.size}")
+    // ...but post-compact the files are range-clustered, so stats prune
+    // the out-of-range key; use an IN-RANGE absent key: wide probe
+    // against the rebuilt (wide-hashed) blooms is a provable no-op
+    val v2 = snapVersion
+    spark.sql("DELETE FROM g2.db.blmheal WHERE q = 105")
+    assert(snapVersion == v2,
+      "rebuilt blooms must make the wide point DELETE a no-op again")
+    assert(spark.sql("SELECT count(*) FROM g2.db.blmheal").collect()
+      .head.getLong(0) == 100L)
+  }
+
   // --- equality deletes (Iceberg v2's second delete type, r16) ---------
 
   test("deleteByKey masks pre-existing rows only: a later re-insert of " +
@@ -3295,6 +3350,59 @@ class CatalogV2Spec extends AnyFunSuite {
       assert(instants() ==
         Seq(1700000000L, 1700007200L, 1700010800L, 1700020000L))
     } finally spark.conf.set(zoneConf, orig)
+  }
+
+  test("declared write sort order (graft.write.ordered-by): inserts " +
+      "land range-disjoint sorted files, a key-range DELETE rewrites " +
+      "O(overlapping files) with NO compact, and the row-level write " +
+      "plans the sort (r18)") {
+    spark.sql("""CREATE TABLE g2.db.ordk (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('graft.write.ordered-by'='k')""")
+    spark.sql("CREATE TABLE g2.db.unordk (k BIGINT, v DOUBLE)")
+    // scrambled inserts: 48271 is coprime to 20000, so each insert is a
+    // permutation — without the declared order every task's file spans
+    // the whole key range and footer stats prune nothing
+    for (lo <- Seq(0, 20000)) {
+      val ins = s"SELECT (id * 48271) % 20000 + $lo, CAST(id AS DOUBLE) " +
+        "FROM range(0, 20000)"
+      spark.sql(s"INSERT INTO g2.db.ordk $ins")
+      spark.sql(s"INSERT INTO g2.db.unordk $ins")
+    }
+    def replaced(table: String)(op: => Unit): Int = {
+      val dir = tdir(table)
+      val before = graft.catalog.Snapshots.latest(dir).get.dataFiles.toSet
+      op
+      val after = graft.catalog.Snapshots.latest(dir).get.dataFiles.toSet
+      (before -- after).size
+    }
+    val repOrd = replaced("ordk")(spark.sql(
+      "DELETE FROM g2.db.ordk WHERE k >= 100 AND k < 300"))
+    val repUn = replaced("unordk")(spark.sql(
+      "DELETE FROM g2.db.unordk WHERE k >= 100 AND k < 300"))
+    assert(repOrd > 0 && repUn > 0, s"$repOrd / $repUn")
+    assert(repOrd < repUn,
+      s"ordered table rewrote $repOrd files, unordered $repUn — the " +
+        "declared order should bound the rewrite to overlapping files")
+    // contents agree with the unordered twin after the DELETE
+    assert(spark.sql("SELECT sum(k), count(*) FROM g2.db.ordk").collect()
+      .head.toString ==
+      spark.sql("SELECT sum(k), count(*) FROM g2.db.unordk").collect()
+        .head.toString)
+    // the V2 row-level write declares the ordering: the MERGE plan
+    // carries a range exchange / sort on k before ReplaceData
+    val mergeSql = """MERGE INTO g2.db.ordk t USING (
+        SELECT CAST(5000 AS BIGINT) AS k, CAST(-1 AS DOUBLE) AS v) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v"""
+    val plan = spark.sql(s"EXPLAIN FORMATTED $mergeSql")
+      .collect().head.getString(0)
+    assert(plan.contains("+- Sort (") && plan.contains("Exchange"),
+      plan.takeRight(2000))
+    val repMerge = replaced("ordk")(spark.sql(mergeSql))
+    assert(repMerge <= repOrd + 1,
+      s"narrow MERGE rewrote $repMerge files on the ordered table")
+    assert(spark.sql("SELECT v FROM g2.db.ordk WHERE k = 5000").collect()
+      .map(_.getDouble(0)).toSeq == Seq(-1.0))
   }
 
   test("legacy zoned days() tables (no ZoneKey) get the zone PINNED on " +
