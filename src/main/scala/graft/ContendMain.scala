@@ -358,6 +358,13 @@ object ContendMain {
           if (base == 0 && i == n / 2)
             retry("promote")(spark.sql(
               "ALTER TABLE gcont.s.h ALTER COLUMN q TYPE BIGINT"))
+          // base=100 EVOLVES the partition spec mid-race (r18): the
+          // other JVM's in-flight writes (planned under the days-only
+          // spec) epoch-abort and retry; later writes land nested
+          // day/hour dirs while old files keep pruning under their era
+          if (base == 100 && i == n / 2)
+            spark.sql(
+              "CALL gcont.system.add_partition_field('s.h', 'hours(ts)')")
           if (i % 3 == 0)
             retry(s"insert $i")(spark.sql(
               s"INSERT INTO gcont.s.h VALUES (${7000 + base + i}, " +
@@ -398,6 +405,13 @@ object ContendMain {
         // the promotion landed: schema wide + a beyond-int write works
         require(spark.table("gcont.s.h").schema("q").dataType ==
           org.apache.spark.sql.types.LongType, "promotion lost")
+        // the mid-race spec evolution landed (r18): latest era carries
+        // days+hours; the day-prune twin check below covers BOTH eras
+        val hdir = graft.catalog.Maintenance.tableDir(spark, "gcont.s.h")
+        val spec = graft.catalog.SpecEras.currentSpecStrings(
+          hdir, graft.catalog.AlterOps.readProps(hdir))
+        require(spec == Seq("days(ts)", "hours(ts)"),
+          s"partition-spec evolution lost: $spec")
         // idempotent under check re-runs (a failed check may have
         // inserted the probe row already)
         spark.sql("DELETE FROM gcont.s.h WHERE k = 9999")

@@ -123,6 +123,13 @@ object Changelog {
         AlterOps.readProps(dir).get(PartitionTransforms.ZoneKey)
           .fold(r0)(z => r0.option("timeZone", z))
           .parquet(eraFs.map(f => dir.resolve(f).toString): _*)
+          // select the DECLARED columns per era frame: partition
+          // inference appends each era's hidden dir columns and the
+          // union sides would disagree (soak seed 101, r18). `_metadata`
+          // rides along — the mask joins key on file_path/row_index and
+          // the pseudo-column only resolves on the direct file relation.
+          .select(schema.fieldNames.map(col).toIndexedSeq :+
+            col("_metadata"): _*)
       }.reduce(_ unionByName _)
 
     def positions(deleteFiles: Seq[String]): DataFrame =

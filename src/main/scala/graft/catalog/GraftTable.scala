@@ -123,11 +123,23 @@ class GraftTable(
       .getOrElse(Seq(SpecEras.Era(1L, partSpec)))
   private def specEvolved: Boolean = specEras.size > 1
   /** Files grouped by spec era, oldest first (ONE group — no metadata
-    * read — when the table never evolved). */
+    * read — when the table never evolved). Groups come from the TAGGED
+    * [[specEras]], never a fresh [[SpecEras.read]]: on a v2-derivation
+    * table an untagged era spec would prune bucket dirs with the
+    * narrow-type hash and silently drop files holding matched keys
+    * (found by the model-spec soak, seed 101). */
   private def eraFileGroups(files: Seq[String])
       : Seq[(Seq[PartitionTransforms.T], Seq[String])] =
     if (!specEvolved) Seq((partSpec, files))
-    else SpecEras.fileGroups(tableDir, files, partSpec)
+    else {
+      val seen = firstSeenVersions()
+      files.groupBy(f =>
+          SpecEras.eraFor(specEras, seen.getOrElse(f, Long.MaxValue))
+            .activeFrom)
+        .toSeq.sortBy(_._1)
+        .map { case (af, fs) =>
+          (specEras.find(_.activeFrom == af).get.spec, fs) }
+    }
   /** Era-aware hidden-partition prune: each file's dir values are
     * interpreted under the spec that WROTE them (a k_bucket=3 dir from
     * a bucket(8,k) era must never be tested modulo a later re-add). */

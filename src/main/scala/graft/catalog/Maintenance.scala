@@ -15,7 +15,7 @@ object Maintenance {
 
   /** Resolve `cat.ns....table` to its directory under the catalog's
     * configured warehouse. */
-  private[catalog] def tableDir(spark: SparkSession, ident: String): Path = {
+  private[graft] def tableDir(spark: SparkSession, ident: String): Path = {
     val parts = ident.split("\\.")
     require(parts.length >= 3, s"need cat.ns.table, got $ident")
     val wh = spark.conf.get(s"spark.sql.catalog.${parts.head}.warehouse")
@@ -194,6 +194,14 @@ object Maintenance {
               .schema(schema)
             zoneOpt.fold(r0)(z => r0.option("timeZone", z))
               .parquet(fs.map(f => dir.resolve(f).toString): _*)
+              // select the DECLARED columns per era frame: partition
+              // inference appends each era's hidden dir columns
+              // (k_bucket, v_trunc, ...) and the frames would disagree
+              // (soak seed 101, r18). `_metadata` rides along — the
+              // eq-delete mask joins on its file_path, and the pseudo-
+              // column only resolves on the direct file relation.
+              .select(schema.fieldNames.map(col).toSeq :+
+                col("_metadata"): _*)
           }.reduce(_ unionByName _)
         // rows masked by pending MOR sidecars (position OR equality)
         // must not be resurrected

@@ -3405,6 +3405,33 @@ class CatalogV2Spec extends AnyFunSuite {
       .map(_.getDouble(0)).toSeq == Seq(-1.0))
   }
 
+  test("evolved v2 bucket tables prune era groups with the WIDE hash: " +
+      "a MERGE point lookup after ADD PARTITION FIELD matches rows in " +
+      "int-keyed era files (soak seed 101 regression, r18)") {
+    spark.sql("""CREATE TABLE g2.db.evbktr (k INT, v STRING)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("""INSERT INTO g2.db.evbktr
+      SELECT CAST(id AS INT), concat('v', CAST(id AS STRING))
+      FROM range(0, 40)""")
+    // evolution makes the prune path ERA-GROUPED — pre-fix the era
+    // specs lost the v2 tag and hashed int literals narrow, pruning
+    // away the very files the MERGE had to match (duplicate rows)
+    spark.sql("CALL g2.system.add_partition_field('db.evbktr', " +
+      "'truncate(2, v)')")
+    spark.sql("""MERGE INTO g2.db.evbktr t USING (
+        SELECT 7 AS k, 'UPD' AS v) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM g2.db.evbktr WHERE k = 7").collect()
+      .map(_.getString(0)).toSeq == Seq("UPD"))
+    assert(spark.sql("SELECT count(*) FROM g2.db.evbktr").collect()
+      .head.getLong(0) == 40L, "a missed match would have inserted a dup")
+    // interactive point lookup over the mixed eras stays exact too
+    assert(spark.sql("SELECT v FROM g2.db.evbktr WHERE k = 13").collect()
+      .map(_.getString(0)).toSeq == Seq("v13"))
+  }
+
   test("legacy zoned days() tables (no ZoneKey) get the zone PINNED on " +
       "their first write — the drift window closes instead of " +
       "persisting (ADVICE r17)") {

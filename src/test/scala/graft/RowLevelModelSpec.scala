@@ -5,13 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 /** MODEL-BASED randomized testing of the catalog's row-level surface —
   * the r16 review found four real bugs at pairwise FEATURE
   * INTERSECTIONS (eq deletes × partitioning, changelog × expiry, ...),
-  * so this spec drives a seeded-random OP SEQUENCE against one table
-  * and checks full-table equality with a trivial in-memory model after
-  * EVERY op. The table stacks the features: hidden bucket(4, k)
-  * partitioning, a mid-sequence int→bigint promotion of `q`, equality
-  * deletes, upserts, SQL MERGE, predicate DELETE/UPDATE (COW and MOR
-  * variants), and compaction. Any interaction bug that changes visible
-  * rows surfaces as a model divergence with the op trace attached. */
+  * and this spec's first run caught a fifth (the upsert type leak), so
+  * it drives a seeded-random OP SEQUENCE against one table and checks
+  * full-table equality with a trivial in-memory model after EVERY op.
+  * The table stacks the features: hidden bucket(4, k) partitioning, a
+  * mid-sequence int→bigint promotion (of `q`, or of the BUCKET SOURCE
+  * `k` itself under the v2 hash derivation — r18), partition-spec
+  * EVOLUTION (ADD/DROP PARTITION FIELD mid-sequence, r18), WAP
+  * branch stage/publish/drop interleavings (r18), equality deletes,
+  * upserts, SQL MERGE, predicate DELETE/UPDATE (COW and MOR variants),
+  * and compaction. Any interaction bug that changes visible rows
+  * surfaces as a model divergence with the op trace attached. */
 class RowLevelModelSpec extends AnyFunSuite {
   private lazy val spark = {
     val s = TestSpark.spark
@@ -22,27 +26,38 @@ class RowLevelModelSpec extends AnyFunSuite {
     s
   }
 
-  /** One run: `mor` toggles merge-on-read DELETEs. The model is a
+  /** One run: `mor` toggles merge-on-read DELETEs; `promoteK` promotes
+    * the BUCKET SOURCE k int→bigint (legal on v2-derivation tables,
+    * r18) instead of the payload column q. The model is a
     * Map[k → (q, v)] — upsert/MERGE key on k, so one row per key by
     * construction. Ops per step are chosen by the seeded RNG. */
   private def run(table: String, seed: Long, mor: Boolean,
-      steps: Int): Unit = {
+      steps: Int, promoteK: Boolean = false): Unit = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val props =
       if (mor) " TBLPROPERTIES ('write.delete.mode'='merge-on-read')" else ""
+    val kType = if (promoteK) "INT" else "BIGINT"
     spark.sql(s"DROP TABLE IF EXISTS gmod.db.$table")
-    spark.sql(s"""CREATE TABLE gmod.db.$table (k BIGINT, q INT, v STRING)
+    spark.sql(s"""CREATE TABLE gmod.db.$table (k $kType, q INT, v STRING)
       PARTITIONED BY (bucket(4, k))$props""")
     val rnd = new scala.util.Random(seed)
     val model = scala.collection.mutable.Map.empty[Long, (Long, String)]
-    var promoted = false
+    var promoted = false // the chosen column's int→bigint landed
+    var evolved = false  // ADD PARTITION FIELD landed
+    var fieldDropped = false
     val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+    def kPromoted = promoteK && promoted
+    def qPromoted = !promoteK && promoted
 
     def freshRows(n: Int): Seq[(Long, Long, String)] =
       (1 to n).map { _ =>
-        val k = rnd.nextInt(60).toLong // small key space: collisions ARE
-        val q =                        // the point (re-insert, re-delete)
-          if (promoted && rnd.nextInt(4) == 0) 3000000000L + rnd.nextInt(100)
+        val k =                        // small key space: collisions ARE
+          if (kPromoted && rnd.nextInt(5) == 0) // the point; wide keys
+            6000000000L + rnd.nextInt(20)       // exercise the v2 hash
+          else rnd.nextInt(60).toLong
+        val q =
+          if (qPromoted && rnd.nextInt(4) == 0) 3000000000L + rnd.nextInt(100)
           else rnd.nextInt(1000).toLong
         (k, q, s"v${rnd.nextInt(1000)}")
       }.groupBy(_._1).values.map(_.head).toSeq // one row per key per batch
@@ -50,27 +65,26 @@ class RowLevelModelSpec extends AnyFunSuite {
     def verify(op: String): Unit = {
       trace += op
       val got = spark.sql(s"SELECT k, q, v FROM gmod.db.$table")
-        .collect().map(r => (r.getLong(0),
+        .collect().map(r => (r.getAs[Number](0).longValue(),
           r.getAs[Number](1).longValue(), // INT pre-promotion, LONG after
           r.getString(2)))
         .sortBy(t => (t._1, t._2, t._3)).toSeq
       val want = model.toSeq.map { case (k, (q, v)) => (k, q, v) }
         .sortBy(t => (t._1, t._2, t._3))
       assert(got == want,
-        s"model divergence after [$op] (seed=$seed mor=$mor)\n" +
-          s"trace: ${trace.mkString(" ; ")}\n" +
+        s"model divergence after [$op] (seed=$seed mor=$mor " +
+          s"promoteK=$promoteK)\ntrace: ${trace.mkString(" ; ")}\n" +
           s"got:  ${got.take(80)}\nwant: ${want.take(80)}")
     }
 
-    // source DF typed to the table's CURRENT declared q type (the
-    // upsert API rejects non-upcast sources; our Long test values fit
-    // int exactly pre-promotion)
+    // source DF typed to the table's CURRENT declared types (the upsert
+    // API rejects non-upcast sources; the test values fit int exactly
+    // until the respective promotion)
     def srcDf(rows: Seq[(Long, Long, String)]) =
       rows.toDF("k", "q", "v").select(
-        org.apache.spark.sql.functions.col("k"),
-        org.apache.spark.sql.functions.col("q")
-          .cast(if (promoted) "bigint" else "int").as("q"),
-        org.apache.spark.sql.functions.col("v"))
+        col("k").cast(if (promoteK && !promoted) "int" else "bigint").as("k"),
+        col("q").cast(if (qPromoted) "bigint" else "int").as("q"),
+        col("v"))
 
     // seed rows
     val init = freshRows(25)
@@ -80,7 +94,7 @@ class RowLevelModelSpec extends AnyFunSuite {
     verify("init upsert")
 
     (1 to steps).foreach { step =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(10) match {
         case 0 => // upsert a small batch
           val rows = freshRows(1 + rnd.nextInt(5))
           graft.catalog.Maintenance.upsert(spark, s"gmod.db.$table",
@@ -90,10 +104,15 @@ class RowLevelModelSpec extends AnyFunSuite {
         case 1 => // equality delete by key (pre-existing rows only; the
           // model has at most one row per key, inserted earlier, so a
           // plain remove matches the strict first-seen rule)
-          val ks = (1 to (1 + rnd.nextInt(3)))
-            .map(_ => rnd.nextInt(60).toLong).distinct
+          val ks = ((1 to (1 + rnd.nextInt(3)))
+            .map(_ => rnd.nextInt(60).toLong) ++
+            (if (kPromoted && rnd.nextBoolean())
+              Seq(6000000000L + rnd.nextInt(20)) else Nil)).distinct
+          val keyDf = ks.toDF("k").select(
+            col("k").cast(if (promoteK && !promoted) "int" else "bigint")
+              .as("k"))
           graft.catalog.Maintenance.deleteByKey(spark, s"gmod.db.$table",
-            ks.toDF("k"))
+            keyDf)
           ks.foreach(model.remove)
           verify(s"$step:deleteByKey(${ks.sorted.mkString(",")})")
         case 2 => // SQL MERGE: one update + one insert candidate
@@ -120,20 +139,57 @@ class RowLevelModelSpec extends AnyFunSuite {
             s"UPDATE gmod.db.$table SET v = 'u$step' WHERE k = $k")
           model.get(k).foreach { case (q, _) => model(k) = (q, s"u$step") }
           verify(s"$step:update(k=$k)")
-        case 5 if !promoted && step > steps / 3 => // the ONE promotion
-          spark.sql(s"ALTER TABLE gmod.db.$table ALTER COLUMN q TYPE BIGINT")
+        case 5 if !promoted && step > steps / 3 => // the ONE promotion —
+          // of q, or of the BUCKET SOURCE k (v2 derivation, r18)
+          spark.sql(s"ALTER TABLE gmod.db.$table ALTER COLUMN " +
+            s"${if (promoteK) "k" else "q"} TYPE BIGINT")
           promoted = true
-          verify(s"$step:promote")
+          verify(s"$step:promote(${if (promoteK) "k" else "q"})")
+        case 6 if !evolved && step > steps / 4 => // partition-spec
+          // evolution: new writes gain truncate(2, v) dirs, old files
+          // keep pruning under bucket-only (r18)
+          spark.sql(s"CALL gmod.system.add_partition_field(" +
+            s"'db.$table', 'truncate(2,v)')")
+          evolved = true
+          verify(s"$step:addPartitionField(truncate(2,v))")
+        case 7 if evolved && !fieldDropped && rnd.nextBoolean() =>
+          spark.sql(s"CALL gmod.system.drop_partition_field(" +
+            s"'db.$table', 'truncate(2,v)')")
+          fieldDropped = true
+          verify(s"$step:dropPartitionField(truncate(2,v))")
+        case 8 => // WAP: stage on a branch (invisible), then publish or
+          // drop — all within one step so main never moves mid-flow
+          val dir = graft.catalog.Maintenance.tableDir(
+            spark, s"gmod.db.$table")
+          val ver = graft.catalog.Snapshots.latest(dir).get.version
+          val br = s"br$step"
+          spark.sql(
+            s"CALL gmod.system.create_branch('db.$table', '$br', $ver)")
+          val k = 500L + step // definitely-fresh key
+          val q = 11 * step
+          spark.sql(s"INSERT INTO gmod.db.$table.branch_$br " +
+            s"VALUES ($k, $q, 'b$step')")
+          verify(s"$step:wapStage($br)") // staged rows invisible on main
+          if (rnd.nextBoolean()) {
+            spark.sql(s"CALL gmod.system.fast_forward('db.$table', '$br')")
+            model(k) = (q.toLong, s"b$step")
+            spark.sql(s"CALL gmod.system.drop_branch('db.$table', '$br')")
+            verify(s"$step:wapPublish($br)")
+          } else {
+            spark.sql(s"CALL gmod.system.drop_branch('db.$table', '$br')")
+            verify(s"$step:wapDrop($br)")
+          }
         case _ if rnd.nextInt(3) == 0 => // occasional compact
           graft.catalog.Maintenance.compact(spark, s"gmod.db.$table",
             Seq("k"), 1 + rnd.nextInt(3))
           verify(s"$step:compact")
         case _ => // insert-only merge of definitely-fresh keys
           val k = 100L + step
-          val q = if (promoted) 4000000000L + step else 7 * step
+          val q = if (qPromoted) 4000000000L + step else 7L * step
           spark.sql(s"""MERGE INTO gmod.db.$table t
-            USING (SELECT CAST($k AS BIGINT) AS k, CAST($q AS ${
-              if (promoted) "BIGINT" else "INT"} ) AS q, 'f$step' AS v) s
+            USING (SELECT CAST($k AS ${if (promoteK && !promoted) "INT"
+              else "BIGINT"}) AS k, CAST($q AS ${
+              if (qPromoted) "BIGINT" else "INT"} ) AS q, 'f$step' AS v) s
             ON t.k = s.k
             WHEN NOT MATCHED THEN INSERT *""")
           model(k) = (q, s"f$step")
@@ -170,7 +226,7 @@ class RowLevelModelSpec extends AnyFunSuite {
   }
 
   test("seeded-random op sequences match the in-memory model: COW table " +
-      "(bucket-partitioned, mid-sequence promotion)") {
+      "(bucket-partitioned, mid-sequence promotion, spec evolution, WAP)") {
     run("mcow", seed = 0xC0FFEE17L, mor = false, steps = 22)
   }
 
@@ -179,10 +235,17 @@ class RowLevelModelSpec extends AnyFunSuite {
     run("mmor", seed = 0xBEEF1717L, mor = true, steps = 22)
   }
 
+  test("seeded-random op sequences match the in-memory model: BUCKET " +
+      "SOURCE promotion (int→bigint on k under the v2 hash, r18)") {
+    run("mkprom", seed = 0xFACADE18L, mor = false, steps = 22,
+      promoteK = true)
+  }
+
   // SOAK MODE: -Dgraft.model.seeds=7,8,9 (sbt: `set Test/javaOptions +=
   // "-Dgraft.model.seeds=..."`) or SPARK_GRAFT_MODEL_SEEDS runs extra
-  // seeds (both COW and MOR, 30 steps each) — off in the suite, used
-  // for longer bug hunts before a round closes.
+  // seeds (COW, MOR and promote-k, 30 steps each) — off in the suite,
+  // used for longer bug hunts before a round closes (and by
+  // tools/preflight.sh's permanent 4-seed soak, r18).
   sys.props.get("graft.model.seeds")
       .orElse(sys.env.get("SPARK_GRAFT_MODEL_SEEDS")).foreach { seeds =>
     seeds.split(",").map(_.trim).filter(_.nonEmpty).foreach { sd =>
@@ -191,6 +254,10 @@ class RowLevelModelSpec extends AnyFunSuite {
       }
       test(s"SOAK seed=$sd: MOR model run") {
         run(s"soakm$sd", seed = sd.toLong, mor = true, steps = 30)
+      }
+      test(s"SOAK seed=$sd: promote-k model run") {
+        run(s"soakk$sd", seed = sd.toLong, mor = sd.toLong % 2 == 0,
+          steps = 30, promoteK = true)
       }
     }
   }

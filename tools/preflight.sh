@@ -15,6 +15,12 @@ out=$(sbt -batch test 2>&1 | grep -E "Tests:|\*\*\*" | tail -2)
 echo "$out"
 echo "$out" | grep -q "failed 0" || { echo "TESTS FAILED"; exit 1; }
 
+echo "== model-spec soak (4 seeds × COW/MOR/promote-k, 30 steps) =="
+sout=$(SPARK_GRAFT_MODEL_SEEDS=101,202,303,404 sbt -batch \
+  "testOnly graft.RowLevelModelSpec" 2>&1 | grep -E "Tests:|\*\*\*" | tail -2)
+echo "$sout"
+echo "$sout" | grep -q "failed 0" || { echo "MODEL SOAK FAILED"; exit 1; }
+
 for sf in sf0.01 sf0.001; do
   echo "== verify $sf =="
   ./tools/run.sh graft.Verify "/root/testdata/$sf" "/tmp/preflight_$sf" \
