@@ -50,6 +50,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // probe-count manifest (r18): tools/update_coverage.py regenerates
+    // COVERAGE.md's totals line from this, so the header cannot drift
+    // from the actual inventory (VERDICT r17 #8)
+    val all = SparkEntry.queries.keySet
+    val noOracle = (all -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/probe_counts.json"),
+      s"""{"probes": ${all.size}, "oracle": ${SparkEntry.oracleSql.size}, """ +
+        s""""no_oracle": [${noOracle.map(q).mkString(", ")}]}""")
     spark.stop()
   }
 }

@@ -29,6 +29,9 @@ for sf in sf0.01 sf0.001; do
   echo "$res"
   echo "$res" | grep -q " 0 fail" || { echo "VERIFY $sf FAILED"; exit 1; }
 done
+# COVERAGE.md's totals line regenerates from the actual inventory so
+# it can never drift (VERDICT r17 #8)
+python3 tools/update_coverage.py /tmp/preflight_sf0.01
 
 echo "== multi-process catalog contention (+ crash-kill + MOR races) =="
 cres=$(./tools/contend.sh 2>&1)
