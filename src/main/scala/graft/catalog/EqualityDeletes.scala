@@ -124,9 +124,11 @@ object EqualityDeletes {
       // guard BEFORE collect: parquet footer row counts bound the
       // driver-side materialization, so one oversized sidecar fails
       // loudly instead of OOMing the driver first (ADVICE r16)
-      val footerRows = files.map(f =>
-        ParquetStats.rowCount(tableDir.resolve(f).toString,
-          spark.sparkContext.hadoopConfiguration)).sum
+      // commit-time stats cache serves the row counts (live-footer
+      // fallback per uncached sidecar)
+      val sidecarStats = FileStatsCache.forTable(tableDir,
+        spark.sparkContext.hadoopConfiguration)
+      val footerRows = files.map(sidecarStats.rowCount).sum
       if (total + footerRows > maxKeys) overflow()
       val rows = df.collect()
       total += rows.length

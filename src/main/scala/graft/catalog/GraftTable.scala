@@ -964,9 +964,12 @@ class GraftTable(
           // the surviving dirs — same order as deleteWhere. Era-aware:
           // each file prunes under the spec that wrote its dirs (r18).
           val dirKept = eraPrune(files, v1).toSet
+          // commit-time stats cache: O(commits) sidecar reads instead of
+          // O(files) footer opens on the driver (live-footer fallback
+          // per uncached file)
+          val tstats = FileStatsCache.forTable(tableDir, conf)
           files = files.filter(f => dirKept.contains(f) &&
-            ParquetStats.mayMatchAll(
-              tableDir.resolve(f).toString, v1, conf) &&
+            tstats.mayMatchAll(f, v1) &&
             BloomSidecars.mayMatchAll(tableDir, f, v1))
           replaced = files
         }
@@ -1083,10 +1086,12 @@ class GraftTable(
     // refine within the surviving dirs. Era-aware (r18): each file
     // prunes under the spec that wrote its dirs.
     val dirPruned = eraPrune(baseData, filters.toSeq).toSet
+    // commit-time stats cache (live-footer fallback per uncached file)
+    val tstats = FileStatsCache.forTable(tableDir,
+      spark.sparkContext.hadoopConfiguration)
     val (touched, _) = baseData.partition(f => opaque.contains(f) ||
       (dirPruned.contains(f) &&
-        ParquetStats.mayMatchAll(tableDir.resolve(f).toString, filters.toSeq,
-          spark.sparkContext.hadoopConfiguration) &&
+        tstats.mayMatchAll(f, filters.toSeq) &&
         BloomSidecars.mayMatchAll(tableDir, f, filters.toSeq)))
     if (baseSnap.isDefined && touched.isEmpty) return // provably a no-op
 

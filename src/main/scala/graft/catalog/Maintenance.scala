@@ -175,8 +175,10 @@ object Maintenance {
       throw new UnsupportedOperationException(
         s"$ident has data files from an older schema generation " +
           "(RENAME or DROP+re-ADD COLUMN); compact() the table before upsert")
+    // commit-time stats cache (live-footer fallback per uncached file)
+    val envelopeStats = FileStatsCache.forTable(dir, conf)
     val touched = base.dataFiles.filter(f =>
-      ParquetStats.mayMatchAll(dir.resolve(f).toString, envelope, conf))
+      envelopeStats.mayMatchAll(f, envelope))
 
     val survivors =
       if (touched.isEmpty)
@@ -741,6 +743,12 @@ object Maintenance {
         Files.deleteIfExists(dir.resolve("_graft_snapshots")
           .resolve(f"v${s.version}%08d.snap"))
       }
+      // fold the footer-stats sidecar log to one file holding only live
+      // records (still under the lock, which serializes against the
+      // per-commit record appends) — keeps prune-time reads O(1) on
+      // long-lived tables instead of O(all commits ever)
+      try FileStatsCache.compactTo(dir, live)
+      catch { case scala.util.control.NonFatal(_) => () }
       (dropSnaps, deadFiles)
     }
     dead.foreach { f => Files.deleteIfExists(dir.resolve(f)) }

@@ -21,9 +21,17 @@ import org.apache.spark.sql.sources._
   */
 object ParquetStats {
 
+  /** Count of live footer opens since JVM start — instrumentation only,
+    * so [[FileStatsCache]]'s specs can assert that a prune over a table
+    * with a complete stats cache performs ZERO footer I/O (the whole
+    * point of the cache: at 100 TB the per-file footer pass, not the
+    * rewrite, dominates a narrow DELETE/MERGE's driver time). */
+  private[graft] val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Footer row count (sum of row-group counts); 0 when unreadable. */
   def rowCount(file: String, conf: Configuration = new Configuration()): Long =
     try {
+      footerOpens.incrementAndGet()
       val in = HadoopInputFile.fromPath(new Path(file), conf)
       val r = ParquetFileReader.open(in)
       try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
@@ -36,7 +44,7 @@ object ParquetStats {
     * (ADVICE r12). Bounded so 100k-file planning fans out without
     * occupying the JVM-wide ForkJoin common pool (a hung object-store
     * open must not starve other parallel-stream users on the driver). */
-  private lazy val footerPool: java.util.concurrent.ExecutorService =
+  private[catalog] lazy val footerPool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(2, Runtime.getRuntime.availableProcessors())),
       r => { val t = new Thread(r, "graft-footer-io"); t.setDaemon(true); t })
@@ -48,7 +56,14 @@ object ParquetStats {
     * of failing the whole metadata query (ADVICE r12). */
   private[catalog] def footerStats(tableDir: java.nio.file.Path,
       files: Seq[String], conf: Configuration): Map[String, (Long, Long)] = {
-    val futures = files.map { f =>
+    // commit-time stats cache first: only files WITHOUT a record (pre-
+    // cache commits) pay a live footer open
+    val cachedAll = FileStatsCache.load(tableDir)
+    val cachedHits = files.flatMap(f =>
+      cachedAll.get(f).map(s => f -> (s.rows, s.bytes))).toMap
+    val misses = files.filterNot(cachedHits.contains)
+    if (misses.isEmpty) return cachedHits
+    val futures = misses.map { f =>
       f -> footerPool.submit(new java.util.concurrent.Callable[(Long, Long)] {
         override def call(): (Long, Long) = {
           val p = tableDir.resolve(f)
@@ -82,7 +97,47 @@ object ParquetStats {
             fut.cancel(true); (0L, 0L)
           case _: java.util.concurrent.ExecutionException => (0L, 0L)
         })
-    }.toMap
+    }.toMap ++ cachedHits
+  }
+
+  /** Per-column statistics view — the shared shape [[mayMatch]] reasons
+    * over, buildable from a live footer block ([[viewOf]]) or from a
+    * [[FileStatsCache]] record aggregated per file. `min`/`max` carry
+    * the PHYSICAL stat values exactly as parquet's `genericGetMin/Max`
+    * serve them (Integer, Long, Float, Double, Binary, Boolean); the
+    * three annotation fields are what [[normalize]] needs to map filter
+    * values into the physical domain. */
+  private[catalog] final case class ColView(
+      min: Any, max: Any, hasMinMax: Boolean,
+      numNulls: Option[Long],
+      isDate: Boolean, isMicros: Boolean, decimalScale: Option[Int])
+
+  private[catalog] type ViewLookup = String => Option[ColView]
+
+  /** Build the view of one column chunk's footer stats. */
+  private[catalog] def viewOf(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): ColView = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+    val isMicros = ann match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit == TimeUnit.MICROS
+      case _ => false
+    }
+    val isDate = ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+    val decimalScale = ann match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
+    val s = c.getStatistics
+    val hasMM = s != null && s.hasNonNullValue
+    ColView(
+      if (hasMM) s.genericGetMin else null,
+      if (hasMM) s.genericGetMax else null,
+      hasMM,
+      if (s != null && s.isNumNullsSet) Some(s.getNumNulls) else None,
+      isDate, isMicros, decimalScale)
   }
 
   /** Could any row of `file` satisfy the conjunction of `filters`?
@@ -91,6 +146,7 @@ object ParquetStats {
   def mayMatchAll(file: String, filters: Seq[Filter],
       conf: Configuration = new Configuration()): Boolean = {
     if (filters.isEmpty) return true
+    footerOpens.incrementAndGet()
     val footer = try {
       val in = HadoopInputFile.fromPath(new Path(file), conf)
       val r = ParquetFileReader.open(in)
@@ -102,25 +158,31 @@ object ParquetStats {
     // conjunct's may-match bound
     blocks.exists { block =>
       val cols = block.getColumns.asScala.map { c =>
-        c.getPath.toDotString -> c
+        c.getPath.toDotString -> viewOf(c)
       }.toMap
       filters.forall { f => mayMatch(f, cols.get _) }
     }
   }
 
-  private type ColLookup = String => Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
+  /** The conjunction check over an abstract per-column view lookup —
+    * [[FileStatsCache]]'s cached-stats entry point. Evaluating over a
+    * PER-FILE aggregation of block views is strictly more conservative
+    * than the per-block `exists` above (the file's range contains every
+    * block's), so a cached verdict can only keep a superset of what the
+    * live footer pass keeps — never prune a file the footer would
+    * rewrite. */
+  private[catalog] def mayMatchAllViews(col: ViewLookup,
+      filters: Seq[Filter]): Boolean =
+    filters.forall(f => mayMatch(f, col))
 
-  private def mayMatch(f: Filter, col: ColLookup): Boolean = f match {
+  private def mayMatch(f: Filter, col: ViewLookup): Boolean = f match {
     case EqualTo(a, v) => rangeOverlaps(col(a), v, v)
     case GreaterThan(a, v) => maxAbove(col(a), v, strict = true)
     case GreaterThanOrEqual(a, v) => maxAbove(col(a), v, strict = false)
     case LessThan(a, v) => minBelow(col(a), v, strict = true)
     case LessThanOrEqual(a, v) => minBelow(col(a), v, strict = false)
     case In(a, vs) => vs.exists(v => rangeOverlaps(col(a), v, v))
-    case IsNull(a) => col(a).forall { c =>
-      val s = c.getStatistics
-      s == null || !s.isNumNullsSet || s.getNumNulls > 0
-    }
+    case IsNull(a) => col(a).forall(v => v.numNulls.forall(_ > 0))
     case And(l, r) => mayMatch(l, col) && mayMatch(r, col)
     case Or(l, r) => mayMatch(l, col) || mayMatch(r, col)
     case AlwaysFalse() => false
@@ -128,8 +190,7 @@ object ParquetStats {
   }
 
   /** [lo, hi] of the filter value overlaps the chunk's [min, max]. */
-  private def rangeOverlaps(c: Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData],
-      lo0: Any, hi0: Any): Boolean =
+  private def rangeOverlaps(c: Option[ColView], lo0: Any, hi0: Any): Boolean =
     stats(c) match {
       case Some((min, max)) =>
         val lo = normalize(lo0, c.get)
@@ -138,16 +199,14 @@ object ParquetStats {
       case None => true
     }
 
-  private def maxAbove(c: Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData],
-      v0: Any, strict: Boolean): Boolean =
+  private def maxAbove(c: Option[ColView], v0: Any, strict: Boolean): Boolean =
     stats(c) match {
       case Some((_, max)) =>
         cmp(max, normalize(v0, c.get)).forall(d => if (strict) d > 0 else d >= 0)
       case None => true
     }
 
-  private def minBelow(c: Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData],
-      v0: Any, strict: Boolean): Boolean =
+  private def minBelow(c: Option[ColView], v0: Any, strict: Boolean): Boolean =
     stats(c) match {
       case Some((min, _)) =>
         cmp(min, normalize(v0, c.get)).forall(d => if (strict) d < 0 else d <= 0)
@@ -159,53 +218,34 @@ object ParquetStats {
     * encoding (DATE = epoch days in INT32; TIMESTAMP(MICROS) = micros in
     * INT64). Everything else passes through (and lands in cmp's
     * conservative None if incomparable). All conversions are exact. */
-  private def normalize(v: Any,
-      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Any = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-    val ann = c.getPrimitiveType.getLogicalTypeAnnotation
-    def isMicros = ann match {
-      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-        t.getUnit == TimeUnit.MICROS
-      case _ => false
-    }
-    def isDate = ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
-    def decimalScale: Option[Int] = ann match {
-      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
-      case _ => None
-    }
+  private def normalize(v: Any, c: ColView): Any = {
     v match {
-      case d: java.sql.Date if isDate =>
+      case d: java.sql.Date if c.isDate =>
         java.lang.Long.valueOf(d.toLocalDate.toEpochDay)
-      case d: java.time.LocalDate if isDate =>
+      case d: java.time.LocalDate if c.isDate =>
         java.lang.Long.valueOf(d.toEpochDay)
-      case t: java.sql.Timestamp if isMicros =>
+      case t: java.sql.Timestamp if c.isMicros =>
         val secs = Math.floorDiv(t.getTime, 1000L)
         java.lang.Long.valueOf(secs * 1000000L + t.getNanos / 1000L)
-      case i: java.time.Instant if isMicros =>
+      case i: java.time.Instant if c.isMicros =>
         java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-      case bd: java.math.BigDecimal if decimalScale.isDefined =>
+      case bd: java.math.BigDecimal if c.decimalScale.isDefined =>
         // decimal stats are UNSCALED ints (precision <= 18 → INT32/INT64);
         // rescale exactly or bail to conservative (setScale throws on any
         // rounding, longValueExact on overflow — both caught below)
         try java.lang.Long.valueOf(
-          bd.setScale(decimalScale.get).unscaledValue().longValueExact())
+          bd.setScale(c.decimalScale.get).unscaledValue().longValueExact())
         catch { case _: ArithmeticException => bd }
-      case bd: BigDecimal if decimalScale.isDefined =>
+      case bd: BigDecimal if c.decimalScale.isDefined =>
         try java.lang.Long.valueOf(
-          bd.bigDecimal.setScale(decimalScale.get).unscaledValue().longValueExact())
+          bd.bigDecimal.setScale(c.decimalScale.get).unscaledValue().longValueExact())
         catch { case _: ArithmeticException => bd }
       case other => other
     }
   }
 
-  private def stats(c: Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
-      : Option[(Any, Any)] =
-    c.flatMap { cc =>
-      val s = cc.getStatistics
-      if (s == null || !s.hasNonNullValue) None
-      else Some((s.genericGetMin, s.genericGetMax))
-    }
+  private def stats(c: Option[ColView]): Option[(Any, Any)] =
+    c.flatMap(v => if (v.hasMinMax) Some((v.min, v.max)) else None)
 
   /** Compare a stats value with a filter value; None = incomparable
     * (conservative — pruning on a wrong comparison SILENTLY SKIPS matching

@@ -325,6 +325,18 @@ object Snapshots {
         try {
           Files.createLink(logDir.resolve(f"v$next%08d.snap"), tmp)
           Files.delete(tmp)
+          // Record footer stats for the commit's NEW parquet files in
+          // the _graft_filestats sidecar log (still under the refs
+          // lock, so records serialize with the expiry-time log fold).
+          // Never fails the already-durable commit; a skipped file just
+          // falls back to live footer reads at prune time. Branch
+          // commits record too — fast-forward then publishes files
+          // whose records already exist (record() skips them).
+          try {
+            val prevSet = prev.map(_.files.toSet).getOrElse(Set.empty)
+            FileStatsCache.record(tableDir, next,
+              files.filterNot(prevSet.contains))
+          } catch { case scala.util.control.NonFatal(_) => () }
           return snap
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
