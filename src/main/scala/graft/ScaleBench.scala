@@ -175,6 +175,30 @@ object ScaleBench {
       val after = graft.catalog.Snapshots.latest(tdir).get.dataFiles.toSet
       (before -- after).size.toLong
     }),
+    // DRIVER-SIDE FOOTER OPENS during a narrow MERGE — the planning-
+    // metadata pass that used to be O(table files) and is O(matching
+    // files) with the commit-time stats cache (_graft_filestats). The
+    // returned value must stay a SMALL CONSTANT while the table's file
+    // count grows 10× (opens come only from stripZeroRowParts on the
+    // write output + the commit's own record() of rewritten files) —
+    // at object-store latency this count, not the rewrite I/O, is what
+    // a narrow MERGE's driver time scales with. Uses a different key
+    // band than rowlevel_merge so both measure a real rewrite.
+    "rowlevel_opens" -> ((s, dir) => {
+      val t = rowLevelTable(s, dir)
+      Tables.load(s, dir, "documents").createOrReplaceTempView("sb_docs")
+      val before = graft.catalog.ParquetStats.footerOpens.get()
+      s.sql(s"""MERGE INTO gscale.db.$t t
+        USING (
+          SELECT doc_id,
+                 timestamp_seconds(1700000000 + (doc_id DIV 200) * 86400)
+                   AS ts,
+                 n_chars + 2 AS n_chars
+          FROM sb_docs WHERE doc_id >= 3000 AND doc_id < 3100) s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET t.n_chars = s.n_chars""")
+      graft.catalog.ParquetStats.footerOpens.get() - before
+    }),
     // banded MinHash+LSH near-dup candidate generation + exact verify
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
