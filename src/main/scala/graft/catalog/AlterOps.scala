@@ -106,12 +106,40 @@ object AlterOps {
       val partSources = (partSpec.map(_.source) ++
         SpecEras.read(tableDir).toSeq.flatten
           .flatMap(_.spec.map(_.source))).distinct
+      // ERA-SOURCE RELEASE (r18 watchlist): a source referenced ONLY by
+      // old eras (DROP PARTITION FIELD removed it from the current
+      // spec) unblocks once NO file referenced by ANY surviving
+      // snapshot or branch belongs to a referencing era — i.e. after
+      // compact() migrated the live files to the latest era AND
+      // expireSnapshots() dropped the history that still listed the
+      // old-era files (time travel to those snapshots would otherwise
+      // era-prune under the old spec again). From then on the column
+      // is an ordinary column: DROP/RENAME/retype flow through the
+      // usual generation machinery.
+      def sourceReleased(n: String): Boolean = {
+        if (partSpec.exists(_.source == n)) return false // current spec
+        val erasOpt = SpecEras.read(tableDir)
+        val eras = erasOpt.getOrElse(return false)
+        val refEras = eras.filter(_.spec.exists(_.source == n))
+          .map(_.activeFrom).toSet
+        if (refEras.isEmpty) return true
+        val seen = FieldIds.firstSeen(tableDir)
+        val referenced = (Snapshots.list(tableDir).flatMap(_.dataFiles) ++
+          Snapshots.branchReferencedFiles(tableDir)
+            .filterNot(Snapshots.isDeleteFile)).distinct
+        !referenced.exists(f => refEras.contains(
+          SpecEras.eraFor(eras, seen.getOrElse(f, Long.MaxValue)).activeFrom))
+      }
       // ...and a new/renamed column must not collide with a DERIVED dir
       // column name (ts_day, k_bucket, ...): the next write's
       // withDerived would silently overwrite the user column's values
       // and partitionBy would then drop it from the files entirely
-      // (CREATE TABLE validates the same collision)
-      val derivedNames = partSpec.filterNot(_.isIdentity).map(_.dirName).toSet
+      // (CREATE TABLE validates the same collision). ALL ERAS, not just
+      // the current spec: old-era files still carry the old transform's
+      // dirs, and a data column with that name would be served from DIR
+      // VALUES by partition inference on those files' reads.
+      val derivedNames = (partSpec ++ SpecEras.read(tableDir).toSeq.flatten
+        .flatMap(_.spec)).filterNot(_.isIdentity).map(_.dirName).toSet
       def requireNoDirCollision(n: String): Unit =
         if (derivedNames.contains(n))
           throw new IllegalArgumentException(
@@ -126,17 +154,23 @@ object AlterOps {
       }
       schemaChanges.foreach {
         case d: TableChange.DeleteColumn
-            if partSources.contains(d.fieldNames().mkString(".")) =>
+            if partSources.contains(d.fieldNames().mkString(".")) &&
+              !sourceReleased(d.fieldNames().mkString(".")) =>
           throw new IllegalArgumentException(
-            s"cannot drop partition column ${d.fieldNames().mkString(".")}")
+            s"cannot drop partition column ${d.fieldNames().mkString(".")}" +
+              " (if only OLD partition-spec eras reference it, compact()" +
+              " then expire_snapshots() releases it)")
         case r: TableChange.RenameColumn
-            if partSources.contains(r.fieldNames().mkString(".")) =>
+            if partSources.contains(r.fieldNames().mkString(".")) &&
+              !sourceReleased(r.fieldNames().mkString(".")) =>
           throw new IllegalArgumentException(
             s"cannot rename partition column ${r.fieldNames().mkString(".")}: " +
               "hive-layout data dirs (and transform dir names) carry the " +
-              "physical name")
+              "physical name (if only OLD partition-spec eras reference " +
+              "it, compact() then expire_snapshots() releases it)")
         case u: TableChange.UpdateColumnType
-            if partSources.contains(u.fieldNames().mkString(".")) =>
+            if partSources.contains(u.fieldNames().mkString(".")) &&
+              !sourceReleased(u.fieldNames().mkString(".")) =>
           // PROMOTION-STABLE sources are exempt (r18): int→bigint on a
           // source whose every transform (any era) derives through a
           // width-canonical expression — bucket under the v2 derivation
