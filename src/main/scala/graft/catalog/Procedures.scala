@@ -27,7 +27,7 @@ object Procedures {
       "create_tag", "drop_tag", "changes",
       "create_branch", "drop_branch", "fast_forward", "rollback_to_version",
       "remove_orphan_files", "rewrite_position_deletes", "delete_by_key",
-      "add_partition_field", "drop_partition_field")
+      "add_partition_field", "drop_partition_field", "repartition_table")
       .map(n => Identifier.of(Namespace, n))
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
@@ -318,6 +318,52 @@ object Procedures {
         Array(new GenericInternalRow(Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(before),
           org.apache.spark.unsafe.types.UTF8String.fromString(after))))
+      }
+      case "repartition_table" => proc(
+        "repartition_table",
+        "REPLACE the partition spec wholesale — identity fields may " +
+          "appear or disappear (unlike ADD/DROP PARTITION FIELD, which " +
+          "are metadata-only and reject identity): seals a new spec " +
+          "era, then compact()s so every live file is rewritten under " +
+          "the new layout in one call; history keeps serving old eras " +
+          "under their own specs",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("spec", StringType)
+            .comment("full new spec, comma-separated transforms — " +
+              "e.g. 'region, days(ts)' or '' to unpartition").build(),
+          ProcedureParameter.in("sort_cols", StringType)
+            .comment("comma-separated sort/cluster columns for the " +
+              "migrating rewrite").build(),
+          ProcedureParameter.in("target_files", IntegerType).build()),
+        StructType(Seq(StructField("spec_before", StringType),
+          StructField("spec_after", StringType),
+          StructField("files_rewritten", IntegerType)))) { in =>
+        val spark = SparkSession.active
+        val dir = Maintenance.tableDir(spark, full(in))
+        // paren-aware comma split: 'bucket(4,k), days(ts)' is two
+        // transforms (the comma inside bucket's parens is an argument
+        // separator); ';' works too (the stored-property format)
+        val fields = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val cur = new StringBuilder
+          var depth = 0
+          s(in, 1).foreach {
+            case '(' => depth += 1; cur += '('
+            case ')' => depth -= 1; cur += ')'
+            case ',' | ';' if depth == 0 => out += cur.result(); cur.clear()
+            case c => cur += c
+          }
+          out += cur.result()
+          out.toSeq.map(_.trim).filter(_.nonEmpty)
+        }
+        val (before, after) = SpecEras.repartitionSpec(dir, full(in), fields)
+        val (filesBefore, _) = Maintenance.compact(
+          spark, full(in), cols(in, 2), in.getInt(3))
+        Array(new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(before),
+          org.apache.spark.unsafe.types.UTF8String.fromString(after),
+          filesBefore)))
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catalogName.system.$other " +

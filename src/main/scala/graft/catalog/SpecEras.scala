@@ -180,6 +180,37 @@ object SpecEras {
       cur.filterNot(_ == t)
     }
 
+  /** FULL partition-spec replacement — the DATA-REWRITE evolution path
+    * (`CALL system.repartition_table`). Unlike ADD/DROP PARTITION
+    * FIELD, identity fields MAY appear or disappear: identity columns
+    * move between file bytes and directory names, so the caller is
+    * expected to compact() right after the seal to migrate the live
+    * files (the procedure does both). The seal itself is metadata-only
+    * and the mid-state is read-consistent BY CONSTRUCTION of the era
+    * machinery: old eras are untouched (their files keep scanning and
+    * pruning under their own spec — identity columns from dir
+    * inference or file bytes per era, slices name-aligned by
+    * [[org.apache.spark.sql.graftaccess.MultiGenScans]]), the sealed
+    * era has no files until the next commit, new writes lay out the
+    * new spec, and an in-flight write planned under the old spec
+    * aborts at commit (the era log is part of the schema epoch). */
+  def repartitionSpec(tableDir: Path, fullName: String,
+      fields: Seq[String]): (String, String) =
+    evolve(tableDir, fullName) { (cur, schema) =>
+      val spec = fields.map(_.trim).filter(_.nonEmpty)
+        .map(PartitionTransforms.parse)
+      spec.foreach(PartitionTransforms.validate(_, schema))
+      val dirs = spec.map(_.dirName)
+      require(dirs.distinct.length == dirs.length,
+        s"repartition_table: duplicate partition dir columns in " +
+          s"(${spec.map(_.spec).mkString(", ")})")
+      if (spec.map(_.spec) == cur.map(_.spec))
+        throw new IllegalArgumentException(
+          s"$fullName is already partitioned by " +
+            s"(${PartitionTransforms.formatSpec(cur)})")
+      spec
+    }
+
   private def evolve(tableDir: Path, fullName: String)(
       next: (Seq[PartitionTransforms.T], StructType)
         => Seq[PartitionTransforms.T]): (String, String) =

@@ -95,8 +95,12 @@ object MultiGenScans {
   /** `desc` labels the composite in EXPLAIN output — "schema
     * generations" for rename/drop splits, "mor split" for the
     * clean-vs-masked delete-sidecar split (VERDICT r15 #1), possibly
-    * both. Slices must stay positionally identical; the LAST slice
-    * reports the composite's (current-name) readSchema. */
+    * both. Slices align BY NAME (through their rename maps), not by
+    * position: partition-spec eras with DIFFERENT identity-column sets
+    * serve identity columns at different ordinals (ParquetScan puts
+    * dir-inferred columns last), so the dispatch permutes each slice's
+    * columns into the composite order. The LAST slice reports the
+    * composite's (current-name) readSchema. */
   final class Builder(slices: Seq[GenSlice], desc: String = "schema generations")
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
@@ -139,7 +143,8 @@ object MultiGenScans {
     }
 
     override def build(): Scan =
-      new CompositeScan(slices.map(_.plain.build()), desc)
+      new CompositeScan(slices.map(_.plain.build()), slices.map(_.rename),
+        desc)
   }
 
   private final case class SlicePartition(inner: InputPartition, slice: Int)
@@ -148,7 +153,8 @@ object MultiGenScans {
       inner.preferredLocations()
   }
 
-  private final class CompositeScan(scans: Seq[Scan], desc: String)
+  private final class CompositeScan(scans: Seq[Scan],
+      renames: Seq[Map[String, String]], desc: String)
       extends Scan with Batch with SupportsReportStatistics {
     // the current generation's scan already reports CURRENT names; all
     // slices are positionally identical
@@ -187,24 +193,47 @@ object MultiGenScans {
 
     override def createReaderFactory(): PartitionReaderFactory =
       new DispatchFactory(batches.map(_.createReaderFactory()),
-        scans.map(_.readSchema()), readSchema())
+        scans.map(_.readSchema()), readSchema(), renames)
   }
 
-  /** Per-slice reader dispatch. Slices whose readSchema TYPES differ
-    * from the composite's (type-promoted generations: old files carry
-    * the narrow physical type) get a WIDENING CAST on the differing
-    * ordinals — columnar batches via [[WideningColumnVector]] (the
-    * vectorized path survives promotion), row readers via an unsafe
-    * projection of Cast expressions. */
+  /** Per-slice reader dispatch. Slices align with the composite BY NAME
+    * through their rename maps (composite/current name → the slice's
+    * physical name): a slice may serve columns at different ORDINALS
+    * (identity-partition columns land last in a ParquetScan's schema,
+    * and the identity SET can differ per spec era) and at narrower
+    * TYPES (type-promoted generations). The reader permutes columns
+    * into composite order and widens where types differ — columnar
+    * batches stay zero-copy via vector permutation +
+    * [[WideningColumnVector]]; row readers project by bound ordinal
+    * with a Cast on promoted fields. Slices that already align (the
+    * common case) keep the untouched passthrough reader. */
   private final class DispatchFactory(factories: Seq[PartitionReaderFactory],
-      sliceSchemas: Seq[StructType], outSchema: StructType)
+      sliceSchemas: Seq[StructType], outSchema: StructType,
+      renames: Seq[Map[String, String]])
       extends PartitionReaderFactory {
 
-    /** Ordinals needing a cast for slice `i` (empty = passthrough). */
-    private def castOrds(i: Int): Array[Int] =
-      sliceSchemas(i).fields.zip(outSchema.fields).zipWithIndex.collect {
-        case ((f, o), ord) if f.dataType != o.dataType => ord
+    /** Composite ordinal j → slice-i ordinal serving it (by name), or
+      * -1 when the slice has no such column. -1 happens ONLY for
+      * hidden-partition DIR columns another era's ParquetScan appended
+      * to the composite's reported schema (`ts_hour` after ADD
+      * PARTITION FIELD — old-era file indexes don't have the dir):
+      * readers never request them, so the dispatch serves NULL there —
+      * a real data column can never hit -1 (every slice schema carries
+      * every declared column, absent generations via their
+      * absent-marker name). */
+    private def permFor(i: Int): Array[Int] = {
+      val slice = sliceSchemas(i)
+      outSchema.fields.map { o =>
+        val phys = renames(i).getOrElse(o.name, o.name)
+        if (slice.fieldNames.contains(phys)) slice.fieldIndex(phys) else -1
       }
+    }
+
+    private def isPassthrough(i: Int, perm: Array[Int]): Boolean =
+      perm.zipWithIndex.forall { case (p, j) => p == j } &&
+        perm.indices.forall(j =>
+          sliceSchemas(i).fields(perm(j)).dataType ==
+            outSchema.fields(j).dataType)
 
     override def supportColumnarReads(p: InputPartition): Boolean = {
       val sp = p.asInstanceOf[SlicePartition]
@@ -214,16 +243,21 @@ object MultiGenScans {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val sp = p.asInstanceOf[SlicePartition]
       val inner = factories(sp.slice).createReader(sp.inner)
-      val ords = castOrds(sp.slice)
-      if (ords.isEmpty) inner
+      val perm = permFor(sp.slice)
+      if (isPassthrough(sp.slice, perm)) inner
       else {
         val from = sliceSchemas(sp.slice)
         val exprs = outSchema.fields.zipWithIndex.map { case (o, j) =>
-          val b = org.apache.spark.sql.catalyst.expressions.BoundReference(
-            j, from.fields(j).dataType, nullable = true)
-          if (ords.contains(j))
-            org.apache.spark.sql.catalyst.expressions.Cast(b, o.dataType)
-          else b: org.apache.spark.sql.catalyst.expressions.Expression
+          if (perm(j) < 0)
+            org.apache.spark.sql.catalyst.expressions.Literal(null, o.dataType)
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          else {
+            val b = org.apache.spark.sql.catalyst.expressions.BoundReference(
+              perm(j), from.fields(perm(j)).dataType, nullable = true)
+            if (from.fields(perm(j)).dataType != o.dataType)
+              org.apache.spark.sql.catalyst.expressions.Cast(b, o.dataType)
+            else b: org.apache.spark.sql.catalyst.expressions.Expression
+          }
         }
         new PartitionReader[InternalRow] {
           private val proj = org.apache.spark.sql.catalyst.expressions
@@ -240,19 +274,28 @@ object MultiGenScans {
       import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
       val sp = p.asInstanceOf[SlicePartition]
       val inner = factories(sp.slice).createColumnarReader(sp.inner)
-      val ords = castOrds(sp.slice)
-      if (ords.isEmpty) inner
+      val perm = permFor(sp.slice)
+      if (isPassthrough(sp.slice, perm)) inner
       else {
         val from = sliceSchemas(sp.slice)
         new PartitionReader[ColumnarBatch] {
           override def next(): Boolean = inner.next()
           override def get(): ColumnarBatch = {
             val b = inner.get()
-            val cols = Array.tabulate[ColumnVector](b.numCols()) { j =>
-              if (ords.contains(j))
-                new WideningColumnVector(b.column(j),
-                  from.fields(j).dataType, outSchema.fields(j).dataType)
-              else b.column(j)
+            val cols = Array.tabulate[ColumnVector](outSchema.length) { j =>
+              val outType = outSchema.fields(j).dataType
+              if (perm(j) < 0) {
+                val nulls = new org.apache.spark.sql.execution.vectorized
+                  .ConstantColumnVector(b.numRows(), outType)
+                nulls.setNull()
+                nulls: ColumnVector
+              } else {
+                val src = b.column(perm(j))
+                val fromType = from.fields(perm(j)).dataType
+                if (fromType != outType)
+                  new WideningColumnVector(src, fromType, outType)
+                else src
+              }
             }
             new ColumnarBatch(cols, b.numRows())
           }
