@@ -721,12 +721,16 @@ object Extras {
     // old files keep pruning and reading under the days-only era, new
     // files lay out day+hour dirs; a MERGE spans both eras; DROP
     // PARTITION FIELD days(ts) opens a third era; compact migrates
-    // everything to the latest spec. Phases: 'mixed' (week range agg
-    // over two live eras), 'merged' (post-MERGE full agg), 'evolved'
-    // (three live eras + third insert), 'compacted' (same content
-    // after the era migration), 'layout' (a 0/1 pin that era-2 files
-    // really carry ts_day/ts_hour nested dirs and post-compact live
-    // files carry hour dirs only).
+    // everything to the latest spec; repartition_table then REPLACES
+    // the spec with an IDENTITY field (the data-rewrite evolution path
+    // — hours dirs dissolve, shard= dirs appear). Phases: 'mixed'
+    // (week range agg over two live eras), 'merged' (post-MERGE full
+    // agg), 'evolved' (three live eras + third insert), 'compacted'
+    // (same content after the era migration), 'repart' (same content
+    // again on the identity layout), 'layout' (a 0/1 pin that era-2
+    // files really carried ts_day/ts_hour nested dirs, post-compact
+    // live files hour dirs only, and post-repartition live files
+    // shard= dirs only).
     Probe.df("q_part_evolve",
       """WITH ev AS (SELECT event_id, ts, value FROM events),
         |merged AS (
@@ -761,7 +765,8 @@ object Extras {
         |    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
         |           CAST(sum(value) AS DOUBLE) AS sv
         |    FROM evolved GROUP BY 1)
-        |  CROSS JOIN (SELECT 'evolved' AS ph UNION ALL SELECT 'compacted')),
+        |  CROSS JOIN (SELECT 'evolved' AS ph UNION ALL SELECT 'compacted'
+        |              UNION ALL SELECT 'repart')),
         |phases AS (
         |  SELECT * FROM wk UNION ALL SELECT * FROM mg
         |  UNION ALL SELECT * FROM evp
@@ -777,13 +782,15 @@ object Extras {
       s.sql("CREATE NAMESPACE IF NOT EXISTS gprobe.db")
       s.sql("DROP TABLE IF EXISTS gprobe.db.evevol")
       s.sql("""CREATE TABLE gprobe.db.evevol
-        (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+        (event_id BIGINT, ts TIMESTAMP, value DOUBLE, shard STRING)
         PARTITIONED BY (days(ts))""")
       s.sql("INSERT INTO gprobe.db.evevol " +
-        "SELECT event_id, ts, value FROM events WHERE event_id % 2 = 0")
+        "SELECT event_id, ts, value, CAST(event_id % 4 AS STRING) " +
+        "FROM events WHERE event_id % 2 = 0")
       s.sql("CALL gprobe.system.add_partition_field('db.evevol', 'hours(ts)')")
       s.sql("INSERT INTO gprobe.db.evevol " +
-        "SELECT event_id, ts, value FROM events WHERE event_id % 2 = 1")
+        "SELECT event_id, ts, value, CAST(event_id % 4 AS STRING) " +
+        "FROM events WHERE event_id % 2 = 1")
       def agg(phase: String, where: String = "true") = s.sql(
         s"""SELECT '$phase' AS phase, CAST(ts AS DATE) AS d,
             count(*) AS n, CAST(sum(value) AS DOUBLE) AS sv
@@ -796,10 +803,12 @@ object Extras {
       // MERGE spans eras: matched rows live in both layouts
       s.sql("""MERGE INTO gprobe.db.evevol t
         USING (
-          SELECT event_id, ts, value FROM events WHERE event_id % 131 = 0
+          SELECT event_id, ts, value, CAST(event_id % 4 AS STRING) AS shard
+          FROM events WHERE event_id % 131 = 0
           UNION ALL
           SELECT event_id + 2000000, TIMESTAMP '2024-02-07 06:30:00',
-                 CAST(event_id AS DOUBLE)
+                 CAST(event_id AS DOUBLE),
+                 CAST((event_id + 2000000) % 4 AS STRING)
           FROM events WHERE event_id % 407 = 0) s
         ON t.event_id = s.event_id
         WHEN MATCHED THEN UPDATE SET t.value = t.value + 1000
@@ -812,7 +821,8 @@ object Extras {
         f.contains("ts_day=") && f.contains("ts_hour="))
       s.sql("CALL gprobe.system.drop_partition_field('db.evevol', 'days(ts)')")
       s.sql("""INSERT INTO gprobe.db.evevol
-        SELECT event_id + 3000000, ts + INTERVAL 35 DAYS, value * 3
+        SELECT event_id + 3000000, ts + INTERVAL 35 DAYS, value * 3,
+               CAST((event_id + 3000000) % 4 AS STRING)
         FROM events WHERE event_id % 203 = 0""")
       val evolved = agg("evolved")
       graft.catalog.Maintenance.compact(s, "gprobe.db.evevol",
@@ -821,8 +831,16 @@ object Extras {
       val liveEnd = graft.catalog.Snapshots.latest(tdir).get.dataFiles
       val migrated = liveEnd.forall(f =>
         f.contains("ts_hour=") && !f.contains("ts_day="))
+      // REPLACE the spec with an IDENTITY field (data-rewrite path):
+      // hour dirs dissolve into file bytes, shard= identity dirs appear
+      s.sql("CALL gprobe.system.repartition_table(" +
+        "'db.evevol', 'shard', 'event_id', 2)")
+      val repart = agg("repart")
+      val liveRp = graft.catalog.Snapshots.latest(tdir).get.dataFiles
+      val identityLanded = liveRp.nonEmpty && liveRp.forall(f =>
+        f.contains("shard=") && !f.contains("ts_hour="))
       val layout = Seq(("layout", java.sql.Date.valueOf("2024-01-01"),
-        if (sawNested && migrated) 1L else 0L, 0.0d))
+        if (sawNested && migrated && identityLanded) 1L else 0L, 0.0d))
         .toDF("phase", "d", "n", "sv")
       import org.apache.spark.sql.types._
       val outSchema = StructType(Seq(StructField("phase", StringType, false),
@@ -830,7 +848,7 @@ object Extras {
         StructField("sv", DoubleType, true)))
       s.createDataFrame(
         scala.jdk.CollectionConverters.SeqHasAsJava(
-          (mixed ++ merged ++ evolved ++ compacted).toSeq).asJava,
+          (mixed ++ merged ++ evolved ++ compacted ++ repart).toSeq).asJava,
         outSchema)
         .unionAll(layout.select(col("phase"), col("d"),
           col("n"), col("sv")))

@@ -46,6 +46,7 @@ class RowLevelModelSpec extends AnyFunSuite {
     var promoted = false // the chosen column's int→bigint landed
     var evolved = false  // ADD PARTITION FIELD landed
     var fieldDropped = false
+    var repartitioned = false // repartition_table (identity spec) landed
     val trace = scala.collection.mutable.ArrayBuffer.empty[String]
     def kPromoted = promoteK && promoted
     def qPromoted = !promoteK && promoted
@@ -145,18 +146,28 @@ class RowLevelModelSpec extends AnyFunSuite {
             s"${if (promoteK) "k" else "q"} TYPE BIGINT")
           promoted = true
           verify(s"$step:promote(${if (promoteK) "k" else "q"})")
-        case 6 if !evolved && step > steps / 4 => // partition-spec
+        case 6 if !evolved && !repartitioned && step > steps / 4 => // partition-spec
           // evolution: new writes gain truncate(2, v) dirs, old files
           // keep pruning under bucket-only (r18)
           spark.sql(s"CALL gmod.system.add_partition_field(" +
             s"'db.$table', 'truncate(2,v)')")
           evolved = true
           verify(s"$step:addPartitionField(truncate(2,v))")
-        case 7 if evolved && !fieldDropped && rnd.nextBoolean() =>
+        case 7 if evolved && !fieldDropped && !repartitioned &&
+            rnd.nextBoolean() =>
           spark.sql(s"CALL gmod.system.drop_partition_field(" +
             s"'db.$table', 'truncate(2,v)')")
           fieldDropped = true
           verify(s"$step:dropPartitionField(truncate(2,v))")
+        case 9 if !repartitioned && step > steps / 2 => // FULL spec
+          // replacement with an IDENTITY field (repartition_table —
+          // the data-rewrite evolution path): v becomes an identity
+          // dir column; old eras keep bucket/truncate dirs in history;
+          // later UPDATEs move rows BETWEEN identity dirs
+          spark.sql(s"CALL gmod.system.repartition_table(" +
+            s"'db.$table', 'v', 'k', 2)")
+          repartitioned = true
+          verify(s"$step:repartition(identity v)")
         case 8 => // WAP: stage on a branch (invisible), then publish or
           // drop — all within one step so main never moves mid-flow
           val dir = graft.catalog.Maintenance.tableDir(
