@@ -365,6 +365,19 @@ object ContendMain {
           if (base == 100 && i == n / 2)
             spark.sql(
               "CALL gcont.system.add_partition_field('s.h', 'hours(ts)')")
+          // ...and REPLACES the whole spec on its LAST round with an
+          // IDENTITY field (repartition_table's two halves, r18 cont.):
+          // the seal is a locked metadata write; the migrating compact
+          // retries on a stale base when the other JVM commits between
+          // its read and its publish. In-flight ops planned under the
+          // old spec keep epoch-aborting and retrying throughout.
+          if (base == 100 && i == n) {
+            val hdir = graft.catalog.Maintenance.tableDir(spark, "gcont.s.h")
+            retry("repart-seal")(graft.catalog.SpecEras.repartitionSpec(
+              hdir, "gcont.s.h", Seq("tag")))
+            retry("repart-migrate")(graft.catalog.Maintenance.compact(
+              spark, "gcont.s.h", Seq("k"), 2))
+          }
           if (i % 3 == 0)
             retry(s"insert $i")(spark.sql(
               s"INSERT INTO gcont.s.h VALUES (${7000 + base + i}, " +
@@ -405,13 +418,20 @@ object ContendMain {
         // the promotion landed: schema wide + a beyond-int write works
         require(spark.table("gcont.s.h").schema("q").dataType ==
           org.apache.spark.sql.types.LongType, "promotion lost")
-        // the mid-race spec evolution landed (r18): latest era carries
-        // days+hours; the day-prune twin check below covers BOTH eras
+        // the mid-race spec evolution AND the end-of-race identity
+        // repartition both landed (r18): the era log holds the
+        // days+hours era historically, and the CURRENT spec is the
+        // identity 'tag' layout; the day-prune twin check below must
+        // stay exact across all three eras
         val hdir = graft.catalog.Maintenance.tableDir(spark, "gcont.s.h")
+        val eras = graft.catalog.SpecEras.read(hdir).getOrElse(Seq.empty)
+        require(eras.exists(_.spec.map(_.spec) ==
+          Seq("days(ts)", "hours(ts)")),
+          s"mid-race evolution era lost: ${eras.map(_.spec.map(_.spec))}")
         val spec = graft.catalog.SpecEras.currentSpecStrings(
           hdir, graft.catalog.AlterOps.readProps(hdir))
-        require(spec == Seq("days(ts)", "hours(ts)"),
-          s"partition-spec evolution lost: $spec")
+        require(spec == Seq("tag"),
+          s"end-of-race identity repartition lost: $spec")
         // idempotent under check re-runs (a failed check may have
         // inserted the probe row already)
         spark.sql("DELETE FROM gcont.s.h WHERE k = 9999")
@@ -437,6 +457,11 @@ object ContendMain {
         val after = spark.sql("SELECT k, q, tag FROM gcont.s.h ORDER BY k")
           .collect().toSeq
         require(before == after, "compaction changed the visible rows")
+        // after the final compact every live file sits under the
+        // identity layout the repartition declared
+        val liveFinal = graft.catalog.Snapshots.latest(hdir).get.dataFiles
+        require(liveFinal.nonEmpty && liveFinal.forall(_.contains("tag=")),
+          s"live files not on the identity layout: $liveFinal")
         println(s"CONTEND HP OK rows=${before.size} " +
           s"versions=${versions.head}..${versions.last}")
     }

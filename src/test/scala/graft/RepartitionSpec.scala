@@ -107,16 +107,27 @@ class RepartitionSpec extends AnyFunSuite {
     spark.sql("DELETE FROM rp.db.fromid WHERE k IN (3, 103)")
     assert(spark.sql("SELECT count(*) FROM rp.db.fromid")
       .collect().head.getLong(0) == 28)
+    // equality-delete sidecar masks rows in BOTH eras (k lives in file
+    // bytes on every era here; the mask is era-agnostic by key)
+    locally {
+      import spark.implicits._
+      graft.catalog.Maintenance.deleteByKey(spark, "rp.db.fromid",
+        Seq(5L, 105L).toDF("k"))
+    }
+    assert(spark.sql("SELECT count(*) FROM rp.db.fromid")
+      .collect().head.getLong(0) == 26)
+    assert(spark.sql("SELECT count(*) FROM rp.db.fromid WHERE k IN (5, 105)")
+      .collect().head.getLong(0) == 0)
 
     // migrate; region= dirs disappear, values preserved in bytes
     graft.catalog.Maintenance.compact(spark, "rp.db.fromid", Seq("k"), 2)
     assert(dataFiles("fromid").forall(f =>
       f.contains("k_bucket=") && !f.contains("region=")),
       dataFiles("fromid").toString)
-    // k=3 was 'west', k=103 'north' — east keeps all 10
+    // deleted: k=3,5 ('west'), k=103,105 ('north') — east keeps all 10
     assert(spark.sql("SELECT region, count(*) FROM rp.db.fromid GROUP BY 1 ORDER BY 1")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
-      Seq(("east", 10L), ("north", 9L), ("west", 9L)))
+      Seq(("east", 10L), ("north", 8L), ("west", 8L)))
   }
 
   test("identity swap via procedure: region → days(ts) + MERGE across " +
