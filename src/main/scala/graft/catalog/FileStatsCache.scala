@@ -48,8 +48,26 @@ import org.apache.spark.sql.sources.Filter
 object FileStatsCache {
   import ParquetStats.ColView
 
+  /** One column's cached stats, with the serialization tag it was
+    * recorded under — kept so the expiry-time log fold re-emits through
+    * the SAME encoder (deriving the tag from runtime value classes
+    * would have to track the encoder by convention; review finding). */
+  final case class ColRec(tag: String, view: ColView)
+
   /** Aggregated footer stats of one data file. */
-  final case class FileStat(rows: Long, bytes: Long, cols: Map[String, ColView])
+  final case class FileStat(rows: Long, bytes: Long, cols: Map[String, ColRec])
+
+  /** The session's Hadoop conf when a session is up (the prune-side
+    * callers pass exactly this), else a bare default — commit-time
+    * footer reads must open files the same way prune-time reads do, or
+    * tables needing session conf (object-store creds, codecs) would
+    * silently never get records and fall back to O(files) footer opens
+    * forever (review finding). */
+  private def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 
   private def statsDir(tableDir: Path): Path = tableDir.resolve("_graft_filestats")
 
@@ -64,7 +82,7 @@ object FileStatsCache {
     * time). Files already covered by an existing record (a WAP branch
     * file being fast-forwarded onto main) are skipped, not re-read. */
   private[catalog] def record(tableDir: Path, version: Long,
-      added: Seq[String], conf: Configuration = new Configuration()): Unit = {
+      added: Seq[String], conf: Configuration = sessionConf()): Unit = {
     val parquet = added.filter(_.endsWith(".parquet"))
     if (parquet.isEmpty) return
     val existing = load(tableDir)
@@ -124,20 +142,8 @@ object FileStatsCache {
       val cLines = byCol.toSeq.sortBy(_._1).flatMap { case (col, entries) =>
         val tags = entries.map(_._2._1).distinct
         if (tags.size != 1) None // mixed physical types: unrepresentable
-        else {
-          val tag = tags.head
-          val views = entries.map(_._2._2)
-          aggregate(tag, views).map { v =>
-            val ann =
-              if (v.isDate) "d"
-              else if (v.isMicros) "m"
-              else v.decimalScale.map(s => s"s$s").getOrElse("-")
-            val minS = if (v.hasMinMax) encValue(tag, v.min) else "-"
-            val maxS = if (v.hasMinMax) encValue(tag, v.max) else "-"
-            val nullsS = v.numNulls.map(_.toString).getOrElse("-")
-            s"C\t$relE\t${enc(col)}\t$tag\t$ann\t$minS\t$maxS\t$nullsS"
-          }
-        }
+        else aggregate(tags.head, entries.map(_._2._2))
+          .map(v => colLine(relE, col, tags.head, v))
       }
       Some(fLine +: cLines)
     } catch { case NonFatal(_) => None }
@@ -215,6 +221,21 @@ object FileStatsCache {
     }
   }
 
+  /** ONE C-line emitter shared by [[recordLines]] and [[compactTo]] —
+    * the two must serialize identically or a fold would corrupt
+    * records. */
+  private def colLine(relE: String, col: String, tag: String,
+      v: ColView): String = {
+    val ann =
+      if (v.isDate) "d"
+      else if (v.isMicros) "m"
+      else v.decimalScale.map(s => s"s$s").getOrElse("-")
+    val minS = if (v.hasMinMax) encValue(tag, v.min) else "-"
+    val maxS = if (v.hasMinMax) encValue(tag, v.max) else "-"
+    val nullsS = v.numNulls.map(_.toString).getOrElse("-")
+    s"C\t$relE\t${enc(col)}\t$tag\t$ann\t$minS\t$maxS\t$nullsS"
+  }
+
   // Float/double roundtrip through RAW BITS, not decimal text — text
   // would corrupt -0.0/denormals and any value whose shortest decimal
   // re-parses differently; bits are exact by construction.
@@ -268,6 +289,11 @@ object FileStatsCache {
     val cached = memo.get(key)
     if (cached != null && cached._1 == names) return cached._3
     val prevPerName = if (cached != null) cached._2 else Map.empty[String, Map[String, FileStat]]
+    // bound the memo: a long-lived driver touching many tables (or
+    // dropping and recreating them under fresh temp dirs) must not
+    // accumulate per-file stats maps forever (review finding); a rare
+    // full reset just re-parses the small sidecars on next access
+    if (memo.size > 64) memo.clear()
     val perName = names.map { n =>
       n -> prevPerName.getOrElse(n, parseFile(d.resolve(n)))
     }.toMap
@@ -291,13 +317,13 @@ object FileStatsCache {
             val tag = a(3)
             val ann = a(4)
             val hasMM = a(5) != "-" && a(6) != "-"
-            dec(a(2)) -> ColView(
+            dec(a(2)) -> ColRec(tag, ColView(
               if (hasMM) decValue(tag, a(5)) else null,
               if (hasMM) decValue(tag, a(6)) else null,
               hasMM,
               if (a(7) == "-") None else Some(a(7).toLong),
               isDate = ann == "d", isMicros = ann == "m",
-              decimalScale = if (ann.startsWith("s")) Some(ann.drop(1).toInt) else None)
+              decimalScale = if (ann.startsWith("s")) Some(ann.drop(1).toInt) else None))
           }.toMap
           Some(dec(relE) -> FileStat(f(2).toLong, f(3).toLong, cols))
         } catch { case NonFatal(_) => None } // corrupt rel: footer fallback
@@ -319,7 +345,8 @@ object FileStatsCache {
       else cached.get(rel) match {
         case Some(fs) =>
           if (fs.rows == 0L) false // no rows at all
-          else ParquetStats.mayMatchAllViews(fs.cols.get _, filters)
+          else ParquetStats.mayMatchAllViews(
+            n => fs.cols.get(n).map(_.view), filters)
         case None =>
           ParquetStats.mayMatchAll(tableDir.resolve(rel).toString, filters, conf)
       }
@@ -357,18 +384,9 @@ object FileStatsCache {
       val lines = merged.toSeq.sortBy(_._1).flatMap { case (rel, fs) =>
         val relE = enc(rel)
         val fLine = s"F\t$relE\t${fs.rows}\t${fs.bytes}"
-        val cLines = fs.cols.toSeq.sortBy(_._1).map { case (col, v) =>
-          val tag = tagOfValue(v)
-          val ann =
-            if (v.isDate) "d"
-            else if (v.isMicros) "m"
-            else v.decimalScale.map(s => s"s$s").getOrElse("-")
-          val minS = if (v.hasMinMax) encValue(tag, v.min) else "-"
-          val maxS = if (v.hasMinMax) encValue(tag, v.max) else "-"
-          val nullsS = v.numNulls.map(_.toString).getOrElse("-")
-          s"C\t$relE\t${enc(col)}\t$tag\t$ann\t$minS\t$maxS\t$nullsS"
+        fLine +: fs.cols.toSeq.sortBy(_._1).map { case (col, r) =>
+          colLine(relE, col, r.tag, r.view)
         }
-        fLine +: cLines
       }
       val name = s"m_${java.util.UUID.randomUUID().toString.take(8)}.tsv"
       val tmp = d.resolve(s".$name.tmp")
@@ -379,19 +397,4 @@ object FileStatsCache {
     memo.remove(tableDir.toAbsolutePath.toString)
   }
 
-  /** Re-derive a serialization tag from a parsed view's runtime values.
-    * Only used by [[compactTo]] re-emission; a view with no min/max
-    * defaults to "bin" (tag is irrelevant when both values are "-").
-    * Columns whose stats survived parsing always carry one of the six
-    * concrete physical types. */
-  private def tagOfValue(v: ColView): String =
-    if (!v.hasMinMax) "bin"
-    else v.min match {
-      case _: java.lang.Integer => "i32"
-      case _: java.lang.Long => "i64"
-      case _: java.lang.Float => "f32"
-      case _: java.lang.Double => "f64"
-      case _: java.lang.Boolean => "bool"
-      case _ => "bin"
-    }
 }

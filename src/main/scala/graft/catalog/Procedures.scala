@@ -357,9 +357,48 @@ object Procedures {
           out += cur.result()
           out.toSeq.map(_.trim).filter(_.nonEmpty)
         }
-        val (before, after) = SpecEras.repartitionSpec(dir, full(in), fields)
+        // validate the COMPACT arguments BEFORE sealing the era: a seal
+        // followed by a failed compact would strand the table mid-
+        // migration with the procedure itself unable to retry (the
+        // no-op guard would reject the re-seal) — review finding
+        val sortCols = cols(in, 2)
+        require(sortCols.nonEmpty,
+          "repartition_table: sort_cols must name at least one column " +
+            "for the migrating rewrite")
+        val declared = org.apache.spark.sql.types.DataType.fromJson(
+            java.nio.file.Files.readString(
+              dir.resolve("_graft_schema.json")))
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        sortCols.foreach(c => require(declared.contains(c),
+          s"repartition_table: sort column '$c' is not in the schema"))
+        require(in.getInt(3) >= 1,
+          "repartition_table: target_files must be >= 1")
+        // RESUMABLE: a re-run whose requested spec already IS the
+        // current spec AND whose table still holds older-era live files
+        // (a prior call sealed, then its compact failed transiently)
+        // skips the seal and just finishes the migration; the same call
+        // on a fully-migrated table stays a loud no-op rejection
+        val curSpec = SpecEras.currentSpecStrings(dir,
+          AlterOps.readProps(dir))
+        val stranded =
+          fields.map(PartitionTransforms.parse).map(_.spec) == curSpec && {
+            val eras = SpecEras.read(dir).getOrElse(Seq.empty)
+            eras.size > 1 && {
+              val seen = FieldIds.firstSeen(dir)
+              val latest = eras.last.activeFrom
+              Snapshots.latest(dir).toSeq.flatMap(_.dataFiles).exists(f =>
+                SpecEras.eraFor(eras,
+                  seen.getOrElse(f, Long.MaxValue)).activeFrom != latest)
+            }
+          }
+        val (before, after) =
+          if (stranded) {
+            val cur = PartitionTransforms.formatSpec(
+              curSpec.map(PartitionTransforms.parse))
+            (cur, cur)
+          } else SpecEras.repartitionSpec(dir, full(in), fields)
         val (filesBefore, _) = Maintenance.compact(
-          spark, full(in), cols(in, 2), in.getInt(3))
+          spark, full(in), sortCols, in.getInt(3))
         Array(new GenericInternalRow(Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(before),
           org.apache.spark.unsafe.types.UTF8String.fromString(after),

@@ -336,7 +336,15 @@ object Snapshots {
             val prevSet = prev.map(_.files.toSet).getOrElse(Set.empty)
             FileStatsCache.record(tableDir, next,
               files.filterNot(prevSet.contains))
-          } catch { case scala.util.control.NonFatal(_) => () }
+          } catch {
+            case scala.util.control.NonFatal(_) => ()
+            case _: InterruptedException =>
+              // the snapshot is already durable — an interrupt while
+              // waiting on footer I/O must not surface as a failed
+              // commit (the caller would retry and double-apply);
+              // re-assert the flag and return the committed snapshot
+              Thread.currentThread().interrupt()
+          }
           return snap
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>

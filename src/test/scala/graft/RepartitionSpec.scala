@@ -175,6 +175,39 @@ class RepartitionSpec extends AnyFunSuite {
     spark.sql("CALL rp.system.drop_branch('db.g', 'st')")
   }
 
+  test("bad compact args reject BEFORE the seal; a stranded seal " +
+      "resumes through the same call; migrated same-spec stays a no-op") {
+    spark.sql("CREATE TABLE rp.db.res (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO rp.db.res VALUES (1, 'x'), (2, 'y')")
+    def eraCount: Int =
+      graft.catalog.SpecEras.read(tdir("res")).map(_.size).getOrElse(0)
+    // argument problems must not seal (a seal + failed compact would
+    // strand the table; review finding)
+    val e1 = intercept[Exception](spark.sql(
+      "CALL rp.system.repartition_table('db.res', 'bucket(2,k)', '', 1)"))
+    assert(e1.getMessage.contains("sort_cols"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CALL rp.system.repartition_table('db.res', 'bucket(2,k)', 'nope', 1)"))
+    assert(e2.getMessage.contains("not in the schema"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "CALL rp.system.repartition_table('db.res', 'bucket(2,k)', 'k', 0)"))
+    assert(e3.getMessage.contains("target_files"), e3.getMessage)
+    assert(eraCount == 0, "a rejected call must not have sealed an era")
+    // STRANDED state: the seal landed but the migration did not (a
+    // transient compact failure) — re-running the SAME call finishes it
+    graft.catalog.SpecEras.repartitionSpec(tdir("res"), "rp.db.res",
+      Seq("bucket(2, k)"))
+    assert(dataFiles("res").forall(!_.contains("k_bucket=")))
+    spark.sql(
+      "CALL rp.system.repartition_table('db.res', 'bucket(2,k)', 'k', 1)")
+    assert(dataFiles("res").nonEmpty &&
+      dataFiles("res").forall(_.contains("k_bucket=")))
+    // fully migrated: the same call is a loud no-op again
+    val e4 = intercept[Exception](spark.sql(
+      "CALL rp.system.repartition_table('db.res', 'bucket(2,k)', 'k', 1)"))
+    assert(e4.getMessage.contains("already partitioned"), e4.getMessage)
+  }
+
   test("repartition to '' unpartitions an identity table") {
     spark.sql("""CREATE TABLE rp.db.unp (k BIGINT, region STRING)
       PARTITIONED BY (region)""")
