@@ -131,8 +131,14 @@ object LmScore {
     * the oracle-matched tier. */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
-    val (uni, bi, tot) = bigramModel(df, idCol, textCol)
-    val scored = score(df, idCol, textCol, uni, bi, tot)
+    // SELF-scoring (train = score corpus), so the [[selfScore]] chain —
+    // ONE persisted tokenize pass feeding unigram counts, bigram counts
+    // and the scoring rows — replaces bigramModel+score, which
+    // re-tokenized the corpus three times (no subtree reuse across the
+    // model/score consumers; same fix selfScore itself records). The
+    // oracle already replays selfScoreCtes, so the output is unchanged
+    // by construction. Measured at sf0.1: 1.17 → 0.84 s in-suite.
+    val scored = selfScore(df, idCol, textCol)
       .select(col(idCol), expr("sum_qp DIV n_bigrams").as("avg_q"))
     val withLang = df.select(col(idCol), col(langCol).as("lang"))
       .join(scored, Seq(idCol), "left")
@@ -173,8 +179,8 @@ object LmScore {
   def perplexityBucketsHist(df: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (uni, bi, tot) = bigramModel(df, idCol, textCol)
-    val scored = score(df, idCol, textCol, uni, bi, tot)
+    // one persisted tokenize pass via selfScore — see [[perplexityBuckets]]
+    val scored = selfScore(df, idCol, textCol)
       .select(col(idCol), expr("sum_qp DIV n_bigrams").as("avg_q"))
     val withLang = df.select(col(idCol), col(langCol).as("lang"))
       .join(scored, Seq(idCol), "left")

@@ -39,14 +39,28 @@ object Pca {
     * quantized vectors. Null vectors are skipped. */
   private val Dec = "decimal(38,0)"
 
+  /** Quantized-vector relation feeding both moment passes. Spread to the
+    * cluster's parallelism before the dim²-per-row explode ([[OpConf.
+    * spreadForKernel]]): a compact embeddings parquet plans a handful of
+    * scan splits (4 tasks at sf0.1) and the dominant outer-product stage
+    * serializes on them — measured 2.9 s on 4 of 32 threads; the spread
+    * shuffles only the quantized arrays (~0.5 KB/row) and the same stage
+    * runs cluster-wide (0.45 s). A finely-split cluster table skips the
+    * exchange entirely. [[sTable]] and [[mTable]] build the IDENTICAL
+    * subplan, so the one exchange is reused across both passes at
+    * runtime. Integer sums are order-independent — the spread cannot
+    * move a bit in the output. */
+  private def quantized(df: DataFrame, vecCol: String, quantBits: Int) =
+    OpConf.spreadForKernel(df.where(col(vecCol).isNotNull)
+      .select(quantExpr(vecCol, quantBits).as("q")))
+
   /** Second-moment table (pos = i·dim+j, s = Σ qᵢqⱼ) for the FULL
     * matrix. S is symmetric, so only the upper triangle is exploded and
     * aggregated (halving the dominant dim²-per-row stage); the lower
     * triangle is mirrored from the dim²-row AGGREGATE, which is free. */
   private def sTable(df: DataFrame, vecCol: String, quantBits: Int,
       dim: Int) = {
-    val upper = df.where(col(vecCol).isNotNull)
-      .select(quantExpr(vecCol, quantBits).as("q"))
+    val upper = quantized(df, vecCol, quantBits)
       .select(explode(expr(
         s"""flatten(transform(q, (x, i) ->
            |  transform(slice(q, i + 1, size(q) - i),
@@ -62,8 +76,7 @@ object Pca {
 
   /** Component-sum table (k, m = Σ qₖ, n). */
   private def mTable(df: DataFrame, vecCol: String, quantBits: Int) =
-    df.where(col(vecCol).isNotNull)
-      .select(quantExpr(vecCol, quantBits).as("q"))
+    quantized(df, vecCol, quantBits)
       .select(posexplode(col("q")).as(Seq("k", "qk")))
       .groupBy("k").agg(sum(col("qk").cast(Dec)).as("m"),
         count(lit(1)).as("n"))
@@ -80,8 +93,7 @@ object Pca {
   def gramCells(df: DataFrame, vecCol: String, quantBits: Int,
       cells: Seq[(Int, Int)]): Map[(Int, Int), Long] = {
     val dims = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
-    val q = quantExpr(vecCol, quantBits)
-    val base = df.where(col(vecCol).isNotNull).select(q.as("q"))
+    val base = quantized(df, vecCol, quantBits) // spread: see [[quantized]]
     val sAggs = cells.map { case (i, j) =>
       sum((element_at(col("q"), i + 1) * element_at(col("q"), j + 1))
         .cast(Dec)).as(s"s_${i}_$j")

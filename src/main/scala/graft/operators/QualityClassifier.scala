@@ -47,24 +47,31 @@ object QualityClassifier {
   def bucket(word: Column, dim: Int): Column =
     pmod(conv(substring(md5(word), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
 
-  /** Per-document hashed bag-of-words: (id, y, b, cnt). Tokenization is
+  /** Per-document hashed bag-of-words: (id, b, cnt). Tokenization is
     * the corpus-wide [[Dedup.words]] convention (lowercase, `\s+` split,
     * empties dropped — Java `\s` ⊃ RE2 `\s` by \x0B, absent from this
     * corpus). Partitioned by id so everything downstream —
     * per-doc margins AND the error join — is exchange-free. Documents
     * with zero words produce no rows (they can never move a weight;
-    * [[score]] re-attaches them with margin 0). */
+    * [[score]] re-attaches them with margin 0).
+    *
+    * Label-free ON PURPOSE: [[train]] and [[score]] both build exactly
+    * this plan, so when train persists it, score's identical subtree
+    * hits the same cached block (CacheManager matches canonicalized
+    * plans) and the expensive md5-per-word bucket pass runs ONCE for a
+    * composed train→score pipeline instead of twice. Train attaches the
+    * label with one co-partitioned join of the tiny (id, y) relation —
+    * y is functionally determined by id, so grouping by (id, b) here
+    * and joining y after yields bit-identical rows to the old
+    * grouped-with-label form. */
   private def features(df: DataFrame, idCol: String, textCol: String,
-      labelCol: Option[String], dim: Int): DataFrame = {
+      dim: Int): DataFrame = {
     val nP = OpConf.shufflePartitions(df)
-    val lab = labelCol.map(c => col(c).cast("int").as("y")).toSeq
-    df.select(col(idCol).as("id") +: lab :+ col(textCol).as("__text"): _*)
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .filter(col("id").isNotNull)
       .repartition(nP, col("id"))
-      .select(col("id") +: lab.map(_ => col("y")) :+
-        explode(Dedup.words(col("__text"))).as("word"): _*)
-      .groupBy(col("id") +: lab.map(_ => col("y")) :+
-        bucket(col("word"), dim).as("b"): _*)
+      .select(col("id"), explode(Dedup.words(col("__text"))).as("word"))
+      .groupBy(col("id"), bucket(col("word"), dim).as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -79,27 +86,46 @@ object QualityClassifier {
   def train(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int = 256, iters: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    val feats = features(df, idCol, textCol, Some(labelCol), dim)
+    val nP = OpConf.shufflePartitions(df)
+    // the heavy md5 bucket pass, persisted label-free so a following
+    // [[score]] over the same corpus reuses the block (see [[features]]);
+    // lifecycle via OperatorCache (statement close / clearCache)
+    val base = features(df, idCol, textCol, dim)
+      .transform(OperatorCache.persist)
+    val labels = df
+      .select(col(idCol).as("id"), col(labelCol).cast("int").as("y"))
+      .filter(col("id").isNotNull)
+      .repartition(nP, col("id")) // co-partitioned with base: no exchange
+    val feats = base.join(labels, "id")
     feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var weights = Map.empty[Long, Long] // ≤ dim entries: model-sized
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      val wDf = weightsDf(spark, weights)
-      val margins = feats
-        .join(broadcast(wDf), Seq("b"), "left_outer")
-        .groupBy(col("id"), col("y"))
-        .agg(sum(coalesce(col("wt"), lit(0L)) * col("cnt"))
-          .cast("long").as("z"))
-      val errors = margins
-        .filter(((col("y") === 1) && (col("z") <= 0)) ||
-          ((col("y") === 0) && (col("z") > 0)))
-        .select(col("id"),
-          when(col("y") === 1, lit(1L)).otherwise(lit(-1L)).as("sgn"))
-      val delta = feats.join(errors, "id") // co-partitioned by id
-        .groupBy(col("b"))
-        .agg(sum(col("sgn") * col("cnt")).cast("long").as("d"))
-        .collect() // ≤ dim rows
+      val delta = (if (weights.isEmpty) {
+        // zero weights make every margin EXACTLY 0, so the error set is
+        // the y=1 docs by the tie rule (y=1 ∧ z ≤ 0) — the first sweep's
+        // gradient is one exchange-free aggregate over feats, skipping
+        // the broadcast join and the whole margin pass
+        feats.where(col("y") === 1)
+          .groupBy(col("b"))
+          .agg(sum(col("cnt")).cast("long").as("d"))
+      } else {
+        val wDf = weightsDf(spark, weights)
+        val margins = feats
+          .join(broadcast(wDf), Seq("b"), "left_outer")
+          .groupBy(col("id"), col("y"))
+          .agg(sum(coalesce(col("wt"), lit(0L)) * col("cnt"))
+            .cast("long").as("z"))
+        val errors = margins
+          .filter(((col("y") === 1) && (col("z") <= 0)) ||
+            ((col("y") === 0) && (col("z") > 0)))
+          .select(col("id"),
+            when(col("y") === 1, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+        feats.join(errors, "id") // co-partitioned by id
+          .groupBy(col("b"))
+          .agg(sum(col("sgn") * col("cnt")).cast("long").as("d"))
+      }).collect() // ≤ dim rows
       if (delta.isEmpty) converged = true
       else delta.foreach { r =>
         val b = r.getLong(0)
@@ -124,7 +150,7 @@ object QualityClassifier {
     * the id set (partition-local after the same repartition). */
   def score(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame, dim: Int = 256): DataFrame = {
-    val feats = features(df, idCol, textCol, None, dim)
+    val feats = features(df, idCol, textCol, dim)
     val z = feats.join(broadcast(model), Seq("b"), "left_outer")
       .groupBy(col("id"))
       .agg(sum(coalesce(col("wt"), lit(0L)) * col("cnt"))
