@@ -1242,10 +1242,11 @@ object Dedup {
     * giant component's root has millions of neighbours; grouping them
     * into an array would be the skew bomb the join form avoids). The
     * fixpoint is disjoint min-rooted stars; the convergence check is a
-    * count comparison plus ONE anti-join — both rounds' edge sets are
-    * DISTINCT (each phase ends in .distinct(), which is load-bearing
+    * count comparison plus ONE anti-join — the compared per-round sets
+    * are both smallStar outputs, which end in .distinct() (load-bearing
     * for this), so equal counts + one-direction inclusion proves set
-    * equality.
+    * equality; largeStar's intermediate is deliberately NOT deduped
+    * (see the note inside).
     *
     * Same contract as [[clusterPairs]]: input (ida, idb) pairs, output
     * (id, cluster) for every id in a pair, cluster = component min. */
@@ -1260,9 +1261,18 @@ object Dedup {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
         .agg(least(min(col("v")), col("u")).as("m"))
+      // NO trailing .distinct() (r18): smallStar is dup-insensitive (its
+      // groupBy-min ignores duplicates; its own final distinct restores
+      // the set invariant the convergence check compares), and the
+      // un-deduped output is bounded by |sym| = 2·|e| rows — so dropping
+      // the dedup here removes one full Exchange+HashAgg barrier per
+      // round (per-round wall is exchange-count-bound: the iteration
+      // state is fixed-width metadata rows at every corpus scale) at the
+      // cost of ≤|e| extra tiny rows flowing into smallStar's first
+      // shuffle. The per-round CHECKPOINTED set is bit-identical, so the
+      // paper's round bound and the spec's round-count pin are untouched.
       sym.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // input invariant: u > v on every edge (largeStar emits big→small)
