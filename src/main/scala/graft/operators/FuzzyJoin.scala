@@ -77,7 +77,7 @@ object FuzzyJoin {
     * exactly the naive cross join's answer at blocked cost. */
   def editDistanceJoin(left: DataFrame, right: DataFrame,
       idL: String, strL: String, idR: String, strR: String,
-      maxDist: Int, q: Int = 2): DataFrame = {
+      maxDist: Int, q: Int = 4): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(q >= 1, "gram width must be positive")
     // Persisted (OperatorCache): each side feeds the gram expansion,
@@ -99,11 +99,11 @@ object FuzzyJoin {
     // rare-first is what makes the prefixes selective
     val freq = PrefixFilter.frequencies(gl, gr, Seq("gram", "occ"))
     val pl = PrefixFilter.prefix(gl, freq, Seq("gram", "occ"),
-        lit(prefixLen), posCol = Some("pos"))
+        lit(prefixLen), posCol = Some("pos"), broadcastFreq = true)
       .select(col("id").as("id_l"), col("len").as("len_l"),
         col("pos").as("pos_l"), col("gram"), col("occ"))
     val pr = PrefixFilter.prefix(gr, freq, Seq("gram", "occ"),
-        lit(prefixLen), posCol = Some("pos"))
+        lit(prefixLen), posCol = Some("pos"), broadcastFreq = true)
       .select(col("id").as("id_r"), col("len").as("len_r"),
         col("pos").as("pos_r"), col("gram"), col("occ"))
     // g = len − (q−1) gram elements per string

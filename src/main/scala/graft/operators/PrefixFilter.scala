@@ -40,8 +40,21 @@ private[operators] object PrefixFilter {
     * most `size − p` elements after it, bounding the achievable overlap
     * BEFORE the verify runs. */
   def prefix(e: DataFrame, freq: DataFrame, keyCols: Seq[String],
-      prefixLen: Column, posCol: Option[String] = None): DataFrame = {
-    val ranked = e.join(freq, keyCols)
+      prefixLen: Column, posCol: Option[String] = None,
+      broadcastFreq: Boolean = false): DataFrame = {
+    // broadcastFreq (r18): the planner sizes this join from ESTIMATES —
+    // the element side is a cheap projection of a cached corpus (small
+    // estimate) while the freq side is an aggregate over a union of two
+    // windowed subtrees (estimate inherits the big child) — and at
+    // q_join_fuzzy it picked the 20 MB ELEMENT side as the broadcast
+    // build (collectTime 1.45 s per side, twice per query) over the
+    // 39 KB frequency table. Callers whose element domain is structurally
+    // bounded (FuzzyJoin: distinct q-grams × occ ≤ charset^q × max-occ,
+    // a few thousand rows at ANY corpus scale) pass true to pin the
+    // build side; SetJoin's token domain is vocabulary-sized, so it
+    // keeps the planner's choice.
+    val f = if (broadcastFreq) broadcast(freq) else freq
+    val ranked = e.join(f, keyCols)
       .withColumn("__rk", row_number().over(
         Window.partitionBy("id").orderBy(globalOrder(keyCols): _*)))
       .where(col("__rk") <= prefixLen)
