@@ -42,18 +42,23 @@ private[operators] object PrefixFilter {
   def prefix(e: DataFrame, freq: DataFrame, keyCols: Seq[String],
       prefixLen: Column, posCol: Option[String] = None,
       broadcastFreq: Boolean = false): DataFrame = {
-    // broadcastFreq (r18): the planner sizes this join from ESTIMATES —
-    // the element side is a cheap projection of a cached corpus (small
-    // estimate) while the freq side is an aggregate over a union of two
-    // windowed subtrees (estimate inherits the big child) — and at
-    // q_join_fuzzy it picked the 20 MB ELEMENT side as the broadcast
-    // build (collectTime 1.45 s per side, twice per query) over the
-    // 39 KB frequency table. Callers whose element domain is structurally
-    // bounded (FuzzyJoin: distinct q-grams × occ ≤ charset^q × max-occ,
-    // a few thousand rows at ANY corpus scale) pass true to pin the
-    // build side; SetJoin's token domain is vocabulary-sized, so it
-    // keeps the planner's choice.
-    val f = if (broadcastFreq) broadcast(freq) else freq
+    // Build-side pinning (r18): the planner sizes this join from
+    // ESTIMATES — the element side is a cheap projection of a cached
+    // corpus (small estimate) while the freq side is an aggregate over
+    // a union of two subtrees (estimate inherits the big child) — and
+    // it picked the ELEMENT side as the broadcast build on both
+    // q_join_fuzzy (20 MB, collectTime 1.45 s per side) and the SetJoin
+    // probes (9.4 MB, ~0.6 s per side) over frequency tables of 39 KB /
+    // 0.5 MB. freq ≤ elems by construction (it aggregates the element
+    // union), so elems must never be the build side. Callers whose
+    // element domain is structurally bounded (FuzzyJoin: distinct
+    // q-grams × occ ≤ charset^q × max-occ, a few thousand rows at ANY
+    // corpus scale) pass broadcastFreq = true; for vocabulary-sized
+    // domains (SetJoin tokens) the default pins a SHUFFLED-HASH join
+    // with freq as the per-partition build — no driver collect, and the
+    // right shape at 100 TB where neither side broadcasts (AQE's skew
+    // split still applies to shuffled-hash joins).
+    val f = if (broadcastFreq) broadcast(freq) else freq.hint("shuffle_hash")
     val ranked = e.join(f, keyCols)
       .withColumn("__rk", row_number().over(
         Window.partitionBy("id").orderBy(globalOrder(keyCols): _*)))
