@@ -157,6 +157,11 @@ object Fingerprint {
       .groupBy("d1", "d2").agg(count(lit(1)).as("__nk"))
       .where(col("__nk") >= minKeys)
       .select("d1", "d2")
+    // (r18 negative A/B: pinning these two verify joins to shuffle_hash
+    // — to avoid the planner's ~1 s-per-side driver collect of the 8.4 MB
+    // fps-array broadcast — measured 1.86 s → 2.66 s: the two extra
+    // exchanges of the candidate pairs cost more than the collects,
+    // which overlap other stages. The broadcast stays.)
     cand
       .join(fps.select(col("id").as("d1"), col("fps").as("fps1"),
         col("m").as("m1")), Seq("d1"))
