@@ -263,14 +263,7 @@ object SetJoin {
       // completeness in whichever variant lagged
       val win = Window.partitionBy("id")
         .orderBy(PrefixFilter.globalOrder(Seq("tok")): _*)
-      // shuffle_hash with the weight table as build (r18): same
-      // wrong-side-broadcast hazard as PrefixFilter.prefix — the
-      // planner's estimate had the exploded element side (10.5 MB real)
-      // below the weight aggregate and collected it through the driver;
-      // weights ≤ elems by construction and vocabulary-sized at scale,
-      // so the per-partition hash build is the shape that survives
-      // 100 TB (no driver collect on either side).
-      val cum = e.join(weights.hint("shuffle_hash"), "tok")
+      val cum = e.join(weights, "tok")
         .withColumn("cum", sum(col("w")).over(
           win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("wsum", sum(col("w")).over(
