@@ -93,7 +93,15 @@ object Pca {
   def gramCells(df: DataFrame, vecCol: String, quantBits: Int,
       cells: Seq[(Int, Int)]): Map[(Int, Int), Long] = {
     val dims = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
-    val base = quantized(df, vecCol, quantBits) // spread: see [[quantized]]
+    // UNSPREAD, unlike [[quantized]] (r18): this aggregate does a few
+    // products per row (|cells| + |dims|), not dim² — partial
+    // aggregation over the scan's own splits already parallelizes the
+    // cheap per-row work, and the round-robin exchange of quantized
+    // arrays the S/m passes need would be pure overhead here (measured
+    // in-suite on q_ann_opq, whose rotation step calls this per block:
+    // 1.03 s → 1.27 s with the spread).
+    val base = df.where(col(vecCol).isNotNull)
+      .select(quantExpr(vecCol, quantBits).as("q"))
     val sAggs = cells.map { case (i, j) =>
       sum((element_at(col("q"), i + 1) * element_at(col("q"), j + 1))
         .cast(Dec)).as(s"s_${i}_$j")
