@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** One AQE-off child session per caller session for the iterative CC
+    * loops (see [[clusterPairsStarWithRounds]]) — session-state init is
+    * ~0.5 s, so a fresh newSession per call would eat the latency the
+    * child session exists to remove. Keyed weakly-ish via pruning: the
+    * map only ever holds one child per LIVE parent, and a stopped
+    * context empties with the JVM. */
+  private val loopSessions = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+
   /** Candidate pairs from an exploded (id, band, key) table, with a skew
     * guard: a bucket of m members normally yields m(m-1)/2 candidates, so
     * an adversarial corpus (everything identical) turns one bucket into a
@@ -1297,7 +1306,44 @@ object Dedup {
     var rounds = 0
     var converged = false
     var edgeCount = edges.count()
+    // The loop runs in a CHILD SESSION (shared SparkContext and block
+    // manager, ISOLATED SQLConf) with AQE OFF and shuffle partitions
+    // DERIVED FROM THE MEASURED EDGE COUNT (r18, guide §2:
+    // scale-adaptive partitioning). Round state is bare (u, v) pairs
+    // whose count is known exactly from the previous round, so AQE has
+    // nothing to discover — but it charges one driver re-optimization +
+    // stage-materialization barrier per exchange, and a round is 3
+    // exchanges: at sf0.1 that overhead IS the query (~100 stages of
+    // 8-47 ms per pass). With AQE off each action runs its whole
+    // multi-exchange DAG as one back-to-back job. Partition count
+    // targets ~2 MB of raw pair bytes per task (16 B/edge), floor 1,
+    // cap 4× the cluster's parallelism — a 1B-edge round still fans out
+    // cluster-wide, a 5k-edge round runs on 1 task instead of 32 sorted
+    // ones (the unparameterized AQE-off A/B at a fixed 32 measured
+    // 4.4 s → 32 s). The child session keeps the conf flip invisible to
+    // concurrent statements; checkpointed round state is a LogicalRDD
+    // leaf, which rebinds across sessions of one context losslessly.
+    val parent = pairs.sparkSession
+    val loopSession = loopSessions.computeIfAbsent(parent, p => {
+      val s = p.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s
+    })
+    // newSession starts from the context's BASE conf: a runtime-set
+    // checkpoint dir on the caller's session must follow the loop, or
+    // reliable mode would silently degrade to local blocks
+    parent.conf.getOption(Checkpoints.DirKey)
+      .foreach(loopSession.conf.set(Checkpoints.DirKey, _))
+    val par = parent.sparkContext.defaultParallelism
+    def roundPartitions(n: Long): Int =
+      math.max(1L, math.min(n / 131072L + 1L, par.toLong * 4L)).toInt
+    import org.apache.spark.sql.graftaccess.Internals
+    def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession) =
+      Internals.ofRows(to, Internals.analyzedPlan(df))
+    edges = rebind(edges, loopSession)
     while (!converged && rounds < maxRounds) {
+      loopSession.conf.set("spark.sql.shuffle.partitions",
+        roundPartitions(edgeCount).toString)
       val next = Checkpoints.truncate(smallStar(largeStar(edges)))
       // both sides are DISTINCT sets, so equal counts + one-direction
       // inclusion proves set equality — one anti-join per round, not
@@ -1310,6 +1356,8 @@ object Dedup {
       edgeCount = nextCount
       rounds += 1
     }
+    // back to the caller's session (and its conf) for label assembly
+    edges = rebind(edges, parent)
     // a non-fixpoint edge list is NOT a star forest — labels built from
     // it would carry conflicting clusters per id; corrupt output must
     // never be returned silently (the paper bound is O(log² n) rounds,
