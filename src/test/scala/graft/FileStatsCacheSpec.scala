@@ -221,23 +221,38 @@ class FileStatsCacheSpec extends AnyFunSuite {
 
   test("stats survive value-fidelity hazards: unicode, -0.0, all-null columns") {
     spark.sql("CREATE TABLE fsc.db.fid (s STRING, x DOUBLE, allnull STRING)")
+    // Two SINGLE-ROW inserts, one file each, identified by commit order:
+    // the old 2-row insert could legally write one file per task and
+    // `dataFiles.head` then flaked on whichever file listed first (seen
+    // in-round: the 'héllo' equality probe read false against the file
+    // that held only the 'züri' row).
     spark.sql("INSERT INTO fsc.db.fid VALUES " +
-      "('héllo\\tworld', -0.0, NULL), ('züri — ß', 0.0, NULL)")
+      "('héllo\\tworld', -0.0, NULL)")
     val dir = tdir("fid")
     val conf = spark.sparkContext.hadoopConfiguration
+    val fHello = dataFiles("fid") match {
+      case Seq(only) => only
+      case fs => fail(s"one-row insert wrote ${fs.size} files")
+    }
+    spark.sql("INSERT INTO fsc.db.fid VALUES ('züri — ß', 0.0, NULL)")
+    val fZuri = (dataFiles("fid").toSet - fHello).head
     val ts = FileStatsCache.forTable(dir, conf)
-    val f = dataFiles("fid").head
     val before = ParquetStats.footerOpens.get()
-    // string range includes the unicode values exactly
-    assert(ts.mayMatchAll(f, Seq(EqualTo("s", "héllo\tworld"))))
-    assert(!ts.mayMatchAll(f, Seq(EqualTo("s", "zzz"))))
+    // string stats carry the unicode values exactly (TSV-escaped tab,
+    // multibyte codepoints): equality inside the range keeps, outside
+    // prunes — on BOTH files, under UTF8 binary order ('zzz' < 'zü…'
+    // because 0xC3 > 0x7A byte-wise, so it only prunes on the ASCII file)
+    assert(ts.mayMatchAll(fHello, Seq(EqualTo("s", "héllo\tworld"))))
+    assert(!ts.mayMatchAll(fHello, Seq(EqualTo("s", "zzz"))))
+    assert(ts.mayMatchAll(fZuri, Seq(EqualTo("s", "züri — ß"))))
+    assert(!ts.mayMatchAll(fZuri, Seq(EqualTo("s", "héllo\tworld"))))
     // Spark semantics: -0.0 == 0.0 — a 0.0 probe must keep the file
-    assert(ts.mayMatchAll(f, Seq(EqualTo("x", 0.0d))))
-    assert(!ts.mayMatchAll(f, Seq(EqualTo("x", 1.0d))))
+    assert(ts.mayMatchAll(fHello, Seq(EqualTo("x", 0.0d))))
+    assert(!ts.mayMatchAll(fHello, Seq(EqualTo("x", 1.0d))))
     // all-null column: IsNull keeps, equality prunes nothing (no min/max
     // stats → conservative keep, same as the footer path)
-    assert(ts.mayMatchAll(f, Seq(IsNull("allnull"))))
-    assert(!ts.mayMatchAll(f, Seq(IsNull("x"))))
+    assert(ts.mayMatchAll(fHello, Seq(IsNull("allnull"))))
+    assert(!ts.mayMatchAll(fHello, Seq(IsNull("x"))))
     assert(ParquetStats.footerOpens.get() == before, "all served from cache")
   }
 }
