@@ -138,22 +138,36 @@ object Fingerprint {
       .transform(OperatorCache.persist)
     val fps = base.select(col("id"), col("fps"), size(col("fps")).as("m"))
     val e = base.select(col("id"), explode(col("keys")).as("bk"))
-    // ONE window pass, and only on the LEFT join side: capping one side
-    // alone is exact, because a whale bucket keeps no left rows at all,
-    // so raw right-side rows from it never find a partner (the r7 shape
-    // windowed BOTH derived sides — two sorts of the full exploded
-    // table — and sort-merge-joined them). `kept` leaves the window
-    // already hash-partitioned by bk, so the shuffle_hash join adds one
-    // exchange of bare (id, bk) pairs and no sorts — the same fusion as
-    // [[Dedup.bandedCandidates]], and the same reason AQE must not
-    // broadcast the raw side (driver-collecting the banded table).
+    // ONE window pass for the doc-freq cap — streaming count over the
+    // bk hash-partitioning, no per-bucket buffering, whale-safe.
     val kept = e
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("bk")))
       .where(col("__df") <= maxDocFreq).drop("__df")
-    val cand = kept.select(col("id").as("d1"), col("bk")).alias("a")
-      .join(e.select(col("id").as("d2"), col("bk")).alias("b")
-        .hint("shuffle_hash"),
-        col("a.bk") === col("b.bk") && col("d1") < col("d2"))
+    // Candidate pairs WITHOUT a self-join (r19, guide §2.4). The r18
+    // shape joined `kept ⋈ raw` on bk (one windowed side is exact: a
+    // whale bucket keeps no left rows, so raw rows from it never find a
+    // partner) — but that same argument cuts deeper: since whale
+    // buckets contribute NOTHING, every surviving pair lives entirely
+    // inside a ≤ maxDocFreq bucket, where kept == raw. So the join is
+    // pairs-within-kept, and post-cap buckets are small enough to
+    // enumerate directly: collect_list per bk is BOUNDED by the cap
+    // (never the unbounded collect-skew-bomb [[Dedup.bandedCandidates]]
+    // avoids — the window filter runs first and streams), rides the
+    // window's own bk-partitioning with zero new exchanges, and two
+    // codegen Generates emit each bucket's ascending (d1, d2) pairs.
+    // vs r18 (measured, EXPLAIN ANALYZE at sf0.1): the second 5.7 MB /
+    // 569k-row exchange of the exploded table and the 34 MB
+    // shuffled-hash build both disappear (AQE never reused the twin
+    // exchanges — rename placement defeats canonical equality); the
+    // ~1.0 M join-output rows are emitted by slice+explode instead.
+    // sort_array makes pair order deterministic and `d1 < d2` by
+    // construction (array ordering = Spark's `<` for the id type).
+    val buckets = kept.groupBy("bk")
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+    val cand = buckets
+      .select(posexplode(col("__ids")).as(Seq("__i", "d1")), col("__ids"))
+      .select(col("d1"), explode(slice(col("__ids"), col("__i") + lit(2),
+        size(col("__ids")))).as("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("__nk"))
       .where(col("__nk") >= minKeys)
       .select("d1", "d2")
