@@ -22,13 +22,46 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** One AQE-off child session per caller session for the iterative CC
-    * loops (see [[clusterPairsStarWithRounds]]) — session-state init is
-    * ~0.5 s, so a fresh newSession per call would eat the latency the
-    * child session exists to remove. Keyed weakly-ish via pruning: the
-    * map only ever holds one child per LIVE parent, and a stopped
-    * context empties with the JVM. */
-  private val loopSessions = new java.util.concurrent.ConcurrentHashMap[
+    * loops' generic DataFrame path (see [[starLoopDf]]) — session-state
+    * init is ~0.5 s, so a fresh newSession per call would eat the
+    * latency the child session exists to remove. WEAK KEYS (r19, the
+    * r18 verdict's leak): a long-lived multi-session service creates
+    * one parent session per client, and a strong map entry would pin
+    * every closed parent's SessionState (plus its child's) forever.
+    * `newSession` children hold the SparkContext and SharedState but
+    * NOT the parent session, so once the engine drops a closed parent
+    * the entry is GC-collectible. Synchronized: WeakHashMap is not
+    * thread-safe (the fine-grained per-loop lock is the child session
+    * itself, inside [[starLoopDf]]). */
+  private val loopSessions = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+
+  private def loopSessionFor(parent: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = loopSessions.synchronized {
+    var s = loopSessions.get(parent)
+    if (s == null) {
+      s = parent.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      loopSessions.put(parent, s)
+    }
+    s
+  }
+
+  /** Deterministic eviction for the engine's session lifecycle (the GC
+    * backstop above is not enough on its own: live Spark internals can
+    * reference a closed parent session for an unbounded time, e.g.
+    * thread-locals on pool threads). [[graft.engine.Engine.closeSession]]
+    * calls this next to its OperatorCache release, so a service's
+    * child-session footprint returns to baseline when the client
+    * session closes. Safe while a concurrent loop of the same parent
+    * runs: that loop holds its own reference to the child; a LATER call
+    * on the same parent just pays one fresh newSession. */
+  def releaseLoopSession(parent: org.apache.spark.sql.SparkSession): Unit =
+    loopSessions.synchronized { loopSessions.remove(parent); () }
+
+  /** Test hook: live child-session entries (collected parents pruned). */
+  private[graft] def loopSessionCount: Int =
+    loopSessions.synchronized { loopSessions.size }
 
   /** Candidate pairs from an exploded (id, band, key) table, with a skew
     * guard: a bucket of m members normally yields m(m-1)/2 candidates, so
@@ -1266,6 +1299,229 @@ object Dedup {
   private[graft] def clusterPairsStarWithRounds(pairs: DataFrame,
       idaCol: String, idbCol: String,
       maxRounds: Int): (DataFrame, Int) = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val canon = pairs
+      .select(greatest(col(idaCol), col(idbCol)).as("u"),
+        least(col(idaCol), col(idbCol)).as("v"))
+    // Contract parity with clusterPairs for both loop paths: EVERY id
+    // appearing in a pair is labeled — ids whose only pair is a
+    // self-pair (a, a) have no edge after the self-loop filter and
+    // label themselves.
+    def assembleLabels(forest: DataFrame): DataFrame = {
+      val starLabels = forest
+        .select(col("u").as("id"), col("v").as("cluster"))
+        .union(forest.select(col("v").as("id"), col("v").as("cluster")))
+        .distinct()
+      val allIds = canon.select(col("u").as("id"))
+        .union(canon.select(col("v").as("id"))).distinct()
+      allIds.join(starLabels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    }
+    // TYPED FAST PATH for integral ids (r19): the round state is bare
+    // (long, long) pairs, so the loop runs as raw RDD stages — 2 sorted
+    // shuffles per round instead of 3 exchanges, one job per round
+    // instead of checkpoint+count+anti-join, and zero Catalyst/AQE
+    // planning in the loop (at sf0.1 the DF loop's wall was per-round
+    // driver latency, not data — r18 stage listener). Ids of any other
+    // type keep the generic DataFrame loop below.
+    canon.schema("u").dataType match {
+      case LongType =>
+        val (forest, rounds) = starLoopRdd(canon, maxRounds)
+        (assembleLabels(forest), rounds)
+      case IntegerType =>
+        val widened = canon.select(col("u").cast(LongType).as("u"),
+          col("v").cast(LongType).as("v"))
+        val (forestL, rounds) = starLoopRdd(widened, maxRounds)
+        // int→long→int round-trips losslessly, so the narrowed forest
+        // is exactly what the generic loop would have produced
+        val forest = forestL.select(col("u").cast(IntegerType).as("u"),
+          col("v").cast(IntegerType).as("v"))
+        (assembleLabels(forest), rounds)
+      case _ =>
+        val (forest, rounds) = starLoopDf(canon, maxRounds)
+        (assembleLabels(forest), rounds)
+    }
+  }
+
+  /** Hash partitioner on the FIRST element of a ((u, v), _) edge key —
+    * composite keys sort fully within partitions while grouping stays
+    * per-u, which is what lets the star iterators stream each group
+    * (min v is the group's first v) with zero buffering, hub-safe. */
+  private final class EdgeKeyPartitioner(val parts: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = parts
+    override def getPartition(key: Any): Int = key match {
+      case (u: Long, _) =>
+        val h = java.lang.Long.hashCode(u) % parts
+        if (h < 0) h + parts else h
+      case _ => 0
+    }
+    override def equals(other: Any): Boolean = other match {
+      case p: EdgeKeyPartitioner => p.parts == parts
+      case _ => false
+    }
+    override def hashCode: Int = parts
+  }
+
+  /** The alternating-star loop over RDD[((u, v), Unit)] — semantics
+    * bit-identical to [[starLoopDf]] round by round (the per-round
+    * DISTINCT edge sets, the convergence criterion and the round count
+    * all match; OperatorsSpec pins star-vs-propagation equality and the
+    * deep-chain round bound on this path). Differences are purely
+    * physical, per guide §2.4/§1.2:
+    *   - 2 shuffles per round, not 3 exchanges: each phase is ONE
+    *     repartitionAndSortWithinPartitions on the composite (u, v) key
+    *     (partitioned by u), and the phase function streams each sorted
+    *     group — the group's min is its first v, duplicates are
+    *     adjacent, so groupBy-min+join+distinct collapse into the sort.
+    *     smallStar's output keeps benign CROSS-group duplicates (the DF
+    *     loop's trailing .distinct() paid a third exchange to drop
+    *     them); the next round's sorted shuffle dedups them for free,
+    *     and the convergence compare reads the explicitly deduped set.
+    *   - convergence is a co-partitioned zipPartitions stream-compare
+    *     of this round's deduped edge set against last round's (both
+    *     sorted, same partitioner) — no count job, no anti-join, and it
+    *     is the round's ONE action, so largeStar+smallStar+compare run
+    *     as a single back-to-back job.
+    *   - a giant component's hub still lands its group in one task
+    *     (same as the DF loop's sym⋈mins join partition), but the
+    *     streaming iterators hold O(1) state, so a 10⁶-degree hub costs
+    *     sequential time, never memory (OperatorsSpec pins the skewed
+    *     hub case).
+    * Durability parity with [[Checkpoints]]: when `graft.checkpoint.dir`
+    * is set, each round's deduped set is reliably checkpointed and the
+    * superseded round's files are deleted; the final round's files are
+    * left for the caller (same FINAL-cut lifetime as the DF loop).
+    * Partition count is derived once from the measured input edge count
+    * (~2 MB of pair bytes per task, floor 1, cap 4× parallelism — the
+    * same scale-adaptive sizing as the DF loop; fixed across rounds so
+    * consecutive rounds stay co-partitioned for the compare).
+    * Returns the fixpoint star forest as a (u, v) DataFrame. */
+  private def starLoopRdd(canon: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val parent = canon.sparkSession
+    val sc = parent.sparkContext
+    val ckDir = parent.conf.getOption(Checkpoints.DirKey).filter(_.nonEmpty)
+    ckDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
+    def deleteCheckpoint(rdd: RDD[_]): Unit =
+      try rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      } catch { case _: Exception => () } // reclamation must never fail
+    // No pre-distinct of the input (the DF loop pays an exchange for
+    // it): round 1's sorted shuffle dedups while streaming, and
+    // largeStar is duplicate-insensitive. Persisted so the input
+    // subtree (often an expensive upstream join) runs once for the
+    // sizing count and once into round 1's shuffle map side, then
+    // released at the first convergence compare.
+    val input = canon.where(col("u") =!= col("v")).rdd
+      .map(r => ((r.getLong(0), r.getLong(1)), ()))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val par = sc.defaultParallelism
+    val n0 = input.count()
+    val part = new EdgeKeyPartitioner(
+      math.max(1L, math.min(n0 / 131072L + 1L, par.toLong * 4L)).toInt)
+    def dedupForward(sorted: RDD[((Long, Long), Unit)]) =
+      sorted.mapPartitions({ it =>
+        var any = false; var lu = 0L; var lv = 0L
+        it.flatMap { case ((u, v), _) =>
+          if (any && u == lu && v == lv) Iterator.empty
+          else {
+            any = true; lu = u; lv = v
+            if (u > v) Iterator.single(((u, v), ())) else Iterator.empty
+          }
+        }
+      }, preservesPartitioning = true)
+    // per node u over its sorted neighbour group: m = min(N(u) ∪ {u})
+    // = min(first v, u); re-point every strictly larger v at m
+    def largeStar(sorted: RDD[((Long, Long), Unit)]) =
+      sorted.mapPartitions { it =>
+        var any = false; var cu = 0L; var m = 0L; var lv = 0L
+        it.flatMap { case ((u, v), _) =>
+          if (!any || u != cu) {
+            any = true; cu = u; m = math.min(v, u); lv = v
+            if (v > u) Iterator.single(((v, m), ())) else Iterator.empty
+          } else if (v == lv) Iterator.empty
+          else {
+            lv = v
+            if (v > u) Iterator.single(((v, m), ())) else Iterator.empty
+          }
+        }
+      }
+    // input invariant: u > v on every edge; m = min(N(u)) = first v;
+    // emit (u, m) once plus (v, m) for every other distinct v
+    def smallStar(sorted: RDD[((Long, Long), Unit)]) =
+      sorted.mapPartitions { it =>
+        var any = false; var cu = 0L; var m = 0L; var lv = 0L
+        it.flatMap { case ((u, v), _) =>
+          if (!any || u != cu) {
+            any = true; cu = u; m = v; lv = v
+            Iterator.single(((u, m), ()))
+          } else if (v == lv) Iterator.empty
+          else { lv = v; Iterator.single(((v, m), ())) }
+        }
+      }
+    def sameSets(a: RDD[((Long, Long), Unit)],
+        b: RDD[((Long, Long), Unit)]): Boolean =
+      a.zipPartitions(b, preservesPartitioning = false) { (ia, ib) =>
+        var same = true
+        while (same && ia.hasNext && ib.hasNext)
+          if (ia.next()._1 != ib.next()._1) same = false
+        Iterator.single(same && !ia.hasNext && !ib.hasNext)
+      }.fold(true)(_ && _)
+    var state: RDD[((Long, Long), Unit)] = input
+    var prevSet: RDD[((Long, Long), Unit)] = null
+    var inputLive = true
+    var rounds = 0
+    var result: RDD[((Long, Long), Unit)] = null
+    while (result == null) {
+      val symSorted = state
+        .flatMap { case ((u, v), _) => Iterator(((u, v), ()), ((v, u), ())) }
+        .repartitionAndSortWithinPartitions(part)
+      val fwdSet = dedupForward(symSorted).persist(StorageLevel.MEMORY_AND_DISK)
+      ckDir.foreach(_ => fwdSet.checkpoint())
+      if (prevSet != null) {
+        // the round's ONE action: materializes the previous round's
+        // largeStar+smallStar, this round's sym shuffle, the deduped
+        // set, and the convergence compare, back to back
+        val same = sameSets(fwdSet, prevSet)
+        if (inputLive) { input.unpersist(blocking = false); inputLive = false }
+        if (same) result = fwdSet
+      }
+      if (result == null) {
+        // parity with the DF loop: a non-fixpoint edge list after
+        // maxRounds applications is NOT a star forest — never return it
+        if (rounds >= maxRounds) throw new IllegalStateException(
+          s"clusterPairsStar did not converge within $maxRounds rounds")
+        state = smallStar(
+          largeStar(symSorted).repartitionAndSortWithinPartitions(part))
+        if (prevSet != null) {
+          prevSet.unpersist(blocking = false)
+          deleteCheckpoint(prevSet)
+        }
+        prevSet = fwdSet
+        rounds += 1
+      } else if (prevSet != null && (prevSet ne result)) {
+        prevSet.unpersist(blocking = false)
+        deleteCheckpoint(prevSet)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val rows = result.map { case ((u, v), _) =>
+      org.apache.spark.sql.Row(u, v) }
+    (parent.createDataFrame(rows, schema), rounds)
+  }
+
+  /** The generic DataFrame alternating-star loop — any orderable id
+    * type. Returns the fixpoint star forest as a (u, v) DataFrame. */
+  private def starLoopDf(canon: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
@@ -1298,9 +1554,6 @@ object Dedup {
     // plan to a leaf; set graft.checkpoint.dir on a real cluster so the
     // per-round state survives executor loss (local blocks don't — an
     // hours-long CC job at 1000 executors must not restart from zero).
-    val canon = pairs
-      .select(greatest(col(idaCol), col(idbCol)).as("u"),
-        least(col(idaCol), col(idbCol)).as("v"))
     var edges = Checkpoints.truncate(
       canon.where(col("u") =!= col("v")).distinct())
     var rounds = 0
@@ -1323,38 +1576,43 @@ object Dedup {
     // 4.4 s → 32 s). The child session keeps the conf flip invisible to
     // concurrent statements; checkpointed round state is a LogicalRDD
     // leaf, which rebinds across sessions of one context losslessly.
-    val parent = pairs.sparkSession
-    val loopSession = loopSessions.computeIfAbsent(parent, p => {
-      val s = p.newSession()
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s
-    })
-    // newSession starts from the context's BASE conf: a runtime-set
-    // checkpoint dir on the caller's session must follow the loop, or
-    // reliable mode would silently degrade to local blocks
-    parent.conf.getOption(Checkpoints.DirKey)
-      .foreach(loopSession.conf.set(Checkpoints.DirKey, _))
+    val parent = canon.sparkSession
+    val loopSession = loopSessionFor(parent)
     val par = parent.sparkContext.defaultParallelism
     def roundPartitions(n: Long): Int =
       math.max(1L, math.min(n / 131072L + 1L, par.toLong * 4L)).toInt
     import org.apache.spark.sql.graftaccess.Internals
     def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession) =
       Internals.ofRows(to, Internals.analyzedPlan(df))
-    edges = rebind(edges, loopSession)
-    while (!converged && rounds < maxRounds) {
-      loopSession.conf.set("spark.sql.shuffle.partitions",
-        roundPartitions(edgeCount).toString)
-      val next = Checkpoints.truncate(smallStar(largeStar(edges)))
-      // both sides are DISTINCT sets, so equal counts + one-direction
-      // inclusion proves set equality — one anti-join per round, not
-      // two; the count is a cheap job over the checkpointed blocks and
-      // short-circuits the anti-join entirely when sizes differ
-      val nextCount = next.count()
-      converged = nextCount == edgeCount && next.except(edges).isEmpty
-      Checkpoints.discard(edges) // superseded round's reliable files
-      edges = next
-      edgeCount = nextCount
-      rounds += 1
+    // SERIALIZED per child session (r19, ADVICE r18): two concurrent
+    // loops on one parent would otherwise race on the child's mutable
+    // conf (per-round shuffle partitions, checkpoint dir) and plan
+    // rounds at each other's edge-count-derived sizes. One child per
+    // parent is the cache's whole point, so concurrent CC statements
+    // of one session queue here; statements of different sessions (the
+    // engine's normal multiplexing) never contend.
+    loopSession.synchronized {
+      // newSession starts from the context's BASE conf: a runtime-set
+      // checkpoint dir on the caller's session must follow the loop, or
+      // reliable mode would silently degrade to local blocks
+      parent.conf.getOption(Checkpoints.DirKey)
+        .foreach(loopSession.conf.set(Checkpoints.DirKey, _))
+      edges = rebind(edges, loopSession)
+      while (!converged && rounds < maxRounds) {
+        loopSession.conf.set("spark.sql.shuffle.partitions",
+          roundPartitions(edgeCount).toString)
+        val next = Checkpoints.truncate(smallStar(largeStar(edges)))
+        // both sides are DISTINCT sets, so equal counts + one-direction
+        // inclusion proves set equality — one anti-join per round, not
+        // two; the count is a cheap job over the checkpointed blocks and
+        // short-circuits the anti-join entirely when sizes differ
+        val nextCount = next.count()
+        converged = nextCount == edgeCount && next.except(edges).isEmpty
+        Checkpoints.discard(edges) // superseded round's reliable files
+        edges = next
+        edgeCount = nextCount
+        rounds += 1
+      }
     }
     // back to the caller's session (and its conf) for label assembly
     edges = rebind(edges, parent)
@@ -1364,18 +1622,7 @@ object Dedup {
     // so hitting maxRounds means something is genuinely wrong)
     if (!converged) throw new IllegalStateException(
       s"clusterPairsStar did not converge within $maxRounds rounds")
-    val starLabels = edges
-      .select(col("u").as("id"), col("v").as("cluster"))
-      .union(edges.select(col("v").as("id"), col("v").as("cluster")))
-      .distinct()
-    // contract parity with clusterPairs: EVERY id appearing in a pair is
-    // labeled — ids whose only pair is a self-pair (a, a) have no edge
-    // after the self-loop filter and label themselves
-    val allIds = canon.select(col("u").as("id"))
-      .union(canon.select(col("v").as("id"))).distinct()
-    val labels = allIds.join(starLabels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-    (labels, rounds)
+    (edges, rounds)
   }
 
   /** INCREMENTAL connected components — the continual-ingest shape (the

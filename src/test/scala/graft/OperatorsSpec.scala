@@ -381,6 +381,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out - 5L == full)
   }
 
+  test("clusterPairsStar streams a skewed hub (10^6-degree node) " +
+      "without buffering the group (VERDICT r18 skew guard)") {
+    // one giant star whose hub is the component MAX, so largeStar must
+    // traverse the hub's full million-neighbour group and re-point every
+    // member; the sorted-group iterators hold O(1) state, so the hot
+    // key costs sequential time in one task, never memory
+    val n = 1000000L
+    val pairs = spark.range(n)
+      .select(col("id").as("ida"), lit(n).as("idb"))
+    val labels = Dedup.clusterPairsStar(pairs)
+    val agg = labels.agg(count(lit(1)).as("n"),
+      min(col("cluster")).as("lo"), max(col("cluster")).as("hi"))
+      .collect()(0)
+    assert(agg.getLong(0) == n + 1)                      // every id labeled
+    assert(agg.getLong(1) == 0L && agg.getLong(2) == 0L) // one root: min id
+  }
+
+  test("clusterPairsStar on non-integral ids (the generic DataFrame " +
+      "loop) equals clusterPairs") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((s"d${rnd.nextInt(30)}", s"d${rnd.nextInt(30)}"))
+      .filter(p => p._1 != p._2)
+    val pairs = edges.toDF("ida", "idb")
+    val star = Dedup.clusterPairsStar(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val prop = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star == prop)
+  }
+
+  test("CC child-session cache is bounded: a collected parent session's " +
+      "entry is pruned (VERDICT r18 loopSessions leak)") {
+    def runGenericCc(p: org.apache.spark.sql.SparkSession): Unit = {
+      // string ids force the generic loop, which is what caches a child
+      val pairs = p.createDataFrame(Seq(("a", "b"), ("b", "c")))
+        .toDF("ida", "idb")
+      Dedup.clusterPairsStar(pairs).collect()
+    }
+    val before = Dedup.loopSessionCount
+    val parents = (1 to 3).map(_ => spark.newSession())
+    parents.foreach(runGenericCc)
+    assert(Dedup.loopSessionCount == before + 3)
+    // the engine's closeSession lifecycle evicts deterministically
+    // (weak keys alone cannot promise collection while Spark internals
+    // still reference a closed parent)
+    parents.foreach(Dedup.releaseLoopSession)
+    assert(Dedup.loopSessionCount == before,
+      "closed parents' child-session entries were not evicted")
+    Dedup.releaseLoopSession(parents.head) // absent key: no-op
+    assert(Dedup.loopSessionCount == before)
+  }
+
   test("substring dedup (cross-doc AND intra-doc) matches a driver-side " +
       "reference on random small-alphabet corpora") {
     import graft.operators.Dedup
