@@ -366,10 +366,25 @@ object LmScore {
     val cont = bi.groupBy("w2").agg(count(lit(1)).as("nprec"))
     val types = bi.agg(count(lit(1)).as("ntypes"))
     val D = lit(0.75)
+    // Build-side dispatch (r19, guide §3.1 — measured wrong-side
+    // broadcast): these joins are INNER (unlike [[scoreBigrams]]'s
+    // left-outer form, where the stream side can never be the build),
+    // so the planner may broadcast EITHER side — and static estimates
+    // inverted at sf0.1: it collected the 42 MB / 265k-row bigram
+    // STREAM through the driver (collectTime 1.28 s) and streamed the
+    // 931-row model table. When the CORPUS estimate is broadcast-small
+    // the model tables are too (bigram types ≤ bigram tokens ≤ corpus
+    // bytes), so pin them as the broadcast build; a large corpus keeps
+    // planner choice — vocabulary-sized model tables must never be
+    // force-broadcast at 100 TB (they shuffle on the word key, same
+    // scale contract as PrefixFilter's freq table).
+    val modelSmall = org.apache.spark.sql.graftaccess.Internals
+      .planSizeInBytes(df) <= (64L << 20)
+    def build(t: DataFrame): DataFrame = if (modelSmall) broadcast(t) else t
     val p = bg
-      .join(bi, Seq("w1", "w2"))
-      .join(pre, Seq("w1"))
-      .join(cont, Seq("w2"))
+      .join(build(bi), Seq("w1", "w2"))
+      .join(build(pre), Seq("w1"))
+      .join(build(cont), Seq("w2"))
       .crossJoin(broadcast(types))
       .select(col(idCol),
         (((col("cb").cast("double") - D) / col("c1").cast("double")) +
