@@ -95,6 +95,12 @@ object QualityClassifier {
     val labels = df
       .select(col(idCol).as("id"), col(labelCol).cast("int").as("y"))
       .filter(col("id").isNotNull)
+      // one label row per document (r19, ADVICE r18): duplicate id rows
+      // would otherwise multiply every (id, b, cnt) through the join,
+      // doubling margins/gradients relative to the pre-r18 grouped form
+      // (which merged duplicates once). y is functionally determined by
+      // id, so for duplicate-free inputs this is a no-op by value.
+      .dropDuplicates("id")
       .repartition(nP, col("id")) // co-partitioned with base: no exchange
     val feats = base.join(labels, "id")
     feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

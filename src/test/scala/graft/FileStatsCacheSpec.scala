@@ -235,7 +235,10 @@ class FileStatsCacheSpec extends AnyFunSuite {
       case fs => fail(s"one-row insert wrote ${fs.size} files")
     }
     spark.sql("INSERT INTO fsc.db.fid VALUES ('züri — ß', 0.0, NULL)")
-    val fZuri = (dataFiles("fid").toSet - fHello).head
+    val fZuri = (dataFiles("fid").toSet - fHello).toSeq match {
+      case Seq(only) => only
+      case fs => fail(s"one-row insert wrote ${fs.size} files")
+    }
     val ts = FileStatsCache.forTable(dir, conf)
     val before = ParquetStats.footerOpens.get()
     // string stats carry the unicode values exactly (TSV-escaped tab,
