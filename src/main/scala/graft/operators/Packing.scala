@@ -27,14 +27,28 @@ object Packing {
 
   /** Window-based packing: documents ordered by `orderCol`; bin id =
     * how many full budgets precede the document's first token. Output:
-    * input columns + `bin` (0-based) + `cum_tokens` (inclusive). */
+    * input columns + `bin` (0-based) + `cum_tokens` (inclusive).
+    *
+    * Size-dispatched (r19, window-audit): the PARTITION-BY-less window
+    * moves every row to ONE task (WindowExec's single-partition
+    * warning), which is fine at probe scale but a serialization point
+    * at corpus scale — inputs whose optimizer size estimate exceeds
+    * `smallBytes` take [[cumsumDistributed]] (two-pass range-partitioned
+    * prefix sum) instead. Both tiers produce the IDENTICAL integer
+    * running totals (exact int64 sums over the same total order), so
+    * the dispatch can never change a result — PackingSpec pins tier
+    * equality. */
   def packByCumsum(df: DataFrame, orderCol: String, tokensCol: String,
-      budget: Long): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
-      .withColumn("bin",
-        floor((col("cum_tokens") - col(tokensCol)) / budget).cast("bigint"))
+      budget: Long, smallBytes: Long = 64L << 20): DataFrame = {
+    val small = org.apache.spark.sql.graftaccess.Internals
+      .planSizeInBytes(df) <= smallBytes
+    val cum = if (small) {
+      val w = Window.orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+    } else cumsumDistributed(df, orderCol, tokensCol)
+    cum.withColumn("bin",
+      floor((col("cum_tokens") - col(tokensCol)) / budget).cast("bigint"))
   }
 
   /** Distributed global cumulative sum over a total order — the

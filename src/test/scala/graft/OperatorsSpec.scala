@@ -901,6 +901,17 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == global,
       "two-pass prefix sum must equal the single-window cumsum")
+    // packByCumsum's size dispatch: forcing the distributed tier
+    // (smallBytes = 0) yields bit-identical (cum_tokens, bin) rows
+    val forced = Packing.packByCumsum(docs, "doc_id", "tokens",
+        budget = 512, smallBytes = 0L)
+      .select("doc_id", "cum_tokens", "bin").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaWindow = Packing.packByCumsum(docs, "doc_id", "tokens", 512)
+      .select("doc_id", "cum_tokens", "bin").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(forced == viaWindow,
+      "packByCumsum tiers must agree on cum_tokens AND bin")
     // the scale property: every Window in the plan is partitioned (the
     // single-task partition-less window is exactly what this avoids)
     val plan = Packing.cumsumDistributed(docs, "doc_id", "tokens", 8)
