@@ -379,16 +379,21 @@ class PlanSpec extends AnyFunSuite {
       s"bench gram set must broadcast at this size:\n${p.take(1200)}")
   }
 
-  test("banded winnow-overlap: candidate join has no sorts and one window") {
-    // The doc-freq cap is ONE window pass riding the bk hash-partitioning
-    // of the candidate join's left side; the shuffle_hash join adds no
-    // sort. A SortMergeJoin or a second Window here means the r7 shape
-    // (two full sorts of the exploded pair-key table) regressed back in.
+  test("banded winnow-overlap: candidate step is join-free, one window, " +
+      "one exploded-table exchange") {
+    // The doc-freq cap is ONE window pass riding the bk hash-partitioning,
+    // and (r19) candidate pairs come from bounded per-bucket enumeration
+    // on that SAME partitioning — no candidate self-join at all. A
+    // SortMergeJoin/ShuffledHashJoin below the pair aggregate, a second
+    // Window, or a second hashpartitioning(bk) exchange means the r18
+    // twin-exchange shape (or the r7 double-sort shape) regressed back.
     val p = planOf("q_fingerprint_overlap_banded")
     assert("(?m)^\\s*[+:-]*\\s*Window ".r.findAllIn(p).size <= 1,
       s"expected at most one Window operator:\n${p.take(1500)}")
-    assert(p.contains("ShuffledHashJoin"),
-      s"candidate join must be shuffle_hash (no sorts):\n${p.take(1200)}")
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"candidate step must be join-free (per-bucket explode):\n${p.take(1200)}")
+    assert("hashpartitioning\\(bk".r.findAllIn(p).size <= 1,
+      s"the exploded key table must shuffle exactly once:\n${p.take(1500)}")
     assert(p.contains("InMemoryTableScan"),
       "the (fps, keys) base must serve all branches from one cache")
   }
