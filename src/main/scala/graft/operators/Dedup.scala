@@ -112,26 +112,57 @@ object Dedup {
     // rows of ~24 B, MEMORY_AND_DISK — the "materialize the banded
     // table" step every production MinHash pipeline has; registered in
     // [[OperatorCache]] so engine statements release it automatically.
-    val raw = OperatorCache.persist(
-      banded.filter(col("id").isNotNull)
-        .select(col("id"), col("band"), col("key")))
-    val lhs = raw
+    // JOIN-FREE candidate enumeration (r19, guide §2.4/§3 — the
+    // Fingerprint pairs-within-bucket rewrite, extended to cover the
+    // whale star). The r18 shape joined the windowed left side with the
+    // RAW banded table; both subtrees consumed one persisted block, and
+    // the two consumer exchanges never canonicalize equal (filter
+    // placement differs), so ReusedExchange never fired and the
+    // candidate step paid TWO materialized exchanges of the banded
+    // triples plus a shuffled-hash build (r19 EXPLAIN ANALYZE; on a
+    // machine with slow shuffle-file creates those twin tiny-map-task
+    // writes alone ran 0.6–0.9 s per 32-task stage vs 20–50 ms at 8
+    // tasks). Per-bucket enumeration needs no join at all:
+    //   - small buckets (cnt <= maxBucket): collect the bucket's ids —
+    //     BOUNDED by the cap, never the unbounded collect-skew-bomb —
+    //     and emit ascending (ida, idb) pairs, exactly the old
+    //     `a.id < b.id` join output;
+    //   - whale rows: each member row already KNOWS its pair — the
+    //     min-id star edge (bmin, id) — so it needs no bucket state at
+    //     all. Grouping whale rows by their own id makes them singleton
+    //     groups (hashpartitioning(band, key) still satisfies the
+    //     3-key clustering, so no new exchange), and `ids2` below turns
+    //     each into the 2-element ascending array [bmin, id] — the hub
+    //     row itself (id = bmin) degenerates to a 1-element array and
+    //     emits nothing. Aggregate state stays O(maxBucket) on EVERY
+    //     corpus, adversarial ones included.
+    // ONE chain, one consumer: the window's (band, key) exchange is the
+    // candidate step's only shuffle, the per-bucket aggregate and the
+    // pair Generates ride its partitioning, and the persist (which
+    // existed only because the join read the block twice) is gone.
+    // The trailing strict `ida < idb` guard keeps exact old-shape
+    // parity even for degenerate duplicate-id buckets (the sorted-list
+    // enumeration would otherwise emit an (x, x) self-pair the join's
+    // strict predicate never produced).
+    val win = banded.filter(col("id").isNotNull)
+      .select(col("id"), col("band"), col("key"))
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("bmin", min(col("id")).over(w))
-      .filter(col("cnt") <= maxBucket || col("id") === col("bmin"))
-    // shuffle_hash pins the raw side as a per-partition hash build: the
-    // windowed left side is ALREADY hash-partitioned by (band, key), so
-    // the join adds exactly one 3-column exchange of the raw side — and
-    // with the reuse fence above, even that exchange is the SAME shuffle
-    // the window consumed, materialized once. AQE's alternative
-    // (broadcasting the raw side) collects the whole banded table on the
-    // driver, which is both slower here and exactly what a
-    // 1000-executor plan must not do.
-    lhs.alias("a").join(raw.alias("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          (when(col("a.cnt") <= maxBucket, col("a.id") < col("b.id"))
-            .otherwise(col("a.id") =!= col("b.id"))))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+    val grouped = win
+      .groupBy(col("band"), col("key"),
+        when(col("cnt") > maxBucket, col("id")).as("__solo"))
+      .agg(sort_array(collect_list(col("id"))).as("__ids"),
+        min(col("bmin")).as("__bmin"))
+    val ids2 = when(col("__solo").isNull, col("__ids"))
+      .when(col("__solo") =!= col("__bmin"),
+        array(col("__bmin"), col("__solo")))
+      .otherwise(array(col("__solo")))
+    grouped.select(ids2.as("__ids2"))
+      .select(posexplode(col("__ids2")).as(Seq("__i", "ida")),
+        col("__ids2"))
+      .select(col("ida"), explode(slice(col("__ids2"),
+        col("__i") + lit(2), size(col("__ids2")))).as("idb"))
+      .where(col("ida") < col("idb"))
       .distinct()
   }
 
