@@ -739,6 +739,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clusters == Set(1L))
   }
 
+  test("bandedCandidates mixes small-bucket pairs and whale stars in one pass " +
+      "(r19 join-free enumeration)") {
+    // One call, three bucket regimes: a small bucket (all ascending
+    // in-bucket pairs), a whale bucket over maxBucket (min-id star,
+    // n-1 pairs, never quadratic), and a cross-band duplicate of a
+    // small-bucket pair (deduped once). Pins the exact pair-set parity
+    // contract of the join-free rewrite.
+    val rows =
+      Seq((3L, 0, 101L), (1L, 0, 101L), (2L, 0, 101L)) ++     // small: {1,2,3}
+      (10L to 15L).map(i => (i, 0, 202L)) ++                   // whale: 6 > cap 4
+      Seq((1L, 1, 303L), (2L, 1, 303L))                        // dup pair via band 1
+    val banded = rows.toDF("id", "band", "key")
+    val got = Dedup.bandedCandidates(banded, maxBucket = 4)
+      .orderBy("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val small = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val star = (11L to 15L).map(i => (10L, i))
+    assert(got == (small ++ star).sorted, s"got $got")
+    assert(got.forall { case (a, b) => a < b })
+  }
+
   test("banded cosine LSH pairs equal the exact quadratic answer on planted dups") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
